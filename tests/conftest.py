@@ -1,0 +1,21 @@
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from hobbes_spark.session import get_spark
+
+    s = get_spark("hobbes_spark_tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

@@ -1,0 +1,176 @@
+"""Core Pipeline operators: filters, projection, create/rename, group by,
+pivot, sort/keys/ordinals — mirrors the reference's operator evidence in
+SURVEY §2.2-2.7."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hobbes_spark import Pipeline
+from hobbes_spark import expressions as E
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return Pipeline.table(spark, sf_dir, "orders")
+
+
+def test_only_filter(orders):
+    out = orders.only(F.col("o_orderstatus") == "F")
+    rows = out.df.select("o_orderstatus").distinct().collect()
+    assert [r[0] for r in rows] == ["F"]
+
+
+def test_only_true_identity(orders):
+    assert orders.only(True).df.count() == orders.df.count()
+
+
+def test_slice_columns_tolerates_missing(orders):
+    out = orders.slice_columns("o_orderkey", "no_such_column", "o_totalprice")
+    assert out.columns == ["o_orderkey", "o_totalprice"]
+
+
+def test_rename_and_create(orders):
+    out = (
+        orders.rename_column("o_totalprice", "price")
+        .create_column("price2", F.col("price") * 2)
+        .create_column("tick", 1)
+    )
+    row = out.df.select("price", "price2", "tick").first()
+    assert row["price2"] == row["price"] * 2
+    assert row["tick"] == 1
+
+
+def test_create_shadow_rename_recreate_idiom(orders):
+    # MTTR.hb:25-26: rename then recreate referencing the renamed column
+    out = (
+        orders.rename_column("o_totalprice", "temp")
+        .create_column("o_totalprice", F.col("temp") / 2)
+    )
+    row = out.df.first()
+    assert row["o_totalprice"] == row["temp"] / 2
+
+
+def test_group_by_reduce_all_columns(orders):
+    out = orders.slice_columns("o_orderstatus", "o_totalprice", "o_orderkey").group_by(
+        "o_orderstatus"
+    ).reduce("sum")
+    # sum applies to every remaining numeric column, names preserved
+    assert set(out.columns) == {"o_orderstatus", "o_totalprice", "o_orderkey"}
+    assert out.key_cols == ("o_orderstatus",)
+
+
+def test_group_by_sum_drops_non_numeric(orders):
+    out = orders.group_by("o_orderstatus").reduce("sum")
+    assert "o_orderpriority" not in out.columns  # string col dropped under sum
+    assert "o_totalprice" in out.columns
+
+
+def test_group_by_maxby(orders):
+    out = orders.group_by("o_custkey").maxby("o_orderdate", tiebreak=["o_orderkey"])
+    # one row per customer, full row retained
+    assert out.df.count() == orders.df.select("o_custkey").distinct().count()
+    assert set(out.columns) == set(orders.columns)
+
+
+def test_group_by_minby_matches_sql(spark, orders):
+    out = orders.group_by("o_custkey").minby("o_orderdate", tiebreak=["o_orderkey"])
+    got = {(r["o_custkey"], r["o_orderkey"]) for r in out.df.collect()}
+    orders.df.createOrReplaceTempView("t_orders")
+    exp = {
+        (r[0], r[1])
+        for r in spark.sql(
+            """select o_custkey, o_orderkey from (
+                 select o_custkey, o_orderkey,
+                        row_number() over (partition by o_custkey
+                                           order by o_orderdate, o_orderkey) rn
+                 from t_orders) where rn = 1"""
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_pivot_shape(orders):
+    out = orders.pivot(["o_orderpriority"], "o_orderstatus", "count")
+    # columns come from data values (FIXTURES.md F5)
+    assert set(out.columns) == {"o_orderpriority", "F", "O", "P"}
+    assert out.key_cols == ("o_orderpriority",)
+
+
+def test_sort_keys_ordinals(orders):
+    p = (
+        orders.group_by("o_orderstatus")
+        .reduce("sum")
+        .sort_by("o_orderstatus")
+    )
+    p2 = p.create_column("k", p.keys_col()).create_column("i", p.ordinals_col())
+    rows = p2.df.select("o_orderstatus", "k", "i").collect()
+    assert [r["k"] for r in rows] == [r["o_orderstatus"] for r in rows]
+    assert [r["i"] for r in rows] == list(range(len(rows)))
+
+
+def test_compound_keys_dash_joined(orders):
+    p = orders.group_by("o_orderstatus", "o_orderpriority").reduce("count")
+    k = p.create_column("k", p.keys_col()).df.first()
+    assert k["k"] == f"{k['o_orderstatus']}-{k['o_orderpriority']}"
+
+
+def test_dense_rows_and_columns(spark):
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, 2.0, None), (3, 3.0, "c")],
+        schema="id int, x double, s string",
+    )
+    p = Pipeline.of(df)
+    assert p.dense_rows().df.count() == 1
+    assert p.dense_columns().columns == ["id"]
+    assert set(p.dense_columns(max_null_fraction=0.5).columns) == {"id", "x", "s"}
+
+
+def test_numeric_columns(orders):
+    out = orders.numeric_columns()
+    assert "o_orderstatus" not in out.columns
+    assert "o_totalprice" in out.columns
+
+
+def test_expression_language(spark):
+    df = spark.createDataFrame(
+        [("Iteration 12 extra", "Completed"), ("Sprint 3", "InProgress"), ("Sprint 4", "Proposed")],
+        schema="name string, cat string",
+    )
+    p = (
+        Pipeline.of(df)
+        .create_column(
+            "n", E.int_cast(E.regex("name", r".*?(\d+).*", ["$1"]))
+        )
+        .create_column(
+            "state",
+            E.iff(
+                E.contains("cat", ["Completed", "Resolved", "Remove"]),
+                "Done",
+                E.iff(F.col("cat") == "InProgress", "Doing", "Todo"),
+            ),
+        )
+    )
+    rows = {r["name"]: (r["n"], r["state"]) for r in p.df.collect()}
+    assert rows["Iteration 12 extra"] == (12, "Done")
+    assert rows["Sprint 3"] == (3, "Doing")
+    assert rows["Sprint 4"] == (4, "Todo")
+
+
+def test_format_date(spark):
+    df = spark.createDataFrame([("2020-11-19 07:41:51",)], schema="ts string")
+    p = Pipeline.of(df).create_column("ts2", F.to_timestamp("ts"))
+    out = p.df.select(
+        E.format_date("ts2", "year").alias("y"),
+        E.format_date("ts2", "month").alias("m"),
+        E.format_date("ts2", "day").alias("d"),
+        E.format_date("ts2", "week").alias("w"),
+        E.format_date("ts2", "date").cast("string").alias("dt"),
+    ).first()
+    assert (out["y"], out["m"], out["d"], out["w"], out["dt"]) == (2020, 11, 19, 47, "2020-11-19")
+
+
+def test_missing_semantics(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (3.0,)], schema="x double")
+    p = Pipeline.of(df)
+    assert p.only(E.isnt_missing("x")).df.count() == 2
+    assert p.only(E.is_missing("x")).df.count() == 1
