@@ -82,8 +82,27 @@ class Pipeline:
 
     @classmethod
     def table(cls, spark: SparkSession, sf_dir: str, name: str) -> "Pipeline":
-        """Load one of the driver test tables."""
-        return cls.from_parquet(spark, f"{sf_dir}/{name}.parquet")
+        """Load one of the driver test tables.
+
+        Parquet TIMESTAMP(NANOS) columns (which Spark reads as raw
+        nanosecond longs under ``nanosAsLong``) are converted to
+        microsecond timestamps in-plan via integer division — the footer
+        schema identifies them without touching row data."""
+        path = f"{sf_dir}/{name}.parquet"
+        df = spark.read.parquet(path)
+        try:
+            import pyarrow.parquet as pq
+
+            nanos = [
+                f.name
+                for f in pq.read_schema(path)
+                if str(f.type) == "timestamp[ns]"
+            ]
+        except Exception:
+            nanos = []
+        for colname in nanos:
+            df = df.withColumn(colname, F.expr(f"timestamp_micros(`{colname}` div 1000)"))
+        return cls(df, lineage=(f"parquet:{path}",))
 
     # ------------------------------------------------------------------ #
     # plumbing

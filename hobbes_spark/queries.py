@@ -1,0 +1,809 @@
+"""Query catalog: one named query per implemented operator (SURVEY §2),
+each with an equivalent DuckDB oracle SQL for the driver's correctness gate.
+
+Conventions that make the Spark/DuckDB value-hashes agree:
+
+* every computed column is aliased identically on both sides;
+* floating-point results are ``round``-ed (2/4/6 dp chosen by magnitude)
+  on BOTH sides, since summation order differs between engines;
+* integer-typed results are cast explicitly (DuckDB window/extract
+  functions return BIGINT where Spark returns INT);
+* timestamps are only emitted at >= microsecond granularity (the events
+  table is nanosecond parquet; both engines truncate identically via the
+  conversions used here).
+
+Queries marked ``oracle=None`` are non-SQL-expressible (clustering etc.)
+and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hobbes_spark import expressions as E
+from hobbes_spark.pipeline import Pipeline
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL over the pre-registered table views
+    bench: bool = False  # include in bench.py headline set
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> Pipeline:
+    return Pipeline.table(spark, sf_dir, name)
+
+
+
+def _r(col, n: int):
+    """Deterministic half-up rounding: floor(x*10^n + 0.5)/10^n.
+
+    Unlike ``round``, every step is an IEEE-exact double op, so Spark and
+    DuckDB produce bit-identical results (Spark's round is BigDecimal
+    HALF_UP, DuckDB's is HALF_EVEN — they disagree at boundaries)."""
+    f = 10 ** n
+    return F.floor(col * f + F.lit(0.5)) / F.lit(f).cast("double")
+
+
+def _rsql(expr: str, n: int) -> str:
+    f = 10 ** n
+    return f"FLOOR(({expr}) * {f} + 0.5) / CAST({f} AS DOUBLE)"
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: Optional[str], bench: bool = False):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(spark=fn, oracle=oracle, bench=bench)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------- #
+# Flagship: the flowerpot.hb pipeline re-expressed on the orders table
+# (reference tests/transformations/flowerpot.hb:12-19 — filter → maxby
+# fold → rename → regex+int derive → nested-if state → slice)
+# --------------------------------------------------------------------- #
+
+@q(
+    "flowerpot",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(regexp_extract(o_orderpriority, '([0-9]+)-.*', 1) AS INTEGER) AS priority_num,
+           CASE WHEN o_orderstatus = 'F' THEN 'Done'
+                WHEN o_orderstatus = 'O' THEN 'Todo'
+                ELSE 'Doing' END AS state
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders WHERE o_orderstatus <> 'P'
+    ) WHERE rn = 1
+    """,
+    bench=True,
+)
+def flowerpot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "orders")
+        .only(F.col("o_orderstatus") != "P")
+        .group_by("o_custkey")
+        .maxby("o_orderdate", tiebreak=["o_orderkey"])
+        .rename_column("o_orderpriority", "priority_raw")
+        .create_column(
+            "priority_num", E.int_cast(E.regex("priority_raw", r"([0-9]+)-.*", ["$1"]))
+        )
+        .rename_column("o_orderstatus", "detailed_state")
+        .create_column(
+            "state",
+            E.iff(
+                F.col("detailed_state") == "F",
+                "Done",
+                E.iff(F.col("detailed_state") == "O", "Todo", "Doing"),
+            ),
+        )
+        .slice_columns(
+            "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "priority_num", "state",
+        )
+    )
+    return p.df
+
+
+# --------------------------------------------------------------------- #
+# §2.3 filters
+# --------------------------------------------------------------------- #
+
+@q(
+    "only_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag IN ('A','R') AND l_quantity < 10 AND NOT (l_discount > 0.05)
+    """,
+)
+def only_filter(spark, sf_dir):
+    p = _t(spark, sf_dir, "lineitem").only(
+        E.contains("l_returnflag", ["A", "R"])
+        & (F.col("l_quantity") < 10)
+        & ~(F.col("l_discount") > 0.05)
+    )
+    return p.slice_columns("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag").df
+
+
+@q(
+    "missing_filter",
+    """
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS maybe_status
+    FROM orders
+    WHERE NULLIF(o_orderstatus, 'P') IS NOT NULL
+    """,
+)
+def missing_filter(spark, sf_dir):
+    # `only !(x = missing)` — MTTR.hb:35; NULLs manufactured via nullif
+    p = (
+        _t(spark, sf_dir, "orders")
+        .create_column("maybe_status", F.nullif(F.col("o_orderstatus"), F.lit("P")))
+        .only(E.isnt_missing("maybe_status"))
+        .slice_columns("o_orderkey", "maybe_status")
+    )
+    return p.df
+
+
+# --------------------------------------------------------------------- #
+# §2.2 projection / create / rename
+# --------------------------------------------------------------------- #
+
+@q(
+    "create_revenue",
+    """
+    SELECT l_orderkey, l_linenumber,
+           FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS revenue,
+           1 AS tick
+    FROM lineitem
+    """,
+)
+def create_revenue(spark, sf_dir):
+    p = (
+        _t(spark, sf_dir, "lineitem")
+        .create_column(
+            "revenue",
+            _r(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2),
+        )
+        .create_column("tick", 1)
+        .slice_columns("l_orderkey", "l_linenumber", "revenue", "tick")
+    )
+    return p.df
+
+
+@q(
+    "rename_recreate",
+    """
+    SELECT o_orderkey, o_totalprice AS temp,
+           FLOOR((o_totalprice / 2) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS o_totalprice_half
+    FROM orders
+    """,
+)
+def rename_recreate(spark, sf_dir):
+    # MTTR.hb:25-26 idiom: rename then recreate from the renamed column
+    p = (
+        _t(spark, sf_dir, "orders")
+        .rename_column("o_totalprice", "temp")
+        .create_column("o_totalprice_half", _r(F.col("temp") / 2, 4))
+        .slice_columns("o_orderkey", "temp", "o_totalprice_half")
+    )
+    return p.df
+
+
+@q(
+    "numeric_columns",
+    """
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax
+    FROM lineitem
+    """,
+)
+def numeric_columns_q(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").numeric_columns().df
+
+
+@q(
+    "dense_ops",
+    """
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE NULLIF(o_orderpriority, '1-URGENT') IS NOT NULL
+    """,
+)
+def dense_ops(spark, sf_dir):
+    # dense rows (drop rows with NULLs) then dense columns (drop columns
+    # that still contain NULLs — here: none, so projection survives)
+    p = (
+        _t(spark, sf_dir, "orders")
+        .create_column("maybe", F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")))
+        .slice_columns("o_orderkey", "o_orderstatus", "maybe")
+        .dense_rows()
+        .slice_columns("o_orderkey", "o_orderstatus")
+        .dense_columns()
+    )
+    return p.df
+
+
+# --------------------------------------------------------------------- #
+# §2.4 group by
+# --------------------------------------------------------------------- #
+
+@q(
+    "group_all_sum",
+    """
+    SELECT l_returnflag, l_linestatus,
+           FLOOR(SUM(l_quantity) * 100 + 0.5) / CAST(100 AS DOUBLE) AS l_quantity,
+           FLOOR(SUM(l_extendedprice) * 100 + 0.5) / CAST(100 AS DOUBLE) AS l_extendedprice,
+           SUM(tick) AS tick
+    FROM (SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+                 CAST(1 AS BIGINT) AS tick FROM lineitem)
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def group_all_sum(spark, sf_dir):
+    # bare `group by ks -> sum` applies to every remaining (numeric) column
+    # — MTTR.hb:23-27 (sums the metric AND the tick counter)
+    p = (
+        _t(spark, sf_dir, "lineitem")
+        .slice_columns("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .create_column("tick", F.lit(1).cast("bigint"))
+        .group_by("l_returnflag", "l_linestatus")
+        .reduce("sum")
+    )
+    out = p.create_column("l_quantity", _r(F.col("l_quantity"), 2)).create_column(
+        "l_extendedprice", _r(F.col("l_extendedprice"), 2)
+    )
+    return out.df
+
+
+@q(
+    "group_all_mean",
+    """
+    SELECT l_returnflag,
+           FLOOR(AVG(l_quantity) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS l_quantity,
+           FLOOR(AVG(l_discount) * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS l_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def group_all_mean(spark, sf_dir):
+    p = (
+        _t(spark, sf_dir, "lineitem")
+        .slice_columns("l_returnflag", "l_quantity", "l_discount")
+        .group_by("l_returnflag")
+        .reduce("mean")
+    )
+    return (
+        p.create_column("l_quantity", _r(F.col("l_quantity"), 4))
+        .create_column("l_discount", _r(F.col("l_discount"), 6))
+        .df
+    )
+
+
+@q(
+    "group_reductions",
+    """
+    SELECT o_orderstatus,
+           COUNT(o_totalprice) AS cnt,
+           COUNT(DISTINCT o_custkey) AS dist,
+           FLOOR((MAX(o_totalprice)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS mx,
+           FLOOR((MIN(o_totalprice)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS mn,
+           FLOOR((AVG(o_totalprice)) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS mean,
+           FLOOR((MEDIAN(o_totalprice)) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS med,
+           FLOOR((SUM(o_totalprice)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS sm,
+           FLOOR((STDDEV_SAMP(o_totalprice) / 1000) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS sd_k,
+           FLOOR((VAR_SAMP(o_totalprice) / 1000000) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS var_m
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def group_reductions(spark, sf_dir):
+    # the full grammar-fixed reduction set (hobbes.YAML-tmLanguage:14);
+    # stddev/variance scaled before rounding so FP noise stays below 1e-4
+    p = _t(spark, sf_dir, "orders")
+    out = p.group_by("o_orderstatus").agg(
+        cnt=F.count("o_totalprice"),
+        dist=F.count_distinct("o_custkey"),
+        mx=_r(F.max("o_totalprice"), 2),
+        mn=_r(F.min("o_totalprice"), 2),
+        mean=_r(F.avg("o_totalprice"), 4),
+        med=_r(F.median("o_totalprice"), 4),
+        sm=_r(F.sum("o_totalprice"), 2),
+        sd_k=_r(F.stddev_samp("o_totalprice") / 1000, 4),
+        var_m=_r(F.var_samp("o_totalprice") / 1e6, 4),
+    )
+    return out.df
+
+
+@q(
+    "group_maxby",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    bench=True,
+)
+def group_maxby(spark, sf_dir):
+    p = (
+        _t(spark, sf_dir, "orders")
+        .group_by("o_custkey")
+        .maxby("o_orderdate", tiebreak=["o_orderkey"])
+        .slice_columns("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    return p.df
+
+
+@q(
+    "group_minby",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_shipdate,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_shipdate ASC, l_linenumber ASC) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def group_minby(spark, sf_dir):
+    p = (
+        _t(spark, sf_dir, "lineitem")
+        .group_by("l_orderkey")
+        .minby("l_shipdate", tiebreak=["l_linenumber"])
+        .slice_columns("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+    return p.df
+
+
+@q(
+    "daily_counts",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, COUNT(*) AS count
+    FROM events GROUP BY 1
+    """,
+)
+def daily_counts(spark, sf_dir):
+    # commit-frequency shape: group by day, count rows (Git.fs:12-17).
+    # DATE-typed outputs normalize differently via pandas in the two
+    # engines, so final date columns are emitted as ISO strings.
+    p = (
+        _t(spark, sf_dir, "events")
+        .create_column("date", E.format_date("ts", "date"))
+        .group_by("date")
+        .count_rows()
+        .create_column("date", F.col("date").cast("string"))
+    )
+    return p.df
+
+
+@q(
+    "date_parts",
+    """
+    SELECT CAST(YEAR(ts) AS INTEGER) AS y, CAST(MONTH(ts) AS INTEGER) AS m,
+           COUNT(*) AS count, FLOOR((SUM(value)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS value
+    FROM events
+    WHERE (YEAR(ts) = 2024 AND MONTH(ts) > 6) OR YEAR(ts) >= 2025
+    GROUP BY 1, 2
+    """,
+)
+def date_parts(spark, sf_dir):
+    # Logic Commit Frequency.hb:33-34: date-part filter then group
+    ev = _t(spark, sf_dir, "events")
+    y = E.format_date("ts", "year")
+    m = E.format_date("ts", "month")
+    p = (
+        ev.only(((y == 2024) & (m > 6)) | (y >= 2025))
+        .create_column("y", y)
+        .create_column("m", m)
+        .slice_columns("y", "m", "value")
+        .create_column("tick", F.lit(1).cast("bigint"))
+        .group_by("y", "m")
+        .reduce("sum")
+        .rename_column("tick", "count")
+        .create_column("value", _r(F.col("value"), 2))
+    )
+    return p.df
+
+
+# --------------------------------------------------------------------- #
+# §2.6 pivot
+# --------------------------------------------------------------------- #
+
+@q(
+    "pivot_count",
+    """
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    bench=True,
+)
+def pivot_count(spark, sf_dir):
+    # Velocity.hb:28 — pivot [SprintNumber] [State] -> count [SprintNumber];
+    # col_values passed explicitly: skips the distinct-scan (scale note in
+    # Pipeline.pivot) and pins column order
+    p = _t(spark, sf_dir, "orders").pivot(
+        ["o_orderpriority"], "o_orderstatus", "count",
+        value_col="o_orderkey", col_values=["F", "O", "P"],
+    )
+    return p.df
+
+
+@q(
+    "pivot_sum",
+    """
+    SELECT l_returnflag,
+           FLOOR((COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS F,
+           FLOOR((COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_sum(spark, sf_dir):
+    p = _t(spark, sf_dir, "lineitem").pivot(
+        ["l_returnflag"], "l_linestatus", "sum",
+        value_col="l_quantity", col_values=["F", "O"],
+    )
+    out = p.create_column("F", _r(F.coalesce("F", F.lit(0)), 2)).create_column(
+        "O", _r(F.coalesce("O", F.lit(0)), 2)
+    )
+    return out.df
+
+
+# --------------------------------------------------------------------- #
+# §2.7 sort / keys / ordinals
+# --------------------------------------------------------------------- #
+
+_DAILY_SQL = "SELECT CAST(ts AS DATE) AS date, COUNT(*) AS count FROM events GROUP BY 1"
+
+
+def _daily(spark, sf_dir) -> Pipeline:
+    return (
+        _t(spark, sf_dir, "events")
+        .create_column("date", E.format_date("ts", "date"))
+        .group_by("date")
+        .count_rows()
+        .sort_by("date")
+    )
+
+
+@q(
+    "sort_keys_ordinals",
+    f"""
+    SELECT CAST(date AS VARCHAR) AS date, count, CAST(date AS VARCHAR) AS k,
+           CAST(row_number() OVER (ORDER BY date) - 1 AS INTEGER) AS i
+    FROM ({_DAILY_SQL})
+    """,
+)
+def sort_keys_ordinals(spark, sf_dir):
+    p = _daily(spark, sf_dir).index_by("date")
+    out = (
+        p.create_column("k", p.keys_col().cast("string"))
+        .create_column("i", p.ordinals_col())
+        .create_column("date", F.col("date").cast("string"))
+    )
+    return out.df
+
+
+# --------------------------------------------------------------------- #
+# §2.8 windowed series
+# --------------------------------------------------------------------- #
+
+@q(
+    "moving_mean",
+    f"""
+    SELECT CAST(date AS VARCHAR) AS date, count,
+           CASE WHEN row_number() OVER (ORDER BY date) >= 7 THEN
+             {_rsql("AVG(count) OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)", 4)}
+           END AS m7,
+           CASE WHEN row_number() OVER (ORDER BY date) >= 30 THEN
+             {_rsql("AVG(count) OVER (ORDER BY date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)", 4)}
+           END AS m30
+    FROM ({_DAILY_SQL})
+    """,
+    bench=True,
+)
+def moving_mean(spark, sf_dir):
+    # Logic Commit Frequency.hb:40-41 — daily counts, moving mean short/long
+    p = (
+        _daily(spark, sf_dir)
+        .moving("m7", "mean", 7, "count")
+        .moving("m30", "mean", 30, "count")
+        .create_column("m7", _r(F.col("m7"), 4))
+        .create_column("m30", _r(F.col("m30"), 4))
+        .create_column("date", F.col("date").cast("string"))
+    )
+    return p.df
+
+
+@q(
+    "moving_sum_minmax",
+    f"""
+    SELECT CAST(date AS VARCHAR) AS date,
+           CASE WHEN row_number() OVER (ORDER BY date) >= 5 THEN
+             SUM(count) OVER w5 END AS s5,
+           CASE WHEN row_number() OVER (ORDER BY date) >= 5 THEN
+             MAX(count) OVER w5 END AS mx5,
+           CASE WHEN row_number() OVER (ORDER BY date) >= 5 THEN
+             MIN(count) OVER w5 END AS mn5
+    FROM ({_DAILY_SQL})
+    WINDOW w5 AS (ORDER BY date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_sum_minmax(spark, sf_dir):
+    p = (
+        _daily(spark, sf_dir)
+        .moving("s5", "sum", 5, "count")
+        .moving("mx5", "max", 5, "count")
+        .moving("mn5", "min", 5, "count")
+        .slice_columns("date", "s5", "mx5", "mn5")
+        .create_column("date", F.col("date").cast("string"))
+    )
+    return p.df
+
+
+@q(
+    "expanding_sum",
+    f"""
+    SELECT CAST(date AS VARCHAR) AS date, count,
+           SUM(count) OVER (ORDER BY date
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burnup
+    FROM ({_DAILY_SQL})
+    """,
+)
+def expanding_sum(spark, sf_dir):
+    # burn-up running total — workbench Metrics.fs:59
+    p = (
+        _daily(spark, sf_dir)
+        .expanding("burnup", "sum", "count")
+        .create_column("date", F.col("date").cast("string"))
+    )
+    return p.df
+
+
+@q(
+    "moving_partitioned",
+    """
+    SELECT event_type, CAST(date AS VARCHAR) AS date, count,
+           CASE WHEN row_number() OVER (PARTITION BY event_type ORDER BY date) >= 7 THEN
+             FLOOR((AVG(count) OVER (PARTITION BY event_type ORDER BY date
+                                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) * 10000 + 0.5)
+               / CAST(10000 AS DOUBLE)
+           END AS m7
+    FROM (SELECT event_type, CAST(ts AS DATE) AS date, COUNT(*) AS count
+          FROM events GROUP BY 1, 2)
+    """,
+    bench=True,
+)
+def moving_partitioned(spark, sf_dir):
+    # the 100 TB shape: same trailing window but keyed per event_type so
+    # the window shuffle stays partitioned (no single-task funnel)
+    p = (
+        _t(spark, sf_dir, "events")
+        .create_column("date", E.format_date("ts", "date"))
+        .group_by("event_type", "date")
+        .count_rows()
+        .sort_by("date")
+        .moving("m7", "mean", 7, "count", partition_by=["event_type"])
+        .create_column("m7", _r(F.col("m7"), 4))
+        .create_column("date", F.col("date").cast("string"))
+    )
+    return p.df
+
+
+# --------------------------------------------------------------------- #
+# §2.5 combinators
+# --------------------------------------------------------------------- #
+
+@q(
+    "merge_datasets",
+    """
+    SELECT o_orderkey AS k, o_totalprice AS price, NULL AS qty FROM orders
+    WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT l_orderkey AS k, NULL AS price, l_quantity AS qty FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def merge_datasets(spark, sf_dir):
+    a = (
+        _t(spark, sf_dir, "orders")
+        .only(F.col("o_orderstatus") == "F")
+        .rename_column("o_orderkey", "k")
+        .rename_column("o_totalprice", "price")
+        .slice_columns("k", "price")
+    )
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .only(F.col("l_linenumber") == 1)
+        .rename_column("l_orderkey", "k")
+        .rename_column("l_quantity", "qty")
+        .slice_columns("k", "qty")
+    )
+    return Pipeline.merge(a, b).df
+
+
+@q(
+    "join_on_field",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, o.order_count, o.total_spend
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey AS c_custkey, COUNT(*) AS order_count,
+                      FLOOR((SUM(o_totalprice)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS total_spend
+               FROM orders GROUP BY 1) o
+    USING (c_custkey)
+    """,
+    bench=True,
+)
+def join_on_field(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").slice_columns("c_custkey", "c_name", "c_acctbal")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .rename_column("o_custkey", "c_custkey")
+        .group_by("c_custkey")
+        .agg(order_count=F.count(F.lit(1)), total_spend=_r(F.sum("o_totalprice"), 2))
+    )
+    # every customer has orders in TPC-H-ish data, but LEFT mirrors the
+    # outer-index semantics with customer as the index side
+    return cust.join(per_cust, "c_custkey", how="left").df
+
+
+@q(
+    "join_broadcast_dims",
+    """
+    SELECT n.n_name, r.r_name, COUNT(*) AS customers,
+           FLOOR((SUM(c.c_acctbal)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    bench=True,
+)
+def join_broadcast_dims(spark, sf_dir):
+    # dimension joins broadcast explicitly — at 100 TB the fact side
+    # never shuffles for these
+    nation = _t(spark, sf_dir, "nation").rename_column("n_nationkey", "c_nationkey")
+    region = _t(spark, sf_dir, "region").rename_column("r_regionkey", "n_regionkey")
+    cust = _t(spark, sf_dir, "customer")
+    joined = cust.join(nation, "c_nationkey", how="inner", broadcast=True).join(
+        region, "n_regionkey", how="inner", broadcast=True
+    )
+    out = joined.group_by("n_name", "r_name").agg(
+        customers=F.count(F.lit(1)), acctbal=_r(F.sum("c_acctbal"), 2)
+    )
+    return out.df
+
+
+# --------------------------------------------------------------------- #
+# §2.9 buckets / each; §2.8 regression
+# --------------------------------------------------------------------- #
+
+@q(
+    "buckets_mean",
+    f"""
+    WITH base AS (
+      SELECT date, count,
+             row_number() OVER (ORDER BY date) AS rn,
+             COUNT(*) OVER () AS total
+      FROM ({_DAILY_SQL})
+    )
+    SELECT CAST(LEAST(FLOOR((rn - 1) / (total // 10)) + 1, 10) AS BIGINT) AS bucket,
+           {_rsql("AVG(count)", 4)} AS count
+    FROM base GROUP BY 1
+    """,
+)
+def buckets_mean(spark, sf_dir):
+    p = _daily(spark, sf_dir).buckets(10, "mean").create_column(
+        "count", _r(F.col("count"), 4)
+    )
+    return p.df
+
+
+@q(
+    "each_max",
+    """
+    SELECT GREATEST(l_quantity, l_extendedprice, l_discount, l_tax) AS value
+    FROM lineitem
+    """,
+)
+def each_max(spark, sf_dir):
+    p = _t(spark, sf_dir, "lineitem").slice_columns(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return p.each("max").df
+
+
+@q(
+    "each_mean",
+    """
+    SELECT FLOOR(((l_quantity + l_extendedprice + l_discount + l_tax) / 4) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS value
+    FROM lineitem
+    """,
+)
+def each_mean(spark, sf_dir):
+    p = _t(spark, sf_dir, "lineitem").slice_columns(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return p.each("mean").create_column("value", _r(F.col("value"), 4)).df
+
+
+@q(
+    "linear_regression",
+    """
+    SELECT FLOOR((regr_slope(l_extendedprice, l_quantity)) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS slope,
+           FLOOR((regr_intercept(l_extendedprice, l_quantity)) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS intercept,
+           FLOOR((regr_r2(l_extendedprice, l_quantity)) * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    """,
+)
+def linear_regression_q(spark, sf_dir):
+    p = _t(spark, sf_dir, "lineitem").linear_regression("l_quantity", "l_extendedprice")
+    out = (
+        p.create_column("slope", _r(F.col("slope"), 4))
+        .create_column("intercept", _r(F.col("intercept"), 4))
+        .create_column("r2", _r(F.col("r2"), 6))
+    )
+    return out.df
+
+
+@q(
+    "linear_extrapolation",
+    f"""
+    WITH base AS (
+      SELECT date, count, CAST(row_number() OVER (ORDER BY date) AS INTEGER) AS ordinal
+      FROM ({_DAILY_SQL})
+    ),
+    par AS (
+      SELECT regr_slope(count, ordinal) AS s, regr_intercept(count, ordinal) AS b,
+             MAX(ordinal) AS t
+      FROM base WHERE ordinal > (SELECT MAX(ordinal) - 30 FROM base)
+    )
+    SELECT ordinal, CAST(count AS DOUBLE) AS count, FALSE AS predicted FROM base
+    UNION ALL
+    SELECT CAST(t + g.range AS INTEGER) AS ordinal,
+           {_rsql("s * (t + g.range) + b", 4)} AS count, TRUE AS predicted
+    FROM par, range(1, 6) g
+    """,
+)
+def linear_extrapolation_q(spark, sf_dir):
+    p = (
+        _daily(spark, sf_dir)
+        .linear_extrapolation("count", n_pred=5, n_train=30)
+        .create_column(
+            "count",
+            F.when(F.col("predicted"), _r(F.col("count").cast("double"), 4))
+            .otherwise(F.col("count").cast("double")),
+        )
+        .slice_columns("ordinal", "count", "predicted")
+        .create_column("ordinal", F.col("ordinal").cast("int"))
+    )
+    return p.df
+
+
+@q("kmeans_clusters", None)  # clustering: rows-only check (not SQL-expressible)
+def kmeans_clusters(spark, sf_dir):
+    p = (
+        _t(spark, sf_dir, "orders")
+        .slice_columns("o_totalprice")
+        .kmeans(4, "mean", seed=42)
+    )
+    return p.create_column("o_totalprice", F.round("o_totalprice", 2)).df
+

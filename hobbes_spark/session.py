@@ -45,5 +45,8 @@ def get_spark(
         # The reference's `int(...)` cast FAILS on bad input (strict);
         # Spark 4 ANSI default matches that semantics. Keep ANSI on.
         .config("spark.sql.ansi.enabled", "true")
+        # Read parquet TIMESTAMP(NANOS) (e.g. events.ts) as long;
+        # Pipeline.table converts to microsecond timestamps in-plan.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()

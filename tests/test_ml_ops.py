@@ -1,0 +1,74 @@
+"""buckets, k-means, each, linear regression/extrapolation (SURVEY §2.8-2.9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hobbes_spark import Pipeline
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rows = [(i, float(i) * 2.0 + 1.0, f"s{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "i int, y double, s string")
+    return Pipeline.of(df).sort_by("i")
+
+
+def test_buckets_remainder_to_last(series):
+    out = series.buckets(3, "count")
+    rows = {r["bucket"]: r["i"] for r in out.df.collect()}
+    # 20 rows into 3 buckets: 6,6,8 (remainder to last, Deedle-style)
+    assert rows == {1: 6, 2: 6, 3: 8}
+
+
+def test_buckets_mean(series):
+    out = series.buckets(4, "mean")  # 5 per bucket
+    rows = out.df.orderBy("bucket").collect()
+    assert rows[0]["i"] == pytest.approx(2.0)  # mean of 0..4
+    assert rows[3]["i"] == pytest.approx(17.0)  # mean of 15..19
+    assert "s" not in out.columns  # non-numeric discarded
+
+
+def test_each_rowwise(spark):
+    df = spark.createDataFrame([(1.0, 5.0, 3.0, "x")], "a double, b double, c double, s string")
+    p = Pipeline.of(df)
+    assert p.each("sum").df.first()["value"] == 9.0
+    assert p.each("max").df.first()["value"] == 5.0
+    assert p.each("mean").df.first()["value"] == 3.0
+    assert p.each("median").df.first()["value"] == 3.0
+    assert p.each("stddev").df.first()["value"] == pytest.approx(2.0)
+    assert p.each("count").df.first()["value"] == 3.0
+
+
+def test_each_skips_nulls(spark):
+    df = spark.createDataFrame([(1.0, None, 3.0)], "a double, b double, c double")
+    assert Pipeline.of(df).each("mean").df.first()["value"] == 2.0
+
+
+def test_linear_regression(series):
+    out = series.linear_regression("i", "y").df.first()
+    assert out["slope"] == pytest.approx(2.0)
+    assert out["intercept"] == pytest.approx(1.0)
+    assert out["r2"] == pytest.approx(1.0)
+
+
+def test_linear_extrapolation(series):
+    out = series.linear_extrapolation("y", n_pred=3, n_train=5)
+    rows = out.df.orderBy("ordinal").collect()
+    assert len(rows) == 23
+    preds = [r for r in rows if r["predicted"]]
+    assert len(preds) == 3
+    # perfect line: y = 2*ordinal - 1 (ordinal is 1-based => y=2(i+1)-1? check)
+    # rows i=0..19 have y=2i+1; ordinal=i+1 => y = 2*ordinal - 1
+    for r in preds:
+        assert r["y"] == pytest.approx(2.0 * r["ordinal"] - 1.0)
+        assert r["s"] is None  # non-fitted columns null on predicted rows
+
+
+def test_kmeans_two_blobs(spark):
+    pts = [(float(i % 7) / 100 + (0.0 if i < 30 else 100.0),) for i in range(60)]
+    df = spark.createDataFrame(pts, "x double")
+    out = Pipeline.of(df).kmeans(2, "mean", seed=7)
+    rows = out.df.orderBy("cluster").collect()
+    assert len(rows) == 2
+    assert rows[0]["x"] == pytest.approx(0.03, abs=0.01)
+    assert rows[1]["x"] == pytest.approx(100.03, abs=0.01)

@@ -1,0 +1,75 @@
+"""Local mirror of the driver's correctness gate: run every catalog query
+on Spark AND its DuckDB oracle over the same parquet, compare row count,
+column set, and an order-insensitive value snapshot.
+
+The driver does this at sf=0.01; tests run sf0.001 (override with
+SPARK_GRAFT_TEST_SF_DIR) so the loop stays fast while iterating.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+from hobbes_spark.queries import QUERIES
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))  # 3.0 == 3 across engines
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(bool(v))
+    return str(v)
+
+
+def _snapshot(pdf):
+    cols = sorted(pdf.columns)
+    rows = sorted(
+        tuple(_norm_cell(v) for v in row) for row in pdf[cols].itertuples(index=False)
+    )
+    return cols, rows
+
+
+@pytest.mark.parametrize("name", [n for n, s in QUERIES.items() if s.oracle])
+def test_query_matches_oracle(spark, sf_dir, ddb, name):
+    spec = QUERIES[name]
+    got = spec.spark(spark, sf_dir).toPandas()
+    exp = ddb.execute(spec.oracle).df()
+    g_cols, g_rows = _snapshot(got)
+    e_cols, e_rows = _snapshot(exp)
+    assert g_cols == e_cols, f"{name}: column mismatch {g_cols} vs {e_cols}"
+    assert len(g_rows) == len(e_rows), f"{name}: row count {len(g_rows)} vs {len(e_rows)}"
+    mism = [i for i, (a, b) in enumerate(zip(g_rows, e_rows)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} mismatched rows; first: "
+        f"spark={g_rows[mism[0]]} oracle={e_rows[mism[0]]}"
+    )
+
+
+@pytest.mark.parametrize("name", [n for n, s in QUERIES.items() if s.oracle is None])
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = QUERIES[name].spark(spark, sf_dir)
+    assert df.count() >= 0
+    assert df.schema is not None
