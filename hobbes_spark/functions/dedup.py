@@ -1,0 +1,264 @@
+"""Deduplication for training-data pipelines: exact, MinHash+LSH banding,
+SimHash, and exact n-gram Jaccard.
+
+Everything is Spark built-in expressions (split / transform / slice /
+array_min / md5 / xxhash64) — no Python UDFs — so dedup over 100 TB is
+shuffle-bound, not Python-bound. The only shuffles are:
+
+* exact: one hash-partitioned window over the fingerprint;
+* MinHash LSH: one explode + one self-equi-join on (band, band_key) —
+  the classic shingle→minhash→band→bucket-join plan;
+* SimHash: one explode + keyed aggregation.
+
+``hash_fn='md5'`` produces byte-identical values in DuckDB (used by the
+correctness oracles); ``'xxhash64'`` is the fast JVM path for real runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hobbes_spark.expressions import c
+from hobbes_spark.functions.text import fingerprint, tokens
+
+__all__ = [
+    "exact_dedup",
+    "word_shingles",
+    "char_ngrams",
+    "minhash_signature",
+    "minhash_pairs",
+    "simhash60",
+    "jaccard_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (lowest id) per normalized-text fingerprint.
+
+    One keyed window (shuffle on the md5 fingerprint — uniformly
+    distributed, no skew) and no join-back.
+    """
+    fp = fingerprint(text_col)
+    w = Window.partitionBy("__fp")
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__fp", "__keep")
+    )
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Overlapping word ``k``-shingles of the lowercased text.
+    Texts with fewer than ``k`` words yield an empty array."""
+    toks = tokens(F.lower(c(col)))
+    n = F.size(toks)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct character ``n``-grams of the text."""
+    src = c(col)
+    ln = F.length(src)
+    grams = F.when(ln < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), ln - (n - 1)), lambda i: F.substring(src, i, n))
+    )
+    return F.array_distinct(grams)
+
+
+def _shingle_hash(x: Column, seed: int, hash_fn: str) -> Column:
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(seed), x)
+    if hash_fn == "md5":
+        # byte-identical in DuckDB: md5('<seed>|' || shingle), min over hex strings
+        return F.md5(F.concat(F.lit(f"{seed}|"), x))
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def minhash_signature(
+    col: Column | str, num_hashes: int = 16, hash_fn: str = "xxhash64", k: int = 3
+) -> Column:
+    """MinHash signature: for each seed, the min hash over word shingles.
+    Empty-shingle docs get NULL (can't estimate similarity)."""
+    def min_for_seed(sh: Column, seed: int) -> Column:
+        return F.array_min(F.transform(sh, lambda x: _shingle_hash(x, seed, hash_fn)))
+
+    sh = word_shingles(col, k)
+    sig = F.array(*[min_for_seed(sh, s) for s in range(num_hashes)])
+    return F.when(F.size(sh) > 0, sig)
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    hash_fn: str = "xxhash64",
+    k: int = 3,
+) -> DataFrame:
+    """(id, sig) per doc via shingle-explode + min-aggregation.
+
+    This is the scale shape: the exploded shingle rows of a doc sit in
+    the same input partition, so partial (map-side) aggregation collapses
+    them to one row *before* the shuffle — shuffle volume is
+    docs × num_hashes longs, independent of text length. It also keeps
+    every expression flat (one hash call per aggregate), where a single
+    nested array expression with num_hashes × shingles terms defeats
+    codegen and recomputes per consumer.
+    Docs with fewer than ``k`` words produce no row.
+    """
+    sh = word_shingles(c(text_col), k)
+    ex = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
+    aggs = [
+        F.min(_shingle_hash(F.col("s"), i, hash_fn)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        ex.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding, scored by the
+    MinHash Jaccard estimate (fraction of agreeing signature slots).
+
+    Plan shape (the scale path): signatures materialized once
+    (persisted — at cluster scale this is the natural checkpoint) →
+    explode to ``bands`` rows/doc → self-equi-join on (band, band_key) →
+    distinct id pairs → signatures rejoined for the estimate. Shuffle
+    keys are uniform hashes, so no skew; pair blowup is bounded by
+    bucket sizes (near-identical docs landing in one bucket is the
+    *point*). Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    base = minhash_signatures_df(df, id_col, text_col, num_hashes, hash_fn, k).persist()
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at(F.col("sig"), b * rows + r + 1).cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.band_key")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    est = matches / F.lit(float(num_hashes))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def _md5_60bit(x: Column) -> Column:
+    """60-bit integer hash from the first 15 hex chars of md5 —
+    reproducible in DuckDB by a positional polynomial (no conv() there)."""
+    return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash60(col: Column | str, bits: int = 60) -> Column:
+    """SimHash fingerprint (60-bit to stay in signed-int range): sum of
+    ±1 per bit over token hashes, sign-collapsed to a bit vector.
+
+    Pure expressions: tokens → per-token 60-bit hash → per-bit vote via
+    transform/aggregate. Cross-engine reproducible (md5-derived hashes).
+    """
+    def vote_for_bit(hashes: Column, b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    toks = tokens(F.lower(c(col)))
+    hashes = F.transform(toks, _md5_60bit)
+    votes = [vote_for_bit(hashes, b) for b in range(bits)]
+    out = F.lit(0).cast("bigint")
+    for b, v in enumerate(votes):
+        out = out + F.when(v > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
+    return F.when(F.size(toks) > 0, out)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard similarity for all pairs within a
+    blocking key (same ``block_col``) — the exact-scoring stage normally
+    fed by LSH candidates; blocking bounds the quadratic pair count.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    grams = char_ngrams(c(text_col), n)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), grams.alias("g")
+    ).filter(F.size("g") > 0)
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
+    union = F.size(F.col("a.g")) + F.size(F.col("b.g")) - inter
+    jac = inter / F.nullif(union.cast("double"), F.lit(0.0))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_topk` — brute-force exact top-k: broadcast the (small)
+  query set against the corpus, one pass, no shuffle of the corpus.
+  The right baseline, and at 100 TB still the right answer when the
+  query set is small (it's a map-only scan).
+* :func:`lsh_bucket_topk` — random-hyperplane LSH variant: corpus and
+  queries get a ``p``-bit signature from deterministic hash-derived
+  hyperplanes; candidates join on the bucket, exact rerank inside.
+  Trades recall for a join that touches only matching buckets.
+
+Dot products are ``zip_with`` + left-to-right ``aggregate`` folds over
+doubles — sequential and engine-reproducible (the DuckDB oracle uses the
+same fold order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine", "cosine_topk", "lsh_bucket_topk"]
+
+
+def _dotd(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dotd(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dotd(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query vector by cosine.
+
+    ``queries`` is broadcast (small side); ranking windows are keyed by
+    query id, so the shuffle is per-query and skew-free.
+    Returns (query_id, neighbor_id, cos, rank).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    corp = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    joined = corp.crossJoin(q)
+    if not include_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane_sign(vec: Column, plane: int) -> Column:
+    """±-projection of ``vec`` onto a deterministic pseudo-random
+    hyperplane: weight(plane, dim) = ±1 from xxhash64 parity."""
+    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+    terms = F.zip_with(
+        vec,
+        dims,
+        lambda x, i: x.cast("double")
+        * F.when(F.xxhash64(F.lit(plane), i).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
+    )
+    proj = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_signature(vec: Column, planes: int = 12) -> Column:
+    """``planes``-bit random-hyperplane signature as a long."""
+    sig = F.lit(0).cast("bigint")
+    for p in range(planes):
+        sig = sig + _hyperplane_sign(vec, p) * F.lit(2**p).cast("bigint")
+    return sig
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    planes: int = 12,
+) -> DataFrame:
+    """Approximate top-k: join on the LSH bucket, exact cosine rerank
+    within it. Recall < 1 by construction; raise by lowering ``planes``
+    (bigger buckets) or multi-probing (not implemented)."""
+    sig = lsh_signature(F.col(vec_col), planes)
+    corp = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), sig.alias("bucket")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), sig.alias("bucket")
+    )
+    joined = corp.join(F.broadcast(q), "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

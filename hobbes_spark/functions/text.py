@@ -1,0 +1,138 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+All pure Column expressions (split / filter / regexp_count / md5) — no
+Python in the row path, so these run inside whole-stage codegen and scale
+linearly with input splits. Each has an exact DuckDB-SQL twin used by the
+correctness oracles (see ``hobbes_spark.queries``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from hobbes_spark.expressions import c
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "wordlike_token_count",
+    "stopword_ratio",
+    "alpha_ratio",
+    "punct_ratio",
+    "quality_score",
+    "lang_scores",
+    "lang_id",
+    "fingerprint",
+    "STOPWORDS",
+    "LANG_MARKERS",
+    "WORDLIKE_PATTERN",
+]
+
+#: compact English stoplist for quality scoring
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+#: BPE-ish lexer: words | numbers | single punctuation
+WORDLIKE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: per-language marker words for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is", "you", "are"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "vous"),
+    "es": ("el", "los", "las", "y", "es", "una", "que"),
+}
+
+_CJK = r"[一-鿿]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens; empty/blank text gives an empty array."""
+    src = F.trim(c(col))
+    return F.when(F.length(src) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(src, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def wordlike_token_count(col: Column | str) -> Column:
+    """Count of word/number/punct lexemes (BPE-ish regex tokenizer)."""
+    return F.regexp_count(c(col), F.lit(WORDLIKE_PATTERN)).cast("bigint")
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of whitespace tokens that are (lowercased) stopwords."""
+    toks = tokens(F.lower(c(col)))
+    hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return hits / F.nullif(F.size(toks), F.lit(0))
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are ASCII letters or spaces."""
+    src = c(col)
+    kept = F.length(F.regexp_replace(src, r"[^A-Za-z ]", ""))
+    return kept / F.nullif(F.length(src), F.lit(0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    src = c(col)
+    punct = F.length(F.regexp_replace(src, r"[A-Za-z0-9\s]", ""))
+    return punct / F.nullif(F.length(src), F.lit(0))
+
+
+def quality_score(col: Column | str, target_len: int = 500) -> Column:
+    """Composite document quality in [0, 1]:
+    0.3·length-saturation + 0.3·alpha-ratio + 0.2·stopword-presence +
+    0.2·(1 − punct-ratio). Deterministic, SQL-expressible, and the usual
+    shape of pretraining heuristic filters (length/punct/stopword)."""
+    src = c(col)
+    len_sat = F.least(F.length(src) / F.lit(float(target_len)), F.lit(1.0))
+    stop = F.least(F.coalesce(stopword_ratio(src), F.lit(0.0)) * 5, F.lit(1.0))
+    alpha = F.coalesce(alpha_ratio(src), F.lit(0.0))
+    punct = F.coalesce(punct_ratio(src), F.lit(0.0))
+    return 0.3 * len_sat + 0.3 * alpha + 0.2 * stop + 0.2 * (1 - punct)
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    ms = list(markers)
+    return F.size(F.filter(toks, lambda x: x.isin(ms)))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-word hit counts per language (+ CJK char count for zh)."""
+    toks = tokens(F.lower(c(col)))
+    scores: dict[str, Column] = {
+        lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()
+    }
+    scores["zh"] = F.regexp_count(c(col), F.lit(_CJK))
+    return scores
+
+
+def lang_id(col: Column | str) -> Column:
+    """Best-guess language: any CJK chars → zh, else argmax marker hits
+    with fixed priority order (en, de, fr, es) on ties; no hits → 'und'.
+
+    A pure-expression heuristic (no model), the standard first-pass
+    filter shape for pretraining corpora; exactly reproducible in SQL."""
+    s = lang_scores(col)
+    best = F.greatest(s["en"], s["de"], s["fr"], s["es"])
+    return (
+        F.when(s["zh"] > 0, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(s["en"] == best, F.lit("en"))
+        .when(s["de"] == best, F.lit("de"))
+        .when(s["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the casefolded,
+    whitespace-collapsed text. The normalize-then-hash shape of exact
+    dedup keys; md5 is bit-identical across engines (oracle parity)."""
+    norm = F.regexp_replace(F.lower(F.trim(c(col))), r"\s+", " ")
+    return F.md5(norm)

@@ -807,3 +807,303 @@ def kmeans_clusters(spark, sf_dir):
     )
     return p.create_column("o_totalprice", F.round("o_totalprice", 2)).df
 
+
+
+# --------------------------------------------------------------------- #
+# Beyond-reference: LLM training-data pipeline operators over the
+# documents / embeddings tables (BASELINE.json north star). DuckDB
+# oracles are generated programmatically where the SQL is repetitive.
+# --------------------------------------------------------------------- #
+
+_DDB_TOKENS = (
+    "CASE WHEN length(trim({t})) = 0 THEN [] "
+    "ELSE regexp_split_to_array(trim({t}), '\\s+') END"
+)
+
+
+def _text_stats_sql() -> str:
+    toks = _DDB_TOKENS.format(t="text")
+    toks_l = _DDB_TOKENS.format(t="lower(text)")
+    stop = ", ".join(f"'{w}'" for w in __import__("hobbes_spark.functions.text", fromlist=["STOPWORDS"]).STOPWORDS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             len({toks}) AS token_count,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS wordlike_count,
+             len(list_filter({toks_l}, x -> x IN ({stop})))
+               / NULLIF(len({toks_l}), 0) AS stop_ratio,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+               / NULLIF(length(text), 0) AS alpha,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               / NULLIF(length(text), 0) AS punct,
+             LEAST(length(text) / 500.0, 1.0) AS len_sat
+      FROM documents
+    )
+    SELECT doc_id, CAST(token_count AS BIGINT) AS token_count,
+           CAST(wordlike_count AS BIGINT) AS wordlike_count,
+           {_rsql("0.3 * len_sat + 0.3 * COALESCE(alpha, 0.0) + 0.2 * LEAST(COALESCE(stop_ratio, 0.0) * 5, 1.0) + 0.2 * (1 - COALESCE(punct, 0.0))", 6)} AS quality
+    FROM base
+    """
+
+
+@q("text_stats", None, bench=True)  # oracle attached below after generation
+def text_stats(spark, sf_dir):
+    from hobbes_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").df
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("token_count"),
+        TX.wordlike_token_count("text").alias("wordlike_count"),
+        _r(TX.quality_score("text"), 6).alias("quality"),
+    )
+
+
+QUERIES["text_stats"] = QuerySpec(
+    spark=QUERIES["text_stats"].spark, oracle=_text_stats_sql(), bench=True
+)
+
+
+def _lang_id_sql() -> str:
+    from hobbes_spark.functions.text import LANG_MARKERS
+
+    toks_l = _DDB_TOKENS.format(t="lower(text)")
+    hits = {
+        lang: f"len(list_filter({toks_l}, x -> x IN ({', '.join(repr(w) for w in m)})))"
+        for lang, m in LANG_MARKERS.items()
+    }
+    best = f"GREATEST({hits['en']}, {hits['de']}, {hits['fr']}, {hits['es']})"
+    zh = "regexp_matches(text, '[一-鿿]')"
+    return f"""
+    SELECT CASE WHEN {zh} THEN 'zh'
+                WHEN {best} = 0 THEN 'und'
+                WHEN {hits['en']} = {best} THEN 'en'
+                WHEN {hits['de']} = {best} THEN 'de'
+                WHEN {hits['fr']} = {best} THEN 'fr'
+                ELSE 'es' END AS lang_guess,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1
+    """
+
+
+@q("lang_id_counts", None)
+def lang_id_counts(spark, sf_dir):
+    from hobbes_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").df
+    return (
+        docs.select(TX.lang_id("text").alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+QUERIES["lang_id_counts"] = QuerySpec(
+    spark=QUERIES["lang_id_counts"].spark, oracle=_lang_id_sql()
+)
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             MIN(doc_id) OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ) AS keep
+      FROM documents
+    ) WHERE doc_id = keep
+    """,
+    bench=True,
+)
+def dedup_exact(spark, sf_dir):
+    from hobbes_spark.functions.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").df
+    return exact_dedup(docs, "doc_id", "text").select("doc_id", "source")
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 8, threshold: float = 0.5, k: int = 3) -> str:
+    rows = num_hashes // bands
+    toks_l = _DDB_TOKENS.format(t="lower(text)")
+    shingle = (
+        f"CASE WHEN len(w) < {k} THEN [] "
+        f"ELSE list_transform(generate_series(1, len(w) - {k - 1}), "
+        f"i -> array_to_string(list_slice(w, i, i + {k - 1}), ' ')) END"
+    )
+    sig_elems = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}|' || x)))" for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS band, "
+        f"md5(concat_ws('|', {', '.join(f'sig[{b * rows + r + 1}]' for r in range(rows))})) AS band_key "
+        "FROM sig"
+        for b in range(bands)
+    )
+    est = (
+        f"len(list_filter(list_transform(generate_series(1, {num_hashes}), "
+        f"i -> sa[i] = sb[i]), v -> v)) / {float(num_hashes)}"
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks_l} AS w FROM documents),
+    sh AS (SELECT doc_id, {shingle} AS s FROM toks),
+    sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM sh WHERE len(s) > 0),
+    banded AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, {est} AS est_jaccard
+    FROM cand WHERE {est} >= {threshold}
+    """
+
+
+@q("minhash_pairs", None)
+def minhash_pairs_q(spark, sf_dir):
+    from hobbes_spark.functions.dedup import minhash_pairs
+
+    docs = _t(spark, sf_dir, "documents").df
+    return minhash_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5, hash_fn="md5"
+    ).withColumnRenamed("id_a", "id_a")
+
+
+QUERIES["minhash_pairs"] = QuerySpec(
+    spark=QUERIES["minhash_pairs"].spark, oracle=_minhash_sql()
+)
+
+
+@q("minhash_pairs_fast", None, bench=True)  # xxhash64 path: Spark-only, rows check
+def minhash_pairs_fast(spark, sf_dir):
+    from hobbes_spark.functions.dedup import minhash_pairs
+
+    docs = _t(spark, sf_dir, "documents").df
+    return minhash_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.5, hash_fn="xxhash64"
+    )
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    toks_l = _DDB_TOKENS.format(t="lower(text)")
+    poly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(t), {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    combine = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits))
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks_l} AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM toks WHERE len(w) > 0),
+    h AS (SELECT doc_id, CAST({poly} AS BIGINT) AS h FROM tok),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@q("simhash_fingerprints", None)
+def simhash_fingerprints(spark, sf_dir):
+    from hobbes_spark.functions.dedup import simhash60
+    from hobbes_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").df
+    return docs.filter(token_count("text") > 0).select(
+        "doc_id", simhash60("text").alias("simhash")
+    )
+
+
+QUERIES["simhash_fingerprints"] = QuerySpec(
+    spark=QUERIES["simhash_fingerprints"].spark, oracle=_simhash_sql()
+)
+
+
+@q(
+    "ngram_jaccard_pairs",
+    """
+    WITH g AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(generate_series(1, length(text) - 2),
+                                          i -> substr(text, i, 3))) AS grams
+      FROM documents WHERE n_chars < 200 AND length(text) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.grams, b.grams))
+             / NULLIF(CAST(len(a.grams) + len(b.grams)
+                           - len(list_intersect(a.grams, b.grams)) AS DOUBLE), 0) AS jaccard
+    FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))
+          / NULLIF(CAST(len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams)) AS DOUBLE), 0) >= 0.3
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    from hobbes_spark.functions.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").df.filter(F.col("n_chars") < 200)
+    return jaccard_pairs(docs, "doc_id", "text", "source", n=3, threshold=0.3)
+
+
+_COS_DOT = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _cosine_sql(k: int = 10, n_queries: int = 5) -> str:
+    dot_qc = _COS_DOT.format(a="qv", b="cv")
+    dot_qq = _COS_DOT.format(a="qv", b="qv")
+    dot_cc = _COS_DOT.format(a="cv", b="cv")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {n_queries}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {dot_qc} / NULLIF(sqrt({dot_qq}) * sqrt({dot_cc}), 0) AS cos
+      FROM c, q WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, {_rsql("cos", 6)} AS cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("cosine_topk", None, bench=True)
+def cosine_topk_q(spark, sf_dir):
+    from hobbes_spark.functions.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        _r(F.col("cos"), 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+QUERIES["cosine_topk"] = QuerySpec(
+    spark=QUERIES["cosine_topk"].spark, oracle=_cosine_sql(), bench=True
+)
+
+
+@q("ann_lsh_topk", None)  # approximate: recall checked in pytest, rows-only here
+def ann_lsh_topk(spark, sf_dir):
+    from hobbes_spark.functions.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_bucket_topk(emb, queries, k=10, planes=8)
+    return out.select(
+        "query_id", "neighbor_id", _r(F.col("cos"), 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
