@@ -97,21 +97,36 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     k: int = 10,
     planes: int = 12,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Approximate top-k: join on the LSH bucket, exact cosine rerank
-    within it. Recall < 1 by construction; raise by lowering ``planes``
-    (bigger buckets) or multi-probing (not implemented)."""
+    within it.
+
+    Multi-probe: each *query* additionally probes every bucket within
+    hamming distance ``probe_radius`` (0 = single probe) — probes
+    multiply only the tiny broadcast query side, while the corpus keeps
+    exactly one bucket per vector, which is what makes this shape hold
+    at 100 TB (corpus-side cost is one signature scan + one keyed join).
+    Raise recall by raising ``probe_radius`` or lowering ``planes``."""
     sig = lsh_signature(F.col(vec_col), planes)
     corp = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), sig.alias("bucket")
     )
+    base_bucket = sig
+    probes = [base_bucket]
+    if probe_radius >= 1:
+        probes += [
+            base_bucket.bitwiseXOR(F.lit(2**p).cast("bigint")) for p in range(planes)
+        ]
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), sig.alias("bucket")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(F.array(*probes)).alias("bucket"),
     )
     joined = corp.join(F.broadcast(q), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = joined.select(
+    scored = joined.dropDuplicates(["query_id", "neighbor_id"]).select(
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -1,0 +1,136 @@
+"""Text analysis, dedup, similarity, multimodal — behavior tests
+(the oracle parity suite covers cross-engine value equality)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hobbes_spark.functions import dedup as DD
+from hobbes_spark.functions import multimodal as MM
+from hobbes_spark.functions import similarity as SIM
+from hobbes_spark.functions import text as TX
+
+
+def test_lang_id_on_real_sentences(spark):
+    rows = [
+        (1, "the cat is on the mat and the dog sleeps"),
+        (2, "der Hund ist nicht da und die Katze schläft"),
+        (3, "le chat est sur la table et les chiens dorment"),
+        (4, "el perro y los gatos es una casa que tiene luz"),
+        (5, "你好世界 这是一个测试"),
+        (6, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["id"]: r["lang"] for r in df.select("id", TX.lang_id("t").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und"}
+
+
+def test_token_counts_and_quality(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42"), (2, ""), (3, "   ")], "id long, t string")
+    out = {
+        r["id"]: (r["tc"], r["wc"], r["q"])
+        for r in df.select(
+            "id",
+            TX.token_count("t").alias("tc"),
+            TX.wordlike_token_count("t").alias("wc"),
+            F.round(TX.quality_score("t"), 3).alias("q"),
+        ).collect()
+    }
+    assert out[1][0] == 3
+    assert out[1][1] == 5  # Hello , world ! 42
+    assert out[2] == (0, 0, pytest.approx(0.2))  # only the (1-punct) term
+    assert 0.0 <= out[1][2] <= 1.0
+
+
+def test_exact_dedup_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " HELLO   WORLD  "), (4, "different")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in DD.exact_dedup(df, "doc_id", "text").collect())
+    assert kept == [1, 4]
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = DD.minhash_pairs(docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.6)
+    got = pairs.collect()
+    assert len(got) > 0  # the generator plants near-duplicates
+    # estimates are sane and ordered pairs
+    for r in got:
+        assert r["id_a"] < r["id_b"]
+        assert 0.6 <= r["est_jaccard"] <= 1.0
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark):
+    a = " ".join(f"w{i}" for i in range(50))
+    b = " ".join(f"w{i}" for i in range(40)) + " " + " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame([(1, a), (2, b)], "id long, t string")
+    pairs = DD.minhash_pairs(df, "id", "t", num_hashes=64, bands=32, threshold=0.1).collect()
+    assert len(pairs) == 1
+    # true shingle jaccard ≈ 38/58 ≈ 0.655; 64 hashes → estimate within ~0.2
+    assert pairs[0]["est_jaccard"] == pytest.approx(0.655, abs=0.2)
+
+
+def test_simhash_close_for_near_dups(spark):
+    base = " ".join(f"w{i}" for i in range(100))
+    near = base.replace("w50", "zz")
+    far = " ".join(f"y{i}" for i in range(100))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "id long, t string")
+    got = {r["id"]: r["sh"] for r in df.select("id", DD.simhash60("t").alias("sh")).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(got[1], got[2]) < hamming(got[1], got[3])
+    assert hamming(got[1], got[2]) <= 10
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, q, k=5)
+    approx = SIM.lsh_bucket_topk(emb, q, k=5, planes=3, probe_radius=1)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4  # approximate by design; sanity floor
+
+
+def test_cosine_topk_self_similarity(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0)
+    out = SIM.cosine_topk(emb, q, k=3, include_self=True).collect()
+    assert out[0]["neighbor_id"] == 0  # self is rank 1
+    assert out[0]["cos"] == pytest.approx(1.0)
+
+
+def test_multimodal_decode_plumbing(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = MM.as_media(docs, "doc_id", "text", "text/plain")
+    assert [f.name for f in media.schema.fields] == ["media_id", "content", "mime", "meta"]
+    out = MM.decode_image_meta(media).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r["decoder"] in ("pil", "fake-stub")
+        assert r["n_bytes"] > 0
+        assert len(r["sha1"]) == 40
+        assert 16 <= r["width"] <= 255 and 16 <= r["height"] <= 255
+    # deterministic: same input → same fake dims
+    again = MM.decode_image_meta(media).collect()
+    assert {(r["media_id"], r["width"], r["height"]) for r in out} == {
+        (r["media_id"], r["width"], r["height"]) for r in again
+    }
+
+
+def test_frame_sample_plan(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    media = MM.as_media(docs, "doc_id", "text", "video/fake")
+    plan = MM.frame_sample_plan(media, every_n=2, max_frames=4)
+    rows = plan.collect()
+    assert len(rows) <= 5 * 4
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["media_id"], []).append(r["frame_index"])
+    for idxs in per_doc.values():
+        assert idxs == sorted(idxs)
+        assert all(i % 2 == 0 for i in idxs)
