@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "c",
+    "qname",
     "iff",
     "int_cast",
     "try_int",
@@ -37,12 +38,23 @@ __all__ = [
 ]
 
 
+def qname(name: str) -> str:
+    """Backtick-quote a column name when Spark would misparse it.
+
+    The reference's ingestion flattens nested JSON to dot-path column
+    names (`Iteration.IterationLevel2`, `committer.date` — SURVEY §1.4);
+    unquoted, ``F.col`` reads the dot as struct-field access."""
+    if "." in name or "`" in name:
+        return "`" + name.replace("`", "``") + "`"
+    return name
+
+
 def c(x: str | Column | int | float | bool | None) -> Column:
     """Coerce a name/literal into a Column (strings are column *names*)."""
     if isinstance(x, Column):
         return x
     if isinstance(x, str):
-        return F.col(x)
+        return F.col(qname(x))
     return F.lit(x)
 
 

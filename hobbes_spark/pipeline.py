@@ -182,7 +182,7 @@ class Pipeline:
         prunes the scan."""
         keep = [n for n in names if n in self._df.columns]
         return self._step(
-            self._df.select(*keep),
+            self._df.select(*[c(n) for n in keep]),
             f"slice columns {' '.join(names)}",
             key_cols=self._surviving_keys(keep),
             order=self._surviving_order(keep),
@@ -231,11 +231,11 @@ class Pipeline:
         (map-side combinable, no per-column jobs)."""
         cols = self._df.columns
         fracs = self._df.agg(
-            *[F.avg(F.col(col).isNull().cast("double")).alias(col) for col in cols]
+            *[F.avg(c(col).isNull().cast("double")).alias(col) for col in cols]
         ).first()
         keep = [col for col in cols if (fracs[col] or 0.0) <= max_null_fraction]
         return self._step(
-            self._df.select(*keep),
+            self._df.select(*[c(n) for n in keep]),
             "dense columns",
             key_cols=self._surviving_keys(keep),
             order=self._surviving_order(keep),
@@ -246,7 +246,7 @@ class Pipeline:
         cells (snippets:44-50; default: any NULL drops the row)."""
         null_count = _reduce(
             lambda a, b: a + b,
-            [F.col(col).isNull().cast("int") for col in self._df.columns],
+            [c(col).isNull().cast("int") for col in self._df.columns],
         )
         return self._step(self._df.filter(null_count <= max_missing), "dense rows")
 
@@ -259,7 +259,7 @@ class Pipeline:
             if is_numeric_type(f.dataType) or f.name in self.key_cols
         ]
         return self._step(
-            self._df.select(*keep),
+            self._df.select(*[c(n) for n in keep]),
             "numeric columns",
             order=self._surviving_order(keep),
         )
@@ -293,8 +293,8 @@ class Pipeline:
         if not self.key_cols:
             raise ValueError("no row key set; use group_by/pivot/index_by first")
         if len(self.key_cols) == 1:
-            return F.col(self.key_cols[0])
-        return F.concat_ws("-", *[F.col(k).cast("string") for k in self.key_cols])
+            return c(self.key_cols[0])
+        return F.concat_ws("-", *[c(k).cast("string") for k in self.key_cols])
 
     def ordinals_col(self) -> Column:
         """The ``ordinals`` expression — 0-based row position under the
@@ -332,9 +332,9 @@ class Pipeline:
         sets like Todo/Doing/Done)."""
         row_keys = list(row_keys)
         value_col = value_col or row_keys[0]
-        gp = self._df.groupBy(*row_keys)
+        gp = self._df.groupBy(*[c(k) for k in row_keys])
         pv = gp.pivot(col_key, list(col_values)) if col_values else gp.pivot(col_key)
-        out = pv.agg(reduction_fn(reduction)(F.col(value_col)))
+        out = pv.agg(reduction_fn(reduction)(c(value_col)))
         return self._step(
             out,
             f"pivot {row_keys} {col_key} {reduction}",
@@ -469,7 +469,7 @@ class GroupedPipeline:
         """
         main = c(expr).desc() if descending else c(expr).asc()
         order = [main] + [c(t).desc() if descending else c(t).asc() for t in tiebreak]
-        w = Window.partitionBy(*[F.col(k) for k in self.keys]).orderBy(*order)
+        w = Window.partitionBy(*[c(k) for k in self.keys]).orderBy(*order)
         df = self.parent.df
         out = (
             df.withColumn("__rn", F.row_number().over(w))
@@ -503,11 +503,11 @@ class GroupedPipeline:
         if reduction in NUMERIC_ONLY:
             num = set(numeric_columns(df))
             rest = [col for col in rest if col in num]
-        aggs = [fn(F.col(col)).alias(col) for col in rest]
+        aggs = [fn(c(col)).alias(col) for col in rest]
         if not aggs:
-            out = df.groupBy(*self.keys).count().drop("count")
+            out = df.groupBy(*[c(k) for k in self.keys]).count().drop("count")
         else:
-            out = df.groupBy(*self.keys).agg(*aggs)
+            out = df.groupBy(*[c(k) for k in self.keys]).agg(*aggs)
         return self.parent._step(
             out, f"group by {self.keys} -> {reduction}", key_cols=self.keys, order=()
         )
@@ -515,7 +515,7 @@ class GroupedPipeline:
     def count_rows(self) -> Pipeline:
         """``group by ks -> count`` as used for daily commit counts
         (`Git.fs:12-17`): one ``count`` column of group sizes."""
-        out = self.parent.df.groupBy(*self.keys).agg(F.count(F.lit(1)).alias("count"))
+        out = self.parent.df.groupBy(*[c(k) for k in self.keys]).agg(F.count(F.lit(1)).alias("count"))
         return self.parent._step(
             out, f"group by {self.keys} -> count_rows", key_cols=self.keys, order=()
         )
@@ -523,7 +523,7 @@ class GroupedPipeline:
     def agg(self, **named: Column) -> Pipeline:
         """Explicit named aggregates (beyond-reference convenience)."""
         aggs = [col.alias(name) for name, col in named.items()]
-        out = self.parent.df.groupBy(*self.keys).agg(*aggs)
+        out = self.parent.df.groupBy(*[c(k) for k in self.keys]).agg(*aggs)
         return self.parent._step(
             out, f"group by {self.keys} -> agg", key_cols=self.keys, order=()
         )

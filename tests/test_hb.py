@@ -1,0 +1,223 @@
+"""End-to-end tests for the ``.hb`` front-end: the reference's own 7 test
+programs (`/root/reference/tests/transformations/*.hb`) parse, compile and
+run against fixtures shaped like the OData feeds they were written for.
+
+This is the reference's `.hb` corpus test strategy (SURVEY §5) applied to
+the new engine.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql import types as T
+
+from hobbes_spark.hb import compile_hb, parse_program, run_hb
+from hobbes_spark.hb.parser import parse_statement, tokenize
+from hobbes_spark.pipeline import Pipeline
+
+HB_DIR = "/root/reference/tests/transformations"
+HB_FILES = sorted(glob.glob(os.path.join(HB_DIR, "*.hb")))
+
+
+# --------------------------------------------------------------------- #
+# parser units
+# --------------------------------------------------------------------- #
+
+def test_corpus_parses():
+    assert len(HB_FILES) == 7
+    for path in HB_FILES:
+        prog = parse_program(open(path).read())
+        assert prog.statements, path
+        assert prog.properties.get("provider") in ("odata", "rest"), path
+
+
+def test_header_and_comments():
+    prog = parse_program(open(os.path.join(HB_DIR, "Velocity.hb")).read())
+    assert prog.properties["provider"] == "odata"
+    assert prog.properties["meta"] == {"category": "workitems", "name": "flowerpot"}
+    # markdown blocks are part of the language (MTTR.hb:11-16)
+    assert any("Velocity" in c for c in prog.comments)
+
+
+def test_statement_shapes():
+    assert parse_statement("only (WorkItemType = 'User Story')")[0] == "only"
+    assert parse_statement('group by "Sprint Name" WorkItemId -> maxby ChangedDate') == (
+        "group_selector", ["Sprint Name", "WorkItemId"], "maxby", ("col", "ChangedDate"),
+    )
+    assert parse_statement('group by "SprintNumber" -> sum') == (
+        "group_reduce", ["SprintNumber"], "sum",
+    )
+    assert parse_statement("pivot [SprintNumber] [State] -> count [SprintNumber]") == (
+        "pivot", ("col", "SprintNumber"), ("col", "State"), "count", ("col", "SprintNumber"),
+    )
+    ast = parse_statement(
+        'create column SprintNumber (int (regex ["Sprint Name"] /[Ss][Pp][Rr][Ii][Nn][Tt] [^\\\\d]*([\\\\d]+).*/ [$1]))'
+    )
+    assert ast[0] == "create" and ast[2][0] == "int"
+    moving = parse_statement('create column Frequency (moving mean 30 ["count"])')
+    assert moving[2] == ("moving", "mean", 30, ("col", "count"))
+    assert parse_statement("only ((x) >= 2020)") == ("only", ("cmp", ">=", ("col", "x"), ("lit", 2020)))
+
+
+def test_tokenizer_regex_literal_vs_division():
+    toks = tokenize("create column LeadTimeDays (temp / tick)")
+    assert ("op", "/") in toks
+    toks = tokenize('create column S (int (regex ["Sprint Name"] /Sprint ([\\d]+)/ [$1]))')
+    kinds = [k for k, _ in toks]
+    assert "regexlit" in kinds
+
+
+# --------------------------------------------------------------------- #
+# fixtures shaped like the reference's feeds
+# --------------------------------------------------------------------- #
+
+def _revisions(spark, level2_style: str):
+    """WorkItemRevisions-shaped rows: several revisions per work item,
+    sprints 1..8, dotted iteration columns (flattened per SURVEY §1.4)."""
+    fields = [
+        ("WorkItemId", T.IntegerType()),
+        ("WorkItemType", T.StringType()),
+        ("State", T.StringType()),
+        ("StateCategory", T.StringType()),
+        ("ChangedDate", T.TimestampType()),
+        ("CreatedDate", T.TimestampType()),
+        ("ClosedDate", T.TimestampType()),
+        ("RevisedDate", T.TimestampType()),
+        ("Iteration.IterationName", T.StringType()),
+        ("Iteration.IterationLevel2", T.StringType()),
+        ("Iteration.IterationLevel3", T.StringType()),
+        ("LeadTimeDays", T.DoubleType()),
+        ("CycleTimeDays", T.DoubleType()),
+        ("Title", T.StringType()),
+    ]
+    schema = T.StructType([T.StructField(n, t, True) for n, t in fields])
+    states = [
+        ("New", "Proposed"), ("Active", "InProgress"), ("Resolved", "Resolved"),
+        ("Closed", "Completed"),
+    ]
+    base = dt.datetime(2020, 1, 1)
+    rows = []
+    for wid in range(1, 41):
+        sprint = (wid % 8) + 1
+        wtype = "User Story" if wid % 3 else "Bug"
+        n_rev = (wid % 4) + 1
+        for rev in range(n_rev):
+            state, cat = states[min(rev, len(states) - 1)]
+            ts = base + dt.timedelta(days=sprint * 14 + rev)
+            lead = float(wid % 11) + rev if (wid + rev) % 5 else None
+            level2 = f"Iteration {sprint}" if level2_style == "iteration" else f"Sprint {sprint}"
+            rows.append(
+                (wid, wtype, state, cat, ts, base, ts, ts,
+                 f"Sprint {sprint}", level2, f"Sprint {sprint}",
+                 lead, lead, f"Item {wid}")
+            )
+    return spark.createDataFrame(rows, schema)
+
+
+def _commits(spark):
+    schema = T.StructType([
+        T.StructField("commitId", T.StringType()),
+        T.StructField("committer.date", T.TimestampType()),
+        T.StructField("committer.name", T.StringType()),
+    ])
+    base = dt.datetime(2019, 7, 10)
+    rows = []
+    for d in range(120):
+        day = base + dt.timedelta(days=d)
+        for k in range((d % 3) + 1):  # 1-3 commits/day
+            rows.append((f"c{d}-{k}", day + dt.timedelta(hours=k), "dev"))
+    return spark.createDataFrame(rows, schema)
+
+
+def _run(path, source):
+    return run_hb(open(path).read(), source)
+
+
+# --------------------------------------------------------------------- #
+# the corpus, end to end
+# --------------------------------------------------------------------- #
+
+def test_flowerpot(spark):
+    out = _run(os.path.join(HB_DIR, "flowerpot.hb"), _revisions(spark, "iteration"))
+    rows = out.collect()
+    assert rows
+    cols = out.columns
+    assert "Sprint Number" in cols and "State" in cols and "Sprint Name" in cols
+    assert set(r["State"] for r in rows) <= {"Done", "Doing", "Todo"}
+    # maxby kept exactly one revision per (iteration, work item)
+    seen = set()
+    for r in rows:
+        key = (r["Sprint Name"], r["WorkItemId"])
+        assert key not in seen
+        seen.add(key)
+    # regex+int extracted the sprint number from "Iteration N"
+    assert all(1 <= r["Sprint Number"] <= 8 for r in rows)
+
+
+@pytest.mark.parametrize("name", ["gandalf.hb", "logic.hb"])
+def test_gandalf_logic(spark, name):
+    out = _run(os.path.join(HB_DIR, name), _revisions(spark, "iteration"))
+    rows = out.collect()
+    assert rows and "Sprint Number" in out.columns
+
+
+def test_velocity(spark):
+    out = _run(os.path.join(HB_DIR, "Velocity.hb"), _revisions(spark, "iteration"))
+    rows = out.collect()
+    assert out.columns == ["Velocity 3", "Velocity 7"]
+    assert len(rows) == 8  # one per sprint (pivot on SprintNumber)
+    assert any(r["Velocity 3"] is not None for r in rows)
+
+
+def test_mttr(spark):
+    out = _run(os.path.join(HB_DIR, "MTTR.hb"), _revisions(spark, "sprint"))
+    rows = out.collect()
+    assert out.columns == [
+        "Mean time to recover 5", "Mean time to recover 11",
+        "Mean bugs resolved pr sprint",
+    ]
+    # `only !(x = missing)` after moving mean 11 over 8 sprints → empty,
+    # matching the reference semantics (NULL until window full)
+    assert all(r["Mean time to recover 11"] is not None for r in rows)
+
+
+def test_logic_cycle_time(spark):
+    out = _run(os.path.join(HB_DIR, "LogicCycleTime.hb"), _revisions(spark, "sprint"))
+    rows = out.collect()
+    assert rows
+    assert {"SprintNumber", "temp", "tick"} <= set(out.columns)
+    # group by -> sum dropped the non-numeric "Sprint Name"
+    assert "Sprint Name" not in out.columns
+
+
+def test_commit_frequency(spark):
+    out = _run(os.path.join(HB_DIR, "Logic Commit Frequency.hb"), _commits(spark))
+    rows = out.collect()
+    assert out.columns == ["Frequency", "Frequency long"]
+    # 120 days, moving mean 30 non-null from day 30 on; filter keeps those
+    assert len(rows) == 120 - 30 + 1
+    assert all(r["Frequency"] is not None for r in rows)
+    # 90-day line fills in for the last 31 rows
+    assert sum(r["Frequency long"] is not None for r in rows) == 120 - 90 + 1
+
+
+def test_keys_and_index(spark):
+    """`create column SprintNumber keys` (MTTR.hb:28) renders the group key;
+    compound keys render dash-joined (Reader.fs:203)."""
+    df = spark.createDataFrame(
+        [Row(a="x", b=1, v=2.0), Row(a="x", b=2, v=3.0), Row(a="y", b=1, v=4.0)]
+    )
+    pl = Pipeline.of(df).group_by("a", "b").reduce("sum")
+    out = pl.create_column("k", pl.keys_col()).df
+    got = {r["k"] for r in out.collect()}
+    assert got == {"x-1", "x-2", "y-1"}
+
+
+def test_run_hb_rejects_bad_statement():
+    with pytest.raises(Exception):
+        compile_hb("flurble columns a b")
