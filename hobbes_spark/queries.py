@@ -1107,3 +1107,86 @@ def ann_lsh_topk(spark, sf_dir):
         "query_id", "neighbor_id", _r(F.col("cos"), 6).alias("cos"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# --------------------------------------------------------------------- #
+# §3.1 / §7 phase 6: the .hb text front-end, end to end through the
+# correctness gate — a Commit-Frequency-shaped program (reference
+# `tests/transformations/Logic Commit Frequency.hb:27-37`) over orders.
+# --------------------------------------------------------------------- #
+
+_HB_ORDER_FREQUENCY = """\
+provider: localdata
+
+create column "date" (format date "o_orderdate" date)
+only ((format date "date" year) >= 1995)
+create column tick 1
+slice columns "date" tick
+group by date -> sum
+rename column tick "count"
+sort by column date
+create column Frequency (moving mean 30 ["count"])
+only !(Frequency = missing)
+"""
+
+
+@q(
+    "hb_order_frequency",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(1) AS BIGINT) AS "count"
+      FROM orders WHERE year(o_orderdate) >= 1995 GROUP BY 1
+    ), win AS (
+      SELECT d, "count",
+             AVG("count") OVER (ORDER BY d
+                                ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS f,
+             ROW_NUMBER() OVER (ORDER BY d) AS rn
+      FROM daily
+    )
+    SELECT CAST(d AS VARCHAR) AS "date", "count", {_rsql('f', 4)} AS freq
+    FROM win WHERE rn >= 30
+    """,
+)
+def hb_order_frequency(spark, sf_dir):
+    from hobbes_spark.hb import run_hb
+
+    out = run_hb(_HB_ORDER_FREQUENCY, _t(spark, sf_dir, "orders"))
+    return out.df.select(
+        F.col("date").cast("string").alias("date"),  # ISO string, see daily_counts
+        F.col("count").cast("bigint").alias("count"),
+        _r(F.col("Frequency"), 4).alias("freq"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# §2.11 / §7 phase 6: Structured Streaming (beyond-reference). Tumbling
+# windows are epoch-aligned buckets, so the replayed stream has a full
+# SQL oracle; the stream-vs-batch and watermark semantics are covered in
+# tests/test_streaming.py.
+# --------------------------------------------------------------------- #
+
+@q(
+    "stream_tumbling_counts",
+    f"""
+    SELECT make_timestamp(CAST(FLOOR(epoch(ts) / 21600) * 21600 * 1000000 AS BIGINT)) AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_rsql('SUM(value)', 4)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark, sf_dir):
+    from hobbes_spark.streaming import stream_events, tumbling_agg
+    from hobbes_spark.streaming.run import replay_to_df
+
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    agg = tumbling_agg(stream, duration="6 hours", keys=("event_type",), watermark=None)
+    out = replay_to_df(agg, spark, mode="complete")
+    return out.select(
+        F.col("win_start"),
+        F.col("event_type"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        _r(F.col("sum_value"), 4).alias("sum_value"),
+    )

@@ -1,0 +1,25 @@
+"""Structured Streaming extension (beyond-reference capability).
+
+The reference has no streaming at all — its closest analog is batch
+re-synchronization polled to convergence
+(`workers/syncronization.worker/src/Program.fs:26-100`; SURVEY §2.11).
+Here streams are first-class: event-time windowed aggregations with
+watermarks over the ``events`` table, plus a custom stateful operator
+via ``applyInPandasWithState``.
+"""
+
+from hobbes_spark.streaming.source import stream_events
+from hobbes_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+from hobbes_spark.streaming.stateful import running_user_totals
+
+__all__ = [
+    "stream_events",
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "running_user_totals",
+]

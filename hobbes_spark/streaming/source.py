@@ -1,0 +1,50 @@
+"""Streaming source for the driver's ``events`` table.
+
+``events.ts`` is parquet TIMESTAMP(NANOS); under the session's
+``nanosAsLong`` setting it arrives as a nanosecond long, converted
+in-plan to a microsecond timestamp (same treatment as
+``Pipeline.table``). The file source is the scale path: on a real
+cluster the directory would be a landing zone receiving files, and the
+``maxFilesPerTrigger`` option bounds per-microbatch work.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over an events parquet file/directory.
+
+    ``path`` may be ``{sf_dir}/events.parquet`` or a directory of
+    event files. Returns a streaming DataFrame with a proper
+    ``ts: timestamp`` column.
+    """
+    static = spark.read.parquet(path)
+    # FileStreamSource wants a directory (its basePath); a single-file
+    # table is exposed through a symlink dir.
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="hb_stream_")
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        path = d
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return normalize_ts(df)
+
+
+def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Convert a nanosecond-long event-time column to timestamp (no-op if
+    already a timestamp)."""
+    if ts_col in df.columns and dict(df.dtypes)[ts_col] == "bigint":
+        return df.withColumn(ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)"))
+    return df

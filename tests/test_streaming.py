@@ -1,0 +1,179 @@
+"""Structured Streaming tests: replay the events table as a stream and
+require exact agreement with the equivalent batch plan; exercise
+watermark late-data eviction and the custom stateful operator across
+real microbatch boundaries.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from hobbes_spark.pipeline import Pipeline
+from hobbes_spark.streaming import (
+    running_user_totals,
+    session_agg,
+    sliding_agg,
+    stream_events,
+    tumbling_agg,
+)
+
+
+def _run_to_memory(stream_df, mode: str, checkpoint: str):
+    name = "m" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return name
+
+
+def _rows(spark, name):
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def _norm(rows, cols):
+    out = set()
+    for r in rows:
+        out.add(tuple(round(v, 6) if isinstance(v, float) else v for v in (r[c] for c in cols)))
+    return out
+
+
+@pytest.mark.parametrize(
+    "fn,kwargs",
+    [
+        (tumbling_agg, dict(duration="6 hours")),
+        (sliding_agg, dict(duration="6 hours", slide="2 hours")),
+        (session_agg, dict(gap="1 hour", keys=("user_id",))),
+    ],
+)
+def test_stream_matches_batch(spark, sf_dir, fn, kwargs, tmp_path):
+    """Replaying the events file as a stream must produce exactly the
+    batch result (same declarative plan, incremental execution)."""
+    path = f"{sf_dir}/events.parquet"
+    stream = stream_events(spark, path)
+    assert stream.isStreaming
+    agg_stream = fn(stream, watermark=None, **kwargs)
+    name = _run_to_memory(agg_stream, "complete", str(tmp_path / "ckpt"))
+
+    batch = Pipeline.table(spark, sf_dir, "events").df
+    agg_batch = fn(batch, watermark=None, **kwargs)
+
+    cols = agg_batch.columns
+    got = _norm(_rows(spark, name), cols)
+    want = _norm(agg_batch.collect(), cols)
+    assert got == want and len(got) > 0
+
+
+def _write_events(spark, dirpath, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.coalesce(1).write.mode("append").parquet(dirpath)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append mode + 10 min watermark over restarts of the same
+    checkpoint: a row arriving an hour late (behind the watermark) never
+    reaches its (already closed) window."""
+    data = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def run():
+        # parquet sink: the only file sink with checkpointed exactly-once
+        # restart (memory sink cannot recover a checkpoint)
+        stream = stream_events(spark, data)
+        agg = tumbling_agg(stream, duration="10 minutes", keys=("event_type",),
+                           watermark="10 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # batch 1: events 10:00-11:00 -> watermark advances to 10:50
+    _write_events(
+        spark, data,
+        [(i, t0 + dt.timedelta(minutes=5 * i), 1, "click", 1.0) for i in range(13)],
+    )
+    run()
+    # batch 2: one event a full hour LATE (9:00) + one fresh (12:00)
+    _write_events(
+        spark, data,
+        [(100, t0 - dt.timedelta(hours=1), 1, "click", 99.0),
+         (101, t0 + dt.timedelta(hours=2), 1, "click", 1.0)],
+    )
+    run()
+    # batch 3: advance the watermark far enough to flush everything live
+    _write_events(
+        spark, data,
+        [(102, t0 + dt.timedelta(hours=5), 1, "click", 1.0)],
+    )
+    run()
+
+    rows = spark.read.parquet(out).collect()
+    starts = {r["win_start"] for r in rows}
+    # the late event's window (09:00-09:10) must never have been emitted
+    assert t0 - dt.timedelta(hours=1) not in starts
+    # the fresh 12:00 event's window was
+    assert t0 + dt.timedelta(hours=2) in starts
+    # and no window double-counts: every 5-min-spaced batch-1 window has n=2
+    for r in rows:
+        if t0 <= r["win_start"] < t0 + dt.timedelta(hours=1):
+            assert r["n_events"] == 2, r
+
+
+def test_running_user_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across microbatches:
+    three files replayed one per trigger must end at the batch totals."""
+    data = str(tmp_path / "in")
+    t0 = dt.datetime(2026, 1, 1)
+    all_rows = []
+    for b in range(3):
+        rows = [
+            (b * 100 + i, t0 + dt.timedelta(hours=b, minutes=i), i % 4, "e", float(b + i))
+            for i in range(20)
+        ]
+        all_rows += rows
+        _write_events(spark, data, rows)
+
+    stream = stream_events(spark, data, max_files_per_trigger=1)
+    name = _run_to_memory(running_user_totals(stream), "update", str(tmp_path / "ckpt"))
+
+    updates = _rows(spark, name)
+    # one update row per (user, microbatch it appeared in)
+    assert len(updates) > 4
+    # running totals are monotone; the max per user is the final state
+    final = {}
+    for r in updates:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+
+    batch = spark.createDataFrame(
+        all_rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total"), F.max("ts").alias("last")
+    )
+    for r in batch.collect():
+        f = final[r["user_id"]]
+        assert f["n_events"] == r["n"]
+        assert abs(f["total_value"] - r["total"]) < 1e-9
+        assert f["last_ts"] == r["last"]
