@@ -1,0 +1,90 @@
+"""Physical-plan assertions: the scale properties the engine is designed
+around must be visible in Catalyst's executed plan, so a regression that
+silently de-optimizes (drops a pushdown, breaks broadcast, sneaks a
+Python UDF into a hot path) fails here rather than at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hobbes_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """`only` predicates must reach the parquet scan (SURVEY §4.2)."""
+    plan = plan_of(spark, sf_dir, "flowerpot")
+    assert "PushedFilters: [IsNotNull(o_orderstatus)" in plan
+    # column pruning: the scan reads the 6 needed columns, not the table
+    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in scan and "o_comment" not in scan
+
+
+def test_maxby_uses_window_group_limit(spark, sf_dir):
+    """group-by maxby compiles to row_number + WindowGroupLimit: the
+    top-1-per-key is taken partially BEFORE the shuffle (map-side), so
+    shuffle volume is one row per key per input partition."""
+    plan = plan_of(spark, sf_dir, "group_maxby")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    """customer⋈nation⋈region must broadcast both dims — no shuffle of
+    the fact side."""
+    plan = plan_of(spark, sf_dir, "join_broadcast_dims")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_group_agg_is_partial(spark, sf_dir):
+    """All-column reductions must map-side combine (partial_ aggregates)
+    so shuffle volume is per-key, not per-row."""
+    plan = plan_of(spark, sf_dir, "group_all_sum")
+    assert "partial_sum" in plan
+
+
+def test_partitioned_window_keeps_keyed_shuffle(spark, sf_dir):
+    """moving over raw events uses a keyed window — the shuffle is
+    hash-partitioned by the key, never a single global sort."""
+    plan = plan_of(spark, sf_dir, "moving_partitioned")
+    assert "hashpartitioning(event_type" in plan
+    assert "SinglePartition" not in plan.split("Window")[0]
+
+
+def test_pivot_aggregates_partially(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pivot_count")
+    assert "partial_" in plan
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_python_udfs_in_any_query(spark, sf_dir, name):
+    """Every catalog query stays JVM-side: no row-at-a-time or Arrow
+    Python evaluation anywhere (the multimodal mapInPandas operators are
+    intentionally not catalog queries)."""
+    if name == "stream_tumbling_counts":
+        pytest.skip("streaming query executes on build; covered separately")
+    plan = plan_of(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_slice_prunes_scan(spark, sf_dir):
+    """Early projection reaches the reader: slicing two columns must
+    produce a two-column ReadSchema (the reference prunes by hand for
+    memory, `General.fs:42-49`; here the scan itself shrinks)."""
+    from hobbes_spark.pipeline import Pipeline
+
+    p = Pipeline.table(spark, sf_dir, "orders").slice_columns(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = p.df._jdf.queryExecution().executedPlan().toString()
+    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in scan and "o_totalprice" in scan
+    assert "o_orderstatus" not in scan and "o_orderdate" not in scan
