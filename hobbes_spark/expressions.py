@@ -81,7 +81,7 @@ def int_cast(expr: Column | str) -> Column:
 
 def try_int(expr: Column | str) -> Column:
     """Lenient integer cast -> NULL on bad input (non-reference convenience)."""
-    return F.try_cast(c(expr), "int")
+    return c(expr).try_cast("int")
 
 
 _GROUP_TOKEN = re.compile(r"^\$(\d+)$")

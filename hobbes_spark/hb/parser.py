@@ -476,20 +476,28 @@ def parse_program(text: str) -> HbProgram:
 
 
 def _parse_header(lines: list[str]) -> dict[str, object]:
-    """Minimal YAML-ish header parse (flat keys + one nesting level,
-    like the reference's bundled yaml-parser handles)."""
+    """Minimal YAML-ish header parse: flat keys, one nesting level of
+    ``key: value`` maps, and ``- item`` lists (the multi-URL rest source,
+    `Logic Commit Frequency.hb:2-18`)."""
     out: dict[str, object] = {}
-    stack: list[dict] = [out]
     last_key = None
     for raw in lines:
         indent = len(raw) - len(raw.lstrip())
-        key, _, val = raw.strip().partition(":")
-        if indent > 0 and last_key is not None and len(stack) == 1:
-            nested: dict[str, object] = {}
+        stripped = raw.strip()
+        if indent > 0 and last_key is not None:
+            if stripped.startswith("- "):
+                cur = out.get(last_key)
+                if not isinstance(cur, list):
+                    cur = [] if not cur else [cur]
+                    out[last_key] = cur
+                cur.append(stripped[2:].strip())
+                continue
+            key, _, val = stripped.partition(":")
             if not isinstance(out.get(last_key), dict):
-                out[last_key] = nested
+                out[last_key] = {}
             out[last_key][key.strip()] = val.strip()  # type: ignore[index]
             continue
+        key, _, val = stripped.partition(":")
         out[key.strip()] = val.strip()
         last_key = key.strip()
     return out

@@ -1,0 +1,136 @@
+"""Provider-header resolution: the whole §3.1 lifecycle — ``.hb`` text →
+provider fetch (fake transport) → JSON flatten/sniff → transform fold —
+using the reference's own programs where possible.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from hobbes_spark.hb import parse_program, run_hb_program
+from hobbes_spark.sources.odata import odata_url, read_odata
+
+FLOWERPOT = open("/root/reference/tests/transformations/flowerpot.hb").read()
+
+
+def _revision(wid, rev, sprint, wtype="User Story", cat="Completed", state="Closed"):
+    return {
+        "WorkItemId": wid,
+        "WorkItemType": wtype,
+        "State": state,
+        "StateCategory": cat,
+        "ChangedDate": f"2020-01-{min(rev + 1, 28):02d}T12:00:00Z",
+        "Iteration": {
+            "IterationName": f"Sprint {sprint}",
+            "IterationLevel2": f"Iteration {sprint}",
+            "IterationLevel3": f"Sprint {sprint}",
+        },
+        "LeadTimeDays": float(wid % 7) if wid % 3 else "",
+        "CycleTimeDays": float(wid % 5),
+        "Title": f"Item {wid}",
+    }
+
+
+def _odata_pages(n_pages=3, per_page=10):
+    """Fake OData service: pages linked by @odata.nextLink."""
+    pages = {}
+    for p in range(n_pages):
+        rows = [
+            _revision(wid=p * per_page + i, rev=r, sprint=(p * per_page + i) % 4 + 1)
+            for i in range(per_page)
+            for r in range(2)
+        ]
+        body = {"value": rows}
+        if p + 1 < n_pages:
+            body["@odata.nextLink"] = f"https://fake/feed?page={p + 1}"
+        pages[p] = json.dumps(body)
+    return pages
+
+
+def _fetcher(pages):
+    calls = []
+
+    def fetch(url: str) -> str:
+        calls.append(url)
+        page = int(url.split("page=")[1]) if "page=" in url else 0
+        return pages[page]
+
+    fetch.calls = calls
+    return fetch
+
+
+def test_odata_url_assembly():
+    u = odata_url(
+        "https://analytics.dev.azure.com/x/_odata/v2.0/WorkItemRevisions?",
+        select="WorkItemId,State",
+        filter="Iteration/StartDate gt 2019-01-01Z",
+        expand="Iteration",
+    )
+    assert u.startswith("https://analytics.dev.azure.com/x/_odata/v2.0/WorkItemRevisions?")
+    assert "$expand=Iteration" in u and "$select=WorkItemId,State" in u
+    assert "$filter=Iteration/StartDate" in u
+
+
+def test_odata_pagination_and_flattening(spark):
+    pages = _odata_pages()
+    fetch = _fetcher(pages)
+    df = read_odata(spark, "https://fake/feed", fetch)
+    # followed every nextLink exactly once
+    assert len(fetch.calls) == 3
+    # nested Iteration flattened to dot-path columns (SURVEY §1.4)
+    assert "Iteration.IterationLevel2" in df.columns
+    assert df.count() == 3 * 10 * 2
+    # sniffing: LeadTimeDays carried '' for missing -> typed double + NULL
+    lead = dict(df.dtypes)["LeadTimeDays"]
+    assert lead == "double"
+    assert df.filter(df["LeadTimeDays"].isNull()).count() > 0
+
+
+def test_flowerpot_hb_via_odata_provider(spark):
+    """The reference's flowerpot.hb, header included, end-to-end against
+    the fake feed: provider resolution reads url/select/filter/expand
+    from the program itself."""
+    pages = _odata_pages()
+    out = run_hb_program(spark, FLOWERPOT, fetcher=_fetcher(pages))
+    rows = out.collect()
+    assert rows
+    assert {"Sprint Name", "Sprint Number", "State", "WorkItemId"} <= set(out.columns)
+    assert set(r["State"] for r in rows) <= {"Done", "Doing", "Todo"}
+    assert all(1 <= r["Sprint Number"] <= 4 for r in rows)
+
+
+def test_rest_multi_url(spark):
+    """Many-URL rest source with a values: field (Commit Frequency shape)."""
+    prog = parse_program(open("/root/reference/tests/transformations/Logic Commit Frequency.hb").read())
+    assert isinstance(prog.properties["url"], list) and len(prog.properties["url"]) == 15
+    assert prog.properties["values"] == "value"
+
+    body = json.dumps(
+        {"value": [{"commitId": "a", "committer": {"date": "2020-01-01T10:00:00Z"}},
+                   {"commitId": "b", "committer": {"date": "2020-01-02T10:00:00Z"}}]}
+    )
+    text = "provider: rest\nurl:\n    - https://fake/r1\n    - https://fake/r2\nvalues: value\n\nonly true\n"
+    out = run_hb_program(spark, text, fetcher=lambda u: body)
+    assert out.df.count() == 4  # 2 urls x 2 commits
+    assert "committer.date" in out.columns
+    assert dict(out.df.dtypes)["committer.date"] == "timestamp"
+
+
+def test_localdata_named_table(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    text = "provider: localdata\nname: regions\n\nslice columns r_name\n"
+    out = run_hb_program(spark, text, tables={"regions": df})
+    assert out.columns == ["r_name"]
+
+
+def test_provider_errors():
+    import pyspark
+
+    with pytest.raises(ValueError, match="fetcher"):
+        run_hb_program(
+            pyspark.sql.SparkSession.getActiveSession()
+            or pytest.skip("no session"),
+            "provider: odata\nurl: https://x\n\nonly true\n",
+        )
