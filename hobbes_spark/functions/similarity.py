@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "cosine_topk", "lsh_bucket_topk"]
+__all__ = ["cosine", "cosine_topk", "lsh_bucket_topk", "ivf_topk"]
 
 
 def _dotd(a: Column, b: Column) -> Column:
@@ -127,6 +127,88 @@ def lsh_bucket_topk(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = joined.dropDuplicates(["query_id", "neighbor_id"]).select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into ``nlist`` cells; each query probes its
+    ``nprobe`` nearest cells and reranks exactly inside them.
+
+    The scale path for big corpora: training runs on a sample, cell
+    assignment is one MLlib transform (JVM-side), and the search is a
+    keyed equi-join touching ~``nprobe/nlist`` of the corpus. Unlike
+    LSH, recall is tunable *after* indexing via ``nprobe``.
+    Returns (query_id, neighbor_id, cos, rank).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    train = feats if sample_fraction is None else feats.sample(sample_fraction, seed)
+    n_train = train.count()  # marginal next to k-means training itself
+    if n_train == 0:
+        raise ValueError("ivf_topk: corpus (or its training sample) is empty")
+    nlist = min(nlist, n_train)
+    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(train)
+    assigned = model.transform(feats).select(
+        "neighbor_id", "cv", F.col("prediction").alias("cell")
+    )
+
+    # centroids are tiny (nlist x dim): broadcast to rank cells per query
+    centers = model.clusterCenters()
+    spark = corpus.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(centers)],
+            f"cell int, centroid array<double>",
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qcells = (
+        q.crossJoin(cdf)
+        .withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.col("centroid"),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+        )
+        .withColumn(
+            "cr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("cr") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    joined = assigned.join(F.broadcast(qcells), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.select(
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -1190,3 +1190,48 @@ def stream_tumbling_counts(spark, sf_dir):
         F.col("n_events").cast("bigint").alias("n_events"),
         _r(F.col("sum_value"), 4).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------- #
+# IVF ANN (scale path beside LSH) and skew-salted aggregation.
+# --------------------------------------------------------------------- #
+
+@q("ann_ivf_topk", _cosine_sql())  # nprobe=nlist probes every cell -> exact
+def ann_ivf_topk(spark, sf_dir):
+    from hobbes_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, k=10, nlist=8, nprobe=8)
+    return out.select(
+        "query_id", "neighbor_id", _r(F.col("cos"), 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@q(
+    "salted_group_sum",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_rsql('SUM(value)', 4)} AS total
+    FROM events GROUP BY 1
+    """,
+    bench=True,
+)
+def salted_group_sum(spark, sf_dir):
+    # hot-key-safe two-phase aggregation; result identical to the direct
+    # groupBy (the oracle IS the direct groupBy)
+    from hobbes_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").df.select("event_type", "value")
+    out = salted_agg(ev, ["event_type"], {"value": "sum"}, salts=16)
+    n = salted_agg(ev, ["event_type"], {"value": "count"}, salts=16)
+    return (
+        out.join(n.withColumnRenamed("value", "n"), "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            _r(F.col("value"), 4).alias("total"),
+        )
+    )
