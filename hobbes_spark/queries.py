@@ -1235,3 +1235,66 @@ def salted_group_sum(spark, sf_dir):
             _r(F.col("value"), 4).alias("total"),
         )
     )
+
+
+@q(
+    "stream_session_counts",
+    f"""
+    WITH e AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM e
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS win_start,
+           CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS win_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_rsql('SUM(value)', 4)} AS sum_value
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def stream_session_counts(spark, sf_dir):
+    """Session windows (gap 30 min) replayed from the stream; the oracle
+    reproduces Spark's merge semantics with the lag/gap-break cumulative
+    sum (break at diff >= gap — session windows are half-open
+    [first, last+gap))."""
+    from hobbes_spark.streaming import session_agg, stream_events
+    from hobbes_spark.streaming.run import replay_to_df
+
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    agg = session_agg(stream, gap="30 minutes", keys=("user_id",), watermark=None)
+    out = replay_to_df(agg, spark, mode="complete")
+    return out.select(
+        "user_id", "win_start", "win_end",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        _r(F.col("sum_value"), 4).alias("sum_value"),
+    )
+
+
+@q(
+    "slice_rows_window",
+    """
+    SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS od
+    FROM (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+             ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS ordinal
+      FROM orders
+    ) WHERE ordinal BETWEEN 10 AND 24
+    """,
+)
+def slice_rows_window(spark, sf_dir):
+    """`slice rows a b` under the current sort order (tutorial:69-76)."""
+    p = (
+        _t(spark, sf_dir, "orders")
+        .create_column("o_orderdate", F.to_date("o_orderdate"))
+        .sort_by("o_orderdate", "o_orderkey")
+        .slice_rows(10, 24)
+        .create_column("od", F.col("o_orderdate").cast("string"))
+        .slice_columns("o_orderkey", "od")
+    )
+    return p.df
