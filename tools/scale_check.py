@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Scale check: do the engine's heavy plans grow linearly with data?
+
+Materializes an N-fold copy of the driver tables (id-offset unions, so
+keys stay distinct and group/join cardinalities scale too), then times
+representative heavy operators at 1x and Nx. A plan that's linear prints
+a time ratio well under N on a many-core machine (fixed overheads
+amortize); anything superlinear is a red flag for 100 TB.
+
+Usage: python tools/scale_check.py [multiplier] [sf_dir]
+Writes scaled tables under /tmp/hobbes_scale_<N>x (reused if present).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def scaled(spark, sf_dir: str, out_dir: str, table: str, n: int, id_cols: list[str]):
+    path = f"{out_dir}/{table}.parquet"
+    if not os.path.exists(path):
+        base = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        span = base.agg(*[F.max(F.col(c)).alias(c) for c in id_cols]).first()
+        parts = []
+        for i in range(n):
+            p = base
+            for c in id_cols:
+                p = p.withColumn(c, F.col(c) + F.lit(i * (int(span[c]) + 1)))
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_dir = f"/tmp/hobbes_scale_{n}x"
+    os.makedirs(out_dir, exist_ok=True)
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from hobbes_spark.session import get_spark
+
+    spark = get_spark("scale_check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li1 = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ev1 = spark.read.parquet(f"{sf_dir}/events.parquet")
+    do1 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    or1 = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    liN = scaled(spark, sf_dir, out_dir, "lineitem", n, ["l_orderkey"])
+    evN = scaled(spark, sf_dir, out_dir, "events", n, ["event_id", "user_id"])
+    doN = scaled(spark, sf_dir, out_dir, "documents", n, ["doc_id"])
+    orN = scaled(spark, sf_dir, out_dir, "orders", n, ["o_orderkey", "o_custkey"])
+
+    def group_agg(li):
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity"), F.sum("l_extendedprice"),
+                F.avg("l_discount"), F.count(F.lit(1)),
+            )
+        )
+
+    def keyed_window(ev):
+        from pyspark.sql import Window
+
+        ts = F.expr("timestamp_micros(`ts` div 1000)") if dict(ev.dtypes)["ts"] == "bigint" else F.col("ts")
+        daily = (
+            ev.withColumn("d", F.to_date(ts))
+            .groupBy("user_id", "d").count()
+        )
+        w = Window.partitionBy("user_id").orderBy("d").rowsBetween(-6, 0)
+        return daily.withColumn("m7", F.avg("count").over(w))
+
+    def minhash(do):
+        from hobbes_spark.functions.dedup import minhash_pairs
+
+        return minhash_pairs(do, "doc_id", "text", num_hashes=32, bands=16,
+                             threshold=0.5, hash_fn="xxhash64")
+
+    def join_orders(orders):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        return (
+            orders.join(F.broadcast(cust),
+                        orders.o_custkey % 1000 == cust.c_custkey % 1000)
+            .groupBy("c_mktsegment").agg(F.sum("o_totalprice"))
+        )
+
+    cases = {
+        "group_agg": (group_agg, li1, liN),
+        "keyed_window": (keyed_window, ev1, evN),
+        "minhash_dedup": (minhash, do1, doN),
+        "join_agg": (join_orders, or1, orN),
+    }
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    results = {}
+    for name, (fn, small, big) in cases.items():
+        run(fn(small))  # warm codegen so both measurements are steady-state
+        t0 = time.perf_counter(); run(fn(small)); t_small = time.perf_counter() - t0
+        t0 = time.perf_counter(); run(fn(big)); t_big = time.perf_counter() - t0
+        results[name] = {
+            "t_1x_sec": round(t_small, 2),
+            f"t_{n}x_sec": round(t_big, 2),
+            "ratio": round(t_big / max(t_small, 1e-9), 1),
+            "linear_bound": n,
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+
+    rows = {"lineitem": liN.count(), "events": evN.count(),
+            "documents": doN.count(), "orders": orN.count()}
+    print(json.dumps({"multiplier": n, "scaled_rows": rows, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
