@@ -1,0 +1,164 @@
+"""Property-based oracle parity: random small tables (with NULLs and
+duplicates) through Pipeline operators vs DuckDB SQL.
+
+The reference has no property tests (SURVEY §5); this layer hunts the
+edge semantics fixed fixtures miss — all-NULL groups, single-row
+stddev/variance, even-count medians, empty filter results, NULL
+comparison propagation.
+
+Each example costs a Spark round-trip, so example counts are small but
+the generators bias toward the nasty cases (NULL-heavy columns, tiny
+groups).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hobbes_spark.pipeline import Pipeline
+
+KEYS = ["x", "y", "z"]
+
+cell_int = st.one_of(st.none(), st.integers(-5, 5))
+cell_float = st.one_of(
+    st.none(), st.floats(-100, 100, allow_nan=False, width=32).map(lambda v: round(v, 3))
+)
+row = st.tuples(st.sampled_from(KEYS), cell_int, cell_float)
+tables = st.lists(row, min_size=1, max_size=25)
+
+
+def _frames(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "a", "b"])
+    pdf["a"] = pdf["a"].astype("Int64")
+    sdf = spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None),
+                                "k string, a bigint, b double")
+    con = duckdb.connect()
+    con.register("t", pdf)
+    return sdf, con
+
+
+def _close(x, y, tol=1e-6):
+    if x is None and y is None:
+        return True
+    if x is None or y is None:
+        return False
+    if isinstance(x, float) and math.isnan(x):
+        return isinstance(y, float) and math.isnan(y)
+    return abs(float(x) - float(y)) <= tol * max(1.0, abs(float(x)))
+
+
+SQL_RED = {
+    "sum": "SUM({c})",
+    "mean": "AVG({c})",
+    "min": "MIN({c})",
+    "max": "MAX({c})",
+    "count": "COUNT({c})",
+    "distinct": "COUNT(DISTINCT {c})",
+    "median": "MEDIAN({c})",
+    "stddev": "STDDEV_SAMP({c})",
+    "variance": "VAR_SAMP({c})",
+}
+
+
+@pytest.mark.parametrize("red", sorted(SQL_RED))
+@given(rows=tables)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_group_reduce_matches_duckdb(spark, red, rows):
+    sdf, con = _frames(spark, rows)
+    got = {
+        r["k"]: (r["a"], r["b"])
+        for r in Pipeline.of(sdf).group_by("k").reduce(red).collect()
+    }
+    agg_a = SQL_RED[red].format(c="a")
+    agg_b = SQL_RED[red].format(c="b")
+    want = {
+        k: (a, b)
+        for k, a, b in con.execute(
+            f"SELECT k, {agg_a}, {agg_b} FROM t GROUP BY k"
+        ).fetchall()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert _close(got[k][0], want[k][0]), (red, k, got[k], want[k])
+        assert _close(got[k][1], want[k][1]), (red, k, got[k], want[k])
+
+
+@given(rows=tables, lo=st.integers(-5, 5))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_filter_null_semantics(spark, rows, lo):
+    """`only (a > lo)` drops NULLs (SQL three-valued logic on both sides)."""
+    from pyspark.sql import functions as F
+
+    sdf, con = _frames(spark, rows)
+    got = Pipeline.of(sdf).only(F.col("a") > lo).df.count()
+    want = con.execute(f"SELECT COUNT(*) FROM t WHERE a > {lo}").fetchone()[0]
+    assert got == want
+
+
+@given(rows=tables)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dense_rows_matches(spark, rows):
+    sdf, con = _frames(spark, rows)
+    got = Pipeline.of(sdf).dense_rows().df.count()
+    want = con.execute(
+        "SELECT COUNT(*) FROM t WHERE k IS NOT NULL AND a IS NOT NULL AND b IS NOT NULL"
+    ).fetchone()[0]
+    assert got == want
+
+
+@given(rows=tables, n=st.integers(1, 5))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_moving_mean_matches(spark, rows, n):
+    """moving mean over a deterministic order: NULL until the window has
+    n rows, NULLs inside the window ignored (both engines' AVG)."""
+    sdf, con = _frames(spark, rows)
+    # deterministic order: add a row id on both sides
+    pdf = pd.DataFrame(rows, columns=["k", "a", "b"])
+    pdf["rid"] = range(len(pdf))
+    sdf = spark.createDataFrame(
+        pdf.astype(object).where(pdf.notna(), None),
+        "k string, a bigint, b double, rid bigint",
+    )
+    got = [
+        r["m"]
+        for r in Pipeline.of(sdf)
+        .sort_by("rid")
+        .moving("m", "mean", n, "b")
+        .df.orderBy("rid")
+        .collect()
+    ]
+    con2 = duckdb.connect(); con2.register("t2", pdf)
+    want = [
+        r[0]
+        for r in con2.execute(
+            f"""SELECT CASE WHEN ROW_NUMBER() OVER (ORDER BY rid) >= {n}
+                       THEN AVG(b) OVER (ORDER BY rid ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)
+                       END
+                FROM t2 ORDER BY rid"""
+        ).fetchall()
+    ]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert _close(g, w), (n, got, want)
+
+
+@given(rows=tables)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pivot_count_matches(spark, rows):
+    sdf, con = _frames(spark, rows)
+    out = Pipeline.of(sdf).create_column("one", 1).pivot(["k"], "k", "count", "one").df
+    got = {r["k"]: sum(v for c, v in r.asDict().items() if c != "k" and v is not None)
+           for r in out.collect()}
+    want = dict(con.execute("SELECT k, COUNT(*) FROM t GROUP BY k").fetchall())
+    assert got == want
