@@ -155,8 +155,8 @@ def minhash_pairs(
     """Candidate near-duplicate pairs via LSH banding, scored by the
     MinHash Jaccard estimate (fraction of agreeing signature slots).
 
-    Plan shape (the scale path): signatures materialized once
-    (persisted — at cluster scale this is the natural checkpoint) →
+    Plan shape (the scale path): one signature aggregation shared by
+    all three consumers via exchange reuse →
     explode to ``bands`` rows/doc → self-equi-join on (band, band_key) →
     distinct id pairs → signatures rejoined for the estimate. Shuffle
     keys are uniform hashes, so no skew; pair blowup is bounded by
@@ -166,7 +166,10 @@ def minhash_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    base = minhash_signatures_df(df, id_col, text_col, num_hashes, hash_fn, k).persist()
+    # not persisted: the three consumers share the aggregation exchange
+    # (ReusedExchange), and persist() here would pin executor memory for
+    # the session lifetime with no one able to unpersist it
+    base = minhash_signatures_df(df, id_col, text_col, num_hashes, hash_fn, k)
     # band key = the raw signature slots themselves (array equality in the
     # join) — no hash computation, and an 8-16 byte shuffle key instead of
     # a 32-char md5 string

@@ -52,7 +52,8 @@ _TOKEN_RE = re.compile(
   | (?P<group>\$\d+)
   | (?P<arrow>->)
   | (?P<op>==|!=|>=|<=|&&|\|\||[=<>!+\-*/()\[\]{};])
-  | (?P<ident>[A-Za-z_][A-Za-z0-9_.\-]*)
+  | (?P<kmeans>k-means)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
     """,
     re.VERBOSE,
 )
@@ -91,6 +92,8 @@ def tokenize(line: str) -> list[tuple[str, str]]:
         if not m:
             raise HbParseError(f"cannot tokenize at {line[i:]!r} in: {line}")
         kind = m.lastgroup
+        if kind == "kmeans":
+            kind = "ident"  # keyword with a hyphen; '-' is otherwise minus
         if kind != "ws":
             out.append((kind, m.group()))
         i = m.end()
@@ -324,11 +327,24 @@ def _name_token(p: _P) -> str:
 
 
 def parse_statement(line: str) -> tuple:
-    """Parse one statement line into an AST tuple."""
+    """Parse one statement line into an AST tuple. Trailing tokens are
+    an error — silently dropping them turns a typo like
+    ``only (a = 1) (b = 2)`` into a half-applied filter."""
     p = _P(tokenize(line), line)
+    ast = _parse_statement_inner(p)
+    if not p.at_end():
+        raise HbParseError(
+            f"trailing tokens {[t for _, t in p.toks[p.i:]]} after statement in: {line}"
+        )
+    return ast
+
+
+def _parse_statement_inner(p: _P) -> tuple:
+    line = p.src
     k, t = p.next()
     if t == "only":
         if p.peek()[1] == "true" and p.peek(1)[0] is None:
+            p.next()
             return ("only_true",)
         return ("only", p.expr())
     if t == "slice":
@@ -349,10 +365,7 @@ def parse_statement(line: str) -> tuple:
     if t == "create":
         p.expect("column")
         name = _name_token(p)
-        e = p.expr()
-        if not p.at_end():
-            raise HbParseError(f"trailing tokens after create column in: {line}")
-        return ("create", name, e)
+        return ("create", name, p.expr())
     if t == "dense":
         k2, what = p.next()
         if what in ("columns", "rows"):
@@ -462,16 +475,21 @@ def parse_program(text: str) -> HbProgram:
             continue
         if s.startswith("!#"):
             body = s.lstrip("!#").strip()
-            if s.endswith("!#") and len(s) > 2:
-                prog.comments.append(body[:-2].strip())
-            else:
-                in_comment = True
+            if s.startswith("!##") and not (s.endswith("!#") and len(s) > 3):
+                in_comment = True  # only '!##' OPENS a block (MTTR.hb:11)
                 comment_buf = [body]
+            else:
+                # one-line '!## ... !#' or a stray '!#...' line: a comment,
+                # never a block opener (a bare opener would silently
+                # swallow every following statement)
+                prog.comments.append(body.removesuffix("!#").strip())
             continue
         if not s:
             continue
         prog.statements.append(parse_statement(s))
         prog.statement_sources.append(s)
+    if in_comment and comment_buf:
+        prog.comments.append("\n".join(b for b in comment_buf if b))
     return prog
 
 

@@ -51,8 +51,15 @@ def resolve_source(
         cols = properties.get("columns")
         rows = properties.get("rows")
         if cols and rows is not None:
+            import json
+
             from hobbes_spark.sources.ingest import local_data
 
+            # header values are strings: columns as '- a' list items, rows
+            # as '- [1, "x"]' JSON arrays
+            if isinstance(cols, str):
+                cols = cols.split()
+            rows = [json.loads(r) if isinstance(r, str) else r for r in rows]
             return Pipeline.of(local_data(spark, cols, rows), "localdata:inline")
         raise ValueError(
             f"localdata needs an inline columns/rows pair or a table named "

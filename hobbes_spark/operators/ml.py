@@ -12,6 +12,7 @@ from functools import reduce as _reduce
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
+from hobbes_spark.expressions import c
 from hobbes_spark.reductions import NUMERIC_ONLY, numeric_columns, reduction_fn
 
 __all__ = ["buckets", "kmeans", "each", "linear_regression", "linear_extrapolation"]
@@ -20,7 +21,7 @@ __all__ = ["buckets", "kmeans", "each", "linear_regression", "linear_extrapolati
 def _agg_numeric(df, group_col: str, reduction: str):
     fn = reduction_fn(reduction)
     nums = [col for col in numeric_columns(df) if col != group_col]
-    return df.groupBy(group_col).agg(*[fn(F.col(col)).alias(col) for col in nums])
+    return df.groupBy(group_col).agg(*[fn(c(col)).alias(col) for col in nums])
 
 
 def buckets(pipeline, n: int, reduction: str):
@@ -41,7 +42,9 @@ def buckets(pipeline, n: int, reduction: str):
     w = Window.orderBy(*pipeline._order_exprs())
     rn = F.row_number().over(w)  # 1-based
     total = F.count(F.lit(1)).over(Window.partitionBy())
-    size = F.floor(total / n)  # equal bucket size; remainder joins bucket n
+    # equal bucket size; remainder joins bucket n. Fewer rows than
+    # buckets -> size clamps to 1 (one row per bucket, rest empty)
+    size = F.greatest(F.floor(total / n), F.lit(1))
     bucket = F.least(((rn - 1) / size).cast("long") + 1, F.lit(n))
     out = _agg_numeric(df.withColumn("bucket", bucket), "bucket", reduction)
     return pipeline._step(
@@ -98,7 +101,7 @@ def each(pipeline, reduction: str):
     nums = [col for col in numeric_columns(df) if col not in keys]
     if not nums:
         raise ValueError("each needs at least one numeric column")
-    arr = F.array_compact(F.array(*[F.col(col).cast("double") for col in nums]))
+    arr = F.array_compact(F.array(*[c(col).cast("double") for col in nums]))
     n = F.size(arr)
     total = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
     mean = total / n
@@ -129,7 +132,7 @@ def each(pipeline, reduction: str):
         val = F.sqrt(var) if reduction == "stddev" else var
     else:
         raise ValueError(f"unknown reduction {reduction!r}")
-    out = df.select(*keys, F.when(n > 0, val).alias("value"))
+    out = df.select(*[c(k).alias(k) for k in keys], F.when(n > 0, val).alias("value"))
     return pipeline._step(out, f"each {reduction}")
 
 
@@ -138,8 +141,6 @@ def linear_regression(pipeline, x_col, y_col):
     two series (snippets:198-204). Returns a one-row table
     (slope, intercept, r2) via Spark's regression aggregates — a single
     map-side-combinable pass, no MLlib job."""
-    from hobbes_spark.expressions import c
-
     x, y = c(x_col), c(y_col)
     out = pipeline.df.agg(
         F.regr_slope(y, x).alias("slope"),

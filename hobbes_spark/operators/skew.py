@@ -66,9 +66,10 @@ def salted_agg(
         part, comb = _ALGEBRAIC[red]
         partials.append(part(c(col)).alias(f"__p_{col}"))
         combines.append(comb(F.col(f"__p_{col}")).alias(col))
-    if means:
-        partials.append(F.count(F.lit(1)).alias("__p_n"))
-        combines.append(F.sum(F.col("__p_n")).alias("__n"))
+    for col in means:
+        # mean = sum / NON-NULL count, per column (avg semantics)
+        partials.append(F.count(c(col)).alias(f"__pn_{col}"))
+        combines.append(F.sum(F.col(f"__pn_{col}")).alias(f"__n_{col}"))
 
     salt = F.floor(F.rand(seed) * salts).cast("int")
     stage1 = (
@@ -78,9 +79,9 @@ def salted_agg(
     )
     out = stage1.groupBy(*[c(k) for k in keys]).agg(*combines)
     for col in means:
-        out = out.withColumn(col, F.col(col) / F.col("__n"))
-    if means:
-        out = out.drop("__n")
+        out = out.withColumn(
+            col, F.col(col) / F.nullif(F.col(f"__n_{col}"), F.lit(0))
+        ).drop(f"__n_{col}")
     return out
 
 

@@ -38,13 +38,19 @@ def odata_url(
     """Assemble the feed URL with OData query options, matching the
     reference's parameter writer (`ODataProvider.fs:97-112`). ``base``
     may already end with ``?``."""
+    def enc(v: str, safe: str) -> str:
+        # headers carry either raw values (MTTR.hb) or pre-encoded ones
+        # (flowerpot.hb's %2F/%20) — a '%' marks the latter; re-quoting
+        # would double-encode it
+        return v if "%" in v else quote(v, safe=safe)
+
     params = []
     if expand:
-        params.append(f"$expand={quote(expand, safe='/,$')}")
+        params.append(f"$expand={enc(expand, '/,$')}")
     if select:
-        params.append(f"$select={quote(select, safe='/,$')}")
+        params.append(f"$select={enc(select, '/,$')}")
     if filter:
-        params.append(f"$filter={quote(filter, safe='/,$ ')}")
+        params.append(f"$filter={enc(filter, '/,$')}")
     if top:
         params.append(f"$top={top}")
     if not params:

@@ -54,7 +54,10 @@ def checkpoint(pipeline, base_dir: str) -> "DataFrame":
     — the Spark analog of the reference's uniform cache + ``dependsOn``
     chains (`workers/calculator.worker/src/Program.fs:25-56`)."""
     path = os.path.join(base_dir, pipeline.cache_key())
-    if not os.path.exists(path):
+    # gate on the writer's _SUCCESS marker so a crashed partial write is
+    # redone, never served. (Driver-local check: for object-store
+    # base_dirs use the Hadoop FS API instead.)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         pipeline.df.write.mode("overwrite").parquet(path)
     return pipeline.df.sparkSession.read.parquet(path)
 

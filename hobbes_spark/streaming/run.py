@@ -19,7 +19,7 @@ def replay_to_df(
     stream_df: DataFrame,
     spark: SparkSession,
     mode: str = "complete",
-    timeout_s: int = 600,
+    timeout_s: float = 600,  # must be > 0 (Spark rejects 0)
 ) -> DataFrame:
     """Run a streaming DataFrame with ``trigger(availableNow)`` into a
     memory sink; return the sink contents."""
@@ -31,5 +31,11 @@ def replay_to_df(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"stream replay did not finish within {timeout_s}s; "
+            "partial results discarded (raise timeout_s for big backlogs)"
+        )
     return spark.table(name)

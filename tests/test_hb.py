@@ -221,3 +221,38 @@ def test_keys_and_index(spark):
 def test_run_hb_rejects_bad_statement():
     with pytest.raises(Exception):
         compile_hb("flurble columns a b")
+
+
+def test_comment_edge_cases():
+    """A bare '!#' line must not swallow following statements; only
+    '!##' opens a block."""
+    prog = parse_program("!# stray note\nonly (x > 5)\n")
+    assert prog.statements == [("only", ("cmp", ">", ("col", "x"), ("lit", 5)))]
+    assert prog.comments == ["stray note"]
+    # unterminated block keeps its text instead of dropping it
+    prog = parse_program("!## title\nbody line")
+    assert prog.statements == []
+    assert "body line" in prog.comments[0]
+
+
+def test_trailing_tokens_rejected():
+    import pytest as _pt
+
+    from hobbes_spark.hb.parser import HbParseError
+
+    for bad in [
+        "only (a = 1) (b = 2)",   # typo for &&: must not half-apply
+        "slice rows 1 5 9",
+        "rename column a b c",
+    ]:
+        with _pt.raises(HbParseError, match="trailing tokens"):
+            parse_statement(bad)
+
+
+def test_subtraction_without_spaces():
+    """'price-cost' is arithmetic, not a column named 'price-cost';
+    'k-means' stays a keyword."""
+    assert parse_statement("create column m (price-cost)") == (
+        "create", "m", ("arith", "-", ("col", "price"), ("col", "cost")),
+    )
+    assert parse_statement("k-means 3 -> mean") == ("kmeans", 3, "mean")

@@ -134,3 +134,25 @@ def test_provider_errors():
             or pytest.skip("no session"),
             "provider: odata\nurl: https://x\n\nonly true\n",
         )
+
+
+def test_localdata_inline_rows(spark):
+    text = (
+        "provider: localdata\n"
+        "columns: a b\n"
+        "rows:\n"
+        '    - [1, "x"]\n'
+        '    - [2, "y"]\n'
+        "\n"
+        "only (a > 1)\n"
+    )
+    out = run_hb_program(spark, text)
+    rows = out.collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(2, "y")]
+
+
+def test_odata_url_preencoded_not_double_encoded():
+    u = odata_url("https://x/feed?", filter="Iteration%2FStartDate%20gt%202019-01-01Z")
+    assert "%25" not in u  # no double encoding
+    u2 = odata_url("https://x/feed?", filter="Iteration/StartDate gt 2019-01-01Z")
+    assert " " not in u2 and "%20gt%20" in u2

@@ -98,3 +98,13 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     full = ivf_topk(emb, queries, k=5, nlist=8, nprobe=8)
     f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
     assert f == e
+
+
+def test_salted_mean_ignores_nulls(spark):
+    """mean must divide by the NON-null count per column (avg semantics),
+    not the group row count."""
+    df = spark.createDataFrame(
+        [("k", 2.0), ("k", None), ("k", 4.0)], "k string, v double"
+    )
+    got = salted_agg(df, ["k"], {"v": "mean"}, salts=4).collect()[0]["v"]
+    assert abs(got - 3.0) < 1e-9
