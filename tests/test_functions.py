@@ -134,3 +134,38 @@ def test_frame_sample_plan(spark, sf_dir):
     for idxs in per_doc.values():
         assert idxs == sorted(idxs)
         assert all(i % 2 == 0 for i in idxs)
+
+
+def test_header_dims_real_formats(spark):
+    """Real header parsing (no codec libs): handcrafted PNG/GIF/BMP/JPEG
+    byte headers decode to their true dimensions through the full
+    mapInPandas path."""
+    import struct
+
+    from hobbes_spark.functions.multimodal import decode_image_meta
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x06" + b"\x00" * 20)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 20
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 256, -128) + b"\x00" * 20
+    # APP0 len 16 = 2 length bytes + 14 payload; SOF0 len 17 = 2 + 15
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 9)
+    junk = b"not an image at all"
+
+    rows = [(1, png, "image/png"), (2, gif, "image/gif"),
+            (3, bmp, "image/bmp"), (4, jpeg, "image/jpeg"),
+            (5, junk, "application/octet-stream")]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, mime string"
+    ).withColumn("meta", __import__("pyspark.sql.functions", fromlist=["F"]).create_map())
+    out = {r["media_id"]: r for r in decode_image_meta(media).collect()}
+
+    assert (out[1]["width"], out[1]["height"], out[1]["decoder"]) == (640, 480, "headers")
+    assert (out[2]["width"], out[2]["height"], out[2]["decoder"]) == (320, 200, "headers")
+    assert (out[3]["width"], out[3]["height"], out[3]["decoder"]) == (256, 128, "headers")
+    assert (out[4]["width"], out[4]["height"], out[4]["decoder"]) == (1920, 1080, "headers")
+    # unknown bytes fall through to the clearly-marked fake
+    assert out[5]["decoder"] == "fake-stub"
