@@ -35,10 +35,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         spec = QUERIES[name]
-        t0 = time.perf_counter()
-        df = spec.spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best of 2: the first run pays one-time codegen/JIT compile
+        # (3-6x noise locally, irrelevant at cluster scale); the second
+        # measures the steady-state plan
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = spec.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
