@@ -15,6 +15,7 @@ from hobbes_spark.streaming.windows import (
     tumbling_agg,
 )
 from hobbes_spark.streaming.stateful import running_user_totals
+from hobbes_spark.streaming.dedup import stream_exact_dedup, stream_fingerprint_dedup
 
 __all__ = [
     "stream_events",
@@ -22,4 +23,6 @@ __all__ = [
     "sliding_agg",
     "session_agg",
     "running_user_totals",
+    "stream_exact_dedup",
+    "stream_fingerprint_dedup",
 ]

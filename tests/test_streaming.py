@@ -177,3 +177,55 @@ def test_running_user_totals_stateful(spark, tmp_path):
         assert f["n_events"] == r["n"]
         assert abs(f["total_value"] - r["total"]) < 1e-9
         assert f["last_ts"] == r["last"]
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """Exact dedup with bounded state: duplicates arriving in LATER
+    microbatches (within the watermark) are dropped; distinct keys
+    survive."""
+    from hobbes_spark.streaming import stream_events, stream_exact_dedup
+
+    data = str(tmp_path / "in")
+    t0 = dt.datetime(2026, 1, 1, 12, 0)
+    # batch files replayed one per trigger; event_id 7 appears in all 3
+    for b in range(3):
+        rows = [(7, t0 + dt.timedelta(minutes=b), 1, "dup", 1.0)] + [
+            (100 * b + i, t0 + dt.timedelta(minutes=b, seconds=i), 2, "uniq", 1.0)
+            for i in range(1, 4)
+        ]
+        _write_events(spark, data, rows)
+
+    stream = stream_events(spark, data, max_files_per_trigger=1)
+    out = stream_exact_dedup(stream, ["event_id"], watermark="1 hour")
+    name = _run_to_memory(out, "append", str(tmp_path / "ckpt"))
+    rows = _rows(spark, name)
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids.count(7) == 1  # two later-batch duplicates dropped
+    assert len(ids) == 1 + 9  # 7 once + 3x3 unique rows
+
+
+def test_stream_fingerprint_dedup_normalizes(spark, tmp_path):
+    """Content dedup: same text modulo case/whitespace collapses to one
+    row across microbatches."""
+    from pyspark.sql import functions as F
+
+    from hobbes_spark.streaming import stream_fingerprint_dedup
+
+    data = str(tmp_path / "in")
+    t0 = dt.datetime(2026, 1, 1)
+    docs = [
+        (1, t0, "Hello  World"),
+        (2, t0 + dt.timedelta(minutes=1), "hello world"),   # dup modulo norm
+        (3, t0 + dt.timedelta(minutes=2), "something else"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, ts timestamp, text string") \
+        .coalesce(1).write.mode("append").parquet(data)
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(data)
+    )
+    out = stream_fingerprint_dedup(stream, "text", watermark="1 hour")
+    name = _run_to_memory(out, "append", str(tmp_path / "ckpt"))
+    rows = _rows(spark, name)
+    assert len(rows) == 2
+    assert {r["doc_id"] for r in rows} <= {1, 2, 3} and 3 in {r["doc_id"] for r in rows}
+    assert "__fp" not in spark.sql(f"select * from {name}").columns
