@@ -41,10 +41,12 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     fp = fingerprint(text_col)
     w = Window.partitionBy("__fp")
+    # NULL-text rows are not duplicates of each other (md5(NULL)=NULL
+    # would lump them into one window partition): they bypass the dedup
     return (
         df.withColumn("__fp", fp)
         .withColumn("__keep", F.min(id_col).over(w))
-        .filter(F.col(id_col) == F.col("__keep"))
+        .filter(F.col("__fp").isNull() | (F.col(id_col) == F.col("__keep")))
         .drop("__fp", "__keep")
     )
 

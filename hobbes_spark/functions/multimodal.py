@@ -84,32 +84,49 @@ def header_dims(b: bytes) -> tuple[int, int] | None:
     None for unrecognized/truncated payloads."""
     import struct
 
+    def ok(w: int, h: int) -> tuple[int, int] | None:
+        # crafted/corrupt headers can carry dims outside int32 (PNG
+        # fields are unsigned) or non-positive (BMP width is signed);
+        # reject rather than violate the int32 output schema downstream
+        if 0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF:
+            return w, h
+        return None
+
     if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
         w, h = struct.unpack(">II", b[16:24])
-        return w, h
+        return ok(w, h)
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         w, h = struct.unpack("<HH", b[6:10])
-        return w, h
+        return ok(w, h)
     if b[:2] == b"BM" and len(b) >= 26:
         w, h = struct.unpack("<ii", b[18:26])
-        return w, abs(h)  # negative height = top-down DIB
+        return ok(w, abs(h))  # negative height = top-down DIB
     if b[:2] == b"\xff\xd8":
         i = 2
-        while i + 9 < len(b):
+        while i + 9 <= len(b):
             if b[i] != 0xFF:
                 return None
             marker = b[i + 1]
+            if marker == 0xFF:  # fill byte (spec-legal padding)
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: no length
+                i += 2
+                continue
             if marker in _JPEG_SOF:
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])
-                return w, h
+                return ok(w, h)
             (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if seglen < 2:
+                return None
             i += 2 + seglen
     return None
 
 
-def decode_image_meta(media: DataFrame, batch_size: int = 256) -> DataFrame:
+def decode_image_meta(media: DataFrame) -> DataFrame:
     """Per-item decode via ``mapInPandas``: Arrow-batched, no
-    driver involvement, constant memory per batch.
+    driver involvement, constant memory per batch (bound it for huge
+    payloads with ``spark.sql.execution.arrow.maxRecordsPerBatch``).
 
     Tries a real decoder (PIL) per batch; falls back to the
     deterministic fake decode stub when unavailable.
@@ -161,8 +178,11 @@ def decode_image_meta(media: DataFrame, batch_size: int = 256) -> DataFrame:
             out["decoder"] = [t[2] for t in whd]
             yield out
 
-    sess = media.sparkSession
-    sess.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    # Arrow batch sizing is a session-level setting
+    # (spark.sql.execution.arrow.maxRecordsPerBatch) read at EXECUTION
+    # time — mutating it here would silently retarget every concurrent
+    # plan and leak to unrelated Arrow operations, so it is left to the
+    # session configuration.
     return media.mapInPandas(decode, schema=_DECODE_OUT)
 
 
@@ -174,9 +194,10 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30, max_frames: int = 8) 
     fake (duration unavailable without codecs): derived from payload size.
     """
     est_frames = (F.coalesce(F.length("content"), F.lit(0)) / 64 + 1).cast("int")
-    idx = F.slice(
-        F.sequence(F.lit(0), est_frames - 1, F.lit(every_n)), 1, max_frames
-    )
+    # cap the sequence endpoint: a big payload would otherwise build a
+    # huge index array per row just to keep the first max_frames entries
+    last = F.least(est_frames - 1, F.lit((max_frames - 1) * every_n))
+    idx = F.slice(F.sequence(F.lit(0), last, F.lit(every_n)), 1, max_frames)
     return media.select(
         "media_id",
         F.posexplode(idx).alias("frame_pos", "frame_index"),

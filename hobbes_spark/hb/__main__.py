@@ -50,7 +50,7 @@ def main(argv: list[str] | None = None) -> int:
             ap.error(f"--table needs NAME=PATH, got {spec!r}")
         tables[name] = spark.read.parquet(path)
 
-    text = open(args.program).read()
+    text = open(args.program, encoding="utf-8").read()
     from hobbes_spark.hb import run_hb, run_hb_program
     from hobbes_spark.pipeline import Pipeline
 

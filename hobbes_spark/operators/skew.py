@@ -97,8 +97,17 @@ def salted_join(
     broadcast: ``dim`` is replicated ``salts`` times, ``fact`` rows get
     a random salt, and the join key becomes ``(on, salt)``.
 
-    Join semantics (inner/left) are unchanged — each fact row matches
-    exactly the one dim replica carrying its salt."""
+    Join semantics (inner/left/semi/anti) are unchanged — each fact row
+    matches exactly the one dim replica carrying its salt. Right/full
+    joins would surface each unmatched dim key once per replica and are
+    rejected."""
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; {how!r} would "
+            "multiply unmatched dim rows by the salt count"
+        )
     salt = F.floor(F.rand(seed) * salts).cast("int")
     f = fact.withColumn("__salt", salt)
     d = dim.withColumn(

@@ -51,7 +51,7 @@ def odata_url(
         params.append(f"$select={enc(select, '/,$')}")
     if filter:
         params.append(f"$filter={enc(filter, '/,$')}")
-    if top:
+    if top is not None:
         params.append(f"$top={top}")
     if not params:
         return base
@@ -80,6 +80,14 @@ def read_odata(
         pages.append(body)
         doc = json.loads(body)
         next_url = doc.get("@odata.nextLink") or doc.get("odata.nextLink")
+    if next_url:
+        raise ValueError(
+            f"OData feed exceeded max_pages={max_pages} with more pages "
+            f"remaining ({next_url}) — raise max_pages rather than "
+            "silently truncating the feed"
+        )
     if not pages:
         raise ValueError(f"OData feed returned no pages: {url}")
+    # page bodies are held (and nextLink-parsed) on the driver; at very
+    # large feed sizes, batch calls to read_odata per page range instead
     return rest_pages(spark, pages, values_field="value")

@@ -48,9 +48,17 @@ def stream_fingerprint_dedup(
     text (casefold + whitespace collapse + md5, identical to the batch
     ``exact_dedup`` key) and keep the first arrival per fingerprint
     within the watermark horizon."""
-    return (
-        stream.withColumn("__fp", fingerprint(text_col))
+    from pyspark.sql import functions as F
+
+    # NULL text hashes to NULL, and dropDuplicatesWithinWatermark treats
+    # NULL keys as equal — distinct NULL-text rows would silently
+    # collapse to one. They are not duplicates of each other, so they
+    # bypass the dedup entirely.
+    fp = stream.withColumn("__fp", fingerprint(text_col))
+    deduped = (
+        fp.filter(F.col("__fp").isNotNull())
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["__fp"])
-        .drop("__fp")
     )
+    passthrough = fp.filter(F.col("__fp").isNull())
+    return deduped.unionByName(passthrough).drop("__fp")

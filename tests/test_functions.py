@@ -169,3 +169,39 @@ def test_header_dims_real_formats(spark):
     assert (out[4]["width"], out[4]["height"], out[4]["decoder"]) == (1920, 1080, "headers")
     # unknown bytes fall through to the clearly-marked fake
     assert out[5]["decoder"] == "fake-stub"
+
+
+def test_header_dims_adversarial_payloads():
+    """Crafted headers must never violate the int32 schema or crash."""
+    import struct
+
+    from hobbes_spark.functions.multimodal import header_dims
+
+    # PNG with unsigned width 2^31 -> rejected, not returned
+    bad_png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+               + struct.pack(">II", 0x80000000, 10) + b"\x00" * 10)
+    assert header_dims(bad_png) is None
+    # BM-prefixed non-image with negative width
+    bad_bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", -5, 10) + b"\x00" * 10
+    assert header_dims(bad_bmp) is None
+    # JPEG with fill bytes between segments still parses
+    import struct as st
+    jpeg = (b"\xff\xd8" + b"\xff"  # fill byte
+            + b"\xff\xc0" + st.pack(">H", 17) + b"\x08"
+            + st.pack(">HH", 10, 20) + b"\x03" + b"\x00" * 9)
+    assert header_dims(jpeg) == (20, 10)
+    # SOF dims ending exactly at buffer end (off-by-one bound)
+    jpeg2 = b"\xff\xd8" + b"\xff\xc0" + st.pack(">H", 8) + b"\x08" + st.pack(">HH", 4, 6)
+    assert header_dims(jpeg2) == (6, 4)
+    assert header_dims(b"") is None
+
+
+def test_exact_dedup_null_text_passthrough(spark):
+    """Distinct rows with NULL text are not duplicates of each other."""
+    from hobbes_spark.functions.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")], "id long, text string"
+    )
+    out = exact_dedup(df, "id", "text")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3]

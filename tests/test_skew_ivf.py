@@ -108,3 +108,9 @@ def test_salted_mean_ignores_nulls(spark):
     )
     got = salted_agg(df, ["k"], {"v": "mean"}, salts=4).collect()[0]["v"]
     assert abs(got - 3.0) < 1e-9
+
+
+def test_salted_join_rejects_full(spark, skewed):
+    dim = spark.createDataFrame([("HOT", 1.0)], "k string, w double")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(skewed, dim, "k", how="full")

@@ -229,3 +229,20 @@ def test_stream_fingerprint_dedup_normalizes(spark, tmp_path):
     assert len(rows) == 2
     assert {r["doc_id"] for r in rows} <= {1, 2, 3} and 3 in {r["doc_id"] for r in rows}
     assert "__fp" not in spark.sql(f"select * from {name}").columns
+
+
+def test_stream_fingerprint_dedup_null_passthrough(spark, tmp_path):
+    """Distinct NULL-text rows all survive (they are not duplicates)."""
+    from hobbes_spark.streaming import stream_fingerprint_dedup
+
+    data = str(tmp_path / "in")
+    t0 = dt.datetime(2026, 1, 1)
+    docs = [(1, t0, None), (2, t0 + dt.timedelta(minutes=1), None),
+            (3, t0 + dt.timedelta(minutes=2), "x"), (4, t0 + dt.timedelta(minutes=3), "x")]
+    spark.createDataFrame(docs, "doc_id long, ts timestamp, text string") \
+        .coalesce(1).write.mode("append").parquet(data)
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(data)
+    out = stream_fingerprint_dedup(stream, "text", watermark="1 hour")
+    name = _run_to_memory(out, "append", str(tmp_path / "ckpt"))
+    ids = sorted(r["doc_id"] for r in _rows(spark, name))
+    assert ids == [1, 2, 3]
