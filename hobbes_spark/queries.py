@@ -1298,3 +1298,37 @@ def slice_rows_window(spark, sf_dir):
         .slice_columns("o_orderkey", "od")
     )
     return p.df
+
+
+@q(
+    "stream_interval_join",
+    """
+    SELECT CAST(l.event_id AS BIGINT) AS click_id,
+           CAST(r.event_id AS BIGINT) AS buy_id,
+           CAST(l.user_id AS BIGINT) AS user_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    """Stream-stream attribution join (click -> purchase within 2h),
+    replayed and checked against the plain SQL interval join."""
+    from hobbes_spark.streaming import interval_join, stream_events
+    from hobbes_spark.streaming.run import replay_to_df
+
+    s = stream_events(spark, f"{sf_dir}/events.parquet")
+    clicks = s.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    buys = s.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("buy_id")
+    )
+    joined = interval_join(clicks, buys, "user_id", within="2 hours", watermark="1 hour")
+    out = replay_to_df(joined, spark, mode="append")
+    return out.select(
+        F.col("click_id").cast("bigint").alias("click_id"),
+        F.col("buy_id").cast("bigint").alias("buy_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+    )

@@ -16,6 +16,7 @@ from hobbes_spark.streaming.windows import (
 )
 from hobbes_spark.streaming.stateful import running_user_totals
 from hobbes_spark.streaming.dedup import stream_exact_dedup, stream_fingerprint_dedup
+from hobbes_spark.streaming.joins import interval_join
 
 __all__ = [
     "stream_events",
@@ -25,4 +26,5 @@ __all__ = [
     "running_user_totals",
     "stream_exact_dedup",
     "stream_fingerprint_dedup",
+    "interval_join",
 ]

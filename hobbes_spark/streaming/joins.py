@@ -1,0 +1,60 @@
+"""Watermarked stream-stream joins.
+
+The canonical attribution shape: match each event in one stream to
+events in another with the same key within a bounded event-time window
+(click → purchase, impression → conversion). Both sides carry
+watermarks and the join predicate bounds the time gap, so the engine
+can size state and emit/evict deterministically — the two requirements
+for an unbounded join to be feasible at all.
+
+Works identically on batch DataFrames (same plan, no watermark), which
+is how the tests pin correctness: replay both streams, compare with the
+batch join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["interval_join"]
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    within: str = "1 hour",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str | None = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows sharing ``on`` where the right event lands in
+    ``[left_ts, left_ts + within]``.
+
+    State note: per key, the engine keeps left rows for ``within`` +
+    watermark delay and right rows for the watermark delay — bounded by
+    arrival rate, independent of stream length. Outer variants require
+    both watermarks (Spark enforces this).
+    """
+    l = left.select(  # noqa: E741
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("left_ts"),
+        *[F.col(c) for c in left.columns if c not in (on, left_ts)],
+    )
+    r = right.select(
+        F.col(on).alias("__rk"),
+        F.col(right_ts).alias("right_ts"),
+        *[F.col(c) for c in right.columns if c not in (on, right_ts)],
+    )
+    if watermark is not None and left.isStreaming:
+        l = l.withWatermark("left_ts", watermark)  # noqa: E741
+    if watermark is not None and right.isStreaming:
+        r = r.withWatermark("right_ts", watermark)
+    cond = (
+        (F.col("__k") == F.col("__rk"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how).drop("__rk").withColumnRenamed("__k", on)

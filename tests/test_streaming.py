@@ -246,3 +246,30 @@ def test_stream_fingerprint_dedup_null_passthrough(spark, tmp_path):
     name = _run_to_memory(out, "append", str(tmp_path / "ckpt"))
     ids = sorted(r["doc_id"] for r in _rows(spark, name))
     assert ids == [1, 2, 3]
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (click->purchase attribution shape):
+    replaying both sides as streams must equal the batch join."""
+    from hobbes_spark.streaming import interval_join, stream_events
+
+    path = f"{sf_dir}/events.parquet"
+    batch = Pipeline.table(spark, sf_dir, "events").df
+    clicks_b = batch.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    buys_b = batch.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", F.col("event_id").alias("buy_id"))
+    want = interval_join(clicks_b, buys_b, "user_id", within="2 hours", watermark=None)
+    want_set = {(r["click_id"], r["buy_id"]) for r in want.collect()}
+
+    s = stream_events(spark, path)
+    clicks_s = s.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    buys_s = s.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", F.col("event_id").alias("buy_id"))
+    joined = interval_join(clicks_s, buys_s, "user_id", within="2 hours",
+                           watermark="1 hour")
+    name = _run_to_memory(joined, "append", str(tmp_path / "ckpt"))
+    got_set = {(r["click_id"], r["buy_id"]) for r in _rows(spark, name)}
+    assert len(want_set) > 0
+    assert got_set == want_set
