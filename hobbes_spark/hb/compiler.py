@@ -170,10 +170,28 @@ def _compile_statement(stmt: tuple) -> Callable[[Pipeline], Pipeline]:
         return lambda pl: pl.group_by(*keys).reduce(red)
     if tag == "pivot":
         rows_ast, cols_ast, red, val_ast = stmt[1], stmt[2], stmt[3], stmt[4]
-        row = _col_name(rows_ast, "pivot row")
-        col = _col_name(cols_ast, "pivot column")
-        val = _col_name(val_ast, "pivot value") if val_ast is not None else row
-        return lambda pl: pl.pivot([row], col, red, val)
+
+        def _materialize(pl: Pipeline, ast: tuple, tmp: str):
+            """Pivot arguments may be expressions (the reference pivots
+            by month of a date, `playground.fs:27-33`); non-column
+            expressions materialize into a temp column first."""
+            if ast[0] == "col":
+                return ast[1], pl
+            return tmp, pl.create_column(tmp, compile_expr(ast)(pl))
+
+        def run_pivot(pl: Pipeline) -> Pipeline:
+            row, pl = _materialize(pl, rows_ast, "__pivot_row")
+            col, pl = _materialize(pl, cols_ast, "__pivot_col")
+            if val_ast is None:
+                val = row
+            else:
+                val, pl = _materialize(pl, val_ast, "__pivot_val")
+            out = pl.pivot([row], col, red, val)
+            if row == "__pivot_row":
+                out = out.rename_column("__pivot_row", "key")
+            return out
+
+        return run_pivot
     if tag == "sort_by":
         names = stmt[1]
         return lambda pl: pl.sort_by(*names)

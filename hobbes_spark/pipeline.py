@@ -488,7 +488,7 @@ class GroupedPipeline:
         """``group by ks -> minby expr`` (snippets:125-131)."""
         return self._selector(expr, descending=False, tiebreak=tiebreak)
 
-    def reduce(self, reduction: str) -> Pipeline:
+    def reduce(self, reduction: str, approx_median: bool = False) -> Pipeline:
         """``group by ks -> R`` — apply ``R`` to every remaining column
         (snippets:109-115 "reduces all cells in a group"; `MTTR.hb:23-27`
         sums the metric and the tick counter in one statement).
@@ -496,9 +496,16 @@ class GroupedPipeline:
         Typing rule: numeric-only reductions (sum/mean/median/stddev/
         variance) drop non-numeric columns; count/distinct/min/max apply
         to every column. Aggregated columns keep their names, as the
-        reference's downstream statements assume (`MTTR.hb:25`)."""
+        reference's downstream statements assume (`MTTR.hb:25`).
+
+        ``approx_median=True`` swaps exact ``median`` for
+        ``percentile_approx`` (1e-4 relative error): the scale path when
+        groups hold millions of rows — exact median buffers each group's
+        values, approx keeps a fixed-size sketch and map-side combines."""
         df = self.parent.df
         fn = reduction_fn(reduction)
+        if reduction == "median" and approx_median:
+            fn = lambda col: F.percentile_approx(col, 0.5, 10000)  # noqa: E731
         rest = [col for col in df.columns if col not in self.keys]
         if reduction in NUMERIC_ONLY:
             num = set(numeric_columns(df))

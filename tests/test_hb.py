@@ -256,3 +256,22 @@ def test_subtraction_without_spaces():
         "create", "m", ("arith", "-", ("col", "price"), ("col", "cost")),
     )
     assert parse_statement("k-means 3 -> mean") == ("kmeans", 3, "mean")
+
+
+def test_pivot_by_expression(spark):
+    """Pivot arguments may be expressions — the reference pivots by the
+    month of a date (`playground.fs:27-33`)."""
+    import datetime as _dt
+
+    rows = [
+        (i, _dt.datetime(2020, (i % 3) + 1, 5), "Done" if i % 2 else "Todo")
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "id long, ChangedDate timestamp, State string")
+    out = run_hb(
+        "pivot [(format date ChangedDate month)] [State] -> count [State]",
+        Pipeline.of(df),
+    )
+    got = {r["key"]: (r["Done"], r["Todo"]) for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    assert sum(d + t for d, t in got.values()) == 24

@@ -204,3 +204,22 @@ def test_write_partitioned_clusters_files(spark, sf_dir, tmp_path):
     for f in files:
         uids = pq.read_table(f, columns=["user_id"]).column("user_id").to_pylist()
         assert all(a <= b for a, b in zip(uids, uids[1:])), f
+
+
+def test_approx_median_close_to_exact(spark, sf_dir):
+    """approx_median (the 100 TB path) tracks exact median closely on
+    real data."""
+    from pyspark.sql import functions as F
+
+    from hobbes_spark.pipeline import Pipeline
+
+    li = Pipeline.table(spark, sf_dir, "lineitem").slice_columns(
+        "l_returnflag", "l_extendedprice"
+    )
+    exact = {r["l_returnflag"]: r["l_extendedprice"]
+             for r in li.group_by("l_returnflag").reduce("median").collect()}
+    approx = {r["l_returnflag"]: r["l_extendedprice"]
+              for r in li.group_by("l_returnflag").reduce("median", approx_median=True).collect()}
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        assert abs(exact[k] - approx[k]) / exact[k] < 0.01
