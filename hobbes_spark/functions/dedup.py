@@ -30,6 +30,8 @@ __all__ = [
     "minhash_pairs",
     "simhash60",
     "jaccard_pairs",
+    "embedding_neardup_exact",
+    "embedding_neardup_lsh",
 ]
 
 
@@ -251,6 +253,119 @@ def simhash60(col: Column | str, bits: int = 60) -> Column:
     for b, v in enumerate(votes):
         out = out + F.when(v > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
     return F.when(F.size(toks) > 0, out)
+
+
+def embedding_neardup_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: every (id_a < id_b)
+    pair whose cosine similarity >= ``threshold``.
+
+    Norms are computed once per row *before* the self-join, so each pair
+    costs one dot product instead of three. The join itself is
+    all-pairs (O(n^2)) — this is the verification baseline and the
+    right tool only for small corpora or within a blocking key; at
+    100 TB use :func:`embedding_neardup_lsh`, which joins only within
+    LSH buckets. Returns (id_a, id_b, cos).
+    """
+    from hobbes_spark.functions.similarity import _dotd
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_dotd(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+    ).filter(F.col("v").isNotNull())
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dotd(F.col("a.v"), F.col("b.v")) / F.nullif(
+        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded random-hyperplane LSH.
+
+    Each vector gets ``bands`` signatures of ``rows_per_band`` sign bits
+    (deterministic hash-derived hyperplanes, shared with
+    :func:`hobbes_spark.functions.similarity.lsh_signature`); rows are
+    candidates if ANY band matches. Plan shape: one signature scan →
+    explode to ``bands`` rows/vector → self-equi-join on (band, key) →
+    distinct pairs → exact cosine rerank >= ``threshold``.
+
+    The scale path: shuffle keys are uniform sign-bit buckets and the
+    join touches only same-bucket pairs, so cost tracks the true
+    duplicate density instead of n^2. Identical (or positively scaled)
+    vectors always share every band, so recall on exact duplicates is
+    1.0; for merely-similar pairs recall is the classic banding curve —
+    raise ``bands`` or lower ``rows_per_band`` to trade cost for recall.
+    Returns (id_a, id_b, cos) with id_a < id_b.
+    """
+    from hobbes_spark.functions.similarity import _hyperplane_sign
+
+    sig_cols = []
+    for band in range(bands):
+        key = F.lit(0).cast("bigint")
+        for r in range(rows_per_band):
+            plane = band * rows_per_band + r
+            key = key + _hyperplane_sign(F.col("v"), plane) * F.lit(2**r).cast("bigint")
+        sig_cols.append(
+            F.struct(F.lit(band).alias("band"), key.alias("key"))
+        )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        ).alias("nrm"),
+    ).filter(F.col("v").isNotNull())
+    banded = base.select(
+        "id", F.explode(F.array(*sig_cols)).alias("bk")
+    ).select("id", "bk.band", "bk.key")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    from hobbes_spark.functions.similarity import _dotd
+
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dotd(F.col("va"), F.col("vb")) / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
 
 
 def jaccard_pairs(

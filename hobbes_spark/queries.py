@@ -1209,6 +1209,72 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------- #
+# Embedding-cosine near-dup (LLM-pipeline dedup family): exact all-pairs
+# baseline + banded-LSH scale path. The LSH query unions the corpus with
+# exact re-identified copies so the >=0.9 true-pair set is precisely the
+# duplicate pairs — identical vectors share every band, making LSH
+# recall provably 1.0 there, which is what lets the approximate path
+# carry a full value-hash oracle instead of a rows-only check.
+# --------------------------------------------------------------------- #
+
+_ND_DOT = _COS_DOT  # same fold order as the Spark zip_with/aggregate
+
+
+def _neardup_exact_sql(threshold: float = 0.35) -> str:
+    dot_ab = _ND_DOT.format(a="a.v", b="b.v")
+    dot_vv = _ND_DOT.format(a="v", b="v")
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS id, embedding AS v, sqrt({dot_vv}) AS nrm
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           {_rsql(f"({dot_ab}) / NULLIF(a.nrm * b.nrm, 0)", 6)} AS cos
+    FROM base a JOIN base b ON a.id < b.id
+    WHERE ({dot_ab}) / NULLIF(a.nrm * b.nrm, 0) >= {threshold}
+    """
+
+
+@q("embedding_neardup_exact", _neardup_exact_sql(0.35))
+def embedding_neardup_exact_q(spark, sf_dir):
+    from hobbes_spark.functions.dedup import embedding_neardup_exact
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    out = embedding_neardup_exact(emb, threshold=0.35)
+    return out.select("id_a", "id_b", _r(F.col("cos"), 6).alias("cos"))
+
+
+def _neardup_lsh_sql(threshold: float = 0.9, offset: int = 1_000_000) -> str:
+    dot_ab = _ND_DOT.format(a="a.v", b="b.v")
+    dot_vv = _ND_DOT.format(a="v", b="v")
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {offset} AS id, embedding AS v FROM embeddings
+    ), base AS (
+      SELECT id, v, sqrt({dot_vv}) AS nrm FROM corpus WHERE v IS NOT NULL
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           {_rsql(f"({dot_ab}) / NULLIF(a.nrm * b.nrm, 0)", 6)} AS cos
+    FROM base a JOIN base b ON a.id < b.id
+    WHERE ({dot_ab}) / NULLIF(a.nrm * b.nrm, 0) >= {threshold}
+    """
+
+
+@q("embedding_neardup_lsh", _neardup_lsh_sql(0.9))
+def embedding_neardup_lsh_q(spark, sf_dir):
+    from hobbes_spark.functions.dedup import embedding_neardup_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    out = embedding_neardup_lsh(corpus, threshold=0.9, bands=4, rows_per_band=4)
+    return out.select("id_a", "id_b", _r(F.col("cos"), 6).alias("cos"))
+
+
 @q(
     "salted_group_sum",
     f"""

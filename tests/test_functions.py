@@ -205,3 +205,60 @@ def test_exact_dedup_null_text_passthrough(spark):
     )
     out = exact_dedup(df, "id", "text")
     assert sorted(r["id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_embedding_neardup_exact_known_pairs(spark):
+    # two near-parallel vectors, one orthogonal: exactly one pair >= 0.9
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]): r["cos"] for r in
+           DD.embedding_neardup_exact(df, threshold=0.9).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] > 0.99
+
+
+def test_embedding_neardup_lsh_full_recall_on_exact_dups(spark, sf_dir):
+    # identical vectors share every LSH band -> recall 1.0 by construction;
+    # positive scaling must not change bucket or cosine
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    scaled = emb.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.unionByName(scaled)
+    n = emb.count()
+    got = DD.embedding_neardup_lsh(corpus, threshold=0.99, bands=4, rows_per_band=4).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    expected = {(r["vec_id"], r["vec_id"] + 10_000) for r in emb.collect()}
+    assert expected <= found, f"missed {len(expected - found)} of {n} exact dups"
+    for r in got:
+        assert r["cos"] >= 0.99
+
+
+def test_embedding_neardup_lsh_agrees_with_exact(spark):
+    # planted clusters: LSH candidates reranked exactly must be a subset
+    # of the exact pairs at the same threshold, with decent recall
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    vid = 0
+    for cluster in range(8):
+        center = [rnd.gauss(0, 1) for _ in range(16)]
+        for _ in range(4):
+            rows.append((vid, [x + rnd.gauss(0, 0.02) for x in center]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             DD.embedding_neardup_exact(df, threshold=0.98).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           DD.embedding_neardup_lsh(df, threshold=0.98, bands=8, rows_per_band=2).collect()}
+    assert lsh <= exact
+    assert len(exact) > 0
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
