@@ -25,6 +25,7 @@ __all__ = [
     "lang_scores",
     "lang_id",
     "fingerprint",
+    "winnow_fingerprints",
     "STOPWORDS",
     "LANG_MARKERS",
     "WORDLIKE_PATTERN",
@@ -128,6 +129,76 @@ def lang_id(col: Column | str) -> Column:
         .when(s["fr"] == best, F.lit("fr"))
         .otherwise(F.lit("es"))
     )
+
+
+def winnow_fingerprints(
+    df,
+    text_col: str,
+    out_col: str = "fps",
+    k: int = 5,
+    w: int = 4,
+    base: int = 257,
+    mod: int = (1 << 31) - 1,
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): per document, the sorted distinct minima of every
+    ``w``-window over the polynomial (Rabin-Karp) rolling hashes
+    ``h(i) = (c[i]·B^{k-1} + … + c[i+k-1]) mod M`` of its character
+    k-grams. Adds ``out_col`` (``array<bigint>``) to ``df``.
+
+    The standard local-fingerprinting guarantee: any shared substring of
+    length >= ``w + k - 1`` between two documents yields at least one
+    shared fingerprint, at ~1/w the footprint of the full hash stream.
+    Documents with fewer than ``w`` grams (but at least one) keep their
+    global minimum, so every non-trivial doc has >= 1 fingerprint.
+
+    This is a DataFrame transform, not a Column function, on purpose:
+    the codes → gram-hashes → window-minima stages each live in their
+    own projection with multiple downstream references, so Catalyst's
+    CollapseProject cannot re-inline a stage into the next stage's
+    lambda — inlined, each array would be rebuilt per *element* of its
+    consumer, turning an O(n·(k+w)) doc into O(n²·k). All stages are
+    pure expressions (no Python, no shuffle): still one scan per doc,
+    ``mod < 2^31`` keeps ``acc·B + c`` inside BIGINT under ANSI
+    overflow checking.
+    """
+    src = c(text_col)
+    n = F.length(src)
+    empty = F.array().cast("array<bigint>")
+    codes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.ascii(src.substr(i, F.lit(1))).cast("bigint"),
+        ),
+    ).otherwise(empty)
+    s1 = df.withColumn("__codes", codes)
+
+    nc = F.size(F.col("__codes"))
+    hashes = F.when(
+        nc >= k,
+        F.transform(
+            F.sequence(F.lit(1), nc - (k - 1)),
+            lambda i: F.aggregate(
+                F.slice(F.col("__codes"), i, k),
+                F.lit(0).cast("bigint"),
+                lambda acc, ch: (acc * base + ch) % mod,
+            ),
+        ),
+    ).otherwise(empty)
+    s2 = s1.withColumn("__rh", hashes).drop("__codes")
+
+    nh = F.size(F.col("__rh"))
+    mins = F.transform(
+        F.sequence(F.lit(1), nh - (w - 1)),
+        lambda i: F.array_min(F.slice(F.col("__rh"), i, w)),
+    )
+    sel = (
+        F.when(nh >= w, mins)
+        .when(nh > 0, F.array(F.array_min(F.col("__rh"))))
+        .otherwise(empty)
+    )
+    return s2.withColumn(out_col, F.array_sort(F.array_distinct(sel))).drop("__rh")
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -1210,6 +1210,135 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Winnowing fingerprints (rolling-hash document fingerprinting) and the
+# end-to-end corpus-curation pipeline: lang-id -> quality filter ->
+# exact dedup -> per-source token/quality stats. The curation query is
+# the flagship training-data shape: every stage is pure expressions, so
+# the whole pipeline is one scan + one dedup shuffle + one agg shuffle.
+# --------------------------------------------------------------------- #
+
+
+def _winnow_sql(k: int = 5, w: int = 4, mod: int = (1 << 31) - 1) -> str:
+    codes = (
+        "list_transform(generate_series(1, length(text)), "
+        "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))"
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= {k} THEN
+               list_transform(generate_series(1, length(text) - {k - 1}),
+                 i -> list_reduce(list_slice(codes, i, i + {k - 1}),
+                                  (acc, ch) -> (acc * 257 + ch) % {mod}))
+             ELSE CAST([] AS BIGINT[]) END AS h
+      FROM (SELECT doc_id, text, {codes} AS codes
+            FROM documents WHERE n_chars <= 400 AND text IS NOT NULL)
+    ), sel AS (
+      SELECT doc_id,
+             CASE WHEN len(h) >= {w} THEN
+               list_transform(generate_series(1, len(h) - {w - 1}),
+                 i -> list_min(list_slice(h, i, i + {w - 1})))
+             WHEN len(h) > 0 THEN [list_min(h)]
+             ELSE CAST([] AS BIGINT[]) END AS mins
+      FROM hashed
+    )
+    SELECT doc_id, UNNEST(list_distinct(mins)) AS fp FROM sel
+    """
+
+
+@q("winnow_fingerprints", _winnow_sql())
+def winnow_fingerprints_q(spark, sf_dir):
+    from hobbes_spark.functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").df
+    kept = docs.filter((F.col("n_chars") <= 400) & F.col("text").isNotNull())
+    fps = winnow_fingerprints(kept, "text", out_col="fps", k=5, w=4)
+    # explode_outer, NOT explode: for plain explode the optimizer infers a
+    # size(fps) > 0 filter and pushes it below the staged projections,
+    # re-inlining the whole winnow chain into one Filter expression whose
+    # nested lambdas re-evaluate each stage per element (O(n^2 k)/doc).
+    # explode_outer admits no such inference; the NULL rows from empty
+    # arrays are dropped by a cheap post-Generate attribute filter.
+    return (
+        fps.select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+
+
+def _curate_sql(q_min: float = 0.6) -> str:
+    from hobbes_spark.functions.text import LANG_MARKERS, STOPWORDS
+
+    toks_l = _DDB_TOKENS.format(t="lower(text)")
+    stop = ", ".join(f"'{x}'" for x in STOPWORDS)
+    hits = {
+        lang: f"len(list_filter(toksl, x -> x IN ({', '.join(repr(x) for x in m)})))"
+        for lang, m in LANG_MARKERS.items()
+    }
+    best = f"GREATEST({hits['en']}, {hits['de']}, {hits['fr']}, {hits['es']})"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, text, {toks_l} AS toksl,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+               / NULLIF(length(text), 0) AS alpha,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               / NULLIF(length(text), 0) AS punct,
+             LEAST(length(text) / 500.0, 1.0) AS len_sat
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, text,
+             CAST(len(toksl) AS BIGINT) AS tc,
+             0.3 * len_sat + 0.3 * COALESCE(alpha, 0.0)
+               + 0.2 * LEAST(COALESCE(len(list_filter(toksl, x -> x IN ({stop})))
+                                      / NULLIF(len(toksl), 0), 0.0) * 5, 1.0)
+               + 0.2 * (1 - COALESCE(punct, 0.0)) AS quality,
+             CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                  WHEN {best} = 0 THEN 'und'
+                  WHEN {hits['en']} = {best} THEN 'en'
+                  WHEN {hits['de']} = {best} THEN 'de'
+                  WHEN {hits['fr']} = {best} THEN 'fr'
+                  ELSE 'es' END AS lang_guess
+      FROM base
+    ), kept AS (
+      SELECT * FROM scored WHERE lang_guess = 'en' AND quality >= {q_min}
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (
+          PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ) AS keep
+        FROM kept
+      ) WHERE doc_id = keep
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tc) AS BIGINT) AS total_tokens,
+           {_rsql('AVG(quality)', 4)} AS mean_quality
+    FROM deduped GROUP BY source
+    """
+
+
+@q("curate_corpus", _curate_sql(0.6), bench=True)
+def curate_corpus(spark, sf_dir):
+    from hobbes_spark.functions import text as TX
+    from hobbes_spark.functions.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").df
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        TX.token_count(F.lower(F.col("text"))).alias("tc"),
+        TX.quality_score("text").alias("quality"),
+        TX.lang_id("text").alias("lang_guess"),
+    )
+    kept = scored.filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.6))
+    deduped = exact_dedup(kept, "doc_id", "text")
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tc").cast("bigint").alias("total_tokens"),
+        _r(F.avg("quality"), 4).alias("mean_quality"),
+    )
+
+
+# --------------------------------------------------------------------- #
 # Embedding-cosine near-dup (LLM-pipeline dedup family): exact all-pairs
 # baseline + banded-LSH scale path. The LSH query unions the corpus with
 # exact re-identified copies so the >=0.9 true-pair set is precisely the

@@ -262,3 +262,41 @@ def test_embedding_neardup_lsh_agrees_with_exact(spark):
     assert len(exact) > 0
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # winnowing guarantee: a shared substring of length >= w + k - 1
+    # (here 4 + 5 - 1 = 8) yields at least one shared fingerprint
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "AAAA " + shared + " BBBB"),
+        (2, "xyzzy plugh " + shared + " quux"),
+        (3, "completely different content with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: set(r["fps"]) for r in
+           TX.winnow_fingerprints(df, "text").collect()}
+    assert out[1] & out[2], "docs sharing a long substring must share a fingerprint"
+    assert not (out[1] & out[3]) or len(out[1] & out[3]) < len(out[1] & out[2])
+
+
+def test_winnow_short_docs(spark):
+    rows = [
+        (1, "abcd"),        # shorter than k=5: no grams, no fingerprints
+        (2, "abcdef"),      # 2 grams < w windows: global min kept
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["fps"] for r in TX.winnow_fingerprints(df, "text").collect()}
+    assert out[1] == []
+    assert len(out[2]) == 1
+    assert out[3] == [] and out[4] == []
+
+
+def test_winnow_fingerprints_deterministic_and_sorted(spark):
+    df = spark.createDataFrame([(1, "some reasonably long text for hashing")],
+                               "doc_id bigint, text string")
+    a = TX.winnow_fingerprints(df, "text").collect()[0]["fps"]
+    b = TX.winnow_fingerprints(df, "text").collect()[0]["fps"]
+    assert a == b and a == sorted(set(a)) and len(a) > 0
