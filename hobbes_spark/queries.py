@@ -1210,6 +1210,79 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# As-of join and range (interval) join — beyond-reference time-series
+# operators. The as-of oracle is DuckDB's native ASOF LEFT JOIN (an
+# independent implementation); ts is truncated to microseconds on BOTH
+# sides because the parquet is nanosecond and Spark reads micros.
+# --------------------------------------------------------------------- #
+
+@q(
+    "asof_attribution",
+    f"""
+    WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click'),
+    r AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'purchase')
+    SELECT CAST(l.event_id AS BIGINT) AS click_id,
+           CAST(l.user_id AS BIGINT) AS user_id,
+           CAST(r.event_id AS BIGINT) AS buy_id,
+           epoch_us(l.ts) - epoch_us(r.ts) AS lag_us,
+           {_rsql('r.value', 4)} AS buy_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_attribution(spark, sf_dir):
+    from hobbes_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").df
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(clicks, buys, on="ts", by=["user_id"])
+    return out.select(
+        F.col("event_id").cast("bigint").alias("click_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("r_event_id").cast("bigint").alias("buy_id"),
+        (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("lag_us"),
+        _r(F.col("r_value"), 4).alias("buy_value"),
+    )
+
+
+_BANDS = [
+    ("micro", 0.0, 10.0),
+    ("small", 10.0, 50.0),
+    ("mid", 50.0, 150.0),
+    ("large", 150.0, 500.0),
+    ("all", 0.0, 500.0),
+]
+
+
+@q(
+    "range_band_sums",
+    f"""
+    WITH bands(band, lo, hi) AS (VALUES
+      {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)})
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_rsql('SUM(l.value)', 4)} AS sum_value
+    FROM events l JOIN bands b ON l.value >= b.lo AND l.value <= b.hi
+    GROUP BY band
+    """,
+)
+def range_band_sums(spark, sf_dir):
+    from hobbes_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events").df.select("event_id", "value")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    out = range_join(ev, bands, point="value", lower="lo", upper="hi", bin_width=50.0)
+    return out.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        _r(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------- #
 # Winnowing fingerprints (rolling-hash document fingerprinting) and the
 # end-to-end corpus-curation pipeline: lang-id -> quality filter ->
 # exact dedup -> per-source token/quality stats. The curation query is
