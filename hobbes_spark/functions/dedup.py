@@ -32,6 +32,7 @@ __all__ = [
     "jaccard_pairs",
     "embedding_neardup_exact",
     "embedding_neardup_lsh",
+    "connected_components",
 ]
 
 
@@ -253,6 +254,71 @@ def simhash60(col: Column | str, bits: int = 60) -> Column:
     for b, v in enumerate(votes):
         out = out + F.when(v > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
     return F.when(F.size(toks) > 0, out)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list by hash-to-min
+    label propagation: every node's label starts as its own id and each
+    round becomes the min of its own and its neighbors' labels, until a
+    fixpoint. Returns (id, component) with component = min node id in
+    the component, for every node incident to an edge.
+
+    This is the dedup-cluster step that turns near-duplicate PAIRS
+    (minhash_pairs / embedding_neardup_*) into keep-one-per-group
+    assignments. Each round is one equi-join + one aggregation (two
+    shuffles) over the edge list; rounds needed = graph diameter, which
+    for near-dup clusters is tiny (near-cliques: 2-3). Labels are
+    persisted per round and the loop stops via a distributed
+    changed-count — nothing is collected to the driver. For
+    billion-edge general graphs prefer the large-star/small-star
+    variant (Kiveris et al., 2014); for dedup graphs this simple form
+    is both fewer shuffles per round and fewer rounds.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+    )
+    # localCheckpoint each round: every step references the previous one
+    # TWICE (propagation join + label join), so without lineage truncation
+    # the logical plan doubles per round — a diameter-11 path is a
+    # 2^11-node plan and a driver OOM long before the data is big. The
+    # eager checkpoint materializes the round and cuts the plan to a
+    # constant size. (On a real cluster with executor churn, reliable
+    # `checkpoint()` to the checkpoint dir is the durable variant.)
+    labels = (
+        sym.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym["d"] == labels["id"])
+            .groupBy("s")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+                F.col("comp").alias("old_comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = stepped.select("id", "comp")
+        if changed == 0:
+            break
+    return labels
 
 
 def embedding_neardup_exact(

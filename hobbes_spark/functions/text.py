@@ -19,11 +19,15 @@ __all__ = [
     "token_count",
     "wordlike_token_count",
     "stopword_ratio",
+    "stopword_ratio_t",
     "alpha_ratio",
     "punct_ratio",
     "quality_score",
+    "quality_score_t",
     "lang_scores",
+    "lang_scores_t",
     "lang_id",
+    "lang_id_t",
     "fingerprint",
     "winnow_fingerprints",
     "STOPWORDS",
@@ -65,11 +69,21 @@ def wordlike_token_count(col: Column | str) -> Column:
     return F.regexp_count(c(col), F.lit(WORDLIKE_PATTERN)).cast("bigint")
 
 
+def stopword_ratio_t(toks_l: Column) -> Column:
+    """:func:`stopword_ratio` given pre-lowercased tokens.
+
+    The ``_t`` variants exist for pipelines that stage the token array
+    as a projected column and score several metrics from it: passing
+    the tokens expression inline would re-run the split once per
+    consumer (quality + 5 language scores = 7 splits/row), while a
+    staged multi-referenced column is tokenized once."""
+    hits = F.size(F.filter(toks_l, lambda x: x.isin(*STOPWORDS)))
+    return hits / F.nullif(F.size(toks_l), F.lit(0))
+
+
 def stopword_ratio(col: Column | str) -> Column:
     """Fraction of whitespace tokens that are (lowercased) stopwords."""
-    toks = tokens(F.lower(c(col)))
-    hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
-    return hits / F.nullif(F.size(toks), F.lit(0))
+    return stopword_ratio_t(tokens(F.lower(c(col))))
 
 
 def alpha_ratio(col: Column | str) -> Column:
@@ -85,17 +99,23 @@ def punct_ratio(col: Column | str) -> Column:
     return punct / F.nullif(F.length(src), F.lit(0))
 
 
+def quality_score_t(col: Column | str, toks_l: Column, target_len: int = 500) -> Column:
+    """:func:`quality_score` given pre-lowercased tokens (see
+    :func:`stopword_ratio_t` for why the ``_t`` variants exist)."""
+    src = c(col)
+    len_sat = F.least(F.length(src) / F.lit(float(target_len)), F.lit(1.0))
+    stop = F.least(F.coalesce(stopword_ratio_t(toks_l), F.lit(0.0)) * 5, F.lit(1.0))
+    alpha = F.coalesce(alpha_ratio(src), F.lit(0.0))
+    punct = F.coalesce(punct_ratio(src), F.lit(0.0))
+    return 0.3 * len_sat + 0.3 * alpha + 0.2 * stop + 0.2 * (1 - punct)
+
+
 def quality_score(col: Column | str, target_len: int = 500) -> Column:
     """Composite document quality in [0, 1]:
     0.3·length-saturation + 0.3·alpha-ratio + 0.2·stopword-presence +
     0.2·(1 − punct-ratio). Deterministic, SQL-expressible, and the usual
     shape of pretraining heuristic filters (length/punct/stopword)."""
-    src = c(col)
-    len_sat = F.least(F.length(src) / F.lit(float(target_len)), F.lit(1.0))
-    stop = F.least(F.coalesce(stopword_ratio(src), F.lit(0.0)) * 5, F.lit(1.0))
-    alpha = F.coalesce(alpha_ratio(src), F.lit(0.0))
-    punct = F.coalesce(punct_ratio(src), F.lit(0.0))
-    return 0.3 * len_sat + 0.3 * alpha + 0.2 * stop + 0.2 * (1 - punct)
+    return quality_score_t(col, tokens(F.lower(c(col))), target_len)
 
 
 def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
@@ -103,14 +123,33 @@ def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda x: x.isin(ms)))
 
 
-def lang_scores(col: Column | str) -> dict[str, Column]:
-    """Marker-word hit counts per language (+ CJK char count for zh)."""
-    toks = tokens(F.lower(c(col)))
+def lang_scores_t(col: Column | str, toks_l: Column) -> dict[str, Column]:
+    """:func:`lang_scores` given pre-lowercased tokens."""
     scores: dict[str, Column] = {
-        lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()
+        lang: _marker_hits(toks_l, markers) for lang, markers in LANG_MARKERS.items()
     }
     scores["zh"] = F.regexp_count(c(col), F.lit(_CJK))
     return scores
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-word hit counts per language (+ CJK char count for zh)."""
+    return lang_scores_t(col, tokens(F.lower(c(col))))
+
+
+def lang_id_t(col: Column | str, toks_l: Column) -> Column:
+    """:func:`lang_id` given pre-lowercased tokens (see
+    :func:`stopword_ratio_t` for why the ``_t`` variants exist)."""
+    s = lang_scores_t(col, toks_l)
+    best = F.greatest(s["en"], s["de"], s["fr"], s["es"])
+    return (
+        F.when(s["zh"] > 0, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(s["en"] == best, F.lit("en"))
+        .when(s["de"] == best, F.lit("de"))
+        .when(s["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
 
 
 def lang_id(col: Column | str) -> Column:

@@ -1210,6 +1210,49 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Dedup clusters: near-dup pairs -> connected components (keep-one-per-
+# group assignment). The oracle computes components independently via a
+# DuckDB recursive CTE (full reachability -> min reachable id).
+# --------------------------------------------------------------------- #
+
+
+def _components_sql() -> str:
+    mh = _minhash_sql()
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({mh}) mh
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT s AS id FROM edges
+    ), reach(id, m) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.id, e.d FROM reach r JOIN edges e ON e.s = r.m
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(m) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """
+
+
+@q("dedup_components", _components_sql())
+def dedup_components(spark, sf_dir):
+    from hobbes_spark.functions.dedup import connected_components, minhash_pairs
+
+    docs = _t(spark, sf_dir, "documents").df
+    pairs = minhash_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5, hash_fn="md5"
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return comp.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("component"),
+    )
+
+
+# --------------------------------------------------------------------- #
 # As-of join and range (interval) join — beyond-reference time-series
 # operators. The as-of oracle is DuckDB's native ASOF LEFT JOIN (an
 # independent implementation); ts is truncated to microseconds on BOTH
@@ -1371,40 +1414,48 @@ def _curate_sql(q_min: float = 0.6) -> str:
                   WHEN {hits['fr']} = {best} THEN 'fr'
                   ELSE 'es' END AS lang_guess
       FROM base
-    ), kept AS (
-      SELECT * FROM scored WHERE lang_guess = 'en' AND quality >= {q_min}
     ), deduped AS (
       SELECT * FROM (
         SELECT *, MIN(doc_id) OVER (
           PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
         ) AS keep
-        FROM kept
+        FROM scored
       ) WHERE doc_id = keep
+    ), kept AS (
+      SELECT * FROM deduped WHERE lang_guess = 'en' AND quality >= {q_min}
     )
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(tc) AS BIGINT) AS total_tokens,
            {_rsql('AVG(quality)', 4)} AS mean_quality
-    FROM deduped GROUP BY source
+    FROM kept GROUP BY source
     """
 
 
 @q("curate_corpus", _curate_sql(0.6), bench=True)
 def curate_corpus(spark, sf_dir):
+    """Flagship curation pipeline, arranged for one tokenization per row:
+    the token array is a staged multi-referenced column (so CollapseProject
+    can't re-inline the split into each of the 6 consumers), and the
+    dedup window sits BEFORE the lang/quality filter — the window is a
+    pushdown barrier, otherwise the filter's predicates would be pushed
+    below the projection and re-derive the token array per predicate."""
     from hobbes_spark.functions import text as TX
     from hobbes_spark.functions.dedup import exact_dedup
 
     docs = _t(spark, sf_dir, "documents").df
-    scored = docs.select(
+    staged = docs.withColumn("__toksl", TX.tokens(F.lower(F.col("text"))))
+    toks = F.col("__toksl")
+    scored = staged.select(
         "doc_id",
         "source",
         "text",
-        TX.token_count(F.lower(F.col("text"))).alias("tc"),
-        TX.quality_score("text").alias("quality"),
-        TX.lang_id("text").alias("lang_guess"),
+        F.size(toks).cast("bigint").alias("tc"),
+        TX.quality_score_t("text", toks).alias("quality"),
+        TX.lang_id_t("text", toks).alias("lang_guess"),
     )
-    kept = scored.filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.6))
-    deduped = exact_dedup(kept, "doc_id", "text")
-    return deduped.groupBy("source").agg(
+    deduped = exact_dedup(scored, "doc_id", "text")
+    kept = deduped.filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.6))
+    return kept.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("tc").cast("bigint").alias("total_tokens"),
         _r(F.avg("quality"), 4).alias("mean_quality"),

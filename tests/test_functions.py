@@ -300,3 +300,22 @@ def test_winnow_fingerprints_deterministic_and_sorted(spark):
     a = TX.winnow_fingerprints(df, "text").collect()[0]["fps"]
     b = TX.winnow_fingerprints(df, "text").collect()[0]["fps"]
     assert a == b and a == sorted(set(a)) and len(a) > 0
+
+
+def test_connected_components_chains_and_triangles(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22), (None, 5)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r["id"]: r["comp"] for r in DD.connected_components(edges).collect()}
+    # NULL-endpoint edges are dropped; 5 never appears
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 12-node path needs multiple propagation rounds (diameter 11)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "id_a bigint, id_b bigint"
+    )
+    got = {r["id"]: r["comp"] for r in DD.connected_components(edges).collect()}
+    assert set(got.values()) == {100} and len(got) == 12
