@@ -1,0 +1,88 @@
+"""Deterministic, reproducible sampling for training-data pipelines.
+
+``df.sample()`` is seed-dependent per partitioning and neither stable
+across runs nor expressible in SQL — useless for auditable corpus
+construction. These operators instead hash a key column: a row is in
+the sample iff the first 8 hex chars of ``md5(key)`` (an effectively
+uniform 32-bit integer) fall under ``fraction * 2^32``. Properties the
+hash form buys at any scale:
+
+* **stable** — the same row is selected regardless of partitioning,
+  cluster size, or execution order;
+* **consistent across fractions** — the 10% sample is a superset of the
+  1% sample (nested samples for scaling-law runs);
+* **map-only** — a scan filter, no shuffle, fully pushdown-friendly;
+* **cross-engine** — md5 is bit-identical in DuckDB, so sampling
+  queries carry full value-hash oracles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hobbes_spark.expressions import c
+
+__all__ = ["hash_bucket", "hash_sample", "hash_sample_by", "weighted_mixture"]
+
+_SCALE = 1 << 32
+
+
+def hash_bucket(col: Column | str, salt: str = "") -> Column:
+    """Uniform value in [0, 2^32) from ``md5(salt || key)``. ``salt``
+    decorrelates independent samples drawn from the same key."""
+    src = F.concat(F.lit(salt), c(col).cast("string"))
+    return F.conv(F.substring(F.md5(src), 1, 8), 16, 10).cast("bigint")
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample, keyed on ``key``."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"hash_sample: fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_bucket(key, salt) < int(fraction * _SCALE))
+
+
+def hash_sample_by(
+    df: DataFrame,
+    key: str,
+    strata: str,
+    fractions: Mapping[str, float],
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum fractions (e.g.
+    down-weight a dominant source, keep all of a rare one). Strata not
+    listed get ``default``. One scan, no shuffle."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"hash_sample_by: fraction for {s!r} must be in [0, 1]")
+    thresh = F.lit(int(default * _SCALE))
+    col = c(strata)
+    for s, f in fractions.items():
+        thresh = F.when(col == s, F.lit(int(f * _SCALE))).otherwise(thresh)
+    return df.filter(hash_bucket(key, salt) < thresh)
+
+
+def weighted_mixture(
+    sources: Mapping[str, DataFrame], key: str, weights: Mapping[str, float], salt: str = ""
+) -> DataFrame:
+    """Training-mixture construction: per-source deterministic sampling
+    rates, unioned by name. ``weights`` are sampling fractions per
+    source (not renormalized); missing sources are excluded entirely.
+    The union is schema-aligned (``unionByName``), each branch a
+    map-only filtered scan."""
+    picked = []
+    for name, frac in weights.items():
+        if name not in sources:
+            raise KeyError(f"weighted_mixture: unknown source {name!r}")
+        picked.append(hash_sample(sources[name], key, frac, salt=salt))
+    if not picked:
+        raise ValueError("weighted_mixture: no sources selected")
+    out = picked[0]
+    for nxt in picked[1:]:
+        out = out.unionByName(nxt)
+    return out

@@ -1210,6 +1210,58 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Deterministic hash sampling (reproducible corpus construction). The
+# md5-bucket form is stable across partitioning/cluster size, nests
+# across fractions, needs no shuffle, and is bit-identical in DuckDB —
+# so unlike rand()-based sample(), it carries a full value-hash oracle.
+# --------------------------------------------------------------------- #
+
+
+def _hash_bucket_sql(key_expr: str, salt: str = "") -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{salt}' || CAST({key_expr} AS VARCHAR)), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+
+
+@q(
+    "hash_sample_docs",
+    f"""
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE {_hash_bucket_sql('doc_id')} < {int(0.25 * (1 << 32))}
+    """,
+)
+def hash_sample_docs(spark, sf_dir):
+    from hobbes_spark.functions.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents").df
+    return hash_sample(docs, "doc_id", 0.25).select("doc_id", "source", "n_chars")
+
+
+_STRATA_FRACTIONS = {"en": 1.0, "zh": 0.5, "de": 0.25}
+
+
+@q(
+    "stratified_sample_counts",
+    f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    WHERE {_hash_bucket_sql('doc_id')} <
+      CASE WHEN lang = 'de' THEN {int(0.25 * (1 << 32))}
+           WHEN lang = 'zh' THEN {int(0.5 * (1 << 32))}
+           WHEN lang = 'en' THEN {int(1.0 * (1 << 32))}
+           ELSE {int(0.1 * (1 << 32))} END
+    GROUP BY lang
+    """,
+)
+def stratified_sample_counts(spark, sf_dir):
+    from hobbes_spark.functions.sampling import hash_sample_by
+
+    docs = _t(spark, sf_dir, "documents").df
+    out = hash_sample_by(docs, "doc_id", "lang", _STRATA_FRACTIONS, default=0.1)
+    return out.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+# --------------------------------------------------------------------- #
 # Dedup clusters: near-dup pairs -> connected components (keep-one-per-
 # group assignment). The oracle computes components independently via a
 # DuckDB recursive CTE (full reachability -> min reachable id).

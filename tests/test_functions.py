@@ -319,3 +319,37 @@ def test_connected_components_long_path_converges(spark):
     )
     got = {r["id"]: r["comp"] for r in DD.connected_components(edges).collect()}
     assert set(got.values()) == {100} and len(got) == 12
+
+
+def test_hash_sample_stable_and_nested(spark, sf_dir):
+    from hobbes_spark.functions import sampling as SP
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s10 = {r["doc_id"] for r in SP.hash_sample(docs, "doc_id", 0.10).collect()}
+    s25 = {r["doc_id"] for r in SP.hash_sample(docs, "doc_id", 0.25).collect()}
+    again = {r["doc_id"] for r in
+             SP.hash_sample(docs.repartition(7), "doc_id", 0.10).collect()}
+    assert s10 == again          # stable under repartitioning
+    assert s10 <= s25            # nested across fractions
+    n = docs.count()
+    assert 0.05 * n <= len(s10) <= 0.15 * n
+    # a different salt draws an (almost surely) different sample
+    salted = {r["doc_id"] for r in SP.hash_sample(docs, "doc_id", 0.10, salt="v2").collect()}
+    assert salted != s10
+
+
+def test_weighted_mixture_and_validation(spark, sf_dir):
+    from hobbes_spark.functions import sampling as SP
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wiki = docs.filter("source LIKE 'src_0%'")
+    web = docs.filter("source NOT LIKE 'src_0%'")
+    mix = SP.weighted_mixture({"wiki": wiki, "web": web}, "doc_id",
+                              {"wiki": 1.0, "web": 0.2})
+    n_wiki, n_web = wiki.count(), web.count()
+    got = mix.count()
+    assert n_wiki + 0.1 * n_web <= got <= n_wiki + 0.35 * n_web
+    with pytest.raises(KeyError):
+        SP.weighted_mixture({"wiki": wiki}, "doc_id", {"nope": 0.5})
+    with pytest.raises(ValueError):
+        SP.hash_sample(docs, "doc_id", 1.5)
