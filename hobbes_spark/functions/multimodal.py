@@ -30,6 +30,8 @@ __all__ = [
     "as_media",
     "decode_image_meta",
     "frame_sample_plan",
+    "resize_images",
+    "extract_features",
 ]
 
 #: the uniform multimodal column contract: payload + typed metadata
@@ -184,6 +186,103 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
     # plan and leak to unrelated Arrow operations, so it is left to the
     # session configuration.
     return media.mapInPandas(decode, schema=_DECODE_OUT)
+
+
+_RESIZE_OUT = "media_id long, mime string, width int, height int, content binary"
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize every image payload to ``width``x``height``.
+
+    Real path: PIL, if importable. Otherwise the pixel work is a
+    deterministic FAKE (payload re-hashed to the target byte budget via
+    repeated sha256 — stable across runs/partitions, clearly marked in
+    the ``mime`` suffix ``;fake-resize``); the Arrow batch iteration,
+    output schema, and per-row error handling (corrupt payload → NULL
+    content) are the production shape either way.
+    """
+    if width <= 0 or height <= 0:
+        raise ValueError("resize_images: width/height must be positive")
+    target = width * height * 3  # RGB byte budget for the fake path
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401
+            import io
+
+            def one(b: bytes) -> tuple[bytes | None, str]:
+                try:
+                    img = Image.open(io.BytesIO(b)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    return buf.getvalue(), "image/png"
+                except Exception:
+                    return None, "image/png"
+
+        except ImportError:
+
+            def one(b: bytes) -> tuple[bytes | None, str]:
+                if b is None:
+                    return None, "application/octet-stream;fake-resize"
+                out = bytearray()
+                block = hashlib.sha256(b).digest()
+                while len(out) < target:
+                    out.extend(block)
+                    block = hashlib.sha256(block).digest()
+                return bytes(out[:target]), "application/octet-stream;fake-resize"
+
+        for pdf in batches:
+            results = [one(b) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": [m for _, m in results],
+                    "width": width,
+                    "height": height,
+                    "content": [c for c, _ in results],
+                }
+            )
+
+    return media.mapInPandas(do_resize, schema=_RESIZE_OUT)
+
+
+def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-payload feature vector (``array<float>``), the
+    embedding-extraction stage of a multimodal pipeline.
+
+    The model forward pass is a deterministic FAKE (sha256-seeded
+    pseudo-floats in [-1, 1] — no ML runtime in this container), marked
+    via ``extractor='fake-hash'``; swap ``one()`` for a real encoder and
+    nothing else changes. Output feeds directly into the similarity /
+    near-dup operators (`cosine_topk`, `embedding_neardup_lsh`), which
+    is the point of the shared (id, embedding) shape.
+    """
+    if dim <= 0:
+        raise ValueError("extract_features: dim must be positive")
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes) -> list[float] | None:
+            if b is None:
+                return None
+            vals: list[float] = []
+            block = hashlib.sha256(b).digest()
+            while len(vals) < dim:
+                vals.extend(x / 127.5 - 1.0 for x in block)
+                block = hashlib.sha256(block).digest()
+            return vals[:dim]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "embedding": [one(b) for b in pdf["content"]],
+                    "extractor": "fake-hash",
+                }
+            )
+
+    return media.mapInPandas(
+        featurize, schema="media_id long, embedding array<float>, extractor string"
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 30, max_frames: int = 8) -> DataFrame:

@@ -353,3 +353,34 @@ def test_weighted_mixture_and_validation(spark, sf_dir):
         SP.weighted_mixture({"wiki": wiki}, "doc_id", {"nope": 0.5})
     with pytest.raises(ValueError):
         SP.hash_sample(docs, "doc_id", 1.5)
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
+    media = MM.as_media(docs, "doc_id", "text", "image/fake")
+    out = MM.resize_images(media, width=32, height=16).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["width"] == 32 and r["height"] == 16
+        assert r["content"] is not None and len(r["content"]) == 32 * 16 * 3
+    # deterministic: same payload -> same fake pixels
+    again = MM.resize_images(media, width=32, height=16).collect()
+    assert {r["media_id"]: bytes(r["content"]) for r in out} == \
+           {r["media_id"]: bytes(r["content"]) for r in again}
+    with pytest.raises(ValueError):
+        MM.resize_images(media, width=0)
+
+
+def test_extract_features_feeds_similarity(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(12)
+    media = MM.as_media(docs, "doc_id", "text", "image/fake")
+    feats = MM.extract_features(media, dim=16)
+    rows = feats.collect()
+    assert all(len(r["embedding"]) == 16 for r in rows)
+    assert all(-1.0 <= v <= 1.0 for r in rows for v in r["embedding"])
+    # the output shape plugs straight into the ANN/near-dup operators
+    corpus = feats.select(F.col("media_id").alias("vec_id"), "embedding")
+    from hobbes_spark.functions.similarity import cosine_topk
+
+    topk = cosine_topk(corpus, corpus.limit(2), k=3).collect()
+    assert len(topk) > 0 and all(r["rank"] <= 3 for r in topk)

@@ -88,3 +88,29 @@ def test_slice_prunes_scan(spark, sf_dir):
     scan = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "o_orderkey" in scan and "o_totalprice" in scan
     assert "o_orderstatus" not in scan and "o_orderdate" not in scan
+
+
+def test_hash_sample_is_pruned_map_only(spark, sf_dir):
+    """Deterministic sampling must stay a shuffle-free scan filter with
+    column pruning down to the selected output columns."""
+    plan = plan_of(spark, sf_dir, "hash_sample_docs")
+    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in scan and "text" not in scan  # text column not read
+    assert "Exchange" not in plan  # no shuffle anywhere
+
+
+def test_curate_tokenizes_once(spark, sf_dir):
+    """The curation pipeline stages the token split in ONE projection;
+    collapse back into per-consumer splits would re-run the regex split
+    6x per row."""
+    df = QUERIES["curate_corpus"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # the split expression appears exactly once in the whole plan
+    assert opt.count("split(") == 1
+
+
+def test_asof_catalog_single_shuffle(spark, sf_dir):
+    """asof_attribution: the union+window plan shuffles once on the by
+    key; a second exchange would mean the union or filter re-partitioned."""
+    plan = plan_of(spark, sf_dir, "asof_attribution")
+    assert plan.count("Exchange hashpartitioning") == 1

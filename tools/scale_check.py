@@ -94,11 +94,57 @@ def main():
             .groupBy("c_mktsegment").agg(F.sum("o_totalprice"))
         )
 
+    def fix_ts(ev):
+        if dict(ev.dtypes)["ts"] == "bigint":
+            ev = ev.withColumn("ts", F.expr("timestamp_micros(`ts` div 1000)"))
+        return ev
+
+    def asof(ev):
+        from hobbes_spark.operators.asof import asof_join
+
+        ev = fix_ts(ev)
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        buys = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        return asof_join(clicks, buys, on="ts", by=["user_id"])
+
+    def curate(do):
+        from hobbes_spark.functions import text as TX
+        from hobbes_spark.functions.dedup import exact_dedup
+
+        staged = do.withColumn("__toksl", TX.tokens(F.lower(F.col("text"))))
+        toks = F.col("__toksl")
+        scored = staged.select(
+            "doc_id", "source", "text",
+            F.size(toks).cast("bigint").alias("tc"),
+            TX.quality_score_t("text", toks).alias("quality"),
+            TX.lang_id_t("text", toks).alias("lang_guess"),
+        )
+        kept = exact_dedup(scored, "doc_id", "text").filter(
+            (F.col("lang_guess") == "en") & (F.col("quality") >= 0.6)
+        )
+        return kept.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("tc").alias("tt")
+        )
+
+    def components(do):
+        from hobbes_spark.functions.dedup import connected_components, minhash_pairs
+
+        pairs = minhash_pairs(do, "doc_id", "text", num_hashes=32, bands=16,
+                              threshold=0.5, hash_fn="xxhash64")
+        return connected_components(pairs.select("id_a", "id_b"))
+
     cases = {
         "group_agg": (group_agg, li1, liN),
         "keyed_window": (keyed_window, ev1, evN),
         "minhash_dedup": (minhash, do1, doN),
         "join_agg": (join_orders, or1, orN),
+        "asof_join": (asof, ev1, evN),
+        "curate_corpus": (curate, do1, doN),
+        "dedup_components": (components, do1, doN),
     }
 
     def run(df):
