@@ -1210,6 +1210,47 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Corpus vocabulary stats: token -> frequency -> rank (vocab building /
+# Zipf checks). Explode + count is the canonical skewed aggregation —
+# hot tokens ('the', ...) are handled by partial (map-side) aggregation,
+# so the shuffle carries one row per (partition, token), not per token
+# occurrence.
+# --------------------------------------------------------------------- #
+
+
+@q(
+    "token_frequencies",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_DDB_TOKENS.format(t="lower(text)")}) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY token
+    )
+    SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INTEGER) AS rank
+    FROM counts QUALIFY rank <= 50
+    """,
+)
+def token_frequencies(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from hobbes_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").df
+    counts = (
+        docs.select(F.explode_outer(tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 50)
+    )
+
+
+# --------------------------------------------------------------------- #
 # Deterministic hash sampling (reproducible corpus construction). The
 # md5-bucket form is stable across partitioning/cluster size, nests
 # across fractions, needs no shuffle, and is bit-identical in DuckDB —
