@@ -279,10 +279,15 @@ def connected_components(
     variant (Kiveris et al., 2014); for dedup graphs this simple form
     is both fewer shuffles per round and fewer rounds.
     """
+    # checkpoint the symmetrized edges too: every propagation round joins
+    # against them, and without truncation each round would re-run the
+    # whole upstream pair-generation pipeline (for dedup graphs that is
+    # the expensive MinHash/LSH stage, times the number of rounds)
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .localCheckpoint()
     )
     # localCheckpoint each round: every step references the previous one
     # TWICE (propagation join + label join), so without lineage truncation
@@ -297,6 +302,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    changed = None
     for _ in range(max_iterations):
         nbr_min = (
             sym.join(labels, sym["d"] == labels["id"])
@@ -318,6 +324,14 @@ def connected_components(
         labels = stepped.select("id", "comp")
         if changed == 0:
             break
+    if changed:
+        # returning silently would report one real component as several
+        # (labels > max_iterations hops from the component min are stale)
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iterations} "
+            f"iterations ({changed} labels still changing); the graph "
+            "diameter exceeds max_iterations — raise it"
+        )
     return labels
 
 

@@ -32,8 +32,14 @@ _SCALE = 1 << 32
 
 def hash_bucket(col: Column | str, salt: str = "") -> Column:
     """Uniform value in [0, 2^32) from ``md5(salt || key)``. ``salt``
-    decorrelates independent samples drawn from the same key."""
-    src = F.concat(F.lit(salt), c(col).cast("string"))
+    decorrelates independent samples drawn from the same key.
+
+    NULL keys map to one sentinel bucket rather than NULL — otherwise a
+    NULL-keyed row would fail every ``< threshold`` filter and silently
+    vanish even from a fraction=1.0 sample. All NULL-key rows therefore
+    sample together (all in or all out at a given fraction/salt)."""
+    key = F.coalesce(c(col).cast("string"), F.lit("\x00null"))
+    src = F.concat(F.lit(salt), key)
     return F.conv(F.substring(F.md5(src), 1, 8), 16, 10).cast("bigint")
 
 

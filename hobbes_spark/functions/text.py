@@ -158,16 +158,7 @@ def lang_id(col: Column | str) -> Column:
 
     A pure-expression heuristic (no model), the standard first-pass
     filter shape for pretraining corpora; exactly reproducible in SQL."""
-    s = lang_scores(col)
-    best = F.greatest(s["en"], s["de"], s["fr"], s["es"])
-    return (
-        F.when(s["zh"] > 0, F.lit("zh"))
-        .when(best == 0, F.lit("und"))
-        .when(s["en"] == best, F.lit("en"))
-        .when(s["de"] == best, F.lit("de"))
-        .when(s["fr"] == best, F.lit("fr"))
-        .otherwise(F.lit("es"))
-    )
+    return lang_id_t(col, tokens(F.lower(c(col))))
 
 
 def winnow_fingerprints(

@@ -129,6 +129,8 @@ def range_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"range_join: how must be inner/left, got {how!r}")
+    if not bin_width > 0:
+        raise ValueError(f"range_join: bin_width must be positive, got {bin_width}")
     by = list(by)
     overlap = set(left.columns) & set(right.columns)
     if overlap - set(by):

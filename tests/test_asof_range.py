@@ -76,9 +76,12 @@ def test_asof_rejects_bad_direction_and_clashes(lr, spark):
     L, R = lr
     with pytest.raises(ValueError, match="direction"):
         asof_join(L, R, on="t", by=["uid"], direction="nearest")
-    clash = R.withColumnRenamed("v", "lbl")  # r_lbl vs ... fine; force clash:
+    # left already carries a column named like a prefixed right payload
     with pytest.raises(ValueError, match="clash"):
-        asof_join(L.withColumnRenamed("lbl", "r_t"), R, on="t", by=["uid"])
+        asof_join(L.withColumnRenamed("lbl", "r_v"), R, on="t", by=["uid"])
+    with pytest.raises(ValueError, match="bin_width"):
+        range_join(L, R.withColumnRenamed("t", "lo").withColumn("hi", F.col("lo")),
+                   "t", "lo", "hi", bin_width=0.0)
 
 
 def test_range_join_inclusive_and_multi_band(spark):
