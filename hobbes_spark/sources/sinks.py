@@ -17,7 +17,7 @@ import os
 
 from pyspark.sql import DataFrame
 
-__all__ = ["to_data_result", "to_json_rows", "checkpoint"]
+__all__ = ["to_data_result", "to_json_rows", "checkpoint", "write_partitioned", "write_bucketed"]
 
 
 def _encode(v):
@@ -93,3 +93,38 @@ def write_partitioned(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple,
+    num_buckets: int = 32,
+    sort_cols: tuple = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed-table sink: pre-shuffles rows into ``num_buckets`` hash
+    buckets on ``bucket_cols`` at write time, so every later equi-join or
+    aggregation on those columns runs SHUFFLE-FREE — the join reads
+    matching buckets side by side. This is the co-location lever for the
+    repeatedly-joined 100 TB fact tables (pay the shuffle once at ingest,
+    never per query). ``sort_cols`` additionally orders rows inside each
+    bucket (sort-merge joins skip their sort stage too).
+
+    Bucketing metadata lives in the session catalog (``saveAsTable``);
+    read back with ``spark.table(table)``. Pick ``num_buckets`` so one
+    bucket of the largest table fits an executor's memory — and keep it
+    IDENTICAL across tables meant to join (differing counts re-shuffle).
+    """
+    if not bucket_cols:
+        raise ValueError("write_bucketed: bucket_cols must be non-empty")
+    if num_buckets <= 0:
+        raise ValueError("write_bucketed: num_buckets must be positive")
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -223,3 +223,48 @@ def test_approx_median_close_to_exact(spark, sf_dir):
     assert exact.keys() == approx.keys()
     for k in exact:
         assert abs(exact[k] - approx[k]) / exact[k] < 0.01
+
+
+def test_write_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed identically on the join key must sort-merge
+    join with NO exchange on either side — the 100 TB co-location lever."""
+    from hobbes_spark.sources.sinks import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", ("o_orderkey",), num_buckets=8,
+                   sort_cols=("o_orderkey",))
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "b_lineitem", ("o_orderkey",), num_buckets=8,
+                   sort_cols=("o_orderkey",))
+    try:
+        a, b = spark.table("b_orders"), spark.table("b_lineitem")
+        # disable broadcast so the join strategy is the bucketed sort-merge
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "o_orderkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, "bucketed join must not shuffle"
+            assert joined.count() == li.count()
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_write_bucketed_validation(spark):
+    from hobbes_spark.sources.sinks import write_bucketed
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="bucket_cols"):
+        write_bucketed(df, "t", ())
+    with pytest.raises(ValueError, match="num_buckets"):
+        write_bucketed(df, "t", ("id",), num_buckets=0)
