@@ -12,12 +12,14 @@ re-expresses the same semantics Spark-first:
 * ``expressions`` — the scalar expression language (``if/else``, ``regex``,
   ``int``, ``format date``, ``contains``, ``missing`` …) as Column builders.
 * ``operators`` — windowed series (``moving``/``expanding``), dataset
-  combinators (``merge``/``join``), ML ops (``buckets``, ``k-means``,
+  combinators (``merge``/``join``), as-of and range joins, skew-salted
+  aggregation, ML ops (``buckets``, ``k-means``,
   ``linear regression/extrapolation``, ``each``).
 * ``sources`` / ``sinks`` — ingestion (JSON dot-path flattening, type
   sniffing, inline tables) and the uniform ``DataResult`` wire format.
 * ``functions`` — large-scale training-data pipeline extensions
-  (dedup, similarity search, text analysis, multimodal plumbing).
+  (dedup + cluster assignment, similarity search, text analysis and
+  fingerprinting, deterministic sampling, multimodal plumbing).
 * ``hb`` — a text front-end for the reference's ``.hb`` language.
 
 Everything here is built only on the public PySpark API.
