@@ -488,7 +488,12 @@ class GroupedPipeline:
         """``group by ks -> minby expr`` (snippets:125-131)."""
         return self._selector(expr, descending=False, tiebreak=tiebreak)
 
-    def reduce(self, reduction: str, approx_median: bool = False) -> Pipeline:
+    def reduce(
+        self,
+        reduction: str,
+        approx_median: bool = False,
+        approx_distinct: bool = False,
+    ) -> Pipeline:
         """``group by ks -> R`` — apply ``R`` to every remaining column
         (snippets:109-115 "reduces all cells in a group"; `MTTR.hb:23-27`
         sums the metric and the tick counter in one statement).
@@ -501,11 +506,17 @@ class GroupedPipeline:
         ``approx_median=True`` swaps exact ``median`` for
         ``percentile_approx`` (1e-4 relative error): the scale path when
         groups hold millions of rows — exact median buffers each group's
-        values, approx keeps a fixed-size sketch and map-side combines."""
+        values, approx keeps a fixed-size sketch and map-side combines.
+        ``approx_distinct=True`` likewise swaps exact ``distinct`` for
+        the HyperLogLog++ sketch (``approx_count_distinct``, ~2% rsd):
+        exact distinct shuffles every distinct value; the sketch is a
+        fixed few KB per group and fully map-side combinable."""
         df = self.parent.df
         fn = reduction_fn(reduction)
         if reduction == "median" and approx_median:
             fn = lambda col: F.percentile_approx(col, 0.5, 10000)  # noqa: E731
+        if reduction == "distinct" and approx_distinct:
+            fn = lambda col: F.approx_count_distinct(col, 0.02)  # noqa: E731
         rest = [col for col in df.columns if col not in self.keys]
         if reduction in NUMERIC_ONLY:
             num = set(numeric_columns(df))

@@ -268,3 +268,21 @@ def test_write_bucketed_validation(spark):
         write_bucketed(df, "t", ())
     with pytest.raises(ValueError, match="num_buckets"):
         write_bucketed(df, "t", ("id",), num_buckets=0)
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    """approx_distinct (the 100 TB path: HLL sketch, map-side combinable)
+    tracks exact distinct within its rsd on real data."""
+    from hobbes_spark.pipeline import Pipeline
+
+    li = Pipeline.table(spark, sf_dir, "lineitem").slice_columns(
+        "l_returnflag", "l_partkey"
+    )
+    exact = {r["l_returnflag"]: r["l_partkey"]
+             for r in li.group_by("l_returnflag").reduce("distinct").collect()}
+    approx = {r["l_returnflag"]: r["l_partkey"]
+              for r in li.group_by("l_returnflag")
+              .reduce("distinct", approx_distinct=True).collect()}
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        assert abs(exact[k] - approx[k]) / exact[k] < 0.06  # 3x the 2% rsd
