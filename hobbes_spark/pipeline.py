@@ -435,6 +435,22 @@ class Pipeline:
 
         return merge(*pipelines)
 
+    def intersect_rows(self, other: "Pipeline") -> "Pipeline":
+        """Distinct rows present in BOTH pipelines (SQL INTERSECT
+        semantics, NULLs compare equal). Beyond-reference (SURVEY §2.5
+        lists set ops as absent); a keyed shuffle + merge, no cross
+        product."""
+        return self._step(
+            self._df.intersect(other.df), "intersect", key_cols=self.key_cols, order=()
+        )
+
+    def except_rows(self, other: "Pipeline") -> "Pipeline":
+        """Distinct rows of this pipeline NOT in ``other`` (SQL EXCEPT
+        semantics). Beyond-reference, same shuffle shape as intersect."""
+        return self._step(
+            self._df.subtract(other.df), "except", key_cols=self.key_cols, order=()
+        )
+
     # ------------------------------------------------------------------ #
     # materialization
     # ------------------------------------------------------------------ #

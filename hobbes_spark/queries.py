@@ -1210,6 +1210,65 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Set operations and rollup (beyond-reference; SURVEY §2.4/§2.5 note
+# them absent from the DSL but free via Catalyst once exposed).
+# --------------------------------------------------------------------- #
+
+
+@q(
+    "repeat_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def repeat_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.only(F.year("o_orderdate") == 1995).slice_columns("o_custkey")
+    y96 = orders.only(F.year("o_orderdate") == 1996).slice_columns("o_custkey")
+    return y95.intersect_rows(y96).df
+
+
+@q(
+    "churned_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def churned_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.only(F.year("o_orderdate") == 1995).slice_columns("o_custkey")
+    y96 = orders.only(F.year("o_orderdate") == 1996).slice_columns("o_custkey")
+    return y95.except_rows(y96).df
+
+
+@q(
+    "rollup_revenue",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_rsql('SUM(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").df
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus").agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _r(F.sum(rev), 2).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
 # Corpus vocabulary stats: token -> frequency -> rank (vocab building /
 # Zipf checks). Explode + count is the canonical skewed aggregation —
 # hot tokens ('the', ...) are handled by partial (map-side) aggregation,
