@@ -167,6 +167,11 @@ def minhash_pairs(
     keys are uniform hashes, so no skew; pair blowup is bounded by
     bucket sizes (near-identical docs landing in one bucket is the
     *point*). Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    NOTE: this call is EAGER — the signature aggregation runs at call
+    time (an eager localCheckpoint shares it across the plan's three
+    consumers; computing lazily was measured slower than not sharing at
+    all). Build the plan only when you intend to execute it.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -174,10 +179,14 @@ def minhash_pairs(
     # localCheckpoint: the signature table has THREE consumers (banding +
     # both sides of the estimate rejoin) and Spark does not give them a
     # ReusedExchange (measured: zero reuse, the shingle+hash aggregation
-    # runs three times). The eager checkpoint computes it once; unlike
-    # persist() the blocks are released when the DataFrame is GC'd, so
-    # nothing stays pinned for the session lifetime. ~25% faster steady-
-    # state and ~4x faster cold (one codegen) at sf0.1.
+    # runs three times). The eager checkpoint truncates the plan to one
+    # shared RDD so signatures compute once; the lazy variant
+    # (eager=False) was measured SLOWER than no checkpoint at all (the
+    # deferred materialization recomputes), so eagerness is deliberate —
+    # see the docstring note. Unlike persist() the blocks are released
+    # when the DataFrame is GC'd, so nothing stays pinned for the
+    # session lifetime. ~25% faster steady-state and ~4x faster cold
+    # (one codegen) at sf0.1.
     base = minhash_signatures_df(
         df, id_col, text_col, num_hashes, hash_fn, k
     ).localCheckpoint()
@@ -274,6 +283,9 @@ def connected_components(
     fixpoint. Returns (id, component) with component = min node id in
     the component, for every node incident to an edge.
 
+    Raises ``ValueError`` for ``max_iterations < 1`` and ``RuntimeError``
+    if the loop hits the cap before converging.
+
     This is the dedup-cluster step that turns near-duplicate PAIRS
     (minhash_pairs / embedding_neardup_*) into keep-one-per-group
     assignments. Each round is one equi-join + one aggregation (two
@@ -285,6 +297,11 @@ def connected_components(
     variant (Kiveris et al., 2014); for dedup graphs this simple form
     is both fewer shuffles per round and fewer rounds.
     """
+    if max_iterations < 1:
+        # a skipped loop would return identity labels — every node its own
+        # component — which is precisely the silent wrong answer the
+        # convergence guard below exists to prevent
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     # checkpoint the symmetrized edges too: every propagation round joins
     # against them, and without truncation each round would re-run the
     # whole upstream pair-generation pipeline (for dedup graphs that is

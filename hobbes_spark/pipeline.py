@@ -435,20 +435,41 @@ class Pipeline:
 
         return merge(*pipelines)
 
+    def _aligned_for_setop(self, other: "Pipeline", op: str) -> DataFrame:
+        """Set ops are positional in Spark: align the right side to this
+        pipeline's column order by NAME first, and reject mismatched
+        column sets — positional intersect over reordered columns returns
+        a silently wrong (usually empty) result, not an error."""
+        if set(self.columns) != set(other.columns):
+            raise ValueError(
+                f"{op}: column sets differ: {sorted(self.columns)} vs "
+                f"{sorted(other.columns)}"
+            )
+        return other.df.select(*self.columns)
+
     def intersect_rows(self, other: "Pipeline") -> "Pipeline":
         """Distinct rows present in BOTH pipelines (SQL INTERSECT
-        semantics, NULLs compare equal). Beyond-reference (SURVEY §2.5
-        lists set ops as absent); a keyed shuffle + merge, no cross
-        product."""
+        semantics, NULLs compare equal; columns aligned by name).
+        Beyond-reference (SURVEY §2.5 lists set ops as absent); a keyed
+        shuffle + merge, no cross product."""
         return self._step(
-            self._df.intersect(other.df), "intersect", key_cols=self.key_cols, order=()
+            self._df.intersect(self._aligned_for_setop(other, "intersect_rows")),
+            # embed the right side's identity: a bare op string would give
+            # a∩b and a∩c the same cache_key and cross-serve checkpoints
+            f"intersect:{other.cache_key()}",
+            key_cols=self.key_cols,
+            order=(),
         )
 
     def except_rows(self, other: "Pipeline") -> "Pipeline":
         """Distinct rows of this pipeline NOT in ``other`` (SQL EXCEPT
-        semantics). Beyond-reference, same shuffle shape as intersect."""
+        semantics; columns aligned by name). Beyond-reference, same
+        shuffle shape as intersect."""
         return self._step(
-            self._df.subtract(other.df), "except", key_cols=self.key_cols, order=()
+            self._df.subtract(self._aligned_for_setop(other, "except_rows")),
+            f"except:{other.cache_key()}",
+            key_cols=self.key_cols,
+            order=(),
         )
 
     # ------------------------------------------------------------------ #

@@ -1318,8 +1318,11 @@ def token_frequencies(spark, sf_dir):
 
 
 def _hash_bucket_sql(key_expr: str, salt: str = "") -> str:
+    # COALESCE to the same "\x00null" sentinel as sampling.hash_bucket so
+    # NULL keys bucket identically in both engines
+    key = f"COALESCE(CAST({key_expr} AS VARCHAR), chr(0) || 'null')"
     return " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5('{salt}' || CAST({key_expr} AS VARCHAR)), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        f"(strpos('0123456789abcdef', substr(md5('{salt}' || {key}), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
         for j in range(8)
     )
 

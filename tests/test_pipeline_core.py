@@ -286,3 +286,27 @@ def test_approx_distinct_close_to_exact(spark, sf_dir):
     assert exact.keys() == approx.keys()
     for k in exact:
         assert abs(exact[k] - approx[k]) / exact[k] < 0.06  # 3x the 2% rsd
+
+
+def test_setops_align_columns_and_distinct_cache_keys(spark, sf_dir):
+    from hobbes_spark.pipeline import Pipeline
+
+    a = Pipeline.table(spark, sf_dir, "orders").slice_columns("o_custkey", "o_orderkey")
+    b_rev = Pipeline.table(spark, sf_dir, "orders").slice_columns("o_orderkey", "o_custkey")
+    # reordered columns intersect by NAME, not position
+    assert a.intersect_rows(b_rev).df.count() == a.df.distinct().count()
+    # different right-hand sides must not share a cache key
+    c = b_rev.only(F.col("o_custkey") > 100)
+    k1 = a.intersect_rows(b_rev).cache_key()
+    k2 = a.intersect_rows(c).cache_key()
+    assert k1 != k2
+    with pytest.raises(ValueError, match="column sets differ"):
+        a.intersect_rows(Pipeline.table(spark, sf_dir, "orders").slice_columns("o_custkey"))
+
+
+def test_connected_components_rejects_bad_iterations(spark):
+    from hobbes_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    with pytest.raises(ValueError, match="max_iterations"):
+        connected_components(edges, max_iterations=0)
