@@ -130,8 +130,10 @@ def format_date(expr: Column | str, part: str) -> Column:
     if part == "week":
         return F.weekofyear(src)
     if part == "weekday":
-        # ISO-ish day-of-week; Spark dayofweek is 1=Sunday..7=Saturday.
-        return F.dayofweek(src)
+        # .NET DayOfWeek numbering (0=Sunday..6=Saturday) — the reference
+        # surfaces DateTime.DayOfWeek directly, so .hb programs compare
+        # against these values. Spark's dayofweek is 1=Sunday..7=Saturday.
+        return F.dayofweek(src) - F.lit(1)
     if part == "month":
         return F.month(src)
     if part == "year":

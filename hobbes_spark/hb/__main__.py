@@ -48,7 +48,9 @@ def main(argv: list[str] | None = None) -> int:
         name, _, path = spec.partition("=")
         if not path:
             ap.error(f"--table needs NAME=PATH, got {spec!r}")
-        tables[name] = spark.read.parquet(path)
+        from hobbes_spark.pipeline import read_parquet_any_ts
+
+        tables[name] = read_parquet_any_ts(spark, path)
 
     text = open(args.program, encoding="utf-8").read()
     from hobbes_spark.hb import run_hb, run_hb_program

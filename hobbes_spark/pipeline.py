@@ -47,7 +47,48 @@ from hobbes_spark.reductions import (
 
 ColumnLike = Union[str, Column]
 
-__all__ = ["Pipeline", "GroupedPipeline"]
+__all__ = ["Pipeline", "GroupedPipeline", "read_parquet_any_ts"]
+
+
+def _nanos_ts_cols(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS), from the footer
+    schema only (no row data touched). Empty when pyarrow is unavailable
+    or the path isn't introspectable (e.g. a glob)."""
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            inner = sorted(
+                f for f in os.listdir(path) if f.endswith((".parquet", ".pq"))
+            )
+            if not inner:
+                return []
+            path = os.path.join(path, inner[0])
+        return [f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def read_parquet_any_ts(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns.
+
+    Stock Spark sessions reject nanosecond parquet timestamps outright
+    (PARQUET_TYPE_ILLEGAL); the escape hatch conf
+    ``spark.sql.legacy.parquet.nanosAsLong`` is runtime-settable, so it
+    is flipped here — at read time, keyed off the footer schema — rather
+    than relying on session construction (the driver's correctness gate
+    builds its own stock session). Nano columns then arrive as raw
+    nanosecond longs and are truncated to microsecond timestamps
+    in-plan."""
+    nanos = _nanos_ts_cols(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for colname in nanos:
+        df = df.withColumn(colname, F.expr(f"timestamp_micros(`{colname}` div 1000)"))
+    return df
 
 
 class Pipeline:
@@ -78,31 +119,14 @@ class Pipeline:
 
     @classmethod
     def from_parquet(cls, spark: SparkSession, path: str) -> "Pipeline":
-        return cls(spark.read.parquet(path), lineage=(f"parquet:{path}",))
+        return cls(read_parquet_any_ts(spark, path), lineage=(f"parquet:{path}",))
 
     @classmethod
     def table(cls, spark: SparkSession, sf_dir: str, name: str) -> "Pipeline":
-        """Load one of the driver test tables.
-
-        Parquet TIMESTAMP(NANOS) columns (which Spark reads as raw
-        nanosecond longs under ``nanosAsLong``) are converted to
-        microsecond timestamps in-plan via integer division — the footer
-        schema identifies them without touching row data."""
+        """Load one of the driver test tables (nanos-timestamp safe —
+        see ``read_parquet_any_ts``)."""
         path = f"{sf_dir}/{name}.parquet"
-        df = spark.read.parquet(path)
-        try:
-            import pyarrow.parquet as pq
-
-            nanos = [
-                f.name
-                for f in pq.read_schema(path)
-                if str(f.type) == "timestamp[ns]"
-            ]
-        except Exception:
-            nanos = []
-        for colname in nanos:
-            df = df.withColumn(colname, F.expr(f"timestamp_micros(`{colname}` div 1000)"))
-        return cls(df, lineage=(f"parquet:{path}",))
+        return cls(read_parquet_any_ts(spark, path), lineage=(f"parquet:{path}",))
 
     # ------------------------------------------------------------------ #
     # plumbing

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass
+from functools import wraps as _wraps
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,8 +62,16 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def q(name: str, oracle: Optional[str], bench: bool = False):
     def deco(fn):
-        QUERIES[name] = QuerySpec(spark=fn, oracle=oracle, bench=bench)
-        return fn
+        @_wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Catalog queries cut timestamps at UTC day boundaries and the
+            # DuckDB oracles are tz-naive; pin the session tz so a stock
+            # driver session in any host timezone computes the same dates.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = QuerySpec(spark=wrapped, oracle=oracle, bench=bench)
+        return wrapped
 
     return deco
 
@@ -245,7 +254,7 @@ def dense_ops(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            FLOOR(SUM(l_quantity) * 100 + 0.5) / CAST(100 AS DOUBLE) AS l_quantity,
            FLOOR(SUM(l_extendedprice) * 100 + 0.5) / CAST(100 AS DOUBLE) AS l_extendedprice,
-           SUM(tick) AS tick
+           CAST(SUM(tick) AS BIGINT) AS tick
     FROM (SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
                  CAST(1 AS BIGINT) AS tick FROM lineitem)
     GROUP BY l_returnflag, l_linestatus
@@ -420,6 +429,31 @@ def date_parts(spark, sf_dir):
     return p.df
 
 
+@q(
+    "weekday_counts",
+    """
+    SELECT CAST(dayofweek(ts) AS INTEGER) AS wd,
+           CAST(isodow(ts) AS INTEGER) AS iso_dow,
+           COUNT(*) AS count
+    FROM events GROUP BY 1, 2
+    """,
+)
+def weekday_counts(spark, sf_dir):
+    # pins the weekday convention: .NET DayOfWeek numbering 0=Sunday..
+    # 6=Saturday (reference surfaces DateTime.DayOfWeek — Reader.fs date
+    # cells), which DuckDB's dayofweek() uses natively. iso_dow doubles
+    # the pin from the other direction (ISO 1=Monday..7=Sunday).
+    ev = _t(spark, sf_dir, "events")
+    wd = E.format_date("ts", "weekday")
+    p = (
+        ev.create_column("wd", wd)
+        .create_column("iso_dow", F.when(wd == 0, 7).otherwise(wd).cast("int"))
+        .group_by("wd", "iso_dow")
+        .count_rows()
+    )
+    return p.df
+
+
 # --------------------------------------------------------------------- #
 # §2.6 pivot
 # --------------------------------------------------------------------- #
@@ -537,7 +571,7 @@ def moving_mean(spark, sf_dir):
     f"""
     SELECT CAST(date AS VARCHAR) AS date,
            CASE WHEN row_number() OVER (ORDER BY date) >= 5 THEN
-             SUM(count) OVER w5 END AS s5,
+             CAST(SUM(count) OVER w5 AS BIGINT) END AS s5,
            CASE WHEN row_number() OVER (ORDER BY date) >= 5 THEN
              MAX(count) OVER w5 END AS mx5,
            CASE WHEN row_number() OVER (ORDER BY date) >= 5 THEN
@@ -562,8 +596,8 @@ def moving_sum_minmax(spark, sf_dir):
     "expanding_sum",
     f"""
     SELECT CAST(date AS VARCHAR) AS date, count,
-           SUM(count) OVER (ORDER BY date
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burnup
+           CAST(SUM(count) OVER (ORDER BY date
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS burnup
     FROM ({_DAILY_SQL})
     """,
 )

@@ -117,13 +117,17 @@ def sniff_types(df: DataFrame, sample_rows: int | None = None) -> DataFrame:
         n = row[f"{col}#sniff_n"]
         if n == 0:
             out.append(v.alias(col))  # all missing: keep as (null) string
-        elif row[f"{col}#sniff_i"] == n:
-            # ints also parse as doubles; prefer int only if double adds nothing
-            out.append(v.try_cast("bigint").alias(col))
         elif row[f"{col}#sniff_d"] == n:
+            # float FIRST, matching the reference cascade (Reader.fs:25-37
+            # tries float before int): an all-integer column types as
+            # double, exactly as it would there.
             out.append(v.try_cast("double").alias(col))
         elif row[f"{col}#sniff_t"] == n:
             out.append(F.try_to_timestamp(v).alias(col))
+        elif row[f"{col}#sniff_i"] == n:
+            # unreachable in practice (ints parse as doubles); kept as a
+            # safety net for exotic numerics the double parser rejects
+            out.append(v.try_cast("bigint").alias(col))
         else:
             out.append(v.alias(col))
     return df.select(*out)

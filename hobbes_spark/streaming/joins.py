@@ -29,24 +29,38 @@ def interval_join(
     right_ts: str = "ts",
     watermark: str | None = "1 hour",
     how: str = "inner",
+    right_prefix: str = "r_",
 ) -> DataFrame:
     """Join rows sharing ``on`` where the right event lands in
     ``[left_ts, left_ts + within]``.
+
+    Right payload columns that would collide with a left column come
+    back as ``{right_prefix}{name}`` (so an events-to-events self-join
+    yields ``value`` and ``r_value``, not two ``value`` columns); a
+    prefixed name that still collides raises.
 
     State note: per key, the engine keeps left rows for ``within`` +
     watermark delay and right rows for the watermark delay — bounded by
     arrival rate, independent of stream length. Outer variants require
     both watermarks (Spark enforces this).
     """
+    lpay = [c for c in left.columns if c not in (on, left_ts)]
+    rpay = [c for c in right.columns if c not in (on, right_ts)]
+    taken = {on, "left_ts", "right_ts", *lpay}
+    rename = {c: (f"{right_prefix}{c}" if c in taken else c) for c in rpay}
+    outs = list(rename.values())
+    still = [n for n in outs if n in taken or outs.count(n) > 1]
+    if still:
+        raise ValueError(f"interval_join: output columns would clash: {sorted(set(still))}")
     l = left.select(  # noqa: E741
         F.col(on).alias("__k"),
         F.col(left_ts).alias("left_ts"),
-        *[F.col(c) for c in left.columns if c not in (on, left_ts)],
+        *[F.col(c) for c in lpay],
     )
     r = right.select(
         F.col(on).alias("__rk"),
         F.col(right_ts).alias("right_ts"),
-        *[F.col(c) for c in right.columns if c not in (on, right_ts)],
+        *[F.col(c).alias(rename[c]) for c in rpay],
     )
     if watermark is not None and left.isStreaming:
         l = l.withWatermark("left_ts", watermark)  # noqa: E741

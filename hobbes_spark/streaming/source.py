@@ -28,6 +28,14 @@ def stream_events(
     event files. Returns a streaming DataFrame with a proper
     ``ts: timestamp`` column.
     """
+    from hobbes_spark.pipeline import _nanos_ts_cols
+
+    # Flip the nanos escape hatch before ANY read in this session touches
+    # the file — a stock session (the driver's correctness gate) rejects
+    # TIMESTAMP(NANOS) parquet otherwise. The raw long schema is what the
+    # stream reader needs; normalize_ts converts after.
+    if _nanos_ts_cols(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(path)
     # FileStreamSource wants a directory (its basePath); a single-file
     # table is exposed through a symlink dir.
