@@ -1,0 +1,208 @@
+"""Corpus-curation operators for pretraining pipelines: test-set
+decontamination, repetition-based quality filters, and token-budget
+document packing.
+
+All three are pure DataFrame compositions (no Python in the row path).
+Each has an exact DuckDB twin in ``hobbes_spark.queries`` for the
+correctness gate.
+
+Scale notes (100 TB):
+
+* ``decontaminate`` is the n-gram-overlap decontamination used for LLM
+  eval hygiene (Brown et al. 2020 §C used 13-grams). The eval side is
+  tiny next to the training corpus, so its distinct-gram set broadcasts;
+  the training side then needs ONE shuffle-free semi-join pass plus the
+  final anti-join on doc ids (shuffled on the id, which AQE handles).
+* ``repetition_stats`` (Rae et al. 2021, Gopher §A1.1 quality rules) is
+  per-document arithmetic — embarrassingly parallel, no shuffle. The
+  top-n-gram mode runs O(distinct·total) per doc via expression-level
+  ``filter``/``transform``; documents are bounded (cap them upstream),
+  so per-row cost is bounded too.
+* ``pack_documents`` assigns contiguous docs to fixed token budgets with
+  one keyed window (partitioned by ``by`` — never a global window), the
+  standard sequence-packing prep for pretraining batches.
+
+The staged ``withColumn`` projections are load-bearing: an array
+expression referenced inside a ``transform``/``filter`` lambda is
+re-evaluated per element unless it is a real projected column (see
+``winnow_fingerprints``), turning O(n) docs O(n²).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hobbes_spark.expressions import c
+from hobbes_spark.functions.text import tokens
+
+__all__ = [
+    "word_ngrams",
+    "decontaminate",
+    "repetition_stats",
+    "pack_documents",
+]
+
+
+def word_ngrams(df: DataFrame, text_col: str, n: int, out_col: str = "ngrams") -> DataFrame:
+    """Add ``out_col``: the array of space-joined word ``n``-grams of the
+    casefolded whitespace tokens of ``text_col`` (empty array when the
+    document has fewer than ``n`` tokens)."""
+    if n < 1:
+        raise ValueError(f"word_ngrams: n must be >= 1, got {n}")
+    staged = df.withColumn("__toks", tokens(F.lower(c(text_col))))
+    sz = F.size(F.col("__toks"))
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.withColumn(out_col, grams).drop("__toks")
+
+
+def _gram_hashes(df: DataFrame, text_col: str, n: int, id_cols: Sequence[str]) -> DataFrame:
+    """(id_cols..., gram_hash) — one row per n-gram occurrence.
+
+    ``explode_outer`` + post-Generate filter, NOT plain ``explode``:
+    InferFiltersFromGenerate would push an inlined ``size(...) > 0``
+    filter below the staged projections and re-expand the gram array
+    per element (see module docstring in ``text.winnow_fingerprints``).
+    md5 keeps the join key engine-portable for the oracle; 128 bits
+    also makes false-positive contamination hits a non-issue.
+    """
+    g = word_ngrams(df, text_col, n, "__grams")
+    return (
+        g.select(*id_cols, F.explode_outer("__grams").alias("__g"))
+        .filter(F.col("__g").isNotNull())
+        .select(*id_cols, F.md5(F.col("__g")).alias("gram_hash"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Drop training documents sharing any word ``n``-gram with the eval
+    set (GPT-3-style n-gram decontamination).
+
+    Returns ``train`` rows whose documents contain no eval n-gram.
+    ``broadcast_eval`` (default) broadcasts the distinct eval-gram set —
+    right for the usual benchmark-sized eval suite; switch it off if the
+    eval side is itself corpus-sized and let the sort-merge path run.
+    """
+    train_grams = _gram_hashes(train, text_col, n, [id_col])
+    eval_grams = _gram_hashes(eval_df, text_col, n, []).distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    dirty = (
+        train_grams.join(eval_grams, "gram_hash", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(dirty, id_col, "left_anti")
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.8,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition quality signals, one row per document:
+
+    * ``dup_word_frac``   — 1 − distinct/total over casefolded tokens
+      (the all-lines-duplicated signal, word-level because the driver
+      corpus has no line structure);
+    * ``top_bigram_frac`` — occurrences of the most frequent word bigram
+      over total bigrams (Gopher's "top 2-gram" rule);
+    * ``keep_repetition`` — both signals under their thresholds
+      (defaults near Gopher's 0.2 top-2-gram cut).
+
+    Pure per-row expressions: no shuffle, whole-stage codegen all the way.
+    """
+    staged = df.withColumn("__toks", tokens(F.lower(c(text_col))))
+    sz = F.size(F.col("__toks"))
+    dup = F.when(sz > 0, 1 - F.size(F.array_distinct("__toks")) / sz).otherwise(
+        F.lit(0.0)
+    )
+    s2 = staged.withColumn("dup_word_frac", dup)
+
+    bigrams = F.when(
+        sz >= 2,
+        F.transform(
+            F.sequence(F.lit(1), sz - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    s3 = s2.withColumn("__bigrams", bigrams).drop("__toks")
+
+    nb = F.size(F.col("__bigrams"))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct("__bigrams"),
+            lambda g: F.size(F.filter(F.col("__bigrams"), lambda b: b == g)),
+        )
+    )
+    top_frac = F.when(nb > 0, top_count / nb).otherwise(F.lit(0.0))
+    return (
+        s3.withColumn("top_bigram_frac", top_frac)
+        .withColumn(
+            "keep_repetition",
+            (F.col("dup_word_frac") <= max_dup_word_frac)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac),
+        )
+        .drop("__bigrams")
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    token_count_col: Column | str | None = None,
+    text_col: str = "text",
+    by: Sequence[str] = ("source",),
+    order: Sequence[str] = ("doc_id",),
+    pack_col: str = "pack_id",
+    pos_col: str = "pack_pos",
+) -> DataFrame:
+    """Assign contiguous documents to token-budget packs (sequence
+    packing for pretraining): within each ``by`` group, walk documents
+    in ``order`` and start a new pack once the running token total
+    passes ``budget``.
+
+    ``pack_id = floor((running_total − own_tokens) / budget)`` — each doc
+    joins the pack its *predecessors* filled up to, so packs are
+    contiguous, deterministic, and overflow by at most one document
+    (long-doc spillover is the standard behavior; split upstream if a
+    hard cap matters). ``pack_pos`` is the doc's position in its pack.
+
+    One keyed window shuffle on ``by`` — never a global order.
+    """
+    tc = F.size(tokens(c(text_col))) if token_count_col is None else c(token_count_col)
+    w = (
+        Window.partitionBy(*[c(b) for b in by])
+        .orderBy(*[c(o) for o in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("__tc", tc.cast("bigint")).withColumn(
+        "__run", F.sum("__tc").over(w)
+    )
+    out = out.withColumn(
+        pack_col, F.floor((F.col("__run") - F.col("__tc")) / F.lit(budget))
+    )
+    wp = Window.partitionBy(*[c(b) for b in by], F.col(pack_col)).orderBy(
+        *[c(o) for o in order]
+    )
+    return (
+        out.withColumn(pos_col, F.row_number().over(wp))
+        .withColumnRenamed("__tc", "token_count")
+        .drop("__run")
+    )

@@ -1840,3 +1840,117 @@ def stream_interval_join(spark, sf_dir):
         F.col("buy_id").cast("bigint").alias("buy_id"),
         F.col("user_id").cast("bigint").alias("user_id"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Corpus curation round 2: decontamination, repetition filters, packing
+# (functions/curation.py; Brown et al. 2020 §C, Rae et al. 2021 §A1.1)
+# --------------------------------------------------------------------- #
+
+_TOKS_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+@q(
+    "decontaminate_docs",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 8 + 2, 1)),
+                                   i -> md5(array_to_string(t[i:i+7], ' ')))) AS g
+      FROM toks
+    ),
+    eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+    dirty AS (SELECT DISTINCT doc_id FROM grams
+              WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM eval_g))
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id % 20 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+    bench=True,
+)
+def decontaminate_docs(spark, sf_dir):
+    """GPT-3-style 8-gram test-set decontamination: hold out every 20th
+    document as the "eval suite", drop training docs sharing any word
+    8-gram with it (catches the corpus's planted duplicates)."""
+    from hobbes_spark.functions.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").df
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    clean = decontaminate(tr, ev, "text", n=8)
+    return clean.select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
+@q(
+    "repetition_filter",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                  ELSE [] END AS b
+      FROM toks
+    )
+    SELECT doc_id,
+           {_rsql("CASE WHEN len(t) > 0 THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE)/len(t) ELSE 0.0 END", 4)} AS dup_word_frac,
+           {_rsql("CASE WHEN len(b) > 0 THEN CAST(list_max(list_transform(list_distinct(b), g -> len(list_filter(b, x -> x = g)))) AS DOUBLE)/len(b) ELSE 0.0 END", 4)} AS top_bigram_frac
+    FROM big
+    """,
+)
+def repetition_filter(spark, sf_dir):
+    """Gopher-style repetition signals per document (duplicate-word
+    fraction, top-bigram fraction) — the quality-filter shape from
+    Rae et al. 2021 §A1.1, pure codegen expressions."""
+    from hobbes_spark.functions.curation import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").df
+    out = repetition_stats(docs, "text")
+    return out.select(
+        "doc_id",
+        _r(F.col("dup_word_frac"), 4).alias("dup_word_frac"),
+        _r(F.col("top_bigram_frac"), 4).alias("top_bigram_frac"),
+    )
+
+
+@q(
+    "pack_docs",
+    rf"""
+    WITH tc AS (
+      SELECT source, doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS token_count
+      FROM documents
+    ),
+    w AS (
+      SELECT source, doc_id, token_count,
+             SUM(token_count) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM tc
+    )
+    SELECT source, CAST(FLOOR(CAST(run - token_count AS DOUBLE) / 512) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(token_count) AS BIGINT) AS pack_tokens
+    FROM w GROUP BY 1, 2
+    """,
+)
+def pack_docs(spark, sf_dir):
+    """Token-budget sequence packing (512-token packs per source):
+    contiguous greedy assignment via one keyed window, then per-pack
+    stats. The pretraining batch-prep shape."""
+    from hobbes_spark.functions.curation import pack_documents
+
+    docs = _t(spark, sf_dir, "documents").df
+    packed = pack_documents(docs, budget=512)
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("token_count").cast("bigint").alias("pack_tokens"),
+        )
+        .withColumn("pack_id", F.col("pack_id").cast("bigint"))
+    )

@@ -1,0 +1,103 @@
+"""Behavioral tests for corpus-curation operators (functions/curation.py):
+decontamination, repetition filters, token-budget packing. The value-level
+oracle gate lives in test_oracle_parity; these pin semantics the SQL twin
+can't (plan shape, flag thresholds, overflow behavior).
+"""
+
+from pyspark.sql import functions as F
+
+from hobbes_spark.functions.curation import (
+    decontaminate,
+    pack_documents,
+    repetition_stats,
+    word_ngrams,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_decontaminate_drops_overlap_keeps_clean(spark):
+    ev = _docs(spark, [(100, "alpha beta gamma delta epsilon", "eval")])
+    tr = _docs(
+        spark,
+        [
+            (1, "prefix words alpha beta gamma delta epsilon suffix", "web"),
+            (2, "completely different content with no shared phrases at all", "web"),
+            (3, "alpha beta gamma but the tail diverges here entirely", "web"),
+        ],
+    )
+    got = sorted(
+        r["doc_id"] for r in decontaminate(tr, ev, "text", n=5).collect()
+    )
+    # doc 1 contains the eval 5-gram; doc 3 shares only 3 leading words
+    assert got == [2, 3]
+
+
+def test_decontaminate_broadcast_and_shuffle_paths_agree(spark, sf_dir):
+    from hobbes_spark.pipeline import Pipeline
+
+    docs = Pipeline.table(spark, sf_dir, "documents").df
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    a = {r["doc_id"] for r in decontaminate(tr, ev, n=8).collect()}
+    b = {
+        r["doc_id"]
+        for r in decontaminate(tr, ev, n=8, broadcast_eval=False).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    ev = _docs(spark, [(9, "one two three four five six seven eight", "e")])
+    tr = _docs(spark, [(1, "one two three four five six seven eight nine", "w")])
+    plan = decontaminate(tr, ev, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # eval-gram set must broadcast
+
+
+def test_repetition_flags_degenerate_doc(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spam " * 50, "w"),  # one word repeated: dup_word_frac ~ 0.98
+            (2, "the quick brown fox jumps over a lazy dog near town", "w"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["dup_word_frac"] > 0.9
+    assert rows[1]["top_bigram_frac"] > 0.9
+    assert not rows[1]["keep_repetition"]
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["keep_repetition"]
+
+
+def test_repetition_empty_and_single_token(spark):
+    df = _docs(spark, [(1, "", "w"), (2, "solo", "w")])
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i in (1, 2):
+        assert rows[i]["dup_word_frac"] == 0.0
+        assert rows[i]["top_bigram_frac"] == 0.0
+        assert rows[i]["keep_repetition"]
+
+
+def test_pack_documents_contiguous_with_single_overflow(spark):
+    # budget 10; token counts 4,4,4 -> first two fill 8, third starts at 8
+    # (< 10) so it joins pack 0 and overflows it to 12: overflow-by-one.
+    rows = [(i, " ".join(["w"] * 4), "s") for i in range(1, 4)]
+    rows += [(4, " ".join(["w"] * 4), "s")]  # starts at 12 -> pack 1
+    out = pack_documents(_docs(spark, rows), budget=10).collect()
+    packs = {r["doc_id"]: (r["pack_id"], r["pack_pos"]) for r in out}
+    assert packs[1] == (0, 1) and packs[2] == (0, 2) and packs[3] == (0, 3)
+    assert packs[4] == (1, 1)
+
+
+def test_pack_documents_partitions_by_source(spark):
+    rows = [(1, "a b c", "s1"), (2, "a b c", "s2")]
+    out = pack_documents(_docs(spark, rows), budget=2).collect()
+    assert all(r["pack_id"] == 0 for r in out)  # each source starts fresh
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = word_ngrams(_docs(spark, [(1, "a b", "s")]), "text", 3)
+    assert df.first()["ngrams"] == []

@@ -421,3 +421,18 @@ def test_hash_sample_null_keys_not_silently_dropped(spark):
     # NULL keys travel together: either both present or both absent
     n_null = SP.hash_sample(df, "k", 0.5).filter("k IS NULL").count()
     assert n_null in (0, 2)
+
+
+def test_format_date_weekday_dotnet_numbering(spark):
+    """2024-01-07 was a Sunday -> .NET DayOfWeek 0 (reference surfaces
+    DateTime.DayOfWeek); Saturday 2024-01-06 -> 6."""
+    from hobbes_spark import expressions as E
+
+    df = spark.createDataFrame([("2024-01-07",), ("2024-01-06",)], "d string")
+    got = {
+        r["d"]: r["wd"]
+        for r in df.select(
+            "d", E.format_date(F.to_date("d"), "weekday").alias("wd")
+        ).collect()
+    }
+    assert got == {"2024-01-07": 0, "2024-01-06": 6}

@@ -273,3 +273,21 @@ def test_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
     got_set = {(r["click_id"], r["buy_id"]) for r in _rows(spark, name)}
     assert len(want_set) > 0
     assert got_set == want_set
+
+
+def test_interval_join_prefixes_clashing_right_columns(spark):
+    import datetime as dt
+
+    from hobbes_spark.streaming import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 10.0, "click"), (1, t0 + dt.timedelta(minutes=5), 20.0, "buy")],
+        "user_id long, ts timestamp, value double, event_type string",
+    )
+    j = interval_join(df, df, "user_id", within="1 hour", watermark=None)
+    assert j.columns.count("value") == 1 and "r_value" in j.columns
+    row = j.filter(F.col("event_type") == "click").filter(
+        F.col("r_event_type") == "buy"
+    ).first()
+    assert row["value"] == 10.0 and row["r_value"] == 20.0
