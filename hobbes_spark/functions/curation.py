@@ -65,20 +65,34 @@ def word_ngrams(df: DataFrame, text_col: str, n: int, out_col: str = "ngrams") -
 
 
 def _gram_hashes(df: DataFrame, text_col: str, n: int, id_cols: Sequence[str]) -> DataFrame:
-    """(id_cols..., gram_hash) — one row per n-gram occurrence.
+    """(id_cols..., gram_hash) — one row per n-gram occurrence, keyed by
+    a 64-bit chained xxhash64 over the window's token hashes.
+
+    No gram *strings* are ever built: tokens hash once, then each length-n
+    window combines via ``zip_with``'d slices (same trick as
+    ``dedup.minhash_signatures_df``, measured ~40% faster than
+    concat-then-md5 there). The key is engine-internal — the oracle
+    compares surviving doc sets, not keys — and a 64-bit collision over
+    corpus-sized gram counts (~2^-25 at a billion grams) at worst drops
+    one extra training doc, the conservative direction for
+    decontamination.
 
     ``explode_outer`` + post-Generate filter, NOT plain ``explode``:
     InferFiltersFromGenerate would push an inlined ``size(...) > 0``
     filter below the staged projections and re-expand the gram array
     per element (see module docstring in ``text.winnow_fingerprints``).
-    md5 keeps the join key engine-portable for the oracle; 128 bits
-    also makes false-positive contamination hits a non-issue.
     """
-    g = word_ngrams(df, text_col, n, "__grams")
+    s1 = df.select(*id_cols, tokens(F.lower(c(text_col))).alias("__tk"))
+    s2 = s1.select(*id_cols, F.transform("__tk", lambda t: F.xxhash64(t)).alias("__th"))
+    m = F.greatest(F.size(F.col("__th")) - (n - 1), F.lit(0))
+    offs = [F.slice(F.col("__th"), i + 1, m) for i in range(n)]
+    shh = offs[0]
+    for nxt in offs[1:]:
+        shh = F.zip_with(shh, nxt, lambda a, b: F.xxhash64(a, b))
+    s3 = s2.select(*id_cols, shh.alias("__grams"))
     return (
-        g.select(*id_cols, F.explode_outer("__grams").alias("__g"))
-        .filter(F.col("__g").isNotNull())
-        .select(*id_cols, F.md5(F.col("__g")).alias("gram_hash"))
+        s3.select(*id_cols, F.explode_outer("__grams").alias("gram_hash"))
+        .filter(F.col("gram_hash").isNotNull())
     )
 
 

@@ -125,17 +125,37 @@ def minhash_signatures_df(
     codegen and recomputes per consumer.
     Docs with fewer than ``k`` words produce no row.
     """
-    sh = word_shingles(c(text_col), k)
-    ex = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
     if hash_fn == "xxhash64":
-        # materialize the one string hash before the agg so the
-        # num_hashes aggregates each rehash a long, not the string
-        ex = ex.select("id", F.xxhash64(F.col("s")).alias("s"))
+        # Numeric shingling: hash tokens once, then combine each window
+        # of k token-hashes with chained xxhash64 via zip_with'd slices —
+        # no k-word shingle strings are ever built (string concat +
+        # long-string hashing was ~40% of signature time; measured
+        # 1.06s -> 0.66s at sf0.1). The staged __th projection keeps the
+        # token-hash array a real column, so the k slices reference a
+        # bound attribute instead of re-evaluating the transform.
+        s1 = df.select(
+            F.col(id_col).alias("id"), tokens(F.lower(c(text_col))).alias("__tk")
+        )
+        s2 = s1.select("id", F.transform("__tk", lambda t: F.xxhash64(t)).alias("__th"))
+        m = F.greatest(F.size(F.col("__th")) - (k - 1), F.lit(0))
+        offs = [F.slice(F.col("__th"), i + 1, m) for i in range(k)]
+        shh = offs[0]
+        for nxt in offs[1:]:
+            shh = F.zip_with(shh, nxt, lambda a, b: F.xxhash64(a, b))
+        s3 = s2.select("id", shh.alias("__sh"))
+        # explode_outer + isNotNull, not plain explode: see the
+        # InferFiltersFromGenerate note on winnow_fingerprints
+        ex = (
+            s3.select("id", F.explode_outer("__sh").alias("s"))
+            .filter(F.col("s").isNotNull())
+        )
         aggs = [
             F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     else:
+        sh = word_shingles(c(text_col), k)
+        ex = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
         aggs = [
             F.min(_shingle_hash(F.col("s"), i, hash_fn)).alias(f"h{i}")
             for i in range(num_hashes)

@@ -137,8 +137,26 @@ def main():
                               threshold=0.5, hash_fn="xxhash64")
         return connected_components(pairs.select("id_a", "id_b"))
 
+    def decontam(do):
+        from hobbes_spark.functions.curation import decontaminate
+
+        ev = do.filter(F.col("doc_id") % 20 == 0)
+        tr = do.filter(F.col("doc_id") % 20 != 0)
+        return decontaminate(tr, ev, n=8)
+
+    def pack(do):
+        from hobbes_spark.functions.curation import pack_documents
+
+        return (
+            pack_documents(do, budget=512)
+            .groupBy("source", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("token_count").alias("tt"))
+        )
+
     cases = {
         "group_agg": (group_agg, li1, liN),
+        "decontaminate": (decontam, do1, doN),
+        "pack_documents": (pack, do1, doN),
         "keyed_window": (keyed_window, ev1, evN),
         "minhash_dedup": (minhash, do1, doN),
         "join_agg": (join_orders, or1, orN),
