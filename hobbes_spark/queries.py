@@ -1954,3 +1954,30 @@ def pack_docs(spark, sf_dir):
         )
         .withColumn("pack_id", F.col("pack_id").cast("bigint"))
     )
+
+
+@q(
+    "group_percentiles",
+    f"""
+    SELECT o_orderstatus,
+           {_rsql("quantile_cont(o_totalprice, 0.25)", 4)} AS p25,
+           {_rsql("quantile_cont(o_totalprice, 0.50)", 4)} AS p50,
+           {_rsql("quantile_cont(o_totalprice, 0.75)", 4)} AS p75,
+           {_rsql("quantile_cont(o_totalprice, 0.95)", 4)} AS p95
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def group_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (beyond the grammar's 9
+    reductions). Spark's percentile() and DuckDB's quantile_cont both
+    linearly interpolate, so values hash-match after rounding. At 100 TB
+    swap in percentile_approx (t-digest sketch, mergeable map-side) —
+    same call shape, bounded error instead of a full sort per group."""
+    p = _t(spark, sf_dir, "orders")
+    out = p.group_by("o_orderstatus").agg(
+        p25=_r(F.percentile("o_totalprice", 0.25), 4),
+        p50=_r(F.percentile("o_totalprice", 0.50), 4),
+        p75=_r(F.percentile("o_totalprice", 0.75), 4),
+        p95=_r(F.percentile("o_totalprice", 0.95), 4),
+    )
+    return out.df
