@@ -41,8 +41,10 @@ from hobbes_spark.functions.text import tokens
 __all__ = [
     "word_ngrams",
     "decontaminate",
+    "contamination_report",
     "repetition_stats",
     "pack_documents",
+    "unigram_logprob_scores",
 ]
 
 
@@ -122,6 +124,81 @@ def decontaminate(
         .distinct()
     )
     return train.join(dirty, id_col, "left_anti")
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-document contamination evidence instead of a hard drop:
+    ``(id_col, shared_grams)`` for every training doc sharing >= 1 word
+    ``n``-gram with the eval set. The audit companion to
+    :func:`decontaminate` — same join shape, but keeps the counts so a
+    reviewer can rank by severity before deciding a threshold.
+    """
+    train_grams = _gram_hashes(train, text_col, n, [id_col])
+    eval_grams = _gram_hashes(eval_df, text_col, n, []).distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    return (
+        train_grams.join(eval_grams, "gram_hash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("shared_grams"))
+    )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document: the
+    mean natural-log probability of the doc's casefolded tokens under
+    add-``alpha``-smoothed corpus unigram frequencies. The CCNet-style
+    perplexity quality filter (Wenzek et al. 2020 use a KenLM 5-gram;
+    the unigram variant keeps it SQL-expressible and model-free) —
+    gibberish and boilerplate-heavy docs score far below the mean.
+
+    Two aggregations and one join, all keyed on uniform token strings:
+    explode tokens → vocab counts (map-side partial agg) → join tokens
+    back to their corpus frequency → per-doc mean. The vocab side is
+    data-dependent but heavy-tailed; AQE handles the join strategy
+    (broadcasts when the vocab fits, sort-merge otherwise).
+
+    Returns ``(id_col, n_tokens, mean_logprob)``; docs with no tokens
+    are absent (no tokens, no evidence).
+    """
+    toks = (
+        df.select(F.col(id_col), tokens(F.lower(c(text_col))).alias("__tk"))
+        .select(id_col, F.explode_outer("__tk").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("cnt"))
+    sizes = vocab.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("vsize")
+    )
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            id_col,
+            (
+                F.log(
+                    (F.col("cnt") + F.lit(alpha))
+                    / (F.col("total") + F.lit(alpha) * F.col("vsize"))
+                )
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.avg("__lp").alias("mean_logprob"),
+    )
 
 
 def repetition_stats(

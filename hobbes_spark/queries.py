@@ -1981,3 +1981,58 @@ def group_percentiles(spark, sf_dir):
         p95=_r(F.percentile("o_totalprice", 0.95), 4),
     )
     return out.df
+
+
+@q(
+    "contamination_report",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 8 + 2, 1)),
+                                   i -> array_to_string(t[i:i+7], ' '))) AS g
+      FROM toks
+    ),
+    eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+    FROM grams
+    WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM eval_g)
+    GROUP BY doc_id
+    """,
+)
+def contamination_report_q(spark, sf_dir):
+    """Audit companion to decontaminate_docs: per-doc shared-8-gram
+    counts against the held-out eval slice."""
+    from hobbes_spark.functions.curation import contamination_report
+
+    docs = _t(spark, sf_dir, "documents").df
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_report(tr, ev, "text", n=8)
+
+
+@q(
+    "unigram_scores",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+    sizes AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total, CAST(COUNT(*) AS BIGINT) AS vsize FROM vocab)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {_rsql("AVG(ln((v.cnt + 0.5) / (s.total + 0.5 * s.vsize)))", 4)} AS mean_logprob
+    FROM toks t JOIN vocab v USING (tok) CROSS JOIN sizes s
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_scores(spark, sf_dir):
+    """Corpus-unigram LM quality score per doc (CCNet-shape filter)."""
+    from hobbes_spark.functions.curation import unigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents").df
+    out = unigram_logprob_scores(docs, "text", "doc_id", alpha=0.5)
+    return out.select(
+        "doc_id", "n_tokens", _r(F.col("mean_logprob"), 4).alias("mean_logprob")
+    )

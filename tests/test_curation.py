@@ -101,3 +101,36 @@ def test_pack_documents_partitions_by_source(spark):
 def test_word_ngrams_short_doc_empty(spark):
     df = word_ngrams(_docs(spark, [(1, "a b", "s")]), "text", 3)
     assert df.first()["ngrams"] == []
+
+
+def test_contamination_report_counts_shared_grams(spark):
+    from hobbes_spark.functions.curation import contamination_report
+
+    ev = _docs(spark, [(100, "a b c d e f", "eval")])
+    tr = _docs(
+        spark,
+        [
+            (1, "x a b c d e f y", "w"),
+            (2, "nothing shared here at all with anyone", "w"),
+        ],
+    )
+    rows = {r["doc_id"]: r["shared_grams"]
+            for r in contamination_report(tr, ev, n=5).collect()}
+    # eval 5-grams: {a b c d e, b c d e f}; doc 1 contains both
+    assert rows == {1: 2}
+
+
+def test_unigram_scores_rank_rare_token_docs_lower(spark):
+    from hobbes_spark.functions.curation import unigram_logprob_scores
+
+    rows = [(i, "the cat sat on the mat", "w") for i in range(10)]
+    rows.append((99, "zyzzyva qwertic florp blurn xanthic grue", "w"))
+    out = {r["doc_id"]: r for r in
+           unigram_logprob_scores(_docs(spark, rows)).collect()}
+    common = out[0]["mean_logprob"]
+    rare = out[99]["mean_logprob"]
+    assert rare < common  # rare-vocab doc is less probable under the LM
+    assert out[99]["n_tokens"] == 6
+    # empty-doc rows are absent, not zero-scored
+    empty = _docs(spark, [(7, "", "w")])
+    assert unigram_logprob_scores(empty).count() == 0
