@@ -114,3 +114,28 @@ def test_asof_catalog_single_shuffle(spark, sf_dir):
     key; a second exchange would mean the union or filter re-partitioned."""
     plan = plan_of(spark, sf_dir, "asof_attribution")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pack_docs_single_shuffle(spark, sf_dir):
+    """pack_docs runs BOTH windows (running sum by source, position by
+    source+pack) and the per-pack agg on ONE hash exchange: partitioning
+    by source already clusters (source, pack_id), so Spark must not
+    re-shuffle for the finer keys."""
+    plan = plan_of(spark, sf_dir, "pack_docs")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_unigram_vocab_agg_is_partial(spark, sf_dir):
+    """The vocab count over exploded tokens must map-side combine —
+    shuffle volume is per-distinct-token, not per-token-occurrence."""
+    plan = plan_of(spark, sf_dir, "unigram_scores")
+    assert "partial_count" in plan
+
+
+def test_decontaminate_broadcasts_not_sorts(spark, sf_dir):
+    """Both decontamination joins (gram semi-join, doc-id anti-join)
+    must broadcast at this eval size — a SortMergeJoin of the training
+    gram stream would be the 100 TB bottleneck."""
+    plan = plan_of(spark, sf_dir, "decontaminate_docs")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
