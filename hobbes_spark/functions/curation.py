@@ -43,9 +43,33 @@ __all__ = [
     "decontaminate",
     "contamination_report",
     "repetition_stats",
+    "chunk_documents",
     "pack_documents",
     "unigram_logprob_scores",
+    "redact_pii",
 ]
+
+#: (pattern, replacement) pairs for :func:`redact_pii` — deliberately
+#: simple classes+quantifiers so Java (Spark) and RE2 (DuckDB/oracle)
+#: regex engines agree byte-for-byte.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # no leading \b: it would exclude a leading "+" (and RE2 — the oracle
+    # engine — has no lookbehind to express "start or non-digit" better)
+    (r"(?:\+\d{1,3}[ -]?)?(?:\(\d{2,4}\)[ -]?)?\d{3}[ -]\d{3,4}(?:[ -]\d{1,4})?\b", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace email / IPv4 / phone-shaped spans with typed placeholder
+    tags — the standard pre-release scrub pass for web-scraped corpora.
+    Pure chained ``regexp_replace`` (JVM-side, codegen); patterns are
+    heuristics, not a compliance guarantee."""
+    out = c(col)
+    for pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
 
 
 def word_ngrams(df: DataFrame, text_col: str, n: int, out_col: str = "ngrams") -> DataFrame:
@@ -251,6 +275,59 @@ def repetition_stats(
             & (F.col("top_bigram_frac") <= max_top_bigram_frac),
         )
         .drop("__bigrams")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    out_text: str = "chunk_text",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the long-doc
+    complement of :func:`pack_documents` (packing joins short docs,
+    chunking splits long ones; context-window prep for pretraining).
+
+    One row per chunk: ``(id_col, chunk_id, chunk_start, n_chunk_tokens,
+    out_text)``. Chunks start every ``chunk_tokens − overlap`` tokens and
+    keep ``overlap`` tokens of left context; the tail chunk may be
+    shorter (and, when a doc's length modulo the stride is small, is
+    partially contained in its predecessor — the standard sliding-window
+    behavior). Empty docs produce no rows.
+
+    Pure per-row expressions + one generate — no shuffle, scales with
+    input splits.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"chunk_documents: need 0 <= overlap < chunk_tokens, "
+            f"got overlap={overlap}, chunk_tokens={chunk_tokens}"
+        )
+    step = chunk_tokens - overlap
+    s1 = df.select(F.col(id_col), tokens(F.lower(c(text_col))).alias("__tk"))
+    sz = F.size("__tk")
+    starts = F.sequence(F.lit(1), F.greatest(sz, F.lit(1)), F.lit(step))
+    s2 = s1.withColumn("__start", F.explode_outer(starts)).filter(
+        F.col("__start").isNotNull()
+    )
+    chunk = F.slice(F.col("__tk"), F.col("__start"), chunk_tokens)
+    s3 = s2.select(
+        id_col,
+        ((F.col("__start") - 1) / F.lit(step)).cast("int").alias("chunk_id"),
+        F.col("__start").alias("chunk_start"),
+        chunk.alias("__chunk"),
+    )
+    return (
+        s3.filter(F.size("__chunk") > 0)
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_start",
+            F.size("__chunk").cast("bigint").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("__chunk")).alias(out_text),
+        )
     )
 
 

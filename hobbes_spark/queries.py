@@ -2036,3 +2036,61 @@ def unigram_scores(spark, sf_dir):
     return out.select(
         "doc_id", "n_tokens", _r(F.col("mean_logprob"), 4).alias("mean_logprob")
     )
+
+
+@q(
+    "chunk_docs",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    st AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1, 24)) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(FLOOR((s - 1) / 24.0) AS INTEGER) AS chunk_id,
+           CAST(s AS INTEGER) AS chunk_start,
+           CAST(len(t[s:s+31]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(t[s:s+31], ' ') AS chunk_text
+    FROM st WHERE len(t[s:s+31]) > 0
+    """,
+)
+def chunk_docs(spark, sf_dir):
+    """Sliding-window chunking: 32-token chunks, 8-token overlap
+    (stride 24) — the long-doc context-window prep."""
+    from hobbes_spark.functions.curation import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").df
+    return chunk_documents(docs, "text", "doc_id", chunk_tokens=32, overlap=8)
+
+
+@q(
+    "redact_docs",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             text || ' reach user' || doc_id || '@mail.example.com or 10.0.' ||
+               (doc_id % 256) || '.7 or call 555-01' || (doc_id % 90 + 10),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '(?:\+\d{1,3}[ -]?)?(?:\(\d{2,4}\)[ -]?)?\d{3}[ -]\d{3,4}(?:[ -]\d{1,4})?\b', '<PHONE>', 'g')
+           AS red
+    FROM documents
+    """,
+)
+def redact_docs(spark, sf_dir):
+    """PII scrub over documents with deterministically planted
+    email/IP/phone spans (the corpus itself has none)."""
+    from hobbes_spark.functions.curation import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").df
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or call 555-01"),
+        (F.col("doc_id") % 90 + 10).cast("string"),
+    )
+    return docs.select("doc_id", redact_pii(planted).alias("red"))

@@ -134,3 +134,45 @@ def test_unigram_scores_rank_rare_token_docs_lower(spark):
     # empty-doc rows are absent, not zero-scored
     empty = _docs(spark, [(7, "", "w")])
     assert unigram_logprob_scores(empty).count() == 0
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from hobbes_spark.functions.curation import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = _docs(spark, [(1, toks, "w"), (2, "", "w")])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    assert all(r["doc_id"] == 1 for r in rows)  # empty doc -> no rows
+    # stride 2: starts 1,3,5,7,9 -> last two chunks shorten to 4,2 tokens
+    assert [r["chunk_start"] for r in rows] == [1, 3, 5, 7, 9]
+    assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[1]["chunk_text"] == "t2 t3 t4 t5"  # 2-token overlap kept
+    assert rows[-1]["n_chunk_tokens"] == 2
+    from pyspark.sql import functions as FF
+    total = sum(r["n_chunk_tokens"] for r in rows)
+    assert total == 4 + 4 + 4 + 4 + 2
+
+
+def test_chunk_documents_validates_overlap(spark):
+    import pytest as _pytest
+
+    from hobbes_spark.functions.curation import chunk_documents
+
+    with _pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "a", "w")]), chunk_tokens=4, overlap=4)
+
+
+def test_redact_pii_tags_and_preserves_rest(spark):
+    from hobbes_spark.functions.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [("write bob.smith+x@corp.example.org from 192.168.1.4 or +1 555-867-5309 ok",),
+         ("no pii here just words",)],
+        "t string",
+    )
+    got = [r["r"] for r in df.select(redact_pii("t").alias("r")).collect()]
+    assert got[0] == "write <EMAIL> from <IP> or <PHONE> ok"
+    assert got[1] == "no pii here just words"
