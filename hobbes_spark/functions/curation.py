@@ -348,9 +348,12 @@ def pack_documents(
 
     ``pack_id = floor((running_total − own_tokens) / budget)`` — each doc
     joins the pack its *predecessors* filled up to, so packs are
-    contiguous, deterministic, and overflow by at most one document
-    (long-doc spillover is the standard behavior; split upstream if a
-    hard cap matters). ``pack_pos`` is the doc's position in its pack.
+    deterministic and overflow by at most one document (long-doc
+    spillover is the standard behavior; :func:`chunk_documents` first if
+    a hard cap matters). Pack ids are non-decreasing in doc order but
+    may skip values after a multi-budget doc (the floor counter advances
+    past the slots it consumed). ``pack_pos`` is the doc's position in
+    its pack.
 
     One keyed window shuffle on ``by`` — never a global order.
     """

@@ -176,3 +176,86 @@ def test_redact_pii_tags_and_preserves_rest(spark):
     got = [r["r"] for r in df.select(redact_pii("t").alias("r")).collect()]
     assert got[0] == "write <EMAIL> from <IP> or <PHONE> ok"
     assert got[1] == "no pii here just words"
+
+
+# --------------------------------------------------------------------- #
+# property-based invariants (random word-salad corpora)
+# --------------------------------------------------------------------- #
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _WORDS = ["the", "cat", "sat", "mat", "dog", "ran", "big", "red"]
+    _text = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=30).map(" ".join)
+    _corpus = st.lists(_text, min_size=1, max_size=12)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(texts=_corpus)
+    def test_prop_pack_conserves_tokens_and_positions(spark, texts):
+        """Packing is a partition: token totals conserved, pack ids
+        non-decreasing in doc order (gaps allowed — a doc overflowing a
+        pack by more than one budget advances the floor counter), and
+        positions contiguous from 1 within each pack."""
+        df = _docs(spark, [(i, t, f"s{i % 2}") for i, t in enumerate(texts)])
+        rows = pack_documents(df, budget=7).collect()
+        total = sum(r["token_count"] for r in rows)
+        want = sum(len(t.split()) if t.strip() else 0 for t in texts)
+        assert total == want
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+        for rs in by_src.values():
+            rs.sort(key=lambda r: r["doc_id"])
+            ids = [r["pack_id"] for r in rs]
+            assert ids == sorted(ids) and ids[0] == 0
+            for p in set(ids):
+                pos = sorted(r["pack_pos"] for r in rs if r["pack_id"] == p)
+                assert pos == list(range(1, len(pos) + 1))
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(texts=_corpus)
+    def test_prop_chunks_reassemble_documents(spark, texts):
+        """Dropping each chunk's overlap prefix (after the first) and
+        concatenating in order reproduces the original tokens exactly."""
+        from hobbes_spark.functions.curation import chunk_documents
+
+        df = _docs(spark, [(i, t, "s") for i, t in enumerate(texts)])
+        rows = chunk_documents(df, chunk_tokens=5, overlap=2).collect()
+        by_doc = {}
+        for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_id"])):
+            toks = r["chunk_text"].split()
+            prev = by_doc.setdefault(r["doc_id"], [])
+            prev.extend(toks if not prev else toks[len(prev) - (r["chunk_start"] - 1):])
+        for i, t in enumerate(texts):
+            want = t.split() if t.strip() else []
+            if want:
+                assert by_doc[i] == want
+            else:
+                assert i not in by_doc
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(texts=_corpus)
+    def test_prop_decontaminate_is_anti_monotone(spark, texts):
+        """Clean set is a subset of train and disjoint from the docs a
+        contamination report flags."""
+        from hobbes_spark.functions.curation import contamination_report
+
+        docs = [(i, t, "s") for i, t in enumerate(texts)]
+        df = _docs(spark, docs)
+        ev = df.filter(F.col("doc_id") % 3 == 0)
+        tr = df.filter(F.col("doc_id") % 3 != 0)
+        clean = {r["doc_id"] for r in decontaminate(tr, ev, n=3).collect()}
+        flagged = {r["doc_id"] for r in contamination_report(tr, ev, n=3).collect()}
+        train_ids = {r["doc_id"] for r in tr.collect()}
+        assert clean <= train_ids
+        assert clean.isdisjoint(flagged)
+        assert clean | flagged == train_ids
