@@ -2094,3 +2094,80 @@ def redact_docs(spark, sf_dir):
         (F.col("doc_id") % 90 + 10).cast("string"),
     )
     return docs.select("doc_id", redact_pii(planted).alias("red"))
+
+
+@q(
+    "prepare_corpus",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    rep AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                  ELSE [] END AS b
+      FROM toks
+    ),
+    keepers AS (
+      SELECT doc_id, t FROM rep
+      WHERE (CASE WHEN len(t) > 0 THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE)/len(t) ELSE 0.0 END) <= 0.8
+        AND (CASE WHEN len(b) > 0 THEN CAST(list_max(list_transform(list_distinct(b), g -> len(list_filter(b, x -> x = g)))) AS DOUBLE)/len(b) ELSE 0.0 END) <= 0.18
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 8 + 2, 1)),
+                                   i -> array_to_string(t[i:i+7], ' '))) AS g
+      FROM toks
+    ),
+    eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+    dirty AS (SELECT DISTINCT doc_id FROM grams
+              WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM eval_g)),
+    clean AS (
+      SELECT d.source, k.doc_id, CAST(len(k.t) AS BIGINT) AS token_count
+      FROM keepers k JOIN documents d USING (doc_id)
+      WHERE k.doc_id % 20 <> 0 AND k.doc_id NOT IN (SELECT doc_id FROM dirty)
+    ),
+    w AS (
+      SELECT source, doc_id, token_count,
+             SUM(token_count) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM clean
+    )
+    SELECT source, CAST(FLOOR(CAST(run - token_count AS DOUBLE) / 256) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(token_count) AS BIGINT) AS pack_tokens
+    FROM w GROUP BY 1, 2
+    """,
+    bench=True,
+)
+def prepare_corpus(spark, sf_dir):
+    """End-to-end training-batch prep, composed from the curation
+    family: repetition quality gate -> 8-gram decontamination against
+    the held-out eval slice -> 256-token sequence packing -> per-pack
+    stats. One tokenization feeds the repetition gate; the decontaminate
+    and pack stages re-tokenize internally (staged columns each, still
+    zero Python in the row path)."""
+    from hobbes_spark.functions.curation import (
+        decontaminate,
+        pack_documents,
+        repetition_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").df
+    kept = repetition_stats(docs, "text").filter(F.col("keep_repetition")).select(
+        "doc_id", "text", "source"
+    )
+    # eval suite = raw slice (a benchmark isn't quality-filtered);
+    # training side = repetition-kept remainder
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = kept.filter(F.col("doc_id") % 20 != 0)
+    clean = decontaminate(tr, ev, "text", n=8)
+    packed = pack_documents(clean, budget=256)
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("token_count").cast("bigint").alias("pack_tokens"),
+        )
+        .withColumn("pack_id", F.col("pack_id").cast("bigint"))
+    )

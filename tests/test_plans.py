@@ -139,3 +139,14 @@ def test_decontaminate_broadcasts_not_sorts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "decontaminate_docs")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_repetition_gate_is_aggregate_shaped(spark, sf_dir):
+    """The top-bigram mode inside prepare_corpus must run as explode +
+    partial aggregate. The per-row HOF formulation lets a filter on
+    keep_repetition predicate-push below the staged projections and
+    re-inline the bigram array per distinct element (measured: minutes
+    instead of ~1 s on 500 docs)."""
+    plan = plan_of(spark, sf_dir, "prepare_corpus")
+    assert "partial_count" in plan
+    assert "Generate explode" in plan
