@@ -75,51 +75,47 @@ def redact_pii(col: Column | str) -> Column:
 def word_ngrams(df: DataFrame, text_col: str, n: int, out_col: str = "ngrams") -> DataFrame:
     """Add ``out_col``: the array of space-joined word ``n``-grams of the
     casefolded whitespace tokens of ``text_col`` (empty array when the
-    document has fewer than ``n`` tokens)."""
+    document has fewer than ``n`` tokens). Delegates to
+    ``dedup.word_shingles`` — the zip_with'd-slices form, ~7x faster
+    than the per-index ``transform(sequence, slice)`` formulation."""
     if n < 1:
         raise ValueError(f"word_ngrams: n must be >= 1, got {n}")
-    staged = df.withColumn("__toks", tokens(F.lower(c(text_col))))
-    sz = F.size(F.col("__toks"))
-    grams = F.when(
-        sz >= n,
-        F.transform(
-            F.sequence(F.lit(1), sz - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return staged.withColumn(out_col, grams).drop("__toks")
+    from hobbes_spark.functions.dedup import word_shingles
+
+    return df.withColumn(out_col, word_shingles(c(text_col), n))
 
 
 def _gram_hashes(df: DataFrame, text_col: str, n: int, id_cols: Sequence[str]) -> DataFrame:
     """(id_cols..., gram_hash) — one row per n-gram occurrence, keyed by
-    a 64-bit chained xxhash64 over the window's token hashes.
+    the shared numeric window hash (``dedup.exploded_window_hashes``; no
+    gram strings are ever built). The key is engine-internal — the
+    oracle compares surviving doc sets, not keys — and a 64-bit
+    collision over corpus-sized gram counts (~2^-25 at a billion grams)
+    at worst drops one extra training doc, the conservative direction
+    for decontamination."""
+    from hobbes_spark.functions.dedup import exploded_window_hashes
 
-    No gram *strings* are ever built: tokens hash once, then each length-n
-    window combines via ``zip_with``'d slices (same trick as
-    ``dedup.minhash_signatures_df``, measured ~40% faster than
-    concat-then-md5 there). The key is engine-internal — the oracle
-    compares surviving doc sets, not keys — and a 64-bit collision over
-    corpus-sized gram counts (~2^-25 at a billion grams) at worst drops
-    one extra training doc, the conservative direction for
-    decontamination.
+    ex = exploded_window_hashes(df, text_col, n, [F.col(k) for k in id_cols])
+    return ex.withColumnRenamed("s", "gram_hash")
 
-    ``explode_outer`` + post-Generate filter, NOT plain ``explode``:
-    InferFiltersFromGenerate would push an inlined ``size(...) > 0``
-    filter below the staged projections and re-expand the gram array
-    per element (see module docstring in ``text.winnow_fingerprints``).
-    """
-    s1 = df.select(*id_cols, tokens(F.lower(c(text_col))).alias("__tk"))
-    s2 = s1.select(*id_cols, F.transform("__tk", lambda t: F.xxhash64(t)).alias("__th"))
-    m = F.greatest(F.size(F.col("__th")) - (n - 1), F.lit(0))
-    offs = [F.slice(F.col("__th"), i + 1, m) for i in range(n)]
-    shh = offs[0]
-    for nxt in offs[1:]:
-        shh = F.zip_with(shh, nxt, lambda a, b: F.xxhash64(a, b))
-    s3 = s2.select(*id_cols, shh.alias("__grams"))
-    return (
-        s3.select(*id_cols, F.explode_outer("__grams").alias("gram_hash"))
-        .filter(F.col("gram_hash").isNotNull())
-    )
+
+def _eval_gram_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    n: int,
+    id_col: str,
+    broadcast_eval: bool,
+) -> DataFrame:
+    """(id_col, gram_hash) — every training-doc gram occurrence that also
+    appears in the eval set's distinct grams. The shared core of
+    :func:`decontaminate` (distinct ids → anti-join) and
+    :func:`contamination_report` (per-doc counts)."""
+    train_grams = _gram_hashes(train, text_col, n, [id_col])
+    eval_grams = _gram_hashes(eval_df, text_col, n, []).distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    return train_grams.join(eval_grams, "gram_hash", "left_semi")
 
 
 def decontaminate(
@@ -138,15 +134,8 @@ def decontaminate(
     right for the usual benchmark-sized eval suite; switch it off if the
     eval side is itself corpus-sized and let the sort-merge path run.
     """
-    train_grams = _gram_hashes(train, text_col, n, [id_col])
-    eval_grams = _gram_hashes(eval_df, text_col, n, []).distinct()
-    if broadcast_eval:
-        eval_grams = F.broadcast(eval_grams)
-    dirty = (
-        train_grams.join(eval_grams, "gram_hash", "left_semi")
-        .select(id_col)
-        .distinct()
-    )
+    hits = _eval_gram_hits(train, eval_df, text_col, n, id_col, broadcast_eval)
+    dirty = hits.select(id_col).distinct()
     return train.join(dirty, id_col, "left_anti")
 
 
@@ -164,14 +153,9 @@ def contamination_report(
     :func:`decontaminate` — same join shape, but keeps the counts so a
     reviewer can rank by severity before deciding a threshold.
     """
-    train_grams = _gram_hashes(train, text_col, n, [id_col])
-    eval_grams = _gram_hashes(eval_df, text_col, n, []).distinct()
-    if broadcast_eval:
-        eval_grams = F.broadcast(eval_grams)
-    return (
-        train_grams.join(eval_grams, "gram_hash", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").cast("bigint").alias("shared_grams"))
+    hits = _eval_gram_hits(train, eval_df, text_col, n, id_col, broadcast_eval)
+    return hits.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("shared_grams")
     )
 
 
@@ -259,7 +243,11 @@ def repetition_stats(
     dup = F.when(sz > 0, 1 - F.size(F.array_distinct("__toks")) / sz).otherwise(
         F.lit(0.0)
     )
-    s2 = staged.withColumn("dup_word_frac", dup)
+    # token_count rides along so downstream packing/budgeting reuses the
+    # tokenization already paid for here (pack_documents token_count_col)
+    s2 = staged.withColumn("token_count", sz.cast("bigint")).withColumn(
+        "dup_word_frac", dup
+    )
 
     bigrams = F.when(
         sz >= 2,
@@ -378,17 +366,13 @@ def pack_documents(
         .orderBy(*[c(o) for o in order])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = df.withColumn("__tc", tc.cast("bigint")).withColumn(
-        "__run", F.sum("__tc").over(w)
+    out = df.withColumn("token_count", tc.cast("bigint")).withColumn(
+        "__run", F.sum("token_count").over(w)
     )
     out = out.withColumn(
-        pack_col, F.floor((F.col("__run") - F.col("__tc")) / F.lit(budget))
+        pack_col, F.floor((F.col("__run") - F.col("token_count")) / F.lit(budget))
     )
     wp = Window.partitionBy(*[c(b) for b in by], F.col(pack_col)).orderBy(
         *[c(o) for o in order]
     )
-    return (
-        out.withColumn(pos_col, F.row_number().over(wp))
-        .withColumnRenamed("__tc", "token_count")
-        .drop("__run")
-    )
+    return out.withColumn(pos_col, F.row_number().over(wp)).drop("__run")

@@ -54,6 +54,37 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exploded_window_hashes(df, text_col, n: int, id_exprs) -> DataFrame:
+    """(``id_exprs``…, ``s``) — one row per word-``n``-window, keyed by a
+    64-bit chained xxhash64 over the window's token hashes.
+
+    Numeric windowing: hash tokens once, then combine each window of n
+    token-hashes with chained xxhash64 via ``zip_with``'d slices — no
+    n-word window strings are ever built (string concat + long-string
+    hashing was ~40% of MinHash signature time; measured 1.06s -> 0.66s
+    at sf0.1). The staged ``__th`` projection keeps the token-hash array
+    a real column, so the n slices reference a bound attribute instead
+    of re-evaluating the transform. Shared by the MinHash xxhash64 path
+    and the decontamination gram stream (curation._gram_hashes).
+
+    ``explode_outer`` + isNotNull, not plain ``explode``: see the
+    InferFiltersFromGenerate note on ``text.winnow_fingerprints``.
+    """
+    s1 = df.select(*id_exprs, tokens(F.lower(c(text_col))).alias("__tk"))
+    names = s1.columns[:-1]
+    s2 = s1.select(*names, F.transform("__tk", lambda t: F.xxhash64(t)).alias("__th"))
+    m = F.greatest(F.size(F.col("__th")) - (n - 1), F.lit(0))
+    offs = [F.slice(F.col("__th"), i + 1, m) for i in range(n)]
+    shh = offs[0]
+    for nxt in offs[1:]:
+        shh = F.zip_with(shh, nxt, lambda a, b: F.xxhash64(a, b))
+    s3 = s2.select(*names, shh.alias("__sh"))
+    return (
+        s3.select(*names, F.explode_outer("__sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Overlapping word ``k``-shingles of the lowercased text.
     Texts with fewer than ``k`` words yield an empty array.
@@ -126,29 +157,7 @@ def minhash_signatures_df(
     Docs with fewer than ``k`` words produce no row.
     """
     if hash_fn == "xxhash64":
-        # Numeric shingling: hash tokens once, then combine each window
-        # of k token-hashes with chained xxhash64 via zip_with'd slices —
-        # no k-word shingle strings are ever built (string concat +
-        # long-string hashing was ~40% of signature time; measured
-        # 1.06s -> 0.66s at sf0.1). The staged __th projection keeps the
-        # token-hash array a real column, so the k slices reference a
-        # bound attribute instead of re-evaluating the transform.
-        s1 = df.select(
-            F.col(id_col).alias("id"), tokens(F.lower(c(text_col))).alias("__tk")
-        )
-        s2 = s1.select("id", F.transform("__tk", lambda t: F.xxhash64(t)).alias("__th"))
-        m = F.greatest(F.size(F.col("__th")) - (k - 1), F.lit(0))
-        offs = [F.slice(F.col("__th"), i + 1, m) for i in range(k)]
-        shh = offs[0]
-        for nxt in offs[1:]:
-            shh = F.zip_with(shh, nxt, lambda a, b: F.xxhash64(a, b))
-        s3 = s2.select("id", shh.alias("__sh"))
-        # explode_outer + isNotNull, not plain explode: see the
-        # InferFiltersFromGenerate note on winnow_fingerprints
-        ex = (
-            s3.select("id", F.explode_outer("__sh").alias("s"))
-            .filter(F.col("s").isNotNull())
-        )
+        ex = exploded_window_hashes(df, text_col, k, [F.col(id_col).alias("id")])
         aggs = [
             F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
             for i in range(num_hashes)

@@ -53,11 +53,13 @@ _CJK = r"[一-鿿]"
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens; empty/blank text gives an empty array."""
+    """Whitespace tokens; NULL or blank text gives an empty array (total
+    function — downstream counts/explodes never see a NULL array, and
+    the DuckDB oracle twin `_TOKS_SQL` pins the same convention)."""
     src = F.trim(c(col))
-    return F.when(F.length(src) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(src, r"\s+")
-    )
+    return F.when(
+        src.isNull() | (F.length(src) == 0), F.array().cast("array<string>")
+    ).otherwise(F.split(src, r"\s+"))
 
 
 def token_count(col: Column | str) -> Column:

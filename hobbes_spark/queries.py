@@ -67,6 +67,9 @@ def q(name: str, oracle: Optional[str], bench: bool = False):
             # Catalog queries cut timestamps at UTC day boundaries and the
             # DuckDB oracles are tz-naive; pin the session tz so a stock
             # driver session in any host timezone computes the same dates.
+            # Deliberately NOT restored afterwards: the returned DataFrame
+            # is lazy, and the tz is consulted when the query later runs —
+            # an early restore would silently shift the date cuts back.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             return fn(spark, sf_dir)
 
@@ -850,7 +853,7 @@ def kmeans_clusters(spark, sf_dir):
 # --------------------------------------------------------------------- #
 
 _DDB_TOKENS = (
-    "CASE WHEN length(trim({t})) = 0 THEN [] "
+    "CASE WHEN {t} IS NULL OR length(trim({t})) = 0 THEN [] "
     "ELSE regexp_split_to_array(trim({t}), '\\s+') END"
 )
 
@@ -1847,7 +1850,12 @@ def stream_interval_join(spark, sf_dir):
 # (functions/curation.py; Brown et al. 2020 §C, Rae et al. 2021 §A1.1)
 # --------------------------------------------------------------------- #
 
-_TOKS_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+# total like text.tokens: NULL/blank text -> [] (NOT [''] — DuckDB's
+# string_split_regex('') returns [''], a latent one-token phantom doc)
+_TOKS_SQL = (
+    r"CASE WHEN text IS NULL OR trim(text) = '' THEN [] "
+    r"ELSE string_split_regex(lower(trim(text)), '\s+') END"
+)
 
 
 @q(
@@ -2155,14 +2163,14 @@ def prepare_corpus(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").df
     kept = repetition_stats(docs, "text").filter(F.col("keep_repetition")).select(
-        "doc_id", "text", "source"
+        "doc_id", "text", "source", "token_count"
     )
     # eval suite = raw slice (a benchmark isn't quality-filtered);
     # training side = repetition-kept remainder
     ev = docs.filter(F.col("doc_id") % 20 == 0)
     tr = kept.filter(F.col("doc_id") % 20 != 0)
     clean = decontaminate(tr, ev, "text", n=8)
-    packed = pack_documents(clean, budget=256)
+    packed = pack_documents(clean, budget=256, token_count_col="token_count")
     return (
         packed.groupBy("source", "pack_id")
         .agg(

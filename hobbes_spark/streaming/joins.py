@@ -46,6 +46,13 @@ def interval_join(
     """
     lpay = [c for c in left.columns if c not in (on, left_ts)]
     rpay = [c for c in right.columns if c not in (on, right_ts)]
+    # names this join manufactures: payload columns may not collide with
+    # them on EITHER side (a left column literally named "right_ts" would
+    # make the join condition ambiguous, not merely shadowed)
+    reserved = {"left_ts", "right_ts", "__k", "__rk"}
+    hit = sorted(reserved & (set(lpay) | set(rpay)))
+    if hit:
+        raise ValueError(f"interval_join: column names are reserved: {hit}")
     taken = {on, "left_ts", "right_ts", *lpay}
     rename = {c: (f"{right_prefix}{c}" if c in taken else c) for c in rpay}
     outs = list(rename.values())
