@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 
 from hobbes_spark.expressions import c
 
-__all__ = ["hash_bucket", "hash_sample", "hash_sample_by", "weighted_mixture"]
+__all__ = [
+    "hash_bucket",
+    "hash_sample",
+    "hash_sample_by",
+    "weighted_mixture",
+    "epoch_shuffle",
+]
 
 _SCALE = 1 << 32
 
@@ -71,6 +77,23 @@ def hash_sample_by(
     for s, f in fractions.items():
         thresh = F.when(col == s, F.lit(int(f * _SCALE))).otherwise(thresh)
     return df.filter(hash_bucket(key, salt) < thresh)
+
+
+def epoch_shuffle(df: DataFrame, key: str, epoch: int = 0) -> DataFrame:
+    """Deterministic global shuffle for a training epoch: order rows by
+    ``md5(epoch-salt || key)``. Every epoch is an independent, fully
+    reproducible permutation — unlike ``orderBy(rand())``, re-running
+    the job (or resuming after failure) yields byte-identical batch
+    order, and the order is auditable in SQL.
+
+    The sort is a range-partitioned shuffle (Spark samples the hash
+    space to build balanced ranges), which is exactly the one
+    unavoidable shuffle any global training-order pass costs; the hash
+    key is uniform so the ranges cannot skew. Ties (duplicate keys)
+    break on the key itself, keeping the permutation total and stable.
+    """
+    h = hash_bucket(key, f"epoch={epoch}:")
+    return df.orderBy(h.asc(), c(key).asc())
 
 
 def weighted_mixture(

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from hobbes_spark.expressions import c
 
 __all__ = [
+    "tfidf_top_terms",
     "tokens",
     "token_count",
     "wordlike_token_count",
@@ -231,6 +232,58 @@ def winnow_fingerprints(
         .otherwise(empty)
     )
     return s2.withColumn(out_col, F.array_sort(F.array_distinct(sel))).drop("__rh")
+
+
+def tfidf_top_terms(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top: int = 3,
+):
+    """Top-``top`` TF-IDF terms per document (smoothed idf,
+    ``ln((N+1)/(df+1)) + 1`` — the scikit-learn convention).
+
+    Returns ``(id_col, term, tf, df_t, tfidf, rank)``, ``rank`` ordered
+    by descending tfidf with term as the deterministic tie-break.
+
+    Plan shape (the part that must survive 100 TB): term frequencies are
+    one explode + keyed groupBy with map-side partial aggregation (hot
+    tokens combine before the shuffle); document frequency is a
+    ``count(*)`` window over the term key of the *already aggregated*
+    (doc, term) rows — no second pass over the corpus and no join
+    against a vocabulary table; the corpus size ``N`` is a 1-row
+    broadcast. Three keyed shuffles total ((doc,term) agg → term window
+    → per-doc top-k), each on a key whose cardinality grows with the
+    data, so no stage funnels to one task.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.lower(c(text_col)))
+    tf = (
+        df.select(c(id_col).alias("__id"), F.explode_outer(toks).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    n_docs = F.broadcast(df.agg(F.count(F.lit(1)).cast("bigint").alias("__n")))
+    scored = (
+        tf.withColumn(
+            "df_t", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("bigint")
+        )
+        .crossJoin(n_docs)
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("__n") + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0))) + F.lit(1.0)),
+        )
+        .drop("__n")
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top)
+        .select(F.col("__id").alias(id_col), "term", "tf", "df_t", "tfidf", "rank")
+    )
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -2187,3 +2187,137 @@ def prepare_corpus(spark, sf_dir):
         )
         .withColumn("pack_id", F.col("pack_id").cast("bigint"))
     )
+
+
+# --------------------------------------------------------------------- #
+# TF-IDF keyword extraction, hashed linear classifier scoring, and the
+# deterministic epoch shuffle — the score/select/order trio of a
+# training-corpus build (functions/text.py, classify.py, sampling.py)
+# --------------------------------------------------------------------- #
+
+
+@q(
+    "tfidf_top_terms",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df_t
+      FROM tf
+    )
+    SELECT doc_id, term, tf, df_t,
+           {_rsql("tf * (ln((n.n + 1.0) / (df_t + 1.0)) + 1.0)", 4)} AS tfidf,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id
+             ORDER BY tf * (ln((n.n + 1.0) / (df_t + 1.0)) + 1.0) DESC, term ASC
+           ) AS INTEGER) AS rank
+    FROM scored CROSS JOIN n
+    QUALIFY rank <= 3
+    """,
+)
+def tfidf_top_terms_q(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smoothed sklearn-style idf) —
+    keyword extraction over the corpus, no vocabulary table, one explode
+    + three keyed shuffles (see functions/text.tfidf_top_terms)."""
+    from hobbes_spark.functions.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").df
+    out = tfidf_top_terms(docs, "doc_id", "text", top=3)
+    return out.select(
+        "doc_id", "term", "tf", "df_t",
+        _r(F.col("tfidf"), 4).alias("tfidf"), "rank",
+    )
+
+
+_CLS_DIM = 1024
+
+
+@q(
+    "classifier_scores",
+    rf"""
+    WITH w AS (
+      SELECT CAST(b AS BIGINT) AS bucket,
+             CAST((b * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 - 0.5 AS weight
+      FROM (SELECT unnest(range(0, {_CLS_DIM})) AS b)
+    ),
+    toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    bt AS (
+      SELECT doc_id, ({_hash_bucket_sql('tok')}) % {_CLS_DIM} AS bucket FROM toks
+    ),
+    pooled AS (
+      SELECT bt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(w.weight) AS wsum
+      FROM bt JOIN w USING (bucket) GROUP BY 1
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             COALESCE(p.n_tokens, 0) AS n_tokens,
+             COALESCE(p.wsum / NULLIF(p.n_tokens, 0), 0.0) AS logit
+      FROM documents d LEFT JOIN pooled p USING (doc_id)
+    )
+    SELECT doc_id, n_tokens,
+           {_rsql("logit", 6)} AS logit,
+           {_rsql("1.0 / (1.0 + exp(-logit))", 6)} AS score,
+           ({_rsql("1.0 / (1.0 + exp(-logit))", 6)}) >= 0.5 AS label
+    FROM scored
+    """,
+)
+def classifier_scores(spark, sf_dir):
+    """Hashing-trick linear classifier scoring pass (fastText-shaped):
+    token -> md5 feature bucket -> broadcast weight join -> mean pool ->
+    sigmoid. The weights are a deterministic stand-in model
+    (classify.pseudo_weights) so the whole scoring plan — the part that
+    runs over 100 TB — carries a value-hash oracle. ``label`` is
+    derived from the rounded score on both sides (the raw sum's sign
+    is order-of-addition-sensitive at exactly 0)."""
+    from hobbes_spark.functions.classify import linear_text_scores, pseudo_weights
+
+    docs = _t(spark, sf_dir, "documents").df
+    out = linear_text_scores(
+        docs, "text", pseudo_weights(spark, _CLS_DIM), dim=_CLS_DIM
+    )
+    score_r = _r(F.col("score"), 6)
+    return out.select(
+        "doc_id", "n_tokens",
+        _r(F.col("logit"), 6).alias("logit"),
+        score_r.alias("score"),
+        (score_r >= 0.5).alias("label"),
+    )
+
+
+@q(
+    "epoch_shuffle_order",
+    f"""
+    SELECT CAST(row_number() OVER (
+             ORDER BY ({_hash_bucket_sql('doc_id', 'epoch=1:')}) ASC, doc_id ASC
+           ) AS BIGINT) AS position,
+           doc_id, source
+    FROM documents
+    """,
+)
+def epoch_shuffle_order(spark, sf_dir):
+    """Deterministic training-epoch shuffle: the corpus in epoch-1
+    order with its position materialized. The operator itself
+    (sampling.epoch_shuffle) is a pure range-partitioned sort — the
+    position column here exists only so the permutation is value-hash
+    checkable; a training run consumes the order, not the index."""
+    from pyspark.sql import Window
+
+    from hobbes_spark.functions.sampling import epoch_shuffle, hash_bucket
+
+    docs = _t(spark, sf_dir, "documents").df
+    shuffled = epoch_shuffle(docs, "doc_id", epoch=1)
+    w = Window.orderBy(hash_bucket("doc_id", "epoch=1:").asc(), F.col("doc_id").asc())
+    return shuffled.select(
+        F.row_number().over(w).cast("bigint").alias("position"),
+        "doc_id", "source",
+    )

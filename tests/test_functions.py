@@ -436,3 +436,84 @@ def test_format_date_weekday_dotnet_numbering(spark):
         ).collect()
     }
     assert got == {"2024-01-07": 0, "2024-01-06": 6}
+
+
+# ------------------------- tfidf / classifier / epoch shuffle ---------- #
+
+
+def test_tfidf_top_terms_tiny_corpus(spark):
+    import math
+
+    from hobbes_spark.functions.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(df, top=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # empty doc contributes no terms but still counts toward N
+    assert 3 not in by_doc
+    n = 3
+    idf = lambda d: math.log((n + 1) / (d + 1)) + 1
+    d1 = {r["term"]: r for r in by_doc[1]}
+    assert d1["apple"]["tf"] == 2 and d1["apple"]["df_t"] == 1
+    assert d1["apple"]["tfidf"] == pytest.approx(2 * idf(1))
+    assert d1["banana"]["df_t"] == 2
+    assert d1["banana"]["tfidf"] == pytest.approx(1 * idf(2))
+    # rank 1 in doc 1 is the rarer, repeated term
+    assert [r["term"] for r in sorted(by_doc[1], key=lambda r: r["rank"])] == [
+        "apple", "banana",
+    ]
+
+
+def test_linear_text_scores_pooling_and_empty_docs(spark):
+    import math
+
+    from hobbes_spark.functions.classify import (
+        feature_bucket,
+        linear_text_scores,
+        pseudo_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    w = pseudo_weights(spark, 64)
+    out = {r["doc_id"]: r for r in linear_text_scores(df, "text", w, dim=64).collect()}
+    assert set(out) == {1, 2, 3}
+    # empty/NULL docs: zero tokens, logit = bias = 0, score = 0.5
+    for d in (2, 3):
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["logit"] == 0.0
+        assert out[d]["score"] == pytest.approx(0.5)
+    # doc 1: mean of the three token-bucket weights, sigmoid applied
+    wmap = {r["bucket"]: r["weight"] for r in w.collect()}
+    toks = ["alpha", "beta", "alpha"]
+    buckets = [
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in toks], "t string")
+        .select(feature_bucket("t", 64).alias("b"))
+        .collect()
+    ]
+    logit = sum(wmap[b] for b in buckets) / 3
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["logit"] == pytest.approx(logit)
+    assert out[1]["score"] == pytest.approx(1 / (1 + math.exp(-logit)))
+    assert out[1]["label"] == (out[1]["score"] >= 0.5)
+
+
+def test_epoch_shuffle_deterministic_and_epoch_dependent(spark):
+    from hobbes_spark.functions.sampling import epoch_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "k")
+    o1 = [r["k"] for r in epoch_shuffle(df, "k", epoch=1).collect()]
+    o1_again = [r["k"] for r in epoch_shuffle(df, "k", epoch=1).collect()]
+    o2 = [r["k"] for r in epoch_shuffle(df, "k", epoch=2).collect()]
+    assert o1 == o1_again  # reproducible
+    assert sorted(o1) == list(range(200))  # a permutation
+    assert o1 != o2  # epochs decorrelated
+    assert o1 != list(range(200))  # actually shuffled
