@@ -317,14 +317,17 @@ def connected_components(
 
     This is the dedup-cluster step that turns near-duplicate PAIRS
     (minhash_pairs / embedding_neardup_*) into keep-one-per-group
-    assignments. Each round is one equi-join + one aggregation (two
-    shuffles) over the edge list; rounds needed = graph diameter, which
-    for near-dup clusters is tiny (near-cliques: 2-3). Labels are
-    persisted per round and the loop stops via a distributed
-    changed-count — nothing is collected to the driver. For
-    billion-edge general graphs prefer the large-star/small-star
-    variant (Kiveris et al., 2014); for dedup graphs this simple form
-    is both fewer shuffles per round and fewer rounds.
+    assignments. Each round is one equi-join + one union + one
+    aggregation (two shuffles) over the edge list; rounds needed =
+    graph diameter, which for near-dup clusters is tiny (near-cliques:
+    2-3). Convergence is detected by the per-round SUM of labels:
+    labels only ever decrease, so the sum is strictly monotone until
+    the fixpoint and one cheap scan-agg per round replaces the
+    old-vs-new label join a changed-count would need. Nothing is
+    collected to the driver but that one scalar. For billion-edge
+    general graphs prefer the large-star/small-star variant (Kiveris
+    et al., 2014); for dedup graphs this simple form is both fewer
+    shuffles per round and fewer rounds.
     """
     if max_iterations < 1:
         # a skipped loop would return identity labels — every node its own
@@ -354,35 +357,35 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
-    changed = None
+    # decimal(38,0) keeps the convergence sum exact for any bigint ids
+    # (a double sum would round above 2^53 and could miss a real change)
+    label_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).collect()[0][0]
+    converged = False
     for _ in range(max_iterations):
-        nbr_min = (
-            sym.join(labels, sym["d"] == labels["id"])
-            .groupBy("s")
-            .agg(F.min("comp").alias("nbr_comp"))
+        prop = sym.join(labels, sym["d"] == labels["id"]).select(
+            F.col("s").alias("id"), "comp"
         )
-        stepped = (
-            labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-                F.col("comp").alias("old_comp"),
-            )
+        # own label rides along via the union, so one keyed min-agg does
+        # the least(own, neighbors) step without a join back onto labels
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        changed = stepped.filter(F.col("comp") != F.col("old_comp")).count()
-        labels = stepped.select("id", "comp")
-        if changed == 0:
+        cur_sum = labels.agg(label_sum).collect()[0][0]
+        if cur_sum == prev_sum:
+            converged = True
             break
-    if changed:
+        prev_sum = cur_sum
+    if not converged:
         # returning silently would report one real component as several
         # (labels > max_iterations hops from the component min are stale)
         raise RuntimeError(
             f"connected_components: not converged after {max_iterations} "
-            f"iterations ({changed} labels still changing); the graph "
-            "diameter exceeds max_iterations — raise it"
+            "iterations; the graph diameter exceeds max_iterations — "
+            "raise it"
         )
     return labels
 
