@@ -40,6 +40,7 @@ from hobbes_spark.functions.text import tokens
 
 __all__ = [
     "word_ngrams",
+    "duplicate_ngram_stats",
     "decontaminate",
     "contamination_report",
     "repetition_stats",
@@ -97,6 +98,63 @@ def _gram_hashes(df: DataFrame, text_col: str, n: int, id_cols: Sequence[str]) -
 
     ex = exploded_window_hashes(df, text_col, n, [F.col(k) for k in id_cols])
     return ex.withColumnRenamed("s", "gram_hash")
+
+
+def duplicate_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-document duplicate-text statistics in the style of exact
+    substring deduplication (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): a word ``n``-gram occurrence is
+    *duplicated* if the same gram appears in at least one OTHER
+    document; each doc reports how much of it is duplicated text.
+
+    Adds ``n_grams`` (total gram occurrences), ``dup_grams``
+    (occurrences of cross-doc-shared grams), ``dup_gram_frac``, and
+    ``keep_dup`` (``dup_gram_frac <= threshold``) to ``df``. Docs with
+    fewer than ``n`` tokens have zero grams and ``dup_gram_frac`` 0.0
+    (nothing to share). Within-doc repetition is deliberately NOT
+    counted — that signal is :func:`repetition_stats`.
+
+    Plan shape: gram occurrences are the shared numeric window-hash
+    stream (``dedup.exploded_window_hashes`` — no gram strings); then
+    (doc, gram) count aggregation → docs-per-gram as a ``count(*)``
+    window over the per-(doc, gram) rows (one row per doc-gram, so the
+    plain count IS the distinct-doc count — no count-distinct, no
+    vocabulary join) → per-doc sums → one keyed join back onto ``df``.
+    Four keyed shuffles, all partial-aggregated map-side, keys growing
+    with the data; the same posture as TF-IDF. The 64-bit gram-hash
+    collision caveat of ``_gram_hashes`` applies: a collision can only
+    mark a unique gram as duplicated (conservative direction).
+    """
+    if n < 1:
+        raise ValueError(f"duplicate_ngram_stats: n must be >= 1, got {n}")
+    occ = _gram_hashes(df, text_col, n, [id_col])
+    dg = occ.groupBy(id_col, "gram_hash").agg(F.count(F.lit(1)).alias("__cnt"))
+    flagged = dg.withColumn(
+        "__ndocs", F.count(F.lit(1)).over(Window.partitionBy("gram_hash"))
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.sum("__cnt").cast("bigint").alias("__ng"),
+        F.sum(F.when(F.col("__ndocs") >= 2, F.col("__cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("__dg"),
+    )
+    out = df.join(per_doc, id_col, "left")
+    frac = F.coalesce(
+        F.col("__dg") / F.nullif(F.col("__ng"), F.lit(0)), F.lit(0.0)
+    )
+    return (
+        out.withColumn("n_grams", F.coalesce(F.col("__ng"), F.lit(0).cast("bigint")))
+        .withColumn("dup_grams", F.coalesce(F.col("__dg"), F.lit(0).cast("bigint")))
+        .withColumn("dup_gram_frac", frac)
+        .withColumn("keep_dup", F.col("dup_gram_frac") <= threshold)
+        .drop("__ng", "__dg")
+    )
 
 
 def _eval_gram_hits(

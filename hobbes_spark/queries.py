@@ -2321,3 +2321,50 @@ def epoch_shuffle_order(spark, sf_dir):
         F.row_number().over(w).cast("bigint").alias("position"),
         "doc_id", "source",
     )
+
+
+@q(
+    "duplicate_ngram_frac",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 8 + 2, 1)),
+                                   i -> array_to_string(t[i:i+7], ' '))) AS g
+      FROM toks
+    ),
+    dg AS (
+      SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT doc_id, cnt, COUNT(*) OVER (PARTITION BY g) AS ndocs FROM dg
+    ),
+    agg AS (
+      SELECT doc_id, SUM(cnt) AS ng,
+             SUM(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) AS dup
+      FROM flagged GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.ng, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(a.dup, 0) AS BIGINT) AS dup_grams,
+           {_rsql("COALESCE(CAST(a.dup AS DOUBLE) / NULLIF(a.ng, 0), 0.0)", 4)} AS dup_gram_frac,
+           COALESCE(CAST(a.dup AS DOUBLE) / NULLIF(a.ng, 0), 0.0) <= 0.5 AS keep_dup
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def duplicate_ngram_frac(spark, sf_dir):
+    """Exact-substring duplication signal (Lee et al. 2021): per doc,
+    the fraction of its word-8-gram occurrences shared with at least one
+    other document — catches the corpus's planted near-copies without
+    MinHash approximation. See curation.duplicate_ngram_stats."""
+    from hobbes_spark.functions.curation import duplicate_ngram_stats
+
+    docs = _t(spark, sf_dir, "documents").df
+    out = duplicate_ngram_stats(docs, "text", n=8, threshold=0.5)
+    return out.select(
+        "doc_id", "n_grams", "dup_grams",
+        _r(F.col("dup_gram_frac"), 4).alias("dup_gram_frac"),
+        "keep_dup",
+    )

@@ -259,3 +259,33 @@ if _HYP:
         assert clean <= train_ids
         assert clean.isdisjoint(flagged)
         assert clean | flagged == train_ids
+
+
+def test_duplicate_ngram_stats_planted_copy(spark):
+    from hobbes_spark.functions.curation import duplicate_ngram_stats
+
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, base),                      # full copy of 2 -> all grams shared
+        (2, base),
+        (3, base + " eleven twelve"),   # shares the 3 grams of the common prefix
+        (4, "totally different words here with no overlap at all ok"),
+        (5, "short text"),              # < n tokens -> zero grams
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicate_ngram_stats(df, "text", n=8).collect()}
+    # 10 tokens, n=8 -> 3 grams per full-copy doc, all shared
+    assert out[1]["n_grams"] == 3 and out[1]["dup_gram_frac"] == 1.0
+    assert out[2]["dup_gram_frac"] == 1.0
+    assert not out[1]["keep_dup"] and not out[2]["keep_dup"]
+    # doc 3 has 5 grams, the 3 prefix grams are shared with docs 1/2
+    assert out[3]["n_grams"] == 5 and out[3]["dup_grams"] == 3
+    assert abs(out[3]["dup_gram_frac"] - 0.6) < 1e-12
+    # unique doc: zero duplication, kept
+    assert out[4]["dup_grams"] == 0 and out[4]["keep_dup"]
+    # gram-less docs: zeros, kept
+    for d in (5, 6):
+        assert out[d]["n_grams"] == 0
+        assert out[d]["dup_gram_frac"] == 0.0
+        assert out[d]["keep_dup"]
