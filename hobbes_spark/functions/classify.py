@@ -47,12 +47,19 @@ def pseudo_weights(spark, dim: int = 1024) -> DataFrame:
     """Deterministic stand-in weight vector: weight(b) is a Knuth
     multiplicative hash of the bucket id mapped into [-0.5, 0.5).
     Replace with real trained weights in production; the scoring plan
-    is identical either way."""
+    is identical either way.
+
+    Weights are exact multiples of 2^-20 (dyadic rationals), so the
+    per-document weight SUM is exact in IEEE doubles in ANY addition
+    order — no engine/partitioning-dependent last-ulp drift, which
+    matters because a half-up rounding boundary can otherwise flip on
+    the order Spark's partial aggregates happen to combine in (observed
+    once at sf0.01 before this was pinned)."""
     return spark.range(dim).select(
         F.col("id").cast("bigint").alias("bucket"),
         (
-            ((F.col("id") * F.lit(2654435761)) % F.lit(1000000)).cast("double")
-            / F.lit(1000000.0)
+            ((F.col("id") * F.lit(2654435761)) % F.lit(1048576)).cast("double")
+            / F.lit(1048576.0)
             - F.lit(0.5)
         ).alias("weight"),
     )

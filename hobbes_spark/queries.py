@@ -2244,7 +2244,7 @@ _CLS_DIM = 1024
     rf"""
     WITH w AS (
       SELECT CAST(b AS BIGINT) AS bucket,
-             CAST((b * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 - 0.5 AS weight
+             CAST((b * 2654435761) % 1048576 AS DOUBLE) / 1048576.0 - 0.5 AS weight
       FROM (SELECT unnest(range(0, {_CLS_DIM})) AS b)
     ),
     toks AS (
@@ -2276,9 +2276,11 @@ def classifier_scores(spark, sf_dir):
     token -> md5 feature bucket -> broadcast weight join -> mean pool ->
     sigmoid. The weights are a deterministic stand-in model
     (classify.pseudo_weights) so the whole scoring plan — the part that
-    runs over 100 TB — carries a value-hash oracle. ``label`` is
-    derived from the rounded score on both sides (the raw sum's sign
-    is order-of-addition-sensitive at exactly 0)."""
+    runs over 100 TB — carries a value-hash oracle. The weights are
+    dyadic rationals (multiples of 2^-20), making the pooled sum exact
+    in any addition order — rounding boundaries cannot flip with
+    engine or partitioning. ``label`` is derived from the rounded
+    score on both sides."""
     from hobbes_spark.functions.classify import linear_text_scores, pseudo_weights
 
     docs = _t(spark, sf_dir, "documents").df

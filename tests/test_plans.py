@@ -150,3 +150,34 @@ def test_repetition_gate_is_aggregate_shaped(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "prepare_corpus")
     assert "partial_count" in plan
     assert "Generate explode" in plan
+
+
+def test_classifier_broadcasts_weights_single_doc_shuffle(spark, sf_dir):
+    """The weight table must broadcast (a model of a few KB against a
+    corpus of any size) and the corpus side must shuffle exactly once —
+    the keyed per-doc pooling agg, partial map-side."""
+    plan = plan_of(spark, sf_dir, "classifier_scores")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    # one corpus shuffle: pooling by doc_id (the weight broadcast adds
+    # a broadcast exchange, not a shuffle exchange, on the corpus path)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tfidf_df_from_window_no_vocab_join(spark, sf_dir):
+    """Document frequency must come from a count window over the
+    aggregated (doc, term) rows — no join against a vocabulary table,
+    no count-distinct expansion."""
+    plan = plan_of(spark, sf_dir, "tfidf_top_terms")
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan  # tf agg combines map-side
+
+
+def test_duplicate_ngram_no_count_distinct(spark, sf_dir):
+    """Docs-per-gram must be a plain count window over per-(doc, gram)
+    rows, not a count-distinct (which would expand every gram
+    occurrence into the shuffle)."""
+    plan = plan_of(spark, sf_dir, "duplicate_ngram_frac")
+    assert "distinct" not in plan.lower().replace("array_distinct", "")
+    assert "partial_count" in plan

@@ -155,8 +155,30 @@ def main():
             .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("token_count").alias("tt"))
         )
 
+    def tfidf(do):
+        from hobbes_spark.functions.text import tfidf_top_terms
+
+        return tfidf_top_terms(do, "doc_id", "text", top=3)
+
+    def dup_ngram(do):
+        from hobbes_spark.functions.curation import duplicate_ngram_stats
+
+        return duplicate_ngram_stats(do, "text", n=8).select(
+            "doc_id", "n_grams", "dup_grams", "dup_gram_frac"
+        )
+
+    def classify(do):
+        from hobbes_spark.functions.classify import linear_text_scores, pseudo_weights
+
+        return linear_text_scores(
+            do, "text", pseudo_weights(do.sparkSession, 1024), dim=1024
+        )
+
     cases = {
         "group_agg": (group_agg, li1, liN),
+        "tfidf_top_terms": (tfidf, do1, doN),
+        "duplicate_ngram": (dup_ngram, do1, doN),
+        "classifier_scores": (classify, do1, doN),
         "decontaminate": (decontam, do1, doN),
         "pack_documents": (pack, do1, doN),
         "keyed_window": (keyed_window, ev1, evN),
