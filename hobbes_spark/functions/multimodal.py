@@ -60,7 +60,7 @@ def as_media(df: DataFrame, id_col: str, payload_col: str, mime: str) -> DataFra
 
 
 _DECODE_OUT = (
-    "media_id long, mime string, n_bytes long, sha1 string, "
+    "media_id long, mime string, n_bytes long, sha256 string, "
     "width int, height int, decoder string"
 )
 
@@ -68,8 +68,10 @@ _DECODE_OUT = (
 def _fake_decode(content: bytes) -> tuple[int, int]:
     """Deterministic FAKE decode (no image libs in this container):
     pseudo width/height derived from the payload hash. Replaces the
-    pixel decode only — everything around it is the production path."""
-    h = hashlib.sha1(content).digest()
+    pixel decode only — everything around it is the production path.
+    sha256 (not sha1) so a SQL oracle can reproduce the stub exactly
+    for text payloads (DuckDB ships sha256 but not sha1)."""
+    h = hashlib.sha256(content).digest()
     return 16 + h[0] % 240, 16 + h[1] % 240
 
 
@@ -167,8 +169,8 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "mime": pdf["mime"],
                     "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
-                    "sha1": pdf["content"].map(
-                        lambda b: hashlib.sha1(b).hexdigest() if b is not None else None
+                    "sha256": pdf["content"].map(
+                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                     ),
                 }
             )

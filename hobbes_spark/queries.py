@@ -2370,3 +2370,133 @@ def duplicate_ngram_frac(spark, sf_dir):
         _r(F.col("dup_gram_frac"), 4).alias("dup_gram_frac"),
         "keep_dup",
     )
+
+
+# --------------------------------------------------------------------- #
+# Multimodal: binary media columns through the Arrow mapInPandas decode
+# path (functions/multimodal.py). The corpus is synthesized in-plan so
+# the REAL container-header parsers (PNG IHDR / GIF screen / BMP info /
+# JPEG SOFn) are value-hash checked: dims are planted per doc_id, the
+# decoder must read them back out of the bytes. One class is a
+# deliberately undecodable ASCII payload exercising the deterministic
+# fake-stub fallback (sha256-derived dims — reproducible in DuckDB,
+# which ships sha256 for VARCHAR).
+# --------------------------------------------------------------------- #
+
+@q(
+    "media_decode_meta",
+    """
+    WITH base AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             doc_id % 5 AS cls,
+             CAST(doc_id % 200 + 16 AS INT) AS w,
+             CAST((doc_id * 31) % 200 + 16 AS INT) AS h,
+             sha256('corrupt:' || CAST(doc_id AS VARCHAR)) AS chex,
+             8 + length(CAST(doc_id AS VARCHAR)) AS clen
+      FROM documents
+    )
+    SELECT media_id,
+           CASE cls WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+                    WHEN 2 THEN 'image/bmp' WHEN 3 THEN 'image/jpeg'
+                    ELSE 'application/octet-stream' END AS mime,
+           CAST(CASE cls WHEN 0 THEN 24 WHEN 1 THEN 10 WHEN 2 THEN 26
+                         WHEN 3 THEN 11 ELSE clen END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN cls = 4
+                     THEN 16 + CAST('0x' || substr(chex, 1, 2) AS INT) % 240
+                     ELSE w END AS INT) AS width,
+           CAST(CASE WHEN cls = 4
+                     THEN 16 + CAST('0x' || substr(chex, 3, 2) AS INT) % 240
+                     ELSE h END AS INT) AS height,
+           CASE WHEN cls = 4 THEN 'fake-stub' ELSE 'headers' END AS decoder
+    FROM base
+    """,
+)
+def media_decode_meta(spark, sf_dir):
+    """Mixed-media decode through the Arrow batch channel: per doc_id a
+    PNG / GIF / BMP / JPEG payload is synthesized with planted
+    dimensions (w = doc_id%200+16, h = doc_id*31%200+16) plus one
+    undecodable class; decode_image_meta must parse the dims back out
+    of the container headers byte-for-byte, or fall to the
+    deterministic stub. Everything the driver hashes — mime, byte
+    count, dims, decoder label — crosses the mapInPandas boundary."""
+    from hobbes_spark.functions.multimodal import decode_image_meta
+
+    docs = _t(spark, sf_dir, "documents").df
+    cls = (F.col("doc_id") % 5).alias("cls")
+    w = (F.col("doc_id") % 200 + 16).cast("int")
+    h = ((F.col("doc_id") * 31) % 200 + 16).cast("int")
+
+    def hx(col):  # one byte -> two hex chars
+        return F.lpad(F.hex(col), 2, "0")
+
+    be16 = lambda v: F.concat(F.lit("00"), hx(v))
+    le16 = lambda v: F.concat(hx(v), F.lit("00"))
+    be32 = lambda v: F.concat(F.lit("000000"), hx(v))
+    le32 = lambda v: F.concat(hx(v), F.lit("000000"))
+
+    png = F.concat(F.lit("89504E470D0A1A0A" + "0" * 16), be32(w), be32(h))
+    gif = F.concat(F.lit("474946383961"), le16(w), le16(h))
+    bmp = F.concat(F.lit("424D" + "0" * 32), le32(w), le32(h))
+    jpg = F.concat(F.lit("FFD8FFC0001108"), be16(h), be16(w))
+    corrupt = F.concat(F.lit("corrupt:"), F.col("doc_id").cast("string"))
+
+    content = (
+        F.when(cls == 0, F.unhex(png))
+        .when(cls == 1, F.unhex(gif))
+        .when(cls == 2, F.unhex(bmp))
+        .when(cls == 3, F.unhex(jpg))
+        .otherwise(F.encode(corrupt, "utf-8"))
+    )
+    mime = (
+        F.when(cls == 0, F.lit("image/png"))
+        .when(cls == 1, F.lit("image/gif"))
+        .when(cls == 2, F.lit("image/bmp"))
+        .when(cls == 3, F.lit("image/jpeg"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        content.alias("content"),
+        mime.alias("mime"),
+    )
+    out = decode_image_meta(media)
+    return out.select("media_id", "mime", "n_bytes", "width", "height", "decoder")
+
+
+@q(
+    "media_frame_plan",
+    """
+    WITH base AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(FLOOR(COALESCE(octet_length(encode(text)), 0) / 64.0 + 1) AS INT) AS est
+      FROM documents
+    ),
+    idx AS (
+      SELECT media_id,
+             unnest(generate_series(0, least(est - 1, 210), 30)) AS fi
+      FROM base
+    )
+    SELECT media_id,
+           CAST(fi / 30 AS INT) AS frame_pos,
+           CAST(fi AS INT) AS frame_index
+    FROM idx
+    """,
+)
+def media_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan: each media row expands to the frame
+    indices a decoder would pull (every 30th, capped at 8) — pure
+    sequence/posexplode, the decode itself stays downstream. Frame
+    count is the documented size-derived fake (no codecs in this
+    container); the expansion arithmetic is what's checked. Division
+    by 64 (a power of two) is IEEE-exact, so Spark's truncating cast
+    and the oracle's FLOOR agree everywhere."""
+    from hobbes_spark.functions.multimodal import as_media, frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents").df
+    media = as_media(docs, "doc_id", "text", "video/fake")
+    out = frame_sample_plan(media, every_n=30, max_frames=8)
+    return out.select(
+        "media_id",
+        F.col("frame_pos").cast("int").alias("frame_pos"),
+        F.col("frame_index").cast("int").alias("frame_index"),
+    )

@@ -113,7 +113,7 @@ def test_multimodal_decode_plumbing(spark, sf_dir):
     for r in out:
         assert r["decoder"] in ("pil", "fake-stub")
         assert r["n_bytes"] > 0
-        assert len(r["sha1"]) == 40
+        assert len(r["sha256"]) == 64
         assert 16 <= r["width"] <= 255 and 16 <= r["height"] <= 255
     # deterministic: same input → same fake dims
     again = MM.decode_image_meta(media).collect()
