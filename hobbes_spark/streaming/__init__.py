@@ -17,8 +17,16 @@ from hobbes_spark.streaming.windows import (
 from hobbes_spark.streaming.stateful import running_user_totals
 from hobbes_spark.streaming.dedup import stream_exact_dedup, stream_fingerprint_dedup
 from hobbes_spark.streaming.joins import interval_join
+from hobbes_spark.streaming.sinks import (
+    idempotent_parquet_writer,
+    start_idempotent_sink,
+    write_partitioned,
+)
 
 __all__ = [
+    "idempotent_parquet_writer",
+    "start_idempotent_sink",
+    "write_partitioned",
     "stream_events",
     "tumbling_agg",
     "sliding_agg",

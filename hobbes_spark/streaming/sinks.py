@@ -1,0 +1,96 @@
+"""Streaming sinks with exactly-once semantics on plain parquet.
+
+Structured Streaming's file sink is exactly-once only through its own
+log; production pipelines that need to own the layout (partitioned
+object-storage paths, compaction, downstream-readable directories) use
+``foreachBatch`` — which is AT-LEAST-ONCE: after a crash between "batch
+written" and "offset committed", the same batch id is replayed. The
+standard recipe (Spark docs, Structured Streaming programming guide,
+"foreachBatch" section) is to make the write idempotent by keying the
+physical layout on ``batch_id`` and overwriting only that key on
+replay. No Delta/Iceberg needed: dynamic partition overwrite on a
+``_batch_id`` partition column gives replace-not-duplicate semantics on
+any parquet-compatible store.
+
+At 100 TB the same shape holds: each microbatch lands as one partition
+directory; a replayed batch atomically rewrites its own directory and
+nothing else; readers see append-only growth keyed by batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["idempotent_parquet_writer", "write_partitioned", "start_idempotent_sink"]
+
+
+def idempotent_parquet_writer(
+    path: str, extra_partition_cols: list[str] | None = None
+) -> Callable[[DataFrame, int], None]:
+    """Return a ``foreachBatch`` function writing each microbatch to
+    ``path`` partitioned by ``_batch_id`` (+ optional business
+    partitions, e.g. a date column).
+
+    Replaying a batch id rewrites exactly that partition (dynamic
+    partition overwrite), so retries cannot duplicate rows — the pair
+    (checkpointed offsets, batch-keyed overwrite) is the exactly-once
+    contract.
+    """
+    parts = ["_batch_id", *(extra_partition_cols or [])]
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*parts)
+            .parquet(path)
+        )
+
+    return write
+
+
+def start_idempotent_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    extra_partition_cols: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Wire a streaming DataFrame into the idempotent parquet sink with
+    a checkpoint. ``available_now=True`` drains the current backlog and
+    stops (backfill mode); ``False`` runs continuously."""
+    writer = idempotent_parquet_writer(path, extra_partition_cols)
+    builder = (
+        stream_df.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        builder = builder.trigger(availableNow=True)
+    return builder.start()
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Batch write with a production-shaped layout: directory-partitioned
+    on the pruning columns and capped file sizes.
+
+    ``maxRecordsPerFile`` bounds the biggest file a skewed partition can
+    produce (object stores and scan parallelism both hate multi-GB
+    files); downstream readers get partition pruning on
+    ``partition_cols`` for free from the directory layout.
+    """
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

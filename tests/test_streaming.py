@@ -291,3 +291,69 @@ def test_interval_join_prefixes_clashing_right_columns(spark):
         F.col("r_event_type") == "buy"
     ).first()
     assert row["value"] == 10.0 and row["r_value"] == 20.0
+
+
+def test_idempotent_sink_replay_does_not_duplicate(spark, sf_dir, tmp_path):
+    """foreachBatch exactly-once: replaying a batch id must REPLACE its
+    partition, not append — the crash-between-write-and-commit case."""
+    from hobbes_spark.streaming.sinks import idempotent_parquet_writer
+    from hobbes_spark.streaming.source import stream_events
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    s = stream_events(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    q = (
+        s.writeStream.foreachBatch(idempotent_parquet_writer(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    first = spark.read.parquet(out)
+    n = first.count()
+    batch_ids = [r["_batch_id"] for r in first.select("_batch_id").distinct().collect()]
+    assert n > 0 and len(batch_ids) >= 1
+
+    # simulate an at-least-once redelivery: rerun batch 0's write with
+    # the same batch id and a SUBSET of rows (as if the retry saw the
+    # same offsets) — count for that batch must equal the retry's rows,
+    # total must not grow by the retry
+    batch0 = spark.read.parquet(out).filter(F.col("_batch_id") == batch_ids[0])
+    n_batch0 = batch0.count()
+    # materialize the retry rows BEFORE the overwrite deletes the files
+    # they would lazily re-read
+    replay_pd = batch0.drop("_batch_id").limit(10).toPandas()
+    replay_rows = spark.createDataFrame(replay_pd)
+    idempotent_parquet_writer(out)(replay_rows, batch_ids[0])
+    after = spark.read.parquet(out)
+    assert after.filter(F.col("_batch_id") == batch_ids[0]).count() == 10
+    assert after.count() == n - n_batch0 + 10
+    # and a NEW batch id appends without touching the others
+    idempotent_parquet_writer(out)(replay_rows, max(batch_ids) + 1)
+    assert spark.read.parquet(out).count() == n - n_batch0 + 20
+
+
+def test_write_partitioned_layout_and_pruning(spark, sf_dir, tmp_path):
+    """Directory partitioning must show up on disk and as partition
+    filters (pruned scan), with file sizes capped."""
+    from hobbes_spark.streaming.sinks import write_partitioned
+
+    out = str(tmp_path / "part")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    write_partitioned(docs, out, ["lang"], max_records_per_file=100)
+    langs = [
+        d for d in os.listdir(out) if d.startswith("lang=")
+    ]
+    assert len(langs) >= 2  # real directory layout
+    rd = spark.read.parquet(out).filter(F.col("lang") == langs[0].split("=", 1)[1])
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1].splitlines()[0]
+    # capped files: every parquet part has <= 100 records
+    import pyarrow.parquet as pq
+
+    for root, _dirs, files in os.walk(out):
+        for f in files:
+            if f.endswith(".parquet"):
+                assert pq.ParquetFile(os.path.join(root, f)).metadata.num_rows <= 100
