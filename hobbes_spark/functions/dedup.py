@@ -27,7 +27,10 @@ __all__ = [
     "word_shingles",
     "char_ngrams",
     "minhash_signature",
+    "minhash_signatures_df",
+    "banded_signatures",
     "minhash_pairs",
+    "minhash_incremental_pairs",
     "simhash60",
     "jaccard_pairs",
     "embedding_neardup_exact",
@@ -204,7 +207,6 @@ def minhash_pairs(
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
     # localCheckpoint: the signature table has THREE consumers (banding +
     # both sides of the estimate rejoin) and Spark does not give them a
     # ReusedExchange (measured: zero reuse, the shingle+hash aggregation
@@ -219,10 +221,32 @@ def minhash_pairs(
     base = minhash_signatures_df(
         df, id_col, text_col, num_hashes, hash_fn, k
     ).localCheckpoint()
-    # band key = the raw signature slots themselves (array equality in the
-    # join) — no hash computation, and an 8-16 byte shuffle key instead of
-    # a 32-char md5 string
-    banded = base.select(
+    banded = banded_signatures(base, num_hashes, bands)
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _estimate_pairs(cand, base, num_hashes, threshold)
+
+
+def banded_signatures(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode ``(id, sig)`` into ``(id, band, band_key)`` LSH rows.
+
+    The band key is the raw signature slots themselves (array equality
+    in the join) — no hash computation, and an 8-16 byte shuffle key
+    instead of a 32-char md5 string.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    return sigs.select(
         "id",
         F.explode(
             F.array(
@@ -241,19 +265,15 @@ def minhash_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.band_key")
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sa = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+
+
+def _estimate_pairs(
+    cand: DataFrame, sigs: DataFrame, num_hashes: int, threshold: float
+) -> DataFrame:
+    """Rejoin signatures onto (id_a, id_b) candidates and keep pairs
+    whose MinHash Jaccard estimate clears ``threshold``."""
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     matches = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
@@ -268,6 +288,61 @@ def minhash_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    base_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    k: int = 3,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Near-dup pairs for a NEW shard against an existing corpus —
+    the daily-increment shape: the base corpus's ``(id, sig)`` table is
+    built once (``minhash_signatures_df``, persisted wherever), and each
+    increment only shingles its own documents.
+
+    Returns every candidate pair with at least one NEW member —
+    new×new and new×base — scored exactly like :func:`minhash_pairs`;
+    pairs internal to the base are assumed already known. With
+    ``minhash_pairs(base)`` ∪ this, you get precisely
+    ``minhash_pairs(base ∪ new)`` (asserted in tests), so incremental
+    ingestion never re-pairs the existing corpus.
+
+    Scale shape: the increment's banded rows are tiny next to the
+    corpus's, so they BROADCAST (``broadcast_new``, default) — the
+    base-side bucket table streams map-side with no shuffle. At
+    increment sizes past broadcast limits, flip it off and the join
+    shuffles on (band, band_key) as usual. Base and new ids must be
+    disjoint.
+    """
+    new_sigs = minhash_signatures_df(
+        new_df, id_col, text_col, num_hashes, hash_fn, k
+    ).localCheckpoint()  # two consumers (banding + estimate), same as minhash_pairs
+    all_sigs = base_sigs.select("id", "sig").unionByName(new_sigs)
+    nb = banded_signatures(new_sigs, num_hashes, bands)
+    ab = banded_signatures(all_sigs, num_hashes, bands)
+    left = F.broadcast(nb) if broadcast_new else nb
+    cand = (
+        left.alias("a")
+        .join(
+            ab.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _estimate_pairs(cand, all_sigs, num_hashes, threshold)
 
 
 def _md5_60bit(x: Column) -> Column:

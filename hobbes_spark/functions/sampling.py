@@ -31,6 +31,7 @@ __all__ = [
     "hash_sample_by",
     "weighted_mixture",
     "epoch_shuffle",
+    "top_fraction_by",
 ]
 
 _SCALE = 1 << 32
@@ -115,3 +116,40 @@ def weighted_mixture(
     for nxt in picked[1:]:
         out = out.unionByName(nxt)
     return out
+
+
+def top_fraction_by(
+    df: DataFrame,
+    by: list[str],
+    score_col: Column | str,
+    frac: float,
+    tiebreak: list[str],
+) -> DataFrame:
+    """Keep the top ``frac`` of rows per group, ranked by ``score_col``
+    descending — calibrated per-group filtering (the CCNet move: a
+    global quality cutoff over-prunes low-resource languages, so the
+    threshold is a per-language quantile instead of a constant).
+
+    ``tiebreak`` columns must make the ordering total; with a total
+    order the kept set is exactly reproducible across engines and
+    partitionings (no percent_rank ties to wobble). Rank by a ROUNDED
+    score when the score is a float computed differently elsewhere.
+
+    One shuffle on ``by``; the row_number and count windows share the
+    partitioning, so Catalyst plans a single exchange.
+    """
+    if not 0 < frac <= 1:
+        raise ValueError("top_fraction_by: frac must be in (0, 1]")
+    if not tiebreak:
+        raise ValueError("top_fraction_by: tiebreak columns are required")
+    from pyspark.sql import Window
+
+    order = [c(score_col).desc(), *[F.col(t).asc() for t in tiebreak]]
+    w = Window.partitionBy(*by).orderBy(*order)
+    wc = Window.partitionBy(*by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") <= F.ceil(F.lit(float(frac)) * F.col("__n")))
+        .drop("__rn", "__n")
+    )

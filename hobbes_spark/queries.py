@@ -2500,3 +2500,136 @@ def media_frame_plan(spark, sf_dir):
         F.col("frame_pos").cast("int").alias("frame_pos"),
         F.col("frame_index").cast("int").alias("frame_index"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Calibrated per-group quality filtering + incremental dedup — the two
+# operational shapes a growing corpus needs: thresholds as per-language
+# quantiles (CCNet) and increment-vs-corpus near-dup without re-pairing
+# the base.
+# --------------------------------------------------------------------- #
+
+def _quality_rank_sql(frac: float) -> str:
+    toks_l = _DDB_TOKENS.format(t="lower(text)")
+    stop = ", ".join(
+        f"'{w}'"
+        for w in __import__(
+            "hobbes_spark.functions.text", fromlist=["STOPWORDS"]
+        ).STOPWORDS
+    )
+    q6 = _rsql(
+        "0.3 * len_sat + 0.3 * COALESCE(alpha, 0.0) "
+        "+ 0.2 * LEAST(COALESCE(stop_ratio, 0.0) * 5, 1.0) "
+        "+ 0.2 * (1 - COALESCE(punct, 0.0))",
+        6,
+    )
+    return rf"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             len(list_filter({toks_l}, x -> x IN ({stop})))
+               / NULLIF(len({toks_l}), 0) AS stop_ratio,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+               / NULLIF(length(text), 0) AS alpha,
+             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+               / NULLIF(length(text), 0) AS punct,
+             LEAST(length(text) / 500.0, 1.0) AS len_sat
+      FROM documents
+    ),
+    scored AS (SELECT doc_id, lang, {q6} AS quality FROM feats),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY quality DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM scored
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, MIN(quality) AS min_quality
+    FROM r WHERE rn <= CEIL({frac} * n) GROUP BY lang
+    """
+
+
+@q("quality_top_fraction", _quality_rank_sql(0.5))
+def quality_top_fraction(spark, sf_dir):
+    """Keep the top 50% of documents PER LANGUAGE by quality score
+    (sampling.top_fraction_by): the calibrated-threshold filter —
+    a global cutoff would gut whichever language scores lower on the
+    heuristics. Ranking is on the ROUNDED score with a doc_id
+    tiebreak, so the kept set is a pure function of the data, not of
+    engine summation order or partitioning."""
+    from hobbes_spark.functions import text as TX
+    from hobbes_spark.functions.sampling import top_fraction_by
+
+    docs = _t(spark, sf_dir, "documents").df
+    scored = docs.select(
+        "doc_id", "lang", _r(TX.quality_score("text"), 6).alias("quality")
+    )
+    kept = top_fraction_by(scored, ["lang"], "quality", 0.5, tiebreak=["doc_id"])
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.min("quality").alias("min_quality"),
+    )
+
+
+def _minhash_incremental_sql(
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.5, k: int = 3
+) -> str:
+    # the full-corpus pair set, restricted to pairs touching the "new"
+    # half (odd doc_ids) — by construction what the incremental join
+    # must produce given base = even docs
+    rows = num_hashes // bands
+    toks_l = _DDB_TOKENS.format(t="lower(text)")
+    shingle = (
+        f"CASE WHEN len(w) < {k} THEN [] "
+        f"ELSE list_transform(generate_series(1, len(w) - {k - 1}), "
+        f"i -> array_to_string(list_slice(w, i, i + {k - 1}), ' ')) END"
+    )
+    sig_elems = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}|' || x)))" for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS band, "
+        f"md5(concat_ws('|', {', '.join(f'sig[{b * rows + r + 1}]' for r in range(rows))})) AS band_key "
+        "FROM sig"
+        for b in range(bands)
+    )
+    est = (
+        f"len(list_filter(list_transform(generate_series(1, {num_hashes}), "
+        f"i -> sa[i] = sb[i]), v -> v)) / {float(num_hashes)}"
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks_l} AS w FROM documents),
+    sh AS (SELECT doc_id, {shingle} AS s FROM toks),
+    sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM sh WHERE len(s) > 0),
+    banded AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1
+    )
+    SELECT id_a, id_b, {est} AS est_jaccard
+    FROM cand WHERE {est} >= {threshold}
+    """
+
+
+@q("minhash_incremental", _minhash_incremental_sql())
+def minhash_incremental(spark, sf_dir):
+    """Incremental near-dup: odd doc_ids arrive as the new shard, even
+    doc_ids are the existing corpus with a prebuilt signature store.
+    The result must equal the full-corpus LSH pairs restricted to
+    pairs touching the increment — which is exactly what the oracle
+    computes from scratch. md5 path for cross-engine hashes; the
+    xxhash64 twin is the production fast path
+    (dedup.minhash_incremental_pairs defaults)."""
+    from hobbes_spark.functions.dedup import (
+        minhash_incremental_pairs,
+        minhash_signatures_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents").df
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    base_sigs = minhash_signatures_df(base, "doc_id", "text", 16, "md5", 3)
+    return minhash_incremental_pairs(
+        new, base_sigs, "doc_id", "text",
+        num_hashes=16, bands=8, threshold=0.5, hash_fn="md5",
+    )

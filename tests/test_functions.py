@@ -517,3 +517,73 @@ def test_epoch_shuffle_deterministic_and_epoch_dependent(spark):
     assert sorted(o1) == list(range(200))  # a permutation
     assert o1 != o2  # epochs decorrelated
     assert o1 != list(range(200))  # actually shuffled
+
+
+def test_minhash_incremental_equals_full_restricted(spark, sf_dir):
+    """base-pairs ∪ incremental-pairs must be EXACTLY the full-corpus
+    pair set (same params): incremental ingestion loses nothing and
+    invents nothing."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(num_hashes=32, bands=16, threshold=0.5, hash_fn="xxhash64")
+    full = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in DD.minhash_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    base_pairs = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in DD.minhash_pairs(base, "doc_id", "text", **kw).collect()
+    }
+    base_sigs = DD.minhash_signatures_df(base, "doc_id", "text", 32, "xxhash64", 3)
+    inc = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in DD.minhash_incremental_pairs(
+            new, base_sigs, "doc_id", "text", **kw
+        ).collect()
+    }
+    assert base_pairs | inc == full
+    assert base_pairs.isdisjoint(inc)  # increment never re-reports base pairs
+    assert len(inc) > 0  # planted near-dups straddle the split
+
+
+def test_minhash_incremental_broadcasts_new_side(spark, sf_dir):
+    """The increment's banded rows must broadcast against the corpus
+    bucket table — the base side streams with no shuffle for the join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_sigs = DD.minhash_signatures_df(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", 32, "xxhash64", 3
+    )
+    out = DD.minhash_incremental_pairs(
+        docs.filter(F.col("doc_id") % 2 == 1), base_sigs, "doc_id", "text",
+        num_hashes=32, bands=16,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_top_fraction_by_exact_count_and_threshold(spark, sf_dir):
+    """Per-group kept count must be ceil(frac*n); every kept score must
+    be >= every dropped score within its group."""
+    from hobbes_spark.functions.sampling import top_fraction_by
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", F.length("text").alias("score")
+    )
+    kept = top_fraction_by(docs, ["lang"], "score", 0.25, tiebreak=["doc_id"])
+    kn = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    tn = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    import math
+
+    assert kn == {lang: math.ceil(0.25 * n) for lang, n in tn.items() if math.ceil(0.25 * n)}
+    mins = {r["lang"]: r["m"] for r in kept.groupBy("lang").agg(F.min("score").alias("m")).collect()}
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    dropped_max = {
+        r["lang"]: r["m"]
+        for r in docs.filter(~F.col("doc_id").isin(list(kept_ids)))
+        .groupBy("lang").agg(F.max("score").alias("m")).collect()
+    }
+    for lang, mx in dropped_max.items():
+        # kept min can EQUAL dropped max when ties straddle the cut —
+        # the doc_id tiebreak decides which tied rows stay
+        assert mins[lang] >= mx

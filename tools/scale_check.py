@@ -174,8 +174,15 @@ def main():
             do, "text", pseudo_weights(do.sparkSession, 1024), dim=1024
         )
 
+    def media_decode(do):
+        from hobbes_spark.functions.multimodal import as_media, decode_image_meta
+
+        media = as_media(do, "doc_id", "text", "text/plain")
+        return decode_image_meta(media)
+
     cases = {
         "group_agg": (group_agg, li1, liN),
+        "media_decode": (media_decode, do1, doN),
         "tfidf_top_terms": (tfidf, do1, doN),
         "duplicate_ngram": (dup_ngram, do1, doN),
         "classifier_scores": (classify, do1, doN),
