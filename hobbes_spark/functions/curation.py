@@ -41,6 +41,7 @@ from hobbes_spark.functions.text import tokens
 __all__ = [
     "word_ngrams",
     "duplicate_ngram_stats",
+    "remove_duplicate_spans",
     "decontaminate",
     "contamination_report",
     "repetition_stats",
@@ -154,6 +155,109 @@ def duplicate_ngram_stats(
         .withColumn("dup_gram_frac", frac)
         .withColumn("keep_dup", F.col("dup_gram_frac") <= threshold)
         .drop("__ng", "__dg")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring span REMOVAL (Lee et al. 2021): where
+    :func:`duplicate_ngram_stats` only *scores* documents, this rebuilds
+    the corpus with every duplicated span cut out — the "dedup the
+    substrings, keep the rest of the doc" treatment the paper found
+    strictly better than whole-doc dropping.
+
+    A word ``n``-gram occurrence is *duplicated* when the same gram
+    appears at least ``min_count`` times in the whole corpus (other docs
+    OR elsewhere in the same doc — unlike the cross-doc-only stats op,
+    matching the paper's suffix-array semantics at word granularity).
+    Every token covered by at least one duplicated window is removed;
+    ``clean_text`` is the surviving casefolded tokens re-joined with
+    single spaces (so an untouched doc comes back whitespace/case
+    normalized, which the oracle mirrors). Docs with fewer than ``n``
+    tokens are never cut.
+
+    Adds ``clean_text``, ``n_tokens``, ``kept_tokens``.
+
+    Plan shape — all explodes and keyed shuffles, no per-doc HOF scans
+    (a ``filter(tokens, exists(dup_pos...))`` formulation is O(tokens ×
+    dup-spans) per doc and not codegen'd; spammy docs make that
+    quadratic):
+
+    1. gram occurrences ``(id, pos, g)`` via the shared numeric
+       window-hash stream (posexplode keeps the start position; no gram
+       strings are built — see ``dedup.exploded_window_hashes``);
+    2. one ``count(*)`` window over ``g`` marks duplicated occurrences
+       (occurrence count, not distinct-doc count — within-doc repeats
+       also count, so no per-(doc,gram) pre-aggregation is needed);
+    3. duplicated windows explode to covered token indices; a left-anti
+       join on ``(id, token_idx)`` drops covered tokens from the
+       posexploded token stream (duplicate covered-indices are fine —
+       anti-join semantics dedupe for free, no DISTINCT shuffle);
+    4. per-doc re-assembly: ``array_sort(collect_list(struct(idx,tok)))``
+       → ``concat_ws``, then one keyed join back onto ``df``.
+
+    Four shuffles total (gram window, anti-join, doc re-assembly, join
+    back), every one keyed by data-proportional keys; the gram window is
+    uniformly distributed (64-bit hashes) so no skew salting is needed.
+    The 64-bit collision caveat of ``_gram_hashes`` applies: a collision
+    can only remove an extra span (the conservative direction for
+    training-data hygiene).
+    """
+    if n < 1:
+        raise ValueError(f"remove_duplicate_spans: n must be >= 1, got {n}")
+    if min_count < 2:
+        raise ValueError(
+            f"remove_duplicate_spans: min_count must be >= 2, got {min_count}"
+        )
+    tok = df.select(c(id_col).alias(id_col), tokens(F.lower(c(text_col))).alias("__tk"))
+    th = tok.select(
+        id_col, F.transform("__tk", lambda t: F.xxhash64(t)).alias("__th")
+    )
+    m = F.greatest(F.size(F.col("__th")) - (n - 1), F.lit(0))
+    offs = [F.slice(F.col("__th"), i + 1, m) for i in range(n)]
+    shh = offs[0]
+    for nxt in offs[1:]:
+        shh = F.zip_with(shh, nxt, lambda a, b: F.xxhash64(a, b))
+    sh = th.select(id_col, shh.alias("__sh"))
+    occ = sh.select(
+        id_col, F.posexplode_outer("__sh").alias("pos", "g")
+    ).filter(F.col("g").isNotNull())
+    dup = occ.withColumn(
+        "__c", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    ).filter(F.col("__c") >= min_count)
+    removed = dup.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("__tidx"),
+    )
+    tokix = tok.select(
+        id_col, F.posexplode_outer("__tk").alias("__tidx", "__tok")
+    ).filter(F.col("__tidx").isNotNull())
+    kept = tokix.join(removed, [id_col, "__tidx"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__tidx", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+        ).alias("__clean"),
+        F.count(F.lit(1)).cast("bigint").alias("__kept"),
+    )
+    return (
+        df.withColumn(
+            "n_tokens", F.size(tokens(F.lower(c(text_col)))).cast("bigint")
+        )
+        .join(clean, id_col, "left")
+        .withColumn("clean_text", F.coalesce(F.col("__clean"), F.lit("")))
+        .withColumn(
+            "kept_tokens", F.coalesce(F.col("__kept"), F.lit(0).cast("bigint"))
+        )
+        .drop("__clean", "__kept")
     )
 
 

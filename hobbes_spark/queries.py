@@ -2372,6 +2372,62 @@ def duplicate_ngram_frac(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_spans",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(t) - 6, 1))) AS pos,
+             unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                                   i -> array_to_string(t[i:i+7], ' '))) AS g
+      FROM toks
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS c FROM grams
+      ) WHERE c >= 2
+    ),
+    removed AS (
+      SELECT DISTINCT doc_id, idx FROM (
+        SELECT doc_id, unnest(list_transform(range(0, 8), o -> pos + o)) AS idx
+        FROM dup
+      )
+    ),
+    tokix AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS idx
+      FROM toks
+    ),
+    kept AS (
+      SELECT k.doc_id, k.idx, k.tok FROM tokix k
+      WHERE NOT EXISTS (SELECT 1 FROM removed r
+                        WHERE r.doc_id = k.doc_id AND r.idx = k.idx)
+    ),
+    clean AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS kept_tokens
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(cl.clean_text, '') AS clean_text,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cl.kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM documents d JOIN toks t USING (doc_id) LEFT JOIN clean cl USING (doc_id)
+    """,
+)
+def dedup_spans(spark, sf_dir):
+    """Exact-substring span REMOVAL (Lee et al. 2021): rebuild each doc
+    with every corpus-duplicated word-8-gram span cut out (the
+    "dedup substrings, keep the rest" treatment). The Spark side keys
+    grams by the shared numeric window hash; the oracle compares the
+    actual surviving text. See curation.remove_duplicate_spans."""
+    from hobbes_spark.functions.curation import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents").df
+    out = remove_duplicate_spans(docs, "text", n=8)
+    return out.select("doc_id", "clean_text", "n_tokens", "kept_tokens")
+
+
 # --------------------------------------------------------------------- #
 # Multimodal: binary media columns through the Arrow mapInPandas decode
 # path (functions/multimodal.py). The corpus is synthesized in-plan so

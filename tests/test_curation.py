@@ -289,3 +289,53 @@ def test_duplicate_ngram_stats_planted_copy(spark):
         assert out[d]["n_grams"] == 0
         assert out[d]["dup_gram_frac"] == 0.0
         assert out[d]["keep_dup"]
+
+
+def test_remove_duplicate_spans_cuts_shared_spans(spark):
+    from hobbes_spark.functions.curation import remove_duplicate_spans
+
+    base = "a b c d e f g h"  # exactly one 8-gram, shared by docs 1/2
+    rows = [
+        (1, base + " i j"),            # span at pos 0 -> "i j" survives
+        (2, "x " + base + " z"),       # span at pos 1 -> "x z" survives
+        (3, "unique words only here nothing shared at all ok fine"),
+        (4, ""),
+        (5, None),
+        (6, "p q"),                    # < n tokens: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, "text", n=8).collect()}
+    assert out[1]["clean_text"] == "i j" and out[1]["kept_tokens"] == 2
+    assert out[2]["clean_text"] == "x z" and out[2]["kept_tokens"] == 2
+    assert out[1]["n_tokens"] == 10 and out[2]["n_tokens"] == 10
+    # untouched docs come back normalized but complete
+    assert out[3]["clean_text"].startswith("unique words")
+    assert out[3]["kept_tokens"] == out[3]["n_tokens"] == 10
+    for d in (4, 5):
+        assert out[d]["clean_text"] == "" and out[d]["n_tokens"] == 0
+    assert out[6]["clean_text"] == "p q" and out[6]["kept_tokens"] == 2
+
+
+def test_remove_duplicate_spans_within_doc_repeat(spark):
+    from hobbes_spark.functions.curation import remove_duplicate_spans
+
+    # the same 4-gram occurs twice INSIDE one doc -> both occurrences cut
+    # (suffix-array semantics: within-doc repeats count, unlike the
+    # cross-doc-only duplicate_ngram_stats)
+    rows = [(1, "k l m n MID k l m n TAIL")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_duplicate_spans(df, "text", n=4).collect()[0]
+    assert out["clean_text"] == "mid tail"
+    assert out["n_tokens"] == 10 and out["kept_tokens"] == 2
+
+
+def test_remove_duplicate_spans_validates_args(spark):
+    import pytest as _pytest
+
+    from hobbes_spark.functions.curation import remove_duplicate_spans
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        remove_duplicate_spans(df, "text", n=0)
+    with _pytest.raises(ValueError):
+        remove_duplicate_spans(df, "text", min_count=1)
