@@ -181,3 +181,16 @@ def test_duplicate_ngram_no_count_distinct(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "duplicate_ngram_frac")
     assert "distinct" not in plan.lower().replace("array_distinct", "")
     assert "partial_count" in plan
+
+
+def test_dedup_spans_no_hof_scan_no_distinct(spark, sf_dir):
+    """Span removal must be the explode/anti-join plan: one uniform
+    gram-hash window, covered-token drop via anti-join (no DISTINCT
+    shuffle on removed indices), no nested-loop joins, and no Python
+    in the row path."""
+    plan = plan_of(spark, sf_dir, "dedup_spans")
+    assert "hashpartitioning(g#" in plan         # gram window, uniform key
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "distinct" not in plan.lower().replace("array_distinct", "")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
