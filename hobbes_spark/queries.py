@@ -1447,8 +1447,7 @@ def dedup_components(spark, sf_dir):
 # --------------------------------------------------------------------- #
 # As-of join and range (interval) join — beyond-reference time-series
 # operators. The as-of oracle is DuckDB's native ASOF LEFT JOIN (an
-# independent implementation); ts is truncated to microseconds on BOTH
-# sides because the parquet is nanosecond and Spark reads micros.
+# independent implementation).
 # --------------------------------------------------------------------- #
 
 @q(
@@ -1480,7 +1479,10 @@ def asof_attribution(spark, sf_dir):
         F.col("event_id").cast("bigint").alias("click_id"),
         F.col("user_id").cast("bigint").alias("user_id"),
         F.col("r_event_id").cast("bigint").alias("buy_id"),
-        (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("lag_us"),
+        # timestamp_diff, not unix_micros: the driver tables carry
+        # timezone-less micros timestamps (TIMESTAMP_NTZ under Spark 4's
+        # parquet inference) and unix_micros only accepts instants
+        F.timestamp_diff("MICROSECOND", F.col("r_ts"), F.col("ts")).alias("lag_us"),
         _r(F.col("r_value"), 4).alias("buy_value"),
     )
 

@@ -59,14 +59,24 @@ def interval_join(
     still = [n for n in outs if n in taken or outs.count(n) > 1]
     if still:
         raise ValueError(f"interval_join: output columns would clash: {sorted(set(still))}")
+    def _instant(df: DataFrame, ts: str) -> Column:
+        # Watermarks require an instant (TIMESTAMP, not TIMESTAMP_NTZ —
+        # Spark raises EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise).
+        # A timezone-less event time is pinned as UTC wall-clock, which
+        # is deterministic and order/gap-preserving, so the join result
+        # is identical to comparing the raw NTZ values.
+        if dict(df.dtypes).get(ts) == "timestamp_ntz":
+            return F.to_utc_timestamp(F.col(ts), "UTC")
+        return F.col(ts)
+
     l = left.select(  # noqa: E741
         F.col(on).alias("__k"),
-        F.col(left_ts).alias("left_ts"),
+        _instant(left, left_ts).alias("left_ts"),
         *[F.col(c) for c in lpay],
     )
     r = right.select(
         F.col(on).alias("__rk"),
-        F.col(right_ts).alias("right_ts"),
+        _instant(right, right_ts).alias("right_ts"),
         *[F.col(c).alias(rename[c]) for c in rpay],
     )
     if watermark is not None and left.isStreaming:

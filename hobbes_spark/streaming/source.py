@@ -1,11 +1,13 @@
 """Streaming source for the driver's ``events`` table.
 
-``events.ts`` is parquet TIMESTAMP(NANOS); under the session's
-``nanosAsLong`` setting it arrives as a nanosecond long, converted
-in-plan to a microsecond timestamp (same treatment as
-``Pipeline.table``). The file source is the scale path: on a real
-cluster the directory would be a landing zone receiving files, and the
-``maxFilesPerTrigger`` option bounds per-microbatch work.
+``events.ts`` is a timezone-less microsecond parquet timestamp
+(TIMESTAMP_NTZ under Spark 4's inference); older driver datasets used
+TIMESTAMP(NANOS), which a stock session rejects outright — the
+``nanosAsLong`` escape hatch plus an in-plan conversion keeps those
+readable too (same treatment as ``Pipeline.table``). The file source is
+the scale path: on a real cluster the directory would be a landing zone
+receiving files, and the ``maxFilesPerTrigger`` option bounds
+per-microbatch work.
 """
 
 from __future__ import annotations
