@@ -2691,3 +2691,161 @@ def minhash_incremental(spark, sf_dir):
         new, base_sigs, "doc_id", "text",
         num_hashes=16, bands=8, threshold=0.5, hash_fn="md5",
     )
+
+
+# --------------------------------------------------------------------- #
+# Multi-join analytics (TPC-H Q3/Q5 shapes): the canonical star-join
+# plans a warehouse engine must get right at scale — filtered dimensions
+# broadcast, fact-fact joins shuffle on the join key, aggregation runs
+# partial-then-final. Plan shapes asserted in tests/test_plans.py.
+# --------------------------------------------------------------------- #
+
+_Q3_CUT = "1998-01-01"
+
+
+@q(
+    "tpch_q3_topk",
+    f"""
+    SELECT l_orderkey, o_orderdate, revenue FROM (
+      SELECT l_orderkey,
+             CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+             {_rsql('SUM(l_extendedprice * (1 - l_discount))', 4)} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '{_Q3_CUT}'
+        AND l_shipdate > TIMESTAMP '{_Q3_CUT}'
+      GROUP BY l_orderkey, o_orderdate
+    ) ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    bench=True,
+)
+def tpch_q3_topk(spark, sf_dir):
+    """Shipping-priority top-10 (TPC-H Q3 shape). Scale plan: the
+    segment-filtered customer keys broadcast (no fact shuffle for that
+    join); lineitem⋈orders shuffles once on the order key; the top-10 is
+    a TakeOrdered, not a global sort. Revenue is rounded BEFORE ranking
+    so both engines rank identical values (raw double sums can differ in
+    the last bit and swap near-ties)."""
+    cut = F.lit(_Q3_CUT).cast("timestamp_ntz")
+    cust = (
+        _t(spark, sf_dir, "customer").df
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders").df
+        .filter(F.col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem").df
+        .filter(F.col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "tpch_q5_region",
+    f"""
+    SELECT n_name, {_rsql('SUM(l_extendedprice * (1 - l_discount))', 4)} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    bench=True,
+)
+def tpch_q5_region(spark, sf_dir):
+    """Regional supplier revenue (TPC-H Q5 shape) — six tables. Scale
+    plan: region→nation→supplier collapse into one broadcast dimension
+    (they are tiny relative to the facts at any scale); the two fact
+    joins (lineitem⋈orders, ⋈customer) shuffle on their keys; the
+    local-supplier constraint c_nationkey = s_nationkey rides the
+    broadcast join condition instead of a post-join filter."""
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    region = _t(spark, sf_dir, "region").df.filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").df
+    supp = _t(spark, sf_dir, "supplier").df
+    dim = (
+        supp.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = _t(spark, sf_dir, "customer").df.select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders").df
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(
+            F.broadcast(dim),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+@q(
+    "stream_static_enrich",
+    f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_rsql('SUM(value)', 4)} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static dimension enrichment: the event stream joins a
+    static customer table (broadcast — the dimension ships to every
+    executor once; no stream-side state, no watermark needed for a
+    static join) and aggregates per segment. This is the canonical
+    streaming-ETL enrich step; replayed bounded and checked against the
+    batch SQL join."""
+    from hobbes_spark.streaming import stream_events
+    from hobbes_spark.streaming.run import replay_to_df
+
+    s = stream_events(spark, f"{sf_dir}/events.parquet")
+    dim = _t(spark, sf_dir, "customer").df.select("c_custkey", "c_mktsegment")
+    joined = s.join(F.broadcast(dim), s["user_id"] == dim["c_custkey"])
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+    )
+    out = replay_to_df(agg, spark, mode="complete")
+    return out.select(
+        "c_mktsegment",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        _r(F.col("sum_value"), 4).alias("sum_value"),
+    )

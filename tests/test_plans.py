@@ -194,3 +194,26 @@ def test_dedup_spans_no_hof_scan_no_distinct(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "distinct" not in plan.lower().replace("array_distinct", "")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q3_topk_is_take_ordered_with_broadcast_dim(spark, sf_dir):
+    """TPC-H Q3 shape: the date cuts reach the scans, the filtered
+    customer dimension broadcasts, the aggregate combines map-side, and
+    the top-10 is a TakeOrdered (heap per partition + driver merge) —
+    never a global sort of the aggregate."""
+    plan = plan_of(spark, sf_dir, "tpch_q3_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "partial_sum" in plan
+    assert "GreaterThan(l_shipdate" in plan  # pushed to the lineitem scan
+    assert "LessThan(o_orderdate" in plan  # pushed to the orders scan
+
+
+def test_q5_region_collapses_dims_into_broadcasts(spark, sf_dir):
+    """TPC-H Q5 shape: region→nation→supplier fold into broadcast joins
+    (no shuffle on the dimension chain); the only non-broadcast work is
+    fact-side, and aggregation is partial-then-final."""
+    plan = plan_of(spark, sf_dir, "tpch_q5_region")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "partial_sum" in plan
+    assert "EqualTo(r_name,ASIA)" in plan  # region filter at its scan
