@@ -2849,3 +2849,39 @@ def stream_static_enrich(spark, sf_dir):
         F.col("n_events").cast("bigint").alias("n_events"),
         _r(F.col("sum_value"), 4).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Bloom-prefiltered decontamination: EXACT anti join against a test-set
+# fingerprint table that is assumed too big to broadcast — the bitmap
+# broadcasts instead, the clean majority bypasses the join map-side.
+# (operators/bloom.py; the broadcast-gram variant is functions/
+# curation.decontaminate — this is its beyond-broadcast-scale sibling.)
+# --------------------------------------------------------------------- #
+
+_FP_SQL = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+
+
+@q(
+    "bloom_decontaminate",
+    f"""
+    WITH fp AS (SELECT doc_id, source, {_FP_SQL} AS f FROM documents)
+    SELECT c.doc_id, c.source FROM fp c
+    WHERE c.doc_id % 7 <> 0
+      AND NOT EXISTS (SELECT 1 FROM fp t WHERE t.doc_id % 7 = 0 AND t.f = c.f)
+    """,
+)
+def bloom_decontaminate(spark, sf_dir):
+    """Exact-duplicate decontamination of the corpus (doc_id % 7 != 0)
+    against a held-out test shard (doc_id % 7 == 0) by normalized text
+    fingerprint, via the Bloom-prefiltered anti join. The result is
+    EXACT (oracle = plain NOT EXISTS); the bloom only decides which rows
+    may skip the join."""
+    from hobbes_spark.functions.text import fingerprint
+    from hobbes_spark.operators.bloom import bloom_anti_join
+
+    docs = _t(spark, sf_dir, "documents").df.withColumn("__f", fingerprint("text"))
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    tst = docs.filter(F.col("doc_id") % 7 == 0).select("__f")
+    out = bloom_anti_join(corpus, tst, "__f", num_bits=1 << 20, num_hashes=4)
+    return out.select("doc_id", "source")
