@@ -36,6 +36,7 @@ __all__ = [
     "embedding_neardup_exact",
     "embedding_neardup_lsh",
     "connected_components",
+    "connected_components_star",
 ]
 
 
@@ -463,6 +464,126 @@ def connected_components(
             "raise it"
         )
     return labels
+
+
+def _cc_canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (a=min, b=max), self-loops dropped,
+    duplicates collapsed."""
+    return (
+        e.select(
+            F.least(F.col("a"), F.col("b")).alias("a"),
+            F.greatest(F.col("a"), F.col("b")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _cc_sym(canon: DataFrame) -> DataFrame:
+    """Both orientations (u, v) of a canonical edge set."""
+    return canon.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star edge
+    rewriting (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014). Returns (id, comp), comp = min node id, for
+    every node incident to an edge — identical output to
+    :func:`connected_components`.
+
+    This is the BILLION-EDGE scale path: rounds needed are
+    O(log² n) regardless of graph diameter, where hash-to-min label
+    propagation needs diameter-many rounds (a 10⁶-hop path graph is 20
+    star rounds vs 10⁶ propagation rounds). Per half-round it is one
+    keyed aggregation (each node's min incident label — map-side
+    combined) and one join, all on uniformly hashed node keys; no
+    per-node adjacency list is ever materialized (high-degree nodes
+    skew a collect_list formulation, not this one).
+
+    * large-star: every neighbor LARGER than u re-attaches to u's min;
+    * small-star: every neighbor ≤ u (and u) re-attaches to u's min.
+
+    Both strictly shrink the sum of edge endpoints until the edge set is
+    a union of stars centered at component minima, which is the
+    fixpoint. Convergence is detected by (count, endpoint-sum) of the
+    canonical edge set — both monotone non-increasing, constant exactly
+    at the fixpoint — one scan-agg per round, nothing collected but two
+    scalars. For near-clique dedup graphs prefer
+    :func:`connected_components` (fewer rounds, 2-3 shuffles total);
+    for deep/unknown topologies this one bounds the round count.
+    """
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
+    canon = _cc_canon(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+            F.col(src).isNotNull() & F.col(dst).isNotNull()
+        )
+    ).localCheckpoint()
+
+    def _star(sym: DataFrame, large: bool) -> DataFrame:
+        m = sym.groupBy("u").agg(F.min(F.least(F.col("v"), F.col("u"))).alias("m"))
+        moved = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u") if large else F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        kept = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return _cc_canon(moved.unionByName(kept))
+
+    def _metric(canon_e: DataFrame):
+        # (count, order-insensitive content hash): equal exactly when the
+        # edge SET is unchanged (up to a negligible 64-bit hash-sum
+        # collision) — a changed set with coincidentally equal endpoint
+        # sums must not stop the loop early. Decimal sum stays exact.
+        row = canon_e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(F.col("a"), F.col("b")).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = _metric(canon)
+    converged = False
+    for _ in range(max_iterations):
+        canon = _star(_cc_sym(canon), large=True)
+        canon = _star(_cc_sym(canon), large=False).localCheckpoint()
+        cur = _metric(canon)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: not converged after {max_iterations} "
+            "iterations — raise max_iterations"
+        )
+    # fixpoint is a union of stars: each node's min incident endpoint IS
+    # its component (the center labels itself via the kept self edge)
+    labels = (
+        _cc_sym(canon)
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.min(F.least(F.col("u"), F.col("v"))).alias("comp"))
+    )
+    # nodes whose only edges were self-loops vanished with the loops at
+    # canonicalization; they are their own component (parity with
+    # connected_components, which keeps them)
+    # an edge with a NULL endpoint is no edge at all — neither side
+    # becomes a node through it (same rule as connected_components)
+    both = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    nodes = (
+        both.select(F.col(src).alias("id"))
+        .unionByName(both.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    return nodes.join(labels, "id", "left").select(
+        "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
+    )
 
 
 def embedding_neardup_exact(

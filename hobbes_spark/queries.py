@@ -2885,3 +2885,22 @@ def bloom_decontaminate(spark, sf_dir):
     tst = docs.filter(F.col("doc_id") % 7 == 0).select("__f")
     out = bloom_anti_join(corpus, tst, "__f", num_bits=1 << 20, num_hashes=4)
     return out.select("doc_id", "source")
+
+
+@q("dedup_components_star", _components_sql())
+def dedup_components_star(spark, sf_dir):
+    """Same dedup-cluster computation as ``dedup_components`` through the
+    large-star/small-star rewriting (Kiveris et al. 2014) — the
+    diameter-independent billion-edge path. Identical oracle: the two
+    implementations must agree exactly."""
+    from hobbes_spark.functions.dedup import connected_components_star, minhash_pairs
+
+    docs = _t(spark, sf_dir, "documents").df
+    pairs = minhash_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5, hash_fn="md5"
+    )
+    comp = connected_components_star(pairs.select("id_a", "id_b"))
+    return comp.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("component"),
+    )

@@ -587,3 +587,55 @@ def test_top_fraction_by_exact_count_and_threshold(spark, sf_dir):
         # kept min can EQUAL dropped max when ties straddle the cut —
         # the doc_id tiebreak decides which tied rows stay
         assert mins[lang] >= mx
+
+
+class TestStarComponents:
+    """connected_components_star must agree exactly with the
+    propagation-based connected_components on every topology — including
+    deep paths, where propagation needs diameter rounds and the star
+    rewriting stays logarithmic (its reason to exist)."""
+
+    def _both(self, spark, edges):
+        from hobbes_spark.functions.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        e = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        a = sorted(
+            (r.id, r.comp) for r in connected_components(e, max_iterations=500).collect()
+        )
+        b = sorted((r.id, r.comp) for r in connected_components_star(e).collect())
+        return a, b
+
+    def test_deep_path_graph(self, spark):
+        a, b = self._both(spark, [(i, i + 1) for i in range(120)])
+        assert a == b and len(a) == 121
+        # one component, rooted at 0
+        assert {c for _, c in b} == {0}
+
+    def test_random_graph(self, spark):
+        import random
+
+        rnd = random.Random(11)
+        a, b = self._both(
+            spark, [(rnd.randrange(300), rnd.randrange(300)) for _ in range(250)]
+        )
+        assert a == b
+
+    def test_self_loops_and_nulls(self, spark):
+        a, b = self._both(spark, [(5, 1), (1, 5), (9, 9), (7, 8), (2, None)])
+        assert a == b
+        assert (9, 9) in b  # self-loop node is its own component
+
+    def test_star_rounds_stay_logarithmic(self, spark):
+        """A 120-hop path must converge well inside 30 star rounds
+        (propagation would need 120) — the max_iterations default is the
+        assertion: RuntimeError would fail this test."""
+        from hobbes_spark.functions.dedup import connected_components_star
+
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(120)], "id_a bigint, id_b bigint"
+        )
+        out = connected_components_star(e, max_iterations=15)
+        assert out.count() == 121
