@@ -699,6 +699,40 @@ def embedding_neardup_lsh(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): rows
+    whose embeddings are near-identical in cosine form a semantic group;
+    one representative (the min id) survives, the rest are dropped.
+    Returns the surviving rows of ``df`` (all columns).
+
+    Plan: banded hyperplane-LSH candidate pairs
+    (:func:`embedding_neardup_lsh` — cost tracks duplicate density, not
+    n²) → connected components over the pair graph (semantic groups are
+    near-cliques, so the 2-3-round propagation variant) → anti-join of
+    the non-representative members. Rows with NULL vectors are never
+    paired and always survive. SemDeDup proper scopes the pairing to
+    k-means cells; the LSH cells here are the deterministic,
+    oracle-checkable stand-in with the same cost shape — swap
+    ``embedding_neardup_lsh`` for a per-cell exact join to reproduce the
+    paper exactly.
+    """
+    pairs = embedding_neardup_lsh(
+        df, id_col, vec_col, threshold, bands, rows_per_band
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    drop = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

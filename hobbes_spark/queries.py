@@ -2904,3 +2904,49 @@ def dedup_components_star(spark, sf_dir):
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("comp").cast("bigint").alias("component"),
     )
+
+
+def _semantic_dedup_sql(threshold: float = 0.9, offset: int = 1_000_000) -> str:
+    dot_ab = _ND_DOT.format(a="a.v", b="b.v")
+    dot_vv = _ND_DOT.format(a="v", b="v")
+    return f"""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {offset} AS id, embedding AS v FROM embeddings
+    ), base AS (
+      SELECT id, v, sqrt({dot_vv}) AS nrm FROM corpus WHERE v IS NOT NULL
+    ), pairs AS (
+      SELECT a.id AS ia, b.id AS ib
+      FROM base a JOIN base b ON a.id < b.id
+      WHERE ({dot_ab}) / NULLIF(a.nrm * b.nrm, 0) >= {threshold}
+    ), edges AS (
+      SELECT ia AS s, ib AS d FROM pairs UNION SELECT ib, ia FROM pairs
+    ), reach(id, m) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT r.id, e.d FROM reach r JOIN edges e ON e.s = r.m
+    ), comp AS (
+      SELECT id, MIN(m) AS m FROM reach GROUP BY id
+    )
+    SELECT CAST(c.id AS BIGINT) AS vec_id FROM corpus c
+    WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.id = c.id AND comp.m <> c.id)
+    """
+
+
+@q("semantic_dedup_keep", _semantic_dedup_sql(0.9))
+def semantic_dedup_keep(spark, sf_dir):
+    """Semantic dedup survivors over the duplicated embedding corpus
+    (every vector gets an exact twin at id+1M, so every row belongs to a
+    semantic group and exactly the min-id representative survives —
+    recall on exact copies is provably 1.0, making the exact-cosine
+    recursive-CTE oracle a full check, same construction as
+    embedding_neardup_lsh)."""
+    from hobbes_spark.functions.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    out = semantic_dedup(corpus, threshold=0.9, bands=4, rows_per_band=4)
+    return out.select(F.col("vec_id").cast("bigint").alias("vec_id"))

@@ -639,3 +639,32 @@ class TestStarComponents:
         )
         out = connected_components_star(e, max_iterations=15)
         assert out.count() == 121
+
+
+class TestSemanticDedup:
+    def test_keeps_one_representative_per_group(self, spark):
+        from hobbes_spark.functions.dedup import semantic_dedup
+
+        # 3 semantic groups (exact copies + a scaled copy, which shares
+        # every hyperplane sign), one singleton, one NULL vector
+        rows = [
+            (1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [2.0, 0.0, 0.0]),
+            (10, [0.0, 1.0, 0.0]), (11, [0.0, 1.0, 0.0]),
+            (20, [0.0, 0.0, -1.0]),
+            (30, None),
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        kept = sorted(r.vec_id for r in semantic_dedup(df).collect())
+        assert kept == [1, 10, 20, 30]
+
+    def test_survivors_plus_dropped_partition_corpus(self, spark, sf_dir):
+        from hobbes_spark.functions.dedup import semantic_dedup
+        from hobbes_spark.pipeline import Pipeline
+
+        emb = Pipeline.table(spark, sf_dir, "embeddings").df.select(
+            "vec_id", "embedding"
+        )
+        kept = semantic_dedup(emb)
+        assert kept.count() <= emb.count()
+        # survivors are unique ids drawn from the corpus
+        assert kept.join(emb, "vec_id", "left_semi").count() == kept.count()
