@@ -302,6 +302,7 @@ def minhash_incremental_pairs(
     hash_fn: str = "xxhash64",
     k: int = 3,
     broadcast_new: bool = True,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs for a NEW shard against an existing corpus —
     the daily-increment shape: the base corpus's ``(id, sig)`` table is
@@ -322,9 +323,12 @@ def minhash_incremental_pairs(
     shuffles on (band, band_key) as usual. Base and new ids must be
     disjoint.
     """
-    new_sigs = minhash_signatures_df(
-        new_df, id_col, text_col, num_hashes, hash_fn, k
-    ).localCheckpoint()  # two consumers (banding + estimate), same as minhash_pairs
+    if new_sigs is None:
+        new_sigs = minhash_signatures_df(
+            new_df, id_col, text_col, num_hashes, hash_fn, k
+        ).localCheckpoint()  # two consumers (banding + estimate), as minhash_pairs
+    # callers passing precomputed new_sigs (e.g. the streaming ingest,
+    # which also persists them) must match (num_hashes, hash_fn, k)
     all_sigs = base_sigs.select("id", "sig").unionByName(new_sigs)
     nb = banded_signatures(new_sigs, num_hashes, bands)
     ab = banded_signatures(all_sigs, num_hashes, bands)

@@ -17,6 +17,11 @@ from hobbes_spark.streaming.windows import (
 from hobbes_spark.streaming.stateful import running_user_totals
 from hobbes_spark.streaming.dedup import stream_exact_dedup, stream_fingerprint_dedup
 from hobbes_spark.streaming.joins import interval_join
+from hobbes_spark.streaming.ingest import (
+    minhash_ingest_writer,
+    read_signature_store,
+    start_minhash_ingest,
+)
 from hobbes_spark.streaming.sinks import (
     idempotent_parquet_writer,
     start_idempotent_sink,

@@ -1,0 +1,132 @@
+"""Streaming near-duplicate ingest: MinHash signatures and LSH pairs
+maintained incrementally as documents arrive.
+
+The batch operators already split the work the right way
+(:func:`hobbes_spark.functions.dedup.minhash_incremental_pairs`): a new
+shard only shingles ITSELF and joins against the persisted signature
+store — the corpus is never re-shingled, never re-paired. This module
+turns that into a continuous pipeline with ``foreachBatch``:
+
+    microbatch of documents
+      → MinHash signatures (computed once)
+      → incremental LSH pairs vs the signature store so far
+      → append pairs    to  <store>/pairs/_batch_id=N/
+      → append sigs     to  <store>/signatures/_batch_id=N/
+
+Exactly-once: both writes are keyed by ``_batch_id`` with dynamic
+partition overwrite (same recipe as ``streaming/sinks.py``), and the
+"store so far" read **filters ``_batch_id < N``** — a replayed batch
+sees exactly the store state of its first attempt, rewrites exactly its
+own two partitions, and cannot pair against its own half-written
+output. Union of all pair partitions after any number of replays ==
+``minhash_pairs`` over everything ingested (asserted in tests).
+
+State lives in parquet, not executor memory: restarts are free, the
+store is directly queryable, and its size is docs × num_hashes longs —
+the signature table IS the checkpointed state, which is why this scales
+where an in-memory stateful operator would not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["minhash_ingest_writer", "start_minhash_ingest", "read_signature_store"]
+
+
+def _sig_schema(id_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+
+def read_signature_store(
+    spark: SparkSession, store_dir: str, before_batch: int | None = None
+) -> DataFrame | None:
+    """Signatures ingested so far (optionally only strictly before a
+    batch id — the replay-safety filter). None if the store is empty."""
+    try:
+        df = spark.read.parquet(f"{store_dir}/signatures")
+    except Exception:
+        return None  # first batch: nothing written yet
+    if before_batch is not None:
+        df = df.filter(F.col("_batch_id") < before_batch)
+    return df.select("id", "sig")
+
+
+def minhash_ingest_writer(
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    k: int = 3,
+    broadcast_new: bool = True,
+):
+    """``foreachBatch`` function implementing one ingest step; see the
+    module docstring for the layout and the exactly-once argument."""
+    from hobbes_spark.functions.dedup import (
+        minhash_incremental_pairs,
+        minhash_signatures_df,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_sigs = minhash_signatures_df(
+            batch_df, id_col, text_col, num_hashes, hash_fn, k
+        ).localCheckpoint()  # three consumers: banding, estimate, store write
+        base = read_signature_store(spark, store_dir, before_batch=batch_id)
+        if base is None:
+            base = spark.createDataFrame(
+                [], _sig_schema(batch_df.schema[id_col].dataType)
+            )
+        pairs = minhash_incremental_pairs(
+            batch_df,
+            base,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            hash_fn=hash_fn,
+            k=k,
+            broadcast_new=broadcast_new,
+            new_sigs=new_sigs,
+        )
+        for sub, df in (("pairs", pairs), ("signatures", new_sigs)):
+            (
+                df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(f"{store_dir}/{sub}")
+            )
+
+    return write
+
+
+def start_minhash_ingest(
+    stream_docs: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    available_now: bool = True,
+    **writer_kwargs,
+):
+    """Run the ingest over a streaming document DataFrame.
+    ``available_now=True`` drains the backlog and stops (backfill);
+    ``False`` keeps consuming. Pairs land under ``<store>/pairs``,
+    signatures under ``<store>/signatures``."""
+    writer = minhash_ingest_writer(store_dir, **writer_kwargs)
+    builder = stream_docs.writeStream.foreachBatch(writer).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        builder = builder.trigger(availableNow=True)
+    return builder.start()

@@ -357,3 +357,59 @@ def test_write_partitioned_layout_and_pruning(spark, sf_dir, tmp_path):
         for f in files:
             if f.endswith(".parquet"):
                 assert pq.ParquetFile(os.path.join(root, f)).metadata.num_rows <= 100
+
+
+def test_minhash_ingest_matches_batch_pairs(spark, sf_dir, tmp_path):
+    """Streaming the corpus in file-sized microbatches through the
+    incremental MinHash ingest must produce, across all batch
+    partitions, exactly the batch minhash_pairs of the full corpus —
+    and a replayed batch (same batch_id) must not duplicate anything."""
+    from hobbes_spark.functions.dedup import minhash_pairs
+    from hobbes_spark.streaming.ingest import (
+        minhash_ingest_writer,
+        start_minhash_ingest,
+    )
+    from hobbes_spark.pipeline import Pipeline
+
+    docs = Pipeline.table(spark, sf_dir, "documents").df.select("doc_id", "text")
+    # two single-file shards -> two microbatches (maxFilesPerTrigger=1).
+    # The file stream source lists plain files, so the shards are laid
+    # flat (a write.parquet(path) makes a directory, which it ignores).
+    import glob
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for i, half in enumerate((docs.filter(F.col("doc_id") % 2 == 0),
+                              docs.filter(F.col("doc_id") % 2 == 1))):
+        d = str(tmp_path / f"shard{i}")
+        half.coalesce(1).write.parquet(d)
+        shutil.copy(glob.glob(f"{d}/part-*.parquet")[0], f"{src}/shard{i}.parquet")
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_minhash_ingest(stream, store, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(300)
+
+    got = spark.read.parquet(f"{store}/pairs")
+    assert got.select("_batch_id").distinct().count() == 2
+    got_pairs = sorted(
+        (r.id_a, r.id_b, round(r.est_jaccard, 9)) for r in got.collect()
+    )
+    exp = sorted(
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in minhash_pairs(docs, "doc_id", "text").collect()
+    )
+    assert got_pairs == exp and len(exp) > 0
+
+    # replay batch 1 (writer invoked again with the same id): partitions
+    # are overwritten, not appended — pair set unchanged
+    writer = minhash_ingest_writer(store)
+    writer(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    again = sorted(
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in spark.read.parquet(f"{store}/pairs").collect()
+    )
+    assert again == exp
