@@ -310,3 +310,52 @@ def test_connected_components_rejects_bad_iterations(spark):
     edges = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
     with pytest.raises(ValueError, match="max_iterations"):
         connected_components(edges, max_iterations=0)
+
+
+class TestZorderLayout:
+    def test_zorder_concentrates_multicolumn_matches(self, spark, sf_dir, tmp_path):
+        """Rows matching a two-column range predicate must land in a
+        small fraction of the files (the curve's locality guarantee —
+        this is what lets parquet row-group stats skip the rest), and
+        the layout must not change the data."""
+        from hobbes_spark.pipeline import Pipeline
+        from hobbes_spark.sources.sinks import write_zordered
+
+        ev = Pipeline.table(spark, sf_dir, "events").df
+        zdir, pdir = str(tmp_path / "z"), str(tmp_path / "p")
+        write_zordered(ev, zdir, ["user_id", "value"], bits=8, n_files=16)
+        ev.repartition(16).write.parquet(pdir)  # random-layout baseline
+
+        zr, pr = spark.read.parquet(zdir), spark.read.parquet(pdir)
+        assert zr.count() == ev.count()
+        pred = (F.col("user_id").between(10, 30)) & (F.col("value") < 50)
+        files = lambda df: (
+            df.filter(pred).select(F.input_file_name().alias("f")).distinct().count()
+        )
+        z_files, p_files = files(zr), files(pr)
+        assert z_files <= p_files / 2, (z_files, p_files)
+        got = sorted(r.event_id for r in zr.filter(pred).collect())
+        exp = sorted(r.event_id for r in ev.filter(pred).collect())
+        assert got == exp
+
+    def test_zorder_rejects_string_cols_and_needs_cols(self, spark, sf_dir, tmp_path):
+        import pytest as _pytest
+
+        from hobbes_spark.pipeline import Pipeline
+        from hobbes_spark.sources.sinks import write_zordered
+
+        ev = Pipeline.table(spark, sf_dir, "events").df
+        with _pytest.raises(ValueError):
+            write_zordered(ev, str(tmp_path / "x"), ["event_type"])
+        with _pytest.raises(ValueError):
+            write_zordered(ev, str(tmp_path / "y"), [])
+
+    def test_zorder_constant_and_null_buckets(self, spark, tmp_path):
+        from hobbes_spark.sources.sinks import write_zordered
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 5.0)], "a bigint, b double"
+        ).withColumn("c", F.lit(7))
+        write_zordered(df, str(tmp_path / "z"), ["b", "c"], bits=4, n_files=2)
+        back = spark.read.parquet(str(tmp_path / "z"))
+        assert back.count() == 3  # NULLs and constant columns survive

@@ -61,6 +61,8 @@ def main():
     evN = scaled(spark, sf_dir, out_dir, "events", n, ["event_id", "user_id"])
     doN = scaled(spark, sf_dir, out_dir, "documents", n, ["doc_id"])
     orN = scaled(spark, sf_dir, out_dir, "orders", n, ["o_orderkey", "o_custkey"])
+    em1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emN = scaled(spark, sf_dir, out_dir, "embeddings", n, ["vec_id"])
 
     def group_agg(li):
         return (
@@ -180,6 +182,31 @@ def main():
         media = as_media(do, "doc_id", "text", "text/plain")
         return decode_image_meta(media)
 
+    def components_star(do):
+        from hobbes_spark.functions.dedup import (
+            connected_components_star,
+            minhash_pairs,
+        )
+
+        pairs = minhash_pairs(do, "doc_id", "text", num_hashes=32, bands=16,
+                              threshold=0.5, hash_fn="xxhash64")
+        return connected_components_star(pairs.select("id_a", "id_b"))
+
+    def bloom_anti(do):
+        from hobbes_spark.functions.text import fingerprint
+        from hobbes_spark.operators.bloom import bloom_anti_join
+
+        d = do.withColumn("__f", fingerprint("text"))
+        tst = d.filter(F.col("doc_id") % 20 == 0).select("__f")
+        return bloom_anti_join(
+            d.filter(F.col("doc_id") % 20 != 0), tst, "__f", num_bits=1 << 22
+        )
+
+    def semantic(emb):
+        from hobbes_spark.functions.dedup import semantic_dedup
+
+        return semantic_dedup(emb, threshold=0.9)
+
     cases = {
         "group_agg": (group_agg, li1, liN),
         "media_decode": (media_decode, do1, doN),
@@ -194,6 +221,9 @@ def main():
         "asof_join": (asof, ev1, evN),
         "curate_corpus": (curate, do1, doN),
         "dedup_components": (components, do1, doN),
+        "dedup_components_star": (components_star, do1, doN),
+        "bloom_anti_join": (bloom_anti, do1, doN),
+        "semantic_dedup": (semantic, em1, emN),
     }
 
     def run(df):
