@@ -2950,3 +2950,23 @@ def semantic_dedup_keep(spark, sf_dir):
     )
     out = semantic_dedup(corpus, threshold=0.9, bands=4, rows_per_band=4)
     return out.select(F.col("vec_id").cast("bigint").alias("vec_id"))
+
+
+@q("sketch_user_rollup", None)  # HLL binary state: no SQL twin, rows-only
+def sketch_user_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup: per-(event_type, day) HLL sketches of
+    user_id merged up to per-type approximate distinct counts — the
+    materialized-aggregate pattern (build small state at ingest, answer
+    rollups from state, never rescan). Merge-equals-direct and
+    error-vs-exact are pinned in tests/test_functions.py; DuckDB has no
+    compatible sketch, so the gate records rows-only."""
+    from hobbes_spark.functions.sketches import (
+        hll_group_sketches,
+        hll_rollup_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events").df.withColumn("d", F.to_date("ts"))
+    daily = hll_group_sketches(ev, ["event_type", "d"], "user_id")
+    return hll_rollup_estimate(daily, ["event_type"]).select(
+        "event_type", F.col("approx_distinct").cast("bigint").alias("approx_distinct")
+    )

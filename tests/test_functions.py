@@ -668,3 +668,71 @@ class TestSemanticDedup:
         assert kept.count() <= emb.count()
         # survivors are unique ids drawn from the corpus
         assert kept.join(emb, "vec_id", "left_semi").count() == kept.count()
+
+
+class TestHllSketches:
+    """Mergeable HLL sketch state: the merge-of-parts must equal the
+    sketch-of-whole exactly (that's what makes pre-aggregated sketch
+    tables sound), and estimates must track exact distinct counts."""
+
+    def test_merge_of_daily_equals_sketch_of_union(self, spark, sf_dir):
+        from hobbes_spark.functions.sketches import (
+            hll_group_sketches,
+            hll_rollup_estimate,
+        )
+        from hobbes_spark.pipeline import Pipeline
+
+        ev = Pipeline.table(spark, sf_dir, "events").df.withColumn(
+            "d", F.to_date("ts")
+        )
+        daily = hll_group_sketches(ev, ["event_type", "d"], "user_id")
+        merged = hll_rollup_estimate(daily, ["event_type"])
+        direct = hll_rollup_estimate(
+            hll_group_sketches(ev, ["event_type"], "user_id"), ["event_type"]
+        )
+        got = {r.event_type: r.approx_distinct for r in merged.collect()}
+        want = {r.event_type: r.approx_distinct for r in direct.collect()}
+        assert got == want  # identical estimates, not merely close
+
+    def test_estimate_tracks_exact(self, spark, sf_dir):
+        from hobbes_spark.functions.sketches import (
+            hll_group_sketches,
+            hll_rollup_estimate,
+        )
+        from hobbes_spark.pipeline import Pipeline
+
+        ev = Pipeline.table(spark, sf_dir, "events").df
+        est = {
+            r.event_type: r.approx_distinct
+            for r in hll_rollup_estimate(
+                hll_group_sketches(ev, ["event_type"], "user_id"), ["event_type"]
+            ).collect()
+        }
+        exact = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect()
+        }
+        for k, n in exact.items():
+            assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)
+
+    def test_sketches_survive_parquet(self, spark, sf_dir, tmp_path):
+        """The sketch table round-trips through parquet — it is the
+        persistable materialized aggregate, not session state."""
+        from hobbes_spark.functions.sketches import (
+            hll_group_sketches,
+            hll_rollup_estimate,
+        )
+        from hobbes_spark.pipeline import Pipeline
+
+        ev = Pipeline.table(spark, sf_dir, "events").df
+        hll_group_sketches(ev, ["event_type"], "user_id").write.parquet(
+            str(tmp_path / "sk")
+        )
+        back = spark.read.parquet(str(tmp_path / "sk"))
+        live = hll_rollup_estimate(
+            hll_group_sketches(ev, ["event_type"], "user_id"), []
+        ).collect()[0][0]
+        stored = hll_rollup_estimate(back, []).collect()[0][0]
+        assert stored == live
