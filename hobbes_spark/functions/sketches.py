@@ -26,7 +26,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_group_sketches", "hll_rollup_estimate", "hll_estimate"]
+__all__ = [
+    "hll_group_sketches",
+    "hll_rollup_estimate",
+    "hll_estimate",
+    "theta_group_sketches",
+    "theta_overlap_estimate",
+]
 
 
 def hll_group_sketches(
@@ -74,3 +80,37 @@ def hll_estimate(sketch: Column | str) -> Column:
     """Estimate of one sketch value (row-wise)."""
     col = F.col(sketch) if isinstance(sketch, str) else sketch
     return F.hll_sketch_estimate(col)
+
+
+def theta_group_sketches(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """One Theta sketch per ``keys`` group over ``col``:
+    ``(*keys, sketch: binary)``. Same build-once shape as
+    :func:`hll_group_sketches`; Theta costs a little more space but its
+    sketches support set INTERSECTION, not just union."""
+    return df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.theta_sketch_agg(F.col(col), F.lit(lgk)).alias("sketch")
+    )
+
+
+def theta_overlap_estimate(
+    sketches: DataFrame,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Approximate size of the INTERSECTION of all groups' sets — the
+    join-free audience-overlap query ("users who did A *and* B"): one
+    row ``(approx_overlap: double)`` from the per-group sketch table.
+
+    The exact form of this question is a self-join (or N-way join) on
+    the raw data per combination asked; the sketch form answers any
+    combination from state whose size is independent of the data.
+    """
+    return sketches.groupBy().agg(
+        F.theta_sketch_estimate(
+            F.theta_intersection_agg(F.col(sketch_col))
+        ).alias("approx_overlap")
+    )

@@ -736,3 +736,22 @@ class TestHllSketches:
         ).collect()[0][0]
         stored = hll_rollup_estimate(back, []).collect()[0][0]
         assert stored == live
+
+
+class TestThetaOverlap:
+    def test_intersection_estimate_tracks_exact(self, spark, sf_dir):
+        from hobbes_spark.functions.sketches import (
+            theta_group_sketches,
+            theta_overlap_estimate,
+        )
+        from hobbes_spark.pipeline import Pipeline
+
+        ev = Pipeline.table(spark, sf_dir, "events").df.filter(
+            F.col("event_type").isin("click", "purchase")
+        )
+        sk = theta_group_sketches(ev, ["event_type"], "user_id")
+        est = theta_overlap_estimate(sk).collect()[0][0]
+        a = {r.user_id for r in ev.filter("event_type = 'click'").select("user_id").distinct().collect()}
+        b = {r.user_id for r in ev.filter("event_type = 'purchase'").select("user_id").distinct().collect()}
+        exact = len(a & b)
+        assert abs(est - exact) <= max(3, 0.08 * exact), (est, exact)
