@@ -2970,3 +2970,32 @@ def sketch_user_rollup(spark, sf_dir):
     return hll_rollup_estimate(daily, ["event_type"]).select(
         "event_type", F.col("approx_distinct").cast("bigint").alias("approx_distinct")
     )
+
+
+@q(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """Top-3 rows per group — the k>1 generalization of the reference's
+    maxby selector (SURVEY §2.4). Same scale shape: row_number over a
+    keyed window compiles to WindowGroupLimit, so each input partition
+    forwards at most k rows per key BEFORE the shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders").df
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
