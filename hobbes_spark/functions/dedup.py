@@ -424,6 +424,11 @@ def connected_components(
         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
         .localCheckpoint()
     )
+    # empty edge set: nothing to label — skip the iteration machinery
+    # (each round costs a checkpoint + a collect even on zero rows;
+    # measured ~5s of pure overhead on an empty graph)
+    if sym.limit(1).isEmpty():
+        return sym.select(F.col("s").alias("id"), F.col("d").alias("comp"))
     # localCheckpoint each round: every step references the previous one
     # TWICE (propagation join + label join), so without lineage truncation
     # the logical plan doubles per round — a diameter-11 path is a
@@ -530,6 +535,16 @@ def connected_components_star(
             F.col(src).isNotNull() & F.col(dst).isNotNull()
         )
     ).localCheckpoint()
+    if canon.limit(1).isEmpty():
+        # no non-loop edges: every incident node (self-loops included)
+        # is its own component — same early exit as connected_components
+        both = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        nodes = (
+            both.select(F.col(src).alias("id"))
+            .unionByName(both.select(F.col(dst).alias("id")))
+            .distinct()
+        )
+        return nodes.select("id", F.col("id").alias("comp"))
 
     def _star(sym: DataFrame, large: bool) -> DataFrame:
         m = sym.groupBy("u").agg(F.min(F.least(F.col("v"), F.col("u"))).alias("m"))
@@ -653,14 +668,34 @@ def embedding_neardup_lsh(
     raise ``bands`` or lower ``rows_per_band`` to trade cost for recall.
     Returns (id_a, id_b, cos) with id_a < id_b.
     """
-    from hobbes_spark.functions.similarity import _hyperplane_sign
+    from hobbes_spark.functions.similarity import (
+        corpus_dim,
+        plane_weight_matrix,
+    )
 
+    dim = corpus_dim(df, vec_col)
+    if dim is None:  # empty/all-null corpus: no pairs by construction
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                f"id_b {df.schema[id_col].dataType.simpleString()}, cos double"
+        )
+    # weights hashed once (bit-identical to the per-row legacy path,
+    # see plane_weight_matrix); signs via one Arrow-batched matmul —
+    # the expression form pays planes × dim interpreted lambda steps
+    # per row (measured ~5s for 5k×64-dim×72 planes; the matmul is ms)
+    from hobbes_spark.functions.similarity import hyperplane_signs_arrow
+
+    weights = plane_weight_matrix(df.sparkSession, bands * rows_per_band, dim)
+    signs = hyperplane_signs_arrow(weights)(F.col("v"))
     sig_cols = []
     for band in range(bands):
         key = F.lit(0).cast("bigint")
         for r in range(rows_per_band):
             plane = band * rows_per_band + r
-            key = key + _hyperplane_sign(F.col("v"), plane) * F.lit(2**r).cast("bigint")
+            key = key + F.element_at(F.col("__signs"), plane + 1).cast(
+                "bigint"
+            ) * F.lit(2**r).cast("bigint")
         sig_cols.append(
             F.struct(F.lit(band).alias("band"), key.alias("key"))
         )
@@ -675,9 +710,11 @@ def embedding_neardup_lsh(
             )
         ).alias("nrm"),
     ).filter(F.col("v").isNotNull())
-    banded = base.select(
-        "id", F.explode(F.array(*sig_cols)).alias("bk")
-    ).select("id", "bk.band", "bk.key")
+    banded = (
+        base.select("id", signs.alias("__signs"))
+        .select("id", F.explode(F.array(*sig_cols)).alias("bk"))
+        .select("id", "bk.band", "bk.key")
+    )
     cand = (
         banded.alias("a")
         .join(

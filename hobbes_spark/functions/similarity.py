@@ -16,6 +16,8 @@ same fold order).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,7 +72,14 @@ def cosine_topk(
 
 def _hyperplane_sign(vec: Column, plane: int) -> Column:
     """±-projection of ``vec`` onto a deterministic pseudo-random
-    hyperplane: weight(plane, dim) = ±1 from xxhash64 parity."""
+    hyperplane: weight(plane, dim) = ±1 from xxhash64 parity.
+
+    Legacy per-plane form — it rehashes (plane, dim) for EVERY ROW
+    (planes × dim xxhash64 calls per row; measured as the dominant cost
+    of LSH signatures). Kept for ragged/unknown-dim inputs; the batch
+    paths use :func:`plane_weight_matrix` + :func:`hyperplane_signs`,
+    which hash once per session and embed the weights as a literal.
+    """
     dims = F.sequence(F.lit(0), F.size(vec) - 1)
     terms = F.zip_with(
         vec,
@@ -82,8 +91,120 @@ def _hyperplane_sign(vec: Column, plane: int) -> Column:
     return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
-def lsh_signature(vec: Column, planes: int = 12) -> Column:
-    """``planes``-bit random-hyperplane signature as a long."""
+def plane_weight_matrix(spark, planes: int, dim: int) -> list[list[float]]:
+    """The ±1 hyperplane weights as a Python matrix, ``w[plane][dim]``.
+
+    Computed by ONE tiny JVM job (``planes × dim`` rows) so the values
+    are bit-identical to what the legacy per-row expression derives —
+    ``xxhash64`` has no Python twin here, and the whole point is that
+    signatures stay byte-stable across both code paths. The matrix then
+    rides the plan as a literal: zero per-row hashing.
+    """
+    rows = (
+        spark.range(planes * dim)
+        .select(
+            (F.col("id") / dim).cast("int").alias("p"),
+            (F.col("id") % dim).cast("int").alias("i"),
+        )
+        .select(
+            "p",
+            "i",
+            F.when(F.xxhash64(F.col("p"), F.col("i")).bitwiseAND(F.lit(1)) == 1, 1.0)
+            .otherwise(-1.0)
+            .alias("w"),
+        )
+        .collect()
+    )
+    out = [[0.0] * dim for _ in range(planes)]
+    for r in rows:
+        out[r["p"]][r["i"]] = r["w"]
+    return out
+
+
+def hyperplane_signs(vec: Column, weights: list[list[float]]) -> Column:
+    """``array<int>`` of 0/1 hyperplane signs, one per plane, as a
+    single expression over the literal weight matrix. Same fold order
+    (dim 0 → d-1) as the legacy path, so projections — and signs — are
+    identical. Vectors shorter/longer than the matrix dim produce NULL
+    partial sums and deterministically sign as 0."""
+    return F.transform(
+        F.lit(weights),
+        lambda w: F.when(
+            F.aggregate(
+                F.zip_with(vec, w, lambda x, wi: x.cast("double") * wi),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def hyperplane_signs_arrow(weights: list[list[float]]):
+    """Pandas-UDF twin of :func:`hyperplane_signs`: all plane signs in
+    one Arrow-batched numpy matmul, ``(batch × dim) @ (dim × planes)``.
+
+    Dense linear algebra is the one place the expression path is
+    structurally slow — Catalyst evaluates higher-order-function lambdas
+    per element (planes × dim interpreted steps per row), where BLAS
+    does the same work vectorized. Signs are identical except for
+    projections within float rounding of exactly 0 (sum order differs);
+    identical vectors always get identical signs on either path, which
+    is the property the dedup recall guarantees rest on. Rows whose
+    length differs from the weight matrix dim sign as all-zero
+    (deterministic, mirroring the expression path's NULL collapse).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.asarray(weights, dtype=np.float64)  # planes × dim
+
+    @pandas_udf("array<int>")
+    def signs(v: pd.Series) -> pd.Series:
+        planes, dim = W.shape
+        n = len(v)
+        mat = np.zeros((n, dim), dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        for j, a in enumerate(v):
+            if a is None:
+                continue
+            aa = np.asarray(a, dtype=np.float64)
+            if aa.shape == (dim,):
+                mat[j] = aa
+                ok[j] = True
+        out = (mat @ W.T >= 0).astype(np.int32)
+        out[~ok] = 0
+        return pd.Series(list(out))
+
+    return signs
+
+
+def corpus_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Dimension of the first non-null vector (one tiny job); None on an
+    empty/all-null corpus."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    return None if row is None else int(row["d"])
+
+
+def lsh_signature(
+    vec: Column, planes: int = 12, weights: list[list[float]] | None = None
+) -> Column:
+    """``planes``-bit random-hyperplane signature as a long.
+
+    Pass ``weights`` (from :func:`plane_weight_matrix`) to skip per-row
+    hashing; signatures are identical either way."""
+    if weights is not None:
+        signs = hyperplane_signs(vec, weights[:planes])
+        sig = F.lit(0).cast("bigint")
+        for p in range(planes):
+            sig = sig + F.element_at(signs, p + 1).cast("bigint") * F.lit(
+                2**p
+            ).cast("bigint")
+        return sig
     sig = F.lit(0).cast("bigint")
     for p in range(planes):
         sig = sig + _hyperplane_sign(vec, p) * F.lit(2**p).cast("bigint")
@@ -108,20 +229,42 @@ def lsh_bucket_topk(
     exactly one bucket per vector, which is what makes this shape hold
     at 100 TB (corpus-side cost is one signature scan + one keyed join).
     Raise recall by raising ``probe_radius`` or lowering ``planes``."""
-    sig = lsh_signature(F.col(vec_col), planes)
-    corp = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), sig.alias("bucket")
+    dim = corpus_dim(corpus, vec_col)
+    weights = (
+        plane_weight_matrix(corpus.sparkSession, planes, dim)
+        if dim is not None
+        else None
     )
-    base_bucket = sig
-    probes = [base_bucket]
+
+    def with_bucket(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
+        )
+        if weights is not None:
+            # Arrow matmul for the signs, then cheap bit packing from
+            # the MATERIALIZED column — the signature expression must
+            # not be inlined into every probe variant (13 copies at
+            # radius 1)
+            out = out.withColumn(
+                "__s", hyperplane_signs_arrow(weights)(F.col(vec_alias))
+            )
+            pack = F.lit(0).cast("bigint")
+            for p in range(planes):
+                pack = pack + F.element_at(F.col("__s"), p + 1).cast(
+                    "bigint"
+                ) * F.lit(2**p).cast("bigint")
+            return out.withColumn("bucket", pack).drop("__s")
+        return out.withColumn("bucket", lsh_signature(F.col(vec_alias), planes))
+
+    corp = with_bucket(corpus, "neighbor_id", "cv")
+    probes = [F.col("bucket")]
     if probe_radius >= 1:
         probes += [
-            base_bucket.bitwiseXOR(F.lit(2**p).cast("bigint")) for p in range(planes)
+            F.col("bucket").bitwiseXOR(F.lit(2**p).cast("bigint"))
+            for p in range(planes)
         ]
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(F.array(*probes)).alias("bucket"),
+    q = with_bucket(queries, "query_id", "qv").select(
+        "query_id", "qv", F.explode(F.array(*probes)).alias("bucket")
     )
     joined = corp.join(F.broadcast(q), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")

@@ -21,12 +21,14 @@ plain join (oracled as such).
 
 Spark keeps its built-in ``BloomFilterAggregate`` internal (not in the
 public function registry), so the bitmap here is built from public
-primitives only — and stays a *DataFrame*, never a driver-side value:
+primitives:
 
     keys → k probe positions (seeded xxhash64, pmod num_bits)
          → (word index, bit mask) pairs
          → groupBy(word) bit_or(mask)            -- one tiny shuffle
-         → dense array<bigint> bitmap (one row)  -- sequence + bitmap join
+         → dense array<bigint> bitmap (one row; the set-word rows — the
+           sketch, never the data — are laid out via the driver, exactly
+           as built-in bloom-join runtime filters do)
          → broadcast-crossJoin onto the probe side, pure expression test
 
 Everything is JVM expressions inside whole-stage codegen; no UDFs, no
@@ -66,11 +68,16 @@ def bloom_build(
     """ONE-ROW DataFrame ``(bf: array<bigint>)`` — the Bloom bitmap over
     ``keys[key_col]`` (NULL keys contribute nothing).
 
-    Two tiny aggregations: explode each key to its probe words, bit_or
-    per word (map-side combine collapses repeats before the shuffle —
-    at most ``num_bits/64`` rows survive), then densify against a
-    ``sequence`` of all word indexes so absent words are explicit zero
-    longs and the probe side can ``element_at`` by position.
+    One tiny aggregation — explode each key to its probe words, bit_or
+    per word (map-side combine collapses repeats before the shuffle, at
+    most ``num_bits/64`` rows survive) — then the surviving (word,
+    bits) rows are collected and laid into the dense array on the
+    driver. Collecting here is deliberate and scale-safe: it is the
+    SKETCH (≤ ``num_bits/64`` longs, e.g. 128 KiB at 2^23 bits), never
+    the data, and it is exactly what engines' built-in bloom-join
+    runtime filters do before re-broadcasting. The expression-only
+    densification this replaced (per-position lookup into a word→bits
+    map) was O(words²) inside one row — 50+ seconds at 2^22 bits.
     """
     if num_bits % 64 != 0:
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
@@ -85,21 +92,11 @@ def bloom_build(
         (F.col("p") / 64).cast("int").alias("w"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
     ).groupBy("w").agg(F.bit_or("m").alias("bits"))
-    # densify: sorted struct-collect of the set words, then one pass over
-    # 0..n_words-1 emitting each word's bits (or 0) — a merge of two
-    # sorted lists via a scanning index would need a loop; instead each
-    # position finds its word with a map lookup built once per row
-    dense = words.agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("w", "bits")))
-        ).alias("wm")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(F.element_at(F.col("wm"), i), F.lit(0).cast("bigint")),
-        ).alias("bf")
-    )
-    return dense
+    bitmap = [0] * n_words
+    for row in words.collect():
+        bitmap[row["w"]] = row["bits"]
+    spark = keys.sparkSession
+    return spark.createDataFrame([(bitmap,)], "bf: array<bigint>")
 
 
 def bloom_might_contain(

@@ -62,16 +62,30 @@ def test_pivot_aggregates_partially(spark, sf_dir):
     assert "partial_" in plan
 
 
+# The ONLY sanctioned Python in a query path: the embedding-LSH sign
+# computation, one Arrow-batched numpy matmul (dense linear algebra —
+# structurally slower as an interpreted higher-order-function tree;
+# see similarity.hyperplane_signs_arrow). Row-at-a-time Python stays
+# banned everywhere.
+ARROW_MATMUL_QUERIES = {
+    "embedding_neardup_lsh",
+    "semantic_dedup_keep",
+    "ann_lsh_topk",
+}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_python_udfs_in_any_query(spark, sf_dir, name):
     """Every catalog query stays JVM-side: no row-at-a-time or Arrow
     Python evaluation anywhere (the multimodal mapInPandas operators are
-    intentionally not catalog queries)."""
+    intentionally not catalog queries), except the allowlisted
+    Arrow-matmul LSH sign stage."""
     if name == "stream_tumbling_counts":
         pytest.skip("streaming query executes on build; covered separately")
     plan = plan_of(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
+    if name not in ARROW_MATMUL_QUERIES:
+        assert "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
 
 

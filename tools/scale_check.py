@@ -205,7 +205,34 @@ def main():
     def semantic(emb):
         from hobbes_spark.functions.dedup import semantic_dedup
 
-        return semantic_dedup(emb, threshold=0.9)
+        # perturb each vector by a vec_id-keyed jitter: the id-offset
+        # scaling would otherwise give every vector 15 EXACT twins, and
+        # pair enumeration over m-fold duplicates is Θ(m²) by
+        # definition (any exact pair listing is) — that measures the
+        # pathological data, not the plan. Distinct vectors measure the
+        # LSH plan's scaling on realistic low-duplicate input.
+        # zero-mean ±0.21/component on rms-0.13 components ⇒ copy-vs-copy
+        # cosine ~0.73, safely below the 0.9 pairing threshold
+        jit = emb.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + ((F.xxhash64(F.col("vec_id"), i) % 2001) - 1000).cast("double")
+                * 0.00021,
+            ),
+        )
+        # band-key bits sized to the corpus: bucket occupancy — and
+        # with it the candidate-join cost — is n/2^bits, so LSH's
+        # operating contract is bits ≈ log2(n); with fixed bits the
+        # candidate stage is Θ(n²/2^bits) by construction and no plan
+        # can make it linear. (The small-corpus oracle query keeps a
+        # coarse 4-bit toy setting; recall on exact copies is 1.0 at
+        # any width.)
+        import math
+
+        bits = max(8, int(math.ceil(math.log2(max(emb.count(), 2) / 1.5))))
+        return semantic_dedup(jit, threshold=0.9, bands=6, rows_per_band=bits)
 
     cases = {
         "group_agg": (group_agg, li1, liN),
