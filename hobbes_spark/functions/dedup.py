@@ -667,6 +667,12 @@ def embedding_neardup_lsh(
     1.0; for merely-similar pairs recall is the classic banding curve —
     raise ``bands`` or lower ``rows_per_band`` to trade cost for recall.
     Returns (id_a, id_b, cos) with id_a < id_b.
+
+    Operating note for scale: bucket occupancy is n / 2^rows_per_band
+    per band, and the candidate join costs Θ(bands · n²/2^bits), so
+    ``rows_per_band`` must grow ≈ log2(n) with the corpus (the small
+    defaults suit the test corpora; tools/scale_check.py sizes them
+    dynamically).
     """
     from hobbes_spark.functions.similarity import (
         corpus_dim,
