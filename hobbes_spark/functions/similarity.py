@@ -21,7 +21,46 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "cosine_topk", "lsh_bucket_topk", "ivf_topk"]
+__all__ = ["cosine", "cosine_topk", "lsh_bucket_topk", "ivf_topk", "group_centroids"]
+
+
+def group_centroids(
+    df: DataFrame,
+    keys: "list[str]",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean vector per group: ``(*keys, centroid:
+    array<double>, n: bigint)`` — the centroid computation under IVF
+    cells, per-class embedding prototypes, and semantic-cluster
+    summaries.
+
+    Scale shape: ``posexplode`` to (group, dim, value) rows, ONE keyed
+    aggregation (map-side partial — shuffle volume is groups × dims, not
+    rows × dims), then the per-group dim/mean rows fold back into an
+    ordered array via ``array_sort`` of (dim, mean) structs. No
+    collect, no UDF, no per-group loop; NULL vectors are excluded from
+    both the means and the count.
+    """
+    kcols = [F.col(k) for k in keys]
+    exploded = df.filter(F.col(vec_col).isNotNull()).select(
+        *kcols, F.posexplode(F.col(vec_col)).alias("__d", "__v")
+    )
+    per_dim = exploded.groupBy(*kcols, F.col("__d")).agg(
+        F.avg(F.col("__v").cast("double")).alias("__m"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        per_dim.groupBy(*kcols)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__d", "__m"))).alias("__dm"),
+            F.max("__n").alias("n"),
+        )
+        .select(
+            *kcols,
+            F.transform(F.col("__dm"), lambda s: s["__m"]).alias("centroid"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
 
 
 def _dotd(a: Column, b: Column) -> Column:

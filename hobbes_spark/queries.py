@@ -2999,3 +2999,40 @@ def topk_per_group(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice")
     )
+
+
+@q(
+    "label_centroids",
+    f"""
+    WITH ex AS (
+      SELECT label, unnest(embedding) AS x,
+             unnest(generate_series(1, len(embedding))) AS d
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), pd AS (
+      SELECT label, d, AVG(CAST(x AS DOUBLE)) AS m,
+             CAST(COUNT(x) AS BIGINT) AS n
+      FROM ex GROUP BY label, d
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(d - 1 AS INT) AS dim,
+           {_rsql('m', 6)} AS m,
+           n
+    FROM pd
+    """,
+)
+def label_centroids(spark, sf_dir):
+    """Per-class embedding centroids (element-wise mean vectors) — the
+    prototype computation under IVF cells and semantic-cluster
+    summaries, as one posexplode + keyed agg + ordered re-fold (shuffle
+    volume: groups × dims, not rows × dims). Emitted long-form (one row
+    per dimension): the driver's value hash stringifies cells, and
+    array cells don't stringify identically across engines."""
+    from hobbes_spark.functions.similarity import group_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    out = group_centroids(emb, ["label"], "embedding")
+    return out.select(
+        F.col("label").cast("int").alias("label"),
+        F.posexplode(F.col("centroid")).alias("dim", "m"),
+        F.col("n"),
+    ).select("label", "dim", _r(F.col("m"), 6).alias("m"), "n")

@@ -755,3 +755,18 @@ class TestThetaOverlap:
         b = {r.user_id for r in ev.filter("event_type = 'purchase'").select("user_id").distinct().collect()}
         exact = len(a & b)
         assert abs(est - exact) <= max(3, 0.08 * exact), (est, exact)
+
+
+class TestGroupCentroids:
+    def test_centroid_matches_manual_mean(self, spark):
+        from hobbes_spark.functions.similarity import group_centroids
+
+        rows = [
+            ("a", [1.0, 2.0]), ("a", [3.0, 6.0]),
+            ("b", [10.0, 0.0]),
+            ("b", None),
+        ]
+        df = spark.createDataFrame(rows, "k string, embedding array<double>")
+        got = {r.k: (r.centroid, r.n) for r in group_centroids(df, ["k"]).collect()}
+        assert got["a"] == ([2.0, 4.0], 2)
+        assert got["b"] == ([10.0, 0.0], 1)  # NULL vector excluded from n
