@@ -3036,3 +3036,52 @@ def label_centroids(spark, sf_dir):
         F.posexplode(F.col("centroid")).alias("dim", "m"),
         F.col("n"),
     ).select("label", "dim", _r(F.col("m"), 6).alias("m"), "n")
+
+
+_HB_VELOCITY_PIVOT = """
+only (o_totalprice > 1000)
+create column yr (format date "o_orderdate" year)
+pivot [yr] [o_orderstatus] -> count [o_orderkey]
+sort by column yr
+create column fdone (moving mean 3 [F])
+only !(fdone = missing)
+slice columns yr F O P fdone
+"""
+
+
+@q(
+    "hb_velocity_pivot",
+    f"""
+    WITH piv AS (
+      SELECT year(o_orderdate) AS yr,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_cnt,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_cnt,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_cnt
+      FROM orders WHERE o_totalprice > 1000 GROUP BY 1
+    ), win AS (
+      SELECT yr, f_cnt, o_cnt, p_cnt,
+             AVG(f_cnt) OVER (ORDER BY yr
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m,
+             ROW_NUMBER() OVER (ORDER BY yr) AS rn
+      FROM piv
+    )
+    SELECT CAST(yr AS INT) AS yr, f_cnt, o_cnt, p_cnt, {_rsql('m', 4)} AS fdone
+    FROM win WHERE rn >= 3
+    """,
+)
+def hb_velocity_pivot(spark, sf_dir):
+    """The Velocity.hb pipeline shape (reference
+    tests/transformations/Velocity.hb:21-31) — filter → date-part derive
+    → pivot-count → sort → moving mean → missing cleanup — run through
+    the .hb TEXT front-end end-to-end and checked against the
+    conditional-count SQL twin."""
+    from hobbes_spark.hb import run_hb
+
+    out = run_hb(_HB_VELOCITY_PIVOT, _t(spark, sf_dir, "orders"))
+    return out.df.select(
+        F.col("yr").cast("int").alias("yr"),
+        F.col("F").cast("bigint").alias("f_cnt"),
+        F.col("O").cast("bigint").alias("o_cnt"),
+        F.col("P").cast("bigint").alias("p_cnt"),
+        _r(F.col("fdone"), 4).alias("fdone"),
+    )
