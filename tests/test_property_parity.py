@@ -162,3 +162,77 @@ def test_pivot_count_matches(spark, rows):
            for r in out.collect()}
     want = dict(con.execute("SELECT k, COUNT(*) FROM t GROUP BY k").fetchall())
     assert got == want
+
+
+# --------------------------------------------------------------------- #
+# Bloom joins: for ANY key universe (unicode, empty strings, NULLs,
+# duplicates), results must equal the plain semi/anti joins and the
+# filter must never produce a false negative.
+# --------------------------------------------------------------------- #
+
+keys_strat = st.lists(
+    st.one_of(st.none(), st.text(max_size=8)), min_size=0, max_size=30
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left_keys=keys_strat, right_keys=keys_strat)
+def test_bloom_joins_equal_plain_joins(spark, left_keys, right_keys):
+    from hobbes_spark.operators.bloom import bloom_anti_join, bloom_semi_join
+
+    ldf = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(left_keys)] or [(None, -1)],
+        "k string, i bigint",
+    )
+    rdf = spark.createDataFrame(
+        [(k,) for k in right_keys] or [(None,)], "k string"
+    )
+    key = lambda t: (t[0] is None, t[0] or "", t[1])  # NULL keys sortable
+    semi_exp = sorted(
+        ((r.k, r.i) for r in ldf.join(rdf, "k", "left_semi").collect()), key=key
+    )
+    anti_exp = sorted(
+        ((r.k, r.i) for r in ldf.join(rdf, "k", "left_anti").collect()), key=key
+    )
+    semi_got = sorted(
+        ((r.k, r.i) for r in bloom_semi_join(ldf, rdf, "k", 1 << 12, 3).collect()),
+        key=key,
+    )
+    anti_got = sorted(
+        ((r.k, r.i) for r in bloom_anti_join(ldf, rdf, "k", 1 << 12, 3).collect()),
+        key=key,
+    )
+    assert semi_got == semi_exp
+    assert anti_got == anti_exp
+
+
+# --------------------------------------------------------------------- #
+# Z-order (Morton) code: decodable — every coordinate's bits are
+# recoverable from the interleave, so curve ordering is well-defined.
+# --------------------------------------------------------------------- #
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)), min_size=1, max_size=20
+    )
+)
+def test_zorder_value_round_trips(spark, pairs):
+    from pyspark.sql import functions as F
+
+    from hobbes_spark.sources.sinks import zorder_value
+
+    df = spark.createDataFrame(pairs, "a bigint, b bigint")
+    out = df.withColumn("z", zorder_value([F.col("a"), F.col("b")], bits=8)).collect()
+
+    def decode(z):
+        a = b = 0
+        for i in range(8):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    for r in out:
+        assert decode(r.z) == (r.a, r.b)
