@@ -33,6 +33,7 @@ __all__ = [
     "minhash_incremental_pairs",
     "simhash60",
     "jaccard_pairs",
+    "jaccard_join_prefix",
     "embedding_neardup_exact",
     "embedding_neardup_lsh",
     "connected_components",
@@ -743,6 +744,79 @@ def embedding_neardup_lsh(
         .withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+    )
+
+
+def jaccard_join_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs word-set Jaccard self-join via prefix filtering
+    (AllPairs / PPJoin family, Bayardo et al. 2007, Xiao et al. 2008) —
+    the deterministic sibling of MinHash LSH: every pair with
+    ``jaccard(tokens(a), tokens(b)) >= threshold`` is returned, no
+    recall curve. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    The pruning theorem: order every document's distinct tokens by
+    GLOBAL rarity; two sets with Jaccard ≥ θ must share a token within
+    each one's first ``n − ⌈θ·n⌉ + 1`` rarest tokens. So candidates are
+    generated only from those short prefixes — and prefixes are made of
+    the RAREST tokens, so bucket sizes stay small where a naive
+    token-inverted-index join would explode on stopwords.
+
+    Plan: (id, token) distinct explode → global token counts (one keyed
+    agg) → rarity-ranked per-doc arrays (one agg) → prefix explode →
+    equi-join on token → distinct candidates → exact set Jaccard from
+    the two full arrays. All shuffles keyed on uniform values (token,
+    id); the verify step is array intersection on already-built arrays.
+    Docs with zero tokens never pair. Correctness is pinned against a
+    brute-force oracle; the pruning only removes pairs, never results.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.lower(c(text_col))))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__tf"))
+    docs = (
+        toks.join(freq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__tf", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+        .withColumn("n", F.size("toks"))
+    )
+    pref_len = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int")
+    pref = docs.select(
+        "id", F.explode(F.slice(F.col("toks"), 1, pref_len)).alias("tok")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"),
+              (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    da = docs.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"),
+                     F.col("n").alias("na"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"),
+                     F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    jac = inter / F.nullif(
+        (F.col("na") + F.col("nb") - inter).cast("double"), F.lit(0.0)
+    )
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

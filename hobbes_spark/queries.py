@@ -3085,3 +3085,32 @@ def hb_velocity_pivot(spark, sf_dir):
         F.col("P").cast("bigint").alias("p_cnt"),
         _r(F.col("fdone"), 4).alias("fdone"),
     )
+
+
+@q(
+    "jaccard_prefix_pairs",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_TOKS_SQL}) AS tk FROM documents
+    ), nz AS (
+      SELECT doc_id, tk FROM t WHERE len(tk) > 0
+    )
+    SELECT id_a, id_b, {_rsql('jac', 6)} AS jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.tk, b.tk)) /
+             CAST(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS DOUBLE) AS jac
+      FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+    ) WHERE jac >= 0.9
+    """,
+)
+def jaccard_prefix_pairs(spark, sf_dir):
+    """EXACT word-set Jaccard self-join (threshold 0.9) through the
+    prefix filter — every qualifying pair, no LSH recall curve. The
+    oracle is the brute-force all-pairs twin, so any unsound pruning
+    (a pair the prefix filter drops that brute force keeps) hash-fails
+    the gate."""
+    from hobbes_spark.functions.dedup import jaccard_join_prefix
+
+    docs = _t(spark, sf_dir, "documents").df
+    out = jaccard_join_prefix(docs, "doc_id", "text", 0.9)
+    return out.select("id_a", "id_b", _r(F.col("jaccard"), 6).alias("jaccard"))

@@ -45,8 +45,14 @@ def get_spark(
         # The reference's `int(...)` cast FAILS on bad input (strict);
         # Spark 4 ANSI default matches that semantics. Keep ANSI on.
         .config("spark.sql.ansi.enabled", "true")
-        # Read parquet TIMESTAMP(NANOS) (e.g. events.ts) as long;
+        # Read parquet TIMESTAMP(NANOS) as long (older driver datasets);
         # Pipeline.table converts to microsecond timestamps in-plan.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spill-awareness: cap scan-side partition size so a task's
+        # working set fits executor memory at any input scale (AQE then
+        # coalesces small shuffle partitions back up). 128 MiB is the
+        # upstream default, pinned here so deployments don't inherit a
+        # surprise from cluster-wide overrides.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
     return builder.getOrCreate()

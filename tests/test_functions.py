@@ -770,3 +770,50 @@ class TestGroupCentroids:
         got = {r.k: (r.centroid, r.n) for r in group_centroids(df, ["k"]).collect()}
         assert got["a"] == ([2.0, 4.0], 2)
         assert got["b"] == ([10.0, 0.0], 1)  # NULL vector excluded from n
+
+
+class TestJaccardPrefixJoin:
+    def test_equals_brute_force(self, spark):
+        from hobbes_spark.functions.dedup import jaccard_join_prefix
+        from hobbes_spark.functions.text import tokens
+
+        rows = [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox leaps"),
+            (3, "a completely different sentence here"),
+            (4, "the quick brown fox jumps"),  # exact dup of 1
+            (5, ""),                            # no tokens: never pairs
+            (6, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in jaccard_join_prefix(df, "doc_id", "text", 0.6).collect()
+        )
+        t = df.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(tokens(F.lower(F.col("text")))).alias("t"),
+        ).filter(F.size("t") > 0)
+        a, b = t.alias("a"), t.alias("b")
+        inter = F.size(F.array_intersect(F.col("a.t"), F.col("b.t")))
+        jac = inter / (F.size("a.t") + F.size("b.t") - inter).cast("double")
+        exp = sorted(
+            (r.id_a, r.id_b, round(r.j, 9))
+            for r in a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    jac.alias("j"))
+            .filter(F.col("j") >= 0.6)
+            .collect()
+        )
+        assert got == exp
+        assert (1, 4, 1.0) in got  # exact dup found at jaccard 1.0
+        assert not any(5 in (p[0], p[1]) or 6 in (p[0], p[1]) for p in got)
+
+    def test_threshold_validation(self, spark):
+        import pytest as _pytest
+
+        from hobbes_spark.functions.dedup import jaccard_join_prefix
+
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        with _pytest.raises(ValueError):
+            jaccard_join_prefix(df, "doc_id", "text", 0.0)
