@@ -48,6 +48,7 @@ __all__ = [
     "chunk_documents",
     "pack_documents",
     "unigram_logprob_scores",
+    "dsir_log_weights",
     "redact_pii",
 ]
 
@@ -548,3 +549,77 @@ def pack_documents(
         *[c(o) for o in order]
     )
     return out.withColumn(pos_col, F.row_number().over(wp)).drop("__run")
+
+
+def _mean_logprob_under(
+    toks: DataFrame,
+    vocab_src: DataFrame,
+    id_col: str,
+    alpha: float,
+    out_col: str,
+) -> DataFrame:
+    """Per-doc mean log-probability of ``toks`` (id, tok rows) under the
+    add-``alpha``-smoothed unigram LM trained on ``vocab_src`` (id, tok
+    rows). Out-of-vocabulary tokens get the smoothed zero-count mass —
+    the left join + coalesce, NOT an inner join, or unseen tokens would
+    silently vanish from the mean."""
+    vocab = vocab_src.groupBy("tok").agg(F.count("*").cast("bigint").alias("cnt"))
+    sizes = vocab.agg(F.sum("cnt").alias("total"), F.count("*").alias("vsize"))
+    return (
+        toks.join(vocab, "tok", "left")
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+                / (F.col("total") + F.lit(alpha) * F.col("vsize"))
+            ).alias("__lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.avg("__lp").alias(out_col),
+        )
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-shaped domain-importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    per document, ``log w(x) = lp_target(x) − lp_corpus(x)`` — how much
+    more likely the doc's tokens are under a LM of the TARGET domain
+    than under the corpus LM. Sampling ∝ exp(log_weight) (e.g. via
+    ``sampling.hash_sample`` thresholds) reshapes the corpus toward the
+    target domain. DSIR proper uses hashed-n-gram features; the unigram
+    variant keeps the whole computation SQL-expressible and oracle-
+    checkable, same shape as :func:`unigram_logprob_scores`.
+
+    Plan: tokenize once, score under both vocabularies (two keyed
+    vocab aggregations + two token joins, AQE picks broadcast when a
+    vocab is small), one per-doc mean each. Returns
+    ``(id_col, n_tokens, log_weight)``; docs with no tokens are absent.
+    """
+    def tok_rows(d: DataFrame) -> DataFrame:
+        return (
+            d.select(F.col(id_col), tokens(F.lower(c(text_col))).alias("__tk"))
+            .select(id_col, F.explode_outer("__tk").alias("tok"))
+            .filter(F.col("tok").isNotNull())
+        )
+
+    toks = tok_rows(df)
+    lp_t = _mean_logprob_under(toks, tok_rows(target), id_col, alpha, "__lp_t")
+    lp_c = _mean_logprob_under(toks, toks, id_col, alpha, "__lp_c")
+    return (
+        lp_t.join(lp_c.drop("n_tokens"), id_col)
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("__lp_t") - F.col("__lp_c")).alias("log_weight"),
+        )
+    )

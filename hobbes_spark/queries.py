@@ -3114,3 +3114,49 @@ def jaccard_prefix_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").df
     out = jaccard_join_prefix(docs, "doc_id", "text", 0.9)
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 6).alias("jaccard"))
+
+
+@q(
+    "dsir_weights",
+    rf"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), ttk AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents WHERE source = 'src0'
+    ), vt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM ttk GROUP BY tok
+    ), st AS (
+      SELECT SUM(cnt) AS total, COUNT(*) AS vsize FROM vt
+    ), vc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY tok
+    ), sc AS (
+      SELECT SUM(cnt) AS total, COUNT(*) AS vsize FROM vc
+    ), lpt AS (
+      SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             AVG(ln((COALESCE(vt.cnt, 0) + 0.5) / (st.total + 0.5 * st.vsize))) AS lp
+      FROM tk LEFT JOIN vt USING (tok) CROSS JOIN st GROUP BY tk.doc_id
+    ), lpc AS (
+      SELECT tk.doc_id,
+             AVG(ln((COALESCE(vc.cnt, 0) + 0.5) / (sc.total + 0.5 * sc.vsize))) AS lp
+      FROM tk LEFT JOIN vc USING (tok) CROSS JOIN sc GROUP BY tk.doc_id
+    )
+    SELECT CAST(lpt.doc_id AS BIGINT) AS doc_id, n_tokens,
+           {_rsql('lpt.lp - lpc.lp', 6)} AS log_weight
+    FROM lpt JOIN lpc ON lpt.doc_id = lpc.doc_id
+    """,
+)
+def dsir_weights(spark, sf_dir):
+    """DSIR-shaped domain-importance weights: every corpus doc scored by
+    how much likelier its tokens are under the src0-domain unigram LM
+    than the corpus LM (Xie et al. 2023, unigram variant). Positive
+    log_weight ⇒ doc looks like the target domain; resample ∝ exp(w)."""
+    from hobbes_spark.functions.curation import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents").df
+    target = docs.filter(F.col("source") == "src0")
+    out = dsir_log_weights(docs, target)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens"),
+        _r(F.col("log_weight"), 6).alias("log_weight"),
+    )

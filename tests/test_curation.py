@@ -339,3 +339,27 @@ def test_remove_duplicate_spans_validates_args(spark):
         remove_duplicate_spans(df, "text", n=0)
     with _pytest.raises(ValueError):
         remove_duplicate_spans(df, "text", min_count=1)
+
+
+class TestDsirWeights:
+    def test_target_docs_score_higher(self, spark):
+        """Docs drawn from the target domain must get higher importance
+        weights than out-of-domain docs, and exp(log_weight) must be
+        finite/positive."""
+        import math
+
+        from hobbes_spark.functions.curation import dsir_log_weights
+
+        rows = [
+            (1, "alpha beta gamma delta", "t"),
+            (2, "alpha beta gamma epsilon", "t"),
+            (3, "totally unrelated words here", "c"),
+            (4, "alpha beta gamma delta", "c"),   # in-domain text, corpus source
+            (5, "", "c"),                          # tokenless: absent from output
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+        target = df.filter(F.col("source") == "t")
+        got = {r.doc_id: r.log_weight for r in dsir_log_weights(df, target).collect()}
+        assert 5 not in got
+        assert got[4] > got[3]  # in-domain text outranks out-of-domain
+        assert all(math.isfinite(w) for w in got.values())
