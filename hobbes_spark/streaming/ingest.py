@@ -33,7 +33,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["minhash_ingest_writer", "start_minhash_ingest", "read_signature_store"]
+__all__ = [
+    "minhash_ingest_writer",
+    "start_minhash_ingest",
+    "read_signature_store",
+    "hll_ingest_writer",
+    "start_hll_ingest",
+]
 
 
 def _sig_schema(id_type: T.DataType) -> T.StructType:
@@ -125,6 +131,55 @@ def start_minhash_ingest(
     signatures under ``<store>/signatures``."""
     writer = minhash_ingest_writer(store_dir, **writer_kwargs)
     builder = stream_docs.writeStream.foreachBatch(writer).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        builder = builder.trigger(availableNow=True)
+    return builder.start()
+
+
+def hll_ingest_writer(
+    store_dir: str,
+    keys: "list[str]",
+    col: str,
+    lgk: int = 12,
+):
+    """``foreachBatch`` step maintaining a mergeable HLL sketch table:
+    each microbatch appends one sketch row per group under its
+    ``_batch_id`` partition (dynamic overwrite ⇒ replay-idempotent —
+    and unlike the MinHash ingest, no read-back is needed at all:
+    sketches merge at ROLLUP time, so the write path is stateless).
+    Distinct-count rollups over any batch range then read the store
+    and merge (functions.sketches.hll_rollup_estimate); merging daily
+    parts is byte-identical to sketching the union, so streaming
+    ingestion loses nothing versus a batch rebuild."""
+    from hobbes_spark.functions.sketches import hll_group_sketches
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            hll_group_sketches(batch_df, keys, col, lgk)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{store_dir}/sketches")
+        )
+
+    return write
+
+
+def start_hll_ingest(
+    stream_df: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    keys: "list[str]",
+    col: str,
+    lgk: int = 12,
+    available_now: bool = True,
+):
+    """Run the sketch ingest over a stream; see :func:`hll_ingest_writer`."""
+    writer = hll_ingest_writer(store_dir, keys, col, lgk)
+    builder = stream_df.writeStream.foreachBatch(writer).option(
         "checkpointLocation", checkpoint
     )
     if available_now:

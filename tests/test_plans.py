@@ -231,3 +231,12 @@ def test_q5_region_collapses_dims_into_broadcasts(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "partial_sum" in plan
     assert "EqualTo(r_name,ASIA)" in plan  # region filter at its scan
+
+
+def test_jaccard_prefix_join_no_cartesian(spark, sf_dir):
+    """The prefix-filter join must stay an equi-join on the prefix
+    token — never a nested-loop/cartesian pair enumeration — and the
+    exact verify must aggregate partially."""
+    plan = plan_of(spark, sf_dir, "jaccard_prefix_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

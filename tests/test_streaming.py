@@ -413,3 +413,48 @@ def test_minhash_ingest_matches_batch_pairs(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(f"{store}/pairs").collect()
     )
     assert again == exp
+
+
+def test_hll_ingest_rollup_equals_direct_sketch(spark, sf_dir, tmp_path):
+    """Streaming events into per-batch HLL sketches, then merging the
+    store, must give the SAME estimate as sketching the whole table
+    directly (merge-of-parts == sketch-of-whole), and replaying a batch
+    must not change it."""
+    from hobbes_spark.functions.sketches import (
+        hll_group_sketches,
+        hll_rollup_estimate,
+    )
+    from hobbes_spark.pipeline import Pipeline
+    from hobbes_spark.streaming.ingest import hll_ingest_writer, start_hll_ingest
+
+    ev = Pipeline.table(spark, sf_dir, "events").df
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    store = str(tmp_path / "store")
+    q = start_hll_ingest(
+        stream, store, str(tmp_path / "ckpt"), ["event_type"], "user_id"
+    )
+    assert q.awaitTermination(300)
+
+    merged = {
+        r.event_type: r.approx_distinct
+        for r in hll_rollup_estimate(
+            spark.read.parquet(f"{store}/sketches"), ["event_type"]
+        ).collect()
+    }
+    direct = {
+        r.event_type: r.approx_distinct
+        for r in hll_rollup_estimate(
+            hll_group_sketches(ev, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    assert merged == direct
+
+    # replay batch 0: same partition overwritten, rollup unchanged
+    hll_ingest_writer(store, ["event_type"], "user_id")(ev, 0)
+    again = {
+        r.event_type: r.approx_distinct
+        for r in hll_rollup_estimate(
+            spark.read.parquet(f"{store}/sketches"), ["event_type"]
+        ).collect()
+    }
+    assert again == direct
