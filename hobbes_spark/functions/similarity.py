@@ -21,7 +21,17 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "cosine_topk", "lsh_bucket_topk", "ivf_topk", "group_centroids"]
+__all__ = [
+    "cosine",
+    "cosine_topk",
+    "lsh_bucket_topk",
+    "ivf_build",
+    "ivf_write",
+    "ivf_read",
+    "ivf_search",
+    "ivf_topk",
+    "group_centroids",
+]
 
 
 def group_centroids(
@@ -315,57 +325,87 @@ def lsh_bucket_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ivf_topk(
+def ivf_build(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 10,
     nlist: int = 16,
-    nprobe: int = 4,
     seed: int = 42,
     sample_fraction: float | None = None,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
-    partitions the corpus into ``nlist`` cells; each query probes its
-    ``nprobe`` nearest cells and reranks exactly inside them.
+) -> "tuple[DataFrame, DataFrame]":
+    """Build the IVF index: ``(assigned, centroids)`` — the inverted
+    file as two plain DataFrames.
 
-    The scale path for big corpora: training runs on a sample, cell
-    assignment is one MLlib transform (JVM-side), and the search is a
-    keyed equi-join touching ~``nprobe/nlist`` of the corpus. Unlike
-    LSH, recall is tunable *after* indexing via ``nprobe``.
-    Returns (query_id, neighbor_id, cos, rank).
+    ``assigned``  = (id, v, cell): every corpus vector with its coarse
+    k-means cell (one MLlib transform, JVM-side).
+    ``centroids`` = (cell, centroid): nlist × dim, tiny.
+
+    Both are ordinary tables: persist them with :func:`ivf_write` and
+    the index is built ONCE for any number of later searches — the
+    100 TB operating mode, where re-clustering the corpus per query
+    batch would dwarf the search itself. Training can run on a sample
+    (``sample_fraction``); assignment always covers the full corpus.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feats = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
     train = feats if sample_fraction is None else feats.sample(sample_fraction, seed)
     n_train = train.count()  # marginal next to k-means training itself
     if n_train == 0:
-        raise ValueError("ivf_topk: corpus (or its training sample) is empty")
+        raise ValueError("ivf_build: corpus (or its training sample) is empty")
     nlist = min(nlist, n_train)
     model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(train)
     assigned = model.transform(feats).select(
-        "neighbor_id", "cv", F.col("prediction").alias("cell")
+        "id", "v", F.col("prediction").alias("cell")
+    )
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_write(index_dir: str, assigned: DataFrame, centroids: DataFrame) -> None:
+    """Persist the IVF index: the inverted file partitioned BY CELL (a
+    search probing nprobe cells then prunes to nprobe directories) and
+    the centroid table beside it."""
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/assigned"
+    )
+    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def ivf_read(spark, index_dir: str) -> "tuple[DataFrame, DataFrame]":
+    """Load an index written by :func:`ivf_write`."""
+    return (
+        spark.read.parquet(f"{index_dir}/assigned"),
+        spark.read.parquet(f"{index_dir}/centroids"),
     )
 
-    # centroids are tiny (nlist x dim): broadcast to rank cells per query
-    centers = model.clusterCenters()
-    spark = corpus.sparkSession
-    cdf = F.broadcast(
-        spark.createDataFrame(
-            [(i, [float(x) for x in v]) for i, v in enumerate(centers)],
-            f"cell int, centroid array<double>",
-        )
-    )
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search a built IVF index: each query ranks the (broadcast)
+    centroids, probes its ``nprobe`` nearest cells, and reranks exactly
+    inside them — a keyed equi-join touching ~nprobe/nlist of the
+    corpus, pruned to those cells' directories when the index was
+    written partitioned by cell. Returns (query_id, neighbor_id, cos,
+    rank)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     qcells = (
-        q.crossJoin(cdf)
+        q.crossJoin(F.broadcast(centroids))
         .withColumn(
             "dist2",
             F.aggregate(
@@ -387,11 +427,39 @@ def ivf_topk(
         .filter(F.col("cr") <= nprobe)
         .select("query_id", "qv", "cell")
     )
-    joined = assigned.join(F.broadcast(qcells), "cell").filter(
-        F.col("neighbor_id") != F.col("query_id")
+    joined = (
+        assigned.select(
+            F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+        )
+        .join(F.broadcast(qcells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     scored = joined.select(
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k in one shot: build + search
+    (see :func:`ivf_build` / :func:`ivf_search`; production persists the
+    built index with :func:`ivf_write` and searches it many times).
+    Unlike LSH, recall is tunable AFTER indexing via ``nprobe``.
+    Returns (query_id, neighbor_id, cos, rank)."""
+    assigned, centroids = ivf_build(
+        corpus, id_col, vec_col, nlist, seed, sample_fraction
+    )
+    return ivf_search(assigned, centroids, queries, id_col, vec_col, k, nprobe)
+
+

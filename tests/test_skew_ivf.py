@@ -114,3 +114,32 @@ def test_salted_join_rejects_full(spark, skewed):
     dim = spark.createDataFrame([("HOT", 1.0)], "k string, w double")
     with pytest.raises(ValueError, match="salted_join supports"):
         salted_join(skewed, dim, "k", how="full")
+
+
+def test_ivf_index_persists_and_searches_identically(spark, sf_dir, tmp_path):
+    """Build once, write, read back, search: results must equal the
+    one-shot ivf_topk (the index is a table, not session state)."""
+    from hobbes_spark.functions.similarity import (
+        ivf_build,
+        ivf_read,
+        ivf_search,
+        ivf_topk,
+    )
+    from hobbes_spark.pipeline import Pipeline
+
+    emb = Pipeline.table(spark, sf_dir, "embeddings").df
+    queries = emb.limit(5)
+    direct = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(emb, queries, k=5, nlist=8, nprobe=8).collect()
+    )
+    assigned, centroids = ivf_build(emb, nlist=8)
+    from hobbes_spark.functions.similarity import ivf_write
+
+    ivf_write(str(tmp_path / "idx"), assigned, centroids)
+    a2, c2 = ivf_read(spark, str(tmp_path / "idx"))
+    stored = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_search(a2, c2, queries, k=5, nprobe=8).collect()
+    )
+    assert stored == direct and len(stored) == 25
