@@ -3160,3 +3160,45 @@ def dsir_weights(spark, sf_dir):
         F.col("n_tokens"),
         _r(F.col("log_weight"), 6).alias("log_weight"),
     )
+
+
+@q(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY 1
+    ), acts AS (
+      SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS m
+      FROM orders
+    )
+    SELECT CAST(CAST(f.cohort AS DATE) AS VARCHAR) AS cohort_month,
+           CAST((year(a.m) - year(f.cohort)) * 12
+                + (month(a.m) - month(f.cohort)) AS INT) AS month_no,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM acts a JOIN firsts f ON a.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention: customers grouped by first-order month, counted
+    active in each subsequent month — the classic warehouse triangle.
+    Plan: two keyed aggregations on o_custkey + one equi-join on it (all
+    three share the customer-key partitioning, AQE reuses it), then a
+    partial-aggregated count on the tiny (cohort, month_no) key."""
+    orders = _t(spark, sf_dir, "orders").df.select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    )
+    firsts = orders.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    acts = orders.distinct()
+    months_between = (
+        (F.year("m") - F.year("cohort")) * 12 + (F.month("m") - F.month("cohort"))
+    ).cast("int")
+    return (
+        acts.join(firsts, "o_custkey")
+        .groupBy(
+            F.col("cohort").cast("date").cast("string").alias("cohort_month"),
+            months_between.alias("month_no"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
