@@ -531,20 +531,25 @@ def connected_components_star(
     """
     if max_iterations < 1:
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
-    canon = _cc_canon(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-            F.col(src).isNotNull() & F.col(dst).isNotNull()
-        )
-    ).localCheckpoint()
+    # materialize the null-filtered edge projection ONCE: canon, the
+    # early exit, and the final node recovery all read it — without
+    # this, each consumer re-runs the whole upstream pair-generation
+    # pipeline (for dedup graphs, the expensive MinHash/LSH stage; the
+    # same rationale as connected_components' sym checkpoint)
+    both = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .localCheckpoint()
+    )
+    nodes = (
+        both.select(F.col("a").alias("id"))
+        .unionByName(both.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    canon = _cc_canon(both).localCheckpoint()
     if canon.limit(1).isEmpty():
         # no non-loop edges: every incident node (self-loops included)
         # is its own component — same early exit as connected_components
-        both = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
-        nodes = (
-            both.select(F.col(src).alias("id"))
-            .unionByName(both.select(F.col(dst).alias("id")))
-            .distinct()
-        )
         return nodes.select("id", F.col("id").alias("comp"))
 
     def _star(sym: DataFrame, large: bool) -> DataFrame:
@@ -593,14 +598,10 @@ def connected_components_star(
     # nodes whose only edges were self-loops vanished with the loops at
     # canonicalization; they are their own component (parity with
     # connected_components, which keeps them)
-    # an edge with a NULL endpoint is no edge at all — neither side
-    # becomes a node through it (same rule as connected_components)
-    both = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
-    nodes = (
-        both.select(F.col(src).alias("id"))
-        .unionByName(both.select(F.col(dst).alias("id")))
-        .distinct()
-    )
+    # nodes (computed from the checkpointed projection above; an edge
+    # with a NULL endpoint is no edge — same rule as
+    # connected_components) restore self-loop-only ids the
+    # canonicalization dropped
     return nodes.join(labels, "id", "left").select(
         "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
     )

@@ -48,8 +48,11 @@ def group_centroids(
     aggregation (map-side partial — shuffle volume is groups × dims, not
     rows × dims), then the per-group dim/mean rows fold back into an
     ordered array via ``array_sort`` of (dim, mean) structs. No
-    collect, no UDF, no per-group loop; NULL vectors are excluded from
-    both the means and the count.
+    collect, no UDF, no per-group loop; NULL vectors are excluded
+    entirely, and ``n`` is the max per-dimension NON-NULL element count
+    (= contributing vectors when vectors are dense and uniform; under
+    NULL elements or ragged lengths it stays consistent with the means'
+    own denominators, which skip NULLs).
     """
     kcols = [F.col(k) for k in keys]
     exploded = df.filter(F.col(vec_col).isNotNull()).select(
@@ -57,7 +60,9 @@ def group_centroids(
     )
     per_dim = exploded.groupBy(*kcols, F.col("__d")).agg(
         F.avg(F.col("__v").cast("double")).alias("__m"),
-        F.count(F.lit(1)).alias("__n"),
+        # count("__v"), not count(*): a NULL element is skipped by avg,
+        # so counting it would desynchronize n from the mean denominator
+        F.count(F.col("__v")).alias("__n"),
     )
     return (
         per_dim.groupBy(*kcols)

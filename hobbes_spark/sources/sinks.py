@@ -142,8 +142,17 @@ def write_bucketed(
 def zorder_value(bucket_cols: list[Column], bits: int = 8) -> Column:
     """Interleave the low ``bits`` of each bucket id into one Z-value
     (Morton code): bit i of column j lands at position i*len(cols)+j.
-    Pure integer expressions — stays in whole-stage codegen."""
+    Pure integer expressions — stays in whole-stage codegen. The
+    interleave must fit a signed 64-bit value: ``len(cols) * bits <= 63``
+    (bit 63 is the sign — letting a bucket bit land there would corrupt
+    curve order even before the literal overflowed)."""
     n = len(bucket_cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_value: {n} columns x {bits} bits = {n * bits} interleaved "
+            "bits; at most 63 fit a bigint — lower bits (e.g. "
+            f"bits={63 // n} for {n} columns)"
+        )
     z = F.lit(0).cast("bigint")
     for j, b in enumerate(bucket_cols):
         v = b.cast("bigint")
@@ -193,6 +202,13 @@ def write_zordered(
     """
     if not cols:
         raise ValueError("write_zordered needs at least one column")
+    if len(cols) * bits > 63:
+        # fail before the stats pass runs, not after (zorder_value
+        # re-checks; this is the early, pre-job validation)
+        raise ValueError(
+            f"write_zordered: {len(cols)} columns x {bits} bits exceeds the "
+            f"63-bit interleave budget — use bits<={63 // len(cols)}"
+        )
     nb = 2**bits
     work = df
     bucket_cols: list[Column] = []

@@ -56,10 +56,19 @@ def read_signature_store(
 ) -> DataFrame | None:
     """Signatures ingested so far (optionally only strictly before a
     batch id — the replay-safety filter). None if the store is empty."""
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.parquet(f"{store_dir}/signatures")
-    except Exception:
-        return None  # first batch: nothing written yet
+    except AnalysisException as e:
+        # ONLY the first-batch missing-directory case may mean "empty
+        # base". Any other failure (transient FS error, corrupt footer,
+        # permissions) must raise: treating it as an empty corpus would
+        # silently drop every new-vs-base pair for this batch, and the
+        # checkpoint would commit the loss permanently.
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
     if before_batch is not None:
         df = df.filter(F.col("_batch_id") < before_batch)
     return df.select("id", "sig")

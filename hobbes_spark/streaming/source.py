@@ -53,8 +53,23 @@ def stream_events(
 
 
 def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """Convert a nanosecond-long event-time column to timestamp (no-op if
-    already a timestamp)."""
-    if ts_col in df.columns and dict(df.dtypes)[ts_col] == "bigint":
+    """Normalize the event-time column to an instant (TIMESTAMP):
+
+    * nanosecond long (legacy nanos parquet under ``nanosAsLong``) →
+      microsecond timestamp;
+    * TIMESTAMP_NTZ (plain micros parquet under Spark 4's inference) →
+      pinned as UTC wall-clock. Watermarks and stream-stream join
+      conditions REQUIRE an instant (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+      otherwise), and doing it here — at the one shared source — fixes
+      every downstream watermark operator at once, rather than
+      special-casing each (the round-2 interval_join patch, kept as a
+      safety for batch-side inputs that don't come through here).
+    """
+    if ts_col not in df.columns:
+        return df
+    dtype = dict(df.dtypes)[ts_col]
+    if dtype == "bigint":
         return df.withColumn(ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)"))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(ts_col, F.to_utc_timestamp(F.col(ts_col), "UTC"))
     return df

@@ -458,3 +458,25 @@ def test_hll_ingest_rollup_equals_direct_sketch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert again == direct
+
+
+def test_watermark_operators_accept_driver_event_times(spark, sf_dir, tmp_path):
+    """The driver tables carry timezone-less micros timestamps
+    (TIMESTAMP_NTZ under Spark 4 parquet inference); every
+    watermark-using operator must work on a stream of them — the source
+    normalizes event time to an instant once, for all of them (round-2
+    review finding: only interval_join had been patched)."""
+    from hobbes_spark.streaming import stream_exact_dedup
+
+    path = f"{sf_dir}/events.parquet"
+    # watermarked tumbling aggregation, append mode (requires watermark)
+    agg = tumbling_agg(
+        stream_events(spark, path), duration="6 hours", keys=("event_type",),
+        watermark="1 hour",
+    )
+    name = _run_to_memory(agg, "append", str(tmp_path / "ck1"))
+    assert len(_rows(spark, name)) > 0
+    # watermarked streaming dedup
+    ded = stream_exact_dedup(stream_events(spark, path), ["event_id"], "1 hour")
+    name2 = _run_to_memory(ded, "append", str(tmp_path / "ck2"))
+    assert len(_rows(spark, name2)) > 0

@@ -217,9 +217,12 @@ def main():
             "embedding",
             F.transform(
                 "embedding",
+                # pmod, not %: Spark's % is sign-preserving, and xxhash64
+                # is negative half the time — plain % would skew half the
+                # jitter terms to [-0.63, -0.21] instead of +/-0.21
                 lambda x, i: x
-                + ((F.xxhash64(F.col("vec_id"), i) % 2001) - 1000).cast("double")
-                * 0.00021,
+                + (F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(2001)) - 1000)
+                .cast("double") * 0.00021,
             ),
         )
         # band-key bits sized to the corpus: bucket occupancy — and
