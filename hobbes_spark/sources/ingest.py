@@ -25,6 +25,7 @@ __all__ = [
     "flatten",
     "sniff_types",
     "read_json_uniform",
+    "read_csv_uniform",
     "local_data",
     "rest_pages",
 ]
@@ -167,3 +168,28 @@ def rest_pages(spark: SparkSession, pages: Sequence[str], values_field: str | No
             )
         df = df.select(F.explode(F.col(values_field)).alias("__v")).select("__v.*")
     return sniff_types(flatten(df))
+
+
+def read_csv_uniform(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV -> sniffed types, through the same per-column cascade as the
+    JSON path (float -> timestamp -> int -> string, `Reader.fs:25-37`).
+
+    The file is read all-string deliberately — Spark's own
+    ``inferSchema`` samples rows and follows different locale/precision
+    rules, while :func:`sniff_types` applies the reference's semantics
+    (a column types as ``t`` iff EVERY non-empty value casts, empty
+    string = missing) in one aggregate pass over the full data. CSV is
+    already flat, so no flatten step.
+    """
+    df = (
+        spark.read.option("header", header)
+        .option("delimiter", delimiter)
+        .option("inferSchema", False)
+        .csv(path)
+    )
+    return sniff_types(df)

@@ -156,3 +156,29 @@ def test_odata_url_preencoded_not_double_encoded():
     assert "%25" not in u  # no double encoding
     u2 = odata_url("https://x/feed?", filter="Iteration/StartDate gt 2019-01-01Z")
     assert " " not in u2 and "%20gt%20" in u2
+
+
+def test_read_csv_uniform_sniffs_reference_cascade(spark, tmp_path):
+    """CSV comes in all-string and leaves with the reference's
+    float->timestamp->int->string cascade applied per column; empty
+    cells are missing, a single non-numeric value keeps a column
+    string."""
+    from hobbes_spark.sources.ingest import read_csv_uniform
+
+    p = tmp_path / "t.csv"
+    p.write_text(
+        "num,mixed,when,txt\n"
+        "1.5,2,2020-01-01 00:00:00,a\n"
+        ",x,2021-06-30 12:00:00,b\n"
+        "3,4,,c\n"
+    )
+    df = read_csv_uniform(spark, str(p))
+    dt = dict(df.dtypes)
+    assert dt["num"] == "double"       # all-numeric -> float-first cascade
+    assert dt["mixed"] == "string"     # 'x' blocks numeric typing
+    assert dt["when"].startswith("timestamp")
+    assert dt["txt"] == "string"
+    rows = {r.txt: r for r in df.collect()}
+    assert rows["b"].num is None       # empty cell = missing
+    assert rows["c"].when is None
+    assert rows["c"].num == 3.0
