@@ -3209,3 +3209,37 @@ def cohort_retention(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
     )
+
+
+@q(
+    "daily_value_delta",
+    f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           {_rsql('v', 4)} AS total,
+           {_rsql("v - LAG(v) OVER (PARTITION BY event_type ORDER BY day)", 4)} AS delta
+    FROM d
+    """,
+)
+def daily_value_delta(spark, sf_dir):
+    """Day-over-day change per event type: keyed daily aggregation, then
+    lag over a per-type window (the shuffle stays keyed by event_type —
+    never a global sort; first day per type is NULL delta)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").df
+    d = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return d.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        _r(F.col("v"), 4).alias("total"),
+        _r(F.col("v") - F.lag("v").over(w), 4).alias("delta"),
+    )
