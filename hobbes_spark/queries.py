@@ -3243,3 +3243,36 @@ def daily_value_delta(spark, sf_dir):
         _r(F.col("v"), 4).alias("total"),
         _r(F.col("v") - F.lag("v").over(w), 4).alias("delta"),
     )
+
+
+@q(
+    "tpch_q14_promo",
+    f"""
+    SELECT CAST(year(l_shipdate) AS INT) AS yr,
+           {_rsql("100.0 * SUM(CASE WHEN p_type = 'PROMO' "
+                  "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+                  "/ SUM(l_extendedprice * (1 - l_discount))", 4)} AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def tpch_q14_promo(spark, sf_dir):
+    """Promotion revenue share per ship year (TPC-H Q14 shape) — the
+    lineitem⋈part fact-dimension join. The part table broadcasts (a
+    product catalog is dimension-class at any corpus scale); the
+    conditional revenue share is one partial-aggregated pass."""
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").df.select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(
+            _r(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
