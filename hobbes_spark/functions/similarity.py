@@ -234,14 +234,32 @@ def hyperplane_signs_arrow(weights: list[list[float]]):
 
 
 def corpus_dim(df: DataFrame, vec_col: str) -> int | None:
-    """Dimension of the first non-null vector (one tiny job); None on an
-    empty/all-null corpus."""
+    """Dimension of the corpus vectors (one tiny agg job); None on an
+    empty/all-null corpus.
+
+    Validates the corpus is NOT ragged: the Arrow sign kernel
+    (:func:`hyperplane_signs_arrow`) signs every other-dim vector as
+    all-zero, which would silently collapse a ragged subset into bucket
+    0 of every band — candidate generation degrades toward Θ(m²) there
+    and probe recall is lost. A cheap min/max over ``F.size`` catches
+    that up front and raises instead."""
     row = (
         df.filter(F.col(vec_col).isNotNull())
-        .select(F.size(F.col(vec_col)).alias("d"))
+        .agg(
+            F.min(F.size(F.col(vec_col))).alias("lo"),
+            F.max(F.size(F.col(vec_col))).alias("hi"),
+        )
         .first()
     )
-    return None if row is None else int(row["d"])
+    if row is None or row["lo"] is None:
+        return None
+    if row["lo"] != row["hi"]:
+        raise ValueError(
+            f"ragged embedding corpus: {vec_col!r} sizes range "
+            f"{row['lo']}..{row['hi']}; LSH signatures require a fixed "
+            "dimension — filter or pad the corpus first"
+        )
+    return int(row["hi"])
 
 
 def lsh_signature(

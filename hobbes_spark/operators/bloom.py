@@ -135,7 +135,23 @@ def _bloom_split(
     num_bits: int,
     num_hashes: int,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(definitely-absent rows, maybe rows, right keys) split of left."""
+    """(definitely-absent rows, maybe rows, right keys) split of left.
+
+    The two sides' key types must be identical: ``xxhash64`` hashes the
+    BYTES of the value, so int-vs-bigint (or any width-differing pair)
+    hash the same logical key to different probe positions — the Bloom
+    filter then reports false NEGATIVES, which the exact join afterwards
+    can never repair (the plain join would coerce and match). Raising
+    here is the only behavior that keeps the documented byte-identity
+    with a plain semi/anti join."""
+    ltype = dict(left.dtypes).get(on)
+    rtype = dict(right.dtypes).get(on)
+    if ltype != rtype:
+        raise ValueError(
+            f"bloom join key {on!r} type mismatch: left={ltype} right={rtype}; "
+            "cast both sides to a common type before the bloom join "
+            "(xxhash64 is width-sensitive, a mismatch causes false negatives)"
+        )
     rkeys = right.select(F.col(on)).distinct()
     bf = bloom_build(rkeys, on, num_bits, num_hashes)
     tagged = bloom_might_contain(left, bf, on, num_bits, num_hashes)

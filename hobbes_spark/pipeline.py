@@ -359,6 +359,14 @@ class Pipeline:
         gp = self._df.groupBy(*[c(k) for k in row_keys])
         pv = gp.pivot(col_key, list(col_values)) if col_values else gp.pivot(col_key)
         out = pv.agg(reduction_fn(reduction)(c(value_col)))
+        if reduction == "count":
+            # Spark's pivot leaves an absent (row, col) cell NULL; the
+            # reference's pivotTable applies the reduction to the empty
+            # sub-frame, and count of an empty frame is 0 — and downstream
+            # arithmetic (moving means over a pivoted count column)
+            # treats NULL and 0 differently. Only `count` gets this fill:
+            # for sum/mean/etc. an empty cell has no defined value.
+            out = out.fillna(0, subset=[f for f in out.columns if f not in row_keys])
         return self._step(
             out,
             f"pivot {row_keys} {col_key} {reduction}",

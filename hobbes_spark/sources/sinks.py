@@ -145,7 +145,13 @@ def zorder_value(bucket_cols: list[Column], bits: int = 8) -> Column:
     Pure integer expressions — stays in whole-stage codegen. The
     interleave must fit a signed 64-bit value: ``len(cols) * bits <= 63``
     (bit 63 is the sign — letting a bucket bit land there would corrupt
-    curve order even before the literal overflowed)."""
+    curve order even before the literal overflowed).
+
+    Bucket ids are taken modulo ``2**bits`` via ``pmod``, which also
+    makes NEGATIVE ids well-defined (mapped onto [0, 2**bits) like any
+    other id): Spark's ``%`` is sign-preserving, so the naive
+    ``floor(v/2^i) % 2`` extraction would emit -1/0 "bits" for a
+    negative id and silently corrupt the Morton code."""
     n = len(bucket_cols)
     if n * bits > 63:
         raise ValueError(
@@ -155,10 +161,11 @@ def zorder_value(bucket_cols: list[Column], bits: int = 8) -> Column:
         )
     z = F.lit(0).cast("bigint")
     for j, b in enumerate(bucket_cols):
-        v = b.cast("bigint")
+        v = F.pmod(b.cast("bigint"), F.lit(2**bits).cast("bigint"))
         for i in range(bits):
             # ((v >> i) & 1) << (i*n + j), via arithmetic the PySpark
-            # wrappers allow (shift amounts must be literals there)
+            # wrappers allow (shift amounts must be literals there);
+            # v >= 0 after the pmod, so floor-div/% extraction is exact
             bit = F.floor(v / F.lit(2**i)) % 2
             z = z + bit * F.lit(2 ** (i * n + j)).cast("bigint")
     return z

@@ -74,6 +74,49 @@ def read_signature_store(
     return df.select("id", "sig")
 
 
+def _check_store_meta(
+    spark: SparkSession, store_dir: str, params: "dict[str, object]"
+) -> None:
+    """Pin the signature-store parameters on first write; refuse to mix.
+
+    Signatures are only comparable when (num_hashes, hash_fn, k, bands)
+    match: restarting the ingest with different parameters would silently
+    interleave incompatible signature widths/hash families in
+    ``<store>/signatures`` and every subsequent banding pass against the
+    mixed base would emit garbage pairs. The metadata row is written
+    through Spark (mode=ignore ⇒ first writer wins), so any filesystem
+    the store itself lives on works — no local-FS assumption."""
+    meta_path = f"{store_dir}/_meta"
+    pinned = [(k, str(v)) for k, v in sorted(params.items())]
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = {
+            r["key"]: r["value"] for r in spark.read.json(meta_path).collect()
+        }
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        existing = None
+    if existing is None:
+        (
+            spark.createDataFrame(pinned, "key string, value string")
+            .coalesce(1)
+            .write.mode("ignore")
+            .json(meta_path)
+        )
+        return
+    mismatches = {
+        k: (existing.get(k), v) for k, v in pinned if existing.get(k) != v
+    }
+    if mismatches:
+        raise ValueError(
+            f"minhash signature store {store_dir!r} was created with "
+            f"different parameters; refusing to mix incompatible "
+            f"signatures (stored vs requested): {mismatches}"
+        )
+
+
 def minhash_ingest_writer(
     store_dir: str,
     id_col: str = "doc_id",
@@ -94,6 +137,11 @@ def minhash_ingest_writer(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _check_store_meta(
+            spark,
+            store_dir,
+            {"num_hashes": num_hashes, "hash_fn": hash_fn, "k": k, "bands": bands},
+        )
         new_sigs = minhash_signatures_df(
             batch_df, id_col, text_col, num_hashes, hash_fn, k
         ).localCheckpoint()  # three consumers: banding, estimate, store write

@@ -84,3 +84,23 @@ def test_anti_plan_bypasses_join_for_clean_rows(spark, sides):
     )
     assert n_equi == 1
     assert "Union" in plan
+
+
+def test_key_type_mismatch_raises(spark):
+    """xxhash64 is width-sensitive: int-vs-bigint keys of the same value
+    hash differently, so a mismatched pair would produce Bloom false
+    NEGATIVES the exact join can't repair — must refuse up front."""
+    left = spark.range(10).select(F.col("id").cast("int").alias("k"))
+    right = spark.range(5).select(F.col("id").alias("k"))  # bigint
+    with pytest.raises(ValueError, match="type mismatch"):
+        bloom_semi_join(left, right, "k", BITS, K)
+    with pytest.raises(ValueError, match="type mismatch"):
+        bloom_anti_join(left, right, "k", BITS, K)
+    # matched types after an explicit cast: exactness restored
+    got = sorted(
+        r.k
+        for r in bloom_semi_join(
+            left, right.select(F.col("k").cast("int")), "k", BITS, K
+        ).collect()
+    )
+    assert got == [0, 1, 2, 3, 4]

@@ -96,6 +96,29 @@ def test_pivot_shape(orders):
     assert out.key_cols == ("o_orderpriority",)
 
 
+def test_pivot_count_absent_cell_is_zero(spark):
+    """An absent (row, col) combination must pivot-count to 0, not NULL:
+    count of an empty sub-frame is 0, and downstream arithmetic (e.g.
+    Velocity.hb's moving mean over the pivoted F column) treats NULL and
+    0 differently. Non-count reductions keep NULL (no defined value)."""
+    from hobbes_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)], "r string, c string, v double"
+    )
+    p = Pipeline(df)
+    cnt = {
+        (row["r"]): (row["x"], row["y"])
+        for row in p.pivot(["r"], "c", "count", "v").df.collect()
+    }
+    assert cnt["a"] == (1, 1) and cnt["b"] == (1, 0)
+    sm = {
+        (row["r"]): (row["x"], row["y"])
+        for row in p.pivot(["r"], "c", "sum", "v").df.collect()
+    }
+    assert sm["b"] == (3.0, None)
+
+
 def test_sort_keys_ordinals(orders):
     p = (
         orders.group_by("o_orderstatus")
@@ -359,3 +382,20 @@ class TestZorderLayout:
         write_zordered(df, str(tmp_path / "z"), ["b", "c"], bits=4, n_files=2)
         back = spark.read.parquet(str(tmp_path / "z"))
         assert back.count() == 3  # NULLs and constant columns survive
+
+    def test_zorder_value_negative_ids_well_defined(self, spark):
+        """Spark's % is sign-preserving, so the naive bit extraction
+        emitted -1/0 'bits' for negative ids; zorder_value now pmods ids
+        into [0, 2^bits) — a negative id interleaves exactly like its
+        pmod image, and z-values stay within the non-negative range."""
+        from hobbes_spark.sources.sinks import zorder_value
+
+        df = spark.createDataFrame(
+            [(-3, 2), (-3 + 16, 2), (5, -1), (5, -1 + 16)], "a int, b int"
+        )
+        z = df.select(
+            zorder_value([F.col("a"), F.col("b")], bits=4).alias("z")
+        ).collect()
+        vals = [r.z for r in z]
+        assert all(v is not None and 0 <= v < 2**8 for v in vals)
+        assert vals[0] == vals[1] and vals[2] == vals[3]  # pmod congruence

@@ -143,3 +143,22 @@ def test_ivf_index_persists_and_searches_identically(spark, sf_dir, tmp_path):
         for r in ivf_search(a2, c2, queries, k=5, nprobe=8).collect()
     )
     assert stored == direct and len(stored) == 25
+
+
+def test_ragged_corpus_dim_raises(spark):
+    """A mixed-dimension corpus must fail fast: the Arrow sign kernel
+    signs other-dim vectors all-zero, which would silently collapse the
+    ragged subset into one LSH bucket (Θ(m²) candidates, lost recall)."""
+    from hobbes_spark.functions.similarity import corpus_dim
+
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, None)],
+        "id bigint, v array<double>",
+    )
+    assert corpus_dim(ok, "v") == 2
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0, 5.0])], "id bigint, v array<double>"
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        corpus_dim(ragged, "v")
+    assert corpus_dim(ok.filter("id = 3"), "v") is None

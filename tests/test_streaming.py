@@ -480,3 +480,21 @@ def test_watermark_operators_accept_driver_event_times(spark, sf_dir, tmp_path):
     ded = stream_exact_dedup(stream_events(spark, path), ["event_id"], "1 hour")
     name2 = _run_to_memory(ded, "append", str(tmp_path / "ck2"))
     assert len(_rows(spark, name2)) > 0
+
+
+def test_minhash_ingest_rejects_parameter_drift(spark, sf_dir, tmp_path):
+    """Restarting the ingest with different MinHash parameters must
+    refuse: mixed signature widths/hash families in one store would turn
+    every later banding pass into garbage pairs with no error."""
+    from hobbes_spark.pipeline import Pipeline
+    from hobbes_spark.streaming.ingest import minhash_ingest_writer
+
+    docs = Pipeline.table(spark, sf_dir, "documents").df.select("doc_id", "text")
+    store = str(tmp_path / "store")
+    minhash_ingest_writer(store, num_hashes=16, bands=8)(docs.limit(5), 0)
+    # same params: fine (replay / next batch)
+    minhash_ingest_writer(store, num_hashes=16, bands=8)(docs.limit(5), 1)
+    with pytest.raises(ValueError, match="different parameters"):
+        minhash_ingest_writer(store, num_hashes=32, bands=8)(docs.limit(5), 2)
+    with pytest.raises(ValueError, match="different parameters"):
+        minhash_ingest_writer(store, hash_fn="md5")(docs.limit(5), 2)
