@@ -299,9 +299,18 @@ def tfidf_top_terms(
     )
 
 
-def fingerprint(col: Column | str) -> Column:
-    """Deterministic document fingerprint: md5 of the casefolded,
-    whitespace-collapsed text. The normalize-then-hash shape of exact
-    dedup keys; md5 is bit-identical across engines (oracle parity)."""
+def fingerprint(col: Column | str, hash_fn: str = "md5") -> Column:
+    """Deterministic document fingerprint: hash of the casefolded,
+    whitespace-collapsed text — the normalize-then-hash shape of exact
+    dedup keys. ``md5`` is bit-identical across engines (oracle parity);
+    ``xxhash64`` is the fast JVM path (~2× quicker on long documents)
+    whose GROUPS are identical, so dedup keep-sets agree either way."""
     norm = F.regexp_replace(F.lower(F.trim(c(col))), r"\s+", " ")
-    return F.md5(norm)
+    if hash_fn == "xxhash64":
+        # xxhash64(NULL) returns the SEED, not NULL (it skips null
+        # fields) — explicitly propagate NULL so NULL-text rows keep the
+        # md5 path's "no fingerprint" semantics (dedup must not lump them)
+        return F.when(norm.isNotNull(), F.xxhash64(norm))
+    if hash_fn == "md5":
+        return F.md5(norm)
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
