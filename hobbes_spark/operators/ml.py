@@ -87,6 +87,115 @@ def kmeans(pipeline, k: int, reduction: str, seed: int = 42):
     )
 
 
+def _round_half_up(x, dp: int):
+    """floor(x*10^dp + 0.5)/10^dp — every step an IEEE-exact double op,
+    so Spark, DuckDB, and Python agree bit-for-bit (matches queries._r)."""
+    f = float(10**dp)
+    if isinstance(x, float):
+        import math
+
+        return math.floor(x * f + 0.5) / f
+    return F.floor(x * f + F.lit(0.5)) / F.lit(f)
+
+
+def kmeans_lloyd(
+    pipeline,
+    k: int,
+    reduction: str,
+    iters: int = 8,
+    center_dp: int = 2,
+):
+    """``k-means n -> R`` on a DETERMINISTIC fixed-iteration Lloyd's:
+    bit-reproducible across engines, which makes the clustering
+    oracle-checkable (the MLlib path in :func:`kmeans` keeps k-means||
+    random init and is faster to converge, but no external engine can
+    replay it).
+
+    Determinism recipe (mirrored exactly by the generated DuckDB oracle
+    in queries._kmeans_lloyd_sql):
+
+    * init: per-dimension LINEAR spacing, ``lo + (hi-lo)*(2i+1)/(2k)``
+      — exact from min/max, no quantile or RNG semantics to match;
+    * assignment: squared euclidean distance to each center, ties to
+      the LOWEST cluster index (explicit first-match CASE chain);
+    * update: per-dimension mean, rounded half-up to ``center_dp``
+      decimals each iteration — the rounding absorbs the summation-order
+      FP noise between engines, so both iterate over IDENTICAL centers;
+    * empty cluster: keeps its previous center;
+    * stop: exactly ``iters`` iterations (not to-convergence — a
+      convergence test would make parity depend on the noise the
+      rounding suppresses).
+
+    Distributed shape: per iteration one partial-aggregated groupBy;
+    only the k×D rounded centers ever reach the driver (same
+    O(log)-scalars pattern as connected_components' convergence check).
+    """
+    df = pipeline.df
+    nums = numeric_columns(df)
+    if not nums:
+        raise ValueError("k-means needs at least one numeric column")
+    clean = df.dropna(subset=nums).select(
+        *[c(col).cast("double").alias(col) for col in nums]
+    )
+    clean = clean.localCheckpoint(eager=True)  # iters+2 consumers
+    bounds = clean.agg(
+        *[F.min(col).alias(f"lo_{col}") for col in nums],
+        *[F.max(col).alias(f"hi_{col}") for col in nums],
+    ).first()
+    centers = [
+        [
+            bounds[f"lo_{col}"]
+            + (bounds[f"hi_{col}"] - bounds[f"lo_{col}"]) * (2 * i + 1) / (2 * k)
+            for col in nums
+        ]
+        for i in range(k)
+    ]
+
+    def assign(cs) -> Column:
+        dists = [
+            sum(
+                ((c(col) - F.lit(cs[i][d])) * (c(col) - F.lit(cs[i][d])))
+                for d, col in enumerate(nums)
+            )
+            for i in range(k)
+        ]
+        m = F.least(*dists) if k > 1 else dists[0]
+        expr = F.lit(k - 1)
+        for i in range(k - 2, -1, -1):  # first-match-wins == lowest index
+            expr = F.when(dists[i] == m, F.lit(i)).otherwise(expr)
+        return expr
+
+    for _ in range(iters):
+        rows = (
+            clean.groupBy(assign(centers).alias("__c"))
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[F.sum(col).alias(f"s_{col}") for col in nums],
+            )
+            .collect()
+        )
+        by_c = {r["__c"]: r for r in rows}
+        centers = [
+            [
+                _round_half_up(by_c[i][f"s_{col}"] / by_c[i]["__n"], center_dp)
+                if i in by_c
+                else centers[i][d]
+                for d, col in enumerate(nums)
+            ]
+            for i in range(k)
+        ]
+
+    out = _agg_numeric(
+        clean.withColumn("cluster", assign(centers)), "cluster", reduction
+    )
+    return pipeline._step(
+        out.orderBy("cluster"),
+        f"k-means-lloyd {k} {reduction}",
+        key_cols=("cluster",),
+        order=(("cluster", True),),
+    )
+
+
 def each(pipeline, reduction: str):
     """``each R`` — reduce each row's numeric cells to one scalar
     (snippets:101-107; non-numeric cells discarded). Output keeps the row

@@ -426,6 +426,13 @@ class Pipeline:
 
         return kmeans(self, k, reduction, seed=seed)
 
+    def kmeans_lloyd(
+        self, k: int, reduction: str, iters: int = 8, center_dp: int = 2
+    ) -> "Pipeline":
+        from hobbes_spark.operators.ml import kmeans_lloyd
+
+        return kmeans_lloyd(self, k, reduction, iters=iters, center_dp=center_dp)
+
     def each(self, reduction: str) -> "Pipeline":
         from hobbes_spark.operators.ml import each
 

@@ -835,14 +835,72 @@ def linear_extrapolation_q(spark, sf_dir):
     return p.df
 
 
-@q("kmeans_clusters", None)  # clustering: rows-only check (not SQL-expressible)
+def _kmeans_lloyd_sql(
+    table: str,
+    col: str,
+    k: int = 4,
+    iters: int = 8,
+    center_dp: int = 2,
+    out_dp: int = 2,
+) -> str:
+    """Unrolled deterministic-Lloyd oracle (1-D): one CTE pair per
+    iteration mirroring operators.ml.kmeans_lloyd step for step — linear
+    init from min/max, squared distance, ties to lowest index, centers
+    rounded half-up each round, empty cluster keeps its center."""
+    f = 10**center_dp
+    cs = [f"c{i}" for i in range(k)]
+    init = ", ".join(
+        f"lo + (hi - lo) * {2 * i + 1} / {2 * k}.0 AS c{i}" for i in range(k)
+    )
+    dists = [f"(v - {ci}) * (v - {ci})" for ci in cs]
+    least = f"LEAST({', '.join(dists)})"
+    case = "CASE " + " ".join(
+        f"WHEN {dists[i]} = {least} THEN {i}" for i in range(k - 1)
+    ) + f" ELSE {k - 1} END"
+    parts = [
+        f"pts AS (SELECT {col} AS v FROM {table} WHERE {col} IS NOT NULL)",
+        "b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM pts)",
+        f"u0 AS (SELECT {init} FROM b)",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"a{it} AS (SELECT v, {', '.join(cs)}, {case} AS cl "
+            f"FROM pts CROSS JOIN u{it - 1})"
+        )
+        upd = ", ".join(
+            f"COALESCE(FLOOR(SUM(v) FILTER (WHERE cl = {i}) / "
+            f"COUNT(*) FILTER (WHERE cl = {i}) * {f} + 0.5) / "
+            f"CAST({f} AS DOUBLE), ANY_VALUE(c{i})) AS c{i}"
+            for i in range(k)
+        )
+        parts.append(f"u{it} AS (SELECT {upd} FROM a{it})")
+    parts.append(
+        f"fin AS (SELECT v, {case} AS cl FROM pts CROSS JOIN u{iters})"
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT CAST(cl AS INT) AS cluster,
+           {_rsql('SUM(v) / COUNT(*)', out_dp)} AS {col}
+    FROM fin GROUP BY cl ORDER BY cluster
+    """
+    )
+
+
+@q("kmeans_clusters", _kmeans_lloyd_sql("orders", "o_totalprice"))
 def kmeans_clusters(spark, sf_dir):
+    """``k-means 4 -> mean`` over order totals on the deterministic
+    fixed-iteration Lloyd's path (operators/ml.py kmeans_lloyd) — the
+    unrolled-CTE DuckDB twin replays init/assign/update bit-for-bit, so
+    the clustering is value-hash-checked, not rows-only (reference
+    ships k-means as a first-class statement: snippets:93-99)."""
     p = (
         _t(spark, sf_dir, "orders")
         .slice_columns("o_totalprice")
-        .kmeans(4, "mean", seed=42)
+        .kmeans_lloyd(4, "mean")
     )
-    return p.create_column("o_totalprice", F.round("o_totalprice", 2)).df
+    return p.create_column(
+        "cluster", F.col("cluster").cast("int")
+    ).create_column("o_totalprice", _r(F.col("o_totalprice"), 2)).df
 
 
 

@@ -72,3 +72,51 @@ def test_kmeans_two_blobs(spark):
     assert len(rows) == 2
     assert rows[0]["x"] == pytest.approx(0.03, abs=0.01)
     assert rows[1]["x"] == pytest.approx(100.03, abs=0.01)
+
+
+class TestKmeansLloyd:
+    def test_deterministic_across_runs(self, spark, sf_dir):
+        from hobbes_spark.pipeline import Pipeline
+
+        p = Pipeline.table(spark, sf_dir, "orders").slice_columns("o_totalprice")
+        a = p.kmeans_lloyd(4, "mean").df.collect()
+        b = p.kmeans_lloyd(4, "mean").df.collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert len(a) >= 2  # non-degenerate clustering
+
+    def test_clusters_partition_value_range(self, spark, sf_dir):
+        """1-D k-means at convergence: clusters are contiguous intervals,
+        so cluster means must be strictly increasing and every row lands
+        in a cluster."""
+        from hobbes_spark.pipeline import Pipeline
+
+        p = Pipeline.table(spark, sf_dir, "orders").slice_columns("o_totalprice")
+        rows = p.kmeans_lloyd(4, "mean").df.collect()
+        means = [r["o_totalprice"] for r in rows]
+        assert means == sorted(means)
+
+    def test_mean_reduction_close_to_mllib(self, spark, sf_dir):
+        """Lloyd's and MLlib optimize the same objective on 1-D data; the
+        per-cluster means (sorted) should land in the same ballpark."""
+        from hobbes_spark.pipeline import Pipeline
+
+        p = Pipeline.table(spark, sf_dir, "orders").slice_columns("o_totalprice")
+        lloyd = sorted(
+            r["o_totalprice"] for r in p.kmeans_lloyd(4, "mean").df.collect()
+        )
+        ml = sorted(
+            r["o_totalprice"] for r in p.kmeans(4, "mean", seed=42).df.collect()
+        )
+        spread = max(ml) - min(ml)
+        for a, b in zip(lloyd, ml):
+            assert abs(a - b) < 0.35 * spread
+
+    def test_nulls_skipped_and_multidim(self, spark):
+        from hobbes_spark.pipeline import Pipeline
+
+        df = spark.createDataFrame(
+            [(0.0, 0.0), (0.1, 0.2), (10.0, 9.9), (10.2, 10.0), (None, 5.0)],
+            "x double, y double",
+        )
+        out = Pipeline(df).kmeans_lloyd(2, "count").df.collect()
+        assert sum(r["x"] for r in out) == 4  # NULL row dropped, 2+2 split
