@@ -30,6 +30,7 @@ __all__ = [
     "minhash_signatures_df",
     "banded_signatures",
     "minhash_pairs",
+    "minhash_pairs_from_signatures",
     "minhash_incremental_pairs",
     "simhash60",
     "jaccard_pairs",
@@ -241,7 +242,20 @@ def minhash_pairs(
     base = minhash_signatures_df(
         df, id_col, text_col, num_hashes, hash_fn, k
     ).localCheckpoint()
-    banded = banded_signatures(base, num_hashes, bands)
+    return minhash_pairs_from_signatures(base, num_hashes, bands, threshold)
+
+
+def minhash_pairs_from_signatures(
+    sigs: DataFrame, num_hashes: int, bands: int, threshold: float = 0.5
+) -> DataFrame:
+    """LSH banding + Jaccard estimate over a PRECOMPUTED ``(id, sig)``
+    table — the tail of :func:`minhash_pairs`, split out so signatures
+    can come from anywhere: the signature store of the streaming ingest,
+    or a parquet checkpoint shared with an external engine (which is how
+    the xxhash64 path gets an end-to-end DuckDB oracle despite DuckDB
+    lacking xxhash64). ``sigs`` should already be materialized
+    (localCheckpoint / parquet): it has three consumers here."""
+    banded = banded_signatures(sigs, num_hashes, bands)
     cand = (
         banded.alias("a")
         .join(
@@ -253,7 +267,7 @@ def minhash_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _estimate_pairs(cand, base, num_hashes, threshold)
+    return _estimate_pairs(cand, sigs, num_hashes, threshold)
 
 
 def banded_signatures(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:

@@ -291,6 +291,7 @@ def lsh_bucket_topk(
     k: int = 10,
     planes: int = 12,
     probe_radius: int = 1,
+    dump_dir: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: join on the LSH bucket, exact cosine rerank
     within it.
@@ -300,7 +301,14 @@ def lsh_bucket_topk(
     multiply only the tiny broadcast query side, while the corpus keeps
     exactly one bucket per vector, which is what makes this shape hold
     at 100 TB (corpus-side cost is one signature scan + one keyed join).
-    Raise recall by raising ``probe_radius`` or lowering ``planes``."""
+    Raise recall by raising ``probe_radius`` or lowering ``planes``.
+
+    ``dump_dir``: when set, the corpus bucket table and the query probe
+    table are checkpointed to ``<dump_dir>/lsh_corpus_buckets`` /
+    ``lsh_query_probes`` parquet and the join consumes the checkpoint —
+    an external engine reading the same files can then replay candidate
+    generation → rerank → top-k exactly (the correctness-gate hook for
+    a hash family SQL cannot recompute)."""
     dim = corpus_dim(corpus, vec_col)
     weights = (
         plane_weight_matrix(corpus.sparkSession, planes, dim)
@@ -338,6 +346,11 @@ def lsh_bucket_topk(
     q = with_bucket(queries, "query_id", "qv").select(
         "query_id", "qv", F.explode(F.array(*probes)).alias("bucket")
     )
+    if dump_dir is not None:
+        from hobbes_spark.sources.sinks import roundtrip_parquet
+
+        corp = roundtrip_parquet(corp, f"{dump_dir}/lsh_corpus_buckets")
+        q = roundtrip_parquet(q, f"{dump_dir}/lsh_query_probes")
     joined = corp.join(F.broadcast(q), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )

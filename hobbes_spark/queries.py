@@ -1069,14 +1069,61 @@ QUERIES["minhash_pairs"] = QuerySpec(
 )
 
 
-@q("minhash_pairs_fast", None, bench=True)  # xxhash64 path: Spark-only, rows check
+_ORACLE_DUMP = "/tmp/hobbes_spark_oracle"
+
+
+def _minhash_fast_sql(num_hashes: int = 32, bands: int = 16, threshold: float = 0.5) -> str:
+    """Oracle for the xxhash64 MinHash path: DuckDB has no xxhash64, so
+    the Spark query checkpoints its signature table to parquet
+    (roundtrip_parquet) and this SQL replays banding → candidate join →
+    estimate → threshold from those SAME bytes — everything downstream
+    of the hash is value-checked end-to-end (the hash computation itself
+    is pinned by the md5 twin `minhash_pairs`, whose oracle recomputes
+    signatures from scratch). Band keys here are the raw slot slices
+    (list equality), mirroring banded_signatures."""
+    rows = num_hashes // bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, sig, {b} AS band, "
+        f"list_slice(sig, {b * rows + 1}, {b * rows + rows}) AS band_key FROM sig"
+        for b in range(bands)
+    )
+    est = (
+        f"len(list_filter(list_transform(generate_series(1, {num_hashes}), "
+        f"i -> sa[i] = sb[i]), v -> v)) / {float(num_hashes)}"
+    )
+    return f"""
+    WITH sig AS (
+      SELECT id, sig FROM read_parquet('{_ORACLE_DUMP}/minhash_sigs_fast/*.parquet')
+    ),
+    banded AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    )
+    SELECT id_a, id_b, {est} AS est_jaccard
+    FROM cand WHERE {est} >= {threshold}
+    """
+
+
+@q("minhash_pairs_fast", _minhash_fast_sql(), bench=True)
 def minhash_pairs_fast(spark, sf_dir):
-    from hobbes_spark.functions.dedup import minhash_pairs
+    """xxhash64 MinHash LSH: signatures checkpoint through parquet so
+    the DuckDB twin consumes identical signature bytes (see
+    _minhash_fast_sql) — the production hash path is hash-signed, not
+    rows-only."""
+    from hobbes_spark.functions.dedup import (
+        minhash_pairs_from_signatures,
+        minhash_signatures_df,
+    )
+    from hobbes_spark.sources.sinks import roundtrip_parquet
 
     docs = _t(spark, sf_dir, "documents").df
-    return minhash_pairs(
-        docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.5, hash_fn="xxhash64"
+    sigs = roundtrip_parquet(
+        minhash_signatures_df(docs, "doc_id", "text", 32, "xxhash64", 3),
+        f"{_ORACLE_DUMP}/minhash_sigs_fast",
     )
+    return minhash_pairs_from_signatures(sigs, num_hashes=32, bands=16, threshold=0.5)
 
 
 def _simhash_sql(bits: int = 60) -> str:
@@ -1191,13 +1238,59 @@ QUERIES["cosine_topk"] = QuerySpec(
 )
 
 
-@q("ann_lsh_topk", None)  # approximate: recall checked in pytest, rows-only here
+def _ann_lsh_sql(k: int = 10, n_queries: int = 5) -> str:
+    """Oracle for LSH-bucketed ANN: bucket signatures come from the
+    query's parquet checkpoint (random-hyperplane signs are an Arrow
+    matmul SQL can't replay), then candidate generation (bucket join),
+    the exact-cosine rerank, and the top-k window are all recomputed
+    here from the checkpointed buckets + the embeddings view."""
+    dot_qc = _COS_DOT.format(a="qv", b="cv")
+    dot_qq = _COS_DOT.format(a="qv", b="qv")
+    dot_cc = _COS_DOT.format(a="cv", b="cv")
+    return f"""
+    WITH corp AS (
+      SELECT neighbor_id, bucket
+      FROM read_parquet('{_ORACLE_DUMP}/lsh_corpus_buckets/*.parquet')
+    ),
+    probes AS (
+      SELECT DISTINCT query_id, bucket
+      FROM read_parquet('{_ORACLE_DUMP}/lsh_query_probes/*.parquet')
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.neighbor_id
+      FROM probes p JOIN corp c USING (bucket)
+      WHERE c.neighbor_id <> p.query_id
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < {n_queries}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {dot_qc} / NULLIF(sqrt({dot_qq}) * sqrt({dot_cc}), 0) AS cos
+      FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, {_rsql("cos", 6)} AS cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("ann_lsh_topk", _ann_lsh_sql())
 def ann_lsh_topk(spark, sf_dir):
+    """LSH ANN with the bucket tables checkpointed to parquet so the
+    DuckDB twin replays candidate-gen → rerank → top-k from identical
+    bucket bytes (see _ann_lsh_sql) — the LSH path is hash-signed, not
+    rows-only (recall vs brute force stays pinned in pytest)."""
     from hobbes_spark.functions.similarity import lsh_bucket_topk
 
     emb = _t(spark, sf_dir, "embeddings").df
     queries = emb.filter(F.col("vec_id") < 5)
-    out = lsh_bucket_topk(emb, queries, k=10, planes=8)
+    out = lsh_bucket_topk(emb, queries, k=10, planes=8, dump_dir=_ORACLE_DUMP)
     return out.select(
         "query_id", "neighbor_id", _r(F.col("cos"), 6).alias("cos"),
         F.col("rank").cast("int").alias("rank"),

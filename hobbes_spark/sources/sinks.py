@@ -26,7 +26,21 @@ __all__ = [
     "write_bucketed",
     "zorder_value",
     "write_zordered",
+    "roundtrip_parquet",
 ]
+
+
+def roundtrip_parquet(df, path: str):
+    """Write ``df`` to parquet (overwrite) and read it back.
+
+    The cross-engine checkpoint: downstream Spark operators and an
+    external engine (DuckDB ``read_parquet``) then consume the SAME
+    bytes, which is how the correctness gate oracles intermediates that
+    SQL cannot recompute (xxhash64 signatures, LSH bucket ids). Also a
+    plain materialization point — the re-read plan is a bare scan, so
+    every consumer shares the one computation."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def _encode(v):
