@@ -4,9 +4,20 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully materialized via a count-ish action that forces every
-operator (df.write.format("noop") is the standard trick; we use
-foreach-free collect-less materialization with write noop).
+Stability (round-3 rework — sub-second best-of-2 timings in a shared
+session produced phantom 1.2-1.45x "regressions" in round 2's
+cross-round comparison):
+
+* queries run in SORTED name order, so catalog reordering between
+  rounds cannot change warm-up interactions;
+* each query gets one UNTIMED warm run (codegen/JIT compile, 3-6x
+  noise locally, irrelevant at cluster scale) then best-of-3 timed;
+* per-query relative spread of the timed runs is reported
+  ("spread_pct", plus the worst offender) so a reader can tell noise
+  from regression before comparing rounds.
+
+Each query is fully materialized via write.format("noop") — forces
+every operator, no driver-side collect cost in the timing.
 """
 
 from __future__ import annotations
@@ -21,6 +32,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     from hobbes_spark.queries import QUERIES
     from hobbes_spark.session import get_spark
@@ -28,23 +40,27 @@ def main() -> None:
     spark = get_spark("hobbes_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n, spec in QUERIES.items() if spec.bench]
-    # warm up the JVM + parquet footers once with the cheapest pipeline
-    QUERIES[names[0]].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    names = sorted(n for n, spec in QUERIES.items() if spec.bench)
+
+    def materialize(name: str) -> None:
+        QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    materialize(names[0])  # JVM + parquet-footer warmup
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
-        spec = QUERIES[name]
-        # best of 2: the first run pays one-time codegen/JIT compile
-        # (3-6x noise locally, irrelevant at cluster scale); the second
-        # measures the steady-state plan
-        best = float("inf")
-        for _ in range(2):
+        materialize(name)  # untimed warm run: one-time codegen/JIT
+        samples = []
+        for _ in range(runs):
             t0 = time.perf_counter()
-            df = spec.spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            materialize(name)
+            samples.append(time.perf_counter() - t0)
+        best = min(samples)
         timings[name] = round(best, 3)
+        spreads[name] = round((max(samples) - best) / best, 3)
 
     total = round(sum(timings.values()), 3)
     # the round-1 headline set, frozen: the catalog keeps growing, so the
@@ -57,6 +73,7 @@ def main() -> None:
         "salted_group_sum",
     ]
     core = round(sum(timings[n] for n in _R1_CORE if n in timings), 3)
+    worst = max(spreads, key=spreads.get) if spreads else None
     print(
         json.dumps(
             {
@@ -65,6 +82,9 @@ def main() -> None:
                 "unit": "sec",
                 "value_core_r1": core,
                 "queries": timings,
+                "spread_pct": spreads,
+                "worst_spread": worst,
+                "runs_per_query": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
