@@ -32,6 +32,10 @@ __all__ = [
     "hll_estimate",
     "theta_group_sketches",
     "theta_overlap_estimate",
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
+    "cms_top_items",
 ]
 
 
@@ -113,4 +117,148 @@ def theta_overlap_estimate(
         F.theta_sketch_estimate(
             F.theta_intersection_agg(F.col(sketch_col))
         ).alias("approx_overlap")
+    )
+
+
+# --------------------------------------------------------------------- #
+# Count-min sketch: approximate per-item frequencies / heavy hitters.
+#
+# Spark ships a count_min_sketch AGGREGATE but no function to query the
+# resulting binary blob from SQL, so this implementation keeps the
+# sketch as a TABLE of (d, pos, cnt) counter cells instead — depth x
+# width rows, bounded state independent of data size. That buys:
+# merge = unionByName + sum (associative, exactly like the HLL store),
+# estimate = broadcast join + min, persistence = plain parquet, and an
+# external engine can rebuild the identical table (md5 hash path) for
+# the correctness gate. Estimate guarantee is the classic CMS bound:
+# true <= est <= true + (e/width)*N with prob 1 - (1/e)^depth.
+# --------------------------------------------------------------------- #
+
+
+def _cms_positions(item: Column, depth: int, width: int, hash_fn: str) -> list[Column]:
+    """One counter position per depth row: seeded hash of the item mod
+    width. xxhash64 path rehashes the 64-bit base per seed (8-byte work,
+    same trick as MinHash); md5 path takes the first 15 hex chars as a
+    60-bit integer — replicable in DuckDB via the simhash polynomial."""
+    if hash_fn == "xxhash64":
+        base = F.xxhash64(item)
+        return [
+            F.pmod(F.xxhash64(F.lit(d), base), F.lit(width)) for d in range(depth)
+        ]
+    if hash_fn == "md5":
+        return [
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{d}|"), item)), 1, 15), 16, 10
+                ).cast("bigint"),
+                F.lit(width),
+            )
+            for d in range(depth)
+        ]
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 4096,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Count-min sketch over ``df[col]`` as a ``(d, pos, cnt)`` table
+    (NULL items contribute nothing).
+
+    One aggregation keyed by (d, pos): each row explodes to ``depth``
+    counter increments, map-side partial aggregation collapses them
+    before the shuffle, and at most depth x width rows survive — the
+    sketch, never the data. Persist it and answer frequency questions
+    forever without rescanning."""
+    pos = _cms_positions(F.col(col), depth, width, hash_fn)
+    cells = df.filter(F.col(col).isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), pos[d].alias("pos"))
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return cells.groupBy(F.col("c.d").alias("d"), F.col("c.pos").alias("pos")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS tables built with the SAME (depth, width, hash_fn):
+    cell-wise sum. Merging per-shard sketches is exactly equivalent to
+    sketching the union (pinned in tests) — the build-small-merge-later
+    contract that makes the sketch an ingest-time artifact."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    items: DataFrame,
+    sketch: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 4096,
+    hash_fn: str = "xxhash64",
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Frequency estimate for each distinct item in ``items[col]``:
+    min over the item's ``depth`` counter cells.
+
+    The sketch (≤ depth x width rows) BROADCASTS onto the item side —
+    estimating any number of candidates is one broadcast join, no
+    shuffle of the sketch, no driver collect. Items that never entered
+    the sketch estimate as 0 (the true CMS semantics: an all-zero row
+    of cells)."""
+    pos = _cms_positions(F.col(col), depth, width, hash_fn)
+    probes = items.filter(F.col(col).isNotNull()).select(col).distinct().select(
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), pos[d].alias("pos"))
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(col, "c.d", "c.pos")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "pos"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+    )
+
+
+def cms_top_items(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 4096,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Approximate top-``k`` heavy hitters of ``df[col]``:
+    ``(item, est_count, rank)``, ranked by CMS estimate (ties broken by
+    item value for determinism).
+
+    Candidates here are the distinct items (exact enumeration); at
+    ingest scale, feed a sampled/filtered candidate set to
+    :func:`cms_estimate` instead — the sketch answers any candidate
+    list, which is the point of keeping it."""
+    from pyspark.sql import Window
+
+    sketch = cms_build(df, col, depth, width, hash_fn)
+    est = cms_estimate(df, sketch, col, depth, width, hash_fn)
+    w = Window.orderBy(F.desc("est_count"), F.asc(col))
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(col, "est_count", F.col("rank").cast("int").alias("rank"))
     )

@@ -3130,6 +3130,57 @@ def sketch_user_rollup(spark, sf_dir):
     )
 
 
+def _cms_top_terms_sql(k: int = 20, depth: int = 4, width: int = 4096) -> str:
+    """Oracle rebuilding the md5-path count-min sketch cell for cell:
+    same seeded positions (the simhash hex polynomial = Spark's
+    conv(md5[0:15], 16, 10)), same (d, pos) counter aggregation, same
+    min-over-depths estimate — so even the sketch's COLLISION overcounts
+    must agree, not just the final ranking."""
+    toks_l = _DDB_TOKENS.format(t="lower(text)")
+    poly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return f"""
+    WITH toks AS (SELECT {toks_l} AS w FROM documents),
+    term AS (SELECT unnest(w) AS term FROM toks),
+    th AS (
+      SELECT term, d, md5(concat(CAST(d AS VARCHAR), '|', term)) AS h
+      FROM term CROSS JOIN (SELECT unnest([{", ".join(str(d) for d in range(depth))}]) AS d)
+    ),
+    tp AS (SELECT term, d, CAST({poly} AS BIGINT) % {width} AS pos FROM th),
+    sk AS (SELECT d, pos, CAST(COUNT(*) AS BIGINT) AS cnt FROM tp GROUP BY d, pos),
+    probe AS (SELECT DISTINCT term, d, pos FROM tp),
+    est AS (
+      SELECT p.term, MIN(s.cnt) AS est_count
+      FROM probe p JOIN sk s USING (d, pos) GROUP BY p.term
+    ),
+    ranked AS (
+      SELECT term, est_count,
+             row_number() OVER (ORDER BY est_count DESC, term ASC) AS rank
+      FROM est
+    )
+    SELECT term, est_count, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("cms_top_terms", _cms_top_terms_sql())
+def cms_top_terms(spark, sf_dir):
+    """Approximate heavy-hitter terms over the corpus via a count-min
+    sketch table (functions/sketches.py): depth x width bounded counter
+    state, broadcast-join estimates, ranked top-20. The md5 hash path
+    lets the DuckDB twin rebuild the identical sketch (collisions and
+    all); production uses hash_fn='xxhash64' — same table shape, pinned
+    by the merge==direct and bound tests."""
+    from hobbes_spark.functions.sketches import cms_top_items
+    from hobbes_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").df
+    terms = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    return cms_top_items(terms, "term", k=20, depth=4, width=4096, hash_fn="md5")
+
+
 @q(
     "topk_per_group",
     """
@@ -3460,6 +3511,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "daily_value_delta", "tpch_q14_promo",
     # rows-only in r1/r2; oracled (or invariant-oracled) this round
     "kmeans_clusters", "minhash_pairs_fast", "ann_lsh_topk",
+    # new in round 3
+    "cms_top_terms",
 ]
 
 

@@ -1,6 +1,8 @@
 """Text analysis, dedup, similarity, multimodal — behavior tests
 (the oracle parity suite covers cross-engine value equality)."""
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -817,3 +819,64 @@ class TestJaccardPrefixJoin:
         df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
         with _pytest.raises(ValueError):
             jaccard_join_prefix(df, "doc_id", "text", 0.0)
+
+
+class TestCountMinSketch:
+    def test_merge_of_shards_equals_direct_build(self, spark, sf_dir):
+        """cms_merge(shard sketches) must be cell-identical to sketching
+        the union directly — the build-small-merge-later contract."""
+        from hobbes_spark.functions.sketches import cms_build, cms_merge
+        from hobbes_spark.functions.text import tokens
+        from hobbes_spark.pipeline import Pipeline
+
+        docs = Pipeline.table(spark, sf_dir, "documents").df
+        terms = docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("t")
+        )
+        a = cms_build(terms.filter(F.col("doc_id") % 2 == 0), "t", width=512)
+        b = cms_build(terms.filter(F.col("doc_id") % 2 == 1), "t", width=512)
+        merged = {(r.d, r.pos): r.cnt for r in cms_merge(a, b).collect()}
+        direct = {(r.d, r.pos): r.cnt for r in cms_build(terms, "t", width=512).collect()}
+        assert merged == direct and len(direct) > 0
+
+    def test_estimate_bounds_and_absent_items(self, spark, sf_dir):
+        """CMS law: true <= estimate <= true + total/width-ish overcount;
+        an item never sketched estimates as >= 0 (its cells may collide)."""
+        from hobbes_spark.functions.sketches import cms_build, cms_estimate
+        from hobbes_spark.functions.text import tokens
+        from hobbes_spark.pipeline import Pipeline
+
+        docs = Pipeline.table(spark, sf_dir, "documents").df
+        terms = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+        n_total = terms.count()
+        sketch = cms_build(terms, "t", depth=4, width=1024)
+        est = {r.t: r.est_count for r in cms_estimate(terms, sketch, "t", width=1024).collect()}
+        true = {r.t: r["cnt"] for r in terms.groupBy("t").agg(F.count("*").alias("cnt")).collect()}
+        assert set(est) == set(true)
+        slack = 3 * math.e * n_total / 1024  # 3x the 1-delta bound: no flakes
+        for t, tv in true.items():
+            assert tv <= est[t] <= tv + slack
+        ghost = spark.createDataFrame([("zzz-never-seen-term",)], "t string")
+        g = cms_estimate(ghost, sketch, "t", width=1024).collect()[0]
+        assert g.est_count >= 0
+
+    def test_md5_and_xxhash_paths_agree_on_clear_winners(self, spark):
+        """Both hash families must rank an unambiguous frequency skew
+        identically (collision layouts differ, ordering must not)."""
+        from hobbes_spark.functions.sketches import cms_top_items
+
+        rows = [("a",)] * 100 + [("b",)] * 50 + [("c",)] * 10 + [("d",)] * 1
+        df = spark.createDataFrame(rows, "t string")
+        for fn in ("xxhash64", "md5"):
+            got = [(r.t, r.est_count) for r in cms_top_items(df, "t", k=3, hash_fn=fn).collect()]
+            assert [t for t, _ in got] == ["a", "b", "c"]
+            assert got[0][1] >= 100 and got[1][1] >= 50
+
+    def test_sketch_is_bounded(self, spark, sf_dir):
+        from hobbes_spark.functions.sketches import cms_build
+        from hobbes_spark.functions.text import tokens
+        from hobbes_spark.pipeline import Pipeline
+
+        docs = Pipeline.table(spark, sf_dir, "documents").df
+        terms = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+        assert cms_build(terms, "t", depth=4, width=256).count() <= 4 * 256
