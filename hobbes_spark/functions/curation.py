@@ -42,6 +42,7 @@ __all__ = [
     "word_ngrams",
     "duplicate_ngram_stats",
     "remove_duplicate_spans",
+    "dedup_paragraphs",
     "decontaminate",
     "contamination_report",
     "repetition_stats",
@@ -258,6 +259,70 @@ def remove_duplicate_spans(
         .withColumn(
             "kept_tokens", F.coalesce(F.col("__kept"), F.lit(0).cast("bigint"))
         )
+        .drop("__clean", "__kept")
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-granularity dedup (the practical midpoint between
+    whole-doc dropping and 8-gram span surgery): split each document on
+    blank lines, drop every paragraph whose normalized text already
+    appeared earlier in the corpus — FIRST occurrence (lowest
+    ``(id, paragraph index)``) survives, later copies are cut — and
+    rebuild the document from its surviving paragraphs. The
+    boilerplate-paragraph treatment of the CCNet/RefinedWeb lineage:
+    repeated headers, navigation blocks, license blurbs vanish
+    corpus-wide while every document keeps its unique remainder.
+
+    Adds ``clean_text`` (survivors re-joined with a blank line),
+    ``n_paras``, ``kept_paras``. Documents with no non-empty paragraph
+    (NULL/empty text) come back with ``clean_text=''`` and zero counts.
+
+    Plan shape: posexplode paragraphs → ONE keyed window over the
+    paragraph fingerprint (xxhash64 of the casefolded
+    whitespace-collapsed paragraph — an 8-byte uniformly-distributed
+    shuffle key, never the paragraph string) → per-doc ordered
+    re-assembly → join back. Three keyed shuffles, no skew (fingerprints
+    are uniform; a boilerplate paragraph repeated millions of times
+    lands in one window partition but carries only (id, idx) pairs).
+    """
+    paras = F.filter(
+        F.transform(F.split(c(text_col), r"\n\s*\n"), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    ex = df.select(
+        c(id_col).alias(id_col), F.posexplode_outer(paras).alias("pidx", "para")
+    ).filter(F.col("para").isNotNull())
+    norm = F.regexp_replace(F.lower(F.col("para")), r"\s+", " ")
+    w = Window.partitionBy("__fp")
+    first = F.min(F.struct(c(id_col), F.col("pidx"))).over(w)
+    kept = (
+        ex.withColumn("__fp", F.xxhash64(norm))
+        .withColumn("__first", first)
+        .filter(
+            (c(id_col) == F.col(f"__first.{id_col}"))
+            & (F.col("pidx") == F.col("__first.pidx"))
+        )
+    )
+    clean = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pidx", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("__clean"),
+        F.count(F.lit(1)).cast("bigint").alias("__kept"),
+    )
+    return (
+        df.withColumn("n_paras", F.coalesce(F.size(paras), F.lit(0)).cast("bigint"))
+        .join(clean, id_col, "left")
+        .withColumn("clean_text", F.coalesce(F.col("__clean"), F.lit("")))
+        .withColumn("kept_paras", F.coalesce(F.col("__kept"), F.lit(0).cast("bigint")))
         .drop("__clean", "__kept")
     )
 

@@ -3130,6 +3130,68 @@ def sketch_user_rollup(spark, sf_dir):
     )
 
 
+def _dedup_paragraphs_sql(chunk: int = 12) -> str:
+    """Oracle for paragraph dedup over the chunk-paragraphized corpus:
+    chunks are rebuilt directly (splitting the constructed text on blank
+    lines is the identity on them), deduped by first occurrence
+    (row_number over the paragraph text ordered by doc, index), and
+    reassembled with ordered string_agg."""
+    toks_l = _DDB_TOKENS.format(t="lower(text)")
+    return f"""
+    WITH t AS (SELECT doc_id, {toks_l} AS w FROM documents),
+    seg AS (
+      SELECT doc_id, i - 1 AS pidx,
+             array_to_string(list_slice(w, (i - 1) * {chunk} + 1, i * {chunk}), ' ') AS para
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, CAST(ceil(len(w) / {chunk}.0) AS INT))) AS i
+            FROM t)
+    ),
+    kept AS (
+      SELECT doc_id, pidx, para FROM (
+        SELECT doc_id, pidx, para,
+               row_number() OVER (PARTITION BY para ORDER BY doc_id, pidx) AS rn
+        FROM seg
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pidx) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS kept_paras
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+           CAST(ceil(len(t.w) / {chunk}.0) AS BIGINT) AS n_paras,
+           COALESCE(a.kept_paras, 0) AS kept_paras
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@q("dedup_paragraphs", _dedup_paragraphs_sql())
+def dedup_paragraphs_q(spark, sf_dir):
+    """Cross-doc paragraph dedup (curation.dedup_paragraphs): the corpus
+    has no blank-line structure, so the query first paragraphizes each
+    document into its consecutive 12-token chunks joined by blank lines
+    — real duplicated segments exist across docs — then the operator
+    splits, fingerprints, keeps first occurrences, and rebuilds."""
+    from hobbes_spark.functions.curation import dedup_paragraphs
+    from hobbes_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").df
+    toks = tokens(F.lower(F.col("text")))
+    nseg = F.ceil(F.size(toks) / F.lit(12.0)).cast("int")
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(1), nseg),
+            lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 12 + 1, F.lit(12))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pdocs = docs.select("doc_id", F.concat_ws("\n\n", chunks).alias("text"))
+    out = dedup_paragraphs(pdocs, "text", "doc_id")
+    return out.select(
+        "doc_id", "clean_text", F.col("n_paras"), F.col("kept_paras")
+    )
+
+
 def _cms_top_terms_sql(k: int = 20, depth: int = 4, width: int = 4096) -> str:
     """Oracle rebuilding the md5-path count-min sketch cell for cell:
     same seeded positions (the simhash hex polynomial = Spark's
@@ -3512,7 +3574,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # rows-only in r1/r2; oracled (or invariant-oracled) this round
     "kmeans_clusters", "minhash_pairs_fast", "ann_lsh_topk",
     # new in round 3
-    "cms_top_terms",
+    "cms_top_terms", "dedup_paragraphs",
 ]
 
 

@@ -363,3 +363,50 @@ class TestDsirWeights:
         assert 5 not in got
         assert got[4] > got[3]  # in-domain text outranks out-of-domain
         assert all(math.isfinite(w) for w in got.values())
+
+
+class TestDedupParagraphs:
+    def test_first_occurrence_survives_later_copies_cut(self, spark):
+        from hobbes_spark.functions.curation import dedup_paragraphs
+
+        df = spark.createDataFrame(
+            [
+                (1, "unique one\n\nshared boilerplate\n\nunique two"),
+                (2, "shared   BOILERPLATE\n\nanother unique"),  # ws/case variant
+                (3, "shared boilerplate"),  # nothing else -> empty doc
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {r.doc_id: r for r in dedup_paragraphs(df).collect()}
+        assert got[1].clean_text == "unique one\n\nshared boilerplate\n\nunique two"
+        assert got[1].n_paras == 3 and got[1].kept_paras == 3
+        assert got[2].clean_text == "another unique"
+        assert got[2].n_paras == 2 and got[2].kept_paras == 1
+        assert got[3].clean_text == "" and got[3].kept_paras == 0
+
+    def test_within_doc_repeat_collapses(self, spark):
+        from hobbes_spark.functions.curation import dedup_paragraphs
+
+        df = spark.createDataFrame(
+            [(1, "same para\n\nsame para\n\nsame para")], "doc_id bigint, text string"
+        )
+        r = dedup_paragraphs(df).collect()[0]
+        assert r.clean_text == "same para" and r.n_paras == 3 and r.kept_paras == 1
+
+    def test_null_and_empty_text(self, spark):
+        from hobbes_spark.functions.curation import dedup_paragraphs
+
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "   \n\n  ")], "doc_id bigint, text string"
+        )
+        for r in dedup_paragraphs(df).collect():
+            assert r.clean_text == "" and r.n_paras == 0 and r.kept_paras == 0
+
+    def test_multiple_blank_lines_one_separator(self, spark):
+        from hobbes_spark.functions.curation import dedup_paragraphs
+
+        df = spark.createDataFrame(
+            [(1, "a b\n\n\n\nc d")], "doc_id bigint, text string"
+        )
+        r = dedup_paragraphs(df).collect()[0]
+        assert r.n_paras == 2 and r.clean_text == "a b\n\nc d"
