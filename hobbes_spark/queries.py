@@ -3130,6 +3130,58 @@ def sketch_user_rollup(spark, sf_dir):
     )
 
 
+_HB_BUCKET_TREND = """\
+only (o_totalprice > 1000)
+slice columns o_orderkey o_totalprice
+sort by column o_orderkey
+buckets 10 -> mean
+linear regression [bucket] [o_totalprice]
+"""
+
+
+@q(
+    "hb_bucket_trend",
+    f"""
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 1000
+    ),
+    rn AS (
+      SELECT o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn,
+             COUNT(*) OVER () AS total
+      FROM src
+    ),
+    b AS (
+      SELECT LEAST(CAST(FLOOR((rn - 1) / GREATEST(FLOOR(total / 10), 1)) AS BIGINT) + 1,
+                   10) AS bucket,
+             o_totalprice
+      FROM rn
+    ),
+    m AS (SELECT bucket, AVG(o_totalprice) AS y FROM b GROUP BY bucket)
+    SELECT {_rsql('regr_slope(y, bucket)', 4)} AS slope,
+           {_rsql('regr_intercept(y, bucket)', 4)} AS intercept,
+           {_rsql('regr_r2(y, bucket)', 6)} AS r2,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM m
+    """,
+)
+def hb_bucket_trend(spark, sf_dir):
+    """The .hb front-end's ML statements end-to-end through the gate:
+    ``buckets 10 -> mean`` (ordered equal-count buckets, remainder to
+    last — operators/ml.buckets) feeding ``linear regression`` over the
+    bucket means, all compiled from the text program (the grammar paths
+    hb/parser.py buckets/linear that no reference program exercises)."""
+    from hobbes_spark.hb import run_hb
+
+    out = run_hb(_HB_BUCKET_TREND, _t(spark, sf_dir, "orders"))
+    return out.df.select(
+        _r(F.col("slope"), 4).alias("slope"),
+        _r(F.col("intercept"), 4).alias("intercept"),
+        _r(F.col("r2"), 6).alias("r2"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
 def _dedup_paragraphs_sql(chunk: int = 12) -> str:
     """Oracle for paragraph dedup over the chunk-paragraphized corpus:
     chunks are rebuilt directly (splitting the constructed text on blank
@@ -3574,7 +3626,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # rows-only in r1/r2; oracled (or invariant-oracled) this round
     "kmeans_clusters", "minhash_pairs_fast", "ann_lsh_topk",
     # new in round 3
-    "cms_top_terms", "dedup_paragraphs",
+    "cms_top_terms", "dedup_paragraphs", "hb_bucket_trend",
 ]
 
 

@@ -275,3 +275,29 @@ def test_pivot_by_expression(spark):
     got = {r["key"]: (r["Done"], r["Todo"]) for r in out.collect()}
     assert set(got) == {1, 2, 3}
     assert sum(d + t for d, t in got.values()) == 24
+
+
+def test_hb_ml_statements_buckets_regression_kmeans(spark, sf_dir):
+    """The grammar's ML statements work end-to-end from TEXT: buckets +
+    linear regression (the hb_bucket_trend gate query's program) and a
+    k-means program both compile and run."""
+    from hobbes_spark.hb import run_hb
+    from hobbes_spark.pipeline import Pipeline
+
+    src = Pipeline.table(spark, sf_dir, "orders")
+    out = run_hb(
+        "only (o_totalprice > 1000)\n"
+        "slice columns o_orderkey o_totalprice\n"
+        "sort by column o_orderkey\n"
+        "buckets 10 -> mean\n"
+        "linear regression [bucket] [o_totalprice]\n",
+        src,
+    )
+    row = out.df.collect()[0]
+    assert row["n"] == 10 and row["r2"] is not None
+    km = run_hb(
+        "slice columns o_totalprice\nsort by column o_totalprice\nk-means 3 -> count\n",
+        src,
+    )
+    rows = km.df.collect()
+    assert 1 <= len(rows) <= 3
