@@ -84,7 +84,11 @@ def flatten(df: DataFrame) -> DataFrame:
     return df.select(*_flat_exprs(df.schema, "", sizes))
 
 
-def sniff_types(df: DataFrame, sample_rows: int | None = None) -> DataFrame:
+def sniff_types(
+    df: DataFrame,
+    sample_rows: int | None = None,
+    decimal_comma: bool = False,
+) -> DataFrame:
     """Per-column type inference with the reference's cascade
     float -> timestamp -> int -> string (`Reader.fs:25-37`), lifted from
     per-cell to per-column: a column converts to type ``t`` iff every
@@ -93,6 +97,15 @@ def sniff_types(df: DataFrame, sample_rows: int | None = None) -> DataFrame:
     Empty strings count as missing (the reference treats ``''`` as the
     empty value — `MTTR.hb:18`) and become NULL in the typed output.
     One aggregate pass decides; the rewrite is pure ``try_cast``.
+
+    ``decimal_comma=True`` parses numerics under a comma-decimal locale
+    ("1.234,56" → 1234.56; "." is a thousands separator and is
+    STRIPPED, so "1.5" reads as 15). The reference itself is split on
+    this: its two ``readValue`` copies disagree (`Reader.fs:25-37`
+    parses invariant-culture, `ODataProvider.fs:36-48` uses the host
+    culture — SURVEY §1.3), so the behavior is an explicit flag here
+    rather than an ambient host setting; default stays invariant.
+    Timestamps sniff from the ORIGINAL text either way.
     """
     string_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
     if not string_cols:
@@ -100,13 +113,19 @@ def sniff_types(df: DataFrame, sample_rows: int | None = None) -> DataFrame:
     probe = df.limit(sample_rows) if sample_rows else df
     from hobbes_spark.expressions import c as _c
 
+    def numeric_text(v):
+        if not decimal_comma:
+            return v
+        return F.translate(F.translate(v, ".", ""), ",", ".")
+
     checks = []
     for col in string_cols:
         v = F.when(_c(col) == "", None).otherwise(_c(col))
+        nv = numeric_text(v)
         checks.append(F.count(v).alias(f"{col}#sniff_n"))
-        checks.append(F.count(v.try_cast("double")).alias(f"{col}#sniff_d"))
+        checks.append(F.count(nv.try_cast("double")).alias(f"{col}#sniff_d"))
         checks.append(F.count(F.try_to_timestamp(v)).alias(f"{col}#sniff_t"))
-        checks.append(F.count(v.try_cast("bigint")).alias(f"{col}#sniff_i"))
+        checks.append(F.count(nv.try_cast("bigint")).alias(f"{col}#sniff_i"))
     row = probe.agg(*checks).first()
     out = []
     for field in df.schema.fields:
@@ -115,6 +134,7 @@ def sniff_types(df: DataFrame, sample_rows: int | None = None) -> DataFrame:
             out.append(F.col(f"`{col}`"))
             continue
         v = F.when(_c(col) == "", None).otherwise(_c(col))
+        nv = numeric_text(v)
         n = row[f"{col}#sniff_n"]
         if n == 0:
             out.append(v.alias(col))  # all missing: keep as (null) string
@@ -122,13 +142,13 @@ def sniff_types(df: DataFrame, sample_rows: int | None = None) -> DataFrame:
             # float FIRST, matching the reference cascade (Reader.fs:25-37
             # tries float before int): an all-integer column types as
             # double, exactly as it would there.
-            out.append(v.try_cast("double").alias(col))
+            out.append(nv.try_cast("double").alias(col))
         elif row[f"{col}#sniff_t"] == n:
             out.append(F.try_to_timestamp(v).alias(col))
         elif row[f"{col}#sniff_i"] == n:
             # unreachable in practice (ints parse as doubles); kept as a
             # safety net for exotic numerics the double parser rejects
-            out.append(v.try_cast("bigint").alias(col))
+            out.append(nv.try_cast("bigint").alias(col))
         else:
             out.append(v.alias(col))
     return df.select(*out)
@@ -175,6 +195,7 @@ def read_csv_uniform(
     path: str,
     header: bool = True,
     delimiter: str = ",",
+    decimal_comma: bool = False,
 ) -> DataFrame:
     """CSV -> sniffed types, through the same per-column cascade as the
     JSON path (float -> timestamp -> int -> string, `Reader.fs:25-37`).
@@ -192,4 +213,4 @@ def read_csv_uniform(
         .option("inferSchema", False)
         .csv(path)
     )
-    return sniff_types(df)
+    return sniff_types(df, decimal_comma=decimal_comma)

@@ -182,3 +182,36 @@ def test_read_csv_uniform_sniffs_reference_cascade(spark, tmp_path):
     assert rows["b"].num is None       # empty cell = missing
     assert rows["c"].when is None
     assert rows["c"].num == 3.0
+
+
+def test_read_csv_decimal_comma_locale(spark, tmp_path):
+    """Comma-decimal feeds (the reference's own locale ambiguity,
+    SURVEY §1.3) sniff as numerics behind the explicit flag: '.' is a
+    thousands separator and strips, ',' is the decimal point."""
+    from hobbes_spark.sources.ingest import read_csv_uniform
+
+    p = tmp_path / "dk.csv"
+    p.write_text(
+        "price;qty;label;when\n"
+        "1.234,56;7,5;abc;2020-01-02 03:04:05\n"
+        "1.000;;def;2021-12-31 23:59:59\n"
+    )
+    df = read_csv_uniform(spark, str(p), delimiter=";", decimal_comma=True)
+    types = dict(df.dtypes)
+    assert types["price"] == "double" and types["qty"] == "double"
+    assert types["label"] == "string" and types["when"].startswith("timestamp")
+    rows = {r["label"]: r for r in df.collect()}
+    assert rows["abc"]["price"] == 1234.56 and rows["abc"]["qty"] == 7.5
+    assert rows["def"]["price"] == 1000.0 and rows["def"]["qty"] is None  # '' = missing
+
+
+def test_read_csv_invariant_unchanged_by_default(spark, tmp_path):
+    """Default stays invariant-culture: '1.234,56' is NOT a number."""
+    from hobbes_spark.sources.ingest import read_csv_uniform
+
+    p = tmp_path / "inv.csv"
+    p.write_text("a,b\n1.5,\"1.234,56\"\n2.25,\"7,5\"\n")
+    df = read_csv_uniform(spark, str(p))
+    types = dict(df.dtypes)
+    assert types["a"] == "double" and types["b"] == "string"
+    assert sorted(r["a"] for r in df.collect()) == [1.5, 2.25]
