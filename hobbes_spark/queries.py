@@ -2859,13 +2859,41 @@ def minhash_incremental(spark, sf_dir):
 _Q3_CUT = "1998-01-01"
 
 
+_REV_UNITS_SQL = (
+    "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) "
+    "* (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))"
+)
+# revenue summed in EXACT integer units (price cents x discount
+# hundredths): the double sum's last-ulp noise differs between engines
+# by summation order, and on a rounding boundary that flips the rounded
+# cell (seen live on tpch_q7). Integer sums are order-exact; the one
+# final division is then bit-identical everywhere. At 4dp the units ARE
+# the output precision, so no rounding step remains at all.
+_REV_2DP_SQL = f"FLOOR(SUM({_REV_UNITS_SQL}) / 100.0 + 0.5) / 100.0"
+_REV_4DP_SQL = f"SUM({_REV_UNITS_SQL}) / 10000.0"
+
+
+def _rev_units() -> "F.Column":
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    return cents * (F.lit(100).cast("bigint") - dc)
+
+
+def _rev_2dp() -> "F.Column":
+    return F.floor(F.sum(_rev_units()) / F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+
+
+def _rev_4dp() -> "F.Column":
+    return F.sum(_rev_units()) / F.lit(10000.0)
+
+
 @q(
     "tpch_q3_topk",
     f"""
     SELECT l_orderkey, o_orderdate, revenue FROM (
       SELECT l_orderkey,
              CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
-             {_rsql('SUM(l_extendedprice * (1 - l_discount))', 4)} AS revenue
+             {_REV_4DP_SQL} AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -2904,7 +2932,7 @@ def tpch_q3_topk(spark, sf_dir):
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(_rev_4dp().alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -2913,7 +2941,7 @@ def tpch_q3_topk(spark, sf_dir):
 @q(
     "tpch_q5_region",
     f"""
-    SELECT n_name, {_rsql('SUM(l_extendedprice * (1 - l_discount))', 4)} AS revenue
+    SELECT n_name, {_REV_4DP_SQL} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -2969,7 +2997,7 @@ def tpch_q5_region(spark, sf_dir):
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(_rev_4dp().alias("revenue"))
     )
 
 
@@ -3594,6 +3622,119 @@ def tpch_q14_promo(spark, sf_dir):
     )
 
 
+@q(
+    "tpch_q7_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS yr,
+           {_REV_2DP_SQL} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume(spark, sf_dir):
+    """Cross-nation shipping volume (TPC-H Q7 shape, all nation pairs):
+    supplier+nation and customer+nation each collapse into ONE broadcast
+    dim before touching the facts, so the only big shuffle is
+    lineitem⋈orders on the order key — the two-fact join graph you want
+    at 100 TB (at real scale customer graduates from broadcast to a
+    keyed shuffle; the dim collapse stays)."""
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    nat = _t(spark, sf_dir, "nation").df.select("n_nationkey", "n_name")
+    supp = (
+        _t(spark, sf_dir, "supplier").df.select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer").df.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat["n_nationkey"])
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    ords = _t(spark, sf_dir, "orders").df.select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .join(F.broadcast(cust), ords["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(
+            _rev_2dp().alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "tpch_q10_returns",
+    f"""
+    WITH agg AS (
+      SELECT c_custkey, ANY_VALUE(c_name) AS c_name, ANY_VALUE(n_name) AS nation,
+             {_REV_2DP_SQL} AS revenue
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey
+    )
+    SELECT c_custkey, c_name, nation, revenue, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rn
+          FROM agg)
+    WHERE rn <= 20
+    """,
+)
+def tpch_q10_returns(spark, sf_dir):
+    """Top-20 customers by returned-item revenue (TPC-H Q10 shape):
+    the returnflag filter prunes at the lineitem scan, the fact-fact
+    join shuffles on the order key, customer+nation ride as a broadcast
+    dim, and the top-k ranks on the ROUNDED revenue so the ordering is
+    FP-stable across engines (ties break by customer key)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").df.filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    ords = _t(spark, sf_dir, "orders").df.select("o_orderkey", "o_custkey")
+    nat = _t(spark, sf_dir, "nation").df.select("n_nationkey", "n_name")
+    cust = (
+        _t(spark, sf_dir, "customer").df.select("c_custkey", "c_name", "c_nationkey")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat["n_nationkey"])
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"))
+    )
+    agg = (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .join(F.broadcast(cust), ords["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value(F.col("c_name")).alias("c_name"),
+            F.any_value(F.col("nation")).alias("nation"),
+            _rev_2dp().alias("revenue"),
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "c_custkey", "c_name", "nation", "revenue",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #
@@ -3627,6 +3768,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "kmeans_clusters", "minhash_pairs_fast", "ann_lsh_topk",
     # new in round 3
     "cms_top_terms", "dedup_paragraphs", "hb_bucket_trend",
+    "tpch_q7_volume", "tpch_q10_returns",
 ]
 
 
