@@ -39,6 +39,9 @@ __all__ = [
     "read_signature_store",
     "hll_ingest_writer",
     "start_hll_ingest",
+    "cms_ingest_writer",
+    "start_cms_ingest",
+    "cms_store_sketch",
 ]
 
 
@@ -111,9 +114,9 @@ def _check_store_meta(
     }
     if mismatches:
         raise ValueError(
-            f"minhash signature store {store_dir!r} was created with "
-            f"different parameters; refusing to mix incompatible "
-            f"signatures (stored vs requested): {mismatches}"
+            f"ingest store {store_dir!r} was created with different "
+            f"parameters; refusing to mix incompatible sketch/signature "
+            f"state (stored vs requested): {mismatches}"
         )
 
 
@@ -242,3 +245,69 @@ def start_hll_ingest(
     if available_now:
         builder = builder.trigger(availableNow=True)
     return builder.start()
+
+
+def cms_ingest_writer(
+    store_dir: str,
+    col: str,
+    depth: int = 4,
+    width: int = 4096,
+    hash_fn: str = "xxhash64",
+):
+    """``foreachBatch`` step maintaining a mergeable count-min sketch
+    store: each microbatch writes its own (d, pos, cnt) cell table under
+    its ``_batch_id`` partition (dynamic overwrite ⇒ replay-idempotent;
+    stateless write path, same recipe as the HLL ingest). Frequency /
+    heavy-hitter rollups over any batch range read the store and
+    cell-sum (functions.sketches.cms_merge semantics) — summing per-batch
+    cells is exactly the sketch of the union, so streaming ingestion
+    loses nothing versus a batch rebuild. Parameters are pinned via the
+    store _meta (mixed depth/width cells would silently mis-bucket)."""
+    from hobbes_spark.functions.sketches import cms_build
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        _check_store_meta(
+            batch_df.sparkSession,
+            store_dir,
+            {"kind": "cms", "depth": depth, "width": width, "hash_fn": hash_fn},
+        )
+        (
+            cms_build(batch_df, col, depth, width, hash_fn)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{store_dir}/cells")
+        )
+
+    return write
+
+
+def start_cms_ingest(
+    stream_df: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    col: str,
+    depth: int = 4,
+    width: int = 4096,
+    hash_fn: str = "xxhash64",
+    available_now: bool = True,
+):
+    """Run the count-min ingest over a stream; see :func:`cms_ingest_writer`."""
+    writer = cms_ingest_writer(store_dir, col, depth, width, hash_fn)
+    builder = stream_df.writeStream.foreachBatch(writer).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        builder = builder.trigger(availableNow=True)
+    return builder.start()
+
+
+def cms_store_sketch(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The merged (d, pos, cnt) sketch over every ingested batch —
+    feed it to functions.sketches.cms_estimate / downstream rollups."""
+    return (
+        spark.read.parquet(f"{store_dir}/cells")
+        .groupBy("d", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

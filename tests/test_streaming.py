@@ -498,3 +498,62 @@ def test_minhash_ingest_rejects_parameter_drift(spark, sf_dir, tmp_path):
         minhash_ingest_writer(store, num_hashes=32, bands=8)(docs.limit(5), 2)
     with pytest.raises(ValueError, match="different parameters"):
         minhash_ingest_writer(store, hash_fn="md5")(docs.limit(5), 2)
+
+
+def test_cms_ingest_rollup_equals_direct_sketch(spark, sf_dir, tmp_path):
+    """Streaming term batches into per-batch CMS cell tables, then
+    cell-summing the store, must equal the sketch of the whole corpus —
+    and a replayed batch must not change it."""
+    from hobbes_spark.functions.sketches import cms_build
+    from hobbes_spark.functions.text import tokens
+    from hobbes_spark.pipeline import Pipeline
+    from hobbes_spark.streaming.ingest import (
+        cms_ingest_writer,
+        cms_store_sketch,
+        start_cms_ingest,
+    )
+    import glob
+
+    docs = Pipeline.table(spark, sf_dir, "documents").df.select("doc_id", "text")
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for i, half in enumerate((docs.filter(F.col("doc_id") % 2 == 0),
+                              docs.filter(F.col("doc_id") % 2 == 1))):
+        d = str(tmp_path / f"shard{i}")
+        half.coalesce(1).write.parquet(d)
+        shutil.copy(glob.glob(f"{d}/part-*.parquet")[0], f"{src}/shard{i}.parquet")
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def terms_writer(batch_df, batch_id):
+        terms = batch_df.select(F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+        cms_ingest_writer(store, "t", width=512)(terms, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(terms_writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    all_terms = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+    merged = {(r.d, r.pos): r.cnt for r in cms_store_sketch(spark, store).collect()}
+    direct = {(r.d, r.pos): r.cnt for r in cms_build(all_terms, "t", width=512).collect()}
+    assert merged == direct and len(direct) > 0
+
+    # replay batch 1: dynamic overwrite keeps the store unchanged
+    half1 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("t")
+    )
+    cms_ingest_writer(store, "t", width=512)(half1, 1)
+    again = {(r.d, r.pos): r.cnt for r in cms_store_sketch(spark, store).collect()}
+    assert again == direct
+
+    # parameter drift refused
+    with pytest.raises(ValueError, match="different parameters"):
+        cms_ingest_writer(store, "t", width=1024)(half1, 2)

@@ -256,6 +256,42 @@ def main():
         "semantic_dedup": (semantic, em1, emN),
     }
 
+    def exact_dd(do):
+        from hobbes_spark.functions.dedup import exact_dedup
+
+        return exact_dedup(do, "doc_id", "text").select("doc_id", "source")
+
+    def paragraphs(do):
+        from hobbes_spark.functions.curation import dedup_paragraphs
+        from hobbes_spark.functions.text import tokens
+
+        toks = tokens(F.lower(F.col("text")))
+        nseg = F.ceil(F.size(toks) / F.lit(12.0)).cast("int")
+        chunks = F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(1), nseg),
+                lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 12 + 1, F.lit(12))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        pdocs = do.select("doc_id", F.concat_ws("\n\n", chunks).alias("text"))
+        return dedup_paragraphs(pdocs).select("doc_id", "kept_paras")
+
+    def cms_heavy_hitters(do):
+        from hobbes_spark.functions.sketches import cms_top_items
+        from hobbes_spark.functions.text import tokens
+
+        terms = do.select(F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+        return cms_top_items(terms, "t", k=20)
+
+    cases.update(
+        {
+            "exact_dedup": (exact_dd, do1, doN),
+            "dedup_paragraphs": (paragraphs, do1, doN),
+            "cms_heavy_hitters": (cms_heavy_hitters, do1, doN),
+        }
+    )
+
     def run(df):
         df.write.format("noop").mode("overwrite").save()
 
