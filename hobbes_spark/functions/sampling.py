@@ -32,6 +32,7 @@ __all__ = [
     "weighted_mixture",
     "epoch_shuffle",
     "top_fraction_by",
+    "group_sample",
 ]
 
 _SCALE = 1 << 32
@@ -152,4 +153,47 @@ def top_fraction_by(
         .withColumn("__n", F.count(F.lit(1)).over(wc))
         .filter(F.col("__rn") <= F.ceil(F.lit(float(frac)) * F.col("__n")))
         .drop("__rn", "__n")
+    )
+
+
+def group_sample(
+    df: DataFrame,
+    keys: "list[str]",
+    id_col: str,
+    k: int,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """EXACTLY ``k`` rows per group (fewer if the group is smaller),
+    chosen deterministically: rank rows inside each group by a seeded
+    hash of their id and keep the first ``k``. Unlike fraction sampling
+    (:func:`hash_sample_by`), the per-group yield is fixed — the
+    "k examples per source/language" inspection and eval-set shape.
+
+    Distributed shape: a rank<=k window over the group keys, which
+    Spark executes with WindowGroupLimit — each map task keeps only its
+    local top-k per key BEFORE the shuffle, so shuffle volume is
+    ~k x groups, not the data. Changing ``seed`` redraws the sample;
+    rows keep their draw across runs (resumable pipelines).
+
+    ``hash_fn='md5'`` ranks by the md5 hex string instead — byte-equal
+    in external engines (the correctness-gate path); xxhash64 is the
+    8-byte production rank key. Both are uniform; a given (seed, id)
+    draws differently under the two, so pick one per pipeline.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"group_sample: k must be >= 1, got {k}")
+    if hash_fn == "xxhash64":
+        rank_key = F.xxhash64(F.lit(seed), c(id_col))
+    elif hash_fn == "md5":
+        rank_key = F.md5(F.concat(F.lit(f"{seed}|"), c(id_col).cast("string")))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    w = Window.partitionBy(*[c(x) for x in keys]).orderBy(rank_key, c(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )

@@ -31,6 +31,8 @@ __all__ = [
     "ivf_search",
     "ivf_topk",
     "group_centroids",
+    "quantize_embeddings",
+    "dequantized",
 ]
 
 
@@ -499,3 +501,51 @@ def ivf_topk(
     return ivf_search(assigned, centroids, queries, id_col, vec_col, k, nprobe)
 
 
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q8",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: ``q_i = round(v_i /
+    scale)`` with ``scale = max|v| / 127`` — the 4x (vs float32)
+    storage/shuffle shrink for a 100 TB embedding store, with
+    reconstruction error bounded by ``scale/2`` per component.
+
+    Pure expressions (no UDF): rounding is the IEEE-exact
+    ``floor(x + 0.5)`` so an external engine reproduces every code
+    bit-for-bit. All-zero (or NULL) vectors get scale 0 and an all-zero
+    code. Adds ``q_col`` (array<int> in [-127, 127]) and ``scale_col``
+    (double); drop the float column after quantizing to realize the
+    shrink — search reranks via :func:`dequantized`."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = amax / F.lit(127.0)
+    code = F.transform(
+        v,
+        lambda x: F.least(
+            F.greatest(F.floor(x / scale + F.lit(0.5)), F.lit(-127.0)),
+            F.lit(127.0),
+        ).cast("int"),
+    )
+    zeros = F.transform(v, lambda x: F.lit(0))
+    return df.withColumn(
+        scale_col, F.when(F.col(vec_col).isNull(), None).otherwise(
+            F.when(amax > 0, scale).otherwise(F.lit(0.0))
+        )
+    ).withColumn(
+        q_col,
+        F.when(F.col(vec_col).isNull(), None).otherwise(
+            F.when(amax > 0, code).otherwise(zeros)
+        ),
+    )
+
+
+def dequantized(q_col: Column | str, scale_col: Column | str) -> Column:
+    """Reconstructed float vector ``q * scale`` — feed to
+    :func:`cosine` / ANN rerank stages."""
+    q = F.col(q_col) if isinstance(q_col, str) else q_col
+    s = F.col(scale_col) if isinstance(scale_col, str) else scale_col
+    return F.transform(q, lambda x: x.cast("double") * s)

@@ -3623,6 +3623,98 @@ def tpch_q14_promo(spark, sf_dir):
 
 
 @q(
+    "group_sample_docs",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat('0|', CAST(doc_id AS VARCHAR))), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 3
+    """,
+)
+def group_sample_docs(spark, sf_dir):
+    """EXACTLY-k-per-group deterministic sampling (sampling.group_sample):
+    3 documents per source, ranked by a seeded hash of the id — the
+    fixed-yield inspection/eval draw. WindowGroupLimit keeps map-side
+    k-per-key, so shuffle volume is ~k x groups. The md5 rank path is
+    the gate twin; production ranks by xxhash64."""
+    from hobbes_spark.functions.sampling import group_sample
+
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "source")
+    return group_sample(docs, ["source"], "doc_id", k=3, seed=0, hash_fn="md5")
+
+
+@q(
+    "quantize_error_stats",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             CASE WHEN scale > 0 THEN list_transform(
+               v, x -> CAST(LEAST(GREATEST(FLOOR(x / scale + 0.5), -127), 127) AS INT))
+             ELSE list_transform(v, x -> 0) END AS q8
+      FROM s
+    ),
+    e AS (
+      SELECT vec_id, scale,
+             list_transform(generate_series(1, len(v)),
+                            i -> abs(v[i] - q8[i] * scale)) AS err,
+             len(v) AS d
+      FROM q
+    )
+    SELECT vec_id, {_rsql('scale', 8)} AS scale,
+           {_rsql('list_max(err)', 8)} AS max_abs_err,
+           {_rsql('list_reduce(list_transform(err, x -> x * x), (a, b) -> a + b) / d', 10)} AS mse
+    FROM e
+    """,
+)
+def quantize_error_stats(spark, sf_dir):
+    """Symmetric int8 embedding quantization round-trip
+    (similarity.quantize_embeddings/dequantized — the 4x storage and
+    shuffle shrink for a 100 TB vector store): per-vector scale,
+    worst-component reconstruction error, and MSE, all pure
+    expressions the DuckDB twin replays code-for-code."""
+    from hobbes_spark.functions.similarity import dequantized, quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").df.filter(
+        F.col("embedding").isNotNull()
+    )
+    qd = quantize_embeddings(emb)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    err = F.zip_with(v, dequantized("q8", "scale"), lambda x, y: F.abs(x - y))
+    mse = F.aggregate(
+        F.transform(err, lambda e: e * e), F.lit(0.0), lambda a, b: a + b
+    ) / F.size(F.col("embedding"))
+    # TWO selects, not one: aliasing the rounded scale AS "scale" in the
+    # same select would let Spark 4's lateral-column-alias resolution
+    # bind the `scale` reference inside `err` to the ROUNDED value
+    # (silently, 498/500 rows off in the last digits — found live)
+    stats = qd.select(
+        "vec_id",
+        F.col("scale").alias("__s"),
+        F.array_max(err).alias("__me"),
+        mse.alias("__mse"),
+    )
+    return stats.select(
+        "vec_id",
+        _r(F.col("__s"), 8).alias("scale"),
+        _r(F.col("__me"), 8).alias("max_abs_err"),
+        _r(F.col("__mse"), 10).alias("mse"),
+    )
+
+
+@q(
     "tpch_q7_volume",
     f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

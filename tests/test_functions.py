@@ -880,3 +880,53 @@ class TestCountMinSketch:
         docs = Pipeline.table(spark, sf_dir, "documents").df
         terms = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("t"))
         assert cms_build(terms, "t", depth=4, width=256).count() <= 4 * 256
+
+
+class TestGroupSampleAndQuantize:
+    def test_group_sample_exact_k_deterministic(self, spark, sf_dir):
+        from hobbes_spark.functions.sampling import group_sample
+        from hobbes_spark.pipeline import Pipeline
+
+        docs = Pipeline.table(spark, sf_dir, "documents").df.select("doc_id", "source")
+        a = group_sample(docs, ["source"], "doc_id", k=3)
+        counts = {r.source: r["n"] for r in a.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        full = {r.source: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        for s, n in counts.items():
+            assert n == min(3, full[s])
+        # deterministic across runs; different seed redraws
+        ids = lambda df: sorted(r.doc_id for r in df.collect())
+        assert ids(a) == ids(group_sample(docs, ["source"], "doc_id", k=3))
+        assert ids(a) != ids(group_sample(docs, ["source"], "doc_id", k=3, seed=7))
+
+    def test_group_sample_window_group_limit_plan(self, spark, sf_dir):
+        """rank<=k windows must compile to WindowGroupLimit (map-side
+        k-per-key before the shuffle)."""
+        from hobbes_spark.functions.sampling import group_sample
+        from hobbes_spark.pipeline import Pipeline
+
+        docs = Pipeline.table(spark, sf_dir, "documents").df.select("doc_id", "source")
+        plan = group_sample(docs, ["source"], "doc_id", 3)._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+    def test_quantize_roundtrip_error_bound(self, spark, sf_dir):
+        """|v - q*scale| <= scale/2 per component (plus float read
+        noise); zero and NULL vectors well-defined."""
+        from hobbes_spark.functions.similarity import dequantized, quantize_embeddings
+        from hobbes_spark.pipeline import Pipeline
+
+        emb = Pipeline.table(spark, sf_dir, "embeddings").df
+        qd = quantize_embeddings(emb.filter(F.col("embedding").isNotNull()))
+        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        err = F.zip_with(v, dequantized("q8", "scale"), lambda x, y: F.abs(x - y))
+        row = qd.select(
+            F.max(F.array_max(err) / F.col("scale")).alias("worst_ratio"),
+            F.min(F.array_min(F.col("q8"))).alias("qmin"),
+            F.max(F.array_max(F.col("q8"))).alias("qmax"),
+        ).collect()[0]
+        assert row.worst_ratio <= 0.5 + 1e-9
+        assert -127 <= row.qmin and row.qmax <= 127
+        edge = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, None)], "vec_id bigint, embedding array<float>"
+        )
+        got = {r.vec_id: (r.scale, r.q8) for r in quantize_embeddings(edge).collect()}
+        assert got[1] == (0.0, [0, 0]) and got[2] == (None, None)
