@@ -1380,6 +1380,81 @@ def stream_tumbling_counts(spark, sf_dir):
     )
 
 
+@q(
+    "stream_sliding_counts",
+    f"""
+    SELECT make_timestamp(CAST((FLOOR(epoch(ts) / 7200) - k) * 7200 * 1000000 AS BIGINT)) AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_rsql('SUM(value)', 4)} AS sum_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark, sf_dir):
+    """Overlapping (sliding) event-time windows through the streaming
+    path — 6-hour windows sliding every 2 hours, so each event lands in
+    exactly 3 windows; the SQL twin materializes that 3-way expansion
+    directly. Streaming form of the reference's ``moving`` reduction
+    keyed by event time (SURVEY §2.8 / §2.11)."""
+    from hobbes_spark.streaming import stream_events
+    from hobbes_spark.streaming.run import replay_to_df
+    from hobbes_spark.streaming.windows import sliding_agg
+
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    agg = sliding_agg(
+        stream, duration="6 hours", slide="2 hours",
+        keys=("event_type",), watermark=None,
+    )
+    out = replay_to_df(agg, spark, mode="complete")
+    return out.select(
+        F.col("win_start"),
+        F.col("event_type"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        _r(F.col("sum_value"), 4).alias("sum_value"),
+    )
+
+
+@q(
+    "tpch_q18_big_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300
+    )
+    SELECT c_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, sum_qty
+    FROM big
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def tpch_q18_big_orders(spark, sf_dir):
+    """Large-volume orders (TPC-H Q18 shape): the fact table aggregates
+    and HAVING-filters FIRST — the quantity gate runs before any join,
+    so only the few qualifying order keys ever reach the orders/customer
+    joins (at 100 TB the aggregate output is orders-not-lineitems sized,
+    and the join side after the gate is tiny enough to broadcast).
+    Quantity sums are integral doubles, exact under any summation
+    order."""
+    li = _t(spark, sf_dir, "lineitem").df.select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey", F.col("__q").cast("bigint").alias("sum_qty"))
+    )
+    ords = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").df.select("c_custkey")
+    return (
+        F.broadcast(big)
+        .join(ords, big["l_orderkey"] == ords["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .select("c_custkey", "o_orderkey", "o_orderdate", "sum_qty")
+    )
+
+
 # --------------------------------------------------------------------- #
 # IVF ANN (scale path beside LSH) and skew-salted aggregation.
 # --------------------------------------------------------------------- #
