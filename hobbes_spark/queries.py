@@ -3790,6 +3790,55 @@ def quantize_error_stats(spark, sf_dir):
 
 
 @q(
+    "tpch_q1_pricing",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_base_price,
+           SUM({_REV_UNITS_SQL}) / 10000.0 AS sum_disc_price,
+           SUM({_REV_UNITS_SQL} * (100 + CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT))) / 1000000.0 AS sum_charge,
+           SUM(CAST(l_quantity AS BIGINT)) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 / COUNT(*) AS avg_price,
+           SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) / 100.0 / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing(spark, sf_dir):
+    """Pricing summary report (TPC-H Q1): ONE partial-aggregated scan,
+    eight aggregates per (returnflag, linestatus). Every sum runs in
+    exact integer units (quantities are integral; prices in cents;
+    discount/tax in hundredths — charge units are cents x 1e-4), so the
+    output is bit-identical across engines with a single final division
+    per column. The canonical whole-table aggregation whose 100 TB cost
+    is exactly one scan + a 6-group shuffle."""
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    tax = F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("bigint")
+    disc_units = cents * (F.lit(100).cast("bigint") - dc)
+    qty = F.col("l_quantity").cast("bigint")
+    n = F.count(F.lit(1))
+    li = _t(spark, sf_dir, "lineitem").df.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("bigint").alias("sum_qty"),
+            (F.sum(cents) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(disc_units) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(disc_units * (F.lit(100).cast("bigint") + tax)) / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(qty) / n.cast("double")).alias("avg_qty"),
+            (F.sum(cents) / F.lit(100.0) / n).alias("avg_price"),
+            (F.sum(dc) / F.lit(100.0) / n).alias("avg_disc"),
+            n.cast("bigint").alias("count_order"),
+        )
+    )
+
+
+@q(
     "tpch_q7_volume",
     f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -240,3 +240,53 @@ def test_jaccard_prefix_join_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "jaccard_prefix_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q7_single_fact_shuffle_dims_broadcast(spark, sf_dir):
+    """TPC-H Q7 shape: both nation-dim chains collapse to broadcasts;
+    the ONE hash-partitioned exchange pair is the lineitem⋈orders fact
+    join; aggregation partial-combines."""
+    plan = plan_of(spark, sf_dir, "tpch_q7_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan or "ShuffledHashJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_q18_aggregates_before_joins(spark, sf_dir):
+    """TPC-H Q18 shape: the quantity HAVING-gate must run on the
+    aggregated fact BEFORE any join touches orders/customer — the plan
+    shows the sum filter applied over the aggregate, not post-join."""
+    plan = plan_of(spark, sf_dir, "tpch_q18_big_orders")
+    agg_pos = plan.find("partial_sum")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_single_scan_partial_agg(spark, sf_dir):
+    """TPC-H Q1: one scan, shipdate pushed, partial aggregation — no
+    joins, no window, no second exchange."""
+    plan = plan_of(spark, sf_dir, "tpch_q1_pricing")
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_cms_bounded_state_and_broadcast_estimate(spark, sf_dir):
+    """Heavy hitters: the sketch side joins as a BROADCAST (cells are
+    depth x width bounded), candidates aggregate partially, and no
+    Python appears anywhere."""
+    plan = plan_of(spark, sf_dir, "cms_top_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_exact_no_sort_prunes_payload(spark, sf_dir):
+    """Round-3 exact dedup: hash aggregation (no Sort before the agg
+    exchange) and the text column is pruned out of the aggregate —
+    only the projected payload columns survive."""
+    plan = plan_of(spark, sf_dir, "dedup_exact")
+    assert "min_by" in plan
+    agg_lines = [l for l in plan.splitlines() if "min_by" in l]
+    assert agg_lines and all("text" not in l for l in agg_lines)
