@@ -3952,6 +3952,615 @@ def tpch_q10_returns(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# TPC-H shape completion (round 3): Q4/Q6/Q8/Q9/Q12/Q13/Q15/Q17/Q19/
+# Q21/Q22 — with Q1/Q3/Q5/Q7/Q10/Q14/Q18 above, 18 of the 22 canonical
+# shapes. Q2/Q11/Q16/Q20 need the `partsupp` table, which the driver
+# dataset does not ship (TESTDATA.md); noted in COVERAGE.md. Where the
+# trimmed schema lacks a column (l_commitdate/l_receiptdate, l_shipmode,
+# o_comment, c_phone, ps_supplycost) a same-shape stand-in predicate is
+# used and documented per query — the SHAPE (exists/anti/outer-distrib/
+# correlated-avg/disjunctive-pushdown) is the thing under test. All
+# money math is exact-integer-unit (see _REV_UNITS_SQL note) so the
+# DuckDB hash compare can never flake on summation order.
+# --------------------------------------------------------------------- #
+
+
+@q(
+    "tpch_q6_forecast",
+    """
+    SELECT SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) / 10000.0
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 2 AND 6
+      AND l_quantity < 24
+    """,
+    bench=True,
+)
+def tpch_q6_forecast(spark, sf_dir):
+    """Revenue-change forecast (TPC-H Q6, verbatim): a pure scan →
+    filter → single partial aggregate. The whole point at 100 TB is the
+    plan: every predicate reaches the parquet scan as a PushedFilter,
+    only 3 columns are read, and there is NO shuffle at all — the final
+    agg merges one partial row per partition. The discount band filters
+    on the rounded hundredths so the boundary rows agree across engines.
+    Plan asserted in tests/test_plans.py."""
+    li = _t(spark, sf_dir, "lineitem").df
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+            & dc.between(2, 6) & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents * dc) / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+@q(
+    "tpch_q4_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_priority(spark, sf_dir):
+    """Order-priority checking (TPC-H Q4 shape): EXISTS expressed as a
+    LEFT SEMI join — never a join-then-distinct, which would materialize
+    the multiplicity only to throw it away. The trimmed schema has no
+    l_commitdate/l_receiptdate, so `l_returnflag = 'R'` stands in for
+    the late-delivery predicate; the semi-join shape is identical. The
+    date filter prunes orders before the semi probe; the semi join
+    shuffles both sides on the order key (the natural co-partitioning);
+    the priority agg on the survivors is 5 groups — partial-agg noise."""
+    ords = (
+        _t(spark, sf_dir, "orders").df
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    late = (
+        _t(spark, sf_dir, "lineitem").df
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        ords.join(late, ords["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+@q(
+    "tpch_q12_shipmode",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_shipmode(spark, sf_dir):
+    """Shipping-mode priority split (TPC-H Q12 shape; `l_linestatus`
+    stands in for the absent l_shipmode, the urgent/non-urgent CASE
+    split is verbatim). The year filter prunes lineitem at the scan,
+    the single fact-fact shuffle is on the order key, and both CASE
+    sums fold into ONE aggregate pass — not two filtered joins."""
+    li = (
+        _t(spark, sf_dir, "lineitem").df
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    ords = _t(spark, sf_dir, "orders").df.select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "tpch_q13_custdist",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+                 WHERE o_orderpriority <> '1-URGENT') o
+        ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS INT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def tpch_q13_custdist(spark, sf_dir):
+    """Customer order-count distribution (TPC-H Q13 shape; the
+    o_comment NOT LIKE filter becomes a priority filter — same
+    outer-join-then-histogram shape). Scale plan: orders AGGREGATE to
+    per-customer counts FIRST, then customer LEFT-joins the count table
+    — the outer join carries exactly one row per customer, so a mega
+    customer with 10^6 orders costs an agg cell, not a join explosion.
+    Customers with no orders survive with count 0 via coalesce."""
+    cust = _t(spark, sf_dir, "customer").df.select("c_custkey")
+    counts = (
+        _t(spark, sf_dir, "orders").df
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_cust = (
+        cust.join(counts, cust["c_custkey"] == counts["o_custkey"], "left")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).cast("int").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@q(
+    "tpch_q15_topsupp",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, {_REV_2DP_SQL} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def tpch_q15_topsupp(spark, sf_dir):
+    """Top supplier by quarterly revenue (TPC-H Q15 shape, the view
+    replaced by a CTE). The scalar MAX subquery becomes a one-row
+    broadcast cross join — no second full pass, no sort. The equality
+    compares REVENUE ROUNDED to exact integer cents, so "the max" is
+    the same set in both engines even when double sums differ in the
+    last ulp. Supplier rides in as a broadcast after the winner filter
+    (1-row probe side)."""
+    li = (
+        _t(spark, sf_dir, "lineitem").df
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = li.groupBy("l_suppkey").agg(_rev_2dp().alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    winners = (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .select("l_suppkey", "total_revenue")
+    )
+    supp = _t(spark, sf_dir, "supplier").df.select("s_suppkey", "s_name")
+    return (
+        supp.join(F.broadcast(winners), supp["s_suppkey"] == winners["l_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
+    "tpch_q17_smallqty",
+    """
+    WITH targets AS (SELECT p_partkey FROM part WHERE p_size <= 3),
+         li AS (
+           SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                  CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM lineitem JOIN targets ON l_partkey = p_partkey
+         ),
+         stats AS (
+           SELECT l_partkey AS sp, SUM(qty) AS qty_sum, COUNT(*) AS cnt
+           FROM li GROUP BY l_partkey
+         )
+    SELECT FLOOR(SUM(cents) / 700.0 + 0.5) / 100.0 AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM li JOIN stats ON l_partkey = sp
+    WHERE qty * 5 * cnt < qty_sum
+    """,
+)
+def tpch_q17_smallqty(spark, sf_dir):
+    """Small-quantity-order revenue (TPC-H Q17 shape; p_size <= 3
+    stands in for the brand+container filter). The correlated
+    `l_quantity < 0.2 * avg(l_quantity)` subquery is decorrelated into
+    one per-part aggregate joined back — and the comparison is lifted
+    to exact integers (qty * 5 * cnt < qty_sum ⟺ qty < 0.2 * avg), so
+    no engine-dependent double division sits on the filter boundary.
+    Scale plan: the filtered part keys broadcast-semi-prune lineitem
+    FIRST; the per-part stats table is dimension-sized and broadcasts
+    back; lineitem is scanned once and the pruned slice reused."""
+    targets = (
+        _t(spark, sf_dir, "part").df
+        .filter(F.col("p_size") <= 3)
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem").df
+        .join(F.broadcast(targets), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint").alias("cents"),
+        )
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("sp")).agg(
+        F.sum("qty").alias("qty_sum"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(F.broadcast(stats), F.col("l_partkey") == F.col("sp"))
+        .filter(F.col("qty") * 5 * F.col("cnt") < F.col("qty_sum"))
+        .agg(
+            (F.floor(F.sum("cents") / F.lit(700.0) + F.lit(0.5)) / F.lit(100.0))
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+@q(
+    "tpch_q19_disjuncts",
+    f"""
+    SELECT FLOOR(SUM({_REV_UNITS_SQL}) / 100.0 + 0.5) / 100.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjuncts(spark, sf_dir):
+    """Discounted revenue under a 3-way disjunctive predicate (TPC-H
+    Q19 shape; shipmode/shipinstruct terms dropped with the columns).
+    The part-only half of each disjunct is FACTORED OUT and applied
+    before the broadcast — Catalyst does not reliably push OR-spanning
+    predicates through a join, so the query does the CNF factoring the
+    TPC-H spec expects by hand: part shrinks to the 3 brand/size bands,
+    broadcasts, and the remaining mixed predicate evaluates post-join on the
+    pruned stream. lineitem also pre-filters on the derived
+    l_quantity ∈ [1,30] envelope."""
+    part = (
+        _t(spark, sf_dir, "part").df
+        .filter(
+            ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+            | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+            | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15))
+        )
+        .select("p_partkey", "p_brand")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem").df
+        .filter(F.col("l_quantity").between(1, 30))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    q = F.col("l_quantity")
+    keep = (
+        ((F.col("p_brand") == "Brand#12") & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(keep)
+        .agg(
+            _rev_2dp().alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+@q(
+    "tpch_q8_mktshare",
+    f"""
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             {_REV_UNITS_SQL} AS units,
+             sn.n_name AS supp_nation
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    )
+    SELECT yr,
+           FLOOR(CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                               THEN units ELSE 0 END) AS DOUBLE)
+                 * 1000000.0 / CAST(SUM(units) AS DOUBLE) + 0.5)
+             / 1000000.0 AS mkt_share,
+           FLOOR(SUM(units) / 100.0 + 0.5) / 100.0 AS revenue
+    FROM vol GROUP BY yr
+    """,
+)
+def tpch_q8_mktshare(spark, sf_dir):
+    """National market share inside a region (TPC-H Q8 shape). The
+    8-table join graph collapses to THREE broadcast dims before the
+    facts meet: part (type-filtered), supplier⋈nation (labels the
+    numerator), customer⋈nation⋈region (ASIA membership filter). The
+    only big shuffle is lineitem⋈orders on the order key; the share is
+    one conditional-sum / sum over exact integer units, rounded to 6dp
+    via floor so both engines bit-agree."""
+    nat = _t(spark, sf_dir, "nation").df
+    part = (
+        _t(spark, sf_dir, "part").df
+        .filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier").df.select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    region = _t(spark, sf_dir, "region").df.filter(F.col("r_name") == "ASIA")
+    cust = (
+        _t(spark, sf_dir, "customer").df.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat["n_nationkey"])
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    ords = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    vol = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            _rev_units().alias("units"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("units"))
+                .otherwise(F.lit(0).cast("bigint")))
+    den = F.sum("units")
+    return vol.groupBy("yr").agg(
+        (F.floor(num.cast("double") * 1000000.0 / den.cast("double")
+                 + F.lit(0.5)) / F.lit(1000000.0)).alias("mkt_share"),
+        (F.floor(den / F.lit(100.0) + F.lit(0.5)) / F.lit(100.0))
+        .alias("revenue"),
+    )
+
+
+_Q9_UNITS_SQL = (
+    "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))"
+    " - CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) * 100"
+    " * CAST(l_quantity AS BIGINT)"
+)
+
+
+@q(
+    "tpch_q9_profit",
+    f"""
+    WITH profit AS (
+      SELECT sn.n_name AS nation, CAST(year(o_orderdate) AS INT) AS yr,
+             {_Q9_UNITS_SQL} AS units
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name LIKE '%red%'
+    )
+    SELECT nation, yr,
+           FLOOR(SUM(units) / 100.0 + 0.5) / 100.0 AS profit
+    FROM profit GROUP BY nation, yr
+    """,
+    bench=True,
+)
+def tpch_q9_profit(spark, sf_dir):
+    """Product-type profit by nation and year (TPC-H Q9 shape;
+    p_retailprice stands in for the absent ps_supplycost, so profit =
+    revenue − retail·qty — same 6-table graph, same LIKE filter on
+    p_name). Scale plan: the name-filtered part and supplier⋈nation
+    collapse to broadcasts; lineitem⋈orders is the one big shuffle;
+    profit units are exact integers (cents × discount-hundredths minus
+    cost in the same scale) so negative-profit cells round identically
+    across engines."""
+    nat = _t(spark, sf_dir, "nation").df.select("n_nationkey", "n_name")
+    part = (
+        _t(spark, sf_dir, "part").df
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier").df.select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    ords = _t(spark, sf_dir, "orders").df.select("o_orderkey", "o_orderdate")
+    cost = (
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("bigint")
+        * F.lit(100).cast("bigint") * F.col("l_quantity").cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            (_rev_units() - cost).alias("units"),
+        )
+        .groupBy("nation", "yr")
+        .agg(
+            (F.floor(F.sum("units") / F.lit(100.0) + F.lit(0.5))
+             / F.lit(100.0)).alias("profit")
+        )
+    )
+
+
+@q(
+    "tpch_q21_waiting",
+    """
+    WITH ostats AS (
+      SELECT l_orderkey AS ok,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                                 THEN l_suppkey END) AS n_r_supp
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem
+      JOIN ostats ON l_orderkey = ok
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+    WHERE l_returnflag = 'R' AND o_orderstatus = 'F'
+      AND n_supp > 1 AND n_r_supp = 1
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_waiting(spark, sf_dir):
+    """Suppliers who kept orders waiting (TPC-H Q21 shape; the
+    receipt>commit lateness predicate becomes l_returnflag='R' on the
+    trimmed schema). The spec's EXISTS(other supplier) AND NOT
+    EXISTS(other LATE supplier) pair of correlated self-joins is
+    rewritten as ONE grouped pass over lineitem per order key —
+    (distinct suppliers, distinct late suppliers) — then the late lines
+    re-join those stats ON THE SAME KEY, so the exchange is reused, not
+    repeated. n_supp > 1 ∧ n_r_supp = 1 ⟺ "some other supplier exists
+    and no other supplier was late". orders gates on status F;
+    supplier names ride a broadcast."""
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    ostats = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    ords = (
+        _t(spark, sf_dir, "orders").df
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").df.select("s_suppkey", "s_name")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(ostats, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
+@q(
+    "tpch_q22_opportunity",
+    """
+    WITH pool AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'HOUSEHOLD')
+    ),
+    stats AS (
+      SELECT SUM(bal_cents) AS tot, COUNT(*) AS n
+      FROM pool WHERE bal_cents > 0
+    )
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           SUM(bal_cents) / 100.0 AS totacctbal
+    FROM pool, stats
+    WHERE bal_cents * n > tot
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def tpch_q22_opportunity(spark, sf_dir):
+    """Global sales opportunity (TPC-H Q22 shape; market segments stand
+    in for phone country codes). Three classic sub-shapes in one query:
+    a scalar aggregate subquery (avg positive balance → one-row
+    broadcast cross join), an above-average filter lifted to exact
+    integers (bal·n > tot ⟺ bal > avg, no double on the boundary), and
+    a NOT EXISTS anti-join against orders on the customer key — "no
+    order since 2000" rather than the spec's "no orders ever", because
+    every synthetic customer has at least one order (the all-time
+    variant is degenerately empty). The anti-join shuffles on
+    c_custkey after the date filter prunes the probe side; everything
+    else is dimension-sized."""
+    pool = (
+        _t(spark, sf_dir, "customer").df
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY", "HOUSEHOLD"))
+        .select(
+            "c_custkey", "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("bigint").alias("bal_cents"),
+        )
+    )
+    stats = (
+        pool.filter(F.col("bal_cents") > 0)
+        .agg(F.sum("bal_cents").alias("tot"), F.count(F.lit(1)).alias("n"))
+    )
+    ords = (
+        _t(spark, sf_dir, "orders").df
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        pool.crossJoin(F.broadcast(stats))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("tot"))
+        .join(ords, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            (F.sum("bal_cents") / F.lit(100.0)).alias("totacctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #
 # The driver's correctness gate records the FIRST 50 entries of
@@ -3976,7 +4585,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "dedup_spans", "media_decode_meta", "media_frame_plan",
     "quality_top_fraction", "minhash_incremental", "tpch_q3_topk",
     "tpch_q5_region", "stream_static_enrich", "bloom_decontaminate",
-    "dedup_components_star", "semantic_dedup_keep", "sketch_user_rollup",
+    # asof_attribution replaces rows-only sketch_user_rollup in the
+    # window: a hash-signed row beats a rows-only row, and the sketch
+    # query keeps its merge==direct tests + judge gate evidence.
+    "dedup_components_star", "semantic_dedup_keep", "asof_attribution",
     "topk_per_group", "label_centroids", "hb_velocity_pivot",
     "jaccard_prefix_pairs", "dsir_weights", "cohort_retention",
     "daily_value_delta", "tpch_q14_promo",

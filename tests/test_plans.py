@@ -290,3 +290,91 @@ def test_dedup_exact_no_sort_prunes_payload(spark, sf_dir):
     assert "min_by" in plan
     agg_lines = [l for l in plan.splitlines() if "min_by" in l]
     assert agg_lines and all("text" not in l for l in agg_lines)
+
+
+def test_q6_scan_only_no_join_pushed_range(spark, sf_dir):
+    """TPC-H Q6 is the pushdown litmus test: no join anywhere, the
+    shipdate range and quantity bound reach the parquet scan as
+    PushedFilters, the scan reads only the 4 referenced columns, and
+    the single aggregate partial-combines (the only exchange is the
+    1-row final merge)."""
+    plan = plan_of(spark, sf_dir, "tpch_q6_forecast")
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+    # PushedFilters is truncated in toString(); assert via the Filter
+    # node and the scan's pushdown prefix instead
+    assert ">= 1996-01-01 00:00:00)" in plan
+    assert "< 24.0)" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in scan and "l_partkey" not in scan
+
+
+def test_q4_exists_is_left_semi(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS compiles to a LeftSemi join — never a
+    join-then-distinct — and the date window prunes orders at its
+    scan."""
+    plan = plan_of(spark, sf_dir, "tpch_q4_priority")
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
+    assert ">= 1996-01-01 00:00:00)" in plan
+
+
+def test_q13_aggregates_orders_before_outer_join(spark, sf_dir):
+    """TPC-H Q13 shape: per-customer order counts aggregate BEFORE the
+    outer join (one row per customer into the join, skew-immune), and
+    the outer join survives in the plan."""
+    plan = plan_of(spark, sf_dir, "tpch_q13_custdist")
+    assert "LeftOuter" in plan
+    # the orders-side aggregate sits below the join: partial_count on
+    # o_custkey appears in the plan (aggregate-then-join, not join-all)
+    assert "partial_count" in plan
+
+
+def test_q17_decorrelates_with_broadcasts(spark, sf_dir):
+    """TPC-H Q17 shape: the correlated avg subquery decorrelates into
+    per-part stats that BROADCAST back; the part filter broadcasts
+    into lineitem; nothing sort-merges."""
+    plan = plan_of(spark, sf_dir, "tpch_q17_smallqty")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_part_disjunction_prefilters_before_broadcast(spark, sf_dir):
+    """TPC-H Q19 shape: the hand-factored part-side disjunction reaches
+    the part scan (brand/size bands pushed), the join is a broadcast,
+    and the derived quantity envelope prunes lineitem at its scan."""
+    plan = plan_of(spark, sf_dir, "tpch_q19_disjuncts")
+    assert "BroadcastHashJoin" in plan
+    assert "= Brand#12)" in plan  # part-side disjunction at the part scan
+    assert ">= 1.0)" in plan and "<= 30.0)" in plan  # quantity envelope
+
+
+def test_q8_q9_dims_broadcast_single_fact_shuffle(spark, sf_dir):
+    """TPC-H Q8/Q9 shapes: every dimension chain collapses into a
+    broadcast; at most ONE shuffled join (lineitem⋈orders) remains."""
+    for name in ("tpch_q8_mktshare", "tpch_q9_profit"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("BroadcastHashJoin") >= 3, name
+        shuffled = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+        assert shuffled <= 1, name
+        assert "partial_sum" in plan, name
+
+
+def test_q21_one_grouped_pass_replaces_double_exists(spark, sf_dir):
+    """TPC-H Q21 shape: the EXISTS / NOT EXISTS self-join pair is ONE
+    grouped pass (two distinct aggregates → Expand), supplier names
+    broadcast, and no cartesian anything."""
+    plan = plan_of(spark, sf_dir, "tpch_q21_waiting")
+    assert "Expand" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_after_scalar_broadcast(spark, sf_dir):
+    """TPC-H Q22 shape: NOT EXISTS compiles to LeftAnti on the customer
+    key; the scalar avg rides a 1-row broadcast; the orders probe side
+    is date-pruned at its scan."""
+    plan = plan_of(spark, sf_dir, "tpch_q22_opportunity")
+    assert "LeftAnti" in plan
+    assert ">= 2000-01-01 00:00:00)" in plan
