@@ -4560,6 +4560,153 @@ def tpch_q22_opportunity(spark, sf_dir):
     )
 
 
+def _quality_scored_sql() -> str:
+    """doc_id → 6dp quality score, the same formula `_quality_rank_sql`
+    inlines (kept as a shared CTE body so new consumers can't drift)."""
+    toks_l = _DDB_TOKENS.format(t="lower(text)")
+    stop = ", ".join(
+        f"'{w}'"
+        for w in __import__(
+            "hobbes_spark.functions.text", fromlist=["STOPWORDS"]
+        ).STOPWORDS
+    )
+    q6 = _rsql(
+        "0.3 * len_sat + 0.3 * COALESCE(alpha, 0.0) "
+        "+ 0.2 * LEAST(COALESCE(stop_ratio, 0.0) * 5, 1.0) "
+        "+ 0.2 * (1 - COALESCE(punct, 0.0))",
+        6,
+    )
+    return rf"""
+      SELECT doc_id, {q6} AS quality FROM (
+        SELECT doc_id,
+               len(list_filter({toks_l}, x -> x IN ({stop})))
+                 / NULLIF(len({toks_l}), 0) AS stop_ratio,
+               length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                 / NULLIF(length(text), 0) AS alpha,
+               length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                 / NULLIF(length(text), 0) AS punct,
+               LEAST(length(text) / 500.0, 1.0) AS len_sat
+        FROM documents
+      )
+    """
+
+
+@q(
+    "dedup_keep_best",
+    f"""
+    WITH comp AS ({_components_sql()}),
+    scored AS ({_quality_scored_sql()}),
+    labeled AS (
+      SELECT d.doc_id AS doc_id,
+             COALESCE(c.component, d.doc_id) AS cluster,
+             s.quality AS quality
+      FROM documents d
+      LEFT JOIN comp c ON d.doc_id = c.doc_id
+      JOIN scored s ON d.doc_id = s.doc_id
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY quality DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster) AS sz
+      FROM labeled
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(doc_id AS BIGINT) AS kept_doc_id,
+           quality,
+           CAST(sz AS BIGINT) AS cluster_size
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Canonical-document selection: near-dup clusters (MinHash pairs →
+    connected components) keep their HIGHEST-QUALITY member, not the
+    lowest doc_id — the practical dedup policy for a training corpus,
+    where "first seen" is an accident of crawl order but quality is
+    what you actually want to retain. Singletons are their own cluster
+    and always survive.
+
+    Scale shape: the component map covers only docs that appear in a
+    duplicate pair — on a crawl-scale corpus that can still be a large
+    fraction, so it joins KEYED on doc_id (no broadcast assumption);
+    the argmax-per-cluster is one keyed window on the rounded quality
+    with a doc_id tiebreak (deterministic across engines and
+    partitionings). Reference parity: extends the keep-min-id policy of
+    `dedup_exact` (SURVEY §2; hobbes has no near-dup dedup at all)."""
+    from hobbes_spark.functions import text as TX
+    from hobbes_spark.functions.dedup import connected_components, minhash_pairs
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").df
+    pairs = minhash_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5, hash_fn="md5"
+    )
+    comp = connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("__cid"), F.col("comp").alias("__comp")
+    )
+    scored = docs.select(
+        "doc_id", _r(TX.quality_score("text"), 6).alias("quality")
+    )
+    labeled = (
+        scored.join(comp, scored["doc_id"] == F.col("__cid"), "left")
+        .select(
+            "doc_id", "quality",
+            F.coalesce(F.col("__comp"), F.col("doc_id"))
+            .cast("bigint").alias("cluster"),
+        )
+    )
+    w = Window.partitionBy("cluster")
+    wo = w.orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        labeled
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").cast("bigint").alias("kept_doc_id"),
+            "quality", "cluster_size",
+        )
+    )
+
+
+@q(
+    "props_json_stats",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT)
+             AS k_present
+    FROM events GROUP BY event_type
+    """,
+)
+def props_json_stats(spark, sf_dir):
+    """Semi-structured extraction: `events.props` is an opaque JSON
+    string column (the shape of event payloads in any real pipeline);
+    pull `$.k` out with the JVM-side JSON path expression and aggregate
+    per event type. The extraction stays inside whole-stage codegen —
+    no Python, no UDF — and the aggregate partial-combines, so at scale
+    this is scan + one small shuffle. Reference parity: the reference's
+    JSON flattening happens at ingest (`Reader.fs` dot-path flatten,
+    SURVEY §1.3); this is the same capability applied lazily at query
+    time, which at 100 TB avoids materializing every rarely-used key as
+    a column."""
+    ev = _t(spark, sf_dir, "events").df
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("__k").cast("bigint").alias("k_sum"),
+            F.max("__k").cast("bigint").alias("k_max"),
+            F.count("__k").cast("bigint").alias("k_present"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #
