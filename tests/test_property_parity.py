@@ -236,3 +236,81 @@ def test_zorder_value_round_trips(spark, pairs):
 
     for r in out:
         assert decode(r.z) == (r.a, r.b)
+
+
+# ---------------------------------------------------------------------- #
+# As-of / range joins vs brute-force oracles: random key/time tables
+# (duplicate timestamps across users, empty match sets) against a plain
+# Python reimplementation of the spec.
+# ---------------------------------------------------------------------- #
+
+_uid = st.integers(1, 3)
+_ts = st.integers(0, 20)
+left_events = st.lists(st.tuples(_uid, _ts), min_size=1, max_size=12)
+right_events = st.lists(
+    st.tuples(_uid, _ts, st.integers(-100, 100)), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lrows=left_events, rrows=right_events)
+def test_asof_join_matches_bruteforce(spark, lrows, rrows):
+    from hobbes_spark.operators.asof import asof_join
+
+    # unique (uid, ts) on the right: tie order between duplicate right
+    # rows at the same instant is unspecified, everything else is law
+    rmap = {(u, t): v for u, t, v in rrows}
+    rrows = [(u, t, float(v)) for (u, t), v in sorted(rmap.items())]
+    lrows = [(i, u, t) for i, (u, t) in enumerate(lrows)]
+    L = spark.createDataFrame(lrows, "lid bigint, uid bigint, t bigint")
+    R = spark.createDataFrame(rrows, "uid bigint, t bigint, v double")
+
+    for direction in ("backward", "forward"):
+        got = {
+            r["lid"]: (r["r_t"], r["r_v"])
+            for r in asof_join(L, R, on="t", by=["uid"],
+                               direction=direction).collect()
+        }
+        for lid, u, t in lrows:
+            if direction == "backward":
+                cand = [(rt, v) for (ru, rt), v in rmap.items()
+                        if ru == u and rt <= t]
+                want = max(cand) if cand else None
+            else:
+                cand = [(rt, v) for (ru, rt), v in rmap.items()
+                        if ru == u and rt >= t]
+                want = min(cand) if cand else None
+            if want is None:
+                assert got[lid] == (None, None), (direction, lid)
+            else:
+                assert got[lid] == (want[0], float(want[1])), (direction, lid)
+
+
+points = st.lists(st.tuples(st.integers(0, 30)), min_size=1, max_size=10)
+bands = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 15)), min_size=0, max_size=8
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ps=points, bs=bands, bin_width=st.sampled_from([1.0, 3.0, 50.0]))
+def test_range_join_matches_bruteforce(spark, ps, bs, bin_width):
+    from hobbes_spark.operators.asof import range_join
+
+    prows = [(i, float(x)) for i, (x,) in enumerate(ps)]
+    brows = [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(bs)]
+    P = spark.createDataFrame(prows, "pid bigint, x double")
+    B = spark.createDataFrame(brows, "bid bigint, lo double, hi double")
+    got = sorted(
+        (r["pid"], r["bid"])
+        for r in range_join(P, B, "x", "lo", "hi", bin_width=bin_width).collect()
+    )
+    want = sorted(
+        (pid, bid)
+        for pid, x in prows
+        for bid, lo, hi in brows
+        if lo <= x <= hi
+    )
+    assert got == want
