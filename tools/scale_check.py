@@ -284,11 +284,101 @@ def main():
         terms = do.select(F.explode(tokens(F.lower(F.col("text")))).alias("t"))
         return cms_top_items(terms, "t", k=20)
 
+    def q9_profit(li):
+        # two-fact join graph (TPC-H Q9 shape): orders scales WITH
+        # lineitem (the order-key spans align by construction), the
+        # filtered part and supplier⋈nation dims stay dim-sized
+        # broadcasts — exactly what a 100 TB scale-out looks like
+        ords = or1 if li is li1 else orN
+        part = (
+            spark.read.parquet(f"{sf_dir}/part.parquet")
+            .filter(F.col("p_name").like("%red%"))
+            .select("p_partkey", "p_retailprice")
+        )
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            "n_nationkey", "n_name"
+        )
+        supp = (
+            spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .select("s_suppkey", "s_nationkey")
+            .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("nation"))
+        )
+        rev = (
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+            * (F.lit(100).cast("bigint")
+               - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint"))
+        )
+        cost = (
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("bigint")
+            * F.lit(100).cast("bigint") * F.col("l_quantity").cast("bigint")
+        )
+        return (
+            li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select("nation", F.year("o_orderdate").alias("yr"),
+                    (rev - cost).alias("u"))
+            .groupBy("nation", "yr").agg(F.sum("u"))
+        )
+
+    def q21_grouped_exists(li):
+        # EXISTS/NOT-EXISTS pair as ONE grouped pass + same-key re-join
+        # (TPC-H Q21 shape): the distinct-aggregate Expand and the
+        # reused order-key partitioning are what must stay linear
+        ostats = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+            F.countDistinct("l_suppkey").alias("ns"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("nr"),
+        )
+        return (
+            li.filter(F.col("l_returnflag") == "R")
+            .join(ostats, F.col("l_orderkey") == F.col("ok"))
+            .filter((F.col("ns") > 1) & (F.col("nr") == 1))
+            .groupBy("l_suppkey").count()
+        )
+
+    def keep_best(do):
+        # canonical selection end-to-end: pairs → components → argmax
+        # quality per cluster (production xxhash64 path)
+        from pyspark.sql import Window
+
+        from hobbes_spark.functions.dedup import (
+            connected_components, minhash_pairs,
+        )
+        from hobbes_spark.functions.text import quality_score
+
+        pairs = minhash_pairs(
+            do, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5,
+            hash_fn="xxhash64",
+        )
+        comp = connected_components(pairs.select("id_a", "id_b")).select(
+            F.col("id").alias("cid"), F.col("comp").alias("cluster0")
+        )
+        scored = do.select(
+            "doc_id", F.round(quality_score("text"), 6).alias("q")
+        )
+        labeled = scored.join(
+            comp, scored["doc_id"] == F.col("cid"), "left"
+        ).select(
+            "doc_id", "q",
+            F.coalesce(F.col("cluster0"), F.col("doc_id")).alias("cluster"),
+        )
+        w = Window.partitionBy("cluster").orderBy(F.desc("q"), F.asc("doc_id"))
+        return (
+            labeled.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("cluster", "doc_id", "q")
+        )
+
     cases.update(
         {
             "exact_dedup": (exact_dd, do1, doN),
             "dedup_paragraphs": (paragraphs, do1, doN),
             "cms_heavy_hitters": (cms_heavy_hitters, do1, doN),
+            "tpch_q9_two_fact": (q9_profit, li1, liN),
+            "tpch_q21_grouped_exists": (q21_grouped_exists, li1, liN),
+            "dedup_keep_best": (keep_best, do1, doN),
         }
     )
 
