@@ -4707,6 +4707,132 @@ def props_json_stats(spark, sf_dir):
     )
 
 
+@q(
+    "batch_sessions",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v_units
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, ts, v_units,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(sess AS INT) AS session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+           SUM(v_units) / 10000.0 AS total_value
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def batch_sessions(spark, sf_dir):
+    """Gap-based sessionization in BATCH (the twin of the streaming
+    `session_agg` query, same 30-minute gap): lag → break flag →
+    running sum assigns session numbers, then one per-session rollup.
+    Session boundaries are half-open like the streaming side (a gap of
+    exactly 30 min starts a new session).
+
+    Scale shape: ONE keyed shuffle on user_id serves the lag window,
+    the running sum, AND the final (user, session) aggregate — the agg
+    keys are a superset of the window partition key, so Spark reuses
+    the partitioning instead of re-exchanging. Ordering ties break on
+    event_id so both engines number identically. Event values sum in
+    exact 1e-4 units (doubles would differ in the last ulp across
+    engines' summation orders)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
+        .alias("__v_units"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    brk = F.when(
+        prev.isNull()
+        | (F.timestamp_diff("MICROSECOND", prev, F.col("ts")) >= 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    sess = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("__sess", sess)
+        .groupBy("user_id", "__sess")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.timestamp_diff("MICROSECOND", F.min("ts"), F.max("ts"))
+            .alias("duration_us"),
+            (F.sum("__v_units") / F.lit(10000.0)).alias("total_value"),
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("__sess").cast("int").alias("session_no"),
+            "n_events", "duration_us", "total_value",
+        )
+    )
+
+
+@q(
+    "funnel_conversion",
+    """
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    v AS (SELECT user_id, MIN(ts) AS t0 FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id AS user_id, MIN(e.ts) AS t1
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t0
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id AS user_id, MIN(e.ts) AS t2
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t1
+          GROUP BY e.user_id)
+    SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel (view → click after view → purchase
+    after that click): the staple of product analytics at event-log
+    scale. Each stage is MIN-per-user gated on the previous stage's
+    timestamp — an aggregate-then-join chain where every join and every
+    aggregate keys on user_id, so ONE partitioning carries the whole
+    funnel and each stage's table only shrinks. No window over the full
+    event stream, no per-user event collection."""
+    ev = _t(spark, sf_dir, "events").df.select("user_id", "event_type", "ts")
+
+    def stage_min(df, etype, gate, gate_col):
+        s = ev.filter(F.col("event_type") == etype)
+        if gate is not None:
+            s = s.join(gate, "user_id").filter(F.col("ts") >= F.col(gate_col))
+        return s.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+
+    v = stage_min(ev, "view", None, "")
+    c = stage_min(ev, "click", v, "t_view")
+    p = stage_min(ev, "purchase", c, "t_click")
+    counts = [
+        df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(F.lit(name).alias("stage"), "n_users")
+        for name, df in (("view", v), ("click", c), ("purchase", p))
+    ]
+    out = counts[0]
+    for d in counts[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 # --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #

@@ -378,3 +378,22 @@ def test_q22_anti_join_after_scalar_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q22_opportunity")
     assert "LeftAnti" in plan
     assert ">= 2000-01-01 00:00:00)" in plan
+
+
+def test_batch_sessions_single_exchange(spark, sf_dir):
+    """Gap sessionization: the lag window, the running session-number
+    sum, and the (user, session) rollup must all ride ONE user_id
+    exchange — the agg keys are a superset of the window partition key,
+    so Spark reuses the partitioning instead of re-shuffling."""
+    plan = plan_of(spark, sf_dir, "batch_sessions")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_funnel_stages_stay_keyed(spark, sf_dir):
+    """Conversion funnel: every stage joins and aggregates on user_id —
+    no cartesian anything, no global sort, and each stage's aggregate
+    partial-combines."""
+    plan = plan_of(spark, sf_dir, "funnel_conversion")
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
