@@ -1,0 +1,58 @@
+"""Column profiling: per-column completeness and cardinality in one
+pass — the data-quality report a pipeline runs before trusting a new
+drop of data (the shape popularized by Deequ/TFDV).
+
+Scale design: everything folds into ONE aggregate over the input.
+``exact=False`` (the default, and the only sane setting at 100 TB) uses
+``approx_count_distinct`` (HyperLogLog++), which keeps the plan a plain
+partial/final aggregate. ``exact=True`` switches to exact
+``COUNT(DISTINCT)`` — Spark plans n distinct aggregates as an Expand
+that replicates every row once per profiled column, so reserve it for
+slim column lists or gate-scale checks (the DuckDB oracle can only
+replay the exact path).
+
+Reference parity: hobbes has no profiling statement; nearest behavior
+is `dense columns`' null-ratio bookkeeping (SURVEY §2.2), which
+``n_nulls`` generalizes.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_columns"]
+
+
+def profile_columns(
+    df: DataFrame, cols: Sequence[str] | None = None, exact: bool = False
+) -> DataFrame:
+    """One row per profiled column: ``col_name, n_rows, n_nulls,
+    n_distinct`` (n_distinct excludes NULL, matching both engines'
+    COUNT(DISTINCT)).
+
+    The per-column stats are aggregated as an array of structs in a
+    single ``agg`` and exploded afterwards, so the input is scanned
+    once regardless of how many columns are profiled.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_columns: unknown columns {missing}")
+    n = F.count(F.lit(1))
+    entries = []
+    for c in cols:
+        nd = F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(c)
+        entries.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                (n - F.count(F.col(c))).cast("bigint").alias("n_nulls"),
+                nd.cast("bigint").alias("n_distinct"),
+            )
+        )
+    agg = df.agg(F.array(*entries).alias("__p"), n.cast("bigint").alias("n_rows"))
+    return agg.select(F.explode("__p").alias("p"), "n_rows").select(
+        "p.col_name", "n_rows", "p.n_nulls", "p.n_distinct"
+    )

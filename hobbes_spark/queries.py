@@ -4833,6 +4833,77 @@ def funnel_conversion(spark, sf_dir):
     return out
 
 
+@q(
+    "salted_join_revenue",
+    f"""
+    SELECT o_orderpriority, {_REV_2DP_SQL} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join_revenue(spark, sf_dir):
+    """Hot-key-safe fact⋈fact join through `operators/skew.salted_join`:
+    orders replicates `salts` times, every lineitem row draws a salt,
+    and the join key becomes (orderkey, salt) — a key carrying 1% of
+    all rows spreads over `salts` tasks instead of melting one. The
+    result is EXACTLY the plain equi-join (the oracle IS the plain
+    join); the salt only reshapes the physical partitioning, which is
+    the whole point: correctness invariant, skew resilience bought at
+    a bounded `salts`× dim replication cost."""
+    from hobbes_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ords = _t(spark, sf_dir, "orders").df.select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, ords, "l_orderkey", salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            _rev_2dp().alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "profile_lineitem",
+    """
+    SELECT 'l_returnflag' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_distinct
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_partkey) AS BIGINT),
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+           CAST(COUNT(DISTINCT l_shipdate) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def profile_lineitem(spark, sf_dir):
+    """Data-quality profile (`functions/profile.profile_columns`):
+    per-column completeness + cardinality in ONE scan. This gate query
+    runs the exact-distinct path so DuckDB can replay it cell-for-cell;
+    production profiling at 100 TB flips to the default
+    approx_count_distinct (HLL++) path, which avoids the Expand
+    row-replication exact multi-column distincts cost — that switch is
+    the module's documented contract, tested separately."""
+    from hobbes_spark.functions.profile import profile_columns
+
+    li = _t(spark, sf_dir, "lineitem").df
+    return profile_columns(
+        li, ["l_returnflag", "l_partkey", "l_shipdate"], exact=True
+    )
+
+
 # --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #

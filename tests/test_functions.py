@@ -930,3 +930,38 @@ class TestGroupSampleAndQuantize:
         )
         got = {r.vec_id: (r.scale, r.q8) for r in quantize_embeddings(edge).collect()}
         assert got[1] == (0.0, [0, 0]) and got[2] == (None, None)
+
+
+def test_profile_columns_exact_and_approx(spark):
+    from hobbes_spark.functions.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b"), (4, "b")],
+        "k bigint, s string",
+    )
+    exact = {r["col_name"]: r for r in profile_columns(df, exact=True).collect()}
+    assert exact["k"]["n_rows"] == 5 and exact["k"]["n_nulls"] == 0
+    assert exact["k"]["n_distinct"] == 4
+    assert exact["s"]["n_nulls"] == 1 and exact["s"]["n_distinct"] == 2
+    # approx path: same schema, plausible estimates (exact at this size)
+    approx = {r["col_name"]: r for r in profile_columns(df).collect()}
+    assert approx["k"]["n_distinct"] == 4 and approx["s"]["n_distinct"] == 2
+    # unknown columns fail loudly, not silently profile nothing
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown columns"):
+        profile_columns(df, ["nope"])
+
+
+def test_profile_approx_has_no_expand(spark, sf_dir):
+    """The approx path must stay a plain partial/final aggregate — the
+    Expand operator (one input copy per distinct column) is exactly what
+    it exists to avoid."""
+    from hobbes_spark.functions.profile import profile_columns
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = (
+        profile_columns(li, ["l_returnflag", "l_partkey", "l_quantity"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan
+    assert "partial_approx_count_distinct" in plan
