@@ -397,3 +397,21 @@ def test_funnel_stages_stay_keyed(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "funnel_conversion")
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan
+
+
+# Queries allowed to contain a cartesian/nested-loop pair enumeration:
+# cosine_topk is the DOCUMENTED exact brute-force baseline (its scale
+# paths are ann_lsh/ann_ivf). Everything else must stay equi-keyed;
+# 1-row scalar broadcasts compile to BroadcastNestedLoopJoin, which is
+# fine (bounded), so only CartesianProduct is banned.
+CARTESIAN_ALLOWED = {"cosine_topk"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_in_any_query(spark, sf_dir, name):
+    if name == "stream_tumbling_counts":
+        pytest.skip("streaming query executes on build; covered separately")
+    if name in CARTESIAN_ALLOWED:
+        pytest.skip("documented brute-force baseline")
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
