@@ -4905,6 +4905,224 @@ def profile_lineitem(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Time-series family: gap filling, OHLC bars, streak detection
+# (operators/timeseries.py — the shapes the reference's series support
+# stops short of, SURVEY §2.8).
+# --------------------------------------------------------------------- #
+
+@q(
+    "gap_fill_ffill",
+    f"""
+    WITH obs AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n_obs, AVG(value) AS day_mean
+      FROM events WHERE value > 300 GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, MIN(d) AS lo, MAX(d) AS hi FROM obs GROUP BY 1
+    ), spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM span
+    ), j AS (
+      SELECT s.event_type, s.d, o.n_obs, o.day_mean
+      FROM spine s LEFT JOIN obs o ON s.event_type = o.event_type AND s.d = o.d
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS date,
+           CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+           {_rsql("last_value(day_mean IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 4)} AS day_mean
+    FROM j
+    """,
+)
+def gap_fill_ffill_query(spark, sf_dir):
+    """Regularize a sparse daily series (high-value events only) onto a
+    dense per-key day spine and forward-fill the last observed daily
+    mean; counts zero-fill (absence of events means 0 events, not
+    "unchanged"). The spine explode runs on the one-row-per-key min/max
+    aggregate, never the raw events; the fill is one keyed window (see
+    operators/timeseries.py for the 100 TB notes)."""
+    from hobbes_spark.operators.timeseries import gap_fill_ffill
+
+    ev = _t(spark, sf_dir, "events").df
+    obs = (
+        ev.filter(F.col("value") > 300)
+        .withColumn("d", F.to_date("ts"))
+        .groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.avg("value").alias("day_mean"),
+        )
+    )
+    filled = gap_fill_ffill(obs, ["event_type"], "d", ["day_mean"], count_col="n_obs")
+    return filled.select(
+        "event_type",
+        F.col("d").cast("string").alias("date"),
+        "n_obs",
+        _r(F.col("day_mean"), 4).alias("day_mean"),
+    )
+
+
+@q(
+    "ohlc_bars",
+    """
+    WITH w AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, value,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rz
+      FROM events
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS date,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rz = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS volume_cents
+    FROM w GROUP BY 1, 2
+    """,
+)
+def ohlc_bars(spark, sf_dir):
+    """Hypertable-style OHLC rollup: raw ticks → daily bars per
+    event_type in ONE hash aggregate (min_by/max_by on a (ts, id)
+    struct; no window, no per-key sort — partial states combine
+    map-side, the shape that turns 100 TB of ticks into bars on one
+    shuffle). Volume summed in exact integer cents so the result is
+    order-independent. The oracle replays open/close via row_number
+    windows — value equality is the contract, not the plan."""
+    from hobbes_spark.operators.timeseries import ohlc
+
+    ev = _t(spark, sf_dir, "events").df.withColumn(
+        "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    )
+    bars = ohlc(
+        ev, ["event_type"], "ts", "event_id", "value", F.to_date("ts"), "d",
+        volume_col="cents",
+    )
+    return bars.select(
+        "event_type",
+        F.col("d").cast("string").alias("date"),
+        "open", "high", "low", "close", "n",
+        F.col("volume").alias("volume_cents"),
+    )
+
+
+@q(
+    "user_streaks",
+    """
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    g AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM act
+    ),
+    s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+    SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM s GROUP BY 1
+    """,
+)
+def user_streaks(spark, sf_dir):
+    """Gaps-and-islands: longest consecutive-active-day streak per user
+    (date minus per-user row_number is constant within a run). Every
+    stage — distinct, window, both aggregates — partitions by user_id,
+    so after the first (user, day) dedup shuffle the per-user stages
+    reuse one hash partitioning; state per user is its distinct-day
+    list, bounded by calendar days not event volume."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").df
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = act.withColumn("grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+    s = g.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return s.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Single-pass multi-column statistics and CUBE grouping sets.
+# --------------------------------------------------------------------- #
+
+@q(
+    "corr_matrix",
+    f"""
+    SELECT col_a, col_b, {_rsql('c', 4)} AS corr FROM (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             corr(l_quantity, l_extendedprice) AS c FROM lineitem
+      UNION ALL SELECT 'l_quantity', 'l_discount',
+             corr(l_quantity, l_discount) FROM lineitem
+      UNION ALL SELECT 'l_quantity', 'l_tax',
+             corr(l_quantity, l_tax) FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', 'l_discount',
+             corr(l_extendedprice, l_discount) FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', 'l_tax',
+             corr(l_extendedprice, l_tax) FROM lineitem
+      UNION ALL SELECT 'l_discount', 'l_tax',
+             corr(l_discount, l_tax) FROM lineitem
+    )
+    """,
+)
+def corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation of all numeric column pairs in ONE
+    aggregate pass — the six corr() co-moment states accumulate side by
+    side in a single partial-aggregating scan (the oracle's 6-scan
+    UNION is the naive plan this query exists to avoid; at 100 TB one
+    pass vs six is the whole game). Wide→long via stack()."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    li = _t(spark, sf_dir, "lineitem").df
+    wide = li.agg(*[F.corr(a, b).alias(f"{a}__{b}") for a, b in pairs])
+    stack_args = ", ".join(f"'{a}', '{b}', {a}__{b}" for a, b in pairs)
+    long = wide.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, c)")
+    )
+    return long.select("col_a", "col_b", _r(F.col("c"), 4).alias("corr"))
+
+
+@q(
+    "cube_orders",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark, sf_dir):
+    """CUBE grouping sets (beyond-reference OLAP; the rollup twin of
+    `rollup_revenue`): all four (status × priority) grouping
+    combinations in one pass via Spark's Expand — each input row
+    replicates once per grouping set BEFORE the shuffle, and partial
+    aggregation still combines map-side, so the shuffle carries |sets| ×
+    |groups| partial states, not |sets| × |rows|. grouping_id uses the
+    same bitmask convention as DuckDB's GROUPING(a, b)."""
+    o = _t(spark, sf_dir, "orders").df
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid", "n", "revenue_cents",
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #
 # The driver's correctness gate records the FIRST 50 entries of

@@ -1,0 +1,107 @@
+"""Unit tests for operators/timeseries.py — gap filling, OHLC bars.
+
+Synthetic frames pin the semantic edges the catalog queries (which run
+on dense-ish driver data) can't isolate: interior gaps, leading NULLs,
+timestamp ties on bar boundaries, single-row bars.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from hobbes_spark.operators.timeseries import daily_spine, gap_fill_ffill, ohlc
+
+
+def _d(s):
+    return dt.date.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def sparse(spark):
+    rows = [
+        ("a", _d("2024-01-01"), 2, 10.0),
+        ("a", _d("2024-01-04"), 1, 40.0),
+        ("b", _d("2024-01-02"), 3, 7.0),
+    ]
+    return spark.createDataFrame(rows, "k string, d date, n_obs long, v double")
+
+
+def test_daily_spine_is_per_key_dense(spark, sparse):
+    out = {
+        (r["k"], str(r["d"]))
+        for r in daily_spine(sparse, ["k"], "d").collect()
+    }
+    assert out == {
+        ("a", "2024-01-01"), ("a", "2024-01-02"),
+        ("a", "2024-01-03"), ("a", "2024-01-04"),
+        ("b", "2024-01-02"),
+    }
+
+
+def test_gap_fill_carries_value_and_zero_fills_count(spark, sparse):
+    out = gap_fill_ffill(sparse, ["k"], "d", ["v"], count_col="n_obs")
+    got = {(r["k"], str(r["d"])): (r["n_obs"], r["v"]) for r in out.collect()}
+    assert got[("a", "2024-01-01")] == (2, 10.0)
+    assert got[("a", "2024-01-02")] == (0, 10.0)  # filled forward
+    assert got[("a", "2024-01-03")] == (0, 10.0)
+    assert got[("a", "2024-01-04")] == (1, 40.0)  # new observation wins
+    assert got[("b", "2024-01-02")] == (3, 7.0)  # single-day key: spine = 1 row
+
+
+def test_gap_fill_no_cross_key_bleed(spark):
+    # key "b" starts after "a" ends; its first row must NOT inherit a's value
+    rows = [
+        ("a", _d("2024-01-01"), 1, 5.0),
+        ("b", _d("2024-01-03"), 1, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, d date, n_obs long, v double")
+    out = gap_fill_ffill(df, ["k"], "d", ["v"])
+    got = {(r["k"], str(r["d"])): r["v"] for r in out.collect()}
+    assert got == {("a", "2024-01-01"): 5.0, ("b", "2024-01-03"): 9.0}
+
+
+@pytest.fixture(scope="module")
+def ticks(spark):
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        # same-timestamp tie on the open: id 1 < id 2 must win "open"
+        ("x", t0, 1, 100.0),
+        ("x", t0, 2, 101.0),
+        ("x", t0 + dt.timedelta(hours=1), 3, 95.0),
+        ("x", t0 + dt.timedelta(hours=2), 4, 103.0),
+        # next day, single tick: open == close == high == low
+        ("x", t0 + dt.timedelta(days=1), 5, 50.0),
+        ("y", t0, 6, 1.0),
+    ]
+    return spark.createDataFrame(rows, "k string, ts timestamp, id long, v double")
+
+
+def test_ohlc_tie_break_and_extremes(spark, ticks):
+    bars = ohlc(ticks, ["k"], "ts", "id", "v", F.to_date("ts"), "d")
+    got = {
+        (r["k"], str(r["d"])): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in bars.collect()
+    }
+    assert got[("x", "2024-01-01")] == (100.0, 103.0, 95.0, 103.0, 4)
+    assert got[("x", "2024-01-02")] == (50.0, 50.0, 50.0, 50.0, 1)
+    assert got[("y", "2024-01-01")] == (1.0, 1.0, 1.0, 1.0, 1)
+
+
+def test_ohlc_volume_col_override(spark, ticks):
+    with_cents = ticks.withColumn(
+        "cents", F.floor(F.col("v") * 100 + F.lit(0.5)).cast("bigint")
+    )
+    bars = ohlc(
+        with_cents, ["k"], "ts", "id", "v", F.to_date("ts"), "d",
+        volume_col="cents",
+    )
+    got = {(r["k"], str(r["d"])): r["volume"] for r in bars.collect()}
+    assert got[("x", "2024-01-01")] == 39900  # 100+101+95+103 in cents
+
+
+def test_ohlc_is_single_shuffle(spark, ticks):
+    bars = ohlc(ticks, ["k"], "ts", "id", "v", F.to_date("ts"), "d")
+    plan = bars._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan  # pure hash agg, no per-key sort
