@@ -314,3 +314,79 @@ def fingerprint(col: Column | str, hash_fn: str = "md5") -> Column:
     if hash_fn == "md5":
         return F.md5(norm)
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def bm25_topk(
+    df,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 20,
+):
+    """Okapi BM25 ranking of documents against a small query-term set —
+    the retrieval primitive behind "find training docs matching an eval
+    prompt" decontamination sweeps and corpus search.
+
+    Returns the ``top`` documents as ``(id_col, n_terms, score)``,
+    ordered by descending score with ``id_col`` as the deterministic
+    tie-break. ``idf = ln((N - df + 0.5) / (df + 0.5) + 1)`` (the
+    standard non-negative Robertson-Spärck Jones form).
+
+    Plan shape at 100 TB: the explode is immediately filtered to the
+    query terms (a literal IN list, evaluated inside the generator
+    stage), so only matching postings ever shuffle — candidate volume
+    is bounded by documents containing query terms, not corpus size.
+    Per-term document frequencies aggregate to ≤|Q| rows and broadcast
+    back; corpus size and average doc length are a 1-row broadcast
+    cross join; the final top-k is a TakeOrdered (per-partition heads,
+    no global sort)."""
+    terms = [t.lower() for t in query_terms]
+    toks = tokens(F.lower(c(text_col)))
+    postings = (
+        df.select(
+            c(id_col).alias("__id"),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("__id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfs = F.broadcast(
+        postings.groupBy("term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df_t")
+        )
+    )
+    stats = F.broadcast(
+        df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.avg(F.size(toks)).alias("__avgdl"),
+        )
+    )
+    idf = F.log(
+        (F.col("__n") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_part = (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))
+        )
+    )
+    return (
+        postings.join(dfs, "term")
+        .crossJoin(stats)
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum(idf * tf_part).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("__id"))
+        .limit(top)
+        .select(F.col("__id").alias(id_col), "n_terms", "score")
+    )

@@ -116,3 +116,37 @@ def ohlc(
             F.sum(volume_col or value_col).alias("volume"),
         )
     )
+
+
+def change_intervals(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    status_col: str,
+) -> DataFrame:
+    """Collapse a per-key event log into SCD2-style validity intervals:
+    one row per run of consecutive equal ``status_col`` values, with
+    ``effective_from_us`` / ``effective_to_us`` (epoch micros, half-open
+    — ``to`` is the next change's ``from``) and ``is_current`` on the
+    open-ended last run.
+
+    Both windows and the change filter partition on ``keys`` with the
+    same ordering, so the whole build is ONE keyed shuffle + one sort;
+    the filter between the two windows preserves partitioning and
+    ordering, so Spark inserts no second exchange (plan-asserted in
+    tests). Epoch-micros output avoids cross-engine timestamp
+    stringification drift."""
+    w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak_col)
+    changed = (
+        df.withColumn("__prev", F.lag(status_col).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(status_col)))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(ts_col, tiebreak_col)
+    out = changed.withColumn(
+        "effective_from_us", F.unix_micros(F.col(ts_col))
+    ).withColumn(
+        "effective_to_us", F.lead(F.unix_micros(F.col(ts_col))).over(w2)
+    )
+    return out.withColumn("is_current", F.col("effective_to_us").isNull())

@@ -5122,6 +5122,96 @@ def cube_orders(spark, sf_dir):
     )
 
 
+@q(
+    "bm25_topk",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS dl, unnest({_TOKS_SQL}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN ('hash', 'merge', 'window') GROUP BY 1, 2, 3
+    ),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(len({_TOKS_SQL})) AS avgdl
+      FROM documents
+    ),
+    scored AS (
+      SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             SUM(ln((s.n - d.df_t + 0.5) / (d.df_t + 0.5) + 1.0)
+                 * tf.tf * (1.2 + 1.0)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)))
+               AS score
+      FROM tf JOIN dfs d USING (term) CROSS JOIN stats s GROUP BY 1
+    )
+    SELECT doc_id, n_terms, {_rsql('score', 4)} AS score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_topk_query(spark, sf_dir):
+    """Okapi BM25 top-20 retrieval for a 3-term query over the corpus —
+    the search primitive behind prompt-decontamination sweeps
+    (functions/text.bm25_topk). Postings are filtered to the query terms
+    inside the explode stage, per-term document frequencies broadcast,
+    and the top-k is a TakeOrdered — no global sort, no vocabulary
+    table."""
+    from hobbes_spark.functions.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").df
+    out = bm25_topk(docs, ["hash", "merge", "window"], top=20)
+    return out.select("doc_id", "n_terms", _r(F.col("score"), 4).alias("score"))
+
+
+@q(
+    "scd2_intervals",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type AS status, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    m AS (
+      SELECT *, lag(status) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS prev
+      FROM e
+    ),
+    ch AS (
+      SELECT user_id, event_id, status, ts FROM m
+      WHERE prev IS NULL OR prev <> status
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, status,
+           epoch_us(ts) AS effective_from_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS effective_to_us,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) IS NULL
+             AS is_current
+    FROM ch
+    """,
+)
+def scd2_intervals(spark, sf_dir):
+    """SCD2 snapshot build: collapse each user's event log into validity
+    intervals, one row per run of consecutive equal statuses
+    (effective_from/to in epoch micros, half-open; is_current marks the
+    open-ended last run). The change filter sits between two windows on
+    the SAME key+ordering, so the whole build is one keyed shuffle —
+    plan-asserted (operators/timeseries.change_intervals)."""
+    from hobbes_spark.operators.timeseries import change_intervals
+
+    # events.ts arrives TIMESTAMP_NTZ from the nanos-parquet fix; cast to
+    # instant under the session's pinned UTC so epoch micros match the
+    # oracle's naive-as-UTC epoch_us.
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", "event_id", F.col("event_type").alias("status"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    out = change_intervals(ev, ["user_id"], "ts", "event_id", "status")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "status", "effective_from_us", "effective_to_us", "is_current",
+    )
+
+
 # --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #

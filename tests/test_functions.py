@@ -965,3 +965,54 @@ def test_profile_approx_has_no_expand(spark, sf_dir):
     )
     assert "Expand" not in plan
     assert "partial_approx_count_distinct" in plan
+
+
+# ------------------------- BM25 retrieval --------------------------- #
+
+def test_bm25_matches_brute_force(spark):
+    import math
+    from hobbes_spark.functions.text import bm25_topk
+
+    corpus = [
+        (1, "hash join hash probe build"),
+        (2, "merge sort merge run"),
+        (3, "window frame window window slide"),
+        (4, "scan filter project"),          # no query terms
+        (5, "hash merge window"),            # all three, short doc
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_terms"], r["score"])
+           for r in bm25_topk(df, ["hash", "merge", "window"], top=10).collect()}
+
+    # brute-force reference
+    docs = {i: t.split() for i, t in corpus}
+    N, avgdl = len(docs), sum(len(t) for t in docs.values()) / len(docs)
+    dfreq = {q: sum(1 for t in docs.values() if q in t)
+             for q in ["hash", "merge", "window"]}
+    k1, b = 1.2, 0.75
+    for i, toks in docs.items():
+        terms = [q for q in dfreq if q in toks]
+        if not terms:
+            assert i not in got  # doc 4 never enters the posting list
+            continue
+        exp = sum(
+            math.log((N - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1.0)
+            * toks.count(q) * (k1 + 1)
+            / (toks.count(q) + k1 * (1 - b + b * len(toks) / avgdl))
+            for q in terms
+        )
+        n, s = got[i]
+        assert n == len(terms)
+        assert abs(s - exp) < 1e-9, (i, s, exp)
+
+
+def test_bm25_df_broadcast_no_global_sort(spark):
+    from hobbes_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "hash merge") for i in range(100)], "doc_id long, text string"
+    )
+    out = bm25_topk(df, ["hash", "merge"], top=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan          # df_t + corpus stats
+    assert "TakeOrderedAndProject" in plan      # top-k, not a full Sort

@@ -105,3 +105,43 @@ def test_ohlc_is_single_shuffle(spark, ticks):
     plan = bars._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" not in plan  # pure hash agg, no per-key sort
+
+
+def test_change_intervals_semantics_and_single_shuffle(spark):
+    from hobbes_spark.operators.timeseries import change_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: A A B A  -> intervals A, B, A (middle repeat collapses)
+        (1, 1, "A", t0),
+        (1, 2, "A", t0 + dt.timedelta(minutes=1)),
+        (1, 3, "B", t0 + dt.timedelta(minutes=2)),
+        (1, 4, "A", t0 + dt.timedelta(minutes=3)),
+        # u2: single event -> one open-ended current interval
+        (2, 5, "Z", t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, status string, ts timestamp")
+    out = change_intervals(df, ["user_id"], "ts", "event_id", "status")
+    got = sorted(
+        (r["user_id"], r["status"], r["effective_to_us"] is None, r["is_current"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, "A", False, False),
+        (1, "A", True, True),
+        (1, "B", False, False),
+        (2, "Z", True, True),
+    ]
+    # half-open continuity: each close equals the next open
+    ivs = sorted(
+        ((r["effective_from_us"], r["effective_to_us"]) for r in out.collect()
+         if r["user_id"] == 1)
+    )
+    for (f1, t1), (f2, _) in zip(ivs, ivs[1:]):
+        assert t1 == f2
+    # fresh (uncollected) frame: an executed AQE plan stringifies both
+    # Final and Initial plans, double-counting the one real exchange
+    fresh = change_intervals(df, ["user_id"], "ts", "event_id", "status")
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") == 1  # both windows share one keyed sort
