@@ -303,3 +303,113 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30, max_frames: int = 8) 
         "media_id",
         F.posexplode(idx).alias("frame_pos", "frame_index"),
     )
+
+
+def ahash_images(media: DataFrame, n_pixels: int = 64) -> DataFrame:
+    """Perceptual average-hash (aHash) per media item: decode to an 8×8
+    grayscale thumbnail, threshold each pixel against the thumbnail
+    mean, pack the 64 bits into one signed BIGINT.
+
+    The decode step is the STUB (no codecs in this container): the
+    payload's first ``n_pixels`` bytes stand in for the decoded
+    grayscale thumbnail a real pipeline would produce via
+    PIL→resize(8,8)→convert("L"). Everything after the decode — mean
+    threshold, bit packing, the banded Hamming join downstream — is the
+    real aHash algorithm, and crosses the Arrow ``mapInPandas`` channel
+    exactly as production would.
+
+    Returns ``(media_id, phash, n_bytes)``; items shorter than
+    ``n_pixels`` bytes yield NULL phash (undecodable)."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b) -> int | None:
+            if b is None or len(b) < n_pixels:
+                return None
+            px = list(b[:n_pixels])
+            # real aHash: mean threshold then MSB-first bit packing
+            mean = sum(px) / float(n_pixels)
+            bits = 0
+            for i, p in enumerate(px):
+                if p > mean:
+                    bits |= 1 << i
+            # wrap to signed 64-bit so the value fits LongType
+            if bits >= 1 << 63:
+                bits -= 1 << 64
+            return bits
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(
+                        [one(b) for b in pdf["content"]], dtype="Int64"
+                    ),
+                    "n_bytes": pdf["content"].map(
+                        lambda b: 0 if b is None else len(b)
+                    ),
+                }
+            )
+
+    return media.mapInPandas(hash_batch, schema="media_id long, phash long, n_bytes long")
+
+
+def phash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 8,
+    bands: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming join on 64-bit
+    perceptual hashes: split each hash into ``bands`` equal bit-slices,
+    self-equi-join on (band, slice) — a pair is a candidate iff at least
+    one slice is untouched (any pair within ``64/bands - 1`` flipped
+    bits per the pigeonhole argument is guaranteed caught) — then filter
+    candidates by exact ``bit_count(xor)``.
+
+    100 TB shape: candidates come from an equi-join on short keys,
+    never an all-pairs comparison; duplicate catches across bands
+    dedupe in the same shuffle as the pair key. Arithmetic-vs-logical
+    shift is immaterial: ``(x >> k) & mask`` is shift-invariant for the
+    sliced bits, so signed hashes band identically everywhere."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = F.col(hash_col)
+    banded = hashes.filter(h.isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        h.alias("__h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(h, b * width).bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "__h", "bk.band", "bk.band_key")
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__h").alias("ha"),
+            F.col("b.__h").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(ha ^ hb)").cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

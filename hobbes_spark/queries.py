@@ -5212,6 +5212,87 @@ def scd2_intervals(spark, sf_dir):
     )
 
 
+@q(
+    "media_phash_pairs",
+    """
+    WITH px AS (
+      SELECT doc_id,
+        list_transform(range(64), j -> CASE
+          WHEN (doc_id // 50) > 0 AND (j = (doc_id // 50) % 64
+               OR j = ((doc_id // 50) * 7) % 64
+               OR j = ((doc_id // 50) * 13) % 64)
+          THEN ((doc_id % 50) * 37 + j * 11 + 96) % 256
+          ELSE ((doc_id % 50) * 37 + j * 11) % 256 END) AS px
+      FROM documents
+    ),
+    m AS (SELECT doc_id, px, list_sum(px) / 64.0 AS mean FROM px),
+    sl AS (
+      SELECT doc_id,
+        list_transform(range(4), bd ->
+          CAST(list_sum(list_transform(range(16), i ->
+            CASE WHEN px[bd * 16 + i + 1] > mean THEN (1 << i) ELSE 0 END))
+          AS BIGINT)) AS slices
+      FROM m
+    ),
+    banded AS (
+      SELECT doc_id, slices, bd.b AS band, slices[bd.b + 1] AS band_key
+      FROM sl CROSS JOIN (SELECT unnest(range(4)) AS b) bd
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+             a.slices AS sa, bb.slices AS sb
+      FROM banded a JOIN banded bb
+        ON a.band = bb.band AND a.band_key = bb.band_key
+       AND a.doc_id < bb.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b,
+        CAST(bit_count(xor(sa[1], sb[1])) + bit_count(xor(sa[2], sb[2]))
+           + bit_count(xor(sa[3], sb[3])) + bit_count(xor(sa[4], sb[4]))
+          AS INT) AS hamming
+      FROM cand
+    ) WHERE hamming <= 8
+    """,
+)
+def media_phash_pairs(spark, sf_dir):
+    """Image near-duplicate pairs by perceptual hash: synthesize an 8×8
+    grayscale thumbnail per document (50 base patterns; higher doc_ids
+    perturb 3 pixels — planted near-dups), aHash it through the Arrow
+    mapInPandas channel (mean-threshold + bit packing — the real
+    algorithm; only the codec decode is the documented stub), then a
+    banded Hamming self-join: 4×16-bit slices as equi-join keys, exact
+    bit_count(xor) ≤ 8 filter on candidates. Candidates come from an
+    equi-join on slice keys, never all-pairs (pigeonhole: any pair
+    within 3 flipped bits per band is guaranteed a candidate). The
+    oracle replays pixels → bits → slices → banding in pure SQL — the
+    whole path is hash-signed INCLUDING the Python kernel, because the
+    thumbnail math is deterministic arithmetic on doc_id."""
+    from hobbes_spark.functions.multimodal import ahash_images, phash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents").df
+    g = F.col("doc_id") % 50
+    v = F.expr("doc_id div 50")
+    # build the 64-byte fake thumbnail as hex → unhex (pure expressions)
+    parts = []
+    for j in range(64):
+        base = (g * 37 + j * 11) % 256
+        pert = (g * 37 + j * 11 + 96) % 256
+        cond = (v > 0) & (
+            (v % 64 == j) | ((v * 7) % 64 == j) | ((v * 13) % 64 == j)
+        )
+        parts.append(F.lpad(F.hex(F.when(cond, pert).otherwise(base)), 2, "0"))
+    content = F.unhex(F.concat(*parts))
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"), content.alias("content")
+    )
+    hashes = ahash_images(media)
+    return phash_near_pairs(hashes, max_hamming=8).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "hamming",
+    )
+
+
 # --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #

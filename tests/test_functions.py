@@ -1016,3 +1016,58 @@ def test_bm25_df_broadcast_no_global_sort(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan          # df_t + corpus stats
     assert "TakeOrderedAndProject" in plan      # top-k, not a full Sort
+
+
+# -------------------- perceptual-hash image dedup ------------------- #
+
+def _ahash_py(pixels):
+    mean = sum(pixels) / float(len(pixels))
+    bits = 0
+    for i, p in enumerate(pixels):
+        if p > mean:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def test_ahash_known_vector_and_null_rules(spark):
+    from hobbes_spark.functions.multimodal import ahash_images
+
+    px_a = bytes((i * 4) % 256 for i in range(64))
+    px_b = bytes([0] * 63 + [255])  # one bright pixel: only bit 63 set
+    rows = [(1, px_a), (2, px_b), (3, b"short"), (4, None)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r["phash"] for r in ahash_images(df).collect()}
+    assert got[1] == _ahash_py(list(px_a))
+    assert got[2] == _ahash_py(list(px_b))
+    assert got[2] < 0  # bit 63 wraps to the sign bit of the signed long
+    assert got[3] is None and got[4] is None  # undecodable → NULL
+
+
+def test_phash_near_pairs_pigeonhole_and_threshold(spark):
+    from hobbes_spark.functions.multimodal import phash_near_pairs
+
+    base = _ahash_py(list(bytes((i * 4) % 256 for i in range(64))))
+    flip3 = base ^ 0b10110  # 3 bits in band 0 only
+    spread = base ^ ((1 << 1) | (1 << 17) | (1 << 33) | (1 << 49))  # 1/band
+    far = base ^ ((1 << 16) - 1) ^ (0xFF << 16)  # 24 bits flipped
+    rows = [(1, base), (2, flip3), (3, spread), (4, far)]
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in phash_near_pairs(df, max_hamming=8).collect()}
+    assert got[(1, 2)] == 3       # bands 1-3 untouched → guaranteed caught
+    # 2 vs 3 (hamming 5) and 1 vs 3 (hamming 4) touch ALL four bands, so
+    # the banded join legitimately misses them — the recall contract is
+    # pigeonhole-exact only below 4 flips (bands=4), approximate above
+    assert (2, 3) not in got
+    assert (1, 3) not in got
+    assert all(p != (1, 4) for p in got)  # hamming 24 > threshold
+
+
+def test_phash_pairs_no_cartesian(spark):
+    from hobbes_spark.functions.multimodal import phash_near_pairs
+
+    df = spark.createDataFrame(
+        [(i, i * 7919) for i in range(50)], "media_id long, phash long"
+    )
+    plan = phash_near_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
