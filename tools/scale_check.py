@@ -382,6 +382,75 @@ def main():
         }
     )
 
+    def gap_fill(ev):
+        from hobbes_spark.operators.timeseries import gap_fill_ffill
+
+        ev = fix_ts(ev)
+        obs = (
+            ev.filter(F.col("value") > 300)
+            .withColumn("d", F.to_date("ts"))
+            .groupBy("user_id", "d")
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("m"))
+        )
+        return gap_fill_ffill(obs, ["user_id"], "d", ["m"], count_col="n")
+
+    def ohlc_bars_shape(ev):
+        from hobbes_spark.operators.timeseries import ohlc
+
+        ev = fix_ts(ev).withColumn(
+            "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        return ohlc(ev, ["event_type", "user_id"], "ts", "event_id", "value",
+                    F.to_date("ts"), "d", volume_col="cents")
+
+    def scd2(ev):
+        from hobbes_spark.operators.timeseries import change_intervals
+
+        ev = fix_ts(ev).select(
+            "user_id", "event_id", F.col("event_type").alias("status"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+        return change_intervals(ev, ["user_id"], "ts", "event_id", "status")
+
+    def bm25(do):
+        from hobbes_spark.functions.text import bm25_topk
+
+        return bm25_topk(do, ["hash", "merge", "window"], top=20)
+
+    def phash_pairs(do):
+        # operating rule mirrors LSH: duplicate-GROUP SIZE must stay
+        # bounded as the corpus grows (pair listing over m-fold groups
+        # is Θ(m²) by definition); group count scales with the corpus
+        from hobbes_spark.functions.multimodal import ahash_images, phash_near_pairs
+
+        n_docs = do.count()
+        groups = max(50, n_docs // 10)
+        g = F.col("doc_id") % groups
+        v = F.expr(f"doc_id div {groups}")
+        parts = []
+        for j in range(64):
+            base = (g * 37 + j * 11) % 256
+            pert = (g * 37 + j * 11 + 96) % 256
+            cond = (v > 0) & (
+                (v % 64 == j) | ((v * 7) % 64 == j) | ((v * 13) % 64 == j)
+            )
+            parts.append(F.lpad(F.hex(F.when(cond, pert).otherwise(base)), 2, "0"))
+        media = do.select(
+            F.col("doc_id").cast("long").alias("media_id"),
+            F.unhex(F.concat(*parts)).alias("content"),
+        )
+        return phash_near_pairs(ahash_images(media), max_hamming=8)
+
+    cases.update(
+        {
+            "gap_fill_ffill": (gap_fill, ev1, evN),
+            "ohlc_bars": (ohlc_bars_shape, ev1, evN),
+            "scd2_intervals": (scd2, ev1, evN),
+            "bm25_topk": (bm25, do1, doN),
+            "media_phash_pairs": (phash_pairs, do1, doN),
+        }
+    )
+
     def run(df):
         df.write.format("noop").mode("overwrite").save()
 
