@@ -21,7 +21,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -359,6 +359,7 @@ def phash_near_pairs(
     bands: int = 4,
     id_col: str = "media_id",
     hash_col: str = "phash",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs by banded Hamming join on 64-bit
     perceptual hashes: split each hash into ``bands`` equal bit-slices,
@@ -371,7 +372,15 @@ def phash_near_pairs(
     never an all-pairs comparison; duplicate catches across bands
     dedupe in the same shuffle as the pair key. Arithmetic-vs-logical
     shift is immaterial: ``(x >> k) & mask`` is shift-invariant for the
-    sliced bits, so signed hashes band identically everywhere."""
+    sliced bits, so signed hashes band identically everywhere.
+
+    ``max_bucket`` is the skew guard for real image corpora, where
+    degenerate content (blank frames, solid fills) funnels into a few
+    giant slice buckets whose candidate cost is Θ(bucket²): buckets
+    larger than the cap are dropped from CANDIDATE GENERATION (pairs in
+    an overfull bucket are only found via their other, unskewed bands —
+    the standard LSH bucket-cap recall tradeoff, documented not
+    silent). Leave None to enumerate everything."""
     width = 64 // bands
     mask = (1 << width) - 1
     h = F.col(hash_col)
@@ -391,6 +400,13 @@ def phash_near_pairs(
             )
         ).alias("bk"),
     ).select("__id", "__h", "bk.band", "bk.band_key")
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_key")
+        banded = (
+            banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -56,3 +56,38 @@ def profile_columns(
     return agg.select(F.explode("__p").alias("p"), "n_rows").select(
         "p.col_name", "n_rows", "p.n_nulls", "p.n_distinct"
     )
+
+
+def winsorize(
+    df,
+    keys: list[str],
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+):
+    """Per-group winsorization: clamp ``value_col`` into each group's
+    [P(lo), P(hi)] percentile band — the robust-normalization step that
+    keeps a handful of pathological values (run-away quality scores,
+    corrupt telemetry) from dominating downstream training signals.
+
+    Adds ``p_lo``, ``p_hi``, ``clipped`` (the clamped value) and
+    ``was_clipped``. Exact interpolated percentiles (``F.percentile``)
+    match DuckDB's ``percentile_cont``; at 100 TB switch the percentile
+    call to ``approx_percentile`` — same plan shape, mergeable sketch
+    state instead of a per-group sort.
+
+    Plan shape: ONE grouped aggregate produces a |groups|-row bounds
+    table that broadcasts back onto the fact — the fact table is read
+    once and never shuffles (plan-asserted in tests)."""
+    bounds = F.broadcast(
+        df.groupBy(*keys).agg(
+            F.percentile(F.col(value_col), F.lit(lo)).alias("p_lo"),
+            F.percentile(F.col(value_col), F.lit(hi)).alias("p_hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi"))
+    return (
+        df.join(bounds, keys)
+        .withColumn("clipped", clipped)
+        .withColumn("was_clipped", F.col("clipped") != F.col(value_col))
+    )

@@ -390,3 +390,54 @@ def bm25_topk(
         .limit(top)
         .select(F.col("__id").alias(id_col), "n_terms", "score")
     )
+
+
+def vocabulary_overlap(
+    df,
+    group_col: str = "source",
+    text_col: str = "text",
+):
+    """Pairwise vocabulary Jaccard between corpus groups (sources,
+    shards, crawls): which slices of a training mix duplicate each
+    other's token space — the cheap corpus-level cousin of document
+    near-dup, used to spot redundant sources before paying for
+    doc-level dedup.
+
+    Returns one row per unordered group pair: ``(src_a, src_b,
+    n_common, n_a, n_b, jaccard)``.
+
+    100 TB shape: the corpus collapses to its distinct (group, term)
+    vocabulary first — one term-keyed shuffle whose output is bounded
+    by vocabulary size, not corpus size. The pair join is a self-join
+    ON TERM of that vocabulary (per-term fan-out bounded by
+    |groups|², independent of corpus size), and per-group vocabulary
+    sizes are a |groups|-row broadcast."""
+    vocab = (
+        df.select(
+            F.col(group_col).alias("src"),
+            F.explode(tokens(F.lower(c(text_col)))).alias("term"),
+        )
+        .distinct()
+    )
+    sizes = F.broadcast(
+        vocab.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("src", "src_a")
+                   .withColumnRenamed("n", "n_a"), "src_a")
+        .join(sizes.withColumnRenamed("src", "src_b")
+              .withColumnRenamed("n", "n_b"), "src_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .select("src_a", "src_b", "n_common", "n_a", "n_b", "jaccard")
+    )

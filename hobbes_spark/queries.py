@@ -5293,6 +5293,74 @@ def media_phash_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "source_overlap",
+    rf"""
+    WITH vocab AS (
+      SELECT DISTINCT source AS src, t.term
+      FROM documents, unnest({_TOKS_SQL}) AS t(term)
+    ),
+    sizes AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM vocab GROUP BY 1),
+    inter AS (
+      SELECT a.src AS src_a, b.src AS src_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM vocab a JOIN vocab b ON a.term = b.term AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+           {_rsql("n_common / CAST(sa.n + sb.n - n_common AS DOUBLE)", 4)}
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.src = inter.src_a
+    JOIN sizes sb ON sb.src = inter.src_b
+    """,
+)
+def source_overlap(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between document sources — corpus
+    diagnostics for a training mix (which slices duplicate each other's
+    token space). The corpus collapses to its distinct (source, term)
+    vocabulary first; the pair join fans out per TERM bounded by
+    |sources|², never corpus size (functions/text.vocabulary_overlap)."""
+    from hobbes_spark.functions.text import vocabulary_overlap
+
+    docs = _t(spark, sf_dir, "documents").df
+    out = vocabulary_overlap(docs, "source", "text")
+    return out.select(
+        "src_a", "src_b", "n_common", "n_a", "n_b",
+        _r(F.col("jaccard"), 4).alias("jaccard"),
+    )
+
+
+@q(
+    "winsorize_values",
+    """
+    WITH b AS (
+      SELECT event_type,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p_lo,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p_hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           LEAST(GREATEST(e.value, b.p_lo), b.p_hi) AS clipped,
+           (LEAST(GREATEST(e.value, b.p_lo), b.p_hi) <> e.value) AS was_clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def winsorize_values(spark, sf_dir):
+    """Per-group winsorization: clamp event values into each type's
+    [P5, P95] band — robust normalization before a value feeds training
+    signals. The |groups|-row bounds table broadcasts back onto the
+    fact, which is read once and never shuffles
+    (functions/profile.winsorize; approx_percentile is the 100 TB
+    switch, same plan shape). Clipped output needs no rounding: every
+    value is byte-identical to the raw value or to the interpolated
+    percentile both engines compute identically."""
+    from hobbes_spark.functions.profile import winsorize
+
+    ev = _t(spark, sf_dir, "events").df.select("event_id", "event_type", "value")
+    out = winsorize(ev, ["event_type"], "value", 0.05, 0.95)
+    return out.select("event_id", "event_type", "clipped", "was_clipped")
+
+
 # --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #

@@ -1071,3 +1071,56 @@ def test_phash_pairs_no_cartesian(spark):
     )
     plan = phash_near_pairs(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_phash_bucket_cap_drops_skewed_bucket_only(spark):
+    from hobbes_spark.functions.multimodal import phash_near_pairs
+
+    # 6 identical hashes (one giant bucket per band) + 2 near twins
+    rows = [(i, 0) for i in range(1, 7)] + [(10, 1 << 40), (11, (1 << 40) | 2)]
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    uncapped = phash_near_pairs(df, max_hamming=8)
+    capped = phash_near_pairs(df, max_hamming=8, max_bucket=4)
+    got_un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    got_cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (10, 11) in got_un and (10, 11) in got_cap  # small bucket survives
+    assert sum(1 for a, b in got_un if a < 7 and b < 7) == 15  # all 6C2
+    # the cap drops the 6-wide bucket from candidate generation entirely
+    # (all four of its bands are equally overfull)
+    assert not any(a < 7 and b < 7 for a, b in got_cap)
+
+
+def test_winsorize_bounds_and_broadcast(spark):
+    from hobbes_spark.functions.profile import winsorize
+
+    rows = [("a", i, float(i)) for i in range(1, 101)] + [("b", 200, 7.0)]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    out = winsorize(df, ["k"], "v", 0.05, 0.95)
+    got = {r["id"]: r for r in out.collect()}
+    # group a: P5 of 1..100 (interpolated) = 5.95, P95 = 95.05
+    assert got[1]["clipped"] == pytest.approx(5.95)
+    assert got[1]["was_clipped"] is True
+    assert got[50]["clipped"] == 50.0 and got[50]["was_clipped"] is False
+    assert got[100]["clipped"] == pytest.approx(95.05)
+    # single-value group: bounds collapse to the value, nothing clips
+    assert got[200]["clipped"] == 7.0 and got[200]["was_clipped"] is False
+    plan = winsorize(df, ["k"], "v")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocabulary_overlap_counts(spark):
+    from hobbes_spark.functions.text import vocabulary_overlap
+
+    rows = [
+        ("s1", "alpha beta gamma"),
+        ("s1", "beta delta"),          # s1 vocab: alpha beta gamma delta
+        ("s2", "beta gamma epsilon"),  # s2 vocab: beta gamma epsilon
+        ("s3", "zeta"),                # disjoint
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {(r["src_a"], r["src_b"]): r for r in
+           vocabulary_overlap(df, "source", "text").collect()}
+    r12 = got[("s1", "s2")]
+    assert (r12["n_common"], r12["n_a"], r12["n_b"]) == (2, 4, 3)
+    assert r12["jaccard"] == pytest.approx(2 / 5)
+    assert ("s1", "s3") not in got  # no shared term -> no row (jaccard 0)

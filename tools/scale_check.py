@@ -418,9 +418,13 @@ def main():
         return bm25_topk(do, ["hash", "merge", "window"], top=20)
 
     def phash_pairs(do):
-        # operating rule mirrors LSH: duplicate-GROUP SIZE must stay
+        # operating rules mirror LSH: duplicate-GROUP SIZE must stay
         # bounded as the corpus grows (pair listing over m-fold groups
-        # is Θ(m²) by definition); group count scales with the corpus
+        # is Θ(m²) by definition), and base images must be DISTINCT —
+        # xxhash pixels, not the catalog query's affine toy pattern,
+        # whose pixel ramp is periodic in g mod 256 and so collapses
+        # 8000 groups onto ≤256 images (measured 18× at 16×: that is
+        # quadratic pair OUTPUT from degenerate data, not plan cost)
         from hobbes_spark.functions.multimodal import ahash_images, phash_near_pairs
 
         n_docs = do.count()
@@ -429,8 +433,8 @@ def main():
         v = F.expr(f"doc_id div {groups}")
         parts = []
         for j in range(64):
-            base = (g * 37 + j * 11) % 256
-            pert = (g * 37 + j * 11 + 96) % 256
+            base = F.pmod(F.xxhash64(g, F.lit(j)), F.lit(256))
+            pert = F.pmod(F.xxhash64(g, F.lit(j)) + 96, F.lit(256))
             cond = (v > 0) & (
                 (v % 64 == j) | ((v * 7) % 64 == j) | ((v * 13) % 64 == j)
             )
