@@ -86,8 +86,15 @@ def read_parquet_any_ts(spark: SparkSession, path: str) -> DataFrame:
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for colname in nanos:
-        df = df.withColumn(colname, F.expr(f"timestamp_micros(`{colname}` div 1000)"))
+        # INT96 columns also footer-sniff as timestamp[ns] via pyarrow,
+        # but Spark loads them as TIMESTAMP directly — only truncate the
+        # columns that actually arrived as raw nanosecond longs
+        if dtypes.get(colname) == "bigint":
+            df = df.withColumn(
+                colname, F.expr(f"timestamp_micros(`{colname}` div 1000)")
+            )
     return df
 
 

@@ -5361,6 +5361,207 @@ def winsorize_values(spark, sf_dir):
     return out.select("event_id", "event_type", "clipped", "was_clipped")
 
 
+@q(
+    "validate_orders",
+    """
+    WITH a AS (
+      SELECT
+        CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS v_nn,
+        CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_uq,
+        CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                       AND (o_totalprice < 0.01 OR o_totalprice > 1000000)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+        CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('F', 'O', 'P')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_acc,
+        CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                       AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_re
+      FROM orders
+    )
+    SELECT 'not_null(o_orderkey)' AS check, v_nn AS n_violations, v_nn = 0 AS passed FROM a
+    UNION ALL SELECT 'unique(o_orderkey)', v_uq, v_uq = 0 FROM a
+    UNION ALL SELECT 'in_range(o_totalprice,0.01,1000000)', v_rng, v_rng = 0 FROM a
+    UNION ALL SELECT 'accepted_values(o_orderstatus,[F,O,P])', v_acc, v_acc = 0 FROM a
+    UNION ALL SELECT 'matches(o_orderpriority,^[1-5]-)', v_re, v_re = 0 FROM a
+    """,
+)
+def validate_orders(spark, sf_dir):
+    """Declarative data-quality gate (Deequ-shaped): five constraints on
+    the orders table — null/unique/range/enum/regex — evaluated in ONE
+    aggregate pass with map-side partials (functions/validate.py); the
+    oracle's 5-way UNION over one CTE is the same single scan. The
+    long-form report (check, n_violations, passed) is itself
+    pipeline-consumable: filter NOT passed → block the publish."""
+    from hobbes_spark.functions import validate as V
+
+    o = _t(spark, sf_dir, "orders").df
+    return V.validate(
+        o,
+        [
+            V.not_null("o_orderkey"),
+            V.unique("o_orderkey"),
+            V.in_range("o_totalprice", 0.01, 1000000),
+            V.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            V.matches("o_orderpriority", "^[1-5]-"),
+        ],
+    )
+
+
+@q(
+    "concurrency_peak",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess,
+             ts
+      FROM m
+    ),
+    iv AS (
+      SELECT user_id, sess, MIN(ts) AS t0, MAX(ts) AS t1
+      FROM s GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT CAST(t0 AS DATE) AS day, t0 AS ts, 1 AS delta FROM iv
+      UNION ALL
+      SELECT CAST(t0 AS DATE) AS day, t1 AS ts, -1 AS delta FROM iv
+    ),
+    run AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM bounds
+    )
+    SELECT CAST(day AS VARCHAR) AS day, CAST(MAX(conc) AS BIGINT) AS peak
+    FROM run GROUP BY 1
+    """,
+)
+def concurrency_peak(spark, sf_dir):
+    """Peak simultaneous sessions per day (sweep line): sessionize each
+    user's events (30-min gap), emit +1/−1 boundary events at session
+    start/end, running-sum per day, take the max. Both boundaries are
+    attributed to the session's START day, which keeps the sweep a
+    KEYED window (partition by day) — a global sweep would funnel into
+    one task. Sessions are CLOSED intervals (both endpoints are real
+    events), so at equal timestamps the +1 sorts first: a single-event
+    session still counts 1 at its instant, and one user's session
+    ending exactly as another's starts correctly overlaps. Same-user
+    back-to-back sessions can never tie (the 30-min gap separates
+    them). Three shuffles total: user sessionization, day re-key, day
+    rollup."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+           >= 1800 * 1000000),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("brk", brk)
+        .withColumn(
+            "sess",
+            F.sum("brk").over(
+                Window.partitionBy("user_id").orderBy("ts")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sess")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    bounds = sess.select(
+        F.to_date("t0").alias("day"), F.col("t0").alias("ts"),
+        F.lit(1).alias("delta"),
+    ).unionByName(
+        sess.select(
+            F.to_date("t0").alias("day"), F.col("t1").alias("ts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    wd = (
+        Window.partitionBy("day").orderBy("ts", F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = bounds.withColumn("conc", F.sum("delta").over(wd))
+    return (
+        run.groupBy("day")
+        .agg(F.max("conc").cast("bigint").alias("peak"))
+        .select(F.col("day").cast("string").alias("day"), "peak")
+    )
+
+
+@q(
+    "stream_ohlc_bars",
+    """
+    WITH w AS (
+      SELECT event_type,
+             make_timestamp(CAST(FLOOR(epoch(ts) / 86400) * 86400 * 1000000
+                                 AS BIGINT)) AS win_start,
+             value,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rz
+      FROM events
+    )
+    SELECT event_type, win_start,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rz = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS volume_cents
+    FROM w GROUP BY 1, 2
+    """,
+)
+def stream_ohlc_bars(spark, sf_dir):
+    """Streaming twin of `ohlc_bars`: the SAME min_by/max_by single-pass
+    aggregate, incremental over event-time tumbling day windows —
+    declarative aggregates keep mergeable partial state, so the rollup
+    that compresses a tick firehose into bars needs no custom stateful
+    operator. Replayed via availableNow and compared to the batch SQL
+    twin (the batch/stream parity family: tumbling/sliding/session)."""
+    from hobbes_spark.streaming import stream_events, tumbling_agg
+    from hobbes_spark.streaming.run import replay_to_df
+
+    stream = stream_events(spark, f"{sf_dir}/events.parquet").withColumn(
+        "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    )
+    tie = F.struct(F.col("ts"), F.col("event_id"))
+    aggs = [
+        F.min_by(F.col("value"), tie).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by(F.col("value"), tie).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").alias("volume_cents"),
+    ]
+    agg = tumbling_agg(
+        stream, duration="1 day", keys=("event_type",), aggs=aggs, watermark=None
+    )
+    out = replay_to_df(agg, spark, mode="complete")
+    return out.select(
+        "event_type", "win_start", "open", "high", "low", "close",
+        "n", "volume_cents",
+    )
+
+
 # --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #

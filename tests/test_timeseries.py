@@ -145,3 +145,39 @@ def test_change_intervals_semantics_and_single_shuffle(spark):
     plan = fresh._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort ") == 1  # both windows share one keyed sort
+
+
+def test_concurrency_peak_sweep_counts_overlap(spark):
+    """Three users with overlapping sessions on one day: peak must see
+    the 3-way overlap; a lone single-event (zero-length) session still
+    counts 1 (closed intervals: the +1 sorts first at equal ts)."""
+    from hobbes_spark.queries import QUERIES
+    import os
+    import tempfile
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows, eid = [], 0
+
+    def ev(u, minutes):
+        nonlocal eid
+        eid += 1
+        return (eid, u, t0 + dt.timedelta(minutes=minutes), "click", 1.0, "{}")
+
+    # sessions need < 30-min event gaps to stay single sessions:
+    # u1: 10:00-10:40 (events every 20 min) ; u2: 10:20-10:45 ;
+    # u3: 10:30-10:35 → three sessions all live at 10:30
+    # u4: two sessions 10:00-10:05 and 11:00-11:01 (60-min gap splits)
+    rows += [ev(1, 0), ev(1, 20), ev(1, 40), ev(2, 20), ev(2, 45),
+             ev(3, 30), ev(3, 35)]
+    rows += [ev(4, 0), ev(4, 5), ev(4, 60), ev(4, 61)]
+    # next day: a lone single-event session must still register peak 1
+    rows += [ev(5, 24 * 60)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, "
+              "value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["day"]: r["peak"]
+               for r in QUERIES["concurrency_peak"].spark(spark, d).collect()}
+    assert out == {"2024-03-01": 3, "2024-03-02": 1}  # 3-way at 10:30
