@@ -415,3 +415,36 @@ def test_no_cartesian_in_any_query(spark, sf_dir, name):
         pytest.skip("documented brute-force baseline")
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
+
+
+def test_q2_q11_partsupp_shapes(spark, sf_dir):
+    """TPC-H Q2/Q11: decorrelated MIN and scalar-total HAVING — the
+    supplier-side dims and the 1-row total broadcast; no cartesian
+    beyond the sanctioned 1-row scalar joins."""
+    for name in ("tpch_q2_mincost", "tpch_q11_stockvalue"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("BroadcastHashJoin") >= 1, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q16_anti_join_and_distinct_agg(spark, sf_dir):
+    """TPC-H Q16: the NOT IN exclusion list compiles to a broadcast
+    LeftAnti, and the distinct supplier count stays a partial-capable
+    hash aggregate (a single distinct agg needs no Expand — the key
+    folds into the grouping of the first phase)."""
+    plan = plan_of(spark, sf_dir, "tpch_q16_suppcnt")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "count(distinct" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final phases
+
+
+def test_q20_semi_shape_no_second_fact_scan(spark, sf_dir):
+    """TPC-H Q20: lineitem is scanned once (the shipped aggregate) with
+    the date range pushed to the scan; red parts broadcast."""
+    plan = plan_of(spark, sf_dir, "tpch_q20_promotion")
+    # part appears twice (partsupp synth + red slice), supplier twice
+    # (count scalar + final enrich) — but the FACT table scans ONCE
+    assert plan.count("FileScan parquet") <= 6
+    assert plan.count("lineitem.parquet") == 1
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
