@@ -91,3 +91,38 @@ def winsorize(
         .withColumn("clipped", clipped)
         .withColumn("was_clipped", F.col("clipped") != F.col(value_col))
     )
+
+
+def equi_depth_histogram(df, value_col: str, buckets: int = 10):
+    """Equi-depth (equal-frequency) histogram: ``buckets`` rows of
+    ``(bucket, n, lo, hi)`` where bucket boundaries are the exact
+    interpolated percentiles of ``value_col``.
+
+    The naive formulation — ``ntile(buckets)`` over a GLOBAL ordering —
+    funnels the whole table through one task; this one computes the
+    boundary percentiles in a single aggregate (a 1-row broadcast) and
+    assigns each row by counting boundaries below its value, so the
+    table is scanned once, never globally sorted. At 100 TB swap the
+    percentile call for ``approx_percentile`` — same shape, sketch
+    state. Rows equal to a boundary go to the lower bucket (assignment
+    is ``1 + Σ (value > boundary)``, matching SQL's percentile_cont)."""
+    fracs = [i / buckets for i in range(1, buckets)]
+    bounds = F.broadcast(
+        df.agg(
+            F.percentile(F.col(value_col), F.array(*[F.lit(f) for f in fracs]))
+            .alias("__b")
+        )
+    )
+    assign = F.lit(1)
+    for i in range(buckets - 1):
+        assign = assign + F.when(F.col(value_col) > F.col("__b")[i], 1).otherwise(0)
+    return (
+        df.crossJoin(bounds)
+        .select(assign.cast("int").alias("bucket"), F.col(value_col).alias("__v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+        )
+    )

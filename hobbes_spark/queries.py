@@ -5149,6 +5149,7 @@ def cube_orders(spark, sf_dir):
     SELECT doc_id, n_terms, {_rsql('score', 4)} AS score
     FROM scored ORDER BY score DESC, doc_id LIMIT 20
     """,
+    bench=True,
 )
 def bm25_topk_query(spark, sf_dir):
     """Okapi BM25 top-20 retrieval for a 3-term query over the corpus —
@@ -5215,15 +5216,16 @@ def scd2_intervals(spark, sf_dir):
 @q(
     "media_phash_pairs",
     """
-    WITH px AS (
+    WITH cfg AS (SELECT GREATEST(50, COUNT(*) // 10) AS gs FROM documents),
+    px AS (
       SELECT doc_id,
         list_transform(range(64), j -> CASE
-          WHEN (doc_id // 50) > 0 AND (j = (doc_id // 50) % 64
-               OR j = ((doc_id // 50) * 7) % 64
-               OR j = ((doc_id // 50) * 13) % 64)
-          THEN ((doc_id % 50) * 37 + j * 11 + 96) % 256
-          ELSE ((doc_id % 50) * 37 + j * 11) % 256 END) AS px
-      FROM documents
+          WHEN (doc_id // cfg.gs) > 0 AND (j = (doc_id // cfg.gs) % 64
+               OR j = ((doc_id // cfg.gs) * 7) % 64
+               OR j = ((doc_id // cfg.gs) * 13) % 64)
+          THEN ((doc_id % cfg.gs) * 37 + j * 11 + 96) % 256
+          ELSE ((doc_id % cfg.gs) * 37 + j * 11) % 256 END) AS px
+      FROM documents CROSS JOIN cfg
     ),
     m AS (SELECT doc_id, px, list_sum(px) / 64.0 AS mean FROM px),
     sl AS (
@@ -5253,25 +5255,41 @@ def scd2_intervals(spark, sf_dir):
       FROM cand
     ) WHERE hamming <= 8
     """,
+    # not a bench entry: the toy ramp patterns cluster across groups, so
+    # at sf0.1 the pair OUTPUT dominates runtime (580k structurally-near
+    # images) — that measures the synthetic data, not the plan. The
+    # scale harness times this plan on realistic distinct-image corpora
+    # (tools/scale_check.py media_phash_pairs: ratio 1.7 at 16x).
 )
 def media_phash_pairs(spark, sf_dir):
     """Image near-duplicate pairs by perceptual hash: synthesize an 8×8
-    grayscale thumbnail per document (50 base patterns; higher doc_ids
-    perturb 3 pixels — planted near-dups), aHash it through the Arrow
-    mapInPandas channel (mean-threshold + bit packing — the real
-    algorithm; only the codec decode is the documented stub), then a
-    banded Hamming self-join: 4×16-bit slices as equi-join keys, exact
-    bit_count(xor) ≤ 8 filter on candidates. Candidates come from an
-    equi-join on slice keys, never all-pairs (pigeonhole: any pair
-    within 3 flipped bits per band is guaranteed a candidate). The
-    oracle replays pixels → bits → slices → banding in pure SQL — the
-    whole path is hash-signed INCLUDING the Python kernel, because the
-    thumbnail math is deterministic arithmetic on doc_id."""
+    grayscale thumbnail per document (base patterns keyed by doc_id
+    modulo a CORPUS-SCALED group count — GREATEST(50, n/10), so
+    duplicate-group size stays ~10 at every SF, the same operating rule
+    the scale harness pins; higher doc_ids perturb 3 pixels — planted
+    near-dups), aHash it through the Arrow mapInPandas channel
+    (mean-threshold + bit packing — the real algorithm; only the codec
+    decode is the documented stub), then a banded Hamming self-join:
+    4×16-bit slices as equi-join keys, exact bit_count(xor) ≤ 8 filter
+    on candidates. Candidates come from an equi-join on slice keys,
+    never all-pairs (pigeonhole: any pair within 3 flipped bits per
+    band is guaranteed a candidate). The oracle replays group sizing →
+    pixels → bits → slices → banding in pure SQL — the whole path is
+    hash-signed INCLUDING the Python kernel, because the thumbnail
+    math is deterministic arithmetic on doc_id."""
     from hobbes_spark.functions.multimodal import ahash_images, phash_near_pairs
 
     docs = _t(spark, sf_dir, "documents").df
-    g = F.col("doc_id") % 50
-    v = F.expr("doc_id div 50")
+    gs_row = F.broadcast(
+        docs.agg(
+            F.greatest(
+                F.lit(50).cast("bigint"),
+                F.expr("count(1) div 10"),
+            ).alias("__gs")
+        )
+    )
+    g = F.expr("doc_id % __gs")
+    v = F.expr("doc_id div __gs")
     # build the 64-byte fake thumbnail as hex → unhex (pure expressions)
     parts = []
     for j in range(64):
@@ -5282,7 +5300,7 @@ def media_phash_pairs(spark, sf_dir):
         )
         parts.append(F.lpad(F.hex(F.when(cond, pert).otherwise(base)), 2, "0"))
     content = F.unhex(F.concat(*parts))
-    media = docs.select(
+    media = docs.crossJoin(gs_row).select(
         F.col("doc_id").cast("long").alias("media_id"), content.alias("content")
     )
     hashes = ahash_images(media)
@@ -5841,6 +5859,47 @@ def tpch_q20_promotion(spark, sf_dir):
         .join(cand, supp.s_suppkey == cand.ps_suppkey)
         .select("s_name", "n_name")
     )
+
+
+@q(
+    "histogram_prices",
+    """
+    WITH b AS (
+      SELECT [
+        percentile_cont(0.1) WITHIN GROUP (ORDER BY l_extendedprice),
+        percentile_cont(0.2) WITHIN GROUP (ORDER BY l_extendedprice),
+        percentile_cont(0.3) WITHIN GROUP (ORDER BY l_extendedprice),
+        percentile_cont(0.4) WITHIN GROUP (ORDER BY l_extendedprice),
+        percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice),
+        percentile_cont(0.6) WITHIN GROUP (ORDER BY l_extendedprice),
+        percentile_cont(0.7) WITHIN GROUP (ORDER BY l_extendedprice),
+        percentile_cont(0.8) WITHIN GROUP (ORDER BY l_extendedprice),
+        percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+      ] AS bs
+      FROM lineitem
+    ),
+    assigned AS (
+      SELECT CAST(1 + len(list_filter(b.bs, x -> l_extendedprice > x)) AS INT)
+               AS bucket,
+             l_extendedprice AS v
+      FROM lineitem CROSS JOIN b
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, MIN(v) AS lo, MAX(v) AS hi
+    FROM assigned GROUP BY 1
+    """,
+)
+def histogram_prices(spark, sf_dir):
+    """Equi-depth price histogram, 10 buckets — the scale-correct
+    formulation: boundary percentiles come from ONE aggregate (a 1-row
+    broadcast) and rows assign by counting boundaries below their
+    value, so the table scans once and never globally sorts (the naive
+    ntile-over-everything would funnel 100 TB through one task).
+    approx_percentile is the documented switch at extreme scale
+    (functions/profile.equi_depth_histogram)."""
+    from hobbes_spark.functions.profile import equi_depth_histogram
+
+    li = _t(spark, sf_dir, "lineitem").df.select("l_extendedprice")
+    return equi_depth_histogram(li, "l_extendedprice", buckets=10)
 
 
 # --------------------------------------------------------------------- #

@@ -1124,3 +1124,19 @@ def test_vocabulary_overlap_counts(spark):
     assert (r12["n_common"], r12["n_a"], r12["n_b"]) == (2, 4, 3)
     assert r12["jaccard"] == pytest.approx(2 / 5)
     assert ("s1", "s3") not in got  # no shared term -> no row (jaccard 0)
+
+
+def test_equi_depth_histogram_balanced_and_no_global_sort(spark):
+    from hobbes_spark.functions.profile import equi_depth_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 1001)], "v double")
+    out = equi_depth_histogram(df, "v", buckets=10)
+    rows = {r["bucket"]: r for r in out.collect()}
+    assert set(rows) == set(range(1, 11))
+    assert all(r["n"] == 100 for r in rows.values())  # uniform → equal depth
+    # contiguous, ordered ranges
+    for b in range(1, 10):
+        assert rows[b]["hi"] <= rows[b + 1]["lo"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # no ntile window
+    assert plan.count("Sort ") == 0  # no global sort anywhere
