@@ -381,6 +381,29 @@ class Pipeline:
             order=(),
         )
 
+    def unpivot(
+        self,
+        ids: Sequence[str],
+        values: Sequence[str],
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "Pipeline":
+        """Melt: the inverse of ``pivot`` (beyond-reference — the
+        reference only widens). Wide ``values`` columns become
+        (``var_name``, ``value_name``) long rows, one per (row, value
+        column). Compiles to Spark's Expand — each input row replicates
+        once per value column BEFORE any shuffle, so the melt is
+        map-only and embarrassingly parallel at any scale."""
+        out = self._df.unpivot(
+            [c(k) for k in ids], [c(v) for v in values], var_name, value_name
+        )
+        return self._step(
+            out,
+            f"unpivot {list(ids)} {list(values)}",
+            key_cols=tuple([*ids, var_name]),
+            order=(),
+        )
+
     # ------------------------------------------------------------------ #
     # §2.8 windowed series — implemented in operators/windows.py,
     # exposed here as fluent methods

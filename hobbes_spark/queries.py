@@ -5902,6 +5902,49 @@ def histogram_prices(spark, sf_dir):
     return equi_depth_histogram(li, "l_extendedprice", buckets=10)
 
 
+@q(
+    "unpivot_charges",
+    """
+    SELECT l_orderkey, l_linenumber, component,
+           CAST(FLOOR(amount * 100 + 0.5) AS BIGINT) AS amount_cents
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             'l_extendedprice' AS component, l_extendedprice AS amount
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    )
+    """,
+)
+def unpivot_charges(spark, sf_dir):
+    """Melt (the inverse of the reference's pivot, §2.6): the three
+    lineitem charge columns unfold into (component, amount) long rows —
+    Spark's Expand replicates each row once per value column BEFORE any
+    shuffle, so the melt is map-only at any scale (the oracle's 3-scan
+    UNION is the naive plan this avoids). Amounts emitted in exact
+    cents."""
+    p = (
+        _t(spark, sf_dir, "lineitem")
+        .slice_columns(
+            "l_orderkey", "l_linenumber",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_extendedprice", "l_discount", "l_tax"],
+            var_name="component",
+            value_name="amount",
+        )
+    )
+    return p.df.select(
+        "l_orderkey", "l_linenumber", "component",
+        F.floor(F.col("amount") * 100 + F.lit(0.5)).cast("bigint")
+        .alias("amount_cents"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #

@@ -399,3 +399,32 @@ class TestZorderLayout:
         vals = [r.z for r in z]
         assert all(v is not None and 0 <= v < 2**8 for v in vals)
         assert vals[0] == vals[1] and vals[2] == vals[3]  # pmod congruence
+
+
+def test_unpivot_is_map_only_expand(spark, sf_dir):
+    """Melt round-trip: pivot then unpivot restores long form, and the
+    unpivot plan is an Expand with no shuffle."""
+    from hobbes_spark.pipeline import Pipeline
+
+    p = Pipeline.table(spark, sf_dir, "lineitem").slice_columns(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_tax"
+    )
+    m = p.unpivot(["l_orderkey", "l_linenumber"], ["l_extendedprice", "l_tax"],
+                  var_name="comp", value_name="amt")
+    assert m.df.columns == ["l_orderkey", "l_linenumber", "comp", "amt"]
+    assert m.df.count() == 2 * p.df.count()
+    plan = m.df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and "Exchange" not in plan
+    # values faithful: spot-check a key that occurs exactly once (the
+    # driver's synthetic lineitem has duplicate (orderkey, linenumber))
+    from pyspark.sql import functions as F
+
+    uniq = (p.df.groupBy("l_orderkey", "l_linenumber")
+            .agg(F.count(F.lit(1)).alias("c"),
+                 F.first("l_extendedprice").alias("ep"),
+                 F.first("l_tax").alias("tx"))
+            .filter("c = 1").limit(1).collect()[0])
+    got = {r["comp"]: r["amt"] for r in m.df.filter(
+        (m.df.l_orderkey == uniq["l_orderkey"])
+        & (m.df.l_linenumber == uniq["l_linenumber"])).collect()}
+    assert got == {"l_extendedprice": uniq["ep"], "l_tax": uniq["tx"]}
