@@ -24,7 +24,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["idempotent_parquet_writer", "write_partitioned", "start_idempotent_sink"]
+__all__ = [
+    "idempotent_parquet_writer",
+    "write_partitioned",
+    "start_idempotent_sink",
+    "quality_gated_writer",
+]
 
 
 def idempotent_parquet_writer(
@@ -94,3 +99,55 @@ def write_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def quality_gated_writer(
+    path: str,
+    checks: list,
+    report_path: str,
+    fail_action: str = "quarantine",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` quality gate: validate every microbatch with the
+    declarative checks (functions/validate.py) BEFORE publishing it.
+
+    Per batch: the one-pass validation report lands under
+    ``report_path`` keyed by batch id (idempotent overwrite, same
+    exactly-once recipe as idempotent_parquet_writer); a clean batch
+    publishes to ``path``; a failing batch either goes to
+    ``<path>_quarantine`` (``fail_action='quarantine'`` — the pipeline
+    keeps flowing, bad data is parked for triage) or raises
+    (``'fail'`` — the stream stops and the checkpoint holds position,
+    so the fixed pipeline resumes AT the bad batch, nothing skipped).
+
+    The report itself is the monitoring feed: a streaming job's data
+    contract, continuously enforced, one aggregate pass per batch."""
+    from hobbes_spark.functions.validate import validate
+
+    if fail_action not in ("quarantine", "fail"):
+        raise ValueError(f"fail_action must be quarantine/fail, got {fail_action!r}")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)  # validate + publish read it twice
+        report = validate(batch_df, checks).withColumn(
+            "_batch_id", F.lit(batch_id)
+        )
+        report.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_batch_id").parquet(report_path)
+        ok = report.agg(F.min("passed").alias("ok")).first()["ok"]
+        if ok is None:
+            ok = True  # empty batch: nothing to gate
+        target = path if ok else f"{path}_quarantine"
+        if not ok and fail_action == "fail":
+            raise RuntimeError(
+                f"quality gate failed for batch {batch_id}; report at {report_path}"
+            )
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(target)
+        )
+
+    return write

@@ -557,3 +557,43 @@ def test_cms_ingest_rollup_equals_direct_sketch(spark, sf_dir, tmp_path):
     # parameter drift refused
     with pytest.raises(ValueError, match="different parameters"):
         cms_ingest_writer(store, "t", width=1024)(half1, 2)
+
+
+def test_quality_gated_writer_publishes_and_quarantines(spark, tmp_path):
+    """Stream a clean batch and a dirty batch through the quality gate:
+    the clean one publishes, the dirty one parks in quarantine, and a
+    replayed batch id overwrites instead of duplicating."""
+    from pyspark.sql import functions as F
+
+    from hobbes_spark.functions import validate as V
+    from hobbes_spark.streaming.sinks import quality_gated_writer
+
+    out = str(tmp_path / "out")
+    rep = str(tmp_path / "report")
+    checks = [V.not_null("id"), V.in_range("v", 0.0, 100.0)]
+    writer = quality_gated_writer(out, checks, rep)
+
+    clean = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    dirty = spark.createDataFrame([(3, 999.0)], "id long, v double")
+    writer(clean, 0)
+    writer(dirty, 1)
+    writer(clean, 0)  # replay: must overwrite batch 0, not duplicate
+
+    published = spark.read.parquet(out)
+    assert published.count() == 2  # clean rows only, replay deduped
+    assert set(published.select("_batch_id").distinct().toPandas()["_batch_id"]) == {0}
+    quarantined = spark.read.parquet(out + "_quarantine")
+    assert quarantined.count() == 1
+    report = spark.read.parquet(rep)
+    failed = report.filter(~F.col("passed")).collect()
+    assert len(failed) == 1 and failed[0]["_batch_id"] == 1
+    assert failed[0]["check"].startswith("in_range")
+
+    # fail_action='fail' raises and does NOT publish
+    strict = quality_gated_writer(str(tmp_path / "o2"), checks,
+                                  str(tmp_path / "r2"), fail_action="fail")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="quality gate failed"):
+        strict(dirty, 7)
+    import os
+    assert not os.path.exists(str(tmp_path / "o2"))
