@@ -5945,6 +5945,156 @@ def unpivot_charges(spark, sf_dir):
     )
 
 
+@q(
+    "mode_priority",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY cnt DESC, o_orderpriority ASC)
+                  AS rn
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+    FROM r WHERE rn = 1
+    """,
+)
+def mode_priority(spark, sf_dir):
+    """Deterministic per-group mode (most frequent value, ties broken
+    lexicographically — engines' built-in mode() functions disagree on
+    ties, so the mode is composed from first principles): value counts
+    in one keyed aggregate, then the same maxby/WindowGroupLimit shape
+    as the reference's `group by → maxby` picks the winner. Both
+    stages share the status partitioning."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").df
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+    )
+
+
+@q(
+    "mad_outliers",
+    f"""
+    WITH med AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS d
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, MAX(med) AS med,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY d) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT dev.event_type,
+           {_rsql('MAX(mad.med)', 4)} AS median,
+           {_rsql('MAX(mad.mad)', 4)} AS mad,
+           CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY 1
+    """,
+)
+def mad_outliers(spark, sf_dir):
+    """Robust outlier detection: per-group median absolute deviation
+    (the robust sigma — one wild value cannot drag it the way stddev
+    is dragged) and the count of |v − median| > 3·MAD outliers.
+    Two grouped aggregates with a |groups|-row broadcast between them —
+    the fact scans twice but never shuffles; the 100 TB switch is
+    approx_percentile in both stages, same shape."""
+    ev = _t(spark, sf_dir, "events").df.select("event_type", "value")
+    med = F.broadcast(
+        ev.groupBy("event_type").agg(
+            F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+        )
+    )
+    dev = ev.join(med, "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = F.broadcast(
+        dev.groupBy("event_type").agg(
+            F.max("med").alias("med2"),
+            F.percentile(F.col("d"), F.lit(0.5)).alias("mad"),
+        )
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            _r(F.max("med2"), 4).alias("median"),
+            _r(F.max("mad"), 4).alias("mad"),
+            F.sum(F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint").alias("n_outliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+@q(
+    "fuzzy_name_pairs",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+      SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    """Fuzzy entity matching with blocking: near-identical product
+    names (edit distance ≤ 4) found by equi-joining on a cheap blocking
+    key (the last name token) and running the expensive levenshtein
+    ONLY inside blocks — the classic record-linkage shape; candidate
+    volume is Σ block², never corpus², and the names table is the
+    DISTINCT name set, not the row count. No cartesian (plan-guarded
+    by the catalog-wide test)."""
+    part = _t(spark, sf_dir, "part").df
+    names = part.select("p_name").distinct()
+    blocked = names.withColumn(
+        "blk", F.element_at(F.split(F.col("p_name"), " "), -1)
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("int")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
+    )
+
+
 # --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #

@@ -181,3 +181,26 @@ def test_concurrency_peak_sweep_counts_overlap(spark):
         out = {r["day"]: r["peak"]
                for r in QUERIES["concurrency_peak"].spark(spark, d).collect()}
     assert out == {"2024-03-01": 3, "2024-03-02": 1}  # 3-way at 10:30
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    """One wild value among uniform ones: MAD stays small (robust), the
+    spike flags as the only outlier."""
+    from hobbes_spark.queries import QUERIES
+    import os
+    import tempfile
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [(i, 1, t0, "click", float(v), "{}")
+            for i, v in enumerate([10, 11, 12, 10, 11, 12, 10, 11, 500])]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, "
+              "value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = QUERIES["mad_outliers"].spark(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["median"] == 11.0 and r["mad"] == 1.0
+    assert r["n_outliers"] == 1 and r["n"] == 9  # only the 500 spike
