@@ -1,0 +1,146 @@
+"""Property-based checks for the timeseries family (gap fill, OHLC,
+change intervals) against brute-force Python oracles.
+
+The fixed-fixture tests pin known edges; this layer generates random
+small event logs (duplicate timestamps, single-row keys, long gaps,
+status churn) and asserts the operators agree with a straightforward
+in-memory reimplementation on every draw.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hobbes_spark.operators.timeseries import (
+    change_intervals,
+    gap_fill_ffill,
+    ohlc,
+)
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+D0 = dt.date(2024, 1, 1)
+T0 = dt.datetime(2024, 1, 1)
+
+obs_row = st.tuples(
+    st.sampled_from(["a", "b"]),          # key
+    st.integers(0, 9),                    # day offset
+    st.floats(-50, 50, allow_nan=False).map(lambda v: round(v, 2)),
+)
+
+
+@pytest.mark.parametrize("dummy", [0])
+@given(rows=st.lists(obs_row, min_size=1, max_size=20))
+@SET
+def test_gap_fill_matches_brute_force(spark, dummy, rows):
+    # one observation per (key, day): last draw wins (dict semantics)
+    obs = {(k, d): v for k, d, v in rows}
+    data = [
+        (k, D0 + dt.timedelta(days=d), v, 1) for (k, d), v in obs.items()
+    ]
+    df = spark.createDataFrame(data, "k string, d date, v double, n long")
+    got = {
+        (r["k"], r["d"]): (r["v"], r["n"])
+        for r in gap_fill_ffill(df, ["k"], "d", ["v"], count_col="n").collect()
+    }
+    # brute force: per key, dense span, carry last value forward
+    expect = {}
+    for k in {k for k, _ in obs}:
+        days = sorted(d for kk, d in obs if kk == k)
+        last = None
+        for d in range(days[0], days[-1] + 1):
+            if (k, d) in obs:
+                last = obs[(k, d)]
+                expect[(k, D0 + dt.timedelta(days=d))] = (last, 1)
+            else:
+                expect[(k, D0 + dt.timedelta(days=d))] = (last, 0)
+    assert got == expect
+
+
+tick_row = st.tuples(
+    st.sampled_from(["a", "b"]),
+    st.integers(0, 48),                   # hour offset → spans 3 days
+    st.floats(-50, 50, allow_nan=False).map(lambda v: round(v, 2)),
+)
+
+
+@pytest.mark.parametrize("dummy", [0])
+@given(rows=st.lists(tick_row, min_size=1, max_size=24, unique=True))
+@SET
+def test_ohlc_matches_brute_force(spark, dummy, rows):
+    data = [
+        (k, T0 + dt.timedelta(hours=h), i, v)
+        for i, (k, h, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "k string, ts timestamp, id long, v double")
+    got = {
+        (r["k"], r["d"]): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in ohlc(df, ["k"], "ts", "id", "v", F.to_date("ts"), "d").collect()
+    }
+    buckets = {}
+    for k, ts, i, v in data:
+        buckets.setdefault((k, ts.date()), []).append((ts, i, v))
+    expect = {}
+    for key, ticks in buckets.items():
+        ticks.sort()  # (ts, id) order — the operator's tiebreak
+        vs = [v for _, _, v in ticks]
+        expect[key] = (ticks[0][2], max(vs), min(vs), ticks[-1][2], len(ticks))
+    assert got == expect
+
+
+ev_row = st.tuples(
+    st.integers(1, 3),                    # user
+    st.integers(0, 30),                   # minute offset
+    st.sampled_from(["A", "B"]),
+)
+
+
+@pytest.mark.parametrize("dummy", [0])
+@given(rows=st.lists(ev_row, min_size=1, max_size=20))
+@SET
+def test_change_intervals_match_brute_force(spark, dummy, rows):
+    data = [
+        (u, i, s, T0 + dt.timedelta(minutes=m))
+        for i, (u, m, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, event_id long, status string, ts timestamp"
+    )
+    out = change_intervals(df, ["user_id"], "ts", "event_id", "status").collect()
+    got = sorted(
+        (r["user_id"], r["status"], r["effective_from_us"], r["effective_to_us"])
+        for r in out
+    )
+    # brute force: order by (ts, event_id) per user; keep status changes
+    expect = []
+    for u in {u for u, *_ in data}:
+        evs = sorted(
+            ((ts, i, s) for uu, i, s, ts in data if uu == u),
+        )
+        changes = []
+        prev = None
+        for ts, i, s in evs:
+            if prev is None or s != prev:
+                changes.append((ts, s))
+            prev = s
+        for j, (ts, s) in enumerate(changes):
+            nxt = changes[j + 1][0] if j + 1 < len(changes) else None
+            expect.append(
+                (
+                    u, s,
+                    int(ts.timestamp() * 1_000_000),
+                    None if nxt is None else int(nxt.timestamp() * 1_000_000),
+                )
+            )
+    assert got == sorted(expect)
+    # exactly one open interval per user
+    assert sum(1 for *_, to in got if to is None) == len({u for u, *_ in data})
