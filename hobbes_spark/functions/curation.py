@@ -43,6 +43,7 @@ __all__ = [
     "duplicate_ngram_stats",
     "remove_duplicate_spans",
     "dedup_paragraphs",
+    "remove_boilerplate_lines",
     "decontaminate",
     "contamination_report",
     "repetition_stats",
@@ -323,6 +324,80 @@ def dedup_paragraphs(
         .join(clean, id_col, "left")
         .withColumn("clean_text", F.coalesce(F.col("__clean"), F.lit("")))
         .withColumn("kept_paras", F.coalesce(F.col("__kept"), F.lit(0).cast("bigint")))
+        .drop("__clean", "__kept")
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 3,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Corpus-frequency line filtering (the C4/RefinedWeb boilerplate
+    pass, Raffel et al. 2020 §2.2 / Penedo et al. 2023 §G): a LINE that
+    appears (normalized) in more than ``max_docs`` distinct documents is
+    navigation/footer/cookie-banner boilerplate — drop every occurrence
+    corpus-wide and rebuild each document from its surviving lines.
+    Finer than :func:`dedup_paragraphs` (which keeps the FIRST copy;
+    boilerplate should keep none) and complementary to the 8-gram span
+    surgery of :func:`remove_duplicate_spans`.
+
+    Lines shorter than ``min_chars`` after normalization (casefold +
+    whitespace collapse) are never dropped: one-word lines ("Yes", "*")
+    legitimately repeat across documents.
+
+    Adds ``clean_text`` (survivors re-joined with ``\\n``), ``n_lines``,
+    ``kept_lines``; NULL-text documents come back empty with zero counts.
+
+    Plan shape (100 TB): the boilerplate SET is tiny by construction
+    (only lines repeated across > ``max_docs`` docs), so the fact side
+    never shuffles for the filter — distinct (fingerprint, doc) pairs
+    aggregate down to the offender fingerprints, which BROADCAST into a
+    left-anti hash join against the exploded lines. Fingerprints are
+    ``xxhash64`` of the normalized line (8-byte uniform key; a line
+    repeated millions of times is heavy in the AGG but carries only id
+    pairs, and map-side partial distinct collapses per-doc repeats
+    before the shuffle). Reassembly is the one keyed shuffle on the doc
+    id. Total: two small agg shuffles over (fp, id) pairs + one doc-key
+    shuffle; document text itself moves exactly once.
+    """
+    lines = F.split(c(text_col), "\n")
+    ex = df.select(
+        c(id_col).alias(id_col), F.posexplode_outer(lines).alias("lidx", "line")
+    ).filter(F.col("line").isNotNull())
+    norm = F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
+    ex = ex.withColumn(
+        "__fp", F.when(F.length(norm) >= min_chars, F.xxhash64(norm))
+    )
+    offenders = (
+        ex.filter(F.col("__fp").isNotNull())
+        .select("__fp", id_col)
+        .distinct()
+        .groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_docs)
+        .select("__fp")
+    )
+    # NULL __fp (short/never-droppable lines) passes a left_anti equi-join
+    # untouched: NULL matches nothing.
+    kept = ex.join(F.broadcast(offenders), "__fp", "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lidx", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("__clean"),
+        F.count(F.lit(1)).cast("bigint").alias("__kept"),
+    )
+    return (
+        df.withColumn("n_lines", F.coalesce(F.size(lines), F.lit(0)).cast("bigint"))
+        .join(clean, id_col, "left")
+        .withColumn("clean_text", F.coalesce(F.col("__clean"), F.lit("")))
+        .withColumn("kept_lines", F.coalesce(F.col("__kept"), F.lit(0).cast("bigint")))
         .drop("__clean", "__kept")
     )
 

@@ -1,0 +1,103 @@
+"""Link-analysis operators over edge DataFrames.
+
+PageRank is the classic importance weighting for web-scraped corpora:
+CommonCrawl-derived pipelines weight or filter pages by link centrality
+(the original use case of Page et al. 1999), and a dedup cluster graph's
+high-centrality nodes are the canonical representatives. Implemented as
+a fixed-iteration power method on DataFrames — the same declarative
+join+agg per round as `connected_components` (functions/dedup.py), so
+Catalyst plans every step and the iteration count bounds the work.
+
+Scale notes (100 TB):
+
+* The edge table dominates (|E| >> |V|). It is normalized (distinct +
+  per-source out-degree attached) ONCE, localCheckpoint'd, and then
+  re-joined each round — the per-round shuffle moves only the rank
+  table (|V| rows of (node, pr)), never the edges again in a cluster
+  deployment where `edges_deg` is persisted partitioned by `src`.
+* Dangling mass (nodes with no out-edges) is redistributed uniformly,
+  the standard stochastic-matrix fix: one scalar aggregate per round
+  over the |V|-row rank table, same cost class as the convergence
+  scalar in `connected_components`.
+* Each round ends in `localCheckpoint(eager=True)`: without lineage
+  truncation the plan doubles per iteration and Catalyst analysis time
+  explodes past ~10 rounds (same finding as the components operators).
+* Fixed `iterations` (no convergence test) keeps the operator
+  deterministic and oracle-replayable; production callers pick 10-20
+  rounds (the power method's error decays as damping^k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Rank nodes of the directed graph ``edges[(src, dst)]`` with
+    ``iterations`` rounds of the damped power method; returns
+    ``(node, pr)`` with ``sum(pr) == 1``.
+
+    Node ids must share one comparable type across both columns (the
+    caller namespaces bipartite graphs, e.g. offsets one side's ids).
+    Parallel edges collapse to one (distinct); self-loops participate
+    like any edge.
+    """
+    if iterations < 0:
+        raise ValueError("pagerank: iterations must be >= 0")
+    if not (0.0 <= damping <= 1.0):
+        raise ValueError("pagerank: damping must be in [0, 1]")
+
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # Edge table with out-degree attached: built once, reused every round.
+    edges_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pr", F.lit(0.0))
+
+    # Dangling nodes contribute their whole mass uniformly each round.
+    dangling_nodes = nodes.join(
+        deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        dangling_mass = (
+            dangling_nodes.join(ranks, "node")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("__deg")).alias("__in"))
+        )
+        base = (1.0 - damping) / n + damping * dangling_mass / n
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

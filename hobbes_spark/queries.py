@@ -6095,6 +6095,262 @@ def fuzzy_name_pairs(spark, sf_dir):
     )
 
 
+def _boilerplate_lines_sql(chunk: int = 10, max_docs: int = 3, min_chars: int = 10) -> str:
+    """Oracle for corpus-frequency line filtering over the
+    chunk-linearized corpus: lines rebuilt directly, normalized
+    (casefold + whitespace collapse — the 'g' flag matters, Spark's
+    regexp_replace is global by default), offender set = normalized
+    lines in > max_docs distinct docs, every occurrence dropped, docs
+    reassembled with ordered string_agg. GREATEST(...,1) mirrors
+    Spark's split('') == [''] single empty line on token-less docs."""
+    toks_l = _DDB_TOKENS.format(t="lower(text)")
+    return f"""
+    WITH t AS (SELECT doc_id, {toks_l} AS w FROM documents),
+    seg AS (
+      SELECT doc_id, i - 1 AS lidx,
+             array_to_string(list_slice(w, (i - 1) * {chunk} + 1, i * {chunk}), ' ') AS line
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(
+                     1, GREATEST(CAST(ceil(len(w) / {chunk}.0) AS INT), 1))) AS i
+            FROM t)
+    ),
+    segn AS (
+      SELECT doc_id, lidx, line,
+             trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) AS norm
+      FROM seg
+    ),
+    off AS (
+      SELECT norm FROM segn WHERE length(norm) >= {min_chars}
+      GROUP BY norm HAVING COUNT(DISTINCT doc_id) > {max_docs}
+    ),
+    kept AS (
+      SELECT s.doc_id, s.lidx, s.line
+      FROM segn s LEFT JOIN off o
+        ON length(s.norm) >= {min_chars} AND s.norm = o.norm
+      WHERE o.norm IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY lidx) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS kept_lines
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+           GREATEST(CAST(ceil(len(t.w) / {chunk}.0) AS BIGINT), 1) AS n_lines,
+           COALESCE(a.kept_lines, 0) AS kept_lines
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@q("boilerplate_lines", _boilerplate_lines_sql())
+def boilerplate_lines_q(spark, sf_dir):
+    """C4/RefinedWeb boilerplate-line removal
+    (curation.remove_boilerplate_lines): the corpus has no newline
+    structure, so the query first linearizes each document into its
+    consecutive 10-token chunks joined by newlines — the corpus's real
+    repeated segments become repeated lines — then the operator drops
+    every occurrence of any line seen in > 3 distinct docs (unlike
+    dedup_paragraphs, which keeps the first) and rebuilds."""
+    from hobbes_spark.functions.curation import remove_boilerplate_lines
+    from hobbes_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").df
+    toks = tokens(F.lower(F.col("text")))
+    nseg = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(1), nseg),
+            lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 10 + 1, F.lit(10))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ldocs = docs.select("doc_id", F.concat_ws("\n", chunks).alias("text"))
+    out = remove_boilerplate_lines(
+        ldocs, "text", "doc_id", max_docs=3, min_chars=10
+    )
+    return out.select("doc_id", "clean_text", "n_lines", "kept_lines")
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-method oracle (the kmeans_clusters precedent for
+    iterative operators): each round is one join+agg CTE, dangling mass
+    a scalar CTE; the scalar expression mirrors functions/graph.pagerank
+    term-for-term (same literals, same association) so the only
+    divergence is sub-ulp summation order, killed by 9 dp rounding."""
+    one_minus = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT src, COUNT(*) AS c FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+    d{k} AS (SELECT COALESCE(SUM(pr), 0.0) AS m FROM r{k - 1}
+             WHERE node NOT IN (SELECT src FROM deg)),
+    r{k} AS (
+      SELECT n.node,
+             ({one_minus} / (SELECT n FROM nn)
+              + {d} * (SELECT m FROM d{k}) / (SELECT n FROM nn))
+             + {d} * COALESCE(s.v, 0.0) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.pr / deg.c) AS v
+        FROM e JOIN r{k - 1} r ON e.src = r.node JOIN deg ON deg.src = e.src
+        GROUP BY e.dst) s ON n.node = s.node)"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(node AS BIGINT) AS node, {_rsql('pr', 9)} AS pr FROM r{iters}"""
+    )
+    return "".join(parts)
+
+
+@q("pagerank_centrality", _pagerank_sql())
+def pagerank_centrality(spark, sf_dir):
+    """PageRank over the customer→supplier purchase graph (edges from
+    lineitem⋈orders; supplier ids offset by 1e6 to namespace the
+    bipartite sides) — 5 damped power-method rounds via
+    functions/graph.pagerank. Every supplier is a dangling node, so the
+    uniform-redistribution path is genuinely exercised, not a
+    zero-mass no-op."""
+    from hobbes_spark.functions.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders").df
+    li = _t(spark, sf_dir, "lineitem").df
+    edges = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    return pr.select(
+        F.col("node").cast("bigint").alias("node"), _r(F.col("pr"), 9).alias("pr")
+    )
+
+
+_HB_LOCALDATA_TOP = """provider: localdata
+columns: region score
+rows:
+    - ["north", 3]
+    - ["north", 5]
+    - ["south", 2]
+    - ["east", 7]
+    - ["east", 1]
+    - ["east", 4]
+
+only (score > 1)
+group by region -> sum
+sort by column score
+"""
+
+
+@q(
+    "hb_localdata_top",
+    """
+    SELECT region, CAST(SUM(score) AS BIGINT) AS score
+    FROM (VALUES ('north', 3), ('north', 5), ('south', 2),
+                 ('east', 7), ('east', 1), ('east', 4)) AS t(region, score)
+    WHERE score > 1 GROUP BY region
+    """,
+)
+def hb_localdata_top(spark, sf_dir):
+    """The ``provider: localdata`` inline-rows path (reference
+    workers/localdata.worker/src/Data.fs:12-49) driven end-to-end
+    through the .hb front-end and the correctness gate — the header's
+    columns/rows literals become the source table, then filter →
+    group-sum → sort run on it. Signs the provider resolution that was
+    previously unit-test-only."""
+    from hobbes_spark.hb.providers import run_hb_program
+
+    out = run_hb_program(spark, _HB_LOCALDATA_TOP)
+    return out.df.select("region", F.col("score").cast("bigint").alias("score"))
+
+
+def _csv_fixture_rows(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").df
+    return (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+
+
+_CSV_SNIFF_SQL = """
+    SELECT CAST(o_orderkey AS DOUBLE) AS okey,
+           CAST(o_orderdate AS TIMESTAMP) AS odate,
+           o_totalprice AS total,
+           o_orderpriority AS priority,
+           CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END AS note
+    FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+def _csv_roundtrip(spark, sf_dir, *, decimal_comma: bool) -> DataFrame:
+    """Render a deterministic CSV from the orders slice, push it through
+    the reference sniffing cascade, return the typed frame. The tiny
+    driver-side collect builds the file FIXTURE (this query models the
+    file-drop ingest boundary, where the file precedes the engine); the
+    read + sniff side is the distributed path under test. Float cells
+    use repr (shortest round-trip — parse-back is bit-identical), so
+    the oracle can recompute from the parquet values directly. The
+    cascade types the all-integer key column as DOUBLE (float-first,
+    Reader.fs:25-37) and the empty note cells as missing."""
+    import os
+
+    from hobbes_spark.sources.ingest import read_csv_uniform
+
+    def num(v: float) -> str:
+        s = repr(v)
+        return s.replace(".", ",") if decimal_comma else s
+
+    # Comma-decimal locales ship semicolon-delimited CSV (a comma cell
+    # separator would split every numeric in two) — render and read
+    # with the matching delimiter.
+    sep = ";" if decimal_comma else ","
+    lines = [sep.join(["okey", "odate", "total", "priority", "note"])]
+    for r in _csv_fixture_rows(spark, sf_dir):
+        note = "" if r[0] % 2 == 0 else r[3]
+        lines.append(sep.join([str(r[0]), str(r[1]), num(r[2]), r[3], note]))
+    tag = "locale" if decimal_comma else "invariant"
+    os.makedirs(_ORACLE_DUMP, exist_ok=True)
+    path = f"{_ORACLE_DUMP}/csv_sniff_{tag}.csv"
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return read_csv_uniform(
+        spark, path, delimiter=sep, decimal_comma=decimal_comma
+    )
+
+
+@q("csv_sniff_roundtrip", _CSV_SNIFF_SQL)
+def csv_sniff_roundtrip(spark, sf_dir):
+    """CSV ingest through the sniffing cascade (float → timestamp → int
+    → string, empty = missing), value-hash checked end-to-end: integer
+    keys come back DOUBLE, date strings come back TIMESTAMP, empty
+    cells come back NULL — exactly what the oracle recomputes from the
+    same parquet rows."""
+    return _csv_roundtrip(spark, sf_dir, decimal_comma=False)
+
+
+@q("csv_sniff_locale", _CSV_SNIFF_SQL)
+def csv_sniff_locale(spark, sf_dir):
+    """The comma-decimal locale path of the same cascade
+    (decimal_comma=True — the divergence the reference itself has
+    between its two readValue copies, Reader.fs:25-37 vs
+    ODataProvider.fs:36-48): totals rendered as "173665,47" parse back
+    to the identical doubles, timestamps still sniff from the original
+    text, and the SAME oracle must hold."""
+    return _csv_roundtrip(spark, sf_dir, decimal_comma=True)
+
+
 # --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #

@@ -410,3 +410,82 @@ class TestDedupParagraphs:
         )
         r = dedup_paragraphs(df).collect()[0]
         assert r.n_paras == 2 and r.clean_text == "a b\n\nc d"
+
+
+class TestRemoveBoilerplateLines:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_drops_every_occurrence_corpus_wide(self, spark):
+        from hobbes_spark.functions.curation import remove_boilerplate_lines
+
+        banner = "Subscribe to our newsletter today"
+        rows = [(i, f"unique body line {i} of doc\n{banner}") for i in range(5)]
+        got = {
+            r.doc_id: r
+            for r in remove_boilerplate_lines(
+                self._df(spark, rows), max_docs=3, min_chars=10
+            ).collect()
+        }
+        for i in range(5):
+            assert got[i].clean_text == f"unique body line {i} of doc"
+            assert (got[i].n_lines, got[i].kept_lines) == (2, 1)
+
+    def test_under_threshold_and_short_lines_survive(self, spark):
+        from hobbes_spark.functions.curation import remove_boilerplate_lines
+
+        # "shared across three docs" appears in exactly max_docs docs (kept);
+        # "ok" repeats in all five but is under min_chars (never dropped).
+        rows = [
+            (i, ("shared across three docs\nok" if i < 3 else "other text here\nok"))
+            for i in range(5)
+        ]
+        got = {
+            r.doc_id: r
+            for r in remove_boilerplate_lines(
+                self._df(spark, rows), max_docs=3, min_chars=10
+            ).collect()
+        }
+        assert got[0].clean_text == "shared across three docs\nok"
+        assert got[4].clean_text == "other text here\nok"
+
+    def test_normalization_case_and_whitespace(self, spark):
+        from hobbes_spark.functions.curation import remove_boilerplate_lines
+
+        # Same line modulo case/extra spaces in 4 docs -> all dropped.
+        variants = [
+            "Cookie Policy Applies Here",
+            "cookie policy applies here",
+            "COOKIE   POLICY  APPLIES HERE",
+            "  cookie policy applies here  ",
+        ]
+        rows = [(i, f"body {i} stays right here\n{v}") for i, v in enumerate(variants)]
+        got = {
+            r.doc_id: r
+            for r in remove_boilerplate_lines(
+                self._df(spark, rows), max_docs=3, min_chars=10
+            ).collect()
+        }
+        for i in range(4):
+            assert got[i].clean_text == f"body {i} stays right here"
+
+    def test_order_preserved_and_null_text(self, spark):
+        from hobbes_spark.functions.curation import remove_boilerplate_lines
+
+        rows = [(1, "first line kept\nsecond line kept\nthird line kept"), (2, None)]
+        got = {
+            r.doc_id: r
+            for r in remove_boilerplate_lines(
+                self._df(spark, rows), max_docs=3
+            ).collect()
+        }
+        assert got[1].clean_text == "first line kept\nsecond line kept\nthird line kept"
+        assert got[2].clean_text == "" and got[2].n_lines == 0
+        assert got[2].kept_lines == 0
+
+    def test_offender_set_broadcasts(self, spark):
+        from hobbes_spark.functions.curation import remove_boilerplate_lines
+
+        rows = [(i, f"line {i} body text here\ncommon footer line here") for i in range(6)]
+        plan = remove_boilerplate_lines(self._df(spark, rows))._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
