@@ -36,6 +36,9 @@ __all__ = [
     "cms_merge",
     "cms_estimate",
     "cms_top_items",
+    "kmv_group_sketches",
+    "kmv_merge",
+    "kmv_quantile",
 ]
 
 
@@ -262,3 +265,107 @@ def cms_top_items(
         .filter(F.col("rank") <= k)
         .select(col, "est_count", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def _kmv_rank(id_col: Column, hash_fn: str) -> Column:
+    """Uniform 60/64-bit rank of a row's identity. Ranking the ID (not
+    the value) makes the bottom-k set a uniform ROW sample — duplicate
+    values keep their multiplicity, which is what quantiles need (a
+    value-keyed hash would collapse them into a distinct-set sample)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(id_col)
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def kmv_group_sketches(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    val_col: str,
+    k: int = 256,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Mergeable QUANTILE sketch per ``keys`` group: the ``k`` rows with
+    the smallest hash rank of ``id_col``, stored as
+    ``(*keys, sketch: array<struct<h, v>>)`` sorted by rank.
+
+    The bottom-k-by-uniform-hash set is a uniform random sample that is
+    EXACTLY mergeable: bottom-k of a union equals bottom-k of the
+    merged per-shard bottom-k's (min-k is associative), so merging
+    per-day sketches gives byte-identical state to sketching the whole
+    range directly — the same build-small-merge-later contract as the
+    HLL/CMS tables, pinned by the same merge==direct test, but for
+    DISTRIBUTION questions (quantiles via :func:`kmv_quantile`) with
+    rank error O(n/sqrt(k)). Unlike percentile_approx output, the
+    sketch composes across any later grouping without rescanning.
+
+    Scale shape: ``row_number`` over (keys, rank) + ``filter <= k``
+    compiles to WindowGroupLimit — each map task keeps only its own
+    bottom-k before the shuffle, so shuffle volume is O(groups·k), and
+    only the k survivors reach collect_list (bounded agg state). NULL
+    values and NULL ids are excluded (a NULL rank would sort first and
+    poison the sample).
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(val_col).isNotNull()
+    ).select(
+        *[F.col(c) for c in keys],
+        _kmv_rank(F.col(id_col), hash_fn).alias("__h"),
+        F.col(id_col).alias("__id"),
+        F.col(val_col).cast("double").alias("__v"),
+    )
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy("__h", "__id")
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*[F.col(c) for c in keys])
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))
+            ).alias("sketch")
+        )
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    by: Sequence[str],
+    k: int = 256,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Merge KMV sketches (built with the same ``k`` and hash) up to the
+    coarser ``by`` keys: union the samples, keep the ``k`` smallest
+    ranks again. Cost is proportional to the number of sketches — the
+    raw rows are never revisited. ``by=[]`` gives the global rollup."""
+    from pyspark.sql import Window
+
+    ex = sketches.select(
+        *[F.col(c) for c in by], F.explode(F.col(sketch_col)).alias("s")
+    )
+    part = Window.partitionBy(*[F.col(c) for c in by]).orderBy("s.h", "s.v")
+    return (
+        ex.withColumn("__rn", F.row_number().over(part))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*[F.col(c) for c in by])
+        .agg(F.array_sort(F.collect_list(F.col("s"))).alias(sketch_col))
+    )
+
+
+def kmv_quantile(sketch: Column | str, p: float) -> Column:
+    """Nearest-rank quantile estimate from one sketch cell (row-wise,
+    pure expressions): the ceil(p·n)-th smallest sampled VALUE. Exact
+    selection, no interpolation arithmetic — the estimate is one of the
+    sampled doubles bit-for-bit, which is what lets a SQL twin replay
+    it. NULL on an empty sketch."""
+    if not (0.0 < p <= 1.0):
+        raise ValueError("kmv_quantile: p must be in (0, 1]")
+    col = F.col(sketch) if isinstance(sketch, str) else sketch
+    vs = F.array_sort(F.transform(col, lambda s: s["v"]))
+    idx = F.greatest(F.ceil(F.lit(p) * F.size(vs)), F.lit(1)).cast("int")
+    return F.when(F.size(vs) > 0, F.element_at(vs, idx))

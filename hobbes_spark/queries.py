@@ -6351,6 +6351,85 @@ def csv_sniff_locale(spark, sf_dir):
     return _csv_roundtrip(spark, sf_dir, decimal_comma=True)
 
 
+def _kmv_quantiles_sql(k: int = 128) -> str:
+    """Oracle replaying the KMV quantile sketch bit-for-bit on the md5
+    path: same 60-bit rank polynomial (strpos hex trick, the cms/simhash
+    precedent), same per-(priority, year) bottom-k, same re-merge to
+    priority, same nearest-rank selection — the estimates are SAMPLED
+    VALUES chosen by deterministic ranks, so even the sketch's sampling
+    error must agree exactly, not just approximately."""
+    poly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return f"""
+    WITH base AS (
+      SELECT o_orderpriority AS pri, year(o_orderdate) AS yr,
+             o_orderkey AS id, o_totalprice AS v,
+             md5(CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders
+    ),
+    ranked AS (
+      SELECT pri, yr, id, v, CAST({poly} AS BIGINT) AS hk FROM base
+    ),
+    built AS (
+      SELECT pri, yr, hk, v FROM (
+        SELECT *, row_number() OVER (PARTITION BY pri, yr ORDER BY hk, id) AS rn
+        FROM ranked
+      ) WHERE rn <= {k}
+    ),
+    merged AS (
+      SELECT pri, hk, v FROM (
+        SELECT *, row_number() OVER (PARTITION BY pri ORDER BY hk, v) AS rn
+        FROM built
+      ) WHERE rn <= {k}
+    ),
+    ord AS (
+      SELECT pri, v, row_number() OVER (PARTITION BY pri ORDER BY v) AS r,
+             COUNT(*) OVER (PARTITION BY pri) AS n
+      FROM merged
+    )
+    SELECT pri, MAX(CASE WHEN r = GREATEST(CAST(ceil(0.5 * n) AS BIGINT), 1) THEN v END) AS p50,
+           MAX(CASE WHEN r = GREATEST(CAST(ceil(0.9 * n) AS BIGINT), 1) THEN v END) AS p90,
+           MAX(CASE WHEN r = GREATEST(CAST(ceil(0.99 * n) AS BIGINT), 1) THEN v END) AS p99,
+           CAST(MAX(n) AS BIGINT) AS sample_n
+    FROM ord GROUP BY pri
+    """
+
+
+@q("kmv_quantiles_prices", _kmv_quantiles_sql())
+def kmv_quantiles_prices(spark, sf_dir):
+    """The mergeable quantile-sketch lifecycle through the gate: build
+    per-(priority, year) bottom-k sketches over order totals, MERGE them
+    up to priority (sketch-sized work — the raw rows are never
+    revisited), estimate P50/P90/P99 by nearest-rank selection. md5
+    rank path so DuckDB replays the identical sample; production uses
+    xxhash64 (same twin split as minhash_pairs / minhash_pairs_fast)."""
+    from hobbes_spark.functions.sketches import (
+        kmv_group_sketches,
+        kmv_merge,
+        kmv_quantile,
+    )
+
+    orders = _t(spark, sf_dir, "orders").df.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.year("o_orderdate").alias("yr"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    sk = kmv_group_sketches(
+        orders, ["pri", "yr"], "o_orderkey", "o_totalprice", k=128, hash_fn="md5"
+    )
+    merged = kmv_merge(sk, ["pri"], k=128)
+    return merged.select(
+        "pri",
+        kmv_quantile("sketch", 0.5).alias("p50"),
+        kmv_quantile("sketch", 0.9).alias("p90"),
+        kmv_quantile("sketch", 0.99).alias("p99"),
+        F.size("sketch").cast("bigint").alias("sample_n"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #

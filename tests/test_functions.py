@@ -1140,3 +1140,82 @@ def test_equi_depth_histogram_balanced_and_no_global_sort(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # no ntile window
     assert plan.count("Sort ") == 0  # no global sort anywhere
+
+
+class TestKmvQuantileSketch:
+    """Bottom-k-by-hash quantile sketch: exact mergeability (the state
+    contract) + bounded rank error vs exact quantiles."""
+
+    def test_merge_of_parts_equals_sketch_of_whole(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from hobbes_spark.functions.sketches import kmv_group_sketches, kmv_merge
+        from hobbes_spark.pipeline import Pipeline
+
+        ev = Pipeline.table(spark, sf_dir, "events").df.withColumn(
+            "d", F.to_date("ts")
+        )
+        daily = kmv_group_sketches(ev, ["event_type", "d"], "event_id", "value", k=64)
+        merged = kmv_merge(daily, ["event_type"], k=64)
+        direct = kmv_group_sketches(ev, ["event_type"], "event_id", "value", k=64)
+        a = {r.event_type: r.sketch for r in merged.collect()}
+        b = {r.event_type: r.sketch for r in direct.collect()}
+        assert a == b  # byte-identical state, not just close estimates
+
+    def test_quantile_rank_error_bounded(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from hobbes_spark.functions.sketches import kmv_group_sketches, kmv_quantile
+        from hobbes_spark.pipeline import Pipeline
+
+        ev = Pipeline.table(spark, sf_dir, "events").df
+        sk = kmv_group_sketches(ev, [], "event_id", "value", k=512)
+        est = sk.select(
+            kmv_quantile("sketch", 0.5).alias("p50"),
+            kmv_quantile("sketch", 0.9).alias("p90"),
+        ).first()
+        vals = sorted(r.value for r in ev.select("value").collect() if r.value is not None)
+        n = len(vals)
+
+        def true_rank(v):
+            import bisect
+
+            return bisect.bisect_right(vals, v) / n
+
+        # sampling rank error ~ sqrt(p(1-p)/k) ≈ 0.022 at k=512; 0.1 is >4σ
+        assert abs(true_rank(est.p50) - 0.5) < 0.1
+        assert abs(true_rank(est.p90) - 0.9) < 0.1
+
+    def test_estimates_are_sampled_values(self, spark):
+        from hobbes_spark.functions.sketches import kmv_group_sketches, kmv_quantile
+
+        df = spark.range(1000).selectExpr("id", "cast(id as double) * 0.5 as v")
+        sk = kmv_group_sketches(df, [], "id", "v", k=100)
+        row = sk.select("sketch", kmv_quantile("sketch", 0.5).alias("p50")).first()
+        assert row.p50 in [s.v for s in row.sketch]
+
+    def test_null_ids_and_values_excluded(self, spark):
+        from hobbes_spark.functions.sketches import kmv_group_sketches
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (None, 2.0), (3, None), (4, 4.0)], "id long, v double"
+        )
+        sk = kmv_group_sketches(df, [], "id", "v", k=10).first()
+        assert sorted(s.v for s in sk.sketch) == [1.0, 4.0]
+
+    def test_validation(self, spark):
+        import pytest as _pt
+        from hobbes_spark.functions.sketches import kmv_group_sketches, kmv_quantile
+
+        df = spark.range(5).selectExpr("id", "cast(id as double) as v")
+        with _pt.raises(ValueError):
+            kmv_group_sketches(df, [], "id", "v", hash_fn="sha9")
+        with _pt.raises(ValueError):
+            kmv_quantile("sketch", 0.0)
+
+    def test_build_uses_window_group_limit(self, spark):
+        # map-side bottom-k before the shuffle: the claim that shuffle
+        # volume is O(groups*k), not O(rows)
+        from hobbes_spark.functions.sketches import kmv_group_sketches
+
+        df = spark.range(1000).selectExpr("id", "id % 4 as g", "cast(id as double) as v")
+        plan = kmv_group_sketches(df, ["g"], "id", "v", k=64)._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
