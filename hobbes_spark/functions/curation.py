@@ -512,6 +512,62 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained BIGRAM language-model score per document: mean
+    natural-log of add-``alpha``-smoothed ``P(w2|w1) = (c(w1 w2) + α) /
+    (c(w1) + α·V)`` over the doc's casefolded token bigrams (V =
+    unigram vocabulary size). One conditioning order up from
+    :func:`unigram_logprob_scores` — a shuffled-word document scores
+    like its source under the unigram model but collapses under the
+    bigram one, so this is the cheapest model-free fluency signal
+    (KenLM's 5-gram is the production referent; bigrams keep it
+    SQL-expressible).
+
+    Plan shape: one explode per n-gram order (bigram occurrences +
+    unigram occurrences), two frequency aggregations keyed on uniform
+    gram strings (map-side partials), two joins back (AQE broadcasts
+    the vocab sides when they fit), one per-doc mean. Nothing leaves
+    the cluster.
+
+    Returns ``(id_col, n_bigrams, mean_logprob)``; docs with fewer than
+    2 tokens are absent (no bigram evidence).
+    """
+    bi = (
+        word_ngrams(df.select(F.col(id_col), c(text_col)), text_col, 2, "__bi")
+        .select(id_col, F.explode("__bi").alias("bg"))
+    )
+    uni = (
+        df.select(F.explode(tokens(F.lower(c(text_col)))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c1"))
+    )
+    vsize = uni.agg(F.count("*").alias("vsize"))
+    bi_counts = bi.groupBy("bg").agg(F.count("*").cast("bigint").alias("c12"))
+    first_tok = F.substring_index(F.col("bg"), " ", 1)
+    scored = (
+        bi.join(bi_counts, "bg")
+        .withColumn("tok", first_tok)
+        .join(uni, "tok")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            id_col,
+            F.log(
+                (F.col("c12") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * F.col("vsize"))
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.avg("__lp").alias("mean_logprob"),
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -30,6 +30,8 @@ __all__ = [
     "hash_sample",
     "hash_sample_by",
     "weighted_mixture",
+    "temperature_fractions",
+    "temperature_sample",
     "epoch_shuffle",
     "top_fraction_by",
     "group_sample",
@@ -117,6 +119,75 @@ def weighted_mixture(
     for nxt in picked[1:]:
         out = out.unionByName(nxt)
     return out
+
+
+def temperature_fractions(
+    df: DataFrame,
+    strata: str,
+    alpha: float = 0.7,
+    target_rows: int | None = None,
+) -> DataFrame:
+    """Per-stratum sampling fractions from temperature-scaled size
+    weights: ``p_s ∝ (n_s/N)^alpha`` (the multilingual-mixing rule of
+    mT5/XLM-R — ``alpha < 1`` up-weights rare sources relative to their
+    raw share; ``alpha = 1`` is proportional, ``alpha = 0`` uniform),
+    then ``frac_s = min(1, target_rows · p_s / n_s)``.
+
+    Returns ``(strata, n, frac)`` — a tiny table (one row per stratum)
+    computed by one keyed count; everything after the count is
+    expression-level on that tiny table, so nothing is collected to the
+    driver. ``target_rows`` defaults to the corpus size (pure
+    re-balancing).
+    """
+    if alpha < 0:
+        raise ValueError(f"temperature_fractions: alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(c(strata).alias(strata)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    sizes = counts.agg(
+        F.sum("n").cast("double").alias("__N"),
+    )
+    w = counts.crossJoin(F.broadcast(sizes)).withColumn(
+        "__w", F.pow(F.col("n") / F.col("__N"), F.lit(float(alpha)))
+    )
+    z = w.agg(F.sum("__w").alias("__Z"), F.max("__N").alias("__N2"))
+    tgt = (
+        F.lit(float(target_rows)) if target_rows is not None else F.col("__N2")
+    )
+    return (
+        w.crossJoin(F.broadcast(z))
+        .withColumn(
+            "frac",
+            F.least(F.lit(1.0), tgt * (F.col("__w") / F.col("__Z")) / F.col("n")),
+        )
+        .select(strata, "n", "frac")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    strata: str,
+    alpha: float = 0.7,
+    target_rows: int | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic temperature-balanced resampling: compute
+    :func:`temperature_fractions` and keep each row iff its hash bucket
+    falls under its stratum's threshold. The fractions table (one row
+    per stratum) BROADCASTS back onto the fact scan, so the corpus
+    itself never shuffles — one count aggregation plus a map-only
+    filtered scan, the same audit-friendly md5 selection as
+    :func:`hash_sample` (stable across partitionings, nested across
+    targets, SQL-replayable)."""
+    fr = temperature_fractions(df, strata, alpha, target_rows).select(
+        c(strata).alias("__s"), F.floor(F.col("frac") * _SCALE).alias("__t")
+    )
+    return (
+        df.join(F.broadcast(fr), c(strata) == F.col("__s"))
+        .filter(hash_bucket(key, salt) < F.col("__t"))
+        .drop("__s", "__t")
+    )
 
 
 def top_fraction_by(

@@ -6430,6 +6430,77 @@ def kmv_quantiles_prices(spark, sf_dir):
     )
 
 
+@q(
+    "bigram_scores",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> array_to_string(t[i:i+1], ' '))) AS bg
+      FROM toks
+    ),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+    ),
+    vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsize FROM uni),
+    bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY 1)
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {_rsql("AVG(ln((c.c12 + 0.5) / (u.c1 + 0.5 * v.vsize)))", 4)} AS mean_logprob
+    FROM bi b JOIN bc c USING (bg)
+    JOIN uni u ON u.tok = string_split(b.bg, ' ')[1]
+    CROSS JOIN vs v
+    GROUP BY b.doc_id
+    """,
+)
+def bigram_scores(spark, sf_dir):
+    """Corpus-trained bigram LM quality scores
+    (curation.bigram_logprob_scores): one conditioning order up from
+    unigram_scores — the cheapest model-free fluency signal (word-salad
+    docs collapse under P(w2|w1) while matching the unigram
+    distribution). Add-0.5 smoothing against the unigram vocabulary."""
+    from hobbes_spark.functions.curation import bigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents").df
+    out = bigram_logprob_scores(docs)
+    return out.select(
+        "doc_id", "n_bigrams", _r(F.col("mean_logprob"), 4).alias("mean_logprob")
+    )
+
+
+@q(
+    "temperature_sample_docs",
+    f"""
+    WITH n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(ns) AS DOUBLE) AS N FROM n),
+    w AS (SELECT source, ns, pow(ns / (SELECT N FROM tot), 0.7) AS wt FROM n),
+    z AS (SELECT SUM(wt) AS Z FROM w),
+    f AS (SELECT source,
+                 FLOOR(LEAST(1.0, 300.0 * (wt / (SELECT Z FROM z)) / ns) * 4294967296) AS t
+          FROM w)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN f USING (source)
+    WHERE {_hash_bucket_sql('d.doc_id')} < f.t
+    """,
+)
+def temperature_sample_docs(spark, sf_dir):
+    """Temperature-balanced source resampling
+    (sampling.temperature_sample, the mT5/XLM-R mixing rule): per-source
+    fractions from (n_s/N)^0.7 weights at a 300-row target, applied via
+    the deterministic md5 bucket — the fractions table broadcasts back
+    onto the scan, the corpus never shuffles, and DuckDB replays the
+    exact kept set."""
+    from hobbes_spark.functions.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").df
+    return temperature_sample(
+        docs, "doc_id", "source", alpha=0.7, target_rows=300
+    ).select("doc_id", "source", "n_chars")
+
+
 # --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #

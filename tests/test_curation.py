@@ -4,6 +4,7 @@ oracle gate lives in test_oracle_parity; these pin semantics the SQL twin
 can't (plan shape, flag thresholds, overflow behavior).
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from hobbes_spark.functions.curation import (
@@ -489,3 +490,82 @@ class TestRemoveBoilerplateLines:
         rows = [(i, f"line {i} body text here\ncommon footer line here") for i in range(6)]
         plan = remove_boilerplate_lines(self._df(spark, rows))._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+class TestBigramScores:
+    def test_word_salad_scores_below_fluent(self, spark):
+        from hobbes_spark.functions.curation import bigram_logprob_scores
+
+        fluent = "the quick brown fox jumps over the lazy dog"
+        rows = [(i, fluent) for i in range(6)]
+        # same unigrams, scrambled order -> same unigram stats, alien bigrams
+        rows.append((99, "dog the over quick lazy brown the jumps fox"))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r.doc_id: r.mean_logprob for r in bigram_logprob_scores(df).collect()}
+        assert got[99] < got[0] - 1.0  # collapses by >1 nat under the bigram LM
+
+    def test_short_docs_absent_counts_right(self, spark):
+        from hobbes_spark.functions.curation import bigram_logprob_scores
+
+        df = spark.createDataFrame(
+            [(1, "one"), (2, ""), (3, None), (4, "two words here")],
+            "doc_id bigint, text string",
+        )
+        got = {r.doc_id: r.n_bigrams for r in bigram_logprob_scores(df).collect()}
+        assert got == {4: 2}
+
+
+class TestTemperatureSample:
+    def _docs(self, spark, sizes):
+        rows = []
+        i = 0
+        for src, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, src))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    def test_alpha_one_is_proportional(self, spark):
+        from hobbes_spark.functions.sampling import temperature_fractions
+
+        df = self._docs(spark, {"big": 800, "small": 200})
+        fr = {r.source: r.frac for r in
+              temperature_fractions(df, "source", alpha=1.0, target_rows=500).collect()}
+        assert fr["big"] == pytest.approx(0.5) and fr["small"] == pytest.approx(0.5)
+
+    def test_low_alpha_upweights_rare_sources(self, spark):
+        from hobbes_spark.functions.sampling import temperature_fractions
+
+        df = self._docs(spark, {"big": 900, "small": 100})
+        fr = {r.source: r.frac for r in
+              temperature_fractions(df, "source", alpha=0.3, target_rows=500).collect()}
+        assert fr["small"] > fr["big"]  # rare source sampled at a higher rate
+        fr0 = {r.source: r.frac for r in
+               temperature_fractions(df, "source", alpha=0.0, target_rows=500).collect()}
+        # alpha=0: uniform share per source -> 250 rows each
+        assert fr0["small"] == pytest.approx(1.0)  # capped: 250 > 100
+        assert fr0["big"] == pytest.approx(250 / 900)
+
+    def test_sample_is_deterministic_and_capped(self, spark):
+        from hobbes_spark.functions.sampling import temperature_sample
+
+        df = self._docs(spark, {"a": 500, "b": 50})
+        s1 = sorted(r.doc_id for r in temperature_sample(df, "doc_id", "source",
+                                                         alpha=0.5, target_rows=200).collect())
+        s2 = sorted(r.doc_id for r in temperature_sample(df, "doc_id", "source",
+                                                         alpha=0.5, target_rows=200).collect())
+        assert s1 == s2 and 120 <= len(s1) <= 280  # hash sampling is ~binomial
+
+    def test_fractions_broadcast_not_shuffle(self, spark):
+        from hobbes_spark.functions.sampling import temperature_sample
+
+        df = self._docs(spark, {"a": 100, "b": 100})
+        plan = temperature_sample(df, "doc_id", "source")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_validation(self, spark):
+        from hobbes_spark.functions.sampling import temperature_fractions
+
+        df = self._docs(spark, {"a": 10})
+        with pytest.raises(ValueError):
+            temperature_fractions(df, "source", alpha=-0.1)

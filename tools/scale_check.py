@@ -455,11 +455,70 @@ def main():
         }
     )
 
+    def boilerplate(do):
+        from hobbes_spark.functions.curation import remove_boilerplate_lines
+        from hobbes_spark.functions.text import tokens
+
+        toks = tokens(F.lower(F.col("text")))
+        nseg = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+        chunks = F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(1), nseg),
+                lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 10 + 1, F.lit(10))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        ldocs = do.select("doc_id", F.concat_ws("\n", chunks).alias("text"))
+        # id-offset scaling repeats every text 16x, so line doc-frequency
+        # scales with N while the DISTINCT offender set stays constant —
+        # exactly the regime the broadcast design assumes
+        return remove_boilerplate_lines(ldocs).select("doc_id", "kept_lines")
+
+    def pagerank_shape(li):
+        from hobbes_spark.functions.graph import pagerank
+
+        ords = or1 if li is li1 else orN
+        edges = li.join(
+            ords.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        ).select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        return pagerank(edges, iterations=3)
+
+    def kmv_sketch(ev):
+        from hobbes_spark.functions.sketches import (
+            kmv_group_sketches, kmv_merge, kmv_quantile,
+        )
+
+        ev = fix_ts(ev).withColumn("d", F.to_date("ts"))
+        daily = kmv_group_sketches(
+            ev, ["event_type", "d"], "event_id", "value", k=256
+        )
+        merged = kmv_merge(daily, ["event_type"], k=256)
+        return merged.select(
+            "event_type",
+            kmv_quantile("sketch", 0.5).alias("p50"),
+            kmv_quantile("sketch", 0.99).alias("p99"),
+        )
+
+    cases.update(
+        {
+            "boilerplate_lines": (boilerplate, do1, doN),
+            "pagerank_3_rounds": (pagerank_shape, li1, liN),
+            "kmv_quantile_sketch": (kmv_sketch, ev1, evN),
+        }
+    )
+
     def run(df):
         df.write.format("noop").mode("overwrite").save()
 
+    only = set(sys.argv[3:])
     results = {}
     for name, (fn, small, big) in cases.items():
+        if only and name not in only:
+            continue
         run(fn(small))  # warm codegen so both measurements are steady-state
         t0 = time.perf_counter(); run(fn(small)); t_small = time.perf_counter() - t0
         t0 = time.perf_counter(); run(fn(big)); t_big = time.perf_counter() - t0
