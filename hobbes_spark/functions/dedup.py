@@ -59,23 +59,31 @@ def exact_dedup(
     md5-partitioned oracle checks. Together: 0.54 s → 0.30 s best-of-3
     at sf0.1. Pass ``hash_fn='md5'`` for bit-identical DuckDB replays.
 
-    NULL-text rows are not duplicates of each other (hash(NULL)=NULL
-    would lump them into one group): each gets a unique synthetic
-    group key derived from its id, so all of them survive — same
-    one-scan, one-shuffle plan.
+    NULL-text rows are not duplicates of each other and bypass the
+    aggregation entirely (``text IS NULL`` is a pushed parquet filter,
+    so the bypass branch reads next to nothing): every NULL-text row
+    survives unchanged, whatever its id. The earlier synthetic-group-key
+    formulation collapsed NULL-text rows with NULL/duplicate ids into
+    one all-NULL ``min_by`` row. Within the aggregated branch, ``id_col``
+    must be non-null per duplicate group for the keep-row to be defined:
+    ``min_by`` skips NULL ordering values (preferring rows that HAVE an
+    id), and a group whose ids are all NULL has no "lowest id" to keep.
     """
     cols = df.columns
     fp = fingerprint(text_col, hash_fn)
-    # (fp, NULL) for real fingerprints; (NULL, id) for NULL-text rows —
-    # type-preserving two-column group key, no string conversion
-    nk = F.when(fp.isNull(), c(id_col))
     # per-column min_by aggregates rather than ONE min_by over a struct:
     # Catalyst prunes aggregate expressions a parent projection doesn't
     # reference, so `exact_dedup(df).select("id", "src")` never shuffles
     # the text payload — a struct would pin every field into the exchange
     # (all values still come from the same min-id row)
     aggs = [F.min_by(c(col), c(id_col)).alias(col) for col in cols]
-    return df.groupBy(fp.alias("__fp"), nk.alias("__nk")).agg(*aggs).select(*cols)
+    deduped = (
+        df.filter(c(text_col).isNotNull())
+        .groupBy(fp.alias("__fp"))
+        .agg(*aggs)
+        .select(*cols)
+    )
+    return deduped.unionByName(df.filter(c(text_col).isNull()))
 
 
 def exploded_window_hashes(df, text_col, n: int, id_exprs) -> DataFrame:

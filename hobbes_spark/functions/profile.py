@@ -85,7 +85,13 @@ def winsorize(
             F.percentile(F.col(value_col), F.lit(hi)).alias("p_hi"),
         )
     )
-    clipped = F.least(F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi"))
+    # greatest/least SKIP NULL arguments (they don't propagate), so a
+    # bare clamp would turn a NULL measurement into the group's P(lo) —
+    # fabricated data. NULL in, NULL out.
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi")),
+    )
     return (
         df.join(bounds, keys)
         .withColumn("clipped", clipped)
@@ -116,8 +122,12 @@ def equi_depth_histogram(df, value_col: str, buckets: int = 10):
     assign = F.lit(1)
     for i in range(buckets - 1):
         assign = assign + F.when(F.col(value_col) > F.col("__b")[i], 1).otherwise(0)
+    # NULL values satisfy no `> boundary` test and would land in bucket
+    # 1, inflating its count while min/max ignore them; the histogram is
+    # over the non-null distribution, same population as the boundaries.
     return (
-        df.crossJoin(bounds)
+        df.filter(F.col(value_col).isNotNull())
+        .crossJoin(bounds)
         .select(assign.cast("int").alias("bucket"), F.col(value_col).alias("__v"))
         .groupBy("bucket")
         .agg(
