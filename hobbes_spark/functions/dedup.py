@@ -5,7 +5,7 @@ Everything is Spark built-in expressions (split / transform / slice /
 array_min / md5 / xxhash64) — no Python UDFs — so dedup over 100 TB is
 shuffle-bound, not Python-bound. The only shuffles are:
 
-* exact: one hash-partitioned window over the fingerprint;
+* exact: one hash aggregation on the fingerprint;
 * MinHash LSH: one explode + one self-equi-join on (band, band_key) —
   the classic shingle→minhash→band→bucket-join plan;
 * SimHash: one explode + keyed aggregation.
@@ -59,31 +59,47 @@ def exact_dedup(
     md5-partitioned oracle checks. Together: 0.54 s → 0.30 s best-of-3
     at sf0.1. Pass ``hash_fn='md5'`` for bit-identical DuckDB replays.
 
-    NULL-text rows are not duplicates of each other and bypass the
-    aggregation entirely (``text IS NULL`` is a pushed parquet filter,
-    so the bypass branch reads next to nothing): every NULL-text row
-    survives unchanged, whatever its id. The earlier synthetic-group-key
-    formulation collapsed NULL-text rows with NULL/duplicate ids into
-    one all-NULL ``min_by`` row. Within the aggregated branch, ``id_col``
-    must be non-null per duplicate group for the keep-row to be defined:
-    ``min_by`` skips NULL ordering values (preferring rows that HAVE an
-    id), and a group whose ids are all NULL has no "lowest id" to keep.
+    NULL-text rows are not duplicates of each other: every NULL-text
+    row survives unchanged, whatever its id. They flow through the SAME
+    single aggregation as everything else, each under a per-row-unique
+    synthetic group key (``monotonically_increasing_id`` — unique within
+    one evaluation, which is the only scope a grouping key needs), so
+    the plan stays one scan + one shuffle. The earlier filter/union
+    formulation had correct semantics but duplicated the upstream plan
+    across both branches, and the NULL branch had no aggregation
+    barrier — parent filters pushed below the upstream projection and
+    re-inlined its staged expressions (tests/test_plans.py::
+    test_curate_tokenizes_once caught 24 re-derived tokenizations in
+    curate_corpus, a measured 1.17x regression). A single Aggregate is a
+    pushdown barrier on every output column, and NULL-text rows no
+    longer force a second scan of the source.
+
+    The ``min_by`` ordering key is ``struct(id IS NULL, id)`` rather
+    than the raw id: rows that HAVE an id always win over NULL-id rows
+    (struct ordering sorts false < true), and a single-row NULL-text
+    group with a NULL id keeps its row instead of collapsing to the
+    all-NULL aggregate that raw ``min_by`` produces when every ordering
+    value is NULL. Among non-NULL ids the keep-row is still the lowest
+    id, which is what the md5-partitioned oracle checks.
     """
     cols = df.columns
     fp = fingerprint(text_col, hash_fn)
+    text_null = c(text_col).isNull()
+    # group key: (fingerprint | NULL, 0 | unique). NULL fingerprints all
+    # share key-part 1, so key-part 2 makes each NULL-text row a
+    # singleton group; non-NULL text shares (fp, 0) per duplicate set.
+    k1 = F.when(~text_null, fp).alias("__fp")
+    k2 = F.when(text_null, F.monotonically_increasing_id()).otherwise(
+        F.lit(0)
+    ).alias("__uniq")
+    keep_ord = F.struct(c(id_col).isNull().alias("__idnull"), c(id_col).alias("__id"))
     # per-column min_by aggregates rather than ONE min_by over a struct:
     # Catalyst prunes aggregate expressions a parent projection doesn't
     # reference, so `exact_dedup(df).select("id", "src")` never shuffles
     # the text payload — a struct would pin every field into the exchange
     # (all values still come from the same min-id row)
-    aggs = [F.min_by(c(col), c(id_col)).alias(col) for col in cols]
-    deduped = (
-        df.filter(c(text_col).isNotNull())
-        .groupBy(fp.alias("__fp"))
-        .agg(*aggs)
-        .select(*cols)
-    )
-    return deduped.unionByName(df.filter(c(text_col).isNull()))
+    aggs = [F.min_by(c(col), keep_ord).alias(col) for col in cols]
+    return df.groupBy(k1, k2).agg(*aggs).select(*cols)
 
 
 def exploded_window_hashes(df, text_col, n: int, id_exprs) -> DataFrame:

@@ -6505,39 +6505,43 @@ def temperature_sample_docs(spark, sf_dir):
 # Driver-gate window ordering.
 #
 # The driver's correctness gate records the FIRST 50 entries of
-# ``queries()`` in catalog order (CORRECTNESS_r01/_r02 each hold exactly
-# 50 rows).  Rounds 1-2 left the 42 queries added late in round 2 with
-# no driver-signed green row (VERDICT r2 §"What's missing" item 1), so
-# the catalog is explicitly re-keyed here: every not-yet-driver-verified
-# query — plus the queries whose oracles are new this round — occupies
-# the first-50 window; the already-signed r1/r2 set follows and keeps
-# its local gate_check + pytest cover as regression evidence.
+# ``queries()`` in catalog order (CORRECTNESS_r01/_r02/_r03 each hold
+# exactly 50 rows).  The signed union across rounds 1-3 is 97 of the
+# 150-query catalog; this round-4 window holds 50 of the 53 still
+# unsigned (all of which pass the strict local mirror,
+# ``tools/gate_check.py``).  Three ingest/front-end gates with heavy
+# direct pytest coverage (csv_sniff_roundtrip, csv_sniff_locale,
+# hb_localdata_top — tests/test_ingest.py, tests/test_hb.py) are
+# deferred to lead round 5's window alongside queries added this round.
+# Already-signed queries follow the window and keep their local
+# gate_check + pytest cover as regression evidence.
 # --------------------------------------------------------------------- #
 
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # unsigned after rounds 1-2 (42)
-    "range_band_sums", "winnow_fingerprints", "curate_corpus",
-    "embedding_neardup_exact", "embedding_neardup_lsh", "salted_group_sum",
-    "stream_session_counts", "slice_rows_window", "stream_interval_join",
-    "decontaminate_docs", "repetition_filter", "pack_docs",
-    "group_percentiles", "contamination_report", "unigram_scores",
-    "chunk_docs", "redact_docs", "prepare_corpus", "tfidf_top_terms",
-    "classifier_scores", "epoch_shuffle_order", "duplicate_ngram_frac",
-    "dedup_spans", "media_decode_meta", "media_frame_plan",
-    "quality_top_fraction", "minhash_incremental", "tpch_q3_topk",
-    "tpch_q5_region", "stream_static_enrich", "bloom_decontaminate",
-    # asof_attribution replaces rows-only sketch_user_rollup in the
-    # window: a hash-signed row beats a rows-only row, and the sketch
-    # query keeps its merge==direct tests + judge gate evidence.
-    "dedup_components_star", "semantic_dedup_keep", "asof_attribution",
-    "topk_per_group", "label_centroids", "hb_velocity_pivot",
-    "jaccard_prefix_pairs", "dsir_weights", "cohort_retention",
-    "daily_value_delta", "tpch_q14_promo",
-    # rows-only in r1/r2; oracled (or invariant-oracled) this round
-    "kmeans_clusters", "minhash_pairs_fast", "ann_lsh_topk",
-    # new in round 3
-    "cms_top_terms", "dedup_paragraphs", "hb_bucket_trend",
-    "tpch_q7_volume", "tpch_q10_returns",
+    # the 16 TPC-H shapes unsigned after rounds 1-3
+    "tpch_q1_pricing", "tpch_q2_mincost", "tpch_q4_priority",
+    "tpch_q6_forecast", "tpch_q8_mktshare", "tpch_q9_profit",
+    "tpch_q11_stockvalue", "tpch_q12_shipmode", "tpch_q13_custdist",
+    "tpch_q15_topsupp", "tpch_q16_suppcnt", "tpch_q17_smallqty",
+    "tpch_q18_big_orders", "tpch_q19_disjuncts", "tpch_q20_promotion",
+    "tpch_q21_waiting", "tpch_q22_opportunity",
+    # analytics / windowing / relational shapes
+    "gap_fill_ffill", "ohlc_bars", "scd2_intervals", "corr_matrix",
+    "cube_orders", "dedup_keep_best", "props_json_stats",
+    "batch_sessions", "funnel_conversion", "salted_join_revenue",
+    "profile_lineitem", "user_streaks", "winsorize_values",
+    "validate_orders", "concurrency_peak", "histogram_prices",
+    "unpivot_charges", "mode_priority", "mad_outliers",
+    "fuzzy_name_pairs",
+    # LLM-pipeline / text / sampling family
+    "bm25_topk", "source_overlap", "boilerplate_lines",
+    "kmv_quantiles_prices", "bigram_scores", "temperature_sample_docs",
+    "group_sample_docs", "quantize_error_stats", "media_phash_pairs",
+    "pagerank_centrality",
+    # streaming
+    "stream_ohlc_bars", "stream_sliding_counts",
+    # HLL rollup — oracled this round via the checkpoint-replay pattern
+    "sketch_user_rollup",
 ]
 
 
