@@ -30,6 +30,8 @@ __all__ = [
     "hll_group_sketches",
     "hll_rollup_estimate",
     "hll_estimate",
+    "hll_register_table",
+    "hll_table_rollup",
     "theta_group_sketches",
     "theta_overlap_estimate",
     "cms_build",
@@ -87,6 +89,111 @@ def hll_estimate(sketch: Column | str) -> Column:
     """Estimate of one sketch value (row-wise)."""
     col = F.col(sketch) if isinstance(sketch, str) else sketch
     return F.hll_sketch_estimate(col)
+
+
+# --------------------------------------------------------------------- #
+# Register-table HLL: the same build-small-merge-later shape as
+# hll_group_sketches, with the registers held as a TABLE of
+# (keys..., bucket, r) rows instead of a DataSketches binary blob —
+# exactly the representation trick the count-min sketch below already
+# uses. That costs a few rows per sketch but buys: merge = groupBy MAX
+# (associative, like every max), persistence = plain parquet, and an
+# external engine can rebuild the identical table and replay the
+# estimate formula (md5 hash path), so the whole pipeline —
+# hash → bucket/rank → daily registers → merged rollup → estimate —
+# is value-checked end-to-end by the DuckDB gate rather than rows-only.
+# The DataSketches-native pair above stays the production variant
+# (denser state, tuned estimator); this one is its replayable twin with
+# the classic Flajolet HLL estimator + linear-counting small-range
+# correction.
+# --------------------------------------------------------------------- #
+
+
+def _hll_bucket_rank(col: str, lgk: int, hash_fn: str) -> tuple[Column, Column]:
+    """(bucket, rank) for one value: low ``lgk`` hash bits pick the
+    register, the rank is leading-zeros-plus-one of the remaining bits.
+    Highest-set-bit position comes from ``length(bin(w))`` — exact
+    integer string length in both Spark and DuckDB, no float log2 at
+    power-of-two boundaries."""
+    if hash_fn == "md5":
+        # 60-bit integer from the first 15 md5 hex chars — replayable in
+        # DuckDB via the strpos polynomial (same trick as the CMS/simhash
+        # oracles); values hash via their canonical string form.
+        v = F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        width = 60 - lgk
+    elif hash_fn == "xxhash64":
+        v = F.shiftrightunsigned(F.xxhash64(F.col(col)), 1)  # 63 nonneg bits
+        width = 63 - lgk
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    m = 1 << lgk
+    bucket = F.pmod(v, F.lit(m)).cast("int")
+    w = F.shiftright(v, lgk)
+    rank = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(w))
+    )
+    return bucket, rank.cast("int")
+
+
+def hll_register_table(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    lgk: int = 12,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """One HLL register table per ``keys`` group over ``col``:
+    ``(*keys, bucket: int, r: int)``, at most ``2^lgk`` rows per group
+    (only non-zero registers are materialized).
+
+    Same ingest-time contract as :func:`hll_group_sketches`: one
+    shuffle keyed by ``(keys, bucket)`` with map-side partial MAX, so
+    shuffle volume is bounded by groups × 2^lgk regardless of row
+    count. NULL values carry no distinct-count information and are
+    dropped (DataSketches does the same)."""
+    bucket, rank = _hll_bucket_rank(col, lgk, hash_fn)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*[F.col(k) for k in keys], bucket.alias("bucket"), rank.alias("__r0"))
+        .groupBy(*[F.col(k) for k in keys], F.col("bucket"))
+        .agg(F.max("__r0").alias("r"))
+    )
+
+
+def hll_table_rollup(
+    regs: DataFrame,
+    by: Sequence[str],
+    lgk: int = 12,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Merge register tables up to the coarser ``by`` keys and
+    estimate: ``(*by, approx_distinct: double)``.
+
+    Merge is ``MAX(r)`` per (by, bucket) — associative and lossless, so
+    rolling daily tables up to monthly equals building monthly
+    directly (pinned in tests). Estimator is standard HLL:
+    ``alpha_m * m^2 / sum(2^-r)`` over all m registers (absent rows are
+    zero registers contributing 2^0), switching to linear counting
+    ``m * ln(m / zeros)`` in the small range (raw <= 2.5m with empty
+    registers) where the raw estimator biases high."""
+    m = 1 << lgk
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    merged = regs.groupBy(*[F.col(k) for k in by], F.col("bucket")).agg(
+        F.max("r").alias("r")
+    )
+    gb = merged.groupBy(*[F.col(k) for k in by]) if by else merged.groupBy()
+    agg = gb.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("__s"),
+        (F.lit(m) - F.count(F.lit(1))).cast("double").alias("__nz"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("__s") + F.col("__nz"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("__nz") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("__nz")),
+    ).otherwise(raw)
+    return agg.select(*[F.col(k) for k in by], est.alias(out_col))
 
 
 def theta_group_sketches(

@@ -3213,23 +3213,71 @@ def semantic_dedup_keep(spark, sf_dir):
     return out.select(F.col("vec_id").cast("bigint").alias("vec_id"))
 
 
-@q("sketch_user_rollup", None)  # HLL binary state: no SQL twin, rows-only
+_HLL_M = 1 << 12  # lgk=12, matches hll_register_table's default
+_HLL_RAW = f"{0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M!r} / (s + nz)"
+
+
+def _hll_rollup_sql() -> str:
+    """DuckDB replay of the register-table HLL rollup: identical 60-bit
+    md5 hash (strpos polynomial — same trick as the CMS/simhash
+    oracles), identical bucket/rank split, the same daily-then-merged
+    MAX aggregation, and the same estimator constants inlined from one
+    Python expression, so the value hash checks the entire
+    hash→register→merge→estimate pipeline."""
+    poly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    m = _HLL_M
+    est = (
+        f"CASE WHEN {_HLL_RAW} <= {2.5 * m!r} AND nz > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / nz) ELSE {_HLL_RAW} END"
+    )
+    return f"""
+    WITH hv AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, ({poly}) AS v
+      FROM (SELECT event_type, ts, md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events WHERE user_id IS NOT NULL)
+    ),
+    daily AS (
+      SELECT event_type, d, v % {m} AS bucket,
+             MAX(CASE WHEN v // {m} = 0 THEN 49
+                      ELSE 49 - length(bin(v // {m})) END) AS r
+      FROM hv GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT event_type, bucket, MAX(r) AS r FROM daily GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type, SUM(power(2.0, -r)) AS s,
+             CAST({m} - COUNT(*) AS DOUBLE) AS nz
+      FROM merged GROUP BY 1
+    )
+    SELECT event_type, {_rsql(est, 4)} AS approx_distinct FROM agg
+    """
+
+
+@q("sketch_user_rollup", _hll_rollup_sql())
 def sketch_user_rollup(spark, sf_dir):
-    """Mergeable-sketch rollup: per-(event_type, day) HLL sketches of
-    user_id merged up to per-type approximate distinct counts — the
-    materialized-aggregate pattern (build small state at ingest, answer
-    rollups from state, never rescan). Merge-equals-direct and
-    error-vs-exact are pinned in tests/test_functions.py; DuckDB has no
-    compatible sketch, so the gate records rows-only."""
+    """Mergeable-sketch rollup: per-(event_type, day) HLL register
+    tables of user_id merged up to per-type approximate distinct
+    counts — the materialized-aggregate pattern (build small state at
+    ingest, answer rollups from state, never rescan). The gate runs the
+    replayable register-table twin (sketches.hll_register_table, md5
+    path) so DuckDB value-checks hash→register→merge→estimate
+    end-to-end; the DataSketches-binary variant (hll_group_sketches /
+    hll_rollup_estimate, the denser production state) is pinned by
+    merge-equals-direct and error-vs-exact tests in
+    tests/test_functions.py."""
     from hobbes_spark.functions.sketches import (
-        hll_group_sketches,
-        hll_rollup_estimate,
+        hll_register_table,
+        hll_table_rollup,
     )
 
     ev = _t(spark, sf_dir, "events").df.withColumn("d", F.to_date("ts"))
-    daily = hll_group_sketches(ev, ["event_type", "d"], "user_id")
-    return hll_rollup_estimate(daily, ["event_type"]).select(
-        "event_type", F.col("approx_distinct").cast("bigint").alias("approx_distinct")
+    daily = hll_register_table(ev, ["event_type", "d"], "user_id", hash_fn="md5")
+    return hll_table_rollup(daily, ["event_type"]).select(
+        "event_type", _r(F.col("approx_distinct"), 4).alias("approx_distinct")
     )
 
 

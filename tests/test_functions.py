@@ -740,6 +740,90 @@ class TestHllSketches:
         assert stored == live
 
 
+class TestHllRegisterTable:
+    """Replayable register-table HLL twin: same mergeable-state
+    contract as the DataSketches pair, plus both hash paths track
+    exact counts (the md5 path is what the DuckDB gate replays)."""
+
+    def test_merge_of_daily_equals_direct(self, spark, sf_dir):
+        from hobbes_spark.functions.sketches import (
+            hll_register_table,
+            hll_table_rollup,
+        )
+        from hobbes_spark.pipeline import Pipeline
+
+        ev = Pipeline.table(spark, sf_dir, "events").df.withColumn(
+            "d", F.to_date("ts")
+        )
+        merged = hll_table_rollup(
+            hll_register_table(ev, ["event_type", "d"], "user_id"), ["event_type"]
+        )
+        direct = hll_table_rollup(
+            hll_register_table(ev, ["event_type"], "user_id"), ["event_type"]
+        )
+        got = {r.event_type: r.approx_distinct for r in merged.collect()}
+        want = {r.event_type: r.approx_distinct for r in direct.collect()}
+        assert got == want  # register MAX-merge is lossless
+
+    @pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+    def test_estimate_tracks_exact(self, spark, sf_dir, hash_fn):
+        from hobbes_spark.functions.sketches import (
+            hll_register_table,
+            hll_table_rollup,
+        )
+        from hobbes_spark.pipeline import Pipeline
+
+        ev = Pipeline.table(spark, sf_dir, "events").df
+        est = {
+            r.event_type: r.approx_distinct
+            for r in hll_table_rollup(
+                hll_register_table(ev, ["event_type"], "user_id", hash_fn=hash_fn),
+                ["event_type"],
+            ).collect()
+        }
+        exact = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect()
+        }
+        for k, n in exact.items():
+            assert abs(est[k] - n) <= max(3, 0.06 * n), (k, est[k], n, hash_fn)
+
+    def test_registers_survive_parquet(self, spark, sf_dir, tmp_path):
+        from hobbes_spark.functions.sketches import (
+            hll_register_table,
+            hll_table_rollup,
+        )
+        from hobbes_spark.pipeline import Pipeline
+
+        ev = Pipeline.table(spark, sf_dir, "events").df
+        hll_register_table(ev, ["event_type"], "user_id").write.parquet(
+            str(tmp_path / "regs")
+        )
+        back = spark.read.parquet(str(tmp_path / "regs"))
+        live = hll_table_rollup(
+            hll_register_table(ev, ["event_type"], "user_id"), []
+        ).collect()[0][0]
+        stored = hll_table_rollup(back, []).collect()[0][0]
+        assert stored == live
+
+    def test_null_values_carry_no_information(self, spark):
+        from hobbes_spark.functions.sketches import (
+            hll_register_table,
+            hll_table_rollup,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", None), ("a", 2), ("b", None)],
+            "k string, v int",
+        )
+        regs = hll_register_table(df, ["k"], "v")
+        out = {r.k: r.approx_distinct for r in hll_table_rollup(regs, ["k"]).collect()}
+        assert "b" not in out  # all-NULL group has no registers at all
+        assert abs(out["a"] - 2) <= 1
+
+
 class TestThetaOverlap:
     def test_intersection_estimate_tracks_exact(self, spark, sf_dir):
         from hobbes_spark.functions.sketches import (
