@@ -6550,6 +6550,268 @@ def temperature_sample_docs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# The rest of the reference .hb corpus as driver-signable gate rows.
+# tests/test_hb.py runs all 7 reference programs verbatim on synthetic
+# fixtures; these five queries port the remaining programs' pipeline
+# shapes onto the driver parquet tables (the way hb_velocity_pivot
+# ports Velocity.hb) and run REAL .hb text through the front-end, each
+# with a DuckDB twin — so every reference program has both a verbatim
+# run and a value-hash-checked catalog row (SURVEY §5 parity claim).
+# --------------------------------------------------------------------- #
+
+_HB_MTTR = """
+only ((o_orderstatus = 'F') && !(o_totalprice = missing))
+group by o_orderpriority o_custkey -> maxby o_orderkey
+create column SprintNumber (format date "o_orderdate" year)
+slice columns SprintNumber o_totalprice
+create column tick 1
+group by SprintNumber -> sum
+rename column o_totalprice temp
+create column o_totalprice (temp / tick)
+rename column tick Count
+create column SprintNumber keys
+sort by column SprintNumber
+index rows by SprintNumber
+create column "Mean price 3" (moving mean 3 [o_totalprice])
+create column "Mean price 5" (moving mean 5 [o_totalprice])
+create column "Mean orders 3" (moving mean 3 [Count])
+slice columns "Mean price 3" "Mean price 5" "Mean orders 3"
+only !("Mean price 5" = missing)
+"""
+
+
+@q(
+    "hb_mttr",
+    f"""
+    WITH dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderpriority, o_custkey
+                                     ORDER BY o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    sums AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS sprint,
+             SUM(o_totalprice) AS temp, COUNT(*) AS cnt
+      FROM dedup GROUP BY 1
+    ),
+    win AS (
+      SELECT AVG(temp / cnt) OVER w3 AS m3,
+             AVG(temp / cnt) OVER w5 AS m5,
+             AVG(cnt) OVER w3 AS mo3,
+             ROW_NUMBER() OVER (ORDER BY sprint) AS rn
+      FROM sums
+      WINDOW w3 AS (ORDER BY sprint ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             w5 AS (ORDER BY sprint ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT {_rsql('m3', 4)} AS mean_price_3, {_rsql('m5', 4)} AS mean_price_5,
+           {_rsql('mo3', 4)} AS mean_orders_3
+    FROM win WHERE rn >= 5
+    """,
+)
+def hb_mttr(spark, sf_dir):
+    """The MTTR.hb pipeline shape (reference
+    tests/transformations/MTTR.hb:21-38) on orders: filter → two-key
+    maxby dedup → period derive → slice → tick → group-sum → derived
+    mean via rename/recreate → keys recreate → sort/index → short+long
+    moving means → missing cleanup — the whole statement sequence
+    through the .hb TEXT front-end. tests/test_hb.py additionally runs
+    the reference file verbatim on a revisions fixture."""
+    from hobbes_spark.hb import run_hb
+
+    out = run_hb(_HB_MTTR, _t(spark, sf_dir, "orders"))
+    return out.df.select(
+        _r(F.col("Mean price 3"), 4).alias("mean_price_3"),
+        _r(F.col("Mean price 5"), 4).alias("mean_price_5"),
+        _r(F.col("Mean orders 3"), 4).alias("mean_orders_3"),
+    )
+
+
+_HB_CYCLE_TIME = """
+only ((o_orderstatus = 'O') && !(o_totalprice = missing))
+group by o_orderpriority o_custkey -> maxby o_orderkey
+create column SprintNumber (format date "o_orderdate" year)
+slice columns o_orderpriority SprintNumber o_totalprice
+create column tick 1
+rename column o_totalprice temp
+group by SprintNumber -> sum
+"""
+
+
+@q(
+    "hb_cycle_time",
+    f"""
+    WITH dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderpriority, o_custkey
+                                     ORDER BY o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL
+      ) WHERE rn = 1
+    )
+    SELECT CAST(year(o_orderdate) AS INT) AS sprint_number,
+           {_rsql('SUM(o_totalprice)', 4)} AS temp,
+           CAST(COUNT(*) AS BIGINT) AS tick
+    FROM dedup GROUP BY 1
+    """,
+)
+def hb_cycle_time(spark, sf_dir):
+    """The LogicCycleTime.hb pipeline shape (reference
+    tests/transformations/LogicCycleTime.hb:22-29): filter → maxby →
+    rename-before-group ordering, ending at the numeric-only group-sum
+    that drops the non-numeric carry column (o_orderpriority here,
+    "Sprint Name" in the reference) — the semantics
+    tests/test_hb.py::test_logic_cycle_time pins on the verbatim file."""
+    from hobbes_spark.hb import run_hb
+
+    out = run_hb(_HB_CYCLE_TIME, _t(spark, sf_dir, "orders"))
+    return out.df.select(
+        F.col("SprintNumber").cast("int").alias("sprint_number"),
+        _r(F.col("temp"), 4).alias("temp"),
+        F.col("tick").cast("bigint").alias("tick"),
+    )
+
+
+_HB_COMMIT_FREQ = """
+create column "date" (format date "ts" date)
+only (((format date "date" month) = 1 && (format date "date" day) > 5) || ((format date "date" month) >= 2))
+create column tick 1
+slice columns date tick
+group by date -> sum
+rename column tick "count"
+sort by column date
+create column Frequency (moving mean 7 ["count"])
+create column "Frequency long" (moving mean 14 ["count"])
+slice columns Frequency "Frequency long"
+only !(Frequency = missing)
+"""
+
+
+@q(
+    "hb_commit_frequency",
+    f"""
+    WITH kept AS (
+      SELECT CAST(ts AS DATE) AS d FROM events
+      WHERE (month(CAST(ts AS DATE)) = 1 AND day(CAST(ts AS DATE)) > 5)
+         OR month(CAST(ts AS DATE)) >= 2
+    ),
+    counts AS (SELECT d, COUNT(*) AS cnt FROM kept GROUP BY 1),
+    win AS (
+      SELECT AVG(cnt) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS f,
+             CASE WHEN ROW_NUMBER() OVER (ORDER BY d) >= 14
+                  THEN AVG(cnt) OVER (ORDER BY d
+                                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+             END AS fl,
+             ROW_NUMBER() OVER (ORDER BY d) AS rn
+      FROM counts
+    )
+    SELECT {_rsql('f', 4)} AS frequency, {_rsql('fl', 4)} AS frequency_long
+    FROM win WHERE rn >= 7
+    """,
+)
+def hb_commit_frequency(spark, sf_dir):
+    """The Logic Commit Frequency.hb pipeline shape (reference
+    tests/transformations/Logic Commit Frequency.hb:31-41) on events:
+    date truncation, the compound OR-of-ANDs date-part filter, per-day
+    tick sum, then short/long moving means where only the SHORT one is
+    missing-filtered — rows 7..13 legitimately carry NULL in the long
+    column on both engines (the reference keeps them too)."""
+    from hobbes_spark.hb import run_hb
+
+    out = run_hb(_HB_COMMIT_FREQ, _t(spark, sf_dir, "events"))
+    return out.df.select(
+        _r(F.col("Frequency"), 4).alias("frequency"),
+        _r(F.col("Frequency long"), 4).alias("frequency_long"),
+    )
+
+
+_HB_GANDALF = r"""
+only (event_type = 'click' || event_type = 'view' || event_type = 'purchase')
+group by user_id event_type -> maxby event_id
+rename column props "Raw Props"
+create column "Prop Number" (int (regex ["Raw Props"] /[^\\d]*([\\d]+).*/ [$1]))
+rename column event_type DetailedType
+create column Type (if [DetailedType = 'purchase'] {'Conversion'} else { if ["DetailedType" = 'click'] {'Engagement'} else {'Passive'} })
+slice columns user_id event_id "Prop Number" Type "StoryPoints" "Priority"
+"""
+
+
+@q(
+    "hb_gandalf_state",
+    """
+    SELECT user_id, event_id,
+           CAST(regexp_extract(props, '[^0-9]*([0-9]+)', 1) AS INTEGER) AS prop_number,
+           CASE WHEN event_type = 'purchase' THEN 'Conversion'
+                WHEN event_type = 'click' THEN 'Engagement'
+                ELSE 'Passive' END AS type
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ) WHERE rn = 1
+    """,
+)
+def hb_gandalf_state(spark, sf_dir):
+    """The gandalf.hb pipeline shape (reference
+    tests/transformations/gandalf.hb:15-22) on events: filter →
+    two-key maxby (latest event per user × type — genuinely folding) →
+    rename of a NON-key column → regex+int derive → rename-then-nested-if
+    state mapping → tolerant slice (StoryPoints/Priority don't exist and
+    must be skipped without error, gandalf.hb:22 relies on this)."""
+    from hobbes_spark.hb import run_hb
+
+    out = run_hb(_HB_GANDALF, _t(spark, sf_dir, "events"))
+    return out.df.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("Prop Number").cast("int").alias("prop_number"),
+        F.col("Type").alias("type"),
+    )
+
+
+_HB_LOGIC = r"""
+only (c_mktsegment = 'BUILDING' || c_mktsegment = 'AUTOMOBILE' || c_mktsegment = 'MACHINERY')
+group by c_name c_custkey -> maxby c_acctbal
+rename column c_name "Customer Name"
+create column "Customer Number" (int (regex ["Customer Name"] /[Cc][Uu][Ss][Tt][Oo][Mm][Ee][Rr]#0*([\\d]+).*/ [$1]))
+rename column c_mktsegment DetailedSegment
+create column Segment (if [DetailedSegment = 'BUILDING' || DetailedSegment = 'AUTOMOBILE'] {'Consumer'} else { if ["DetailedSegment" = 'MACHINERY'] {'Industrial'} else {'Todo'} })
+slice columns "Customer Name" c_custkey c_acctbal "Customer Number" Segment "StoryPoints" "Priority"
+"""
+
+
+@q(
+    "hb_logic_state",
+    f"""
+    SELECT c_name AS customer_name, c_custkey, {_rsql('c_acctbal', 4)} AS acctbal,
+           CAST(regexp_extract(c_name,
+                '[Cc][Uu][Ss][Tt][Oo][Mm][Ee][Rr]#0*([0-9]+)', 1) AS INTEGER)
+             AS customer_number,
+           CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE') THEN 'Consumer'
+                WHEN c_mktsegment = 'MACHINERY' THEN 'Industrial'
+                ELSE 'Todo' END AS segment
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+    """,
+)
+def hb_logic_state(spark, sf_dir):
+    """The logic.hb pipeline shape (reference
+    tests/transformations/logic.hb:15-22) on customer — logic.hb's
+    distinguishing move vs gandalf.hb is renaming the GROUP KEY column
+    itself and then regexing the renamed key (case-class pattern with
+    leading-zero skip); plus the same nested-if and tolerant slice."""
+    from hobbes_spark.hb import run_hb
+
+    out = run_hb(_HB_LOGIC, _t(spark, sf_dir, "customer"))
+    return out.df.select(
+        F.col("Customer Name").alias("customer_name"),
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        _r(F.col("c_acctbal"), 4).alias("acctbal"),
+        F.col("Customer Number").cast("int").alias("customer_number"),
+        F.col("Segment").alias("segment"),
+    )
+
+
+# --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #
 # The driver's correctness gate records the FIRST 50 entries of
