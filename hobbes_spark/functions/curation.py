@@ -712,6 +712,7 @@ def pack_documents(
     order: Sequence[str] = ("doc_id",),
     pack_col: str = "pack_id",
     pos_col: str = "pack_pos",
+    shards: int | None = None,
 ) -> DataFrame:
     """Assign contiguous documents to token-budget packs (sequence
     packing for pretraining): within each ``by`` group, walk documents
@@ -727,17 +728,84 @@ def pack_documents(
     past the slots it consumed). ``pack_pos`` is the doc's position in
     its pack.
 
-    One keyed window shuffle on ``by`` — never a global order.
+    The running sum is a distributed two-pass prefix scan, not one
+    window per ``by`` group: a per-group window serializes each group
+    into a single task, and a 100 TB corpus with ~10 sources would pack
+    on 10 cores (measured 4.8× at 16× in SCALE.md before this).
+    Instead rows are range-blocked on the first ``order`` column
+    (``percentile_approx`` boundaries, broadcast), summed within
+    (by, block) windows — ``shards``× the parallelism — and shifted by
+    per-block offset totals (a by×shards-row table, broadcast back).
+    Identical results to the single window because block ranges are
+    contiguous in the scan order and ties of the blocking value never
+    straddle a boundary. ``shards`` defaults to min(default parallelism,
+    input partitions) when the first order column is numeric — a corpus
+    that fits one scan partition keeps the cheap single-window plan (the
+    boundary agg + offset join are pure overhead there: 1.27 s vs 0.38 s
+    at 1×, tools/scale_check.py) while a many-partition corpus fans out.
+    Pass 1 to force the single-window plan (required when the order
+    column is non-numeric, where range boundaries can't be computed).
     """
     tc = F.size(tokens(c(text_col))) if token_count_col is None else c(token_count_col)
-    w = (
-        Window.partitionBy(*[c(b) for b in by])
-        .orderBy(*[c(o) for o in order])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = df.withColumn("token_count", tc.cast("bigint")).withColumn(
-        "__run", F.sum("token_count").over(w)
-    )
+    out = df.withColumn("token_count", tc.cast("bigint"))
+    if shards is None:
+        from pyspark.sql.types import NumericType
+
+        o0 = order[0]
+        numeric = isinstance(o0, str) and o0 in df.columns and isinstance(
+            df.schema[o0].dataType, NumericType
+        )
+        shards = (
+            min(
+                df.sparkSession.sparkContext.defaultParallelism,
+                df.rdd.getNumPartitions(),
+            )
+            if numeric
+            else 1
+        )
+    if shards > 1:
+        o0c = c(order[0])
+        qs = [i / shards for i in range(1, shards)]
+        bounds = out.groupBy().agg(
+            F.percentile_approx(o0c, qs, 10000).alias("__bounds")
+        )
+        out = (
+            out.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "__blk",
+                F.size(F.filter(F.col("__bounds"), lambda b: b < o0c)),
+            )
+            .drop("__bounds")
+        )
+        wl = (
+            Window.partitionBy(*[c(b) for b in by], F.col("__blk"))
+            .orderBy(*[c(o) for o in order])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn("__runl", F.sum("token_count").over(wl))
+        wo = (
+            Window.partitionBy(*[c(b) for b in by])
+            .orderBy(F.col("__blk"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = (
+            out.groupBy(*[c(b) for b in by], F.col("__blk"))
+            .agg(F.sum("token_count").alias("__bt"))
+            .withColumn("__off", F.coalesce(F.sum("__bt").over(wo), F.lit(0)))
+            .drop("__bt")
+        )
+        out = (
+            out.join(F.broadcast(offs), [*by, "__blk"])
+            .withColumn("__run", F.col("__runl") + F.col("__off"))
+            .drop("__blk", "__runl", "__off")
+        )
+    else:
+        w = (
+            Window.partitionBy(*[c(b) for b in by])
+            .orderBy(*[c(o) for o in order])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn("__run", F.sum("token_count").over(w))
     out = out.withColumn(
         pack_col, F.floor((F.col("__run") - F.col("token_count")) / F.lit(budget))
     )

@@ -74,13 +74,17 @@ def exact_dedup(
     pushdown barrier on every output column, and NULL-text rows no
     longer force a second scan of the source.
 
-    The ``min_by`` ordering key is ``struct(id IS NULL, id)`` rather
-    than the raw id: rows that HAVE an id always win over NULL-id rows
-    (struct ordering sorts false < true), and a single-row NULL-text
-    group with a NULL id keeps its row instead of collapsing to the
-    all-NULL aggregate that raw ``min_by`` produces when every ordering
-    value is NULL. Among non-NULL ids the keep-row is still the lowest
-    id, which is what the md5-partitioned oracle checks.
+    The ``min_by`` ordering key is ``when(text IS NULL, 0) otherwise id``
+    — a NULL-text singleton group gets a constant non-null ordering
+    value, so its row survives even with a NULL id (raw ``min_by``
+    returns all-NULL when every ordering value is NULL). A flat scalar,
+    not ``struct(id IS NULL, id)``: the struct comparator measurably
+    doubles the aggregation cost at 16× scale (0.88 s vs 0.48 s,
+    tools/scale_check.py) for a tie-break that only matters in the
+    singleton groups where any constant works. In the aggregated branch
+    the ordering key is the raw id, so ``min_by`` skips NULL-id rows
+    (preferring rows that HAVE an id) and a duplicate group whose ids
+    are all NULL has no defined keep-row — same contract as before.
     """
     cols = df.columns
     fp = fingerprint(text_col, hash_fn)
@@ -92,7 +96,7 @@ def exact_dedup(
     k2 = F.when(text_null, F.monotonically_increasing_id()).otherwise(
         F.lit(0)
     ).alias("__uniq")
-    keep_ord = F.struct(c(id_col).isNull().alias("__idnull"), c(id_col).alias("__id"))
+    keep_ord = F.when(text_null, F.lit(0)).otherwise(c(id_col))
     # per-column min_by aggregates rather than ONE min_by over a struct:
     # Catalyst prunes aggregate expressions a parent projection doesn't
     # reference, so `exact_dedup(df).select("id", "src")` never shuffles

@@ -179,12 +179,19 @@ def temperature_sample(
     itself never shuffles — one count aggregation plus a map-only
     filtered scan, the same audit-friendly md5 selection as
     :func:`hash_sample` (stable across partitionings, nested across
-    targets, SQL-replayable)."""
+    targets, SQL-replayable).
+
+    The join back onto the scan is NULL-safe: ``temperature_fractions``
+    counts the NULL stratum into N and assigns it a fraction like any
+    other group, so a plain equi-join would silently drop every
+    NULL-stratum row the fractions table had budgeted for —
+    inconsistent with :func:`hash_bucket`'s deliberate NULL-key
+    handling."""
     fr = temperature_fractions(df, strata, alpha, target_rows).select(
         c(strata).alias("__s"), F.floor(F.col("frac") * _SCALE).alias("__t")
     )
     return (
-        df.join(F.broadcast(fr), c(strata) == F.col("__s"))
+        df.join(F.broadcast(fr), c(strata).eqNullSafe(F.col("__s")))
         .filter(hash_bucket(key, salt) < F.col("__t"))
         .drop("__s", "__t")
     )

@@ -416,6 +416,13 @@ def kmv_group_sketches(
     only the k survivors reach collect_list (bounded agg state). NULL
     values and NULL ids are excluded (a NULL rank would sort first and
     poison the sample).
+
+    ``id_col`` must be globally unique across every sketch that will
+    later be merged together: the sample is keyed by hash-of-id, so a
+    reused id contributes one slot however many rows carry it, and the
+    bottom-k ordering over duplicate (hash, id) pairs is not
+    deterministic. The merge==direct byte-identity contract is stated
+    (and tested) under that uniqueness assumption.
     """
     from pyspark.sql import Window
 
@@ -428,13 +435,24 @@ def kmv_group_sketches(
         F.col(val_col).cast("double").alias("__v"),
     )
     w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy("__h", "__id")
+    # the id rides inside the sketch struct so MERGE can tie-break on
+    # the exact (h, id) ordering the build used: without it a rank tie
+    # at the k boundary (id reused across merged subgroups, or a hash
+    # collision) would let merge pick a different survivor than a
+    # direct build — breaking the merge==direct byte-identity contract
     return (
         base.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .groupBy(*[F.col(c) for c in keys])
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))
+                F.collect_list(
+                    F.struct(
+                        F.col("__h").alias("h"),
+                        F.col("__id").alias("i"),
+                        F.col("__v").alias("v"),
+                    )
+                )
             ).alias("sketch")
         )
     )
@@ -455,7 +473,9 @@ def kmv_merge(
     ex = sketches.select(
         *[F.col(c) for c in by], F.explode(F.col(sketch_col)).alias("s")
     )
-    part = Window.partitionBy(*[F.col(c) for c in by]).orderBy("s.h", "s.v")
+    # (h, i) — the same ordering the build's bottom-k used, so boundary
+    # ties resolve identically and merge==direct holds byte-for-byte
+    part = Window.partitionBy(*[F.col(c) for c in by]).orderBy("s.h", "s.i")
     return (
         ex.withColumn("__rn", F.row_number().over(part))
         .filter(F.col("__rn") <= k)

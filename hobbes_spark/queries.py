@@ -2411,6 +2411,11 @@ def prepare_corpus(spark, sf_dir):
     ev = docs.filter(F.col("doc_id") % 20 == 0)
     tr = kept.filter(F.col("doc_id") % 20 != 0)
     clean = decontaminate(tr, ev, "text", n=8)
+    # pack's round-4 two-pass prefix scan adds two bounded extra passes
+    # (percentile boundaries + block offsets) over the clean slice —
+    # ~0.4 s of fixed cost at sf0.1 that buys shards× parallelism per
+    # source at scale (the checkpointed slice has 32 partitions, so
+    # auto-shards engages; see SCALE.md pack_documents row)
     packed = pack_documents(clean, budget=256, token_count_col="token_count")
     return (
         packed.groupBy("source", "pack_id")
@@ -6421,14 +6426,17 @@ def _kmv_quantiles_sql(k: int = 128) -> str:
       SELECT pri, yr, id, v, CAST({poly} AS BIGINT) AS hk FROM base
     ),
     built AS (
-      SELECT pri, yr, hk, v FROM (
+      SELECT pri, yr, hk, id, v FROM (
         SELECT *, row_number() OVER (PARTITION BY pri, yr ORDER BY hk, id) AS rn
         FROM ranked
       ) WHERE rn <= {k}
     ),
     merged AS (
+      -- merge tie-breaks on (hk, id), the SAME ordering the build used:
+      -- the sketch stores the id precisely so boundary ties resolve
+      -- identically in build and merge (sketches.kmv_merge)
       SELECT pri, hk, v FROM (
-        SELECT *, row_number() OVER (PARTITION BY pri ORDER BY hk, v) AS rn
+        SELECT *, row_number() OVER (PARTITION BY pri ORDER BY hk, id) AS rn
         FROM built
       ) WHERE rn <= {k}
     ),
@@ -6530,7 +6538,7 @@ def bigram_scores(spark, sf_dir):
                  FLOOR(LEAST(1.0, 300.0 * (wt / (SELECT Z FROM z)) / ns) * 4294967296) AS t
           FROM w)
     SELECT d.doc_id, d.source, d.n_chars
-    FROM documents d JOIN f USING (source)
+    FROM documents d JOIN f ON d.source IS NOT DISTINCT FROM f.source
     WHERE {_hash_bucket_sql('d.doc_id')} < f.t
     """,
 )

@@ -99,6 +99,39 @@ def test_pack_documents_partitions_by_source(spark):
     assert all(r["pack_id"] == 0 for r in out)  # each source starts fresh
 
 
+def test_pack_documents_sharded_equals_single_window(spark):
+    """The distributed two-pass prefix scan must reproduce the single
+    per-source window EXACTLY — blocks are contiguous ranges of the
+    order column, so local sums + block offsets is the same running
+    total. Skewed doc_id gaps and uneven source sizes on purpose."""
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(400):
+        doc_id = i * rnd.choice([1, 3, 17]) + (i % 5)  # gappy, non-uniform
+        rows.append((doc_id, " ".join(["w"] * rnd.randint(1, 30)),
+                     f"s{i % 3}"))
+    # distinct doc_ids only: ties across rows make ANY prefix-sum
+    # nondeterministic, sharded or not
+    seen, uniq = set(), []
+    for r in rows:
+        if r[0] not in seen:
+            seen.add(r[0])
+            uniq.append(r)
+    df = _docs(spark, uniq)
+    single = sorted(
+        ((r["doc_id"], r["source"], r["pack_id"], r["pack_pos"])
+         for r in pack_documents(df, budget=40, shards=1).collect())
+    )
+    for shards in (2, 8, 32):
+        sharded = sorted(
+            ((r["doc_id"], r["source"], r["pack_id"], r["pack_pos"])
+             for r in pack_documents(df, budget=40, shards=shards).collect())
+        )
+        assert sharded == single, f"shards={shards} diverged"
+
+
 def test_word_ngrams_short_doc_empty(spark):
     df = word_ngrams(_docs(spark, [(1, "a b", "s")]), "text", 3)
     assert df.first()["ngrams"] == []
@@ -569,3 +602,24 @@ class TestTemperatureSample:
         df = self._docs(spark, {"a": 10})
         with pytest.raises(ValueError):
             temperature_fractions(df, "source", alpha=-0.1)
+
+    def test_null_stratum_is_sampled_not_dropped(self, spark):
+        """temperature_fractions counts the NULL stratum into N and
+        assigns it a fraction; the sample join must be null-safe so
+        those rows are actually sampled at that fraction instead of
+        silently vanishing in an equi-join."""
+        from hobbes_spark.functions.sampling import (
+            temperature_fractions,
+            temperature_sample,
+        )
+
+        rows = [(i, "a") for i in range(200)] + [(i + 200, None) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id bigint, source string")
+        fr = {r.source: r.frac for r in
+              temperature_fractions(df, "source", alpha=1.0, target_rows=200).collect()}
+        assert fr[None] == pytest.approx(0.5)  # NULL stratum budgeted
+        got = temperature_sample(df, "doc_id", "source", alpha=1.0,
+                                 target_rows=200).collect()
+        n_null = sum(1 for r in got if r.source is None)
+        assert n_null > 0  # sampled, not dropped
+        assert 60 <= n_null <= 140  # ~binomial around 100

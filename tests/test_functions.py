@@ -209,6 +209,21 @@ def test_exact_dedup_null_text_passthrough(spark):
     assert sorted(r["id"] for r in out.collect()) == [1, 2, 3]
 
 
+def test_exact_dedup_null_id_rows_survive_intact(spark):
+    """A NULL-text row with a NULL id must pass through UNCHANGED (its
+    singleton group gets a constant non-null min_by ordering key — raw
+    min_by over an all-NULL ordering would null out every column), and
+    within a duplicate group rows that HAVE an id beat NULL-id rows."""
+    from hobbes_spark.functions.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(None, None, "keepme"), (None, "b", "x"), (3, "b", "y"), (5, None, "solo")],
+        "id long, text string, tag string",
+    )
+    got = {(r.id, r.text, r.tag) for r in exact_dedup(df, "id", "text").collect()}
+    assert got == {(None, None, "keepme"), (3, "b", "y"), (5, None, "solo")}
+
+
 def test_embedding_neardup_exact_known_pairs(spark):
     # two near-parallel vectors, one orthogonal: exactly one pair >= 0.9
     rows = [

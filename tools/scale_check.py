@@ -519,8 +519,14 @@ def main():
     for name, (fn, small, big) in cases.items():
         if only and name not in only:
             continue
-        run(fn(small))  # warm codegen so both measurements are steady-state
+        # warm EACH scale's own plan before timing it: operators that
+        # size themselves to the data (pack_documents shard count, LSH
+        # band bits) compile a different plan at 16x than at 1x, so
+        # warming only the small side would bill one-time codegen to
+        # the big measurement and overstate the ratio
+        run(fn(small))
         t0 = time.perf_counter(); run(fn(small)); t_small = time.perf_counter() - t0
+        run(fn(big))
         t0 = time.perf_counter(); run(fn(big)); t_big = time.perf_counter() - t0
         results[name] = {
             "t_1x_sec": round(t_small, 2),
