@@ -745,6 +745,9 @@ def pack_documents(
     at 1×, tools/scale_check.py) while a many-partition corpus fans out.
     Pass 1 to force the single-window plan (required when the order
     column is non-numeric, where range boundaries can't be computed).
+    The boundary pass scans the input one extra time — materialize an
+    expensive upstream first (``prepare_corpus`` localCheckpoints its
+    decontaminated slice for exactly this reason).
     """
     tc = F.size(tokens(c(text_col))) if token_count_col is None else c(token_count_col)
     out = df.withColumn("token_count", tc.cast("bigint"))

@@ -2410,12 +2410,13 @@ def prepare_corpus(spark, sf_dir):
     # training side = repetition-kept remainder
     ev = docs.filter(F.col("doc_id") % 20 == 0)
     tr = kept.filter(F.col("doc_id") % 20 != 0)
-    clean = decontaminate(tr, ev, "text", n=8)
-    # pack's round-4 two-pass prefix scan adds two bounded extra passes
-    # (percentile boundaries + block offsets) over the clean slice —
-    # ~0.4 s of fixed cost at sf0.1 that buys shards× parallelism per
-    # source at scale (the checkpointed slice has 32 partitions, so
-    # auto-shards engages; see SCALE.md pack_documents row)
+    # Materialize the decontaminated slice too: pack's round-4 two-pass
+    # prefix scan reads its input an extra time (percentile boundary
+    # pass + block offsets), and without truncation each pass would
+    # re-run the decontamination joins. Same cache-the-filtered-corpus
+    # rationale as the `kept` checkpoint above; the sharded pack buys
+    # shards× parallelism per source at scale (SCALE.md pack row).
+    clean = decontaminate(tr, ev, "text", n=8).localCheckpoint()
     packed = pack_documents(clean, budget=256, token_count_col="token_count")
     return (
         packed.groupBy("source", "pack_id")
