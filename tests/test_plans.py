@@ -455,3 +455,40 @@ def test_q20_semi_shape_no_second_fact_scan(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_hb_gandalf_maxby_is_windowgrouplimit_one_exchange(spark, sf_dir):
+    """The .hb front-end's two-key maxby must compile to the map-side
+    WindowGroupLimit (each task keeps its own per-group best row before
+    the shuffle), the event_type filter pushes to the scan, and the scan
+    prunes to the 4 referenced columns — exactly one exchange total."""
+    plan = plan_of(spark, sf_dir, "hb_gandalf_state")
+    assert "WindowGroupLimit" in plan
+    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" in scan and "value" not in scan and "ts" not in scan
+    assert sum(
+        1 for l in plan.splitlines() if "Exchange" in l and "Reused" not in l
+    ) == 1
+
+
+def test_hb_mttr_windows_after_aggregation(spark, sf_dir):
+    """hb_mttr's moving means run on the tiny post-aggregation sprint
+    series (reference semantics: a handful of rows), never on the fact:
+    the only Window over the raw orders columns is the maxby
+    WindowGroupLimit; the global-order frames appear only above the
+    SprintNumber aggregate."""
+    plan = plan_of(spark, sf_dir, "hb_mttr")
+    assert "WindowGroupLimit" in plan  # maxby fold, map-side
+    # the moving-mean window orders by the aggregated sprint key, not a
+    # raw fact column
+    frames = [l for l in plan.splitlines()
+              if "windowspecdefinition" in l and "RowFrame, -" in l]
+    assert frames and all("SprintNumber" in l for l in frames)
+
+
+def test_hb_commit_frequency_scan_reads_only_ts(spark, sf_dir):
+    """The date-part OR filter folds into the scan and column pruning
+    leaves a single-column read — the 100 TB shape for a count-by-day."""
+    plan = plan_of(spark, sf_dir, "hb_commit_frequency")
+    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "ts" in scan and "props" not in scan and "user_id" not in scan
