@@ -73,3 +73,25 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name].spark(spark, sf_dir)
     assert df.count() >= 0
     assert df.schema is not None
+
+
+def test_driver_window_contract():
+    """The driver records the FIRST 50 catalog entries: the reordered
+    window must hold exactly 50 names, every one oracled (a rows-only
+    row in the window wastes a signing slot), and — the point of the
+    round-4 rotation — none already signed in rounds 1-3."""
+    import json
+    import os
+
+    names = list(QUERIES)
+    window = names[:50]
+    assert len(set(window)) == 50
+    assert all(QUERIES[n].oracle for n in window)
+    signed = set()
+    for r in ("01", "02", "03"):
+        path = os.path.join(os.path.dirname(__file__), "..", f"CORRECTNESS_r{r}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                d = json.load(f)
+            signed |= set(d.get("queries", d).keys())
+    assert not (set(window) & signed), sorted(set(window) & signed)
