@@ -796,10 +796,23 @@ def pack_documents(
             .agg(F.sum("token_count").alias("__bt"))
             .withColumn("__off", F.coalesce(F.sum("__bt").over(wo), F.lit(0)))
             .drop("__bt")
+            .select(
+                *[c(b).alias(f"__by{i}") for i, b in enumerate(by)],
+                F.col("__blk").alias("__oblk"),
+                "__off",
+            )
         )
+        # null-safe join keys: groupBy treats a NULL `by` key as a real
+        # group, so a plain equi-join back would silently drop every
+        # NULL-key row the offsets table budgeted for (the same failure
+        # mode temperature_sample's fractions join guards against)
+        cond = F.col("__blk").eqNullSafe(F.col("__oblk"))
+        for i, b in enumerate(by):
+            cond = cond & c(b).eqNullSafe(F.col(f"__by{i}"))
         out = (
-            out.join(F.broadcast(offs), [*by, "__blk"])
+            out.join(F.broadcast(offs), cond)
             .withColumn("__run", F.col("__runl") + F.col("__off"))
+            .drop("__oblk", *[f"__by{i}" for i in range(len(by))])
             .drop("__blk", "__runl", "__off")
         )
     else:

@@ -62,9 +62,17 @@ def exact_dedup(
     NULL-text rows are not duplicates of each other: every NULL-text
     row survives unchanged, whatever its id. They flow through the SAME
     single aggregation as everything else, each under a per-row-unique
-    synthetic group key (``monotonically_increasing_id`` — unique within
-    one evaluation, which is the only scope a grouping key needs), so
-    the plan stays one scan + one shuffle. The earlier filter/union
+    synthetic group key (``monotonically_increasing_id``), so the plan
+    stays one scan + one shuffle. Determinism caveat, scoped to
+    NULL-text rows only: the synthetic key is order-dependent, so if
+    the INPUT is itself a nondeterministically-ordered shuffle output
+    (a repartition/join upstream) a mid-stage fetch-failure retry on a
+    cluster can reassign keys between attempts (the SPARK-23207
+    hazard class). Reading from files — every catalog use — is
+    deterministic. For retry-exposed pipelines where NULL-text rows
+    matter, split them off first (``df.filter(text.isNotNull)`` through
+    dedup, NULL slice unioned after); their dedup semantics are
+    identity, so the split is free. The earlier filter/union
     formulation had correct semantics but duplicated the upstream plan
     across both branches, and the NULL branch had no aggregation
     barrier — parent filters pushed below the upstream projection and

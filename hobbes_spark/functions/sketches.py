@@ -185,7 +185,11 @@ def hll_table_rollup(
     )
     gb = merged.groupBy(*[F.col(k) for k in by]) if by else merged.groupBy()
     agg = gb.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("__s"),
+        # coalesce: a global rollup (by=[]) of an EMPTY register table
+        # still emits one row, and SUM over zero rows is NULL — the
+        # estimator defines 0 there (all registers zero → linear
+        # counting gives m·ln(m/m))
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("r"))), F.lit(0.0)).alias("__s"),
         (F.lit(m) - F.count(F.lit(1))).cast("double").alias("__nz"),
     )
     raw = F.lit(alpha * m * m) / (F.col("__s") + F.col("__nz"))
@@ -398,7 +402,12 @@ def kmv_group_sketches(
 ) -> DataFrame:
     """Mergeable QUANTILE sketch per ``keys`` group: the ``k`` rows with
     the smallest hash rank of ``id_col``, stored as
-    ``(*keys, sketch: array<struct<h, v>>)`` sorted by rank.
+    ``(*keys, sketch: array<struct<h, i, v>>)`` sorted by rank — ``h``
+    the hash rank, ``i`` the sample's id (merge's tie-break field), ``v``
+    the sampled value. (Sketches persisted by the earlier
+    ``struct<h, v>`` layout must be rebuilt — ``kmv_merge`` orders on
+    ``i`` and will fail analysis on the old schema rather than merge
+    with a different tie-break than the build.)
 
     The bottom-k-by-uniform-hash set is a uniform random sample that is
     EXACTLY mergeable: bottom-k of a union equals bottom-k of the

@@ -6837,7 +6837,7 @@ def hb_logic_state(spark, sf_dir):
 # --------------------------------------------------------------------- #
 
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # the 16 TPC-H shapes unsigned after rounds 1-3
+    # the 17 TPC-H shapes unsigned after rounds 1-3
     "tpch_q1_pricing", "tpch_q2_mincost", "tpch_q4_priority",
     "tpch_q6_forecast", "tpch_q8_mktshare", "tpch_q9_profit",
     "tpch_q11_stockvalue", "tpch_q12_shipmode", "tpch_q13_custdist",

@@ -110,8 +110,10 @@ def test_pack_documents_sharded_equals_single_window(spark):
     rows = []
     for i in range(400):
         doc_id = i * rnd.choice([1, 3, 17]) + (i % 5)  # gappy, non-uniform
+        # a NULL source group too: the offsets join must be null-safe
+        # or the sharded path silently drops the whole NULL group
         rows.append((doc_id, " ".join(["w"] * rnd.randint(1, 30)),
-                     f"s{i % 3}"))
+                     None if i % 7 == 0 else f"s{i % 3}"))
     # distinct doc_ids only: ties across rows make ANY prefix-sum
     # nondeterministic, sharded or not
     seen, uniq = set(), []

@@ -838,6 +838,20 @@ class TestHllRegisterTable:
         assert "b" not in out  # all-NULL group has no registers at all
         assert abs(out["a"] - 2) <= 1
 
+    def test_global_rollup_of_empty_table_is_zero(self, spark):
+        """by=[] over an empty register table must estimate 0 (all-zero
+        registers → linear counting m·ln(m/m)), not NULL from the
+        zero-row SUM."""
+        from hobbes_spark.functions.sketches import (
+            hll_register_table,
+            hll_table_rollup,
+        )
+
+        df = spark.createDataFrame([("a", None)], "k string, v int")
+        regs = hll_register_table(df, ["k"], "v")  # every value NULL → empty
+        row = hll_table_rollup(regs, []).first()
+        assert row.approx_distinct == 0.0
+
 
 class TestThetaOverlap:
     def test_intersection_estimate_tracks_exact(self, spark, sf_dir):
