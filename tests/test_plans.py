@@ -160,8 +160,17 @@ def test_repetition_gate_is_aggregate_shaped(spark, sf_dir):
     partial aggregate. The per-row HOF formulation lets a filter on
     keep_repetition predicate-push below the staged projections and
     re-inline the bigram array per distinct element (measured: minutes
-    instead of ~1 s on 500 docs)."""
-    plan = plan_of(spark, sf_dir, "prepare_corpus")
+    instead of ~1 s on 500 docs). Asserted on the gate sub-plan
+    directly: prepare_corpus localCheckpoints the gated slice (plan
+    truncation is the point there), so the full query's plan no longer
+    shows these stages."""
+    from pyspark.sql import functions as F
+
+    from hobbes_spark.functions.curation import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = repetition_stats(docs, "text").filter(F.col("keep_repetition"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan
     assert "Generate explode" in plan
 
