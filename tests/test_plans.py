@@ -73,13 +73,31 @@ ARROW_MATMUL_QUERIES = {
     "ann_lsh_topk",
 }
 
+# The only sanctioned BroadcastNestedLoopJoins: a broadcast side that is
+# one row (corpus stats, min/max bounds, regression coefficients, a
+# bitmap blob, a NOT-IN scalar) or the two documented exact all-pairs
+# baselines whose query side broadcasts. Anything NEW showing a BNLJ is
+# an accidental cross join until consciously added here.
+BNLJ_ALLOWED = {
+    # 1-row stats / scalar broadcasts
+    "bm25_topk", "unigram_scores", "bigram_scores", "tfidf_top_terms",
+    "dsir_weights", "temperature_sample_docs", "histogram_prices",
+    "linear_extrapolation", "bloom_decontaminate", "media_phash_pairs",
+    "tpch_q2_mincost", "tpch_q11_stockvalue", "tpch_q16_suppcnt",
+    "tpch_q20_promotion", "tpch_q22_opportunity",
+    # documented exact all-pairs baselines (broadcast query side)
+    "cosine_topk", "embedding_neardup_exact", "ann_ivf_topk",
+}
+
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_python_udfs_in_any_query(spark, sf_dir, name):
-    """Every catalog query stays JVM-side: no row-at-a-time or Arrow
-    Python evaluation anywhere (the multimodal mapInPandas operators are
-    intentionally not catalog queries), except the allowlisted
-    Arrow-matmul LSH sign stage."""
+    """Every catalog query stays JVM-side and join-sane: no
+    row-at-a-time or Arrow Python evaluation anywhere (the multimodal
+    mapInPandas operators are intentionally not catalog queries) except
+    the allowlisted Arrow-matmul LSH sign stage; never a
+    CartesianProduct; BroadcastNestedLoopJoin only where a 1-row
+    broadcast or a documented exact baseline justifies it."""
     if name == "stream_tumbling_counts":
         pytest.skip("streaming query executes on build; covered separately")
     plan = plan_of(spark, sf_dir, name)
@@ -87,6 +105,9 @@ def test_no_python_udfs_in_any_query(spark, sf_dir, name):
     if name not in ARROW_MATMUL_QUERIES:
         assert "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_slice_prunes_scan(spark, sf_dir):
