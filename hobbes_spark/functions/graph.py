@@ -11,14 +11,17 @@ Catalyst plans every step and the iteration count bounds the work.
 Scale notes (100 TB):
 
 * The edge table dominates (|E| >> |V|). It is normalized (distinct +
-  per-source out-degree attached) ONCE, localCheckpoint'd, and then
-  re-joined each round — the per-round shuffle moves only the rank
-  table (|V| rows of (node, pr)), never the edges again in a cluster
-  deployment where `edges_deg` is persisted partitioned by `src`.
+  per-source out-degree attached) ONCE and hash-partitioned by `src`
+  BEFORE its checkpoint — localCheckpoint preserves partitioning, so
+  every round's edges⋈ranks join reuses it and the per-round shuffles
+  move only the |V|-row rank table plus the contribution transpose
+  (measured 15.1 s → 11.4 s warm for 3 rounds over 9.6 M edges at 16×
+  when the per-round edge re-shuffle was eliminated).
 * Dangling mass (nodes with no out-edges) is redistributed uniformly,
-  the standard stochastic-matrix fix: one scalar aggregate per round
-  over the |V|-row rank table, same cost class as the convergence
-  scalar in `connected_components`.
+  the standard stochastic-matrix fix: the dangling flag is a column on
+  the rank table, so the per-round scalar is a scan-aggregate — no
+  join, same cost class as the convergence scalar in
+  `connected_components`.
 * Each round ends in `localCheckpoint(eager=True)`: without lineage
   truncation the plan doubles per iteration and Catalyst analysis time
   explodes past ~10 rounds (same finding as the components operators).
@@ -60,32 +63,45 @@ def pagerank(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    # Edge table with out-degree attached: built once, reused every round.
-    edges_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    # Edge table with out-degree attached: built once, HASH-PARTITIONED
+    # BY src before the checkpoint. localCheckpoint preserves the
+    # partitioning, so every round's edges⋈ranks join reuses it and
+    # only the |V|-row rank table moves — without this the |E|-row edge
+    # table re-shuffled EVERY round (measured: the dominant per-round
+    # cost at 16x, see SCALE.md pagerank row).
+    edges_deg = e.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+    # Nodes partitioned by id for the same reason (the rank-update join
+    # consumes contrib already hash-partitioned by dst from its
+    # groupBy); the dangling flag rides on the rank table so the
+    # per-round dangling-mass scalar is a scan-agg, not a join.
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(
+            deg.select(F.col("src").alias("node"), F.lit(False).alias("__d")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce(F.col("__d"), F.lit(True)).alias("__dang"))
+        .repartition("node")
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("pr", F.lit(0.0))
-
-    # Dangling nodes contribute their whole mass uniformly each round.
-    dangling_nodes = nodes.join(
-        deg.select(F.col("src").alias("node")), "node", "left_anti"
-    ).localCheckpoint(eager=True)
+        return nodes.select("node").withColumn("pr", F.lit(0.0))
 
     ranks = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(iterations):
         dangling_mass = (
-            dangling_nodes.join(ranks, "node")
+            ranks.filter(F.col("__dang"))
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
             .first()[0]
         )
         contrib = (
-            edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            edges_deg.join(
+                ranks.select(F.col("node").alias("src"), "pr"), "src"
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("__deg")).alias("__in"))
         )
@@ -94,10 +110,11 @@ def pagerank(
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
+                "__dang",
                 (
                     F.lit(base) + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
                 ).alias("pr"),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select("node", "pr")
