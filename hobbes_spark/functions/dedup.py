@@ -491,6 +491,13 @@ def connected_components(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        # hash-partitioned by the propagation join key before the
+        # checkpoint: localCheckpoint preserves partitioning, so every
+        # round's sym⋈labels join reuses it instead of re-shuffling the
+        # |E|-row edge table per round (same co-partitioning move as
+        # functions/graph.pagerank, which measured 25% off the 16×
+        # warm time)
+        .repartition("d")
         .localCheckpoint()
     )
     # empty edge set: nothing to label — skip the iteration machinery
