@@ -491,14 +491,17 @@ def connected_components(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
-        # hash-partitioned by the propagation join key before the
-        # checkpoint: localCheckpoint preserves partitioning, so every
-        # round's sym⋈labels join reuses it instead of re-shuffling the
-        # |E|-row edge table per round (same co-partitioning move as
-        # functions/graph.pagerank, which measured 25% off the 16×
-        # warm time)
+        # hash-partitioned by the propagation join key and CACHED (not
+        # checkpointed): persist preserves output partitioning through
+        # planning even under AQE — a checkpoint's LogicalRDD reports
+        # UnknownPartitioning there — so every round's sym⋈labels join
+        # reuses the layout instead of re-shuffling the 2|E|-row edge
+        # table per round (same co-partitioning move as
+        # functions/graph.pagerank). The materialize-once benefit of
+        # the old checkpoint is kept: the cache fills on first use and
+        # the pair-generation upstream never re-runs.
         .repartition("d")
-        .localCheckpoint()
+        .persist()
     )
     # empty edge set: nothing to label — skip the iteration machinery
     # (each round costs a checkpoint + a collect even on zero rows;
@@ -541,6 +544,7 @@ def connected_components(
             break
         prev_sum = cur_sum
     if not converged:
+        sym.unpersist()
         # returning silently would report one real component as several
         # (labels > max_iterations hops from the component min are stale)
         raise RuntimeError(
@@ -548,6 +552,9 @@ def connected_components(
             "iterations; the graph diameter exceeds max_iterations — "
             "raise it"
         )
+    # labels are checkpointed (independent of the cached edges), so the
+    # iteration-scoped cache can be released
+    sym.unpersist()
     return labels
 
 

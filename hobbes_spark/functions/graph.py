@@ -11,12 +11,12 @@ Catalyst plans every step and the iteration count bounds the work.
 Scale notes (100 TB):
 
 * The edge table dominates (|E| >> |V|). It is normalized (distinct +
-  per-source out-degree attached) ONCE and hash-partitioned by `src`
-  BEFORE its checkpoint — localCheckpoint preserves partitioning, so
-  every round's edges⋈ranks join reuses it and the per-round shuffles
-  move only the |V|-row rank table plus the contribution transpose
-  (measured 15.1 s → 11.4 s warm for 3 rounds over 9.6 M edges at 16×
-  when the per-round edge re-shuffle was eliminated).
+  per-source out-degree attached) ONCE, hash-partitioned by `src`, and
+  CACHED — persist preserves output partitioning through planning even
+  under AQE (a checkpoint's LogicalRDD reports UnknownPartitioning
+  there and would re-shuffle |E| every round), so each round's
+  edges⋈ranks join reuses the layout and the per-round shuffles move
+  only the |V|-row rank table plus the contribution transpose.
 * Dangling mass (nodes with no out-edges) is redistributed uniformly,
   the standard stochastic-matrix fix: the dangling flag is a column on
   the rank table, so the per-round scalar is a scan-aggregate — no
@@ -64,16 +64,18 @@ def pagerank(
     ).distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # Edge table with out-degree attached: built once, HASH-PARTITIONED
-    # BY src before the checkpoint. localCheckpoint preserves the
-    # partitioning, so every round's edges⋈ranks join reuses it and
-    # only the |V|-row rank table moves — without this the |E|-row edge
-    # table re-shuffled EVERY round (measured: the dominant per-round
-    # cost at 16x, see SCALE.md pagerank row).
-    edges_deg = e.join(deg, "src").repartition("src").localCheckpoint(eager=True)
-    # Nodes partitioned by id for the same reason (the rank-update join
-    # consumes contrib already hash-partitioned by dst from its
-    # groupBy); the dangling flag rides on the rank table so the
-    # per-round dangling-mass scalar is a scan-agg, not a join.
+    # BY src, and CACHED (MEMORY_AND_DISK — the GraphX pattern for
+    # iterative jobs). persist, not localCheckpoint: under AQE a
+    # checkpoint's LogicalRDD reports UnknownPartitioning and every
+    # round re-shuffles the |E|-row edge table, while a cached plan's
+    # partitioning survives planning (canChangeCachedPlanOutputPartitioning
+    # defaults false) — so each round's edges⋈ranks join reuses it and
+    # only the |V|-row rank table moves. Lineage truncation is not
+    # needed here (the edge plan is shallow and constant); it IS needed
+    # for the per-round ranks below, which keep localCheckpoint.
+    edges_deg = e.join(deg, "src").repartition("src").persist()
+    # The dangling flag rides on the rank table so the per-round
+    # dangling-mass scalar is a scan-agg, not a join.
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -84,11 +86,12 @@ def pagerank(
             "left",
         )
         .select("node", F.coalesce(F.col("__d"), F.lit(True)).alias("__dang"))
-        .repartition("node")
-        .localCheckpoint(eager=True)
+        .persist()
     )
     n = nodes.count()
     if n == 0:
+        nodes.unpersist()
+        edges_deg.unpersist()
         return nodes.select("node").withColumn("pr", F.lit(0.0))
 
     ranks = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
@@ -117,4 +120,8 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    # the final ranks are checkpointed (independent of the cached
+    # inputs), so the iteration-scoped caches can be released
+    nodes.unpersist()
+    edges_deg.unpersist()
     return ranks.select("node", "pr")
