@@ -61,15 +61,32 @@ def compile_expr(ast: tuple) -> ExprFn:
     if tag == "cmp":
         op, left, right = ast[1], ast[2], ast[3]
         # `x = missing` → NULL test (`only !(x = missing)`, MTTR.hb:35);
-        # `x = ''` on a typed feed likewise means missing (MTTR.hb:18 —
-        # the raw OData carries '' where the number is absent).
+        # `x = ''` on a NON-STRING column likewise means missing
+        # (MTTR.hb:18 — the raw OData carries '' where the number is
+        # absent, and a numeric column can't hold '' at all). On a
+        # genuinely string-typed column the literal comparison stands:
+        # `only (x != '')` must drop actual empty strings, not rewrite
+        # into a NULL test that silently keeps them.
         for a_ast, b_ast in ((left, right), (right, left)):
             if b_ast == ("missing",) or b_ast == ("lit", ""):
                 inner = compile_expr(a_ast)
-                if op == "=":
-                    return lambda pl: inner(pl).isNull()
-                if op == "!=":
-                    return lambda pl: inner(pl).isNotNull()
+                empty_lit = b_ast == ("lit", "")
+                col_name = a_ast[1] if a_ast[0] == "col" else None
+
+                def nullish(pl, inner=inner, empty_lit=empty_lit,
+                            col_name=col_name, eq=(op == "=")):
+                    if (
+                        empty_lit
+                        and col_name is not None
+                        and dict(pl.df.dtypes).get(col_name) == "string"
+                    ):
+                        return (
+                            inner(pl) == "" if eq else inner(pl) != ""
+                        )
+                    return inner(pl).isNull() if eq else inner(pl).isNotNull()
+
+                if op in ("=", "!="):
+                    return nullish
         a, b = compile_expr(left), compile_expr(right)
         if op == "=":
             return lambda pl: a(pl) == b(pl)

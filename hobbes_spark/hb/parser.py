@@ -95,7 +95,23 @@ def tokenize(line: str) -> list[tuple[str, str]]:
         if kind == "kmeans":
             kind = "ident"  # keyword with a hyphen; '-' is otherwise minus
         if kind != "ws":
-            out.append((kind, m.group()))
+            text = m.group()
+            # the number pattern greedily eats a leading '-', but after
+            # a value-producing token ('ordinals-1', '5-2') that '-' is
+            # binary subtraction — split it back out or every unspaced
+            # subtraction fails with "trailing tokens"
+            if (
+                kind == "number"
+                and text.startswith("-")
+                and out
+                and (
+                    out[-1][0] in ("number", "ident", "group", "dstring", "sstring")
+                    or out[-1][1] in (")", "]")
+                )
+            ):
+                out.append(("op", "-"))
+                text = text[1:]
+            out.append((kind, text))
         i = m.end()
     return out
 

@@ -74,6 +74,11 @@ def asof_join(
         F.lit(1).alias("__tag"),
         F.lit(None).cast(rp_type).alias("__rp"),
     )
+    # NULL-`on` right rows can never satisfy r.on <= l.on (or >=): SQL
+    # comparison with NULL is unknown. Without this filter the window's
+    # NULLS FIRST (asc) ordering would sort them before EVERY left row
+    # and last(ignorenulls) would hand them out as spurious matches.
+    right = right.filter(F.col(on).isNotNull())
     r_vals = {c: F.col(c) for c in by}
     r_vals[on] = F.col(on).cast(left.schema[on].dataType)
     r_tag = right.select(
@@ -95,6 +100,12 @@ def asof_join(
     )
     matched = unioned.withColumn("__m", F.last("__rp", ignorenulls=True).over(w))
     out = matched.filter(F.col("__tag") == 1).drop("__tag", "__rp")
+    # A NULL-`on` left row matches nothing (its comparison with any
+    # right time is unknown). Under asc it happens to sort first and
+    # already sees no right rows; under desc (forward) it would sort
+    # LAST and inherit the window's accumulated match — mask both
+    # directions explicitly rather than lean on sort position.
+    out = out.withColumn("__m", F.when(F.col(on).isNotNull(), F.col("__m")))
 
     if tolerance is not None:
         lts, rts = F.col(on), F.col("__m")[on]

@@ -271,6 +271,14 @@ def linear_extrapolation(pipeline, value_col: str, n_pred: int, n_train: int):
     as a broadcast one-row DataFrame and predictions are generated with
     ``sequence``/``explode`` inside the plan.
     """
+    if n_pred < 0 or n_train < 1:
+        # F.sequence(start, stop) auto-steps -1 when start > stop, so an
+        # unguarded n_pred=0 would append TWO phantom rows (one colliding
+        # with the last real ordinal) instead of zero
+        raise ValueError(
+            f"linear_extrapolation: need n_pred >= 0 and n_train >= 1, "
+            f"got n_pred={n_pred}, n_train={n_train}"
+        )
     df = pipeline.df
     w = Window.orderBy(*pipeline._order_exprs())
     base = df.withColumn("__i", F.row_number().over(w))
@@ -287,7 +295,11 @@ def linear_extrapolation(pipeline, value_col: str, n_pred: int, n_train: int):
     preds = (
         fit.select(
             F.explode(
+                # explicit empty sequence for n_pred=0: sequence(t+1, t)
+                # would otherwise auto-step DOWN and fabricate rows
                 F.sequence(F.col("__total") + 1, F.col("__total") + n_pred)
+                if n_pred > 0
+                else F.array().cast("array<int>")
             ).alias("__i"),
             F.col("__slope"),
             F.col("__icept"),

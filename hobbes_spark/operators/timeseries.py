@@ -138,10 +138,19 @@ def change_intervals(
     tests). Epoch-micros output avoids cross-engine timestamp
     stringification drift."""
     w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak_col)
+    # null-safe change detection: `prev != status` is NULL (row dropped)
+    # when either side is NULL, which would swallow transitions INTO a
+    # NULL status and then emit two consecutive same-status intervals
+    # around the hidden NULL run. A first-row prev is NULL via lag and
+    # must count as a change, hence the negated eqNullSafe (which also
+    # treats NULL==NULL as "no change", collapsing NULL runs correctly).
     changed = (
         df.withColumn("__prev", F.lag(status_col).over(w))
-        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(status_col)))
-        .drop("__prev")
+        .withColumn("__first", F.row_number().over(w) == 1)
+        .filter(
+            F.col("__first") | ~F.col("__prev").eqNullSafe(F.col(status_col))
+        )
+        .drop("__prev", "__first")
     )
     w2 = Window.partitionBy(*keys).orderBy(ts_col, tiebreak_col)
     out = changed.withColumn(

@@ -212,10 +212,21 @@ def hll_ingest_writer(
     Distinct-count rollups over any batch range then read the store
     and merge (functions.sketches.hll_rollup_estimate); merging daily
     parts is byte-identical to sketching the union, so streaming
-    ingestion loses nothing versus a batch rebuild."""
+    ingestion loses nothing versus a batch rebuild.
+
+    ``lgk`` (and the key/column layout) is pinned in ``<store>/_meta``
+    on first write, like the MinHash/CMS stores: a restart with a
+    different ``lgk`` would append sketches ``hll_union_agg`` refuses
+    to merge, silently mixing incompatible state until the first
+    rollup spanning the change blows up."""
     from hobbes_spark.functions.sketches import hll_group_sketches
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        _check_store_meta(
+            batch_df.sparkSession,
+            store_dir,
+            {"kind": "hll", "keys": ",".join(keys), "col": col, "lgk": lgk},
+        )
         (
             hll_group_sketches(batch_df, keys, col, lgk)
             .withColumn("_batch_id", F.lit(batch_id))

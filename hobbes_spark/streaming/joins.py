@@ -88,4 +88,12 @@ def interval_join(
         & (F.col("right_ts") >= F.col("left_ts"))
         & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, how).drop("__rk").withColumnRenamed("__k", on)
+    out = l.join(r, cond, how)
+    # In right/full outer mode an unmatched right row carries its key
+    # only in __rk (__k is NULL) — coalesce before collapsing to the
+    # single output key column, or the row comes back keyless.
+    return (
+        out.withColumn("__k", F.coalesce(F.col("__k"), F.col("__rk")))
+        .drop("__rk")
+        .withColumnRenamed("__k", on)
+    )

@@ -134,3 +134,26 @@ def test_range_join_by_keys_and_overlap_guard(spark):
     assert got == [(1, "low")]  # g2 point does not match the g1 band
     with pytest.raises(ValueError, match="overlapping"):
         range_join(P, B.withColumnRenamed("band", "pid"), "x", "lo", "hi", by=["g"])
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """NULL `on` values compare unknown in SQL: a NULL-ts right row must
+    never be handed out as a match (it used to sort NULLS FIRST under
+    asc and win `last(ignorenulls)`), and a NULL-ts left row matches
+    nothing in either direction (it used to sort LAST under desc and
+    inherit the accumulated forward match)."""
+    L = spark.createDataFrame(
+        [(1, 5, "x"), (1, None, "y")], "uid bigint, t bigint, lbl string"
+    )
+    R = spark.createDataFrame(
+        [(1, None, 111.0), (1, 3, 333.0)], "uid bigint, t bigint, v double"
+    )
+    back = {r["lbl"]: (r["r_t"], r["r_v"])
+            for r in asof_join(L, R, on="t", by=["uid"]).collect()}
+    assert back["x"] == (3, 333.0)      # real match, NULL right row skipped
+    assert back["y"] == (None, None)    # NULL left ts matches nothing
+    fwd = {r["lbl"]: (r["r_t"], r["r_v"])
+           for r in asof_join(L, R, on="t", by=["uid"],
+                              direction="forward").collect()}
+    assert fwd["x"] == (None, None)     # no right row at/after t=5
+    assert fwd["y"] == (None, None)     # NULL left ts matches nothing

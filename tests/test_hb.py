@@ -301,3 +301,47 @@ def test_hb_ml_statements_buckets_regression_kmeans(spark, sf_dir):
     )
     rows = km.df.collect()
     assert 1 <= len(rows) <= 3
+
+
+def test_tokenizer_unspaced_minus_is_subtraction():
+    """'-' after a value-producing token is binary subtraction, not a
+    negative-number sign: 'ordinals-1' and '5-2' must parse (the number
+    pattern used to eat the '-' and fail with 'trailing tokens')."""
+    from hobbes_spark.hb.parser import tokenize
+
+    kinds = [(k, t) for k, t in tokenize("ordinals-1")]
+    assert kinds == [("ident", "ordinals"), ("op", "-"), ("number", "1")]
+    kinds = [(k, t) for k, t in tokenize("5-2")]
+    assert kinds == [("number", "5"), ("op", "-"), ("number", "2")]
+    # leading minus is still a sign
+    kinds = [(k, t) for k, t in tokenize("(-3)")]
+    assert kinds == [("op", "("), ("number", "-3"), ("op", ")")]
+
+
+def test_unspaced_subtraction_computes(spark):
+    from hobbes_spark.hb import run_hb
+    from hobbes_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame([(10,), (20,)], "v int")
+    out = run_hb("create column prev (v-1)", Pipeline.of(df))
+    assert sorted(r["prev"] for r in out.df.collect()) == [9, 19]
+
+
+def test_empty_string_compare_is_literal_on_string_columns(spark):
+    """`only (x != '')` on a STRING column drops actual empty strings;
+    the ''-means-missing rewrite applies only to non-string columns
+    (the reference's numeric OData feeds, MTTR.hb:18)."""
+    from hobbes_spark.hb import run_hb
+    from hobbes_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("", 2.0), (None, 3.0)], "x string, v double"
+    )
+    out = run_hb("only !(x = '')", Pipeline.of(df))
+    assert sorted(r["v"] for r in out.df.collect()) == [1.0]  # '' AND NULL out
+    kept = run_hb("only (x = '')", Pipeline.of(df))
+    assert [r["v"] for r in kept.df.collect()] == [2.0]  # the real '' row
+    # non-string column: '' still means missing
+    dn = spark.createDataFrame([(1.5, "p"), (None, "q")], "y double, tag string")
+    outn = run_hb("only !(y = '')", Pipeline.of(dn))
+    assert [r["tag"] for r in outn.df.collect()] == ["p"]

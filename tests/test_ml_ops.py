@@ -64,6 +64,22 @@ def test_linear_extrapolation(series):
         assert r["s"] is None  # non-fitted columns null on predicted rows
 
 
+def test_linear_extrapolation_zero_and_negative_pred(series):
+    """n_pred=0 appends NOTHING (sequence(t+1, t) would auto-step -1 and
+    fabricate two phantom rows, one colliding with the last real
+    ordinal); negative n_pred / zero n_train refuse up front."""
+    import pytest as _pt
+
+    out = series.linear_extrapolation("y", n_pred=0, n_train=5)
+    rows = out.df.collect()
+    assert len(rows) == 20
+    assert not any(r["predicted"] for r in rows)
+    with _pt.raises(ValueError):
+        series.linear_extrapolation("y", n_pred=-1, n_train=5)
+    with _pt.raises(ValueError):
+        series.linear_extrapolation("y", n_pred=1, n_train=0)
+
+
 def test_kmeans_two_blobs(spark):
     pts = [(float(i % 7) / 100 + (0.0 if i < 30 else 100.0),) for i in range(60)]
     df = spark.createDataFrame(pts, "x double")

@@ -597,3 +597,42 @@ def test_quality_gated_writer_publishes_and_quarantines(spark, tmp_path):
         strict(dirty, 7)
     import os
     assert not os.path.exists(str(tmp_path / "o2"))
+
+
+def test_interval_join_outer_keeps_right_only_keys(spark):
+    """full_outer: an unmatched right row's key lives only in the right
+    side's key column — the output must coalesce it into the single key
+    column instead of returning the row keyless."""
+    import datetime as dt
+    from hobbes_spark.streaming import interval_join
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    clicks = spark.createDataFrame(
+        [(1, t(0), 100)], "user_id long, ts timestamp, click_id long"
+    )
+    buys = spark.createDataFrame(
+        [(1, t(1), 200), (7, t(1), 201)],  # user 7 has no click
+        "user_id long, ts timestamp, buy_id long",
+    )
+    out = interval_join(clicks, buys, "user_id", within="2 hours",
+                        watermark=None, how="full_outer")
+    rows = {(r["user_id"], r["click_id"], r["buy_id"]) for r in out.collect()}
+    assert (1, 100, 200) in rows
+    assert (7, None, 201) in rows  # key preserved, not NULL
+
+
+def test_hll_ingest_pins_lgk_refuses_mix(spark, sf_dir, tmp_path):
+    """A restart with a different lgk must refuse up front (same _meta
+    pinning as the MinHash/CMS stores): hll_union_agg cannot merge
+    different lgConfigK sketches, so appending them would corrupt the
+    store silently until the first rollup spanning the change."""
+    import pytest as _pt
+    from hobbes_spark.streaming.ingest import hll_ingest_writer
+
+    ev = Pipeline.table(spark, sf_dir, "events").df.limit(50)
+    store = str(tmp_path / "hll_store")
+    hll_ingest_writer(store, ["event_type"], "user_id", lgk=12)(ev, 0)
+    with _pt.raises(ValueError, match="different"):
+        hll_ingest_writer(store, ["event_type"], "user_id", lgk=14)(ev, 1)
+    # same params: fine
+    hll_ingest_writer(store, ["event_type"], "user_id", lgk=12)(ev, 1)

@@ -204,3 +204,23 @@ def test_mad_outliers_flags_planted_spike(spark):
     r = out[0]
     assert r["median"] == 11.0 and r["mad"] == 1.0
     assert r["n_outliers"] == 1 and r["n"] == 9  # only the 500 spike
+
+
+def test_change_intervals_null_status_runs(spark):
+    """Transitions INTO a NULL status are changes (prev != NULL used to
+    evaluate NULL and silently drop the row, hiding the NULL run and
+    emitting two consecutive same-status intervals), NULL runs collapse
+    like any other run, and a log STARTING with NULL still opens an
+    interval."""
+    import datetime as dt
+    from hobbes_spark.operators.timeseries import change_intervals
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, 1, t(0), None), (1, 2, t(1), "A"), (1, 3, t(2), None),
+         (1, 4, t(3), None), (1, 5, t(4), "A")],
+        "user_id long, event_id long, ts timestamp, status string",
+    )
+    out = change_intervals(df, ["user_id"], "ts", "event_id", "status")
+    runs = [(r["status"], r["is_current"]) for r in out.orderBy("effective_from_us").collect()]
+    assert runs == [(None, False), ("A", False), (None, False), ("A", True)]
