@@ -11,6 +11,9 @@ maps to a reader:
   ``values:`` array field (`Logic Commit Frequency.hb:1-21`)
 * ``provider: localdata`` — inline ``columns`` + ``rows`` or a named
   table from the caller (`workers/localdata.worker/src/Data.fs:12-49`)
+* ``provider: git``       — commit history of a local clone via
+  :func:`hobbes_spark.sources.collectors.read_git_commits` (the
+  git.worker's collection step, `.gitmodules:16-18`)
 * ``provider: parquet``   — engine-native path (beyond-reference)
 """
 
@@ -81,6 +84,17 @@ def resolve_source(
             expand=_get(properties, "expand"),
         )
         return Pipeline.of(read_odata(spark, url, fetcher), f"odata:{url}")
+
+    if provider == "git":
+        # the git.worker's job on a local clone (`.gitmodules:16-18`;
+        # the submodule is private — contract reconstructed from the
+        # public AzDO commit shape its feeds surface)
+        from hobbes_spark.sources.collectors import read_git_commits
+
+        path = _get(properties, "url") or _get(properties, "path")
+        if not path:
+            raise ValueError("provider: git needs a url/path to a local clone")
+        return Pipeline.of(read_git_commits(spark, path), f"git:{path}")
 
     if provider == "rest":
         if fetcher is None:

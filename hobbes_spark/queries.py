@@ -6821,6 +6821,169 @@ def hb_logic_state(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Collector sources (sources/collectors.py): the git / azuredevops
+# workers' acquisition step. Both gates run the REAL collector machinery
+# (subprocess git walk; $top/$skip page loop through the uniform
+# flatten+sniff cascade) over deterministic local inputs, so the driver
+# can value-hash them without network: the git gate builds a pinned
+# throwaway repository under /tmp, the AzDO gate serves a formulaic
+# commits API from an in-process fetcher and the oracle regenerates the
+# same records with DuckDB range().
+# --------------------------------------------------------------------- #
+
+_GIT_FIXTURE = "/tmp/hobbes_spark_git_fixture"
+
+
+def _ensure_git_fixture() -> str:
+    """Deterministic tiny repository: pinned identities and dates give a
+    pinned history (5 commits, 2 authors, 3 distinct days), so the gate
+    is a VALUES-literal oracle. Built once per container, atomically."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    if os.path.exists(os.path.join(_GIT_FIXTURE, ".complete")):
+        return _GIT_FIXTURE
+    tmp = tempfile.mkdtemp(prefix="gitfix_", dir="/tmp")
+
+    def run(args, author, date):
+        env = {
+            "GIT_AUTHOR_NAME": author,
+            "GIT_AUTHOR_EMAIL": f"{author}@example.test",
+            "GIT_COMMITTER_NAME": author,
+            "GIT_COMMITTER_EMAIL": f"{author}@example.test",
+            "GIT_AUTHOR_DATE": date,
+            "GIT_COMMITTER_DATE": date,
+            "HOME": "/tmp",
+        }
+        subprocess.run(
+            ["git", "-C", tmp, *args], env=env, check=True, capture_output=True
+        )
+
+    subprocess.run(
+        ["git", "init", "-q", "-b", "main", tmp],
+        env={"HOME": "/tmp"}, check=True, capture_output=True,
+    )
+    plan = [
+        ("alice", "2021-03-01T09:00:00+00:00", "one\n"),
+        ("bob", "2021-03-01T11:30:00+00:00", "one\ntwo\n"),
+        ("alice", "2021-03-02T10:15:00+00:00", "one\ntwo\nthree\n"),
+        ("alice", "2021-03-04T08:45:00+00:00", "four\n"),
+        ("bob", "2021-03-04T17:20:00+00:00", "four\nfive\n"),
+    ]
+    for i, (author, date, content) in enumerate(plan):
+        with open(os.path.join(tmp, "work.txt"), "w") as f:
+            f.write(content)
+        run(["add", "work.txt"], author, date)
+        run(["commit", "-q", "-m", f"change {i}"], author, date)
+    with open(os.path.join(tmp, ".complete"), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, _GIT_FIXTURE)
+    except OSError:  # lost the race to a concurrent builder — theirs wins
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _GIT_FIXTURE
+
+
+@q(
+    "git_commit_frequency",
+    """
+    SELECT * FROM (VALUES
+      ('2021-03-01', CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+      ('2021-03-02', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+      ('2021-03-04', CAST(2 AS BIGINT), CAST(2 AS BIGINT))
+    ) AS t(day, n_commits, n_authors)
+    """,
+)
+def git_commit_frequency(spark, sf_dir):
+    """The git.worker's collection step feeding the reference's own
+    commit-frequency analytic (`Logic Commit Frequency.hb:33-38`,
+    `.gitmodules:16-18`): walk a local clone, count commits and distinct
+    authors per day. The repository is the pinned fixture, so the
+    subprocess → typed-DataFrame → agg path is value-hash signable."""
+    from hobbes_spark.sources.collectors import read_git_commits
+
+    df = read_git_commits(spark, _ensure_git_fixture())
+    return (
+        df.groupBy(F.date_format("authored_at", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_commits"),
+            F.countDistinct("author_email").cast("bigint").alias("n_authors"),
+        )
+    )
+
+
+@q(
+    "azdo_commit_authors",
+    """
+    WITH seq AS (
+      SELECT i, 'repoA' AS repository_id FROM (SELECT unnest(range(25)) AS i)
+      UNION ALL
+      SELECT i, 'repoB' FROM (SELECT unnest(range(7)) AS i)
+    )
+    SELECT repository_id,
+           'dev' || CAST(i % 3 AS VARCHAR) AS author,
+           CAST(COUNT(*) AS BIGINT) AS n_commits,
+           MIN(CAST(i % 28 + 1 AS BIGINT)) AS first_day,
+           MAX(CAST(i % 28 + 1 AS BIGINT)) AS last_day
+    FROM seq GROUP BY 1, 2
+    """,
+)
+def azdo_commit_authors(spark, sf_dir):
+    """The azuredevops.worker's page loop, end to end: a formulaic
+    commits API (25 commits in repoA, 7 in repoB; author dev{i%3};
+    day i%28+1) served by an in-process fetcher, paged $top=10/$skip
+    until short page, flattened + sniffed by the uniform cascade
+    (`Logic Commit Frequency.hb:1-13` is the same feed from the real
+    service), then aggregated per (repo, author). The oracle regenerates
+    the identical records relationally — every page-boundary or
+    flatten/sniff defect shifts the value hash."""
+    import json as _json
+    from urllib.parse import parse_qs, urlparse
+
+    from hobbes_spark.sources.collectors import read_azdo_commits
+
+    totals = {"repoA": 25, "repoB": 7}
+
+    def commit(i: int, repo: str) -> dict:
+        return {
+            "commitId": f"{repo}{i:038d}"[:40],
+            "author": {
+                "name": f"dev{i % 3}",
+                "email": f"dev{i % 3}@example.test",
+                "date": f"2020-06-{(i % 28) + 1:02d}T12:00:00Z",
+            },
+            "committer": {
+                "name": f"dev{i % 3}",
+                "email": f"dev{i % 3}@example.test",
+                "date": f"2020-06-{(i % 28) + 1:02d}T12:05:00Z",
+            },
+            "comment": f"change {i}",
+        }
+
+    def fetch(url: str) -> str:
+        u = urlparse(url)
+        repo = u.path.split("/repositories/")[1].split("/")[0]
+        qs = parse_qs(u.query)
+        top = int(qs["$top"][0])
+        skip = int(qs.get("$skip", ["0"])[0])
+        total = totals[repo]
+        rows = [commit(i, repo) for i in range(skip, min(skip + top, total))]
+        return _json.dumps({"count": len(rows), "value": rows})
+
+    df = read_azdo_commits(spark, fetch, "org", "proj", ["repoA", "repoB"], top=10)
+    return (
+        df.groupBy("repository_id", F.col("`author.name`").alias("author"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_commits"),
+            F.min(F.dayofmonth("`author.date`")).cast("bigint").alias("first_day"),
+            F.max(F.dayofmonth("`author.date`")).cast("bigint").alias("last_day"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #
 # The driver's correctness gate records the FIRST 50 entries of
