@@ -6983,6 +6983,45 @@ def azdo_commit_authors(spark, sf_dir):
     )
 
 
+@q(
+    "odata_serve_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_totalprice > 100000
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_orderdate >= DATE '1995-01-01'
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def odata_serve_orders(spark, sf_dir):
+    """The odata service's query-option evaluation
+    (`sources/odata_serve.py`; deployment `kubernetes/overlays/prod/
+    odata.yaml:1-18`, clients `ODataProvider.fs:18-22`): a client URL's
+    $filter/$select/$orderby/$top evaluated as native DataFrame ops —
+    the $filter text compiles to a pushdown-eligible predicate, $select
+    prunes the scan. The oracle is the same request hand-written in SQL;
+    $orderby carries a unique tiebreak so LIMIT is deterministic."""
+    from hobbes_spark.sources.odata_serve import apply_odata_options
+
+    orders = _t(spark, sf_dir, "orders").df
+    return apply_odata_options(
+        orders,
+        {
+            "$filter": (
+                "o_orderstatus eq 'O' and o_totalprice gt 100000 "
+                "and contains(o_orderpriority, 'URGENT') "
+                "and o_orderdate ge 1995-01-01Z"
+            ),
+            "$select": "o_orderkey,o_custkey,o_totalprice,o_orderdate",
+            "$orderby": "o_totalprice desc,o_orderkey",
+            "$top": "50",
+        },
+    )
+
+
 # --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #

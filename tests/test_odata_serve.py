@@ -1,0 +1,232 @@
+"""OData serving semantics (`hobbes_spark/sources/odata_serve.py`):
+$filter compilation to native predicates, option evaluation order,
+and the response envelope the reference's clients consume
+(`tools/visualizer/cli/src/ODataProvider.fs:18-22`)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from hobbes_spark.pipeline import Pipeline
+from hobbes_spark.sources.odata_serve import (
+    apply_odata_options,
+    odata_response,
+    parse_filter,
+)
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return Pipeline.table(spark, sf_dir, "orders").df
+
+
+# --------------------------------------------------------------------- #
+# $filter parser
+# --------------------------------------------------------------------- #
+
+
+def test_filter_comparisons_and_logic(spark, orders):
+    got = orders.filter(
+        parse_filter("o_orderstatus eq 'O' and o_totalprice gt 100000")
+    ).count()
+    want = orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000)
+    ).count()
+    assert got == want > 0
+
+
+def test_filter_or_not_parens(orders):
+    expr = "not (o_orderstatus eq 'O') or o_orderpriority eq '1-URGENT'"
+    got = orders.filter(parse_filter(expr)).count()
+    want = orders.filter(
+        ~(F.col("o_orderstatus") == "O") | (F.col("o_orderpriority") == "1-URGENT")
+    ).count()
+    assert got == want
+
+
+def test_filter_string_functions(orders):
+    got = orders.filter(
+        parse_filter("contains(o_orderpriority, 'URGENT') "
+                     "and startswith(o_orderstatus, 'F')")
+    ).count()
+    want = orders.filter(
+        F.col("o_orderpriority").contains("URGENT")
+        & F.col("o_orderstatus").startswith("F")
+    ).count()
+    assert got == want > 0
+
+
+def test_filter_date_literals_reference_form(orders):
+    # the reference's own feed spelling: `StartDate gt 2019-01-01Z`
+    # (ODataProvider.fs:21) — bare date with a Z marker
+    got = orders.filter(parse_filter("o_orderdate ge 1995-06-01Z")).count()
+    want = orders.filter(F.col("o_orderdate") >= F.lit("1995-06-01")).count()
+    assert got == want > 0
+
+
+def test_filter_arithmetic_precedence(spark):
+    df = spark.range(10).select(F.col("id").cast("long").alias("x"))
+    # 2 add 3 mul x  ==  2 + (3*x)
+    got = df.filter(parse_filter("2 add 3 mul x eq 17")).collect()
+    assert [r["x"] for r in got] == [5]
+    got = df.filter(parse_filter("x mod 3 eq 0 and x ne 0")).collect()
+    assert sorted(r["x"] for r in got) == [3, 6, 9]
+
+
+def test_filter_in_list(orders):
+    got = orders.filter(
+        parse_filter("o_orderstatus in ('F', 'P')")
+    ).count()
+    want = orders.filter(F.col("o_orderstatus").isin("F", "P")).count()
+    assert got == want > 0
+
+
+def test_filter_year_function_and_escaped_quote(spark, orders):
+    got = orders.filter(parse_filter("year(o_orderdate) eq 1995")).count()
+    want = orders.filter(F.year("o_orderdate") == 1995).count()
+    assert got == want > 0
+    df = spark.createDataFrame([("it's",), ("not",)], ["s"])
+    assert df.filter(parse_filter("s eq 'it''s'")).count() == 1
+
+
+def test_filter_nav_path_maps_to_dot_column(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "Iteration.Name"])
+    got = df.filter(parse_filter("Iteration/Name eq 'b'")).collect()
+    assert [r["id"] for r in got] == [2]
+
+
+def test_filter_null_literal(spark):
+    df = spark.createDataFrame([(1, "x"), (2, None)], ["id", "v"])
+    # OData: `v ne null` — SQL three-valued logic applies, like the spec
+    assert df.filter(parse_filter("v ne null").isNotNull()).count() == 0
+
+
+def test_filter_errors_name_the_problem():
+    with pytest.raises(ValueError, match="tokenize"):
+        parse_filter("o_x eq @bad")
+    with pytest.raises(ValueError, match="trailing"):
+        parse_filter("a eq 1 b")
+    with pytest.raises(ValueError, match="takes 2 args"):
+        parse_filter("contains(a)")
+
+
+# --------------------------------------------------------------------- #
+# Option application
+# --------------------------------------------------------------------- #
+
+
+def test_options_evaluation_order(orders):
+    # $filter may use columns $select drops — filter must run first
+    out = apply_odata_options(
+        orders,
+        {
+            "$filter": "o_orderstatus eq 'F'",
+            "$select": "o_orderkey,o_totalprice",
+            "$orderby": "o_totalprice desc",
+            "$top": "5",
+        },
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    assert out.columns == ["o_orderkey", "o_totalprice"]
+    prices = [r["o_totalprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_skip_top_page_through_ordered_set(spark):
+    df = spark.range(100).select(F.col("id"))
+    p1 = apply_odata_options(df, {"$orderby": "id", "$top": "10"})
+    p2 = apply_odata_options(df, {"$orderby": "id", "$skip": "10", "$top": "10"})
+    assert [r["id"] for r in p1.collect()] == list(range(10))
+    assert [r["id"] for r in p2.collect()] == list(range(10, 20))
+
+
+def test_filter_pushdown_reaches_scan(orders):
+    # a SERVED filter is still a scan-pruning filter: PushedFilters
+    # carries the comparison down to parquet
+    out = apply_odata_options(
+        orders.select("o_orderkey", "o_orderstatus"),
+        {"$filter": "o_orderstatus eq 'F'"},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+# --------------------------------------------------------------------- #
+# Envelope
+# --------------------------------------------------------------------- #
+
+
+def test_envelope_shape_and_count(spark):
+    df = spark.range(30).select(
+        F.col("id"),
+        F.to_date(F.lit("2020-01-01")).alias("d"),
+    )
+    resp = odata_response(
+        df,
+        {"$filter": "id lt 20", "$orderby": "id", "$top": "3", "$count": "true"},
+        context="https://svc/$metadata#things",
+    )
+    assert resp["@odata.context"] == "https://svc/$metadata#things"
+    assert resp["@odata.count"] == 20  # after filter, before $top
+    assert [r["id"] for r in resp["value"]] == [0, 1, 2]
+    assert resp["value"][0]["d"] == "2020-01-01"  # JSON-safe cells
+    assert "@odata.nextLink" not in resp
+
+
+def test_envelope_server_paging_next_link(spark):
+    df = spark.range(25).select(F.col("id"))
+    resp = odata_response(
+        df,
+        {"$orderby": "id", "$skip": "10"},
+        base_url="https://svc/things",
+        page_size=10,
+    )
+    assert [r["id"] for r in resp["value"]] == list(range(10, 20))
+    link = resp["@odata.nextLink"]
+    assert link.startswith("https://svc/things?")
+    assert "$skip=20" in link and "$orderby=id" in link
+    # last page: no nextLink
+    resp2 = odata_response(
+        df,
+        {"$orderby": "id", "$skip": "20"},
+        base_url="https://svc/things",
+        page_size=10,
+    )
+    assert [r["id"] for r in resp2["value"]] == list(range(20, 25))
+    assert "@odata.nextLink" not in resp2
+
+
+def test_envelope_roundtrips_through_ingest(spark):
+    """Serve → re-ingest: the envelope this module emits is readable by
+    the engine's own OData *client* (`sources/odata.read_odata`), the
+    full loop the reference runs between its odata service and the
+    visualizer."""
+    import json
+
+    from hobbes_spark.sources.odata import read_odata
+
+    df = spark.range(12).select(F.col("id"), (F.col("id") * 2).alias("y"))
+    pages = {}
+    for skip in (0, 5, 10):
+        pages[skip] = odata_response(
+            df,
+            {"$orderby": "id", "$skip": str(skip)},
+            base_url="https://svc/things",
+            page_size=5,
+        )
+
+    def fetch(url):
+        if "$skip=10" in url:
+            return json.dumps(pages[10])
+        if "$skip=5" in url:
+            return json.dumps(pages[5])
+        return json.dumps(pages[0])
+
+    back = read_odata(spark, "https://svc/things?$orderby=id", fetch)
+    assert back.count() == 12
+    assert sorted(r["y"] for r in back.collect()) == [i * 2 for i in range(12)]
