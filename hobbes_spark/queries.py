@@ -7030,12 +7030,15 @@ def odata_serve_orders(spark, sf_dir):
 # exactly 50 rows).  The signed union across rounds 1-3 is 97 of the
 # 150-query catalog; this round-4 window holds 50 of the 53 still
 # unsigned (all of which pass the strict local mirror,
-# ``tools/gate_check.py``).  Three ingest/front-end gates with heavy
-# direct pytest coverage (csv_sniff_roundtrip, csv_sniff_locale,
-# hb_localdata_top — tests/test_ingest.py, tests/test_hb.py) are
-# deferred to lead round 5's window alongside queries added this round.
-# Already-signed queries follow the window and keep their local
-# gate_check + pytest cover as regression evidence.
+# ``tools/gate_check.py``).  Round 5's window is the 11 remaining:
+# three ingest/front-end gates with heavy direct pytest coverage
+# (csv_sniff_roundtrip, csv_sniff_locale, hb_localdata_top), the five
+# reference .hb program gates (hb_mttr, hb_cycle_time,
+# hb_commit_frequency, hb_gandalf_state, hb_logic_state), and the three
+# collector/serving gates added this round (git_commit_frequency,
+# azdo_commit_authors, odata_serve_orders) — all already green under
+# the local mirror.  Already-signed queries follow the window and keep
+# their local gate_check + pytest cover as regression evidence.
 # --------------------------------------------------------------------- #
 
 _DRIVER_WINDOW_PRIORITY: list[str] = [

@@ -44,12 +44,15 @@ __all__ = [
 
 Fetcher = Callable[[str], str]
 
-# %x1f (unit sep) between fields, %x1e (record sep) between commits:
-# both are illegal in git identities and never appear in ISO dates, so
-# the stream splits unambiguously even when messages contain newlines.
+# Records are NUL-terminated (``git log -z`` — NUL cannot occur in any
+# git output field, unlike printable control bytes which a hostile
+# commit SUBJECT may contain). Fields split on %x1f with
+# maxsplit=7, so a subject containing the field separator keeps its
+# tail instead of shifting fields; the leading-hash validation below
+# rejects any frame that still comes out misaligned.
 _FIELD_SEP = "\x1f"
-_RECORD_SEP = "\x1e"
 _PRETTY = _FIELD_SEP.join(["%H", "%an", "%ae", "%aI", "%cn", "%ce", "%cI", "%s"])
+_HEX40 = frozenset("0123456789abcdef")
 
 _COMMIT_SCHEMA = T.StructType(
     [
@@ -75,20 +78,26 @@ def git_log_records(
     the typed reader normalizes to session-zone timestamps exactly as
     the uniform sniffing cascade does for HTTP feeds.
     """
-    cmd = ["git", "-C", repo_path, "log", f"--pretty=format:{_PRETTY}{_RECORD_SEP}"]
+    cmd = ["git", "-C", repo_path, "log", "-z", f"--pretty=format:{_PRETTY}"]
     if max_count is not None:
         cmd.append(f"--max-count={int(max_count)}")
-    cmd.append(rev)
+    # `--` pins rev as a revision: a branch named like an option (or
+    # shadowed by a file path) cannot be re-parsed as something else
+    cmd += [rev, "--"]
     out = subprocess.run(
-        cmd, capture_output=True, text=True, check=True
+        # git emits UTF-8 regardless of the host locale; decode it
+        # explicitly so a C/POSIX environment can't crash the collector
+        # on a non-ASCII author name
+        cmd, capture_output=True, check=True,
+        encoding="utf-8", errors="replace",
     ).stdout
     records = []
-    for chunk in out.split(_RECORD_SEP):
+    for chunk in out.split("\0"):
         chunk = chunk.strip("\n")
         if not chunk:
             continue
-        parts = chunk.split(_FIELD_SEP)
-        if len(parts) == 8:
+        parts = chunk.split(_FIELD_SEP, 7)
+        if len(parts) == 8 and len(parts[0]) == 40 and set(parts[0]) <= _HEX40:
             records.append(tuple(parts))
     return records
 
@@ -134,14 +143,17 @@ def read_git_numstat(
     unique on the commit side, so it broadcasts.
     """
     out = subprocess.run(
+        # the pretty string here is %H only (no message), so \x1e cannot
+        # be injected by commit content the way it could in the commit
+        # walk; encoding pinned for the same locale reason as there
         [
             "git", "-C", repo_path, "log", "--numstat",
-            f"--pretty=format:{_RECORD_SEP}%H", rev,
+            "--pretty=format:\x1e%H", rev, "--",
         ],
-        capture_output=True, text=True, check=True,
+        capture_output=True, check=True, encoding="utf-8", errors="replace",
     ).stdout
     rows: list[tuple] = []
-    for chunk in out.split(_RECORD_SEP):
+    for chunk in out.split("\x1e"):
         lines = [ln for ln in chunk.splitlines() if ln.strip()]
         if not lines:
             continue
@@ -213,11 +225,14 @@ def read_azdo_commits(
     reference's widening per record (`Reader.fs:20-50`).
     """
     import json as _json
+    from concurrent.futures import ThreadPoolExecutor
 
     from hobbes_spark.sources.ingest import rest_pages
 
-    per_repo: list[DataFrame] = []
-    for repo_id in repository_ids:
+    def fetch_repo(repo_id: str) -> list[str]:
+        # pages within one repo are inherently serial ($skip depends on
+        # how many rows came back so far); repos are independent and
+        # overlap via the thread pool below
         pages: list[str] = []
         for page_no in range(max_pages_per_repo):
             url = azdo_commits_url(
@@ -230,12 +245,18 @@ def read_azdo_commits(
                 pages.append(body)
             if n < top:
                 break
-        if pages:
-            per_repo.append(
-                rest_pages(spark, pages, values_field="value").withColumn(
-                    "repository_id", F.lit(repo_id)
-                )
-            )
+        return pages
+
+    with ThreadPoolExecutor(max_workers=min(8, len(repository_ids)) or 1) as pool:
+        fetched = list(pool.map(fetch_repo, repository_ids))
+
+    per_repo = [
+        rest_pages(spark, pages, values_field="value").withColumn(
+            "repository_id", F.lit(repo_id)
+        )
+        for repo_id, pages in zip(repository_ids, fetched)
+        if pages
+    ]
     if not per_repo:
         raise ValueError("no commits in any repository — empty feed?")
     out = per_repo[0]

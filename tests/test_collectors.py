@@ -222,3 +222,62 @@ def test_hb_git_provider(spark, fixture_repo):
     out = run_hb_program(spark, program)
     rows = out.df.collect()
     assert [r["count"] for r in rows] == [2, 1]
+
+
+# --------------------------------------------------------------------- #
+# Review-hardening regressions
+# --------------------------------------------------------------------- #
+
+
+def test_git_hostile_subject_framing(spark, tmp_path):
+    """A commit SUBJECT containing the field/record separator bytes must
+    not shift fields or truncate other commits: records are NUL-framed
+    (git log -z) and fields split with maxsplit, so the hostile bytes
+    stay inside the message column."""
+    repo = tmp_path / "hostile"
+    subprocess.run(
+        ["git", "init", "-q", "-b", "main", str(repo)],
+        env=_ENV, check=True, capture_output=True,
+    )
+    (repo / "f.txt").write_text("a\n")
+    _run(repo, "add", "f.txt")
+    _run(repo, "commit", "-q", "-m", "clean one",
+         date="2022-01-01T10:00:00+00:00")
+    (repo / "f.txt").write_text("b\n")
+    _run(repo, "add", "f.txt")
+    _run(repo, "commit", "-q", "-m", "evil \x1f mid \x1e subject",
+         date="2022-01-02T10:00:00+00:00")
+    (repo / "f.txt").write_text("c\n")
+    _run(repo, "add", "f.txt")
+    _run(repo, "commit", "-q", "-m", "clean two",
+         date="2022-01-03T10:00:00+00:00")
+
+    df = read_git_commits(spark, str(repo))
+    rows = df.orderBy("authored_at").collect()
+    assert len(rows) == 3  # nothing dropped, nothing split in two
+    assert [len(r["commit_id"]) for r in rows] == [40, 40, 40]
+    assert rows[0]["message"] == "clean one"
+    assert rows[2]["message"] == "clean two"
+    assert "evil" in rows[1]["message"]  # hostile bytes stay in-message
+    assert rows[1]["author_name"] == "Ada Tester"  # fields unshifted
+
+
+def test_git_non_ascii_identities(spark, tmp_path):
+    """UTF-8 decode is pinned explicitly, so non-ASCII author names
+    survive regardless of the host locale."""
+    repo = tmp_path / "utf8"
+    subprocess.run(
+        ["git", "init", "-q", "-b", "main", str(repo)],
+        env=_ENV, check=True, capture_output=True,
+    )
+    (repo / "f.txt").write_text("a\n")
+    env = dict(_ENV, GIT_AUTHOR_NAME="José Ñandú",
+               GIT_AUTHOR_DATE="2022-02-01T10:00:00+00:00",
+               GIT_COMMITTER_DATE="2022-02-01T10:00:00+00:00")
+    subprocess.run(["git", "-C", str(repo), "add", "f.txt"],
+                   env=env, check=True, capture_output=True)
+    subprocess.run(["git", "-C", str(repo), "commit", "-q", "-m", "héllo"],
+                   env=env, check=True, capture_output=True)
+    row = read_git_commits(spark, str(repo)).collect()[0]
+    assert row["author_name"] == "José Ñandú"
+    assert row["message"] == "héllo"

@@ -230,3 +230,63 @@ def test_envelope_roundtrips_through_ingest(spark):
     back = read_odata(spark, "https://svc/things?$orderby=id", fetch)
     assert back.count() == 12
     assert sorted(r["y"] for r in back.collect()) == [i * 2 for i in range(12)]
+
+
+# --------------------------------------------------------------------- #
+# Review-hardening regressions
+# --------------------------------------------------------------------- #
+
+
+def test_client_top_never_over_delivered_across_pages(spark):
+    """Server paging must respect the client's $top: following every
+    nextLink delivers exactly $top rows in total, not page_size-sized
+    refills forever."""
+    df = spark.range(100).select(F.col("id"))
+    options = {"$orderby": "id", "$top": "50"}
+    served = []
+    for _ in range(20):  # bounded loop guard
+        resp = odata_response(
+            df, options, base_url="https://svc/t", page_size=20
+        )
+        served.extend(r["id"] for r in resp["value"])
+        link = resp.get("@odata.nextLink")
+        if not link:
+            break
+        from urllib.parse import parse_qs, unquote, urlparse
+
+        qs = parse_qs(urlparse(link).query)
+        options = {k: unquote(v[0]) for k, v in qs.items()}
+    assert served == list(range(50))  # exactly $top, in order
+
+
+def test_div_integral_vs_fractional(spark):
+    """OData `div` splits on operand type: integral -> truncating
+    integral division, fractional -> fractional. Schema-aware when
+    applied to a frame."""
+    df = spark.range(10).select(
+        F.col("id").alias("n"), (F.col("id").cast("double")).alias("x")
+    )
+    # 3 div 2 == 1 for Edm.Int64 — matches n == 3
+    got = apply_odata_options(df, {"$filter": "n div 2 eq 1"})
+    assert sorted(r["n"] for r in got.collect()) == [2, 3]
+    # negative truncates toward zero: -7 div 2 == -3
+    got2 = apply_odata_options(df, {"$filter": "0 sub 7 div 2 eq 0 sub 3"})
+    assert got2.count() == 10  # constant-true predicate
+    # fractional operand -> fractional division
+    got3 = apply_odata_options(df, {"$filter": "x div 2 eq 1.5"})
+    assert [r["n"] for r in got3.collect()] == [3]
+
+
+def test_in_list_accepts_negative_literals(spark):
+    df = spark.range(5).select((F.col("id") - 2).alias("d"))
+    got = apply_odata_options(df, {"$filter": "d in (-2, -1, 2)"})
+    assert sorted(r["d"] for r in got.collect()) == [-2, -1, 2]
+
+
+def test_unsupported_options_raise(spark):
+    df = spark.range(3)
+    for bad in ("$skiptoken", "$search", "$apply", "$compute"):
+        with pytest.raises(ValueError, match="not supported"):
+            apply_odata_options(df, {bad: "x"})
+    # $expand is satisfied by the flat model — must NOT raise
+    assert apply_odata_options(df, {"$expand": "Iteration"}).count() == 3
