@@ -146,7 +146,13 @@ def contains(expr: Column | str, values: Sequence) -> Column:
 
     Reference: `tools/workbench/src/production transformations/Azure.fs:12-16`,
     tutorial:112-130.
+
+    A bare string is one membership value, not a character sequence —
+    ``contains('state', 'Done')`` must test equality with ``'Done'``,
+    never explode into ``['D','o','n','e']``.
     """
+    if isinstance(values, str):
+        values = [values]
     return c(expr).isin(list(values))
 
 

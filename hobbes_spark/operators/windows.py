@@ -30,6 +30,18 @@ def _window(order_exprs: Sequence[Column], partition_by: Sequence[str]):
     return w.orderBy(*order_exprs)
 
 
+def _over(reduction: str, value: Column, w) -> Column:
+    """Apply a reduction over a window frame. ``distinct`` needs its own
+    spelling: Spark rejects DISTINCT aggregate functions over windows
+    (count_distinct(...).over(w) is an AnalysisException), but
+    size(collect_set(...)) computes the same distinct-non-NULL count and
+    is window-legal — the grammar allows ``moving distinct n col``, so
+    the valid program must compile."""
+    if reduction == "distinct":
+        return F.size(F.collect_set(value).over(w))
+    return reduction_fn(reduction)(value).over(w)
+
+
 def moving_col(
     reduction: str,
     n: int,
@@ -48,7 +60,7 @@ def moving_col(
         raise ValueError("moving window size must be >= 1")
     w = _window(order_exprs, partition_by).rowsBetween(-(n - 1), 0)
     full = F.count(F.lit(1)).over(w) >= n
-    return F.when(full, reduction_fn(reduction)(value).over(w))
+    return F.when(full, _over(reduction, value, w))
 
 
 def expanding_col(
@@ -59,4 +71,4 @@ def expanding_col(
 ) -> Column:
     """Cumulative reduction from the first row to the current row."""
     w = _window(order_exprs, partition_by).rowsBetween(Window.unboundedPreceding, 0)
-    return reduction_fn(reduction)(value).over(w)
+    return _over(reduction, value, w)

@@ -37,7 +37,7 @@ from typing import Optional, Union
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hobbes_spark.expressions import c
+from hobbes_spark.expressions import c, qname
 from hobbes_spark.reductions import (
     NUMERIC_ONLY,
     is_numeric_type,
@@ -64,9 +64,26 @@ def _nanos_ts_cols(path: str) -> list[str]:
                 f for f in os.listdir(path) if f.endswith((".parquet", ".pq"))
             )
             if not inner:
+                # partitioned layout (dir of key=value dirs): descend one
+                # level so the footer sniff still sees a real file
+                subdirs = sorted(
+                    d for d in os.listdir(path)
+                    if os.path.isdir(os.path.join(path, d))
+                )
+                for d in subdirs:
+                    cols = _nanos_ts_cols(os.path.join(path, d))
+                    if cols:
+                        return cols
                 return []
             path = os.path.join(path, inner[0])
-        return [f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"]
+        # tz-aware nanos footer-print as "timestamp[ns, tz=UTC]" — the
+        # prefix match catches both spellings (both map to parquet
+        # TIMESTAMP(NANOS), which stock Spark rejects)
+        return [
+            f.name
+            for f in pq.read_schema(path)
+            if str(f.type).startswith("timestamp[ns")
+        ]
     except Exception:
         return []
 
@@ -81,7 +98,16 @@ def read_parquet_any_ts(spark: SparkSession, path: str) -> DataFrame:
     than relying on session construction (the driver's correctness gate
     builds its own stock session). Nano columns then arrive as raw
     nanosecond longs and are truncated to microsecond timestamps
-    in-plan."""
+    in-plan.
+
+    The conf deliberately stays set afterwards: parquet scans re-consult
+    it per file at EXECUTION time, and these DataFrames are lazy — an
+    eager reset would blow up the very scan this function just built.
+    Consequence: a later nanos file whose footer this sniff could NOT
+    introspect (unreadable glob) loads as raw bigint instead of failing
+    loudly; the sniff therefore walks directories (including one
+    partition level) so that case is confined to exotic paths, and
+    callers hitting it see bigint columns rather than silent truncation."""
     nanos = _nanos_ts_cols(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -132,8 +158,7 @@ class Pipeline:
     def table(cls, spark: SparkSession, sf_dir: str, name: str) -> "Pipeline":
         """Load one of the driver test tables (nanos-timestamp safe —
         see ``read_parquet_any_ts``)."""
-        path = f"{sf_dir}/{name}.parquet"
-        return cls(read_parquet_any_ts(spark, path), lineage=(f"parquet:{path}",))
+        return cls.from_parquet(spark, f"{sf_dir}/{name}.parquet")
 
     # ------------------------------------------------------------------ #
     # plumbing
@@ -163,8 +188,11 @@ class Pipeline:
 
     def cache_key(self) -> str:
         """md5 over source + op prefix — the reference's cache-key scheme
-        (`tools/workbench/src/Types.fs:176-184`)."""
-        return hashlib.md5(":".join(self.lineage).encode()).hexdigest()
+        (`tools/workbench/src/Types.fs:176-184`). Joined on a byte that
+        cannot appear inside an op string (op entries themselves contain
+        ``:`` — ``parquet:path`` — so a printable join would alias
+        ('a:b',) with ('a','b'))."""
+        return hashlib.md5("\x1f".join(self.lineage).encode()).hexdigest()
 
     def explain(self, mode: str = "formatted") -> None:
         self._df.explain(mode)
@@ -195,11 +223,17 @@ class Pipeline:
         """``only (boolExpr)`` — keep rows satisfying the predicate.
 
         ``only True`` is the identity pass-through (reference
-        `General.fs:66-68`). Reference: snippets:76-83, `flowerpot.hb:12`.
+        `General.fs:66-68`); ``only False`` drops every row (plain bools
+        must not reach ``df.filter``, which rejects them). The predicate's
+        rendered form joins the lineage so two pipelines differing only
+        in their filter get distinct cache keys.
+        Reference: snippets:76-83, `flowerpot.hb:12`.
         """
         if cond is True:
             return self._step(self._df, "only true")
-        return self._step(self._df.filter(cond), "only")
+        if cond is False:
+            return self._step(self._df.filter(F.lit(False)), "only false")
+        return self._step(self._df.filter(cond), f"only {cond}")
 
     # ------------------------------------------------------------------ #
     # §2.2 projection / column ops
@@ -233,7 +267,19 @@ class Pipeline:
         return self._step(out, f"slice rows {start} {end}")
 
     def rename_column(self, old: str, new: str) -> "Pipeline":
-        """``rename column a b`` (snippets:11-17, `flowerpot.hb:15`)."""
+        """``rename column a b`` (snippets:11-17, `flowerpot.hb:15`).
+
+        Renaming ONTO an existing column raises here: Spark's
+        ``withColumnRenamed`` would happily produce two columns named
+        ``new`` and the resulting AMBIGUOUS_REFERENCE fires far from the
+        rename that caused it. (The reference's rename-then-recreate
+        idiom renames to a FRESH name, then `create`s — `MTTR.hb:25-26` —
+        and create_column handles the shadowing case.)"""
+        if new != old and new in self._df.columns:
+            raise ValueError(
+                f"rename {old!r} -> {new!r}: column {new!r} already exists "
+                "(use create_column to overwrite, or rename to a fresh name)"
+            )
         out = self._df.withColumnRenamed(old, new)
         ren = lambda n: new if n == old else n  # noqa: E731
         return self._step(
@@ -250,7 +296,9 @@ class Pipeline:
         Plain strings are treated as *literals* here (DSL string literal);
         pass a Column to reference other columns."""
         col = expr if isinstance(expr, Column) else F.lit(expr)
-        return self._step(self._df.withColumn(name, col), f"create {name}")
+        # the rendered expression joins the op so two pipelines creating
+        # the same column name from different expressions cache apart
+        return self._step(self._df.withColumn(name, col), f"create {name} {col}")
 
     def dense_columns(self, max_null_fraction: float = 0.0) -> "Pipeline":
         """``dense columns`` — drop columns with missing values
@@ -304,7 +352,11 @@ class Pipeline:
         windowed ops use (snippets:68-74, `Velocity.hb:29`)."""
         order = tuple((n, ascending) for n in cols)
         exprs = [c(n).asc() if asc else c(n).desc() for n, asc in order]
-        return self._step(self._df.orderBy(*exprs), f"sort by {cols}", order=order)
+        return self._step(
+            self._df.orderBy(*exprs),
+            f"sort by {cols} {'asc' if ascending else 'desc'}",
+            order=order,
+        )
 
     def index_by(self, *cols: str) -> "Pipeline":
         """``index rows by col`` — re-key rows; "mostly relevant when
@@ -362,10 +414,27 @@ class Pipeline:
         100 TB (the reference's pivot columns are always small enumerable
         sets like Todo/Doing/Done)."""
         row_keys = list(row_keys)
-        value_col = value_col or row_keys[0]
+        if value_col is None:
+            if reduction == "count":
+                # counting without an explicit value column counts ROWS —
+                # counting the row key would make a NULL-keyed group read
+                # 0 even when its rows exist
+                vexpr = F.lit(1)
+            elif row_keys:
+                vexpr = c(row_keys[0])
+            else:
+                raise ValueError("pivot needs row_keys or an explicit value_col")
+        else:
+            vexpr = c(value_col)
         gp = self._df.groupBy(*[c(k) for k in row_keys])
-        pv = gp.pivot(col_key, list(col_values)) if col_values else gp.pivot(col_key)
-        out = pv.agg(reduction_fn(reduction)(c(value_col)))
+        # qname: flattened dot-path columns are real flat names here, but
+        # GroupedData.pivot parses its string with struct dot-resolution
+        pv = (
+            gp.pivot(qname(col_key), list(col_values))
+            if col_values
+            else gp.pivot(qname(col_key))
+        )
+        out = pv.agg(reduction_fn(reduction)(vexpr))
         if reduction == "count":
             # Spark's pivot leaves an absent (row, col) cell NULL; the
             # reference's pivotTable applies the reduction to the empty
@@ -376,7 +445,7 @@ class Pipeline:
             out = out.fillna(0, subset=[f for f in out.columns if f not in row_keys])
         return self._step(
             out,
-            f"pivot {row_keys} {col_key} {reduction}",
+            f"pivot {row_keys} {col_key} {reduction} {value_col}",
             key_cols=tuple(row_keys),
             order=(),
         )

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from hobbes_spark import Pipeline
 from hobbes_spark import expressions as E
+from hobbes_spark.pipeline import read_parquet_any_ts
 
 
 @pytest.fixture(scope="module")
@@ -428,3 +429,120 @@ def test_unpivot_is_map_only_expand(spark, sf_dir):
         (m.df.l_orderkey == uniq["l_orderkey"])
         & (m.df.l_linenumber == uniq["l_linenumber"])).collect()}
     assert got == {"l_extendedprice": uniq["ep"], "l_tax": uniq["tx"]}
+
+
+# --------------------------------------------------------------------- #
+# Review-hardening regressions (round 4)
+# --------------------------------------------------------------------- #
+
+
+def test_only_accepts_plain_bools(spark):
+    p = Pipeline.of(spark.range(5).toDF("x"))
+    assert p.only(True).df.count() == 5
+    assert p.only(False).df.count() == 0  # not a PySparkTypeError
+
+
+def test_cache_key_distinguishes_expressions(spark):
+    """Semantically different pipelines must cache apart: the predicate /
+    expression identity joins the lineage, and the join byte cannot be
+    produced by an op string."""
+    from hobbes_spark.expressions import c
+
+    p = Pipeline.of(spark.range(10).toDF("a"), "src")
+    assert p.only(c("a") > 1).cache_key() != p.only(c("a") > 2).cache_key()
+    assert (
+        p.create_column("f", c("a") * 2).cache_key()
+        != p.create_column("f", c("a") * 3).cache_key()
+    )
+    assert (
+        p.sort_by("a", ascending=True).cache_key()
+        != p.sort_by("a", ascending=False).cache_key()
+    )
+
+
+def test_rename_onto_existing_column_raises(spark):
+    p = Pipeline.of(spark.createDataFrame([(1, 2)], ["a", "b"]))
+    with pytest.raises(ValueError, match="already exists"):
+        p.rename_column("a", "b")
+    # renaming to itself and to a fresh name both stay legal
+    assert p.rename_column("a", "a").columns == ["a", "b"]
+    assert p.rename_column("a", "z").columns == ["z", "b"]
+
+
+def test_pivot_counts_rows_in_null_keyed_groups(spark):
+    df = spark.createDataFrame(
+        [(None, "F"), (None, "F"), ("x", "O")], ["k", "s"]
+    )
+    out = Pipeline.of(df).pivot(["k"], "s", "count", col_values=["F", "O"]).df
+    rows = {r["k"]: (r["F"], r["O"]) for r in out.collect()}
+    # the NULL-keyed group has 2 real rows — count must say 2, not 0
+    assert rows[None] == (2, 0)
+    assert rows["x"] == (0, 1)
+
+
+def test_pivot_on_dot_named_column(spark):
+    """Flattened dot-path names are real flat columns; pivot must quote
+    them instead of letting GroupedData.pivot do struct dot-resolution."""
+    df = spark.createDataFrame(
+        [(1, "Done"), (1, "Todo"), (2, "Done")], ["Sprint", "Iteration.State"]
+    )
+    out = (
+        Pipeline.of(df)
+        .pivot(["Sprint"], "Iteration.State", "count", col_values=["Done", "Todo"])
+        .df
+    )
+    rows = {r["Sprint"]: (r["Done"], r["Todo"]) for r in out.collect()}
+    assert rows == {1: (1, 1), 2: (1, 0)}
+
+
+def test_moving_and_expanding_distinct_compile_and_count(spark):
+    """`moving distinct n col` is grammar-legal; the window spelling is
+    size(collect_set) because DISTINCT aggregates are window-illegal."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([1, 1, 2, 2, 3, 1])], ["i", "v"]
+    )
+    p = Pipeline.of(df).sort_by("i")
+    got = [
+        (r["m"], r["e"])
+        for r in p.moving("m", "distinct", 3, "v")
+        .expanding("e", "distinct", "v")
+        .df.orderBy("i")
+        .collect()
+    ]
+    assert got == [
+        (None, 1), (None, 1), (2, 2), (2, 2), (2, 3), (3, 3),
+    ]
+
+
+def test_contains_single_string_is_one_value(spark):
+    from hobbes_spark.expressions import contains
+
+    df = spark.createDataFrame([("Done",), ("D",), ("o",)], ["s"])
+    assert df.filter(contains("s", "Done")).count() == 1  # not per-char
+    assert df.filter(contains("s", ["Done", "o"])).count() == 2
+
+
+def test_nanos_sniff_handles_tz_aware_and_partitioned(tmp_path, spark):
+    """tz-aware nanos ('timestamp[ns, tz=UTC]') and one-level partition
+    dirs both reach the footer sniff, so the nanosAsLong escape hatch
+    fires where it used to miss."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hobbes_spark.pipeline import _nanos_ts_cols
+
+    ts = pd.Series(pd.to_datetime(["2021-01-01 12:00:00"]).tz_localize("UTC"))
+    tbl = pa.table({"t": pa.Array.from_pandas(ts, type=pa.timestamp("ns", tz="UTC"))})
+    flat = tmp_path / "flat.parquet"
+    pq.write_table(tbl, flat)
+    assert _nanos_ts_cols(str(flat)) == ["t"]
+
+    part = tmp_path / "part"
+    (part / "k=1").mkdir(parents=True)
+    pq.write_table(tbl, part / "k=1" / "part0.parquet")
+    assert _nanos_ts_cols(str(part)) == ["t"]
+
+    df = read_parquet_any_ts(spark, str(flat))
+    assert dict(df.dtypes)["t"].startswith("timestamp")
+    assert df.count() == 1
