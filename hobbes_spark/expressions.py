@@ -156,6 +156,20 @@ def contains(expr: Column | str, values: Sequence) -> Column:
     return c(expr).isin(list(values))
 
 
+def md5_prefix_bigint(src: Column, hex_chars: int) -> Column:
+    """First ``hex_chars`` md5 hex digits as a non-negative bigint —
+    the repo's ONE cross-engine hash primitive (DuckDB replays it as a
+    strpos polynomial over the same hex prefix; the sketch/sampling
+    oracles depend on this exact framing, so the width and the
+    conv(.., 16, 10) spelling live here and nowhere else).
+
+    ``hex_chars`` must be ≤ 15 so the value fits a signed 64-bit int
+    (16 hex digits can set the sign bit)."""
+    if not 1 <= hex_chars <= 15:
+        raise ValueError("md5_prefix_bigint: hex_chars must be in 1..15")
+    return F.conv(F.substring(F.md5(src), 1, hex_chars), 16, 10).cast("bigint")
+
+
 def is_missing(expr: Column | str) -> Column:
     """``x = missing`` / ``isMissing`` — NULL test (reference tutorial:147-150).
 

@@ -23,7 +23,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hobbes_spark.expressions import c
+from hobbes_spark.expressions import c, md5_prefix_bigint
 
 __all__ = [
     "hash_bucket",
@@ -41,16 +41,20 @@ _SCALE = 1 << 32
 
 
 def hash_bucket(col: Column | str, salt: str = "") -> Column:
-    """Uniform value in [0, 2^32) from ``md5(salt || key)``. ``salt``
-    decorrelates independent samples drawn from the same key.
+    """Uniform value in [0, 2^32) from ``md5(salt || \\x1f || key)``.
+    ``salt`` decorrelates independent samples drawn from the same key;
+    the unit-separator byte between salt and key keeps the framing
+    unambiguous (without it, salt 'a' + key 'bc' would hash identically
+    to salt 'ab' + key 'c', quietly correlating "independent" samples
+    whose salts are prefixes of each other).
 
     NULL keys map to one sentinel bucket rather than NULL — otherwise a
     NULL-keyed row would fail every ``< threshold`` filter and silently
     vanish even from a fraction=1.0 sample. All NULL-key rows therefore
     sample together (all in or all out at a given fraction/salt)."""
     key = F.coalesce(c(col).cast("string"), F.lit("\x00null"))
-    src = F.concat(F.lit(salt), key)
-    return F.conv(F.substring(F.md5(src), 1, 8), 16, 10).cast("bigint")
+    src = F.concat(F.lit(salt), F.lit("\x1f"), key)
+    return md5_prefix_bigint(src, 8)
 
 
 def hash_sample(
@@ -229,7 +233,7 @@ def top_fraction_by(
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(wc))
-        .filter(F.col("__rn") <= F.ceil(F.lit(float(frac)) * F.col("__n")))
+        .filter(F.col("__rn") <= F.ceil(F.round(F.lit(float(frac)) * F.col("__n"), 9)))
         .drop("__rn", "__n")
     )
 

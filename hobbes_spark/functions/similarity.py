@@ -93,6 +93,21 @@ def cosine(a: Column, b: Column) -> Column:
     return _dotd(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 
+def _unit(v: Column) -> Column:
+    """L2-normalized copy of ``v`` (zero vectors pass through unchanged)."""
+    n = _norm(F.transform(v, lambda x: x.cast("double")))
+    return F.when(
+        n > 0, F.transform(v, lambda x: x.cast("double") / n)
+    ).otherwise(F.transform(v, lambda x: x.cast("double")))
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail: rank per query by (cos desc, neighbor asc) —
+    ONE spelling of the tie-break contract for every ANN variant."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -108,22 +123,22 @@ def cosine_topk(
     Returns (query_id, neighbor_id, cos, rank).
     """
     q = F.broadcast(
-        queries.select(
+        queries.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
         )
     )
-    corp = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # NULL vectors carry no direction — excluded, not ranked as
+    # NULL-cos trailing neighbors
+    corp = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
     joined = corp.crossJoin(q)
     if not include_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk(scored, k)
 
 
 def _hyperplane_sign(vec: Column, plane: int) -> Column:
@@ -272,16 +287,23 @@ def lsh_signature(
     Pass ``weights`` (from :func:`plane_weight_matrix`) to skip per-row
     hashing; signatures are identical either way."""
     if weights is not None:
-        signs = hyperplane_signs(vec, weights[:planes])
-        sig = F.lit(0).cast("bigint")
-        for p in range(planes):
-            sig = sig + F.element_at(signs, p + 1).cast("bigint") * F.lit(
-                2**p
-            ).cast("bigint")
-        return sig
+        return _pack_bits(hyperplane_signs(vec, weights[:planes]), planes)
     sig = F.lit(0).cast("bigint")
     for p in range(planes):
         sig = sig + _hyperplane_sign(vec, p) * F.lit(2**p).cast("bigint")
+    return sig
+
+
+def _pack_bits(signs: Column, planes: int) -> Column:
+    """0/1 sign array -> little-endian packed long. ONE spelling of the
+    packing order, shared by the direct and materialized-column paths —
+    the parquet dump-dir replay depends on both producing identical
+    buckets."""
+    sig = F.lit(0).cast("bigint")
+    for p in range(planes):
+        sig = sig + F.element_at(signs, p + 1).cast("bigint") * F.lit(2**p).cast(
+            "bigint"
+        )
     return sig
 
 
@@ -299,11 +321,19 @@ def lsh_bucket_topk(
     within it.
 
     Multi-probe: each *query* additionally probes every bucket within
-    hamming distance ``probe_radius`` (0 = single probe) — probes
+    hamming distance ``probe_radius`` (0 = single probe; radii 0-2
+    supported — probe count grows as C(planes, r), so radius 2 already
+    means 1 + planes + planes·(planes−1)/2 probes per query) — probes
     multiply only the tiny broadcast query side, while the corpus keeps
     exactly one bucket per vector, which is what makes this shape hold
     at 100 TB (corpus-side cost is one signature scan + one keyed join).
     Raise recall by raising ``probe_radius`` or lowering ``planes``.
+
+    NULL-embedding rows on either side are excluded (a NULL vector has
+    no direction to hash; including them would pile every one into
+    bucket 0 and emit NULL-cos neighbors). Query vectors must match the
+    corpus dimension — a ragged query would otherwise sign all-zero and
+    silently probe garbage, so it raises instead.
 
     ``dump_dir``: when set, the corpus bucket table and the query probe
     table are checkpointed to ``<dump_dir>/lsh_corpus_buckets`` /
@@ -311,7 +341,20 @@ def lsh_bucket_topk(
     an external engine reading the same files can then replay candidate
     generation → rerank → top-k exactly (the correctness-gate hook for
     a hash family SQL cannot recompute)."""
+    if probe_radius > 2:
+        raise ValueError(
+            "lsh_bucket_topk: probe_radius up to 2 is supported (probe "
+            "count is C(planes, r) per radius step); for higher recall "
+            "lower `planes` or use ivf_topk with a larger nprobe"
+        )
     dim = corpus_dim(corpus, vec_col)
+    qdim = corpus_dim(queries, vec_col)
+    if dim is not None and qdim is not None and dim != qdim:
+        raise ValueError(
+            f"lsh_bucket_topk: query dimension {qdim} != corpus dimension "
+            f"{dim}; a mismatched query would sign all-zero and silently "
+            "return garbage"
+        )
     weights = (
         plane_weight_matrix(corpus.sparkSession, planes, dim)
         if dim is not None
@@ -319,7 +362,7 @@ def lsh_bucket_topk(
     )
 
     def with_bucket(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        out = df.select(
+        out = df.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
         )
         if weights is not None:
@@ -330,12 +373,9 @@ def lsh_bucket_topk(
             out = out.withColumn(
                 "__s", hyperplane_signs_arrow(weights)(F.col(vec_alias))
             )
-            pack = F.lit(0).cast("bigint")
-            for p in range(planes):
-                pack = pack + F.element_at(F.col("__s"), p + 1).cast(
-                    "bigint"
-                ) * F.lit(2**p).cast("bigint")
-            return out.withColumn("bucket", pack).drop("__s")
+            return out.withColumn("bucket", _pack_bits(F.col("__s"), planes)).drop(
+                "__s"
+            )
         return out.withColumn("bucket", lsh_signature(F.col(vec_alias), planes))
 
     corp = with_bucket(corpus, "neighbor_id", "cv")
@@ -344,6 +384,12 @@ def lsh_bucket_topk(
         probes += [
             F.col("bucket").bitwiseXOR(F.lit(2**p).cast("bigint"))
             for p in range(planes)
+        ]
+    if probe_radius >= 2:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit((2**p) | (2**r)).cast("bigint"))
+            for p in range(planes)
+            for r in range(p + 1, planes)
         ]
     q = with_bucket(queries, "query_id", "qv").select(
         "query_id", "qv", F.explode(F.array(*probes)).alias("bucket")
@@ -359,8 +405,7 @@ def lsh_bucket_topk(
     scored = joined.dropDuplicates(["query_id", "neighbor_id"]).select(
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk(scored, k)
 
 
 def ivf_build(
@@ -387,10 +432,17 @@ def ivf_build(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(
+    # NULL vectors can't be clustered (array_to_vector(NULL) kills
+    # KMeans.fit with FAILED_EXECUTE_UDF) and can't be searched — they
+    # are excluded from the index, same policy as lsh_bucket_topk.
+    # Clustering and cell assignment run in L2-NORMALIZED space: the
+    # final rerank is cosine, and probing cells by raw L2 would let a
+    # short query's true cosine-neighbors hide in a far-L2 cell that
+    # nprobe never visits. Normalized L2 ordering == cosine ordering.
+    feats = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        array_to_vector(_unit(F.col(vec_col))).alias("features"),
     )
     train = feats if sample_fraction is None else feats.sample(sample_fraction, seed)
     n_train = train.count()  # marginal next to k-means training itself
@@ -441,14 +493,21 @@ def ivf_search(
     corpus, pruned to those cells' directories when the index was
     written partitioned by cell. Returns (query_id, neighbor_id, cos,
     rank)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    # centroids live in normalized space (ivf_build) — normalize the
+    # query before ranking cells so probe order is cosine order; the
+    # rerank below still uses the raw query vector (cosine is
+    # scale-invariant anyway)
     qcells = (
-        q.crossJoin(F.broadcast(centroids))
+        q.withColumn("__qu", _unit(F.col("qv")))
+        .crossJoin(F.broadcast(centroids))
         .withColumn(
             "dist2",
             F.aggregate(
                 F.zip_with(
-                    F.col("qv"),
+                    F.col("__qu"),
                     F.col("centroid"),
                     lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
                 ),
@@ -475,8 +534,7 @@ def ivf_search(
     scored = joined.select(
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk(scored, k)
 
 
 def ivf_topk(
@@ -523,14 +581,22 @@ def quantize_embeddings(
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     amax = F.array_max(F.transform(v, F.abs))
     scale = amax / F.lit(127.0)
+    # a NULL ELEMENT stays NULL: greatest/least skip NULLs, so without
+    # the guard floor(NULL/scale+0.5) would clamp to -127 and fabricate
+    # an extreme negative component (dequantized then reconstructs it
+    # as -max|v|)
     code = F.transform(
         v,
-        lambda x: F.least(
-            F.greatest(F.floor(x / scale + F.lit(0.5)), F.lit(-127.0)),
-            F.lit(127.0),
-        ).cast("int"),
+        lambda x: F.when(x.isNull(), F.lit(None).cast("int")).otherwise(
+            F.least(
+                F.greatest(F.floor(x / scale + F.lit(0.5)), F.lit(-127.0)),
+                F.lit(127.0),
+            ).cast("int")
+        ),
     )
-    zeros = F.transform(v, lambda x: F.lit(0))
+    zeros = F.transform(
+        v, lambda x: F.when(x.isNull(), F.lit(None).cast("int")).otherwise(F.lit(0))
+    )
     return df.withColumn(
         scale_col, F.when(F.col(vec_col).isNull(), None).otherwise(
             F.when(amax > 0, scale).otherwise(F.lit(0.0))

@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hobbes_spark.expressions import md5_prefix_bigint
+
 __all__ = [
     "hll_group_sketches",
     "hll_rollup_estimate",
@@ -119,9 +121,7 @@ def _hll_bucket_rank(col: str, lgk: int, hash_fn: str) -> tuple[Column, Column]:
         # 60-bit integer from the first 15 md5 hex chars — replayable in
         # DuckDB via the strpos polynomial (same trick as the CMS/simhash
         # oracles); values hash via their canonical string form.
-        v = F.conv(
-            F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
-        ).cast("bigint")
+        v = md5_prefix_bigint(F.col(col).cast("string"), 15)
         width = 60 - lgk
     elif hash_fn == "xxhash64":
         v = F.shiftrightunsigned(F.xxhash64(F.col(col)), 1)  # 63 nonneg bits
@@ -262,9 +262,7 @@ def _cms_positions(item: Column, depth: int, width: int, hash_fn: str) -> list[C
     if hash_fn == "md5":
         return [
             F.pmod(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"{d}|"), item)), 1, 15), 16, 10
-                ).cast("bigint"),
+                md5_prefix_bigint(F.concat(F.lit(f"{d}|"), item), 15),
                 F.lit(width),
             )
             for d in range(depth)
@@ -386,9 +384,7 @@ def _kmv_rank(id_col: Column, hash_fn: str) -> Column:
     if hash_fn == "xxhash64":
         return F.xxhash64(id_col)
     if hash_fn == "md5":
-        return F.conv(
-            F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10
-        ).cast("bigint")
+        return md5_prefix_bigint(id_col.cast("string"), 15)
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 

@@ -1582,10 +1582,11 @@ def token_frequencies(spark, sf_dir):
 
 def _hash_bucket_sql(key_expr: str, salt: str = "") -> str:
     # COALESCE to the same "\x00null" sentinel as sampling.hash_bucket so
-    # NULL keys bucket identically in both engines
+    # NULL keys bucket identically in both engines; chr(31) mirrors the
+    # salt/key unit-separator framing (hash_bucket's prefix-salt guard)
     key = f"COALESCE(CAST({key_expr} AS VARCHAR), chr(0) || 'null')"
     return " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5('{salt}' || {key}), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        f"(strpos('0123456789abcdef', substr(md5('{salt}' || chr(31) || {key}), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
         for j in range(8)
     )
 
@@ -2838,7 +2839,7 @@ def _quality_rank_sql(frac: float) -> str:
       FROM scored
     )
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, MIN(quality) AS min_quality
-    FROM r WHERE rn <= CEIL({frac} * n) GROUP BY lang
+    FROM r WHERE rn <= CEIL(ROUND({frac} * n, 9)) GROUP BY lang
     """
 
 

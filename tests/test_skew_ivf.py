@@ -162,3 +162,119 @@ def test_ragged_corpus_dim_raises(spark):
     with pytest.raises(ValueError, match="ragged"):
         corpus_dim(ragged, "v")
     assert corpus_dim(ok.filter("id = 3"), "v") is None
+
+
+# --------------------------------------------------------------------- #
+# Review-hardening regressions (round 4)
+# --------------------------------------------------------------------- #
+
+
+def _vec_df(spark, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_null_vectors_excluded_from_lsh_and_cosine(spark):
+    from hobbes_spark.functions.similarity import cosine_topk, lsh_bucket_topk
+
+    corpus = _vec_df(spark, [(i, [float(i), 1.0]) for i in range(8)] + [(99, None)])
+    queries = _vec_df(spark, [(0, [1.0, 1.0]), (100, None)])
+    for fn in (cosine_topk, lsh_bucket_topk):
+        out = fn(corpus, queries, k=20).collect()
+        assert all(r["neighbor_id"] != 99 for r in out), fn.__name__
+        assert all(r["query_id"] != 100 for r in out), fn.__name__
+        assert all(r["cos"] is not None for r in out), fn.__name__
+
+
+def test_ivf_tolerates_null_vectors(spark):
+    from hobbes_spark.functions.similarity import ivf_topk
+
+    corpus = _vec_df(
+        spark, [(i, [float(i % 4), float(i // 4)]) for i in range(12)] + [(99, None)]
+    )
+    queries = _vec_df(spark, [(0, [1.0, 1.0])])
+    out = ivf_topk(corpus, queries, k=5, nlist=2, nprobe=2).collect()
+    assert len(out) == 5  # no FAILED_EXECUTE_UDF, NULL row not indexed
+    assert all(r["neighbor_id"] != 99 for r in out)
+
+
+def test_probe_radius_two_expands_probes_and_caps(spark):
+    from hobbes_spark.functions.similarity import lsh_bucket_topk
+
+    corpus = _vec_df(spark, [(i, [float(i), 1.0, -float(i)]) for i in range(30)])
+    queries = _vec_df(spark, [(0, [1.0, 1.0, -1.0])])
+    r1 = {r["neighbor_id"] for r in lsh_bucket_topk(
+        corpus, queries, k=30, planes=8, probe_radius=1).collect()}
+    r2 = {r["neighbor_id"] for r in lsh_bucket_topk(
+        corpus, queries, k=30, planes=8, probe_radius=2).collect()}
+    assert r1 <= r2  # radius 2 can only ADD candidates
+    with pytest.raises(ValueError, match="probe_radius"):
+        lsh_bucket_topk(corpus, queries, probe_radius=3)
+
+
+def test_ragged_query_dimension_raises(spark):
+    from hobbes_spark.functions.similarity import lsh_bucket_topk
+
+    corpus = _vec_df(spark, [(i, [float(i), 1.0, 0.0]) for i in range(5)])
+    queries = _vec_df(spark, [(0, [1.0, 1.0])])  # dim 2 != 3
+    with pytest.raises(ValueError, match="dimension"):
+        lsh_bucket_topk(corpus, queries)
+
+
+def test_quantize_preserves_null_elements(spark):
+    from hobbes_spark.functions.similarity import dequantized, quantize_embeddings
+
+    df = _vec_df(spark, [(1, [1.0, None, -0.5])])
+    row = quantize_embeddings(df).select(
+        "q8", "scale", dequantized("q8", "scale").alias("back")
+    ).collect()[0]
+    assert row["q8"] == [127, None, -63]  # NULL stays NULL, not -127
+    assert row["back"][1] is None
+
+
+def test_ivf_probes_cells_by_cosine_not_raw_l2(spark):
+    """A short query must probe the cell of its cosine-direction, not
+    the L2-nearest cell: with unnormalized clustering, [0.1, 0] sits
+    closer (L2) to the tiny-norm cluster even though its direction
+    matches the large-norm one."""
+    from hobbes_spark.functions.similarity import ivf_topk
+
+    # two clean direction clusters with very different norms
+    corpus = _vec_df(
+        spark,
+        [(i, [100.0 + i, 0.0]) for i in range(5)]          # +x, huge norm
+        + [(10 + i, [0.0, 0.05 + 0.001 * i]) for i in range(5)],  # +y, tiny norm
+    )
+    queries = _vec_df(spark, [(0, [0.1, 0.0])])  # +x direction, tiny norm
+    out = ivf_topk(corpus, queries, k=3, nlist=2, nprobe=1).collect()
+    # nprobe=1: the single probed cell must be the +x cell (cosine 1.0)
+    assert {r["neighbor_id"] for r in out} <= set(range(5))
+    assert all(abs(r["cos"] - 1.0) < 1e-9 for r in out)
+
+
+def test_hash_bucket_salt_framing_decorrelates_prefix_salts(spark):
+    from hobbes_spark.functions.sampling import hash_bucket
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(200)], ["k"])
+    a = df.withColumn("h", hash_bucket("k", salt="v1")).collect()
+    b = df.withColumn("h", hash_bucket("k", salt="v12")).collect()
+    # prefix salts must not produce correlated streams; with the \x1f
+    # separator the two hash columns share (essentially) no values
+    same = sum(1 for x, y in zip(a, b) if x["h"] == y["h"])
+    assert same == 0
+
+
+def test_top_fraction_exact_quota_at_float_boundary(spark):
+    from hobbes_spark.functions.sampling import top_fraction_by
+
+    rows = [("g", i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["g", "id", "score"])
+    # 0.07 * 100 == 7.000000000000001 in IEEE double: must keep 7, not 8
+    out = top_fraction_by(df, by=["g"], score_col="score", frac=0.07,
+                          tiebreak=["id"])
+    assert out.count() == 7
