@@ -50,6 +50,7 @@ __all__ = [
     "chunk_documents",
     "pack_documents",
     "unigram_logprob_scores",
+    "bigram_logprob_scores",
     "dsir_log_weights",
     "redact_pii",
 ]
@@ -185,6 +186,11 @@ def remove_duplicate_spans(
     tokens are never cut.
 
     Adds ``clean_text``, ``n_tokens``, ``kept_tokens``.
+    ``id_col`` must uniquely identify documents and be non-NULL — the
+    per-doc re-assembly groups by it and the join back is a plain equi
+    join, so a NULL or duplicated id merges/loses documents (same
+    contract as any groupBy-rebuild; validate ids upstream, e.g. with
+    functions/validate.py's unique+null checks).
 
     Plan shape — all explodes and keyed shuffles, no per-doc HOF scans
     (a ``filter(tokens, exists(dup_pos...))`` formulation is O(tokens ×
@@ -217,16 +223,13 @@ def remove_duplicate_spans(
         raise ValueError(
             f"remove_duplicate_spans: min_count must be >= 2, got {min_count}"
         )
+    from hobbes_spark.functions.dedup import chained_window_hashes
+
     tok = df.select(c(id_col).alias(id_col), tokens(F.lower(c(text_col))).alias("__tk"))
     th = tok.select(
         id_col, F.transform("__tk", lambda t: F.xxhash64(t)).alias("__th")
     )
-    m = F.greatest(F.size(F.col("__th")) - (n - 1), F.lit(0))
-    offs = [F.slice(F.col("__th"), i + 1, m) for i in range(n)]
-    shh = offs[0]
-    for nxt in offs[1:]:
-        shh = F.zip_with(shh, nxt, lambda a, b: F.xxhash64(a, b))
-    sh = th.select(id_col, shh.alias("__sh"))
+    sh = th.select(id_col, chained_window_hashes(F.col("__th"), n).alias("__sh"))
     occ = sh.select(
         id_col, F.posexplode_outer("__sh").alias("pos", "g")
     ).filter(F.col("g").isNotNull())
@@ -282,6 +285,11 @@ def dedup_paragraphs(
     Adds ``clean_text`` (survivors re-joined with a blank line),
     ``n_paras``, ``kept_paras``. Documents with no non-empty paragraph
     (NULL/empty text) come back with ``clean_text=''`` and zero counts.
+    ``id_col`` must uniquely identify documents and be non-NULL — the
+    per-doc re-assembly groups by it and the join back is a plain equi
+    join, so a NULL or duplicated id merges/loses documents (same
+    contract as any groupBy-rebuild; validate ids upstream, e.g. with
+    functions/validate.py's unique+null checks).
 
     Plan shape: posexplode paragraphs → ONE keyed window over the
     paragraph fingerprint (xxhash64 of the casefolded
@@ -438,8 +446,15 @@ def decontaminate(
     eval side is itself corpus-sized and let the sort-merge path run.
     """
     hits = _eval_gram_hits(train, eval_df, text_col, n, id_col, broadcast_eval)
-    dirty = hits.select(id_col).distinct()
-    return train.join(dirty, id_col, "left_anti")
+    dirty = hits.select(c(id_col).alias("__dirty_id")).distinct()
+    # NULL-SAFE anti join: a contaminated doc with a NULL id must still
+    # drop — a plain equi-anti-join never matches NULL keys and would
+    # leak eval text into the training corpus, the non-conservative
+    # direction. (If any NULL-id doc is dirty, all NULL-id docs drop:
+    # over-dropping is the safe side; give docs real ids to avoid it.)
+    return train.join(
+        dirty, c(id_col).eqNullSafe(F.col("__dirty_id")), "left_anti"
+    )
 
 
 def contamination_report(
@@ -619,12 +634,9 @@ def repetition_stats(
         "dup_word_frac", dup
     )
 
-    m = F.greatest(sz - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(F.col("__th"), 1, m),
-        F.slice(F.col("__th"), 2, m),
-        lambda a, b: F.xxhash64(a, b),
-    )
+    from hobbes_spark.functions.dedup import chained_window_hashes
+
+    bigrams = chained_window_hashes(F.col("__th"), 2)
     bg = (
         s2.select(F.col(id_col).alias("__id"), F.explode_outer(bigrams).alias("__bg"))
         .filter(F.col("__bg").isNotNull())
@@ -749,6 +761,11 @@ def pack_documents(
     expensive upstream first (``prepare_corpus`` localCheckpoints its
     decontaminated slice for exactly this reason).
     """
+    if budget < 1:
+        # fail fast like the sibling operators: budget=0 would otherwise
+        # DIVIDE_BY_ZERO under ANSI mode only after the whole prefix
+        # scan has run; negative budgets yield decreasing pack ids
+        raise ValueError(f"pack_documents: budget must be >= 1, got {budget}")
     tc = F.size(tokens(c(text_col))) if token_count_col is None else c(token_count_col)
     out = df.withColumn("token_count", tc.cast("bigint"))
     if shards is None:

@@ -133,16 +133,31 @@ def exploded_window_hashes(df, text_col, n: int, id_exprs) -> DataFrame:
     s1 = df.select(*id_exprs, tokens(F.lower(c(text_col))).alias("__tk"))
     names = s1.columns[:-1]
     s2 = s1.select(*names, F.transform("__tk", lambda t: F.xxhash64(t)).alias("__th"))
-    m = F.greatest(F.size(F.col("__th")) - (n - 1), F.lit(0))
-    offs = [F.slice(F.col("__th"), i + 1, m) for i in range(n)]
-    shh = offs[0]
-    for nxt in offs[1:]:
-        shh = F.zip_with(shh, nxt, lambda a, b: F.xxhash64(a, b))
-    s3 = s2.select(*names, shh.alias("__sh"))
+    s3 = s2.select(*names, chained_window_hashes(F.col("__th"), n).alias("__sh"))
     return (
         s3.select(*names, F.explode_outer("__sh").alias("s"))
         .filter(F.col("s").isNotNull())
     )
+
+
+def chained_window_hashes(token_hashes: Column, n: int) -> Column:
+    """``array<long>``: the chained xxhash64 of every word-``n``-window
+    of a TOKEN-HASH array column (``n=1`` passes the token hashes
+    through). THE one spelling of the numeric-window trick — shared by
+    the MinHash/decontamination gram stream above, the span-removal
+    surgery, and the repetition bigram stats, so a change to the hash
+    chaining or the slice arithmetic lands everywhere at once.
+
+    ``token_hashes`` must be a real projected column, not an inline
+    expression — the ``n`` slices each reference it, and an inlined
+    transform would re-evaluate per slice (the staging rule this module
+    documents on ``exploded_window_hashes``)."""
+    m = F.greatest(F.size(token_hashes) - (n - 1), F.lit(0))
+    offs = [F.slice(token_hashes, i + 1, m) for i in range(n)]
+    shh = offs[0]
+    for nxt in offs[1:]:
+        shh = F.zip_with(shh, nxt, lambda a, b: F.xxhash64(a, b))
+    return shh
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:

@@ -16,6 +16,8 @@ from hobbes_spark.expressions import c
 
 __all__ = [
     "tfidf_top_terms",
+    "bm25_topk",
+    "vocabulary_overlap",
     "tokens",
     "token_count",
     "wordlike_token_count",
@@ -68,8 +70,11 @@ def token_count(col: Column | str) -> Column:
 
 
 def wordlike_token_count(col: Column | str) -> Column:
-    """Count of word/number/punct lexemes (BPE-ish regex tokenizer)."""
-    return F.regexp_count(c(col), F.lit(WORDLIKE_PATTERN)).cast("bigint")
+    """Count of word/number/punct lexemes (BPE-ish regex tokenizer).
+    Total like :func:`token_count`: NULL text counts 0, not NULL."""
+    return F.coalesce(
+        F.regexp_count(c(col), F.lit(WORDLIKE_PATTERN)), F.lit(0)
+    ).cast("bigint")
 
 
 def stopword_ratio_t(toks_l: Column) -> Column:
@@ -119,7 +124,12 @@ def quality_score_t(col: Column | str, toks_l: Column, target_len: int = 500) ->
     """:func:`quality_score` given pre-lowercased tokens (see
     :func:`stopword_ratio_t` for why the ``_t`` variants exist)."""
     src = c(col)
-    len_sat = F.least(F.length(src) / F.lit(float(target_len)), F.lit(1.0))
+    # coalesce BEFORE least: Spark's least() skips NULL arguments, so a
+    # NULL text would get full length-saturation credit (scoring above
+    # an empty doc) instead of zero
+    len_sat = F.least(
+        F.coalesce(F.length(src), F.lit(0)) / F.lit(float(target_len)), F.lit(1.0)
+    )
     stop = F.least(F.coalesce(stopword_ratio_t(toks_l), F.lit(0.0)) * 5, F.lit(1.0))
     alpha = F.coalesce(alpha_ratio(src), F.lit(0.0))
     punct = F.coalesce(punct_ratio(src), F.lit(0.0))
@@ -144,7 +154,10 @@ def lang_scores_t(col: Column | str, toks_l: Column) -> dict[str, Column]:
     scores: dict[str, Column] = {
         lang: _marker_hits(toks_l, markers) for lang, markers in LANG_MARKERS.items()
     }
-    scores["zh"] = F.regexp_count(c(col), F.lit(_CJK))
+    # coalesce keeps the API uniform: marker scores are 0 on NULL text
+    # (size of an empty filter), so zh must be 0 too, not NULL — a
+    # consumer comparing scores would otherwise NULL-poison
+    scores["zh"] = F.coalesce(F.regexp_count(c(col), F.lit(_CJK)), F.lit(0))
     return scores
 
 
@@ -211,12 +224,13 @@ def winnow_fingerprints(
     src = c(text_col)
     n = F.length(src)
     empty = F.array().cast("array<bigint>")
+    # split('') materializes the char array in ONE pass — the previous
+    # per-index substr(i, 1) form made UTF8String re-scan from byte 0 to
+    # find char i, turning the codes stage O(n²) bytes per document
+    # (values are identical: ascii() of each char either way)
     codes = F.when(
         n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.ascii(src.substr(i, F.lit(1))).cast("bigint"),
-        ),
+        F.transform(F.split(src, ""), lambda ch: F.ascii(ch).cast("bigint")),
     ).otherwise(empty)
     s1 = df.withColumn("__codes", codes)
 
@@ -403,8 +417,12 @@ def vocabulary_overlap(
     near-dup, used to spot redundant sources before paying for
     doc-level dedup.
 
-    Returns one row per unordered group pair: ``(src_a, src_b,
-    n_common, n_a, n_b, jaccard)``.
+    Returns one row per unordered group pair WITH at least one shared
+    term: ``(src_a, src_b, n_common, n_a, n_b, jaccard)``. Fully
+    disjoint pairs (jaccard 0) are absent — the pair list materializes
+    from the term self-join, so "no shared terms" produces no row
+    rather than a zero row; treat a missing pair as jaccard 0. Groups
+    with a NULL key are not reported.
 
     100 TB shape: the corpus collapses to its distinct (group, term)
     vocabulary first — one term-keyed shuffle whose output is bounded

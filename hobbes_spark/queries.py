@@ -924,14 +924,14 @@ def _text_stats_sql() -> str:
     WITH base AS (
       SELECT doc_id,
              len({toks}) AS token_count,
-             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS wordlike_count,
+             COALESCE(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')), 0) AS wordlike_count,
              len(list_filter({toks_l}, x -> x IN ({stop})))
                / NULLIF(len({toks_l}), 0) AS stop_ratio,
              length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
                / NULLIF(length(text), 0) AS alpha,
              length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
                / NULLIF(length(text), 0) AS punct,
-             LEAST(length(text) / 500.0, 1.0) AS len_sat
+             LEAST(COALESCE(length(text), 0) / 500.0, 1.0) AS len_sat
       FROM documents
     )
     SELECT doc_id, CAST(token_count AS BIGINT) AS token_count,
@@ -1819,7 +1819,7 @@ def _curate_sql(q_min: float = 0.6) -> str:
                / NULLIF(length(text), 0) AS alpha,
              length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
                / NULLIF(length(text), 0) AS punct,
-             LEAST(length(text) / 500.0, 1.0) AS len_sat
+             LEAST(COALESCE(length(text), 0) / 500.0, 1.0) AS len_sat
       FROM documents
     ), scored AS (
       SELECT doc_id, source, text,
@@ -2828,7 +2828,7 @@ def _quality_rank_sql(frac: float) -> str:
                / NULLIF(length(text), 0) AS alpha,
              length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
                / NULLIF(length(text), 0) AS punct,
-             LEAST(length(text) / 500.0, 1.0) AS len_sat
+             LEAST(COALESCE(length(text), 0) / 500.0, 1.0) AS len_sat
       FROM documents
     ),
     scored AS (SELECT doc_id, lang, {q6} AS quality FROM feats),
@@ -4640,7 +4640,7 @@ def _quality_scored_sql() -> str:
                  / NULLIF(length(text), 0) AS alpha,
                length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
                  / NULLIF(length(text), 0) AS punct,
-               LEAST(length(text) / 500.0, 1.0) AS len_sat
+               LEAST(COALESCE(length(text), 0) / 500.0, 1.0) AS len_sat
         FROM documents
       )
     """

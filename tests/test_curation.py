@@ -625,3 +625,57 @@ class TestTemperatureSample:
         n_null = sum(1 for r in got if r.source is None)
         assert n_null > 0  # sampled, not dropped
         assert 60 <= n_null <= 140  # ~binomial around 100
+
+
+# --------------------------------------------------------------------- #
+# Review-hardening regressions (round 4, batch B)
+# --------------------------------------------------------------------- #
+
+
+def test_decontaminate_drops_null_id_contaminated_doc(spark):
+    from hobbes_spark.functions.curation import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "totally clean text here nothing shared at all today ok"),
+         (None, "the quick brown fox jumps over the lazy dog again now")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog again now")],
+        ["doc_id", "text"],
+    )
+    kept = decontaminate(train, ev, "text", n=8).collect()
+    # the NULL-id contaminated doc must DROP (conservative direction),
+    # not slip through the anti-join on a NULL key
+    assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_pack_documents_rejects_bad_budget(spark):
+    from hobbes_spark.functions.curation import pack_documents
+
+    df = spark.createDataFrame([(1, "a b c", "s")], ["doc_id", "text", "source"])
+    with pytest.raises(ValueError, match="budget"):
+        pack_documents(df, budget=0)
+
+
+def test_quality_score_null_text_scores_below_empty(spark):
+    from hobbes_spark.functions.text import quality_score
+
+    df = spark.createDataFrame([(1, None), (2, "")], ["id", "text"])
+    rows = {r["id"]: r["q"] for r in df.select(
+        "id", quality_score("text").alias("q")).collect()}
+    # NULL text must not collect length-saturation credit: both score
+    # the same floor (0.2 from the punct term), not 0.5 vs 0.2
+    assert abs(rows[1] - rows[2]) < 1e-12
+
+
+def test_lang_scores_and_wordlike_total_on_null(spark):
+    from hobbes_spark.functions.text import lang_scores, wordlike_token_count
+
+    df = spark.createDataFrame([(None,)], "text string")
+    s = lang_scores("text")
+    row = df.select(
+        wordlike_token_count("text").alias("w"), s["zh"].alias("zh"),
+        s["en"].alias("en"),
+    ).collect()[0]
+    assert row["w"] == 0 and row["zh"] == 0 and row["en"] == 0
