@@ -24,6 +24,8 @@ from hobbes_spark.functions.text import fingerprint, tokens
 
 __all__ = [
     "exact_dedup",
+    "exploded_window_hashes",
+    "chained_window_hashes",
     "word_shingles",
     "char_ngrams",
     "minhash_signature",
@@ -39,6 +41,7 @@ __all__ = [
     "embedding_neardup_lsh",
     "connected_components",
     "connected_components_star",
+    "semantic_dedup",
 ]
 
 
@@ -203,7 +206,15 @@ def minhash_signature(
     col: Column | str, num_hashes: int = 16, hash_fn: str = "xxhash64", k: int = 3
 ) -> Column:
     """MinHash signature: for each seed, the min hash over word shingles.
-    Empty-shingle docs get NULL (can't estimate similarity)."""
+    Empty-shingle docs get NULL (can't estimate similarity).
+
+    NOT interchangeable with :func:`minhash_signatures_df` on the
+    ``xxhash64`` path even at identical ``(num_hashes, hash_fn, k)``:
+    this column form hashes the joined SHINGLE STRING, while the df form
+    chains per-TOKEN hashes (the no-string-building scale path) — the
+    same document gets different signature values. Never mix the two
+    builders across :func:`minhash_pairs_from_signatures` /
+    :func:`minhash_incremental_pairs` inputs; pick one per corpus."""
     def min_for_seed(sh: Column, seed: int) -> Column:
         return F.array_min(F.transform(sh, lambda x: _shingle_hash(x, seed, hash_fn)))
 
@@ -304,8 +315,12 @@ def minhash_pairs_from_signatures(
     can come from anywhere: the signature store of the streaming ingest,
     or a parquet checkpoint shared with an external engine (which is how
     the xxhash64 path gets an end-to-end DuckDB oracle despite DuckDB
-    lacking xxhash64). ``sigs`` should already be materialized
-    (localCheckpoint / parquet): it has three consumers here."""
+    lacking xxhash64) — as long as every signature in ONE call came from
+    the SAME builder with the same ``(num_hashes, hash_fn, k)``
+    (:func:`minhash_signature` and :func:`minhash_signatures_df` are not
+    cross-compatible — see the column form's docstring). ``sigs`` should
+    already be materialized (localCheckpoint / parquet): it has three
+    consumers here."""
     banded = banded_signatures(sigs, num_hashes, bands)
     cand = (
         banded.alias("a")
@@ -520,9 +535,13 @@ def connected_components(
     )
     # empty edge set: nothing to label — skip the iteration machinery
     # (each round costs a checkpoint + a collect even on zero rows;
-    # measured ~5s of pure overhead on an empty graph)
+    # measured ~5s of pure overhead on an empty graph). Release the
+    # cache eagerly: the empty-graph case is the COMMON one for clean
+    # corpora, and each leaked persist holds storage for the session.
     if sym.limit(1).isEmpty():
-        return sym.select(F.col("s").alias("id"), F.col("d").alias("comp"))
+        out = sym.select(F.col("s").alias("id"), F.col("d").alias("comp"))
+        sym.unpersist()
+        return out
     # localCheckpoint each round: every step references the previous one
     # TWICE (propagation join + label join), so without lineage truncation
     # the logical plan doubles per round — a diameter-11 path is a
@@ -539,27 +558,33 @@ def connected_components(
     # decimal(38,0) keeps the convergence sum exact for any bigint ids
     # (a double sum would round above 2^53 and could miss a real change)
     label_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
-    prev_sum = labels.agg(label_sum).collect()[0][0]
     converged = False
-    for _ in range(max_iterations):
-        prop = sym.join(labels, sym["d"] == labels["id"]).select(
-            F.col("s").alias("id"), "comp"
-        )
-        # own label rides along via the union, so one keyed min-agg does
-        # the least(own, neighbors) step without a join back onto labels
-        labels = (
-            labels.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(label_sum).collect()[0][0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
-    if not converged:
+    # try/finally: the per-round collect can throw (task failure, ^C) —
+    # the iteration-scoped cache must not outlive the call either way;
+    # labels are checkpointed, independent of the cached edges
+    try:
+        prev_sum = labels.agg(label_sum).collect()[0][0]
+        for _ in range(max_iterations):
+            prop = sym.join(labels, sym["d"] == labels["id"]).select(
+                F.col("s").alias("id"), "comp"
+            )
+            # own label rides along via the union, so one keyed min-agg
+            # does the least(own, neighbors) step without a join back
+            # onto labels
+            labels = (
+                labels.unionByName(prop)
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"))
+                .localCheckpoint()
+            )
+            cur_sum = labels.agg(label_sum).collect()[0][0]
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+    finally:
         sym.unpersist()
+    if not converged:
         # returning silently would report one real component as several
         # (labels > max_iterations hops from the component min are stale)
         raise RuntimeError(
@@ -567,9 +592,6 @@ def connected_components(
             "iterations; the graph diameter exceeds max_iterations — "
             "raise it"
         )
-    # labels are checkpointed (independent of the cached edges), so the
-    # iteration-scoped cache can be released
-    sym.unpersist()
     return labels
 
 
@@ -617,12 +639,15 @@ def connected_components_star(
     * large-star: every neighbor LARGER than u re-attaches to u's min;
     * small-star: every neighbor ≤ u (and u) re-attaches to u's min.
 
-    Both strictly shrink the sum of edge endpoints until the edge set is
-    a union of stars centered at component minima, which is the
-    fixpoint. Convergence is detected by (count, endpoint-sum) of the
-    canonical edge set — both monotone non-increasing, constant exactly
-    at the fixpoint — one scan-agg per round, nothing collected but two
-    scalars. For near-clique dedup graphs prefer
+    The fixpoint is a union of stars centered at component minima.
+    Convergence is detected by EQUALITY of (count, content-hash-sum) of
+    the canonical edge set across one large+small round — NOT by any
+    monotone decrease: this kept-(u,min) formulation can transiently
+    GROW the edge count and endpoint sum (a path {(1,2),(2,3)} expands
+    to 3 edges for one round before collapsing), so never "optimize"
+    the check into an early exit on non-decrease or a cheaper sum-only
+    probe. The set-equality test costs one scan-agg per round, nothing
+    collected but two scalars. For near-clique dedup graphs prefer
     :func:`connected_components` (fewer rounds, 2-3 shuffles total);
     for deep/unknown topologies this one bounds the round count.
     """
@@ -804,17 +829,25 @@ def embedding_neardup_lsh(
         sig_cols.append(
             F.struct(F.lit(band).alias("band"), key.alias("key"))
         )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
-        ).alias("nrm"),
-    ).filter(F.col("v").isNotNull())
+    from hobbes_spark.functions.similarity import _dotd, _norm
+
+    # ONE spelling of the vector norm (similarity._norm — the exact path
+    # uses the same); materialized via localCheckpoint because base has
+    # three consumers (the banding scan and both rerank rejoins) and
+    # banded self-joins — without truncation the Arrow sign matmul and
+    # the source scan re-run per consumer, the same multi-consumer
+    # recomputation minhash_pairs documents (~25% there)
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+                "nrm"
+            ),
+        )
+        .filter(F.col("v").isNotNull())
+        .localCheckpoint()
+    )
     banded = (
         base.select("id", signs.alias("__signs"))
         .select("id", F.explode(F.array(*sig_cols)).alias("bk"))
@@ -831,8 +864,6 @@ def embedding_neardup_lsh(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    from hobbes_spark.functions.similarity import _dotd
-
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     cos = _dotd(F.col("va"), F.col("vb")) / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
@@ -890,7 +921,12 @@ def jaccard_join_prefix(
         )
         .withColumn("n", F.size("toks"))
     )
-    pref_len = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int")
+    # round before ceil: IEEE products like 100*0.55 = 55.000000000000004
+    # would otherwise ceil to 56 and shorten the prefix by one token,
+    # silently missing boundary pairs the EXACT guarantee promises
+    pref_len = (
+        F.col("n") - F.ceil(F.round(F.col("n") * F.lit(threshold), 9)) + 1
+    ).cast("int")
     pref = docs.select(
         "id", F.explode(F.slice(F.col("toks"), 1, pref_len)).alias("tok")
     )

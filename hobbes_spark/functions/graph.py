@@ -59,9 +59,15 @@ def pagerank(
     if not (0.0 <= damping <= 1.0):
         raise ValueError("pagerank: damping must be in [0, 1]")
 
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).distinct()
+    # an edge with a NULL endpoint is no edge (same policy as
+    # connected_components): left in, a NULL node would inflate n and
+    # the rank mass sent to a NULL dst would vanish at the equi-join
+    # every round, deflating sum(pr) below 1
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # Edge table with out-degree attached: built once, HASH-PARTITIONED
     # BY src, and CACHED (MEMORY_AND_DISK — the GraphX pattern for

@@ -32,6 +32,8 @@ __all__ = [
     "frame_sample_plan",
     "resize_images",
     "extract_features",
+    "ahash_images",
+    "phash_near_pairs",
 ]
 
 #: the uniform multimodal column contract: payload + typed metadata
@@ -103,6 +105,14 @@ def header_dims(b: bytes) -> tuple[int, int] | None:
         w, h = struct.unpack("<HH", b[6:10])
         return ok(w, h)
     if b[:2] == b"BM" and len(b) >= 26:
+        (dib_size,) = struct.unpack("<I", b[14:18])
+        if dib_size == 12:  # OS/2 BITMAPCOREHEADER: uint16 dims at 18/20
+            w, h = struct.unpack("<HH", b[18:22])
+            return ok(w, h)
+        # BITMAPINFOHEADER and later: int32 dims at 18/26 — gating on
+        # dib_size matters because reading a core header as int32 fuses
+        # width with height (100×100 reads as w=0x00640064) and the
+        # garbage often passes the range check
         w, h = struct.unpack("<ii", b[18:26])
         return ok(w, abs(h))  # negative height = top-down DIB
     if b[:2] == b"\xff\xd8":
@@ -294,6 +304,10 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30, max_frames: int = 8) 
     stays in ``mapInPandas`` downstream. Frame count is a deterministic
     fake (duration unavailable without codecs): derived from payload size.
     """
+    if every_n < 1:
+        raise ValueError(f"frame_sample_plan: every_n must be >= 1, got {every_n}")
+    if max_frames < 1:
+        raise ValueError(f"frame_sample_plan: max_frames must be >= 1, got {max_frames}")
     est_frames = (F.coalesce(F.length("content"), F.lit(0)) / 64 + 1).cast("int")
     # cap the sequence endpoint: a big payload would otherwise build a
     # huge index array per row just to keep the first max_frames entries
@@ -320,13 +334,22 @@ def ahash_images(media: DataFrame, n_pixels: int = 64) -> DataFrame:
 
     Returns ``(media_id, phash, n_bytes)``; items shorter than
     ``n_pixels`` bytes yield NULL phash (undecodable)."""
+    if not 1 <= n_pixels <= 64:
+        # >64 bits cannot pack into one LongType: the signed-wrap below
+        # only handles exactly-64-bit values, and anything wider dies as
+        # an input-dependent OverflowError inside the executor batch
+        raise ValueError(f"ahash_images: n_pixels must be in 1..64, got {n_pixels}")
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(b) -> int | None:
             if b is None or len(b) < n_pixels:
                 return None
             px = list(b[:n_pixels])
-            # real aHash: mean threshold then MSB-first bit packing
+            # real aHash: mean threshold then bit packing, pixel i ->
+            # bit i (LSB-first; the SQL oracle and the Hamming banding
+            # replay the same orientation, which is all that matters —
+            # libraries differ on bit order and the hashes are never
+            # compared across implementations)
             mean = sum(px) / float(n_pixels)
             bits = 0
             for i, p in enumerate(px):

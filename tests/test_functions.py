@@ -1332,3 +1332,64 @@ class TestKmvQuantileSketch:
         df = spark.range(1000).selectExpr("id", "id % 4 as g", "cast(id as double) as v")
         plan = kmv_group_sketches(df, ["g"], "id", "v", k=64)._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+
+# --------------------------------------------------------------------- #
+# Review-hardening regressions (round 4, batch C)
+# --------------------------------------------------------------------- #
+
+
+def test_jaccard_prefix_exact_at_float_boundary(spark):
+    """threshold*n landing just above an integer (100*0.55 ->
+    55.000000000000004) must not shorten the prefix: the boundary pair
+    with jaccard exactly at the threshold must surface."""
+    from hobbes_spark.functions.dedup import jaccard_join_prefix
+
+    a_toks = [f"w{i:03d}" for i in range(100)]
+    b_toks = a_toks[45:]  # |b|=55, intersection 55, union 100 -> j=0.55
+    df = spark.createDataFrame(
+        [(1, " ".join(a_toks)), (2, " ".join(b_toks))], ["doc_id", "text"]
+    )
+    pairs = jaccard_join_prefix(df, "doc_id", "text", threshold=0.55).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_connected_components_empty_path_unpersists_cache(spark):
+    """The empty-edge early return must release the persisted sym table
+    — it is the COMMON path for clean corpora and used to leak one
+    cached RDD per call. (The iterating path's localCheckpoint RDDs are
+    a different mechanism: released by the ContextCleaner when the
+    result drops, not assertable here.)"""
+    from hobbes_spark.functions.dedup import connected_components
+
+    spark.catalog.clearCache()
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    for _ in range(3):
+        connected_components(empty, "src", "dst").collect()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after == before
+
+
+def test_ahash_rejects_wide_n_pixels_and_bmp_core_header(spark):
+    import struct
+
+    from hobbes_spark.functions.multimodal import ahash_images, header_dims
+
+    with pytest.raises(ValueError, match="n_pixels"):
+        ahash_images(spark.createDataFrame([], "media_id long, content binary"),
+                     n_pixels=128)
+    # OS/2 core-header BMP: uint16 dims must parse, not fuse into int32
+    core = (b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, 100, 100, 1, 24))
+    assert header_dims(core) == (100, 100)
+
+
+def test_frame_sample_plan_validates_params(spark):
+    from hobbes_spark.functions.multimodal import frame_sample_plan
+
+    media = spark.createDataFrame([(1, b"x" * 640)], "media_id long, content binary")
+    with pytest.raises(ValueError, match="every_n"):
+        frame_sample_plan(media, every_n=0)
+    with pytest.raises(ValueError, match="max_frames"):
+        frame_sample_plan(media, max_frames=0)

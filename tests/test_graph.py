@@ -73,3 +73,15 @@ def test_zero_iterations_and_validation(spark):
         pagerank(df, iterations=-1)
     with pytest.raises(ValueError):
         pagerank(df, damping=1.5)
+
+
+def test_pagerank_ignores_null_endpoint_edges(spark):
+    from hobbes_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, None), (None, 1)], "src bigint, dst bigint"
+    )
+    pr = pagerank(edges, iterations=5).collect()
+    # NULL endpoints contribute no node and leak no mass
+    assert sorted(r["node"] for r in pr) == [1, 2]
+    assert abs(sum(r["pr"] for r in pr) - 1.0) < 1e-9
