@@ -23,7 +23,9 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns"]
+from hobbes_spark.expressions import c as _c
+
+__all__ = ["profile_columns", "winsorize", "equi_depth_histogram"]
 
 
 def profile_columns(
@@ -43,12 +45,14 @@ def profile_columns(
         raise ValueError(f"profile_columns: unknown columns {missing}")
     n = F.count(F.lit(1))
     entries = []
-    for c in cols:
-        nd = F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(c)
+    for col in cols:
+        # _c, not F.col: flattened dot-path names (a.b) are single flat
+        # columns here, not struct access
+        nd = F.count_distinct(_c(col)) if exact else F.approx_count_distinct(_c(col))
         entries.append(
             F.struct(
-                F.lit(c).alias("col_name"),
-                (n - F.count(F.col(c))).cast("bigint").alias("n_nulls"),
+                F.lit(col).alias("col_name"),
+                (n - F.count(_c(col))).cast("bigint").alias("n_nulls"),
                 nd.cast("bigint").alias("n_distinct"),
             )
         )
@@ -80,11 +84,18 @@ def winsorize(
     table that broadcasts back onto the fact — the fact table is read
     once and never shuffles (plan-asserted in tests)."""
     bounds = F.broadcast(
-        df.groupBy(*keys).agg(
-            F.percentile(F.col(value_col), F.lit(lo)).alias("p_lo"),
-            F.percentile(F.col(value_col), F.lit(hi)).alias("p_hi"),
+        df.groupBy(*[_c(k).alias(f"__bk{i}") for i, k in enumerate(keys)]).agg(
+            F.percentile(_c(value_col), F.lit(lo)).alias("p_lo"),
+            F.percentile(_c(value_col), F.lit(hi)).alias("p_hi"),
         )
     )
+    # NULL-SAFE key match: the groupBy above produces a NULL-key bounds
+    # row, and a plain equi-join would silently DROP every NULL-key fact
+    # row instead of clamping it
+    cond = None
+    for i, k in enumerate(keys):
+        step = _c(k).eqNullSafe(F.col(f"__bk{i}"))
+        cond = step if cond is None else (cond & step)
     # greatest/least SKIP NULL arguments (they don't propagate), so a
     # bare clamp would turn a NULL measurement into the group's P(lo) —
     # fabricated data. NULL in, NULL out.
@@ -93,9 +104,10 @@ def winsorize(
         F.least(F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi")),
     )
     return (
-        df.join(bounds, keys)
+        df.join(bounds, cond)
+        .drop(*[f"__bk{i}" for i in range(len(keys))])
         .withColumn("clipped", clipped)
-        .withColumn("was_clipped", F.col("clipped") != F.col(value_col))
+        .withColumn("was_clipped", F.col("clipped") != _c(value_col))
     )
 
 

@@ -20,17 +20,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hobbes_spark.expressions import c as _c
+
 
 def _count_if(cond: Column) -> Column:
-    return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+    # coalesce: SUM over ZERO rows is NULL — an empty frame must report
+    # 0 violations / passed=true, not a NULL that vanishes from a
+    # `passed == False` filter while failing a `passed == True` gate
+    return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast("bigint")
 
 
 def not_null(col: str) -> tuple[str, Column]:
-    return f"not_null({col})", _count_if(F.col(col).isNull())
+    return f"not_null({col})", _count_if(_c(col).isNull())
 
 
 def in_range(col: str, lo, hi) -> tuple[str, Column]:
-    c = F.col(col)
+    c = _c(col)
     return (
         f"in_range({col},{lo},{hi})",
         _count_if(c.isNotNull() & ((c < lo) | (c > hi))),
@@ -38,7 +43,7 @@ def in_range(col: str, lo, hi) -> tuple[str, Column]:
 
 
 def accepted_values(col: str, values: list) -> tuple[str, Column]:
-    c = F.col(col)
+    c = _c(col)
     vals = ",".join(str(v) for v in values)
     return (
         f"accepted_values({col},[{vals}])",
@@ -47,7 +52,7 @@ def accepted_values(col: str, values: list) -> tuple[str, Column]:
 
 
 def matches(col: str, pattern: str) -> tuple[str, Column]:
-    c = F.col(col)
+    c = _c(col)
     return (
         f"matches({col},{pattern})",
         _count_if(c.isNotNull() & ~c.rlike(pattern)),
@@ -55,7 +60,9 @@ def matches(col: str, pattern: str) -> tuple[str, Column]:
 
 
 def unique(*cols: str) -> tuple[str, Column]:
-    key = F.struct(*[F.col(c) for c in cols])
+    # _c, not F.col: the flat model's dot-path names (Iteration.Level2)
+    # must not parse as struct access — same convention as every module
+    key = F.struct(*[_c(col) for col in cols])
     return (
         f"unique({','.join(cols)})",
         (F.count(key) - F.count_distinct(key)).cast("bigint"),

@@ -31,29 +31,60 @@ __all__ = [
 ]
 
 
-def _flat_exprs(schema: T.StructType, prefix: str, array_sizes: dict[str, int]):
-    """Recursive dot-path column expressions for a (possibly nested) schema."""
+def _qseg(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _flat_exprs(
+    schema: T.StructType, prefix: str, qprefix: str, array_sizes: dict[str, int]
+):
+    """Recursive dot-path column expressions for a (possibly nested)
+    schema. The QUOTED path is built per level from each field's own
+    name (never by re-splitting the joined alias): a source field whose
+    name itself contains a dot — ``@odata.context`` is the canonical
+    OData case — must quote as one segment, not get misread as
+    struct-field access."""
     exprs = []
     for field in schema.fields:
         path = f"{prefix}.{field.name}" if prefix else field.name
-        quoted = ".".join(f"`{p}`" for p in path.split("."))
+        qpath = f"{qprefix}.{_qseg(field.name)}" if qprefix else _qseg(field.name)
         if isinstance(field.dataType, T.StructType):
-            exprs.extend(_flat_exprs(field.dataType, path, array_sizes))
+            exprs.extend(_flat_exprs(field.dataType, path, qpath, array_sizes))
         elif isinstance(field.dataType, T.ArrayType):
             n = array_sizes.get(path, 0)
             elem = field.dataType.elementType
             for i in range(n):
+                # F.get, not getItem: widths come from the MAX length, so
+                # shorter rows must widen with NULL (the reference's
+                # per-record widening) — under ANSI mode getItem throws
+                # INVALID_ARRAY_INDEX on the first ragged row instead
                 if isinstance(elem, T.StructType):
                     for sub in elem.fields:
                         exprs.append(
-                            F.col(quoted).getItem(i).getField(sub.name)
+                            F.get(F.col(qpath), i).getField(sub.name)
                             .alias(f"{path}.{i}.{sub.name}")
                         )
                 else:
-                    exprs.append(F.col(quoted).getItem(i).alias(f"{path}.{i}"))
+                    exprs.append(F.get(F.col(qpath), i).alias(f"{path}.{i}"))
         else:
-            exprs.append(F.col(quoted).alias(path))
+            exprs.append(F.col(qpath).alias(path))
     return exprs
+
+
+def _array_paths(schema: T.StructType, prefix: str, qprefix: str):
+    """(alias_path, quoted_path) of every array field at ANY struct
+    depth — the same recursion as ``_flat_exprs``, so no array column a
+    flatten would emit can be missed by the width scan (a two-deep
+    ``a.b.c`` array used to silently disappear)."""
+    out = []
+    for field in schema.fields:
+        path = f"{prefix}.{field.name}" if prefix else field.name
+        qpath = f"{qprefix}.{_qseg(field.name)}" if qprefix else _qseg(field.name)
+        if isinstance(field.dataType, T.StructType):
+            out.extend(_array_paths(field.dataType, path, qpath))
+        elif isinstance(field.dataType, T.ArrayType):
+            out.append((path, qpath))
+    return out
 
 
 def flatten(df: DataFrame) -> DataFrame:
@@ -65,23 +96,14 @@ def flatten(df: DataFrame) -> DataFrame:
     array columns); the reference pays the same cost implicitly by
     widening per record.
     """
-    array_paths = [
-        f.name for f in df.schema.fields if isinstance(f.dataType, T.ArrayType)
-    ] + [
-        f"{s.name}.{f.name}"
-        for s in df.schema.fields
-        if isinstance(s.dataType, T.StructType)
-        for f in s.dataType.fields
-        if isinstance(f.dataType, T.ArrayType)
-    ]
+    pairs = _array_paths(df.schema, "", "")
     sizes: dict[str, int] = {}
-    if array_paths:
-        quoted = [".".join(f"`{p}`" for p in ap.split(".")) for ap in array_paths]
+    if pairs:
         row = df.agg(
-            *[F.max(F.size(F.col(q))).alias(str(i)) for i, q in enumerate(quoted)]
+            *[F.max(F.size(F.col(q))).alias(str(i)) for i, (_, q) in enumerate(pairs)]
         ).first()
-        sizes = {ap: max(row[str(i)] or 0, 0) for i, ap in enumerate(array_paths)}
-    return df.select(*_flat_exprs(df.schema, "", sizes))
+        sizes = {ap: max(row[str(i)] or 0, 0) for i, (ap, _) in enumerate(pairs)}
+    return df.select(*_flat_exprs(df.schema, "", "", sizes))
 
 
 def sniff_types(
@@ -99,13 +121,19 @@ def sniff_types(
     One aggregate pass decides; the rewrite is pure ``try_cast``.
 
     ``decimal_comma=True`` parses numerics under a comma-decimal locale
-    ("1.234,56" → 1234.56; "." is a thousands separator and is
-    STRIPPED, so "1.5" reads as 15). The reference itself is split on
-    this: its two ``readValue`` copies disagree (`Reader.fs:25-37`
-    parses invariant-culture, `ODataProvider.fs:36-48` uses the host
-    culture — SURVEY §1.3), so the behavior is an explicit flag here
-    rather than an ambient host setting; default stays invariant.
-    Timestamps sniff from the ORIGINAL text either way.
+    ("1.234,56" → 1234.56). A value only counts as locale-numeric when
+    its dots sit in PROPER 3-digit group positions (``1.234.567,89``) —
+    blind dot-stripping would "parse" dotted dates ("02.01.2024" →
+    2012024.0), version strings and IPs as garbage doubles, silently
+    corrupting exactly the locale data the flag targets; malformed
+    grouping (including the ambiguous "1.5") falls through the cascade
+    to timestamp/string instead. The reference itself is split on
+    locale handling: its two ``readValue`` copies disagree
+    (`Reader.fs:25-37` parses invariant-culture,
+    `ODataProvider.fs:36-48` uses the host culture — SURVEY §1.3), so
+    the behavior is an explicit flag here rather than an ambient host
+    setting; default stays invariant. Timestamps sniff from the
+    ORIGINAL text either way.
     """
     string_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
     if not string_cols:
@@ -116,7 +144,10 @@ def sniff_types(
     def numeric_text(v):
         if not decimal_comma:
             return v
-        return F.translate(F.translate(v, ".", ""), ",", ".")
+        shaped = v.rlike(r"^[+-]?(\d+|\d{1,3}(\.\d{3})+)(,\d+)?$")
+        return F.when(
+            shaped, F.translate(F.translate(v, ".", ""), ",", ".")
+        )
 
     checks = []
     for col in string_cols:

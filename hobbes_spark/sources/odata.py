@@ -40,9 +40,14 @@ def odata_url(
     may already end with ``?``."""
     def enc(v: str, safe: str) -> str:
         # headers carry either raw values (MTTR.hb) or pre-encoded ones
-        # (flowerpot.hb's %2F/%20) — a '%' marks the latter; re-quoting
-        # would double-encode it
-        return v if "%" in v else quote(v, safe=safe)
+        # (flowerpot.hb's %2F/%20) — re-quoting the latter would
+        # double-encode. "Pre-encoded" means a valid %XX escape exists;
+        # a bare '%' in a raw value (filter on '100%') must still encode
+        import re as _re
+
+        if _re.search(r"%[0-9A-Fa-f]{2}", v):
+            return v
+        return quote(v, safe=safe)
 
     params = []
     if expand:

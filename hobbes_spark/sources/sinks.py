@@ -46,9 +46,23 @@ def roundtrip_parquet(df, path: str):
 def _encode(v):
     """Typed JSON encode matching the reference's Format sink
     (`workers/calculator.worker/src/Processer.fs:40-66`): DateTime ISO,
-    numbers raw, bool, null."""
+    numbers raw, bool, null. Recursive — temporals/decimals/bytes also
+    arrive NESTED in array and struct result columns, and a bare
+    pass-through would die in ``json.dumps`` at the export boundary."""
+    import decimal
+
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return [_encode(x) for x in v]
+    if hasattr(v, "asDict"):  # pyspark Row (struct column)
+        return {k: _encode(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {k: _encode(x) for k, x in v.items()}
     return v
 
 
@@ -177,10 +191,12 @@ def zorder_value(bucket_cols: list[Column], bits: int = 8) -> Column:
     for j, b in enumerate(bucket_cols):
         v = F.pmod(b.cast("bigint"), F.lit(2**bits).cast("bigint"))
         for i in range(bits):
-            # ((v >> i) & 1) << (i*n + j), via arithmetic the PySpark
-            # wrappers allow (shift amounts must be literals there);
-            # v >= 0 after the pmod, so floor-div/% extraction is exact
-            bit = F.floor(v / F.lit(2**i)) % 2
+            # ((v >> i) & 1) << (i*n + j); shiftright with the literal
+            # int i stays integer-exact at any bit position — the old
+            # floor(v / 2^i) went through DOUBLE division, which loses
+            # low bits for v >= 2^53 (legal here: one column may use up
+            # to 63 bits)
+            bit = F.shiftright(v, i).bitwiseAND(F.lit(1).cast("bigint"))
             z = z + bit * F.lit(2 ** (i * n + j)).cast("bigint")
     return z
 

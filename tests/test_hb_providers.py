@@ -215,3 +215,61 @@ def test_read_csv_invariant_unchanged_by_default(spark, tmp_path):
     types = dict(df.dtypes)
     assert types["a"] == "double" and types["b"] == "string"
     assert sorted(r["a"] for r in df.collect()) == [1.5, 2.25]
+
+
+# --------------------------------------------------------------------- #
+# Review-hardening regressions (round 4, ingest batch)
+# --------------------------------------------------------------------- #
+
+
+def test_flatten_deep_nested_arrays_and_dotted_keys(spark):
+    """Arrays two struct levels deep must flatten (they used to vanish),
+    and a source field whose NAME contains a dot must quote as one
+    segment instead of being misread as struct access."""
+    import json as _json
+
+    from hobbes_spark.sources.ingest import read_json_uniform
+
+    rows = [
+        {"a": {"b": {"c": [1, 2]}}, "@odata.context": "ctx1"},
+        {"a": {"b": {"c": [3]}}, "@odata.context": "ctx2"},
+    ]
+    rdd = spark.sparkContext.parallelize([_json.dumps(r) for r in rows])
+    out = read_json_uniform(spark, rdd)
+    assert "a.b.c.0" in out.columns and "a.b.c.1" in out.columns
+    assert "@odata.context" in out.columns
+    got = out.orderBy(out["`@odata.context`"]).collect()
+    assert [r["a.b.c.0"] for r in got] == [1.0, 3.0]  # float-first cascade
+    assert got[0]["@odata.context"] == "ctx1"
+
+
+def test_decimal_comma_does_not_eat_dotted_dates(spark, tmp_path):
+    """Blind dot-stripping turned dd.MM.yyyy dates, versions, and IPs
+    into garbage doubles; only proper 3-digit-grouped numerics may take
+    the locale-numeric branch."""
+    from hobbes_spark.sources.ingest import read_csv_uniform
+
+    p = tmp_path / "locale.csv"
+    p.write_text(
+        "datum;betrag;version\n"
+        "02.01.2024;1.234,56;1.2.3\n"
+        "15.11.2023;789,5;2.0.1\n"
+    )
+    df = read_csv_uniform(spark, str(p), delimiter=";", decimal_comma=True)
+    dt = dict(df.dtypes)
+    assert dt["betrag"] == "double"
+    assert dt["version"] == "string"  # not 123.0
+    # the date column must NOT be a double like 2012024.0
+    assert dt["datum"] != "double"
+    vals = sorted(r["betrag"] for r in df.collect())
+    assert vals == [789.5, 1234.56]
+
+
+def test_odata_url_encodes_raw_percent_value():
+    from hobbes_spark.sources.odata import odata_url
+
+    url = odata_url("https://svc/feed?", filter="Name eq '100%'")
+    assert "100%25" in url and " " not in url
+    # genuinely pre-encoded values still pass through untouched
+    url2 = odata_url("https://svc/feed?", filter="Iteration%2FStartDate%20gt%202019-01-01Z")
+    assert "%2F" in url2 and "%252F" not in url2

@@ -546,3 +546,39 @@ def test_nanos_sniff_handles_tz_aware_and_partitioned(tmp_path, spark):
     df = read_parquet_any_ts(spark, str(flat))
     assert dict(df.dtypes)["t"].startswith("timestamp")
     assert df.count() == 1
+
+
+def test_winsorize_keeps_null_keyed_groups(spark):
+    from hobbes_spark.functions.profile import winsorize
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 100.0), (None, 5.0), (None, 50.0)],
+        "k string, v double",
+    )
+    out = winsorize(df, ["k"], "v", lo=0.0, hi=1.0).collect()
+    # the NULL-key group must survive the bounds join (4 rows in, 4 out)
+    assert len(out) == 4
+    assert sum(1 for r in out if r["k"] is None) == 2
+
+
+def test_profile_columns_dot_path_names(spark):
+    from hobbes_spark.functions.profile import profile_columns
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], ["id", "a.b"])
+    rows = {r["col_name"]: r["n_nulls"] for r in profile_columns(df).collect()}
+    assert rows["a.b"] == 1
+
+
+def test_data_result_encodes_nested_and_decimal(spark):
+    import json as _json
+
+    from hobbes_spark.sources.sinks import to_data_result_json
+
+    df = spark.createDataFrame(
+        [(1, [__import__("datetime").date(2020, 1, 2)],
+          __import__("decimal").Decimal("1.50"), b"\x01\x02")],
+        "id bigint, ds array<date>, d decimal(10,2), b binary",
+    )
+    out = _json.loads(to_data_result_json(df))
+    row = out["values"][0]
+    assert row == [1, ["2020-01-02"], 1.5, "0102"]

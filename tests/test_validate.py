@@ -54,3 +54,27 @@ def test_validate_is_one_aggregate_pass(spark, dirty):
     plan = report._jdf.queryExecution().executedPlan().toString()
     # one scan feeding one (partial+final) aggregate — not N scans
     assert plan.count("Scan ExistingRDD") == 1
+
+
+def test_validate_empty_frame_passes_all_checks(spark):
+    """SUM over zero rows is NULL — the gate must report 0 violations /
+    passed=true on an empty frame, never a NULL that slips both a
+    `passed == False` filter and a `passed == True` gate."""
+    from hobbes_spark.functions.validate import in_range, not_null, unique, validate
+
+    empty = spark.createDataFrame([], "x bigint, y string")
+    rows = validate(
+        empty, [not_null("x"), in_range("x", 0, 10), unique("x", "y")]
+    ).collect()
+    assert all(r["n_violations"] == 0 for r in rows)
+    assert all(r["passed"] is True for r in rows)
+
+
+def test_validate_handles_dot_path_columns(spark):
+    from hobbes_spark.functions.validate import not_null, unique, validate
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["id", "Iteration.Name"])
+    rows = {r["check"]: r["n_violations"] for r in validate(
+        df, [not_null("Iteration.Name"), unique("Iteration.Name")]
+    ).collect()}
+    assert rows["not_null(Iteration.Name)"] == 1
