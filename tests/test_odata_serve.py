@@ -290,3 +290,74 @@ def test_unsupported_options_raise(spark):
             apply_odata_options(df, {bad: "x"})
     # $expand is satisfied by the flat model — must NOT raise
     assert apply_odata_options(df, {"$expand": "Iteration"}).count() == 3
+
+
+def test_filter_parser_property_random_trees(spark):
+    """Property: for randomly composed filter trees, parse_filter(text)
+    selects exactly the rows of the equivalent hand-built Column."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    df = spark.createDataFrame(
+        [(i, i % 7, f"s{i % 5}") for i in range(60)], ["id", "x", "s"]
+    ).cache()
+    df.count()
+
+    # leaf comparisons: (odata text, equivalent Column builder)
+    def leaf(draw):
+        kind = draw(st.sampled_from(["num", "str", "fn"]))
+        if kind == "num":
+            op = draw(st.sampled_from(["eq", "ne", "gt", "ge", "lt", "le"]))
+            v = draw(st.integers(min_value=-2, max_value=8))
+            neg = "- " if v < 0 else ""
+            text = f"x {op} {neg}{abs(v)}" if v < 0 else f"x {op} {v}"
+            col = {
+                "eq": F.col("x") == v, "ne": F.col("x") != v,
+                "gt": F.col("x") > v, "ge": F.col("x") >= v,
+                "lt": F.col("x") < v, "le": F.col("x") <= v,
+            }[op]
+            return text, col
+        if kind == "str":
+            v = draw(st.sampled_from(["s0", "s1", "s9"]))
+            return f"s eq '{v}'", F.col("s") == v
+        fn = draw(st.sampled_from(["contains", "startswith", "endswith"]))
+        v = draw(st.sampled_from(["s", "0", "1", "zz"]))
+        text = f"{fn}(s, '{v}')"
+        col = {
+            "contains": F.col("s").contains(v),
+            "startswith": F.col("s").startswith(v),
+            "endswith": F.col("s").endswith(v),
+        }[fn]
+        return text, col
+
+    @st.composite
+    def tree(draw, depth=0):
+        if depth >= 3 or draw(st.booleans()):
+            return leaf(draw)
+        shape = draw(st.sampled_from(["and", "or", "not", "paren"]))
+        if shape == "not":
+            t, c_ = draw(tree(depth + 1))
+            return f"not ({t})", ~c_
+        if shape == "paren":
+            t, c_ = draw(tree(depth + 1))
+            return f"({t})", c_
+        lt_, lc = draw(tree(depth + 1))
+        rt_, rc = draw(tree(depth + 1))
+        if shape == "and":
+            return f"({lt_}) and ({rt_})", lc & rc
+        return f"({lt_}) or ({rt_})", lc | rc
+
+    from hobbes_spark.sources.odata_serve import parse_filter
+
+    @settings(
+        max_examples=25, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(tree())
+    def check(tc):
+        text, col = tc
+        got = sorted(r["id"] for r in df.filter(parse_filter(text)).collect())
+        want = sorted(r["id"] for r in df.filter(col).collect())
+        assert got == want, text
+
+    check()
