@@ -741,7 +741,8 @@ def join_broadcast_dims(spark, sf_dir):
              COUNT(*) OVER () AS total
       FROM ({_DAILY_SQL})
     )
-    SELECT CAST(LEAST(FLOOR((rn - 1) / (total // 10)) + 1, 10) AS BIGINT) AS bucket,
+    SELECT CAST(LEAST(FLOOR((rn - 1) / GREATEST(total // 10, 1)) + 1, 10) AS BIGINT)
+             AS bucket,
            {_rsql("AVG(count)", 4)} AS count
     FROM base GROUP BY 1
     """,
@@ -919,7 +920,9 @@ _DDB_TOKENS = (
 def _text_stats_sql() -> str:
     toks = _DDB_TOKENS.format(t="text")
     toks_l = _DDB_TOKENS.format(t="lower(text)")
-    stop = ", ".join(f"'{w}'" for w in __import__("hobbes_spark.functions.text", fromlist=["STOPWORDS"]).STOPWORDS)
+    from hobbes_spark.functions.text import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
     return f"""
     WITH base AS (
       SELECT doc_id,
@@ -1004,7 +1007,11 @@ QUERIES["lang_id_counts"] = QuerySpec(
     SELECT doc_id, source FROM (
       SELECT doc_id, source,
              MIN(doc_id) OVER (
-               PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               -- NULL-text rows are NOT duplicates of each other (the
+               -- operator's documented contract): the CASE key gives
+               -- each one its own partition so every one survives
+               PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                            CASE WHEN text IS NULL THEN doc_id END
              ) AS keep
       FROM documents
     ) WHERE doc_id = keep
@@ -1018,7 +1025,18 @@ def dedup_exact(spark, sf_dir):
     return exact_dedup(docs, "doc_id", "text").select("doc_id", "source")
 
 
-def _minhash_sql(num_hashes: int = 16, bands: int = 8, threshold: float = 0.5, k: int = 3) -> str:
+def _minhash_sql(
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    k: int = 3,
+    cand_where: str = "",
+) -> str:
+    """Shared MinHash oracle machinery (shingle -> signature -> banding
+    -> candidate join -> estimate). ``cand_where`` appends an extra
+    predicate to the candidate CTE — the incremental twin restricts to
+    pairs touching the new shard with it, instead of carrying a verbatim
+    copy of this whole body."""
     rows = num_hashes // bands
     toks_l = _DDB_TOKENS.format(t="lower(text)")
     shingle = (
@@ -1048,6 +1066,7 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 8, threshold: float = 0.5, k
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      {cand_where}
     )
     SELECT id_a, id_b, {est} AS est_jaccard
     FROM cand WHERE {est} >= {threshold}
@@ -1838,7 +1857,9 @@ def _curate_sql(q_min: float = 0.6) -> str:
     ), deduped AS (
       SELECT * FROM (
         SELECT *, MIN(doc_id) OVER (
-          PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+          -- per-row partition for NULL texts, same as dedup_exact's twin
+          PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                       CASE WHEN text IS NULL THEN doc_id END
         ) AS keep
         FROM scored
       ) WHERE doc_id = keep
@@ -1986,12 +2007,17 @@ def salted_group_sum(spark, sf_dir):
     "stream_session_counts",
     f"""
     WITH e AS (
-      SELECT user_id, ts, value,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      -- (ts, event_id) tiebreak in BOTH windows: with a ts-only order,
+      -- same-timestamp events are frame-ambiguous and the running sum
+      -- could split a tied pair across sessions that Spark's session
+      -- merge always joins
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
                        >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
       FROM events
     ), s AS (
-      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS sess
       FROM e
     )
@@ -2805,14 +2831,13 @@ def media_frame_plan(spark, sf_dir):
 # the base.
 # --------------------------------------------------------------------- #
 
-def _quality_rank_sql(frac: float) -> str:
+def _quality_scored_sql() -> str:
+    """doc_id → 6dp quality score, the same formula `_quality_rank_sql`
+    inlines (kept as a shared CTE body so new consumers can't drift)."""
     toks_l = _DDB_TOKENS.format(t="lower(text)")
-    stop = ", ".join(
-        f"'{w}'"
-        for w in __import__(
-            "hobbes_spark.functions.text", fromlist=["STOPWORDS"]
-        ).STOPWORDS
-    )
+    from hobbes_spark.functions.text import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
     q6 = _rsql(
         "0.3 * len_sat + 0.3 * COALESCE(alpha, 0.0) "
         "+ 0.2 * LEAST(COALESCE(stop_ratio, 0.0) * 5, 1.0) "
@@ -2820,18 +2845,30 @@ def _quality_rank_sql(frac: float) -> str:
         6,
     )
     return rf"""
-    WITH feats AS (
-      SELECT doc_id, lang,
-             len(list_filter({toks_l}, x -> x IN ({stop})))
-               / NULLIF(len({toks_l}), 0) AS stop_ratio,
-             length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
-               / NULLIF(length(text), 0) AS alpha,
-             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
-               / NULLIF(length(text), 0) AS punct,
-             LEAST(COALESCE(length(text), 0) / 500.0, 1.0) AS len_sat
-      FROM documents
+      SELECT doc_id, {q6} AS quality FROM (
+        SELECT doc_id,
+               len(list_filter({toks_l}, x -> x IN ({stop})))
+                 / NULLIF(len({toks_l}), 0) AS stop_ratio,
+               length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                 / NULLIF(length(text), 0) AS alpha,
+               length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                 / NULLIF(length(text), 0) AS punct,
+               LEAST(COALESCE(length(text), 0) / 500.0, 1.0) AS len_sat
+        FROM documents
+      )
+    """
+
+
+def _quality_rank_sql(frac: float) -> str:
+    # quality formula comes from the ONE shared body (_quality_scored_sql)
+    # — this builder used to inline its own copy, the drift hazard that
+    # body exists to prevent
+    return rf"""
+    WITH q AS ({_quality_scored_sql()}),
+    scored AS (
+      SELECT d.doc_id, d.lang, q.quality
+      FROM documents d JOIN q ON d.doc_id = q.doc_id
     ),
-    scored AS (SELECT doc_id, lang, {q6} AS quality FROM feats),
     r AS (
       SELECT *, row_number() OVER (PARTITION BY lang
                                    ORDER BY quality DESC, doc_id ASC) AS rn,
@@ -2870,41 +2907,12 @@ def _minhash_incremental_sql(
 ) -> str:
     # the full-corpus pair set, restricted to pairs touching the "new"
     # half (odd doc_ids) — by construction what the incremental join
-    # must produce given base = even docs
-    rows = num_hashes // bands
-    toks_l = _DDB_TOKENS.format(t="lower(text)")
-    shingle = (
-        f"CASE WHEN len(w) < {k} THEN [] "
-        f"ELSE list_transform(generate_series(1, len(w) - {k - 1}), "
-        f"i -> array_to_string(list_slice(w, i, i + {k - 1}), ' ')) END"
+    # must produce given base = even docs. Delegates to the shared
+    # _minhash_sql body; only the candidate restriction differs.
+    return _minhash_sql(
+        num_hashes, bands, threshold, k,
+        cand_where="WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1",
     )
-    sig_elems = ", ".join(
-        f"list_min(list_transform(s, x -> md5('{i}|' || x)))" for i in range(num_hashes)
-    )
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, sig, {b} AS band, "
-        f"md5(concat_ws('|', {', '.join(f'sig[{b * rows + r + 1}]' for r in range(rows))})) AS band_key "
-        "FROM sig"
-        for b in range(bands)
-    )
-    est = (
-        f"len(list_filter(list_transform(generate_series(1, {num_hashes}), "
-        f"i -> sa[i] = sb[i]), v -> v)) / {float(num_hashes)}"
-    )
-    return f"""
-    WITH toks AS (SELECT doc_id, {toks_l} AS w FROM documents),
-    sh AS (SELECT doc_id, {shingle} AS s FROM toks),
-    sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM sh WHERE len(s) > 0),
-    banded AS ({band_rows}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1
-    )
-    SELECT id_a, id_b, {est} AS est_jaccard
-    FROM cand WHERE {est} >= {threshold}
-    """
 
 
 @q("minhash_incremental", _minhash_incremental_sql())
@@ -4615,37 +4623,6 @@ def tpch_q22_opportunity(spark, sf_dir):
     )
 
 
-def _quality_scored_sql() -> str:
-    """doc_id → 6dp quality score, the same formula `_quality_rank_sql`
-    inlines (kept as a shared CTE body so new consumers can't drift)."""
-    toks_l = _DDB_TOKENS.format(t="lower(text)")
-    stop = ", ".join(
-        f"'{w}'"
-        for w in __import__(
-            "hobbes_spark.functions.text", fromlist=["STOPWORDS"]
-        ).STOPWORDS
-    )
-    q6 = _rsql(
-        "0.3 * len_sat + 0.3 * COALESCE(alpha, 0.0) "
-        "+ 0.2 * LEAST(COALESCE(stop_ratio, 0.0) * 5, 1.0) "
-        "+ 0.2 * (1 - COALESCE(punct, 0.0))",
-        6,
-    )
-    return rf"""
-      SELECT doc_id, {q6} AS quality FROM (
-        SELECT doc_id,
-               len(list_filter({toks_l}, x -> x IN ({stop})))
-                 / NULLIF(len({toks_l}), 0) AS stop_ratio,
-               length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
-                 / NULLIF(length(text), 0) AS alpha,
-               length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
-                 / NULLIF(length(text), 0) AS punct,
-               LEAST(COALESCE(length(text), 0) / 500.0, 1.0) AS len_sat
-        FROM documents
-      )
-    """
-
-
 @q(
     "dedup_keep_best",
     f"""
@@ -4868,15 +4845,15 @@ def funnel_conversion(spark, sf_dir):
     event stream, no per-user event collection."""
     ev = _t(spark, sf_dir, "events").df.select("user_id", "event_type", "ts")
 
-    def stage_min(df, etype, gate, gate_col):
+    def stage_min(etype, gate=None, gate_col=None):
         s = ev.filter(F.col("event_type") == etype)
         if gate is not None:
             s = s.join(gate, "user_id").filter(F.col("ts") >= F.col(gate_col))
         return s.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
 
-    v = stage_min(ev, "view", None, "")
-    c = stage_min(ev, "click", v, "t_view")
-    p = stage_min(ev, "purchase", c, "t_click")
+    v = stage_min("view")
+    c = stage_min("click", v, "t_view")
+    p = stage_min("purchase", c, "t_click")
     counts = [
         df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .select(F.lit(name).alias("stage"), "n_users")
@@ -5216,8 +5193,17 @@ def bm25_topk_query(spark, sf_dir):
     from hobbes_spark.functions.text import bm25_topk
 
     docs = _t(spark, sf_dir, "documents").df
-    out = bm25_topk(docs, ["hash", "merge", "window"], top=20)
-    return out.select("doc_id", "n_terms", _r(F.col("score"), 4).alias("score"))
+    # rank on the ROUNDED score (the file's rounded-before-ranking
+    # convention, cf. tpch_q3/q10): the oracle's ORDER BY score binds
+    # its rounded output alias, so a raw-score cut could keep a
+    # different doc when a 4dp tie straddles rank 20. The inner top is
+    # a candidate cap only (bounded by docs containing query terms).
+    out = bm25_topk(docs, ["hash", "merge", "window"], top=100_000)
+    return (
+        out.select("doc_id", "n_terms", _r(F.col("score"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
 
 
 @q(
@@ -5489,15 +5475,18 @@ def validate_orders(spark, sf_dir):
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
     ),
     m AS (
-      SELECT user_id, ts,
+      SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS brk
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
+      -- the running sum shares the (ts, event_id) tiebreak of the brk
+      -- window: ts-only ordering is frame-ambiguous on same-timestamp
+      -- events and would assign them to different sessions per engine
       SELECT user_id,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sess,
              ts
       FROM m
@@ -5549,9 +5538,11 @@ def concurrency_peak(spark, sf_dir):
     sess = (
         ev.withColumn("brk", brk)
         .withColumn(
+            # (ts, event_id): same total order as the brk window — a
+            # ts-only frame is ambiguous on same-timestamp events
             "sess",
             F.sum("brk").over(
-                Window.partitionBy("user_id").orderBy("ts")
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
@@ -5889,8 +5880,8 @@ def tpch_q20_promotion(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").df
     shipped = (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))

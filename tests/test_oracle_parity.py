@@ -95,3 +95,65 @@ def test_driver_window_contract():
                 d = json.load(f)
             signed |= set(d.get("queries", d).keys())
     assert not (set(window) & signed), sorted(set(window) & signed)
+
+
+# --------------------------------------------------------------------- #
+# Planted-edge-case parity (round 4): the driver tables contain no NULL
+# texts, no sub-10-row series, and no same-timestamp events, so these
+# latent Spark-vs-oracle divergences could never trip the main gate;
+# each test replays a catalog query AND its oracle over planted data
+# that exercises exactly the edge.
+# --------------------------------------------------------------------- #
+
+
+def _mini_gate(spark, tmp_path, name, tables):
+    """Run QUERIES[name] and its DuckDB oracle over planted tables."""
+    import duckdb as _duckdb
+
+    sf = str(tmp_path / "sf")
+    con = _duckdb.connect()
+    for t, df in tables.items():
+        df.write.mode("overwrite").parquet(f"{sf}/{t}.parquet")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet/*.parquet')"
+        )
+    spec = QUERIES[name]
+    got = spec.spark(spark, sf).toPandas()
+    exp = con.execute(spec.oracle).df()
+    con.close()
+    return _snapshot(got), _snapshot(exp)
+
+
+def test_dedup_exact_null_texts_parity(spark, tmp_path):
+    """Every NULL-text row survives — in the operator AND the oracle
+    (the SQL used to collapse all NULL fingerprints into one window
+    partition and keep only the min id)."""
+    docs = spark.createDataFrame(
+        [(1, "same text", "en", "web", 9), (2, "same text", "en", "web", 9),
+         (3, None, "en", "web", 0), (4, None, "en", "web", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    got, exp = _mini_gate(spark, tmp_path, "dedup_exact", {"documents": docs})
+    assert got == exp
+    ids = sorted(int(r[0]) for r in got[1])
+    assert ids == [1, 3, 4]  # dup collapsed, both NULL-text rows kept
+
+
+def test_concurrency_peak_timestamp_ties_parity(spark, tmp_path):
+    """Same-timestamp events must land in the same session in both
+    engines (the running sum used to be frame-ambiguous on ties)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 10, "2021-05-01 10:00:00", "click", 1.0, "{}"),
+        (2, 10, "2021-05-01 10:00:00", "view", 1.0, "{}"),   # tie with 1
+        (3, 10, "2021-05-01 12:00:00", "click", 1.0, "{}"),  # new session
+        (4, 20, "2021-05-01 11:00:00", "click", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts string, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got, exp = _mini_gate(spark, tmp_path, "concurrency_peak", {"events": ev})
+    assert got == exp
