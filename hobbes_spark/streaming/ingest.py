@@ -45,11 +45,15 @@ __all__ = [
 ]
 
 
-def _sig_schema(id_type: T.DataType) -> T.StructType:
+def _sig_schema(id_type: T.DataType, hash_fn: str = "xxhash64") -> T.StructType:
+    # md5 signatures are hex STRINGS, xxhash64 signatures are longs —
+    # an empty base typed with the wrong element type poisons the
+    # union inside the incremental join with a bigint cast
+    elem = T.StringType() if hash_fn == "md5" else T.LongType()
     return T.StructType(
         [
             T.StructField("id", id_type),
-            T.StructField("sig", T.ArrayType(T.LongType())),
+            T.StructField("sig", T.ArrayType(elem)),
         ]
     )
 
@@ -120,6 +124,42 @@ def _check_store_meta(
         )
 
 
+def _assert_batch_monotonic(
+    spark: SparkSession, store_dir: str, table: str, batch_id: int
+) -> None:
+    """Refuse a batch id that would REWIND the store. Micro-batch
+    semantics only ever legitimately replay the LAST (possibly
+    uncommitted) batch, so an incoming id strictly below the store's
+    max means the query is running a FRESH checkpoint against an
+    existing store: its epoch counter restarted at 0, its
+    ``_batch_id < N`` base reads would hide the whole existing corpus,
+    and its dynamic overwrites would silently clobber old partitions —
+    permanent data loss with no error. Partition-column-only read (no
+    row data); callers invoke this once per query run."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = (
+            spark.read.parquet(f"{store_dir}/{table}")
+            .agg(F.max("_batch_id").alias("m"))
+            .first()
+        )
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return
+        raise
+    max_seen = row["m"] if row else None
+    if max_seen is not None and batch_id < max_seen:
+        raise ValueError(
+            f"ingest store {store_dir!r} already holds batches up to "
+            f"{max_seen} but this query is at batch {batch_id} — it is "
+            "running a NEW checkpoint against an OLD store, which would "
+            "hide the existing base and overwrite its partitions. Point "
+            "the query at its original checkpoint, or start a fresh "
+            "store directory."
+        )
+
+
 def minhash_ingest_writer(
     store_dir: str,
     id_col: str = "doc_id",
@@ -132,27 +172,50 @@ def minhash_ingest_writer(
     broadcast_new: bool = True,
 ):
     """``foreachBatch`` function implementing one ingest step; see the
-    module docstring for the layout and the exactly-once argument."""
+    module docstring for the layout and the exactly-once argument.
+
+    Document identity is FIRST-WRITE-WINS: a ``id_col`` value that was
+    already ingested in an earlier batch is dropped from the new side
+    (its signature is not rewritten and no new pairs are emitted for
+    it) — the incremental join's base/new-disjointness precondition
+    would otherwise be violated and every later batch would fan its
+    pairs out across duplicate signature rows. Re-ingesting an UPDATED
+    document therefore requires a fresh store (or an upstream
+    tombstone pass); same-batch replays are unaffected."""
     from hobbes_spark.functions.dedup import (
         minhash_incremental_pairs,
         minhash_signatures_df,
     )
 
+    run_state = {"validated": False}
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _check_store_meta(
-            spark,
-            store_dir,
-            {"num_hashes": num_hashes, "hash_fn": hash_fn, "k": k, "bands": bands},
-        )
+        if not run_state["validated"]:
+            # once per query run: parameters and store identity cannot
+            # change for the lifetime of the query, so re-reading _meta
+            # and the partition listing per microbatch is pure overhead
+            _check_store_meta(
+                spark,
+                store_dir,
+                {"num_hashes": num_hashes, "hash_fn": hash_fn, "k": k,
+                 "bands": bands},
+            )
+            _assert_batch_monotonic(spark, store_dir, "signatures", batch_id)
+            run_state["validated"] = True
         new_sigs = minhash_signatures_df(
             batch_df, id_col, text_col, num_hashes, hash_fn, k
-        ).localCheckpoint()  # three consumers: banding, estimate, store write
+        )
         base = read_signature_store(spark, store_dir, before_batch=batch_id)
         if base is None:
             base = spark.createDataFrame(
-                [], _sig_schema(batch_df.schema[id_col].dataType)
+                [], _sig_schema(batch_df.schema[id_col].dataType, hash_fn)
             )
+        # first-write-wins (docstring): ids already in the base never
+        # re-enter the new side
+        new_sigs = new_sigs.join(
+            base.select("id"), "id", "left_anti"
+        ).localCheckpoint()  # three consumers: banding, estimate, store write
         pairs = minhash_incremental_pairs(
             batch_df,
             base,
@@ -221,12 +284,19 @@ def hll_ingest_writer(
     rollup spanning the change blows up."""
     from hobbes_spark.functions.sketches import hll_group_sketches
 
+    run_state = {"validated": False}
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        _check_store_meta(
-            batch_df.sparkSession,
-            store_dir,
-            {"kind": "hll", "keys": ",".join(keys), "col": col, "lgk": lgk},
-        )
+        if not run_state["validated"]:
+            _check_store_meta(
+                batch_df.sparkSession,
+                store_dir,
+                {"kind": "hll", "keys": ",".join(keys), "col": col, "lgk": lgk},
+            )
+            _assert_batch_monotonic(
+                batch_df.sparkSession, store_dir, "sketches", batch_id
+            )
+            run_state["validated"] = True
         (
             hll_group_sketches(batch_df, keys, col, lgk)
             .withColumn("_batch_id", F.lit(batch_id))
@@ -276,12 +346,20 @@ def cms_ingest_writer(
     store _meta (mixed depth/width cells would silently mis-bucket)."""
     from hobbes_spark.functions.sketches import cms_build
 
+    run_state = {"validated": False}
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        _check_store_meta(
-            batch_df.sparkSession,
-            store_dir,
-            {"kind": "cms", "depth": depth, "width": width, "hash_fn": hash_fn},
-        )
+        if not run_state["validated"]:
+            _check_store_meta(
+                batch_df.sparkSession,
+                store_dir,
+                {"kind": "cms", "depth": depth, "width": width,
+                 "hash_fn": hash_fn},
+            )
+            _assert_batch_monotonic(
+                batch_df.sparkSession, store_dir, "cells", batch_id
+            )
+            run_state["validated"] = True
         (
             cms_build(batch_df, col, depth, width, hash_fn)
             .withColumn("_batch_id", F.lit(batch_id))

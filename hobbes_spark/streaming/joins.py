@@ -14,7 +14,7 @@ batch join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["interval_join"]
@@ -89,6 +89,10 @@ def interval_join(
         & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}"))
     )
     out = l.join(r, cond, how)
+    if how in ("left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"):
+        # semi/anti outputs carry only left-side columns — there is no
+        # __rk to coalesce (referencing it raises UNRESOLVED_COLUMN)
+        return out.withColumnRenamed("__k", on)
     # In right/full outer mode an unmatched right row carries its key
     # only in __rk (__k is NULL) — coalesce before collapsing to the
     # single output key column, or the row comes back keyless.

@@ -128,15 +128,27 @@ def quality_gated_writer(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)  # validate + publish read it twice
-        report = validate(batch_df, checks).withColumn(
-            "_batch_id", F.lit(batch_id)
+        spark = batch_df.sparkSession
+        # ONE validation scan: the report is a handful of rows (one per
+        # check) — collect it, decide in Python, and write it back from
+        # the collected rows, instead of executing the report plan twice
+        # (once for the parquet write, once for a min() agg)
+        rows = validate(batch_df, checks).collect()
+        (
+            spark.createDataFrame(
+                rows, "check string, n_violations bigint, passed boolean"
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(report_path)
         )
-        report.write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("_batch_id").parquet(report_path)
-        ok = report.agg(F.min("passed").alias("ok")).first()["ok"]
-        if ok is None:
-            ok = True  # empty batch: nothing to gate
+        # fail CLOSED: a check whose result is NULL (indeterminate —
+        # e.g. a custom check without the built-ins' empty-safe
+        # coalesce) must gate the batch, not slip past a NULL-skipping
+        # min()
+        ok = all(r["passed"] is True for r in rows)
         target = path if ok else f"{path}_quarantine"
         if not ok and fail_action == "fail":
             raise RuntimeError(
@@ -149,5 +161,20 @@ def quality_gated_writer(
             .partitionBy("_batch_id")
             .parquet(target)
         )
+        # a REPLAY whose verdict flipped (time-dependent check) must not
+        # leave this batch in both targets: clear the opposite one's
+        # partition after the decisive write
+        other = f"{path}_quarantine" if ok else path
+        _delete_partition(spark, other, batch_id)
 
     return write
+
+
+def _delete_partition(spark, base_path: str, batch_id: int) -> None:
+    """Remove ``<base_path>/_batch_id=<id>`` if present (Hadoop FS API,
+    so object stores work like local disks)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{base_path}/_batch_id={batch_id}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)

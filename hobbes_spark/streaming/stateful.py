@@ -56,15 +56,21 @@ def _update_user(
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-        if len(pdf):
-            last_us = max(last_us, int(pdf["ts"].astype("int64").max()) // 1000)
+        # drop NaT before the int64 view: NaT.astype('int64') is
+        # int64-min, and max(0, ...) would then leave the 0 sentinel to
+        # be emitted as a fabricated 1970 "last event time"
+        ts = pdf["ts"].dropna()
+        if len(ts):
+            last_us = max(last_us, int(ts.astype("int64").max()) // 1000)
     state.update((n, total, last_us))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
             "total_value": [total],
-            "last_ts": [pd.Timestamp(last_us, unit="us")],
+            # 0 == "no non-NULL event time seen yet" -> emit NaT/NULL,
+            # not epoch 0
+            "last_ts": [pd.Timestamp(last_us, unit="us") if last_us else pd.NaT],
         }
     )
 

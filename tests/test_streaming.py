@@ -636,3 +636,135 @@ def test_hll_ingest_pins_lgk_refuses_mix(spark, sf_dir, tmp_path):
         hll_ingest_writer(store, ["event_type"], "user_id", lgk=14)(ev, 1)
     # same params: fine
     hll_ingest_writer(store, ["event_type"], "user_id", lgk=12)(ev, 1)
+
+
+# --------------------------------------------------------------------- #
+# Review-hardening regressions (round 4, streaming batch)
+# --------------------------------------------------------------------- #
+
+
+def test_ingest_store_refuses_fresh_checkpoint_rewind(spark, tmp_path):
+    """A NEW checkpoint (epoch counter restarted at 0) pointed at an OLD
+    store must raise instead of hiding the base and clobbering old
+    partitions."""
+    from hobbes_spark.streaming.ingest import minhash_ingest_writer
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with shared words here today") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    store = str(tmp_path / "store")
+    w = minhash_ingest_writer(store, hash_fn="md5")
+    w(docs.filter("doc_id < 4"), 0)
+    w(docs.filter("doc_id >= 4"), 1)
+    # same run replaying its LAST batch: fine (idempotent rewrite)
+    w(docs.filter("doc_id >= 4"), 1)
+    # fresh writer (new query run) starting over at batch 0: refuse
+    w2 = minhash_ingest_writer(store, hash_fn="md5")
+    with pytest.raises(ValueError, match="NEW checkpoint"):
+        w2(docs.filter("doc_id < 4"), 0)
+
+
+def test_ingest_duplicate_doc_id_first_write_wins(spark, tmp_path):
+    from hobbes_spark.streaming.ingest import (
+        minhash_ingest_writer,
+        read_signature_store,
+    )
+
+    store = str(tmp_path / "store")
+    w = minhash_ingest_writer(store, hash_fn="md5")
+    d0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id bigint, text string"
+    )
+    d1 = spark.createDataFrame(
+        [(1, "totally different updated text content now"),
+         (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id bigint, text string",
+    )
+    w(d0, 0)
+    w(d1, 1)
+    sigs = read_signature_store(spark, store).toPandas()
+    # doc 1 keeps its FIRST signature; no duplicate signature rows
+    assert sorted(sigs["id"]) == [1, 2]
+    # and the near-dup pair (1, 2) on the ORIGINAL text was found
+    pairs = spark.read.parquet(f"{store}/pairs").toPandas()
+    assert {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)} == {(1, 2)}
+
+
+def test_quality_gate_flip_does_not_double_publish(spark, tmp_path):
+    """A replay whose verdict flips (time-dependent check) must clear
+    the opposite target's partition — the batch may live in exactly one
+    of path / path_quarantine."""
+    import pyspark.sql.functions as F
+
+    from hobbes_spark.functions.validate import in_range
+    from hobbes_spark.streaming.sinks import quality_gated_writer
+
+    path = str(tmp_path / "pub")
+    rep = str(tmp_path / "rep")
+    batch = spark.createDataFrame([(1, 5.0)], "id bigint, v double")
+    good = quality_gated_writer(path, [in_range("v", 0, 10)], rep)
+    bad = quality_gated_writer(path, [in_range("v", 0, 1)], rep)
+    good(batch, 0)   # passes -> published
+    bad(batch, 0)    # replay, now fails -> quarantined, publish cleared
+    assert spark.read.parquet(f"{path}_quarantine").count() == 1
+    import os
+    assert not os.path.exists(f"{path}/_batch_id=0")
+    # and the reverse flip clears quarantine
+    good(batch, 0)
+    assert spark.read.parquet(path).count() == 1
+    assert not os.path.exists(f"{path}_quarantine/_batch_id=0")
+
+
+def test_quality_gate_null_check_fails_closed(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from hobbes_spark.streaming.sinks import quality_gated_writer
+
+    path = str(tmp_path / "pub2")
+    rep = str(tmp_path / "rep2")
+    # a custom check WITHOUT the built-ins' empty-safe coalesce: NULL on
+    # an all-NULL column
+    null_check = ("custom", F.sum((F.col("v") < 0).cast("int")).cast("bigint"))
+    batch = spark.createDataFrame([(1, None)], "id bigint, v double")
+    w = quality_gated_writer(path, [null_check], rep)
+    w(batch, 0)
+    # indeterminate -> NOT published
+    assert spark.read.parquet(f"{path}_quarantine").count() == 1
+
+
+def test_interval_join_semi_and_anti(spark):
+    from hobbes_spark.streaming.joins import interval_join
+
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(
+        [(1, "2021-01-01 10:00:00"), (2, "2021-01-01 10:00:00")],
+        "user_id bigint, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2021-01-01 10:30:00")], "user_id bigint, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    semi = interval_join(left, right, "user_id", how="left_semi")
+    anti = interval_join(left, right, "user_id", how="left_anti")
+    assert [r["user_id"] for r in semi.collect()] == [1]
+    assert [r["user_id"] for r in anti.collect()] == [2]
+
+
+def test_stateful_null_timestamps_emit_null_not_epoch(spark):
+    import pyspark.sql.functions as F
+
+    ev = spark.createDataFrame(
+        [(10, None, 2.0)], "user_id bigint, ts timestamp, value double"
+    )
+    # batch-mode equivalent: drive the pandas state fn directly
+    from hobbes_spark.streaming.stateful import _update_user
+
+    import pandas as pd
+
+    class FakeState:
+        exists = False
+        def update(self, v): self.v = v
+
+    out = list(_update_user((10,), iter([ev.toPandas()]), FakeState()))[0]
+    assert pd.isna(out["last_ts"].iloc[0])  # NULL, not 1970-01-01
