@@ -78,7 +78,23 @@ def asof_join(
     # comparison with NULL is unknown. Without this filter the window's
     # NULLS FIRST (asc) ordering would sort them before EVERY left row
     # and last(ignorenulls) would hand them out as spurious matches.
+    # NULL-`by` right rows likewise match nothing under SQL equality —
+    # left rows with NULL keys come back unmatched, not paired with
+    # each other through a shared NULL window partition.
     right = right.filter(F.col(on).isNotNull())
+    for k in by:
+        right = right.filter(F.col(k).isNotNull())
+    l_on_t, r_on_t = left.schema[on].dataType, right.schema[on].dataType
+    if l_on_t != r_on_t:
+        # the union coerces the right `on` to the LEFT's type; a lossy
+        # narrowing (double->int, timestamp->date) would fabricate
+        # matches a true comparison rejects — same fail-fast policy as
+        # bloom's key-type guard. Cast explicitly to the wider type.
+        raise ValueError(
+            f"asof_join: `{on}` types differ (left {l_on_t.simpleString()}, "
+            f"right {r_on_t.simpleString()}); cast one side explicitly — "
+            "an implicit narrowing cast would fabricate matches"
+        )
     r_vals = {c: F.col(c) for c in by}
     r_vals[on] = F.col(on).cast(left.schema[on].dataType)
     r_tag = right.select(
@@ -152,6 +168,11 @@ def range_join(
         F.floor(F.col(lower) / bin_width).cast("bigint"),
         F.floor(F.col(upper) / bin_width).cast("bigint"),
     )
+    # an inverted interval (lower > upper) can never contain a point —
+    # and without this filter F.sequence would AUTO-STEP DOWNWARD
+    # through it, exploding one corrupt row into |lower-upper|/width
+    # bins (the same sequence footgun linear_extrapolation guards)
+    right = right.filter(F.col(lower) <= F.col(upper))
     r_binned = right.withColumn("__bin", F.explode(bins))
     cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in by] + [
         F.col("l.__bin") == F.col("r.__bin"),

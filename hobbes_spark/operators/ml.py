@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from hobbes_spark.expressions import c
 from hobbes_spark.reductions import NUMERIC_ONLY, numeric_columns, reduction_fn
 
-__all__ = ["buckets", "kmeans", "each", "linear_regression", "linear_extrapolation"]
+__all__ = ["buckets", "kmeans", "kmeans_lloyd", "each", "linear_regression", "linear_extrapolation"]
 
 
 def _agg_numeric(df, group_col: str, reduction: str):
@@ -137,11 +137,20 @@ def kmeans_lloyd(
     clean = df.dropna(subset=nums).select(
         *[c(col).cast("double").alias(col) for col in nums]
     )
+    # NaN is not NULL: dropna keeps it, and a NaN feature would crash
+    # _round_half_up mid-iteration with an opaque ValueError
+    for col in nums:
+        clean = clean.filter(~F.isnan(F.col(col)))
     clean = clean.localCheckpoint(eager=True)  # iters+2 consumers
     bounds = clean.agg(
         *[F.min(col).alias(f"lo_{col}") for col in nums],
         *[F.max(col).alias(f"hi_{col}") for col in nums],
     ).first()
+    if bounds[f"lo_{nums[0]}"] is None:
+        raise ValueError(
+            "k-means: no complete rows (every row has a NULL/NaN in some "
+            "numeric column) — nothing to cluster"
+        )
     centers = [
         [
             bounds[f"lo_{col}"]
@@ -241,7 +250,18 @@ def each(pipeline, reduction: str):
         val = F.sqrt(var) if reduction == "stddev" else var
     else:
         raise ValueError(f"unknown reduction {reduction!r}")
-    out = df.select(*[c(k).alias(k) for k in keys], F.when(n > 0, val).alias("value"))
+    if reduction in ("count", "distinct"):
+        # SQL count semantics: an all-NULL row counts 0, not NULL — the
+        # n>0 mask exists for sum/mean-style reductions where an empty
+        # array must NOT surface the fold seed as a value
+        out = df.select(
+            *[c(k).alias(k) for k in keys],
+            F.coalesce(val, F.lit(0).cast("bigint")).alias("value"),
+        )
+    else:
+        out = df.select(
+            *[c(k).alias(k) for k in keys], F.when(n > 0, val).alias("value")
+        )
     return pipeline._step(out, f"each {reduction}")
 
 
@@ -281,7 +301,11 @@ def linear_extrapolation(pipeline, value_col: str, n_pred: int, n_train: int):
         )
     df = pipeline.df
     w = Window.orderBy(*pipeline._order_exprs())
-    base = df.withColumn("__i", F.row_number().over(w))
+    # three consumers (stats agg, fit crossJoin, existing-rows union):
+    # without truncation each re-runs the global-order sort — same
+    # multi-consumer rationale as kmeans_lloyd's clean checkpoint (the
+    # series is small post-aggregation data per the reference semantics)
+    base = df.withColumn("__i", F.row_number().over(w)).localCheckpoint()
     stats = base.agg(F.max("__i").alias("__total"))
     fit = (
         base.crossJoin(F.broadcast(stats))

@@ -60,16 +60,21 @@ def salted_agg(
 
     partials: list[Column] = []
     combines: list[Column] = []
+    # ordinal intermediate aliases (__p_0, not __p_<name>): a value
+    # column whose NAME contains a dot would otherwise re-enter F.col as
+    # struct-field access and fail resolution — the flat model produces
+    # such names by design
+    ordinal = {col: i for i, col in enumerate(values)}
     for col, red in plain.items():
         if red not in _ALGEBRAIC:
             raise ValueError(f"non-algebraic reduction {red!r}; use groupBy directly")
         part, comb = _ALGEBRAIC[red]
-        partials.append(part(c(col)).alias(f"__p_{col}"))
-        combines.append(comb(F.col(f"__p_{col}")).alias(col))
+        partials.append(part(c(col)).alias(f"__p_{ordinal[col]}"))
+        combines.append(comb(F.col(f"__p_{ordinal[col]}")).alias(col))
     for col in means:
         # mean = sum / NON-NULL count, per column (avg semantics)
-        partials.append(F.count(c(col)).alias(f"__pn_{col}"))
-        combines.append(F.sum(F.col(f"__pn_{col}")).alias(f"__n_{col}"))
+        partials.append(F.count(c(col)).alias(f"__pn_{ordinal[col]}"))
+        combines.append(F.sum(F.col(f"__pn_{ordinal[col]}")).alias(f"__n_{ordinal[col]}"))
 
     salt = F.floor(F.rand(seed) * salts).cast("int")
     stage1 = (
@@ -80,8 +85,8 @@ def salted_agg(
     out = stage1.groupBy(*[c(k) for k in keys]).agg(*combines)
     for col in means:
         out = out.withColumn(
-            col, F.col(col) / F.nullif(F.col(f"__n_{col}"), F.lit(0))
-        ).drop(f"__n_{col}")
+            col, c(col) / F.nullif(F.col(f"__n_{ordinal[col]}"), F.lit(0))
+        ).drop(f"__n_{ordinal[col]}")
     return out
 
 
@@ -107,6 +112,14 @@ def salted_join(
         raise ValueError(
             f"salted_join supports {sorted(allowed)}; {how!r} would "
             "multiply unmatched dim rows by the salt count"
+        )
+    overlap = (set(fact.columns) & set(dim.columns)) - {on}
+    if overlap:
+        # same guard as asof_join/range_join: duplicate non-key output
+        # columns fail far away with AMBIGUOUS_REFERENCE
+        raise ValueError(
+            f"salted_join: overlapping non-key columns {sorted(overlap)}; "
+            "rename or drop them on one side first"
         )
     salt = F.floor(F.rand(seed) * salts).cast("int")
     f = fact.withColumn("__salt", salt)

@@ -67,7 +67,13 @@ def gap_fill_ffill(
     """Regularize ``df`` (≤1 row per (keys, date_col)) onto the dense
     daily spine; carry ``fill_cols`` forward (last observation), and
     zero-fill ``count_col`` if given (a count's absence means 0, not
-    "unchanged").  Rows before a key's first observation keep NULL."""
+    "unchanged").  Rows before a key's first observation keep NULL.
+
+    Rows whose ``date_col`` is NULL are dropped explicitly (they have no
+    place on a date spine; silently vanishing through the spine join was
+    worse than an explicit policy), and a key with ONLY NULL dates
+    contributes nothing."""
+    df = df.filter(F.col(date_col).isNotNull())
     spine = daily_spine(df, keys, date_col)
     joined = spine.join(df, on=[*keys, date_col], how="left")
     w = (
@@ -104,6 +110,10 @@ def ohlc(
     ``value_col`` — pass an exact integer-unit column (e.g. cents) when
     the volume must be order-independent across partitions."""
     tie = F.struct(F.col(ts_col), F.col(id_col))
+    # a tick with a NULL value or NULL timestamp cannot anchor a bar:
+    # min_by/max_by would happily pick it for open/close while high/low
+    # skip it — an internally inconsistent bar (NULL open, real high)
+    df = df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
     return (
         df.withColumn(bucket_name, bucket)
         .groupBy(*keys, bucket_name)

@@ -157,3 +157,58 @@ def test_asof_null_timestamps_never_match(spark):
                               direction="forward").collect()}
     assert fwd["x"] == (None, None)     # no right row at/after t=5
     assert fwd["y"] == (None, None)     # NULL left ts matches nothing
+
+
+# --------------------------------------------------------------------- #
+# Review-hardening regressions (round 4, operators batch)
+# --------------------------------------------------------------------- #
+
+
+def test_asof_join_rejects_mismatched_on_types(spark):
+    from hobbes_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k bigint, t bigint")
+    right = spark.createDataFrame([(1, 10.7, "x")], "k bigint, t double, v string")
+    with pytest.raises(ValueError, match="types differ"):
+        asof_join(left, right, on="t", by=["k"])
+
+
+def test_asof_join_null_by_keys_match_nothing(spark):
+    from hobbes_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(None, 5)], "k string, t bigint")
+    right = spark.createDataFrame([(None, 3, 1.0)], "k string, t bigint, v double")
+    out = asof_join(left, right, on="t", by=["k"]).collect()
+    # SQL equality: NULL key matches nothing -> unmatched left row
+    assert len(out) == 1 and out[0]["r_v"] is None
+
+
+def test_range_join_inverted_interval_matches_nothing(spark):
+    from hobbes_spark.operators.asof import range_join
+
+    left = spark.createDataFrame([(5.0,)], "p double")
+    # one sane band + one inverted band with a HUGE downward span that
+    # would explode the bin sequence without the guard
+    right = spark.createDataFrame(
+        [(0.0, 10.0, "ok"), (1e9, 0.0, "bad")], "lo double, hi double, tag string"
+    )
+    out = range_join(left, right, point="p", lower="lo", upper="hi",
+                     bin_width=1.0).collect()
+    assert [r["tag"] for r in out] == ["ok"]
+
+
+def test_salted_join_rejects_overlapping_columns(spark):
+    from hobbes_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 2.0)], "k bigint, value double")
+    dim = spark.createDataFrame([(1, 3.0)], "k bigint, value double")
+    with pytest.raises(ValueError, match="overlapping"):
+        salted_join(fact, dim, on="k")
+
+
+def test_salted_agg_dot_path_value_columns(spark):
+    from hobbes_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 3.0)], ["k", "m.v"])
+    out = salted_agg(df, ["k"], {"m.v": "mean"}).collect()
+    assert out[0]["m.v"] == 2.0

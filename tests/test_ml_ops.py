@@ -136,3 +136,30 @@ class TestKmeansLloyd:
         )
         out = Pipeline(df).kmeans_lloyd(2, "count").df.collect()
         assert sum(r["x"] for r in out) == 4  # NULL row dropped, 2+2 split
+
+
+def test_each_count_zero_on_all_null_row(spark):
+    from hobbes_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("a", None, None), ("b", 1.0, 2.0)], "k string, x double, y double"
+    )
+    p = Pipeline.of(df).index_by("k")
+    rows = {r["k"]: r["value"] for r in p.each("count").df.collect()}
+    assert rows == {"a": 0, "b": 2}  # 0, not NULL
+
+
+def test_kmeans_lloyd_empty_and_nan_guards(spark):
+    from hobbes_spark.operators.ml import kmeans_lloyd
+    from hobbes_spark.pipeline import Pipeline
+
+    empty = Pipeline.of(
+        spark.createDataFrame([(None,)], "x double")
+    )
+    with pytest.raises(ValueError, match="no complete rows"):
+        kmeans_lloyd(empty, 2, "mean")
+    nan = Pipeline.of(
+        spark.createDataFrame([(float("nan"),), (1.0,), (2.0,)], "x double")
+    )
+    out = kmeans_lloyd(nan, 2, "mean").df.collect()  # NaN row filtered, no crash
+    assert len(out) <= 2

@@ -224,3 +224,31 @@ def test_change_intervals_null_status_runs(spark):
     out = change_intervals(df, ["user_id"], "ts", "event_id", "status")
     runs = [(r["status"], r["is_current"]) for r in out.orderBy("effective_from_us").collect()]
     assert runs == [(None, False), ("A", False), (None, False), ("A", True)]
+
+
+def test_gap_fill_drops_null_dates_explicitly(spark):
+    from hobbes_spark.operators.timeseries import gap_fill_ffill
+
+    df = spark.createDataFrame(
+        [("a", "2021-01-01", 1.0), ("a", None, 9.0)],
+        "k string, d string, v double",
+    ).selectExpr("k", "CAST(d AS DATE) AS d", "v")
+    out = gap_fill_ffill(df, ["k"], "d", ["v"]).collect()
+    assert len(out) == 1 and out[0]["v"] == 1.0
+
+
+def test_ohlc_ignores_null_ticks(spark):
+    import pyspark.sql.functions as F
+
+    from hobbes_spark.operators.timeseries import ohlc
+
+    df = spark.createDataFrame(
+        [(1, "2021-01-01 10:00:00", None), (2, "2021-01-01 11:00:00", 10.0),
+         (3, "2021-01-01 12:00:00", 12.0)],
+        "id bigint, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = ohlc(df, keys=[], bucket=F.to_date("ts"), value_col="v",
+               ts_col="ts", id_col="id").collect()[0]
+    assert (row["open"], row["high"], row["low"], row["close"], row["n"]) == (
+        10.0, 12.0, 10.0, 12.0, 2,
+    )
