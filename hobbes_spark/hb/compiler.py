@@ -15,7 +15,7 @@ from __future__ import annotations
 import re
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hobbes_spark import expressions as E
@@ -200,7 +200,10 @@ def _compile_statement(stmt: tuple) -> Callable[[Pipeline], Pipeline]:
             row, pl = _materialize(pl, rows_ast, "__pivot_row")
             col, pl = _materialize(pl, cols_ast, "__pivot_col")
             if val_ast is None:
-                val = row
+                # leave value_col=None: Pipeline.pivot counts ROWS for
+                # `count` (substituting the row key here would make a
+                # NULL-keyed group's cells read 0 even when rows exist)
+                val = None
             else:
                 val, pl = _materialize(pl, val_ast, "__pivot_val")
             out = pl.pivot([row], col, red, val)
@@ -260,13 +263,13 @@ def compile_hb(text: str) -> tuple[HbProgram, Callable[[Pipeline], Pipeline]]:
 def run_hb(
     text: str,
     source: Pipeline | DataFrame,
-    spark: SparkSession | None = None,
 ) -> Pipeline:
-    """Parse + compile + execute a ``.hb`` program against ``source``.
+    """Parse + compile + execute a ``.hb`` program against ``source``;
+    returns the resulting Pipeline.
 
-    The provider header is returned on the program (callers resolve
-    providers; the driver tables stand in for the reference's OData/REST
-    feeds, which need credentials we don't have)."""
+    Callers that need the provider header call ``compile_hb`` (or
+    ``run_hb_program``, which resolves providers itself); this
+    convenience entry point takes an already-resolved source."""
     if isinstance(source, DataFrame):
         source = Pipeline.of(source, "hb-source")
     _, run = compile_hb(text)

@@ -31,6 +31,17 @@ class HbParseError(ValueError):
     pass
 
 
+def _int_tok(tok, line: str) -> int:
+    """Integer statement argument -> int, failing with the parser's own
+    error type (a bare int() would leak ValueError/TypeError past
+    callers that catch HbParseError)."""
+    text = tok[1] if isinstance(tok, tuple) else tok
+    try:
+        return int(text)
+    except (TypeError, ValueError):
+        raise HbParseError(f"expected an integer, got {text!r} in: {line}") from None
+
+
 @dataclass
 class HbProgram:
     properties: dict[str, object] = field(default_factory=dict)
@@ -106,7 +117,7 @@ def tokenize(line: str) -> list[tuple[str, str]]:
                 and out
                 and (
                     out[-1][0] in ("number", "ident", "group", "dstring", "sstring")
-                    or out[-1][1] in (")", "]")
+                    or out[-1][1] in (")", "]", "}")
                 )
             ):
                 out.append(("op", "-"))
@@ -371,8 +382,8 @@ def _parse_statement_inner(p: _P) -> tuple:
                 names.append(_name_token(p))
             return ("slice_columns", names)
         if what == "rows":
-            a = int(p.next()[1])
-            b = int(p.next()[1])
+            a = _int_tok(p.next(), line)
+            b = _int_tok(p.next(), line)
             return ("slice_rows", a, b)
         raise HbParseError(f"slice what? {what!r} in: {line}")
     if t == "rename":
@@ -428,11 +439,11 @@ def _parse_statement_inner(p: _P) -> tuple:
             names.append(_name_token(p))
         return ("index_by", names)
     if t == "buckets":
-        n = int(p.next()[1])
+        n = _int_tok(p.next(), line)
         p.expect("->")
         return ("buckets", n, p._reduction())
     if t == "k-means":
-        n = int(p.next()[1])
+        n = _int_tok(p.next(), line)
         p.expect("->")
         return ("kmeans", n, p._reduction())
     if t == "each":
@@ -445,8 +456,8 @@ def _parse_statement_inner(p: _P) -> tuple:
             return ("linear_regression", x, y)
         if what == "extrapolation":
             col = p._bracketed_expr()
-            n_pred = int(p.next()[1])
-            n_train = int(p.next()[1])
+            n_pred = _int_tok(p.next(), line)
+            n_train = _int_tok(p.next(), line)
             return ("linear_extrapolation", col, n_pred, n_train)
         raise HbParseError(f"linear what? {what!r} in: {line}")
     raise HbParseError(f"unknown statement {t!r} in: {line}")
@@ -464,11 +475,20 @@ def parse_program(text: str) -> HbProgram:
     prog = HbProgram()
     lines = text.splitlines()
     i = 0
-    # header: leading `key: value` lines up to the first blank line
+    # tolerate leading blank lines: without the skip, the header keys
+    # would fall through to parse_statement and die on ": odata"
+    while i < len(lines) and not lines[i].strip():
+        i += 1
+    # header: leading `key: value` lines up to the first blank line;
+    # an INDENTED line only continues the header when a key line came
+    # before it — otherwise an indented statement would be swallowed
+    # into properties and silently dropped from the program
     header: list[str] = []
     j = i
     while j < len(lines) and lines[j].strip():
-        if re.match(r"^[A-Za-z_][\w.-]*\s*:(\s|$)", lines[j]) or re.match(r"^\s+\S", lines[j]):
+        if re.match(r"^[A-Za-z_][\w.-]*\s*:(\s|$)", lines[j]) or (
+            header and re.match(r"^\s+\S", lines[j])
+        ):
             header.append(lines[j])
             j += 1
         else:

@@ -102,6 +102,10 @@ def resolve_source(
         from hobbes_spark.sources.ingest import rest_pages
 
         urls = properties.get("url")
+        if not urls:
+            raise ValueError(
+                "provider: rest needs at least one url header entry"
+            )
         if isinstance(urls, str):
             urls = [urls]
         pages = [fetcher(u) for u in urls]

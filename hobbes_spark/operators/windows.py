@@ -20,13 +20,17 @@ from collections.abc import Sequence
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
+from hobbes_spark.expressions import c
 from hobbes_spark.reductions import reduction_fn
 
 __all__ = ["moving_col", "expanding_col"]
 
 
 def _window(order_exprs: Sequence[Column], partition_by: Sequence[str]):
-    w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    # c(), not raw names: flattened dot-path partition columns must not
+    # parse as struct access (the convention every other operator follows)
+    keys = [c(n) for n in partition_by]
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
     return w.orderBy(*order_exprs)
 
 

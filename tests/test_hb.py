@@ -345,3 +345,80 @@ def test_empty_string_compare_is_literal_on_string_columns(spark):
     dn = spark.createDataFrame([(1.5, "p"), (None, "q")], "y double, tag string")
     outn = run_hb("only !(y = '')", Pipeline.of(dn))
     assert [r["tag"] for r in outn.df.collect()] == ["p"]
+
+
+# --------------------------------------------------------------------- #
+# Review-hardening regressions (round 4, hb batch)
+# --------------------------------------------------------------------- #
+
+
+def test_pivot_count_counts_rows_in_null_keyed_groups(spark):
+    from hobbes_spark.hb import run_hb
+    from hobbes_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(None, "Done"), (None, "Done"), (1, "Done"), (1, "Todo")],
+        "Sprint int, State string",
+    )
+    out = run_hb("pivot [Sprint] [State] -> count [State]\n", Pipeline.of(df))
+    rows = {r["Sprint"]: (r["Done"], r["Todo"]) for r in out.df.collect()}
+    assert rows[None] == (2, 0)  # NULL-keyed group counts its real rows
+    assert rows[1] == (1, 1)
+
+
+def test_indented_leading_statement_is_not_swallowed(spark):
+    from hobbes_spark.hb.parser import parse_program
+
+    prog = parse_program("   only (x > 5)\n\nslice columns a b\n")
+    # the indented line must be a STATEMENT, not a header property
+    assert prog.properties == {}
+    assert [s[0] for s in prog.statements] == ["only", "slice_columns"]
+
+
+def test_leading_blank_lines_before_header(spark):
+    from hobbes_spark.hb.parser import parse_program
+
+    prog = parse_program("\n\nprovider: parquet\nurl: /tmp/x\n\nonly true\n")
+    assert prog.properties["provider"] == "parquet"
+    assert [s[0] for s in prog.statements] == ["only_true"]
+
+
+def test_integer_args_raise_hb_parse_error(spark):
+    from hobbes_spark.hb.parser import HbParseError, parse_statement
+
+    for bad in ("slice rows -1 5", "buckets x -> mean"):
+        with pytest.raises(HbParseError):
+            parse_statement(bad)
+
+
+def test_subtraction_after_if_brace(spark):
+    from hobbes_spark.hb import run_hb
+    from hobbes_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame([(1,), (2,)], "a int")
+    out = run_hb(
+        'create column "x" (if [a = 1] {10} else {20}-1)\n', Pipeline.of(df)
+    )
+    # `-1` applies to the whole if-expression: a=1 -> 10-1, a=2 -> 20-1
+    assert sorted(r["x"] for r in out.df.collect()) == [9, 19]
+
+
+def test_rest_provider_missing_url_raises(spark):
+    from hobbes_spark.hb import run_hb_program
+
+    with pytest.raises(ValueError, match="url"):
+        run_hb_program(spark, "provider: rest\n\nonly true\n",
+                       fetcher=lambda u: "{}")
+
+
+def test_moving_partitioned_dot_path_key(spark):
+    from hobbes_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("g1", 1, 1.0), ("g1", 2, 3.0), ("g2", 1, 10.0)],
+        ["Iteration.Name", "i", "v"],
+    )
+    p = Pipeline.of(df).sort_by("i")
+    out = p.moving("m", "mean", 2, "v", partition_by=["Iteration.Name"]).df
+    got = {(r["Iteration.Name"], r["i"]): r["m"] for r in out.collect()}
+    assert got[("g1", 2)] == 2.0 and got[("g2", 1)] is None
