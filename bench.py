@@ -13,8 +13,9 @@ cross-round comparison):
 * each query gets one UNTIMED warm run (codegen/JIT compile, 3-6x
   noise locally, irrelevant at cluster scale) then best-of-3 timed;
 * per-query relative spread of the timed runs is reported
-  ("spread_pct", plus the worst offender) so a reader can tell noise
-  from regression before comparing rounds.
+  ("spread_pct" — a FRACTION, 0.25 = 25%, key name kept for
+  cross-round continuity; plus the worst offender) so a reader can
+  tell noise from regression before comparing rounds.
 
 Each query is fully materialized via write.format("noop") — forces
 every operator, no driver-side collect cost in the timing.
@@ -41,6 +42,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = sorted(n for n, spec in QUERIES.items() if spec.bench)
+    if not names:
+        raise SystemExit("bench: no catalog query carries bench=True")
 
     def materialize(name: str) -> None:
         QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
@@ -72,7 +75,12 @@ def main() -> None:
         "minhash_pairs_fast", "cosine_topk", "curate_corpus",
         "salted_group_sum",
     ]
-    core = round(sum(timings[n] for n in _R1_CORE if n in timings), 3)
+    missing_core = [n for n in _R1_CORE if n not in timings]
+    if missing_core:
+        # a silently-shrunken core sum would read as a phantom speedup in
+        # the cross-round comparison this frozen subset exists to protect
+        raise SystemExit(f"bench: frozen R1 core queries missing: {missing_core}")
+    core = round(sum(timings[n] for n in _R1_CORE), 3)
     worst = max(spreads, key=spreads.get) if spreads else None
     print(
         json.dumps(

@@ -65,6 +65,12 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # a typo'd filter name must not produce a false green: a gate that
+    # "passes" having checked nothing is worse than one that fails
+    unknown = only - set(QUERIES)
+    if unknown:
+        raise SystemExit(f"GATE: unknown query names {sorted(unknown)}")
+
     bad = []
     for name, spec in QUERIES.items():
         if only and name not in only:
@@ -78,7 +84,14 @@ def main():
         if spec.oracle is None:
             print(f"\n{name}: rows-only ({len(got)} rows) OK")
             continue
-        exp = con.execute(spec.oracle).df()
+        try:
+            # record-and-continue like the Spark side: one bad oracle
+            # must not abort the gate and discard the other results
+            exp = con.execute(spec.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, f"ORACLE ERR {type(e).__name__}: {str(e)[:160]}"))
+            print(f"\n{name}: ORACLE ERROR {str(e)[:160]}")
+            continue
         g_cols, g_rows = _snapshot(got)
         e_cols, e_rows = _snapshot(exp)
         if g_cols != e_cols:

@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 
 def scaled(spark, sf_dir: str, out_dir: str, table: str, n: int, id_cols: list[str]):
     path = f"{out_dir}/{table}.parquet"
-    if not os.path.exists(path):
+    # a committed Spark write leaves _SUCCESS; a ctrl-C'd partial write
+    # leaves the directory WITHOUT it — existence alone would silently
+    # reuse truncated data and report meaningless ratios
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         base = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         span = base.agg(*[F.max(F.col(c)).alias(c) for c in id_cols]).first()
         parts = []
@@ -44,7 +47,10 @@ def scaled(spark, sf_dir: str, out_dir: str, table: str, n: int, id_cols: list[s
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    out_dir = f"/tmp/hobbes_scale_{n}x"
+    # cache key includes the SOURCE dir: the same multiplier over a
+    # different sf would otherwise silently reuse the other sf's tables
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/hobbes_scale_{n}x_{sf_tag}"
     os.makedirs(out_dir, exist_ok=True)
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
@@ -76,9 +82,8 @@ def main():
     def keyed_window(ev):
         from pyspark.sql import Window
 
-        ts = F.expr("timestamp_micros(`ts` div 1000)") if dict(ev.dtypes)["ts"] == "bigint" else F.col("ts")
         daily = (
-            ev.withColumn("d", F.to_date(ts))
+            fix_ts(ev).withColumn("d", F.to_date(F.col("ts")))
             .groupBy("user_id", "d").count()
         )
         w = Window.partitionBy("user_id").orderBy("d").rowsBetween(-6, 0)
