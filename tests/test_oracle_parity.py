@@ -157,3 +157,23 @@ def test_concurrency_peak_timestamp_ties_parity(spark, tmp_path):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     got, exp = _mini_gate(spark, tmp_path, "concurrency_peak", {"events": ev})
     assert got == exp
+
+
+def test_buckets_mean_small_series_parity(spark, tmp_path):
+    """A series with fewer than 10 distinct days must still split into
+    per-row buckets in BOTH engines — the oracle's total // 10 used to
+    be 0, collapsing everything into bucket 10 via LEAST(NULL, 10)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, f"2021-06-{(i % 4) + 1:02d} 12:00:00", 10 + i, "click", 1.0, "{}")
+        for i in range(12)  # 4 distinct days -> total=4 < 10
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got, exp = _mini_gate(spark, tmp_path, "buckets_mean", {"events": ev})
+    assert got == exp
+    assert len(got[1]) == 4  # one bucket per day, not one collapsed row
