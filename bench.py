@@ -15,7 +15,11 @@ cross-round comparison):
 * per-query relative spread of the timed runs is reported
   ("spread_pct" — a FRACTION, 0.25 = 25%, key name kept for
   cross-round continuity; plus the worst offender) so a reader can
-  tell noise from regression before comparing rounds.
+  tell noise from regression before comparing rounds;
+* (round-5) queries whose spread exceeded 1% in the PREVIOUS round's
+  recorded bench (latest BENCH_r*.json) get 5 timed runs instead of 3,
+  so a one-off GC/compaction hit can't become the recorded best-of and
+  the flaky tail self-heals round over round.
 
 Each query is fully materialized via write.format("noop") — forces
 every operator, no driver-side collect cost in the timing.
@@ -23,10 +27,31 @@ every operator, no driver-side collect cost in the timing.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
 import time
+
+
+def _flaky_from_last_round() -> set[str]:
+    """Names whose spread exceeded 1% in the latest recorded BENCH_r*.json
+    (the previous round's driver run). Missing/corrupt file → empty set."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not benches:
+        return set()
+    try:
+        with open(benches[-1]) as f:
+            rec = json.load(f)
+        blob = rec.get("tail", "")
+        # the driver wraps bench stdout; the JSON line is the last {...}
+        line = blob[blob.rfind('{"metric"'):] if '{"metric"' in blob else ""
+        data = json.loads(line) if line else rec
+        spreads = data.get("spread_pct", {})
+        return {n for n, s in spreads.items() if isinstance(s, (int, float)) and s > 0.01}
+    except (ValueError, OSError):
+        return set()
 
 
 def main() -> None:
@@ -52,12 +77,13 @@ def main() -> None:
 
     materialize(names[0])  # JVM + parquet-footer warmup
 
+    flaky = _flaky_from_last_round()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in names:
         materialize(name)  # untimed warm run: one-time codegen/JIT
         samples = []
-        for _ in range(runs):
+        for _ in range(max(runs, 5) if name in flaky else runs):
             t0 = time.perf_counter()
             materialize(name)
             samples.append(time.perf_counter() - t0)
@@ -93,6 +119,7 @@ def main() -> None:
                 "spread_pct": spreads,
                 "worst_spread": worst,
                 "runs_per_query": runs,
+                "flaky_reruns": sorted(n for n in flaky if n in timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -100,8 +100,8 @@ def winsorize(
     # bare clamp would turn a NULL measurement into the group's P(lo) —
     # fabricated data. NULL in, NULL out.
     clipped = F.when(
-        F.col(value_col).isNotNull(),
-        F.least(F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi")),
+        _c(value_col).isNotNull(),
+        F.least(F.greatest(_c(value_col), F.col("p_lo")), F.col("p_hi")),
     )
     return (
         df.join(bounds, cond)

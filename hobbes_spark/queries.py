@@ -7018,46 +7018,46 @@ def odata_serve_orders(spark, sf_dir):
 # Driver-gate window ordering.
 #
 # The driver's correctness gate records the FIRST 50 entries of
-# ``queries()`` in catalog order (CORRECTNESS_r01/_r02/_r03 each hold
-# exactly 50 rows).  The signed union across rounds 1-3 is 97 of the
-# 150-query catalog; this round-4 window holds 50 of the 53 still
-# unsigned (all of which pass the strict local mirror,
-# ``tools/gate_check.py``).  Round 5's window is the 11 remaining:
-# three ingest/front-end gates with heavy direct pytest coverage
+# ``queries()`` in catalog order (each CORRECTNESS_r0N.json holds
+# exactly 50 rows).  The signed-green union across rounds 1-4 is 147
+# of the 158-query catalog; this round-5 window leads with the 11
+# never-signed entries — three ingest/front-end gates
 # (csv_sniff_roundtrip, csv_sniff_locale, hb_localdata_top), the five
 # reference .hb program gates (hb_mttr, hb_cycle_time,
-# hb_commit_frequency, hb_gandalf_state, hb_logic_state), and the three
-# collector/serving gates added this round (git_commit_frequency,
-# azdo_commit_authors, odata_serve_orders) — all already green under
-# the local mirror.  Already-signed queries follow the window and keep
-# their local gate_check + pytest cover as regression evidence.
+# hb_commit_frequency, hb_gandalf_state, hb_logic_state), and the
+# three collector/serving gates (git_commit_frequency,
+# azdo_commit_authors, odata_serve_orders) — completing 158/158
+# driver-signed coverage.  The remaining 39 slots re-sign queries
+# whose code paths the round-4/5 review sweeps touched (winsorize /
+# buckets / exact-dedup / pack / kmv / temperature-sample fixes, the
+# tpch_q3_topk perf re-measure) plus the carried bench headliners, so
+# the hard driver signal re-covers everything recently edited.
+# Already-signed queries outside the window keep their local
+# gate_check + pytest cover as regression evidence.
 # --------------------------------------------------------------------- #
 
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # the 17 TPC-H shapes unsigned after rounds 1-3
-    "tpch_q1_pricing", "tpch_q2_mincost", "tpch_q4_priority",
-    "tpch_q6_forecast", "tpch_q8_mktshare", "tpch_q9_profit",
-    "tpch_q11_stockvalue", "tpch_q12_shipmode", "tpch_q13_custdist",
-    "tpch_q15_topsupp", "tpch_q16_suppcnt", "tpch_q17_smallqty",
-    "tpch_q18_big_orders", "tpch_q19_disjuncts", "tpch_q20_promotion",
-    "tpch_q21_waiting", "tpch_q22_opportunity",
-    # analytics / windowing / relational shapes
-    "gap_fill_ffill", "ohlc_bars", "scd2_intervals", "corr_matrix",
-    "cube_orders", "dedup_keep_best", "props_json_stats",
-    "batch_sessions", "funnel_conversion", "salted_join_revenue",
-    "profile_lineitem", "user_streaks", "winsorize_values",
-    "validate_orders", "concurrency_peak", "histogram_prices",
-    "unpivot_charges", "mode_priority", "mad_outliers",
-    "fuzzy_name_pairs",
-    # LLM-pipeline / text / sampling family
-    "bm25_topk", "source_overlap", "boilerplate_lines",
-    "kmv_quantiles_prices", "bigram_scores", "temperature_sample_docs",
-    "group_sample_docs", "quantize_error_stats", "media_phash_pairs",
-    "pagerank_centrality",
-    # streaming
-    "stream_ohlc_bars", "stream_sliding_counts",
-    # HLL rollup — oracled this round via the checkpoint-replay pattern
-    "sketch_user_rollup",
+    # --- the 11 never-signed entries (rounds 1-4 union = 147/158) ---
+    "csv_sniff_roundtrip", "csv_sniff_locale", "hb_localdata_top",
+    "hb_mttr", "hb_cycle_time", "hb_commit_frequency",
+    "hb_gandalf_state", "hb_logic_state", "git_commit_frequency",
+    "azdo_commit_authors", "odata_serve_orders",
+    # --- re-signs: queries touched by the r4/r5 review sweeps ---
+    "winsorize_values", "buckets_mean", "dedup_exact", "curate_corpus",
+    "prepare_corpus", "kmv_quantiles_prices", "temperature_sample_docs",
+    "pack_docs",
+    # --- re-signs: perf-watch set (tpch_q3_topk regression probe) ---
+    "tpch_q3_topk", "tpch_q9_profit", "moving_mean",
+    # --- re-signs: carried bench headliners (r1 core set) ---
+    "flowerpot", "group_all_sum", "minhash_pairs_fast",
+    "decontaminate_docs", "bm25_topk", "pagerank_centrality",
+    "semantic_dedup_keep", "dedup_components_star",
+    "quantize_error_stats", "media_phash_pairs", "sketch_user_rollup",
+    "cms_top_terms", "stream_ohlc_bars", "stream_sliding_counts",
+    "group_maxby", "join_on_field", "merge_datasets", "pivot_count",
+    "daily_counts", "text_stats", "cosine_topk", "only_filter",
+    "create_revenue", "sort_keys_ordinals", "moving_sum_minmax",
+    "expanding_sum", "linear_regression", "lang_id_counts",
 ]
 
 

@@ -27,7 +27,9 @@ many repos × many pages, and both readers take the many-shaped input.
 
 from __future__ import annotations
 
+import re
 import subprocess
+import warnings
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +55,8 @@ Fetcher = Callable[[str], str]
 _FIELD_SEP = "\x1f"
 _PRETTY = _FIELD_SEP.join(["%H", "%an", "%ae", "%aI", "%cn", "%ce", "%cI", "%s"])
 _HEX40 = frozenset("0123456789abcdef")
+# --date=iso-strict / %aI shape: 2024-01-02T03:04:05+01:00 (or ...Z)
+_ISO_RE = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:[+-]\d{2}:\d{2}|Z)$")
 
 _COMMIT_SCHEMA = T.StructType(
     [
@@ -91,14 +95,43 @@ def git_log_records(
         cmd, capture_output=True, check=True,
         encoding="utf-8", errors="replace",
     ).stdout
-    records = []
+    return _parse_log_frames(out, origin=repo_path)
+
+
+def _parse_log_frames(out: str, origin: str = "?") -> list[tuple]:
+    """NUL-framed ``git log`` output → validated 8-tuples.
+
+    A commit id alone isn't enough to accept a frame: git permits
+    control bytes (including the \\x1f field separator) inside ident
+    names, which would shift every later field one slot while the id
+    still validates.  Pinning the two ISO-8601 timestamp slots catches
+    any such shift — a name fragment can't look like
+    ``2024-01-02T03:04:05+00:00``.  Misaligned frames are dropped with
+    a warning rather than silently garbling names / NULLing timestamps
+    downstream."""
+    records: list[tuple] = []
+    dropped = 0
     for chunk in out.split("\0"):
         chunk = chunk.strip("\n")
         if not chunk:
             continue
         parts = chunk.split(_FIELD_SEP, 7)
-        if len(parts) == 8 and len(parts[0]) == 40 and set(parts[0]) <= _HEX40:
+        if (
+            len(parts) == 8
+            and len(parts[0]) == 40
+            and set(parts[0]) <= _HEX40
+            and _ISO_RE.match(parts[3])
+            and _ISO_RE.match(parts[6])
+        ):
             records.append(tuple(parts))
+        else:
+            dropped += 1
+    if dropped:
+        warnings.warn(
+            f"git_log_records({origin!r}): dropped {dropped} misaligned "
+            "log frame(s) (ident containing separator bytes?)",
+            stacklevel=2,
+        )
     return records
 
 
@@ -222,12 +255,17 @@ def read_azdo_commits(
     fetch in collector workers, and this container has no network.
     Per-repo page streams union by name, so ragged flattened schemas
     across repos are tolerated (missing columns go NULL), matching the
-    reference's widening per record (`Reader.fs:20-50`).
+    reference's widening per record (`Reader.fs:20-50`).  The type
+    cascade runs ONCE over the union (pages parse all-string per repo),
+    so the same column can never sniff to different types in different
+    repos and break the union; and a repo that still returns full pages
+    at ``max_pages_per_repo`` raises instead of silently truncating its
+    commit stream (the repo-wide no-silent-caps rule).
     """
     import json as _json
     from concurrent.futures import ThreadPoolExecutor
 
-    from hobbes_spark.sources.ingest import rest_pages
+    from hobbes_spark.sources.ingest import rest_pages, sniff_types
 
     def fetch_repo(repo_id: str) -> list[str]:
         # pages within one repo are inherently serial ($skip depends on
@@ -245,13 +283,23 @@ def read_azdo_commits(
                 pages.append(body)
             if n < top:
                 break
+        else:  # every page was full — the cap truncated the stream
+            raise ValueError(
+                f"repository {repo_id!r} still returned full pages after "
+                f"max_pages_per_repo={max_pages_per_repo} "
+                f"({max_pages_per_repo * top} commits fetched); raise the "
+                "cap — truncating a commit stream silently corrupts "
+                "frequency analytics"
+            )
         return pages
 
     with ThreadPoolExecutor(max_workers=min(8, len(repository_ids)) or 1) as pool:
         fetched = list(pool.map(fetch_repo, repository_ids))
 
     per_repo = [
-        rest_pages(spark, pages, values_field="value").withColumn(
+        # sniff=False: all-string frames union losslessly; the cascade
+        # runs once below over the union of every repo's pages
+        rest_pages(spark, pages, values_field="value", sniff=False).withColumn(
             "repository_id", F.lit(repo_id)
         )
         for repo_id, pages in zip(repository_ids, fetched)
@@ -262,4 +310,4 @@ def read_azdo_commits(
     out = per_repo[0]
     for df in per_repo[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
-    return out
+    return sniff_types(out)

@@ -199,7 +199,12 @@ def local_data(spark: SparkSession, columns: Sequence[str], rows: Iterable[Seque
     return spark.createDataFrame([tuple(r) for r in rows], schema=list(columns))
 
 
-def rest_pages(spark: SparkSession, pages: Sequence[str], values_field: str | None = None) -> DataFrame:
+def rest_pages(
+    spark: SparkSession,
+    pages: Sequence[str],
+    values_field: str | None = None,
+    sniff: bool = True,
+) -> DataFrame:
     """``provider: rest`` with one or many fetched page bodies: parse each
     JSON page, optionally descend into the named array field, union all
     (`tools/visualizer/cli/src/Program.fs:131-178`).
@@ -207,6 +212,12 @@ def rest_pages(spark: SparkSession, pages: Sequence[str], values_field: str | No
     Network fetch is out of engine scope (the reference's collectors are
     separate workers); this takes the page *bodies* and does the uniform
     parse. Pages parallelize across the cluster via ``parallelize``.
+
+    ``sniff=False`` returns the flattened frame with every column cast
+    to string, deferring the type cascade — for callers that union
+    several feeds and must sniff ONCE over the union so the same
+    column can't type differently per feed (see
+    :func:`hobbes_spark.sources.collectors.read_azdo_commits`).
     """
     rdd = spark.sparkContext.parallelize(list(pages), max(1, min(len(pages), 64)))
     df = spark.read.json(rdd)
@@ -218,7 +229,14 @@ def rest_pages(spark: SparkSession, pages: Sequence[str], values_field: str | No
                 f"(inferred {field.simpleString()}) — empty feed?"
             )
         df = df.select(F.explode(F.col(values_field)).alias("__v")).select("__v.*")
-    return sniff_types(flatten(df))
+    flat = flatten(df)
+    if not sniff:
+        from hobbes_spark.expressions import c as _c
+
+        return flat.select(
+            *[_c(col).cast("string").alias(col) for col in flat.columns]
+        )
+    return sniff_types(flat)
 
 
 def read_csv_uniform(

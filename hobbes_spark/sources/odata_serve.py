@@ -371,9 +371,21 @@ _UNSUPPORTED_OPTIONS = ("skiptoken", "search", "apply", "compute", "format")
 
 
 def _opt(options: Mapping[str, str], name: str) -> str | None:
-    """Look an option up under both its ``$``-prefixed and bare spelling."""
-    v = options.get(name) or options.get(name.lstrip("$"))
-    return v.strip() if isinstance(v, str) and v.strip() else None
+    """Look an option up under both its ``$``-prefixed and bare spelling.
+
+    Non-string values (``{"$top": 50}`` as an int, a bool ``$count``)
+    are coerced with ``str()`` rather than silently ignored — an
+    ignored value would bypass ``_check_supported`` and contradict the
+    module's reject-don't-ignore policy."""
+    v = options.get(name)
+    if v is None:
+        v = options.get(name.lstrip("$"))
+    if v is None:
+        return None
+    if isinstance(v, bool):  # str(True) -> "True"; OData wants lowercase
+        v = "true" if v else "false"
+    s = str(v).strip()
+    return s if s else None
 
 
 def _check_supported(options: Mapping[str, str]) -> None:

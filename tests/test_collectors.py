@@ -281,3 +281,77 @@ def test_git_non_ascii_identities(spark, tmp_path):
     row = read_git_commits(spark, str(repo)).collect()[0]
     assert row["author_name"] == "José Ñandú"
     assert row["message"] == "héllo"
+
+
+def test_misaligned_ident_frame_dropped_with_warning():
+    """git permits \x1f inside ident NAMES (not just subjects); such a
+    frame shifts every later field one slot while the leading commit id
+    still validates. The parser pins the two ISO-8601 timestamp slots,
+    so a shifted frame is dropped (with a warning) instead of shipping
+    garbled names and NULL timestamps downstream."""
+    from hobbes_spark.sources.collectors import _FIELD_SEP, _parse_log_frames
+
+    sha_a = "a" * 40
+    sha_b = "b" * 40
+    good = _FIELD_SEP.join(
+        [sha_a, "Ada", "ada@x", "2024-01-02T03:04:05+00:00",
+         "Bot", "bot@x", "2024-01-02T03:05:05+00:00", "msg"]
+    )
+    # author name contains the separator: 9 raw fields, maxsplit folds
+    # the overflow into the message slot but the timestamps shift
+    evil = _FIELD_SEP.join(
+        [sha_b, "Evil", "guy", "evil@x", "2024-01-03T03:04:05+00:00",
+         "Bot", "bot@x", "2024-01-03T03:05:05+00:00", "msg"]
+    )
+    with pytest.warns(UserWarning, match="dropped 1 misaligned"):
+        records = _parse_log_frames("\0".join([good, evil]), origin="test")
+    assert len(records) == 1
+    assert records[0][0] == sha_a
+
+
+def test_azdo_page_cap_raises_instead_of_truncating(spark):
+    """max_pages_per_repo consecutive FULL pages means the cap (not the
+    feed) ended the walk — that must raise, not silently truncate the
+    repo's commit stream (the repo-wide no-silent-caps rule)."""
+    fetch = _fake_azdo({"repoE": 30})
+    with pytest.raises(ValueError, match="max_pages_per_repo"):
+        read_azdo_commits(
+            spark, fetch, "org", "proj", ["repoE"], top=10, max_pages_per_repo=3
+        )
+    # one spare page lets the empty probe prove the feed really ended
+    fetch2 = _fake_azdo({"repoE": 30})
+    df = read_azdo_commits(
+        spark, fetch2, "org", "proj", ["repoE"], top=10, max_pages_per_repo=4
+    )
+    assert df.count() == 30
+
+
+def test_azdo_union_sniffs_once_across_repos(spark):
+    """The type cascade runs over the UNION of every repo's pages: a
+    column that is all-numeric in one repo but mixed in another must
+    type consistently (string) instead of bigint-vs-string breaking or
+    silently coercing the unionByName."""
+    pages = {
+        "repoN": json.dumps(
+            {"value": [{"commitId": "1" * 40, "push": {"pushId": "123"},
+                        "author": {"name": "a", "email": "a@x",
+                                   "date": "2020-06-01T12:00:00Z"}}]}
+        ),
+        "repoS": json.dumps(
+            {"value": [{"commitId": "2" * 40, "push": {"pushId": "not-a-number"},
+                        "author": {"name": "b", "email": "b@x",
+                                   "date": "2020-06-02T12:00:00Z"}}]}
+        ),
+    }
+
+    def fetch(url):
+        repo = url.split("/repositories/")[1].split("/")[0]
+        if "$skip" in url:
+            return json.dumps({"value": []})
+        return pages[repo]
+
+    df = read_azdo_commits(spark, fetch, "org", "proj", ["repoN", "repoS"], top=10)
+    kinds = dict(df.dtypes)
+    assert kinds["push.pushId"] == "string"  # one sniff over the union
+    assert kinds["author.date"] == "timestamp"  # cascade still applies
+    assert df.count() == 2

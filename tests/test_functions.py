@@ -1393,3 +1393,21 @@ def test_frame_sample_plan_validates_params(spark):
         frame_sample_plan(media, every_n=0)
     with pytest.raises(ValueError, match="max_frames"):
         frame_sample_plan(media, max_frames=0)
+
+
+def test_winsorize_dot_path_value_col(spark):
+    """A value_col with a dot in its FLAT name ('Iteration.Points', the
+    uniform-cascade naming) must winsorize — every reference to it goes
+    through the backtick-quoting helper, not bare F.col (which would
+    misparse the dot as struct access)."""
+    from hobbes_spark.functions.profile import winsorize
+
+    rows = [("a", i, float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "k string, id long, v double").withColumnRenamed(
+        "v", "Iteration.Points"
+    )
+    out = winsorize(df, ["k"], "Iteration.Points", 0.05, 0.95)
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["clipped"] == pytest.approx(5.95)
+    assert got[1]["was_clipped"] is True
+    assert got[50]["was_clipped"] is False

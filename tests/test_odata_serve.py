@@ -361,3 +361,17 @@ def test_filter_parser_property_random_trees(spark):
         assert got == want, text
 
     check()
+
+
+def test_non_string_option_values_work_and_reject(spark):
+    """Option values arriving as native JSON types (int $top, bool
+    $count) coerce via str() instead of being silently ignored — and an
+    unsupported option with a non-string value still RAISES (a
+    non-string value must not sneak past _check_supported)."""
+    df = spark.range(20).withColumnRenamed("id", "n")
+    out = apply_odata_options(df, {"$orderby": "n", "$skip": 5, "$top": 3})
+    assert [r["n"] for r in out.collect()] == [5, 6, 7]
+    body = odata_response(df, {"$orderby": "n", "$top": 2, "$count": True})
+    assert body["@odata.count"] == 20
+    with pytest.raises(ValueError, match="not supported"):
+        apply_odata_options(df, {"$skiptoken": 3})

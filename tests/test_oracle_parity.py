@@ -77,9 +77,13 @@ def test_rows_only_queries_run(spark, sf_dir, name):
 
 def test_driver_window_contract():
     """The driver records the FIRST 50 catalog entries: the reordered
-    window must hold exactly 50 names, every one oracled (a rows-only
-    row in the window wastes a signing slot), and — the point of the
-    round-4 rotation — none already signed in rounds 1-3."""
+    window must hold exactly 50 distinct oracled names (a rows-only row
+    in the window wastes a signing slot), and — the point of the
+    round-5 rotation — every catalog entry that has never had a
+    fully-green signed row in rounds 1-4 must LEAD the window, so the
+    signed union reaches 158/158 this round.  Remaining slots are
+    deliberate re-signs of review-touched queries; those may (and
+    should) overlap prior rounds."""
     import json
     import os
 
@@ -87,14 +91,21 @@ def test_driver_window_contract():
     window = names[:50]
     assert len(set(window)) == 50
     assert all(QUERIES[n].oracle for n in window)
-    signed = set()
-    for r in ("01", "02", "03"):
+    green = set()
+    for r in ("01", "02", "03", "04"):
         path = os.path.join(os.path.dirname(__file__), "..", f"CORRECTNESS_r{r}.json")
         if os.path.exists(path):
             with open(path) as f:
                 d = json.load(f)
-            signed |= set(d.get("queries", d).keys())
-    assert not (set(window) & signed), sorted(set(window) & signed)
+            for k, v in d.get("queries", d).items():
+                if isinstance(v, dict) and v.get("rows_match") and v.get("hash_match") in (True, None):
+                    green.add(k)
+    never_signed = [n for n in QUERIES if n not in green]
+    head = window[: len(never_signed)]
+    assert set(head) == set(never_signed), (
+        f"never-signed entries must lead the window: "
+        f"missing={sorted(set(never_signed) - set(head))}"
+    )
 
 
 # --------------------------------------------------------------------- #
