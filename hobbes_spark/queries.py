@@ -7014,6 +7014,44 @@ def odata_serve_orders(spark, sf_dir):
     )
 
 
+@q(
+    "chart_gauge_lineitem",
+    """
+    SELECT label, value FROM (
+      SELECT 'l_quantity' AS label,
+             CAST(TRUNC(AVG(l_quantity)) AS INTEGER) AS value, 0 AS ord
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice',
+             CAST(TRUNC(AVG(l_extendedprice)) AS INTEGER), 1
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', CAST(TRUNC(AVG(l_discount)) AS INTEGER), 2
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', CAST(TRUNC(AVG(l_tax)) AS INTEGER), 3
+      FROM lineitem
+    ) ORDER BY ord
+    """,
+)
+def chart_gauge_lineitem(spark, sf_dir):
+    """The chart layer's only AGGREGATING payload: gauge dials are
+    per-column averages int-truncated (`tools/visualizer/cli/src/
+    Chart.fs:85-105`). `gauge_series` runs the average in Spark
+    (partial+final agg — one row crosses the export boundary, the
+    scale-correct shape); the oracle recomputes each dial with
+    TRUNC(AVG(..)), DuckDB's toward-zero cast matching Spark's
+    double→int. The non-aggregating chart payloads (scatter/candlestick/
+    pie/...) are pure driver-side shaping of final small series, covered
+    in tests/test_charts.py against the Chart.fs semantics."""
+    from hobbes_spark.sources.charts import gauge_series
+
+    li = _t(spark, sf_dir, "lineitem").df
+    return gauge_series(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 # --------------------------------------------------------------------- #
 # Driver-gate window ordering.
 #
@@ -7026,8 +7064,9 @@ def odata_serve_orders(spark, sf_dir):
 # reference .hb program gates (hb_mttr, hb_cycle_time,
 # hb_commit_frequency, hb_gandalf_state, hb_logic_state), and the
 # three collector/serving gates (git_commit_frequency,
-# azdo_commit_authors, odata_serve_orders) — completing 158/158
-# driver-signed coverage.  The remaining 39 slots re-sign queries
+# azdo_commit_authors, odata_serve_orders) — plus the round-5
+# chart-layer gauge gate (chart_gauge_lineitem), completing 159/159
+# driver-signed coverage.  The remaining 38 slots re-sign queries
 # whose code paths the round-4/5 review sweeps touched (winsorize /
 # buckets / exact-dedup / pack / kmv / temperature-sample fixes, the
 # tpch_q3_topk perf re-measure) plus the carried bench headliners, so
@@ -7037,11 +7076,13 @@ def odata_serve_orders(spark, sf_dir):
 # --------------------------------------------------------------------- #
 
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # --- the 11 never-signed entries (rounds 1-4 union = 147/158) ---
+    # --- the 11 never-signed entries (rounds 1-4 union = 147/158),
+    # plus the round-5 chart-layer addition — signing all 12 completes
+    # 159/159 driver-signed coverage ---
     "csv_sniff_roundtrip", "csv_sniff_locale", "hb_localdata_top",
     "hb_mttr", "hb_cycle_time", "hb_commit_frequency",
     "hb_gandalf_state", "hb_logic_state", "git_commit_frequency",
-    "azdo_commit_authors", "odata_serve_orders",
+    "azdo_commit_authors", "odata_serve_orders", "chart_gauge_lineitem",
     # --- re-signs: queries touched by the r4/r5 review sweeps ---
     "winsorize_values", "buckets_mean", "dedup_exact", "curate_corpus",
     "prepare_corpus", "kmv_quantiles_prices", "temperature_sample_docs",
@@ -7057,7 +7098,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "group_maxby", "join_on_field", "merge_datasets", "pivot_count",
     "daily_counts", "text_stats", "cosine_topk", "only_filter",
     "create_revenue", "sort_keys_ordinals", "moving_sum_minmax",
-    "expanding_sum", "linear_regression", "lang_id_counts",
+    "expanding_sum", "linear_regression",
 ]
 
 

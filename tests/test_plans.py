@@ -98,7 +98,14 @@ BNLJ_ALLOWED = {
 CARTESIAN_ALLOWED = {"cosine_topk"}
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+# stream_tumbling_counts EXECUTES its micro-batches on build (the
+# foreachBatch harness), so plan_of can't introspect it statically; its
+# join/UDF hygiene is covered by tests/test_streaming.py instead of a
+# per-run skip here.
+PLAN_OPAQUE = {"stream_tumbling_counts"}
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - PLAN_OPAQUE))
 def test_no_python_udfs_in_any_query(spark, sf_dir, name):
     """Every catalog query stays JVM-side and join-sane: no
     row-at-a-time or Arrow Python evaluation anywhere (the multimodal
@@ -106,8 +113,6 @@ def test_no_python_udfs_in_any_query(spark, sf_dir, name):
     the allowlisted Arrow-matmul LSH sign stage; never a
     CartesianProduct; BroadcastNestedLoopJoin only where a 1-row
     broadcast or a documented exact baseline justifies it."""
-    if name == "stream_tumbling_counts":
-        pytest.skip("streaming query executes on build; covered separately")
     plan = plan_of(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan
     if name not in ARROW_MATMUL_QUERIES:

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Sustained-scale gate: re-run the shapes with the WORST recorded 16x
+ratios (SCALE.md) at a higher multiplier every round, so a superlinear
+regression in exactly the plans closest to the line can't land silently.
+
+The 16x sweep is a breadth instrument; this gate is the depth
+instrument. A linear plan's time ratio at Nx is well under N on a
+many-core machine (fixed overheads amortize, and local[32] saturates);
+the gate fails when ratio > N, i.e. when doubling the data more than
+doubles the time — the unambiguous superlinear signal.
+
+Usage: python tools/scale_gate.py [multiplier] [sf_dir]
+Defaults: 48x over /root/testdata/sf0.1, the three watch-list shapes.
+Exit 0 = all ratios within the linear bound; 1 = regression (printed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+# the watch list: worst 16x ratios in SCALE.md's sweep (pack ~2.4-4.6,
+# star components ~3.0, Q21 ~3.4) — the shapes nearest the bound
+WATCH = ["pack_documents", "dedup_components_star", "tpch_q21_grouped_exists"]
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    here = os.path.dirname(os.path.abspath(__file__))
+    cmd = [sys.executable, os.path.join(here, "scale_check.py"), str(n), sf_dir, *WATCH]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    sys.stderr.write(proc.stderr[-2000:])
+    summary = None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                d = json.loads(line)
+            except ValueError:
+                continue
+            if "results" in d:
+                summary = d
+            else:
+                print(line, flush=True)
+    if proc.returncode != 0 or summary is None:
+        print(f"SCALE-GATE: scale_check failed (rc={proc.returncode})")
+        return 1
+    bad = {
+        name: r
+        for name, r in summary["results"].items()
+        if r["ratio"] > r["linear_bound"]
+    }
+    if bad:
+        print(f"SCALE-GATE: FAIL — superlinear at {n}x: {json.dumps(bad)}")
+        return 1
+    missing = [w for w in WATCH if w not in summary["results"]]
+    if missing:
+        print(f"SCALE-GATE: FAIL — watch shapes did not run: {missing}")
+        return 1
+    print(f"SCALE-GATE: OK — {len(summary['results'])} shapes linear at {n}x")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
