@@ -1,0 +1,249 @@
+"""Synchronization orchestration — the reference's worker topology,
+Spark-native.
+
+The reference runs a RabbitMQ mesh: a sync worker fans a ``Sync``
+message per configuration out to collector queues
+(`workers/syncronization.worker/src/Program.fs:50-63`) and polls for
+convergence; calculator workers consume ``Transform`` / ``Merge`` /
+``Join`` / ``Format`` messages (`common/hobbes.messaging/src/
+Broker.fs:74-107`), read inputs from the uniform cache, compute, and
+write a cache record tagged ``dependsOn``
+(`workers/calculator.worker/src/Program.fs:25-56`); failed messages are
+requeued up to five times and exceptions dead-letter
+(`Broker.fs:208-256`).
+
+On Spark that queue choreography is replaced by what it was
+approximating: a dependency DAG materialized in topological order.
+:func:`sync_configurations` takes the configuration set, orders it,
+and for each node either reuses the parquet cache entry (the uniform
+cache's skip — re-syncing an unchanged config is free) or computes it
+with the reference's retry budget, recording failures and exceptions
+in the report the sync worker printed at convergence
+(`Program.fs:75-82`). Downstream configs of a failed node are
+``blocked`` — the analog of the calculator's "No data for that key"
+(`Program.fs:10-13`).
+
+Scale shape: the driver-side loop is O(#configurations) orchestration,
+never data; every node's result lands in parquet and is READ BACK for
+its dependents, truncating lineage exactly like
+:func:`hobbes_spark.sources.sinks.checkpoint` — a 50-node chain recomputes
+nothing and no plan grows unboundedly.  Independent nodes could be
+submitted from threads against the same SparkSession for cluster-level
+overlap; kept serial here because correctness, retries and the error
+ledger — not scheduler saturation — are this layer's contract.
+
+Cache keys follow the reference's scheme: a source/transform chain keys
+``md5(source):t1:t2`` (`tools/workbench/src/Types.fs:176-184`, already
+mirrored by ``Pipeline.cache_key``); a merge keys over its dataset
+keys, a join over (left, right, field) — the ``CacheKey`` fields of
+``MergeMessage`` / ``JoinMessage`` (`Broker.fs:81-93`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import traceback
+from collections.abc import Callable, Mapping, Sequence
+from dataclasses import dataclass, field
+from graphlib import CycleError, TopologicalSorter
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["Configuration", "SyncReport", "sync_configurations", "read_cached"]
+
+
+@dataclass(frozen=True)
+class Configuration:
+    """One configuration: a ``.hb`` program (source provider +
+    transformation statements — the ``Sync``+``Transform`` pair), or a
+    ``merge`` of other configurations' results, or a ``join`` of two on
+    a field (`Broker.fs:74-93`). ``format_json`` additionally writes the
+    DataResult JSON export next to the cache entry (the ``Format``
+    message, `Broker.fs:97-101`)."""
+
+    name: str
+    program: str | None = None
+    merge: Sequence[str] = ()
+    join: tuple[str, str, str] | None = None  # (left, right, field)
+    format_json: bool = False
+    # inline tables / fetcher for the program's provider header
+    tables: Mapping[str, DataFrame] | None = None
+    fetcher: Callable[[str], str] | None = None
+
+    def depends_on(self) -> tuple[str, ...]:
+        if self.join is not None:
+            return (self.join[0], self.join[1])
+        return tuple(self.merge)
+
+    def __post_init__(self):
+        kinds = [self.program is not None, bool(self.merge), self.join is not None]
+        if sum(kinds) != 1:
+            raise ValueError(
+                f"configuration {self.name!r} must be exactly one of "
+                "program / merge / join"
+            )
+
+
+@dataclass
+class SyncReport:
+    """What the sync worker printed at convergence
+    (`Program.fs:75-82`): per-config status plus the failure and
+    dead-letter ledgers."""
+
+    statuses: dict[str, str] = field(default_factory=dict)  # done|cached|failed|blocked
+    cache_keys: dict[str, str] = field(default_factory=dict)
+    depends_on: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    attempts: dict[str, int] = field(default_factory=dict)
+    failures: list[tuple[str, str]] = field(default_factory=list)
+    dead_letters: list[dict] = field(default_factory=list)
+    elapsed_sec: float = 0.0
+
+    @property
+    def converged(self) -> bool:
+        return all(s in ("done", "cached") for s in self.statuses.values())
+
+
+def _key_of(cfg: Configuration, child_keys: Mapping[str, str]) -> str:
+    if cfg.program is not None:
+        # the chain scheme md5(source):t1:t2 is Pipeline.cache_key's
+        # job; at the orchestration layer the program TEXT is the chain
+        return hashlib.md5(cfg.program.encode()).hexdigest()
+    if cfg.join is not None:
+        left, right, fld = cfg.join
+        blob = "join\x1f" + child_keys[left] + "\x1f" + child_keys[right] + "\x1f" + fld
+        return hashlib.md5(blob.encode()).hexdigest()
+    blob = "merge\x1f" + "\x1f".join(child_keys[d] for d in cfg.merge)
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+def read_cached(spark: SparkSession, cache_dir: str, key: str) -> DataFrame:
+    """Read a materialized cache entry (the ``fromCache`` analog,
+    `workers/calculator.worker/src/Program.fs:7-15`)."""
+    path = os.path.join(cache_dir, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise FileNotFoundError(f"No data for that key ({key})")
+    return spark.read.parquet(path)
+
+
+def _compute(
+    spark: SparkSession,
+    cfg: Configuration,
+    child_keys: Mapping[str, str],
+    cache_dir: str,
+) -> DataFrame:
+    if cfg.program is not None:
+        from hobbes_spark.hb.providers import run_hb_program
+
+        return run_hb_program(
+            spark, cfg.program, tables=cfg.tables, fetcher=cfg.fetcher
+        ).df
+    from hobbes_spark.pipeline import Pipeline
+
+    if cfg.join is not None:
+        from hobbes_spark.operators.combinators import join
+
+        left, right, fld = cfg.join
+        return join(
+            Pipeline.of(read_cached(spark, cache_dir, child_keys[left]), left),
+            Pipeline.of(read_cached(spark, cache_dir, child_keys[right]), right),
+            fld,
+        ).df
+    from hobbes_spark.operators.combinators import merge
+
+    return merge(
+        *[
+            Pipeline.of(read_cached(spark, cache_dir, child_keys[d]), d)
+            for d in cfg.merge
+        ]
+    ).df
+
+
+def sync_configurations(
+    spark: SparkSession,
+    configurations: Sequence[Configuration],
+    cache_dir: str,
+    max_retries: int = 5,
+) -> SyncReport:
+    """Materialize every configuration in dependency order.
+
+    Per node: cache hit → ``cached`` (nothing recomputed); else compute
+    + write parquet with up to ``max_retries`` attempts (the broker's
+    requeue budget, `Broker.fs:243-246`); an exhausted or erroring node
+    → ``failed`` with a dead-letter record (`Broker.fs:214-221`), and
+    every transitive dependent → ``blocked`` without running. The
+    report is returned, never raised — convergence with failures is a
+    valid outcome the caller inspects, exactly like the worker's
+    printed ledgers.
+    """
+    t0 = time.perf_counter()
+    os.makedirs(cache_dir, exist_ok=True)
+    configs = {c.name: c for c in configurations}
+    if len(configs) != len(configurations):
+        names = [c.name for c in configurations]
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate configuration names: {dupes}")
+    for cfg in configurations:
+        for dep in cfg.depends_on():
+            if dep not in configs:
+                raise ValueError(
+                    f"configuration {cfg.name!r} depends on unknown {dep!r}"
+                )
+
+    sorter = TopologicalSorter({c.name: set(c.depends_on()) for c in configurations})
+    try:
+        order = list(sorter.static_order())
+    except CycleError as e:
+        raise ValueError(f"configuration cycle: {e.args[1]}") from e
+
+    report = SyncReport()
+    for name in order:
+        cfg = configs[name]
+        deps = cfg.depends_on()
+        report.depends_on[name] = deps
+        if any(report.statuses.get(d) in ("failed", "blocked") for d in deps):
+            report.statuses[name] = "blocked"
+            continue
+        key = _key_of(cfg, report.cache_keys)
+        report.cache_keys[name] = key
+        path = os.path.join(cache_dir, key)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            report.statuses[name] = "cached"
+            report.attempts[name] = 0
+            continue
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                df = _compute(spark, cfg, report.cache_keys, cache_dir)
+                df.write.mode("overwrite").parquet(path)
+                if cfg.format_json:
+                    from hobbes_spark.sources.sinks import to_data_result_json
+
+                    with open(path + ".json", "w") as f:
+                        f.write(to_data_result_json(spark.read.parquet(path)))
+                report.statuses[name] = "done"
+                report.attempts[name] = attempt
+                break
+            except Exception as e:  # noqa: BLE001 — the broker catches all
+                if attempt < max_retries:
+                    report.failures.append((name, str(e)))
+                    continue
+                report.statuses[name] = "failed"
+                report.attempts[name] = attempt
+                report.dead_letters.append(
+                    {
+                        # DeadLetterMessage shape, Broker.fs:55-62
+                        "OriginalQueue": name,
+                        "OriginalMessage": cfg.program or json.dumps(
+                            {"merge": list(cfg.merge), "join": cfg.join}
+                        ),
+                        "ExceptionMessage": str(e),
+                        "ExceptionStackTrace": traceback.format_exc(),
+                    }
+                )
+                break
+    report.elapsed_sec = round(time.perf_counter() - t0, 3)
+    return report

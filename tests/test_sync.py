@@ -1,0 +1,171 @@
+"""Sync orchestration vs the reference's worker topology semantics
+(`workers/syncronization.worker/src/Program.fs:50-82`,
+`common/hobbes.messaging/src/Broker.fs:74-107,208-256`,
+`workers/calculator.worker/src/Program.fs:7-56`)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hobbes_spark.sync import (
+    Configuration,
+    read_cached,
+    sync_configurations,
+)
+
+BASE = """provider: localdata
+columns: k v
+rows:
+  - ["a", 1]
+  - ["a", 2]
+  - ["b", 5]
+
+
+"""
+
+DOUBLED = BASE + 'create column v2 (v * 2)\n'
+OTHER = """provider: localdata
+columns: k w
+rows:
+  - ["a", 10]
+  - ["b", 20]
+
+
+only true
+"""
+
+
+def _dag():
+    return [
+        Configuration("base", program=DOUBLED),
+        Configuration("other", program=OTHER),
+        Configuration("both", merge=["base", "other"]),
+        Configuration("joined", join=("base", "other", "k"), format_json=True),
+    ]
+
+
+def test_dag_materializes_in_dependency_order(spark, tmp_path):
+    cache = str(tmp_path / "cache")
+    rep = sync_configurations(spark, _dag(), cache)
+    assert rep.converged
+    assert set(rep.statuses) == {"base", "other", "both", "joined"}
+    assert all(s == "done" for s in rep.statuses.values())
+    assert rep.depends_on["joined"] == ("base", "other")
+
+    base = read_cached(spark, cache, rep.cache_keys["base"])
+    assert {r["v2"] for r in base.collect()} == {2, 4, 10}
+    both = read_cached(spark, cache, rep.cache_keys["both"])
+    # Merge row count = sum of inputs (calculator tests Processer.fs:62-72)
+    assert both.count() == 3 + 2
+    assert set(both.columns) == {"k", "v", "v2", "w"}
+    joined = read_cached(spark, cache, rep.cache_keys["joined"])
+    assert {(r["k"], r["v"], r["w"]) for r in joined.collect()} == {
+        ("a", 1, 10), ("a", 2, 10), ("b", 5, 20)
+    }
+    # Format message wrote the DataResult JSON export next to the entry
+    import json
+
+    with open(os.path.join(cache, rep.cache_keys["joined"]) + ".json") as f:
+        dr = json.load(f)
+    assert dr["rowCount"] == 3 and "columnNames" in dr
+
+
+def test_resync_is_all_cache_hits(spark, tmp_path):
+    cache = str(tmp_path / "cache")
+    first = sync_configurations(spark, _dag(), cache)
+    # poison every cache entry's parquet mtime marker via a sentinel
+    # file: a re-sync must NOT rewrite anything
+    marks = {
+        n: os.path.getmtime(os.path.join(cache, k))
+        for n, k in first.cache_keys.items()
+    }
+    second = sync_configurations(spark, _dag(), cache)
+    assert second.converged
+    assert all(s == "cached" for s in second.statuses.values())
+    assert second.cache_keys == first.cache_keys
+    for n, k in second.cache_keys.items():
+        assert os.path.getmtime(os.path.join(cache, k)) == marks[n]
+    # a changed program changes the key (the uniform-cache identity) and
+    # recomputes ONLY itself and its dependents
+    changed = [
+        Configuration("base", program=BASE + 'create column v2 (v * 3)\n'),
+        Configuration("other", program=OTHER),
+        Configuration("both", merge=["base", "other"]),
+    ]
+    third = sync_configurations(spark, changed, cache)
+    assert third.statuses == {"base": "done", "other": "cached", "both": "done"}
+    assert third.cache_keys["base"] != first.cache_keys["base"]
+
+
+def test_failure_dead_letters_and_blocks_dependents(spark, tmp_path):
+    cache = str(tmp_path / "cache")
+    bad = BASE + "create column boom (nope_column * 2)\n"
+    rep = sync_configurations(
+        spark,
+        [
+            Configuration("bad", program=bad),
+            Configuration("okay", program=OTHER),
+            Configuration("downstream", merge=["bad", "okay"]),
+        ],
+        cache,
+        max_retries=2,
+    )
+    assert not rep.converged
+    assert rep.statuses == {"bad": "failed", "okay": "done", "downstream": "blocked"}
+    assert rep.attempts["bad"] == 2  # the requeue budget (Broker.fs:243-246)
+    assert len(rep.failures) == 1  # attempts before the dead-letter
+    [dl] = rep.dead_letters
+    # DeadLetterMessage shape (Broker.fs:55-62)
+    assert dl["OriginalQueue"] == "bad"
+    assert "nope_column" in dl["OriginalMessage"]
+    assert dl["ExceptionMessage"]
+    assert "downstream" not in rep.cache_keys  # blocked nodes never ran
+
+
+def test_transient_failure_retries_then_succeeds(spark, tmp_path, monkeypatch):
+    cache = str(tmp_path / "cache")
+    calls = {"n": 0}
+    import hobbes_spark.sync as S
+
+    real = S._compute
+
+    def flaky(spark_, cfg, child_keys, cache_dir):
+        if cfg.name == "flaky":
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("transient collector hiccup")
+        return real(spark_, cfg, child_keys, cache_dir)
+
+    monkeypatch.setattr(S, "_compute", flaky)
+    rep = sync_configurations(
+        spark, [Configuration("flaky", program=OTHER)], cache, max_retries=5
+    )
+    assert rep.converged
+    assert rep.attempts["flaky"] == 3
+    assert len(rep.failures) == 2
+
+
+def test_validation_errors(spark, tmp_path):
+    cache = str(tmp_path / "cache")
+    with pytest.raises(ValueError, match="unknown"):
+        sync_configurations(
+            spark, [Configuration("a", merge=["ghost"])], cache
+        )
+    with pytest.raises(ValueError, match="cycle"):
+        sync_configurations(
+            spark,
+            [Configuration("a", merge=["b"]), Configuration("b", merge=["a"])],
+            cache,
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        sync_configurations(
+            spark,
+            [Configuration("a", program=BASE), Configuration("a", program=OTHER)],
+            cache,
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        Configuration("x", program=BASE, merge=["a"])
+    with pytest.raises(FileNotFoundError, match="No data for that key"):
+        read_cached(spark, cache, "deadbeef")
