@@ -7014,6 +7014,85 @@ def odata_serve_orders(spark, sf_dir):
     )
 
 
+def _bpe_sql(num_merges: int = 6, max_words: int = 1500, min_count: int = 2) -> str:
+    """Unrolled BPE learning loop (the kmeans_clusters precedent): one
+    (pairs → argmax → greedy rewrite) CTE trio per merge. The rewrite
+    folds each word's symbol list through a chr(31)-joined string —
+    ``ends_with(acc, sep || lhs)`` pins the LAST TOKEN, so greedy
+    left-to-right overlap semantics match Spark's array fold exactly
+    (probe: 'aaaa' + (a,a) → [aa, aa, </w>] in both). Words containing
+    the separator byte are excluded on BOTH sides before the prune."""
+    toks = _DDB_TOKENS.format(t="lower(text)")
+    sql = [f"""
+    WITH wf AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({toks}) AS word FROM documents)
+      WHERE NOT contains(word, chr(31))
+      GROUP BY word
+    ),
+    top AS MATERIALIZED (
+      SELECT word, freq FROM wf ORDER BY freq DESC, word LIMIT {max_words}
+    ),
+    s0 AS MATERIALIZED (
+      SELECT freq,
+             list_append(list_transform(range(1, length(word)+1), i -> word[i:i]),
+                         '</w>') AS syms
+      FROM top
+    )"""]
+    for k in range(num_merges):
+        sql.append(f""",
+    p{k} AS (
+      SELECT syms[i] AS lhs, syms[i+1] AS rhs, SUM(freq) AS cnt
+      FROM s{k}, UNNEST(range(1, len(syms))) AS t(i)
+      GROUP BY 1, 2 HAVING SUM(freq) >= {min_count}
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT lhs, rhs, cnt FROM p{k} ORDER BY cnt DESC, lhs, rhs LIMIT 1
+    )""")
+        if k + 1 < num_merges:
+            sql.append(f""",
+    s{k + 1} AS MATERIALIZED (
+      SELECT freq,
+        string_split(
+          list_reduce(syms, (acc, x) -> CASE
+            WHEN (acc = m{k}.lhs OR ends_with(acc, chr(31) || m{k}.lhs))
+                 AND x = m{k}.rhs
+              THEN acc[1:length(acc)-length(m{k}.lhs)] || m{k}.lhs || m{k}.rhs
+            ELSE acc || chr(31) || x END),
+          chr(31)) AS syms
+      FROM s{k} CROSS JOIN m{k}
+    )""")
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS rank, lhs, rhs, lhs || rhs AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(num_merges)
+    )
+    sql.append(f"\n    {rows}\n    ORDER BY rank")
+    return "".join(sql)
+
+
+@q("bpe_merges", _bpe_sql())
+def bpe_merges(spark, sf_dir):
+    """BPE vocabulary learning (Sennrich et al. 2016) — the tokenizer-
+    training step of an LLM pipeline (`functions/bpe.py`). One corpus
+    pass builds word frequencies; six merge rounds then run on the
+    pruned 1500-word table (pair groupBy + 1-row argmax collect + JVM
+    aggregate-fold rewrite — vocabulary-sized work, so learning costs
+    the same at 100 TB as here). The oracle replays all six rounds as
+    unrolled CTEs with identical (count DESC, lhs, rhs) tie-breaks and
+    greedy-overlap rewrites."""
+    from hobbes_spark.functions.bpe import learn_bpe, word_frequencies
+
+    docs = _t(spark, sf_dir, "documents").df
+    wf = (
+        word_frequencies(docs, "text")
+        .filter(~F.col("word").contains("\x1f"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(1500)
+    )
+    return learn_bpe(wf, num_merges=6)
+
+
 @q(
     "chart_gauge_lineitem",
     """
@@ -7077,12 +7156,13 @@ def chart_gauge_lineitem(spark, sf_dir):
 
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # --- the 11 never-signed entries (rounds 1-4 union = 147/158),
-    # plus the round-5 chart-layer addition — signing all 12 completes
-    # 159/159 driver-signed coverage ---
+    # plus the round-5 additions (chart layer, BPE learner) — signing
+    # all 13 completes 160/160 driver-signed coverage ---
     "csv_sniff_roundtrip", "csv_sniff_locale", "hb_localdata_top",
     "hb_mttr", "hb_cycle_time", "hb_commit_frequency",
     "hb_gandalf_state", "hb_logic_state", "git_commit_frequency",
     "azdo_commit_authors", "odata_serve_orders", "chart_gauge_lineitem",
+    "bpe_merges",
     # --- re-signs: queries touched by the r4/r5 review sweeps ---
     "winsorize_values", "buckets_mean", "dedup_exact", "curate_corpus",
     "prepare_corpus", "kmv_quantiles_prices", "temperature_sample_docs",
@@ -7098,7 +7178,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "group_maxby", "join_on_field", "merge_datasets", "pivot_count",
     "daily_counts", "text_stats", "cosine_topk", "only_filter",
     "create_revenue", "sort_keys_ordinals", "moving_sum_minmax",
-    "expanding_sum", "linear_regression",
+    "expanding_sum",
 ]
 
 

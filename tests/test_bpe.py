@@ -1,0 +1,93 @@
+"""BPE vocabulary learning + application (`functions/bpe.py`) vs the
+published algorithm (Sennrich et al. 2016, §3.2's worked example
+family)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hobbes_spark.functions.bpe import (
+    END_TOKEN,
+    bpe_encode,
+    learn_bpe,
+    word_frequencies,
+)
+
+
+def _wf(spark, pairs):
+    return spark.createDataFrame(pairs, "word string, freq bigint")
+
+
+def test_learns_the_textbook_merges(spark):
+    """The classic corpus: {low:5, lower:2, newest:6, widest:3}.
+    Highest-count first merges are (e,s)->es then (es,t)->est then
+    (est,</w>) — the paper's worked sequence."""
+    wf = _wf(spark, [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)])
+    merges = learn_bpe(wf, num_merges=4).collect()
+    got = [(r["rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"]) for r in merges]
+    assert got[0] == (0, "e", "s", "es", 9)
+    assert got[1] == (1, "es", "t", "est", 9)
+    assert got[2] == (2, "est", END_TOKEN, "est</w>", 9)
+    # rank 3: (l,o) spans low(5)+lower(2) = 7, beating every count-6
+    # 'newest' adjacency — the paper's next merge
+    assert got[3] == (3, "l", "o", "lo", 7)
+
+
+def test_greedy_overlap_and_early_stop(spark):
+    # 'aaaa' has 3 adjacent (a,a) positions, weighted count 3; greedy
+    # rewrite merges non-overlapping left-to-right -> [aa, aa, </w>]
+    wf = _wf(spark, [("aaaa", 1)])
+    merges = learn_bpe(wf, num_merges=10, min_count=2).collect()
+    assert (merges[0]["lhs"], merges[0]["rhs"], merges[0]["pair_count"]) == ("a", "a", 3)
+    # after (a,a) and (aa,aa) there is nothing with count >= 2: early stop
+    assert len(merges) < 10
+    ranks = [r["rank"] for r in merges]
+    assert ranks == list(range(len(ranks)))
+
+
+def test_word_frequencies_prune_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a  b"), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs, "text").collect()}
+    assert wf == {"a": 3, "b": 4, "c": 1}  # NULL/blank docs contribute nothing
+    top = word_frequencies(docs, "text", max_words=2).collect()
+    assert [r["word"] for r in top] == ["b", "a"]  # freq DESC, word ASC
+    with pytest.raises(ValueError, match="num_merges"):
+        learn_bpe(word_frequencies(docs, "text"), 0)
+
+
+def test_encode_applies_merges_in_rank_order(spark):
+    wf = _wf(spark, [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)])
+    merges = [(r["lhs"], r["rhs"]) for r in learn_bpe(wf, num_merges=6).collect()]
+    df = spark.createDataFrame(
+        [(1, "newest lowest"), (2, None), (3, "")], "id long, text string"
+    )
+    out = {r["id"]: r["toks"] for r in
+           bpe_encode(df, "text", merges, out_col="toks").collect()}
+    # 'newest' fully segments through the learned merges; 'lowest' (not
+    # in the corpus) reuses est</w> — subwords generalize
+    assert out[2] == [] and out[3] == []
+    toks = out[1]
+    # segmentation invariant: concatenation restores the words + </w>
+    assert "".join(toks) == "newest" + END_TOKEN + "lowest" + END_TOKEN
+    assert "est" + END_TOKEN in toks  # the learned subword is reused
+    # deterministic across runs
+    again = {r["id"]: r["toks"] for r in
+             bpe_encode(df, "text", merges, out_col="toks").collect()}
+    assert again[1] == toks
+
+
+def test_learning_is_jvm_side_encode_is_arrow(spark):
+    wf = _wf(spark, [("low", 5), ("newest", 6)])
+    # the rewrite fold is a pure expression: no Python eval in the plan
+    from hobbes_spark.functions.bpe import _merge_fold
+
+    plan = wf.select(_merge_fold(F.split("word", ""), "e", "s"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # encode is the sanctioned Arrow batch path, never row-at-a-time
+    df = spark.createDataFrame([(1, "low")], "id long, text string")
+    eplan = bpe_encode(df, "text", [("l", "o")])._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in eplan and "BatchEvalPython" not in eplan
