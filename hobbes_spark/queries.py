@@ -7075,10 +7075,11 @@ def _bpe_sql(num_merges: int = 6, max_words: int = 1500, min_count: int = 2) -> 
 def bpe_merges(spark, sf_dir):
     """BPE vocabulary learning (Sennrich et al. 2016) — the tokenizer-
     training step of an LLM pipeline (`functions/bpe.py`). One corpus
-    pass builds word frequencies; six merge rounds then run on the
-    pruned 1500-word table (pair groupBy + 1-row argmax collect + JVM
-    aggregate-fold rewrite — vocabulary-sized work, so learning costs
-    the same at 100 TB as here). The oracle replays all six rounds as
+    pass builds word frequencies; the pruned 1500-word table is then
+    collected ONCE and all merges learned driver-local with incremental
+    pair counts (the fastBPE factoring — one Spark job total, so
+    learning costs the same at 100 TB as here and never serializes 30k
+    scheduler round-trips). The oracle replays all six rounds as
     unrolled CTEs with identical (count DESC, lhs, rhs) tie-breaks and
     greedy-overlap rewrites."""
     from hobbes_spark.functions.bpe import learn_bpe, word_frequencies

@@ -5,7 +5,7 @@ family)."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
+
 
 from hobbes_spark.functions.bpe import (
     END_TOKEN,
@@ -80,14 +80,26 @@ def test_encode_applies_merges_in_rank_order(spark):
     assert again[1] == toks
 
 
-def test_learning_is_jvm_side_encode_is_arrow(spark):
-    wf = _wf(spark, [("low", 5), ("newest", 6)])
-    # the rewrite fold is a pure expression: no Python eval in the plan
-    from hobbes_spark.functions.bpe import _merge_fold
-
-    plan = wf.select(_merge_fold(F.split("word", ""), "e", "s"))._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+def test_encode_is_arrow_batched(spark):
     # encode is the sanctioned Arrow batch path, never row-at-a-time
     df = spark.createDataFrame([(1, "low")], "id long, text string")
     eplan = bpe_encode(df, "text", [("l", "o")])._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in eplan and "BatchEvalPython" not in eplan
+
+
+def test_learn_bpe_runs_one_spark_job(spark):
+    """Merge learning is driver-local over the bounded word-frequency
+    table: exactly ONE Spark job (the vocab collect) regardless of
+    num_merges. The previous factoring ran one job per merge round —
+    30k+ sequential jobs at a production vocabulary."""
+    wf = _wf(spark, [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+                     ("lowest", 4), ("newer", 3), ("wider", 2), ("news", 5)])
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-learn", "count jobs for learn_bpe")
+    try:
+        out = learn_bpe(wf, num_merges=12)
+    finally:
+        sc.setJobGroup("bpe-after", "outside the counted window")
+    assert len(out.collect()) > 0  # materialize outside the group
+    ids = sc.statusTracker().getJobIdsForGroup("bpe-learn")
+    assert len(ids) == 1, f"learn_bpe ran {len(ids)} jobs; must be exactly 1"
