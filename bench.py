@@ -30,6 +30,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -38,7 +39,14 @@ def _flaky_from_last_round() -> set[str]:
     """Names whose spread exceeded 1% in the latest recorded BENCH_r*.json
     (the previous round's driver run). Missing/corrupt file → empty set."""
     here = os.path.dirname(os.path.abspath(__file__))
-    benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+
+    def _round_no(path: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    # numeric round order — lexicographic misorders r9 vs r10 and any
+    # round past two digits (ADVICE r5)
+    benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), key=_round_no)
     if not benches:
         return set()
     try:
@@ -49,8 +57,20 @@ def _flaky_from_last_round() -> set[str]:
         line = blob[blob.rfind('{"metric"'):] if '{"metric"' in blob else ""
         data = json.loads(line) if line else rec
         spreads = data.get("spread_pct", {})
+        if not isinstance(spreads, dict) or not spreads:
+            print(
+                f"bench: no spread_pct found in {os.path.basename(benches[-1])}; "
+                "flaky set empty (5-run rule degrades to 3 runs)",
+                file=sys.stderr,
+            )
+            return set()
         return {n for n, s in spreads.items() if isinstance(s, (int, float)) and s > 0.01}
-    except (ValueError, OSError):
+    except (ValueError, OSError) as e:
+        print(
+            f"bench: could not parse {os.path.basename(benches[-1])} ({e}); "
+            "flaky set empty (5-run rule degrades to 3 runs)",
+            file=sys.stderr,
+        )
         return set()
 
 

@@ -7145,7 +7145,7 @@ def chart_gauge_lineitem(spark, sf_dir):
 # hb_commit_frequency, hb_gandalf_state, hb_logic_state), and the
 # three collector/serving gates (git_commit_frequency,
 # azdo_commit_authors, odata_serve_orders) — plus the round-5
-# chart-layer gauge gate (chart_gauge_lineitem), completing 159/159
+# chart-layer gauge gate (chart_gauge_lineitem), completing 160/160
 # driver-signed coverage.  The remaining 38 slots re-sign queries
 # whose code paths the round-4/5 review sweeps touched (winsorize /
 # buckets / exact-dedup / pack / kmv / temperature-sample fixes, the

@@ -53,8 +53,8 @@ Semantics per type (faithful to `Chart.fs`):
 from __future__ import annotations
 
 import datetime as dt
-import html as _html
 import json
+import re
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, functions as F
@@ -346,8 +346,17 @@ def render_inline_html(spec: Mapping, div_id: str = "chart") -> str:
     """Payload → self-contained inline HTML fragment (the
     ``GetInlineHtml`` analog, `Chart.fs:22-25`): a div plus the script
     that hands the payload to the matching browser-side renderer."""
-    esc_id = _html.escape(div_id, quote=True)
-    blob = json.dumps(dict(spec))
+    # div_id lands in an HTML attribute AND a JS string literal — only a
+    # conservative identifier charset is correct in both contexts
+    if not re.fullmatch(r"[A-Za-z0-9_-]+", div_id):
+        raise ValueError(
+            f"div_id must match [A-Za-z0-9_-]+, got {div_id!r}"
+        )
+    esc_id = div_id
+    # escape for <script> context: a payload value containing '</script>'
+    # (chart text can carry attacker-influenced strings, e.g. commit
+    # messages) must not terminate the script element
+    blob = json.dumps(dict(spec)).replace("</", "<\\/")
     if "chartType" in spec:  # Google Charts backend
         return (
             f'<div id="{esc_id}"></div>\n'

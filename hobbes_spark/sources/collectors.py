@@ -283,14 +283,22 @@ def read_azdo_commits(
                 pages.append(body)
             if n < top:
                 break
-        else:  # every page was full — the cap truncated the stream
-            raise ValueError(
-                f"repository {repo_id!r} still returned full pages after "
-                f"max_pages_per_repo={max_pages_per_repo} "
-                f"({max_pages_per_repo * top} commits fetched); raise the "
-                "cap — truncating a commit stream silently corrupts "
-                "frequency analytics"
+        else:  # every page was full — probe once more before raising:
+            # a repo with exactly max_pages_per_repo*top commits ends
+            # legitimately on a full page (ADVICE r5 false positive)
+            url = azdo_commits_url(
+                organization, project, repo_id,
+                top=top, skip=max_pages_per_repo * top, api_version=api_version,
             )
+            body = fetcher(url)
+            if (_json.loads(body) or {}).get("value"):
+                raise ValueError(
+                    f"repository {repo_id!r} still returned full pages after "
+                    f"max_pages_per_repo={max_pages_per_repo} "
+                    f"({max_pages_per_repo * top} commits fetched); raise the "
+                    "cap — truncating a commit stream silently corrupts "
+                    "frequency analytics"
+                )
         return pages
 
     with ThreadPoolExecutor(max_workers=min(8, len(repository_ids)) or 1) as pool:

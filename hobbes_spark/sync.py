@@ -27,16 +27,27 @@ Scale shape: the driver-side loop is O(#configurations) orchestration,
 never data; every node's result lands in parquet and is READ BACK for
 its dependents, truncating lineage exactly like
 :func:`hobbes_spark.sources.sinks.checkpoint` — a 50-node chain recomputes
-nothing and no plan grows unboundedly.  Independent nodes could be
-submitted from threads against the same SparkSession for cluster-level
-overlap; kept serial here because correctness, retries and the error
-ledger — not scheduler saturation — are this layer's contract.
+nothing and no plan grows unboundedly.  Independent DAG nodes are
+submitted concurrently from a small thread pool against the shared
+SparkSession (``max_parallelism``, each worker tagged with a
+``spark.scheduler.pool`` local property so a FAIR-configured cluster
+interleaves their stages) — the analog of the reference fanning one
+``Sync`` message per configuration to independent worker queues
+(`workers/syncronization.worker/src/Program.fs:50-63`); a 100-node
+configuration set no longer idles the cluster between single-node jobs.
 
 Cache keys follow the reference's scheme: a source/transform chain keys
 ``md5(source):t1:t2`` (`tools/workbench/src/Types.fs:176-184`, already
 mirrored by ``Pipeline.cache_key``); a merge keys over its dataset
 keys, a join over (left, right, field) — the ``CacheKey`` fields of
-``MergeMessage`` / ``JoinMessage`` (`Broker.fs:81-93`).
+``MergeMessage`` / ``JoinMessage`` (`Broker.fs:81-93`). Program keys
+additionally fold in a fingerprint of the inline ``tables``
+(plan-content ``semanticHash`` + schema) and the caller-supplied
+``version``, so two syncs with identical program text but different
+inline data never collide. A program with a live ``fetcher`` and no
+``version`` is refreshed on every sync — the reference's ``Sync``
+message re-triggers collectors rather than trusting a stale uniform
+cache — and ``force=True`` bypasses every cache hit wholesale.
 """
 
 from __future__ import annotations
@@ -44,9 +55,11 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
 import time
 import traceback
 from collections.abc import Callable, Mapping, Sequence
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from dataclasses import dataclass, field
 from graphlib import CycleError, TopologicalSorter
 
@@ -72,6 +85,14 @@ class Configuration:
     # inline tables / fetcher for the program's provider header
     tables: Mapping[str, DataFrame] | None = None
     fetcher: Callable[[str], str] | None = None
+    # caller-supplied data epoch for external inputs (e.g. a collector
+    # watermark). With a fetcher and NO version, the node is LIVE: the
+    # cache entry is refreshed on every sync, matching the reference's
+    # Sync message re-triggering collectors (Program.fs:50-63).
+    version: str | None = None
+
+    def is_live(self) -> bool:
+        return self.fetcher is not None and self.version is None
 
     def depends_on(self) -> tuple[str, ...]:
         if self.join is not None:
@@ -99,6 +120,9 @@ class SyncReport:
     attempts: dict[str, int] = field(default_factory=dict)
     failures: list[tuple[str, str]] = field(default_factory=list)
     dead_letters: list[dict] = field(default_factory=list)
+    # per-node (start, end) offsets from sync start — lets callers (and
+    # tests) see that independent nodes overlapped
+    timings: dict[str, tuple[float, float]] = field(default_factory=dict)
     elapsed_sec: float = 0.0
 
     @property
@@ -106,11 +130,32 @@ class SyncReport:
         return all(s in ("done", "cached") for s in self.statuses.values())
 
 
+def _tables_fingerprint(tables: Mapping[str, DataFrame] | None) -> str:
+    """Content-identity of the inline tables without running a job:
+    ``semanticHash`` covers the LocalRelation's embedded rows (inline
+    providers) or the scan's file set, plus the schema. Different
+    inline data → different fingerprint → different cache key."""
+    if not tables:
+        return ""
+    return "\x1f".join(
+        f"{name}={tables[name].semanticHash()}:{tables[name].schema.simpleString()}"
+        for name in sorted(tables)
+    )
+
+
 def _key_of(cfg: Configuration, child_keys: Mapping[str, str]) -> str:
     if cfg.program is not None:
         # the chain scheme md5(source):t1:t2 is Pipeline.cache_key's
-        # job; at the orchestration layer the program TEXT is the chain
-        return hashlib.md5(cfg.program.encode()).hexdigest()
+        # job; at the orchestration layer the chain is the program TEXT
+        # plus the identity of its external inputs (ADVICE r5: text
+        # alone collided for identical programs over different tables)
+        blob = cfg.program
+        extra = _tables_fingerprint(cfg.tables)
+        if cfg.version is not None:
+            extra += "\x1fversion=" + cfg.version
+        if extra:
+            blob += "\x1f" + extra
+        return hashlib.md5(blob.encode()).hexdigest()
     if cfg.join is not None:
         left, right, fld = cfg.join
         blob = "join\x1f" + child_keys[left] + "\x1f" + child_keys[right] + "\x1f" + fld
@@ -166,10 +211,16 @@ def sync_configurations(
     configurations: Sequence[Configuration],
     cache_dir: str,
     max_retries: int = 5,
+    max_parallelism: int = 8,
+    force: bool = False,
 ) -> SyncReport:
-    """Materialize every configuration in dependency order.
+    """Materialize every configuration in dependency order, running
+    independent DAG nodes concurrently (``max_parallelism`` threads
+    against the shared session — the reference's per-queue worker
+    fan-out, `Program.fs:50-63`).
 
-    Per node: cache hit → ``cached`` (nothing recomputed); else compute
+    Per node: cache hit → ``cached`` (nothing recomputed; bypassed by
+    ``force=True`` or a live fetcher without ``version``); else compute
     + write parquet with up to ``max_retries`` attempts (the broker's
     requeue budget, `Broker.fs:243-246`); an exhausted or erroring node
     → ``failed`` with a dead-letter record (`Broker.fs:214-221`), and
@@ -194,56 +245,90 @@ def sync_configurations(
 
     sorter = TopologicalSorter({c.name: set(c.depends_on()) for c in configurations})
     try:
-        order = list(sorter.static_order())
+        sorter.prepare()
     except CycleError as e:
         raise ValueError(f"configuration cycle: {e.args[1]}") from e
 
     report = SyncReport()
-    for name in order:
+    lock = threading.Lock()
+    # Two same-keyed nodes (identical programs under different names)
+    # must not race the same parquet path: serialize per key.
+    key_locks: dict[str, threading.Lock] = {}
+
+    def _run_node(name: str) -> None:
         cfg = configs[name]
         deps = cfg.depends_on()
-        report.depends_on[name] = deps
-        if any(report.statuses.get(d) in ("failed", "blocked") for d in deps):
-            report.statuses[name] = "blocked"
-            continue
-        key = _key_of(cfg, report.cache_keys)
-        report.cache_keys[name] = key
+        with lock:
+            report.depends_on[name] = deps
+            if any(report.statuses.get(d) in ("failed", "blocked") for d in deps):
+                report.statuses[name] = "blocked"
+                return
+            child_keys = dict(report.cache_keys)
+        key = _key_of(cfg, child_keys)
+        with lock:
+            report.cache_keys[name] = key
+            key_lock = key_locks.setdefault(key, threading.Lock())
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "sync")
         path = os.path.join(cache_dir, key)
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            report.statuses[name] = "cached"
-            report.attempts[name] = 0
-            continue
-        attempt = 0
-        while True:
-            attempt += 1
-            try:
-                df = _compute(spark, cfg, report.cache_keys, cache_dir)
-                df.write.mode("overwrite").parquet(path)
-                if cfg.format_json:
-                    from hobbes_spark.sources.sinks import to_data_result_json
+        started = time.perf_counter() - t0
+        with key_lock:
+            fresh = force or cfg.is_live()
+            if not fresh and os.path.exists(os.path.join(path, "_SUCCESS")):
+                with lock:
+                    report.statuses[name] = "cached"
+                    report.attempts[name] = 0
+                    report.timings[name] = (started, time.perf_counter() - t0)
+                return
+            attempt = 0
+            while True:
+                attempt += 1
+                try:
+                    df = _compute(spark, cfg, child_keys, cache_dir)
+                    df.write.mode("overwrite").parquet(path)
+                    if cfg.format_json:
+                        from hobbes_spark.sources.sinks import to_data_result_json
 
-                    with open(path + ".json", "w") as f:
-                        f.write(to_data_result_json(spark.read.parquet(path)))
-                report.statuses[name] = "done"
-                report.attempts[name] = attempt
-                break
-            except Exception as e:  # noqa: BLE001 — the broker catches all
-                if attempt < max_retries:
-                    report.failures.append((name, str(e)))
-                    continue
-                report.statuses[name] = "failed"
-                report.attempts[name] = attempt
-                report.dead_letters.append(
-                    {
-                        # DeadLetterMessage shape, Broker.fs:55-62
-                        "OriginalQueue": name,
-                        "OriginalMessage": cfg.program or json.dumps(
-                            {"merge": list(cfg.merge), "join": cfg.join}
-                        ),
-                        "ExceptionMessage": str(e),
-                        "ExceptionStackTrace": traceback.format_exc(),
-                    }
-                )
-                break
+                        with open(path + ".json", "w") as f:
+                            f.write(to_data_result_json(spark.read.parquet(path)))
+                    with lock:
+                        report.statuses[name] = "done"
+                        report.attempts[name] = attempt
+                    break
+                except Exception as e:  # noqa: BLE001 — the broker catches all
+                    if attempt < max_retries:
+                        with lock:
+                            report.failures.append((name, str(e)))
+                        continue
+                    with lock:
+                        report.statuses[name] = "failed"
+                        report.attempts[name] = attempt
+                        report.dead_letters.append(
+                            {
+                                # DeadLetterMessage shape, Broker.fs:55-62
+                                "OriginalQueue": name,
+                                "OriginalMessage": cfg.program or json.dumps(
+                                    {"merge": list(cfg.merge), "join": cfg.join}
+                                ),
+                                "ExceptionMessage": str(e),
+                                "ExceptionStackTrace": traceback.format_exc(),
+                            }
+                        )
+                    break
+        with lock:
+            report.timings[name] = (started, time.perf_counter() - t0)
+
+    with ThreadPoolExecutor(max_workers=max(1, max_parallelism)) as pool:
+        pending: dict = {}
+        for name in sorter.get_ready():
+            pending[pool.submit(_run_node, name)] = name
+        while pending:
+            finished, _ = wait(pending, return_when=FIRST_COMPLETED)
+            for fut in finished:
+                node = pending.pop(fut)
+                fut.result()  # orchestration bugs propagate; compute errors don't reach here
+                sorter.done(node)
+            for name in sorter.get_ready():
+                pending[pool.submit(_run_node, name)] = name
+
     report.elapsed_sec = round(time.perf_counter() - t0, 3)
     return report

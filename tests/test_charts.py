@@ -204,9 +204,28 @@ def test_render_inline_html_picks_backend(spark):
     plotly = render_inline_html(chart_spec([("a", [(0, 1)])], "line"), "p1")
     assert "Plotly.newPlot('p1'" in plotly and '<div id="p1">' in plotly
     google = render_inline_html(
-        chart_spec([("a", [(0, 50.0)])], "gauge"), "g&1")
+        chart_spec([("a", [(0, 50.0)])], "gauge"), "g_1")
     assert "google.visualization[payload.chartType]" in google
-    assert '<div id="g&amp;1">' in google  # id is escaped
+    assert '<div id="g_1">' in google
     # payload embeds as valid JSON
     blob = plotly.split("var fig = ")[1].split(";\n")[0]
     assert json.loads(blob)["data"][0]["y"] == [1]
+    # div_id lands in BOTH an HTML attribute and a JS string literal —
+    # anything outside the identifier charset is rejected (ADVICE r5)
+    for bad in ("g&1", "x'); alert(1);//", 'a" onload="x', ""):
+        with pytest.raises(ValueError, match="div_id"):
+            render_inline_html(chart_spec([("a", [(0, 1)])], "line"), bad)
+
+
+def test_render_inline_html_script_injection_safe(spark):
+    """A payload value containing '</script>' must not terminate the
+    script element (ADVICE r5: chart text can carry attacker-influenced
+    strings such as commit messages)."""
+    spec = chart_spec([("</script><script>alert(1)</script>", [(0, 1)])], "line")
+    html = render_inline_html(spec, "safe")
+    body = html.split("<script>", 1)[1]
+    assert "</script>" not in body.rsplit("</script>", 1)[0]  # only the closer remains
+    assert "<\\/script>" in html  # escaped for script context
+    # the escaped blob still round-trips as the original JSON
+    blob = html.split("var fig = ")[1].split(";\n")[0]
+    assert json.loads(blob)["data"][0]["name"].startswith("</script>")

@@ -313,15 +313,17 @@ def test_azdo_page_cap_raises_instead_of_truncating(spark):
     """max_pages_per_repo consecutive FULL pages means the cap (not the
     feed) ended the walk — that must raise, not silently truncate the
     repo's commit stream (the repo-wide no-silent-caps rule)."""
-    fetch = _fake_azdo({"repoE": 30})
+    fetch = _fake_azdo({"repoE": 35})
     with pytest.raises(ValueError, match="max_pages_per_repo"):
         read_azdo_commits(
             spark, fetch, "org", "proj", ["repoE"], top=10, max_pages_per_repo=3
         )
-    # one spare page lets the empty probe prove the feed really ended
+    # a repo with EXACTLY cap*top commits ends legitimately on a full
+    # page: the extra empty probe proves the feed ended — no spurious
+    # raise (ADVICE r5)
     fetch2 = _fake_azdo({"repoE": 30})
     df = read_azdo_commits(
-        spark, fetch2, "org", "proj", ["repoE"], top=10, max_pages_per_repo=4
+        spark, fetch2, "org", "proj", ["repoE"], top=10, max_pages_per_repo=3
     )
     assert df.count() == 30
 

@@ -147,6 +147,103 @@ def test_transient_failure_retries_then_succeeds(spark, tmp_path, monkeypatch):
     assert len(rep.failures) == 2
 
 
+def test_independent_nodes_overlap(spark, tmp_path, monkeypatch):
+    """Independent DAG nodes run concurrently — the reference fans one
+    Sync message per configuration to independent worker queues
+    (Program.fs:50-63). A 2-party barrier inside _compute can only be
+    satisfied if both nodes are in flight at once."""
+    import threading
+
+    import hobbes_spark.sync as S
+
+    cache = str(tmp_path / "cache")
+    barrier = threading.Barrier(2, timeout=60)
+    real = S._compute
+
+    def rendezvous(spark_, cfg, child_keys, cache_dir):
+        barrier.wait()  # deadlocks (-> BrokenBarrierError) if serial
+        return real(spark_, cfg, child_keys, cache_dir)
+
+    monkeypatch.setattr(S, "_compute", rendezvous)
+    rep = sync_configurations(
+        spark,
+        [Configuration("left", program=DOUBLED), Configuration("right", program=OTHER)],
+        cache,
+        max_retries=1,
+        max_parallelism=4,
+    )
+    assert rep.converged and rep.statuses == {"left": "done", "right": "done"}
+    (ls, le), (rs, re) = rep.timings["left"], rep.timings["right"]
+    assert ls < re and rs < le  # the intervals overlap
+
+
+def test_cache_key_folds_in_inline_tables(spark, tmp_path):
+    """ADVICE r5 (medium): identical program text over DIFFERENT inline
+    tables must not collide on one cache entry."""
+    cache = str(tmp_path / "cache")
+    prog = "provider: localdata\nname: ext\n\n\nonly true\n"
+    t1 = spark.createDataFrame([("a", 1)], "k string, v int")
+    t2 = spark.createDataFrame([("b", 99)], "k string, v int")
+    first = sync_configurations(
+        spark, [Configuration("cfg", program=prog, tables={"ext": t1})], cache
+    )
+    second = sync_configurations(
+        spark, [Configuration("cfg", program=prog, tables={"ext": t2})], cache
+    )
+    assert first.cache_keys["cfg"] != second.cache_keys["cfg"]
+    assert second.statuses["cfg"] == "done"  # recomputed, not a stale hit
+    assert {r["k"] for r in read_cached(spark, cache, second.cache_keys["cfg"]).collect()} == {"b"}
+    # same tables again -> same key, cache hit
+    third = sync_configurations(
+        spark, [Configuration("cfg", program=prog, tables={"ext": t2})], cache
+    )
+    assert third.cache_keys["cfg"] == second.cache_keys["cfg"]
+    assert third.statuses["cfg"] == "cached"
+
+
+def test_live_fetcher_refreshes_and_version_pins(spark, tmp_path):
+    """A program with a live fetcher and no version refreshes on every
+    sync (the Sync message re-triggers collectors); an explicit version
+    makes it cacheable until the version changes."""
+    cache = str(tmp_path / "cache")
+    prog = (
+        "provider: rest\nurl:\n    - https://fake/feed\nvalues: value\n\nonly true\n"
+    )
+    feed = {"body": '{"value": [{"k": "x", "n": 1}]}'}
+
+    def fetch(url):
+        return feed["body"]
+
+    live = [Configuration("feed", program=prog, fetcher=fetch)]
+    first = sync_configurations(spark, live, cache)
+    assert first.statuses["feed"] == "done"
+    feed["body"] = '{"value": [{"k": "y", "n": 2}, {"k": "z", "n": 3}]}'
+    second = sync_configurations(spark, live, cache)
+    assert second.statuses["feed"] == "done"  # NOT 'cached': data refreshed
+    got = read_cached(spark, cache, second.cache_keys["feed"])
+    assert {r["k"] for r in got.collect()} == {"y", "z"}
+
+    pinned = [Configuration("feed2", program=prog, fetcher=fetch, version="v1")]
+    sync_configurations(spark, pinned, cache)
+    again = sync_configurations(spark, pinned, cache)
+    assert again.statuses["feed2"] == "cached"
+    bumped = sync_configurations(
+        spark,
+        [Configuration("feed2", program=prog, fetcher=fetch, version="v2")],
+        cache,
+    )
+    assert bumped.statuses["feed2"] == "done"
+    assert bumped.cache_keys["feed2"] != again.cache_keys["feed2"]
+
+
+def test_force_bypasses_cache_hits(spark, tmp_path):
+    cache = str(tmp_path / "cache")
+    sync_configurations(spark, _dag(), cache)
+    forced = sync_configurations(spark, _dag(), cache, force=True)
+    assert forced.converged
+    assert all(s == "done" for s in forced.statuses.values())
+
+
 def test_validation_errors(spark, tmp_path):
     cache = str(tmp_path / "cache")
     with pytest.raises(ValueError, match="unknown"):
