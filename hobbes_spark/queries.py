@@ -7156,30 +7156,30 @@ def chart_gauge_lineitem(spark, sf_dir):
 # --------------------------------------------------------------------- #
 
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # --- the 11 never-signed entries (rounds 1-4 union = 147/158),
-    # plus the round-5 additions (chart layer, BPE learner) — signing
-    # all 13 completes 160/160 driver-signed coverage ---
-    "csv_sniff_roundtrip", "csv_sniff_locale", "hb_localdata_top",
-    "hb_mttr", "hb_cycle_time", "hb_commit_frequency",
-    "hb_gandalf_state", "hb_logic_state", "git_commit_frequency",
-    "azdo_commit_authors", "odata_serve_orders", "chart_gauge_lineitem",
-    "bpe_merges",
-    # --- re-signs: queries touched by the r4/r5 review sweeps ---
-    "winsorize_values", "buckets_mean", "dedup_exact", "curate_corpus",
-    "prepare_corpus", "kmv_quantiles_prices", "temperature_sample_docs",
-    "pack_docs",
-    # --- re-signs: perf-watch set (tpch_q3_topk regression probe) ---
-    "tpch_q3_topk", "tpch_q9_profit", "moving_mean",
-    # --- re-signs: carried bench headliners (r1 core set) ---
-    "flowerpot", "group_all_sum", "minhash_pairs_fast",
-    "decontaminate_docs", "bm25_topk", "pagerank_centrality",
-    "semantic_dedup_keep", "dedup_components_star",
-    "quantize_error_stats", "media_phash_pairs", "sketch_user_rollup",
-    "cms_top_terms", "stream_ohlc_bars", "stream_sliding_counts",
-    "group_maxby", "join_on_field", "merge_datasets", "pivot_count",
-    "daily_counts", "text_stats", "cosine_topk", "only_filter",
-    "create_revenue", "sort_keys_ordinals", "moving_sum_minmax",
-    "expanding_sum",
+    # Round-6 rotation: every catalog entry is driver-signed at least
+    # once (r1-r5 union = 160/160), so the criterion flips from
+    # "never signed" to STALENESS — these are the 50 longest-unsigned
+    # queries, sorted by (last-signed round, name): code has churned
+    # for 3-4 rounds since their last signature.
+    # --- last signed in r2 (all 30 such queries) ---
+    "ann_ivf_topk", "churned_customers", "date_parts",
+    "dedup_components", "dense_ops", "each_max", "each_mean",
+    "group_all_mean", "group_minby", "group_reductions",
+    "hash_sample_docs", "hb_order_frequency", "join_broadcast_dims",
+    "lang_id_counts", "linear_extrapolation", "linear_regression",
+    "minhash_pairs", "missing_filter", "moving_partitioned",
+    "ngram_jaccard_pairs", "numeric_columns", "pivot_sum",
+    "rename_recreate", "repeat_customers", "rollup_revenue",
+    "simhash_fingerprints", "stratified_sample_counts",
+    "stream_tumbling_counts", "token_frequencies", "weekday_counts",
+    # --- last signed in r3 (the 20 alphabetically-first) ---
+    "ann_lsh_topk", "asof_attribution", "bloom_decontaminate",
+    "chunk_docs", "classifier_scores", "cohort_retention",
+    "contamination_report", "daily_value_delta", "dedup_paragraphs",
+    "dedup_spans", "dsir_weights", "duplicate_ngram_frac",
+    "embedding_neardup_exact", "embedding_neardup_lsh",
+    "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
+    "hb_velocity_pivot", "jaccard_prefix_pairs", "kmeans_clusters",
 ]
 
 

@@ -84,33 +84,45 @@ def test_no_rows_only_queries_remain():
 def test_driver_window_contract():
     """The driver records the FIRST 50 catalog entries: the reordered
     window must hold exactly 50 distinct oracled names (a rows-only row
-    in the window wastes a signing slot), and — the point of the
-    round-5 rotation — every catalog entry that has never had a
-    fully-green signed row in rounds 1-4 must LEAD the window, so the
-    signed union reaches 158/158 this round.  Remaining slots are
-    deliberate re-signs of review-touched queries; those may (and
-    should) overlap prior rounds."""
+    in the window wastes a signing slot).  Round-6 criterion: with the
+    full catalog driver-signed at least once (r1-r5 union = 160/160),
+    the window is the STALENESS cohort — exactly the 50 queries whose
+    most recent fully-green signed row is oldest, ordered by
+    (last-signed round, name).  Any still-never-signed entry (a new
+    query added this round) counts as round 0 and automatically leads."""
+    import glob
     import json
     import os
+    import re
 
     names = list(QUERIES)
     window = names[:50]
     assert len(set(window)) == 50
     assert all(QUERIES[n].oracle for n in window)
-    green = set()
-    for r in ("01", "02", "03", "04"):
-        path = os.path.join(os.path.dirname(__file__), "..", f"CORRECTNESS_r{r}.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                d = json.load(f)
-            for k, v in d.get("queries", d).items():
-                if isinstance(v, dict) and v.get("rows_match") and v.get("hash_match") in (True, None):
-                    green.add(k)
-    never_signed = [n for n in QUERIES if n not in green]
-    head = window[: len(never_signed)]
-    assert set(head) == set(never_signed), (
-        f"never-signed entries must lead the window: "
-        f"missing={sorted(set(never_signed) - set(head))}"
+
+    last_signed: dict[str, int] = {}
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
+        with open(path) as f:
+            d = json.load(f)
+        for k, v in d.get("queries", d).items():
+            if (
+                isinstance(v, dict)
+                and v.get("rows_match")
+                and v.get("schema_match") in (True, None)
+                and v.get("hash_match") in (True, None)
+            ):
+                last_signed[k] = max(last_signed.get(k, 0), rnd)
+    if not last_signed:
+        return  # fresh checkout without driver records: nothing to pin
+    stale_order = sorted(names, key=lambda n: (last_signed.get(n, 0), n))
+    expected = set(stale_order[:50])
+    assert set(window) == expected, (
+        f"window must be the 50 longest-unsigned queries: "
+        f"missing={sorted(expected - set(window))}, "
+        f"extra={sorted(set(window) - expected)}"
     )
 
 

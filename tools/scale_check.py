@@ -508,11 +508,41 @@ def main():
             kmv_quantile("sketch", 0.99).alias("p99"),
         )
 
+    def bpe_word_freq(do):
+        from hobbes_spark.functions.bpe import word_frequencies
+
+        # the ONE corpus-sized pass of tokenizer training: explode +
+        # keyed count + bounded top-N prune
+        return word_frequencies(do, "text", max_words=2000)
+
+    _bpe_state: dict = {}
+
+    def bpe_encode_shape(do):
+        from hobbes_spark.functions.bpe import (
+            bpe_encode, learn_bpe, word_frequencies,
+        )
+
+        if "merges" not in _bpe_state:
+            # learned once from the 1x corpus (driver-local, one job);
+            # the first call is the untimed warm run, so this setup
+            # never bills into a timing
+            _bpe_state["merges"] = [
+                (r["lhs"], r["rhs"])
+                for r in learn_bpe(
+                    word_frequencies(do1, "text", max_words=1000), num_merges=50
+                ).collect()
+            ]
+        return bpe_encode(do, "text", _bpe_state["merges"]).select(
+            "doc_id", F.size("bpe_tokens").alias("n_subwords")
+        )
+
     cases.update(
         {
             "boilerplate_lines": (boilerplate, do1, doN),
             "pagerank_3_rounds": (pagerank_shape, li1, liN),
             "kmv_quantile_sketch": (kmv_sketch, ev1, evN),
+            "bpe_word_freq": (bpe_word_freq, do1, doN),
+            "bpe_encode": (bpe_encode_shape, do1, doN),
         }
     )
 

@@ -10,7 +10,9 @@ the gate fails when ratio > N, i.e. when doubling the data more than
 doubles the time — the unambiguous superlinear signal.
 
 Usage: python tools/scale_gate.py [multiplier] [sf_dir]
-Defaults: 48x over /root/testdata/sf0.1, the three watch-list shapes.
+Defaults: 96x over /root/testdata/sf0.1, the three watch-list shapes
+(raised from 48x in round 6 — the watch shapes held linear for two
+rounds at 48x).
 Exit 0 = all ratios within the linear bound; 1 = regression (printed).
 """
 
@@ -27,7 +29,7 @@ WATCH = ["pack_documents", "dedup_components_star", "tpch_q21_grouped_exists"]
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     here = os.path.dirname(os.path.abspath(__file__))
     cmd = [sys.executable, os.path.join(here, "scale_check.py"), str(n), sf_dir, *WATCH]
