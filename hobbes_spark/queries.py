@@ -5308,16 +5308,21 @@ def media_phash_pairs(spark, sf_dir):
     modulo a CORPUS-SCALED group count — GREATEST(50, n/10), so
     duplicate-group size stays ~10 at every SF, the same operating rule
     the scale harness pins; higher doc_ids perturb 3 pixels — planted
-    near-dups), aHash it through the Arrow mapInPandas channel
-    (mean-threshold + bit packing — the real algorithm; only the codec
-    decode is the documented stub), then a banded Hamming self-join:
+    near-dups), wrap it in a REAL top-down 8×8 24-bit grayscale BMP
+    container (round 6: the pure-Python `decode_pixels` rung decodes
+    actual pixels — no stub in this path), aHash it through the Arrow
+    mapInPandas channel (box-resample + mean-threshold + bit packing —
+    the real algorithm end-to-end), then a banded Hamming self-join:
     4×16-bit slices as equi-join keys, exact bit_count(xor) ≤ 8 filter
     on candidates. Candidates come from an equi-join on slice keys,
     never all-pairs (pigeonhole: any pair within 3 flipped bits per
     band is guaranteed a candidate). The oracle replays group sizing →
-    pixels → bits → slices → banding in pure SQL — the whole path is
-    hash-signed INCLUDING the Python kernel, because the thumbnail
-    math is deterministic arithmetic on doc_id."""
+    pixels → bits → slices → banding in pure SQL — valid because the
+    BMP round-trip (encode r=g=b, decode top-down, luma(v,v,v)=v,
+    8×8→8×8 resample identity) reproduces the 64 planted values
+    exactly."""
+    import struct as _struct
+
     from hobbes_spark.functions.multimodal import ahash_images, phash_near_pairs
 
     docs = _t(spark, sf_dir, "documents").df
@@ -5331,15 +5336,24 @@ def media_phash_pairs(spark, sf_dir):
     )
     g = F.expr("doc_id % __gs")
     v = F.expr("doc_id div __gs")
-    # build the 64-byte fake thumbnail as hex → unhex (pure expressions)
-    parts = []
+    # 54-byte BMP header: 8x8, 24bpp, uncompressed, NEGATIVE height =
+    # top-down rows, so file pixel order equals the j=0..63 plant order
+    bmp_header = (
+        b"BM"
+        + _struct.pack("<IHHI", 54 + 192, 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, 8, -8, 1, 24, 0, 192, 0, 0, 0, 0)
+    )
+    # build header + 64 BGR pixel triplets as hex → unhex (pure
+    # expressions; gray pixels so the triplet repeats one byte 3x)
+    parts = [F.lit(bmp_header.hex().upper())]
     for j in range(64):
         base = (g * 37 + j * 11) % 256
         pert = (g * 37 + j * 11 + 96) % 256
         cond = (v > 0) & (
             (v % 64 == j) | ((v * 7) % 64 == j) | ((v * 13) % 64 == j)
         )
-        parts.append(F.lpad(F.hex(F.when(cond, pert).otherwise(base)), 2, "0"))
+        px = F.lpad(F.hex(F.when(cond, pert).otherwise(base)), 2, "0")
+        parts.append(F.concat(px, px, px))
     content = F.unhex(F.concat(*parts))
     media = docs.crossJoin(gs_row).select(
         F.col("doc_id").cast("long").alias("media_id"), content.alias("content")

@@ -138,6 +138,183 @@ def test_frame_sample_plan(spark, sf_dir):
         assert all(i % 2 == 0 for i in idxs)
 
 
+def _png(width, height, pixels, color_type=0, filters=None):
+    """Minimal valid PNG encoder for decoder tests: 8-bit, chosen color
+    type, one chosen filter per scanline (forward-filtered here so the
+    decoder must reverse it)."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * channels
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        line = bytes(pixels[r * stride : (r + 1) * stride])
+        f = filters[r]
+        raw.append(f)
+        for k in range(stride):
+            a = line[k - channels] if k >= channels else 0
+            c = prev[k]
+            d = prev[k - channels] if k >= channels else 0
+            if f == 0:
+                raw.append(line[k])
+            elif f == 1:
+                raw.append((line[k] - a) & 0xFF)
+            elif f == 2:
+                raw.append((line[k] - c) & 0xFF)
+            elif f == 3:
+                raw.append((line[k] - (a + c) // 2) & 0xFF)
+            else:  # paeth
+                p = a + c - d
+                pa, pb, pc = abs(p - a), abs(p - c), abs(p - d)
+                pred = a if pa <= pb and pa <= pc else (c if pb <= pc else d)
+                raw.append((line[k] - pred) & 0xFF)
+        prev = line
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_pixels_png_all_filters():
+    """The pure-Python PNG decoder reverses every scanline filter type
+    and handles gray / RGB / RGBA / gray+alpha pixels."""
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    pix = [(r * 8 + c * 29) % 256 for r in range(5) for c in range(4)]
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5, [0, 1, 2, 3, 4]):
+        got = decode_pixels(_png(4, 5, pix, color_type=0, filters=filters))
+        assert got == (4, 5, pix), f"filters={filters}"
+    # RGB: luma recombination (ITU-R 601 integer)
+    rgb = []
+    for v in pix:
+        rgb += [v, (v * 3) % 256, (v * 7) % 256]
+    w, h, gray = decode_pixels(_png(4, 5, rgb, color_type=2, filters=[4] * 5))
+    expect = [
+        (299 * rgb[3 * i] + 587 * rgb[3 * i + 1] + 114 * rgb[3 * i + 2]) // 1000
+        for i in range(20)
+    ]
+    assert (w, h) == (4, 5) and gray == expect
+    # gray+alpha and RGBA: alpha ignored, gray/luma from color channels
+    ga = [b for v in pix for b in (v, 128)]
+    assert decode_pixels(_png(4, 5, ga, color_type=4)) == (4, 5, pix)
+    rgba = []
+    for v in pix:
+        rgba += [v, v, v, 200]
+    assert decode_pixels(_png(4, 5, rgba, color_type=6)) == (4, 5, pix)
+    # non-PNG and truncated payloads refuse rather than garble
+    assert decode_pixels(b"not an image") is None
+    assert decode_pixels(_png(4, 5, pix)[:30]) is None
+
+
+def test_decode_pixels_bmp_variants():
+    """BMP: encode_bmp_gray round-trips (top-down), bottom-up 24-bit
+    rows re-order correctly, 8-bit palette resolves through the BGRA
+    table, and compressed/odd payloads refuse."""
+    import struct
+
+    from hobbes_spark.functions.multimodal import decode_pixels, encode_bmp_gray
+
+    pix = [(r * 40 + c * 13) % 256 for r in range(3) for c in range(5)]
+    assert decode_pixels(encode_bmp_gray(5, 3, pix)) == (5, 3, pix)
+
+    # bottom-up (positive height): rows stored last-first, 1 pad byte
+    row_bytes = (5 * 3 + 3) & ~3
+    body = bytearray()
+    for r in reversed(range(3)):
+        for c in range(5):
+            v = pix[r * 5 + c]
+            body += bytes((v, v, v))
+        body += b"\x00" * (row_bytes - 15)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 5, 3, 1, 24, 0, len(body), 0, 0, 0, 0
+    )
+    assert decode_pixels(hdr + bytes(body)) == (5, 3, pix)
+
+    # 8-bit paletted, top-down: index i -> gray 255-i via the palette
+    pal = b"".join(bytes((255 - i, 255 - i, 255 - i, 0)) for i in range(256))
+    idx_rows = bytearray()
+    for r in range(2):
+        # width 4 at 8bpp: the 4-byte stride is already 4-aligned, no pad
+        idx_rows += bytes([pix[r * 5 + c] for c in range(4)])
+    hdr8 = b"BM" + struct.pack("<IHHI", 54 + 1024 + len(idx_rows), 0, 0, 54 + 1024) \
+        + struct.pack("<IiiHHIIiiII", 40, 4, -2, 1, 8, 0, len(idx_rows), 0, 0, 0, 0)
+    w, h, gray = decode_pixels(hdr8 + pal + bytes(idx_rows))
+    assert (w, h) == (4, 2)
+    assert gray == [255 - pix[r * 5 + c] for r in range(2) for c in range(4)]
+
+    # compressed (BI_RLE8) refuses
+    rle = bytearray(encode_bmp_gray(5, 3, pix))
+    rle[30] = 1
+    assert decode_pixels(bytes(rle)) is None
+
+
+def test_ahash_decodes_real_pixels(spark):
+    """aHash on a REAL PNG/BMP equals the hash of its known pixel
+    values — the decode rung is real, not the raw-bytes stub (round 6);
+    a 16x16 image box-averages down to the 8x8 thumbnail first."""
+    from hobbes_spark.functions.multimodal import (
+        ahash_images, decode_pixels, encode_bmp_gray,
+    )
+
+    pix8 = [(i * 4) % 256 for i in range(64)]
+    png8 = _png(8, 8, pix8)
+    bmp8 = encode_bmp_gray(8, 8, pix8)
+    # 16x16 whose 2x2 boxes average to pix8 exactly (all 4 equal)
+    pix16 = [pix8[(r // 2) * 8 + (c // 2)] for r in range(16) for c in range(16)]
+    png16 = _png(16, 16, pix16)
+    df = spark.createDataFrame(
+        [(1, bytearray(png8)), (2, bytearray(bmp8)), (3, bytearray(png16))],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r["phash"] for r in ahash_images(df).collect()}
+    want = _ahash_py(pix8)
+    assert got == {1: want, 2: want, 3: want}
+    # sanity: the stub would have hashed the FILE HEADER bytes instead
+    assert _ahash_py(list(png8[:64])) != want
+    # and the BMP container round-trips its pixels bit-exactly
+    assert decode_pixels(bmp8) == (8, 8, pix8)
+
+
+def test_resize_images_pure_decoder_rung(spark):
+    """Without PIL, a decodable payload takes the pure PNG/BMP rung:
+    real box-resampled pixels re-encoded as image/bmp (not the
+    sha256 fake)."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: the pure rung is shadowed by PIL")
+    except ImportError:
+        pass
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    pix = [(r + c * 16) % 256 for r in range(16) for c in range(16)]
+    df = spark.createDataFrame(
+        [(1, bytearray(_png(16, 16, pix))), (2, bytearray(b"not an image"))],
+        "media_id long, content binary",
+    )
+    out = {r["media_id"]: r for r in MM.resize_images(df, 4, 4).collect()}
+    assert out[1]["mime"] == "image/bmp"
+    w, h, gray = decode_pixels(bytes(out[1]["content"]))
+    assert (w, h) == (4, 4)
+    from hobbes_spark.functions.multimodal import _box_resample
+
+    assert gray == _box_resample(16, 16, pix, 4, 4)
+    assert out[2]["mime"].endswith(";fake-resize")  # undecodable → fake rung
+
+
 def test_header_dims_real_formats(spark):
     """Real header parsing (no codec libs): handcrafted PNG/GIF/BMP/JPEG
     byte headers decode to their true dimensions through the full
