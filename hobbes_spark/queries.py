@@ -904,6 +904,69 @@ def kmeans_clusters(spark, sf_dir):
     ).create_column("o_totalprice", _r(F.col("o_totalprice"), 2)).df
 
 
+@q(
+    "kmeans_fixture_exact",
+    """
+    SELECT * FROM (VALUES
+      (CAST(0 AS INTEGER), CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+      (CAST(1 AS INTEGER), CAST(11.0 AS DOUBLE), CAST(11.0 AS DOUBLE))
+    ) AS t(cluster, x, y)
+    ORDER BY cluster
+    """,
+)
+def kmeans_fixture_exact(spark, sf_dir):
+    """INDEPENDENT k-means truth pin (round 6): unlike kmeans_clusters,
+    whose unrolled-CTE oracle replays the implementation's iterations,
+    this oracle contains HAND-COMPUTED literal values on a fixed
+    fixture, so an algorithmic bug in kmeans_lloyd cannot propagate
+    into its own oracle.  Fixture: two well-separated 4-point squares
+    around (1,1) and (11,11); linear-spacing init puts centers at (3,3)
+    and (9,9), the first assignment is already the true partition, and
+    the converged per-cluster means are exactly the square centers —
+    derivable by hand with no reference to the code."""
+    from hobbes_spark.pipeline import Pipeline
+
+    pts = spark.createDataFrame(
+        [(0.0, 0.0), (0.0, 2.0), (2.0, 0.0), (2.0, 2.0),
+         (10.0, 10.0), (10.0, 12.0), (12.0, 10.0), (12.0, 12.0)],
+        "x double, y double",
+    )
+    p = Pipeline.of(pts, "kmeans_fixture").kmeans_lloyd(2, "mean", iters=3)
+    return p.create_column("cluster", F.col("cluster").cast("int")).df
+
+
+@q(
+    "pagerank_fixture_exact",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(222168 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(259277 AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST(259277 AS BIGINT)),
+      (CAST(4 AS BIGINT), CAST(259277 AS BIGINT))
+    ) AS t(node, pr_micro)
+    ORDER BY node
+    """,
+)
+def pagerank_fixture_exact(spark, sf_dir):
+    """INDEPENDENT PageRank truth pin (round 6): the oracle is literal
+    hand-computed fractions, not an unrolled replay.  Fixture: star
+    graph 1→{2,3,4} (leaves dangling), damping 1/2, 3 iterations, so
+    the recurrence stays in small exact fractions: with t = pr(1) and
+    s = pr(leaf), each round is t' = 1/8 + 3s/8 (base + uniform
+    dangling mass) and s' = t' + t/6 (node 1 splits rank 3 ways).
+    From t = s = 1/4: r1 (7/32, 25/96), r2 (57/256, 199/768),
+    r3 (455/2048, 531/2048) — micro-units 222167.97 → 222168 and
+    259277.34 → 259277 (half-up).  Sum check: 455 + 3·531 = 2048."""
+    from hobbes_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "src bigint, dst bigint"
+    )
+    pr = pagerank(edges, iterations=3, damping=0.5)
+    return pr.select(
+        "node", F.round(F.col("pr") * 1e6).cast("bigint").alias("pr_micro")
+    ).orderBy("node")
+
 
 # --------------------------------------------------------------------- #
 # Beyond-reference: LLM training-data pipeline operators over the
@@ -7151,22 +7214,14 @@ def chart_gauge_lineitem(spark, sf_dir):
 #
 # The driver's correctness gate records the FIRST 50 entries of
 # ``queries()`` in catalog order (each CORRECTNESS_r0N.json holds
-# exactly 50 rows).  The signed-green union across rounds 1-4 is 147
-# of the 158-query catalog; this round-5 window leads with the 11
-# never-signed entries — three ingest/front-end gates
-# (csv_sniff_roundtrip, csv_sniff_locale, hb_localdata_top), the five
-# reference .hb program gates (hb_mttr, hb_cycle_time,
-# hb_commit_frequency, hb_gandalf_state, hb_logic_state), and the
-# three collector/serving gates (git_commit_frequency,
-# azdo_commit_authors, odata_serve_orders) — plus the round-5
-# chart-layer gauge gate (chart_gauge_lineitem), completing 160/160
-# driver-signed coverage.  The remaining 38 slots re-sign queries
-# whose code paths the round-4/5 review sweeps touched (winsorize /
-# buckets / exact-dedup / pack / kmv / temperature-sample fixes, the
-# tpch_q3_topk perf re-measure) plus the carried bench headliners, so
-# the hard driver signal re-covers everything recently edited.
-# Already-signed queries outside the window keep their local
-# gate_check + pytest cover as regression evidence.
+# exactly 50 rows).  Round 5 completed driver-signed coverage of the
+# whole catalog (r1-r5 signed union = 160/160), so from round 6 the
+# window is a STALENESS rotation: the 50 queries whose most recent
+# signed row is oldest, led by any entries new this round (never
+# signed).  tests/test_oracle_parity.py::test_driver_window_contract
+# recomputes that cohort from the CORRECTNESS_r*.json ledgers and
+# pins the window to it.  Already-signed queries outside the window
+# keep their local gate_check + pytest cover as regression evidence.
 # --------------------------------------------------------------------- #
 
 _DRIVER_WINDOW_PRIORITY: list[str] = [
@@ -7175,6 +7230,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # "never signed" to STALENESS — these are the 50 longest-unsigned
     # queries, sorted by (last-signed round, name): code has churned
     # for 3-4 rounds since their last signature.
+    # --- never signed (new in r6): the hand-computed-literal truth
+    #     pins for the two unrolled-oracle algorithms ---
+    "kmeans_fixture_exact", "pagerank_fixture_exact",
     # --- last signed in r2 (all 30 such queries) ---
     "ann_ivf_topk", "churned_customers", "date_parts",
     "dedup_components", "dense_ops", "each_max", "each_mean",
@@ -7193,7 +7251,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "dedup_spans", "dsir_weights", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
-    "hb_velocity_pivot", "jaccard_prefix_pairs", "kmeans_clusters",
+    "hb_velocity_pivot",
 ]
 
 
