@@ -187,14 +187,20 @@ def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
                 not width or not height or bit_depth != 8 or interlace != 0
                 or color_type not in (0, 2, 3, 4, 6)
                 or (color_type == 3 and plte is None)
+                # allocation guard: a crafted IHDR can declare 2^31
+                # pixels — refusing beats OOMing an executor on one row
+                or width * height > (1 << 26)
             ):
                 return None
             channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-            raw = zlib.decompress(bytes(idat))
+            stride = width * channels
+            need = height * (stride + 1)
+            # cap decompression at exactly the pixel bytes needed — a
+            # zip-bomb IDAT cannot expand past the declared geometry
+            raw = zlib.decompressobj().decompress(bytes(idat), need)
         except (struct.error, zlib.error):
             return None
-        stride = width * channels
-        if len(raw) < height * (stride + 1):
+        if len(raw) < need:
             return None
         gray: list[int] = []
         prev = bytearray(stride)

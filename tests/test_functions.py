@@ -261,6 +261,62 @@ def test_decode_pixels_bmp_variants():
     assert decode_pixels(bytes(rle)) is None
 
 
+def test_decode_pixels_never_raises_on_garbage():
+    """Robustness: corrupt/truncated/mutated payloads refuse with None
+    (or decode to a well-formed tuple) — an executor batch must never
+    die on one bad image. Deterministic corpus: every truncation of a
+    valid PNG/BMP, single-byte mutations at every offset, and seeded
+    pseudo-random blobs behind each magic prefix."""
+    import random
+
+    from hobbes_spark.functions.multimodal import decode_pixels, encode_bmp_gray
+
+    pix = [(i * 7) % 256 for i in range(24)]
+    valid = [_png(6, 4, pix), encode_bmp_gray(6, 4, pix)]
+
+    def check(payload):
+        got = decode_pixels(payload)
+        if got is not None:
+            w, h, gray = got
+            assert w > 0 and h > 0 and len(gray) == w * h
+            assert all(0 <= v <= 255 for v in gray)
+
+    for v in valid:
+        for cut in range(len(v)):
+            check(v[:cut])
+        for off in range(len(v)):
+            for b in (0x00, 0xFF, v[off] ^ 0x55):
+                check(v[:off] + bytes([b]) + v[off + 1 :])
+    rng = random.Random(6)
+    for prefix in (b"\x89PNG\r\n\x1a\n", b"BM", b""):
+        for _ in range(200):
+            check(prefix + rng.randbytes(rng.randrange(0, 200)))
+
+    # allocation bombs: a crafted IHDR declaring 2^40 pixels refuses;
+    # a zip-bomb IDAT is capped at the declared geometry, decoding the
+    # 4x4 it claims and never materializing the 100 MB tail
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    huge = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 0, 0, 0, 0)
+    assert decode_pixels(
+        magic + chunk(b"IHDR", huge)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 64)) + chunk(b"IEND", b"")
+    ) is None
+    small = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = magic + chunk(b"IHDR", small) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * (100 * 1024 * 1024), 9)
+    ) + chunk(b"IEND", b"")
+    assert decode_pixels(bomb) == (4, 4, [0] * 16)
+
+
 def test_ahash_decodes_real_pixels(spark):
     """aHash on a REAL PNG/BMP equals the hash of its known pixel
     values — the decode rung is real, not the raw-bytes stub (round 6);
