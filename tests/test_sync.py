@@ -244,6 +244,54 @@ def test_force_bypasses_cache_hits(spark, tmp_path):
     assert all(s == "done" for s in forced.statuses.values())
 
 
+def test_parallel_equals_serial_on_random_dags(spark, tmp_path, monkeypatch):
+    """Property: for random DAGs with planted failures, thread-pooled
+    execution produces exactly the serial ledger — statuses, blocked
+    propagation, attempts, dead-letter set, cache keys. _compute is
+    stubbed (tiny frame or planted raise) so the property run times
+    orchestration, not Spark writes."""
+    import random
+
+    import hobbes_spark.sync as S
+
+    def stub(spark_, cfg, child_keys, cache_dir):
+        if cfg.program is not None and "BOOM" in cfg.program:
+            raise RuntimeError("planted failure")
+        return spark_.range(1)
+
+    monkeypatch.setattr(S, "_compute", stub)
+    rng = random.Random(606)
+    for case in range(8):
+        names = [f"n{case}_{i}" for i in range(rng.randrange(3, 8))]
+        cfgs = []
+        for i, name in enumerate(names):
+            deps = [d for d in names[:i] if rng.random() < 0.4]
+            fail = rng.random() < 0.25
+            if deps and rng.random() < 0.5:
+                cfgs.append(Configuration(name, merge=deps))
+            else:
+                body = f"provider: localdata\ncolumns: k\nrows:\n  - [1]\n\n\n{'# BOOM' if fail else '# ok'} {name}\nonly true\n"
+                cfgs.append(Configuration(name, program=body))
+        serial = sync_configurations(
+            spark, cfgs, str(tmp_path / f"s{case}"), max_retries=2, max_parallelism=1
+        )
+        para = sync_configurations(
+            spark, cfgs, str(tmp_path / f"p{case}"), max_retries=2, max_parallelism=8
+        )
+        assert para.statuses == serial.statuses, f"case {case}"
+        assert para.attempts == serial.attempts
+        assert para.cache_keys == serial.cache_keys
+        assert para.depends_on == serial.depends_on
+        # ledgers are sets under concurrency (completion order varies)
+        assert sorted(para.failures) == sorted(serial.failures)
+        assert sorted(d["OriginalQueue"] for d in para.dead_letters) == sorted(
+            d["OriginalQueue"] for d in serial.dead_letters
+        )
+        assert set(para.timings) == {
+            n for n, s in para.statuses.items() if s != "blocked"
+        }
+
+
 def test_validation_errors(spark, tmp_path):
     cache = str(tmp_path / "cache")
     with pytest.raises(ValueError, match="unknown"):
