@@ -54,5 +54,11 @@ def get_spark(
         # upstream default, pinned here so deployments don't inherit a
         # surprise from cluster-wide overrides.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # FAIR scheduling so concurrent job submitters (sync's DAG
+        # thread pool, notebook users) interleave stages instead of
+        # convoying behind one long job. Single-submitter workloads
+        # (bench, the gate) see FIFO-identical behavior — fairness
+        # only arbitrates when two pools hold runnable tasks.
+        .config("spark.scheduler.mode", "FAIR")
     )
     return builder.getOrCreate()

@@ -268,7 +268,12 @@ def sync_configurations(
         with lock:
             report.cache_keys[name] = key
             key_lock = key_locks.setdefault(key, threading.Lock())
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "sync")
+        # one pool per worker thread: under FAIR mode (session factory)
+        # pools share the cluster evenly, so concurrent nodes interleave
+        # instead of convoying in one pool's internal FIFO
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"sync-{threading.get_ident()}"
+        )
         path = os.path.join(cache_dir, key)
         started = time.perf_counter() - t0
         with key_lock:
