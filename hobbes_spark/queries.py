@@ -7148,6 +7148,86 @@ def _bpe_sql(num_merges: int = 6, max_words: int = 1500, min_count: int = 2) -> 
     return "".join(sql)
 
 
+def _bpe_encode_sql(
+    num_merges: int = 6,
+    max_words: int = 1500,
+    min_count: int = 2,
+    max_len: int = 12,
+    top_words: int = 150,
+) -> str:
+    """PRIORITY BPE encoding, unrolled (the application side of
+    `functions/bpe.bpe_encode`): reuse `_bpe_sql`'s learning CTEs
+    (wf → top → m0..m{n-1}), collect the merge table into one row
+    (``mm``), then apply up to ``max_len`` rounds where each round
+    applies ONE full greedy pass of the LOWEST-RANK merge whose pair is
+    adjacent somewhere in the word — exactly `encode_word`'s loop.
+    Words are capped at ``max_len`` chars so ≤ max_len+1 symbols bound
+    the rounds (every applied pass removes ≥1 symbol; once nothing
+    applies, remaining rounds are the identity ELSE branch). The greedy
+    fold and adjacency probe run on chr(31)-joined token strings, the
+    `_bpe_sql` technique."""
+    # strip _bpe_sql's trailing rows-select: keep only the WITH chain
+    learn = _bpe_sql(num_merges, max_words, min_count)
+    cut = learn.rfind("\n    SELECT CAST(0 AS INTEGER) AS rank")
+    assert cut != -1, "_bpe_sql output shape changed; fix the splice point"
+    learn = learn[:cut]
+
+    sep = "chr(31)"
+    mm_cols = ", ".join(
+        f"m{k}.lhs AS l{k}, m{k}.rhs AS r{k}" for k in range(num_merges)
+    )
+    mm_from = ", ".join(f"m{k}" for k in range(num_merges))
+    sql = [learn, f""",
+    mm AS MATERIALIZED (SELECT {mm_cols} FROM {mm_from}),
+    w0 AS MATERIALIZED (
+      SELECT word FROM top WHERE length(word) <= {max_len}
+      ORDER BY freq DESC, word LIMIT {top_words}
+    ),
+    e0 AS (
+      SELECT word,
+             array_to_string(
+               list_append(list_transform(range(1, length(word)+1),
+                                          i -> word[i:i]), '</w>'),
+               {sep}) AS s
+      FROM w0
+    )"""]
+
+    def fold(k: int) -> str:
+        return (
+            f"list_reduce(string_split(s, {sep}), (acc, x) -> CASE "
+            f"WHEN (acc = mm.l{k} OR ends_with(acc, {sep} || mm.l{k})) "
+            f"AND x = mm.r{k} "
+            f"THEN acc[1:length(acc)-length(mm.l{k})] || mm.l{k} || mm.r{k} "
+            f"ELSE acc || {sep} || x END)"
+        )
+
+    def applicable(k: int) -> str:
+        return (
+            f"contains({sep} || s || {sep}, "
+            f"{sep} || mm.l{k} || {sep} || mm.r{k} || {sep})"
+        )
+
+    whens = "\n        ".join(
+        f"WHEN {applicable(k)} THEN {fold(k)}" for k in range(num_merges)
+    )
+    for r in range(1, max_len + 1):
+        sql.append(f""",
+    e{r} AS (
+      SELECT word, CASE
+        {whens}
+        ELSE s END AS s
+      FROM e{r - 1} CROSS JOIN mm
+    )""")
+    sql.append(f"""
+    SELECT word,
+           CAST(len(string_split(s, {sep})) AS INTEGER) AS n_subwords,
+           replace(s, {sep}, ' ') AS subwords
+    FROM e{max_len}
+    ORDER BY word
+    """)
+    return "".join(sql)
+
+
 @q("bpe_merges", _bpe_sql())
 def bpe_merges(spark, sf_dir):
     """BPE vocabulary learning (Sennrich et al. 2016) — the tokenizer-
@@ -7169,6 +7249,43 @@ def bpe_merges(spark, sf_dir):
         .limit(1500)
     )
     return learn_bpe(wf, num_merges=6)
+
+
+@q("bpe_encode_words", _bpe_encode_sql())
+def bpe_encode_words(spark, sf_dir):
+    """BPE APPLICATION (`functions/bpe.bpe_encode`, the Arrow-batched
+    pandas_udf) driver-signed end-to-end: learn the 6 merges, then
+    encode the 150 most frequent short words and emit each word's
+    subword count + segmentation. The oracle replays learning with the
+    `bpe_merges` CTEs, then PRIORITY encoding as unrolled rounds — each
+    round one full greedy pass of the lowest-rank adjacent merge,
+    exactly `encode_word`'s loop; word length ≤ 12 bounds the rounds.
+    This closes the last un-signed Arrow kernel (LSH signs and aHash
+    were signed in r3/r4)."""
+    from hobbes_spark.functions.bpe import bpe_encode, learn_bpe, word_frequencies
+
+    docs = _t(spark, sf_dir, "documents").df
+    wf = (
+        word_frequencies(docs, "text")
+        .filter(~F.col("word").contains("\x1f"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(1500)
+        .localCheckpoint(eager=True)  # two consumers: learner + word list
+    )
+    merges = sorted(learn_bpe(wf, num_merges=6).collect(), key=lambda r: r["rank"])
+    pairs = [(r["lhs"], r["rhs"]) for r in merges]
+    words = (
+        wf.filter(F.length("word") <= 12)
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(150)
+        .select("word")
+    )
+    enc = bpe_encode(words, "word", pairs, out_col="toks")
+    return enc.select(
+        "word",
+        F.size("toks").cast("int").alias("n_subwords"),
+        F.concat_ws(" ", "toks").alias("subwords"),
+    ).orderBy("word")
 
 
 @q(
@@ -7231,8 +7348,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # queries, sorted by (last-signed round, name): code has churned
     # for 3-4 rounds since their last signature.
     # --- never signed (new in r6): the hand-computed-literal truth
-    #     pins for the two unrolled-oracle algorithms ---
-    "kmeans_fixture_exact", "pagerank_fixture_exact",
+    #     pins for the two unrolled-oracle algorithms, plus the BPE
+    #     encode gate (the last un-signed Arrow kernel) ---
+    "bpe_encode_words", "kmeans_fixture_exact", "pagerank_fixture_exact",
     # --- last signed in r2 (all 30 such queries) ---
     "ann_ivf_topk", "churned_customers", "date_parts",
     "dedup_components", "dense_ops", "each_max", "each_mean",
@@ -7251,7 +7369,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "dedup_spans", "dsir_weights", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
-    "hb_velocity_pivot",
 ]
 
 
