@@ -220,7 +220,9 @@ def sync_configurations(
     fan-out, `Program.fs:50-63`).
 
     Per node: cache hit → ``cached`` (nothing recomputed; bypassed by
-    ``force=True`` or a live fetcher without ``version``); else compute
+    ``force=True``, a live fetcher without ``version``, or any
+    dependency recomputed THIS sync — refreshed inputs invalidate the
+    chain even though live nodes keep their key); else compute
     + write parquet with up to ``max_retries`` attempts (the broker's
     requeue budget, `Broker.fs:243-246`); an exhausted or erroring node
     → ``failed`` with a dead-letter record (`Broker.fs:214-221`), and
@@ -277,7 +279,17 @@ def sync_configurations(
         path = os.path.join(cache_dir, key)
         started = time.perf_counter() - t0
         with key_lock:
-            fresh = force or cfg.is_live()
+            # recompute when forced, live, or any dependency was itself
+            # recomputed this sync ('done'): a live node refreshes its
+            # parquet UNDER THE SAME KEY, so a dependent's key hit would
+            # otherwise serve results over the stale inputs — the
+            # reference's Sync recomputes the whole chain after the
+            # collectors refresh (Program.fs:50-63)
+            with lock:
+                dep_refreshed = any(
+                    report.statuses.get(d) == "done" for d in deps
+                )
+            fresh = force or cfg.is_live() or dep_refreshed
             if not fresh and os.path.exists(os.path.join(path, "_SUCCESS")):
                 with lock:
                     report.statuses[name] = "cached"

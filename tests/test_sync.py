@@ -223,6 +223,26 @@ def test_live_fetcher_refreshes_and_version_pins(spark, tmp_path):
     got = read_cached(spark, cache, second.cache_keys["feed"])
     assert {r["k"] for r in got.collect()} == {"y", "z"}
 
+    # the refresh CASCADES: a dependent of the live node keeps its own
+    # cache key, so a key hit would serve a join over STALE inputs —
+    # it must recompute whenever its dependency recomputed this sync
+    dims = "provider: localdata\ncolumns: k label\nrows:\n  - [\"y\", \"why\"]\n  - [\"z\", \"zed\"]\n\n\nonly true\n"
+    chain = [
+        Configuration("feed", program=prog, fetcher=fetch),
+        Configuration("dims", program=dims),
+        Configuration("joined", join=("feed", "dims", "k")),
+    ]
+    sync_configurations(spark, chain, cache)
+    feed["body"] = '{"value": [{"k": "z", "n": 9}]}'
+    again2 = sync_configurations(spark, chain, cache)
+    assert again2.statuses == {"feed": "done", "dims": "cached", "joined": "done"}
+    joined = read_cached(spark, cache, again2.cache_keys["joined"])
+    # outer join (§2.5): unmatched dim row 'y' survives with NULL n;
+    # the stale first-sync feed rows (y:2, z:3) must be gone
+    assert {(r["k"], r["n"], r["label"]) for r in joined.collect()} == {
+        ("z", 9, "zed"), ("y", None, "why")
+    }
+
     pinned = [Configuration("feed2", program=prog, fetcher=fetch, version="v1")]
     sync_configurations(spark, pinned, cache)
     again = sync_configurations(spark, pinned, cache)
