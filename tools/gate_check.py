@@ -10,7 +10,7 @@ Differences from tests/test_oracle_parity.py (the fast dev loop):
   Spark BIGINT ("42") — the exact class of bug the driver's value hash
   catches and the lenient snapshot masked (group_all_sum, round 1).
 
-Usage: python tools/gate_check.py [sf_dir] [query ...]
+Usage: python tools/gate_check.py [sf_dir] [query ...|--window]
 """
 
 import math
@@ -64,6 +64,11 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+
+    # --window: the exact 50 entries the driver will sign this round
+    if only == {"--window"}:
+        only = set(list(QUERIES)[:50])
+        print(f"gate: --window -> first {len(only)} catalog entries")
 
     # a typo'd filter name must not produce a false green: a gate that
     # "passes" having checked nothing is worse than one that fails
