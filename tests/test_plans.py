@@ -69,15 +69,19 @@ def test_pivot_aggregates_partially(spark, sf_dir):
     assert "partial_" in plan
 
 
-# The ONLY sanctioned Python in a query path: the embedding-LSH sign
-# computation, one Arrow-batched numpy matmul (dense linear algebra —
-# structurally slower as an interpreted higher-order-function tree;
-# see similarity.hyperplane_signs_arrow). Row-at-a-time Python stays
+# The ONLY sanctioned Python in a query path: Arrow-batched kernels
+# whose per-element logic genuinely can't stay JVM-side — the
+# embedding-LSH sign matmul (dense linear algebra; structurally slower
+# as an interpreted higher-order-function tree, see
+# similarity.hyperplane_signs_arrow) and BPE encoding (priority merge
+# application is inherently per-word sequential over ~10k ordered
+# merges, see functions/bpe.bpe_encode). Row-at-a-time Python stays
 # banned everywhere.
 ARROW_MATMUL_QUERIES = {
     "embedding_neardup_lsh",
     "semantic_dedup_keep",
     "ann_lsh_topk",
+    "bpe_encode_words",
 }
 
 # The only sanctioned BroadcastNestedLoopJoins: a broadcast side that
