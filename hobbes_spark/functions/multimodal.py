@@ -188,8 +188,11 @@ def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
                 or color_type not in (0, 2, 3, 4, 6)
                 or (color_type == 3 and plte is None)
                 # allocation guard: a crafted IHDR can declare 2^31
-                # pixels — refusing beats OOMing an executor on one row
-                or width * height > (1 << 26)
+                # pixels — refusing beats OOMing an executor on one row.
+                # 2^22 (~2048x2048) bounds the pure-Python unfilter loop
+                # to ~1 s and the pixel list to ~32 MB; every consumer
+                # downsamples to a thumbnail anyway
+                or width * height > (1 << 22)
             ):
                 return None
             channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]

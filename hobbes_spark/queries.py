@@ -5384,9 +5384,9 @@ def media_phash_pairs(spark, sf_dir):
     BMP round-trip (encode r=g=b, decode top-down, luma(v,v,v)=v,
     8×8→8×8 resample identity) reproduces the 64 planted values
     exactly."""
-    import struct as _struct
-
-    from hobbes_spark.functions.multimodal import ahash_images, phash_near_pairs
+    from hobbes_spark.functions.multimodal import (
+        ahash_images, encode_bmp_gray, phash_near_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents").df
     gs_row = F.broadcast(
@@ -5399,13 +5399,10 @@ def media_phash_pairs(spark, sf_dir):
     )
     g = F.expr("doc_id % __gs")
     v = F.expr("doc_id div __gs")
-    # 54-byte BMP header: 8x8, 24bpp, uncompressed, NEGATIVE height =
-    # top-down rows, so file pixel order equals the j=0..63 plant order
-    bmp_header = (
-        b"BM"
-        + _struct.pack("<IHHI", 54 + 192, 0, 0, 54)
-        + _struct.pack("<IiiHHIIiiII", 40, 8, -8, 1, 24, 0, 192, 0, 0, 0, 0)
-    )
+    # 54-byte BMP header (8x8, 24bpp, uncompressed, top-down rows so
+    # file pixel order equals the j=0..63 plant order) — taken from the
+    # encoder itself so the layout can never diverge from decode_pixels
+    bmp_header = encode_bmp_gray(8, 8, [0] * 64)[:54]
     # build header + 64 BGR pixel triplets as hex → unhex (pure
     # expressions; gray pixels so the triplet repeats one byte 3x)
     parts = [F.lit(bmp_header.hex().upper())]
@@ -7173,12 +7170,17 @@ def _bpe_encode_sql(
     learn = learn[:cut]
 
     sep = "chr(31)"
+    # scalar subqueries, NOT a cross join of m0..m{n-1}: if learning
+    # stops early (some m{k} empty) a cross join would empty mm and
+    # every encode round, while a scalar subquery yields NULL — the
+    # adjacency probe contains(.., NULL) is NULL, so that merge is a
+    # no-op, matching the Spark side's shorter merge list
     mm_cols = ", ".join(
-        f"m{k}.lhs AS l{k}, m{k}.rhs AS r{k}" for k in range(num_merges)
+        f"(SELECT lhs FROM m{k}) AS l{k}, (SELECT rhs FROM m{k}) AS r{k}"
+        for k in range(num_merges)
     )
-    mm_from = ", ".join(f"m{k}" for k in range(num_merges))
     sql = [learn, f""",
-    mm AS MATERIALIZED (SELECT {mm_cols} FROM {mm_from}),
+    mm AS MATERIALIZED (SELECT {mm_cols}),
     w0 AS MATERIALIZED (
       SELECT word FROM top WHERE length(word) <= {max_len}
       ORDER BY freq DESC, word LIMIT {top_words}
@@ -7362,7 +7364,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rename_recreate", "repeat_customers", "rollup_revenue",
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_tumbling_counts", "token_frequencies", "weekday_counts",
-    # --- last signed in r3 (the 20 alphabetically-first) ---
+    # --- last signed in r3 (the 17 alphabetically-first: 3 never-
+    #     signed + 30 r2 + 17 r3 = the 50-slot window) ---
     "ann_lsh_topk", "asof_attribution", "bloom_decontaminate",
     "chunk_docs", "classifier_scores", "cohort_retention",
     "contamination_report", "daily_value_delta", "dedup_paragraphs",

@@ -290,8 +290,17 @@ def read_azdo_commits(
                 organization, project, repo_id,
                 top=top, skip=max_pages_per_repo * top, api_version=api_version,
             )
-            body = fetcher(url)
-            if (_json.loads(body) or {}).get("value"):
+            try:
+                more = bool((_json.loads(fetcher(url)) or {}).get("value"))
+            except Exception as e:  # probe failed: can't PROVE the feed ended
+                raise ValueError(
+                    f"repository {repo_id!r} hit max_pages_per_repo="
+                    f"{max_pages_per_repo} on a full page and the confirming "
+                    f"probe at skip={max_pages_per_repo * top} failed ({e}); "
+                    "cannot prove the feed ended — raise the cap or fix the "
+                    "probe rather than risk a silently truncated commit stream"
+                ) from e
+            if more:
                 raise ValueError(
                     f"repository {repo_id!r} still returned full pages after "
                     f"max_pages_per_repo={max_pages_per_repo} "

@@ -131,16 +131,29 @@ class SyncReport:
 
 
 def _tables_fingerprint(tables: Mapping[str, DataFrame] | None) -> str:
-    """Content-identity of the inline tables without running a job:
-    ``semanticHash`` covers the LocalRelation's embedded rows (inline
-    providers) or the scan's file set, plus the schema. Different
-    inline data → different fingerprint → different cache key."""
+    """Content-identity of the inline tables. A LOCAL frame (inline
+    rows — the ``localdata`` provider case) fingerprints its actual
+    collected content, so two different inline datasets can never share
+    a cache key (a 32-bit ``semanticHash`` alone could collide).
+    Non-local frames fall back to the plan's ``semanticHash`` + schema
+    — zero-job, identifies the source by its scan; callers with
+    mutable external storage should stamp ``version`` (and the hash is
+    not guaranteed stable across Spark upgrades — ``force=True``
+    refreshes a cache whose keys have rotated)."""
     if not tables:
         return ""
-    return "\x1f".join(
-        f"{name}={tables[name].semanticHash()}:{tables[name].schema.simpleString()}"
-        for name in sorted(tables)
-    )
+    parts = []
+    for name in sorted(tables):
+        df = tables[name]
+        schema = df.schema.simpleString()
+        if df.isLocal():  # inline rows: bounded by construction
+            content = hashlib.md5(
+                repr([tuple(r) for r in df.collect()]).encode()
+            ).hexdigest()
+            parts.append(f"{name}=rows:{content}:{schema}")
+        else:
+            parts.append(f"{name}=plan:{df.semanticHash()}:{schema}")
+    return "\x1f".join(parts)
 
 
 def _key_of(cfg: Configuration, child_keys: Mapping[str, str]) -> str:

@@ -44,8 +44,14 @@ def _snapshot(pdf):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    # sf_dir is optional: `gate_check.py --window` / `gate_check.py q1`
+    # must not eat the first operand as a directory
+    if args and not args[0].startswith("--") and os.path.isdir(args[0]):
+        sf_dir, args = args[0], args[1:]
+    else:
+        sf_dir = "/root/testdata/sf0.01"
+    only = set(args)
 
     from pyspark.sql import SparkSession
 
@@ -66,9 +72,10 @@ def main():
         )
 
     # --window: the exact 50 entries the driver will sign this round
-    if only == {"--window"}:
-        only = set(list(QUERIES)[:50])
-        print(f"gate: --window -> first {len(only)} catalog entries")
+    # (combinable with explicit names)
+    if "--window" in only:
+        only = (only - {"--window"}) | set(list(QUERIES)[:50])
+        print(f"gate: --window -> {len(only)} entries")
 
     # a typo'd filter name must not produce a false green: a gate that
     # "passes" having checked nothing is worse than one that fails
