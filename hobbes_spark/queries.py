@@ -3848,6 +3848,82 @@ def group_sample_docs(spark, sf_dir):
     return group_sample(docs, ["source"], "doc_id", k=3, seed=0, hash_fn="md5")
 
 
+def _pq_sql(levels: int = 16, n_queries: int = 3, k: int = 10) -> str:
+    """Replay of the PQ quantile-codebook pipeline: per-dim interpolated
+    percentiles (rounded half-up to 6 dp, so both engines iterate over
+    IDENTICAL codebooks — the kmeans_lloyd recipe), first-match nearest-
+    code assignment, codebook reconstruction, and the in-order squared-
+    L2 fold (list_reduce ≡ Spark's F.aggregate: 0.0 + e1 == e1)."""
+    ps = ", ".join(str((2 * i + 1) / (2.0 * levels)) for i in range(levels))
+    r6 = "FLOOR({} * 1e6 + 0.5) / 1e6"
+    deltas = "list_transform(cb[d], c -> abs(v[d] - c))"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    expl AS (
+      SELECT t.i - 1 AS dim, v[t.i] AS x
+      FROM v, UNNEST(range(1, len(v) + 1)) AS t(i)
+    ),
+    cb1 AS (
+      SELECT dim,
+             list_transform(quantile_cont(x, [{ps}]),
+                            q -> {r6.format('q')}) AS codes
+      FROM expl GROUP BY dim
+    ),
+    cbs AS (SELECT list(codes ORDER BY dim) AS cb FROM cb1),
+    enc AS (
+      SELECT vec_id, v,
+        list_transform(range(1, len(v) + 1), d ->
+          list_position({deltas}, list_min({deltas}))) AS code1
+      FROM v CROSS JOIN cbs
+    ),
+    recon AS (
+      SELECT vec_id,
+             list_transform(range(1, len(code1) + 1), d -> cb[d][code1[d]]) AS r
+      FROM enc CROSS JOIN cbs
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+        {r6.format("list_reduce(list_transform(range(1, len(r) + 1), d -> (qv[d] - r[d]) * (qv[d] - r[d])), (a, b) -> a + b)")} AS dist
+      FROM q CROSS JOIN recon
+    )
+    SELECT query_id, neighbor_id, dist, CAST(rnk AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@q("pq_adc_search", _pq_sql())
+def pq_adc_search(spark, sf_dir):
+    """PQ-style compressed vector search (similarity.pq_codebooks /
+    pq_encode / pq_adc_topk): per-dimension quantile codebooks (16
+    levels = 4 bits/component, an 8× shrink vs float32 — twice
+    `quantize_error_stats`' int8 path), encode the corpus, then
+    asymmetric-distance top-10 for 3 float queries against the
+    RECONSTRUCTED corpus — the scan touches only the code table, the
+    PQ search contract at 100 TB. Codebooks are driver-collected
+    (one job, L×D doubles — the kmeans-centroid precedent) and rounded
+    half-up to 6 dp so the DuckDB twin replays codebook → codes →
+    fold-ordered distances bit-for-bit."""
+    from hobbes_spark.functions.similarity import (
+        pq_adc_topk, pq_codebooks, pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").df.filter(
+        F.col("embedding").isNotNull()
+    )
+    books = pq_codebooks(emb, levels=16)
+    enc = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return pq_adc_topk(enc, queries, books, k=10).orderBy("query_id", "rank")
+
+
 @q(
     "quantize_error_stats",
     f"""
@@ -7353,6 +7429,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     #     pins for the two unrolled-oracle algorithms, plus the BPE
     #     encode gate (the last un-signed Arrow kernel) ---
     "bpe_encode_words", "kmeans_fixture_exact", "pagerank_fixture_exact",
+    "pq_adc_search",
     # --- last signed in r2 (all 30 such queries) ---
     "ann_ivf_topk", "churned_customers", "date_parts",
     "dedup_components", "dense_ops", "each_max", "each_mean",
@@ -7364,14 +7441,14 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rename_recreate", "repeat_customers", "rollup_revenue",
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_tumbling_counts", "token_frequencies", "weekday_counts",
-    # --- last signed in r3 (the 17 alphabetically-first: 3 never-
-    #     signed + 30 r2 + 17 r3 = the 50-slot window) ---
+    # --- last signed in r3 (the 16 alphabetically-first: 4 never-
+    #     signed + 30 r2 + 16 r3 = the 50-slot window) ---
     "ann_lsh_topk", "asof_attribution", "bloom_decontaminate",
     "chunk_docs", "classifier_scores", "cohort_retention",
     "contamination_report", "daily_value_delta", "dedup_paragraphs",
     "dedup_spans", "dsir_weights", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
-    "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
+    "epoch_shuffle_order", "group_percentiles",
 ]
 
 

@@ -1653,3 +1653,46 @@ def test_winsorize_dot_path_value_col(spark):
     assert got[1]["clipped"] == pytest.approx(5.95)
     assert got[1]["was_clipped"] is True
     assert got[50]["was_clipped"] is False
+
+
+def test_pq_encode_reconstruct_and_topk(spark):
+    """PQ quantile codebooks (similarity.pq_*): nearest-code assignment
+    with ties to the lowest index, exact reconstruction for on-codebook
+    values, and ADC top-k that ranks the true nearest first on
+    well-separated data."""
+    from hobbes_spark.functions.similarity import (
+        pq_adc_topk, pq_codebooks, pq_encode, pq_reconstruct,
+    )
+
+    # 1-D corpus spanning [0, 15]: 16-level quantile codebook over the
+    # 16 distinct values lands one level per value -> exact codes
+    rows = [(i, [float(i % 16), float((i * 7) % 16)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_codebooks(df, levels=16)
+    assert len(books) == 2 and all(len(b) == 16 for b in books)
+    assert books[0] == sorted(books[0])  # ascending levels
+    enc = pq_encode(df, books)
+    rec = enc.select(
+        "vec_id", "embedding", pq_reconstruct("pq", books).alias("r")
+    ).collect()
+    for r in rec:
+        # every component sits ON a codebook entry: reconstruction exact
+        for orig, back in zip(r["embedding"], r["r"]):
+            assert back == pytest.approx(float(orig), abs=1e-9)
+    # ADC: the query equals vec 5's vector -> vec 5 at distance 0, rank 1
+    q = df.filter(F.col("vec_id") == 5)
+    top = pq_adc_topk(enc, q, books, k=3).collect()
+    assert top[0]["neighbor_id"] == 5 and top[0]["dist"] == 0.0
+    assert [t["rank"] for t in top] == [1, 2, 3]
+
+
+def test_pq_tie_breaks_to_lowest_code(spark):
+    """A value equidistant from two codebook entries must take the
+    LOWER code (first-match array_position) — the determinism the
+    oracle replays."""
+    from hobbes_spark.functions.similarity import pq_encode
+
+    df = spark.createDataFrame([(1, [5.0])], "vec_id long, embedding array<float>")
+    # handcrafted codebook: 5.0 is equidistant from 4.0 and 6.0
+    out = pq_encode(df, [[4.0, 6.0]]).first()["pq"]
+    assert out == [0]

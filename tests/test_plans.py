@@ -100,6 +100,9 @@ BNLJ_ALLOWED = {
     "tpch_q20_promotion", "tpch_q22_opportunity",
     # bounded-small broadcast sides (see comment above)
     "cosine_topk", "embedding_neardup_exact", "ann_ivf_topk",
+    # PQ ADC: the broadcast side is the query SET (small by definition);
+    # the corpus side scans only id + codes — the compressed-search shape
+    "pq_adc_search",
 }
 
 # cosine_topk is the documented brute-force baseline: its broadcast
