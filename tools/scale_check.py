@@ -536,6 +536,24 @@ def main():
             "doc_id", F.size("bpe_tokens").alias("n_subwords")
         )
 
+    _pq_state: dict = {}
+
+    def pq_adc(emb):
+        from hobbes_spark.functions.similarity import (
+            pq_adc_topk, pq_codebooks, pq_encode,
+        )
+
+        if "books" not in _pq_state:
+            # codebooks built once from the 1x corpus (one job, L×D
+            # doubles); first call is the untimed warm run
+            _pq_state["books"] = pq_codebooks(
+                em1.filter(F.col("embedding").isNotNull())
+            )
+        books = _pq_state["books"]
+        enc = pq_encode(emb.filter(F.col("embedding").isNotNull()), books)
+        qs = em1.filter(F.col("vec_id") < 3)
+        return pq_adc_topk(enc, qs, books, k=10)
+
     cases.update(
         {
             "boilerplate_lines": (boilerplate, do1, doN),
@@ -543,6 +561,7 @@ def main():
             "kmv_quantile_sketch": (kmv_sketch, ev1, evN),
             "bpe_word_freq": (bpe_word_freq, do1, doN),
             "bpe_encode": (bpe_encode_shape, do1, doN),
+            "pq_adc_search": (pq_adc, em1, emN),
         }
     )
 
