@@ -23,7 +23,7 @@ from dataclasses import dataclass
 from functools import wraps as _wraps
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hobbes_spark import expressions as E
@@ -3848,12 +3848,15 @@ def group_sample_docs(spark, sf_dir):
     return group_sample(docs, ["source"], "doc_id", k=3, seed=0, hash_fn="md5")
 
 
-def _pq_sql(levels: int = 16, n_queries: int = 3, k: int = 10) -> str:
+def _pq_core_sql(levels: int = 16, n_queries: int = 3, k: int = 10) -> str:
     """Replay of the PQ quantile-codebook pipeline: per-dim interpolated
     percentiles (rounded half-up to 6 dp, so both engines iterate over
     IDENTICAL codebooks — the kmeans_lloyd recipe), first-match nearest-
     code assignment, codebook reconstruction, and the in-order squared-
-    L2 fold (list_reduce ≡ Spark's F.aggregate: 0.0 + e1 == e1)."""
+    L2 fold (list_reduce ≡ Spark's F.aggregate: 0.0 + e1 == e1). Ends
+    with the ``ranked`` CTE (top-``k`` per query by rounded ADC
+    distance) so callers append either the plain projection
+    (`_pq_sql`) or the exact-rerank tail (`_pq_rerank_sql`)."""
     ps = ", ".join(str((2 * i + 1) / (2.0 * levels)) for i in range(levels))
     r6 = "FLOOR({} * 1e6 + 0.5) / 1e6"
     deltas = "list_transform(cb[d], c -> abs(v[d] - c))"
@@ -3889,11 +3892,48 @@ def _pq_sql(levels: int = 16, n_queries: int = 3, k: int = 10) -> str:
       SELECT query_id, vec_id AS neighbor_id,
         {r6.format("list_reduce(list_transform(range(1, len(r) + 1), d -> (qv[d] - r[d]) * (qv[d] - r[d])), (a, b) -> a + b)")} AS dist
       FROM q CROSS JOIN recon
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, dist, CAST(rnk AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {k}
+    )"""
+
+
+def _pq_sql(levels: int = 16, n_queries: int = 3, k: int = 10) -> str:
+    """ADC-only PQ search oracle (see `_pq_core_sql`)."""
+    return f"""{_pq_core_sql(levels, n_queries, k)}
+    SELECT query_id, neighbor_id, dist, rank FROM ranked
+    ORDER BY query_id, rank
+    """
+
+
+def _pq_rerank_sql(
+    levels: int = 16, n_queries: int = 3, shortlist: int = 40, k: int = 10
+) -> str:
+    """Quantized-shortlist + exact-rerank oracle: the ADC ranking keeps
+    ``shortlist`` candidates per query (deterministic — rounded ADC
+    distance + id tie-break, the identical shortlist both engines);
+    exact squared L2 over the RAW doubles then re-ranks the final
+    ``k``. Same in-order fold as the ADC stage."""
+    r6 = "FLOOR({} * 1e6 + 0.5) / 1e6"
+    exact = r6.format(
+        "list_reduce(list_transform(range(1, len(cand.v) + 1), "
+        "d -> (q.qv[d] - cand.v[d]) * (q.qv[d] - cand.v[d])), (a, b) -> a + b)"
+    )
+    return f"""{_pq_core_sql(levels, n_queries, shortlist)},
+    exact AS (
+      SELECT rk.query_id, rk.neighbor_id, {exact} AS dist
+      FROM ranked rk
+      JOIN q ON q.query_id = rk.query_id
+      JOIN v cand ON cand.vec_id = rk.neighbor_id
     )
     SELECT query_id, neighbor_id, dist, CAST(rnk AS INTEGER) AS rank FROM (
       SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
-      FROM scored
+      FROM exact
     ) WHERE rnk <= {k}
     ORDER BY query_id, rank
     """
@@ -3922,6 +3962,53 @@ def pq_adc_search(spark, sf_dir):
     enc = pq_encode(emb, books)
     queries = emb.filter(F.col("vec_id") < 3)
     return pq_adc_topk(enc, queries, books, k=10).orderBy("query_id", "rank")
+
+
+@q("pq_rerank_topk", _pq_rerank_sql())
+def pq_rerank_topk(spark, sf_dir):
+    """The canonical compressed-search pipeline: PQ ADC shortlists 40
+    candidates per query from the 8×-smaller code table, then ONLY the
+    shortlist's raw floats are fetched for an exact squared-L2 rerank
+    of the final 10 — at 100 TB the float store is touched for 40 rows
+    per query instead of scanned. Both stages deterministic (rounded
+    distance + id tie-breaks), so the oracle replays codebooks →
+    ADC shortlist → exact rerank bit-for-bit."""
+    from hobbes_spark.functions.similarity import (
+        pq_adc_topk, pq_codebooks, pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").df.filter(
+        F.col("embedding").isNotNull()
+    )
+    books = pq_codebooks(emb, levels=16)
+    enc = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 3)
+    short = pq_adc_topk(enc, queries, books, k=40).select(
+        "query_id", "neighbor_id"
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__qv"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__cv"),
+    )
+    exact = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", _r(exact, 6).alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "dist", "rank")
+        .orderBy("query_id", "rank")
+    )
 
 
 @q(
@@ -7429,7 +7516,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     #     pins for the two unrolled-oracle algorithms, plus the BPE
     #     encode gate (the last un-signed Arrow kernel) ---
     "bpe_encode_words", "kmeans_fixture_exact", "pagerank_fixture_exact",
-    "pq_adc_search",
+    "pq_adc_search", "pq_rerank_topk",
     # --- last signed in r2 (all 30 such queries) ---
     "ann_ivf_topk", "churned_customers", "date_parts",
     "dedup_components", "dense_ops", "each_max", "each_mean",
@@ -7441,14 +7528,14 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rename_recreate", "repeat_customers", "rollup_revenue",
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_tumbling_counts", "token_frequencies", "weekday_counts",
-    # --- last signed in r3 (the 16 alphabetically-first: 4 never-
-    #     signed + 30 r2 + 16 r3 = the 50-slot window) ---
+    # --- last signed in r3 (the 15 alphabetically-first: 5 never-
+    #     signed + 30 r2 + 15 r3 = the 50-slot window) ---
     "ann_lsh_topk", "asof_attribution", "bloom_decontaminate",
     "chunk_docs", "classifier_scores", "cohort_retention",
     "contamination_report", "daily_value_delta", "dedup_paragraphs",
     "dedup_spans", "dsir_weights", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
-    "epoch_shuffle_order", "group_percentiles",
+    "epoch_shuffle_order",
 ]
 
 

@@ -102,7 +102,7 @@ BNLJ_ALLOWED = {
     "cosine_topk", "embedding_neardup_exact", "ann_ivf_topk",
     # PQ ADC: the broadcast side is the query SET (small by definition);
     # the corpus side scans only id + codes — the compressed-search shape
-    "pq_adc_search",
+    "pq_adc_search", "pq_rerank_topk",
 }
 
 # cosine_topk is the documented brute-force baseline: its broadcast
