@@ -47,6 +47,7 @@ __all__ = [
     "decontaminate",
     "contamination_report",
     "repetition_stats",
+    "gopher_quality_stats",
     "chunk_documents",
     "pack_documents",
     "unigram_logprob_scores",
@@ -660,6 +661,117 @@ def repetition_stats(
         )
         .drop("__id", "__top", "__nb")
     )
+
+
+def gopher_quality_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    required_stopwords: Sequence[str] = (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ),
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021 §A1.1), one row
+    per document — the non-repetition half of the filter the reference
+    corpus pipelines apply before training (repetition lives in
+    :func:`repetition_stats`). Default thresholds are Gopher's own:
+
+    * ``word_count`` in [``min_words``, ``max_words``] (50..100k);
+    * ``mean_word_len`` in [3, 10] characters;
+    * ``symbol_word_ratio`` ≤ 0.1 — ``#`` and ellipsis (``...`` /
+      ``…``) occurrences over words;
+    * ``bullet_line_frac`` ≤ 0.9 — lines starting with a bullet;
+    * ``ellipsis_line_frac`` ≤ 0.3 — lines ending with an ellipsis;
+    * ``alpha_word_frac`` ≥ 0.8 — words containing ≥1 letter;
+    * ``stopword_hits`` ≥ 2 — distinct required stopwords present
+      (Gopher's "2 of the 8 common English words" rule; the list is a
+      parameter because it is corpus-language-bound).
+
+    ``keep_quality`` is the conjunction. Everything is per-document
+    codegen arithmetic over two staged arrays (tokens, lines) — no
+    shuffle, no UDF; the filter runs where the scan runs, the only
+    acceptable posture for a rule applied to every document of a
+    100 TB corpus. Empty/NULL text yields zero ratios and
+    ``keep_quality = false`` (word count 0 < ``min_words``), matching
+    the DuckDB oracle twin in ``hobbes_spark.queries`` bit-for-bit.
+    """
+    src = c(text_col)
+    raw = F.coalesce(src, F.lit(""))
+    staged = df.withColumn("__gt", tokens(F.lower(src))).withColumn(
+        "__gl", F.split(raw, "\n")
+    )
+    toks, lns = F.col("__gt"), F.col("__gl")
+    sz = F.size(toks)
+    nl = F.size(lns)
+    char_sum = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+    )
+    mean_len = F.coalesce(char_sum / F.nullif(sz, F.lit(0)), F.lit(0.0))
+    # occurrence counts via length-delta (a char-table scan, no regex);
+    # replace() consumes non-overlapping leftmost matches in both
+    # engines, so '....' counts one '...' here and in the oracle
+    hash_hits = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    ell_hits = (
+        F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))
+    ) / 3.0 + (F.length(raw) - F.length(F.replace(raw, F.lit("…"), F.lit(""))))
+    sym_ratio = F.coalesce(
+        (hash_hits + ell_hits) / F.nullif(sz, F.lit(0)), F.lit(0.0)
+    )
+    bullet_frac = F.coalesce(
+        F.size(F.filter(lns, lambda l: F.ltrim(l).rlike(r"^[•‣▪\-\*]")))
+        / F.nullif(nl, F.lit(0)),
+        F.lit(0.0),
+    )
+    ell_line_frac = F.coalesce(
+        F.size(F.filter(lns, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+        / F.nullif(nl, F.lit(0)),
+        F.lit(0.0),
+    )
+    # tokens are lowercased, so [a-z] == "contains an (ASCII) letter";
+    # the oracle uses the identical class — non-Latin scripts would
+    # need a wider class on BOTH sides, in lockstep
+    alpha_frac = F.coalesce(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        / F.nullif(sz, F.lit(0)),
+        F.lit(0.0),
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in required_stopwords]),
+        )
+    ).cast("bigint")
+    out = (
+        staged.withColumn("word_count", sz.cast("bigint"))
+        .withColumn("mean_word_len", mean_len)
+        .withColumn("symbol_word_ratio", sym_ratio)
+        .withColumn("bullet_line_frac", bullet_frac)
+        .withColumn("ellipsis_line_frac", ell_line_frac)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn("stopword_hits", stop_hits)
+    )
+    keep = (
+        (F.col("word_count") >= min_words)
+        & (F.col("word_count") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return out.withColumn("keep_quality", keep).drop("__gt", "__gl")
 
 
 def chunk_documents(

@@ -37,6 +37,9 @@ __all__ = [
     "pq_encode",
     "pq_reconstruct",
     "pq_adc_topk",
+    "ivf_pq_build",
+    "ivf_pq_search",
+    "ivf_pq_topk",
 ]
 
 
@@ -482,29 +485,14 @@ def ivf_read(spark, index_dir: str) -> "tuple[DataFrame, DataFrame]":
     )
 
 
-def ivf_search(
-    assigned: DataFrame,
-    centroids: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 10,
-    nprobe: int = 4,
-) -> DataFrame:
-    """Search a built IVF index: each query ranks the (broadcast)
-    centroids, probes its ``nprobe`` nearest cells, and reranks exactly
-    inside them — a keyed equi-join touching ~nprobe/nlist of the
-    corpus, pruned to those cells' directories when the index was
-    written partitioned by cell. Returns (query_id, neighbor_id, cos,
-    rank)."""
-    q = queries.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    # centroids live in normalized space (ivf_build) — normalize the
-    # query before ranking cells so probe order is cosine order; the
-    # rerank below still uses the raw query vector (cosine is
-    # scale-invariant anyway)
-    qcells = (
+def _probe_cells(q: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
+    """Each query's ``nprobe`` nearest coarse cells: ``(query_id, qv,
+    cell)``. Centroids live in normalized space (ivf_build) — the query
+    is normalized before ranking cells so probe order is cosine order;
+    the caller's rerank still sees the raw query vector (cosine is
+    scale-invariant anyway, and PQ-ADC reranks in raw space on purpose).
+    The centroid table is nlist rows — always broadcast."""
+    return (
         q.withColumn("__qu", _unit(F.col("qv")))
         .crossJoin(F.broadcast(centroids))
         .withColumn(
@@ -528,6 +516,27 @@ def ivf_search(
         .filter(F.col("cr") <= nprobe)
         .select("query_id", "qv", "cell")
     )
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search a built IVF index: each query ranks the (broadcast)
+    centroids, probes its ``nprobe`` nearest cells, and reranks exactly
+    inside them — a keyed equi-join touching ~nprobe/nlist of the
+    corpus, pruned to those cells' directories when the index was
+    written partitioned by cell. Returns (query_id, neighbor_id, cos,
+    rank)."""
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qcells = _probe_cells(q, centroids, nprobe)
     joined = (
         assigned.select(
             F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
@@ -757,4 +766,117 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dist", "rank")
+    )
+
+
+def ivf_pq_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    levels: int = 16,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> "tuple[DataFrame, DataFrame, list[list[float]]]":
+    """Build the IVF-PQ index — the canonical billion-vector layout
+    (Jégou et al. 2011): coarse k-means cells for pruning (IVF) over a
+    PQ-compressed code table for storage. Returns ``(encoded,
+    centroids, codebooks)`` where ``encoded`` is ``(id, cell, pq)`` —
+    the raw floats are DROPPED from the index: at 100 TB the float
+    store stays in cold storage and only the 8×-smaller code table is
+    ever scanned (fetch raw vectors separately for an exact rerank —
+    see ``pq_rerank_topk``'s pattern).
+
+    Codes quantize the RAW vectors (not cell residuals): distances then
+    reproduce :func:`pq_adc_topk` exactly, which is what makes the
+    nprobe=nlist configuration an exact replay oracle; residual
+    encoding would couple every code to its (MLlib-internal) centroid
+    and lose external reproducibility for a recall gain the gate can't
+    verify. Cell pruning semantics are unchanged either way.
+    """
+    assigned, centroids = ivf_build(
+        corpus, id_col, vec_col, nlist=nlist, seed=seed,
+        sample_fraction=sample_fraction,
+    )
+    books = pq_codebooks(assigned, vec_col="v", levels=levels)
+    encoded = pq_encode(assigned, books, vec_col="v", code_col="pq").select(
+        "id", "cell", "pq"
+    )
+    return encoded, centroids, books
+
+
+def ivf_pq_search(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    dp: int = 6,
+) -> DataFrame:
+    """Search an IVF-PQ index: rank the (broadcast) centroid table,
+    probe each query's ``nprobe`` nearest cells, and compute
+    asymmetric distances (float query vs codebook reconstruction)
+    ONLY inside those cells — a keyed equi-join touching ~nprobe/nlist
+    of the code table, pruned to those cells' directories when the
+    index was written partitioned by cell. Determinism matches
+    :func:`pq_adc_topk` (dp-rounded distance, id tie-break), and with
+    ``nprobe == nlist`` the result IS ``pq_adc_topk``'s, cell pruning
+    having become a no-op — the property the correctness gate pins.
+    Returns ``(query_id, neighbor_id, dist, rank)``."""
+    from hobbes_spark.operators.ml import _round_half_up
+
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    qcells = _probe_cells(q, centroids, nprobe)
+    recon = pq_reconstruct("pq", codebooks)
+    corpus = encoded.filter(F.col("pq").isNotNull()).select(
+        F.col("id").alias("neighbor_id"), F.col("cell"), recon.alias("__rv")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("__rv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus.join(F.broadcast(qcells), "cell").select(
+        "query_id", "neighbor_id", _round_half_up(dist, dp).alias("dist")
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    levels: int = 16,
+    seed: int = 42,
+    dp: int = 6,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k in one shot: build + search (see
+    :func:`ivf_pq_build` / :func:`ivf_pq_search`; production persists
+    the built index — ``encoded`` partitioned by cell via
+    ``ivf_write``'s layout, codebooks as a kilobyte sidecar — and
+    searches it many times). Returns (query_id, neighbor_id, dist,
+    rank)."""
+    encoded, centroids, books = ivf_pq_build(
+        corpus, id_col, vec_col, nlist=nlist, levels=levels, seed=seed,
+        sample_fraction=sample_fraction,
+    )
+    return ivf_pq_search(
+        encoded, centroids, queries, books,
+        id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe, dp=dp,
     )

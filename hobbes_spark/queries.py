@@ -2251,6 +2251,90 @@ def repetition_filter(spark, sf_dir):
     )
 
 
+_GOPHER_STOPS_SQL = "['the','a','an','of','and','to','in','is','it','that']"
+
+
+@q(
+    "gopher_quality",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS raw, {_TOKS_SQL} AS t,
+             string_split(coalesce(text, ''), chr(10)) AS ls
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, len(t) AS wc,
+        CASE WHEN len(t) > 0
+             THEN list_reduce(list_transform(t, x -> CAST(len(x) AS BIGINT)),
+                              (a, b) -> a + b) * 1.0 / len(t)
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(t) > 0
+             THEN ((len(raw) - len(replace(raw, '#', '')))
+                   + (len(raw) - len(replace(raw, '...', ''))) / 3.0
+                   + (len(raw) - len(replace(raw, '…', '')))) / len(t)
+             ELSE 0.0 END AS symbol_word_ratio,
+        CASE WHEN len(ls) > 0
+             THEN CAST(len(list_filter(ls, l ->
+                    regexp_matches(ltrim(l), '^[•‣▪\-\*]'))) AS DOUBLE) / len(ls)
+             ELSE 0.0 END AS bullet_line_frac,
+        CASE WHEN len(ls) > 0
+             THEN CAST(len(list_filter(ls, l ->
+                    regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE) / len(ls)
+             ELSE 0.0 END AS ellipsis_line_frac,
+        CASE WHEN len(t) > 0
+             THEN CAST(len(list_filter(t, x ->
+                    regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(t)
+             ELSE 0.0 END AS alpha_word_frac,
+        len(list_intersect(list_distinct(t), {_GOPHER_STOPS_SQL})) AS hits
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(wc AS BIGINT) AS word_count,
+           {_rsql('mean_word_len', 4)} AS mean_word_len,
+           {_rsql('symbol_word_ratio', 4)} AS symbol_word_ratio,
+           {_rsql('bullet_line_frac', 4)} AS bullet_line_frac,
+           {_rsql('ellipsis_line_frac', 4)} AS ellipsis_line_frac,
+           {_rsql('alpha_word_frac', 4)} AS alpha_word_frac,
+           CAST(hits AS BIGINT) AS stopword_hits,
+           CAST(CASE WHEN wc >= 50 AND wc <= 100000
+                      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                      AND symbol_word_ratio <= 0.1
+                      AND bullet_line_frac <= 0.9
+                      AND ellipsis_line_frac <= 0.3
+                      AND alpha_word_frac >= 0.8
+                      AND hits >= 2
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM m
+    """,
+)
+def gopher_quality(spark, sf_dir):
+    """The full Gopher quality-rule battery (Rae et al. 2021 §A1.1,
+    curation.gopher_quality_stats): word-count bounds, mean word
+    length, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, required-stopword hits, and the conjunction
+    flag. Per-document codegen arithmetic over two staged arrays — no
+    shuffle, no UDF; the production posture for a rule applied to every
+    document of the corpus. The keep flag compares UNROUNDED doubles in
+    both engines (display columns are rounded after the fact), so the
+    gate pins the thresholds themselves."""
+    from hobbes_spark.functions.curation import gopher_quality_stats
+    from hobbes_spark.functions.text import STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents").df
+    out = gopher_quality_stats(docs, required_stopwords=STOPWORDS)
+    return out.select(
+        "doc_id",
+        "word_count",
+        _r(F.col("mean_word_len"), 4).alias("mean_word_len"),
+        _r(F.col("symbol_word_ratio"), 4).alias("symbol_word_ratio"),
+        _r(F.col("bullet_line_frac"), 4).alias("bullet_line_frac"),
+        _r(F.col("ellipsis_line_frac"), 4).alias("ellipsis_line_frac"),
+        _r(F.col("alpha_word_frac"), 4).alias("alpha_word_frac"),
+        "stopword_hits",
+        F.col("keep_quality").cast("bigint").alias("keep"),
+    )
+
+
 @q(
     "pack_docs",
     rf"""
@@ -3937,6 +4021,31 @@ def _pq_rerank_sql(
     ) WHERE rnk <= {k}
     ORDER BY query_id, rank
     """
+
+
+@q("ivf_pq_topk", _pq_sql())
+def ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ search (similarity.ivf_pq_build/ivf_pq_search): the
+    canonical billion-vector ANN layout — coarse k-means cells prune
+    WHICH rows are scanned, PQ codes shrink WHAT is scanned 8×; the
+    raw floats never move. Gate configuration probes all cells
+    (nprobe = nlist), which by construction collapses cell pruning to
+    a no-op and makes the result exactly the full-scan ADC ranking —
+    so the DuckDB twin replays codebooks → codes → fold-ordered
+    distances, pinning the PQ arithmetic while MLlib's cell assignment
+    (deterministic but not SQL-replayable) cancels out. The
+    nprobe < nlist pruning path is pinned by recall/subset tests in
+    ``tests/test_skew_ivf.py``."""
+    from hobbes_spark.functions.similarity import ivf_pq_build, ivf_pq_search
+
+    emb = _t(spark, sf_dir, "embeddings").df.filter(
+        F.col("embedding").isNotNull()
+    )
+    encoded, centroids, books = ivf_pq_build(emb, nlist=8, levels=16)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivf_pq_search(
+        encoded, centroids, queries, books, k=10, nprobe=8
+    ).orderBy("query_id", "rank")
 
 
 @q("pq_adc_search", _pq_sql())
@@ -7513,9 +7622,11 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # queries, sorted by (last-signed round, name): code has churned
     # for 3-4 rounds since their last signature.
     # --- never signed (new in r6): the hand-computed-literal truth
-    #     pins for the two unrolled-oracle algorithms, plus the BPE
-    #     encode gate (the last un-signed Arrow kernel) ---
-    "bpe_encode_words", "kmeans_fixture_exact", "pagerank_fixture_exact",
+    #     pins for the two unrolled-oracle algorithms, the BPE encode
+    #     gate (the last un-signed Arrow kernel), the Gopher quality
+    #     battery, and the IVF-PQ composition ---
+    "bpe_encode_words", "gopher_quality", "ivf_pq_topk",
+    "kmeans_fixture_exact", "pagerank_fixture_exact",
     "pq_adc_search", "pq_rerank_topk",
     # --- last signed in r2 (all 30 such queries) ---
     "ann_ivf_topk", "churned_customers", "date_parts",
@@ -7528,14 +7639,13 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rename_recreate", "repeat_customers", "rollup_revenue",
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_tumbling_counts", "token_frequencies", "weekday_counts",
-    # --- last signed in r3 (the 15 alphabetically-first: 5 never-
-    #     signed + 30 r2 + 15 r3 = the 50-slot window) ---
+    # --- last signed in r3 (the 13 alphabetically-first: 7 never-
+    #     signed + 30 r2 + 13 r3 = the 50-slot window) ---
     "ann_lsh_topk", "asof_attribution", "bloom_decontaminate",
     "chunk_docs", "classifier_scores", "cohort_retention",
     "contamination_report", "daily_value_delta", "dedup_paragraphs",
     "dedup_spans", "dsir_weights", "duplicate_ngram_frac",
-    "embedding_neardup_exact", "embedding_neardup_lsh",
-    "epoch_shuffle_order",
+    "embedding_neardup_exact",
 ]
 
 

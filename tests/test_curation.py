@@ -679,3 +679,77 @@ def test_lang_scores_and_wordlike_total_on_null(spark):
         s["en"].alias("en"),
     ).collect()[0]
     assert row["w"] == 0 and row["zh"] == 0 and row["en"] == 0
+
+
+# --------------------------------------------------------------------- #
+# Gopher quality-rule battery (round 6)
+# --------------------------------------------------------------------- #
+
+
+def _gq(spark, rows, **kw):
+    from hobbes_spark.functions.curation import gopher_quality_stats
+
+    return {
+        r["doc_id"]: r
+        for r in gopher_quality_stats(_docs(spark, rows), **kw).collect()
+    }
+
+
+def test_gopher_word_count_and_stopword_rules(spark):
+    good = "the quick brown fox jumps over that lazy dog with vigor " * 6
+    rows = _gq(
+        spark,
+        [
+            (1, good, "w"),                      # 66 words, 3 stopword hits
+            (2, "five short words only here", "w"),  # < 50 words
+            (3, None, "w"),                      # NULL text
+        ],
+        min_stopword_hits=2,
+    )
+    assert rows[1]["word_count"] == 66
+    assert rows[1]["stopword_hits"] == 3  # the / that / with (distinct)
+    assert 3.0 <= rows[1]["mean_word_len"] <= 10.0
+    assert rows[1]["alpha_word_frac"] == 1.0
+    assert rows[1]["keep_quality"]
+    assert rows[2]["word_count"] == 5 and not rows[2]["keep_quality"]
+    assert rows[3]["word_count"] == 0
+    assert rows[3]["mean_word_len"] == 0.0
+    assert not rows[3]["keep_quality"]
+
+
+def test_gopher_line_and_symbol_signals(spark):
+    bullets = "- first item\n- second item\n- third item"
+    ellipses = "trailing thought...\nanother one…\nplain line"
+    symbols = "# # # only two words"
+    digits = "123 456 789"
+    rows = _gq(
+        spark,
+        [(1, bullets, "w"), (2, ellipses, "w"), (3, symbols, "w"), (4, digits, "w")],
+    )
+    assert rows[1]["bullet_line_frac"] == 1.0       # > 0.9 -> rule fails
+    assert not rows[1]["keep_quality"]
+    assert abs(rows[2]["ellipsis_line_frac"] - 2 / 3) < 1e-12
+    # '...' counts once per 3 chars; '#' once per char: 3 hashes over
+    # 6 whitespace tokens (the hashes themselves tokenize as words)
+    assert abs(rows[3]["symbol_word_ratio"] - 3 / 6) < 1e-12
+    assert rows[4]["alpha_word_frac"] == 0.0        # digit-only tokens
+    assert not rows[4]["keep_quality"]
+
+
+def test_gopher_mean_word_length_bounds(spark):
+    long_words = " ".join(["incomprehensibility"] * 60)   # mean 19 > 10
+    rows = _gq(spark, [(1, long_words, "w")])
+    assert rows[1]["word_count"] == 60
+    assert rows[1]["mean_word_len"] == 19.0
+    assert not rows[1]["keep_quality"]
+
+
+def test_gopher_custom_stopword_list(spark):
+    text = "alpha beta gamma " * 20  # 60 words, no English stopwords
+    base = _gq(spark, [(1, text, "w")])
+    assert base[1]["stopword_hits"] == 0 and not base[1]["keep_quality"]
+    custom = _gq(
+        spark, [(1, text, "w")],
+        required_stopwords=("alpha", "beta"), min_stopword_hits=2,
+    )
+    assert custom[1]["stopword_hits"] == 2 and custom[1]["keep_quality"]

@@ -206,3 +206,29 @@ def test_buckets_mean_small_series_parity(spark, tmp_path):
     got, exp = _mini_gate(spark, tmp_path, "buckets_mean", {"events": ev})
     assert got == exp
     assert len(got[1]) == 4  # one bucket per day, not one collapsed row
+
+
+def test_gopher_quality_edges_parity(spark, tmp_path):
+    """The driver corpus has no newlines, bullets, ellipses, '#'
+    symbols, or NULL texts, so the line/symbol rules are degenerate at
+    the main gate; this replays the catalog query AND its oracle over
+    documents that exercise every rule (incl. the '....' leftmost-match
+    and unicode-ellipsis corners) and demands byte-identical output."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over that lazy dog with it " * 6,
+             "en", "web", 0),
+            (2, "five short words only here", "en", "web", 0),
+            (3, None, "en", "web", 0),
+            (4, "", "en", "web", 0),
+            (5, "   ", "en", "web", 0),
+            (6, "- bullet one\n- bullet two\nplain tail line", "en", "web", 0),
+            (7, "thought...\nfour dots....\nunicode one…\nplain", "en", "web", 0),
+            (8, "# tags # and # more # symbols here", "en", "web", 0),
+            (9, "123 456 789 000 111", "en", "web", 0),
+            (10, " ".join(["incomprehensibility"] * 60), "en", "web", 0),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    got, exp = _mini_gate(spark, tmp_path, "gopher_quality", {"documents": docs})
+    assert got == exp

@@ -103,6 +103,9 @@ BNLJ_ALLOWED = {
     # PQ ADC: the broadcast side is the query SET (small by definition);
     # the corpus side scans only id + codes — the compressed-search shape
     "pq_adc_search", "pq_rerank_topk",
+    # IVF-PQ: the only BNLJ is queries × broadcast CENTROIDS (nlist
+    # rows, kilobytes); the code-table probe itself is a keyed equi-join
+    "ivf_pq_topk",
 }
 
 # cosine_topk is the documented brute-force baseline: its broadcast

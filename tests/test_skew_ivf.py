@@ -278,3 +278,71 @@ def test_top_fraction_exact_quota_at_float_boundary(spark):
     out = top_fraction_by(df, by=["g"], score_col="score", frac=0.07,
                           tiebreak=["id"])
     assert out.count() == 7
+
+
+# --------------------------------------------------------------------- #
+# IVF-PQ (round 6): coarse cells over the compressed code table
+# --------------------------------------------------------------------- #
+
+
+def test_ivf_pq_full_probe_equals_adc(spark, sf_dir):
+    """nprobe == nlist must reproduce pq_adc_topk exactly — cell
+    pruning collapses to a no-op, which is the identity the catalog
+    oracle relies on (codes quantize RAW vectors, not residuals)."""
+    from hobbes_spark.functions.similarity import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = pq_codebooks(emb, levels=8)
+    adc = sorted(
+        (r.query_id, r.neighbor_id, r.dist, r.rank)
+        for r in pq_adc_topk(pq_encode(emb, books), queries, books, k=5).collect()
+    )
+    ivf = sorted(
+        (r.query_id, r.neighbor_id, r.dist, r.rank)
+        for r in ivf_pq_topk(
+            emb, queries, k=5, nlist=4, nprobe=4, levels=8
+        ).collect()
+    )
+    assert ivf == adc and len(ivf) == 25
+
+
+def test_ivf_pq_pruned_probe_dominated_and_recalls(spark, sf_dir):
+    """nprobe < nlist scans a strict subset of cells: at every rank the
+    pruned distance can only be >= the full-probe one, and recall
+    against the full-probe ranking stays useful on the driver corpus."""
+    from hobbes_spark.functions.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    full = ivf_pq_topk(emb, queries, k=5, nlist=8, nprobe=8, levels=8).collect()
+    pruned = ivf_pq_topk(emb, queries, k=5, nlist=8, nprobe=4, levels=8).collect()
+    fd = {(r.query_id, r.rank): r.dist for r in full}
+    for r in pruned:
+        assert r.dist >= fd[(r.query_id, r.rank)] - 1e-9
+    f = {(r.query_id, r.neighbor_id) for r in full}
+    p = {(r.query_id, r.neighbor_id) for r in pruned}
+    recall = len(f & p) / len(f)
+    assert recall >= 0.6, f"IVF-PQ recall {recall:.2f} too low"
+
+
+def test_ivf_pq_index_carries_no_raw_floats(spark, sf_dir):
+    """The index the search scans is (id, cell, pq) ONLY — the 8x
+    shrink is real because the float column is dropped at build time."""
+    from hobbes_spark.functions.similarity import ivf_pq_build
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    encoded, centroids, books = ivf_pq_build(emb, nlist=4, levels=8)
+    assert set(encoded.columns) == {"id", "cell", "pq"}
+    assert set(centroids.columns) == {"cell", "centroid"}
+    row = encoded.first()
+    assert all(isinstance(c, int) and 0 <= c < 8 for c in row["pq"])
