@@ -48,6 +48,7 @@ __all__ = [
     "contamination_report",
     "repetition_stats",
     "gopher_quality_stats",
+    "c4_quality_stats",
     "chunk_documents",
     "pack_documents",
     "unigram_logprob_scores",
@@ -772,6 +773,94 @@ def gopher_quality_stats(
         & (F.col("stopword_hits") >= min_stopword_hits)
     )
     return out.withColumn("keep_quality", keep).drop("__gt", "__gl")
+
+
+def c4_quality_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    banned_words: Sequence[str] = (),
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2), one row per
+    document — the other canonical web-corpus filter battery next to
+    Gopher's (:func:`gopher_quality_stats`). Line rules (a line
+    survives only if it ends in terminal punctuation ``[.!?"”]``, has
+    ≥ ``min_words_per_line`` whitespace words, and does not mention
+    ``javascript``); page rules (``sentence_count`` — terminal marks in
+    the SURVIVING lines — must reach ``min_sentences``; pages
+    containing ``lorem ipsum`` or a ``{`` are dropped; optional
+    ``banned_words`` token hits drop the page — the parameter defaults
+    empty because the actual list is deployment policy, like Gopher's
+    stopword list). C4's final rule, three-sentence-span dedup, is the
+    separate corpus-wide operator :func:`remove_duplicate_spans`.
+
+    Emits ``clean_text`` (surviving lines re-joined) plus the per-rule
+    stats and the ``keep_c4`` conjunction. Everything is per-document
+    codegen arithmetic over one staged line array — no shuffle, no
+    UDF, the only acceptable posture for a rule applied to every
+    document of a 100 TB corpus. NULL/empty text yields zero counts
+    and ``keep_c4 = false``, matching the DuckDB oracle twin in
+    ``hobbes_spark.queries`` bit-for-bit.
+    """
+    raw = F.coalesce(c(text_col), F.lit(""))
+    staged = df.withColumn("__c4l", F.split(raw, "\n"))
+    lns = F.col("__c4l")
+
+    def _line_words(l: Column) -> Column:
+        # split-on-\s+ of a trimmed line; the leading "" artifact of
+        # split on an empty string is filtered so "" has 0 words (the
+        # oracle's list_filter(... w <> '') pins the same convention)
+        return F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != ""))
+
+    staged = staged.withColumn(
+        "__c4k",
+        F.filter(
+            lns,
+            lambda l: F.rtrim(l).rlike(r'[.!?"”]$')
+            & (_line_words(l) >= min_words_per_line)
+            & ~F.lower(l).rlike(r"\bjavascript\b"),
+        ),
+    ).withColumn("__c4c", F.array_join(F.col("__c4k"), "\n"))
+    kept = F.col("__c4k")
+    clean = F.col("__c4c")
+    n_lines = F.size(lns)
+    sentences = F.regexp_count(clean, F.lit(r"[.!?]")).cast("bigint")
+    lorem = F.lower(raw).contains("lorem ipsum")
+    brace = raw.contains("{")
+    if banned_words:
+        hits = F.size(
+            F.array_intersect(
+                F.array_distinct(tokens(F.lower(raw))),
+                F.array(*[F.lit(w) for w in banned_words]),
+            )
+        ).cast("bigint")
+    else:
+        hits = F.lit(0).cast("bigint")
+    out = (
+        staged.withColumn("n_lines", n_lines.cast("bigint"))
+        .withColumn("kept_lines", F.size(kept).cast("bigint"))
+        .withColumn(
+            "kept_line_frac",
+            F.coalesce(
+                F.size(kept) / F.nullif(n_lines, F.lit(0)), F.lit(0.0)
+            ),
+        )
+        .withColumn("sentence_count", sentences)
+        .withColumn("has_lorem_ipsum", lorem)
+        .withColumn("has_curly_brace", brace)
+        .withColumn("banned_word_hits", hits)
+        .withColumn("clean_text", clean)
+    )
+    keep = (
+        (F.col("sentence_count") >= min_sentences)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_curly_brace")
+        & (F.col("banned_word_hits") == 0)
+    )
+    return out.withColumn("keep_c4", keep).drop("__c4l", "__c4k", "__c4c")
 
 
 def chunk_documents(

@@ -2336,6 +2336,72 @@ def gopher_quality(spark, sf_dir):
 
 
 @q(
+    "c4_quality",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS raw,
+             string_split(coalesce(text, ''), chr(10)) AS ls
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, raw, ls,
+        list_filter(ls, l ->
+          regexp_matches(rtrim(l), '[.!?"”]$')
+          AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                              w -> w <> '')) >= 5
+          AND NOT regexp_matches(lower(l), '\bjavascript\b')) AS kept
+      FROM base
+    ),
+    m AS (
+      SELECT doc_id, len(ls) AS n_lines, len(kept) AS kept_lines,
+             -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+             coalesce(array_to_string(kept, chr(10)), '') AS clean,
+             contains(lower(raw), 'lorem ipsum') AS lorem,
+             contains(raw, '{{') AS brace
+      FROM k
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(kept_lines AS BIGINT) AS kept_lines,
+           {_rsql("CASE WHEN n_lines > 0 THEN kept_lines * 1.0 / n_lines ELSE 0.0 END", 4)} AS kept_line_frac,
+           CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT) AS sentence_count,
+           CAST(lorem AS BIGINT) AS has_lorem_ipsum,
+           CAST(brace AS BIGINT) AS has_curly_brace,
+           CAST(length(clean) AS BIGINT) AS clean_chars,
+           CAST(CASE WHEN len(regexp_extract_all(clean, '[.!?]')) >= 3
+                      AND NOT lorem AND NOT brace
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM m
+    """,
+)
+def c4_quality(spark, sf_dir):
+    """The C4 cleaning-rule battery (Raffel et al. 2020 §2.2,
+    curation.c4_quality_stats): terminal-punctuation + min-words +
+    no-javascript line filter, surviving-sentence count, lorem-ipsum
+    and curly-brace page flags, and the keep conjunction —
+    ``clean_chars`` pins the re-joined clean text by length so the
+    hash covers the actual line-filter output, not just the counts.
+    Per-document codegen arithmetic over one staged line array — no
+    shuffle, no UDF. C4's span-dedup step is the separate
+    ``dedup_spans`` catalog query."""
+    from hobbes_spark.functions.curation import c4_quality_stats
+
+    docs = _t(spark, sf_dir, "documents").df
+    out = c4_quality_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "kept_lines",
+        _r(F.col("kept_line_frac"), 4).alias("kept_line_frac"),
+        "sentence_count",
+        F.col("has_lorem_ipsum").cast("bigint").alias("has_lorem_ipsum"),
+        F.col("has_curly_brace").cast("bigint").alias("has_curly_brace"),
+        F.length("clean_text").cast("bigint").alias("clean_chars"),
+        F.col("keep_c4").cast("bigint").alias("keep"),
+    )
+
+
+@q(
     "pack_docs",
     rf"""
     WITH tc AS (
@@ -7623,9 +7689,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # for 3-4 rounds since their last signature.
     # --- never signed (new in r6): the hand-computed-literal truth
     #     pins for the two unrolled-oracle algorithms, the BPE encode
-    #     gate (the last un-signed Arrow kernel), the Gopher quality
-    #     battery, and the IVF-PQ composition ---
-    "bpe_encode_words", "gopher_quality", "ivf_pq_topk",
+    #     gate (the last un-signed Arrow kernel), the Gopher and C4
+    #     quality batteries, and the IVF-PQ composition ---
+    "bpe_encode_words", "c4_quality", "gopher_quality", "ivf_pq_topk",
     "kmeans_fixture_exact", "pagerank_fixture_exact",
     "pq_adc_search", "pq_rerank_topk",
     # --- last signed in r2 (all 30 such queries) ---
@@ -7639,13 +7705,12 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rename_recreate", "repeat_customers", "rollup_revenue",
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_tumbling_counts", "token_frequencies", "weekday_counts",
-    # --- last signed in r3 (the 13 alphabetically-first: 7 never-
-    #     signed + 30 r2 + 13 r3 = the 50-slot window) ---
+    # --- last signed in r3 (the 12 alphabetically-first: 8 never-
+    #     signed + 30 r2 + 12 r3 = the 50-slot window) ---
     "ann_lsh_topk", "asof_attribution", "bloom_decontaminate",
     "chunk_docs", "classifier_scores", "cohort_retention",
     "contamination_report", "daily_value_delta", "dedup_paragraphs",
     "dedup_spans", "dsir_weights", "duplicate_ngram_frac",
-    "embedding_neardup_exact",
 ]
 
 

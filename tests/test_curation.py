@@ -744,6 +744,72 @@ def test_gopher_mean_word_length_bounds(spark):
     assert not rows[1]["keep_quality"]
 
 
+# --------------------------------------------------------------------- #
+# C4 cleaning-rule battery (round 6)
+# --------------------------------------------------------------------- #
+
+
+def _c4(spark, rows, **kw):
+    from hobbes_spark.functions.curation import c4_quality_stats
+
+    return {
+        r["doc_id"]: r
+        for r in c4_quality_stats(_docs(spark, rows), **kw).collect()
+    }
+
+
+def test_c4_line_filter_rules(spark):
+    text = "\n".join(
+        [
+            "This line has enough words and ends properly.",  # kept
+            "Too short ends.",                                # < 5 words
+            "This line has plenty of words but no terminal punctuation",
+            "Enable javascript to view this page properly.",  # javascript
+            'A quoted sentence with five words here."',       # kept (quote)
+        ]
+    )
+    rows = _c4(spark, [(1, text, "w")])
+    r = rows[1]
+    assert r["n_lines"] == 5
+    assert r["kept_lines"] == 2
+    assert abs(r["kept_line_frac"] - 0.4) < 1e-12
+    assert r["clean_text"].splitlines() == [
+        "This line has enough words and ends properly.",
+        'A quoted sentence with five words here."',
+    ]
+
+
+def test_c4_page_rules(spark):
+    ok = "One good sentence right here today. " * 3
+    rows = _c4(
+        spark,
+        [
+            (1, ok, "w"),
+            (2, "Only two sentences survive here fine. Second one is here too.", "w"),
+            (3, ok + " Lorem Ipsum dolor sit amet it says.", "w"),
+            (4, ok + " code = { nested }", "w"),
+            (5, None, "w"),
+        ],
+    )
+    assert rows[1]["sentence_count"] == 3 and rows[1]["keep_c4"]
+    assert rows[2]["sentence_count"] == 2 and not rows[2]["keep_c4"]
+    assert rows[3]["has_lorem_ipsum"] and not rows[3]["keep_c4"]
+    # the '{' flag reads the RAW page (C4 drops the whole page), even
+    # though the brace line itself also failed the line filter
+    assert rows[4]["has_curly_brace"] and not rows[4]["keep_c4"]
+    assert rows[5]["n_lines"] == 1 and rows[5]["kept_lines"] == 0
+    assert rows[5]["clean_text"] == "" and not rows[5]["keep_c4"]
+
+
+def test_c4_banned_words_param(spark):
+    text = "The gadget word appears in this sentence today. " * 3
+    base = _c4(spark, [(1, text, "w")])
+    assert base[1]["banned_word_hits"] == 0 and base[1]["keep_c4"]
+    banned = _c4(spark, [(1, text, "w")], banned_words=("gadget", "widget"))
+    assert banned[1]["banned_word_hits"] == 1
+    assert not banned[1]["keep_c4"]
+
+
 def test_gopher_custom_stopword_list(spark):
     text = "alpha beta gamma " * 20  # 60 words, no English stopwords
     base = _gq(spark, [(1, text, "w")])

@@ -232,3 +232,37 @@ def test_gopher_quality_edges_parity(spark, tmp_path):
     )
     got, exp = _mini_gate(spark, tmp_path, "gopher_quality", {"documents": docs})
     assert got == exp
+
+
+def test_c4_quality_edges_parity(spark, tmp_path):
+    """The driver corpus is single-line prose, so the C4 line rules are
+    near-degenerate at the main gate; this replays the catalog query
+    AND its oracle over documents exercising every rule — multi-line
+    filtering, the quote terminal, the javascript line, lorem-ipsum
+    casing, the raw-page brace flag, empty/NULL text, and the
+    empty-kept-list array_to_string(NULL) corner — demanding
+    byte-identical output."""
+    docs = spark.createDataFrame(
+        [
+            (1, "Good first sentence with many words here.\nshort one.\n"
+                "No terminal punctuation on this longer line\n"
+                "Please enable JavaScript to continue viewing now.\n"
+                'Quoted sentence of at least five words."',
+             "en", "web", 0),
+            (2, "One good sentence right here today. Second good one lands "
+                "here. Third good one closes it.", "en", "web", 0),
+            (3, "This page mentions LOREM IPSUM dolor sit amet today. "
+                "More valid sentences follow it here. And one more for "
+                "the count.", "en", "web", 0),
+            (4, "A fine sentence with enough words. var x = { a: 1 } "
+                "appears mid-page. Another fine sentence with enough "
+                "words. Closing sentence with enough words too.", "en",
+             "web", 0),
+            (5, None, "en", "web", 0),
+            (6, "", "en", "web", 0),
+            (7, "no terminal marks at all on this page", "en", "web", 0),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    got, exp = _mini_gate(spark, tmp_path, "c4_quality", {"documents": docs})
+    assert got == exp
