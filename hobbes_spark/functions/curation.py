@@ -667,7 +667,6 @@ def repetition_stats(
 def gopher_quality_stats(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     *,
     min_words: int = 50,
     max_words: int = 100_000,
@@ -708,8 +707,11 @@ def gopher_quality_stats(
     """
     src = c(text_col)
     raw = F.coalesce(src, F.lit(""))
+    # \r?\n: Java regex '$' matches before a trailing \r but RE2 (the
+    # oracle engine) does not — splitting CRLF away keeps the line
+    # rules engine-identical on Windows-line-ending corpora
     staged = df.withColumn("__gt", tokens(F.lower(src))).withColumn(
-        "__gl", F.split(raw, "\n")
+        "__gl", F.split(raw, r"\r?\n")
     )
     toks, lns = F.col("__gt"), F.col("__gl")
     sz = F.size(toks)
@@ -734,7 +736,7 @@ def gopher_quality_stats(
         F.lit(0.0),
     )
     ell_line_frac = F.coalesce(
-        F.size(F.filter(lns, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+        F.size(F.filter(lns, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)\z")))
         / F.nullif(nl, F.lit(0)),
         F.lit(0.0),
     )
@@ -778,7 +780,6 @@ def gopher_quality_stats(
 def c4_quality_stats(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     *,
     min_words_per_line: int = 5,
     min_sentences: int = 3,
@@ -806,21 +807,22 @@ def c4_quality_stats(
     ``hobbes_spark.queries`` bit-for-bit.
     """
     raw = F.coalesce(c(text_col), F.lit(""))
-    staged = df.withColumn("__c4l", F.split(raw, "\n"))
+    # \r?\n (not \n): see gopher_quality_stats — CRLF must not leave a
+    # trailing \r for Java-vs-RE2 '$' to disagree about
+    staged = df.withColumn("__c4l", F.split(raw, r"\r?\n"))
     lns = F.col("__c4l")
-
-    def _line_words(l: Column) -> Column:
-        # split-on-\s+ of a trimmed line; the leading "" artifact of
-        # split on an empty string is filtered so "" has 0 words (the
-        # oracle's list_filter(... w <> '') pins the same convention)
-        return F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != ""))
 
     staged = staged.withColumn(
         "__c4k",
         F.filter(
             lns,
-            lambda l: F.rtrim(l).rlike(r'[.!?"”]$')
-            & (_line_words(l) >= min_words_per_line)
+            # tokens() + empty-artifact filter: split('\t', '\s+')
+            # yields ['',''] in BOTH engines, so the oracle's
+            # list_filter(... w <> '') must be replayed here too —
+            # bare size(tokens(l)) would count the artifacts
+            lambda l: F.rtrim(l).rlike(r'[.!?"”]\z')
+            & (F.size(F.filter(tokens(l), lambda w: w != ""))
+               >= min_words_per_line)
             & ~F.lower(l).rlike(r"\bjavascript\b"),
         ),
     ).withColumn("__c4c", F.array_join(F.col("__c4k"), "\n"))

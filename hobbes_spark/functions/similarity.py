@@ -746,7 +746,11 @@ def pq_adc_topk(
     from hobbes_spark.operators.ml import _round_half_up
 
     recon = pq_reconstruct(code_col, codebooks)
-    q = queries.select(
+    # NULL-vector queries are dropped, not ranked: a NULL distance
+    # would sort FIRST under the ascending window (garbage rank-1
+    # rows), and keeping them would break the documented
+    # nprobe == nlist identity with ivf_pq_search, which also drops them
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
     )

@@ -2259,7 +2259,7 @@ _GOPHER_STOPS_SQL = "['the','a','an','of','and','to','in','is','it','that']"
     rf"""
     WITH base AS (
       SELECT doc_id, coalesce(text, '') AS raw, {_TOKS_SQL} AS t,
-             string_split(coalesce(text, ''), chr(10)) AS ls
+             string_split_regex(coalesce(text, ''), '\r?\n') AS ls
       FROM documents
     ),
     m AS (
@@ -2279,7 +2279,7 @@ _GOPHER_STOPS_SQL = "['the','a','an','of','and','to','in','is','it','that']"
              ELSE 0.0 END AS bullet_line_frac,
         CASE WHEN len(ls) > 0
              THEN CAST(len(list_filter(ls, l ->
-                    regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE) / len(ls)
+                    regexp_matches(rtrim(l), '(\.\.\.|…)\z'))) AS DOUBLE) / len(ls)
              ELSE 0.0 END AS ellipsis_line_frac,
         CASE WHEN len(t) > 0
              THEN CAST(len(list_filter(t, x ->
@@ -2340,13 +2340,13 @@ def gopher_quality(spark, sf_dir):
     rf"""
     WITH base AS (
       SELECT doc_id, coalesce(text, '') AS raw,
-             string_split(coalesce(text, ''), chr(10)) AS ls
+             string_split_regex(coalesce(text, ''), '\r?\n') AS ls
       FROM documents
     ),
     k AS (
       SELECT doc_id, raw, ls,
         list_filter(ls, l ->
-          regexp_matches(rtrim(l), '[.!?"”]$')
+          regexp_matches(rtrim(l), '[.!?"”]\z')
           AND len(list_filter(string_split_regex(trim(l), '\s+'),
                               w -> w <> '')) >= 5
           AND NOT regexp_matches(lower(l), '\bjavascript\b')) AS kept

@@ -227,6 +227,16 @@ def test_gopher_quality_edges_parity(spark, tmp_path):
             (8, "# tags # and # more # symbols here", "en", "web", 0),
             (9, "123 456 789 000 111", "en", "web", 0),
             (10, " ".join(["incomprehensibility"] * 60), "en", "web", 0),
+            # CRLF endings: Java '$' matches before a trailing \r, RE2
+            # does not — the \r?\n line split must keep both engines
+            # identical (round-6 review fix)
+            (11, "thought...\r\nbullet next\r\n- a bullet line\r\nplain", "en",
+             "web", 0),
+            # lone \r (classic-Mac ending) stays INSIDE a line after the
+            # \r?\n split; '$' would still diverge (Java matches before a
+            # final line terminator, RE2 does not) — the \z anchor pins
+            # strict end-of-text in both engines
+            (12, "ends with ellipsis...\rtail", "en", "web", 0),
         ],
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )
@@ -261,6 +271,17 @@ def test_c4_quality_edges_parity(spark, tmp_path):
             (5, None, "en", "web", 0),
             (6, "", "en", "web", 0),
             (7, "no terminal marks at all on this page", "en", "web", 0),
+            # CRLF endings (round-6 review fix): without the \r?\n split
+            # Spark kept these lines ('$' matches before \r) while the
+            # RE2 oracle kept none — verified divergence, now pinned
+            (8, "Good first sentence with many words here.\r\n"
+                "Second fine sentence with many words too.\r\n"
+                "Third fine sentence with enough words here.\r\n",
+             "en", "web", 0),
+            # lone \r inside a line: '$' would count this terminal in
+            # Spark only; the \z anchor agrees (not terminal) in both
+            (9, "A sentence that seems to end here.\rhidden tail", "en",
+             "web", 0),
         ],
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )

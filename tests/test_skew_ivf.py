@@ -335,6 +335,28 @@ def test_ivf_pq_pruned_probe_dominated_and_recalls(spark, sf_dir):
     assert recall >= 0.6, f"IVF-PQ recall {recall:.2f} too low"
 
 
+def test_pq_adc_drops_null_vector_queries(spark, sf_dir):
+    """A NULL-embedding query row must be dropped, not ranked: a NULL
+    distance sorts FIRST ascending (garbage rank-1 rows), and keeping
+    it would break the nprobe==nlist identity with ivf_pq_search
+    (round-6 review fix)."""
+    from hobbes_spark.functions.similarity import (
+        pq_adc_topk, pq_codebooks, pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_codebooks(emb, levels=8)
+    null_q = spark.createDataFrame(
+        [(99999, None)], "vec_id bigint, embedding array<float>"
+    )
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        "vec_id", "embedding"
+    ).unionByName(null_q)
+    out = pq_adc_topk(pq_encode(emb, books), queries, books, k=3).collect()
+    assert len(out) == 3 * 4  # the NULL query contributes no rows
+    assert all(r.query_id != 99999 and r.dist is not None for r in out)
+
+
 def test_ivf_pq_index_carries_no_raw_floats(spark, sf_dir):
     """The index the search scans is (id, cell, pq) ONLY — the 8x
     shrink is real because the float column is dropped at build time."""
