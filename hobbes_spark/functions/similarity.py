@@ -40,6 +40,8 @@ __all__ = [
     "ivf_pq_build",
     "ivf_pq_search",
     "ivf_pq_topk",
+    "ivf_pq_write",
+    "ivf_pq_read",
 ]
 
 
@@ -883,4 +885,47 @@ def ivf_pq_topk(
     return ivf_pq_search(
         encoded, centroids, queries, books,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe, dp=dp,
+    )
+
+
+def ivf_pq_write(
+    index_dir: str,
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[float]],
+) -> None:
+    """Persist an IVF-PQ index (:func:`ivf_pq_build`'s three outputs):
+    the code table partitioned BY CELL — so a search probing nprobe
+    cells dynamically prunes to nprobe directories of the 8×-compressed
+    codes, the whole point of the layout at 100 TB — the nlist-row
+    centroid table beside it, and the codebooks as a one-row parquet
+    sidecar (kilobytes; parquet rather than a driver-local JSON file so
+    the index lives entirely on the cluster filesystem)."""
+    import json
+
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/encoded"
+    )
+    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    encoded.sparkSession.createDataFrame(
+        [(json.dumps(codebooks),)], "codebooks string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+
+
+def ivf_pq_read(
+    spark, index_dir: str
+) -> "tuple[DataFrame, DataFrame, list[list[float]]]":
+    """Load an index written by :func:`ivf_pq_write` — ``(encoded,
+    centroids, codebooks)``, search-ready for :func:`ivf_pq_search`.
+    The code table comes back partition-discovered on ``cell``, so the
+    probe join prunes directories via dynamic partition pruning."""
+    import json
+
+    books = json.loads(
+        spark.read.parquet(f"{index_dir}/codebooks").first()["codebooks"]
+    )
+    return (
+        spark.read.parquet(f"{index_dir}/encoded"),
+        spark.read.parquet(f"{index_dir}/centroids"),
+        books,
     )

@@ -357,6 +357,60 @@ def test_pq_adc_drops_null_vector_queries(spark, sf_dir):
     assert all(r.query_id != 99999 and r.dist is not None for r in out)
 
 
+def test_ivf_pq_write_read_roundtrip_search(spark, sf_dir, tmp_path):
+    """Persist → reload → search must equal the in-memory search: the
+    production mode is build ONCE, search many times off the cell-
+    partitioned code table + codebook sidecar."""
+    from hobbes_spark.functions.similarity import (
+        ivf_pq_build, ivf_pq_read, ivf_pq_search, ivf_pq_write,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    encoded, centroids, books = ivf_pq_build(emb, nlist=8, levels=8)
+    mem = sorted(
+        (r.query_id, r.neighbor_id, r.dist, r.rank)
+        for r in ivf_pq_search(
+            encoded, centroids, queries, books, k=5, nprobe=3
+        ).collect()
+    )
+    ivf_pq_write(str(tmp_path / "idx"), encoded, centroids, books)
+    enc2, cents2, books2 = ivf_pq_read(spark, str(tmp_path / "idx"))
+    assert books2 == books
+    disk = sorted(
+        (r.query_id, r.neighbor_id, r.dist, r.rank)
+        for r in ivf_pq_search(
+            enc2, cents2, queries, books2, k=5, nprobe=3
+        ).collect()
+    )
+    assert disk == mem and len(disk) == 25
+
+
+def test_ivf_pq_disk_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The cell-partitioned layout must actually prune: the probe join
+    against the on-disk code table is a broadcast equi-join ON THE
+    PARTITION COLUMN, so Spark inserts a dynamic-partition-pruning
+    filter into the scan — at 100 TB that is the difference between
+    reading nprobe/nlist of the index and reading all of it."""
+    from hobbes_spark.functions.similarity import (
+        ivf_pq_build, ivf_pq_read, ivf_pq_search, ivf_pq_write,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    encoded, centroids, books = ivf_pq_build(emb, nlist=8, levels=8)
+    ivf_pq_write(str(tmp_path / "idx"), encoded, centroids, books)
+    enc2, cents2, books2 = ivf_pq_read(spark, str(tmp_path / "idx"))
+    out = ivf_pq_search(
+        enc2, cents2, emb.filter(F.col("vec_id") < 2), books2, k=3, nprobe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
 def test_ivf_pq_index_carries_no_raw_floats(spark, sf_dir):
     """The index the search scans is (id, cell, pq) ONLY — the 8x
     shrink is real because the float column is dropped at build time."""

@@ -768,3 +768,47 @@ def test_stateful_null_timestamps_emit_null_not_epoch(spark):
 
     out = list(_update_user((10,), iter([ev.toPandas()]), FakeState()))[0]
     assert pd.isna(out["last_ts"].iloc[0])  # NULL, not 1970-01-01
+
+
+def test_quality_batteries_are_streamable(spark, sf_dir, tmp_path):
+    """The gopher/c4 batteries are stateless map-only expressions, so
+    they apply unchanged to a document STREAM — the streaming-ingest
+    curation mode — and per-row results must equal the batch run over
+    the same corpus (multiple microbatch files, append mode, no
+    watermark needed: no state, no aggregation)."""
+    from pyspark.sql import functions as F
+
+    from hobbes_spark.functions.curation import (
+        c4_quality_stats, gopher_quality_stats,
+    )
+
+    data = str(tmp_path / "in")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # two files -> at least two microbatches with maxFilesPerTrigger=1
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(data)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(data)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data)
+    )
+    out = c4_quality_stats(gopher_quality_stats(stream)).select(
+        "doc_id", "word_count", "keep_quality", "kept_lines",
+        "sentence_count", "keep_c4",
+    )
+    name = _run_to_memory(out, "append", str(tmp_path / "ckpt"))
+    cols = ["doc_id", "word_count", "keep_quality", "kept_lines",
+            "sentence_count", "keep_c4"]
+    streamed = _norm(_rows(spark, name), cols)
+    batch = _norm(
+        c4_quality_stats(gopher_quality_stats(docs)).select(*cols).collect(),
+        cols,
+    )
+    assert streamed == batch and len(streamed) == docs.count()
