@@ -53,6 +53,7 @@ __all__ = [
     "pack_documents",
     "unigram_logprob_scores",
     "bigram_logprob_scores",
+    "perplexity_buckets",
     "dsir_log_weights",
     "redact_pii",
 ]
@@ -1122,4 +1123,90 @@ def dsir_log_weights(
             "n_tokens",
             (F.col("__lp_t") - F.col("__lp_c")).alias("log_weight"),
         )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+    cutoffs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    alpha: float = 0.5,
+    score_dp: int | None = 4,
+) -> DataFrame:
+    """CCNet-style corpus partition by LM perplexity (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data" §4.3): score every document under a corpus-trained LM,
+    cut each language at the ``cutoffs`` quantiles of the score, and
+    label documents ``head`` (most fluent), ``middle``, ``tail``. CCNet
+    trains a 5-gram KenLM per language; the bigram corpus LM
+    (:func:`bigram_logprob_scores`) is the SQL-expressible analog, and
+    the bucketing mechanics — per-language quantile cutoffs, not global
+    ones, so no language is penalized for being far from English — are
+    the part this operator reproduces.
+
+    Plan shape: the corpus-sized work is exactly
+    :func:`bigram_logprob_scores` (two explodes, two keyed frequency
+    aggs, two joins back). On top of that: one doc-keyed join to
+    recover ``lang_col``, one per-language quantile aggregation whose
+    output is LANGUAGE-sized (tiny), and a broadcast of that cutoff
+    table back onto the scored scan — the corpus never shuffles for the
+    bucketing itself. At 100 TB swap the exact ``percentile`` for
+    ``percentile_approx`` (t-digest, mergeable map-side); the exact
+    form is kept here so the DuckDB oracle can replay cutoffs
+    bit-for-bit.
+
+    ``score_dp`` rounds the per-doc score (``log_ppl``, the negated
+    mean log-prob — monotone in perplexity without the ``exp``
+    overflow) and the cutoffs with the exact half-up formula
+    ``floor(x·10^n + 0.5)/10^n`` BEFORE any comparison. That is what
+    makes the head/middle/tail labels replayable across engines: both
+    sides compare identical doubles, so a document tied exactly on a
+    cutoff lands in the same bucket everywhere. Pass ``None`` only when
+    cross-engine replay does not matter.
+
+    Returns ``(id_col, [lang_col], n_bigrams, log_ppl, bucket)``; docs
+    with fewer than 2 tokens have no bigram evidence and are absent,
+    matching :func:`bigram_logprob_scores`.
+    """
+    q1, q2 = cutoffs
+    if not (0.0 <= q1 <= q2 <= 1.0):
+        raise ValueError(f"perplexity_buckets: need 0 <= q1 <= q2 <= 1, got {cutoffs}")
+
+    def _rd(col: Column) -> Column:
+        if score_dp is None:
+            return col
+        f = 10 ** score_dp
+        return F.floor(col * f + F.lit(0.5)) / F.lit(f).cast("double")
+
+    scores = bigram_logprob_scores(df, text_col, id_col, alpha).select(
+        id_col, "n_bigrams", _rd(-F.col("mean_logprob")).alias("log_ppl")
+    )
+    if lang_col is None:
+        scored = scores.withColumn("__lang", F.lit(None).cast("string"))
+    else:
+        scored = (
+            df.select(F.col(id_col), c(lang_col).alias("__lang"))
+            .join(scores, id_col)
+        )
+    cuts = scored.groupBy("__lang").agg(
+        _rd(F.percentile("log_ppl", q1)).alias("__q1"),
+        _rd(F.percentile("log_ppl", q2)).alias("__q2"),
+    )
+    out = (
+        scored.join(F.broadcast(cuts), scored["__lang"].eqNullSafe(cuts["__lang"]))
+        .drop(cuts["__lang"])
+        .withColumn(
+            "bucket",
+            F.when(F.col("log_ppl") <= F.col("__q1"), F.lit("head"))
+            .when(F.col("log_ppl") <= F.col("__q2"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("__q1", "__q2")
+    )
+    if lang_col is None:
+        return out.select(id_col, "n_bigrams", "log_ppl", "bucket")
+    return out.select(
+        id_col, F.col("__lang").alias(lang_col), "n_bigrams", "log_ppl", "bucket"
     )

@@ -6933,6 +6933,66 @@ def bigram_scores(spark, sf_dir):
 
 
 @q(
+    "ccnet_buckets",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> array_to_string(t[i:i+1], ' '))) AS bg
+      FROM toks
+    ),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+    ),
+    vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsize FROM uni),
+    bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY 1),
+    sc AS (
+      SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             {_rsql("-AVG(ln((c.c12 + 0.5) / (u.c1 + 0.5 * v.vsize)))", 4)} AS log_ppl
+      FROM bi b JOIN bc c USING (bg)
+      JOIN uni u ON u.tok = string_split(b.bg, ' ')[1]
+      CROSS JOIN vs v
+      GROUP BY b.doc_id
+    ),
+    sl AS (
+      SELECT s.doc_id, d.lang, s.n_bigrams, s.log_ppl
+      FROM sc s JOIN documents d USING (doc_id)
+    ),
+    qs AS (
+      SELECT lang,
+             {_rsql("quantile_cont(log_ppl, CAST(1 AS DOUBLE)/3)", 4)} AS q1,
+             {_rsql("quantile_cont(log_ppl, CAST(2 AS DOUBLE)/3)", 4)} AS q2
+      FROM sl GROUP BY lang
+    )
+    SELECT sl.doc_id, sl.lang, sl.n_bigrams, sl.log_ppl,
+           CASE WHEN sl.log_ppl <= q.q1 THEN 'head'
+                WHEN sl.log_ppl <= q.q2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sl JOIN qs q ON sl.lang IS NOT DISTINCT FROM q.lang
+    """,
+)
+def ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus partition
+    (curation.perplexity_buckets, Wenzek et al. 2020 §4.3): score every
+    document under the corpus bigram LM, cut each LANGUAGE at its own
+    tertiles of the score — per-language cutoffs are the load-bearing
+    CCNet idea; a global cutoff would call every non-English doc
+    "tail" — and label the thirds. The cutoff table is language-sized
+    and broadcasts back onto the scored scan, so the only corpus-sized
+    work is the LM scoring itself; scores and cutoffs are rounded with
+    the exact half-up formula BEFORE comparison, which is what lets
+    DuckDB replay the bucket labels bit-for-bit."""
+    from hobbes_spark.functions.curation import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents").df
+    return perplexity_buckets(docs)
+
+
+@q(
     "temperature_sample_docs",
     f"""
     WITH n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM documents GROUP BY source),
@@ -7690,9 +7750,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # --- never signed (new in r6): the hand-computed-literal truth
     #     pins for the two unrolled-oracle algorithms, the BPE encode
     #     gate (the last un-signed Arrow kernel), the Gopher and C4
-    #     quality batteries, and the IVF-PQ composition ---
-    "bpe_encode_words", "c4_quality", "gopher_quality", "ivf_pq_topk",
-    "kmeans_fixture_exact", "pagerank_fixture_exact",
+    #     quality batteries, the IVF-PQ composition, and the CCNet
+    #     perplexity partition ---
+    "bpe_encode_words", "c4_quality", "ccnet_buckets", "gopher_quality",
+    "ivf_pq_topk", "kmeans_fixture_exact", "pagerank_fixture_exact",
     "pq_adc_search", "pq_rerank_topk",
     # --- last signed in r2 (all 30 such queries) ---
     "ann_ivf_topk", "churned_customers", "date_parts",
@@ -7705,12 +7766,12 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rename_recreate", "repeat_customers", "rollup_revenue",
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_tumbling_counts", "token_frequencies", "weekday_counts",
-    # --- last signed in r3 (the 12 alphabetically-first: 8 never-
-    #     signed + 30 r2 + 12 r3 = the 50-slot window) ---
+    # --- last signed in r3 (the 11 alphabetically-first: 9 never-
+    #     signed + 30 r2 + 11 r3 = the 50-slot window) ---
     "ann_lsh_topk", "asof_attribution", "bloom_decontaminate",
     "chunk_docs", "classifier_scores", "cohort_retention",
     "contamination_report", "daily_value_delta", "dedup_paragraphs",
-    "dedup_spans", "dsir_weights", "duplicate_ngram_frac",
+    "dedup_spans", "dsir_weights",
 ]
 
 

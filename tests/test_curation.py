@@ -819,3 +819,84 @@ def test_gopher_custom_stopword_list(spark):
         required_stopwords=("alpha", "beta"), min_stopword_hits=2,
     )
     assert custom[1]["stopword_hits"] == 2 and custom[1]["keep_quality"]
+
+
+class TestPerplexityBuckets:
+    """CCNet-style head/middle/tail partition (Wenzek et al. 2020 §4.3).
+    The oracle gate pins values; these pin the semantics the SQL twin
+    can't show: PER-LANGUAGE cutoffs, short-doc absence, and the
+    broadcast shape of the cutoff join."""
+
+    def _corpus(self, spark):
+        # Two "languages" with deliberately different fluency levels:
+        # every 'xx' doc is scrambled relative to the en base sentence,
+        # so a GLOBAL cutoff would label all of xx "tail". Within each
+        # language there are fluent docs (repeated base order), mildly
+        # perturbed ones, and word salad.
+        en_base = "the quick brown fox jumps over the lazy dog again today"
+        xx_base = "dog lazy the over jumps fox brown quick the today again"
+        rows = []
+        i = 0
+        for lang, base in (("en", en_base), ("xx", xx_base)):
+            words = base.split()
+            for _ in range(4):  # fluent copies dominate the bigram LM
+                rows.append((i, base, lang)); i += 1
+            mid = " ".join(words[2:] + words[:2])  # rotated: mostly-seen bigrams
+            rows.append((i, mid, lang)); i += 1
+            salad = " ".join(words[::2] + words[1::2])
+            rows.append((i, salad, lang)); i += 1
+        return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+    def test_per_language_cutoffs_not_global(self, spark):
+        from hobbes_spark.functions.curation import perplexity_buckets
+
+        out = perplexity_buckets(self._corpus(spark)).collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r.lang, set()).add(r.bucket)
+        # each language is cut at ITS OWN tertiles -> both get a head
+        # and a tail despite xx scoring worse than en globally
+        assert by_lang["en"] >= {"head", "tail"}
+        assert by_lang["xx"] >= {"head", "tail"}
+
+    def test_salad_buckets_worse_than_fluent_within_lang(self, spark):
+        from hobbes_spark.functions.curation import perplexity_buckets
+
+        rank = {"head": 0, "middle": 1, "tail": 2}
+        out = {r.doc_id: r for r in perplexity_buckets(self._corpus(spark)).collect()}
+        # doc 0 = fluent en, doc 5 = en salad; doc 6 = fluent xx, doc 11 = xx salad
+        assert rank[out[0].bucket] < rank[out[5].bucket]
+        assert rank[out[6].bucket] < rank[out[11].bucket]
+        assert out[0].log_ppl < out[5].log_ppl
+
+    def test_short_docs_absent_and_lang_none_global(self, spark):
+        from hobbes_spark.functions.curation import perplexity_buckets
+
+        df = spark.createDataFrame(
+            [(1, "one", "en"), (2, None, "en"),
+             (3, "three words here", "en"), (4, "three words here", "en"),
+             (5, "three words here", "en")],
+            "doc_id bigint, text string, lang string",
+        )
+        got = perplexity_buckets(df).collect()
+        assert sorted(r.doc_id for r in got) == [3, 4, 5]
+        flat = perplexity_buckets(df, lang_col=None).collect()
+        assert sorted(r.doc_id for r in flat) == [3, 4, 5]
+        assert "lang" not in flat[0].asDict()
+        # identical scores tie on the cutoff -> everyone is "head"
+        assert {r.bucket for r in flat} == {"head"}
+
+    def test_cutoff_join_broadcasts(self, spark):
+        from hobbes_spark.functions.curation import perplexity_buckets
+
+        plan = (
+            perplexity_buckets(self._corpus(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_invalid_cutoffs_raise(self, spark):
+        from hobbes_spark.functions.curation import perplexity_buckets
+
+        with pytest.raises(ValueError):
+            perplexity_buckets(self._corpus(spark), cutoffs=(0.9, 0.1))
