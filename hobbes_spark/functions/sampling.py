@@ -32,6 +32,8 @@ __all__ = [
     "weighted_mixture",
     "temperature_fractions",
     "temperature_sample",
+    "mixture_plan",
+    "apply_mixture_plan",
     "epoch_shuffle",
     "top_fraction_by",
     "group_sample",
@@ -278,4 +280,114 @@ def group_sample(
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    strata: str,
+    weights: Mapping[str, float],
+    token_budget: float,
+    text_col: str = "text",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Token-budget training-mixture planner: given target mixture
+    ``weights`` per stratum (domain/source — the recipe a pretraining
+    run publishes, cf. the Pile's per-set epochs, Gao et al. 2021
+    Table 1) and a total ``token_budget``, compute for every stratum
+    the deterministic sampling rate that hits its share of the budget:
+    ``rate = min(1, budget·w / tokens_available)``.
+
+    Where :func:`temperature_fractions` derives weights from SIZES and
+    counts ROWS, this takes the weights as the externally-specified
+    recipe and budgets TOKENS — the unit checkpoints are priced in.
+
+    Returns one row per stratum that appears in ``weights`` OR in the
+    corpus: ``(strata, n_docs, n_tokens, target_weight, target_tokens,
+    rate, expected_tokens, exhausted)``. ``exhausted`` marks strata
+    whose every token is taken and the target share is STILL missed
+    (``rate`` capped at 1) — the signal to re-weight or find more data.
+    Strata in the corpus but not in the recipe get ``target_weight`` 0
+    (planned out, listed so nothing disappears silently); recipe
+    strata missing from the corpus get zero counts and ``exhausted``
+    true. ``weights`` are renormalized to sum to 1 in iteration order.
+
+    Plan shape: ONE keyed aggregation over the corpus (count + token
+    sum, partial map-side); everything after is arithmetic on the
+    stratum-sized table joined against the broadcast recipe. Token
+    counts are exact integers and the rate arithmetic is
+    literal-double IEEE ops, so the whole plan replays bit-for-bit in
+    the DuckDB oracle without any rounding step. Apply the plan with
+    :func:`apply_mixture_plan` (same md5-bucket selection as
+    :func:`hash_sample` — stable, nested, SQL-replayable).
+    """
+    if not weights:
+        raise ValueError("mixture_plan: weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("mixture_plan: weights must be >= 0")
+    if token_budget <= 0:
+        raise ValueError(f"mixture_plan: token_budget must be > 0, got {token_budget}")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("mixture_plan: weights must sum to > 0")
+    norm = {k: float(w) / total_w for k, w in weights.items()}
+
+    from hobbes_spark.functions.text import token_count
+
+    spark = df.sparkSession
+    toks = c(token_col).cast("bigint") if token_col is not None else token_count(c(text_col))
+    counts = df.groupBy(c(strata).alias(strata)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("n_tokens"),
+    )
+    recipe = spark.createDataFrame(
+        [(k, w) for k, w in norm.items()], f"{strata} string, target_weight double"
+    )
+    joined = counts.join(F.broadcast(recipe), strata, "full_outer").select(
+        strata,
+        F.coalesce("n_docs", F.lit(0).cast("bigint")).alias("n_docs"),
+        F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+        F.coalesce("target_weight", F.lit(0.0)).alias("target_weight"),
+    )
+    target = F.lit(float(token_budget)) * F.col("target_weight")
+    rate = F.when(
+        (F.col("n_tokens") > 0) & (F.col("target_weight") > 0),
+        F.least(F.lit(1.0), target / F.col("n_tokens")),
+    ).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("target_tokens", F.floor(target).cast("bigint"))
+        .withColumn("rate", rate)
+        .withColumn(
+            "expected_tokens", F.floor(F.col("rate") * F.col("n_tokens")).cast("bigint")
+        )
+        .withColumn(
+            "exhausted",
+            (F.col("target_weight") > 0)
+            & (F.col("n_tokens").cast("double") < target),
+        )
+    )
+
+
+def apply_mixture_plan(
+    df: DataFrame,
+    plan: DataFrame,
+    strata: str,
+    key: str,
+    salt: str = "",
+) -> DataFrame:
+    """Materialize a :func:`mixture_plan`: keep each row iff its
+    deterministic md5 bucket falls under its stratum's planned
+    ``rate``. The plan is stratum-sized and BROADCASTS onto the corpus
+    scan — a map-only filtered pass, no shuffle of the corpus; the
+    same audit-friendly selection as :func:`hash_sample` (stable
+    across partitionings, nested across budgets: raising the budget
+    only ADDS documents). NULL-stratum rows join null-safely so a
+    planned-out NULL stratum filters like any other."""
+    pr = plan.select(
+        c(strata).alias("__s"), F.floor(F.col("rate") * _SCALE).alias("__t")
+    )
+    return (
+        df.join(F.broadcast(pr), c(strata).eqNullSafe(F.col("__s")), "left")
+        .filter(hash_bucket(key, salt) < F.coalesce(F.col("__t"), F.lit(0)))
+        .drop("__s", "__t")
     )

@@ -7022,6 +7022,72 @@ def temperature_sample_docs(spark, sf_dir):
     ).select("doc_id", "source", "n_chars")
 
 
+# Mixture recipe for mixture_plan_docs: four named sources plus one the
+# corpus doesn't have (the zero-count branch). Normalized HERE, the same
+# float ops sampling.mixture_plan applies, and the normalized doubles are
+# embedded in the oracle as repr() literals — so Spark arithmetic and the
+# DuckDB replay start from bit-identical weights.
+_MIX_WEIGHTS = {
+    "src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1, "src_missing": 0.1,
+}
+_MIX_BUDGET = 6000.0
+_MIX_NORM = {
+    k: float(w) / sum(_MIX_WEIGHTS.values()) for k, w in _MIX_WEIGHTS.items()
+}
+_MIX_VALUES_SQL = ", ".join(
+    f"('{k}', {w!r})" for k, w in _MIX_NORM.items()
+)
+
+
+@q(
+    "mixture_plan_docs",
+    rf"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    recipe(source, target_weight) AS (VALUES {_MIX_VALUES_SQL}),
+    j AS (
+      SELECT COALESCE(c.source, r.source) AS source,
+             COALESCE(c.n_docs, 0) AS n_docs,
+             COALESCE(c.n_tokens, 0) AS n_tokens,
+             COALESCE(r.target_weight, 0.0) AS target_weight
+      FROM counts c FULL OUTER JOIN recipe r ON c.source = r.source
+    )
+    SELECT source, n_docs, n_tokens, target_weight,
+           CAST(FLOOR({_MIX_BUDGET!r} * target_weight) AS BIGINT) AS target_tokens,
+           CASE WHEN n_tokens > 0 AND target_weight > 0
+                THEN LEAST(1.0, {_MIX_BUDGET!r} * target_weight / n_tokens)
+                ELSE 0.0 END AS rate,
+           CAST(FLOOR((CASE WHEN n_tokens > 0 AND target_weight > 0
+                            THEN LEAST(1.0, {_MIX_BUDGET!r} * target_weight / n_tokens)
+                            ELSE 0.0 END) * n_tokens) AS BIGINT) AS expected_tokens,
+           CAST(CASE WHEN target_weight > 0
+                      AND CAST(n_tokens AS DOUBLE) < {_MIX_BUDGET!r} * target_weight
+                 THEN 1 ELSE 0 END AS BIGINT) AS exhausted
+    FROM j
+    """,
+)
+def mixture_plan_docs(spark, sf_dir):
+    """Token-budget training-mixture planner (sampling.mixture_plan,
+    the Pile-style published-recipe shape): per-source token mass from
+    ONE keyed aggregation, full-outer-joined against the broadcast
+    recipe — sources planned out (weight 0) and recipe entries with no
+    corpus data both stay visible — then the deterministic sampling
+    rate ``min(1, budget·w/tokens)`` per source, with ``exhausted``
+    marking sources whose full token mass still misses their target
+    share. Token sums are exact integers and the rate arithmetic is
+    literal-double IEEE ops, so the DuckDB oracle replays every rate
+    bit-for-bit with NO rounding step anywhere."""
+    from hobbes_spark.functions.sampling import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents").df
+    return mixture_plan(docs, "source", _MIX_WEIGHTS, _MIX_BUDGET).withColumn(
+        "exhausted", F.col("exhausted").cast("bigint")
+    )
+
+
 # --------------------------------------------------------------------- #
 # The rest of the reference .hb corpus as driver-signable gate rows.
 # tests/test_hb.py runs all 7 reference programs verbatim on synthetic
@@ -7753,8 +7819,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     #     quality batteries, the IVF-PQ composition, and the CCNet
     #     perplexity partition ---
     "bpe_encode_words", "c4_quality", "ccnet_buckets", "gopher_quality",
-    "ivf_pq_topk", "kmeans_fixture_exact", "pagerank_fixture_exact",
-    "pq_adc_search", "pq_rerank_topk",
+    "ivf_pq_topk", "kmeans_fixture_exact", "mixture_plan_docs",
+    "pagerank_fixture_exact", "pq_adc_search", "pq_rerank_topk",
     # --- last signed in r2 (all 30 such queries) ---
     "ann_ivf_topk", "churned_customers", "date_parts",
     "dedup_components", "dense_ops", "each_max", "each_mean",
@@ -7766,12 +7832,12 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rename_recreate", "repeat_customers", "rollup_revenue",
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_tumbling_counts", "token_frequencies", "weekday_counts",
-    # --- last signed in r3 (the 11 alphabetically-first: 9 never-
-    #     signed + 30 r2 + 11 r3 = the 50-slot window) ---
+    # --- last signed in r3 (the 10 alphabetically-first: 10 never-
+    #     signed + 30 r2 + 10 r3 = the 50-slot window) ---
     "ann_lsh_topk", "asof_attribution", "bloom_decontaminate",
     "chunk_docs", "classifier_scores", "cohort_retention",
     "contamination_report", "daily_value_delta", "dedup_paragraphs",
-    "dedup_spans", "dsir_weights",
+    "dedup_spans",
 ]
 
 

@@ -900,3 +900,90 @@ class TestPerplexityBuckets:
 
         with pytest.raises(ValueError):
             perplexity_buckets(self._corpus(spark), cutoffs=(0.9, 0.1))
+
+
+class TestMixturePlan:
+    """Token-budget mixture planner (sampling.mixture_plan) + its
+    deterministic apply. The oracle gate pins the plan values; these
+    pin the branch semantics and the apply's map-only/nested shape."""
+
+    def _docs(self, spark):
+        rows = []
+        i = 0
+        for src, n in (("a", 20), ("b", 10), ("c", 5)):
+            for _ in range(n):
+                rows.append((i, "five tokens in this doc", src))
+                i += 1
+        rows.append((i, "nullsource doc words here", None))
+        return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+    def test_rates_exhaustion_and_leftovers(self, spark):
+        from hobbes_spark.functions.sampling import mixture_plan
+
+        # tokens: a=100, b=50, c=25, NULL=4. budget 120 at weights
+        # a=0.5, b=0.25, ghost=0.25 -> targets a=60, b=30, ghost=30.
+        plan = {r["source"]: r for r in mixture_plan(
+            self._docs(spark), "source",
+            {"a": 0.5, "b": 0.25, "ghost": 0.25}, 120.0,
+        ).collect()}
+        assert plan["a"]["rate"] == 0.6 and plan["a"]["expected_tokens"] == 60
+        assert not plan["a"]["exhausted"]
+        assert plan["b"]["rate"] == 0.6 and not plan["b"]["exhausted"]
+        # recipe stratum absent from the corpus: zero counts, exhausted
+        assert plan["ghost"]["n_tokens"] == 0 and plan["ghost"]["rate"] == 0.0
+        assert plan["ghost"]["exhausted"]
+        # corpus strata not in the recipe stay visible, planned out
+        assert plan["c"]["target_weight"] == 0.0 and plan["c"]["rate"] == 0.0
+        assert not plan["c"]["exhausted"]
+        assert plan[None]["n_tokens"] == 4 and plan[None]["rate"] == 0.0
+
+    def test_exhausted_source_fully_consumed(self, spark):
+        from hobbes_spark.functions.sampling import mixture_plan
+
+        plan = {r["source"]: r for r in mixture_plan(
+            self._docs(spark), "source", {"c": 1.0}, 1000.0,
+        ).collect()}
+        # target 1000 > 25 available: rate caps at 1, all tokens taken
+        assert plan["c"]["rate"] == 1.0
+        assert plan["c"]["expected_tokens"] == plan["c"]["n_tokens"] == 25
+        assert plan["c"]["exhausted"]
+
+    def test_apply_nested_and_planned_out_dropped(self, spark):
+        from hobbes_spark.functions.sampling import apply_mixture_plan, mixture_plan
+
+        docs = self._docs(spark)
+        w = {"a": 0.5, "b": 0.5}
+        small = apply_mixture_plan(
+            docs, mixture_plan(docs, "source", w, 60.0), "source", "doc_id"
+        ).collect()
+        big = apply_mixture_plan(
+            docs, mixture_plan(docs, "source", w, 120.0), "source", "doc_id"
+        ).collect()
+        kept_small = {r.doc_id for r in small}
+        kept_big = {r.doc_id for r in big}
+        # raising the budget only ADDS documents (nested md5 selection)
+        assert kept_small <= kept_big
+        # planned-out strata (c, NULL) are fully dropped
+        assert all(r.source in ("a", "b") for r in big)
+
+    def test_apply_broadcasts_plan(self, spark):
+        from hobbes_spark.functions.sampling import apply_mixture_plan, mixture_plan
+
+        docs = self._docs(spark)
+        plan = mixture_plan(docs, "source", {"a": 1.0}, 50.0)
+        phys = (
+            apply_mixture_plan(docs, plan, "source", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in phys
+
+    def test_validation(self, spark):
+        from hobbes_spark.functions.sampling import mixture_plan
+
+        docs = self._docs(spark)
+        with pytest.raises(ValueError):
+            mixture_plan(docs, "source", {}, 100.0)
+        with pytest.raises(ValueError):
+            mixture_plan(docs, "source", {"a": -0.1}, 100.0)
+        with pytest.raises(ValueError):
+            mixture_plan(docs, "source", {"a": 1.0}, 0.0)
