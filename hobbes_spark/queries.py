@@ -7755,6 +7755,53 @@ def bpe_encode_words(spark, sf_dir):
 
 
 @q(
+    "unigram_encode_fixture",
+    """
+    SELECT * FROM (VALUES
+      ('abab', CAST(2 AS INTEGER), 'ab ab'),
+      ('abc',  CAST(1 AS INTEGER), 'abc'),
+      ('abca', CAST(2 AS INTEGER), 'abc a'),
+      ('ax',   CAST(2 AS INTEGER), 'a x'),
+      ('bbb',  CAST(3 AS INTEGER), 'b b b'),
+      ('cab',  CAST(2 AS INTEGER), 'c ab')
+    ) AS t(word, n_pieces, subwords)
+    ORDER BY word
+    """,
+)
+def unigram_encode_fixture(spark, sf_dir):
+    """INDEPENDENT truth pin for the unigram-LM Viterbi encoder
+    (unigram.unigram_encode, Kudo 2018 / SentencePiece unigram model —
+    the kmeans_fixture_exact precedent): the oracle is HAND-COMPUTED
+    literal segmentations under a fixed piece inventory
+    {a:.25, b:.25, c:.05, ab:.4, abc:.05}, so an algorithmic bug in the
+    DP cannot propagate into its own oracle. Margins are decades wide
+    (abab: ab|ab=0.16 vs a|b|a|b=0.0039; abc: 0.05 vs ab|c=0.02;
+    abca: abc|a=0.0125 vs ab|c|a=0.005; ax exercises the unknown-char
+    fallback) — no float tie can flip a row. Runs the PRODUCTION
+    Arrow-batched encode kernel, not a test double; learning
+    (learn_unigram_lm, driver-local over the bounded word-frequency
+    table like learn_bpe) is pinned by tests/test_unigram.py."""
+    import math
+
+    from hobbes_spark.functions.unigram import unigram_encode
+
+    inv = {
+        "a": math.log(0.25), "b": math.log(0.25), "c": math.log(0.05),
+        "ab": math.log(0.4), "abc": math.log(0.05),
+    }
+    words = spark.createDataFrame(
+        [("abab",), ("abc",), ("abca",), ("ax",), ("bbb",), ("cab",)],
+        "word string",
+    )
+    enc = unigram_encode(words, "word", inv, out_col="toks")
+    return enc.select(
+        "word",
+        F.size("toks").cast("int").alias("n_pieces"),
+        F.concat_ws(" ", "toks").alias("subwords"),
+    ).orderBy("word")
+
+
+@q(
     "chart_gauge_lineitem",
     """
     SELECT label, value FROM (
@@ -7821,6 +7868,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "bpe_encode_words", "c4_quality", "ccnet_buckets", "gopher_quality",
     "ivf_pq_topk", "kmeans_fixture_exact", "mixture_plan_docs",
     "pagerank_fixture_exact", "pq_adc_search", "pq_rerank_topk",
+    "unigram_encode_fixture",
     # --- last signed in r2 (all 30 such queries) ---
     "ann_ivf_topk", "churned_customers", "date_parts",
     "dedup_components", "dense_ops", "each_max", "each_mean",
@@ -7832,12 +7880,11 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rename_recreate", "repeat_customers", "rollup_revenue",
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_tumbling_counts", "token_frequencies", "weekday_counts",
-    # --- last signed in r3 (the 10 alphabetically-first: 10 never-
-    #     signed + 30 r2 + 10 r3 = the 50-slot window) ---
+    # --- last signed in r3 (the 9 alphabetically-first: 11 never-
+    #     signed + 30 r2 + 9 r3 = the 50-slot window) ---
     "ann_lsh_topk", "asof_attribution", "bloom_decontaminate",
     "chunk_docs", "classifier_scores", "cohort_retention",
     "contamination_report", "daily_value_delta", "dedup_paragraphs",
-    "dedup_spans",
 ]
 
 

@@ -73,15 +73,16 @@ def test_pivot_aggregates_partially(spark, sf_dir):
 # whose per-element logic genuinely can't stay JVM-side — the
 # embedding-LSH sign matmul (dense linear algebra; structurally slower
 # as an interpreted higher-order-function tree, see
-# similarity.hyperplane_signs_arrow) and BPE encoding (priority merge
-# application is inherently per-word sequential over ~10k ordered
-# merges, see functions/bpe.bpe_encode). Row-at-a-time Python stays
-# banned everywhere.
+# similarity.hyperplane_signs_arrow) and subword encoding (priority
+# merge application / Viterbi DP are inherently per-word sequential,
+# see functions/bpe.bpe_encode and functions/unigram.unigram_encode).
+# Row-at-a-time Python stays banned everywhere.
 ARROW_MATMUL_QUERIES = {
     "embedding_neardup_lsh",
     "semantic_dedup_keep",
     "ann_lsh_topk",
     "bpe_encode_words",
+    "unigram_encode_fixture",
 }
 
 # The only sanctioned BroadcastNestedLoopJoins: a broadcast side that
@@ -93,7 +94,8 @@ ARROW_MATMUL_QUERIES = {
 # accidental cross join until consciously added here.
 BNLJ_ALLOWED = {
     # 1-row stats / scalar broadcasts
-    "bm25_topk", "unigram_scores", "bigram_scores", "tfidf_top_terms",
+    "bm25_topk", "unigram_scores", "bigram_scores", "ccnet_buckets",
+    "tfidf_top_terms",
     "dsir_weights", "temperature_sample_docs", "histogram_prices",
     "linear_extrapolation", "bloom_decontaminate", "media_phash_pairs",
     "tpch_q2_mincost", "tpch_q11_stockvalue", "tpch_q16_suppcnt",
