@@ -590,6 +590,23 @@ def main():
         qs = em1.filter(F.col("vec_id") < 3)
         return ivf_pq_search(enc, cents, qs, books, k=10, nprobe=4)
 
+    def ccnet_partition(do):
+        from hobbes_spark.functions.curation import perplexity_buckets
+
+        return perplexity_buckets(do).select("doc_id", "lang", "bucket")
+
+    def mixture_apply(do):
+        from hobbes_spark.functions.sampling import (
+            apply_mixture_plan, mixture_plan,
+        )
+
+        # plan (one keyed agg) + apply (broadcast + map-only filter) —
+        # the end-to-end recipe materialization; budget scales with the
+        # corpus so the kept fraction (and the plan) stays comparable
+        w = {f"src{i}": 1.0 for i in range(4)}
+        plan = mixture_plan(do, "source", w, 1e18)
+        return apply_mixture_plan(do, plan, "source", "doc_id")
+
     cases.update(
         {
             "boilerplate_lines": (boilerplate, do1, doN),
@@ -601,6 +618,8 @@ def main():
             "gopher_quality": (gopher_battery, do1, doN),
             "c4_quality": (c4_battery, do1, doN),
             "ivf_pq_search": (ivf_pq, em1, emN),
+            "ccnet_buckets": (ccnet_partition, do1, doN),
+            "mixture_apply": (mixture_apply, do1, doN),
         }
     )
 
