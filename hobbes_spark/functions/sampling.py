@@ -304,9 +304,13 @@ def mixture_plan(
 
     Returns one row per stratum that appears in ``weights`` OR in the
     corpus: ``(strata, n_docs, n_tokens, target_weight, target_tokens,
-    rate, expected_tokens, exhausted)``. ``exhausted`` marks strata
-    whose every token is taken and the target share is STILL missed
-    (``rate`` capped at 1) — the signal to re-weight or find more data.
+    rate, expected_tokens, epochs, exhausted)``. ``exhausted`` marks
+    strata whose every token is taken and the target share is STILL
+    missed (``rate`` capped at 1) — the signal to re-weight, upsample,
+    or find more data; ``epochs`` is the UNCAPPED ``budget·w / tokens``
+    (the Pile's fractional per-source epoch count, Gao et al. 2021
+    Table 1) — >1 exactly when ``exhausted``, i.e. how many passes over
+    the stratum would fill its share if the pipeline repeats data.
     Strata in the corpus but not in the recipe get ``target_weight`` 0
     (planned out, listed so nothing disappears silently); recipe
     strata missing from the corpus get zero counts and ``exhausted``
@@ -359,6 +363,13 @@ def mixture_plan(
         .withColumn("rate", rate)
         .withColumn(
             "expected_tokens", F.floor(F.col("rate") * F.col("n_tokens")).cast("bigint")
+        )
+        .withColumn(
+            "epochs",
+            F.when(
+                (F.col("n_tokens") > 0) & (F.col("target_weight") > 0),
+                target / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
         )
         .withColumn(
             "exhausted",

@@ -7063,6 +7063,9 @@ _MIX_VALUES_SQL = ", ".join(
            CAST(FLOOR((CASE WHEN n_tokens > 0 AND target_weight > 0
                             THEN LEAST(1.0, {_MIX_BUDGET!r} * target_weight / n_tokens)
                             ELSE 0.0 END) * n_tokens) AS BIGINT) AS expected_tokens,
+           CASE WHEN n_tokens > 0 AND target_weight > 0
+                THEN {_MIX_BUDGET!r} * target_weight / n_tokens
+                ELSE 0.0 END AS epochs,
            CAST(CASE WHEN target_weight > 0
                       AND CAST(n_tokens AS DOUBLE) < {_MIX_BUDGET!r} * target_weight
                  THEN 1 ELSE 0 END AS BIGINT) AS exhausted

@@ -987,3 +987,22 @@ class TestMixturePlan:
             mixture_plan(docs, "source", {"a": -0.1}, 100.0)
         with pytest.raises(ValueError):
             mixture_plan(docs, "source", {"a": 1.0}, 0.0)
+
+
+def test_mixture_plan_epochs_fractional(spark):
+    from hobbes_spark.functions.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [(i, "five tokens in this doc", "a") for i in range(10)]
+        + [(100, "five tokens in this doc", "b")],
+        "doc_id bigint, text string, source string",
+    )
+    # a: 50 tokens, b: 5 tokens; budget 100 at a=0.5, b=0.5 ->
+    # a needs 1 epoch exactly (50/50), b needs 10 (50/5): upsample
+    plan = {r["source"]: r for r in mixture_plan(
+        df, "source", {"a": 0.5, "b": 0.5}, 100.0
+    ).collect()}
+    assert plan["a"]["epochs"] == 1.0 and not plan["a"]["exhausted"]
+    assert plan["b"]["epochs"] == 10.0 and plan["b"]["exhausted"]
+    # epochs > 1 exactly when exhausted; rate stays capped at 1
+    assert plan["b"]["rate"] == 1.0
