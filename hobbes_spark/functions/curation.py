@@ -1170,15 +1170,17 @@ def perplexity_buckets(
     with fewer than 2 tokens have no bigram evidence and are absent,
     matching :func:`bigram_logprob_scores`.
     """
+    from hobbes_spark.operators.ml import _round_half_up
+
     q1, q2 = cutoffs
     if not (0.0 <= q1 <= q2 <= 1.0):
         raise ValueError(f"perplexity_buckets: need 0 <= q1 <= q2 <= 1, got {cutoffs}")
 
     def _rd(col: Column) -> Column:
-        if score_dp is None:
-            return col
-        f = 10 ** score_dp
-        return F.floor(col * f + F.lit(0.5)) / F.lit(f).cast("double")
+        # the shared cross-engine half-up helper: cutoff-tie bucket
+        # labels depend on Spark/DuckDB agreeing bit-for-bit, so the
+        # formula must stay single-sourced
+        return col if score_dp is None else _round_half_up(col, score_dp)
 
     scores = bigram_logprob_scores(df, text_col, id_col, alpha).select(
         id_col, "n_bigrams", _rd(-F.col("mean_logprob")).alias("log_ppl")

@@ -309,21 +309,28 @@ def mixture_plan(
     missed (``rate`` capped at 1) — the signal to re-weight, upsample,
     or find more data; ``epochs`` is the UNCAPPED ``budget·w / tokens``
     (the Pile's fractional per-source epoch count, Gao et al. 2021
-    Table 1) — >1 exactly when ``exhausted``, i.e. how many passes over
-    the stratum would fill its share if the pipeline repeats data.
+    Table 1): how many passes over the stratum would fill its share if
+    the pipeline repeats data. For strata WITH tokens, ``epochs > 1``
+    iff ``exhausted``; a recipe stratum missing from the corpus is
+    ``exhausted`` with ``epochs`` 0 — no number of passes over nothing
+    fills a share, so check ``exhausted``, not ``epochs``, to find
+    every under-supplied stratum.
     Strata in the corpus but not in the recipe get ``target_weight`` 0
     (planned out, listed so nothing disappears silently); recipe
     strata missing from the corpus get zero counts and ``exhausted``
     true. ``weights`` are renormalized to sum to 1 in iteration order.
 
     Plan shape: ONE keyed aggregation over the corpus (count + token
-    sum, partial map-side); everything after is arithmetic on the
-    stratum-sized table joined against the broadcast recipe. Token
-    counts are exact integers and the rate arithmetic is
-    literal-double IEEE ops, so the whole plan replays bit-for-bit in
-    the DuckDB oracle without any rounding step. Apply the plan with
-    :func:`apply_mixture_plan` (same md5-bucket selection as
-    :func:`hash_sample` — stable, nested, SQL-replayable).
+    sum, partial map-side); everything after is arithmetic on two
+    STRATUM-sized tables (the counts × the recipe — Spark does not
+    support a broadcast build for full-outer joins, so this join is a
+    sort-merge over rows-per-stratum inputs, i.e. negligible; the
+    corpus itself is never re-shuffled). Token counts are exact
+    integers and the rate arithmetic is literal-double IEEE ops, so
+    the whole plan replays bit-for-bit in the DuckDB oracle without
+    any rounding step. Apply the plan with :func:`apply_mixture_plan`
+    (same md5-bucket selection as :func:`hash_sample` — stable,
+    nested, SQL-replayable).
     """
     if not weights:
         raise ValueError("mixture_plan: weights must be non-empty")
@@ -347,7 +354,10 @@ def mixture_plan(
     recipe = spark.createDataFrame(
         [(k, w) for k, w in norm.items()], f"{strata} string, target_weight double"
     )
-    joined = counts.join(F.broadcast(recipe), strata, "full_outer").select(
+    # no broadcast hint: Spark can't broadcast-build a full-outer join
+    # (the hint would be silently dropped with a warning); both sides
+    # are stratum-sized, so the sort-merge here is trivially small
+    joined = counts.join(recipe, strata, "full_outer").select(
         strata,
         F.coalesce("n_docs", F.lit(0).cast("bigint")).alias("n_docs"),
         F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),

@@ -1004,5 +1004,5 @@ def test_mixture_plan_epochs_fractional(spark):
     ).collect()}
     assert plan["a"]["epochs"] == 1.0 and not plan["a"]["exhausted"]
     assert plan["b"]["epochs"] == 10.0 and plan["b"]["exhausted"]
-    # epochs > 1 exactly when exhausted; rate stays capped at 1
+    # for strata WITH tokens, epochs > 1 iff exhausted; rate stays capped
     assert plan["b"]["rate"] == 1.0

@@ -601,10 +601,13 @@ def main():
         )
 
         # plan (one keyed agg) + apply (broadcast + map-only filter) —
-        # the end-to-end recipe materialization; budget scales with the
-        # corpus so the kept fraction (and the plan) stays comparable
+        # the end-to-end recipe materialization. Fixed budget, so the
+        # rates are FRACTIONAL at both scales (at 16x they shrink 16x)
+        # and the md5 threshold filter is genuinely exercised; the
+        # timed work (scan + token agg + map filter) is corpus-sized
+        # regardless of the kept fraction
         w = {f"src{i}": 1.0 for i in range(4)}
-        plan = mixture_plan(do, "source", w, 1e18)
+        plan = mixture_plan(do, "source", w, 50_000.0)
         return apply_mixture_plan(do, plan, "source", "doc_id")
 
     cases.update(
