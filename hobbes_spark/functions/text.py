@@ -18,6 +18,8 @@ __all__ = [
     "tfidf_top_terms",
     "bm25_topk",
     "vocabulary_overlap",
+    "normalize_text",
+    "NORMALIZE_RULES",
     "tokens",
     "token_count",
     "wordlike_token_count",
@@ -459,3 +461,48 @@ def vocabulary_overlap(
         )
         .select("src_a", "src_b", "n_common", "n_a", "n_b", "jaccard")
     )
+
+
+#: ordered (pattern, replacement) rewrite rules for :func:`normalize_text`
+#: — the C4/CCNet-style unicode cleanup applied before any tokenization
+#: or hashing. Order matters (line endings first, whitespace collapse
+#: last). Patterns use only character classes and quantifiers so the
+#: Java (Spark) and RE2 (DuckDB oracle) engines agree byte-for-byte;
+#: the unicode punctuation is written as literal characters, not
+#: escapes, so both engines see identical bytes.
+NORMALIZE_RULES: tuple[tuple[str, str], ...] = (
+    (r"\r\n?", "\n"),                 # CRLF / bare CR -> LF
+    ("[‘’‚‛]", "'"),      # curly single quotes
+    ("[“”„‟]", '"'),      # curly double quotes
+    ("[–—―]", "-"),            # en/em/horizontal-bar dash
+    ("…", "..."),                 # ellipsis char
+    ("[  -   　]", " "),  # exotic spaces
+    ("[​‌‍﻿­]", ""),  # zero-width / soft hyphen
+    # control chars; \t (x09) and \n (x0a) deliberately excluded. Raw
+    # string: Java and RE2 both interpret the \xNN escapes, and the SQL
+    # twin must not embed literal NUL bytes in query text
+    (r"[\x00-\x08\x0b-\x1f\x7f]", ""),
+    ("[ \t]+", " "),                   # collapse runs of spaces/tabs
+    (" ?\n ?", "\n"),                  # strip space around line breaks
+    ("\n{3,}", "\n\n"),                # squeeze blank-line runs
+)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """C4/CCNet-style text normalization: canonicalize line endings,
+    straighten curly quotes/dashes/ellipses, map exotic unicode spaces
+    to ASCII space, drop zero-width and control characters, collapse
+    whitespace runs, and trim. The standard pre-pass before
+    tokenization, n-gram hashing, or dedup — two visually identical
+    documents that differ only in quote style or NBSP usage hash
+    identically AFTER this and spuriously survive dedup BEFORE it.
+
+    Pure chained ``regexp_replace`` — JVM-side, codegen, shuffle-free,
+    map-only (the posture of :func:`~hobbes_spark.functions.curation.redact_pii`).
+    Patterns are shared via :data:`NORMALIZE_RULES` with the DuckDB
+    oracle twin; NULL propagates (a missing document stays missing
+    rather than becoming an empty string)."""
+    out = c(col)
+    for pat, rep in NORMALIZE_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)

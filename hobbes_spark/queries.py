@@ -7757,6 +7757,77 @@ def bpe_encode_words(spark, sf_dir):
     ).orderBy("word")
 
 
+def _esql(s: str) -> str:
+    """DuckDB E'...' escape-string literal for text that may contain
+    newlines/tabs (control bytes must never be embedded raw in SQL)."""
+    esc = (
+        s.replace("\\", "\\\\").replace("'", "''")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+        .replace("\x01", "\\x01")
+    )
+    return f"E'{esc}'"
+
+
+# deterministic "dirty" decoration wrapped around every document so the
+# normalization rules are all genuinely exercised (the parquet text is
+# clean ASCII): CRLF, curly quotes, ellipsis char, NBSP, tab runs,
+# blank-line runs, a control byte. Built identically in both engines.
+_NORM_PRE = "\r\n\u201cquoted\u201d \u2018x\u2019 \u2026\u00a0"
+_NORM_POST = "\t\tend\n\n\n\nzz\x01 \u2014 "
+
+
+def _normalize_sql(expr: str) -> str:
+    from hobbes_spark.functions.text import NORMALIZE_RULES
+
+    out = expr
+    for pat, rep in NORMALIZE_RULES:
+        out = f"regexp_replace({out}, {_esql(pat)}, {_esql(rep)}, 'g')"
+    return f"trim({out})"
+
+
+@q(
+    "normalize_text_docs",
+    f"""
+    WITH nz AS (
+      SELECT doc_id,
+             ({_esql(_NORM_PRE)} || text || {_esql(_NORM_POST)}) AS dirty
+      FROM documents
+    ),
+    cl AS (
+      SELECT doc_id, CAST(len(dirty) AS BIGINT) AS n_chars_dirty,
+             {_normalize_sql('dirty')} AS clean
+      FROM nz
+    )
+    SELECT doc_id, n_chars_dirty,
+           CAST(len(clean) AS BIGINT) AS n_chars_clean,
+           md5(clean) AS clean_fp
+    FROM cl
+    """,
+)
+def normalize_text_docs(spark, sf_dir):
+    """C4/CCNet-style unicode text normalization (text.normalize_text):
+    line-ending canonicalization, curly-quote/dash/ellipsis
+    straightening, exotic-space mapping, zero-width/control stripping,
+    whitespace-run collapse, trim — the pre-pass that makes visually
+    identical documents hash identically before any dedup or n-gram
+    stage. Map-only chained regexp_replace, shuffle-free. The driver
+    text is clean ASCII, so both engines wrap every document in the
+    same deterministic dirty decoration (CRLF, curly quotes, NBSP, tab
+    and blank-line runs, a control byte) and the oracle — generated
+    from the SAME NORMALIZE_RULES table the operator compiles — must
+    reproduce the cleaned text md5 exactly."""
+    from hobbes_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").df
+    dirty = F.concat(F.lit(_NORM_PRE), F.col("text"), F.lit(_NORM_POST))
+    return docs.select(
+        "doc_id",
+        F.length(dirty).cast("bigint").alias("n_chars_dirty"),
+        F.length(normalize_text(dirty)).cast("bigint").alias("n_chars_clean"),
+        F.md5(normalize_text(dirty)).alias("clean_fp"),
+    )
+
+
 @q(
     "unigram_encode_fixture",
     """
@@ -7870,8 +7941,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     #     perplexity partition ---
     "bpe_encode_words", "c4_quality", "ccnet_buckets", "gopher_quality",
     "ivf_pq_topk", "kmeans_fixture_exact", "mixture_plan_docs",
-    "pagerank_fixture_exact", "pq_adc_search", "pq_rerank_topk",
-    "unigram_encode_fixture",
+    "normalize_text_docs", "pagerank_fixture_exact", "pq_adc_search",
+    "pq_rerank_topk", "unigram_encode_fixture",
     # --- last signed in r2 (all 30 such queries) ---
     "ann_ivf_topk", "churned_customers", "date_parts",
     "dedup_components", "dense_ops", "each_max", "each_mean",
@@ -7883,11 +7954,11 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rename_recreate", "repeat_customers", "rollup_revenue",
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_tumbling_counts", "token_frequencies", "weekday_counts",
-    # --- last signed in r3 (the 9 alphabetically-first: 11 never-
-    #     signed + 30 r2 + 9 r3 = the 50-slot window) ---
+    # --- last signed in r3 (the 8 alphabetically-first: 12 never-
+    #     signed + 30 r2 + 8 r3 = the 50-slot window) ---
     "ann_lsh_topk", "asof_attribution", "bloom_decontaminate",
     "chunk_docs", "classifier_scores", "cohort_retention",
-    "contamination_report", "daily_value_delta", "dedup_paragraphs",
+    "contamination_report", "daily_value_delta",
 ]
 
 

@@ -1696,3 +1696,41 @@ def test_pq_tie_breaks_to_lowest_code(spark):
     # handcrafted codebook: 5.0 is equidistant from 4.0 and 6.0
     out = pq_encode(df, [[4.0, 6.0]]).first()["pq"]
     assert out == [0]
+
+
+class TestNormalizeText:
+    """C4/CCNet-style unicode normalization (text.normalize_text). The
+    oracle gate pins the full chain byte-for-byte via md5; these pin
+    the individual rule semantics readable-example by example."""
+
+    def _norm(self, spark, s):
+        from hobbes_spark.functions.text import normalize_text
+
+        df = spark.createDataFrame([(s,)], "t string")
+        return df.select(normalize_text("t").alias("c")).collect()[0]["c"]
+
+    def test_quotes_dashes_ellipsis(self, spark):
+        assert self._norm(spark, "“hi” ‘x’ – — …") == "\"hi\" 'x' - - ..."
+
+    def test_line_endings_and_blank_runs(self, spark):
+        assert self._norm(spark, "a\r\nb\rc\n\n\n\n\nd") == "a\nb\nc\n\nd"
+
+    def test_spaces_zero_width_controls(self, spark):
+        # NBSP + ideographic space -> space; zero-width and \x01 vanish
+        # (joining their neighbors); tab runs collapse; space around
+        # newline stripped
+        assert self._norm(spark, "a b　c​d\x01e\t\tf \n g") == "a b cde f\ng"
+
+    def test_null_propagates_and_idempotent(self, spark):
+        from hobbes_spark.functions.text import normalize_text
+
+        df = spark.createDataFrame([(None,), ("  x  ",)], "t string")
+        out = df.select(normalize_text(normalize_text("t")).alias("c")).collect()
+        got = [r["c"] for r in out]
+        assert got[0] is None and got[1] == "x"
+
+    def test_dedup_motivation_same_hash_after(self, spark):
+        # the two visually-identical docs differ only in quote style and
+        # NBSP: distinct before normalization, identical after
+        a, b = "“Hello” world", '"Hello" world'
+        assert a != b and self._norm(spark, a) == self._norm(spark, b)
