@@ -485,6 +485,12 @@ NORMALIZE_RULES: tuple[tuple[str, str], ...] = (
     ("[ \t]+", " "),                   # collapse runs of spaces/tabs
     (" ?\n ?", "\n"),                  # strip space around line breaks
     ("\n{3,}", "\n\n"),                # squeeze blank-line runs
+    # edge trim as explicit rules, NOT engine trim(): Spark's and
+    # DuckDB's trim strip only spaces while Python's strip takes all
+    # whitespace — anchored classes make all three engines agree (only
+    # space/tab/LF can remain at the edges after the rules above)
+    ("^[ \t\n]+", ""),
+    ("[ \t\n]+$", ""),
 )
 
 
@@ -505,4 +511,4 @@ def normalize_text(col: Column | str) -> Column:
     out = c(col)
     for pat, rep in NORMALIZE_RULES:
         out = F.regexp_replace(out, pat, rep)
-    return F.trim(out)
+    return out

@@ -7782,7 +7782,7 @@ def _normalize_sql(expr: str) -> str:
     out = expr
     for pat, rep in NORMALIZE_RULES:
         out = f"regexp_replace({out}, {_esql(pat)}, {_esql(rep)}, 'g')"
-    return f"trim({out})"
+    return out
 
 
 @q(
