@@ -49,6 +49,8 @@ __all__ = [
     "repetition_stats",
     "gopher_quality_stats",
     "c4_quality_stats",
+    "blocklist_pattern",
+    "blocklist_stats",
     "chunk_documents",
     "pack_documents",
     "unigram_logprob_scores",
@@ -1211,4 +1213,60 @@ def perplexity_buckets(
         return out.select(id_col, "n_bigrams", "log_ppl", "bucket")
     return out.select(
         id_col, F.col("__lang").alias(lang_col), "n_bigrams", "log_ppl", "bucket"
+    )
+
+
+def blocklist_pattern(terms: Sequence[str]) -> str:
+    """One whole-word alternation regex for a phrase blocklist —
+    shared verbatim by the Spark operator and the DuckDB oracle (Java
+    and RE2 both support ``\\b`` and non-capturing groups; terms are
+    escaped, so the pattern stays engine-portable). Longer phrases are
+    placed first so an overlapping shorter term cannot shadow them in
+    leftmost-match counting."""
+    import re as _re
+
+    if not terms:
+        raise ValueError("blocklist_pattern: terms must be non-empty")
+    cleaned = sorted({t.strip().lower() for t in terms if t and t.strip()})
+    if not cleaned:
+        raise ValueError("blocklist_pattern: no usable terms")
+
+    def term_pat(t: str) -> str:
+        # \b only works against a WORD character, and RE2 (the oracle
+        # engine) has no lookbehind to anchor a non-word edge — so a
+        # term starting/ending in a symbol ('$9.99') gets no boundary
+        # on that side (it then also matches mid-token there; the
+        # conservative direction for a blocklist)
+        pre = r"\b" if (t[0].isalnum() or t[0] == "_") else ""
+        suf = r"\b" if (t[-1].isalnum() or t[-1] == "_") else ""
+        return pre + _re.escape(t) + suf
+
+    ordered = sorted(cleaned, key=lambda t: (-len(t), t))
+    return "(?:" + "|".join(term_pat(t) for t in ordered) + ")"
+
+
+def blocklist_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    terms: Sequence[str] = (),
+) -> DataFrame:
+    """C4-style phrase-blocklist filter (Raffel et al. 2020 §2.2 drop
+    any page containing a listed word/phrase; C4 ships a profanity
+    list — this operator takes the list as input and stays
+    content-neutral). Adds ``blocklist_hits`` (total whole-word
+    occurrences across all listed phrases, case-insensitive) and
+    ``keep_blocklist`` (no hits).
+
+    Scale shape: the entire list compiles into ONE alternation regex
+    evaluated by a single ``regexp_count`` per document — one scan, no
+    join, no shuffle, codegen-resident; a thousand-phrase list costs
+    one compiled automaton per executor, not a broadcast join. NULL
+    text has zero hits and is kept (missing is not profane)."""
+    pat = blocklist_pattern(terms)
+    hits = F.coalesce(
+        F.regexp_count(F.lower(c(text_col)), F.lit(pat)), F.lit(0)
+    ).cast("bigint")
+    return (
+        df.withColumn("blocklist_hits", hits)
+        .withColumn("keep_blocklist", F.col("blocklist_hits") == 0)
     )

@@ -7757,6 +7757,74 @@ def bpe_encode_words(spark, sf_dir):
     ).orderBy("word")
 
 
+_BLOCK_TERMS = (
+    "lorem ipsum", "click here", "buy now", "limited time offer",
+    "subscribe", "winner",
+)
+
+
+def _block_pat() -> str:
+    from hobbes_spark.functions.curation import blocklist_pattern
+
+    return blocklist_pattern(_BLOCK_TERMS)
+
+
+@q(
+    "blocklist_filter",
+    f"""
+    WITH dd AS (
+      SELECT doc_id,
+             coalesce(text, '')
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' Buy NOW or click here!' ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN ' Lorem Ipsum winner, unwinnerly' ELSE '' END
+               AS dirty
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(dirty),
+                                         '{_block_pat()}')) AS BIGINT)
+               AS blocklist_hits
+      FROM dd
+    )
+    SELECT doc_id, blocklist_hits,
+           CAST(CASE WHEN blocklist_hits = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM h
+    """,
+)
+def blocklist_filter(spark, sf_dir):
+    """C4-style phrase-blocklist filter (curation.blocklist_stats,
+    Raffel et al. 2020 §2.2 — drop any page containing a listed
+    word/phrase; the list is an input, content-neutral here: a spam-
+    phrase set). The whole list compiles into ONE whole-word
+    alternation regex evaluated by a single regexp_count per document —
+    one scan, no join, no shuffle; the identical pattern string (from
+    blocklist_pattern, longest-first so overlapping phrases can't
+    shadow) drives Java and RE2, so counts replay exactly. The driver
+    text is spam-free, so a deterministic subset of docs (id % 7 / %13)
+    is decorated in BOTH engines with case-varied phrase plants — incl.
+    'unwinnerly', which pins the whole-word boundary (it must NOT
+    count) — making both keep branches genuinely exercised."""
+    from hobbes_spark.functions.curation import blocklist_stats
+
+    docs = _t(spark, sf_dir, "documents").df
+    dirty = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" Buy NOW or click here!"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" Lorem Ipsum winner, unwinnerly"))
+        .otherwise(F.lit("")),
+    )
+    out = blocklist_stats(docs.withColumn("__dirty", dirty), "__dirty", _BLOCK_TERMS)
+    return out.select(
+        "doc_id",
+        "blocklist_hits",
+        F.col("keep_blocklist").cast("bigint").alias("keep"),
+    )
+
+
 def _esql(s: str) -> str:
     """DuckDB E'...' escape-string literal for text that may contain
     newlines/tabs (control bytes must never be embedded raw in SQL)."""
@@ -7939,10 +8007,11 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     #     gate (the last un-signed Arrow kernel), the Gopher and C4
     #     quality batteries, the IVF-PQ composition, and the CCNet
     #     perplexity partition ---
-    "bpe_encode_words", "c4_quality", "ccnet_buckets", "gopher_quality",
-    "ivf_pq_topk", "kmeans_fixture_exact", "mixture_plan_docs",
-    "normalize_text_docs", "pagerank_fixture_exact", "pq_adc_search",
-    "pq_rerank_topk", "unigram_encode_fixture",
+    "blocklist_filter", "bpe_encode_words", "c4_quality",
+    "ccnet_buckets", "gopher_quality", "ivf_pq_topk",
+    "kmeans_fixture_exact", "mixture_plan_docs", "normalize_text_docs",
+    "pagerank_fixture_exact", "pq_adc_search", "pq_rerank_topk",
+    "unigram_encode_fixture",
     # --- last signed in r2 (all 30 such queries) ---
     "ann_ivf_topk", "churned_customers", "date_parts",
     "dedup_components", "dense_ops", "each_max", "each_mean",
@@ -7954,11 +8023,11 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rename_recreate", "repeat_customers", "rollup_revenue",
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_tumbling_counts", "token_frequencies", "weekday_counts",
-    # --- last signed in r3 (the 8 alphabetically-first: 12 never-
-    #     signed + 30 r2 + 8 r3 = the 50-slot window) ---
+    # --- last signed in r3 (the 7 alphabetically-first: 13 never-
+    #     signed + 30 r2 + 7 r3 = the 50-slot window) ---
     "ann_lsh_topk", "asof_attribution", "bloom_decontaminate",
     "chunk_docs", "classifier_scores", "cohort_retention",
-    "contamination_report", "daily_value_delta",
+    "contamination_report",
 ]
 
 

@@ -1006,3 +1006,51 @@ def test_mixture_plan_epochs_fractional(spark):
     assert plan["b"]["epochs"] == 10.0 and plan["b"]["exhausted"]
     # for strata WITH tokens, epochs > 1 iff exhausted; rate stays capped
     assert plan["b"]["rate"] == 1.0
+
+
+class TestBlocklist:
+    """C4-style phrase-blocklist filter (curation.blocklist_stats)."""
+
+    def test_whole_word_and_phrase_counting(self, spark):
+        from hobbes_spark.functions.curation import blocklist_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "please Click Here to buy now"),      # 2 phrase hits
+                (2, "clicking hereabouts buys nowhere"),  # substrings only: 0
+                (3, "winner winner"),                     # 2 word hits
+                (4, "unwinnerly winners"),                # boundary: 0
+                (5, None),                                # NULL kept
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {r["doc_id"]: r for r in blocklist_stats(
+            df, "text", ("click here", "buy now", "winner")
+        ).collect()}
+        assert got[1]["blocklist_hits"] == 2 and not got[1]["keep_blocklist"]
+        assert got[2]["blocklist_hits"] == 0 and got[2]["keep_blocklist"]
+        assert got[3]["blocklist_hits"] == 2
+        assert got[4]["blocklist_hits"] == 0
+        assert got[5]["blocklist_hits"] == 0 and got[5]["keep_blocklist"]
+
+    def test_longest_phrase_wins_overlap(self, spark):
+        from hobbes_spark.functions.curation import blocklist_stats
+
+        # 'limited time offer' contains 'time'; longest-first ordering
+        # must count the phrase once, not shadow it with the short term
+        df = spark.createDataFrame(
+            [(1, "a limited time offer today")], "doc_id bigint, text string"
+        )
+        got = blocklist_stats(df, "text", ("time", "limited time offer")).collect()[0]
+        assert got["blocklist_hits"] == 1
+
+    def test_regex_metachars_escaped_and_validation(self, spark):
+        from hobbes_spark.functions.curation import blocklist_pattern, blocklist_stats
+
+        df = spark.createDataFrame([(1, "cost is $9.99 ok")], "doc_id bigint, text string")
+        got = blocklist_stats(df, "text", ("$9.99",)).collect()[0]
+        assert got["blocklist_hits"] == 1
+        with pytest.raises(ValueError):
+            blocklist_pattern([])
+        with pytest.raises(ValueError):
+            blocklist_pattern(["  ", ""])
