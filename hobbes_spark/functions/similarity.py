@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "cosine",
     "cosine_topk",
+    "hard_negatives",
     "lsh_bucket_topk",
     "ivf_build",
     "ivf_write",
@@ -146,6 +147,56 @@ def cosine_topk(
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    return _topk(scored, k)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/contrastive training (the DPR
+    recipe, Karpukhin et al. 2020 §3.2: the best negatives are the most
+    SIMILAR items that are not true matches): per query vector, the
+    top-``k`` highest-cosine corpus vectors whose ``label_col`` differs
+    from the query's (null-safe — two NULL labels count as the same
+    group and are excluded). Returns ``(query_id, neighbor_id,
+    neighbor_label, cos, rank)`` with :func:`cosine_topk`'s exact
+    tie-break contract (cos desc, neighbor asc).
+
+    Scale shape: identical to :func:`cosine_topk` — the query batch
+    broadcasts, the corpus scans once, ranking windows key on query id
+    (skew-free). Mining is batched by construction (one training batch
+    of queries per call). For corpora too big to scan per batch, run
+    the IVF/IVF-PQ searcher with an over-fetched ``k`` and anti-filter
+    labels afterward — the standard over-fetch-then-filter ANN
+    pattern; this exact form is the recall-1.0 baseline it is measured
+    against."""
+    q = F.broadcast(
+        queries.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("__qlabel"),
+        )
+    )
+    corp = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        corp.crossJoin(q)
+        .filter(~F.col("neighbor_label").eqNullSafe(F.col("__qlabel")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
     )
     return _topk(scored, k)
 

@@ -1300,6 +1300,57 @@ def _cosine_sql(k: int = 10, n_queries: int = 5) -> str:
     """
 
 
+def _hard_negatives_sql(k: int = 8, n_queries: int = 5) -> str:
+    dot_qc = _COS_DOT.format(a="qv", b="cv")
+    dot_qq = _COS_DOT.format(a="qv", b="qv")
+    dot_cc = _COS_DOT.format(a="cv", b="cv")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < {n_queries}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                 label AS neighbor_label
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, neighbor_label,
+             {dot_qc} / NULLIF(sqrt({dot_qq}) * sqrt({dot_cc}), 0) AS cos
+      FROM c, q WHERE c.neighbor_label IS DISTINCT FROM q.qlabel
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, neighbor_label, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(neighbor_label AS INTEGER) AS neighbor_label,
+           {_rsql("cos", 6)} AS cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("hard_negatives_topk", _hard_negatives_sql())
+def hard_negatives_topk(spark, sf_dir):
+    """Hard-negative mining for retrieval training
+    (similarity.hard_negatives, the DPR recipe — Karpukhin et al. 2020
+    §3.2): per query vector, the top-8 most-similar corpus vectors
+    whose LABEL differs (null-safe exclusion). Broadcast query batch ×
+    one corpus scan, per-query ranking windows — the cosine_topk plan
+    with a different-label predicate pushed into the scan side; the
+    over-fetch-then-filter IVF path is the scale variant this exact
+    form baselines."""
+    from hobbes_spark.functions.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = hard_negatives(emb, queries, k=8)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("neighbor_label").cast("int").alias("neighbor_label"),
+        _r(F.col("cos"), 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @q("cosine_topk", None, bench=True)
 def cosine_topk_q(spark, sf_dir):
     from hobbes_spark.functions.similarity import cosine_topk
@@ -8008,10 +8059,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     #     quality batteries, the IVF-PQ composition, and the CCNet
     #     perplexity partition ---
     "blocklist_filter", "bpe_encode_words", "c4_quality",
-    "ccnet_buckets", "gopher_quality", "ivf_pq_topk",
-    "kmeans_fixture_exact", "mixture_plan_docs", "normalize_text_docs",
-    "pagerank_fixture_exact", "pq_adc_search", "pq_rerank_topk",
-    "unigram_encode_fixture",
+    "ccnet_buckets", "gopher_quality", "hard_negatives_topk",
+    "ivf_pq_topk", "kmeans_fixture_exact", "mixture_plan_docs",
+    "normalize_text_docs", "pagerank_fixture_exact", "pq_adc_search",
+    "pq_rerank_topk", "unigram_encode_fixture",
     # --- last signed in r2 (all 30 such queries) ---
     "ann_ivf_topk", "churned_customers", "date_parts",
     "dedup_components", "dense_ops", "each_max", "each_mean",
@@ -8023,11 +8074,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rename_recreate", "repeat_customers", "rollup_revenue",
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_tumbling_counts", "token_frequencies", "weekday_counts",
-    # --- last signed in r3 (the 7 alphabetically-first: 13 never-
-    #     signed + 30 r2 + 7 r3 = the 50-slot window) ---
+    # --- last signed in r3 (the 6 alphabetically-first: 14 never-
+    #     signed + 30 r2 + 6 r3 = the 50-slot window) ---
     "ann_lsh_topk", "asof_attribution", "bloom_decontaminate",
     "chunk_docs", "classifier_scores", "cohort_retention",
-    "contamination_report",
 ]
 
 

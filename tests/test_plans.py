@@ -102,6 +102,9 @@ BNLJ_ALLOWED = {
     "tpch_q20_promotion", "tpch_q22_opportunity",
     # bounded-small broadcast sides (see comment above)
     "cosine_topk", "embedding_neardup_exact", "ann_ivf_topk",
+    # hard_negatives_topk: the same broadcast-query exact-scan baseline
+    # as cosine_topk, with the different-label predicate inside
+    "hard_negatives_topk",
     # PQ ADC: the broadcast side is the query SET (small by definition);
     # the corpus side scans only id + codes — the compressed-search shape
     "pq_adc_search", "pq_rerank_topk",

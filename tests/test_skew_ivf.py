@@ -422,3 +422,56 @@ def test_ivf_pq_index_carries_no_raw_floats(spark, sf_dir):
     assert set(centroids.columns) == {"cell", "centroid"}
     row = encoded.first()
     assert all(isinstance(c, int) and 0 <= c < 8 for c in row["pq"])
+
+
+class TestHardNegatives:
+    """DPR-style hard-negative mining (similarity.hard_negatives)."""
+
+    def _emb(self, spark):
+        rows = [
+            (1, [1.0, 0.0], 10), (2, [0.9, 0.1], 10),   # label-10 cluster
+            (3, [0.8, 0.2], 20), (4, [0.0, 1.0], 20),   # label-20
+            (5, [0.7, 0.3], None), (6, None, 30),        # NULL label / vector
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        )
+
+    def test_same_label_never_mined(self, spark):
+        from hobbes_spark.functions.similarity import hard_negatives
+
+        emb = self._emb(spark)
+        out = hard_negatives(emb, emb.filter(F.col("vec_id") == 1), k=10).collect()
+        # query 1 (label 10): doc 2 shares the label and must be absent
+        # even though it is the most similar vector; NULL label differs
+        ids = [r["neighbor_id"] for r in out]
+        assert 2 not in ids
+        assert set(ids) == {3, 4, 5}
+        # the hardest negative is the most similar different-label doc
+        assert out[0]["neighbor_id"] == 3 and out[0]["rank"] == 1
+        assert all(r["neighbor_label"] != 10 for r in out)
+
+    def test_null_labels_group_together(self, spark):
+        from hobbes_spark.functions.similarity import hard_negatives
+
+        emb = self._emb(spark)
+        nulls = emb.filter(F.col("vec_id") == 5)  # label NULL
+        out = hard_negatives(emb, nulls, k=10).collect()
+        # null-safe: another NULL-label doc would be excluded; here doc 5
+        # is the only NULL-label vector, so all labeled docs are fair game
+        assert {r["neighbor_id"] for r in out} == {1, 2, 3, 4}
+
+    def test_reduces_to_cosine_topk_when_labels_unique(self, spark):
+        from hobbes_spark.functions.similarity import cosine_topk, hard_negatives
+
+        rows = [(i, [float(i % 3 + 1), float(i % 5)], i) for i in range(1, 12)]
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        )
+        q = emb.filter(F.col("vec_id") <= 2)
+        a = sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                   for r in hard_negatives(emb, q, k=5).collect())
+        b = sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                   for r in cosine_topk(emb, q, k=5).collect())
+        # all-distinct labels exclude only self -> identical mining
+        assert a == b
