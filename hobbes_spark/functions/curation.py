@@ -50,6 +50,7 @@ __all__ = [
     "gopher_quality_stats",
     "c4_quality_stats",
     "blocklist_pattern",
+    "blocklist_subject",
     "blocklist_stats",
     "chunk_documents",
     "pack_documents",
@@ -1216,55 +1217,89 @@ def perplexity_buckets(
     )
 
 
+#: the ASCII word-token class the blocklist matches on — anything else
+#: is a separator, identically in Java, RE2, and Python (``\\b`` is NOT
+#: portable: Java's is Unicode-word-aware, RE2's is ASCII-only, and RE2
+#: has no lookarounds to emulate either — a ``\\b`` pattern silently
+#: diverges between Spark and the oracle on the first non-ASCII letter)
+BLOCKLIST_SEP = "[^a-z0-9_]+"
+
+
+def blocklist_subject(col: Column | str) -> Column:
+    """The normalized haystack :func:`blocklist_pattern` matches
+    against: lowercase, every separator run → TWO spaces, one space
+    padded on each edge. Two spaces between tokens is load-bearing:
+    each space-framed needle (``' winner '``) consumes its own framing
+    spaces, so two ADJACENT blocked tokens still both count (with
+    single spacing the shared space would be consumed by the first
+    match and hide the second)."""
+    return F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(c(col)), BLOCKLIST_SEP, "  "),
+        F.lit(" "),
+    )
+
+
 def blocklist_pattern(terms: Sequence[str]) -> str:
-    """One whole-word alternation regex for a phrase blocklist —
-    shared verbatim by the Spark operator and the DuckDB oracle (Java
-    and RE2 both support ``\\b`` and non-capturing groups; terms are
-    escaped, so the pattern stays engine-portable). Longer phrases are
-    placed first so an overlapping shorter term cannot shadow them in
-    leftmost-match counting."""
+    """One alternation regex for a phrase blocklist over the
+    :func:`blocklist_subject` haystack — shared verbatim by the Spark
+    operator, the DuckDB oracle, and Python ``re`` (only literal
+    ``[a-z0-9_ ]`` chars and ``(?:|)`` appear, so no engine-specific
+    construct exists to diverge). Each term is tokenized on the same
+    separator class as the subject (symbols inside a term act as
+    separators — ``'$9.99'`` matches the token sequence ``9 99``);
+    longer token sequences are placed first so an overlapping shorter
+    term cannot shadow them in leftmost-first alternation (Java and
+    RE2 both prefer the first alternative)."""
     import re as _re
 
     if not terms:
         raise ValueError("blocklist_pattern: terms must be non-empty")
-    cleaned = sorted({t.strip().lower() for t in terms if t and t.strip()})
-    if not cleaned:
-        raise ValueError("blocklist_pattern: no usable terms")
-
-    def term_pat(t: str) -> str:
-        # \b only works against a WORD character, and RE2 (the oracle
-        # engine) has no lookbehind to anchor a non-word edge — so a
-        # term starting/ending in a symbol ('$9.99') gets no boundary
-        # on that side (it then also matches mid-token there; the
-        # conservative direction for a blocklist)
-        pre = r"\b" if (t[0].isalnum() or t[0] == "_") else ""
-        suf = r"\b" if (t[-1].isalnum() or t[-1] == "_") else ""
-        return pre + _re.escape(t) + suf
-
-    ordered = sorted(cleaned, key=lambda t: (-len(t), t))
-    return "(?:" + "|".join(term_pat(t) for t in ordered) + ")"
+    needles = set()
+    for t in terms:
+        parts = [p for p in _re.split(BLOCKLIST_SEP, (t or "").lower()) if p]
+        if parts:
+            needles.add(" " + "  ".join(parts) + " ")
+    if not needles:
+        raise ValueError("blocklist_pattern: no usable terms (no word characters)")
+    ordered = sorted(needles, key=lambda t: (-len(t), t))
+    pat = "(?:" + "|".join(ordered) + ")"
+    # by construction the pattern is regex-inert (no metachars, no
+    # quotes) — pin that so a future edit can't silently break the
+    # oracle's plain-'...'-literal embedding
+    assert _re.fullmatch(r"[a-z0-9_ |(?:)]+", pat), pat
+    return pat
 
 
 def blocklist_stats(
     df: DataFrame,
-    text_col: str = "text",
-    terms: Sequence[str] = (),
+    text_col: str,
+    terms: Sequence[str],
 ) -> DataFrame:
     """C4-style phrase-blocklist filter (Raffel et al. 2020 §2.2 drop
     any page containing a listed word/phrase; C4 ships a profanity
     list — this operator takes the list as input and stays
-    content-neutral). Adds ``blocklist_hits`` (total whole-word
-    occurrences across all listed phrases, case-insensitive) and
-    ``keep_blocklist`` (no hits).
+    content-neutral). Adds ``blocklist_hits`` (total occurrences of
+    any listed word/phrase as an ASCII-token sequence,
+    case-insensitive) and ``keep_blocklist`` (no hits).
 
-    Scale shape: the entire list compiles into ONE alternation regex
-    evaluated by a single ``regexp_count`` per document — one scan, no
+    Matching is ASCII-TOKEN based, not ``\\b``-based: the text is
+    normalized by :func:`blocklist_subject` and needles are
+    space-framed token sequences — the one formulation Java (Spark),
+    RE2 (DuckDB oracle), and Python agree on byte-for-byte (see
+    ``BLOCKLIST_SEP``). Consequences, both in the conservative
+    direction for a blocklist: unicode letters separate tokens
+    (``'éwinner'`` still hits ``winner``), and symbols inside terms
+    act as separators (``'$9.99'`` also hits ``'9 99'``).
+
+    Scale shape: the entire list compiles into ONE alternation regex —
+    two regex passes per document (separator normalize + count), no
     join, no shuffle, codegen-resident; a thousand-phrase list costs
     one compiled automaton per executor, not a broadcast join. NULL
     text has zero hits and is kept (missing is not profane)."""
     pat = blocklist_pattern(terms)
     hits = F.coalesce(
-        F.regexp_count(F.lower(c(text_col)), F.lit(pat)), F.lit(0)
+        F.regexp_count(blocklist_subject(text_col), F.lit(pat)), F.lit(0)
     ).cast("bigint")
     return (
         df.withColumn("blocklist_hits", hits)

@@ -118,6 +118,34 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _exact_scan_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_cols: "dict[str, str] | None" = None,
+    c_cols: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """ONE spelling of the exact-scan baseline contract shared by
+    :func:`cosine_topk` and :func:`hard_negatives`: queries broadcast
+    (small side), NULL vectors excluded on BOTH sides (no direction —
+    they must not rank as NULL-cos trailing neighbors), corpus scans
+    once. Extra carried columns are alias->source mappings."""
+    q = F.broadcast(
+        queries.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            *[F.col(src).alias(dst) for dst, src in (q_cols or {}).items()],
+        )
+    )
+    corp = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        *[F.col(src).alias(dst) for dst, src in (c_cols or {}).items()],
+    )
+    return corp.crossJoin(q)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -132,17 +160,7 @@ def cosine_topk(
     query id, so the shuffle is per-query and skew-free.
     Returns (query_id, neighbor_id, cos, rank).
     """
-    q = F.broadcast(
-        queries.filter(F.col(vec_col).isNotNull()).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        )
-    )
-    # NULL vectors carry no direction — excluded, not ranked as
-    # NULL-cos trailing neighbors
-    corp = corpus.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
-    joined = corp.crossJoin(q)
+    joined = _exact_scan_pairs(corpus, queries, id_col, vec_col)
     if not include_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(
@@ -176,20 +194,12 @@ def hard_negatives(
     labels afterward — the standard over-fetch-then-filter ANN
     pattern; this exact form is the recall-1.0 baseline it is measured
     against."""
-    q = F.broadcast(
-        queries.filter(F.col(vec_col).isNotNull()).select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            F.col(label_col).alias("__qlabel"),
-        )
-    )
-    corp = corpus.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        F.col(label_col).alias("neighbor_label"),
-    )
     scored = (
-        corp.crossJoin(q)
+        _exact_scan_pairs(
+            corpus, queries, id_col, vec_col,
+            q_cols={"__qlabel": label_col},
+            c_cols={"neighbor_label": label_col},
+        )
         .filter(~F.col("neighbor_label").eqNullSafe(F.col("__qlabel")))
         .select(
             "query_id",

@@ -1276,31 +1276,17 @@ _COS_DOT = (
 )
 
 
-def _cosine_sql(k: int = 10, n_queries: int = 5) -> str:
-    dot_qc = _COS_DOT.format(a="qv", b="cv")
-    dot_qq = _COS_DOT.format(a="qv", b="qv")
-    dot_cc = _COS_DOT.format(a="cv", b="cv")
-    return f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-               WHERE vec_id < {n_queries}),
-    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-    scored AS (
-      SELECT query_id, neighbor_id,
-             {dot_qc} / NULLIF(sqrt({dot_qq}) * sqrt({dot_cc}), 0) AS cos
-      FROM c, q WHERE neighbor_id <> query_id
-    ),
-    ranked AS (
-      SELECT query_id, neighbor_id, cos,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, neighbor_id ASC) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, {_rsql("cos", 6)} AS cos, CAST(rank AS INTEGER) AS rank
-    FROM ranked WHERE rank <= {k}
-    """
-
-
-def _hard_negatives_sql(k: int = 8, n_queries: int = 5) -> str:
+def _exact_scan_sql(
+    k: int,
+    n_queries: int,
+    exclude: str,
+    extra_sel: str = "",
+    extra_out: str = "",
+) -> str:
+    """ONE spelling of the exact-scan oracle (broadcast-query cosine +
+    per-query rank window) shared by _cosine_sql and
+    _hard_negatives_sql — the SQL twin of similarity._exact_scan_pairs,
+    parameterized only by the exclusion predicate and carried columns."""
     dot_qc = _COS_DOT.format(a="qv", b="cv")
     dot_qq = _COS_DOT.format(a="qv", b="qv")
     dot_cc = _COS_DOT.format(a="cv", b="cv")
@@ -1311,20 +1297,33 @@ def _hard_negatives_sql(k: int = 8, n_queries: int = 5) -> str:
                  label AS neighbor_label
           FROM embeddings),
     scored AS (
-      SELECT query_id, neighbor_id, neighbor_label,
+      SELECT query_id, neighbor_id{extra_sel},
              {dot_qc} / NULLIF(sqrt({dot_qq}) * sqrt({dot_cc}), 0) AS cos
-      FROM c, q WHERE c.neighbor_label IS DISTINCT FROM q.qlabel
+      FROM c, q WHERE {exclude}
     ),
     ranked AS (
-      SELECT query_id, neighbor_id, neighbor_label, cos,
+      SELECT query_id, neighbor_id{extra_sel}, cos,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos DESC, neighbor_id ASC) AS rank
       FROM scored
     )
-    SELECT query_id, neighbor_id, CAST(neighbor_label AS INTEGER) AS neighbor_label,
-           {_rsql("cos", 6)} AS cos, CAST(rank AS INTEGER) AS rank
+    SELECT query_id, neighbor_id{extra_out}, {_rsql("cos", 6)} AS cos,
+           CAST(rank AS INTEGER) AS rank
     FROM ranked WHERE rank <= {k}
     """
+
+
+def _cosine_sql(k: int = 10, n_queries: int = 5) -> str:
+    return _exact_scan_sql(k, n_queries, exclude="neighbor_id <> query_id")
+
+
+def _hard_negatives_sql(k: int = 8, n_queries: int = 5) -> str:
+    return _exact_scan_sql(
+        k, n_queries,
+        exclude="c.neighbor_label IS DISTINCT FROM q.qlabel",
+        extra_sel=", neighbor_label",
+        extra_out=", CAST(neighbor_label AS INTEGER) AS neighbor_label",
+    )
 
 
 @q("hard_negatives_topk", _hard_negatives_sql())
@@ -7835,8 +7834,10 @@ def _block_pat() -> str:
     ),
     h AS (
       SELECT doc_id,
-             CAST(len(regexp_extract_all(lower(dirty),
-                                         '{_block_pat()}')) AS BIGINT)
+             CAST(len(regexp_extract_all(
+                    ' ' || regexp_replace(lower(dirty),
+                                          '[^a-z0-9_]+', '  ', 'g') || ' ',
+                    '{_block_pat()}')) AS BIGINT)
                AS blocklist_hits
       FROM dd
     )
@@ -7849,15 +7850,17 @@ def blocklist_filter(spark, sf_dir):
     """C4-style phrase-blocklist filter (curation.blocklist_stats,
     Raffel et al. 2020 §2.2 — drop any page containing a listed
     word/phrase; the list is an input, content-neutral here: a spam-
-    phrase set). The whole list compiles into ONE whole-word
-    alternation regex evaluated by a single regexp_count per document —
-    one scan, no join, no shuffle; the identical pattern string (from
-    blocklist_pattern, longest-first so overlapping phrases can't
-    shadow) drives Java and RE2, so counts replay exactly. The driver
-    text is spam-free, so a deterministic subset of docs (id % 7 / %13)
-    is decorated in BOTH engines with case-varied phrase plants — incl.
-    'unwinnerly', which pins the whole-word boundary (it must NOT
-    count) — making both keep branches genuinely exercised."""
+    phrase set). Matching is ASCII-TOKEN based — separator runs
+    normalize to double spaces and needles are space-framed token
+    sequences — deliberately NOT \\b, whose Java (Unicode-word) and
+    RE2 (ASCII) semantics diverge on the first non-ASCII letter with
+    no RE2 lookaround to reconcile them. One alternation regex, two
+    regex passes per doc, no join, no shuffle; longest-first ordering
+    so overlapping phrases can't shadow. The driver text is spam-free,
+    so a deterministic subset of docs (id % 7 / %13) is decorated in
+    BOTH engines with case-varied phrase plants — incl. 'unwinnerly',
+    which pins the token boundary (it must NOT count) — making both
+    keep branches genuinely exercised."""
     from hobbes_spark.functions.curation import blocklist_stats
 
     docs = _t(spark, sf_dir, "documents").df
@@ -7878,11 +7881,17 @@ def blocklist_filter(spark, sf_dir):
 
 def _esql(s: str) -> str:
     """DuckDB E'...' escape-string literal for text that may contain
-    newlines/tabs (control bytes must never be embedded raw in SQL)."""
-    esc = (
-        s.replace("\\", "\\\\").replace("'", "''")
-        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
-        .replace("\x01", "\\x01")
+    control bytes (which must never be embedded raw in SQL text).
+    Generic: EVERY byte < 0x20 and 0x7f is hex-escaped, not a per-byte
+    special case that decays as the constants evolve. NUL raises —
+    DuckDB VARCHAR cannot hold it even escaped, so silently embedding
+    one would corrupt the oracle rather than flag the design error."""
+    if "\x00" in s:
+        raise ValueError("_esql: NUL is not representable in a DuckDB VARCHAR")
+    esc = s.replace("\\", "\\\\").replace("'", "''")
+    esc = "".join(
+        f"\\x{ord(ch):02x}" if (ord(ch) < 0x20 or ord(ch) == 0x7F) else ch
+        for ch in esc
     )
     return f"E'{esc}'"
 

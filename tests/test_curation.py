@@ -1054,3 +1054,42 @@ class TestBlocklist:
             blocklist_pattern([])
         with pytest.raises(ValueError):
             blocklist_pattern(["  ", ""])
+        with pytest.raises(ValueError):
+            blocklist_pattern(["$$$", "!!!"])  # no word characters
+
+    def test_unicode_adjacency_matches_oracle_engine(self, spark):
+        """Regression for the \\b portability bug: Java's \\b is
+        Unicode-word-aware, RE2's is ASCII-only, so a \\b pattern gave
+        Spark 0 / DuckDB 1 on '\u00e9winner'. Token matching must count 1
+        in BOTH engines — unicode letters are separators by contract."""
+        import duckdb
+
+        from hobbes_spark.functions.curation import blocklist_pattern, blocklist_stats
+
+        cases = ["\u00e9winner ok", "\u6c49winner", "winner\u00e9 ok", "a winner b"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(cases)], "doc_id bigint, text string"
+        )
+        got = {r["doc_id"]: r["blocklist_hits"]
+               for r in blocklist_stats(df, "text", ("winner",)).collect()}
+        assert got == {0: 1, 1: 1, 2: 1, 3: 1}
+        pat = blocklist_pattern(("winner",))
+        con = duckdb.connect()
+        for i, t in enumerate(cases):
+            d = con.execute(
+                "SELECT len(regexp_extract_all(' ' || regexp_replace(lower(?),"
+                " '[^a-z0-9_]+', '  ', 'g') || ' ', ?))", [t, pat]
+            ).fetchone()[0]
+            assert d == got[i], (t, d, got[i])
+
+    def test_adjacent_blocked_tokens_both_count(self, spark):
+        from hobbes_spark.functions.curation import blocklist_stats
+
+        # the double-space framing: adjacent needles must not share a
+        # boundary space and hide one another
+        df = spark.createDataFrame(
+            [(1, "winner winner click here click here")],
+            "doc_id bigint, text string",
+        )
+        got = blocklist_stats(df, "text", ("winner", "click here")).collect()[0]
+        assert got["blocklist_hits"] == 4
