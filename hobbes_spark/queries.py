@@ -7957,6 +7957,68 @@ def normalize_text_docs(spark, sf_dir):
 
 
 @q(
+    "corpus_datasheet",
+    f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM per)
+    SELECT lang, n_docs, n_tokens,
+           {_rsql("n_tokens / (SELECT t FROM tot)", 6)} AS token_share,
+           {_rsql("CAST(n_tokens AS DOUBLE) / n_docs", 4)} AS mean_doc_tokens,
+           CAST(n_docs - n_missing - fp AS BIGINT) AS exact_dup_docs,
+           n_missing
+    FROM per
+    """,
+)
+def corpus_datasheet(spark, sf_dir):
+    """Corpus datasheet (Gebru et al. 2021, "Datasheets for Datasets" —
+    the composition/size panel): per-language document and token
+    counts, token share of the corpus, mean tokens per document,
+    exact-duplicate document count (docs minus distinct content
+    fingerprints, NULL text tallied separately as missing). ONE keyed
+    aggregation over the corpus; the grand total is a 1-row broadcast
+    back onto the language-sized table. The release-gate report a
+    pipeline publishes next to the data — every number here is
+    exact-integer or exact-IEEE division, so the oracle replays it
+    bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents").df
+    from hobbes_spark.functions.text import token_count
+
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("__fp"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("__t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            _r(F.col("n_tokens") / F.col("__t"), 6).alias("token_share"),
+            _r(F.col("n_tokens").cast("double") / F.col("n_docs"), 4).alias(
+                "mean_doc_tokens"
+            ),
+            (F.col("n_docs") - F.col("n_missing") - F.col("__fp"))
+            .cast("bigint")
+            .alias("exact_dup_docs"),
+            "n_missing",
+        )
+    )
+
+
+@q(
     "unigram_encode_fixture",
     """
     SELECT * FROM (VALUES
@@ -8068,10 +8130,11 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     #     quality batteries, the IVF-PQ composition, and the CCNet
     #     perplexity partition ---
     "blocklist_filter", "bpe_encode_words", "c4_quality",
-    "ccnet_buckets", "gopher_quality", "hard_negatives_topk",
-    "ivf_pq_topk", "kmeans_fixture_exact", "mixture_plan_docs",
-    "normalize_text_docs", "pagerank_fixture_exact", "pq_adc_search",
-    "pq_rerank_topk", "unigram_encode_fixture",
+    "ccnet_buckets", "corpus_datasheet", "gopher_quality",
+    "hard_negatives_topk", "ivf_pq_topk", "kmeans_fixture_exact",
+    "mixture_plan_docs", "normalize_text_docs",
+    "pagerank_fixture_exact", "pq_adc_search", "pq_rerank_topk",
+    "unigram_encode_fixture",
     # --- last signed in r2 (all 30 such queries) ---
     "ann_ivf_topk", "churned_customers", "date_parts",
     "dedup_components", "dense_ops", "each_max", "each_mean",
@@ -8083,10 +8146,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rename_recreate", "repeat_customers", "rollup_revenue",
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_tumbling_counts", "token_frequencies", "weekday_counts",
-    # --- last signed in r3 (the 6 alphabetically-first: 14 never-
-    #     signed + 30 r2 + 6 r3 = the 50-slot window) ---
+    # --- last signed in r3 (the 5 alphabetically-first: 15 never-
+    #     signed + 30 r2 + 5 r3 = the 50-slot window) ---
     "ann_lsh_topk", "asof_attribution", "bloom_decontaminate",
-    "chunk_docs", "classifier_scores", "cohort_retention",
+    "chunk_docs", "classifier_scores",
 ]
 
 

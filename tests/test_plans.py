@@ -95,7 +95,7 @@ ARROW_MATMUL_QUERIES = {
 BNLJ_ALLOWED = {
     # 1-row stats / scalar broadcasts
     "bm25_topk", "unigram_scores", "bigram_scores", "ccnet_buckets",
-    "tfidf_top_terms",
+    "corpus_datasheet", "tfidf_top_terms",
     "dsir_weights", "temperature_sample_docs", "histogram_prices",
     "linear_extrapolation", "bloom_decontaminate", "media_phash_pairs",
     "tpch_q2_mincost", "tpch_q11_stockvalue", "tpch_q16_suppcnt",
