@@ -7957,6 +7957,56 @@ def normalize_text_docs(spark, sf_dir):
 
 
 @q(
+    "stream_curation_stats",
+    f"""
+    WITH h AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(
+                    ' ' || regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9_]+', '  ', 'g') || ' ',
+                    '{_block_pat()}')) AS BIGINT) AS hits,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS toks
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(hits) AS BIGINT) AS blocklist_hits,
+           CAST(SUM(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
+    FROM h GROUP BY source
+    """,
+)
+def stream_curation_stats(spark, sf_dir):
+    """Streaming curation: the BATCH blocklist and token-count
+    operators run UNCHANGED on a document stream (stateless Column
+    expressions need no streaming variant — the design property this
+    query pins), aggregated per source in complete mode and replayed
+    through the memory sink. The oracle recomputes the same per-source
+    panel from the static table: a landing-zone micro-batch pipeline
+    and the batch backfill must agree row-for-row, which is the
+    exactly-once curation contract at 100 TB (new files -> same
+    numbers as a full rerun)."""
+    from hobbes_spark.functions.curation import blocklist_stats
+    from hobbes_spark.functions.text import token_count
+    from hobbes_spark.streaming import stream_parquet
+    from hobbes_spark.streaming.run import replay_to_df
+
+    stream = stream_parquet(spark, f"{sf_dir}/documents.parquet")
+    scored = blocklist_stats(stream, "text", _BLOCK_TERMS).withColumn(
+        "__toks", token_count("text")
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__toks").cast("bigint").alias("n_tokens"),
+        F.sum("blocklist_hits").cast("bigint").alias("blocklist_hits"),
+        F.sum(F.when(F.col("keep_blocklist"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept_docs"),
+    )
+    return replay_to_df(agg, spark, mode="complete")
+
+
+@q(
     "corpus_datasheet",
     f"""
     WITH per AS (
@@ -8134,7 +8184,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "hard_negatives_topk", "ivf_pq_topk", "kmeans_fixture_exact",
     "mixture_plan_docs", "normalize_text_docs",
     "pagerank_fixture_exact", "pq_adc_search", "pq_rerank_topk",
-    "unigram_encode_fixture",
+    "stream_curation_stats", "unigram_encode_fixture",
     # --- last signed in r2 (all 30 such queries) ---
     "ann_ivf_topk", "churned_customers", "date_parts",
     "dedup_components", "dense_ops", "each_max", "each_mean",
@@ -8146,10 +8196,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rename_recreate", "repeat_customers", "rollup_revenue",
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_tumbling_counts", "token_frequencies", "weekday_counts",
-    # --- last signed in r3 (the 5 alphabetically-first: 15 never-
-    #     signed + 30 r2 + 5 r3 = the 50-slot window) ---
+    # --- last signed in r3 (the 4 alphabetically-first: 16 never-
+    #     signed + 30 r2 + 4 r3 = the 50-slot window) ---
     "ann_lsh_topk", "asof_attribution", "bloom_decontaminate",
-    "chunk_docs", "classifier_scores",
+    "chunk_docs",
 ]
 
 

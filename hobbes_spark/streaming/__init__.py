@@ -8,7 +8,7 @@ watermarks over the ``events`` table, plus a custom stateful operator
 via ``applyInPandasWithState``.
 """
 
-from hobbes_spark.streaming.source import stream_events
+from hobbes_spark.streaming.source import stream_events, stream_parquet
 from hobbes_spark.streaming.windows import (
     session_agg,
     sliding_agg,
@@ -33,6 +33,7 @@ __all__ = [
     "start_idempotent_sink",
     "write_partitioned",
     "stream_events",
+    "stream_parquet",
     "tumbling_agg",
     "sliding_agg",
     "session_agg",

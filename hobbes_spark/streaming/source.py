@@ -52,6 +52,21 @@ def stream_events(
     return normalize_ts(df)
 
 
+def stream_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``readStream`` over any parquet file/directory with the file's
+    own schema — the generic twin of :func:`stream_events` for tables
+    without an event-time column (e.g. a landing zone of document
+    files). Batch curation operators are stateless Column expressions,
+    so they run UNCHANGED on the returned stream; only aggregations
+    need streaming-specific handling downstream."""
+    static = spark.read.parquet(path)
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="hb_stream_")
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        path = d
+    return spark.readStream.schema(static.schema).parquet(path)
+
+
 def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Normalize the event-time column to an instant (TIMESTAMP):
 
