@@ -51,6 +51,7 @@ __all__ = [
     "c4_quality_stats",
     "blocklist_pattern",
     "blocklist_subject",
+    "blocklist_subject_sql",
     "blocklist_stats",
     "chunk_documents",
     "pack_documents",
@@ -1224,19 +1225,45 @@ def perplexity_buckets(
 #: diverges between Spark and the oracle on the first non-ASCII letter)
 BLOCKLIST_SEP = "[^a-z0-9_]+"
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_ASCII_FOLD = str.maketrans(_ASCII_UPPER, _ASCII_LOWER)
+
 
 def blocklist_subject(col: Column | str) -> Column:
     """The normalized haystack :func:`blocklist_pattern` matches
-    against: lowercase, every separator run → TWO spaces, one space
-    padded on each edge. Two spaces between tokens is load-bearing:
-    each space-framed needle (``' winner '``) consumes its own framing
-    spaces, so two ADJACENT blocked tokens still both count (with
-    single spacing the shared space would be consumed by the first
-    match and hide the second)."""
+    against: ASCII-case-folded, every separator run → TWO spaces, one
+    space padded on each edge. Two spaces between tokens is
+    load-bearing: each space-framed needle (``' winner '``) consumes
+    its own framing spaces, so two ADJACENT blocked tokens still both
+    count (with single spacing the shared space would be consumed by
+    the first match and hide the second).
+
+    Case folding is ``translate(A-Z → a-z)``, NOT ``lower()``: engine
+    ``lower()`` is not portable (Spark's JVM full case mapping turns
+    U+0130 into ``i`` + combining dot — and is locale-sensitive for
+    ``I`` — while DuckDB's utf8proc simple-maps it to ``i``), and only
+    ``[a-z0-9_]`` are word characters anyway, so the per-char ASCII
+    fold is both sufficient and identical in Java, DuckDB, and
+    Python."""
     return F.concat(
         F.lit(" "),
-        F.regexp_replace(F.lower(c(col)), BLOCKLIST_SEP, "  "),
+        F.regexp_replace(
+            F.translate(c(col), _ASCII_UPPER, _ASCII_LOWER), BLOCKLIST_SEP, "  "
+        ),
         F.lit(" "),
+    )
+
+
+def blocklist_subject_sql(expr: str) -> str:
+    """The DuckDB spelling of :func:`blocklist_subject` — generated
+    from the SAME constants so the subject normalization has one
+    source (the repo rule for every cross-engine rule table). NULL in
+    → NULL subject, matching Spark's concat NULL propagation; oracles
+    coalesce before calling when they want NULL→0-hits semantics."""
+    return (
+        f"' ' || regexp_replace(translate({expr}, '{_ASCII_UPPER}', "
+        f"'{_ASCII_LOWER}'), '{BLOCKLIST_SEP}', '  ', 'g') || ' '"
     )
 
 
@@ -1257,17 +1284,20 @@ def blocklist_pattern(terms: Sequence[str]) -> str:
         raise ValueError("blocklist_pattern: terms must be non-empty")
     needles = set()
     for t in terms:
-        parts = [p for p in _re.split(BLOCKLIST_SEP, (t or "").lower()) if p]
+        folded = (t or "").translate(_ASCII_FOLD)  # same ASCII-only fold
+        parts = [p for p in _re.split(BLOCKLIST_SEP, folded) if p]
         if parts:
             needles.add(" " + "  ".join(parts) + " ")
     if not needles:
         raise ValueError("blocklist_pattern: no usable terms (no word characters)")
     ordered = sorted(needles, key=lambda t: (-len(t), t))
     pat = "(?:" + "|".join(ordered) + ")"
-    # by construction the pattern is regex-inert (no metachars, no
-    # quotes) — pin that so a future edit can't silently break the
-    # oracle's plain-'...'-literal embedding
-    assert _re.fullmatch(r"[a-z0-9_ |(?:)]+", pat), pat
+    if not _re.fullmatch(r"[a-z0-9_ |(?:)]+", pat):
+        # by construction the pattern is regex-inert (no metachars, no
+        # quotes); a real raise (not an assert, which -O strips) pins
+        # that so a future edit can't silently break the oracle's
+        # plain-'...'-literal embedding
+        raise ValueError(f"blocklist_pattern: non-inert pattern {pat!r}")
     return pat
 
 

@@ -7819,6 +7819,12 @@ def _block_pat() -> str:
     return blocklist_pattern(_BLOCK_TERMS)
 
 
+def _block_subject_sql(expr: str) -> str:
+    from hobbes_spark.functions.curation import blocklist_subject_sql
+
+    return blocklist_subject_sql(expr)
+
+
 @q(
     "blocklist_filter",
     f"""
@@ -7835,8 +7841,7 @@ def _block_pat() -> str:
     h AS (
       SELECT doc_id,
              CAST(len(regexp_extract_all(
-                    ' ' || regexp_replace(lower(dirty),
-                                          '[^a-z0-9_]+', '  ', 'g') || ' ',
+                    {_block_subject_sql('dirty')},
                     '{_block_pat()}')) AS BIGINT)
                AS blocklist_hits
       FROM dd
@@ -7962,8 +7967,7 @@ def normalize_text_docs(spark, sf_dir):
     WITH h AS (
       SELECT source,
              CAST(len(regexp_extract_all(
-                    ' ' || regexp_replace(lower(coalesce(text, '')),
-                                          '[^a-z0-9_]+', '  ', 'g') || ' ',
+                    {_block_subject_sql("coalesce(text, '')")},
                     '{_block_pat()}')) AS BIGINT) AS hits,
              CAST(len({_TOKS_SQL}) AS BIGINT) AS toks
       FROM documents

@@ -38,6 +38,22 @@ def stream_events(
     # stream reader needs; normalize_ts converts after.
     if _nanos_ts_cols(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_ts(stream_parquet(spark, path, max_files_per_trigger))
+
+
+def stream_parquet(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over any parquet file/directory with the file's
+    own schema — the generic twin of :func:`stream_events` for tables
+    without an event-time column (e.g. a landing zone of document
+    files); :func:`stream_events` delegates here, so the
+    single-file-symlink-dir workaround has ONE spelling. Batch
+    curation operators are stateless Column expressions, so they run
+    UNCHANGED on the returned stream; only aggregations need
+    streaming-specific handling downstream."""
     static = spark.read.parquet(path)
     # FileStreamSource wants a directory (its basePath); a single-file
     # table is exposed through a symlink dir.
@@ -48,23 +64,7 @@ def stream_events(
     reader = spark.readStream.schema(static.schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(path)
-    return normalize_ts(df)
-
-
-def stream_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """``readStream`` over any parquet file/directory with the file's
-    own schema — the generic twin of :func:`stream_events` for tables
-    without an event-time column (e.g. a landing zone of document
-    files). Batch curation operators are stateless Column expressions,
-    so they run UNCHANGED on the returned stream; only aggregations
-    need streaming-specific handling downstream."""
-    static = spark.read.parquet(path)
-    if os.path.isfile(path):
-        d = tempfile.mkdtemp(prefix="hb_stream_")
-        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
-        path = d
-    return spark.readStream.schema(static.schema).parquet(path)
+    return reader.parquet(path)
 
 
 def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:

@@ -1066,19 +1066,25 @@ class TestBlocklist:
 
         from hobbes_spark.functions.curation import blocklist_pattern, blocklist_stats
 
-        cases = ["\u00e9winner ok", "\u6c49winner", "winner\u00e9 ok", "a winner b"]
+        # includes U+0130: JVM lower() full-maps it to i + COMBINING DOT
+        # (and is locale-sensitive for 'I') while DuckDB simple-maps —
+        # the ASCII translate() fold sidesteps engine case mapping
+        cases = ["\u00e9winner ok", "\u6c49winner", "winner\u00e9 ok",
+                 "a winner b", "\u0130winner x", "\u0130WINNER", "Iwinner"]
         df = spark.createDataFrame(
             [(i, t) for i, t in enumerate(cases)], "doc_id bigint, text string"
         )
         got = {r["doc_id"]: r["blocklist_hits"]
                for r in blocklist_stats(df, "text", ("winner",)).collect()}
-        assert got == {0: 1, 1: 1, 2: 1, 3: 1}
+        assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 0}
+        from hobbes_spark.functions.curation import blocklist_subject_sql
+
         pat = blocklist_pattern(("winner",))
         con = duckdb.connect()
         for i, t in enumerate(cases):
             d = con.execute(
-                "SELECT len(regexp_extract_all(' ' || regexp_replace(lower(?),"
-                " '[^a-z0-9_]+', '  ', 'g') || ' ', ?))", [t, pat]
+                f"SELECT len(regexp_extract_all({blocklist_subject_sql('?')}, ?))",
+                [t, pat],
             ).fetchone()[0]
             assert d == got[i], (t, d, got[i])
 
