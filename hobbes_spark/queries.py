@@ -8072,6 +8072,77 @@ def corpus_datasheet(spark, sf_dir):
     )
 
 
+# normalization-invariant decoration for normalized_dedup: NBSP for
+# space, CRLF for LF, trailing whitespace — every transform is one
+# normalize_text rule, so normalize(twin) == normalize(original) by
+# construction while the raw bytes differ on every doc
+_ND_TWIN_SQL = (
+    "replace(replace(coalesce(text, ''), ' ', chr(160)), chr(10), "
+    "chr(13) || chr(10)) || '  '"
+)
+
+
+@q(
+    "normalized_dedup",
+    f"""
+    WITH u AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, {_ND_TWIN_SQL} FROM documents
+    ),
+    n AS (
+      SELECT doc_id, md5(t) AS raw_fp, md5({_normalize_sql('t')}) AS norm_fp
+      FROM u
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS raw_distinct,
+           CAST(COUNT(DISTINCT norm_fp) AS BIGINT) AS norm_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT raw_fp) AS BIGINT) AS raw_dup_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT norm_fp) AS BIGINT) AS norm_dup_docs
+    FROM n
+    """,
+)
+def normalized_dedup(spark, sf_dir):
+    """WHY normalization precedes dedup, as a gated claim: every
+    document gets a twin differing only by normalization-invariant
+    bytes (NBSP for space, CRLF for LF, trailing whitespace — each one
+    a normalize_text rule), so exact dedup on RAW fingerprints sees
+    ~zero duplicates while dedup on NORMALIZED fingerprints collapses
+    every twin pair. The oracle replays both fingerprint sets through
+    the same single-sourced rule chain; the operators compose exactly
+    as OPERATIONS.md prescribes (normalize once at ingest, then
+    fingerprint) — one scan, one aggregation, no UDF."""
+    from hobbes_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").df.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+    twins = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), " ", "\u00a0"), "\n", "\r\n"
+            ),
+            F.lit("  "),
+        ).alias("t"),
+    )
+    u = docs.unionByName(twins)
+    n = u.select(
+        F.md5("t").alias("raw_fp"), F.md5(normalize_text("t")).alias("norm_fp")
+    )
+    return n.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("raw_fp").cast("bigint").alias("raw_distinct"),
+        F.countDistinct("norm_fp").cast("bigint").alias("norm_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("raw_fp"))
+        .cast("bigint")
+        .alias("raw_dup_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("norm_fp"))
+        .cast("bigint")
+        .alias("norm_dup_docs"),
+    )
+
+
 @q(
     "unigram_encode_fixture",
     """
@@ -8186,7 +8257,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "blocklist_filter", "bpe_encode_words", "c4_quality",
     "ccnet_buckets", "corpus_datasheet", "gopher_quality",
     "hard_negatives_topk", "ivf_pq_topk", "kmeans_fixture_exact",
-    "mixture_plan_docs", "normalize_text_docs",
+    "mixture_plan_docs", "normalize_text_docs", "normalized_dedup",
     "pagerank_fixture_exact", "pq_adc_search", "pq_rerank_topk",
     "stream_curation_stats", "unigram_encode_fixture",
     # --- last signed in r2 (all 30 such queries) ---
@@ -8200,10 +8271,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rename_recreate", "repeat_customers", "rollup_revenue",
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_tumbling_counts", "token_frequencies", "weekday_counts",
-    # --- last signed in r3 (the 4 alphabetically-first: 16 never-
-    #     signed + 30 r2 + 4 r3 = the 50-slot window) ---
+    # --- last signed in r3 (the 3 alphabetically-first: 17 never-
+    #     signed + 30 r2 + 3 r3 = the 50-slot window) ---
     "ann_lsh_topk", "asof_attribution", "bloom_decontaminate",
-    "chunk_docs",
 ]
 
 
