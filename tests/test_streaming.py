@@ -812,3 +812,28 @@ def test_quality_batteries_are_streamable(spark, sf_dir, tmp_path):
         cols,
     )
     assert streamed == batch and len(streamed) == docs.count()
+
+
+def test_stream_parquet_generic_source(spark, sf_dir):
+    """stream_parquet (the generic landing-zone source stream_events
+    delegates to): schema comes from the file, stateless batch
+    operators run unchanged, and the replayed micro-batches equal the
+    batch read row-for-row."""
+    from pyspark.sql import functions as F
+
+    from hobbes_spark.functions.text import token_count
+    from hobbes_spark.streaming import stream_parquet
+    from hobbes_spark.streaming.run import replay_to_df
+
+    path = f"{sf_dir}/documents.parquet"
+    stream = stream_parquet(spark, path, max_files_per_trigger=1)
+    agg = stream.withColumn("__t", token_count("text")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__t").alias("t")
+    )
+    got = {r["lang"]: (r["n"], r["t"])
+           for r in replay_to_df(agg, spark, mode="complete").collect()}
+    batch = spark.read.parquet(path).withColumn("__t", token_count("text"))
+    want = {r["lang"]: (r["n"], r["t"])
+            for r in batch.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("__t").alias("t")).collect()}
+    assert got == want and len(got) >= 2
