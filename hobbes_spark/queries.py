@@ -8237,43 +8237,49 @@ def chart_gauge_lineitem(spark, sf_dir):
 # whole catalog (r1-r5 signed union = 160/160), so from round 6 the
 # window is a STALENESS rotation: the 50 queries whose most recent
 # signed row is oldest, led by any entries new this round (never
-# signed).  tests/test_oracle_parity.py::test_driver_window_contract
-# recomputes that cohort from the CORRECTNESS_r*.json ledgers and
-# pins the window to it.  Already-signed queries outside the window
-# keep their local gate_check + pytest cover as regression evidence.
+# signed).  From round 7 the rotation is additionally CHANGE-AWARE:
+# queries whose implementing functions were edited after their last
+# signature outrank pure age (tools/window_cohort.py computes the
+# cohort from the CORRECTNESS ledgers + git diffs, frozen at the
+# latest record's commit).  tests/test_oracle_parity.py::
+# test_driver_window_contract pins the window to that cohort.
+# Already-signed queries outside the window keep their local
+# gate_check + pytest cover as regression evidence.
 # --------------------------------------------------------------------- #
 
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # Round-6 rotation: every catalog entry is driver-signed at least
-    # once (r1-r5 union = 160/160), so the criterion flips from
-    # "never signed" to STALENESS — these are the 50 longest-unsigned
-    # queries, sorted by (last-signed round, name): code has churned
-    # for 3-4 rounds since their last signature.
-    # --- never signed (new in r6): the hand-computed-literal truth
-    #     pins for the two unrolled-oracle algorithms, the BPE encode
-    #     gate (the last un-signed Arrow kernel), the Gopher and C4
-    #     quality batteries, the IVF-PQ composition, and the CCNet
-    #     perplexity partition ---
-    "blocklist_filter", "bpe_encode_words", "c4_quality",
-    "ccnet_buckets", "corpus_datasheet", "gopher_quality",
-    "hard_negatives_topk", "ivf_pq_topk", "kmeans_fixture_exact",
-    "mixture_plan_docs", "normalize_text_docs", "normalized_dedup",
-    "pagerank_fixture_exact", "pq_adc_search", "pq_rerank_topk",
-    "stream_curation_stats", "unigram_encode_fixture",
-    # --- last signed in r2 (all 30 such queries) ---
-    "ann_ivf_topk", "churned_customers", "date_parts",
-    "dedup_components", "dense_ops", "each_max", "each_mean",
-    "group_all_mean", "group_minby", "group_reductions",
-    "hash_sample_docs", "hb_order_frequency", "join_broadcast_dims",
-    "lang_id_counts", "linear_extrapolation", "linear_regression",
-    "minhash_pairs", "missing_filter", "moving_partitioned",
-    "ngram_jaccard_pairs", "numeric_columns", "pivot_sum",
-    "rename_recreate", "repeat_customers", "rollup_revenue",
-    "simhash_fingerprints", "stratified_sample_counts",
-    "stream_tumbling_counts", "token_frequencies", "weekday_counts",
-    # --- last signed in r3 (the 3 alphabetically-first: 17 never-
-    #     signed + 30 r2 + 3 r3 = the 50-slot window) ---
-    "ann_lsh_topk", "asof_attribution", "bloom_decontaminate",
+    # Round-7 rotation, now CHANGE-AWARE (tools/window_cohort.py): a
+    # query whose implementing functions were edited AFTER its last
+    # signature outranks pure age — the signature no longer covers the
+    # code that runs.  Rank = (changed-since-signature DESC,
+    # last-signed round ASC, name ASC), frozen at the commit that
+    # recorded CORRECTNESS_r06.json so mid-round commits roll into the
+    # NEXT cohort instead of shifting this one.
+    # --- changed since their last (r5) signature: functions/bpe.py
+    #     was rewritten driver-local in r6 after bpe_merges signed;
+    #     collectors/similarity/multimodal/streaming edits likewise
+    #     post-date these five signatures ---
+    "bpe_merges", "azdo_commit_authors", "cosine_topk",
+    "media_phash_pairs", "stream_ohlc_bars", "stream_sliding_counts",
+    # --- last signed in r3 (all 38 such queries): longest-unsigned ---
+    "chunk_docs", "classifier_scores", "cohort_retention",
+    "contamination_report", "daily_value_delta", "dedup_paragraphs",
+    "dedup_spans", "dsir_weights", "duplicate_ngram_frac",
+    "embedding_neardup_exact", "embedding_neardup_lsh",
+    "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
+    "hb_velocity_pivot", "jaccard_prefix_pairs", "kmeans_clusters",
+    "label_centroids", "media_decode_meta", "media_frame_plan",
+    "minhash_incremental", "quality_top_fraction", "range_band_sums",
+    "redact_docs", "repetition_filter", "salted_group_sum",
+    "slice_rows_window", "stream_interval_join",
+    "stream_session_counts", "stream_static_enrich", "tfidf_top_terms",
+    "topk_per_group", "tpch_q10_returns", "tpch_q14_promo",
+    "tpch_q5_region", "tpch_q7_volume", "unigram_scores",
+    "winnow_fingerprints",
+    # --- last signed in r4 (the 6 alphabetically-first: 6 changed +
+    #     38 r3 + 6 r4 = the 50-slot window) ---
+    "batch_sessions", "bigram_scores", "boilerplate_lines",
+    "concurrency_peak", "corr_matrix", "cube_orders",
 ]
 
 

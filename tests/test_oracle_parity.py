@@ -84,43 +84,36 @@ def test_no_rows_only_queries_remain():
 def test_driver_window_contract():
     """The driver records the FIRST 50 catalog entries: the reordered
     window must hold exactly 50 distinct oracled names (a rows-only row
-    in the window wastes a signing slot).  Round-6 criterion: with the
-    full catalog driver-signed at least once (r1-r5 union = 160/160),
-    the window is the STALENESS cohort — exactly the 50 queries whose
-    most recent fully-green signed row is oldest, ordered by
-    (last-signed round, name).  Any still-never-signed entry (a new
-    query added this round) counts as round 0 and automatically leads."""
-    import glob
-    import json
+    in the window wastes a signing slot).  Round-7 criterion: the
+    window is the CHANGE-AWARE staleness cohort of
+    ``tools/window_cohort.py`` — queries whose implementing functions
+    were edited after their last driver signature outrank pure age
+    (their signatures no longer cover the code that runs), then the
+    longest-unsigned by (last-signed round, name); never-signed entries
+    count as round 0 and automatically lead.  The cohort is frozen at
+    the commit that recorded the NEWEST correctness file, so mid-round
+    commits roll into the next rotation instead of shifting this one —
+    and so this test goes red exactly once per round boundary, when the
+    new record lands and the window must rotate."""
     import os
-    import re
+    import sys
 
     names = list(QUERIES)
     window = names[:50]
     assert len(set(window)) == 50
     assert all(QUERIES[n].oracle for n in window)
 
-    last_signed: dict[str, int] = {}
-    root = os.path.join(os.path.dirname(__file__), "..")
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rnd = int(m.group(1))
-        with open(path) as f:
-            d = json.load(f)
-        for k, v in d.get("queries", d).items():
-            if (
-                isinstance(v, dict)
-                and v.get("rows_match")
-                and v.get("schema_match") in (True, None)
-                and v.get("hash_match") in (True, None)
-            ):
-                last_signed[k] = max(last_signed.get(k, 0), rnd)
-    if not last_signed:
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    sys.path.insert(0, root)
+    try:
+        from tools.window_cohort import compute_cohort, last_signed_rounds
+    finally:
+        sys.path.remove(root)
+    if not last_signed_rounds():
         return  # fresh checkout without driver records: nothing to pin
-    stale_order = sorted(names, key=lambda n: (last_signed.get(n, 0), n))
-    expected = set(stale_order[:50])
+    expected = set(compute_cohort(50))
     assert set(window) == expected, (
-        f"window must be the 50 longest-unsigned queries: "
+        f"window must be the change-aware staleness cohort: "
         f"missing={sorted(expected - set(window))}, "
         f"extra={sorted(set(window) - expected)}"
     )

@@ -1,0 +1,289 @@
+"""Compute the CHANGE-AWARE staleness cohort for the driver gate window.
+
+The driver's correctness gate signs the FIRST 50 catalog entries each
+round.  With the whole catalog driver-signed at least once, the window
+rotates by staleness — but pure age misses the real risk: a query whose
+IMPLEMENTING CODE changed after its last signature is unverified-by-the-
+driver regardless of how recent that signature is (round-6 example:
+``bpe_merges`` was signed in r5, then ``functions/bpe.py`` was rewritten
+in r6).  This tool ranks the catalog by
+
+    (changed-since-last-signature DESC, last-signed round ASC, name ASC)
+
+and prints the top-50 cohort.  "Changed" means: a ``git diff`` between
+the commit that recorded the query's last signature
+(``CORRECTNESS_r{N}.json``'s introducing commit) and HEAD touches the
+CURRENT line range of any hobbes_spark function the query's callable
+references — directly, or through one level of helpers defined in
+``hobbes_spark.queries`` (``_t``, SQL builders, …).  Diff hunks use
+HEAD-side line numbers, and ``inspect`` reports HEAD line ranges, so the
+overlap test is exact on the +side; granularity is the referenced
+function, so APPENDING new functions to a shared module does NOT flag
+every query that imports the module.
+
+``hobbes_spark/queries.py`` itself is excluded from change detection:
+it is edited every round (new catalog entries), and its per-query bodies
+are what the driver gate itself exercises.
+
+Usage:  python tools/window_cohort.py [--top 50]
+Exit: prints one name per line (the cohort, in window order).
+"""
+
+from __future__ import annotations
+
+import glob
+import inspect
+import json
+import os
+import re
+import subprocess
+import sys
+import types
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def last_signed_rounds() -> dict[str, int]:
+    """query name -> most recent round with a fully-green signed row."""
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            d = json.load(f)
+        for k, v in d.get("queries", d).items():
+            if (
+                isinstance(v, dict)
+                and v.get("rows_match")
+                and v.get("schema_match") in (True, None)
+                and v.get("hash_match") in (True, None)
+            ):
+                out[k] = max(out.get(k, 0), rnd)
+    return out
+
+
+def record_commits() -> dict[int, str]:
+    """round -> commit hash that ADDED that round's CORRECTNESS file."""
+    out: dict[int, str] = {}
+    for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        rel = os.path.relpath(path, ROOT)
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", rel).group(1))
+        try:
+            log = subprocess.run(
+                ["git", "log", "--format=%H", "--diff-filter=A", "--", rel],
+                cwd=ROOT, capture_output=True, text=True, check=True,
+            ).stdout.split()
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return {}
+        if log:
+            out[rnd] = log[-1]
+    return out
+
+
+def _referenced_functions(fn, _seen=None) -> set:
+    """hobbes_spark functions reachable from ``fn``'s code: globals named
+    in co_names, attributes resolved on referenced hobbes_spark modules,
+    plus one-level-deep recursion through helpers defined in
+    hobbes_spark.queries (SQL builders, ``_t``)."""
+    if _seen is None:
+        _seen = set()
+    if fn in _seen:
+        return set()
+    _seen.add(fn)
+    # unwrap the @q decorator
+    fn = inspect.unwrap(fn)
+    out = set()
+    try:
+        code = fn.__code__
+        g = fn.__globals__
+    except AttributeError:
+        return out
+    names = set(code.co_names)
+    # nested code objects (lambdas, comprehensions) reference globals too
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        names.update(c.co_names)
+        for const in c.co_consts:
+            if isinstance(const, types.CodeType):
+                stack.append(const)
+    modules = []
+    for name in names:
+        obj = g.get(name)
+        if obj is None:
+            continue
+        if isinstance(obj, types.ModuleType):
+            if (obj.__name__ or "").startswith("hobbes_spark"):
+                modules.append(obj)
+        elif callable(obj):
+            mod = getattr(obj, "__module__", "") or ""
+            if mod.startswith("hobbes_spark"):
+                out.add(obj)
+                if mod == "hobbes_spark.queries":
+                    out |= _referenced_functions(obj, _seen)
+    for mod in modules:
+        for name in names:
+            obj = getattr(mod, name, None)
+            if callable(obj) and (getattr(obj, "__module__", "") or "").startswith(
+                "hobbes_spark"
+            ):
+                out.add(obj)
+    # Function-LOCAL imports (``from hobbes_spark.functions.bpe import
+    # learn_bpe`` inside the body) bind locals, not globals — walk the
+    # AST for them.
+    import ast
+    import importlib
+
+    try:
+        tree = ast.parse(inspect.getsource(fn))
+    except (OSError, SyntaxError, IndentationError):
+        return out
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and (node.module or "").startswith(
+            "hobbes_spark"
+        ):
+            try:
+                mod = importlib.import_module(node.module)
+            except ImportError:
+                continue
+            for alias in node.names:
+                obj = getattr(mod, alias.name, None)
+                if callable(obj) and (
+                    getattr(obj, "__module__", "") or ""
+                ).startswith("hobbes_spark"):
+                    out.add(obj)
+    return out
+
+
+def _fn_files_and_names(fns) -> dict[str, set[str]]:
+    """repo-relative file -> {function __name__s referenced there}, with
+    hobbes_spark/queries.py excluded (edited every round by design)."""
+    out: dict[str, set[str]] = {}
+    for fn in fns:
+        try:
+            target = inspect.unwrap(fn)
+            src_file = inspect.getsourcefile(target)
+        except (TypeError, OSError):
+            continue
+        if not src_file:
+            continue
+        rel = os.path.relpath(os.path.abspath(src_file), ROOT)
+        if rel.startswith("..") or rel == os.path.join("hobbes_spark", "queries.py"):
+            continue
+        out.setdefault(rel, set()).add(getattr(target, "__name__", ""))
+    return out
+
+
+def _ranges_at_commit(commit: str, rel_file: str) -> dict[str, list[tuple[int, int]]]:
+    """def name -> [(start, end)] line ranges in ``rel_file`` AS OF
+    ``commit`` (so hunk positions and ranges live in the same revision
+    — inspect-at-HEAD ranges would drift as the working tree evolves
+    during a round).  Missing file at the commit -> empty (new module:
+    every referenced function there counts as changed via the all-added
+    diff against an absent base)."""
+    import ast
+
+    try:
+        src = subprocess.run(
+            ["git", "show", f"{commit}:{rel_file}"],
+            cwd=ROOT, capture_output=True, text=True, check=True,
+        ).stdout
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return {}
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return {}
+    out: dict[str, list[tuple[int, int]]] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            out.setdefault(node.name, []).append(
+                (node.lineno, node.end_lineno or node.lineno)
+            )
+    return out
+
+
+def _boundary_side_hunks(
+    base: str, boundary: str, rel_file: str
+) -> list[tuple[int, int]]:
+    """boundary-side line ranges touched by ``git diff base..boundary``."""
+    try:
+        diff = subprocess.run(
+            ["git", "diff", "--unified=0", f"{base}..{boundary}", "--", rel_file],
+            cwd=ROOT, capture_output=True, text=True, check=True,
+        ).stdout
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return []
+    hunks = []
+    for m in re.finditer(r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", diff, re.M):
+        start = int(m.group(1))
+        count = int(m.group(2)) if m.group(2) is not None else 1
+        # a pure deletion (+N,0) still marks the surrounding line
+        hunks.append((start, start + max(count, 1) - 1))
+    return hunks
+
+
+def changed_since_signature(
+    spec_fn, base: str, boundary: str, _cache: dict
+) -> bool:
+    """True iff ``git diff base..boundary`` touches the boundary-revision
+    line range of any function the query references.  A function absent
+    from the boundary file (renamed/new since) is conservatively treated
+    as changed."""
+    refs = _fn_files_and_names(_referenced_functions(spec_fn))
+    for rel, names in refs.items():
+        hkey = ("hunks", base, boundary, rel)
+        if hkey not in _cache:
+            _cache[hkey] = _boundary_side_hunks(base, boundary, rel)
+        hunks = _cache[hkey]
+        if not hunks:
+            continue
+        rkey = ("ranges", boundary, rel)
+        if rkey not in _cache:
+            _cache[rkey] = _ranges_at_commit(boundary, rel)
+        ranges = _cache[rkey]
+        for name in names:
+            spans = ranges.get(name)
+            if spans is None:
+                return True  # not at boundary revision: new/renamed = changed
+            for hs, he in hunks:
+                for fs, fe in spans:
+                    if hs <= fe and fs <= he:
+                        return True
+    return False
+
+
+def compute_cohort(top: int = 50) -> list[str]:
+    """The expected gate window: change-aware staleness cohort, FROZEN at
+    the latest correctness record's commit so mid-round commits don't
+    shift the expectation (they roll into the NEXT round's cohort once
+    that round's record lands)."""
+    from hobbes_spark.queries import QUERIES
+
+    signed = last_signed_rounds()
+    commits = record_commits()
+    boundary = commits.get(max(commits), None) if commits else None
+    cache: dict = {}
+    keyed = []
+    for name, spec in QUERIES.items():
+        if not spec.oracle:
+            continue  # rows-only entries waste a signing slot
+        rnd = signed.get(name, 0)
+        base = commits.get(rnd)
+        changed = (
+            bool(base)
+            and bool(boundary)
+            and base != boundary
+            and changed_since_signature(spec.spark, base, boundary, cache)
+        )
+        keyed.append((0 if (changed or rnd == 0) else 1, rnd, name))
+    keyed.sort()
+    return [name for _, _, name in keyed[:top]]
+
+
+if __name__ == "__main__":
+    top = 50
+    if "--top" in sys.argv:
+        top = int(sys.argv[sys.argv.index("--top") + 1])
+    sys.path.insert(0, ROOT)
+    for name in compute_cohort(top):
+        print(name)
