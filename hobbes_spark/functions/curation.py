@@ -1158,17 +1158,23 @@ def perplexity_buckets(
     table back onto the scored scan — the corpus never shuffles for the
     bucketing itself. At 100 TB swap the exact ``percentile`` for
     ``percentile_approx`` (t-digest, mergeable map-side); the exact
-    form is kept here so the DuckDB oracle can replay cutoffs
-    bit-for-bit.
+    form is kept here so the DuckDB oracle can replay the cutoffs.
 
     ``score_dp`` rounds the per-doc score (``log_ppl``, the negated
     mean log-prob — monotone in perplexity without the ``exp``
     overflow) and the cutoffs with the exact half-up formula
-    ``floor(x·10^n + 0.5)/10^n`` BEFORE any comparison. That is what
-    makes the head/middle/tail labels replayable across engines: both
-    sides compare identical doubles, so a document tied exactly on a
-    cutoff lands in the same bucket everywhere. Pass ``None`` only when
-    cross-engine replay does not matter.
+    ``floor(x·10^n + 0.5)/10^n`` BEFORE any comparison, so both
+    engines compare identically-rounded doubles and a document tied
+    exactly on a rounded cutoff lands in the same bucket everywhere.
+    Caveat on the cutoffs themselves: Spark's exact ``percentile`` and
+    DuckDB's ``quantile_cont`` both linearly interpolate sorted values,
+    but may order the IEEE ops differently, so an UNROUNDED cutoff
+    within an ulp of a ``5·10^-(score_dp+1)`` boundary can round to
+    different values across engines and flip a tied doc's bucket — the
+    labels agree after rounding EXCEPT at those interpolation-ulp
+    boundaries (never observed on the test corpora, but not excluded
+    by construction). Pass ``None`` only when cross-engine replay does
+    not matter.
 
     Returns ``(id_col, [lang_col], n_bigrams, log_ppl, bucket)``; docs
     with fewer than 2 tokens have no bigram evidence and are absent,

@@ -351,8 +351,14 @@ def mixture_plan(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(toks).cast("bigint").alias("n_tokens"),
     )
+    # type the recipe's stratum column from df's schema — a hardcoded
+    # string here would make the full-outer join below lean on implicit
+    # coercion for non-string strata (e.g. bigint domain ids), which can
+    # silently miss keys or change the output column's type
+    strata_type = df.schema[strata].dataType.simpleString()
     recipe = spark.createDataFrame(
-        [(k, w) for k, w in norm.items()], f"{strata} string, target_weight double"
+        [(k, w) for k, w in norm.items()],
+        f"{strata} {strata_type}, target_weight double",
     )
     # no broadcast hint: Spark can't broadcast-build a full-outer join
     # (the hint would be silently dropped with a warning); both sides

@@ -181,7 +181,19 @@ def unigram_encode(
     (piece → logprob). Arrow-batched pandas_udf with a per-batch word
     cache; the inventory dict is captured once per executor. Unknown
     characters are emitted verbatim at ``unk_logprob`` cost, so the
-    concatenation of a word's pieces always reconstructs the word."""
+    concatenation of a word's pieces always reconstructs the word.
+
+    Pre-tokenization contract (deliberately SentencePiece-shaped, NOT
+    the repo's curation conventions): words are FULL-UNICODE lowercased
+    (Python ``str.lower()`` — e.g. ``É``→``é``, beyond the ASCII
+    ``translate`` fold used by the blocklist) and split on ALL Unicode
+    whitespace (Python ``str.split()`` — NBSP and friends included,
+    wider than the Java ``\\s`` ASCII class ``tokens()`` uses). Both
+    choices run entirely inside this one Arrow kernel, so there is no
+    cross-engine regex to keep in lockstep; the
+    ``unigram_encode_fixture`` literal oracle pins exactly these
+    semantics. Pre-normalize upstream with ``text.normalize_text`` if
+    the corpus needs the curation-stack conventions instead."""
     if not pieces:
         raise ValueError("unigram_encode: pieces must be non-empty")
     lps = dict(pieces)

@@ -1008,6 +1008,25 @@ def test_mixture_plan_epochs_fractional(spark):
     assert plan["b"]["rate"] == 1.0
 
 
+def test_mixture_plan_nonstring_strata(spark):
+    """The recipe side types its stratum column from df's schema, so a
+    bigint domain-id stratum joins by value — no implicit string
+    coercion to silently miss keys or retype the output column."""
+    from hobbes_spark.functions.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [(i, "five tokens in this doc", 7) for i in range(10)]
+        + [(100, "five tokens in this doc", 8)],
+        "doc_id bigint, text string, domain_id bigint",
+    )
+    out = mixture_plan(df, "domain_id", {7: 0.5, 9: 0.5}, 50.0)
+    assert out.schema["domain_id"].dataType.simpleString() == "bigint"
+    plan = {r["domain_id"]: r for r in out.collect()}
+    assert plan[7]["n_tokens"] == 50 and plan[7]["rate"] == 0.5
+    assert plan[9]["n_tokens"] == 0 and plan[9]["exhausted"]
+    assert plan[8]["target_weight"] == 0.0
+
+
 class TestBlocklist:
     """C4-style phrase-blocklist filter (curation.blocklist_stats)."""
 
