@@ -127,6 +127,13 @@ def main() -> None:
         # the cross-round comparison this frozen subset exists to protect
         raise SystemExit(f"bench: frozen R1 core queries missing: {missing_core}")
     core = round(sum(timings[n] for n in _R1_CORE), 3)
+    # the recorded r1 baseline for that same frozen core set at sf0.1
+    # (BENCH_r01.json). Emitting the ratio makes each BENCH_rN.json
+    # self-interpreting: cross-round wall-clock is only meaningful as
+    # ratio-of-ratios against the same session's core re-measure, since
+    # shared-host speed drifts between sessions (r6: every query slower
+    # by a uniform ~35%, core ratio still 1.00x).
+    _R1_CORE_RECORDED = 8.622
     worst = max(spreads, key=spreads.get) if spreads else None
     print(
         json.dumps(
@@ -135,6 +142,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "value_core_r1": core,
+                "value_core_r1_ratio": round(core / _R1_CORE_RECORDED, 3),
                 "queries": timings,
                 "spread_pct": spreads,
                 "worst_spread": worst,

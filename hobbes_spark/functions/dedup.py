@@ -336,6 +336,92 @@ def minhash_pairs_from_signatures(
     return _estimate_pairs(cand, sigs, num_hashes, threshold)
 
 
+def lsh_candidate_stats(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Per-band LSH bucket statistics WITHOUT enumerating a single
+    candidate pair: ``(band, n_buckets, max_bucket, candidate_pairs)``
+    where ``candidate_pairs = Σ k·(k−1)/2`` over the band's bucket
+    sizes ``k``.
+
+    Two jobs for one operator:
+
+    * **Tuning instrument** — the numbers that decide (bands, rows) for
+      a corpus before paying for the self-join: total candidate volume,
+      and whether one mega-bucket dominates (``max_bucket``, the skew
+      signal that says "salt or re-band before joining").
+    * **Compute-only scale probe** — the full pair listing's output is
+      Θ(Σk²) BY CONSTRUCTION on duplicate-heavy data, so its wall-clock
+      ratio under data scaling conflates plan cost with output volume.
+      This aggregate covers the identical corpus-sized compute
+      (shingle → minhash → band → bucket agg) with BAND-sized output,
+      so a superlinear ratio here is unambiguously plan regression
+      (tools/scale_gate.py gates on exactly this).
+
+    One extra keyed aggregation over :func:`banded_signatures`'s
+    output; partial aggregation collapses each bucket map-side, so the
+    shuffle carries bucket-count rows, not doc rows.
+    """
+    banded = banded_signatures(sigs, num_hashes, bands)
+    per_bucket = banded.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("k").alias("max_bucket"),
+            # k·(k−1) is even, so the halving is exact in integers
+            F.sum(F.col("k") * (F.col("k") - F.lit(1))).alias("pairs2"),
+        )
+        .select(
+            "band",
+            "n_buckets",
+            "max_bucket",
+            F.expr("pairs2 div 2").cast("bigint").alias("candidate_pairs"),
+        )
+    )
+
+
+def minhash_star_edges(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """LSH bucket connectivity as STAR edges — ``(hub, member)`` with
+    hub = the bucket's min id — instead of all-pairs: ``k−1`` edges per
+    bucket where pair enumeration emits ``k·(k−1)/2``.
+
+    Within one bucket, {hub→m₁, hub→m₂, …} and the full pair clique
+    have IDENTICAL transitive closure, so feeding these edges to
+    :func:`connected_components` / :func:`connected_components_star`
+    yields exactly the clusters the all-pairs listing would — at output
+    volume ≤ bands·n edges, linear in the corpus no matter how
+    duplicate-heavy it is. This is the production 100 TB dedup path:
+    all-pairs on an m-fold duplicate group is Θ(m²) by definition and
+    exists for pair-level INSPECTION (scores, audits), not for
+    clustering. The trade: no per-pair Jaccard estimate, so no
+    threshold filter — every bucket co-occupant connects. Run it at
+    (bands, rows) tuned so bucket co-occupancy already implies the
+    similarity you mean (more rows/band = higher precision), checked
+    cheaply first via :func:`lsh_candidate_stats`.
+
+    Plan: bucket-min aggregation (map-side combined) + one join back on
+    the same (band, band_key) key — Spark reuses the banding exchange —
+    then a distinct on the edge pair (a member can meet the same hub in
+    several bands). Returns ``(id_a, id_b)``, ``id_a < id_b`` (the hub
+    is the bucket min, so it is always the smaller endpoint).
+    """
+    banded = banded_signatures(sigs, num_hashes, bands)
+    hubs = banded.groupBy("band", "band_key").agg(
+        F.min("id").alias("hub"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        banded.join(hubs.filter(F.col("k") >= 2), ["band", "band_key"])
+        .filter(F.col("id") != F.col("hub"))
+        .select(F.col("hub").alias("id_a"), F.col("id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def banded_signatures(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """Explode ``(id, sig)`` into ``(id, band, band_key)`` LSH rows.
 

@@ -1208,6 +1208,94 @@ def minhash_pairs_fast(spark, sf_dir):
     return minhash_pairs_from_signatures(sigs, num_hashes=32, bands=16, threshold=0.5)
 
 
+def _banded_replay_sql(dump: str, num_hashes: int, bands: int) -> str:
+    """Shared CTE prefix: checkpointed (id, sig) parquet → banded LSH
+    rows, mirroring banded_signatures (same twin split as
+    _minhash_fast_sql — the hash itself is pinned by the md5 twin)."""
+    rows = num_hashes // bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        f"list_slice(sig, {b * rows + 1}, {b * rows + rows}) AS band_key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT id, sig FROM read_parquet('{dump}/*.parquet')
+    ),
+    banded AS ({band_rows}),
+    bucket AS (
+      SELECT band, band_key, MIN(id) AS hub, COUNT(*) AS k
+      FROM banded GROUP BY band, band_key
+    )"""
+
+
+def _lsh_stats_sql(num_hashes: int = 32, bands: int = 16) -> str:
+    pre = _banded_replay_sql(f"{_ORACLE_DUMP}/lsh_stats_sigs", num_hashes, bands)
+    return f"""{pre}
+    SELECT CAST(band AS INTEGER) AS band,
+           COUNT(*) AS n_buckets,
+           MAX(k) AS max_bucket,
+           CAST(SUM(k * (k - 1)) // 2 AS BIGINT) AS candidate_pairs
+    FROM bucket GROUP BY band
+    """
+
+
+@q("lsh_candidate_stats", _lsh_stats_sql())
+def lsh_candidate_stats(spark, sf_dir):
+    """Count-only LSH probe (dedup.lsh_candidate_stats): per-band
+    bucket counts, max bucket size (the skew/salting signal), and
+    Σ k·(k−1)/2 candidate pairs — the numbers that tune (bands, rows)
+    and the compute-only scale gate shape, WITHOUT enumerating a
+    single pair. Signatures checkpoint through parquet; the twin
+    replays banding → bucket agg → pair arithmetic from the same
+    bytes."""
+    from hobbes_spark.functions.dedup import (
+        lsh_candidate_stats as _stats,
+        minhash_signatures_df,
+    )
+    from hobbes_spark.sources.sinks import roundtrip_parquet
+
+    docs = _t(spark, sf_dir, "documents").df
+    sigs = roundtrip_parquet(
+        minhash_signatures_df(docs, "doc_id", "text", 32, "xxhash64", 3),
+        f"{_ORACLE_DUMP}/lsh_stats_sigs",
+    )
+    return _stats(sigs, num_hashes=32, bands=16)
+
+
+def _star_edges_sql(num_hashes: int = 32, bands: int = 16) -> str:
+    pre = _banded_replay_sql(f"{_ORACLE_DUMP}/star_edge_sigs", num_hashes, bands)
+    return f"""{pre}
+    SELECT DISTINCT b.hub AS id_a, a.id AS id_b
+    FROM banded a JOIN bucket b
+      ON a.band = b.band AND a.band_key = b.band_key
+    WHERE b.k >= 2 AND a.id <> b.hub
+    """
+
+
+@q("minhash_star_edges", _star_edges_sql())
+def minhash_star_edges(spark, sf_dir):
+    """Bucket-star edge generation (dedup.minhash_star_edges): k−1
+    edges per LSH bucket (hub = bucket min) instead of the Θ(k²)
+    all-pairs clique — identical transitive closure for clustering at
+    linear output volume, the production 100 TB dedup path (all-pairs
+    exists for pair inspection, not clustering;
+    tests/test_functions.py proves component-set equality). Same
+    signature-checkpoint twin split as minhash_pairs_fast."""
+    from hobbes_spark.functions.dedup import (
+        minhash_signatures_df,
+        minhash_star_edges as _star,
+    )
+    from hobbes_spark.sources.sinks import roundtrip_parquet
+
+    docs = _t(spark, sf_dir, "documents").df
+    sigs = roundtrip_parquet(
+        minhash_signatures_df(docs, "doc_id", "text", 32, "xxhash64", 3),
+        f"{_ORACLE_DUMP}/star_edge_sigs",
+    )
+    return _star(sigs, num_hashes=32, bands=16)
+
+
 def _simhash_sql(bits: int = 60) -> str:
     toks_l = _DDB_TOKENS.format(t="lower(text)")
     poly = " + ".join(
@@ -4234,6 +4322,106 @@ def pq_rerank_topk(spark, sf_dir):
         .select("query_id", "neighbor_id", "dist", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@q(
+    "pq_adc_fixture_exact",
+    """
+    SELECT * FROM (VALUES
+      (CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(18.0 AS DOUBLE), 1),
+      (CAST(100 AS BIGINT), CAST(2 AS BIGINT), CAST(18.0 AS DOUBLE), 2),
+      (CAST(100 AS BIGINT), CAST(3 AS BIGINT), CAST(162.0 AS DOUBLE), 3),
+      (CAST(101 AS BIGINT), CAST(3 AS BIGINT), CAST(2.0 AS DOUBLE), 1),
+      (CAST(101 AS BIGINT), CAST(4 AS BIGINT), CAST(2.0 AS DOUBLE), 2),
+      (CAST(101 AS BIGINT), CAST(1 AS BIGINT), CAST(98.0 AS DOUBLE), 3)
+    ) AS t(query_id, neighbor_id, dist, rank)
+    ORDER BY query_id, rank
+    """,
+)
+def pq_adc_fixture_exact(spark, sf_dir):
+    """INDEPENDENT PQ truth pin (round 7, the kmeans_fixture_exact
+    pattern): pq_adc_search's oracle replays the implementation's
+    codebooks from a checkpoint, so an arithmetic bug there could
+    propagate into its own oracle; THIS oracle is hand-computed
+    literal values covering codebook learning + encode + ADC on a
+    fixture where every step is exact by hand.
+
+    Fixture: D=2, corpus [0,0],[4,4],[8,8],[12,12]. Codebooks at
+    levels=2 are the (0.25, 0.75) interpolated percentiles of each
+    dimension's values {0,4,8,12}: index p·(n−1) gives 0.75 → 3.0 and
+    2.25 → 9.0, so both dimensions' codebook is [3, 9] (exact doubles,
+    6-dp rounding a no-op). Nearest-entry codes: 0,4 → 3; 8,12 → 9 —
+    reconstructions [3,3],[3,3],[9,9],[9,9]. ADC squared-L2 for query
+    100=[0,0]: 18, 18, 162, 162 → top-3 ranks (1, 2, 3) by (dist, id);
+    for query 101=[10,10]: 98, 98, 2, 2 → (3, 4, 1). All distances
+    integer-exact in IEEE doubles."""
+    from hobbes_spark.functions.similarity import (
+        pq_adc_topk, pq_codebooks, pq_encode,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [4.0, 4.0]), (3, [8.0, 8.0]), (4, [12.0, 12.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    books = pq_codebooks(corpus, levels=2)
+    enc = pq_encode(corpus, books)
+    queries = spark.createDataFrame(
+        [(100, [0.0, 0.0]), (101, [10.0, 10.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    return pq_adc_topk(enc, queries, books, k=3).orderBy("query_id", "rank")
+
+
+@q(
+    "ivf_pq_fixture_exact",
+    """
+    SELECT * FROM (VALUES
+      (CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(5.0 AS DOUBLE), 1),
+      (CAST(100 AS BIGINT), CAST(2 AS BIGINT), CAST(53.0 AS DOUBLE), 2),
+      (CAST(101 AS BIGINT), CAST(3 AS BIGINT), CAST(64.0625 AS DOUBLE), 1),
+      (CAST(101 AS BIGINT), CAST(4 AS BIGINT), CAST(124.0625 AS DOUBLE), 2)
+    ) AS t(query_id, neighbor_id, dist, rank)
+    ORDER BY query_id, rank
+    """,
+)
+def ivf_pq_fixture_exact(spark, sf_dir):
+    """INDEPENDENT IVF-PQ truth pin with REAL pruning (round 7):
+    ivf_pq_topk's gate runs nprobe = nlist, which by construction
+    makes pruning a no-op; here nprobe=1 < nlist=2 and the oracle's
+    hand-computed literals PROVE pruning fired — query 101's true
+    nearest neighbor (id 1, dist 7.3125) is in the unprobed cell and
+    must be absent. MLlib's k-means is bypassed: the index tables
+    (encoded codes, centroids, codebooks) are hand-built inputs, which
+    is exactly ivf_pq_search's contract (an index read back from
+    parquet), so the search path — probe ranking on the normalized
+    query, cell equi-join prune, ADC distances, (dist, id) ranking —
+    is what the literal values pin.
+
+    Hand derivation: centroids c0=[1,0], c1=[0,1] (unit). Codebooks
+    [[3,9],[3,9]]; codes — id1 (0,0)→[3,3], id2 (1,0)→[9,3] in cell 0;
+    id3 (0,1)→[3,9], id4 (1,1)→[9,9] in cell 1. Query 100=[2,1]:
+    normalized [2,1]/√5, probe distances² 0.2111 (c0) < 1.1056 (c1) →
+    cell 0: ADC (2−3)²+(1−3)²=5 for id1, 49+4=53 for id2. Query
+    101=[1,1.25]: normalized probe distances² 0.7506 (c0) > 0.4383
+    (c1) → cell 1: (1−3)²+(1.25−9)²=4+60.0625=64.0625 for id3,
+    64+60.0625=124.0625 for id4 (1.25 and 7.75² are exact doubles)."""
+    from hobbes_spark.functions.similarity import ivf_pq_search
+
+    encoded = spark.createDataFrame(
+        [(1, 0, [0, 0]), (2, 0, [1, 0]), (3, 1, [0, 1]), (4, 1, [1, 1])],
+        "id bigint, cell int, pq array<int>",
+    )
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell int, centroid array<double>"
+    )
+    books = [[3.0, 9.0], [3.0, 9.0]]
+    queries = spark.createDataFrame(
+        [(100, [2.0, 1.0]), (101, [1.0, 1.25])],
+        "vec_id bigint, embedding array<double>",
+    )
+    return ivf_pq_search(
+        encoded, centroids, queries, books, k=3, nprobe=1
+    ).orderBy("query_id", "rank")
 
 
 @q(
@@ -8261,6 +8449,11 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     #     post-date these five signatures ---
     "bpe_merges", "azdo_commit_authors", "cosine_topk",
     "media_phash_pairs", "stream_ohlc_bars", "stream_sliding_counts",
+    # --- never signed (new in r7): the PQ/IVF-PQ hand-literal truth
+    #     pins and the compute-only LSH operators backing the split
+    #     scale gate ---
+    "ivf_pq_fixture_exact", "pq_adc_fixture_exact",
+    "lsh_candidate_stats", "minhash_star_edges",
     # --- last signed in r3 (all 38 such queries): longest-unsigned ---
     "chunk_docs", "classifier_scores", "cohort_retention",
     "contamination_report", "daily_value_delta", "dedup_paragraphs",
@@ -8276,10 +8469,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "topk_per_group", "tpch_q10_returns", "tpch_q14_promo",
     "tpch_q5_region", "tpch_q7_volume", "unigram_scores",
     "winnow_fingerprints",
-    # --- last signed in r4 (the 6 alphabetically-first: 6 changed +
-    #     38 r3 + 6 r4 = the 50-slot window) ---
-    "batch_sessions", "bigram_scores", "boilerplate_lines",
-    "concurrency_peak", "corr_matrix", "cube_orders",
+    # --- last signed in r4 (the 2 alphabetically-first: 4 new + 6
+    #     changed + 38 r3 + 2 r4 = the 50-slot window) ---
+    "batch_sessions", "bigram_scores",
 ]
 
 

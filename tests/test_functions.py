@@ -73,6 +73,59 @@ def test_minhash_estimate_tracks_true_jaccard(spark):
     assert pairs[0]["est_jaccard"] == pytest.approx(0.655, abs=0.2)
 
 
+def test_lsh_candidate_stats_counts_without_pairs(spark, sf_dir):
+    """The count-only probe's Σ k·(k−1)/2 must equal the number of
+    distinct candidate pairs the full self-join would enumerate,
+    counted per band (before the cross-band dedup)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = DD.minhash_signatures_df(docs, "doc_id", "text", 32).localCheckpoint()
+    stats = {r["band"]: r for r in DD.lsh_candidate_stats(sigs, 32, 16).collect()}
+    assert set(stats) <= set(range(16))
+    banded = DD.banded_signatures(sigs, 32, 16)
+    full = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.band").alias("band"))
+        .count()
+        .collect()
+    )
+    enumerated = {r["band"]: r["count"] for r in full}
+    for band, row in stats.items():
+        assert row["candidate_pairs"] == enumerated.get(band, 0)
+        assert row["max_bucket"] >= 1 and row["n_buckets"] >= 1
+
+
+def test_minhash_star_edges_same_components_as_pairs(spark, sf_dir):
+    """Star edges (k−1 per bucket) must produce EXACTLY the clusters
+    the all-pairs listing yields at threshold 0 — identical transitive
+    closure at linear output volume."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = DD.minhash_signatures_df(docs, "doc_id", "text", 32).localCheckpoint()
+    star = DD.minhash_star_edges(sigs, 32, 16)
+    star_rows = star.collect()
+    pairs = DD.minhash_pairs_from_signatures(sigs, 32, 16, threshold=0.0)
+
+    def comps(edges):
+        got = DD.connected_components(edges.select("id_a", "id_b")).collect()
+        by_comp = {}
+        for r in got:
+            by_comp.setdefault(r["comp"], set()).add(r["id"])
+        return {frozenset(v) for v in by_comp.values()}
+
+    assert comps(star) == comps(pairs)
+    # linear output bound: every member contributes <= bands edges,
+    # and the hub is always the smaller endpoint
+    for r in star_rows:
+        assert r["id_a"] < r["id_b"]
+    n_members = len({r["id_b"] for r in star_rows})
+    assert len(star_rows) <= 16 * max(n_members, 1)
+
+
 def test_simhash_close_for_near_dups(spark):
     base = " ".join(f"w{i}" for i in range(100))
     near = base.replace("w50", "zz")

@@ -197,6 +197,35 @@ def main():
                               threshold=0.5, hash_fn="xxhash64")
         return connected_components_star(pairs.select("id_a", "id_b"))
 
+    def minhash_count_only(do):
+        # compute-only twin of minhash_dedup: identical corpus-sized
+        # work (shingle -> minhash -> band -> bucket agg) but band-sized
+        # output — its ratio isolates PLAN cost from the Θ(Σk²) pair
+        # volume that id-offset scaling manufactures by construction
+        from hobbes_spark.functions.dedup import (
+            lsh_candidate_stats, minhash_signatures_df,
+        )
+
+        sigs = minhash_signatures_df(do, "doc_id", "text", num_hashes=32)
+        return lsh_candidate_stats(sigs, 32, 16)
+
+    def components_star_linear(do):
+        # compute-only twin of dedup_components_star: same signatures,
+        # same components algorithm, but star edges (k-1 per bucket)
+        # instead of all-pairs — identical transitive closure at <=
+        # bands*n edge volume, so the ratio tracks the star iterations'
+        # plan, not the duplicate-group pair blowup
+        from hobbes_spark.functions.dedup import (
+            connected_components_star,
+            minhash_signatures_df,
+            minhash_star_edges,
+        )
+
+        sigs = minhash_signatures_df(
+            do, "doc_id", "text", num_hashes=32
+        ).localCheckpoint()
+        return connected_components_star(minhash_star_edges(sigs, 32, 16))
+
     def bloom_anti(do):
         from hobbes_spark.functions.text import fingerprint
         from hobbes_spark.operators.bloom import bloom_anti_join
@@ -257,6 +286,8 @@ def main():
         "curate_corpus": (curate, do1, doN),
         "dedup_components": (components, do1, doN),
         "dedup_components_star": (components_star, do1, doN),
+        "minhash_candidate_stats": (minhash_count_only, do1, doN),
+        "dedup_components_star_linear": (components_star_linear, do1, doN),
         "bloom_anti_join": (bloom_anti, do1, doN),
         "semantic_dedup": (semantic, em1, emN),
     }

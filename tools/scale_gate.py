@@ -24,8 +24,26 @@ import subprocess
 import sys
 
 # the watch list: worst 16x ratios in SCALE.md's sweep (pack ~2.4-4.6,
-# star components ~3.0, Q21 ~3.4) — the shapes nearest the bound
-WATCH = ["pack_documents", "dedup_components_star", "tpch_q21_grouped_exists"]
+# star components ~3.0, Q21 ~3.4) — the shapes nearest the bound.
+# Round-7 split (r6 verdict item 3): the pair-listing shapes' output is
+# Θ(Σk²) BY CONSTRUCTION on id-offset-scaled data (every doc gains N-1
+# exact twins), so as their wall-clock ratio approaches the bound,
+# output volume can mask a genuine plan regression. Each such shape now
+# has a COMPUTE-ONLY twin with linear output (candidate-pair COUNTS /
+# bucket-star edges — identical corpus-sized compute, see
+# functions/dedup.lsh_candidate_stats and minhash_star_edges); the gate
+# RECORDS both ratios but the exit criterion applies only to the
+# compute-only members.
+GATED = [
+    "pack_documents",
+    "tpch_q21_grouped_exists",
+    "minhash_candidate_stats",          # compute-only twin of minhash_dedup
+    "dedup_components_star_linear",     # compute-only twin of the star shape
+]
+RECORD_ONLY = [
+    "dedup_components_star",            # output-bound: ratio reported, not gated
+]
+WATCH = GATED + RECORD_ONLY
 
 
 def main() -> int:
@@ -53,7 +71,7 @@ def main() -> int:
     bad = {
         name: r
         for name, r in summary["results"].items()
-        if r["ratio"] > r["linear_bound"]
+        if name in GATED and r["ratio"] > r["linear_bound"]
     }
     if bad:
         print(f"SCALE-GATE: FAIL — superlinear at {n}x: {json.dumps(bad)}")
@@ -62,7 +80,15 @@ def main() -> int:
     if missing:
         print(f"SCALE-GATE: FAIL — watch shapes did not run: {missing}")
         return 1
-    print(f"SCALE-GATE: OK — {len(summary['results'])} shapes linear at {n}x")
+    info = {
+        name: r["ratio"]
+        for name, r in summary["results"].items()
+        if name in RECORD_ONLY
+    }
+    print(
+        f"SCALE-GATE: OK — {len(GATED)} gated shapes linear at {n}x; "
+        f"output-bound shapes recorded (not gated): {json.dumps(info)}"
+    )
     return 0
 
 
