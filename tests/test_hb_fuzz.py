@@ -1,0 +1,335 @@
+"""Grammar-fuzz for the ``.hb`` front-end (round 7).
+
+Hypothesis generates random WELL-FORMED programs over the language's
+token set (the reference ships it as a TextMate grammar,
+``tools/hobbes-vscode/syntaxes/hobbes.YAML-tmLanguage:6-18`` — keywords
+``only/slice/rename/create/group/pivot/sort/index/dense/numeric``,
+comparison/arithmetic/logical operators, quoted column names, string
+and numeric literals, ``if/else``, ``int``, ``keys``) and asserts that
+parse → compile → run produces EXACTLY the frame the same pipeline
+built directly through the Python ``Pipeline`` API does.
+
+The 7 reference programs (``tests/test_hb.py``) are fixed points of the
+grammar; this covers the combinatorial space between them — operator
+nesting the corpus never exercises, shadowing creates, renames feeding
+later expressions, quoted-vs-bare name mixing, unspaced negative
+literals.
+
+The generator carries a symbolic schema (name → num|str) through the
+statement sequence so every emitted program is semantically valid: each
+statement both appends its text line and appends the equivalent direct
+API call, then updates the schema model the next statement draws from.
+Each example costs two Spark plans, so example counts stay small; the
+statement mix is biased toward expression-heavy lines (where the
+parser/compiler surface is)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hobbes_spark import expressions as E
+from hobbes_spark.hb import run_hb
+from hobbes_spark.pipeline import Pipeline
+
+# --------------------------------------------------------------------- #
+# fixture table: every surface the grammar can touch — bare idents,
+# spaced names (must quote), a dotted name (ident grammar allows '.'),
+# NULLs in every column, an empty string (the `= ''` string-literal
+# vs missing-rewrite distinction), duplicate group keys
+# --------------------------------------------------------------------- #
+
+SCHEMA = (
+    "`Id` bigint, `Sprint Name` string, `State` string, "
+    "`Points` double, `Count` bigint, `Score.raw` double"
+)
+
+ROWS = [
+    (1, "Sprint 1", "Active", 3.0, 10, 0.5),
+    (2, "Sprint 1", "Done", 5.5, 20, 1.5),
+    (3, "Sprint 2", "Done", None, 30, -2.0),
+    (4, "Sprint 2", "New", 8.0, None, None),
+    (5, "Sprint 3", None, 2.0, 40, 3.25),
+    (6, None, "", 13.0, 50, 0.0),
+    (7, "Sprint 3", "Active", 1.0, 60, -1.0),
+    (8, "Sprint 4", "Done", 21.0, 70, 2.0),
+    (9, "Sprint 4", "Active", None, 80, 4.5),
+    (10, "Sprint 1", "New", 34.0, 90, None),
+    (11, "Sprint 2", "", 0.5, 15, 1.25),
+    (12, None, "Done", 55.0, 25, -3.5),
+]
+
+BASE_COLS = {
+    "Id": "num",
+    "Sprint Name": "str",
+    "State": "str",
+    "Points": "num",
+    "Count": "num",
+    "Score.raw": "num",
+}
+
+# names the generator may create/rename to (mix of bare and must-quote)
+NEW_NAMES = ["Derived", "New Col", "Score2", "x_tmp", "Out.val"]
+
+STR_LITS = ["Active", "Done", "New", "nope", ""]
+
+_BARE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+_KEYWORDS = {
+    "only", "slice", "rename", "create", "dense", "numeric", "group",
+    "pivot", "sort", "index", "buckets", "each", "linear", "missing",
+    "keys", "ordinals", "true", "false", "if", "else", "int", "regex",
+    "format", "contains", "moving", "expanding", "column", "columns",
+    "rows", "by",
+}
+
+
+def _q(name: str) -> str:
+    """Text form of a column reference: bare ident when the tokenizer
+    allows it, double-quoted otherwise (dstring = column ref)."""
+    if _BARE.match(name) and name not in _KEYWORDS:
+        return name
+    return '"' + name + '"'
+
+
+def _num_cols(cols):
+    return [n for n, k in cols.items() if k == "num"]
+
+
+def _str_cols(cols):
+    return [n for n, k in cols.items() if k == "str"]
+
+
+# --------------------------------------------------------------------- #
+# expression generators: (hb_text, Pipeline -> Column) pairs
+# --------------------------------------------------------------------- #
+
+
+def _num_expr(draw, cols, depth):
+    choices = ["col", "lit"]
+    if depth > 0:
+        choices += ["arith", "arith", "div", "int", "if"]
+    kind = draw(st.sampled_from(choices))
+    if kind == "col":
+        name = draw(st.sampled_from(_num_cols(cols)))
+        return _q(name), (lambda pl, n=name: E.c(n))
+    if kind == "lit":
+        v = draw(st.one_of(st.integers(-3, 9), st.sampled_from([0.5, 2.5, -1.5])))
+        return str(v), (lambda pl, v=v: F.lit(v))
+    if kind == "arith":
+        op = draw(st.sampled_from(["+", "-", "*"]))
+        at, af = _num_expr(draw, cols, depth - 1)
+        bt, bf = _num_expr(draw, cols, depth - 1)
+        fns = {
+            "+": lambda pl: af(pl) + bf(pl),
+            "-": lambda pl: af(pl) - bf(pl),
+            "*": lambda pl: af(pl) * bf(pl),
+        }
+        return f"({at} {op} {bt})", fns[op]
+    if kind == "div":
+        # nonzero literal divisor: a /0 column would be fine (NULL both
+        # sides) but makes shrunken failures harder to read
+        at, af = _num_expr(draw, cols, depth - 1)
+        d = draw(st.sampled_from([2, 4, -3, 0.5]))
+        return f"({at} / {d})", (lambda pl, d=d: af(pl) / F.lit(d))
+    if kind == "int":
+        at, af = _num_expr(draw, cols, depth - 1)
+        return f"(int ({at}))", (lambda pl: E.int_cast(af(pl)))
+    # if [cond] {a} else {b}
+    ct, cf = _bool_expr(draw, cols, depth - 1)
+    at, af = _num_expr(draw, cols, depth - 1)
+    bt, bf = _num_expr(draw, cols, depth - 1)
+    return (
+        f"(if [{ct}] {{{at}}} else {{{bt}}})",
+        lambda pl: E.iff(cf(pl), af(pl), bf(pl)),
+    )
+
+
+_CMP = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _bool_expr(draw, cols, depth):
+    choices = ["cmp", "cmp", "streq", "missing"]
+    if depth > 0:
+        choices += ["not", "andor"]
+    kind = draw(st.sampled_from(choices))
+    if kind == "cmp":
+        op = draw(st.sampled_from(sorted(_CMP)))
+        at, af = _num_expr(draw, cols, depth - 1)
+        bt, bf = _num_expr(draw, cols, depth - 1)
+        return f"({at} {op} {bt})", (
+            lambda pl, op=op: _CMP[op](af(pl), bf(pl))
+        )
+    if kind == "streq":
+        # '' stays a literal comparison on string columns (MTTR.hb:18
+        # semantics apply only to non-string columns, which this
+        # generator never pairs with string literals)
+        scs = _str_cols(cols)
+        if not scs:
+            at, af = _num_expr(draw, cols, 0)
+            return f"({at} >= 0)", (lambda pl: af(pl) >= F.lit(0))
+        name = draw(st.sampled_from(scs))
+        lit = draw(st.sampled_from(STR_LITS))
+        op = draw(st.sampled_from(["=", "!="]))
+        return f"({_q(name)} {op} '{lit}')", (
+            lambda pl, n=name, l=lit, op=op: _CMP[op](E.c(n), F.lit(l))
+        )
+    if kind == "missing":
+        name = draw(st.sampled_from(sorted(cols)))
+        if draw(st.booleans()):
+            return f"({_q(name)} = missing)", (lambda pl, n=name: E.c(n).isNull())
+        return f"({_q(name)} != missing)", (
+            lambda pl, n=name: E.c(n).isNotNull()
+        )
+    if kind == "not":
+        it, fn = _bool_expr(draw, cols, depth - 1)
+        return f"(! {it})", (lambda pl: ~fn(pl))
+    op = draw(st.sampled_from(["&&", "||"]))
+    at, af = _bool_expr(draw, cols, depth - 1)
+    bt, bf = _bool_expr(draw, cols, depth - 1)
+    if op == "&&":
+        return f"({at} && {bt})", (lambda pl: af(pl) & bf(pl))
+    return f"({at} || {bt})", (lambda pl: af(pl) | bf(pl))
+
+
+# --------------------------------------------------------------------- #
+# statement sequence generator
+# --------------------------------------------------------------------- #
+
+
+@st.composite
+def programs(draw):
+    cols = dict(BASE_COLS)
+    lines: list[str] = []
+    fns: list = []
+    indexed = False
+    index_key: str | None = None  # never renamed/sliced away once set
+    # (a later `create column X (keys)` resolves it by name)
+
+    n_body = draw(st.integers(1, 4))
+    for _ in range(n_body):
+        kinds = ["only", "create", "create", "rename", "slice", "sort"]
+        if indexed:
+            kinds.append("keys_create")
+        kind = draw(st.sampled_from(kinds))
+        if kind == "only":
+            if draw(st.integers(0, 9)) == 0:
+                lines.append("only true")
+                fns.append(lambda pl: pl.only(True))
+            else:
+                t, fn = _bool_expr(draw, cols, 2)
+                lines.append(f"only ({t})")
+                fns.append(lambda pl, fn=fn: pl.only(fn(pl)))
+        elif kind == "create":
+            name = draw(st.sampled_from(NEW_NAMES + list(cols)))
+            t, fn = _num_expr(draw, cols, 2)
+            lines.append(f"create column {_q(name)} ({t})")
+            fns.append(lambda pl, n=name, fn=fn: pl.create_column(n, fn(pl)))
+            cols[name] = "num"
+        elif kind == "rename":
+            renameable = sorted(set(cols) - {index_key})
+            free = [n for n in NEW_NAMES if n not in cols]
+            if not free or not renameable:
+                continue
+            old = draw(st.sampled_from(renameable))
+            new = draw(st.sampled_from(free))
+            lines.append(f"rename column {_q(old)} {_q(new)}")
+            fns.append(lambda pl, o=old, n=new: pl.rename_column(o, n))
+            cols[new] = cols.pop(old)
+        elif kind == "slice":
+            keep = draw(
+                st.lists(st.sampled_from(sorted(cols)), min_size=1, unique=True)
+            )
+            if index_key is not None and index_key not in keep:
+                keep.append(index_key)
+            names = list(keep)
+            if draw(st.booleans()):
+                names.append("Ghost")  # missing names are tolerated
+            lines.append("slice columns " + " ".join(_q(c) for c in names))
+            fns.append(lambda pl, ns=tuple(names): pl.slice_columns(*ns))
+            cols = {c: cols[c] for c in keep}
+        elif kind == "sort":
+            ks = draw(
+                st.lists(st.sampled_from(sorted(cols)), min_size=1, max_size=2,
+                         unique=True)
+            )
+            head = "sort by column" if draw(st.booleans()) else "sort by"
+            lines.append(head + " " + " ".join(_q(c) for c in ks))
+            fns.append(lambda pl, ks=tuple(ks): pl.sort_by(*ks))
+        elif kind == "keys_create":
+            name = draw(st.sampled_from(NEW_NAMES))
+            lines.append(f"create column {_q(name)} (keys)")
+            fns.append(
+                lambda pl, n=name: pl.create_column(n, pl.keys_col())
+            )
+            cols[name] = "str"
+        if kind != "keys_create" and not indexed and draw(st.integers(0, 4)) == 0:
+            key = draw(st.sampled_from(sorted(cols)))
+            head = "index rows by" if draw(st.booleans()) else "index by"
+            lines.append(f"{head} {_q(key)}")
+            fns.append(lambda pl, k=key: pl.index_by(k))
+            indexed = True
+            index_key = key
+
+    # optional terminal: group / pivot
+    term = draw(st.sampled_from(["none", "maxby", "minby", "reduce", "pivot"]))
+    if term in ("maxby", "minby") and len(cols) >= 2:
+        key = draw(st.sampled_from(sorted(cols)))
+        t, fn = _num_expr(draw, cols, 1)
+        lines.append(f"group by {_q(key)} -> {term} ({t})")
+        if term == "maxby":
+            fns.append(lambda pl, k=key, fn=fn: pl.group_by(k).maxby(fn(pl)))
+        else:
+            fns.append(lambda pl, k=key, fn=fn: pl.group_by(k).minby(fn(pl)))
+    elif term == "reduce" and len(cols) >= 2:
+        key = draw(st.sampled_from(sorted(cols)))
+        red = draw(st.sampled_from(["count", "max", "min"]))
+        lines.append(f"group by {_q(key)} -> {red}")
+        fns.append(lambda pl, k=key, r=red: pl.group_by(k).reduce(r))
+    elif term == "pivot" and _str_cols(cols) and len(cols) >= 2:
+        ckey = draw(st.sampled_from(_str_cols(cols)))
+        rkey = draw(st.sampled_from(sorted(cols)))
+        lines.append(f"pivot [{_q(rkey)}] [{_q(ckey)}] -> count")
+        fns.append(lambda pl, r=rkey, c=ckey: pl.pivot([r], c, "count", None))
+
+    return "\n".join(lines) + "\n", fns
+
+
+def _frame(pl: Pipeline):
+    df = pl.df
+    cols = sorted(df.columns)
+    rows = sorted(
+        tuple("NULL" if v is None else str(v) for v in (r[c] for c in cols))
+        for r in df.collect()
+    )
+    return cols, rows
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+@given(prog=programs())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hb_program_equals_direct_api(spark, fixture_df, prog):
+    text, fns = prog
+    via_hb = run_hb(text, Pipeline.of(fixture_df, "fuzz"))
+    direct = Pipeline.of(fixture_df, "fuzz")
+    for fn in fns:
+        direct = fn(direct)
+    assert _frame(via_hb) == _frame(direct), text
