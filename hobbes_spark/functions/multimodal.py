@@ -144,19 +144,281 @@ def _luma(r: int, g: int, b: int) -> int:
     return (299 * r + 587 * g + 114 * b) // 1000
 
 
+# zigzag index -> (row, col) in the 8x8 coefficient block (ITU T.81
+# Figure A.6, public spec)
+_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+_IDCT_BASIS = None  # lazy 8x8 DCT-III basis (numpy), built once
+
+
+def _idct_basis():
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        import math
+
+        import numpy as np
+
+        c = np.array([math.sqrt(0.5)] + [1.0] * 7)
+        m = np.zeros((8, 8))
+        for u in range(8):
+            for x in range(8):
+                m[u, x] = 0.5 * c[u] * math.cos((2 * x + 1) * u * math.pi / 16)
+        _IDCT_BASIS = m
+    return _IDCT_BASIS
+
+
+class _JpegBits:
+    """Entropy-segment bit reader: 0xFF00 byte stuffing removed on the
+    fly; hitting any real marker ends the stream (RSTn handled by the
+    caller via align_to_rst)."""
+
+    def __init__(self, data: bytes, i: int):
+        self.b = data
+        self.i = i
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        b, i = self.b, self.i
+        if i >= len(b):
+            raise EOFError
+        byte = b[i]
+        if byte == 0xFF:
+            nxt = b[i + 1] if i + 1 < len(b) else None
+            if nxt != 0x00:
+                raise EOFError  # a real marker: entropy data is over
+        out = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.i += 2 if byte == 0xFF else 1
+        return out
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_rst(self) -> bool:
+        """Consume padding to the next RSTn marker; True if found."""
+        self.bit = 0
+        # skip to marker
+        while self.i + 1 < len(self.b):
+            if self.b[self.i] == 0xFF and 0xD0 <= self.b[self.i + 1] <= 0xD7:
+                self.i += 2
+                return True
+            self.i += 1
+        return False
+
+
+def _huff_decode(bits: _JpegBits, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | bits.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise EOFError
+
+
+def _extend(v: int, n: int) -> int:
+    # ITU T.81 F.2.2.1 EXTEND: n-bit magnitude to signed value
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _decode_jpeg_gray(b: bytes) -> tuple[int, int, list[int]] | None:
+    """Pure-Python BASELINE JPEG (ITU T.81) decode to grayscale: only
+    the Y channel is dequantized + IDCT'd (gray output needs no chroma
+    reconstruction — Cb/Cr coefficients are entropy-decoded and
+    discarded, which the sequential bitstream requires). Supports
+    SOF0/SOF1 (Huffman sequential), grayscale and YCbCr with the luma
+    at full sampling resolution (covers 4:4:4 / 4:2:2 / 4:2:0), and
+    restart intervals. Returns None for progressive (SOF2), arithmetic
+    coding, 12-bit precision, luma-subsampled-below-chroma exotica,
+    truncated streams, or > 2^22 declared pixels (the PNG allocation
+    guard)."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
+    frame = None  # (w, h, comps); comps = [(cid, hs, vs, tq)]
+    restart = 0
+    i = 2
+    try:
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if seglen < 2 or i + 2 + seglen > len(b):
+                return None
+            seg = b[i + 4 : i + 2 + seglen]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 0xF
+                    if pq != 0:  # 16-bit tables: 12-bit precision only
+                        return None
+                    qt[tq] = list(seg[j + 1 : j + 65])
+                    j += 65
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j + 17 <= len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 0xF
+                    counts = seg[j + 1 : j + 17]
+                    syms = seg[j + 17 : j + 17 + sum(counts)]
+                    table: dict[tuple[int, int], int] = {}
+                    code, k = 0, 0
+                    for ln in range(1, 17):
+                        for _ in range(counts[ln - 1]):
+                            table[(ln, code)] = syms[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+                    j += 17 + sum(counts)
+            elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/ext sequential
+                prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+                if prec != 8 or not w or not h or not nc or w * h > (1 << 22):
+                    return None
+                comps = []
+                for k in range(nc):
+                    cid, samp, tq = seg[6 + 3 * k : 9 + 3 * k]
+                    hs, vs = samp >> 4, samp & 0xF
+                    if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                        return None
+                    comps.append((cid, hs, vs, tq))
+                frame = (w, h, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive/lossless/arithmetic
+            elif marker == 0xDD:  # DRI
+                (restart,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:  # SOS: entropy data follows
+                if frame is None:
+                    return None
+                ns = seg[0]
+                scomps = []
+                for k in range(ns):
+                    cs, tables = seg[1 + 2 * k], seg[2 + 2 * k]
+                    scomps.append((cs, tables >> 4, tables & 0xF))
+                return _jpeg_scan(
+                    b, i + 2 + seglen, frame, scomps, qt, huff, restart, np
+                )
+            i += 2 + seglen
+    except (struct.error, IndexError, KeyError, ValueError, ZeroDivisionError):
+        # mutated/truncated streams surface as any of these mid-parse
+        # (empty SOF, scan components absent from the frame, crafted
+        # sampling factors) — an executor batch never dies on one image
+        return None
+    return None
+
+
+def _jpeg_scan(b, pos, frame, scomps, qt, huff, restart, np):
+    w, h, comps = frame
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    luma_id = comps[0][0]  # first frame component is Y (or the only one)
+    if by_id[luma_id][0] != hmax or by_id[luma_id][1] != vmax:
+        return None  # luma below full sampling resolution: out of scope
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    plane = np.zeros((mcy * vmax * 8, mcx * hmax * 8), dtype=np.float64)
+    m = _idct_basis()
+    bits = _JpegBits(b, pos)
+    pred = {cs: 0 for cs, _, _ in scomps}
+    try:
+        for mi in range(mcy * mcx):
+            if restart and mi and mi % restart == 0:
+                if not bits.align_to_rst():
+                    return None
+                pred = {cs: 0 for cs, _, _ in scomps}
+            my, mx = divmod(mi, mcx)
+            for cs, td, ta in scomps:
+                hs, vs, tq = by_id[cs]
+                dct = huff.get((0, td))
+                act = huff.get((1, ta))
+                q = qt.get(tq)
+                if dct is None or act is None or q is None:
+                    return None
+                for vv in range(vs):
+                    for hh in range(hs):
+                        coeff = np.zeros((8, 8)) if cs == luma_id else None
+                        s = _huff_decode(bits, dct)
+                        diff = _extend(bits.receive(s), s)
+                        pred[cs] += diff
+                        if coeff is not None:
+                            r0, c0 = _ZIGZAG[0]
+                            coeff[r0, c0] = pred[cs] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(bits, act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            val = _extend(bits.receive(s), s)
+                            if coeff is not None:
+                                rr, cc = _ZIGZAG[k]
+                                coeff[rr, cc] = val * q[k]
+                            k += 1
+                        if coeff is not None:
+                            px = m.T @ coeff @ m + 128.0
+                            y0 = (my * vs + vv) * 8
+                            x0 = (mx * hs + hh) * 8
+                            plane[y0 : y0 + 8, x0 : x0 + 8] = px
+    except EOFError:
+        return None
+    out = np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.int64)
+    return w, h, [int(v) for v in out.ravel()]
+
+
 def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
-    """Pure-Python PIXEL decode for PNG and BMP — no codec libraries.
+    """Pure-Python PIXEL decode for PNG, BMP and baseline JPEG — no
+    codec libraries.
 
     Returns ``(width, height, grayscale)`` with grayscale as a top-down
     row-major list of 0-255 luma values, or None for anything this
     decoder doesn't handle (other formats, interlaced PNG, compressed
-    BMP, truncated payloads).  PNG: 8-bit depth, color types
-    gray/RGB/palette/gray+alpha/RGBA, all five scanline filters, zlib
-    IDAT reassembly.  BMP: BITMAPINFOHEADER+, uncompressed, 8-bit
-    paletted and 24/32-bit, bottom-up and top-down (negative height)
-    row orders, 4-byte row padding.  Both formats are small enough to
-    decode exactly; this closes the round-5 gap where the aHash/resize
-    path fell to the deterministic fake whenever PIL was absent."""
+    BMP, progressive JPEG, truncated payloads).  PNG: 8-bit depth,
+    color types gray/RGB/palette/gray+alpha/RGBA, all five scanline
+    filters, zlib IDAT reassembly.  BMP: BITMAPINFOHEADER+,
+    uncompressed, 8-bit paletted and 24/32-bit, bottom-up and top-down
+    (negative height) row orders, 4-byte row padding.  JPEG (round 7):
+    Huffman sequential (SOF0/SOF1) luma decode — see
+    :func:`_decode_jpeg_gray`.  This closes the rounds-5/6 gap where
+    the aHash/resize path fell to the deterministic fake whenever PIL
+    was absent."""
+    if b[:2] == b"\xff\xd8":
+        return _decode_jpeg_gray(b)
     import struct
     import zlib
 
@@ -400,8 +662,9 @@ _RESIZE_OUT = "media_id long, mime string, width int, height int, content binary
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Resize every image payload to ``width``x``height``.
 
-    Decoder ladder: PIL if importable; else the pure-Python PNG/BMP
-    decoder (:func:`decode_pixels`) with box-average resampling,
+    Decoder ladder: PIL if importable; else the pure-Python
+    PNG/BMP/baseline-JPEG decoder (:func:`decode_pixels`) with
+    box-average resampling,
     re-encoded as a 24-bit grayscale BMP (``image/bmp``); else the
     pixel work is a deterministic FAKE (payload re-hashed to the target
     byte budget via repeated sha256 — stable across runs/partitions,
@@ -528,8 +791,9 @@ def ahash_images(media: DataFrame, n_pixels: int = 64) -> DataFrame:
     grayscale thumbnail, threshold each pixel against the thumbnail
     mean, pack the 64 bits into one signed BIGINT.
 
-    Decode ladder (round 6): REAL pixels via the pure-Python PNG/BMP
-    decoder (:func:`decode_pixels` + box-average to 8×8 — deterministic
+    Decode ladder (rounds 6-7): REAL pixels via the pure-Python
+    PNG/BMP/baseline-JPEG decoder
+    (:func:`decode_pixels` + box-average to 8×8 — deterministic
     in every environment, no codec libraries), falling back to the
     documented raw-bytes stub for unrecognized payloads (the first
     ``n_pixels`` bytes stand in for the thumbnail). Everything after

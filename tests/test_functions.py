@@ -314,6 +314,147 @@ def test_decode_pixels_bmp_variants():
     assert decode_pixels(bytes(rle)) is None
 
 
+class _JBits:
+    """Test-side JPEG bit writer: collects (value, n_bits), pads the
+    tail with 1s (spec padding), applies 0xFF00 byte stuffing."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, value: int, n: int):
+        for k in range(n - 1, -1, -1):
+            self.bits.append((value >> k) & 1)
+        return self
+
+    def tobytes(self) -> bytes:
+        bits = self.bits + [1] * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+def _jpeg(w, h, components, entropy, quant=None):
+    """Hand-assemble a baseline JFIF stream: all-1s (or given) quant
+    table, CUSTOM tiny Huffman tables designed by hand so the test's
+    bit strings are derivable on paper without any shared encoder
+    code —
+      DC: '0' -> category 6, '10' -> category 0
+      AC: '0' -> EOB,        '10' -> (run 0, size 4)
+    components = [(id, samp_byte)], entropy = bytes."""
+    import struct
+
+    quant = quant or [1] * 64
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(quant)
+    sof = struct.pack(">BHHB", 8, h, w, len(components))
+    for cid, samp in components:
+        sof += bytes((cid, samp, 0))
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dc_counts = bytes([1, 1] + [0] * 14)
+    ac_counts = bytes([1, 1] + [0] * 14)
+    dht = b"\x00" + dc_counts + bytes([6, 0]) + b"\x10" + ac_counts + bytes([0x00, 0x04])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sos = bytes([len(components)])
+    for cid, _ in components:
+        sos += bytes((cid, 0x00))
+    sos += bytes((0, 63, 0))
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += entropy + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_pixels_jpeg_dc_only_hand_derived():
+    """Baseline JPEG truth pin, no PIL anywhere: an 8x8 grayscale
+    stream whose only coefficient is DC diff 48 (category 6) with an
+    all-1s quant table. By hand: coefficient 48, DC-only IDCT gives
+    48/8 = 6 on every pixel, +128 level shift = 134 everywhere. The
+    entropy bits are derivable on paper from the custom tables:
+    '0'(cat6) '110000'(48) '0'(EOB) = 0x60."""
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    payload = _jpeg(8, 8, [(1, 0x11)], _JBits().put(0b01100000, 8).tobytes())
+    assert decode_pixels(payload) == (8, 8, [134] * 64)
+
+
+def test_decode_pixels_jpeg_single_ac_hand_derived():
+    """One AC coefficient: DC diff 0, then (run 0, size 4) value 12 at
+    zigzag index 1 = (u=0, v=1) — a horizontal cosine. By hand each row
+    is 128 + (12/(4*sqrt(2)))*cos((2x+1)*pi/16) for x=0..7, rounded:
+    [130, 130, 129, 128, 128, 127, 126, 126]. A transposed IDCT or a
+    row/column-major mixup produces the column-varying image instead
+    and fails here."""
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    bits = _JBits()
+    bits.put(0b10, 2)        # DC: category 0, diff 0
+    bits.put(0b10, 2)        # AC: (0, 4)
+    bits.put(12, 4)          # value 12
+    bits.put(0b0, 1)         # EOB
+    got = decode_pixels(_jpeg(8, 8, [(1, 0x11)], bits.tobytes()))
+    assert got is not None
+    w, h, gray = got
+    row = [130, 130, 129, 128, 128, 127, 126, 126]
+    assert (w, h) == (8, 8)
+    assert gray == row * 8
+
+
+def test_decode_pixels_jpeg_420_quadrants():
+    """YCbCr 4:2:0: the MCU carries four Y blocks (2x2) plus one Cb and
+    one Cr block whose coefficients must be entropy-consumed but never
+    rendered. DC-only Y blocks at 48, 16, -16, -48 (diffs 48, -32 x3,
+    all category 6, DPCM chained) give hand-derived quadrant levels
+    134 / 130 / 126 / 122 in raster block order TL, TR, BL, BR."""
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    bits = _JBits()
+    bits.put(0b0, 1).put(48, 6).put(0b0, 1)          # Y1: DC 48
+    for _ in range(3):                               # Y2..Y4: diff -32
+        bits.put(0b0, 1).put(-32 + 63, 6).put(0b0, 1)
+    for _ in range(2):                               # Cb, Cr: DC diff 0
+        bits.put(0b10, 2).put(0b0, 1)
+    comps = [(1, 0x22), (2, 0x11), (3, 0x11)]
+    got = decode_pixels(_jpeg(16, 16, comps, bits.tobytes()))
+    assert got is not None
+    w, h, gray = got
+    assert (w, h) == (16, 16)
+    levels = {(0, 0): 134, (0, 1): 130, (1, 0): 126, (1, 1): 122}
+    for y in range(16):
+        for x in range(16):
+            assert gray[y * 16 + x] == levels[(y // 8, x // 8)], (x, y)
+
+
+def test_decode_pixels_jpeg_refuses_out_of_scope():
+    """Progressive (SOF2) refuses; truncations and mutations of a valid
+    baseline stream refuse or stay well-formed — executor batches never
+    die on one bad image (the PNG/BMP robustness contract extended to
+    the JPEG branch)."""
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    valid = _jpeg(8, 8, [(1, 0x11)], _JBits().put(0b01100000, 8).tobytes())
+    progressive = bytearray(valid)
+    progressive[progressive.index(b"\xff\xc0") + 1] = 0xC2
+    assert decode_pixels(bytes(progressive)) is None
+
+    for cut in range(len(valid)):
+        got = decode_pixels(valid[:cut])
+        if got is not None:
+            w, h, gray = got
+            assert w > 0 and h > 0 and len(gray) == w * h
+    for off in range(2, len(valid)):
+        for m in (0x00, 0xFF, valid[off] ^ 0x55):
+            got = decode_pixels(valid[:off] + bytes([m]) + valid[off + 1 :])
+            if got is not None:
+                w, h, gray = got
+                assert w > 0 and h > 0 and len(gray) == w * h
+                assert all(0 <= v <= 255 for v in gray)
+
+
 def test_decode_pixels_never_raises_on_garbage():
     """Robustness: corrupt/truncated/mutated payloads refuse with None
     (or decode to a well-formed tuple) — an executor batch must never
