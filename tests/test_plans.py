@@ -550,3 +550,26 @@ def test_hb_commit_frequency_scan_reads_only_ts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "hb_commit_frequency")
     scan = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "ts" in scan and "props" not in scan and "user_id" not in scan
+
+
+def test_lsh_candidate_stats_has_no_join(spark, sf_dir):
+    """The count-only LSH probe must never enumerate a pair: its plan
+    is banding + two keyed aggregations — NO join of any kind (that is
+    the whole point of gating scale on it), and the bucket aggregation
+    combines map-side (partial before the exchange)."""
+    plan = plan_of(spark, sf_dir, "lsh_candidate_stats")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "partial_count" in plan or ("Partial" in plan and "Final" in plan)
+
+
+def test_minhash_star_edges_single_equi_join(spark, sf_dir):
+    """Star-edge generation joins the banded rows back to bucket hubs
+    on the SAME (band, band_key) key: exactly one equi-join, never a
+    nested-loop/cartesian, and the k>=2 hub filter sits under it."""
+    plan = plan_of(spark, sf_dir, "minhash_star_edges")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    )
+    assert joins == 1, f"expected exactly one equi-join, saw {joins}"
