@@ -45,22 +45,23 @@ from hobbes_spark.pipeline import Pipeline
 
 SCHEMA = (
     "`Id` bigint, `Sprint Name` string, `State` string, "
-    "`Points` double, `Count` bigint, `Score.raw` double"
+    "`Points` double, `Count` bigint, `Score.raw` double, "
+    "`ChangedDate` string"
 )
 
 ROWS = [
-    (1, "Sprint 1", "Active", 3.0, 10, 0.5),
-    (2, "Sprint 1", "Done", 5.5, 20, 1.5),
-    (3, "Sprint 2", "Done", None, 30, -2.0),
-    (4, "Sprint 2", "New", 8.0, None, None),
-    (5, "Sprint 3", None, 2.0, 40, 3.25),
-    (6, None, "", 13.0, 50, 0.0),
-    (7, "Sprint 3", "Active", 1.0, 60, -1.0),
-    (8, "Sprint 4", "Done", 21.0, 70, 2.0),
-    (9, "Sprint 4", "Active", None, 80, 4.5),
-    (10, "Sprint 1", "New", 34.0, 90, None),
-    (11, "Sprint 2", "", 0.5, 15, 1.25),
-    (12, None, "Done", 55.0, 25, -3.5),
+    (1, "Sprint 1", "Active", 3.0, 10, 0.5, "2024-01-07"),
+    (2, "Sprint 1", "Done", 5.5, 20, 1.5, "2024-01-15"),
+    (3, "Sprint 2", "Done", None, 30, -2.0, "2024-02-29"),
+    (4, "Sprint 2", "New", 8.0, None, None, "2024-03-31"),
+    (5, "Sprint 3", None, 2.0, 40, 3.25, None),
+    (6, None, "", 13.0, 50, 0.0, "2024-12-31"),
+    (7, "Sprint 3", "Active", 1.0, 60, -1.0, "2025-01-01"),
+    (8, "Sprint 4", "Done", 21.0, 70, 2.0, "2024-06-02"),
+    (9, "Sprint 4", "Active", None, 80, 4.5, "2024-06-03"),
+    (10, "Sprint 1", "New", 34.0, 90, None, "2024-07-04"),
+    (11, "Sprint 2", "", 0.5, 15, 1.25, None),
+    (12, None, "Done", 55.0, 25, -3.5, "2023-11-05"),
 ]
 
 BASE_COLS = {
@@ -70,6 +71,7 @@ BASE_COLS = {
     "Points": "num",
     "Count": "num",
     "Score.raw": "num",
+    "ChangedDate": "date",  # ISO strings; only `format date` touches it
 }
 
 # names the generator may create/rename to (mix of bare and must-quote)
@@ -108,14 +110,26 @@ def _str_cols(cols):
 # --------------------------------------------------------------------- #
 
 
+def _date_cols(cols):
+    return [n for n, k in cols.items() if k == "date"]
+
+
 def _num_expr(draw, cols, depth):
     choices = ["col", "lit"]
     if depth > 0:
         choices += ["arith", "arith", "div", "int", "if"]
+        if _date_cols(cols):
+            choices.append("datepart")
     kind = draw(st.sampled_from(choices))
     if kind == "col":
         name = draw(st.sampled_from(_num_cols(cols)))
         return _q(name), (lambda pl, n=name: E.c(n))
+    if kind == "datepart":
+        name = draw(st.sampled_from(_date_cols(cols)))
+        part = draw(st.sampled_from(["day", "week", "weekday", "month", "year"]))
+        return f"(format date {_q(name)} {part})", (
+            lambda pl, n=name, p=part: E.format_date(E.c(n), p)
+        )
     if kind == "lit":
         v = draw(st.one_of(st.integers(-3, 9), st.sampled_from([0.5, 2.5, -1.5])))
         return str(v), (lambda pl, v=v: F.lit(v))
@@ -159,10 +173,35 @@ _CMP = {
 
 
 def _bool_expr(draw, cols, depth):
-    choices = ["cmp", "cmp", "streq", "missing"]
+    choices = ["cmp", "cmp", "streq", "missing", "contains"]
     if depth > 0:
         choices += ["not", "andor"]
     kind = draw(st.sampled_from(choices))
+    if kind == "contains":
+        # string membership on a string col, numeric membership on a
+        # numeric col — `contains col [v1; v2]` with ';' separators
+        scs = _str_cols(cols)
+        if scs and draw(st.booleans()):
+            name = draw(st.sampled_from(scs))
+            vals = draw(
+                st.lists(
+                    st.sampled_from([v for v in STR_LITS if v]),
+                    min_size=1, max_size=3, unique=True,
+                )
+            )
+            body = "; ".join(f"'{v}'" for v in vals)
+        else:
+            name = draw(st.sampled_from(_num_cols(cols)))
+            vals = draw(
+                st.lists(
+                    st.sampled_from([1, 3.0, 5.5, 10, -2.0]),
+                    min_size=1, max_size=3, unique=True,
+                )
+            )
+            body = "; ".join(str(v) for v in vals)
+        return f"(contains {_q(name)} [{body}])", (
+            lambda pl, n=name, vs=tuple(vals): E.contains(E.c(n), list(vs))
+        )
     if kind == "cmp":
         op = draw(st.sampled_from(sorted(_CMP)))
         at, af = _num_expr(draw, cols, depth - 1)
@@ -221,7 +260,28 @@ def programs(draw):
         kinds = ["only", "create", "create", "rename", "slice", "sort"]
         if indexed:
             kinds.append("keys_create")
+        if _str_cols(cols):
+            kinds.append("create_regex")
         kind = draw(st.sampled_from(kinds))
+        if kind == "create_regex":
+            # regex [src] /pattern/ [tokens...] — capture-group rebuild;
+            # non-matching rows yield '' (Java regexp_extract semantics)
+            src = draw(st.sampled_from(_str_cols(cols)))
+            name = draw(st.sampled_from(NEW_NAMES + list(cols)))
+            pattern = "Sprint ([0-9]+)"
+            toks = draw(st.sampled_from([("$1",), ("S", "$1")]))
+            tok_text = " ".join(t if t.startswith("$") else f"'{t}'" for t in toks)
+            lines.append(
+                f"create column {_q(name)} "
+                f"(regex [{_q(src)}] /{pattern}/ [{tok_text}])"
+            )
+            fns.append(
+                lambda pl, n=name, s=src, ts=toks: pl.create_column(
+                    n, E.regex(E.c(s), "Sprint ([0-9]+)", ts)
+                )
+            )
+            cols[name] = "str"
+            continue
         if kind == "only":
             if draw(st.integers(0, 9)) == 0:
                 lines.append("only true")
