@@ -126,6 +126,33 @@ def test_minhash_star_edges_same_components_as_pairs(spark, sf_dir):
     assert len(star_rows) <= 16 * max(n_members, 1)
 
 
+def test_star_edges_linear_on_pathological_duplicates(spark):
+    """The worst case for pair listing: N identical documents form ONE
+    bucket per band, so all-pairs emits N(N-1)/2 rows while star edges
+    emit exactly N-1 — and lsh_candidate_stats prices that join without
+    running it (max_bucket = N, candidate_pairs = N(N-1)/2 per band).
+    This is the documented reason clustering at 100 TB feeds
+    connected_components from star edges, never from the clique."""
+    n = 400
+    df = spark.createDataFrame(
+        [(i, "the exact same document text repeated verbatim") for i in range(n)],
+        "doc_id long, text string",
+    )
+    sigs = DD.minhash_signatures_df(df, "doc_id", "text", 16).localCheckpoint()
+    stats = DD.lsh_candidate_stats(sigs, 16, 8).collect()
+    assert len(stats) == 8
+    for r in stats:
+        assert r["n_buckets"] == 1 and r["max_bucket"] == n
+        assert r["candidate_pairs"] == n * (n - 1) // 2
+    star = DD.minhash_star_edges(sigs, 16, 8).collect()
+    assert len(star) == n - 1  # hub 0 -> each other doc, once
+    assert all(r["id_a"] == 0 for r in star)
+    comp = DD.connected_components(
+        DD.minhash_star_edges(sigs, 16, 8)
+    ).collect()
+    assert len({r["comp"] for r in comp}) == 1 and len(comp) == n
+
+
 def test_simhash_close_for_near_dups(spark):
     base = " ".join(f"w{i}" for i in range(100))
     near = base.replace("w50", "zz")
