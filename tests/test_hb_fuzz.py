@@ -326,6 +326,35 @@ def programs(draw):
             head = "sort by column" if draw(st.booleans()) else "sort by"
             lines.append(head + " " + " ".join(_q(c) for c in ks))
             fns.append(lambda pl, ks=tuple(ks): pl.sort_by(*ks))
+            # windowed creates and row slices key off the established
+            # order — only generated once one exists
+            extra = draw(st.sampled_from(["none", "moving", "expanding", "rows"]))
+            numc = _num_cols(cols)
+            if extra in ("moving", "expanding") and numc:
+                name = draw(st.sampled_from(NEW_NAMES + list(cols)))
+                red = draw(st.sampled_from(["sum", "mean", "min", "max"]))
+                val = draw(st.sampled_from(numc))
+                if extra == "moving":
+                    nwin = draw(st.integers(2, 4))
+                    lines.append(
+                        f"create column {_q(name)} (moving {red} {nwin} [{_q(val)}])"
+                    )
+                    fns.append(
+                        lambda pl, n=name, r=red, w=nwin, v=val: pl.moving(n, r, w, v)
+                    )
+                else:
+                    lines.append(
+                        f"create column {_q(name)} (expanding {red} [{_q(val)}])"
+                    )
+                    fns.append(
+                        lambda pl, n=name, r=red, v=val: pl.expanding(n, r, v)
+                    )
+                cols[name] = "num"
+            elif extra == "rows":
+                a = draw(st.integers(0, 5))
+                b = a + draw(st.integers(0, 8))
+                lines.append(f"slice rows {a} {b}")
+                fns.append(lambda pl, a=a, b=b: pl.slice_rows(a, b))
         elif kind == "keys_create":
             name = draw(st.sampled_from(NEW_NAMES))
             lines.append(f"create column {_q(name)} (keys)")
@@ -359,8 +388,19 @@ def programs(draw):
     elif term == "pivot" and _str_cols(cols) and len(cols) >= 2:
         ckey = draw(st.sampled_from(_str_cols(cols)))
         rkey = draw(st.sampled_from(sorted(cols)))
-        lines.append(f"pivot [{_q(rkey)}] [{_q(ckey)}] -> count")
-        fns.append(lambda pl, r=rkey, c=ckey: pl.pivot([r], c, "count", None))
+        numc = _num_cols(cols)
+        if numc and draw(st.booleans()):
+            red = draw(st.sampled_from(["sum", "mean", "min", "max"]))
+            val = draw(st.sampled_from(numc))
+            lines.append(
+                f"pivot [{_q(rkey)}] [{_q(ckey)}] -> {red} [{_q(val)}]"
+            )
+            fns.append(
+                lambda pl, r=rkey, c=ckey, rd=red, v=val: pl.pivot([r], c, rd, v)
+            )
+        else:
+            lines.append(f"pivot [{_q(rkey)}] [{_q(ckey)}] -> count")
+            fns.append(lambda pl, r=rkey, c=ckey: pl.pivot([r], c, "count", None))
 
     return "\n".join(lines) + "\n", fns
 
