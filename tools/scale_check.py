@@ -63,12 +63,26 @@ def main():
     ev1 = spark.read.parquet(f"{sf_dir}/events.parquet")
     do1 = spark.read.parquet(f"{sf_dir}/documents.parquet")
     or1 = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    liN = scaled(spark, sf_dir, out_dir, "lineitem", n, ["l_orderkey"])
-    evN = scaled(spark, sf_dir, out_dir, "events", n, ["event_id", "user_id"])
-    doN = scaled(spark, sf_dir, out_dir, "documents", n, ["doc_id"])
-    orN = scaled(spark, sf_dir, out_dir, "orders", n, ["o_orderkey", "o_custkey"])
     em1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    emN = scaled(spark, sf_dir, out_dir, "embeddings", n, ["vec_id"])
+
+    # LAZY scaled-table builds (round 7): a filtered run (the per-round
+    # gate selects 5 document/lineitem shapes) used to pay for scaling
+    # events/orders/embeddings it never reads — at 96-192x that is
+    # minutes of wasted parquet writes per invocation. Cases reference
+    # tables by NAME; the first (untimed warm) use materializes.
+    _ID_COLS = {
+        "lineitem": ["l_orderkey"],
+        "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "embeddings": ["vec_id"],
+    }
+    _big: dict = {}
+
+    def bigN(table: str):
+        if table not in _big:
+            _big[table] = scaled(spark, sf_dir, out_dir, table, n, _ID_COLS[table])
+        return _big[table]
 
     def group_agg(li):
         return (
@@ -272,24 +286,24 @@ def main():
         return semantic_dedup(jit, threshold=0.9, bands=6, rows_per_band=bits)
 
     cases = {
-        "group_agg": (group_agg, li1, liN),
-        "media_decode": (media_decode, do1, doN),
-        "tfidf_top_terms": (tfidf, do1, doN),
-        "duplicate_ngram": (dup_ngram, do1, doN),
-        "classifier_scores": (classify, do1, doN),
-        "decontaminate": (decontam, do1, doN),
-        "pack_documents": (pack, do1, doN),
-        "keyed_window": (keyed_window, ev1, evN),
-        "minhash_dedup": (minhash, do1, doN),
-        "join_agg": (join_orders, or1, orN),
-        "asof_join": (asof, ev1, evN),
-        "curate_corpus": (curate, do1, doN),
-        "dedup_components": (components, do1, doN),
-        "dedup_components_star": (components_star, do1, doN),
-        "minhash_candidate_stats": (minhash_count_only, do1, doN),
-        "dedup_components_star_linear": (components_star_linear, do1, doN),
-        "bloom_anti_join": (bloom_anti, do1, doN),
-        "semantic_dedup": (semantic, em1, emN),
+        "group_agg": (group_agg, li1, "lineitem"),
+        "media_decode": (media_decode, do1, "documents"),
+        "tfidf_top_terms": (tfidf, do1, "documents"),
+        "duplicate_ngram": (dup_ngram, do1, "documents"),
+        "classifier_scores": (classify, do1, "documents"),
+        "decontaminate": (decontam, do1, "documents"),
+        "pack_documents": (pack, do1, "documents"),
+        "keyed_window": (keyed_window, ev1, "events"),
+        "minhash_dedup": (minhash, do1, "documents"),
+        "join_agg": (join_orders, or1, "orders"),
+        "asof_join": (asof, ev1, "events"),
+        "curate_corpus": (curate, do1, "documents"),
+        "dedup_components": (components, do1, "documents"),
+        "dedup_components_star": (components_star, do1, "documents"),
+        "minhash_candidate_stats": (minhash_count_only, do1, "documents"),
+        "dedup_components_star_linear": (components_star_linear, do1, "documents"),
+        "bloom_anti_join": (bloom_anti, do1, "documents"),
+        "semantic_dedup": (semantic, em1, "embeddings"),
     }
 
     def exact_dd(do):
@@ -325,7 +339,7 @@ def main():
         # lineitem (the order-key spans align by construction), the
         # filtered part and supplier⋈nation dims stay dim-sized
         # broadcasts — exactly what a 100 TB scale-out looks like
-        ords = or1 if li is li1 else orN
+        ords = or1 if li is li1 else bigN("orders")
         part = (
             spark.read.parquet(f"{sf_dir}/part.parquet")
             .filter(F.col("p_name").like("%red%"))
@@ -409,12 +423,12 @@ def main():
 
     cases.update(
         {
-            "exact_dedup": (exact_dd, do1, doN),
-            "dedup_paragraphs": (paragraphs, do1, doN),
-            "cms_heavy_hitters": (cms_heavy_hitters, do1, doN),
-            "tpch_q9_two_fact": (q9_profit, li1, liN),
-            "tpch_q21_grouped_exists": (q21_grouped_exists, li1, liN),
-            "dedup_keep_best": (keep_best, do1, doN),
+            "exact_dedup": (exact_dd, do1, "documents"),
+            "dedup_paragraphs": (paragraphs, do1, "documents"),
+            "cms_heavy_hitters": (cms_heavy_hitters, do1, "documents"),
+            "tpch_q9_two_fact": (q9_profit, li1, "lineitem"),
+            "tpch_q21_grouped_exists": (q21_grouped_exists, li1, "lineitem"),
+            "dedup_keep_best": (keep_best, do1, "documents"),
         }
     )
 
@@ -483,11 +497,11 @@ def main():
 
     cases.update(
         {
-            "gap_fill_ffill": (gap_fill, ev1, evN),
-            "ohlc_bars": (ohlc_bars_shape, ev1, evN),
-            "scd2_intervals": (scd2, ev1, evN),
-            "bm25_topk": (bm25, do1, doN),
-            "media_phash_pairs": (phash_pairs, do1, doN),
+            "gap_fill_ffill": (gap_fill, ev1, "events"),
+            "ohlc_bars": (ohlc_bars_shape, ev1, "events"),
+            "scd2_intervals": (scd2, ev1, "events"),
+            "bm25_topk": (bm25, do1, "documents"),
+            "media_phash_pairs": (phash_pairs, do1, "documents"),
         }
     )
 
@@ -513,7 +527,7 @@ def main():
     def pagerank_shape(li):
         from hobbes_spark.functions.graph import pagerank
 
-        ords = or1 if li is li1 else orN
+        ords = or1 if li is li1 else bigN("orders")
         edges = li.join(
             ords.select("o_orderkey", "o_custkey"),
             li["l_orderkey"] == F.col("o_orderkey"),
@@ -643,17 +657,17 @@ def main():
 
     cases.update(
         {
-            "boilerplate_lines": (boilerplate, do1, doN),
-            "pagerank_3_rounds": (pagerank_shape, li1, liN),
-            "kmv_quantile_sketch": (kmv_sketch, ev1, evN),
-            "bpe_word_freq": (bpe_word_freq, do1, doN),
-            "bpe_encode": (bpe_encode_shape, do1, doN),
-            "pq_adc_search": (pq_adc, em1, emN),
-            "gopher_quality": (gopher_battery, do1, doN),
-            "c4_quality": (c4_battery, do1, doN),
-            "ivf_pq_search": (ivf_pq, em1, emN),
-            "ccnet_buckets": (ccnet_partition, do1, doN),
-            "mixture_apply": (mixture_apply, do1, doN),
+            "boilerplate_lines": (boilerplate, do1, "documents"),
+            "pagerank_3_rounds": (pagerank_shape, li1, "lineitem"),
+            "kmv_quantile_sketch": (kmv_sketch, ev1, "events"),
+            "bpe_word_freq": (bpe_word_freq, do1, "documents"),
+            "bpe_encode": (bpe_encode_shape, do1, "documents"),
+            "pq_adc_search": (pq_adc, em1, "embeddings"),
+            "gopher_quality": (gopher_battery, do1, "documents"),
+            "c4_quality": (c4_battery, do1, "documents"),
+            "ivf_pq_search": (ivf_pq, em1, "embeddings"),
+            "ccnet_buckets": (ccnet_partition, do1, "documents"),
+            "mixture_apply": (mixture_apply, do1, "documents"),
         }
     )
 
@@ -670,10 +684,11 @@ def main():
         # band bits) compile a different plan at 16x than at 1x, so
         # warming only the small side would bill one-time codegen to
         # the big measurement and overstate the ratio
+        big_df = bigN(big)  # lazy: first selected case builds the table
         run(fn(small))
         t0 = time.perf_counter(); run(fn(small)); t_small = time.perf_counter() - t0
-        run(fn(big))
-        t0 = time.perf_counter(); run(fn(big)); t_big = time.perf_counter() - t0
+        run(fn(big_df))
+        t0 = time.perf_counter(); run(fn(big_df)); t_big = time.perf_counter() - t0
         results[name] = {
             "t_1x_sec": round(t_small, 2),
             f"t_{n}x_sec": round(t_big, 2),
@@ -682,8 +697,7 @@ def main():
         }
         print(json.dumps({name: results[name]}), flush=True)
 
-    rows = {"lineitem": liN.count(), "events": evN.count(),
-            "documents": doN.count(), "orders": orN.count()}
+    rows = {t: df.count() for t, df in sorted(_big.items())}
     print(json.dumps({"multiplier": n, "scaled_rows": rows, "results": results}))
 
 
