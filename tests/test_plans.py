@@ -111,6 +111,9 @@ BNLJ_ALLOWED = {
     # IVF-PQ: the only BNLJ is queries × broadcast CENTROIDS (nlist
     # rows, kilobytes); the code-table probe itself is a keyed equi-join
     "ivf_pq_topk",
+    # the round-7 hand-literal truth pins run the SAME two shapes above
+    # on 4-row fixtures: same documented broadcast sides
+    "pq_adc_fixture_exact", "ivf_pq_fixture_exact",
 }
 
 # cosine_topk is the documented brute-force baseline: its broadcast
