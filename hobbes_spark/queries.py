@@ -8199,6 +8199,45 @@ def stream_curation_stats(spark, sf_dir):
 
 
 @q(
+    "stream_dedup_counts",
+    """
+    SELECT source,
+           CAST(COUNT(DISTINCT md5(coalesce(text, ''))) AS BIGINT)
+             AS unique_docs
+    FROM documents GROUP BY source
+    """,
+)
+def stream_dedup_counts(spark, sf_dir):
+    """STATEFUL streaming dedup: ``dropDuplicates`` on the stream keeps
+    first-occurrence rows in the state store — the in-flight exact-dedup
+    operator a landing-zone pipeline runs so a re-delivered file never
+    re-enters the corpus (exactly-once semantics over at-least-once
+    delivery). Dedup key is (source, md5(coalesce(text,''))): keying
+    per source makes the kept-row count deterministic when the same
+    text arrives under two sources (which row survives a cross-source
+    race is arrival-order-dependent; counts per (source, fp) are not).
+    The deduped APPEND stream replays through the memory sink and a
+    batch aggregation counts survivors per source — the oracle is the
+    batch COUNT(DISTINCT fp): stream-dedup-then-count must equal
+    batch-distinct, the exactly-once contract. At 100 TB the unbounded
+    state store is the real cost: bound it with ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` once re-delivery has a time
+    horizon; the bounded replay here keeps full state by design so the
+    equality is exact."""
+    from hobbes_spark.streaming import stream_parquet
+    from hobbes_spark.streaming.run import replay_to_df
+
+    stream = stream_parquet(spark, f"{sf_dir}/documents.parquet")
+    deduped = stream.withColumn(
+        "__fp", F.md5(F.coalesce(F.col("text"), F.lit("")))
+    ).dropDuplicates(["source", "__fp"])
+    survivors = replay_to_df(deduped, spark, mode="append")
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("unique_docs")
+    )
+
+
+@q(
     "corpus_datasheet",
     f"""
     WITH per AS (
@@ -8453,7 +8492,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     #     pins and the compute-only LSH operators backing the split
     #     scale gate ---
     "ivf_pq_fixture_exact", "pq_adc_fixture_exact",
-    "lsh_candidate_stats", "minhash_star_edges",
+    "lsh_candidate_stats", "minhash_star_edges", "stream_dedup_counts",
     # --- last signed in r3 (all 38 such queries): longest-unsigned ---
     "chunk_docs", "classifier_scores", "cohort_retention",
     "contamination_report", "daily_value_delta", "dedup_paragraphs",
@@ -8469,9 +8508,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "topk_per_group", "tpch_q10_returns", "tpch_q14_promo",
     "tpch_q5_region", "tpch_q7_volume", "unigram_scores",
     "winnow_fingerprints",
-    # --- last signed in r4 (the 2 alphabetically-first: 4 new + 6
-    #     changed + 38 r3 + 2 r4 = the 50-slot window) ---
-    "batch_sessions", "bigram_scores",
+    # --- last signed in r4 (the 1 alphabetically-first: 5 new + 6
+    #     changed + 38 r3 + 1 r4 = the 50-slot window) ---
+    "batch_sessions",
 ]
 
 
