@@ -122,8 +122,12 @@ def _num_expr(draw, cols, depth):
             choices.append("datepart")
     kind = draw(st.sampled_from(choices))
     if kind == "col":
-        name = draw(st.sampled_from(_num_cols(cols)))
-        return _q(name), (lambda pl, n=name: E.c(n))
+        numc = _num_cols(cols)
+        if not numc:  # a slice can leave no numeric columns standing
+            kind = "lit"
+        else:
+            name = draw(st.sampled_from(numc))
+            return _q(name), (lambda pl, n=name: E.c(n))
     if kind == "datepart":
         name = draw(st.sampled_from(_date_cols(cols)))
         part = draw(st.sampled_from(["day", "week", "weekday", "month", "year"]))
@@ -181,7 +185,12 @@ def _bool_expr(draw, cols, depth):
         # string membership on a string col, numeric membership on a
         # numeric col — `contains col [v1; v2]` with ';' separators
         scs = _str_cols(cols)
-        if scs and draw(st.booleans()):
+        if not scs and not _num_cols(cols):  # date-only slices happen
+            name = draw(st.sampled_from(sorted(cols)))
+            return f"({_q(name)} != missing)", (
+                lambda pl, n=name: E.c(n).isNotNull()
+            )
+        if (scs and draw(st.booleans())) or not _num_cols(cols):
             name = draw(st.sampled_from(scs))
             vals = draw(
                 st.lists(
