@@ -977,76 +977,15 @@ def pack_documents(
     tc = F.size(tokens(c(text_col))) if token_count_col is None else c(token_count_col)
     out = df.withColumn("token_count", tc.cast("bigint"))
     if shards is None:
-        from pyspark.sql.types import NumericType
+        from hobbes_spark.functions.prefix import default_shards
 
-        o0 = order[0]
-        numeric = isinstance(o0, str) and o0 in df.columns and isinstance(
-            df.schema[o0].dataType, NumericType
-        )
-        shards = (
-            min(
-                df.sparkSession.sparkContext.defaultParallelism,
-                df.rdd.getNumPartitions(),
-            )
-            if numeric
-            else 1
-        )
-    if shards > 1:
-        o0c = c(order[0])
-        qs = [i / shards for i in range(1, shards)]
-        bounds = out.groupBy().agg(
-            F.percentile_approx(o0c, qs, 10000).alias("__bounds")
-        )
-        out = (
-            out.crossJoin(F.broadcast(bounds))
-            .withColumn(
-                "__blk",
-                F.size(F.filter(F.col("__bounds"), lambda b: b < o0c)),
-            )
-            .drop("__bounds")
-        )
-        wl = (
-            Window.partitionBy(*[c(b) for b in by], F.col("__blk"))
-            .orderBy(*[c(o) for o in order])
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        out = out.withColumn("__runl", F.sum("token_count").over(wl))
-        wo = (
-            Window.partitionBy(*[c(b) for b in by])
-            .orderBy(F.col("__blk"))
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        offs = (
-            out.groupBy(*[c(b) for b in by], F.col("__blk"))
-            .agg(F.sum("token_count").alias("__bt"))
-            .withColumn("__off", F.coalesce(F.sum("__bt").over(wo), F.lit(0)))
-            .drop("__bt")
-            .select(
-                *[c(b).alias(f"__by{i}") for i, b in enumerate(by)],
-                F.col("__blk").alias("__oblk"),
-                "__off",
-            )
-        )
-        # null-safe join keys: groupBy treats a NULL `by` key as a real
-        # group, so a plain equi-join back would silently drop every
-        # NULL-key row the offsets table budgeted for (the same failure
-        # mode temperature_sample's fractions join guards against)
-        cond = F.col("__blk").eqNullSafe(F.col("__oblk"))
-        for i, b in enumerate(by):
-            cond = cond & c(b).eqNullSafe(F.col(f"__by{i}"))
-        out = (
-            out.join(F.broadcast(offs), cond)
-            .withColumn("__run", F.col("__runl") + F.col("__off"))
-            .drop("__oblk", *[f"__by{i}" for i in range(len(by))])
-            .drop("__blk", "__runl", "__off")
-        )
-    else:
-        w = (
-            Window.partitionBy(*[c(b) for b in by])
-            .orderBy(*[c(o) for o in order])
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        out = out.withColumn("__run", F.sum("token_count").over(w))
+        shards = default_shards(df, order[0])
+    # the scan itself lives in functions/prefix.py since round 7 (the
+    # weighted samplers share it); expressions are verbatim what was
+    # inlined here, so plans and signed oracles are unchanged
+    from hobbes_spark.functions.prefix import prefix_sum
+
+    out = prefix_sum(out, by, order, "token_count", "__run", shards)
     out = out.withColumn(
         pack_col, F.floor((F.col("__run") - F.col("token_count")) / F.lit(budget))
     )

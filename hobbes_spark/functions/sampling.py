@@ -37,6 +37,7 @@ __all__ = [
     "epoch_shuffle",
     "top_fraction_by",
     "group_sample",
+    "systematic_weighted_sample",
 ]
 
 _SCALE = 1 << 32
@@ -418,3 +419,100 @@ def apply_mixture_plan(
         .filter(hash_bucket(key, salt) < F.coalesce(F.col("__t"), F.lit(0)))
         .drop("__s", "__t")
     )
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    strata: str | None = None,
+    salt: str = "",
+    copies_col: str = "copies",
+    shards: int | None = None,
+) -> DataFrame:
+    """Weight-proportional sample of exactly ``k`` draws per stratum
+    (globally when ``strata`` is None) via SYSTEMATIC resampling — the
+    particle-filter scheme (Kitagawa 1996; Douc & Cappé 2005 call it
+    the lowest-variance of the classic resamplers): lay ``k`` evenly
+    spaced pointers over the cumulative INTEGER weight line at
+    ``(2j+1)·W/(2k)`` and take the row covering each pointer.
+
+    Why this form and not Efraimidis-Elias ``u^(1/w)`` keys: the
+    pointer arithmetic is pure integer math, so the selection is
+    bit-identical in any engine — no ``pow``/``ln`` whose last-ulp
+    differences across libm implementations could flip a rank at a
+    rounding boundary (the repo-wide cross-engine policy; see
+    ``expressions.md5_prefix_bigint``). Weights must be non-negative
+    INTEGERS — which is the natural LLM-pipeline case: sample documents
+    proportional to their token counts, so the expected token volume
+    drawn from every document is equal.
+
+    Mechanics: rows order by the deterministic hash shuffle
+    ``hash_bucket(key, salt)`` (ties by key), the running weight sum
+    ``cum`` comes from the shared two-pass distributed prefix scan
+    (``functions/prefix.py`` — NOT one window per stratum), and row i
+    is drawn ``g(cum_i) − g(cum_i − w_i)`` times where
+    ``g(y) = (2k·y + W) div (2W)`` counts pointers ≤ y. All operands
+    non-negative bigints, so ``div`` (truncation) equals floor in both
+    engines. Σ copies = k exactly per stratum with W > 0; a row with
+    ``w > W/k`` can be drawn more than once (weighted sampling with
+    bounded replacement — the standard systematic behavior; cap weights
+    upstream if strict without-replacement matters). ANSI mode turns
+    the ``2k·y`` overflow (k·W ≥ 2^62) into a loud error, not a wrong
+    sample.
+
+    Returns the selected rows with ``copies_col`` (bigint ≥ 1) — keep
+    it for upsampling-aware consumers or drop it for a plain sample.
+    NULL/negative weights are rejected loudly (a silent coalesce-to-0
+    would make "why is my doc missing" undebuggable at 100 TB).
+    """
+    from hobbes_spark.functions.prefix import default_shards, prefix_sum
+
+    if k < 1:
+        raise ValueError(f"systematic_weighted_sample: k must be >= 1, got {k}")
+    from pyspark.sql.types import IntegralType
+
+    if not isinstance(df.schema[weight_col].dataType, IntegralType):
+        raise ValueError(
+            f"systematic_weighted_sample: {weight_col!r} must be an integer "
+            f"column (got {df.schema[weight_col].dataType.simpleString()}); "
+            "pre-round fractional weights explicitly — silent rounding here "
+            "would change who gets sampled"
+        )
+    by = [strata] if strata is not None else []
+    out = df.withColumn("__h", hash_bucket(key, salt)).withColumn(
+        "__w", c(weight_col).cast("bigint")
+    )
+    out = prefix_sum(out, by, [F.col("__h"), c(key)], "__w", "__cum", 
+                     default_shards(out, "__h") if shards is None else shards)
+    # totals derive from the PRISTINE input, not from `out`: a
+    # totals-from-out self-join leaves two `__w` lineages in scope and
+    # the analyzer rejects the later copies expression as ambiguous
+    totals = df.groupBy(*[c(b) for b in by]).agg(
+        F.sum(c(weight_col).cast("bigint")).alias("__tot")
+    )
+    if by:
+        cond = c(by[0]).eqNullSafe(F.col("__sk"))
+        totals = totals.select(c(by[0]).alias("__sk"), "__tot")
+        out = out.join(F.broadcast(totals), cond).drop("__sk")
+    else:
+        out = out.crossJoin(F.broadcast(totals))
+    bad = (F.col("__w") < 0) | c(weight_col).isNull()
+    # NB: the total is named __tot, not __W — Spark resolves column
+    # names case-insensitively by default, so __W would collide with __w
+    copies = F.expr(
+        f"CAST(({2 * k}L * __cum + __tot) div (2L * __tot) "
+        f"- ({2 * k}L * (__cum - __w) + __tot) div (2L * __tot) AS BIGINT)"
+    )
+    out = out.withColumn(
+        copies_col,
+        F.when(bad, F.raise_error(F.lit(
+            "systematic_weighted_sample: NULL or negative weight"
+        )))
+        # an all-zero-weight stratum has no pointer line at all (W = 0
+        # would also be a div-by-zero under ANSI): nothing is drawn
+        .when(F.col("__tot") <= 0, F.lit(0).cast("bigint"))
+        .otherwise(copies),
+    )
+    return out.filter(F.col(copies_col) >= 1).drop("__h", "__w", "__cum", "__tot")

@@ -1825,6 +1825,54 @@ def hash_sample_docs(spark, sf_dir):
     return hash_sample(docs, "doc_id", 0.25).select("doc_id", "source", "n_chars")
 
 
+@q(
+    "weighted_sample_docs",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CAST(len({_DDB_TOKENS.format(t="text")}) AS BIGINT) AS w,
+             ({_hash_bucket_sql('doc_id')}) AS h
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, lang, w,
+             SUM(w) OVER (PARTITION BY lang ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER (PARTITION BY lang) AS tot
+      FROM w
+    )
+    SELECT doc_id, lang,
+           CAST((80 * cum + tot) // (2 * tot)
+                - (80 * (cum - w) + tot) // (2 * tot) AS BIGINT) AS copies
+    FROM cum
+    WHERE tot > 0
+      AND (80 * cum + tot) // (2 * tot)
+          - (80 * (cum - w) + tot) // (2 * tot) >= 1
+    """,
+)
+def weighted_sample_docs(spark, sf_dir):
+    """Token-weighted systematic resampling
+    (sampling.systematic_weighted_sample): exactly 40 draws per
+    language, each document drawn proportional to its token count —
+    the equal-expected-token-volume sample a scaling-law run wants.
+    Pointer selection is pure INTEGER arithmetic over the md5-hash
+    shuffle order (no pow/ln whose libm ulp could flip a rank), so the
+    oracle replays the cumulative-weight line and both pointer-count
+    formulas exactly; the running sum itself is the shared two-pass
+    distributed prefix scan (functions/prefix.py), never one window
+    per language."""
+    from hobbes_spark.functions.sampling import systematic_weighted_sample
+    from hobbes_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").df.withColumn(
+        "__tok", token_count("text")
+    )
+    out = systematic_weighted_sample(
+        docs, "doc_id", "__tok", 40, strata="lang"
+    )
+    return out.select("doc_id", "lang", "copies")
+
+
 _STRATA_FRACTIONS = {"en": 1.0, "zh": 0.5, "de": 0.25}
 
 
@@ -8493,6 +8541,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     #     scale gate ---
     "ivf_pq_fixture_exact", "pq_adc_fixture_exact",
     "lsh_candidate_stats", "minhash_star_edges", "stream_dedup_counts",
+    "weighted_sample_docs",
     # --- last signed in r3 (all 38 such queries): longest-unsigned ---
     "chunk_docs", "classifier_scores", "cohort_retention",
     "contamination_report", "daily_value_delta", "dedup_paragraphs",
@@ -8508,9 +8557,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "topk_per_group", "tpch_q10_returns", "tpch_q14_promo",
     "tpch_q5_region", "tpch_q7_volume", "unigram_scores",
     "winnow_fingerprints",
-    # --- last signed in r4 (the 1 alphabetically-first: 5 new + 6
-    #     changed + 38 r3 + 1 r4 = the 50-slot window) ---
-    "batch_sessions",
+    # (6 new + 6 changed + all 38 r3 = the 50-slot window exactly)
 ]
 
 

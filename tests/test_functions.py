@@ -1955,3 +1955,94 @@ class TestNormalizeText:
         # NBSP: distinct before normalization, identical after
         a, b = "“Hello” world", '"Hello" world'
         assert a != b and self._norm(spark, a) == self._norm(spark, b)
+
+
+class TestSystematicWeightedSample:
+    """Token-weighted systematic resampling (sampling.
+    systematic_weighted_sample): integer-exact pointer arithmetic."""
+
+    def _docs(self, spark):
+        rows = [(i, f"s{i % 3}", (i * 7) % 40 + 1) for i in range(120)]
+        return spark.createDataFrame(rows, "doc_id bigint, source string, tok bigint")
+
+    def test_exactly_k_draws_global_and_stratified(self, spark):
+        from hobbes_spark.functions.sampling import systematic_weighted_sample
+
+        got = systematic_weighted_sample(self._docs(spark), "doc_id", "tok", 17)
+        assert sum(r["copies"] for r in got.collect()) == 17
+        by = systematic_weighted_sample(
+            self._docs(spark), "doc_id", "tok", 5, strata="source"
+        )
+        per = {}
+        for r in by.collect():
+            per[r["source"]] = per.get(r["source"], 0) + r["copies"]
+        assert per == {"s0": 5, "s1": 5, "s2": 5}
+
+    def test_deterministic_and_salt_decorrelates(self, spark):
+        from hobbes_spark.functions.sampling import systematic_weighted_sample
+
+        def ids(salt):
+            return sorted(
+                r["doc_id"]
+                for r in systematic_weighted_sample(
+                    self._docs(spark), "doc_id", "tok", 20, salt=salt
+                ).collect()
+            )
+
+        assert ids("a") == ids("a")
+        assert ids("a") != ids("b")
+
+    def test_weight_proportional_inclusion(self, spark):
+        """A document holding half the corpus weight must appear in
+        every sample with k >= 2 (it spans >= one pointer gap), and a
+        zero-weight doc never appears."""
+        from hobbes_spark.functions.sampling import systematic_weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 1000), (2, 0)] + [(i, 10) for i in range(3, 103)],
+            "doc_id bigint, tok bigint",
+        )
+        got = {r["doc_id"]: r["copies"] for r in systematic_weighted_sample(
+            df, "doc_id", "tok", 10
+        ).collect()}
+        assert got.get(1, 0) >= 4  # half the weight line -> ~k/2 draws
+        assert 2 not in got
+        assert sum(got.values()) == 10
+
+    def test_rejects_null_negative_and_float_weights(self, spark):
+        from hobbes_spark.functions.sampling import systematic_weighted_sample
+
+        bad = spark.createDataFrame(
+            [(1, 5), (2, None)], "doc_id bigint, tok bigint"
+        )
+        with pytest.raises(Exception, match="NULL or negative"):
+            systematic_weighted_sample(bad, "doc_id", "tok", 3).collect()
+        neg = spark.createDataFrame([(1, 5), (2, -1)], "doc_id bigint, tok bigint")
+        with pytest.raises(Exception, match="NULL or negative"):
+            systematic_weighted_sample(neg, "doc_id", "tok", 3).collect()
+        flo = spark.createDataFrame([(1, 5.0)], "doc_id bigint, tok double")
+        with pytest.raises(ValueError, match="integer column"):
+            systematic_weighted_sample(flo, "doc_id", "tok", 3)
+
+    def test_all_zero_weight_stratum_draws_nothing(self, spark):
+        from hobbes_spark.functions.sampling import systematic_weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "z", 0), (4, "z", 0)],
+            "doc_id bigint, source string, tok bigint",
+        )
+        got = systematic_weighted_sample(df, "doc_id", "tok", 4, strata="source")
+        rows = got.collect()
+        assert all(r["source"] == "a" for r in rows)
+        assert sum(r["copies"] for r in rows) == 4
+
+    def test_matches_single_window_reference(self, spark):
+        """The sharded two-pass prefix scan must select exactly what the
+        shards=1 single-window plan selects."""
+        from hobbes_spark.functions.sampling import systematic_weighted_sample
+
+        docs = self._docs(spark).repartition(8)
+        a = systematic_weighted_sample(docs, "doc_id", "tok", 23, shards=8)
+        b = systematic_weighted_sample(docs, "doc_id", "tok", 23, shards=1)
+        snap = lambda d: sorted((r["doc_id"], r["copies"]) for r in d.collect())
+        assert snap(a) == snap(b)
