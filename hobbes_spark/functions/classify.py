@@ -35,7 +35,10 @@ from hobbes_spark.expressions import c
 from hobbes_spark.functions.sampling import hash_bucket
 from hobbes_spark.functions.text import tokens
 
-__all__ = ["feature_bucket", "pseudo_weights", "linear_text_scores"]
+__all__ = [
+    "feature_bucket", "pseudo_weights", "linear_text_scores",
+    "ridge_gram", "ridge_fit", "ridge_score",
+]
 
 
 def feature_bucket(token: Column | str, dim: int = 1024, salt: str = "") -> Column:
@@ -113,3 +116,101 @@ def linear_text_scores(
         .withColumn("label", (F.col("score") >= 0.5))
         .drop("__wsum")
     )
+
+
+def ridge_gram(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+) -> DataFrame:
+    """ONE-row Gram summary of a labeled table: ``n``, every
+    ``g_i_j = Σ x_i·x_j`` (upper triangle) and ``b_i = Σ x_i·y`` — the
+    sufficient statistics of a least-squares/ridge fit, as ONE
+    aggregation over the corpus.
+
+    This is the 100 TB shape of linear-probe training: the corpus-sized
+    work is a single scan with map-side partial aggregation producing
+    d·(d+3)/2 + 1 numbers; the d×d solve that follows is driver-side
+    arithmetic on kilobytes (:func:`ridge_fit`). Features and label
+    must be INTEGER-valued columns (token counts, char counts, flags):
+    products and sums then stay in exact bigint arithmetic — no
+    accumulation-order float drift, so an external engine replays every
+    cell bit-for-bit. ANSI mode raises loudly on bigint overflow
+    (Σ x_i·x_j past 2^63) instead of wrapping; rescale features first
+    if that fires.
+    """
+    if not feature_cols:
+        raise ValueError("ridge_gram: feature_cols must be non-empty")
+    from pyspark.sql.types import IntegralType
+
+    for col in [*feature_cols, label_col]:
+        if not isinstance(df.schema[col].dataType, IntegralType):
+            raise ValueError(
+                f"ridge_gram: {col!r} must be an integer column (got "
+                f"{df.schema[col].dataType.simpleString()}) — integer "
+                "sufficient statistics are what make the fit exactly "
+                "reproducible across engines"
+            )
+    xs = [c(f).cast("bigint") for f in feature_cols]
+    y = c(label_col).cast("bigint")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i, xi in enumerate(xs):
+        for j in range(i, len(xs)):
+            aggs.append(F.sum(xi * xs[j]).alias(f"g_{i}_{j}"))
+    for i, xi in enumerate(xs):
+        aggs.append(F.sum(xi * y).alias(f"b_{i}"))
+    return df.groupBy().agg(*aggs)
+
+
+def ridge_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    l2: float = 1.0,
+    dp: int = 6,
+) -> list[float]:
+    """Closed-form ridge regression ``w = (G + λI)^{-1} b`` from
+    :func:`ridge_gram`'s exact integer sufficient statistics — the
+    linear quality-probe fit (train on a labeled slice, then score the
+    corpus with :func:`ridge_score`). One Spark job; the solve is a
+    driver-side d×d ``numpy.linalg.solve`` (kilobytes — the
+    kmeans-centroid driver-scalar precedent). Weights round half-up to
+    ``dp`` decimals with the IEEE-exact ``floor(x·10^dp + 0.5)/10^dp``
+    so downstream scoring expressions are engine-reproducible given the
+    same weights."""
+    import numpy as np
+
+    if l2 < 0:
+        raise ValueError(f"ridge_fit: l2 must be >= 0, got {l2}")
+    row = ridge_gram(df, feature_cols, label_col).first()
+    d = len(feature_cols)
+    G = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            G[i, j] = G[j, i] = float(row[f"g_{i}_{j}"])
+    b = np.array([float(row[f"b_{i}"]) for i in range(d)])
+    w = np.linalg.solve(G + l2 * np.eye(d), b)
+    import math
+
+    return [math.floor(x * 10**dp + 0.5) / 10**dp for x in w]
+
+
+def ridge_score(
+    df: DataFrame,
+    feature_cols: list[str],
+    weights: list[float],
+    out_col: str = "score",
+) -> DataFrame:
+    """Map-only linear scoring with fixed literal ``weights`` (from
+    :func:`ridge_fit` or anywhere): ``Σ w_i·x_i`` as one codegen
+    expression — the corpus never shuffles, and with exact-arithmetic
+    weights the scores replay identically in any engine."""
+    if len(weights) != len(feature_cols):
+        raise ValueError(
+            f"ridge_score: {len(weights)} weights for "
+            f"{len(feature_cols)} features"
+        )
+    expr = F.lit(0.0)
+    for w, f in zip(weights, feature_cols):
+        expr = expr + F.lit(float(w)) * c(f).cast("double")
+    return df.withColumn(out_col, expr)

@@ -2961,6 +2961,78 @@ def classifier_scores(spark, sf_dir):
     )
 
 
+_RIDGE_TOKS = _DDB_TOKENS.format(t="text")
+
+
+@q(
+    "ridge_gram_docs",
+    f"""
+    WITH feat AS (
+      SELECT CAST(len({_RIDGE_TOKS}) AS BIGINT) AS x0,
+             CAST(COALESCE(n_chars, 0) AS BIGINT) AS x1,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x0 * x0) AS BIGINT) AS g_0_0,
+           CAST(SUM(x0 * x1) AS BIGINT) AS g_0_1,
+           CAST(SUM(x1 * x1) AS BIGINT) AS g_1_1,
+           CAST(SUM(x0 * y) AS BIGINT) AS b_0,
+           CAST(SUM(x1 * y) AS BIGINT) AS b_1
+    FROM feat
+    """,
+)
+def ridge_gram_docs(spark, sf_dir):
+    """The corpus-sized half of a linear quality-probe fit
+    (classify.ridge_gram): exact-integer sufficient statistics
+    ``n, Σx_ix_j, Σx_iy`` in ONE map-side-combined aggregation —
+    features are token and char counts, label is the is-English flag.
+    Integer products/sums mean zero accumulation-order float drift, so
+    every cell is bit-exact in the oracle; the d×d solve that turns
+    these six numbers into weights is driver-side kilobytes
+    (classify.ridge_fit, pinned by ridge_fixture_exact)."""
+    from hobbes_spark.functions.classify import ridge_gram
+    from hobbes_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").df.select(
+        token_count("text").alias("x0"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("bigint").alias("x1"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("bigint").alias("y"),
+    )
+    return ridge_gram(docs, ["x0", "x1"], "y")
+
+
+@q(
+    "ridge_fixture_exact",
+    """
+    SELECT * FROM (VALUES
+      (CAST('x0' AS VARCHAR), CAST(1.6 AS DOUBLE)),
+      (CAST('x1' AS VARCHAR), CAST(0.666667 AS DOUBLE))
+    ) AS t(feature, weight)
+    ORDER BY feature
+    """,
+)
+def ridge_fixture_exact(spark, sf_dir):
+    """INDEPENDENT ridge-solve truth pin (the kmeans_fixture_exact
+    pattern): the oracle is HAND-COMPUTED literals. Fixture rows
+    (x0, x1, y) = (2,0,4), (0,1,1), (0,1,1), (0,0,7) give a DIAGONAL
+    Gram — Σx0²=4, Σx0x1=0, Σx1²=2, Σx0y=8, Σx1y=2 — so with λ=1 the
+    ridge solution decouples by hand: w0 = 8/(4+1) = 1.6 exactly,
+    w1 = 2/(2+1) = 2/3 → half-up 6 dp = 0.666667. An algorithmic bug
+    anywhere in ridge_gram/ridge_fit cannot propagate into this
+    oracle."""
+    from hobbes_spark.functions.classify import ridge_fit
+
+    pts = spark.createDataFrame(
+        [(2, 0, 4), (0, 1, 1), (0, 1, 1), (0, 0, 7)],
+        "x0 bigint, x1 bigint, y bigint",
+    )
+    w = ridge_fit(pts, ["x0", "x1"], "y", l2=1.0)
+    return spark.createDataFrame(
+        [("x0", w[0]), ("x1", w[1])], "feature string, weight double"
+    ).orderBy("feature")
+
+
 @q(
     "epoch_shuffle_order",
     f"""
@@ -8535,13 +8607,13 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     #     collectors/similarity/multimodal/streaming edits likewise
     #     post-date these five signatures ---
     "bpe_merges", "azdo_commit_authors", "cosine_topk",
-    "media_phash_pairs", "stream_ohlc_bars", "stream_sliding_counts",
+    "media_phash_pairs",
     # --- never signed (new in r7): the PQ/IVF-PQ hand-literal truth
     #     pins and the compute-only LSH operators backing the split
     #     scale gate ---
     "ivf_pq_fixture_exact", "pq_adc_fixture_exact",
     "lsh_candidate_stats", "minhash_star_edges", "stream_dedup_counts",
-    "weighted_sample_docs",
+    "weighted_sample_docs", "ridge_gram_docs", "ridge_fixture_exact",
     # --- last signed in r3 (all 38 such queries): longest-unsigned ---
     "chunk_docs", "classifier_scores", "cohort_retention",
     "contamination_report", "daily_value_delta", "dedup_paragraphs",
@@ -8557,7 +8629,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "topk_per_group", "tpch_q10_returns", "tpch_q14_promo",
     "tpch_q5_region", "tpch_q7_volume", "unigram_scores",
     "winnow_fingerprints",
-    # (6 new + 6 changed + all 38 r3 = the 50-slot window exactly)
+    # (8 new + 4 changed + all 38 r3 = 50 slots exactly; the two
+    #  remaining changed-r5 entries — stream_ohlc_bars and
+    #  stream_sliding_counts, alphabetically last in their cohort —
+    #  roll to the next rotation)
 ]
 
 

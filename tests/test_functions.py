@@ -2046,3 +2046,52 @@ class TestSystematicWeightedSample:
         b = systematic_weighted_sample(docs, "doc_id", "tok", 23, shards=1)
         snap = lambda d: sorted((r["doc_id"], r["copies"]) for r in d.collect())
         assert snap(a) == snap(b)
+
+
+class TestRidgeFit:
+    """Closed-form ridge probe (classify.ridge_gram/ridge_fit/
+    ridge_score): exact-integer sufficient statistics + driver solve."""
+
+    def test_recovers_known_linear_relation(self, spark):
+        """y = 3*x0 + 2*x1 exactly, lambda ~ 0: the fit must recover the
+        coefficients to rounding precision."""
+        from hobbes_spark.functions.classify import ridge_fit
+
+        rows = [(i, (i * 3) % 7, 3 * i + 2 * ((i * 3) % 7)) for i in range(1, 30)]
+        df = spark.createDataFrame(rows, "x0 bigint, x1 bigint, y bigint")
+        w = ridge_fit(df, ["x0", "x1"], "y", l2=1e-9)
+        assert w[0] == pytest.approx(3.0, abs=1e-4)
+        assert w[1] == pytest.approx(2.0, abs=1e-4)
+
+    def test_gram_is_one_row_exact(self, spark):
+        from hobbes_spark.functions.classify import ridge_gram
+
+        df = spark.createDataFrame(
+            [(2, 0, 4), (0, 1, 1), (0, 1, 1), (0, 0, 7)],
+            "x0 bigint, x1 bigint, y bigint",
+        )
+        row = ridge_gram(df, ["x0", "x1"], "y").collect()
+        assert len(row) == 1
+        r = row[0]
+        assert (r["n"], r["g_0_0"], r["g_0_1"], r["g_1_1"]) == (4, 4, 0, 2)
+        assert (r["b_0"], r["b_1"]) == (8, 2)
+
+    def test_rejects_float_features(self, spark):
+        from hobbes_spark.functions.classify import ridge_gram
+
+        df = spark.createDataFrame([(1.0, 2)], "x0 double, y bigint")
+        with pytest.raises(ValueError, match="integer column"):
+            ridge_gram(df, ["x0"], "y")
+
+    def test_score_is_shuffle_free_dot_product(self, spark):
+        from hobbes_spark.functions.classify import ridge_score
+
+        df = spark.createDataFrame([(2, 3), (5, 1)], "x0 bigint, x1 bigint")
+        got = {(r["x0"], r["x1"]): r["score"] for r in ridge_score(
+            df, ["x0", "x1"], [1.5, -0.5]
+        ).collect()}
+        assert got[(2, 3)] == pytest.approx(1.5)
+        assert got[(5, 1)] == pytest.approx(7.0)
+        plan = ridge_score(df, ["x0", "x1"], [1.5, -0.5])._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Exchange" not in plan  # map-only
