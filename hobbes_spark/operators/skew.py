@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from hobbes_spark.expressions import c
 
-__all__ = ["salted_agg", "salted_join"]
+__all__ = ["salted_agg", "salted_join", "join_cardinality_stats"]
 
 #: reduction -> (per-salt partial, per-key combine) — algebraic pairs
 #: whose two-phase composition equals the direct aggregation
@@ -127,3 +127,93 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
     )
     return f.join(d, on=[on, "__salt"], how=how).drop("__salt")
+
+
+def join_cardinality_stats(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top: int = 10,
+) -> DataFrame:
+    """Price an equi-join BEFORE running it: per-key row counts on both
+    sides, the per-key output cardinality ``n_l·n_r``, and each key's
+    share of the total output — for the ``top`` heaviest keys (ties by
+    key). The pre-flight instrument for :func:`salted_join` / AQE skew
+    tuning, in the same spirit as ``dedup.lsh_candidate_stats``: the
+    numbers that decide whether to salt, broadcast, or pre-filter a
+    join cost two keyed COUNT aggregations (key-cardinality-sized
+    output), never the join itself — a join that would explode to 10^13
+    rows prices at exactly 10^13 here without materializing one of
+    them.
+
+    ``out_rows`` is the EXACT inner-join output for the key (NULL keys
+    never match: both sides' NULL-key rows are counted and reported
+    with ``out_rows`` 0, so "my join dropped rows" debugging sees
+    them). ``share_pct`` is out_rows / total output, half-up to 2 dp —
+    one key near 100 means one task does the whole join (salt it);
+    flat shares mean the join is balanced and AQE alone is fine.
+
+    Plan: two map-side-combined aggs → full-outer equi-join of two
+    key-sized tables → one ungrouped total (1 row, broadcast back) →
+    TakeOrdered top-k. The inputs are scanned once each, key columns
+    only (column pruning reaches the scans).
+    """
+    if top < 1:
+        raise ValueError(f"join_cardinality_stats: top must be >= 1, got {top}")
+    lc = left.groupBy(c(left_key).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("left_rows")
+    )
+    rc = right.groupBy(c(right_key).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("right_rows")
+    )
+    per = (
+        lc.join(rc, lc["key"].eqNullSafe(rc["key"]), "full_outer")
+        .select(
+            F.coalesce(lc["key"], rc["key"]).alias("key"),
+            # keep NULL-key visibility: counted, but joins produce 0
+            (lc["key"].isNull() & rc["key"].isNull()).alias("__both_null"),
+            F.coalesce("left_rows", F.lit(0)).alias("left_rows"),
+            F.coalesce("right_rows", F.lit(0)).alias("right_rows"),
+        )
+        .withColumn(
+            "out_rows",
+            F.when(F.col("key").isNull() | F.col("__both_null"), F.lit(0))
+            .otherwise(F.col("left_rows") * F.col("right_rows"))
+            .cast("bigint"),
+        )
+        .drop("__both_null")
+    )
+    # per has TWO consumers (the total and the top-k) and Spark gives
+    # them no ReusedExchange: without the checkpoint both input scans
+    # and both count aggregations run twice (the minhash_pairs
+    # multi-consumer rationale; key-cardinality-sized blocks, released
+    # when the DataFrame is GC'd)
+    per = per.localCheckpoint()
+    total = per.groupBy().agg(
+        F.sum("out_rows").cast("bigint").alias("__total")
+    )
+    from pyspark.sql import Window
+
+    # orderBy + limit compiles to TakeOrdered (distributed partial
+    # top-k); a bare row_number window over the key table would funnel
+    # billions of keys into one sort task at 100 TB — rank is stamped
+    # AFTER the limit, over `top` rows only
+    topk = (
+        per.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share_pct",
+            F.when(
+                F.col("__total") > 0,
+                F.floor(
+                    F.col("out_rows") * 10000 / F.col("__total") + F.lit(0.5)
+                ) / F.lit(100.0),
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy(F.desc("out_rows"), F.asc_nulls_last("key"))
+        .limit(top)
+    )
+    w = Window.orderBy(F.desc("out_rows"), F.asc_nulls_last("key"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "key", "left_rows", "right_rows", "out_rows", "share_pct"
+    )

@@ -2253,6 +2253,44 @@ def salted_group_sum(spark, sf_dir):
 
 
 @q(
+    "join_skew_stats",
+    """
+    WITH cnt AS (
+      SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    per AS (
+      SELECT key, n AS left_rows, n AS right_rows,
+             CAST(CASE WHEN key IS NULL THEN 0 ELSE n * n END AS BIGINT)
+               AS out_rows
+      FROM cnt
+    ),
+    tot AS (SELECT CAST(SUM(out_rows) AS BIGINT) AS t FROM per)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY out_rows DESC, key ASC NULLS LAST)
+                AS INTEGER) AS rank,
+           key, left_rows, right_rows, out_rows,
+           FLOOR(out_rows * 10000 / t + 0.5) / 100.0 AS share_pct
+    FROM per, tot
+    ORDER BY out_rows DESC, key ASC NULLS LAST
+    LIMIT 10
+    """,
+)
+def join_skew_stats(spark, sf_dir):
+    """Join pre-flight pricing (skew.join_cardinality_stats): the exact
+    per-key output cardinality of the events-per-user SELF-join (the
+    session-pairing shape whose output is Σ n_u² — the classic silent
+    quadratic) from two key-sized COUNT aggregations, never the join
+    itself. Top-10 keys with their share of total output: one key near
+    100% says salt before joining; a flat profile says AQE alone is
+    fine. orderBy+limit compiles to TakeOrdered, so no window ever
+    sorts the full key table."""
+    from hobbes_spark.operators.skew import join_cardinality_stats
+
+    ev = _t(spark, sf_dir, "events").df
+    return join_cardinality_stats(ev, ev, "user_id", "user_id", top=10)
+
+
+@q(
     "stream_session_counts",
     f"""
     WITH e AS (
@@ -8607,13 +8645,13 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     #     collectors/similarity/multimodal/streaming edits likewise
     #     post-date these five signatures ---
     "bpe_merges", "azdo_commit_authors", "cosine_topk",
-    "media_phash_pairs",
     # --- never signed (new in r7): the PQ/IVF-PQ hand-literal truth
     #     pins and the compute-only LSH operators backing the split
     #     scale gate ---
     "ivf_pq_fixture_exact", "pq_adc_fixture_exact",
     "lsh_candidate_stats", "minhash_star_edges", "stream_dedup_counts",
     "weighted_sample_docs", "ridge_gram_docs", "ridge_fixture_exact",
+    "join_skew_stats",
     # --- last signed in r3 (all 38 such queries): longest-unsigned ---
     "chunk_docs", "classifier_scores", "cohort_retention",
     "contamination_report", "daily_value_delta", "dedup_paragraphs",
@@ -8629,10 +8667,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "topk_per_group", "tpch_q10_returns", "tpch_q14_promo",
     "tpch_q5_region", "tpch_q7_volume", "unigram_scores",
     "winnow_fingerprints",
-    # (8 new + 4 changed + all 38 r3 = 50 slots exactly; the two
-    #  remaining changed-r5 entries — stream_ohlc_bars and
-    #  stream_sliding_counts, alphabetically last in their cohort —
-    #  roll to the next rotation)
+    # (9 new + 3 changed + all 38 r3 = 50 slots exactly; the
+    #  alphabetically-last changed-r5 entries — media_phash_pairs,
+    #  stream_ohlc_bars, stream_sliding_counts — roll to the next
+    #  rotation)
 ]
 
 

@@ -114,6 +114,9 @@ BNLJ_ALLOWED = {
     # the round-7 hand-literal truth pins run the SAME two shapes above
     # on 4-row fixtures: same documented broadcast sides
     "pq_adc_fixture_exact", "ivf_pq_fixture_exact",
+    # join pre-flight pricing: the only BNLJ is the 1-row total
+    # broadcast back onto the key-sized count table
+    "join_skew_stats",
 }
 
 # cosine_topk is the documented brute-force baseline: its broadcast

@@ -475,3 +475,57 @@ class TestHardNegatives:
                    for r in cosine_topk(emb, q, k=5).collect())
         # all-distinct labels exclude only self -> identical mining
         assert a == b
+
+
+def test_join_cardinality_stats_prices_without_joining(spark):
+    """The profiler's out_rows must equal the ACTUAL inner-join output
+    per key, NULL keys are visible with out_rows 0, and shares sum to
+    ~100 over all keys."""
+    from hobbes_spark.operators.skew import join_cardinality_stats
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(30)] + [("a", 1), ("b", 2), (None, 9)],
+        "k string, v bigint",
+    )
+    right = spark.createDataFrame(
+        [("hot", i) for i in range(20)] + [("a", 1), ("c", 3), (None, 8)],
+        "k string, v bigint",
+    )
+    got = {r["key"]: r for r in join_cardinality_stats(
+        left, right, "k", "k", top=10
+    ).collect()}
+    actual = (
+        left.join(right, "k").groupBy("k").count().collect()
+    )
+    actual = {r["k"]: r["count"] for r in actual}
+    assert got["hot"]["out_rows"] == 600 == actual["hot"]
+    assert got["a"]["out_rows"] == 1 == actual["a"]
+    # one-sided keys and NULL keys: visible, zero output
+    assert got["b"]["out_rows"] == 0 and got["b"]["left_rows"] == 1
+    assert got["c"]["out_rows"] == 0 and got["c"]["right_rows"] == 1
+    assert got[None]["out_rows"] == 0
+    assert got[None]["left_rows"] == 1 and got[None]["right_rows"] == 1
+    assert got["hot"]["rank"] == 1
+    assert got["hot"]["share_pct"] == 99.83  # 600/601 half-up 2dp
+
+
+def test_join_cardinality_stats_plan_has_no_big_join(spark):
+    """The profiler joins two KEY-SIZED count tables, never the inputs:
+    the plan must contain exactly one join, fed by aggregates."""
+    from hobbes_spark.operators.skew import join_cardinality_stats
+
+    left = spark.range(1000).select((F.col("id") % 10).alias("k"))
+    right = spark.range(1000).select((F.col("id") % 10).alias("k"))
+    df = join_cardinality_stats(left, right, "k", "k", top=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+        + plan.count("BroadcastNestedLoopJoin")
+    )
+    # count-table full-outer + 1-row total broadcast = 2 joins max
+    assert joins <= 2
+    assert "TakeOrdered" in plan
+    rows = df.collect()
+    assert [r["out_rows"] for r in rows] == [10000] * 3
