@@ -33,6 +33,14 @@ DEFAULT = [
     "dedup_components_star",
     "pagerank_centrality",
     "bpe_merges",
+    # round-7 additions with multi-executor-sensitive machinery: the
+    # sharded two-pass prefix scan (percentile boundaries broadcast,
+    # offsets joined back), bucket-star edge generation, the state-store
+    # streaming dedup, and the checkpointed two-consumer join pricer
+    "weighted_sample_docs",
+    "minhash_star_edges",
+    "stream_dedup_counts",
+    "join_skew_stats",
 ]
 
 
