@@ -2999,6 +2999,38 @@ def classifier_scores(spark, sf_dir):
     )
 
 
+@q(
+    "dup_cluster_histogram",
+    """
+    WITH fp AS (
+      SELECT md5(coalesce(text, '')) AS f, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM documents GROUP BY 1
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+    FROM fp GROUP BY sz
+    """,
+)
+def dup_cluster_histogram(spark, sf_dir):
+    """Duplicate-cluster size histogram — the datasheet panel that says
+    HOW a corpus duplicates, not just how much: cluster_size 1 rows are
+    unique docs, the tail is the m-fold groups whose pair listings are
+    Θ(m²) (the reason the scale gate's compute/output split exists).
+    Two keyed aggregations, both map-side combined; fingerprint is
+    md5 of the raw text (NULL folded to '' so missing docs form one
+    visible cluster) — run text.normalize_text first when the
+    normalized-dedup policy applies."""
+    docs = _t(spark, sf_dir, "documents").df
+    fp = docs.groupBy(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("f")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    return fp.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )
+
+
 _RIDGE_TOKS = _DDB_TOKENS.format(t="text")
 
 
@@ -8644,14 +8676,14 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     #     was rewritten driver-local in r6 after bpe_merges signed;
     #     collectors/similarity/multimodal/streaming edits likewise
     #     post-date these five signatures ---
-    "bpe_merges", "azdo_commit_authors", "cosine_topk",
+    "bpe_merges", "azdo_commit_authors",
     # --- never signed (new in r7): the PQ/IVF-PQ hand-literal truth
     #     pins and the compute-only LSH operators backing the split
     #     scale gate ---
     "ivf_pq_fixture_exact", "pq_adc_fixture_exact",
     "lsh_candidate_stats", "minhash_star_edges", "stream_dedup_counts",
     "weighted_sample_docs", "ridge_gram_docs", "ridge_fixture_exact",
-    "join_skew_stats",
+    "join_skew_stats", "dup_cluster_histogram",
     # --- last signed in r3 (all 38 such queries): longest-unsigned ---
     "chunk_docs", "classifier_scores", "cohort_retention",
     "contamination_report", "daily_value_delta", "dedup_paragraphs",
@@ -8667,10 +8699,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "topk_per_group", "tpch_q10_returns", "tpch_q14_promo",
     "tpch_q5_region", "tpch_q7_volume", "unigram_scores",
     "winnow_fingerprints",
-    # (9 new + 3 changed + all 38 r3 = 50 slots exactly; the
-    #  alphabetically-last changed-r5 entries — media_phash_pairs,
-    #  stream_ohlc_bars, stream_sliding_counts — roll to the next
-    #  rotation)
+    # (10 new + 2 changed + all 38 r3 = 50 slots exactly; the
+    #  alphabetically-last changed-r5 entries — cosine_topk,
+    #  media_phash_pairs, stream_ohlc_bars, stream_sliding_counts —
+    #  roll to the next rotation)
 ]
 
 

@@ -211,6 +211,22 @@ def main():
                               threshold=0.5, hash_fn="xxhash64")
         return connected_components_star(pairs.select("id_a", "id_b"))
 
+    def weighted_sample_shape(do):
+        # token-weighted systematic sample: the sharded prefix scan on
+        # hash order + broadcast totals — k scales with corpus so the
+        # output stays proportionate
+        from hobbes_spark.functions.sampling import systematic_weighted_sample
+        from hobbes_spark.functions.text import token_count
+
+        d = do.withColumn("__tok", token_count("text"))
+        return systematic_weighted_sample(d, "doc_id", "__tok", 1000, strata="lang")
+
+    def join_pricer(ev):
+        from hobbes_spark.operators.skew import join_cardinality_stats
+
+        ev = fix_ts(ev)
+        return join_cardinality_stats(ev, ev, "user_id", "user_id", top=20)
+
     def minhash_count_only(do):
         # compute-only twin of minhash_dedup: identical corpus-sized
         # work (shingle -> minhash -> band -> bucket agg) but band-sized
@@ -302,6 +318,8 @@ def main():
         "dedup_components_star": (components_star, do1, "documents"),
         "minhash_candidate_stats": (minhash_count_only, do1, "documents"),
         "dedup_components_star_linear": (components_star_linear, do1, "documents"),
+        "weighted_sample": (weighted_sample_shape, do1, "documents"),
+        "join_pricer": (join_pricer, ev1, "events"),
         "bloom_anti_join": (bloom_anti, do1, "documents"),
         "semantic_dedup": (semantic, em1, "embeddings"),
     }
