@@ -314,3 +314,32 @@ def test_range_join_matches_bruteforce(spark, ps, bs, bin_width):
         if lo <= x <= hi
     )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.integers(-50, 50),
+        ),
+        min_size=1, max_size=40,
+    ),
+    shards=st.sampled_from([2, 3, 5]),
+)
+def test_prefix_sum_sharded_equals_single_window(spark, rows, shards):
+    """functions/prefix.prefix_sum: the range-blocked two-pass scan must
+    equal the single-window plan for any data — NULL group keys,
+    negative values, group sizes from 0 to everything. Order keys are
+    made unique (the scan's contract: a total order), values vary."""
+    from hobbes_spark.functions.prefix import prefix_sum
+
+    data = [(g, i, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, o bigint, v bigint").repartition(4)
+    a = prefix_sum(df, ["g"], ["o"], "v", "run", shards)
+    b = prefix_sum(df, ["g"], ["o"], "v", "run", 1)
+    snap = lambda d: sorted(
+        (r["g"] or "\x00", r["o"], r["run"]) for r in d.collect()
+    )
+    assert snap(a) == snap(b)
