@@ -379,8 +379,23 @@ def programs(draw):
             indexed = True
             index_key = key
 
-    # optional terminal: group / pivot
-    term = draw(st.sampled_from(["none", "maxby", "minby", "reduce", "pivot"]))
+    # optional terminal: group / pivot / numeric-columns + each
+    term = draw(
+        st.sampled_from(["none", "maxby", "minby", "reduce", "pivot", "each"])
+    )
+    if term == "each" and not _num_cols(cols):
+        term = "none"  # `numeric columns` would leave nothing to reduce
+    if term == "each":
+        red = draw(st.sampled_from(["mean", "sum", "min", "max", "count"]))
+        head = "dense rows" if draw(st.booleans()) else None
+        if head:
+            lines.append(head)
+            fns.append(lambda pl: pl.dense_rows())
+        lines.append("numeric columns")
+        fns.append(lambda pl: pl.numeric_columns())
+        lines.append(f"each {red}")
+        fns.append(lambda pl, r=red: pl.each(r))
+        return "\n".join(lines) + "\n", fns
     if term in ("maxby", "minby") and len(cols) >= 2:
         key = draw(st.sampled_from(sorted(cols)))
         t, fn = _num_expr(draw, cols, 1)
