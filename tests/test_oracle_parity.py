@@ -106,11 +106,20 @@ def test_driver_window_contract():
     root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
     sys.path.insert(0, root)
     try:
-        from tools.window_cohort import compute_cohort, last_signed_rounds
+        from tools.window_cohort import (
+            compute_cohort,
+            last_signed_rounds,
+            record_commits,
+        )
     finally:
         sys.path.remove(root)
     if not last_signed_rounds():
         return  # fresh checkout without driver records: nothing to pin
+    if not record_commits():
+        # tarball checkout without git history: change-awareness can't
+        # compute and compute_cohort degrades to pure staleness, which
+        # the change-aware static window legitimately differs from
+        return
     expected = set(compute_cohort(50))
     assert set(window) == expected, (
         f"window must be the change-aware staleness cohort: "
