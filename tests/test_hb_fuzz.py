@@ -444,6 +444,17 @@ def fixture_df(spark):
     return spark.createDataFrame(ROWS, SCHEMA)
 
 
+def _outcome(build):
+    """('ok', frame) or ('err', message) — a program that raises on
+    BOTH sides with the same underlying message is parity too (e.g.
+    `each` after a filter emptied the table and the data-dependent
+    `numeric columns` dropped every column)."""
+    try:
+        return ("ok", _frame(build()))
+    except Exception as e:  # noqa: BLE001 - compared, not swallowed
+        return ("err", str(e))
+
+
 @given(prog=programs())
 @settings(
     max_examples=25,
@@ -452,8 +463,19 @@ def fixture_df(spark):
 )
 def test_hb_program_equals_direct_api(spark, fixture_df, prog):
     text, fns = prog
-    via_hb = run_hb(text, Pipeline.of(fixture_df, "fuzz"))
-    direct = Pipeline.of(fixture_df, "fuzz")
-    for fn in fns:
-        direct = fn(direct)
-    assert _frame(via_hb) == _frame(direct), text
+
+    def direct():
+        pl = Pipeline.of(fixture_df, "fuzz")
+        for fn in fns:
+            pl = fn(pl)
+        return pl
+
+    a = _outcome(lambda: run_hb(text, Pipeline.of(fixture_df, "fuzz")))
+    b = _outcome(direct)
+    assert a[0] == b[0], (text, a, b)
+    if a[0] == "ok":
+        assert a[1] == b[1], text
+    else:
+        # the hb runner wraps with the offending source line; the raw
+        # message must be shared
+        assert b[1] in a[1] or a[1] in b[1], (text, a, b)
