@@ -146,7 +146,17 @@ def change_intervals(
     the filter between the two windows preserves partitioning and
     ordering, so Spark inserts no second exchange (plan-asserted in
     tests). Epoch-micros output avoids cross-engine timestamp
-    stringification drift."""
+    stringification drift.
+
+    Same-instant flip-flops (several status changes at one microsecond,
+    e.g. A,B,A with equal ``ts_col``) are PINNED semantics, not an
+    accident: ordering is (ts, tiebreak), so each superseded change
+    emits a ZERO-LENGTH half-open interval ``[t, t)`` and the highest
+    tiebreak owns the interval that extends past ``t``.  An as-of
+    lookup at exactly ``t`` therefore resolves to the last writer by
+    tiebreak — matching the reference's last-revision-wins cache model.
+    Regression-pinned in tests/test_property_timeseries.py::
+    test_change_intervals_same_instant_flip_flop."""
     w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak_col)
     # null-safe change detection: `prev != status` is NULL (row dropped)
     # when either side is NULL, which would swallow transitions INTO a

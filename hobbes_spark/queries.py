@@ -8665,44 +8665,44 @@ def chart_gauge_lineitem(spark, sf_dir):
 # --------------------------------------------------------------------- #
 
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # Round-7 rotation, now CHANGE-AWARE (tools/window_cohort.py): a
-    # query whose implementing functions were edited AFTER its last
-    # signature outranks pure age — the signature no longer covers the
-    # code that runs.  Rank = (changed-since-signature DESC,
-    # last-signed round ASC, name ASC), frozen at the commit that
-    # recorded CORRECTNESS_r06.json so mid-round commits roll into the
-    # NEXT cohort instead of shifting this one.
-    # --- changed since their last (r5) signature: functions/bpe.py
-    #     was rewritten driver-local in r6 after bpe_merges signed;
-    #     collectors/similarity/multimodal/streaming edits likewise
-    #     post-date these five signatures ---
-    "bpe_merges", "azdo_commit_authors",
-    # --- never signed (new in r7): the PQ/IVF-PQ hand-literal truth
-    #     pins and the compute-only LSH operators backing the split
-    #     scale gate ---
-    "ivf_pq_fixture_exact", "pq_adc_fixture_exact",
-    "lsh_candidate_stats", "minhash_star_edges", "stream_dedup_counts",
-    "weighted_sample_docs", "ridge_gram_docs", "ridge_fixture_exact",
-    "join_skew_stats", "dup_cluster_histogram",
-    # --- last signed in r3 (all 38 such queries): longest-unsigned ---
-    "chunk_docs", "classifier_scores", "cohort_retention",
-    "contamination_report", "daily_value_delta", "dedup_paragraphs",
-    "dedup_spans", "dsir_weights", "duplicate_ngram_frac",
-    "embedding_neardup_exact", "embedding_neardup_lsh",
-    "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
-    "hb_velocity_pivot", "jaccard_prefix_pairs", "kmeans_clusters",
-    "label_centroids", "media_decode_meta", "media_frame_plan",
-    "minhash_incremental", "quality_top_fraction", "range_band_sums",
-    "redact_docs", "repetition_filter", "salted_group_sum",
-    "slice_rows_window", "stream_interval_join",
-    "stream_session_counts", "stream_static_enrich", "tfidf_top_terms",
-    "topk_per_group", "tpch_q10_returns", "tpch_q14_promo",
-    "tpch_q5_region", "tpch_q7_volume", "unigram_scores",
-    "winnow_fingerprints",
-    # (10 new + 2 changed + all 38 r3 = 50 slots exactly; the
-    #  alphabetically-last changed-r5 entries — cosine_topk,
-    #  media_phash_pairs, stream_ohlc_bars, stream_sliding_counts —
-    #  roll to the next rotation)
+    # Round-8 rotation, CHANGE-AWARE (tools/window_cohort.py): a query
+    # whose implementing functions were edited AFTER its last signature
+    # outranks pure age — the signature no longer covers the code that
+    # runs.  Rank = (changed-since-signature DESC, last-signed round
+    # ASC, name ASC), frozen at the commit that recorded
+    # CORRECTNESS_r07.json so mid-round commits roll into the NEXT
+    # cohort instead of shifting this one.
+    # --- changed since their last r5 signature: the r7 pack/prefix
+    #     refactor (functions/prefix.py extraction touched
+    #     curation.pack path), similarity/multimodal/streaming edits
+    #     post-date these six — the four that rolled from r7's window
+    #     plus the pack family the r7 verdict names first ---
+    "cosine_topk", "media_phash_pairs", "pack_docs", "prepare_corpus",
+    "stream_ohlc_bars", "stream_sliding_counts",
+    # --- changed since their last r6 signature: functions/sampling.py
+    #     typed-strata mixture fix (r7, commit 2bb771e) post-dates
+    #     mixture_plan_docs/ccnet_buckets; functions/unigram.py r7
+    #     docstring/convention edit post-dates unigram_encode_fixture ---
+    "ccnet_buckets", "mixture_plan_docs", "unigram_encode_fixture",
+    # --- last signed in r4 (all 39 such queries): longest-unsigned ---
+    "batch_sessions", "bigram_scores", "boilerplate_lines",
+    "concurrency_peak", "corr_matrix", "cube_orders", "dedup_keep_best",
+    "funnel_conversion", "fuzzy_name_pairs", "gap_fill_ffill",
+    "group_sample_docs", "histogram_prices", "mad_outliers",
+    "mode_priority", "ohlc_bars", "profile_lineitem", "props_json_stats",
+    "salted_join_revenue", "scd2_intervals", "source_overlap",
+    "tpch_q11_stockvalue", "tpch_q12_shipmode", "tpch_q13_custdist",
+    "tpch_q15_topsupp", "tpch_q16_suppcnt", "tpch_q17_smallqty",
+    "tpch_q18_big_orders", "tpch_q19_disjuncts", "tpch_q1_pricing",
+    "tpch_q20_promotion", "tpch_q21_waiting", "tpch_q22_opportunity",
+    "tpch_q2_mincost", "tpch_q4_priority", "tpch_q6_forecast",
+    "tpch_q8_mktshare", "unpivot_charges", "user_streaks",
+    "validate_orders",
+    # --- last signed in r5, unchanged since (alphabetical): the first
+    #     two fill the window to exactly 50 ---
+    "bm25_topk", "buckets_mean",
+    # (9 changed + 39 r4 + 2 r5 = 50 slots exactly; remaining
+    #  unchanged-r5 entries roll to the next rotation)
 ]
 
 
