@@ -138,6 +138,14 @@ def ridge_gram(
     cell bit-for-bit. ANSI mode raises loudly on bigint overflow
     (Σ x_i·x_j past 2^63) instead of wrapping; rescale features first
     if that fires.
+
+    NULLs are rejected IN-PLAN (the ``systematic_weighted_sample``
+    pattern): ``F.sum`` skips NULLs per-cell while ``n`` counts every
+    row, so a NULL anywhere would make the sufficient statistics
+    mutually inconsistent — different cells aggregated over different
+    row subsets, a Gram matrix corresponding to no actual dataset.
+    Filter or fill upstream; a silent coalesce-to-0 here would fit the
+    wrong model without telling anyone.
     """
     if not feature_cols:
         raise ValueError("ridge_gram: feature_cols must be non-empty")
@@ -151,8 +159,19 @@ def ridge_gram(
                 "sufficient statistics are what make the fit exactly "
                 "reproducible across engines"
             )
-    xs = [c(f).cast("bigint") for f in feature_cols]
-    y = c(label_col).cast("bigint")
+
+    def _nn(name: str) -> Column:
+        return F.when(
+            c(name).isNull(),
+            F.raise_error(F.lit(
+                f"ridge_gram: NULL in column {name!r} — NULL rows would "
+                "make the Gram sufficient statistics inconsistent "
+                "(sum skips them, n counts them); filter or fill first"
+            )),
+        ).otherwise(c(name).cast("bigint"))
+
+    xs = [_nn(f) for f in feature_cols]
+    y = _nn(label_col)
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
     for i, xi in enumerate(xs):
         for j in range(i, len(xs)):
@@ -183,13 +202,25 @@ def ridge_fit(
     if l2 < 0:
         raise ValueError(f"ridge_fit: l2 must be >= 0, got {l2}")
     row = ridge_gram(df, feature_cols, label_col).first()
+    # an empty input yields NULL sums (count()=0): float(None) would
+    # crash opaquely in the loop below — name the real problem instead
+    if row["n"] == 0:
+        raise ValueError("ridge_fit: input DataFrame has no rows — nothing to fit")
     d = len(feature_cols)
     G = np.zeros((d, d))
     for i in range(d):
         for j in range(i, d):
             G[i, j] = G[j, i] = float(row[f"g_{i}_{j}"])
     b = np.array([float(row[f"b_{i}"]) for i in range(d)])
-    w = np.linalg.solve(G + l2 * np.eye(d), b)
+    try:
+        w = np.linalg.solve(G + l2 * np.eye(d), b)
+    except np.linalg.LinAlgError as exc:
+        # only reachable with l2 == 0: λI makes G + λI positive definite
+        raise ValueError(
+            f"ridge_fit: Gram matrix is singular (linearly dependent "
+            f"features) and l2={l2} adds no regularization — raise l2 "
+            "or drop the dependent feature"
+        ) from exc
     import math
 
     return [math.floor(x * 10**dp + 0.5) / 10**dp for x in w]

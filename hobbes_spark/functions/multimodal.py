@@ -339,6 +339,19 @@ def _decode_jpeg_gray(b: bytes) -> tuple[int, int, list[int]] | None:
 def _jpeg_scan(b, pos, frame, scomps, qt, huff, restart, np):
     w, h, comps = frame
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    # The walk below is the INTERLEAVED MCU layout (spec A.2.3): all
+    # frame components' data units cycle inside one MCU. A legal
+    # baseline file may instead carry per-component NON-interleaved
+    # scans (ns < nc), and a single-component scan is one data unit per
+    # MCU regardless of its sampling factors (spec A.2.2) — decoding
+    # either with this layout yields well-formed but WRONG pixels, so
+    # honor decode_pixels' "None for anything unhandled" contract.
+    if len(scomps) != len(comps):
+        return None
+    if len(scomps) == 1:
+        hs1, vs1, _ = by_id.get(scomps[0][0], (0, 0, 0))
+        if hs1 * vs1 != 1:
+            return None  # 1-component scan ignores sampling: refuse
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
     luma_id = comps[0][0]  # first frame component is Y (or the only one)

@@ -366,14 +366,16 @@ class _JBits:
         return bytes(out)
 
 
-def _jpeg(w, h, components, entropy, quant=None):
+def _jpeg(w, h, components, entropy, quant=None, scan_components=None):
     """Hand-assemble a baseline JFIF stream: all-1s (or given) quant
     table, CUSTOM tiny Huffman tables designed by hand so the test's
     bit strings are derivable on paper without any shared encoder
     code —
       DC: '0' -> category 6, '10' -> category 0
       AC: '0' -> EOB,        '10' -> (run 0, size 4)
-    components = [(id, samp_byte)], entropy = bytes."""
+    components = [(id, samp_byte)], entropy = bytes.
+    ``scan_components`` (ids) overrides the SOS component list, for
+    building legal NON-interleaved per-component scans (ns < nc)."""
     import struct
 
     quant = quant or [1] * 64
@@ -387,8 +389,12 @@ def _jpeg(w, h, components, entropy, quant=None):
     ac_counts = bytes([1, 1] + [0] * 14)
     dht = b"\x00" + dc_counts + bytes([6, 0]) + b"\x10" + ac_counts + bytes([0x00, 0x04])
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
-    sos = bytes([len(components)])
-    for cid, _ in components:
+    scan_ids = (
+        [cid for cid, _ in components] if scan_components is None
+        else list(scan_components)
+    )
+    sos = bytes([len(scan_ids)])
+    for cid in scan_ids:
         sos += bytes((cid, 0x00))
     sos += bytes((0, 63, 0))
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
@@ -480,6 +486,34 @@ def test_decode_pixels_jpeg_refuses_out_of_scope():
                 w, h, gray = got
                 assert w > 0 and h > 0 and len(gray) == w * h
                 assert all(0 <= v <= 255 for v in gray)
+
+
+def test_decode_pixels_jpeg_refuses_non_interleaved_scans():
+    """Legal baseline variants whose scan layout this decoder does NOT
+    implement must refuse (None), never return wrong pixels:
+    (a) per-component non-interleaved scans (SOS lists fewer components
+    than the frame, spec A.2.2) — the interleaved MCU walk would
+    misread the entropy stream; (b) a single-component scan whose
+    component has sampling factors > 1 — per spec it is one data unit
+    per MCU, not hs*vs units."""
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    # (a) 3-component 4:2:0 frame, but the SOS covers only Y
+    comps = [(1, 0x22), (2, 0x11), (3, 0x11)]
+    bits = _JBits().put(0b0, 1).put(48, 6).put(0b0, 1)
+    ns_lt_nc = _jpeg(16, 16, comps, bits.tobytes(), scan_components=[1])
+    assert decode_pixels(ns_lt_nc) is None
+
+    # (b) single-component frame with 2x2 sampling: ns == nc == 1 but
+    # hs*vs = 4 — non-interleaved per spec, refused here
+    one_comp_sampled = _jpeg(
+        16, 16, [(1, 0x22)], _JBits().put(0b01100000, 8).tobytes()
+    )
+    assert decode_pixels(one_comp_sampled) is None
+
+    # control: the degenerate 1-component 1x1 case still decodes
+    ok = _jpeg(8, 8, [(1, 0x11)], _JBits().put(0b01100000, 8).tobytes())
+    assert decode_pixels(ok) == (8, 8, [134] * 64)
 
 
 def test_decode_pixels_never_raises_on_garbage():
@@ -2082,6 +2116,46 @@ class TestRidgeFit:
         df = spark.createDataFrame([(1.0, 2)], "x0 double, y bigint")
         with pytest.raises(ValueError, match="integer column"):
             ridge_gram(df, ["x0"], "y")
+
+    def test_gram_rejects_nulls_in_plan(self, spark):
+        """A NULL feature/label would make the sufficient statistics
+        mutually inconsistent (each sum skips NULLs independently while
+        n counts all rows) — the plan must raise, not fit a Gram matrix
+        corresponding to no actual dataset."""
+        from hobbes_spark.functions.classify import ridge_gram
+
+        df = spark.createDataFrame(
+            [(1, 2, 3), (None, 1, 1)], "x0 bigint, x1 bigint, y bigint"
+        )
+        with pytest.raises(Exception, match="ridge_gram: NULL in column 'x0'"):
+            ridge_gram(df, ["x0", "x1"], "y").collect()
+        df2 = spark.createDataFrame(
+            [(1, 2, 3), (2, 1, None)], "x0 bigint, x1 bigint, y bigint"
+        )
+        with pytest.raises(Exception, match="ridge_gram: NULL in column 'y'"):
+            ridge_gram(df2, ["x0", "x1"], "y").collect()
+
+    def test_fit_empty_input_is_loud(self, spark):
+        """Empty input yields NULL sums; without the guard the fit dies
+        on float(None) deep in the Gram loop."""
+        from hobbes_spark.functions.classify import ridge_fit
+
+        df = spark.createDataFrame([], "x0 bigint, y bigint")
+        with pytest.raises(ValueError, match="nothing to fit"):
+            ridge_fit(df, ["x0"], "y")
+
+    def test_fit_singular_gram_names_the_problem(self, spark):
+        """l2=0 with linearly dependent features (x1 = 2*x0) leaves a
+        singular normal-equation system: the error must say so instead
+        of surfacing a raw numpy LinAlgError."""
+        from hobbes_spark.functions.classify import ridge_fit
+
+        rows = [(i, 2 * i, 5 * i) for i in range(1, 10)]
+        df = spark.createDataFrame(rows, "x0 bigint, x1 bigint, y bigint")
+        with pytest.raises(ValueError, match="singular"):
+            ridge_fit(df, ["x0", "x1"], "y", l2=0.0)
+        # with regularization the same data fits fine
+        assert len(ridge_fit(df, ["x0", "x1"], "y", l2=1.0)) == 2
 
     def test_score_is_shuffle_free_dot_product(self, spark):
         from hobbes_spark.functions.classify import ridge_score
