@@ -1151,6 +1151,132 @@ QUERIES["minhash_pairs"] = QuerySpec(
 )
 
 
+# --------------------------------------------------------------------- #
+# INDEPENDENT MinHash/LSH truth pins (round 8, the kmeans_fixture_exact
+# pattern): the oracles below are LITERAL VALUES derived outside both
+# engines — shingling, seed-prefixed md5 (Python hashlib, a third
+# implementation of the public algorithm), per-seed min over hex
+# strings, band slicing, bucket co-membership, pair enumeration and
+# star-edge hubs were all walked in straight-line Python at fixture-
+# authoring time and the results frozen here.  Unlike `minhash_pairs`,
+# whose oracle RE-RUNS the same banding algorithm in DuckDB (a replay
+# that would confirm a shared algorithmic bug), these rows cannot
+# inherit a defect from the implementation under test.
+#
+# Fixture derivation (hand-checkable given the md5 literals):
+#   docs 1,2,3 "red fox jumps high"  -> shingles {"red fox jumps",
+#     "fox jumps high"}; per-seed winners: seeds 0,1,3 = "fox jumps
+#     high", seed 2 = "red fox jumps" (smaller hex).
+#   doc 4 "a fox jumps high" -> {"a fox jumps", "fox jumps high"}:
+#     shares the seeds-0,1,3 winner, so slots 0,1,3 equal docs 1-3;
+#     slot 2 differs ("a fox jumps" wins).  Band 0 = slots (0,1)
+#     collides, band 1 = slots (2,3) does NOT -> candidate via ONE band,
+#     agreement 3/4.
+#   docs 5 "blue bird sings sweetly" / 6 "... loudly": share the
+#     seeds-0,2 winner "blue bird sings" -> slots 0 and 2 agree — one
+#     slot in EACH band, so NEITHER band fully matches: NOT a candidate
+#     pair despite 2/4 agreement (the banding semantics the pin exists
+#     to catch).
+#   doc 7 "one two": fewer than k=3 words -> no signature row.
+# --------------------------------------------------------------------- #
+
+_MINHASH_FIXTURE_DOCS = [
+    (1, "red fox jumps high"), (2, "red fox jumps high"),
+    (3, "red fox jumps high"), (4, "a fox jumps high"),
+    (5, "blue bird sings sweetly"), (6, "blue bird sings loudly"),
+    (7, "one two"),
+]
+
+# hashlib-derived md5 hex literals: _H[doc] = 4-slot signature
+_MINHASH_FIXTURE_SIGS = {
+    1: ("bcd3e838e84114e78571d89fc91e77e7", "31485c0819390f74abe246f067885d1b",
+        "8dd0f938e10d070394da52fdc6eee83b", "77902ae2802bc4f0da708b38f6d32bbe"),
+    4: ("bcd3e838e84114e78571d89fc91e77e7", "31485c0819390f74abe246f067885d1b",
+        "d6ef806579ecf23de01861d68f90c9b1", "77902ae2802bc4f0da708b38f6d32bbe"),
+    5: ("357467d76cc979aa5b81f2e477232335", "27dc7c529e4d1db86453edf75542673f",
+        "6773d61ef7508ca59563de3ce50406ce", "ade776d51c1716b1efe2e63ba34d8489"),
+    6: ("357467d76cc979aa5b81f2e477232335", "21c0079c5a0b14a807cf45719958a2f8",
+        "6773d61ef7508ca59563de3ce50406ce", "43eb93f35ff45a1eaa8924f5b7f8c555"),
+}
+_MINHASH_FIXTURE_SIGS[2] = _MINHASH_FIXTURE_SIGS[1]  # identical text
+_MINHASH_FIXTURE_SIGS[3] = _MINHASH_FIXTURE_SIGS[1]  # identical text
+
+
+def _minhash_fixture_sql() -> str:
+    rows = ",\n      ".join(
+        f"(CAST({d} AS BIGINT), " + ", ".join(f"'{h}'" for h in sig) + ")"
+        for d, sig in sorted(_MINHASH_FIXTURE_SIGS.items())
+    )
+    return f"""
+    SELECT * FROM (VALUES
+      {rows}
+    ) AS t(id, h0, h1, h2, h3)
+    ORDER BY id
+    """
+
+
+@q("minhash_fixture_exact", _minhash_fixture_sql())
+def minhash_fixture_exact(spark, sf_dir):
+    """MinHash signature truth pin: md5 path, num_hashes=4, k=3, over
+    the 7-doc fixture corpus.  Doc 7 (< k words) must be ABSENT.  The
+    oracle is literal hex values — see the derivation comment above."""
+    from hobbes_spark.functions.dedup import minhash_signatures_df
+
+    docs = spark.createDataFrame(_MINHASH_FIXTURE_DOCS, "id bigint, text string")
+    sigs = minhash_signatures_df(docs, "id", "text", num_hashes=4, hash_fn="md5")
+    return sigs.select(
+        "id", *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(4)]
+    ).orderBy("id")
+
+
+@q(
+    "lsh_bands_fixture_exact",
+    """
+    SELECT * FROM (VALUES
+      ('edge', CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT)),
+      ('edge', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(NULL AS BIGINT)),
+      ('edge', CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(NULL AS BIGINT)),
+      ('pair', CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(4 AS BIGINT)),
+      ('pair', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(4 AS BIGINT)),
+      ('pair', CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(3 AS BIGINT)),
+      ('pair', CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(4 AS BIGINT)),
+      ('pair', CAST(2 AS BIGINT), CAST(4 AS BIGINT), CAST(3 AS BIGINT)),
+      ('pair', CAST(3 AS BIGINT), CAST(4 AS BIGINT), CAST(3 AS BIGINT))
+    ) AS t(kind, id_a, id_b, agree_slots)
+    ORDER BY kind, id_a, id_b
+    """,
+)
+def lsh_bands_fixture_exact(spark, sf_dir):
+    """LSH banding / candidate-pair / star-edge truth pin over the same
+    fixture (bands=2, rows=2, threshold=0): the expected pairs, slot
+    agreements and hub edges are hand-derived from the signature
+    literals (derivation comment above `_MINHASH_FIXTURE_DOCS`).  The
+    critical negative: docs 5-6 agree on 2/4 slots but one per band, so
+    they appear NOWHERE below.  Pairs carry agree_slots = est*4 exactly
+    (threshold 0 keeps every candidate); edges have NULL agreement
+    (star edges are connectivity, not scores)."""
+    from hobbes_spark.functions.dedup import (
+        minhash_pairs_from_signatures,
+        minhash_signatures_df,
+        minhash_star_edges,
+    )
+
+    docs = spark.createDataFrame(_MINHASH_FIXTURE_DOCS, "id bigint, text string")
+    sigs = minhash_signatures_df(
+        docs, "id", "text", num_hashes=4, hash_fn="md5"
+    ).localCheckpoint()
+    pairs = minhash_pairs_from_signatures(sigs, num_hashes=4, bands=2, threshold=0.0)
+    pairs = pairs.select(
+        F.lit("pair").alias("kind"), "id_a", "id_b",
+        F.round(F.col("est_jaccard") * 4).cast("bigint").alias("agree_slots"),
+    )
+    edges = minhash_star_edges(sigs, num_hashes=4, bands=2).select(
+        F.lit("edge").alias("kind"), "id_a", "id_b",
+        F.lit(None).cast("bigint").alias("agree_slots"),
+    )
+    return edges.unionByName(pairs).orderBy("kind", "id_a", "id_b")
+
+
 _ORACLE_DUMP = "/tmp/hobbes_spark_oracle"
 
 
@@ -8672,6 +8798,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # ASC, name ASC), frozen at the commit that recorded
     # CORRECTNESS_r07.json so mid-round commits roll into the NEXT
     # cohort instead of shifting this one.
+    # --- never signed (new in r8): the MinHash/LSH hand-literal truth
+    #     pins closing the last replay-oracle family (r7 item 2) ---
+    "lsh_bands_fixture_exact", "minhash_fixture_exact",
     # --- changed since their last r5 signature: the r7 pack/prefix
     #     refactor (functions/prefix.py extraction touched
     #     curation.pack path), similarity/multimodal/streaming edits
@@ -8698,11 +8827,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q2_mincost", "tpch_q4_priority", "tpch_q6_forecast",
     "tpch_q8_mktshare", "unpivot_charges", "user_streaks",
     "validate_orders",
-    # --- last signed in r5, unchanged since (alphabetical): the first
-    #     two fill the window to exactly 50 ---
-    "bm25_topk", "buckets_mean",
-    # (9 changed + 39 r4 + 2 r5 = 50 slots exactly; remaining
-    #  unchanged-r5 entries roll to the next rotation)
+    # (2 new + 9 changed + 39 r4 = 50 slots exactly; the unchanged-r5
+    #  entries — bm25_topk, buckets_mean, … — roll to the next rotation)
 ]
 
 

@@ -2169,3 +2169,59 @@ class TestRidgeFit:
         plan = ridge_score(df, ["x0", "x1"], [1.5, -0.5])._jdf.queryExecution(
         ).executedPlan().toString()
         assert "Exchange" not in plan  # map-only
+
+
+def test_minhash_fixture_literals_rederive():
+    """Guard the round-8 MinHash/LSH truth-pin literals against typos:
+    re-derive the whole chain (shingles -> seed-prefixed md5 -> min over
+    hex -> bands -> buckets -> pairs -> star edges) in straight-line
+    Python (hashlib — independent of Spark's JVM md5 and of DuckDB) and
+    compare with the frozen literals in the two catalog oracles.  If an
+    algorithmic bug existed in BOTH engines, this third implementation
+    is the one that would catch it."""
+    import hashlib
+    import itertools
+
+    from hobbes_spark.queries import (
+        _MINHASH_FIXTURE_DOCS,
+        _MINHASH_FIXTURE_SIGS,
+    )
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+
+    def shingles(t, k=3):
+        w = t.lower().split()
+        return [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+
+    sigs = {}
+    for d, t in _MINHASH_FIXTURE_DOCS:
+        sh = shingles(t)
+        if sh:
+            sigs[d] = tuple(
+                min(md5(f"{i}|" + s) for s in sh) for i in range(4)
+            )
+    assert sigs == _MINHASH_FIXTURE_SIGS  # doc 7 absent on both sides
+
+    buckets: dict = {}
+    for d, s in sorted(sigs.items()):
+        for b in range(2):
+            buckets.setdefault((b, s[2 * b : 2 * b + 2]), []).append(d)
+    pairs, edges = set(), set()
+    for (_, _), members in buckets.items():
+        if len(members) < 2:
+            continue
+        hub = min(members)
+        pairs.update(itertools.combinations(sorted(members), 2))
+        edges.update((hub, m) for m in members if m != hub)
+    agree = {
+        (a, b): sum(x == y for x, y in zip(sigs[a], sigs[b]))
+        for a, b in pairs
+    }
+    assert sorted(edges) == [(1, 2), (1, 3), (1, 4)]
+    assert agree == {
+        (1, 2): 4, (1, 3): 4, (2, 3): 4,
+        (1, 4): 3, (2, 4): 3, (3, 4): 3,
+    }
+    # the banding negative: 5-6 agree on two slots yet are no candidate
+    assert sum(x == y for x, y in zip(sigs[5], sigs[6])) == 2
+    assert (5, 6) not in pairs
