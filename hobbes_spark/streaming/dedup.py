@@ -32,6 +32,19 @@ def stream_exact_dedup(
     A duplicate arriving within ``watermark`` of the original is
     dropped; one arriving later is treated as new (its state has been
     evicted) — the standard bounded-state contract.
+
+    Pinned fine print (tests/test_streaming.py::
+    test_stream_dedup_watermark_eviction_both_sides):
+
+    * the operator does NOT watermark-filter its INPUT — it must see
+      late rows to drop late duplicates — so a late-arriving NEW key
+      is emitted, unlike an aggregation window which would discard it;
+    * state removal applies the batch's watermark at batch END, so a
+      re-delivery landing in the same micro-batch whose watermark
+      crosses the key's expiry is still matched and dropped; eviction
+      becomes observable from the NEXT micro-batch on;
+    * keys with no beyond-horizon re-delivery agree exactly with the
+      batch first-arrival (min event time per key) oracle.
     """
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)

@@ -204,6 +204,80 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
     assert len(ids) == 1 + 9  # 7 once + 3x3 unique rows
 
 
+def test_stream_dedup_watermark_eviction_both_sides(spark, tmp_path):
+    """Round-8 gate: ``dropDuplicatesWithinWatermark`` EVICTION pinned
+    from both sides with late, out-of-order, duplicated file delivery
+    (watermark 10 min, one file per trigger; batch N runs under the
+    watermark computed from batch N-1's max event time, shown in
+    parentheses):
+
+      b0 (wm -inf):  keys 7, 8, 10 first arrive at 12:00; unique 1.
+      b1 (wm 11:51): re-deliveries 8@12:05, 7@12:08 are IN-horizon ->
+                     dropped (exactly-once over at-least-once
+                     delivery); unique 2@12:40 pushes the next
+                     watermark to 12:30, past every key's expiry
+                     (first-seen + 10 min).
+      b2 (wm 12:30): EVICTION-VISIBILITY LAG — state removal applies
+                     this batch's watermark at batch END, so the
+                     re-delivery 10@12:35 still finds 10's state
+                     (expiry 12:10 < wm) and is DROPPED; 9@12:05 is a
+                     late NEW key and is EMITTED: the operator does
+                     not watermark-filter its input (it must see late
+                     duplicates to drop them) — dedup state, not an
+                     aggregation window. Unique 3@12:45.
+      b3 (wm 12:35): 7@12:50 and 8@12:48 are beyond-horizon
+                     re-deliveries of keys evicted at the end of b2 ->
+                     RE-EMITTED as new (the bounded-state contract:
+                     state is O(rate x horizon), so a duplicate
+                     outside the horizon is indistinguishable from a
+                     new row). Unique 4@12:55.
+
+    (a) keys with no beyond-horizon re-delivery (1, 2, 3, 4, 9, 10)
+    match the batch ``dropDuplicates`` oracle exactly; (b) the evicted
+    keys 7 and 8 re-emit with both event times — the one documented
+    divergence from batch."""
+    from hobbes_spark.streaming import stream_events, stream_exact_dedup
+
+    data = str(tmp_path / "in")
+    t0 = dt.datetime(2026, 1, 1, 12, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    batches = [
+        [(7, t0, 1, "a", 1.0), (8, t0, 1, "a", 1.0), (10, t0, 1, "a", 1.0),
+         (1, m(1), 1, "u", 1.0)],
+        [(8, m(5), 1, "a", 1.0), (7, m(8), 1, "a", 1.0), (2, m(40), 1, "u", 1.0)],
+        [(10, m(35), 1, "a", 1.0), (9, m(5), 1, "late-new", 1.0),
+         (3, m(45), 1, "u", 1.0)],
+        [(7, m(50), 1, "a", 1.0), (8, m(48), 1, "a", 1.0), (4, m(55), 1, "u", 1.0)],
+    ]
+    for rows in batches:
+        _write_events(spark, data, rows)
+
+    stream = stream_events(spark, data, max_files_per_trigger=1)
+    out = stream_exact_dedup(stream, ["event_id"], watermark="10 minutes")
+    name = _run_to_memory(out, "append", str(tmp_path / "ckpt"))
+    got = sorted((r["event_id"], r["ts"]) for r in _rows(spark, name))
+
+    assert got == [
+        (1, m(1)), (2, m(40)), (3, m(45)), (4, m(55)),
+        (7, t0), (7, m(50)),          # (b) evicted -> re-emitted
+        (8, t0), (8, m(48)),          # (b) evicted -> re-emitted
+        (9, m(5)),                    # late NEW key: no input filter
+        (10, t0),                     # eviction lag: 12:35 dup dropped
+    ]
+    # (a) in-horizon keys equal the batch first-arrival oracle (batch
+    # dropDuplicates keeps an ARBITRARY row per key; min(ts) is the
+    # deterministic spelling of "first occurrence")
+    batch = spark.createDataFrame(
+        [r for rows in batches for r in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).groupBy("event_id").agg(F.min("ts").alias("ts"))
+    batch_first = {r["event_id"]: r["ts"] for r in batch.collect()}
+    in_horizon = {1, 2, 3, 4, 9, 10}
+    assert {(i, ts) for i, ts in got if i in in_horizon} == {
+        (i, batch_first[i]) for i in in_horizon
+    }
+
+
 def test_stream_fingerprint_dedup_normalizes(spark, tmp_path):
     """Content dedup: same text modulo case/whitespace collapses to one
     row across microbatches."""
