@@ -529,3 +529,69 @@ def test_join_cardinality_stats_plan_has_no_big_join(spark):
     assert "TakeOrdered" in plan
     rows = df.collect()
     assert [r["out_rows"] for r in rows] == [10000] * 3
+
+
+def test_aqe_skew_split_engages_on_unsalted_join(spark):
+    """Round-8 plan gate for the sweep's skewed-join twins
+    (tools/scale_check.py skew_join_aqe / skew_join_salted): on a fact
+    where ONE key owns 50% of the rows, (a) the join pre-flight pricer
+    detects the hot key's share, (b) AQE's skew-join split engages on
+    the sort-merge plan (``skew=true`` in the final adaptive plan) —
+    the mechanism that keeps the hot key off a single task when the
+    join is NOT salted, and (c) the salted twin produces the identical
+    aggregate."""
+    from hobbes_spark.operators.skew import join_cardinality_stats
+
+    confs = {
+        # sized so the planted skew trips the detector on test-scale
+        # data; production keeps the defaults
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pad = F.lpad(F.lit("x"), 200, "x")
+        fact = spark.range(0, 60000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id") % 5000).cast("long").alias("sk"),
+            pad.alias("pad"),
+        )
+        dim = spark.range(0, 5000).select(
+            F.col("id").alias("sk"), (F.col("id") % 7).alias("grp")
+        )
+
+        # (a) the pricer sees the hot key owning half the fact
+        stats = join_cardinality_stats(fact, dim, "sk", "sk", top=3)
+        hot = stats.orderBy("rank").first()
+        assert hot["key"] == 0
+        assert hot["left_rows"] == 30000  # exactly half of 60k fact rows
+
+        # (b) AQE splits the skewed partition in the unsalted SMJ
+        joined = fact.join(dim.hint("merge"), "sk").groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        unsalted = {(r["grp"], r["n"]) for r in joined.collect()}
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+
+        # (c) the salted twin is value-identical
+        salted = salted_join(fact, dim, on="sk", salts=16).groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        assert {(r["grp"], r["n"]) for r in salted.collect()} == unsalted
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

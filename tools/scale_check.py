@@ -673,8 +673,55 @@ def main():
         plan = mixture_plan(do, "source", w, 50_000.0)
         return apply_mixture_plan(do, plan, "source", "doc_id")
 
+    def _skewed_fact_dim(ev):
+        # deliberately skewed equi-join input: key 0 owns 50% of the
+        # fact rows (every even event_id), the rest spread uniformly
+        # over user_ids; the dim carries one row per key and SCALES
+        # with the fact (user_ids are id-offset), so at Nx both the
+        # hot key and the dim grow N-fold — the 100 TB hot-key regime
+        ev = fix_ts(ev)
+        fact = ev.select(
+            F.when(F.col("event_id") % 2 == 0, F.lit(0).cast("long"))
+            .otherwise(F.col("user_id")).alias("sk"),
+            "event_id", "value",
+        )
+        dim = (
+            ev.select(F.col("user_id").alias("sk")).distinct()
+            .unionByName(ev.sparkSession.range(1).select(F.lit(0).cast("long").alias("sk")))
+            .distinct()
+            .select("sk", (F.col("sk") % 7).alias("grp"))
+        )
+        return fact, dim
+
+    def skew_join_aqe(ev):
+        # UNSALTED twin: sort-merge forced (merge hint beats the
+        # broadcast the scaled dim might still fit) so AQE's skew-join
+        # split is what has to keep the hot key off a single task —
+        # plan-asserted in tests/test_skew_ivf.py
+        fact, dim = _skewed_fact_dim(ev)
+        return (
+            fact.join(dim.hint("merge"), "sk")
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        )
+
+    def skew_join_salted(ev):
+        # SALTED twin: same join, hot key pre-split over 32 salts
+        # (operators/skew.py salted_join) — the fix for the cases AQE
+        # does not cover (broadcast-ineligible dims, non-SMJ plans)
+        from hobbes_spark.operators.skew import salted_join
+
+        fact, dim = _skewed_fact_dim(ev)
+        return (
+            salted_join(fact, dim.hint("merge"), on="sk", salts=32)
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        )
+
     cases.update(
         {
+            "skew_join_aqe": (skew_join_aqe, ev1, "events"),
+            "skew_join_salted": (skew_join_salted, ev1, "events"),
             "boilerplate_lines": (boilerplate, do1, "documents"),
             "pagerank_3_rounds": (pagerank_shape, li1, "lineitem"),
             "kmv_quantile_sketch": (kmv_sketch, ev1, "events"),
@@ -693,6 +740,14 @@ def main():
         df.write.format("noop").mode("overwrite").save()
 
     only = set(sys.argv[3:])
+    # Shapes whose single-measurement ratio reaches this fraction of the
+    # linear bound get an automatic STEADY-STATE re-measure (best-of-3
+    # per side) recorded NEXT TO the raw number — so a one-time warmup
+    # artifact (Arrow dictionary build, codegen, shuffle-file creation)
+    # is pinned in the artifact itself instead of explained away in
+    # prose (round-8 item 4: bpe_encode's 6.6 at 16x is ~2 steady).
+    # The exit criterion for linearity is ratio_steady when present.
+    steady_frac = float(os.environ.get("HOBBES_SCALE_STEADY_FRAC", "0.33"))
     results = {}
     for name, (fn, small, big) in cases.items():
         if only and name not in only:
@@ -713,6 +768,19 @@ def main():
             "ratio": round(t_big / max(t_small, 1e-9), 1),
             "linear_bound": n,
         }
+        if t_big / max(t_small, 1e-9) >= steady_frac * n:
+            smalls, bigs = [t_small], [t_big]
+            for _ in range(2):
+                t0 = time.perf_counter(); run(fn(small))
+                smalls.append(time.perf_counter() - t0)
+                t0 = time.perf_counter(); run(fn(big_df))
+                bigs.append(time.perf_counter() - t0)
+            s_best, b_best = min(smalls), min(bigs)
+            results[name].update(
+                t_1x_steady_sec=round(s_best, 2),
+                **{f"t_{n}x_steady_sec": round(b_best, 2)},
+                ratio_steady=round(b_best / max(s_best, 1e-9), 1),
+            )
         print(json.dumps({name: results[name]}), flush=True)
 
     rows = {t: df.count() for t, df in sorted(_big.items())}
