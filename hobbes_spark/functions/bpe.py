@@ -69,6 +69,37 @@ def word_frequencies(
     return wf
 
 
+def bounded_vocab_rows(word_freq: DataFrame, max_vocab: int, caller: str) -> list:
+    """GUARDED driver collect of a ``(word, freq)`` table: collect at
+    most ``max_vocab + 1`` rows in ONE Spark job and raise a clear error
+    if the extra row exists — a caller who forgot to bound the table
+    (``word_frequencies(max_words=...)``) fails fast instead of OOMing
+    the driver at 100 TB.  ``spark.sql.limit.initialNumPartitions`` is
+    raised transiently so CollectLimit scans everything in one pass
+    instead of probing one partition first (the tokenizer trainers pin
+    an exactly-one-job contract)."""
+    if max_vocab < 1:
+        raise ValueError(f"{caller}: max_vocab must be >= 1, got {max_vocab}")
+    spark = word_freq.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(1 << 20))
+    try:
+        rows = word_freq.select("word", "freq").limit(max_vocab + 1).collect()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    if len(rows) > max_vocab:
+        raise ValueError(
+            f"{caller}: word_freq has more than max_vocab={max_vocab} "
+            "rows — bound it first (word_frequencies(max_words=...)) or "
+            "raise max_vocab explicitly"
+        )
+    return rows
+
+
 def _greedy_merge(syms: list[str], left: str, right: str, merged: str) -> list[str]:
     """Greedy left-to-right merge of adjacent (left, right) → merged —
     the overlap semantics of the implementations of record: in ``a a a``
@@ -89,6 +120,7 @@ def learn_bpe(
     word_freq: DataFrame,
     num_merges: int,
     min_count: int = 2,
+    max_vocab: int = 1_000_000,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merges from a ``(word, freq)`` table.
 
@@ -108,10 +140,12 @@ def learn_bpe(
     spark = word_freq.sparkSession
     # The ONE distributed step: the (word, freq) table is vocab-sized by
     # the word_frequencies(max_words=...) prune, so this collect is
-    # bounded regardless of corpus size.
+    # bounded regardless of corpus size — and GUARDED (round 8): one row
+    # past ``max_vocab`` proves an unbounded table and raises before the
+    # driver materializes it.
+    rows = bounded_vocab_rows(word_freq, max_vocab, "learn_bpe")
     vocab: list[tuple[list[str], int]] = [
-        (list(r["word"]) + [END_TOKEN], int(r["freq"]))
-        for r in word_freq.select("word", "freq").collect()
+        (list(r["word"]) + [END_TOKEN], int(r["freq"])) for r in rows
     ]
 
     # pair -> total weighted count (every adjacent position counts, so

@@ -241,6 +241,20 @@ def plane_weight_matrix(spark, planes: int, dim: int) -> list[list[float]]:
     signatures stay byte-stable across both code paths. The matrix then
     rides the plan as a literal: zero per-row hashing.
     """
+    # the matrix is collected AND re-emitted as a plan literal, so its
+    # size is doubly driver-bound; 2^22 doubles (32 MiB) is far past any
+    # sane (planes, dim) — fail before the job, not inside it
+    if planes < 1 or dim < 1:
+        raise ValueError(
+            f"plane_weight_matrix: planes and dim must be >= 1, got "
+            f"({planes}, {dim})"
+        )
+    if planes * dim > (1 << 22):
+        raise ValueError(
+            f"plane_weight_matrix: planes*dim = {planes * dim} exceeds "
+            "the 2^22 literal-matrix cap (32 MiB of doubles riding every "
+            "plan); reduce planes or hash per-row instead"
+        )
     rows = (
         spark.range(planes * dim)
         .select(
@@ -723,6 +737,16 @@ def pq_codebooks(
     from hobbes_spark.operators.ml import _round_half_up
 
     d = corpus_dim(df, vec_col)
+    # the codebook is collected and re-broadcast as plan literals: keep
+    # it kilobyte-to-megabyte sized BY CONSTRUCTION — fail before the
+    # percentile job rather than collecting an accidental monster
+    # (e.g. levels sized like a vocabulary instead of a cell count)
+    if d is not None and d * levels > (1 << 22):
+        raise ValueError(
+            f"pq_codebooks: dim*levels = {d * levels} exceeds the 2^22 "
+            "driver codebook cap (32 MiB of doubles); use fewer levels "
+            "or quantize a projection"
+        )
     if d is None:
         raise ValueError("pq_codebooks: empty or all-NULL corpus")
     ps = F.array(*[F.lit((2 * i + 1) / (2.0 * levels)) for i in range(levels)])

@@ -91,6 +91,7 @@ def learn_unigram_lm(
     max_piece_len: int = 8,
     shrink_factor: float = 0.75,
     em_iters: int = 2,
+    max_vocab: int = 1_000_000,
 ) -> DataFrame:
     """Learn a unigram-LM piece inventory from a ``(word, freq)`` table
     (build it with ``bpe.word_frequencies`` — the one corpus-sized
@@ -113,10 +114,13 @@ def learn_unigram_lm(
             f"learn_unigram_lm: shrink_factor must be in (0, 1), got {shrink_factor}"
         )
     spark = word_freq.sparkSession
-    vocab: list[tuple[str, int]] = [
-        (r["word"], int(r["freq"]))
-        for r in word_freq.select("word", "freq").collect()
-    ]
+    # GUARDED driver collect (round 8, same contract as learn_bpe): one
+    # row past ``max_vocab`` proves an unbounded table and raises before
+    # the driver materializes it — still exactly one Spark job.
+    from hobbes_spark.functions.bpe import bounded_vocab_rows
+
+    rows = bounded_vocab_rows(word_freq, max_vocab, "learn_unigram_lm")
+    vocab: list[tuple[str, int]] = [(r["word"], int(r["freq"])) for r in rows]
 
     # ---- seed: every substring up to max_piece_len, freq-weighted ----
     sub_counts: dict[str, int] = {}

@@ -81,6 +81,17 @@ def bloom_build(
     """
     if num_bits % 64 != 0:
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    # Fail FAST, not at collect time: the bitmap lives on the driver and
+    # is re-broadcast, so its size is a hard design bound, not a knob to
+    # crank with the corpus. 2^28 bits = 32 MiB (4M longs) already
+    # supports ~19M keys at 1% FPR; beyond that, shard the key space
+    # into several filters instead of OOMing the driver at 100 TB.
+    if num_bits > (1 << 28):
+        raise ValueError(
+            f"bloom_build: num_bits={num_bits} exceeds the 2^28 driver "
+            "bitmap cap (32 MiB); shard the key space into multiple "
+            "filters instead"
+        )
     n_words = num_bits // 64
     pos = _probe_positions(F.col(key_col), num_bits, num_hashes)
     probes = keys.filter(F.col(key_col).isNotNull()).select(

@@ -2225,3 +2225,61 @@ def test_minhash_fixture_literals_rederive():
     # the banding negative: 5-6 agree on two slots yet are no candidate
     assert sum(x == y for x, y in zip(sigs[5], sigs[6])) == 2
     assert (5, 6) not in pairs
+
+
+class TestDriverCollectGuardrails:
+    """Round-8 item 7: every deliberately driver-sized collect validates
+    its size bound and fails loudly BEFORE collecting, so a miscalled
+    operator errors instead of OOMing a driver at 100 TB."""
+
+    def test_bloom_build_caps_num_bits(self, spark):
+        from hobbes_spark.operators.bloom import bloom_build
+
+        keys = spark.range(10).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError, match="2\\^28 driver bitmap cap"):
+            bloom_build(keys, "k", num_bits=1 << 29)
+        # at the cap boundary the build itself is legal (not executed
+        # here — plan construction alone must not raise)
+        bloom_build(keys, "k", num_bits=1 << 20)
+
+    def test_learn_bpe_rejects_unbounded_vocab(self, spark):
+        from hobbes_spark.functions.bpe import learn_bpe
+
+        wf = spark.range(50).select(
+            F.concat(F.lit("w"), F.col("id")).alias("word"),
+            F.lit(5).cast("bigint").alias("freq"),
+        )
+        with pytest.raises(ValueError, match="more than max_vocab=10"):
+            learn_bpe(wf, num_merges=3, max_vocab=10)
+        # bounded input trains fine under the same cap
+        assert learn_bpe(wf.limit(8), num_merges=2, max_vocab=10).count() > 0
+
+    def test_learn_unigram_rejects_unbounded_vocab(self, spark):
+        from hobbes_spark.functions.unigram import learn_unigram_lm
+
+        wf = spark.range(50).select(
+            F.concat(F.lit("w"), F.col("id")).alias("word"),
+            F.lit(5).cast("bigint").alias("freq"),
+        )
+        with pytest.raises(ValueError, match="more than max_vocab=10"):
+            learn_unigram_lm(wf, vocab_size=30, max_vocab=10)
+        assert learn_unigram_lm(wf.limit(8), vocab_size=30, max_vocab=10).count() > 0
+
+    def test_plane_weight_matrix_caps_size(self, spark):
+        from hobbes_spark.functions.similarity import plane_weight_matrix
+
+        with pytest.raises(ValueError, match="2\\^22 literal-matrix cap"):
+            plane_weight_matrix(spark, planes=1 << 12, dim=1 << 12)
+        w = plane_weight_matrix(spark, planes=2, dim=4)
+        assert len(w) == 2 and len(w[0]) == 4
+
+    def test_pq_codebooks_caps_size(self, spark):
+        from hobbes_spark.functions.similarity import pq_codebooks
+
+        emb = spark.createDataFrame(
+            [([float(i), float(i + 1)],) for i in range(8)],
+            "embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="2\\^22 driver codebook cap"):
+            pq_codebooks(emb, levels=1 << 22)
+        assert len(pq_codebooks(emb, levels=4)) == 2
