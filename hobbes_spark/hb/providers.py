@@ -14,6 +14,11 @@ maps to a reader:
 * ``provider: git``       — commit history of a local clone via
   :func:`hobbes_spark.sources.collectors.read_git_commits` (the
   git.worker's collection step, `.gitmodules:16-18`)
+* ``provider: merge``     — ``datasets:`` list of named datasets from
+  the caller's ``tables=`` registry, row-concatenated
+  (`tools/workbench/src/Types.fs:90-95`: ``Merge of string list``)
+* ``provider: join``      — ``left``/``right``/``field`` over the same
+  registry (`tools/workbench/src/Types.fs:58-63,96-104``)
 * ``provider: parquet``   — engine-native path (beyond-reference)
 """
 
@@ -112,6 +117,50 @@ def resolve_source(
         return Pipeline.of(
             rest_pages(spark, pages, values_field=_get(properties, "values")),
             "rest",
+        )
+
+    if provider == "merge":
+        # workbench Source.Merge (Types.fs:90-95): a list of dataset ids
+        # resolved from the caller's registry — the cache lookup the
+        # calculator worker does, with ``tables=`` standing in for the
+        # uniform cache
+        ids = properties.get("datasets")
+        if isinstance(ids, str):
+            ids = ids.split()
+        if not ids:
+            raise ValueError("provider: merge needs a datasets list")
+        missing = [d for d in ids if d not in (tables or {})]
+        if missing:
+            raise ValueError(
+                f"provider: merge references unknown datasets {missing}; "
+                "pass them via tables="
+            )
+        from hobbes_spark.operators.combinators import merge as _merge
+
+        return _merge(
+            *[Pipeline.of(tables[d], f"dataset:{d}") for d in ids]
+        )
+
+    if provider == "join":
+        # workbench Source.Join (Types.fs:58-63): single-field equi-join
+        # of two named datasets
+        left = _get(properties, "left")
+        right = _get(properties, "right")
+        field_name = _get(properties, "field")
+        if not (left and right and field_name):
+            raise ValueError("provider: join needs left, right and field")
+        missing = [d for d in (left, right) if d not in (tables or {})]
+        if missing:
+            raise ValueError(
+                f"provider: join references unknown datasets {missing}; "
+                "pass them via tables="
+            )
+        from hobbes_spark.operators.combinators import join as _join
+
+        return _join(
+            Pipeline.of(tables[left], f"dataset:{left}"),
+            Pipeline.of(tables[right], f"dataset:{right}"),
+            field_name,
         )
 
     raise ValueError(f"unknown provider {provider!r}")

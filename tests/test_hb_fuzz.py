@@ -479,3 +479,191 @@ def test_hb_program_equals_direct_api(spark, fixture_df, prog):
         # the hb runner wraps with the offending source line; the raw
         # message must be shared
         assert b[1] in a[1] or a[1] in b[1], (text, a, b)
+
+
+# --------------------------------------------------------------------- #
+# Round 8: SOURCE headers + dataset combinators + markdown chunks.
+# The 500-example body soak covers statements; this layer fuzzes the
+# OTHER two chunks of a .hb file — the YAML-ish provider header
+# (localdata inline columns/rows, merge/join dataset configurations,
+# tools/workbench/src/Types.fs:58-106) and `!## ... !#` markdown blocks
+# interleaved with the body — asserting run_hb_program over a dataset
+# registry equals the direct API (local_data + combinators.merge/join +
+# Pipeline calls) and the parser captures every comment block.
+# --------------------------------------------------------------------- #
+
+_REG_SCHEMAS = {
+    "alpha": {"k": "num", "a": "num", "s": "str"},
+    "beta": {"k": "num", "b": "num"},
+    "gamma": {"k": "num", "a": "num", "s": "str"},
+}
+# join pairs restricted to sides with disjoint non-key columns — the
+# reference joins cached datasets whose value columns differ by
+# construction (the joined field becomes the index)
+_JOIN_PAIRS = [("alpha", "beta"), ("beta", "alpha"), ("gamma", "beta")]
+
+
+@pytest.fixture(scope="module")
+def registry(spark):
+    return {
+        "alpha": spark.createDataFrame(
+            [(1, 10, "u"), (2, 20, "v"), (3, None, "w"), (2, 21, None)],
+            "k bigint, a bigint, s string",
+        ),
+        "beta": spark.createDataFrame(
+            [(1, 100), (3, 300), (4, 400)], "k bigint, b bigint"
+        ),
+        "gamma": spark.createDataFrame(
+            [(5, 50, "x"), (1, 11, "y")], "k bigint, a bigint, s string"
+        ),
+    }
+
+
+def _comment_chunk(draw):
+    one_line = draw(st.booleans())
+    word = draw(st.sampled_from(["note", "method", "reading the graph"]))
+    if one_line:
+        return [f"!## {word} !#"]
+    return [f"!## {word}", "free prose, not parsed as a statement", "!#"]
+
+
+@st.composite
+def sourced_programs(draw):
+    kind = draw(st.sampled_from(["localdata", "merge", "join"]))
+    header: list[str] = []
+    if kind == "localdata":
+        cols = draw(
+            st.lists(st.sampled_from(["x", "y", "s"]), min_size=1,
+                     max_size=3, unique=True)
+        )
+        n_rows = draw(st.integers(1, 4))
+        json_rows = []
+        for _ in range(n_rows):
+            cells = [
+                draw(st.sampled_from(['"a"', '"b b"', '""']))
+                if c_ == "s" else str(draw(st.integers(-5, 9)))
+                for c_ in cols
+            ]
+            json_rows.append("[" + ", ".join(cells) + "]")
+        header = ["provider: localdata"]
+        if draw(st.booleans()):  # both header list spellings are legal
+            header.append(f"columns: {' '.join(cols)}")
+        else:
+            header.append("columns:")
+            header += [f"    - {c_}" for c_ in cols]
+        header.append("rows:")
+        header += [f"    - {r}" for r in json_rows]
+        schema = {c_: ("str" if c_ == "s" else "num") for c_ in cols}
+        import json as _json
+
+        pyrows = [_json.loads(r) for r in json_rows]
+
+        def source(spark, tables, cols=tuple(cols), pyrows=tuple(map(tuple, pyrows))):
+            from hobbes_spark.sources.ingest import local_data
+
+            return Pipeline.of(
+                local_data(spark, list(cols), [list(r) for r in pyrows]),
+                "direct-localdata",
+            )
+
+    elif kind == "merge":
+        ids = draw(
+            st.lists(st.sampled_from(sorted(_REG_SCHEMAS)), min_size=1,
+                     max_size=3, unique=True)
+        )
+        header = ["provider: merge", "datasets:"] + [f"    - {d}" for d in ids]
+        schema = {}
+        for d in ids:
+            schema.update(_REG_SCHEMAS[d])
+
+        def source(spark, tables, ids=tuple(ids)):
+            from hobbes_spark.operators import combinators
+
+            return combinators.merge(
+                *[Pipeline.of(tables[d], f"dataset:{d}") for d in ids]
+            )
+
+    else:
+        left, right = draw(st.sampled_from(_JOIN_PAIRS))
+        header = ["provider: join", f"left: {left}",
+                  f"right: {right}", "field: k"]
+        schema = {**_REG_SCHEMAS[left], **_REG_SCHEMAS[right]}
+
+        def source(spark, tables, left=left, right=right):
+            from hobbes_spark.operators import combinators
+
+            return combinators.join(
+                Pipeline.of(tables[left], f"dataset:{left}"),
+                Pipeline.of(tables[right], f"dataset:{right}"),
+                "k",
+            )
+
+    # body statements valid for the resolved schema, with markdown
+    # chunks interleaved anywhere between them
+    lines: list[str] = []
+    fns: list = []
+    n_comments = 0
+    for chunk in range(draw(st.integers(0, 3))):
+        if draw(st.integers(0, 2)) == 0:
+            lines += _comment_chunk(draw)
+            n_comments += 1
+            continue
+        cols_now = list(schema)
+        kind2 = draw(st.sampled_from(["only_true", "slice", "create", "rename"]))
+        if kind2 == "only_true":
+            lines.append("only true")
+            fns.append(lambda pl: pl.only(True))
+        elif kind2 == "slice":
+            keep = draw(
+                st.lists(st.sampled_from(cols_now), min_size=1,
+                         max_size=len(cols_now), unique=True)
+            )
+            lines.append("slice columns " + " ".join(_q(c_) for c_ in keep))
+            fns.append(lambda pl, ks=tuple(keep): pl.slice_columns(*ks))
+            schema = {c_: schema[c_] for c_ in keep}
+        elif kind2 == "create":
+            name = draw(st.sampled_from(["t", "u2"]))
+            lit = draw(st.integers(0, 5))
+            lines.append(f"create column {_q(name)} {lit}")
+            fns.append(lambda pl, n=name, v=lit: pl.create_column(n, F.lit(v)))
+            schema[name] = "num"
+        else:
+            src = draw(st.sampled_from(cols_now))
+            new = draw(st.sampled_from(["r1", "r2"]))
+            if new in schema and new != src:
+                continue  # renaming onto an existing column: skip draw
+            lines.append(f"rename column {_q(src)} {_q(new)}")
+            fns.append(lambda pl, s=src, n=new: pl.rename_column(s, n))
+            schema[new] = schema.pop(src)
+    text = "\n".join(header) + "\n\n" + "\n".join(lines) + "\n"
+    return text, source, fns, n_comments
+
+
+@given(prog=sourced_programs())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hb_sourced_program_equals_direct_api(spark, registry, prog):
+    from hobbes_spark.hb.parser import parse_program
+    from hobbes_spark.hb.providers import run_hb_program
+
+    text, source, fns, n_comments = prog
+    # parser contract: every markdown chunk lands in .comments, never in
+    # the statement list
+    assert len(parse_program(text).comments) == n_comments
+
+    def direct():
+        pl = source(spark, registry)
+        for fn in fns:
+            pl = fn(pl)
+        return pl
+
+    a = _outcome(lambda: run_hb_program(spark, text, tables=registry))
+    b = _outcome(direct)
+    assert a[0] == b[0], (text, a, b)
+    if a[0] == "ok":
+        assert a[1] == b[1], text
+    else:
+        assert b[1] in a[1] or a[1] in b[1], (text, a, b)

@@ -273,3 +273,52 @@ def test_odata_url_encodes_raw_percent_value():
     # genuinely pre-encoded values still pass through untouched
     url2 = odata_url("https://svc/feed?", filter="Iteration%2FStartDate%20gt%202019-01-01Z")
     assert "%2F" in url2 and "%252F" not in url2
+
+
+def test_merge_provider_resolves_registry(spark):
+    """`provider: merge` (workbench Types.fs:90-95): datasets resolve
+    from the caller's registry, rows concatenate tolerating differing
+    column sets; unknown names and a missing list fail with the offender
+    named."""
+    from hobbes_spark.hb.providers import run_hb_program
+
+    reg = {
+        "a1": spark.createDataFrame([(1, "x")], "k bigint, s string"),
+        "b1": spark.createDataFrame([(2, 20)], "k bigint, v bigint"),
+    }
+    text = "provider: merge\ndatasets:\n    - a1\n    - b1\n\nonly true\n"
+    out = run_hb_program(spark, text, tables=reg).df
+    rows = {(r["k"], r["s"], r["v"]) for r in out.collect()}
+    assert rows == {(1, "x", None), (2, None, 20)}
+
+    with pytest.raises(ValueError, match="unknown datasets \\['nope'\\]"):
+        run_hb_program(
+            spark, "provider: merge\ndatasets:\n    - nope\n\nonly true\n",
+            tables=reg,
+        )
+    with pytest.raises(ValueError, match="needs a datasets list"):
+        run_hb_program(spark, "provider: merge\n\nonly true\n", tables=reg)
+
+
+def test_join_provider_resolves_registry(spark):
+    """`provider: join` (workbench Types.fs:58-63): single-field outer
+    equi-join of two named datasets, keyed on the field."""
+    from hobbes_spark.hb.providers import run_hb_program
+
+    reg = {
+        "l": spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, s string"),
+        "r": spark.createDataFrame([(2, 20), (3, 30)], "k bigint, v bigint"),
+    }
+    text = "provider: join\nleft: l\nright: r\nfield: k\n\nsort by column k\n"
+    out = run_hb_program(spark, text, tables=reg).df
+    rows = [(r["k"], r["s"], r["v"]) for r in out.collect()]
+    assert rows == [(1, "x", None), (2, "y", 20), (3, None, 30)]
+
+    with pytest.raises(ValueError, match="needs left, right and field"):
+        run_hb_program(spark, "provider: join\nleft: l\n\nonly true\n", tables=reg)
+    with pytest.raises(ValueError, match="unknown datasets \\['zz'\\]"):
+        run_hb_program(
+            spark,
+            "provider: join\nleft: l\nright: zz\nfield: k\n\nonly true\n",
+            tables=reg,
+        )
