@@ -747,7 +747,9 @@ def main():
     # is pinned in the artifact itself instead of explained away in
     # prose (round-8 item 4: bpe_encode's 6.6 at 16x is ~2 steady).
     # The exit criterion for linearity is ratio_steady when present.
-    steady_frac = float(os.environ.get("HOBBES_SCALE_STEADY_FRAC", "0.33"))
+    # 0.25 (= ratio 4 at 16x) catches the shapes the round-7 verdict
+    # flagged (bpe_encode measured 4.9 in-sweep, 1.2 isolated).
+    steady_frac = float(os.environ.get("HOBBES_SCALE_STEADY_FRAC", "0.25"))
     results = {}
     for name, (fn, small, big) in cases.items():
         if only and name not in only:
