@@ -400,9 +400,16 @@ def lsh_bucket_topk(
     planes: int = 12,
     probe_radius: int = 1,
     dump_dir: str | None = None,
+    weights: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: join on the LSH bucket, exact cosine rerank
     within it.
+
+    ``weights``: bring-your-own ``planes × dim`` projection matrix
+    (a learned rotation, or hand-chosen literals for truth-pin
+    fixtures) instead of the deterministic ±1 hash matrix. Sign
+    convention is unchanged: plane p signs 1 iff ``Σ w[p][i]·x[i] ≥ 0``
+    and packs into bucket bit p (little-endian).
 
     Multi-probe: each *query* additionally probes every bucket within
     hamming distance ``probe_radius`` (0 = single probe; radii 0-2
@@ -439,11 +446,23 @@ def lsh_bucket_topk(
             f"{dim}; a mismatched query would sign all-zero and silently "
             "return garbage"
         )
-    weights = (
-        plane_weight_matrix(corpus.sparkSession, planes, dim)
-        if dim is not None
-        else None
-    )
+    if weights is not None:
+        if len(weights) != planes:
+            raise ValueError(
+                f"lsh_bucket_topk: {len(weights)} weight rows for "
+                f"planes={planes}"
+            )
+        if dim is not None and any(len(w) != dim for w in weights):
+            raise ValueError(
+                f"lsh_bucket_topk: weight rows must all have corpus "
+                f"dimension {dim}"
+            )
+    else:
+        weights = (
+            plane_weight_matrix(corpus.sparkSession, planes, dim)
+            if dim is not None
+            else None
+        )
 
     def with_bucket(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         out = df.filter(F.col(vec_col).isNotNull()).select(

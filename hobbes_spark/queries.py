@@ -1643,6 +1643,56 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+@q(
+    "ann_lsh_fixture_exact",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(0.894427 AS DOUBLE), 1),
+      (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0.707107 AS DOUBLE), 2),
+      (CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(0.0 AS DOUBLE), 1),
+      (CAST(5 AS BIGINT), CAST(3 AS BIGINT), CAST(-0.141421 AS DOUBLE), 2)
+    ) AS t(query_id, neighbor_id, cos, rank)
+    ORDER BY query_id, rank
+    """,
+)
+def ann_lsh_fixture_exact(spark, sf_dir):
+    """INDEPENDENT LSH-ANN truth pin (round 8, the kmeans_fixture_exact
+    pattern): unlike `ann_lsh_topk`, whose oracle replays candidate-gen
+    from checkpointed bucket bytes, this oracle is HAND-COMPUTED
+    literals over an injected ±1 plane matrix, so a bug in signing,
+    packing, probing, rerank or ranking cannot confirm itself.
+
+    Fixture (planes = [[1,1],[1,-1]], sign 1 iff w·x >= 0, bucket bit p
+    = plane p, little-endian):
+      v1 (3,1)   -> signs (1,1) -> bucket 3
+      v2 (1,2)   -> signs (1,0) -> bucket 1   (3>=0, -1<0)
+      v3 (-1,-3) -> signs (0,1) -> bucket 2   (-4<0,  2>=0)
+      v4 (2,2)   -> signs (1,1) -> bucket 3
+      v5 (-2,1)  -> signs (0,0) -> bucket 0   (-1<0, -3<0)
+    probe_radius=1: each query probes {b, b^1, b^2} = every bucket here.
+      q=v1: candidates v4, v2, v3; cosines 8/sqrt(80) = 0.894427...,
+            5/sqrt(50) = 0.707107..., -6/10 = -0.6; k=2 keeps v4, v2.
+      q=v5: candidates v2, v3; cosines 0/... = 0, -1/sqrt(50) =
+            -0.141421...; both kept. All four cos values rounded
+            half-up to 6 dp by hand."""
+    from hobbes_spark.functions.similarity import lsh_bucket_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [3.0, 1.0]), (2, [1.0, 2.0]), (3, [-1.0, -3.0]),
+         (4, [2.0, 2.0]), (5, [-2.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id").isin(1, 5))
+    out = lsh_bucket_topk(
+        corpus, queries, k=2, planes=2, probe_radius=1,
+        weights=[[1.0, 1.0], [1.0, -1.0]],
+    )
+    return out.select(
+        "query_id", "neighbor_id", _r(F.col("cos"), 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
 # --------------------------------------------------------------------- #
 # §3.1 / §7 phase 6: the .hb text front-end, end to end through the
 # correctness gate — a Commit-Frequency-shaped program (reference
@@ -8798,9 +8848,11 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # ASC, name ASC), frozen at the commit that recorded
     # CORRECTNESS_r07.json so mid-round commits roll into the NEXT
     # cohort instead of shifting this one.
-    # --- never signed (new in r8): the MinHash/LSH hand-literal truth
-    #     pins closing the last replay-oracle family (r7 item 2) ---
-    "lsh_bands_fixture_exact", "minhash_fixture_exact",
+    # --- never signed (new in r8): the MinHash/LSH and injected-plane
+    #     ANN hand-literal truth pins closing the replay-oracle
+    #     families (r7 items 2 and 3-margin) ---
+    "ann_lsh_fixture_exact", "lsh_bands_fixture_exact",
+    "minhash_fixture_exact",
     # --- changed since their last r5 signature: the r7 pack/prefix
     #     refactor (functions/prefix.py extraction touched
     #     curation.pack path), similarity/multimodal/streaming edits
@@ -8826,9 +8878,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q20_promotion", "tpch_q21_waiting", "tpch_q22_opportunity",
     "tpch_q2_mincost", "tpch_q4_priority", "tpch_q6_forecast",
     "tpch_q8_mktshare", "unpivot_charges", "user_streaks",
-    "validate_orders",
-    # (2 new + 9 changed + 39 r4 = 50 slots exactly; the unchanged-r5
-    #  entries — bm25_topk, buckets_mean, … — roll to the next rotation)
+    # (3 new + 9 changed + 38 r4 = 50 slots exactly; validate_orders —
+    #  the alphabetically-last r4 entry — and the unchanged-r5 entries
+    #  roll to the next rotation)
 ]
 
 

@@ -2283,3 +2283,42 @@ class TestDriverCollectGuardrails:
         with pytest.raises(ValueError, match="2\\^22 driver codebook cap"):
             pq_codebooks(emb, levels=1 << 22)
         assert len(pq_codebooks(emb, levels=4)) == 2
+
+
+def test_ann_lsh_fixture_literals_rederive():
+    """Guard the round-8 ANN truth-pin literals: re-derive signs,
+    buckets, probes, candidates, cosines and ranks in straight-line
+    Python (no Spark, no DuckDB) and compare with the frozen oracle
+    rows of `ann_lsh_fixture_exact`."""
+    import math
+
+    W = [[1.0, 1.0], [1.0, -1.0]]
+    vecs = {1: (3, 1), 2: (1, 2), 3: (-1, -3), 4: (2, 2), 5: (-2, 1)}
+
+    def bucket(v):
+        return sum(
+            (1 if sum(w * x for w, x in zip(row, v)) >= 0 else 0) << p
+            for p, row in enumerate(W)
+        )
+
+    buckets = {i: bucket(v) for i, v in vecs.items()}
+    assert buckets == {1: 3, 2: 1, 3: 2, 4: 3, 5: 0}
+
+    def cos6(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        n = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return math.floor(d / n * 1e6 + 0.5) / 1e6
+
+    expect = []
+    for q in (1, 5):
+        probes = {buckets[q], buckets[q] ^ 1, buckets[q] ^ 2}
+        cands = [i for i, b in buckets.items() if b in probes and i != q]
+        ranked = sorted(
+            ((cos6(vecs[q], vecs[i]), i) for i in cands),
+            key=lambda t: (-t[0], t[1]),
+        )[:2]
+        expect += [(q, i, c, r + 1) for r, (c, i) in enumerate(ranked)]
+    assert expect == [
+        (1, 4, 0.894427, 1), (1, 2, 0.707107, 2),
+        (5, 2, 0.0, 1), (5, 3, -0.141421, 2),
+    ]
