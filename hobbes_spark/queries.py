@@ -1215,6 +1215,64 @@ def _minhash_fixture_sql() -> str:
     """
 
 
+_MINHASH_XXHASH_FIXTURE_DOCS = [
+    (1, "red fox jumps high today"), (2, "red fox jumps high today"),
+    (3, "blue bird sings very sweetly"), (4, "one two"),
+]
+# Frozen literals derived by the pure-Python reference XXH64
+# (tests/xxh64_ref.py — third implementation of the public spec,
+# constants verified against Spark's disassembled bytecode): token
+# hash_bytes -> chained window hash_long (re-seeded per zip) -> signed
+# min of hash_long(window, hash_int(seed_i)).  Doc 4 (< k=3 words)
+# yields no row.  tests/test_functions.py::
+# test_minhash_xxhash_fixture_literals_rederive re-derives these in CI.
+_MINHASH_XXHASH_FIXTURE_SIGS = {
+    1: (-2420109537537773932, 711112666632658758,
+        -2298189832564018611, -5133430167136790049),
+    3: (3208034420057549568, 4192823304527648582,
+        -3671158871833950747, -8909330341128595814),
+}
+_MINHASH_XXHASH_FIXTURE_SIGS[2] = _MINHASH_XXHASH_FIXTURE_SIGS[1]
+
+
+def _minhash_xxhash_fixture_sql() -> str:
+    rows = ",\n      ".join(
+        f"(CAST({d} AS BIGINT), "
+        + ", ".join(f"CAST({h} AS BIGINT)" for h in sig)
+        + ")"
+        for d, sig in sorted(_MINHASH_XXHASH_FIXTURE_SIGS.items())
+    )
+    return f"""
+    SELECT * FROM (VALUES
+      {rows}
+    ) AS t(id, h0, h1, h2, h3)
+    ORDER BY id
+    """
+
+
+@q("minhash_xxhash_fixture_exact", _minhash_xxhash_fixture_sql())
+def minhash_xxhash_fixture_exact(spark, sf_dir):
+    """INDEPENDENT truth pin for the PRODUCTION xxhash64 MinHash path
+    (round 8): `minhash_pairs_fast`'s oracle replays banding from
+    checkpointed signature bytes, which could never catch a defect in
+    the signature computation itself.  This oracle is frozen literal
+    values derived by a pure-Python XXH64 (public spec; constants
+    cross-checked against Spark's bytecode), covering token hashing,
+    the chained numeric-window trick, the seed index's INT fast path,
+    signed min aggregation, and the sub-k-words drop — so the xxhash64
+    scale path is now literal-pinned end to end, the same standard the
+    md5 path met via `minhash_fixture_exact`."""
+    from hobbes_spark.functions.dedup import minhash_signatures_df
+
+    docs = spark.createDataFrame(
+        _MINHASH_XXHASH_FIXTURE_DOCS, "id bigint, text string"
+    )
+    sigs = minhash_signatures_df(docs, "id", "text", num_hashes=4)
+    return sigs.select(
+        "id", *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(4)]
+    ).orderBy("id")
+
+
 @q("minhash_fixture_exact", _minhash_fixture_sql())
 def minhash_fixture_exact(spark, sf_dir):
     """MinHash signature truth pin: md5 path, num_hashes=4, k=3, over
@@ -8848,11 +8906,11 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # ASC, name ASC), frozen at the commit that recorded
     # CORRECTNESS_r07.json so mid-round commits roll into the NEXT
     # cohort instead of shifting this one.
-    # --- never signed (new in r8): the MinHash/LSH and injected-plane
-    #     ANN hand-literal truth pins closing the replay-oracle
-    #     families (r7 items 2 and 3-margin) ---
+    # --- never signed (new in r8): the MinHash/LSH (md5 AND xxhash64
+    #     paths), and injected-plane ANN hand-literal truth pins
+    #     closing the replay-oracle families (r7 items 2 and 3-margin) ---
     "ann_lsh_fixture_exact", "lsh_bands_fixture_exact",
-    "minhash_fixture_exact",
+    "minhash_fixture_exact", "minhash_xxhash_fixture_exact",
     # --- changed since their last r5 signature: the r7 pack/prefix
     #     refactor (functions/prefix.py extraction touched
     #     curation.pack path), similarity/multimodal/streaming edits
@@ -8877,10 +8935,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q18_big_orders", "tpch_q19_disjuncts", "tpch_q1_pricing",
     "tpch_q20_promotion", "tpch_q21_waiting", "tpch_q22_opportunity",
     "tpch_q2_mincost", "tpch_q4_priority", "tpch_q6_forecast",
-    "tpch_q8_mktshare", "unpivot_charges", "user_streaks",
-    # (3 new + 9 changed + 38 r4 = 50 slots exactly; validate_orders —
-    #  the alphabetically-last r4 entry — and the unchanged-r5 entries
-    #  roll to the next rotation)
+    "tpch_q8_mktshare", "unpivot_charges",
+    # (4 new + 9 changed + 37 r4 = 50 slots exactly; user_streaks and
+    #  validate_orders — the alphabetically-last r4 entries — and the
+    #  unchanged-r5 entries roll to the next rotation)
 ]
 
 

@@ -2322,3 +2322,75 @@ def test_ann_lsh_fixture_literals_rederive():
         (1, 4, 0.894427, 1), (1, 2, 0.707107, 2),
         (5, 2, 0.0, 1), (5, 3, -0.141421, 2),
     ]
+
+
+def test_spark_xxhash64_matches_reference(spark):
+    """Spark's ``xxhash64`` pinned against the pure-Python reference
+    XXH64 (tests/xxh64_ref.py — third implementation, public spec):
+    long/int primitive fast paths, strings on both sides of the 32-byte
+    stripe boundary, and two-arg seed chaining. This is the pin that
+    lets xxhash64-based operators carry frozen-literal oracles."""
+    from tests.xxh64_ref import hash_bytes, hash_int, hash_long, signed
+
+    df = spark.range(1)
+    val = lambda e: df.select(e.alias("h")).first()["h"]
+    for v in [0, 1, -1, 42, 123456789, -987654321012345, 2**62]:
+        assert val(F.xxhash64(F.lit(v).cast("bigint"))) == signed(hash_long(v)), v
+    for v in [0, 7, -3, 2**31 - 1]:
+        assert val(F.xxhash64(F.lit(v).cast("int"))) == signed(hash_int(v)), v
+    for t in ["", "a", "hello", "ab cd", "x" * 31, "y" * 32, "z" * 67,
+              "ünïcodé tęxt"]:
+        assert val(F.xxhash64(F.lit(t))) == signed(hash_bytes(t.encode())), t
+    a, b = 1234567, -9876543
+    assert val(
+        F.xxhash64(F.lit(a).cast("bigint"), F.lit(b).cast("bigint"))
+    ) == signed(hash_long(b, hash_long(a) & ((1 << 64) - 1)))
+    # NULL child leaves the running seed unchanged (Spark contract)
+    assert val(F.xxhash64(F.lit(None).cast("bigint"))) == 42
+
+
+def test_minhash_xxhash_signature_matches_reference(spark):
+    """The df-path xxhash64 MinHash signature pinned value-for-value
+    against the reference replay in tests/xxh64_ref.py — token hashing,
+    window chaining (including the per-zip re-seeding), the INT fast
+    path of the seed index, signed min, and the sub-k-words drop."""
+    from hobbes_spark.functions.dedup import minhash_signatures_df
+    from tests.xxh64_ref import minhash_signature
+
+    texts = {
+        1: "red fox jumps high today",
+        2: "red fox jumps high today",
+        3: "blue bird sings very sweetly",
+        4: "one two",                       # < k words: no row
+        5: "A B C d e",                     # case folding
+    }
+    df = spark.createDataFrame(list(texts.items()), "id bigint, text string")
+    got = {
+        r["id"]: list(r["sig"])
+        for r in minhash_signatures_df(df, "id", "text", num_hashes=4).collect()
+    }
+    want = {
+        d: minhash_signature(t)
+        for d, t in texts.items()
+        if minhash_signature(t) is not None
+    }
+    assert got == want
+    assert 4 not in got
+
+
+def test_minhash_xxhash_fixture_literals_rederive():
+    """Guard the frozen xxhash64-signature literals in
+    `minhash_xxhash_fixture_exact` against typos: re-derive them with
+    the reference implementation."""
+    from hobbes_spark.queries import (
+        _MINHASH_XXHASH_FIXTURE_DOCS,
+        _MINHASH_XXHASH_FIXTURE_SIGS,
+    )
+    from tests.xxh64_ref import minhash_signature
+
+    derived = {
+        d: tuple(minhash_signature(t))
+        for d, t in _MINHASH_XXHASH_FIXTURE_DOCS
+        if minhash_signature(t) is not None
+    }
+    assert derived == _MINHASH_XXHASH_FIXTURE_SIGS
