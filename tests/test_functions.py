@@ -2394,3 +2394,21 @@ def test_minhash_xxhash_fixture_literals_rederive():
         if minhash_signature(t) is not None
     }
     assert derived == _MINHASH_XXHASH_FIXTURE_SIGS
+
+
+def test_plane_weight_matrix_matches_reference(spark):
+    """The production ANN hyperplane matrix (xxhash64-parity signs)
+    re-derived with the pure-Python reference XXH64: w[p][i] = +1 iff
+    the chained hash of the two INT indices is odd. With this, every
+    stage of the xxhash64 ANN path has an independent twin."""
+    from hobbes_spark.functions.similarity import plane_weight_matrix
+    from tests.xxh64_ref import hash_int
+
+    M = (1 << 64) - 1
+    W = plane_weight_matrix(spark, 4, 6)
+    ref = [
+        [1.0 if (hash_int(i, hash_int(p) & M) & 1) == 1 else -1.0
+         for i in range(6)]
+        for p in range(4)
+    ]
+    assert W == ref

@@ -25,6 +25,7 @@ parser/compiler surface is)."""
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -457,7 +458,7 @@ def _outcome(build):
 
 @given(prog=programs())
 @settings(
-    max_examples=25,
+    max_examples=int(os.environ.get("HOBBES_HB_FUZZ_EXAMPLES", "25")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -641,7 +642,7 @@ def sourced_programs(draw):
 
 @given(prog=sourced_programs())
 @settings(
-    max_examples=25,
+    max_examples=int(os.environ.get("HOBBES_HB_FUZZ_EXAMPLES", "25")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
