@@ -38,6 +38,7 @@ __all__ = [
     "top_fraction_by",
     "group_sample",
     "systematic_weighted_sample",
+    "leakage_safe_split",
 ]
 
 _SCALE = 1 << 32
@@ -67,6 +68,57 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"hash_sample: fraction must be in [0, 1], got {fraction}")
     return df.filter(hash_bucket(key, salt) < int(fraction * _SCALE))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    cluster_col: str,
+    weights: "dict[str, float]",
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign train/val/test splits by CLUSTER, not by row: every member
+    of a duplicate/near-dup cluster receives the same split, so held-out
+    evaluation can never contain a near-duplicate of a training document
+    — the leakage that row-level splitting reintroduces even AFTER
+    dedup whenever clustering was approximate or keep-best retained one
+    representative of many.
+
+    ``weights`` is an ordered ``{split_name: fraction}`` summing to 1
+    (±1e-9); the cluster key hashes through :func:`hash_bucket` (md5 —
+    cross-engine replayable, NULL keys bucket together via its
+    sentinel) and takes the name of the first cumulative threshold it
+    falls under.  Deterministic under any partitioning and cluster
+    size, and ONE map-side expression: no shuffle, no join — at 100 TB
+    the split is free.  Compose: exact fingerprint or connected-
+    component label -> cluster column -> this."""
+    if not weights:
+        raise ValueError("leakage_safe_split: weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(
+            f"leakage_safe_split: all weights must be > 0, got {weights}"
+        )
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"leakage_safe_split: weights must sum to 1, got {total}"
+        )
+    h = hash_bucket(cluster_col, salt)
+    names = list(weights)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = h < int(cum * _SCALE)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    # the last split takes the remainder, so integer rounding of the
+    # thresholds can never leave a cluster unassigned
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn(out_col, expr)
 
 
 def hash_sample_by(

@@ -2060,6 +2060,56 @@ def hash_sample_docs(spark, sf_dir):
 
 
 @q(
+    "leakage_split_docs",
+    f"""
+    WITH c AS (
+      SELECT doc_id, md5(COALESCE(text, '')) AS cluster FROM documents
+    ),
+    s AS (
+      SELECT doc_id, cluster,
+             CASE WHEN ({_hash_bucket_sql('cluster')}) < {int(0.8 * (1 << 32))}
+                  THEN 'train'
+                  WHEN ({_hash_bucket_sql('cluster')}) < {int(0.9 * (1 << 32))}
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM c
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
+    FROM s GROUP BY split ORDER BY split
+    """,
+)
+def leakage_split_docs(spark, sf_dir):
+    """Leakage-safe train/val/test assignment (beyond-reference, the
+    eval-hygiene step of corpus construction): split by exact-dup
+    CLUSTER (md5 text fingerprint) so no split boundary ever separates
+    two copies of the same document — row-level splitting after
+    keep-best dedup would still leak whenever a cluster kept one
+    representative of many.  Map-only (one md5 + one threshold CASE per
+    row, no shuffle before the counting agg); the md5 bucket replays
+    bit-for-bit in DuckDB, so the assignment itself is value-checked,
+    not just the counts."""
+    from hobbes_spark.functions.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents").df
+    clustered = docs.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("cluster")
+    )
+    split = leakage_safe_split(
+        clustered, "cluster", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
+@q(
     "weighted_sample_docs",
     f"""
     WITH w AS (
@@ -8909,8 +8959,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # --- never signed (new in r8): the MinHash/LSH (md5 AND xxhash64
     #     paths), and injected-plane ANN hand-literal truth pins
     #     closing the replay-oracle families (r7 items 2 and 3-margin) ---
-    "ann_lsh_fixture_exact", "lsh_bands_fixture_exact",
-    "minhash_fixture_exact", "minhash_xxhash_fixture_exact",
+    "ann_lsh_fixture_exact", "leakage_split_docs",
+    "lsh_bands_fixture_exact", "minhash_fixture_exact",
+    "minhash_xxhash_fixture_exact",
     # --- changed since their last r5 signature: the r7 pack/prefix
     #     refactor (functions/prefix.py extraction touched
     #     curation.pack path), similarity/multimodal/streaming edits
@@ -8935,10 +8986,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q18_big_orders", "tpch_q19_disjuncts", "tpch_q1_pricing",
     "tpch_q20_promotion", "tpch_q21_waiting", "tpch_q22_opportunity",
     "tpch_q2_mincost", "tpch_q4_priority", "tpch_q6_forecast",
-    "tpch_q8_mktshare", "unpivot_charges",
-    # (4 new + 9 changed + 37 r4 = 50 slots exactly; user_streaks and
-    #  validate_orders — the alphabetically-last r4 entries — and the
-    #  unchanged-r5 entries roll to the next rotation)
+    "tpch_q8_mktshare",
+    # (5 new + 9 changed + 36 r4 = 50 slots exactly; unpivot_charges,
+    #  user_streaks and validate_orders — the alphabetically-last r4
+    #  entries — and the unchanged-r5 entries roll to the next rotation)
 ]
 
 

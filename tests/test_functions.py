@@ -2412,3 +2412,62 @@ def test_plane_weight_matrix_matches_reference(spark):
         for p in range(4)
     ]
     assert W == ref
+
+
+class TestLeakageSafeSplit:
+    """Cluster-level train/val/test assignment: the eval-hygiene split."""
+
+    def test_same_cluster_same_split_and_rough_proportions(self, spark):
+        from hobbes_spark.functions.sampling import leakage_safe_split
+
+        # 2000 clusters x 2 member docs each
+        df = spark.range(4000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("c"), (F.col("id") % 2000)).alias("cluster"),
+        )
+        out = leakage_safe_split(
+            df, "cluster", {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        per_cluster = (
+            out.groupBy("cluster")
+            .agg(F.countDistinct("split").alias("k"))
+            .agg(F.max("k").alias("m"))
+            .first()["m"]
+        )
+        assert per_cluster == 1  # no cluster straddles a split
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert 0.7 < counts["train"] / 4000 < 0.9
+        assert counts["val"] % 2 == 0 and counts["test"] % 2 == 0
+
+    def test_null_clusters_travel_together(self, spark):
+        from hobbes_spark.functions.sampling import leakage_safe_split
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "x")], "doc_id long, cluster string"
+        )
+        out = leakage_safe_split(df, "cluster", {"a": 0.5, "b": 0.5})
+        nulls = {r["split"] for r in out.filter(F.col("cluster").isNull()).collect()}
+        assert len(nulls) == 1  # hash_bucket's NULL sentinel: one split
+
+    def test_weight_validation(self, spark):
+        from hobbes_spark.functions.sampling import leakage_safe_split
+
+        df = spark.range(1).select(F.col("id").cast("string").alias("c"))
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="sum to 1"):
+            leakage_safe_split(df, "c", {"a": 0.5, "b": 0.4})
+        with _pt.raises(ValueError, match="> 0"):
+            leakage_safe_split(df, "c", {"a": 1.5, "b": -0.5})
+        with _pt.raises(ValueError, match="non-empty"):
+            leakage_safe_split(df, "c", {})
+
+    def test_assignment_is_shuffle_free(self, spark):
+        from hobbes_spark.functions.sampling import leakage_safe_split
+
+        df = spark.range(10).select(F.col("id").cast("string").alias("c"))
+        out = leakage_safe_split(df, "c", {"a": 0.5, "b": 0.5})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # map-only at any scale
