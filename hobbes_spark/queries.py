@@ -2059,6 +2059,108 @@ def hash_sample_docs(spark, sf_dir):
     return hash_sample(docs, "doc_id", 0.25).select("doc_id", "source", "n_chars")
 
 
+# Both engines synthesize the SAME deterministic URL variants from
+# doc_id: scheme case, default + non-default ports, userinfo-free
+# hosts with case, empty paths, tracking + real query params in
+# shuffled order, fragments — every rule canonical_url normalizes.
+_URL_SYNTH_SQL = """
+  concat(
+    CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://',
+    'Site', CAST(doc_id % 7 AS VARCHAR), '.Example.COM',
+    CASE WHEN doc_id % 3 = 0
+         THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+         WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END,
+    CASE WHEN doc_id % 11 = 0 THEN ''
+         ELSE concat('/Page/', CAST(doc_id // 7 AS VARCHAR)) END,
+    CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1&fbclid=xyz'
+         WHEN doc_id % 4 = 1 THEN '?b=2&a=1' ELSE '' END,
+    CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END
+  )
+"""
+
+
+@q(
+    "canonical_url_docs",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents WHERE doc_id < 60
+    ),
+    p AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(regexp_replace(url, '#.*$', ''),
+                            '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
+             regexp_replace(url, '#.*$', '') AS nofrag
+      FROM u
+    ),
+    q AS (
+      SELECT doc_id, scheme,
+             regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1),
+                            '^[^@]*@', '') AS nouser,
+             regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) AS path,
+             regexp_extract(nofrag, '\\?([^#]*)', 1) AS query
+      FROM p
+    ),
+    h AS (
+      SELECT doc_id, scheme, path, query,
+             lower(regexp_replace(nouser, ':[0-9]*$', '')) AS host,
+             regexp_extract(nouser, ':([0-9]+)$', 1) AS port
+      FROM q
+    ),
+    canon AS (
+      SELECT doc_id, host,
+             concat(
+               scheme, '://', host,
+               CASE WHEN len(port) > 0
+                     AND NOT (scheme = 'http' AND port = '80')
+                     AND NOT (scheme = 'https' AND port = '443')
+                    THEN concat(':', port) ELSE '' END,
+               CASE WHEN len(path) = 0 THEN '/' ELSE path END,
+               CASE WHEN len(list_filter(str_split(query, '&'),
+                      x -> len(x) > 0 AND NOT regexp_matches(x,
+                        '^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_eid)(=.*)?$'))) > 0
+                    THEN concat('?', array_to_string(list_sort(
+                      list_filter(str_split(query, '&'),
+                        x -> len(x) > 0 AND NOT regexp_matches(x,
+                          '^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_eid)(=.*)?$'))),
+                      '&'))
+                    ELSE '' END
+             ) AS url_canon
+      FROM h
+    )
+    SELECT doc_id, host, url_canon FROM canon
+    WHERE NOT (host = 'site3.example.com' OR host LIKE '%.site3.example.com')
+    ORDER BY doc_id
+    """,
+)
+def canonical_url_docs(spark, sf_dir):
+    """URL canonicalization + host blocklist (beyond-reference, the
+    URL-level dedup/filter stage every web-corpus pipeline runs BEFORE
+    touching text): deterministic variants synthesized from doc_id —
+    scheme/host case, default vs real ports, tracking params in
+    shuffled order, fragments, empty paths — canonicalized by ONE
+    codegen expression (functions/web.py, no UDF, no shuffle) and
+    filtered against a blocked domain incl. subdomains.  The DuckDB
+    oracle re-implements every rule independently (RE2 regex + list
+    functions vs Java regex + Column higher-order functions), and the
+    tricky variants are additionally literal-pinned in
+    tests/test_functions.py."""
+    from hobbes_spark.functions.web import canonical_url, filter_blocked_hosts, url_host
+
+    docs = _t(spark, sf_dir, "documents").df.filter(F.col("doc_id") < 60)
+    synth = _URL_SYNTH_SQL.replace("AS VARCHAR", "AS STRING").replace(
+        "doc_id // 7", "doc_id DIV 7"
+    )
+    with_url = docs.select("doc_id", F.expr(synth).alias("url"))
+    kept = filter_blocked_hosts(with_url, "url", ["Site3.Example.com"])
+    return kept.select(
+        "doc_id",
+        url_host("url").alias("host"),
+        canonical_url("url").alias("url_canon"),
+    ).orderBy("doc_id")
+
+
 @q(
     "leakage_split_docs",
     f"""
@@ -8959,7 +9061,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # --- never signed (new in r8): the MinHash/LSH (md5 AND xxhash64
     #     paths), and injected-plane ANN hand-literal truth pins
     #     closing the replay-oracle families (r7 items 2 and 3-margin) ---
-    "ann_lsh_fixture_exact", "leakage_split_docs",
+    "ann_lsh_fixture_exact", "canonical_url_docs", "leakage_split_docs",
     "lsh_bands_fixture_exact", "minhash_fixture_exact",
     "minhash_xxhash_fixture_exact",
     # --- changed since their last r5 signature: the r7 pack/prefix
@@ -8986,10 +9088,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q18_big_orders", "tpch_q19_disjuncts", "tpch_q1_pricing",
     "tpch_q20_promotion", "tpch_q21_waiting", "tpch_q22_opportunity",
     "tpch_q2_mincost", "tpch_q4_priority", "tpch_q6_forecast",
-    "tpch_q8_mktshare",
-    # (5 new + 9 changed + 36 r4 = 50 slots exactly; unpivot_charges,
-    #  user_streaks and validate_orders — the alphabetically-last r4
-    #  entries — and the unchanged-r5 entries roll to the next rotation)
+    # (6 new + 9 changed + 35 r4 = 50 slots exactly; tpch_q8_mktshare,
+    #  unpivot_charges, user_streaks and validate_orders — the
+    #  alphabetically-last r4 entries — and the unchanged-r5 entries
+    #  roll to the next rotation)
 ]
 
 

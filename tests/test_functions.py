@@ -2471,3 +2471,73 @@ class TestLeakageSafeSplit:
         out = leakage_safe_split(df, "c", {"a": 0.5, "b": 0.5})
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # map-only at any scale
+
+
+class TestCanonicalUrl:
+    """URL canonicalization contract, literal-pinned on the variants
+    the DuckDB oracle replay could get wrong in the same way."""
+
+    def _canon(self, spark, urls):
+        from hobbes_spark.functions.web import canonical_url
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+
+    def test_hand_literal_variants(self, spark):
+        got = self._canon(spark, [
+            "HTTP://User:Pw@Site.Example.COM:80/Page/3?utm_source=x&b=2&a=1#frag",
+            "https://site.example.com:443",
+            "https://site.example.com:8443/A/B?z=1&fbclid=abc&y=2",
+            "http://site.example.com:8080/",
+            "https://Site.example.com/CasePreserved/Path%2Fx",
+            "not a url",
+            "ftp://Files.Example.com/Pub",
+            "https://site.example.com/?utm_campaign=only&gclid=1",
+        ])
+        assert got == [
+            # userinfo gone, scheme/host lowered, default port stripped,
+            # tracking dropped, params sorted, fragment gone
+            "http://site.example.com/Page/3?a=1&b=2",
+            "https://site.example.com/",        # empty path -> '/'
+            "https://site.example.com:8443/A/B?y=2&z=1",  # real port kept
+            "http://site.example.com:8080/",
+            "https://site.example.com/CasePreserved/Path%2Fx",  # path bytes kept
+            None,                                # non-URL -> NULL
+            "ftp://files.example.com/Pub",       # non-http scheme: no port rules
+            "https://site.example.com/",         # all params tracking -> none
+        ]
+
+    def test_host_and_blocklist(self, spark):
+        from hobbes_spark.functions.web import filter_blocked_hosts, url_host
+
+        df = spark.createDataFrame(
+            [(1, "https://A.Bad.com/x"), (2, "https://bad.com:8080/"),
+             (3, "https://notbad.com/"), (4, "https://good.org/"),
+             (5, "garbage")],
+            "id long, url string",
+        )
+        hosts = {r["id"]: r["h"] for r in
+                 df.select("id", url_host("url").alias("h")).collect()}
+        assert hosts == {1: "a.bad.com", 2: "bad.com", 3: "notbad.com",
+                         4: "good.org", 5: None}
+        kept = {r["id"] for r in
+                filter_blocked_hosts(df, "url", ["Bad.com"]).collect()}
+        assert kept == {3, 4}  # subdomain + port variants blocked, 5 dropped
+        kept2 = {r["id"] for r in
+                 filter_blocked_hosts(df, "url", ["bad.com"],
+                                      keep_non_urls=True).collect()}
+        assert kept2 == {3, 4, 5}
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="non-empty"):
+            filter_blocked_hosts(df, "url", [])
+
+    def test_canonicalization_is_shuffle_free(self, spark):
+        from hobbes_spark.functions.web import canonical_url
+
+        df = spark.range(5).select(
+            F.concat(F.lit("https://h"), F.col("id"), F.lit(".com/p")).alias("url")
+        )
+        out = df.select(canonical_url("url").alias("c"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
