@@ -81,6 +81,7 @@ ARROW_MATMUL_QUERIES = {
     "embedding_neardup_lsh",
     "semantic_dedup_keep",
     "ann_lsh_topk",
+    "ann_lsh_fixture_exact",  # same Arrow sign matmul, injected planes
     "bpe_encode_words",
     "unigram_encode_fixture",
 }
