@@ -343,3 +343,58 @@ def test_prefix_sum_sharded_equals_single_window(spark, rows, shards):
         (r["g"] or "\x00", r["o"], r["run"]) for r in d.collect()
     )
     assert snap(a) == snap(b)
+
+
+# --------------------------------------------------------------------- #
+# URL canonicalization properties (round 8): idempotence and variant
+# collapse. Idempotence is the contract that makes canonical URLs safe
+# as DEDUP KEYS — if canonical(canonical(u)) could differ from
+# canonical(u), re-canonicalizing an already-clean corpus would split
+# previously-merged duplicates.
+# --------------------------------------------------------------------- #
+
+_url_scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"])
+_url_host = st.builds(
+    lambda a, b: f"{a}.{b}.Example.COM",
+    st.sampled_from(["www", "API", "cdn1"]),
+    st.sampled_from(["Site", "shop", "Docs"]),
+)
+_url_port = st.sampled_from(["", ":80", ":443", ":8080"])
+_url_path = st.sampled_from(["", "/", "/A/b", "/Case%2FSens", "/p/q/r"])
+_url_params = st.lists(
+    st.sampled_from(["a=1", "b=2", "Z=9", "utm_source=x", "fbclid=f",
+                     "gclid=g", "q=hello+world"]),
+    min_size=0, max_size=5,
+)
+_url_frag = st.sampled_from(["", "#top", "#Sec-2"])
+
+
+@pytest.mark.parametrize("dummy", [0])
+@given(
+    scheme=_url_scheme, host=_url_host, port=_url_port, path=_url_path,
+    params=_url_params, frag=_url_frag,
+)
+@settings(
+    max_examples=30, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_canonical_url_idempotent(spark, dummy, scheme, host, port, path,
+                                  params, frag):
+    from hobbes_spark.functions.web import canonical_url
+
+    q = ("?" + "&".join(params)) if params else ""
+    url = f"{scheme}://{host}{port}{path}{q}{frag}"
+    df = spark.createDataFrame([(url,)], "url string")
+    once = df.select(canonical_url("url").alias("c")).first()["c"]
+    assert once is not None
+    twice = (
+        spark.createDataFrame([(once,)], "url string")
+        .select(canonical_url("url").alias("c"))
+        .first()["c"]
+    )
+    assert twice == once, (url, once, twice)
+    # variant collapse: fragment and tracking params never survive
+    assert "#" not in once and "utm_" not in once and "fbclid" not in once
+    # host case never survives
+    host_out = once.split("://")[1].split("/")[0]
+    assert host_out == host_out.lower()
