@@ -1273,6 +1273,48 @@ def minhash_xxhash_fixture_exact(spark, sf_dir):
     ).orderBy("id")
 
 
+@q(
+    "lsh_stats_fixture_exact",
+    """
+    SELECT * FROM (VALUES
+      (CAST(0 AS INTEGER), CAST(3 AS BIGINT), CAST(4 AS BIGINT),
+       CAST(6 AS BIGINT)),
+      (CAST(1 AS INTEGER), CAST(4 AS BIGINT), CAST(3 AS BIGINT),
+       CAST(3 AS BIGINT))
+    ) AS t(band, n_buckets, max_bucket, candidate_pairs)
+    ORDER BY band
+    """,
+)
+def lsh_stats_fixture_exact(spark, sf_dir):
+    """INDEPENDENT truth pin for `lsh_candidate_stats` (round 8, the
+    last replay-margin row the r7 verdict named): the oracle is frozen
+    literals derived with the pure-Python XXH64 reference, NOT a DuckDB
+    replay of the bucket aggregation.  Fixture (num_hashes=4, k=3,
+    bands=2): docs 1-3 identical; doc 7 "fox jumps high up" contains
+    exactly the window that wins seeds 0 and 1 for docs 1-3 ("fox jumps
+    high") but not the seeds-2/3 winners, so it joins their bucket in
+    band 0 ONLY — band 0 = 3 buckets {1,2,3,7|4|5}, max 4, C(4,2)=6
+    pairs; band 1 = 4 buckets {1,2,3|4|5|7}, max 3, C(3,2)=3 pairs.
+    Docs 4-5 agree on one slot per band (shared "blue bird sings" wins
+    seed 2): singleton buckets in BOTH bands.  Doc 6 (< k words)
+    contributes nothing.  The asymmetric per-band rows mean a band-
+    slicing bug cannot cancel out."""
+    from hobbes_spark.functions.dedup import (
+        lsh_candidate_stats,
+        minhash_signatures_df,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "red fox jumps high today"), (2, "red fox jumps high today"),
+         (3, "red fox jumps high today"), (4, "blue bird sings very sweetly"),
+         (5, "blue bird sings very loudly"), (6, "one two"),
+         (7, "fox jumps high up")],
+        "id bigint, text string",
+    )
+    sigs = minhash_signatures_df(docs, "id", "text", num_hashes=4)
+    return lsh_candidate_stats(sigs, num_hashes=4, bands=2).orderBy("band")
+
+
 @q("minhash_fixture_exact", _minhash_fixture_sql())
 def minhash_fixture_exact(spark, sf_dir):
     """MinHash signature truth pin: md5 path, num_hashes=4, k=3, over
@@ -9062,8 +9104,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     #     paths), and injected-plane ANN hand-literal truth pins
     #     closing the replay-oracle families (r7 items 2 and 3-margin) ---
     "ann_lsh_fixture_exact", "canonical_url_docs", "leakage_split_docs",
-    "lsh_bands_fixture_exact", "minhash_fixture_exact",
-    "minhash_xxhash_fixture_exact",
+    "lsh_bands_fixture_exact", "lsh_stats_fixture_exact",
+    "minhash_fixture_exact", "minhash_xxhash_fixture_exact",
     # --- changed since their last r5 signature: the r7 pack/prefix
     #     refactor (functions/prefix.py extraction touched
     #     curation.pack path), similarity/multimodal/streaming edits
@@ -9087,11 +9129,11 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q15_topsupp", "tpch_q16_suppcnt", "tpch_q17_smallqty",
     "tpch_q18_big_orders", "tpch_q19_disjuncts", "tpch_q1_pricing",
     "tpch_q20_promotion", "tpch_q21_waiting", "tpch_q22_opportunity",
-    "tpch_q2_mincost", "tpch_q4_priority", "tpch_q6_forecast",
-    # (6 new + 9 changed + 35 r4 = 50 slots exactly; tpch_q8_mktshare,
-    #  unpivot_charges, user_streaks and validate_orders — the
-    #  alphabetically-last r4 entries — and the unchanged-r5 entries
-    #  roll to the next rotation)
+    "tpch_q2_mincost", "tpch_q4_priority",
+    # (7 new + 9 changed + 34 r4 = 50 slots exactly; tpch_q6_forecast,
+    #  tpch_q8_mktshare, unpivot_charges, user_streaks and
+    #  validate_orders — the alphabetically-last r4 entries — and the
+    #  unchanged-r5 entries roll to the next rotation)
 ]
 
 

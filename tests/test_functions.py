@@ -2541,3 +2541,28 @@ class TestCanonicalUrl:
         out = df.select(canonical_url("url").alias("c"))
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_lsh_stats_fixture_literals_rederive():
+    """Guard the `lsh_stats_fixture_exact` literals: re-derive
+    signatures with the XXH64 reference, band them, and recompute the
+    per-band bucket statistics."""
+    from collections import Counter
+
+    from tests.xxh64_ref import minhash_signature
+
+    docs = {
+        1: "red fox jumps high today", 2: "red fox jumps high today",
+        3: "red fox jumps high today", 4: "blue bird sings very sweetly",
+        5: "blue bird sings very loudly", 6: "one two",
+        7: "fox jumps high up",
+    }
+    sigs = {d: minhash_signature(t, 4, 3) for d, t in docs.items()}
+    sigs = {d: s for d, s in sigs.items() if s is not None}
+    stats = {}
+    for b in range(2):
+        ks = list(Counter(tuple(s[2 * b : 2 * b + 2]) for s in sigs.values()).values())
+        stats[b] = (len(ks), max(ks), sum(k * (k - 1) // 2 for k in ks))
+    assert stats == {0: (3, 4, 6), 1: (4, 3, 3)}
+    # the one-band collider: doc 7 shares docs 1-3's band-0 key only
+    assert sigs[7][:2] == sigs[1][:2] and sigs[7][2:] != sigs[1][2:]
