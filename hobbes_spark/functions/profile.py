@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 
 from hobbes_spark.expressions import c as _c
 
-__all__ = ["profile_columns", "winsorize", "equi_depth_histogram"]
+__all__ = [
+    "profile_columns", "winsorize", "equi_depth_histogram", "cohens_kappa",
+]
 
 
 def profile_columns(
@@ -147,4 +149,64 @@ def equi_depth_histogram(df, value_col: str, buckets: int = 10):
             F.min("__v").alias("lo"),
             F.max("__v").alias("hi"),
         )
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cohen's kappa between two label columns — the chance-corrected
+    agreement a labeling pipeline checks when comparing two quality-
+    classifier versions, two annotation passes, or model-vs-human
+    labels over the same documents (kappa near 0 = the expensive new
+    labels add nothing beyond class priors).
+
+    Returns ONE row ``(n, agree, kappa_num, kappa_den, kappa)``.  The
+    arithmetic is EXACT integers end to end:
+
+        kappa = (N·agree − Σ_c na_c·nb_c) / (N² − Σ_c na_c·nb_c)
+
+    which equals the textbook (p_o − p_e)/(1 − p_e) with both sides
+    multiplied by N² — so an external engine replays numerator and
+    denominator bit-for-bit, and the double division of two exact
+    bigints is IEEE-determined.  ``kappa`` is NULL when the denominator
+    is 0 (both columns constant and equal: p_e = 1, agreement is
+    undefined, not perfect).  NULL labels are a CLASS (two NULLs agree)
+    — drop them upstream if your convention differs.
+
+    Scale shape: one corpus-sized keyed aggregation to the (a, b)
+    contingency table (map-side combined, at most |A|·|B| rows), then
+    class-sized arithmetic.  Nothing corpus-sized ever reaches the
+    driver."""
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("\x00null"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("\x00null"))
+    ct = df.groupBy(a.alias("__a"), b.alias("__b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    na = ct.groupBy("__a").agg(F.sum("__n").alias("__na"))
+    nb = ct.groupBy("__b").agg(F.sum("__n").alias("__nb"))
+    # Σ_c na_c·nb_c over classes appearing on EITHER side: classes
+    # absent from one side contribute 0, so the inner join is exact
+    pe_num = (
+        na.join(nb, na["__a"] == nb["__b"], "inner")
+        .agg(F.coalesce(F.sum(F.col("__na") * F.col("__nb")), F.lit(0)).alias("__pe"))
+    )
+    totals = ct.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n"))), F.lit(0)
+        ).cast("bigint").alias("agree"),
+    )
+    out = totals.crossJoin(F.broadcast(pe_num))
+    num = F.col("n") * F.col("agree") - F.col("__pe")
+    den = F.col("n") * F.col("n") - F.col("__pe")
+    return out.select(
+        "n", "agree",
+        num.cast("bigint").alias("kappa_num"),
+        den.cast("bigint").alias("kappa_den"),
+        F.when(
+            den != 0, num.cast("double") / den.cast("double")
+        ).alias("kappa"),
     )

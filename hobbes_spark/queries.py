@@ -2204,6 +2204,55 @@ def canonical_url_docs(spark, sf_dir):
 
 
 @q(
+    "kappa_labels",
+    """
+    WITH l AS (
+      SELECT COALESCE(lang, chr(0) || 'null') AS a,
+             COALESCE(CASE WHEN doc_id % 5 = 0 THEN 'zz' ELSE lang END,
+                      chr(0) || 'null') AS b
+      FROM documents
+    ),
+    ct AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY a, b),
+    na AS (SELECT a, SUM(n) AS na FROM ct GROUP BY a),
+    nb AS (SELECT b, SUM(n) AS nb FROM ct GROUP BY b),
+    pe AS (SELECT COALESCE(SUM(na * nb), 0) AS pe
+           FROM na JOIN nb ON na.a = nb.b),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                 CAST(COALESCE(SUM(CASE WHEN a = b THEN n END), 0) AS BIGINT)
+                   AS agree
+          FROM ct)
+    SELECT n, agree,
+           CAST(n * agree - pe AS BIGINT) AS kappa_num,
+           CAST(n * n - pe AS BIGINT) AS kappa_den,
+           CASE WHEN n * n - pe != 0
+                THEN floor((n * agree - pe) / CAST(n * n - pe AS DOUBLE)
+                           * 1000000 + 0.5) / 1000000 END AS kappa
+    FROM t, pe
+    """,
+)
+def kappa_labels(spark, sf_dir):
+    """Cohen's kappa label-agreement audit (beyond-reference, the
+    data-QA step when a relabeling run lands): the second labeling is a
+    deterministic corruption of `lang` (every 5th doc flipped to an
+    out-of-vocabulary class), so the expected chance-corrected
+    agreement is high but not 1.  Exact-integer numerator/denominator
+    replay bit-for-bit; the double kappa rounds half-up to 6 dp in both
+    engines (functions/profile.cohens_kappa)."""
+    from hobbes_spark.functions.profile import cohens_kappa
+
+    docs = _t(spark, sf_dir, "documents").df
+    labeled = docs.select(
+        F.col("lang").alias("a"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("zz"))
+        .otherwise(F.col("lang")).alias("b"),
+    )
+    out = cohens_kappa(labeled, "a", "b")
+    return out.select(
+        "n", "agree", "kappa_num", "kappa_den", _r(F.col("kappa"), 6).alias("kappa")
+    )
+
+
+@q(
     "leakage_split_docs",
     f"""
     WITH c AS (
@@ -9103,9 +9152,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # --- never signed (new in r8): the MinHash/LSH (md5 AND xxhash64
     #     paths), and injected-plane ANN hand-literal truth pins
     #     closing the replay-oracle families (r7 items 2 and 3-margin) ---
-    "ann_lsh_fixture_exact", "canonical_url_docs", "leakage_split_docs",
-    "lsh_bands_fixture_exact", "lsh_stats_fixture_exact",
-    "minhash_fixture_exact", "minhash_xxhash_fixture_exact",
+    "ann_lsh_fixture_exact", "canonical_url_docs", "kappa_labels",
+    "leakage_split_docs", "lsh_bands_fixture_exact",
+    "lsh_stats_fixture_exact", "minhash_fixture_exact",
+    "minhash_xxhash_fixture_exact",
     # --- changed since their last r5 signature: the r7 pack/prefix
     #     refactor (functions/prefix.py extraction touched
     #     curation.pack path), similarity/multimodal/streaming edits
@@ -9129,11 +9179,11 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q15_topsupp", "tpch_q16_suppcnt", "tpch_q17_smallqty",
     "tpch_q18_big_orders", "tpch_q19_disjuncts", "tpch_q1_pricing",
     "tpch_q20_promotion", "tpch_q21_waiting", "tpch_q22_opportunity",
-    "tpch_q2_mincost", "tpch_q4_priority",
-    # (7 new + 9 changed + 34 r4 = 50 slots exactly; tpch_q6_forecast,
-    #  tpch_q8_mktshare, unpivot_charges, user_streaks and
-    #  validate_orders — the alphabetically-last r4 entries — and the
-    #  unchanged-r5 entries roll to the next rotation)
+    "tpch_q2_mincost",
+    # (8 new + 9 changed + 33 r4 = 50 slots exactly; tpch_q4_priority,
+    #  tpch_q6_forecast, tpch_q8_mktshare, unpivot_charges,
+    #  user_streaks and validate_orders — the alphabetically-last r4
+    #  entries — and the unchanged-r5 entries roll to the next rotation)
 ]
 
 

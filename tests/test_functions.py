@@ -2566,3 +2566,37 @@ def test_lsh_stats_fixture_literals_rederive():
     assert stats == {0: (3, 4, 6), 1: (4, 3, 3)}
     # the one-band collider: doc 7 shares docs 1-3's band-0 key only
     assert sigs[7][:2] == sigs[1][:2] and sigs[7][2:] != sigs[1][2:]
+
+
+class TestCohensKappa:
+    def test_hand_computed_fixture(self, spark):
+        """n=6, agree=4, na=nb=(3,2,1) -> pe_num=14, kappa=10/22."""
+        from hobbes_spark.functions.profile import cohens_kappa
+
+        df = spark.createDataFrame(
+            [("x", "x"), ("x", "x"), ("x", "y"), ("y", "y"), ("y", "x"),
+             ("z", "z")],
+            "a string, b string",
+        )
+        r = cohens_kappa(df, "a", "b").first()
+        assert (r["n"], r["agree"], r["kappa_num"], r["kappa_den"]) == (6, 4, 10, 22)
+        assert r["kappa"] == pytest.approx(10 / 22)
+
+    def test_perfect_and_chance_and_degenerate(self, spark):
+        from hobbes_spark.functions.profile import cohens_kappa
+
+        perfect = spark.createDataFrame(
+            [("x", "x"), ("y", "y")], "a string, b string"
+        )
+        assert cohens_kappa(perfect, "a", "b").first()["kappa"] == pytest.approx(1.0)
+        # both constant and equal: pe = 1, kappa undefined -> NULL
+        const = spark.createDataFrame([("x", "x")] * 3, "a string, b string")
+        r = cohens_kappa(const, "a", "b").first()
+        assert r["kappa"] is None and r["kappa_den"] == 0
+        # NULLs are a class: two NULLs agree
+        withnull = spark.createDataFrame(
+            [(None, None), ("x", "x"), ("x", None), (None, "x")],
+            "a string, b string",
+        )
+        r2 = cohens_kappa(withnull, "a", "b").first()
+        assert (r2["n"], r2["agree"]) == (4, 2)

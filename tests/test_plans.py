@@ -97,6 +97,7 @@ BNLJ_ALLOWED = {
     # 1-row stats / scalar broadcasts
     "bm25_topk", "unigram_scores", "bigram_scores", "ccnet_buckets",
     "corpus_datasheet", "tfidf_top_terms",
+    "kappa_labels",  # two 1-row aggregates (totals × pe) cross-joined
     "dsir_weights", "temperature_sample_docs", "histogram_prices",
     "linear_extrapolation", "bloom_decontaminate", "media_phash_pairs",
     "tpch_q2_mincost", "tpch_q11_stockvalue", "tpch_q16_suppcnt",
