@@ -9141,49 +9141,51 @@ def chart_gauge_lineitem(spark, sf_dir):
 # gate_check + pytest cover as regression evidence.
 # --------------------------------------------------------------------- #
 
+# The correctness record this window's cohort was computed against
+# (r8 verdict item 1): tests/test_oracle_parity.py::
+# test_driver_window_contract calls tools/window_cohort.py with
+# as_of=this round, so the expectation is byte-stable even AFTER the
+# next round's CORRECTNESS file lands — the once-per-round boundary red
+# of r6-r8 is designed out.  Rotation-due enforcement (a newer record
+# exists, rotate me) lives in tools/gate_check.py, which refuses to run
+# until this stamp matches the newest record on disk.
+WINDOW_FROZEN_AT = "CORRECTNESS_r08"
+
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # Round-8 rotation, CHANGE-AWARE (tools/window_cohort.py): a query
-    # whose implementing functions were edited AFTER its last signature
-    # outranks pure age — the signature no longer covers the code that
-    # runs.  Rank = (changed-since-signature DESC, last-signed round
-    # ASC, name ASC), frozen at the commit that recorded
-    # CORRECTNESS_r07.json so mid-round commits roll into the NEXT
-    # cohort instead of shifting this one.
-    # --- never signed (new in r8): the MinHash/LSH (md5 AND xxhash64
-    #     paths), and injected-plane ANN hand-literal truth pins
-    #     closing the replay-oracle families (r7 items 2 and 3-margin) ---
-    "ann_lsh_fixture_exact", "canonical_url_docs", "kappa_labels",
-    "leakage_split_docs", "lsh_bands_fixture_exact",
-    "lsh_stats_fixture_exact", "minhash_fixture_exact",
-    "minhash_xxhash_fixture_exact",
-    # --- changed since their last r5 signature: the r7 pack/prefix
-    #     refactor (functions/prefix.py extraction touched
-    #     curation.pack path), similarity/multimodal/streaming edits
-    #     post-date these six — the four that rolled from r7's window
-    #     plus the pack family the r7 verdict names first ---
-    "cosine_topk", "media_phash_pairs", "pack_docs", "prepare_corpus",
-    "stream_ohlc_bars", "stream_sliding_counts",
-    # --- changed since their last r6 signature: functions/sampling.py
-    #     typed-strata mixture fix (r7, commit 2bb771e) post-dates
-    #     mixture_plan_docs/ccnet_buckets; functions/unigram.py r7
-    #     docstring/convention edit post-dates unigram_encode_fixture ---
-    "ccnet_buckets", "mixture_plan_docs", "unigram_encode_fixture",
-    # --- last signed in r4 (all 39 such queries): longest-unsigned ---
-    "batch_sessions", "bigram_scores", "boilerplate_lines",
-    "concurrency_peak", "corr_matrix", "cube_orders", "dedup_keep_best",
-    "funnel_conversion", "fuzzy_name_pairs", "gap_fill_ffill",
-    "group_sample_docs", "histogram_prices", "mad_outliers",
-    "mode_priority", "ohlc_bars", "profile_lineitem", "props_json_stats",
-    "salted_join_revenue", "scd2_intervals", "source_overlap",
-    "tpch_q11_stockvalue", "tpch_q12_shipmode", "tpch_q13_custdist",
-    "tpch_q15_topsupp", "tpch_q16_suppcnt", "tpch_q17_smallqty",
-    "tpch_q18_big_orders", "tpch_q19_disjuncts", "tpch_q1_pricing",
-    "tpch_q20_promotion", "tpch_q21_waiting", "tpch_q22_opportunity",
-    "tpch_q2_mincost",
-    # (8 new + 9 changed + 33 r4 = 50 slots exactly; tpch_q4_priority,
-    #  tpch_q6_forecast, tpch_q8_mktshare, unpivot_charges,
-    #  user_streaks and validate_orders — the alphabetically-last r4
-    #  entries — and the unchanged-r5 entries roll to the next rotation)
+    # Round-9 rotation, CHANGE-AWARE (tools/window_cohort.py --as-of 8):
+    # rank = (never-signed-or-changed-since-signature DESC, last-signed
+    # round ASC, name ASC), frozen at the commit that recorded
+    # CORRECTNESS_r08.json.  Queries ADDED this round are never-signed
+    # as of r8 and therefore lead automatically — keep this list in
+    # sync when adding catalog entries (the contract test enforces it).
+    # --- changed since their last r6 signature: functions/similarity.py
+    #     r7 IVF-PQ/ADC additions and r8 pre-collect bound guards
+    #     (similarity.py:255,765) post-date these four; functions/bpe.py
+    #     r8 bounded_vocab_rows guard post-dates bpe_encode_words ---
+    "ann_lsh_topk", "bpe_encode_words", "pq_adc_search",
+    "pq_rerank_topk",
+    # --- changed since their last r7 signature: the same r8 guard
+    #     commits (bpe.py:97 bound, classify.py NULL-feature hardening
+    #     b4dd2f0, similarity.py collect bounds) post-date these ---
+    "bpe_merges", "pq_adc_fixture_exact", "ridge_fixture_exact",
+    "ridge_gram_docs",
+    # --- last signed in r4: longest-unsigned (the six that rolled out
+    #     of the r8 window as alphabetically-last r4 entries) ---
+    "tpch_q4_priority", "tpch_q6_forecast", "tpch_q8_mktshare",
+    "unpivot_charges", "user_streaks", "validate_orders",
+    # --- last signed in r5, alphabetical (36 of the r5 group; the
+    #     remainder rolls to the r10 rotation) ---
+    "bm25_topk", "buckets_mean", "chart_gauge_lineitem", "cms_top_terms",
+    "create_revenue", "csv_sniff_locale", "csv_sniff_roundtrip",
+    "curate_corpus", "daily_counts", "decontaminate_docs",
+    "dedup_components_star", "dedup_exact", "expanding_sum", "flowerpot",
+    "git_commit_frequency", "group_all_sum", "group_maxby",
+    "hb_commit_frequency", "hb_cycle_time", "hb_gandalf_state",
+    "hb_localdata_top", "hb_logic_state", "hb_mttr", "join_on_field",
+    "kmv_quantiles_prices", "merge_datasets", "minhash_pairs_fast",
+    "moving_mean", "moving_sum_minmax", "odata_serve_orders",
+    "only_filter", "pagerank_centrality", "pivot_count",
+    "quantize_error_stats", "semantic_dedup_keep", "sketch_user_rollup",
 ]
 
 

@@ -43,6 +43,35 @@ def _snapshot(pdf):
     return cols, rows
 
 
+def _check_window_rotation():
+    """Rotation-due enforcement (r8 verdict item 1): `pytest tests/`
+    pins the window against queries.WINDOW_FROZEN_AT and stays green
+    across round boundaries; the LOUD "a newer record landed, rotate
+    the window" signal lives HERE, where the builder runs it every
+    round as part of the gate sweep.  --allow-stale-window overrides
+    (e.g. to re-verify an old window mid-rotation)."""
+    import glob
+    import re
+
+    from hobbes_spark.queries import WINDOW_FROZEN_AT
+
+    frozen = int(re.fullmatch(r"CORRECTNESS_r(\d+)", WINDOW_FROZEN_AT).group(1))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    ]
+    newest = max(rounds, default=0)
+    if newest > frozen:
+        raise SystemExit(
+            f"GATE: WINDOW ROTATION DUE — CORRECTNESS_r{newest:02d}.json "
+            f"landed but queries.WINDOW_FROZEN_AT is still "
+            f"{WINDOW_FROZEN_AT!r}.  Rotate _DRIVER_WINDOW_PRIORITY to "
+            f"`python tools/window_cohort.py --as-of {newest}` and bump "
+            f"the stamp (or pass --allow-stale-window to override)."
+        )
+
+
 def main():
     args = sys.argv[1:]
     # sf_dir is optional: `gate_check.py --window` / `gate_check.py q1`
@@ -52,6 +81,10 @@ def main():
     else:
         sf_dir = "/root/testdata/sf0.01"
     only = set(args)
+    if "--allow-stale-window" in only:
+        only -= {"--allow-stale-window"}
+    else:
+        _check_window_rotation()
 
     from pyspark.sql import SparkSession
 

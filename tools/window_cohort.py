@@ -43,11 +43,17 @@ import types
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 
-def last_signed_rounds() -> dict[str, int]:
-    """query name -> most recent round with a fully-green signed row."""
+def last_signed_rounds(as_of: int | None = None) -> dict[str, int]:
+    """query name -> most recent round with a fully-green signed row.
+
+    ``as_of`` restricts the ledger to records from rounds <= as_of, so a
+    cohort frozen against ``CORRECTNESS_r08`` stays byte-identical after
+    the round-9 record lands (the r8 boundary red the r8 verdict names)."""
     out: dict[str, int] = {}
     for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+        if as_of is not None and rnd > as_of:
+            continue
         with open(path) as f:
             d = json.load(f)
         for k, v in d.get("queries", d).items():
@@ -252,15 +258,26 @@ def changed_since_signature(
     return False
 
 
-def compute_cohort(top: int = 50) -> list[str]:
+def compute_cohort(top: int = 50, as_of: int | None = None) -> list[str]:
     """The expected gate window: change-aware staleness cohort, FROZEN at
-    the latest correctness record's commit so mid-round commits don't
-    shift the expectation (they roll into the NEXT round's cohort once
-    that round's record lands)."""
+    the ``as_of`` correctness record's commit (default: the latest) so
+    mid-round commits don't shift the expectation (they roll into the
+    NEXT round's cohort once that round's record lands).
+
+    Passing ``as_of`` explicitly (from ``queries.WINDOW_FROZEN_AT``)
+    keeps the expectation stable even after a NEWER record lands — the
+    pytest window contract pins against the stamped round and stays
+    green across the round boundary; rotation-due enforcement lives in
+    ``tools/gate_check.py`` instead (r8 verdict item 1).  Catalog
+    entries never signed as of that round (e.g. added mid-round) always
+    lead, so adding a query means adding it to the static window too —
+    the contract test enforces exactly that."""
     from hobbes_spark.queries import QUERIES
 
-    signed = last_signed_rounds()
+    signed = last_signed_rounds(as_of)
     commits = record_commits()
+    if as_of is not None:
+        commits = {r: c for r, c in commits.items() if r <= as_of}
     boundary = commits.get(max(commits), None) if commits else None
     cache: dict = {}
     keyed = []
@@ -284,6 +301,9 @@ if __name__ == "__main__":
     top = 50
     if "--top" in sys.argv:
         top = int(sys.argv[sys.argv.index("--top") + 1])
+    as_of = None
+    if "--as-of" in sys.argv:
+        as_of = int(sys.argv[sys.argv.index("--as-of") + 1])
     sys.path.insert(0, ROOT)
-    for name in compute_cohort(top):
+    for name in compute_cohort(top, as_of):
         print(name)
