@@ -244,11 +244,16 @@ def _decode_jpeg_gray(b: bytes) -> tuple[int, int, list[int]] | None:
     reconstruction — Cb/Cr coefficients are entropy-decoded and
     discarded, which the sequential bitstream requires). Supports
     SOF0/SOF1 (Huffman sequential), grayscale and YCbCr with the luma
-    at full sampling resolution (covers 4:4:4 / 4:2:2 / 4:2:0), and
-    restart intervals. Returns None for progressive (SOF2), arithmetic
-    coding, 12-bit precision, luma-subsampled-below-chroma exotica,
-    truncated streams, or > 2^22 declared pixels (the PNG allocation
-    guard)."""
+    at full sampling resolution (covers 4:4:4 / 4:2:2 / 4:2:0),
+    restart intervals, and BOTH scan layouts: interleaved (one scan,
+    all components cycling per MCU, spec A.2.3) and non-interleaved
+    per-component scans (ns < nc, spec A.2.2 — common in web corpora;
+    the luma scan is decoded one-data-unit-per-MCU over its own block
+    grid and chroma scans are entropy-skipped, in any scan order).
+    Returns None for progressive (SOF2), arithmetic coding, 12-bit
+    precision, luma-subsampled-below-chroma exotica, partial
+    interleaved scans that include luma (1 < ns < nc), truncated
+    streams, or > 2^22 declared pixels (the PNG allocation guard)."""
     import struct
 
     import numpy as np
@@ -324,9 +329,37 @@ def _decode_jpeg_gray(b: bytes) -> tuple[int, int, list[int]] | None:
                 for k in range(ns):
                     cs, tables = seg[1 + 2 * k], seg[2 + 2 * k]
                     scomps.append((cs, tables >> 4, tables & 0xF))
-                return _jpeg_scan(
-                    b, i + 2 + seglen, frame, scomps, qt, huff, restart, np
-                )
+                luma_id = frame[2][0][0]
+                scan_ids = [cs for cs, _, _ in scomps]
+                if ns == 1:
+                    # A single-component scan is ALWAYS non-interleaved
+                    # (spec A.2.2: one data unit per MCU, raster over
+                    # the component's own block grid) — including the
+                    # nc == 1 grayscale case, where the two layouts
+                    # coincide for 1x1 sampling.
+                    if scan_ids[0] == luma_id:
+                        return _jpeg_scan_single(
+                            b, i + 2 + seglen, frame, scomps[0],
+                            qt, huff, restart, np,
+                        )
+                    # chroma-before-luma scan order: entropy-skip this
+                    # scan (scans are DC-independent) and keep parsing
+                    # until the luma scan appears
+                    i = _skip_entropy(b, i + 2 + seglen)
+                    continue
+                if ns == len(frame[2]):
+                    return _jpeg_scan(
+                        b, i + 2 + seglen, frame, scomps, qt, huff,
+                        restart, np,
+                    )
+                if luma_id not in scan_ids:
+                    # multi-component chroma scan (e.g. {Cb,Cr} of
+                    # Y/Cb/Cr): gray output never needs it — skip
+                    i = _skip_entropy(b, i + 2 + seglen)
+                    continue
+                # partial interleaved scan INCLUDING luma (1 < ns < nc):
+                # legal but exotic; honor the None-for-unhandled contract
+                return None
             i += 2 + seglen
     except (struct.error, IndexError, KeyError, ValueError, ZeroDivisionError):
         # mutated/truncated streams surface as any of these mid-parse
@@ -336,22 +369,69 @@ def _decode_jpeg_gray(b: bytes) -> tuple[int, int, list[int]] | None:
     return None
 
 
+def _decode_data_unit(bits, dct, act, q, pred, m, np, want_pixels):
+    """Entropy-decode ONE 8x8 data unit. Returns (new_pred, px|None)
+    where px is the dequantized+IDCT'd 8x8 float block (level-shifted).
+    ``want_pixels=False`` still consumes the unit's bits — chroma units
+    must be parsed to keep the sequential stream aligned. Raises
+    ValueError on an AC run past 63 (caller maps to None)."""
+    coeff = np.zeros((8, 8)) if want_pixels else None
+    s = _huff_decode(bits, dct)
+    diff = _extend(bits.receive(s), s)
+    pred += diff
+    if coeff is not None:
+        r0, c0 = _ZIGZAG[0]
+        coeff[r0, c0] = pred * q[0]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(bits, act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("jpeg: AC run past coefficient 63")
+        val = _extend(bits.receive(s), s)
+        if coeff is not None:
+            rr, cc = _ZIGZAG[k]
+            coeff[rr, cc] = val * q[k]
+        k += 1
+    if coeff is None:
+        return pred, None
+    return pred, m.T @ coeff @ m + 128.0
+
+
+def _skip_entropy(b: bytes, pos: int) -> int:
+    """Position of the next real marker after entropy-coded data:
+    skips stuffed 0xFF00 bytes, RST0-7 markers, and fill 0xFFs.
+    ValueError/IndexError at EOF propagate to _decode_jpeg_gray's
+    catch-all (-> None)."""
+    j = pos
+    while True:
+        j = b.index(b"\xff", j)
+        nxt = b[j + 1]
+        if nxt == 0x00:
+            j += 2
+        elif nxt == 0xFF:
+            j += 1
+        elif 0xD0 <= nxt <= 0xD7:
+            j += 2
+        else:
+            return j
+
+
 def _jpeg_scan(b, pos, frame, scomps, qt, huff, restart, np):
+    """INTERLEAVED scan (spec A.2.3): all frame components' data units
+    cycle inside one MCU. Callers route ns == nc here only; ns == 1
+    goes to _jpeg_scan_single (one data unit per MCU, spec A.2.2) and
+    luma-less scans are entropy-skipped."""
     w, h, comps = frame
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
-    # The walk below is the INTERLEAVED MCU layout (spec A.2.3): all
-    # frame components' data units cycle inside one MCU. A legal
-    # baseline file may instead carry per-component NON-interleaved
-    # scans (ns < nc), and a single-component scan is one data unit per
-    # MCU regardless of its sampling factors (spec A.2.2) — decoding
-    # either with this layout yields well-formed but WRONG pixels, so
-    # honor decode_pixels' "None for anything unhandled" contract.
     if len(scomps) != len(comps):
         return None
-    if len(scomps) == 1:
-        hs1, vs1, _ = by_id.get(scomps[0][0], (0, 0, 0))
-        if hs1 * vs1 != 1:
-            return None  # 1-component scan ignores sampling: refuse
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
     luma_id = comps[0][0]  # first frame component is Y (or the only one)
@@ -379,32 +459,11 @@ def _jpeg_scan(b, pos, frame, scomps, qt, huff, restart, np):
                     return None
                 for vv in range(vs):
                     for hh in range(hs):
-                        coeff = np.zeros((8, 8)) if cs == luma_id else None
-                        s = _huff_decode(bits, dct)
-                        diff = _extend(bits.receive(s), s)
-                        pred[cs] += diff
-                        if coeff is not None:
-                            r0, c0 = _ZIGZAG[0]
-                            coeff[r0, c0] = pred[cs] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(bits, act)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL: sixteen zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                return None
-                            val = _extend(bits.receive(s), s)
-                            if coeff is not None:
-                                rr, cc = _ZIGZAG[k]
-                                coeff[rr, cc] = val * q[k]
-                            k += 1
-                        if coeff is not None:
-                            px = m.T @ coeff @ m + 128.0
+                        pred[cs], px = _decode_data_unit(
+                            bits, dct, act, q, pred[cs], m, np,
+                            cs == luma_id,
+                        )
+                        if px is not None:
                             y0 = (my * vs + vv) * 8
                             x0 = (mx * hs + hh) * 8
                             plane[y0 : y0 + 8, x0 : x0 + 8] = px
@@ -412,6 +471,55 @@ def _jpeg_scan(b, pos, frame, scomps, qt, huff, restart, np):
         return None
     out = np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.int64)
     return w, h, [int(v) for v in out.ravel()]
+
+
+def _jpeg_scan_single(b, pos, frame, scomp, qt, huff, restart, np):
+    """NON-interleaved single-component scan (spec A.2.2): the MCU is
+    ONE data unit, and units raster-scan the component's OWN block grid
+    (ceil(xs/8) x ceil(ys/8), xs = ceil(w*hs/hmax)) with no padding to
+    interleaved-MCU boundaries. Restart intervals count data units.
+    Callers pass the LUMA component only (chroma scans are skipped);
+    the frame's luma must be at full sampling resolution — the same
+    scope bound as the interleaved path, and for nc == 1 grayscale it
+    additionally makes declared sampling factors > 1 harmless, since a
+    single-component scan ignores them by spec."""
+    w, h, comps = frame
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    cs, td, ta = scomp
+    if cs not in by_id:
+        return None
+    hs, vs, tq = by_id[cs]
+    if hs != hmax or vs != vmax:
+        return None  # luma below full sampling resolution: out of scope
+    xs = (w * hs + hmax - 1) // hmax  # == w at full resolution
+    ys = (h * vs + vmax - 1) // vmax
+    bx = (xs + 7) // 8
+    by = (ys + 7) // 8
+    dct = huff.get((0, td))
+    act = huff.get((1, ta))
+    q = qt.get(tq)
+    if dct is None or act is None or q is None:
+        return None
+    plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
+    m = _idct_basis()
+    bits = _JpegBits(b, pos)
+    pred = 0
+    try:
+        for bi in range(by * bx):
+            if restart and bi and bi % restart == 0:
+                if not bits.align_to_rst():
+                    return None
+                pred = 0
+            pred, px = _decode_data_unit(bits, dct, act, q, pred, m, np, True)
+            y0 = (bi // bx) * 8
+            x0 = (bi % bx) * 8
+            plane[y0 : y0 + 8, x0 : x0 + 8] = px
+    except EOFError:
+        return None
+    out = np.clip(np.round(plane[:ys, :xs]), 0, 255).astype(np.int64)
+    return xs, ys, [int(v) for v in out.ravel()]
 
 
 def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:

@@ -3803,6 +3803,98 @@ def media_decode_meta(spark, sf_dir):
     return out.select("media_id", "mime", "n_bytes", "width", "height", "decoder")
 
 
+# Hand-assembled baseline JFIF streams (r8 verdict item 3), derivable on
+# paper from the custom two-entry Huffman tables used by the pixel-pin
+# tests (tests/test_functions.py::_jpeg): a 16x16 YCbCr 4:2:0 quadrant
+# image whose Y blocks are DC-only at 48/16/-16/-48 (levels 134/130/
+# 126/122). NONINTERLEAVED carries THREE per-component scans (spec
+# A.2.2: Y one-data-unit-per-MCU, then Cb, then Cr — the layout web
+# corpora commonly use and round 8 refused); INTERLEAVED_TWIN is the
+# same image as one all-components scan (spec A.2.3). Byte-different
+# entropy streams, pixel-identical hand-derived output.
+_JPEG_NONINTERLEAVED_HEX = (
+    "FFD8FFDB00430001010101010101010101010101010101010101010101010101"
+    "0101010101010101010101010101010101010101010101010101010101010101"
+    "01010101010101FFC00011080010001003012200021100031100FFC400280001"
+    "0100000000000000000000000000000600100101000000000000000000000000"
+    "00000004FFDA0008010100003F00603E3E3EFFDA0008010200003F009FFFDA00"
+    "08010300003F009FFFD9"
+)
+_JPEG_INTERLEAVED_TWIN_HEX = (
+    "FFD8FFDB00430001010101010101010101010101010101010101010101010101"
+    "0101010101010101010101010101010101010101010101010101010101010101"
+    "01010101010101FFC00011080010001003012200021100031100FFC400280001"
+    "0100000000000000000000000000000600100101000000000000000000000000"
+    "00000004FFDA000C03010002000300003F00603E3E3E93FFD9"
+)
+
+
+@q(
+    "jpeg_noninterleaved_fixture_exact",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS INTEGER), 'noninterleaved-3scan', CAST(16 AS INTEGER),
+       CAST(16 AS INTEGER), CAST(134 AS INTEGER), CAST(130 AS INTEGER),
+       CAST(126 AS INTEGER), CAST(122 AS INTEGER)),
+      (CAST(2 AS INTEGER), 'interleaved-twin', CAST(16 AS INTEGER),
+       CAST(16 AS INTEGER), CAST(134 AS INTEGER), CAST(130 AS INTEGER),
+       CAST(126 AS INTEGER), CAST(122 AS INTEGER))
+    ) AS t(media_id, layout, width, height, q_tl, q_tr, q_bl, q_br)
+    ORDER BY media_id
+    """,
+)
+def jpeg_noninterleaved_fixture_exact(spark, sf_dir):
+    """Baseline-JPEG NON-INTERLEAVED scan truth pin (r8 verdict item
+    3): the two hand-assembled streams above decode through the REAL
+    Arrow mapInPandas boundary to the hand-derived 134/130/126/122
+    quadrant image — the oracle is pure literals, so a per-component
+    MCU-layout bug (e.g. walking the interleaved grid, missing the DC
+    predictor reset per scan, or failing to entropy-skip the chroma
+    scans) cannot cancel against a replay of itself. The interleaved
+    twin row pins layout equivalence: byte-different entropy, identical
+    pixels (reference ships media decode inside its ingestion step;
+    SURVEY §2 multimodal row)."""
+    import pandas as pd
+
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    rows = [
+        (1, "noninterleaved-3scan", bytearray.fromhex(_JPEG_NONINTERLEAVED_HEX)),
+        (2, "interleaved-twin", bytearray.fromhex(_JPEG_INTERLEAVED_TWIN_HEX)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id int, layout string, content binary"
+    )
+
+    def decode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, layout, blob in zip(
+                pdf["media_id"], pdf["layout"], pdf["content"]
+            ):
+                got = decode_pixels(bytes(blob))
+                if got is None:
+                    continue  # surfaces as a row-count mismatch
+                w, h, gray = got
+                a = np.asarray(gray, dtype=np.int64).reshape(h, w)
+                out.append((
+                    int(mid), layout, int(w), int(h),
+                    int(a[:8, :8].mean()), int(a[:8, 8:].mean()),
+                    int(a[8:, :8].mean()), int(a[8:, 8:].mean()),
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "layout", "width", "height",
+                         "q_tl", "q_tr", "q_bl", "q_br"],
+            )
+
+    schema = ("media_id int, layout string, width int, height int, "
+              "q_tl int, q_tr int, q_bl int, q_br int")
+    return media.mapInPandas(decode, schema=schema).orderBy("media_id")
+
+
 @q(
     "media_frame_plan",
     """
@@ -9158,6 +9250,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # CORRECTNESS_r08.json.  Queries ADDED this round are never-signed
     # as of r8 and therefore lead automatically — keep this list in
     # sync when adding catalog entries (the contract test enforces it).
+    # --- never signed as of r8 (new in r9) ---
+    "jpeg_noninterleaved_fixture_exact",
     # --- changed since their last r6 signature: functions/similarity.py
     #     r7 IVF-PQ/ADC additions and r8 pre-collect bound guards
     #     (similarity.py:255,765) post-date these four; functions/bpe.py
@@ -9185,7 +9279,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "kmv_quantiles_prices", "merge_datasets", "minhash_pairs_fast",
     "moving_mean", "moving_sum_minmax", "odata_serve_orders",
     "only_filter", "pagerank_centrality", "pivot_count",
-    "quantize_error_stats", "semantic_dedup_keep", "sketch_user_rollup",
+    "quantize_error_stats", "semantic_dedup_keep",
 ]
 
 

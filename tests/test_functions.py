@@ -366,7 +366,8 @@ class _JBits:
         return bytes(out)
 
 
-def _jpeg(w, h, components, entropy, quant=None, scan_components=None):
+def _jpeg(w, h, components, entropy=None, quant=None, scan_components=None,
+          scans=None, dri=0):
     """Hand-assemble a baseline JFIF stream: all-1s (or given) quant
     table, CUSTOM tiny Huffman tables designed by hand so the test's
     bit strings are derivable on paper without any shared encoder
@@ -375,7 +376,10 @@ def _jpeg(w, h, components, entropy, quant=None, scan_components=None):
       AC: '0' -> EOB,        '10' -> (run 0, size 4)
     components = [(id, samp_byte)], entropy = bytes.
     ``scan_components`` (ids) overrides the SOS component list, for
-    building legal NON-interleaved per-component scans (ns < nc)."""
+    building a single NON-interleaved scan (ns < nc).
+    ``scans = [(ids, entropy), ...]`` builds a MULTI-SCAN file (one SOS
+    + entropy segment per entry, spec A.2.2 per-component layout);
+    ``dri`` emits a DRI restart-interval segment."""
     import struct
 
     quant = quant or [1] * 64
@@ -389,16 +393,22 @@ def _jpeg(w, h, components, entropy, quant=None, scan_components=None):
     ac_counts = bytes([1, 1] + [0] * 14)
     dht = b"\x00" + dc_counts + bytes([6, 0]) + b"\x10" + ac_counts + bytes([0x00, 0x04])
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
-    scan_ids = (
-        [cid for cid, _ in components] if scan_components is None
-        else list(scan_components)
-    )
-    sos = bytes([len(scan_ids)])
-    for cid in scan_ids:
-        sos += bytes((cid, 0x00))
-    sos += bytes((0, 63, 0))
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    out += entropy + b"\xff\xd9"
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    if scans is None:
+        scan_ids = (
+            [cid for cid, _ in components] if scan_components is None
+            else list(scan_components)
+        )
+        scans = [(scan_ids, entropy)]
+    for scan_ids, scan_entropy in scans:
+        sos = bytes([len(scan_ids)])
+        for cid in scan_ids:
+            sos += bytes((cid, 0x00))
+        sos += bytes((0, 63, 0))
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += scan_entropy
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -488,32 +498,128 @@ def test_decode_pixels_jpeg_refuses_out_of_scope():
                 assert all(0 <= v <= 255 for v in gray)
 
 
-def test_decode_pixels_jpeg_refuses_non_interleaved_scans():
-    """Legal baseline variants whose scan layout this decoder does NOT
-    implement must refuse (None), never return wrong pixels:
-    (a) per-component non-interleaved scans (SOS lists fewer components
-    than the frame, spec A.2.2) — the interleaved MCU walk would
-    misread the entropy stream; (b) a single-component scan whose
-    component has sampling factors > 1 — per spec it is one data unit
-    per MCU, not hs*vs units."""
+def _quadrant_y_bits():
+    """Y entropy for the 16x16 quadrant image: DC-only blocks at
+    48, 16, -16, -48 (diffs 48, -32 x3, all category 6, DPCM chained)
+    -> hand-derived quadrant levels 134/130/126/122 in raster block
+    order TL, TR, BL, BR. Identical bits serve the interleaved MCU walk
+    (Y blocks cycle TL,TR,BL,BR inside the one MCU) and the
+    non-interleaved scan (raster over the 2x2 component grid) — the two
+    layouts coincide exactly for this geometry, which is what makes the
+    equality assertion a layout pin."""
+    bits = _JBits()
+    bits.put(0b0, 1).put(48, 6).put(0b0, 1)          # Y TL: DC 48
+    for _ in range(3):                               # diffs -32 (cat 6)
+        bits.put(0b0, 1).put(-32 + 63, 6).put(0b0, 1)
+    return bits
+
+
+def test_decode_pixels_jpeg_noninterleaved_scans_hand_derived():
+    """Legal baseline per-component scans (ns < nc, spec A.2.2 —
+    round-8 left these refusing; r8 verdict item 3): a 3-SCAN 4:2:0
+    YCbCr file (Y scan, then Cb, then Cr, each its own SOS) decodes to
+    the SAME hand-derived quadrant image as its single-interleaved-scan
+    twin. The chroma scans carry DC-0 blocks the decoder must skip
+    without entropy-decoding (scans are DC-independent)."""
     from hobbes_spark.functions.multimodal import decode_pixels
 
-    # (a) 3-component 4:2:0 frame, but the SOS covers only Y
     comps = [(1, 0x22), (2, 0x11), (3, 0x11)]
-    bits = _JBits().put(0b0, 1).put(48, 6).put(0b0, 1)
-    ns_lt_nc = _jpeg(16, 16, comps, bits.tobytes(), scan_components=[1])
-    assert decode_pixels(ns_lt_nc) is None
+    dc0 = _JBits().put(0b10, 2).put(0b0, 1).tobytes()  # one DC-0 block
+    multi = _jpeg(16, 16, comps, scans=[
+        ([1], _quadrant_y_bits().tobytes()), ([2], dc0), ([3], dc0),
+    ])
+    got = decode_pixels(multi)
+    assert got is not None
+    w, h, gray = got
+    assert (w, h) == (16, 16)
+    levels = {(0, 0): 134, (0, 1): 130, (1, 0): 126, (1, 1): 122}
+    for y in range(16):
+        for x in range(16):
+            assert gray[y * 16 + x] == levels[(y // 8, x // 8)], (x, y)
 
-    # (b) single-component frame with 2x2 sampling: ns == nc == 1 but
-    # hs*vs = 4 — non-interleaved per spec, refused here
-    one_comp_sampled = _jpeg(
-        16, 16, [(1, 0x22)], _JBits().put(0b01100000, 8).tobytes()
-    )
-    assert decode_pixels(one_comp_sampled) is None
+    # chroma scans FIRST: the decoder must entropy-skip unknown-length
+    # scan data (stuffed 0xFF00s and all) to reach the luma scan
+    chroma_first = _jpeg(16, 16, comps, scans=[
+        ([2], dc0), ([3], dc0), ([1], _quadrant_y_bits().tobytes()),
+    ])
+    assert decode_pixels(chroma_first) == got
+
+    # a {Cb,Cr} interleaved chroma scan plus a separate Y scan: the
+    # multi-component luma-less scan is skipped the same way
+    cbcr = _JBits()
+    for _ in range(2):
+        cbcr.put(0b10, 2).put(0b0, 1)
+    mixed = _jpeg(16, 16, comps, scans=[
+        ([1], _quadrant_y_bits().tobytes()), ([2, 3], cbcr.tobytes()),
+    ])
+    assert decode_pixels(mixed) == got
+
+    # interleaved twin, byte-different stream, pixel-identical result
+    inter_bits = _JBits()
+    inter_bits.put(0b0, 1).put(48, 6).put(0b0, 1)
+    for _ in range(3):
+        inter_bits.put(0b0, 1).put(-32 + 63, 6).put(0b0, 1)
+    for _ in range(2):
+        inter_bits.put(0b10, 2).put(0b0, 1)
+    assert decode_pixels(_jpeg(16, 16, comps, inter_bits.tobytes())) == got
+
+
+def test_decode_pixels_jpeg_single_component_sampled():
+    """A single-component frame with 2x2 declared sampling: per spec a
+    one-component scan is ALWAYS non-interleaved (one data unit per
+    MCU), so the sampling factors are layout-irrelevant and the file
+    decodes as a plain 2x2 block grid (round 8 refused this)."""
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    payload = _jpeg(16, 16, [(1, 0x22)], _quadrant_y_bits().tobytes())
+    got = decode_pixels(payload)
+    assert got is not None
+    w, h, gray = got
+    assert (w, h) == (16, 16)
+    levels = {(0, 0): 134, (0, 1): 130, (1, 0): 126, (1, 1): 122}
+    for y in range(16):
+        for x in range(16):
+            assert gray[y * 16 + x] == levels[(y // 8, x // 8)], (x, y)
 
     # control: the degenerate 1-component 1x1 case still decodes
     ok = _jpeg(8, 8, [(1, 0x11)], _JBits().put(0b01100000, 8).tobytes())
     assert decode_pixels(ok) == (8, 8, [134] * 64)
+
+
+def test_decode_pixels_jpeg_noninterleaved_restart_interval():
+    """Restart intervals in a NON-interleaved scan count data units
+    (not interleaved MCUs): DRI=2 on the 2x2 Y grid puts one RST0
+    after the top row and resets the DC predictor, so the bottom row's
+    diffs restart from 0. Hand-derived: 48, -32 | RST | 48, -32 ->
+    values 48, 16, 48, 16 -> quadrants 134/130 over 134/130."""
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    row = _JBits()
+    row.put(0b0, 1).put(48, 6).put(0b0, 1)
+    row.put(0b0, 1).put(-32 + 63, 6).put(0b0, 1)
+    dc0 = _JBits().put(0b10, 2).put(0b0, 1).tobytes()
+    entropy = row.tobytes() + b"\xff\xd0" + row.tobytes()
+    payload = _jpeg(16, 16, [(1, 0x22), (2, 0x11), (3, 0x11)], dri=2,
+                    scans=[([1], entropy), ([2], dc0), ([3], dc0)])
+    got = decode_pixels(payload)
+    assert got is not None
+    w, h, gray = got
+    assert (w, h) == (16, 16)
+    for y in range(16):
+        for x in range(16):
+            assert gray[y * 16 + x] == (134 if x < 8 else 130), (x, y)
+
+
+def test_decode_pixels_jpeg_refuses_partial_interleaved_luma_scan():
+    """A partial interleaved scan INCLUDING luma (1 < ns < nc, e.g.
+    SOS={Y,Cb} of a Y/Cb/Cr frame) stays out of scope: refuse (None),
+    never wrong pixels."""
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    comps = [(1, 0x22), (2, 0x11), (3, 0x11)]
+    bits = _quadrant_y_bits().put(0b10, 2).put(0b0, 1)
+    payload = _jpeg(16, 16, comps, bits.tobytes(), scan_components=[1, 2])
+    assert decode_pixels(payload) is None
 
 
 def test_decode_pixels_never_raises_on_garbage():
