@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 from hobbes_spark.expressions import c
 
-__all__ = ["salted_agg", "salted_join", "join_cardinality_stats"]
+__all__ = [
+    "salted_agg",
+    "salted_join",
+    "auto_salt_factor",
+    "auto_salted_join",
+    "join_cardinality_stats",
+]
 
 #: reduction -> (per-salt partial, per-key combine) — algebraic pairs
 #: whose two-phase composition equals the direct aggregation
@@ -90,6 +96,27 @@ def salted_agg(
     return out
 
 
+def _check_salted_join_contract(fact, dim, on: str, how: str) -> None:
+    """Shared guard for the salted join family: join-type allowlist
+    (right/full would surface unmatched dim keys once per replica) and
+    the non-key overlap check (duplicate output columns fail far away
+    with AMBIGUOUS_REFERENCE otherwise — same guard as asof/range
+    joins)."""
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; {how!r} would "
+            "multiply unmatched dim rows by the salt count"
+        )
+    overlap = (set(fact.columns) & set(dim.columns)) - {on}
+    if overlap:
+        raise ValueError(
+            f"salted_join: overlapping non-key columns {sorted(overlap)}; "
+            "rename or drop them on one side first"
+        )
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -106,27 +133,82 @@ def salted_join(
     matches exactly the one dim replica carrying its salt. Right/full
     joins would surface each unmatched dim key once per replica and are
     rejected."""
-    allowed = {"inner", "left", "left_outer", "leftouter",
-               "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
-    if how.lower() not in allowed:
-        raise ValueError(
-            f"salted_join supports {sorted(allowed)}; {how!r} would "
-            "multiply unmatched dim rows by the salt count"
-        )
-    overlap = (set(fact.columns) & set(dim.columns)) - {on}
-    if overlap:
-        # same guard as asof_join/range_join: duplicate non-key output
-        # columns fail far away with AMBIGUOUS_REFERENCE
-        raise ValueError(
-            f"salted_join: overlapping non-key columns {sorted(overlap)}; "
-            "rename or drop them on one side first"
-        )
+    _check_salted_join_contract(fact, dim, on, how)
     salt = F.floor(F.rand(seed) * salts).cast("int")
     f = fact.withColumn("__salt", salt)
     d = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
     )
     return f.join(d, on=[on, "__salt"], how=how).drop("__salt")
+
+
+def auto_salt_factor(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    target_rows_per_task: int = 5_000_000,
+    max_salts: int = 256,
+) -> int:
+    """Derive :func:`salted_join`'s salt factor from the measured join
+    price instead of a hand-picked constant (r8 verdict item 5).
+
+    Formula: the pricer (:func:`join_cardinality_stats`, ``top=1``)
+    measures the hottest key's exact inner-join output ``max_out =
+    n_fact(key) * n_dim(key)`` — the number of output rows the single
+    task owning that key would produce unsalted. Salting the fact side
+    ``s`` ways splits that key's output evenly across ``s`` tasks
+    (each task joins ~``n_fact/s`` fact rows against the key's full dim
+    replica), so the smallest factor keeping every task at or under
+    ``target_rows_per_task`` output rows is
+
+        salts = ceil(max_out / target_rows_per_task)
+
+    clamped to ``[1, max_salts]``: 1 means the join is balanced enough
+    that salting would only pay replication cost (callers should then
+    skip the salt entirely — :func:`auto_salted_join` does), and the
+    cap bounds the ``salts``-fold dim replication, the price of the
+    technique. The default target (5M output rows/task) is the same
+    order as a 128 MiB shuffle partition of ~25-byte join rows; tune it
+    to the deployment's task sizing, not the data volume — that is what
+    makes the formula scale-free.
+
+    Cost: two map-side-combined key counts + a key-sized join — the
+    pricer's plan — and a single-row collect. Deterministic (no
+    sampling), so retried/speculated planning tasks derive the same
+    factor.
+    """
+    if target_rows_per_task < 1:
+        raise ValueError(
+            f"auto_salt_factor: target_rows_per_task must be >= 1, "
+            f"got {target_rows_per_task}"
+        )
+    hot = join_cardinality_stats(fact, dim, on, on, top=1).collect()
+    max_out = hot[0]["out_rows"] if hot else 0
+    salts = -(-max_out // target_rows_per_task)  # ceil div
+    return int(max(1, min(salts, max_salts)))
+
+
+def auto_salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    target_rows_per_task: int = 5_000_000,
+    max_salts: int = 256,
+    seed: int = 42,
+    how: str = "inner",
+) -> DataFrame:
+    """:func:`salted_join` with the salt factor derived by
+    :func:`auto_salt_factor`. A derived factor of 1 (no hot key worth
+    splitting) skips the salt entirely — the plain equi-join carries no
+    replication cost and AQE's skew handling suffices."""
+    # contract-check up front so a data-dependent factor of 1 can't
+    # silently accept a join shape the salted path would reject once
+    # the data grows a hot key
+    _check_salted_join_contract(fact, dim, on, how)
+    salts = auto_salt_factor(fact, dim, on, target_rows_per_task, max_salts)
+    if salts == 1:
+        return fact.join(dim, on=on, how=how)
+    return salted_join(fact, dim, on, salts=salts, seed=seed, how=how)
 
 
 def join_cardinality_stats(

@@ -6300,6 +6300,46 @@ def salted_join_revenue(spark, sf_dir):
 
 
 @q(
+    "auto_salted_join_revenue",
+    f"""
+    SELECT o_orderpriority, {_REV_2DP_SQL} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def auto_salted_join_revenue(spark, sf_dir):
+    """DERIVED-salt twin of `salted_join_revenue` (r8 verdict item 5):
+    the salt factor comes from the measured join price — the pricer's
+    hottest-key output cardinality over a target task size
+    (operators/skew.auto_salt_factor: ceil(max_out / target), clamped)
+    — instead of a hand-picked constant. The tiny target here (2 output
+    rows/task) forces the derived factor above 1 at gate scale, so the
+    SALTED physical path runs; the oracle is the plain equi-join, the
+    same invariant the fixed-salt twin pins: derived salt == fixed salt
+    == unsalted values, only the partitioning differs. At 100 TB the
+    production default target (5M rows/task, ~a 128 MiB shuffle
+    partition) makes the factor scale with the actual skew, not a
+    guess."""
+    from hobbes_spark.operators.skew import auto_salted_join
+
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ords = _t(spark, sf_dir, "orders").df.select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        auto_salted_join(li, ords, "l_orderkey", target_rows_per_task=2)
+        .groupBy("o_orderpriority")
+        .agg(
+            _rev_2dp().alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@q(
     "profile_lineitem",
     """
     SELECT 'l_returnflag' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -9251,7 +9291,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # as of r8 and therefore lead automatically — keep this list in
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r8 (new in r9) ---
-    "jpeg_noninterleaved_fixture_exact",
+    "auto_salted_join_revenue", "jpeg_noninterleaved_fixture_exact",
     # --- changed since their last r6 signature: functions/similarity.py
     #     r7 IVF-PQ/ADC additions and r8 pre-collect bound guards
     #     (similarity.py:255,765) post-date these four; functions/bpe.py
@@ -9279,7 +9319,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "kmv_quantiles_prices", "merge_datasets", "minhash_pairs_fast",
     "moving_mean", "moving_sum_minmax", "odata_serve_orders",
     "only_filter", "pagerank_centrality", "pivot_count",
-    "quantize_error_stats", "semantic_dedup_keep",
+    "quantize_error_stats",
 ]
 
 

@@ -718,10 +718,29 @@ def main():
             .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
         )
 
+    def skew_join_auto(ev):
+        # DERIVED-salt twin (r8 verdict item 5): the factor comes from
+        # the pricer's hottest-key output over a fixed per-task target,
+        # so at Nx input the factor GROWS with the hot key (the pricing
+        # pass itself is two key-sized aggs — included in the timing,
+        # the honest end-to-end cost of the auto path)
+        from hobbes_spark.operators.skew import auto_salted_join
+
+        fact, dim = _skewed_fact_dim(ev)
+        return (
+            auto_salted_join(
+                fact, dim.hint("merge"), on="sk",
+                target_rows_per_task=50_000,
+            )
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        )
+
     cases.update(
         {
             "skew_join_aqe": (skew_join_aqe, ev1, "events"),
             "skew_join_salted": (skew_join_salted, ev1, "events"),
+            "skew_join_auto": (skew_join_auto, ev1, "events"),
             "boilerplate_lines": (boilerplate, do1, "documents"),
             "pagerank_3_rounds": (pagerank_shape, li1, "lineitem"),
             "kmv_quantile_sketch": (kmv_sketch, ev1, "events"),
