@@ -35,9 +35,9 @@ import sys
 import time
 
 
-def _flaky_from_last_round() -> set[str]:
-    """Names whose spread exceeded 1% in the latest recorded BENCH_r*.json
-    (the previous round's driver run). Missing/corrupt file → empty set."""
+def _last_round_record() -> dict:
+    """Parsed bench JSON of the latest recorded BENCH_r*.json (the
+    previous round's driver run). Missing/corrupt file → {}."""
     here = os.path.dirname(os.path.abspath(__file__))
 
     def _round_no(path: str) -> int:
@@ -48,7 +48,7 @@ def _flaky_from_last_round() -> set[str]:
     # round past two digits (ADVICE r5)
     benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), key=_round_no)
     if not benches:
-        return set()
+        return {}
     try:
         with open(benches[-1]) as f:
             rec = json.load(f)
@@ -56,22 +56,28 @@ def _flaky_from_last_round() -> set[str]:
         # the driver wraps bench stdout; the JSON line is the last {...}
         line = blob[blob.rfind('{"metric"'):] if '{"metric"' in blob else ""
         data = json.loads(line) if line else rec
-        spreads = data.get("spread_pct", {})
-        if not isinstance(spreads, dict) or not spreads:
-            print(
-                f"bench: no spread_pct found in {os.path.basename(benches[-1])}; "
-                "flaky set empty (5-run rule degrades to 3 runs)",
-                file=sys.stderr,
-            )
-            return set()
-        return {n for n, s in spreads.items() if isinstance(s, (int, float)) and s > 0.01}
+        return data if isinstance(data, dict) else {}
     except (ValueError, OSError) as e:
         print(
             f"bench: could not parse {os.path.basename(benches[-1])} ({e}); "
-            "flaky set empty (5-run rule degrades to 3 runs)",
+            "previous-round comparisons disabled this run",
             file=sys.stderr,
         )
+        return {}
+
+
+def _flaky_from_last_round(prev: dict) -> set[str]:
+    """Names whose spread exceeded 1% in the previous round's record."""
+    spreads = prev.get("spread_pct", {})
+    if not isinstance(spreads, dict) or not spreads:
+        if prev:
+            print(
+                "bench: no spread_pct in previous record; "
+                "flaky set empty (5-run rule degrades to 3 runs)",
+                file=sys.stderr,
+            )
         return set()
+    return {n for n, s in spreads.items() if isinstance(s, (int, float)) and s > 0.01}
 
 
 def main() -> None:
@@ -97,7 +103,8 @@ def main() -> None:
 
     materialize(names[0])  # JVM + parquet-footer warmup
 
-    flaky = _flaky_from_last_round()
+    prev = _last_round_record()
+    flaky = _flaky_from_last_round(prev)
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in names:
@@ -135,6 +142,30 @@ def main() -> None:
     # by a uniform ~35%, core ratio still 1.00x).
     _R1_CORE_RECORDED = 8.622
     worst = max(spreads, key=spreads.get) if spreads else None
+
+    # Spread-aware regression flag (r8 verdict item 6 — dedup_exact
+    # drifted +15.8% against a 6.6% spread and nothing flagged it):
+    # per query, the delta vs the previous round's recorded best, in
+    # units of the LARGER of the two recorded spreads (floored at 1% so
+    # a run whose 3 samples happened to tie can't turn microsecond
+    # noise into infinite units). >2 units is flagged — observability
+    # only, never an exit criterion: cross-round wall-clock drifts with
+    # shared-host load, and the flag exists so a reader compares the
+    # flagged query's PLAN, not so CI goes red.
+    prev_q = prev.get("queries", {}) if isinstance(prev.get("queries"), dict) else {}
+    prev_s = prev.get("spread_pct", {}) if isinstance(prev.get("spread_pct"), dict) else {}
+    delta_units: dict[str, float] = {}
+    for name, t in timings.items():
+        p = prev_q.get(name)
+        if not isinstance(p, (int, float)) or p <= 0:
+            continue
+        unit = max(
+            prev_s.get(name, 0) if isinstance(prev_s.get(name, 0), (int, float)) else 0,
+            spreads[name],
+            0.01,
+        )
+        delta_units[name] = round((t - p) / p / unit, 1)
+    regression_flags = sorted(n for n, u in delta_units.items() if u > 2)
     print(
         json.dumps(
             {
@@ -146,6 +177,8 @@ def main() -> None:
                 "queries": timings,
                 "spread_pct": spreads,
                 "worst_spread": worst,
+                "delta_vs_prev_spread_units": delta_units,
+                "regression_flags": regression_flags,
                 "runs_per_query": runs,
                 "flaky_reruns": sorted(n for n in flaky if n in timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
