@@ -2204,6 +2204,63 @@ def canonical_url_docs(spark, sf_dir):
 
 
 @q(
+    "domain_mix_stats",
+    """
+    WITH d AS (
+      SELECT CASE doc_id % 9
+        WHEN 0 THEN 'example.com'
+        WHEN 1 THEN 'bbc.co.uk'
+        WHEN 2 THEN 'a' || CAST((doc_id // 9) % 3 AS VARCHAR) || '.co.uk'
+        WHEN 3 THEN NULL
+        WHEN 4 THEN 'sub.k12.ak.us'
+        WHEN 5 THEN 'www.ck'
+        WHEN 6 THEN 'bar.baz.ck'
+        WHEN 7 THEN 'host' || CAST((doc_id // 9) % 3 AS VARCHAR)
+                        || '.unknowntld'
+        ELSE NULL END AS domain
+      FROM documents
+    )
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM d GROUP BY domain
+    """,
+)
+def domain_mix_stats(spark, sf_dir):
+    """Registrable-domain (eTLD+1) corpus mix (r8 verdict item 7):
+    hosts synthesized from doc_id exercise every rule class of
+    functions/web.registrable_domain — plain exact rule (example.com),
+    2-label rule under/at the suffix (bbc.co.uk vs varying a{m}.co.uk),
+    a BARE public suffix (co.uk -> NULL), the 3-label longest match
+    (k12.ak.us beats ak.us beats us), the wildcard *.ck, its exception
+    !www.ck, the implicit '*' default for an unknown TLD, and an IPv4
+    literal (-> NULL) — then grouped to the mix a corpus-balancing run
+    consumes. The ORACLE maps each synthesized class straight to its
+    HAND-DERIVED domain literal (never replaying the extraction), so a
+    longest-match or wildcard bug cannot cancel. Map-only extraction +
+    one keyed count: at 100 TB the domain mix costs one scan."""
+    from hobbes_spark.functions.web import registrable_domain
+
+    docs = _t(spark, sf_dir, "documents").df
+    cls = F.col("doc_id") % 9
+    m = ((F.col("doc_id") / 9).cast("long") % 3).cast("string")
+    host = (
+        F.when(cls == 0, F.lit("www.example.com"))
+        .when(cls == 1, F.concat(F.lit("sub"), m, F.lit(".news.bbc.co.uk")))
+        .when(cls == 2, F.concat(F.lit("a"), m, F.lit(".co.uk")))
+        .when(cls == 3, F.lit("co.uk"))
+        .when(cls == 4, F.lit("deep.sub.k12.ak.us"))
+        .when(cls == 5, F.lit("foo.www.ck"))
+        .when(cls == 6, F.lit("bar.baz.ck"))
+        .when(cls == 7, F.concat(F.lit("x.host"), m, F.lit(".unknowntld")))
+        .otherwise(F.lit("10.0.0.1"))
+    )
+    return (
+        docs.select(registrable_domain(host).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+@q(
     "kappa_labels",
     """
     WITH l AS (
@@ -9291,7 +9348,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # as of r8 and therefore lead automatically — keep this list in
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r8 (new in r9) ---
-    "auto_salted_join_revenue", "jpeg_noninterleaved_fixture_exact",
+    "auto_salted_join_revenue", "domain_mix_stats",
+    "jpeg_noninterleaved_fixture_exact",
     # --- changed since their last r6 signature: functions/similarity.py
     #     r7 IVF-PQ/ADC additions and r8 pre-collect bound guards
     #     (similarity.py:255,765) post-date these four; functions/bpe.py
@@ -9319,7 +9377,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "kmv_quantiles_prices", "merge_datasets", "minhash_pairs_fast",
     "moving_mean", "moving_sum_minmax", "odata_serve_orders",
     "only_filter", "pagerank_centrality", "pivot_count",
-    "quantize_error_stats",
 ]
 
 

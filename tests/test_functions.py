@@ -2648,6 +2648,90 @@ class TestCanonicalUrl:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "BatchEvalPython" not in plan
 
+    def test_blocklist_large_list_path(self, spark):
+        """> 64 domains switches to the suffix-array + hashed-InSet
+        membership (ADVICE r8: a ~20k-term boolean tree can fall out of
+        codegen); semantics identical to the small-list path."""
+        from hobbes_spark.functions.web import filter_blocked_hosts
+
+        df = spark.createDataFrame(
+            [(1, "https://A.Bad.com/x"), (2, "https://bad.com:8080/"),
+             (3, "https://notbad.com/"), (4, "https://good.org/"),
+             (5, "garbage")],
+            "id long, url string",
+        )
+        big = [f"filler{i}.net" for i in range(100)] + ["Bad.com"]
+        kept = {r["id"] for r in filter_blocked_hosts(df, "url", big).collect()}
+        assert kept == {3, 4}
+        kept2 = {r["id"] for r in
+                 filter_blocked_hosts(df, "url", big, keep_non_urls=True)
+                 .collect()}
+        assert kept2 == {3, 4, 5}
+        # no per-domain EndsWith chain: one exists() over a hashed set
+        plan = (
+            filter_blocked_hosts(df, "url", big)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EndsWith" not in plan and "exists" in plan.lower()
+        assert not [l for l in plan.splitlines() if "Exchange" in l]  # map-only
+
+
+class TestRegistrableDomain:
+    """eTLD+1 extraction over the embedded PSL subset: one literal pin
+    per rule class, matching the PSL spec's own examples."""
+
+    def _dom(self, spark, hosts):
+        from hobbes_spark.functions.web import registrable_domain
+
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        return [r["d"] for r in
+                df.select(registrable_domain("host").alias("d")).collect()]
+
+    def test_rule_classes_hand_literal(self, spark):
+        cases = {
+            "www.example.com": "example.com",       # 1-label exact rule
+            "news.bbc.co.uk": "bbc.co.uk",          # 2-label exact rule
+            "a.co.uk": "a.co.uk",                   # suffix + exactly 1
+            "co.uk": None,                          # bare public suffix
+            "com": None,                            # bare TLD
+            "deep.sub.k12.ak.us": "sub.k12.ak.us",  # longest match wins
+            "host.ak.us": "host.ak.us",             # ...but ak.us alone
+            "foo.www.ck": "www.ck",                 # exception rule
+            "www.ck": "www.ck",                     # exception IS registrable
+            "bar.baz.ck": "bar.baz.ck",             # wildcard *.ck
+            "baz.ck": None,                         # wildcard: ps itself
+            "x.host.unknowntld": "host.unknowntld", # implicit '*' default
+            "unknowntld": None,                     # unknown bare TLD
+            "EXAMPLE.Com": "example.com",           # case folded
+        }
+        assert self._dom(spark, list(cases)) == list(cases.values())
+
+    def test_non_hosts_are_null(self, spark):
+        bad = ["", "  ", "1.2.3.4", "bad..dots", ".lead", "trail.",
+               "no spaces.com", "[::1]"]
+        assert self._dom(spark, bad) == [None] * len(bad)
+        from hobbes_spark.functions.web import registrable_domain
+
+        nulls = spark.createDataFrame([(None,)], "host string")
+        assert nulls.select(
+            registrable_domain("host").alias("d")
+        ).first()["d"] is None
+
+    def test_idempotent_and_shuffle_free(self, spark):
+        from hobbes_spark.functions.web import registrable_domain
+
+        hosts = ["www.example.com", "news.bbc.co.uk", "deep.sub.k12.ak.us",
+                 "foo.www.ck", "bar.baz.ck", "x.host.unknowntld"]
+        once = self._dom(spark, hosts)
+        assert all(o is not None for o in once)
+        assert self._dom(spark, once) == once  # output is a fixed point
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        plan = (
+            df.select(registrable_domain("host").alias("d"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
 
 def test_lsh_stats_fixture_literals_rederive():
     """Guard the `lsh_stats_fixture_exact` literals: re-derive
