@@ -77,7 +77,16 @@ def bounded_vocab_rows(word_freq: DataFrame, max_vocab: int, caller: str) -> lis
     the driver at 100 TB.  ``spark.sql.limit.initialNumPartitions`` is
     raised transiently so CollectLimit scans everything in one pass
     instead of probing one partition first (the tokenizer trainers pin
-    an exactly-one-job contract)."""
+    an exactly-one-job contract).
+
+    NOT thread-safe (ADVICE r8): the override is a session-global conf
+    (Spark exposes no per-query knob for it), so a CONCURRENT job on
+    the same SparkSession can observe the temporary 2^20 value, and the
+    restore can clobber a racing writer's own setting.  Tokenizer
+    training is a driver-side batch step here; run it from one thread,
+    or give concurrent submitters their own ``spark.newSession()``
+    (separate conf, shared context), which fully isolates the
+    override."""
     if max_vocab < 1:
         raise ValueError(f"{caller}: max_vocab must be >= 1, got {max_vocab}")
     spark = word_freq.sparkSession

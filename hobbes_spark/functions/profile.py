@@ -171,7 +171,11 @@ def cohens_kappa(
     which equals the textbook (p_o − p_e)/(1 − p_e) with both sides
     multiplied by N² — so an external engine replays numerator and
     denominator bit-for-bit, and the double division of two exact
-    bigints is IEEE-determined.  ``kappa`` is NULL when the denominator
+    integers is IEEE-determined.  ``kappa_num``/``kappa_den`` are
+    DECIMAL(38,0) (ADVICE r8): N² overflows int64 once N exceeds
+    ~3.04e9 rows — routine at 100 TB — so every product (N·agree,
+    na·nb, N²) is computed in decimal, exact up to N = 1e19.
+    ``kappa`` is NULL when the denominator
     is 0 (both columns constant and equal: p_e = 1, agreement is
     undefined, not perfect).  NULL labels are a CLASS (two NULLs agree)
     — drop them upstream if your convention differs.
@@ -189,9 +193,15 @@ def cohens_kappa(
     nb = ct.groupBy("__b").agg(F.sum("__n").alias("__nb"))
     # Σ_c na_c·nb_c over classes appearing on EITHER side: classes
     # absent from one side contribute 0, so the inner join is exact
+    dec = "decimal(38,0)"
     pe_num = (
         na.join(nb, na["__a"] == nb["__b"], "inner")
-        .agg(F.coalesce(F.sum(F.col("__na") * F.col("__nb")), F.lit(0)).alias("__pe"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("__na").cast(dec) * F.col("__nb").cast(dec)),
+                F.lit(0).cast(dec),
+            ).alias("__pe")
+        )
     )
     totals = ct.agg(
         F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n"),
@@ -200,12 +210,13 @@ def cohens_kappa(
         ).cast("bigint").alias("agree"),
     )
     out = totals.crossJoin(F.broadcast(pe_num))
-    num = F.col("n") * F.col("agree") - F.col("__pe")
-    den = F.col("n") * F.col("n") - F.col("__pe")
+    nd = F.col("n").cast(dec)
+    num = nd * F.col("agree").cast(dec) - F.col("__pe")
+    den = nd * nd - F.col("__pe")
     return out.select(
         "n", "agree",
-        num.cast("bigint").alias("kappa_num"),
-        den.cast("bigint").alias("kappa_den"),
+        num.cast(dec).alias("kappa_num"),
+        den.cast(dec).alias("kappa_den"),
         F.when(
             den != 0, num.cast("double") / den.cast("double")
         ).alias("kappa"),

@@ -91,7 +91,23 @@ def leakage_safe_split(
     falls under.  Deterministic under any partitioning and cluster
     size, and ONE map-side expression: no shuffle, no join — at 100 TB
     the split is free.  Compose: exact fingerprint or connected-
-    component label -> cluster column -> this."""
+    component label -> cluster column -> this.
+
+    CROSS-ENGINE THRESHOLD CONTRACT (ADVICE r8): the k-th boundary is
+
+        t_k = floor( (Σ_{i<=k} Fraction(w_i)) * 2^32 )
+
+    computed in EXACT rational arithmetic over the IEEE-double weight
+    values (``fractions.Fraction(w)`` is the double's exact binary
+    expansion), so the thresholds are independent of accumulation
+    order — a float running sum would make ``{a:..., b:..., c:...}``
+    boundaries depend on addition order, and an external replayer
+    computing ``int(0.9 * 2**32)`` from the independent cumulative
+    fraction could disagree by one bucket for adversarial weight lists.
+    Replayers: either reuse these exact-rational thresholds, or note
+    that for round decimal weights (0.8/0.1/0.1 etc.) ``int(cum_float *
+    2**32)`` happens to coincide — the catalog oracle documents which
+    it uses."""
     if not weights:
         raise ValueError("leakage_safe_split: weights must be non-empty")
     if any(w <= 0 for w in weights.values()):
@@ -103,12 +119,14 @@ def leakage_safe_split(
         raise ValueError(
             f"leakage_safe_split: weights must sum to 1, got {total}"
         )
+    from fractions import Fraction
+
     h = hash_bucket(cluster_col, salt)
     names = list(weights)
     expr = None
-    cum = 0.0
+    cum = Fraction(0)
     for name in names[:-1]:
-        cum += weights[name]
+        cum += Fraction(weights[name])  # exact: no accumulation-order drift
         cond = h < int(cum * _SCALE)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
             cond, F.lit(name)

@@ -2304,8 +2304,15 @@ def kappa_labels(spark, sf_dir):
         .otherwise(F.col("lang")).alias("b"),
     )
     out = cohens_kappa(labeled, "a", "b")
+    # the library emits DECIMAL(38,0) num/den (overflow-safe past 3e9
+    # rows, ADVICE r8); bigint here only narrows for the oracle's
+    # BIGINT columns — exact at gate scale, and ANSI would refuse the
+    # cast loudly rather than wrap if it ever were not
     return out.select(
-        "n", "agree", "kappa_num", "kappa_den", _r(F.col("kappa"), 6).alias("kappa")
+        "n", "agree",
+        F.col("kappa_num").cast("bigint").alias("kappa_num"),
+        F.col("kappa_den").cast("bigint").alias("kappa_den"),
+        _r(F.col("kappa"), 6).alias("kappa"),
     )
 
 

@@ -2578,6 +2578,32 @@ class TestLeakageSafeSplit:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # map-only at any scale
 
+    def test_thresholds_exact_rational_contract(self, spark):
+        """ADVICE r8: boundaries are floor(Σ Fraction(w_i) · 2^32) in
+        exact rational arithmetic, so they cannot drift with float
+        accumulation order — many tiny weights summing to the same
+        prefix as one coarse weight must produce IDENTICAL boundary
+        assignments, and the literal thresholds are pinned here as the
+        cross-engine replay contract."""
+        from fractions import Fraction
+
+        from hobbes_spark.functions.sampling import leakage_safe_split
+
+        df = spark.range(2000).select(F.col("id").cast("string").alias("c"))
+        fine = {f"s{i}": 0.1 for i in range(9)}
+        fine["last"] = 1.0 - sum(fine.values())
+        coarse = {"head": 0.9, "last": fine["last"]}
+        f = {r["c"]: r["split"] for r in
+             leakage_safe_split(df, "c", fine).collect()}
+        co = {r["c"]: r["split"] for r in
+              leakage_safe_split(df, "c", coarse).collect()}
+        # the 0.9 boundary is shared: "last" membership must coincide
+        assert {k for k, v in f.items() if v == "last"} == \
+               {k for k, v in co.items() if v == "last"}
+        # pinned literal: the documented formula's value for 0.8 / 0.9
+        assert int(Fraction(0.8) * (1 << 32)) == 3435973836
+        assert int((Fraction(0.8) + Fraction(0.1)) * (1 << 32)) == 3865470566
+
 
 class TestCanonicalUrl:
     """URL canonicalization contract, literal-pinned on the variants
@@ -2790,3 +2816,15 @@ class TestCohensKappa:
         )
         r2 = cohens_kappa(withnull, "a", "b").first()
         assert (r2["n"], r2["agree"]) == (4, 2)
+
+    def test_num_den_are_decimal38(self, spark):
+        """ADVICE r8: N² overflows int64 past ~3.04e9 rows, so the
+        num/den pipeline must run in DECIMAL(38,0) end to end — the
+        schema is the contract (exact to N = 1e19; ANSI mode would
+        otherwise kill the job at 100 TB corpus scale)."""
+        from hobbes_spark.functions.profile import cohens_kappa
+
+        df = spark.createDataFrame([("x", "x")], "a string, b string")
+        dt = dict(cohens_kappa(df, "a", "b").dtypes)
+        assert dt["kappa_num"] == "decimal(38,0)"
+        assert dt["kappa_den"] == "decimal(38,0)"
