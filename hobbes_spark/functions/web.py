@@ -41,6 +41,7 @@ __all__ = [
     "url_host",
     "registrable_domain",
     "filter_blocked_hosts",
+    "filter_blocked_hosts_df",
 ]
 
 #: query parameters that never change page identity — RE2-safe
@@ -259,3 +260,61 @@ def filter_blocked_hosts(
     if keep_non_urls:
         return df.filter(host.isNull() | cond)
     return df.filter(host.isNotNull() & cond)
+
+
+def filter_blocked_hosts_df(
+    df: DataFrame,
+    url_col: str,
+    blocked: DataFrame,
+    domain_col: str = "domain",
+    keep_non_urls: bool = False,
+) -> DataFrame:
+    """:func:`filter_blocked_hosts` with the blocklist as a TABLE — the
+    scale path OPERATIONS.md points to once the list stops fitting a
+    plan literal (~100k domains: curated abuse feeds run to millions).
+    Same semantics: a domain blocks itself and every subdomain; rows
+    without a parseable URL drop unless ``keep_non_urls``.
+
+    Plan shape (no per-row work scales with the blocklist):
+
+    1. DISTINCT hosts (one keyed agg — host cardinality, not corpus
+       cardinality, pays the shuffle);
+    2. explode each distinct host into its <= ~10 dot-suffixes and
+       equi-join ``suffix == lower(domain)`` — a HASH join, broadcast
+       automatically when the blocklist fits
+       ``spark.sql.autoBroadcastJoinThreshold``, shuffle-hash/SMJ
+       beyond that (this is the point of the DataFrame variant: the
+       expression path dies where broadcast literals do);
+    3. LEFT ANTI join the corpus against the matched hosts on the
+       extracted host column.
+
+    The corpus itself moves through exactly ONE anti-join shuffle; at
+    100 TB that is the floor for a join-shaped filter against an
+    arbitrarily large list."""
+    if domain_col not in blocked.columns:
+        raise ValueError(
+            f"filter_blocked_hosts_df: blocklist has no column "
+            f"{domain_col!r} (columns: {blocked.columns})"
+        )
+    with_host = df.withColumn("__host", url_host(c(url_col)))
+    parts = F.split(F.col("__host"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, -i, i), "."),
+    )
+    blocked_norm = blocked.select(
+        F.lower(F.trim(c(domain_col))).alias("__sfx")
+    ).where(F.length("__sfx") > 0).distinct()
+    matched_hosts = (
+        with_host.select("__host")
+        .where(F.col("__host").isNotNull())
+        .distinct()
+        .select(F.col("__host"), F.explode(suffixes).alias("__sfx"))
+        .join(blocked_norm, "__sfx", "left_semi")
+        .select("__host")
+        .distinct()
+    )
+    out = with_host.join(matched_hosts, "__host", "left_anti")
+    if not keep_non_urls:
+        out = out.where(F.col("__host").isNotNull())
+    return out.drop("__host")

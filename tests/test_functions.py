@@ -2701,6 +2701,42 @@ class TestCanonicalUrl:
         assert "EndsWith" not in plan and "exists" in plan.lower()
         assert not [l for l in plan.splitlines() if "Exchange" in l]  # map-only
 
+    def test_blocklist_dataframe_path(self, spark):
+        """filter_blocked_hosts_df: blocklist as a TABLE (the 100k+
+        regime) — identical semantics to the expression paths, hash
+        equi-join on the exploded host suffixes (never a nested loop),
+        original columns untouched."""
+        from hobbes_spark.functions.web import (
+            filter_blocked_hosts,
+            filter_blocked_hosts_df,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "https://A.Bad.com/x"), (2, "https://bad.com:8080/"),
+             (3, "https://notbad.com/"), (4, "https://good.org/"),
+             (5, "garbage")],
+            "id long, url string",
+        )
+        bl = spark.createDataFrame(
+            [("Bad.com",), ("  other.net ",), ("",)], "domain string"
+        )
+        out = filter_blocked_hosts_df(df, "url", bl)
+        assert {r["id"] for r in out.collect()} == {3, 4}
+        assert out.columns == ["id", "url"]
+        kept2 = filter_blocked_hosts_df(df, "url", bl, keep_non_urls=True)
+        assert {r["id"] for r in kept2.collect()} == {3, 4, 5}
+        # same answer as the expression path on the same list
+        expr = filter_blocked_hosts(df, "url", ["Bad.com", "other.net"])
+        assert {r["id"] for r in expr.collect()} == {3, 4}
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="no column"):
+            filter_blocked_hosts_df(df, "url", bl.withColumnRenamed(
+                "domain", "d"))
+        # join strategy: hash join on the suffix, never NestedLoop
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
 
 class TestRegistrableDomain:
     """eTLD+1 extraction over the embedded PSL subset: one literal pin
