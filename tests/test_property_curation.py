@@ -316,3 +316,103 @@ def test_canonical_url_matches_python_reference(spark, urls):
     assert got == want, next(
         (u, g, w) for u, g, w in zip(urls, got, want) if g != w
     )
+
+
+# --------------------------------------------------------------------- #
+# registrable_domain vs a PURE-PYTHON PSL reference (round 9, the same
+# rigor as the canonical_url reassembly oracle): an independent Python
+# implementation of the PSL matching algorithm over the SAME embedded
+# rule tables, fuzzed with hosts assembled from rule labels, arbitrary
+# labels, and malformed shapes. Any divergence graduates to a literal
+# row in TestRegistrableDomain.
+# --------------------------------------------------------------------- #
+
+
+def _ref_registrable_domain(host: str | None) -> str | None:
+    """Pure-Python replay of functions/web.registrable_domain."""
+    from hobbes_spark.functions.web import (
+        _PSL_EXACT,
+        _PSL_EXCEPTIONS,
+        _PSL_WILDCARD_BASES,
+    )
+
+    if host is None:
+        return None
+    h = host.strip(" ").lower()
+    if (
+        not h
+        or re.search(r"[^a-z0-9.-]", h)
+        or h.startswith(".")
+        or h.endswith(".")
+        or ".." in h
+    ):
+        return None
+    parts = h.split(".")
+    if re.fullmatch(r"\d+", parts[-1]):
+        return None  # IPv4: no eTLD+1
+    n = len(parts)
+
+    def suffix(k):
+        return ".".join(parts[-k:])
+
+    ps = None
+    for exc in sorted(_PSL_EXCEPTIONS, key=lambda e: -e.count(".")):
+        k = exc.count(".") + 1
+        if n >= k and suffix(k) == exc:
+            ps = k - 1
+            break
+    if ps is None:
+        lengths = sorted(
+            set(_PSL_EXACT) | {b.count(".") + 2 for b in _PSL_WILDCARD_BASES},
+            reverse=True,
+        )
+        for k in lengths:
+            if n < k:
+                continue
+            if suffix(k) in _PSL_EXACT.get(k, ()):
+                ps = k
+                break
+            if any(
+                b.count(".") + 2 == k and suffix(k - 1) == b
+                for b in _PSL_WILDCARD_BASES
+            ):
+                ps = k
+                break
+    if ps is None:
+        ps = 1  # implicit '*' default
+    if n <= ps:
+        return None
+    return ".".join(parts[-(ps + 1):])
+
+
+_host_label = st.sampled_from(
+    ["www", "a", "b9", "x-y", "Sub", "co", "uk", "com", "ck", "www",
+     "k12", "ak", "us", "baz", "unknowntld", "bd", "gov", "0", "12",
+     "xn--p1ai"]
+)
+_fuzz_host = st.one_of(
+    st.lists(_host_label, min_size=1, max_size=5).map(".".join),
+    st.sampled_from(
+        ["", " ", ".", "..", "a..b", ".a", "a.", "1.2.3.4", "a_b.com",
+         "[::1]", "Example.COM.", "a.co.uk", "co.uk", "foo.WWW.CK"]
+    ),
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(hosts=st.lists(_fuzz_host, min_size=1, max_size=50))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_registrable_domain_matches_python_reference(spark, hosts):
+    """~500 assembled hosts per run, batched 50 per Spark job:
+    registrable_domain == the pure-Python PSL reference, NULLs
+    included."""
+    from hobbes_spark.functions.web import registrable_domain
+
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = [r["d"] for r in
+           df.select(registrable_domain("host").alias("d")).collect()]
+    want = [_ref_registrable_domain(h) for h in hosts]
+    assert got == want, next(
+        (h, g, w) for h, g, w in zip(hosts, got, want) if g != w
+    )
