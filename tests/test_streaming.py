@@ -1089,3 +1089,79 @@ def test_restart_replay_windowed_sink_exactly_once(spark, tmp_path):
         F.col("win_start") == t0 + dt.timedelta(minutes=30)
     )
     assert [r["_batch_id"] for r in b.select("_batch_id").collect()] == [replayed]
+
+
+def test_restart_replay_stateful_op_exactly_once(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState) across the
+    same mid-trigger crash + restart: the per-user running totals must
+    recover state from the checkpoint, the replayed trigger's update
+    rows land under their original batch id (replace, not duplicate),
+    and the FINAL totals equal the batch aggregation over all input —
+    completing the restart-gate family (dedup / windowed agg / custom
+    state)."""
+    from hobbes_spark.streaming import running_user_totals, stream_events
+    from hobbes_spark.streaming.sinks import idempotent_parquet_writer
+
+    data = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    t0 = dt.datetime(2026, 1, 1)
+
+    def run():
+        s = stream_events(spark, data, max_files_per_trigger=1)
+        q = (
+            running_user_totals(s)
+            .writeStream.foreachBatch(idempotent_parquet_writer(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    all_rows = []
+    def feed(b):
+        rows = [
+            (b * 100 + i, t0 + dt.timedelta(hours=b, minutes=i), i % 3,
+             "e", float(b + i))
+            for i in range(12)
+        ]
+        all_rows.extend(rows)
+        _write_events(spark, data, rows)
+
+    feed(0)
+    feed(1)
+    run()
+    replayed = _simulate_crash_before_commit(ckpt)
+    feed(2)
+    feed(3)
+    run()
+
+    sink = spark.read.parquet(out)
+    # replayed batch landed exactly once under its original id: its
+    # partition exists and was not duplicated under a new id (update
+    # rows are per (user, batch) — each user has at most one row per
+    # batch id)
+    per = sink.groupBy("user_id", "_batch_id").count().collect()
+    assert all(r["count"] == 1 for r in per)
+    assert replayed in {r["_batch_id"] for r in per}
+    # final running totals (max n_events per user) == batch aggregation
+    final = {}
+    for r in sink.collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    batch = spark.createDataFrame(
+        all_rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total"),
+        F.max("ts").alias("last"),
+    )
+    rows = batch.collect()
+    assert len(rows) == 3
+    for r in rows:
+        f = final[r["user_id"]]
+        assert f["n_events"] == r["n"], (r["user_id"], f["n_events"], r["n"])
+        assert abs(f["total_value"] - r["total"]) < 1e-9
+        assert f["last_ts"] == r["last"]
