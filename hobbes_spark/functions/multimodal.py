@@ -250,8 +250,14 @@ def _decode_jpeg_gray(b: bytes) -> tuple[int, int, list[int]] | None:
     per-component scans (ns < nc, spec A.2.2 — common in web corpora;
     the luma scan is decoded one-data-unit-per-MCU over its own block
     grid and chroma scans are entropy-skipped, in any scan order).
-    Returns None for progressive (SOF2), arithmetic coding, 12-bit
-    precision, luma-subsampled-below-chroma exotica, partial
+    PROGRESSIVE (SOF2, spectral selection + successive approximation —
+    the dominant encoding for large web images) decodes too: the luma
+    component's DC scans (interleaved or single, first and refinement
+    passes) and its per-component AC scans accumulate into one
+    coefficient store, chroma AC/DC-only scans are entropy-skipped,
+    and the store is dequantized + IDCT'd at EOI.
+    Returns None for lossless/arithmetic SOFs, 12-bit precision,
+    luma-subsampled-below-chroma exotica, partial sequential
     interleaved scans that include luma (1 < ns < nc), truncated
     streams, or > 2^22 declared pixels (the PNG allocation guard)."""
     import struct
@@ -263,10 +269,12 @@ def _decode_jpeg_gray(b: bytes) -> tuple[int, int, list[int]] | None:
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
     frame = None  # (w, h, comps); comps = [(cid, hs, vs, tq)]
+    progressive = False
+    prog = None  # progressive luma coefficient store (lazy)
     restart = 0
     i = 2
     try:
-        while i + 4 <= len(b):
+        while i + 2 <= len(b):
             if b[i] != 0xFF:
                 return None
             marker = b[i + 1]
@@ -276,6 +284,12 @@ def _decode_jpeg_gray(b: bytes) -> tuple[int, int, list[int]] | None:
             if marker == 0x01 or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
+            if marker == 0xD9:  # EOI: finalize accumulated progressive scans
+                if progressive and prog is not None and prog["seen_dc"]:
+                    return _jpeg_progressive_finalize(frame, prog, qt, np)
+                return None
+            if i + 4 > len(b):
+                return None
             (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
             if seglen < 2 or i + 2 + seglen > len(b):
                 return None
@@ -304,7 +318,7 @@ def _decode_jpeg_gray(b: bytes) -> tuple[int, int, list[int]] | None:
                         code <<= 1
                     huff[(tc, th)] = table
                     j += 17 + sum(counts)
-            elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/ext sequential
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
                 prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
                 if prec != 8 or not w or not h or not nc or w * h > (1 << 22):
                     return None
@@ -316,9 +330,14 @@ def _decode_jpeg_gray(b: bytes) -> tuple[int, int, list[int]] | None:
                         return None
                     comps.append((cid, hs, vs, tq))
                 frame = (w, h, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                if marker == 0xC2:
+                    progressive = True
+                    prog = _jpeg_progressive_state(frame, np)
+                    if prog is None:
+                        return None
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive/lossless/arithmetic
+                return None  # lossless/arithmetic/hierarchical
             elif marker == 0xDD:  # DRI
                 (restart,) = struct.unpack(">H", seg[:2])
             elif marker == 0xDA:  # SOS: entropy data follows
@@ -331,6 +350,29 @@ def _decode_jpeg_gray(b: bytes) -> tuple[int, int, list[int]] | None:
                     scomps.append((cs, tables >> 4, tables & 0xF))
                 luma_id = frame[2][0][0]
                 scan_ids = [cs for cs, _, _ in scomps]
+                if progressive:
+                    ss, se, ax = seg[1 + 2 * ns : 4 + 2 * ns]
+                    ah, al = ax >> 4, ax & 0xF
+                    pos = i + 2 + seglen
+                    if ss == 0:  # DC scan (first or refinement)
+                        if se != 0:
+                            return None  # illegal band
+                        if luma_id in scan_ids or ns > 1:
+                            _jpeg_progressive_dc_scan(
+                                b, pos, frame, scomps, ah, al,
+                                huff, restart, prog, np,
+                            )
+                        # chroma-only single DC scan: nothing to decode
+                    elif ns != 1:
+                        return None  # AC scans are never interleaved
+                    elif scan_ids[0] == luma_id:
+                        _jpeg_progressive_ac_scan(
+                            b, pos, frame, scomps[0], ss, se, ah, al,
+                            huff, restart, prog, np,
+                        )
+                    # chroma AC scan: gray output never needs it — skip
+                    i = _skip_entropy(b, pos)
+                    continue
                 if ns == 1:
                     # A single-component scan is ALWAYS non-interleaved
                     # (spec A.2.2: one data unit per MCU, raster over
@@ -520,6 +562,240 @@ def _jpeg_scan_single(b, pos, frame, scomp, qt, huff, restart, np):
         return None
     out = np.clip(np.round(plane[:ys, :xs]), 0, 255).astype(np.int64)
     return xs, ys, [int(v) for v in out.ravel()]
+
+
+# --------------------------------------------------------------------- #
+# PROGRESSIVE JPEG (SOF2, spec annex G) — luma path. Scans accumulate
+# raw coefficient values into one store; dequantization + IDCT happen
+# once at EOI. The algorithms are the public T.81 ones (G.1.2.2 first
+# pass with EOB runs, G.1.2.3 successive-approximation refinement with
+# correction bits — the same structure libjpeg's jdphuff documents).
+# --------------------------------------------------------------------- #
+
+
+def _jpeg_progressive_state(frame, np):
+    """Luma coefficient store for a progressive frame. The grid is the
+    PADDED interleaved-MCU grid (pw = mcx*hmax blocks wide): interleaved
+    DC scans write dummy edge blocks there, while non-interleaved AC
+    scans index the real bx*by sub-grid — both address the same store
+    via row*pw + col. Requires luma at full sampling resolution (the
+    sequential paths' scope bound)."""
+    w, h, comps = frame
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    luma_id, l_hs, l_vs, l_tq = comps[0]
+    if l_hs != hmax or l_vs != vmax:
+        return None
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    pw = mcx * hmax
+    ph = mcy * vmax
+    return {
+        "coef": np.zeros((ph * pw, 64), dtype=np.int64),
+        "pw": pw, "ph": ph,
+        "bx": (w + 7) // 8, "by": (h + 7) // 8,  # real luma block grid
+        "mcx": mcx, "mcy": mcy,
+        "luma_id": luma_id, "luma_tq": l_tq,
+        "seen_dc": False,
+    }
+
+
+def _jpeg_progressive_dc_scan(b, pos, frame, scomps, ah, al, huff,
+                              restart, prog, np):
+    """Progressive DC scan: first pass (Ah=0, Huffman DPCM of the
+    coefficient's high bits, stored << Al) or refinement (Ah>0, ONE raw
+    bit per data unit appended at Al). Interleaved (all components
+    cycle per MCU — chroma units consumed, luma stored) or single-
+    component (raster over the real block grid, spec A.2.2)."""
+    w, h, comps = frame
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    coef = prog["coef"]
+    pw = prog["pw"]
+    luma_id = prog["luma_id"]
+    bits = _JpegBits(b, pos)
+    tables = {}
+    if ah == 0:
+        for cs, td, _ta in scomps:
+            dct = huff.get((0, td))
+            if dct is None or cs not in by_id:
+                raise ValueError("jpeg: DC scan table/component missing")
+            tables[cs] = dct
+    pred = {cs: 0 for cs, _, _ in scomps}
+
+    def one_unit(cs, idx):
+        if ah == 0:
+            s = _huff_decode(bits, tables[cs])
+            diff = _extend(bits.receive(s), s)
+            pred[cs] += diff
+            if cs == luma_id and idx is not None:
+                coef[idx, 0] = pred[cs] << al
+        else:
+            bit = bits.read_bit()
+            if cs == luma_id and idx is not None and bit:
+                coef[idx, 0] |= bit << al
+
+    try:
+        if len(scomps) == 1:
+            cs = scomps[0][0]
+            hs, vs, _tq = by_id[cs]
+            hmax = max(x for _, x, _, _ in comps)
+            vmax = max(x for _, _, x, _ in comps)
+            xs = (w * hs + hmax - 1) // hmax
+            ys = (h * vs + vmax - 1) // vmax
+            bx = (xs + 7) // 8
+            byy = (ys + 7) // 8
+            for bi in range(byy * bx):
+                if restart and bi and bi % restart == 0:
+                    if not bits.align_to_rst():
+                        raise ValueError("jpeg: missing RST in DC scan")
+                    pred = {cs: 0 for cs, _, _ in scomps}
+                idx = (bi // bx) * pw + (bi % bx) if cs == luma_id else None
+                one_unit(cs, idx)
+        else:
+            mcx, mcy = prog["mcx"], prog["mcy"]
+            for mi in range(mcy * mcx):
+                if restart and mi and mi % restart == 0:
+                    if not bits.align_to_rst():
+                        raise ValueError("jpeg: missing RST in DC scan")
+                    pred = {cs: 0 for cs, _, _ in scomps}
+                my, mx = divmod(mi, mcx)
+                for cs, _td, _ta in scomps:
+                    hs, vs, _tq = by_id[cs]
+                    for vv in range(vs):
+                        for hh in range(hs):
+                            idx = (
+                                (my * vs + vv) * pw + (mx * hs + hh)
+                                if cs == luma_id else None
+                            )
+                            one_unit(cs, idx)
+    except EOFError:
+        # truncated scan: keep what decoded so far (progressive streams
+        # are renderable at any prefix); EOI still gates the output
+        pass
+    prog["seen_dc"] = prog["seen_dc"] or ah == 0
+
+
+def _jpeg_progressive_ac_scan(b, pos, frame, scomp, ss, se, ah, al,
+                              huff, restart, prog, np):
+    """Progressive AC scan for the LUMA component (AC scans are never
+    interleaved, spec B.2.3): first pass per G.1.2.2 — coefficient
+    band [Ss, Se], values << Al, EOB-run codes (EOBn) skipping whole
+    blocks — or refinement per G.1.2.3 — one new ±1<<Al per code plus
+    one correction bit for every already-nonzero coefficient passed."""
+    cs, _td, ta = scomp
+    act = huff.get((1, ta))
+    if act is None:
+        raise ValueError("jpeg: AC scan table missing")
+    coef = prog["coef"]
+    pw, bx, byy = prog["pw"], prog["bx"], prog["by"]
+    bits = _JpegBits(b, pos)
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+
+    def refine_nonzero(idx, k):
+        # correction bit for an already-nonzero coefficient: a 1 bit
+        # appends 1<<Al toward larger magnitude (guarded on the Al bit,
+        # which the successive-approximation invariant keeps 0)
+        if bits.read_bit() and (int(coef[idx, k]) & p1) == 0:
+            coef[idx, k] += p1 if coef[idx, k] >= 0 else m1
+
+    try:
+        for bi in range(byy * bx):
+            if restart and bi and bi % restart == 0:
+                if not bits.align_to_rst():
+                    raise ValueError("jpeg: missing RST in AC scan")
+                eobrun = 0
+            idx = (bi // bx) * pw + (bi % bx)
+            if ah == 0:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(bits, act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += bits.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("jpeg: AC run past band end")
+                    coef[idx, k] = _extend(bits.receive(s), s) << al
+                    k += 1
+            else:
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_decode(bits, act)
+                        r, s = rs >> 4, rs & 0xF
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                # refinement EOB-run INCLUDES the current
+                                # block: its remaining correction bits are
+                                # processed below, then the run decrements
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += bits.receive(r)
+                                break
+                            # ZRL: pass 16 zero-history coefficients
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "jpeg: refinement size must be 1"
+                                )
+                            newval = p1 if bits.read_bit() else m1
+                        while k <= se:
+                            if coef[idx, k] != 0:
+                                refine_nonzero(idx, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            coef[idx, k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if coef[idx, k] != 0:
+                            refine_nonzero(idx, k)
+                        k += 1
+                    eobrun -= 1
+    except EOFError:
+        pass  # truncated scan: renderable prefix, same as DC
+
+
+def _jpeg_progressive_finalize(frame, prog, qt, np):
+    """Dequantize the accumulated luma coefficients and IDCT every
+    block (progressive stores RAW values; quantization applies once,
+    here)."""
+    w, h, _comps = frame
+    q = qt.get(prog["luma_tq"])
+    if q is None:
+        return None
+    coef = prog["coef"]
+    pw, ph = prog["pw"], prog["ph"]
+    m = _idct_basis()
+    qv = np.asarray(q, dtype=np.float64)
+    plane = np.zeros((ph * 8, pw * 8), dtype=np.float64)
+    zz_r = [r for r, _ in _ZIGZAG]
+    zz_c = [c_ for _, c_ in _ZIGZAG]
+    for idx in range(ph * pw):
+        blk = np.zeros((8, 8), dtype=np.float64)
+        blk[zz_r, zz_c] = coef[idx] * qv
+        row, col = divmod(idx, pw)
+        plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = (
+            m.T @ blk @ m + 128.0
+        )
+    out = np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.int64)
+    return w, h, [int(v) for v in out.ravel()]
 
 
 def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:

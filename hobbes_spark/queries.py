@@ -3959,6 +3959,108 @@ def jpeg_noninterleaved_fixture_exact(spark, sf_dir):
     return media.mapInPandas(decode, schema=schema).orderBy("media_id")
 
 
+# Hand-assembled PROGRESSIVE (SOF2) streams (round 9): LADDER is a
+# 16x16 single-component frame built from three scans — DC first, AC
+# first at Al=1 with an EOB-run, AC refinement at Al=0 inserting a new
+# ±1 coefficient plus correction bits — every final coefficient a
+# hand-traced literal (48/16/-16/-48 DC quadrants; block TL carries
+# AC k1=25, k2=1; block BL k1=-16). I420 is a 16x16 YCbCr 4:2:0 frame
+# whose DC scan is INTERLEAVED (chroma DC entropy-consumed) with
+# per-component AC scans. See tests/test_functions.py::_jpeg_prog.
+_JPEG_PROGRESSIVE_LADDER_HEX = (
+    "FFD8FFDB00430001010101010101010101010101010101010101010101010101"
+    "0101010101010101010101010101010101010101010101010101010101010101"
+    "01010101010101FFC2000B080010001001011100FFC4002A0001010000000000"
+    "0000000000000000000600100101010100000000000000000000000000041001"
+    "FFDA0008010100000000607CF9FF00FFDA0008010100013F01B09F3FFFDA0008"
+    "010100013F10EDAFFFD9"
+)
+_JPEG_PROGRESSIVE_I420_HEX = (
+    "FFD8FFDB00430001010101010101010101010101010101010101010101010101"
+    "0101010101010101010101010101010101010101010101010101010101010101"
+    "01010101010101FFC20011080010001003012200021100031100FFC4002A0001"
+    "0100000000000000000000000000000600100101010100000000000000000000"
+    "000000041001FFDA000C03010002000300000000607CF9FAFFDA000801010001"
+    "3F00D7FFDA0008010200013F007FFFDA0008010300013F007FFFD9"
+)
+
+
+@q(
+    "jpeg_progressive_fixture_exact",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS INTEGER), 'progressive-ladder', CAST(16 AS INTEGER),
+       CAST(16 AS INTEGER), CAST(134 AS INTEGER), CAST(130 AS INTEGER),
+       CAST(126 AS INTEGER), CAST(122 AS INTEGER), CAST(139 AS INTEGER),
+       CAST(130 AS INTEGER), CAST(123 AS INTEGER), CAST(129 AS INTEGER)),
+      (CAST(2 AS INTEGER), 'progressive-interleaved-dc-420',
+       CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(134 AS INTEGER),
+       CAST(130 AS INTEGER), CAST(126 AS INTEGER), CAST(122 AS INTEGER),
+       CAST(134 AS INTEGER), CAST(134 AS INTEGER), CAST(126 AS INTEGER),
+       CAST(126 AS INTEGER))
+    ) AS t(media_id, layout, width, height, q_tl, q_tr, q_bl, q_br,
+           px_r0c0, px_r0c7, px_r8c0, px_r8c7)
+    ORDER BY media_id
+    """,
+)
+def jpeg_progressive_fixture_exact(spark, sf_dir):
+    """PROGRESSIVE-JPEG truth pin (round-9 stretch: SOF2 is the
+    dominant encoding for large web images and rounds 1-8 refused it):
+    the two hand-assembled multi-scan streams above decode through the
+    Arrow mapInPandas boundary to hand-derived literals. The quadrant
+    means pin the DC ladder (means are AC-invariant); the four pixel
+    PROBES pin the AC band — px_r0c0=139 only falls out of TL's
+    k1=25/k2=1 after the successive-approximation refinement, so a
+    decoder that dropped the refinement scan, mis-ran the EOB-run, or
+    mis-placed the new ±1 coefficient cannot match. Row 2 pins the
+    interleaved DC scan (chroma DC consumed in-MCU) + entropy-skipped
+    chroma AC scans."""
+    import pandas as pd
+
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    rows = [
+        (1, "progressive-ladder",
+         bytearray.fromhex(_JPEG_PROGRESSIVE_LADDER_HEX)),
+        (2, "progressive-interleaved-dc-420",
+         bytearray.fromhex(_JPEG_PROGRESSIVE_I420_HEX)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id int, layout string, content binary"
+    )
+
+    def decode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, layout, blob in zip(
+                pdf["media_id"], pdf["layout"], pdf["content"]
+            ):
+                got = decode_pixels(bytes(blob))
+                if got is None:
+                    continue  # surfaces as a row-count mismatch
+                w, h, gray = got
+                a = np.asarray(gray, dtype=np.int64).reshape(h, w)
+                out.append((
+                    int(mid), layout, int(w), int(h),
+                    int(a[:8, :8].mean()), int(a[:8, 8:].mean()),
+                    int(a[8:, :8].mean()), int(a[8:, 8:].mean()),
+                    int(a[0, 0]), int(a[0, 7]), int(a[8, 0]), int(a[8, 7]),
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "layout", "width", "height",
+                         "q_tl", "q_tr", "q_bl", "q_br",
+                         "px_r0c0", "px_r0c7", "px_r8c0", "px_r8c7"],
+            )
+
+    schema = ("media_id int, layout string, width int, height int, "
+              "q_tl int, q_tr int, q_bl int, q_br int, "
+              "px_r0c0 int, px_r0c7 int, px_r8c0 int, px_r8c7 int")
+    return media.mapInPandas(decode, schema=schema).orderBy("media_id")
+
+
 @q(
     "media_frame_plan",
     """
@@ -9356,7 +9458,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r8 (new in r9) ---
     "auto_salted_join_revenue", "domain_mix_stats",
-    "jpeg_noninterleaved_fixture_exact",
+    "jpeg_noninterleaved_fixture_exact", "jpeg_progressive_fixture_exact",
     # --- changed since their last r6 signature: functions/similarity.py
     #     r7 IVF-PQ/ADC additions and r8 pre-collect bound guards
     #     (similarity.py:255,765) post-date these four; functions/bpe.py
@@ -9383,7 +9485,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "hb_localdata_top", "hb_logic_state", "hb_mttr", "join_on_field",
     "kmv_quantiles_prices", "merge_datasets", "minhash_pairs_fast",
     "moving_mean", "moving_sum_minmax", "odata_serve_orders",
-    "only_filter", "pagerank_centrality", "pivot_count",
+    "only_filter", "pagerank_centrality",
 ]
 
 

@@ -2864,3 +2864,179 @@ class TestCohensKappa:
         dt = dict(cohens_kappa(df, "a", "b").dtypes)
         assert dt["kappa_num"] == "decimal(38,0)"
         assert dt["kappa_den"] == "decimal(38,0)"
+
+
+def _jpeg_prog(w, h, components, scans, quant=None, dri=0):
+    """Hand-assemble a PROGRESSIVE (SOF2) JFIF stream. Same paper-
+    derivable custom tables as ``_jpeg`` plus two AC codes progressive
+    coding needs:
+      DC: '0' -> cat 6,  '10' -> cat 0
+      AC: '0' -> EOB0, '10' -> (0,4), '110' -> EOB1, '1110' -> (0,1)
+    ``scans = [(ids, ss, se, ah, al, entropy), ...]``."""
+    import struct
+
+    quant = quant or [1] * 64
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(quant)
+    sof = struct.pack(">BHHB", 8, h, w, len(components))
+    for cid, samp in components:
+        sof += bytes((cid, samp, 0))
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dc_counts = bytes([1, 1] + [0] * 14)
+    ac_counts = bytes([1, 1, 1, 1] + [0] * 12)
+    dht = (b"\x00" + dc_counts + bytes([6, 0])
+           + b"\x10" + ac_counts + bytes([0x00, 0x04, 0x10, 0x01]))
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    for ids, ss, se, ah, al, entropy in scans:
+        sos = bytes([len(ids)])
+        for cid in ids:
+            sos += bytes((cid, 0x00))
+        sos += bytes((ss, se, (ah << 4) | al))
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _idct_block(coefs):
+    """Independent IDCT oracle for the progressive pins: 8x8 pixels
+    from {zigzag_index: coefficient} literals via the T.81 cosine
+    basis (the basis itself is pinned against hand-derived row
+    literals in the baseline single-AC test)."""
+    import numpy as np
+
+    from hobbes_spark.functions.multimodal import _ZIGZAG, _idct_basis
+
+    blk = np.zeros((8, 8))
+    for k, v in coefs.items():
+        r, c = _ZIGZAG[k]
+        blk[r, c] = v
+    m = _idct_basis()
+    return np.clip(np.round(m.T @ blk @ m + 128), 0, 255).astype(int)
+
+
+def test_decode_pixels_jpeg_progressive_dc_refinement():
+    """Progressive DC successive approximation by hand: first scan at
+    Al=1 carries DPCM diff 48 (coefficient high part 96), the
+    refinement scan appends one raw low bit 1 -> DC 97 -> every pixel
+    97/8 + 128 = 140.125 -> 140."""
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    payload = _jpeg_prog(8, 8, [(1, 0x11)], [
+        ([1], 0, 0, 0, 1, _JBits().put(0b0, 1).put(48, 6).tobytes()),
+        ([1], 0, 0, 1, 0, _JBits().put(1, 1).tobytes()),
+    ])
+    assert decode_pixels(payload) == (8, 8, [140] * 64)
+
+
+def test_decode_pixels_jpeg_progressive_ac_hand_derived():
+    """Full progressive ladder on a 16x16 single-component frame, every
+    coefficient hand-traced: DC first scan (48/16/-16/-48 quadrants),
+    AC first scan at Al=1 ((0,4) values 12 and -8 -> stored 24/-16,
+    first-pass EOB1 run skipping the last block), AC refinement at Al=0
+    ((0,1) inserts +1 at the first zero-history slot, a correction bit
+    lifts 24 -> 25, refinement EOB1 covers THREE blocks incl. one
+    correction bit inside the run). Final coefficients per block are
+    literals; pixels come from the independent IDCT oracle."""
+    import numpy as np
+
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    s1 = _JBits().put(0b0, 1).put(48, 6)
+    for _ in range(3):
+        s1.put(0b0, 1).put(-32 + 63, 6)
+
+    s2 = _JBits()
+    s2.put(0b10, 2).put(12, 4)        # b0: (0,4) 12 at k=1 -> 24
+    s2.put(0b0, 1)                    # b0: EOB0
+    s2.put(0b0, 1)                    # b1: EOB0
+    s2.put(0b10, 2).put(0b0111, 4)    # b2: (0,4) -8 at k=1 -> -16
+    s2.put(0b110, 3).put(0, 1)        # b2: EOB1+0 -> run skips b3
+
+    s3 = _JBits()
+    s3.put(0b1110, 4).put(1, 1)       # b0: (0,1) sign +
+    s3.put(1, 1)                      #   correction: k=1 24 -> 25
+                                      #   new +1 lands at k=2
+    s3.put(0b0, 1)                    # b0: EOB0 (refinement run = 1)
+    s3.put(0b110, 3).put(1, 1)        # b1: EOB1+1 -> run=3 (b1,b2,b3)
+    s3.put(0, 1)                      #   b2 correction bit: -16 stays
+
+    payload = _jpeg_prog(16, 16, [(1, 0x11)], [
+        ([1], 0, 0, 0, 0, s1.tobytes()),
+        ([1], 1, 63, 0, 1, s2.tobytes()),
+        ([1], 1, 63, 1, 0, s3.tobytes()),
+    ])
+    got = decode_pixels(payload)
+    assert got is not None
+    w, h, gray = got
+    assert (w, h) == (16, 16)
+    exp = np.zeros((16, 16), dtype=int)
+    exp[:8, :8] = _idct_block({0: 48, 1: 25, 2: 1})
+    exp[:8, 8:] = _idct_block({0: 16})
+    exp[8:, :8] = _idct_block({0: -16, 1: -16})
+    exp[8:, 8:] = _idct_block({0: -48})
+    assert (np.array(gray).reshape(16, 16) == exp).all()
+
+
+def test_decode_pixels_jpeg_progressive_interleaved_dc_420():
+    """Progressive YCbCr 4:2:0: the DC scan is INTERLEAVED (all three
+    components per MCU — chroma DC must be entropy-consumed), the Y AC
+    scan uses a first-pass EOB1 run, and the chroma AC scans are
+    entropy-skipped. Hand-derived quadrants 134/130/126/122 — the same
+    image as the baseline twin pins."""
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    s1 = _JBits().put(0b0, 1).put(48, 6)
+    for _ in range(3):
+        s1.put(0b0, 1).put(-32 + 63, 6)
+    s1.put(0b10, 2).put(0b10, 2)       # Cb, Cr DC diff 0
+
+    s2 = _JBits().put(0b110, 3).put(1, 1)  # Y b0: EOB1+1 -> run covers b1,b2
+    s2.put(0b0, 1)                         # Y b3: EOB0
+    eob = _JBits().put(0b0, 1).tobytes()
+
+    comps = [(1, 0x22), (2, 0x11), (3, 0x11)]
+    payload = _jpeg_prog(16, 16, comps, [
+        ([1, 2, 3], 0, 0, 0, 0, s1.tobytes()),
+        ([1], 1, 63, 0, 0, s2.tobytes()),
+        ([2], 1, 63, 0, 0, eob),
+        ([3], 1, 63, 0, 0, eob),
+    ])
+    got = decode_pixels(payload)
+    assert got is not None
+    w, h, gray = got
+    assert (w, h) == (16, 16)
+    levels = {(0, 0): 134, (0, 1): 130, (1, 0): 126, (1, 1): 122}
+    for y in range(16):
+        for x in range(16):
+            assert gray[y * 16 + x] == levels[(y // 8, x // 8)], (x, y)
+
+
+def test_decode_pixels_jpeg_progressive_never_raises():
+    """The baseline robustness contract extended to SOF2: every
+    truncation and byte mutation of a valid progressive stream either
+    refuses (None) or stays well-formed — an executor batch never dies
+    on one bad image."""
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    payload = _jpeg_prog(8, 8, [(1, 0x11)], [
+        ([1], 0, 0, 0, 1, _JBits().put(0b0, 1).put(48, 6).tobytes()),
+        ([1], 0, 0, 1, 0, _JBits().put(1, 1).tobytes()),
+    ])
+    assert decode_pixels(payload) == (8, 8, [140] * 64)
+    for cut in range(len(payload)):
+        got = decode_pixels(payload[:cut])
+        if got is not None:
+            w, h, gray = got
+            assert w > 0 and h > 0 and len(gray) == w * h
+    for off in range(2, len(payload)):
+        for m in (0x00, 0xFF, payload[off] ^ 0x55):
+            got = decode_pixels(
+                payload[:off] + bytes([m]) + payload[off + 1:]
+            )
+            if got is not None:
+                w, h, gray = got
+                assert len(gray) == w * h
+                assert all(0 <= v <= 255 for v in gray)
