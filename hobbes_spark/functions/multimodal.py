@@ -799,18 +799,19 @@ def _jpeg_progressive_finalize(frame, prog, qt, np):
 
 
 def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
-    """Pure-Python PIXEL decode for PNG, BMP and baseline JPEG — no
-    codec libraries.
+    """Pure-Python PIXEL decode for PNG, BMP and JPEG — no codec
+    libraries.
 
     Returns ``(width, height, grayscale)`` with grayscale as a top-down
     row-major list of 0-255 luma values, or None for anything this
     decoder doesn't handle (other formats, interlaced PNG, compressed
-    BMP, progressive JPEG, truncated payloads).  PNG: 8-bit depth,
-    color types gray/RGB/palette/gray+alpha/RGBA, all five scanline
-    filters, zlib IDAT reassembly.  BMP: BITMAPINFOHEADER+,
+    BMP, lossless/arithmetic JPEG, truncated payloads).  PNG: 8-bit
+    depth, color types gray/RGB/palette/gray+alpha/RGBA, all five
+    scanline filters, zlib IDAT reassembly.  BMP: BITMAPINFOHEADER+,
     uncompressed, 8-bit paletted and 24/32-bit, bottom-up and top-down
-    (negative height) row orders, 4-byte row padding.  JPEG (round 7):
-    Huffman sequential (SOF0/SOF1) luma decode — see
+    (negative height) row orders, 4-byte row padding.  JPEG: Huffman
+    sequential SOF0/SOF1 (round 7; interleaved and per-component
+    scans, round 9) AND progressive SOF2 (round 9) luma decode — see
     :func:`_decode_jpeg_gray`.  This closes the rounds-5/6 gap where
     the aHash/resize path fell to the deterministic fake whenever PIL
     was absent."""
