@@ -19,6 +19,7 @@ __all__ = [
     "bm25_topk",
     "vocabulary_overlap",
     "normalize_text",
+    "nfc_normalize",
     "NORMALIZE_RULES",
     "tokens",
     "token_count",
@@ -512,3 +513,29 @@ def normalize_text(col: Column | str) -> Column:
     for pat, rep in NORMALIZE_RULES:
         out = F.regexp_replace(out, pat, rep)
     return out
+
+
+def nfc_normalize(col: Column | str) -> Column:
+    """Unicode canonical composition (NFC) — the codepoint-level twin
+    of :func:`normalize_text` (round 9): ``e`` + COMBINING ACUTE and
+    the precomposed ``é`` are DIFFERENT byte strings that render
+    identically, so exact/MinHash dedup, URL keys and n-gram hashes all
+    spuriously miss across the composed/decomposed boundary until the
+    corpus is NFC'd (crawls mix both: mac filesystems emit NFD, most
+    web content NFC). Regex cannot express composition, so this is one
+    of the package's few Pandas UDFs (Arrow-batched ``unicodedata``,
+    never row-at-a-time Python in the JVM loop); NULL propagates.
+    DuckDB replays it via ``nfc_normalize`` — the oracle twin for
+    `nfc_docs`."""
+    import pandas as pd  # noqa: F401 (signature typing)
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return _nfc(c(col))

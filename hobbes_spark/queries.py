@@ -1007,6 +1007,64 @@ def _text_stats_sql() -> str:
     """
 
 
+@q(
+    "nfc_docs",
+    """
+    WITH r AS (
+      SELECT doc_id,
+             text || CASE doc_id % 4
+               WHEN 0 THEN ' cafe' || chr(769)
+               WHEN 1 THEN ' caf' || chr(233)
+               WHEN 2 THEN ' A' || chr(778)
+               ELSE ' plain' END AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS INTEGER) AS len_raw,
+           CAST(length(nfc_normalize(raw)) AS INTEGER) AS len_nfc,
+           raw != nfc_normalize(raw) AS changed,
+           right(nfc_normalize(raw), 1) AS last_char
+    FROM r
+    """,
+)
+def nfc_docs(spark, sf_dir):
+    """Unicode NFC canonicalization (text.nfc_normalize, round 9):
+    per doc_id a suffix plants one codepoint class — a DECOMPOSED
+    e+COMBINING-ACUTE (NFC composes, length drops), the PRECOMPOSED
+    same character (NFC is identity), A+COMBINING-RING (composes to
+    U+00C5), and plain ASCII. Char counts before/after, a changed
+    flag, and the final composed character all cross the Arrow
+    pandas_udf boundary; the oracle replays with DuckDB's OWN
+    ``nfc_normalize`` — two independent Unicode NFC implementations
+    (CPython unicodedata vs DuckDB's utf8proc) must agree on every
+    value. The standard pre-pass that makes exact/MinHash dedup see
+    NFD-emitting sources (mac uploads) and NFC web text as one."""
+    from hobbes_spark.functions.text import nfc_normalize
+
+    docs = _t(spark, sf_dir, "documents").df
+    cls = F.col("doc_id") % 4
+    suffix = (
+        # class 0 plants e + U+0301 (COMBINING ACUTE) and class 2
+        # plants A + U+030A (COMBINING RING) DECOMPOSED on purpose -
+        # NFC must compose them (the oracle plants the identical
+        # codepoints via chr(769)/chr(778)); class 1 is the
+        # precomposed U+00E9 (NFC identity)
+        F.when(cls == 0, F.lit(" cafe\u0301"))
+        .when(cls == 1, F.lit(" caf\u00e9"))
+        .when(cls == 2, F.lit(" A\u030a"))
+        .otherwise(F.lit(" plain"))
+    )
+    raw = F.concat(F.col("text"), suffix)
+    nfc = nfc_normalize(raw)
+    return docs.select(
+        "doc_id",
+        F.length(raw).cast("int").alias("len_raw"),
+        F.length(nfc).cast("int").alias("len_nfc"),
+        (raw != nfc).alias("changed"),
+        F.substring(nfc, -1, 1).alias("last_char"),
+    )
+
+
 @q("text_stats", None, bench=True)  # oracle attached below after generation
 def text_stats(spark, sf_dir):
     from hobbes_spark.functions import text as TX
@@ -9459,6 +9517,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # --- never signed as of r8 (new in r9) ---
     "auto_salted_join_revenue", "domain_mix_stats",
     "jpeg_noninterleaved_fixture_exact", "jpeg_progressive_fixture_exact",
+    "nfc_docs",
     # --- changed since their last r6 signature: functions/similarity.py
     #     r7 IVF-PQ/ADC additions and r8 pre-collect bound guards
     #     (similarity.py:255,765) post-date these four; functions/bpe.py
@@ -9485,7 +9544,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "hb_localdata_top", "hb_logic_state", "hb_mttr", "join_on_field",
     "kmv_quantiles_prices", "merge_datasets", "minhash_pairs_fast",
     "moving_mean", "moving_sum_minmax", "odata_serve_orders",
-    "only_filter", "pagerank_centrality",
+    "only_filter",
 ]
 
 

@@ -1118,3 +1118,37 @@ class TestBlocklist:
         )
         got = blocklist_stats(df, "text", ("winner", "click here")).collect()[0]
         assert got["blocklist_hits"] == 4
+
+
+def test_nfc_normalize_composes_and_propagates_null(spark):
+    """text.nfc_normalize (round 9): decomposed base+combining pairs
+    compose (length drops), precomposed and ASCII are fixed points,
+    NULL propagates, and the result is idempotent."""
+    from pyspark.sql import functions as F
+
+    from hobbes_spark.functions.text import nfc_normalize
+
+    rows = [
+        (1, "café"),   # e + COMBINING ACUTE -> café (5 -> 4)
+        (2, "café"),    # precomposed: identity
+        (3, "Å"),      # A + COMBINING RING -> Å (2 -> 1)
+        (4, "plain"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    out = {r["id"]: (r["n"], r["l"]) for r in df.select(
+        "id",
+        nfc_normalize("t").alias("n"),
+        F.length(nfc_normalize("t")).alias("l"),
+    ).collect()}
+    assert out[1] == ("café", 4)
+    assert out[2] == ("café", 4)
+    assert out[3] == ("Å", 1)
+    assert out[4] == ("plain", 5)
+    assert out[5] == (None, None)
+    # idempotent: NFC of NFC is itself
+    twice = df.select(
+        "id", nfc_normalize(nfc_normalize("t")).alias("n2")
+    ).collect()
+    once = {r["id"]: out[r["id"]][0] for r in twice}
+    assert all(r["n2"] == once[r["id"]] for r in twice)
