@@ -736,11 +736,52 @@ def main():
             .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
         )
 
+    def media_pixel_decode(do):
+        # round 9: the pure-Python JPEG PIXEL decoders (baseline
+        # non-interleaved + progressive SOF2) through mapInPandas —
+        # per-row CPU work over Arrow batches, zero shuffle, so the
+        # shape must scale ~linearly with the corpus. Payloads are the
+        # frozen truth-pin streams, one of each family per doc.
+        from hobbes_spark.queries import (
+            _JPEG_NONINTERLEAVED_HEX,
+            _JPEG_PROGRESSIVE_LADDER_HEX,
+        )
+
+        media = do.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.unhex(F.lit(_JPEG_NONINTERLEAVED_HEX)),
+            ).otherwise(
+                F.unhex(F.lit(_JPEG_PROGRESSIVE_LADDER_HEX))
+            ).alias("content"),
+        )
+
+        def fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            from hobbes_spark.functions.multimodal import decode_pixels
+
+            for pdf in batches:
+                out = []
+                for mid, blob in zip(pdf["doc_id"], pdf["content"]):
+                    got = decode_pixels(bytes(blob))
+                    if got is None:
+                        continue
+                    w, h, gray = got
+                    a = np.asarray(gray, dtype=np.int64).reshape(h, w)
+                    out.append((int(mid), int(a.mean())))
+                yield pd.DataFrame(out, columns=["doc_id", "mean_px"])
+
+        return media.mapInPandas(fn, "doc_id long, mean_px int")
+
     cases.update(
         {
             "skew_join_aqe": (skew_join_aqe, ev1, "events"),
             "skew_join_salted": (skew_join_salted, ev1, "events"),
             "skew_join_auto": (skew_join_auto, ev1, "events"),
+            "media_pixel_decode": (media_pixel_decode, do1, "documents"),
             "boilerplate_lines": (boilerplate, do1, "documents"),
             "pagerank_3_rounds": (pagerank_shape, li1, "lineitem"),
             "kmv_quantile_sketch": (kmv_sketch, ev1, "events"),
