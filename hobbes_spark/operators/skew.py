@@ -32,6 +32,8 @@ __all__ = [
     "salted_join",
     "auto_salt_factor",
     "auto_salted_join",
+    "auto_agg_salt_factor",
+    "auto_salted_agg",
     "join_cardinality_stats",
 ]
 
@@ -140,6 +142,71 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
     )
     return f.join(d, on=[on, "__salt"], how=how).drop("__salt")
+
+
+def auto_agg_salt_factor(
+    df: DataFrame,
+    keys: Sequence[str],
+    target_rows_per_task: int = 5_000_000,
+    max_salts: int = 256,
+) -> int:
+    """:func:`auto_salt_factor`'s aggregation twin (round 9): the task
+    load of an unsalted ``groupBy`` is the hottest key's INPUT row
+    count, so
+
+        salts = ceil(max_key_rows / target_rows_per_task)
+
+    clamped to ``[1, max_salts]``.  1 means the hot key already fits a
+    task — :func:`auto_salted_agg` then runs the direct single-phase
+    ``groupBy``, skipping the extra shuffle two-phase salting costs.
+    The measurement is one map-side-combined keyed count + a 1-row max
+    (key-cardinality-sized, never corpus-sized on the driver) and is
+    deterministic — retried planning produces the same factor."""
+    if target_rows_per_task < 1:
+        raise ValueError(
+            f"auto_agg_salt_factor: target_rows_per_task must be >= 1, "
+            f"got {target_rows_per_task}"
+        )
+    top = (
+        df.groupBy(*[c(k) for k in keys])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        .agg(F.coalesce(F.max("__n"), F.lit(0)).alias("__max"))
+        .collect()
+    )
+    max_rows = int(top[0]["__max"]) if top else 0
+    salts = -(-max_rows // target_rows_per_task)  # ceil div
+    return int(max(1, min(salts, max_salts)))
+
+
+def auto_salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    values: dict[str, str],
+    target_rows_per_task: int = 5_000_000,
+    max_salts: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """:func:`salted_agg` with the salt factor derived by
+    :func:`auto_agg_salt_factor`; a factor of 1 falls back to the
+    direct single-shuffle ``groupBy`` with identical output columns
+    (same reduction validation either way)."""
+    salts = auto_agg_salt_factor(df, keys, target_rows_per_task, max_salts)
+    if salts > 1:
+        return salted_agg(df, keys, values, salts=salts, seed=seed)
+    # run the same validation/decomposition as the salted path, with
+    # ONE phase: salts=1 in salted_agg would add a useless second
+    # shuffle, so build the direct agg from the same reduction table
+    aggs: list[Column] = []
+    for col, red in values.items():
+        if red == "mean":
+            aggs.append(F.avg(c(col)).alias(col))
+        elif red in _ALGEBRAIC:
+            aggs.append(_ALGEBRAIC[red][0](c(col)).alias(col))
+        else:
+            raise ValueError(
+                f"non-algebraic reduction {red!r}; use groupBy directly"
+            )
+    return df.groupBy(*[c(k) for k in keys]).agg(*aggs)
 
 
 def auto_salt_factor(

@@ -2852,6 +2852,44 @@ def salted_group_sum(spark, sf_dir):
 
 
 @q(
+    "auto_salted_group_sum",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_rsql('SUM(value)', 4)} AS total
+    FROM events GROUP BY 1
+    """,
+)
+def auto_salted_group_sum(spark, sf_dir):
+    """DERIVED-salt twin of `salted_group_sum` (rounding out r8
+    verdict item 5 to aggregations): the factor comes from the measured
+    hottest-key INPUT rows over a target task size
+    (operators/skew.auto_agg_salt_factor) instead of a constant. The
+    tiny target here (500 rows/task) forces the two-phase salted path
+    at gate scale; the oracle is the direct groupBy — the same
+    partitioning-only invariant as the fixed-salt twin. At a 100 TB
+    default target (5M rows/task) a balanced key set derives factor 1
+    and keeps the single-shuffle plan."""
+    from hobbes_spark.operators.skew import auto_salted_agg
+
+    ev = _t(spark, sf_dir, "events").df.select("event_type", "value")
+    out = auto_salted_agg(
+        ev, ["event_type"], {"value": "sum"}, target_rows_per_task=500
+    )
+    n = auto_salted_agg(
+        ev, ["event_type"], {"value": "count"}, target_rows_per_task=500
+    )
+    return (
+        out.join(n.withColumnRenamed("value", "n"), "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            _r(F.col("value"), 4).alias("total"),
+        )
+    )
+
+
+@q(
     "join_skew_stats",
     """
     WITH cnt AS (
@@ -9516,6 +9554,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r8 (new in r9) ---
     "auto_salted_join_revenue", "domain_mix_stats",
+    "auto_salted_group_sum",
     "jpeg_noninterleaved_fixture_exact", "jpeg_progressive_fixture_exact",
     "nfc_docs",
     # --- changed since their last r6 signature: functions/similarity.py
@@ -9544,7 +9583,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "hb_localdata_top", "hb_logic_state", "hb_mttr", "join_on_field",
     "kmv_quantiles_prices", "merge_datasets", "minhash_pairs_fast",
     "moving_mean", "moving_sum_minmax", "odata_serve_orders",
-    "only_filter",
 ]
 
 

@@ -658,3 +658,44 @@ def test_auto_salted_join_contract_checks_before_pricing(spark, skewed):
     dim_ok = skewed.select("k").distinct().withColumn("grp", F.lit(1))
     with pytest.raises(ValueError, match="salted_join supports"):
         auto_salted_join(skewed, dim_ok, "k", how="full")
+
+
+def test_auto_agg_salt_factor_formula(spark, skewed):
+    """ceil(hottest key's input rows / target), clamped: HOT carries
+    9000 rows."""
+    from hobbes_spark.operators.skew import auto_agg_salt_factor
+
+    assert auto_agg_salt_factor(skewed, ["k"], target_rows_per_task=9000) == 1
+    assert auto_agg_salt_factor(skewed, ["k"], target_rows_per_task=4000) == 3
+    assert auto_agg_salt_factor(
+        skewed, ["k"], target_rows_per_task=1, max_salts=8
+    ) == 8
+    with pytest.raises(ValueError, match="target_rows_per_task"):
+        auto_agg_salt_factor(skewed, ["k"], target_rows_per_task=0)
+
+
+def test_auto_salted_agg_equals_direct(spark, skewed):
+    """Derived-salt aggregation == fixed-salt == direct groupBy, on
+    both the salted path (small target) and the factor-1 fallback
+    (huge target), for sum/count/min/max/mean."""
+    from hobbes_spark.operators.skew import auto_salted_agg
+
+    vals = {"v": "mean"}
+
+    def snap(df):
+        return sorted(
+            (r["k"], round(r["v"], 9)) for r in df.collect()
+        )
+
+    direct = snap(skewed.groupBy("k").agg(F.avg("v").alias("v")))
+    fixed = snap(salted_agg(skewed, ["k"], vals, salts=8))
+    derived = snap(auto_salted_agg(skewed, ["k"], vals, target_rows_per_task=2000))
+    fallback = snap(auto_salted_agg(skewed, ["k"], vals, target_rows_per_task=10**9))
+    assert direct == fixed == derived == fallback
+    # non-algebraic rejected on BOTH paths
+    with pytest.raises(ValueError, match="non-algebraic"):
+        auto_salted_agg(skewed, ["k"], {"v": "median"},
+                        target_rows_per_task=10**9)
+    with pytest.raises(ValueError, match="non-algebraic"):
+        auto_salted_agg(skewed, ["k"], {"v": "median"},
+                        target_rows_per_task=1)
