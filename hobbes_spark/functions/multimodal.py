@@ -36,6 +36,8 @@ __all__ = [
     "extract_features",
     "ahash_images",
     "phash_near_pairs",
+    "decode_wav",
+    "audio_wav_features",
 ]
 
 #: the uniform multimodal column contract: payload + typed metadata
@@ -1327,3 +1329,123 @@ def phash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------- #
+# AUDIO: RIFF/WAVE PCM (round 9). Images covered the "opaque binary +
+# typed metadata" contract for one modality; WAV/PCM is the one audio
+# container decodable with zero codec libraries (pure struct walking +
+# integer math), so the audio column's decode step is REAL here and
+# compressed formats (mp3/ogg/flac) refuse with None for the
+# deterministic-stub fallback, mirroring the image posture.
+# --------------------------------------------------------------------- #
+
+
+def decode_wav(b: bytes):
+    """Pure-Python RIFF/WAVE PCM decode.
+
+    Returns ``(sample_rate, n_channels, bits, n_frames, mono)`` where
+    ``mono`` is the integer per-frame channel mixdown (Python FLOOR
+    division by channel count — documented because it differs from
+    truncation for negative sums), 8-bit samples centered to signed
+    (-128..127), 16-bit little-endian as-is. None for anything
+    unhandled: non-PCM format tags (IEEE float, ADPCM, extensible),
+    bit depths other than 8/16, >8 channels, zero rate, missing/short
+    fmt or data chunks, or > 2^24 frames (allocation guard). Unknown
+    chunks (LIST, fact, cue) are skipped with RIFF word alignment —
+    real recorder output leads with them. Never raises on garbage."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data = None
+    i = 12
+    try:
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+            body = b[i + 8 : i + 8 + size]
+            if len(body) < size:
+                return None
+            if cid == b"fmt ":
+                if size < 16:
+                    return None
+                audio_fmt, nch, rate, _br, _ba, bits = struct.unpack(
+                    "<HHIIHH", body[:16]
+                )
+                fmt = (audio_fmt, nch, rate, bits)
+            elif cid == b"data":
+                data = body
+            if fmt is not None and data is not None:
+                break
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+    except struct.error:
+        return None
+    if fmt is None or data is None:
+        return None
+    audio_fmt, nch, rate, bits = fmt
+    if audio_fmt != 1 or not (1 <= nch <= 8) or rate == 0:
+        return None
+    if bits == 16:
+        n = len(data) // (2 * nch)
+        if n > (1 << 24):
+            return None
+        vals = list(
+            struct.unpack("<" + "h" * (n * nch), data[: n * 2 * nch])
+        )
+    elif bits == 8:
+        n = len(data) // nch
+        if n > (1 << 24):
+            return None
+        vals = [v - 128 for v in data[: n * nch]]
+    else:
+        return None
+    mono = [
+        sum(vals[f * nch : (f + 1) * nch]) // nch for f in range(n)
+    ]
+    return rate, nch, bits, n, mono
+
+
+def audio_wav_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over a binary WAV column through the
+    Arrow mapInPandas boundary (the audio twin of decode_image_meta /
+    extract_features): per decodable row —
+
+    * ``duration_us`` = n_frames * 1_000_000 // sample_rate (exact
+      integer);
+    * ``peak``        = max |mono sample| (0 for an empty data chunk);
+    * ``rms``         = isqrt(sum(mono^2) // n_frames) — integer
+      end-to-end, so an external oracle replays it bit-for-bit.
+
+    Undecodable payloads (compressed formats, junk) are DROPPED —
+    surface them via the decoder-label pattern of decode_image_meta if
+    the pipeline needs them visible. Map-only, embarrassingly parallel;
+    size by cores at 100 TB like every decode stage."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                got = decode_wav(bytes(blob)) if blob is not None else None
+                if got is None:
+                    continue
+                rate, nch, bits, n, mono = got
+                peak = max((abs(v) for v in mono), default=0)
+                rms = (
+                    math.isqrt(sum(v * v for v in mono) // n) if n else 0
+                )
+                out.append((
+                    int(mid), int(rate), int(nch), int(bits), int(n),
+                    n * 1_000_000 // rate, int(peak), int(rms),
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "sample_rate", "n_channels", "bits",
+                         "n_frames", "duration_us", "peak", "rms"],
+            )
+
+    schema = ("media_id long, sample_rate int, n_channels int, bits int, "
+              "n_frames int, duration_us bigint, peak int, rms int")
+    return media.mapInPandas(run, schema=schema)

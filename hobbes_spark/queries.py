@@ -4157,6 +4157,62 @@ def jpeg_progressive_fixture_exact(spark, sf_dir):
     return media.mapInPandas(decode, schema=schema).orderBy("media_id")
 
 
+# Hand-assembled RIFF/WAVE PCM streams (round 9, audio modality):
+# W1 = mono 16-bit @8000 Hz, samples [1000,-1000,1000,-1000]; W2 =
+# stereo 8-bit @11025 Hz behind an odd-sized LIST junk chunk (word-
+# alignment exercised), frames (228,128)/(28,128) -> centered mono
+# [50,-50]. Feature literals derived by hand: duration_us = n*1e6//rate,
+# peak = max|mono|, rms = isqrt(sum(mono^2)//n).
+_WAV_MONO16_HEX = (
+    "524946462C00000057415645666D74201000000001000100401F0000803E0000"
+    "020010006461746108000000E80318FCE80318FC"
+)
+_WAV_STEREO8_HEX = (
+    "5249464634000000574156454C4953540300000061626300666D742010000000"
+    "01000200112B000022560000020008006461746104000000E4801C80"
+)
+
+
+@q(
+    "audio_wav_features",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(8000 AS INTEGER), CAST(1 AS INTEGER),
+       CAST(16 AS INTEGER), CAST(4 AS INTEGER), CAST(500 AS BIGINT),
+       CAST(1000 AS INTEGER), CAST(1000 AS INTEGER)),
+      (CAST(2 AS BIGINT), CAST(11025 AS INTEGER), CAST(2 AS INTEGER),
+       CAST(8 AS INTEGER), CAST(2 AS INTEGER), CAST(181 AS BIGINT),
+       CAST(50 AS INTEGER), CAST(50 AS INTEGER))
+    ) AS t(media_id, sample_rate, n_channels, bits, n_frames,
+           duration_us, peak, rms)
+    ORDER BY media_id
+    """,
+)
+def audio_wav_features(spark, sf_dir):
+    """AUDIO modality decode truth pin (round 9): the two hand-built
+    WAV payloads above cross the Arrow mapInPandas boundary into
+    multimodal.audio_wav_features — RIFF chunk walking (incl. an
+    odd-sized junk chunk and word alignment), PCM 16-bit LE and 8-bit
+    centered decode, integer channel mixdown, and the exact-integer
+    duration/peak/rms features — against a pure-literal oracle. A
+    third UNDECODABLE payload (mp3-ish magic) must be dropped, which
+    the 2-row count pins. Extends the multimodal column family from
+    images to audio with a REAL decode step (WAV needs no codec libs);
+    compressed audio refuses with None, same posture as the image
+    decoders."""
+    from hobbes_spark.functions.multimodal import (
+        audio_wav_features as wav_features,
+    )
+
+    rows = [
+        (1, bytearray.fromhex(_WAV_MONO16_HEX)),
+        (2, bytearray.fromhex(_WAV_STEREO8_HEX)),
+        (3, bytearray(b"ID3\x03" + b"\x00" * 40)),  # undecodable: dropped
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    return wav_features(media).orderBy("media_id")
+
+
 @q(
     "media_frame_plan",
     """
@@ -9554,7 +9610,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r8 (new in r9) ---
     "auto_salted_join_revenue", "domain_mix_stats",
-    "auto_salted_group_sum",
+    "audio_wav_features", "auto_salted_group_sum",
     "jpeg_noninterleaved_fixture_exact", "jpeg_progressive_fixture_exact",
     "nfc_docs",
     # --- changed since their last r6 signature: functions/similarity.py
@@ -9582,7 +9638,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "hb_commit_frequency", "hb_cycle_time", "hb_gandalf_state",
     "hb_localdata_top", "hb_logic_state", "hb_mttr", "join_on_field",
     "kmv_quantiles_prices", "merge_datasets", "minhash_pairs_fast",
-    "moving_mean", "moving_sum_minmax", "odata_serve_orders",
+    "moving_mean", "moving_sum_minmax",
 ]
 
 

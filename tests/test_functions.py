@@ -3040,3 +3040,87 @@ def test_decode_pixels_jpeg_progressive_never_raises():
                 w, h, gray = got
                 assert len(gray) == w * h
                 assert all(0 <= v <= 255 for v in gray)
+
+
+def _wav(fmt_tag, nch, rate, bits, frames, pre_chunks=b""):
+    """Hand-assemble a RIFF/WAVE stream: optional junk chunks first
+    (word-aligned), then fmt + data."""
+    import struct
+
+    data = b""
+    for fr in frames:
+        for v in fr:
+            data += struct.pack("<h", v) if bits == 16 else bytes([v])
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, nch, rate,
+        rate * nch * bits // 8, nch * bits // 8, bits,
+    )
+    chunks = (pre_chunks
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+class TestWavDecode:
+    """RIFF/WAVE PCM decode (round 9): the audio modality's real
+    decode step — hand-derived literals per container feature."""
+
+    def test_mono16_and_stereo8_hand_derived(self):
+        import struct
+
+        from hobbes_spark.functions.multimodal import decode_wav
+
+        w1 = _wav(1, 1, 8000, 16, [(1000,), (-1000,), (1000,), (-1000,)])
+        assert decode_wav(w1) == (8000, 1, 16, 4, [1000, -1000, 1000, -1000])
+        # odd-sized junk chunk before fmt: word alignment must skip it
+        junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        w2 = _wav(1, 2, 11025, 8, [(228, 128), (28, 128)], pre_chunks=junk)
+        # 8-bit centers to signed; stereo mixdown is integer floor mean
+        assert decode_wav(w2) == (11025, 2, 8, 2, [50, -50])
+        # floor (not truncate) mixdown for negative sums: (-3 + 0)//2 = -2
+        w3 = _wav(1, 2, 8000, 16, [(-3, 0)])
+        assert decode_wav(w3) == (8000, 2, 16, 1, [-2])
+
+    def test_refusals(self):
+        from hobbes_spark.functions.multimodal import decode_wav
+
+        assert decode_wav(b"ID3\x03" + b"\x00" * 40) is None  # mp3-ish
+        assert decode_wav(_wav(3, 1, 8000, 16, [(1,)])) is None  # IEEE float
+        assert decode_wav(_wav(1, 1, 8000, 24, [])) is None  # 24-bit
+        assert decode_wav(_wav(1, 0, 8000, 16, [])) is None  # 0 channels
+        assert decode_wav(_wav(1, 1, 0, 16, [])) is None  # 0 rate
+        assert decode_wav(b"") is None
+        assert decode_wav(b"RIFF\x00\x00\x00\x00WAVE") is None  # no chunks
+
+    def test_never_raises_on_garbage(self):
+        from hobbes_spark.functions.multimodal import decode_wav
+
+        valid = _wav(1, 1, 8000, 16, [(1000,), (-1000,)])
+        for cut in range(len(valid)):
+            got = decode_wav(valid[:cut])
+            if got is not None:
+                rate, nch, bits, n, mono = got
+                assert rate > 0 and len(mono) == n
+        for off in range(len(valid)):
+            for m in (0x00, 0xFF, valid[off] ^ 0x55):
+                got = decode_wav(valid[:off] + bytes([m]) + valid[off + 1:])
+                if got is not None:
+                    rate, nch, bits, n, mono = got
+                    assert rate > 0 and len(mono) == n
+
+    def test_features_through_spark(self, spark):
+        from hobbes_spark.functions.multimodal import audio_wav_features
+
+        rows = [
+            (1, bytearray(_wav(1, 1, 8000, 16,
+                               [(1000,), (-1000,), (1000,), (-1000,)]))),
+            (2, bytearray(b"not audio")),
+            (3, None),
+        ]
+        media = spark.createDataFrame(rows, "media_id long, content binary")
+        got = audio_wav_features(media).collect()
+        assert len(got) == 1  # undecodable + NULL payloads dropped
+        r = got[0]
+        assert (r["media_id"], r["sample_rate"], r["n_channels"],
+                r["bits"], r["n_frames"], r["duration_us"],
+                r["peak"], r["rms"]) == (1, 8000, 1, 16, 4, 500, 1000, 1000)
