@@ -800,6 +800,144 @@ def _jpeg_progressive_finalize(frame, prog, qt, np):
     return w, h, [int(v) for v in out.ravel()]
 
 
+def _gif_lzw_decode(min_code: int, data: bytes, max_pixels: int):
+    """GIF LZW (spec 89a appendix F): variable-width codes packed
+    LSB-first, clear/end codes, dictionary growth to 12 bits with the
+    decoder widening one entry early (the standard encoder/decoder lag
+    symmetry), and the KwKwK self-reference case. None on any
+    malformed stream."""
+    clear = 1 << min_code
+    end = clear + 1
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    d = fresh()
+    width = min_code + 1
+    out = bytearray()
+    prev = None
+    nbits = len(data) * 8
+    pos = 0
+    while pos + width <= nbits:
+        code = 0
+        for k in range(width):
+            code |= ((data[(pos + k) >> 3] >> ((pos + k) & 7)) & 1) << k
+        pos += width
+        if code == clear:
+            d = fresh()
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                return None  # first code after clear must be a literal
+            entry = d[code]
+        elif code < len(d):
+            entry = d[code]
+            d.append(prev + entry[:1])
+        elif code == len(d):
+            entry = prev + prev[:1]  # KwKwK
+            d.append(entry)
+        else:
+            return None
+        out += entry
+        if len(out) > max_pixels:
+            return None
+        prev = entry
+        if len(d) == (1 << width) and width < 12:
+            width += 1
+    return bytes(out)  # stream may legally end without the END code
+
+
+def _decode_gif_gray(b: bytes):
+    """GIF 87a/89a FIRST-frame luma decode: logical screen + global/
+    local color table, extension blocks skipped, LZW index stream,
+    palette -> ITU-601 luma, interlace pass reordering. Returns the
+    frame's own (width, height) — animations decode as their first
+    frame, the standard thumbnail/dedup treatment. None for malformed
+    streams, missing palettes, > 2^22 pixels, or short index data."""
+    import struct
+
+    if len(b) < 13:
+        return None
+    try:
+        packed = b[10]
+        gct = None
+        i = 13
+        if packed & 0x80:
+            n = 2 << (packed & 7)
+            gct = b[13 : 13 + 3 * n]
+            if len(gct) < 3 * n:
+                return None
+            i = 13 + 3 * n
+        while i < len(b):
+            blk = b[i]
+            if blk == 0x3B:
+                return None  # trailer before any image frame
+            if blk == 0x21:  # extension: label byte + sub-blocks
+                i += 2
+                while i < len(b) and b[i] != 0:
+                    i += 1 + b[i]
+                i += 1
+                continue
+            if blk != 0x2C:
+                return None
+            _left, _top, iw, ih = struct.unpack("<HHHH", b[i + 1 : i + 9])
+            ipacked = b[i + 9]
+            i += 10
+            pal = gct
+            if ipacked & 0x80:  # local color table overrides
+                n = 2 << (ipacked & 7)
+                pal = b[i : i + 3 * n]
+                if len(pal) < 3 * n:
+                    return None
+                i += 3 * n
+            if not iw or not ih or iw * ih > (1 << 22) or pal is None:
+                return None
+            min_code = b[i]
+            i += 1
+            if not 2 <= min_code <= 8:
+                return None
+            data = bytearray()
+            while True:
+                if i >= len(b):
+                    return None
+                sz = b[i]
+                i += 1
+                if sz == 0:
+                    break
+                chunk = b[i : i + sz]
+                if len(chunk) < sz:
+                    return None
+                data += chunk
+                i += sz
+            idx = _gif_lzw_decode(min_code, bytes(data), iw * ih)
+            if idx is None or len(idx) < iw * ih:
+                return None
+            npal = len(pal) // 3
+            gray: list[int] = []
+            for v in idx[: iw * ih]:
+                if v >= npal:
+                    return None
+                gray.append(_luma(pal[3 * v], pal[3 * v + 1], pal[3 * v + 2]))
+            if ipacked & 0x40:  # interlaced: 4-pass row reordering
+                order = (
+                    list(range(0, ih, 8)) + list(range(4, ih, 8))
+                    + list(range(2, ih, 4)) + list(range(1, ih, 2))
+                )
+                rows = [gray[k * iw : (k + 1) * iw] for k in range(ih)]
+                out_rows: list = [None] * ih
+                for src, dst in enumerate(order):
+                    out_rows[dst] = rows[src]
+                gray = [v for row in out_rows for v in row]
+            return iw, ih, gray
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
 def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
     """Pure-Python PIXEL decode for PNG, BMP and JPEG — no codec
     libraries.
@@ -819,6 +957,8 @@ def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
     was absent."""
     if b[:2] == b"\xff\xd8":
         return _decode_jpeg_gray(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif_gray(b)
     import struct
     import zlib
 

@@ -4157,6 +4157,79 @@ def jpeg_progressive_fixture_exact(spark, sf_dir):
     return media.mapInPandas(decode, schema=schema).orderBy("media_id")
 
 
+# Hand-assembled GIF streams (round 9): CHECKER is the 2x2 black/white
+# checkerboard whose LZW codes (CLEAR,0,1,1,0,END with the width bump
+# to 4 bits) were packed LSB-first by hand to 44 02 05; INTERLACED is a
+# 2x4 frame whose stream [0,0,0,1,1,1,1,0] hits the KwKwK
+# self-reference twice and whose 4-pass interlace maps stored rows
+# [0,2,1,3] back to display order (tests/test_functions.py::TestGifDecode
+# re-derives both bit-by-bit).
+_GIF_CHECKER_HEX = (
+    "47494638396102000200800000000000FFFFFF2C00000000020002000002"
+    "03440205003B"
+)
+_GIF_INTERLACED_HEX = (
+    "47494638396102000400800000000000FFFFFF2C00000000020004004002"
+    "0484830105003B"
+)
+
+
+@q(
+    "gif_fixture_exact",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'checker-2x2', CAST(2 AS INTEGER),
+       CAST(2 AS INTEGER), '0,255,255,0'),
+      (CAST(2 AS BIGINT), 'interlaced-kwkwk-2x4', CAST(2 AS INTEGER),
+       CAST(4 AS INTEGER), '0,0,255,255,0,255,255,0')
+    ) AS t(media_id, layout, width, height, pixels)
+    ORDER BY media_id
+    """,
+)
+def gif_fixture_exact(spark, sf_dir):
+    """GIF LZW pixel-decode truth pin (round 9 — GIF was header-only
+    before): the two hand-packed streams above decode through the
+    Arrow mapInPandas boundary to their full hand-derived pixel lists
+    (variable-width LZW, KwKwK self-reference, width bump, 4-pass
+    interlace reordering) against a pure-literal oracle. With JPEG
+    (baseline + progressive), PNG, BMP and GIF, every decodable image
+    family the corpus synthesizes now has a driver-signed pixel pin."""
+    import pandas as pd
+
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    rows = [
+        (1, "checker-2x2", bytearray.fromhex(_GIF_CHECKER_HEX)),
+        (2, "interlaced-kwkwk-2x4", bytearray.fromhex(_GIF_INTERLACED_HEX)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, layout string, content binary"
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for mid, layout, blob in zip(
+                pdf["media_id"], pdf["layout"], pdf["content"]
+            ):
+                got = decode_pixels(bytes(blob))
+                if got is None:
+                    continue
+                w, h, gray = got
+                out.append((
+                    int(mid), layout, int(w), int(h),
+                    ",".join(str(v) for v in gray),
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "layout", "width", "height", "pixels"],
+            )
+
+    schema = ("media_id long, layout string, width int, height int, "
+              "pixels string")
+    return media.mapInPandas(decode, schema=schema).orderBy("media_id")
+
+
 # Hand-assembled RIFF/WAVE PCM streams (round 9, audio modality):
 # W1 = mono 16-bit @8000 Hz, samples [1000,-1000,1000,-1000]; W2 =
 # stereo 8-bit @11025 Hz behind an odd-sized LIST junk chunk (word-
@@ -9610,7 +9683,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r8 (new in r9) ---
     "auto_salted_join_revenue", "domain_mix_stats",
-    "audio_wav_features", "auto_salted_group_sum",
+    "audio_wav_features", "auto_salted_group_sum", "gif_fixture_exact",
     "jpeg_noninterleaved_fixture_exact", "jpeg_progressive_fixture_exact",
     "nfc_docs",
     # --- changed since their last r6 signature: functions/similarity.py
@@ -9638,7 +9711,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "hb_commit_frequency", "hb_cycle_time", "hb_gandalf_state",
     "hb_localdata_top", "hb_logic_state", "hb_mttr", "join_on_field",
     "kmv_quantiles_prices", "merge_datasets", "minhash_pairs_fast",
-    "moving_mean", "moving_sum_minmax",
+    "moving_mean",
 ]
 
 

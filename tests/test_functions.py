@@ -3124,3 +3124,83 @@ class TestWavDecode:
         assert (r["media_id"], r["sample_rate"], r["n_channels"],
                 r["bits"], r["n_frames"], r["duration_us"],
                 r["peak"], r["rms"]) == (1, 8000, 1, 16, 4, 500, 1000, 1000)
+
+
+class TestGifDecode:
+    """GIF LZW pixel decode (round 9): hand-derived fixtures per
+    feature — variable-width codes, KwKwK self-reference, width bump,
+    interlace reordering — plus the canonical public 1x1 GIF as an
+    externally-authored control."""
+
+    # the widely-published minimal 1x1 black GIF (public knowledge)
+    _ONE = bytes.fromhex(
+        "47494638396101000100800000000000ffffff21f904000000"
+        "00002c00000000010001000002024401003b"
+    )
+
+    @staticmethod
+    def _gif(w, h, indices_lzw, interlaced=False, trailer=True):
+        hdr = (b"GIF89a" + w.to_bytes(2, "little")
+               + h.to_bytes(2, "little") + bytes([0x80, 0, 0]))
+        gct = bytes([0, 0, 0, 255, 255, 255])
+        img = (b"\x2c" + b"\x00\x00\x00\x00"
+               + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+               + bytes([0x40 if interlaced else 0x00]))
+        lzw = bytes([2, len(indices_lzw)]) + indices_lzw + b"\x00"
+        return hdr + gct + img + lzw + (b"\x3b" if trailer else b"")
+
+    def test_public_one_pixel_control(self):
+        from hobbes_spark.functions.multimodal import decode_pixels
+
+        assert decode_pixels(self._ONE) == (1, 1, [0])
+
+    def test_checker_hand_derived(self):
+        """2x2 indices [0,1,1,0]: codes CLEAR,0,1,1,0,END with the
+        width bump to 4 bits after the dictionary reaches 8 — packed
+        LSB-first by hand to 44 02 05."""
+        from hobbes_spark.functions.multimodal import decode_pixels
+
+        payload = self._gif(2, 2, bytes([0x44, 0x02, 0x05]))
+        assert decode_pixels(payload) == (2, 2, [0, 255, 255, 0])
+
+    def test_kwkwk_and_interlace_hand_derived(self):
+        """2x4 INTERLACED stream [0,0,0,1,1,1,1,0] hits the KwKwK
+        self-reference twice (codes 6 and 8 referenced before they are
+        complete) — hand-packed to 84 83 01 05; the 4-pass interlace
+        maps stored rows [0,2,1,3] back to display order."""
+        from hobbes_spark.functions.multimodal import decode_pixels
+
+        payload = self._gif(2, 4, bytes([0x84, 0x83, 0x01, 0x05]),
+                            interlaced=True)
+        got = decode_pixels(payload)
+        # stored rows: [0,0],[0,1],[1,1],[1,0] -> display rows
+        # 0,2,1,3 -> [0,0],[1,1],[0,1],[1,0]
+        assert got == (2, 4, [0, 0, 255, 255, 0, 255, 255, 0])
+
+    def test_extension_blocks_skipped_and_refusals(self):
+        from hobbes_spark.functions.multimodal import decode_pixels
+
+        # the public control already carries a GCE extension (21 F9)
+        assert decode_pixels(self._ONE)[0:2] == (1, 1)
+        # trailer before any frame
+        assert decode_pixels(b"GIF89a" + bytes(7) + b"\x3b") is None
+        # short index stream (LZW ends before w*h pixels)
+        short = self._gif(4, 4, bytes([0x44, 0x02, 0x05]))
+        assert decode_pixels(short) is None
+
+    def test_never_raises_on_garbage(self):
+        from hobbes_spark.functions.multimodal import decode_pixels
+
+        valid = self._gif(2, 4, bytes([0x84, 0x83, 0x01, 0x05]),
+                          interlaced=True)
+        for cut in range(len(valid)):
+            got = decode_pixels(valid[:cut])
+            if got is not None:
+                w, h, g = got
+                assert len(g) == w * h
+        for off in range(len(valid)):
+            for m in (0x00, 0xFF, valid[off] ^ 0x55):
+                got = decode_pixels(valid[:off] + bytes([m]) + valid[off + 1:])
+                if got is not None:
+                    w, h, g = got
+                    assert len(g) == w * h and all(0 <= v <= 255 for v in g)
