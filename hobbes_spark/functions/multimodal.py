@@ -939,13 +939,15 @@ def _decode_gif_gray(b: bytes):
 
 
 def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
-    """Pure-Python PIXEL decode for PNG, BMP and JPEG — no codec
+    """Pure-Python PIXEL decode for PNG, BMP, GIF and JPEG — no codec
     libraries.
 
     Returns ``(width, height, grayscale)`` with grayscale as a top-down
     row-major list of 0-255 luma values, or None for anything this
     decoder doesn't handle (other formats, interlaced PNG, compressed
-    BMP, lossless/arithmetic JPEG, truncated payloads).  PNG: 8-bit
+    BMP, lossless/arithmetic JPEG, truncated payloads).  GIF (round
+    9): first-frame LZW decode incl. 4-pass interlace — see
+    :func:`_decode_gif_gray`.  PNG: 8-bit
     depth, color types gray/RGB/palette/gray+alpha/RGBA, all five
     scanline filters, zlib IDAT reassembly.  BMP: BITMAPINFOHEADER+,
     uncompressed, 8-bit paletted and 24/32-bit, bottom-up and top-down
