@@ -836,8 +836,13 @@ def _gif_lzw_decode(min_code: int, data: bytes, max_pixels: int):
             entry = d[code]
         elif code < len(d):
             entry = d[code]
-            d.append(prev + entry[:1])
-        elif code == len(d):
+            # 12-bit cap (deferred clear): BOTH sides freeze the
+            # dictionary at 4096 entries, staying in lockstep until a
+            # CLEAR arrives — growing past it would desynchronize the
+            # decoder from a spec-conforming encoder
+            if len(d) < 4096:
+                d.append(prev + entry[:1])
+        elif code == len(d) and len(d) < 4096:
             entry = prev + prev[:1]  # KwKwK
             d.append(entry)
         else:

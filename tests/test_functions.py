@@ -3204,3 +3204,116 @@ class TestGifDecode:
                 if got is not None:
                     w, h, g = got
                     assert len(g) == w * h and all(0 <= v <= 255 for v in g)
+
+
+def _gif_lzw_encode(min_code, seq):
+    """Independent TEST-SIDE GIF LZW encoder written from the spec
+    (greedy longest-phrase, width bump when the just-assigned entry
+    index reaches 2^width, dictionary FROZEN at 4096 entries —
+    'deferred clear'). Exists only to fuzz the decoder; the convention
+    itself is anchored by the hand-packed literals above, so a mirrored
+    bug cannot hide."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    bits = []
+
+    def emit(code):
+        for k in range(width):
+            bits.append((code >> k) & 1)
+
+    d = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    cur = b""
+    for s in seq:
+        nxt = cur + bytes([s])
+        if nxt in d:
+            cur = nxt
+            continue
+        emit(d[cur])
+        if next_code < 4096:
+            d[nxt] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        cur = bytes([s])
+    if cur:
+        emit(d[cur])
+    emit(end)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for k, b in enumerate(bits[i : i + 8]):
+            byte |= b << k
+        out.append(byte)
+    return bytes(out)
+
+
+def _gif_full(w, h, palette, lzw_data, min_code, interlaced=False):
+    """GIF builder with arbitrary palette size and 255-byte sub-block
+    chunking (the catalog fixtures fit one block; big fuzz streams do
+    not)."""
+    import math
+
+    n = max(2, len(palette) // 3)
+    size_bits = max(0, math.ceil(math.log2(n)) - 1)
+    pal = palette + bytes(3 * ((2 << size_bits) - len(palette) // 3))
+    hdr = (b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+           + bytes([0x80 | size_bits, 0, 0]))
+    img = (b"\x2c" + b"\x00\x00\x00\x00"
+           + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+           + bytes([0x40 if interlaced else 0x00]))
+    blocks = bytearray([min_code])
+    for i in range(0, len(lzw_data), 255):
+        chunk = lzw_data[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return hdr + pal + img + bytes(blocks) + b"\x3b"
+
+
+def test_gif_lzw_roundtrip_including_dict_freeze():
+    """Fuzz the decoder against the independent encoder: random index
+    streams over 4- and 16-color palettes, including one long enough
+    to FREEZE the dictionary at 4096 entries (deferred clear) and one
+    with high repetition (deep phrases, KwKwK-rich). Round-trip must
+    be exact and sub-block chunking transparent."""
+    import random
+
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    rng = random.Random(97)
+    palette4 = bytes([0, 0, 0, 255, 255, 255, 255, 0, 0, 0, 0, 255])
+    palette16 = bytes(
+        v for i in range(16) for v in (i * 16, i * 16, i * 16)
+    )
+    cases = [
+        # (w, h, palette, min_code, sequence)
+        (20, 10, palette4, 2,
+         [rng.randrange(4) for _ in range(200)]),
+        (25, 8, palette4, 2,
+         [0, 1] * 50 + [1] * 60 + [rng.randrange(4) for _ in range(40)]),
+        # 16 colors x 13000 symbols: ~4.5k phrases -> crosses the
+        # 4096 dictionary cap (verified: 1412 post-freeze emissions),
+        # so codes reach 12 bits and then FREEZE on both sides
+        (130, 100, palette16, 4,
+         [rng.randrange(16) for _ in range(13000)]),
+        # high repetition at scale: long runs grow deep phrases fast
+        (100, 90, palette16, 4,
+         sum(([i % 16] * (i % 37 + 1) for i in range(700)), [])[:9000]),
+    ]
+    for w, h, pal, mc, seq in cases:
+        seq = seq[: w * h]
+        assert len(seq) == w * h
+        payload = _gif_full(w, h, pal, _gif_lzw_encode(mc, seq), mc)
+        got = decode_pixels(payload)
+        assert got is not None, (w, h, len(seq))
+        gw, gh, gray = got
+        npal = len(pal) // 3
+        want = [
+            (299 * pal[3 * v] + 587 * pal[3 * v + 1] + 114 * pal[3 * v + 2])
+            // 1000
+            for v in seq
+        ]
+        assert (gw, gh) == (w, h)
+        assert gray == want, (w, h)
