@@ -949,8 +949,10 @@ def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
 
     Returns ``(width, height, grayscale)`` with grayscale as a top-down
     row-major list of 0-255 luma values, or None for anything this
-    decoder doesn't handle (other formats, interlaced PNG, compressed
-    BMP, lossless/arithmetic JPEG, truncated payloads).  GIF (round
+    decoder doesn't handle (other formats, compressed BMP,
+    lossless/arithmetic JPEG, truncated payloads).  PNG: Adam7
+    interlace supported (round 9), each pass an independent filtered
+    sub-image.  GIF (round
     9): first-frame LZW decode incl. 4-pass interlace — see
     :func:`_decode_gif_gray`.  PNG: 8-bit
     depth, color types gray/RGB/palette/gray+alpha/RGBA, all five
@@ -993,7 +995,8 @@ def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
                     break
                 i += 12 + ln
             if (
-                not width or not height or bit_depth != 8 or interlace != 0
+                not width or not height or bit_depth != 8
+                or interlace not in (0, 1)
                 or color_type not in (0, 2, 3, 4, 6)
                 or (color_type == 3 and plte is None)
                 # allocation guard: a crafted IHDR can declare 2^31
@@ -1005,8 +1008,24 @@ def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
             ):
                 return None
             channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-            stride = width * channels
-            need = height * (stride + 1)
+            # interlace 0 = one full-image pass; interlace 1 = Adam7
+            # (round 9): each pass is an INDEPENDENT filtered sub-image
+            # (its own filter bytes, its own "previous row" starting at
+            # zeros) laid onto the (x0 + c*xs, y0 + r*ys) grid
+            if interlace == 0:
+                passes = [(0, 0, 1, 1)]
+            else:
+                passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                          (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                          (0, 1, 1, 2)]
+            dims = []
+            need = 0
+            for x0, y0, xs, ys in passes:
+                pw = max(0, (width - x0 + xs - 1) // xs)
+                ph = max(0, (height - y0 + ys - 1) // ys)
+                dims.append((pw, ph))
+                if pw and ph:
+                    need += ph * (pw * channels + 1)
             # cap decompression at exactly the pixel bytes needed — a
             # zip-bomb IDAT cannot expand past the declared geometry
             raw = zlib.decompressobj().decompress(bytes(idat), need)
@@ -1014,45 +1033,55 @@ def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
             return None
         if len(raw) < need:
             return None
-        gray: list[int] = []
-        prev = bytearray(stride)
-        for r in range(height):
-            base = r * (stride + 1)
-            ftype = raw[base]
-            line = bytearray(raw[base + 1 : base + 1 + stride])
-            if ftype == 1:  # Sub
-                for k in range(channels, stride):
-                    line[k] = (line[k] + line[k - channels]) & 0xFF
-            elif ftype == 2:  # Up
-                for k in range(stride):
-                    line[k] = (line[k] + prev[k]) & 0xFF
-            elif ftype == 3:  # Average
-                for k in range(stride):
-                    left = line[k - channels] if k >= channels else 0
-                    line[k] = (line[k] + (left + prev[k]) // 2) & 0xFF
-            elif ftype == 4:  # Paeth
-                for k in range(stride):
-                    a = line[k - channels] if k >= channels else 0
-                    c = prev[k]
-                    d = prev[k - channels] if k >= channels else 0
-                    p = a + c - d
-                    pa, pb, pc = abs(p - a), abs(p - c), abs(p - d)
-                    pred = a if pa <= pb and pa <= pc else (c if pb <= pc else d)
-                    line[k] = (line[k] + pred) & 0xFF
-            elif ftype != 0:
-                return None
-            prev = line
-            for k in range(0, stride, channels):
-                if color_type == 0 or color_type == 4:
-                    gray.append(line[k])
-                elif color_type == 3:
-                    pi = 3 * line[k]
-                    if pi + 3 > len(plte):
-                        return None
-                    gray.append(_luma(plte[pi], plte[pi + 1], plte[pi + 2]))
-                else:
-                    gray.append(_luma(line[k], line[k + 1], line[k + 2]))
-        return width, height, gray
+        grid = [0] * (width * height)
+        off = 0
+        for (x0, y0, xs, ys), (pw, ph) in zip(passes, dims):
+            if not pw or not ph:
+                continue
+            stride = pw * channels
+            prev = bytearray(stride)
+            for r in range(ph):
+                ftype = raw[off]
+                line = bytearray(raw[off + 1 : off + 1 + stride])
+                off += stride + 1
+                if ftype == 1:  # Sub
+                    for k in range(channels, stride):
+                        line[k] = (line[k] + line[k - channels]) & 0xFF
+                elif ftype == 2:  # Up
+                    for k in range(stride):
+                        line[k] = (line[k] + prev[k]) & 0xFF
+                elif ftype == 3:  # Average
+                    for k in range(stride):
+                        left = line[k - channels] if k >= channels else 0
+                        line[k] = (line[k] + (left + prev[k]) // 2) & 0xFF
+                elif ftype == 4:  # Paeth
+                    for k in range(stride):
+                        a = line[k - channels] if k >= channels else 0
+                        c = prev[k]
+                        d = prev[k - channels] if k >= channels else 0
+                        p = a + c - d
+                        pa, pb, pc = abs(p - a), abs(p - c), abs(p - d)
+                        pred = (
+                            a if pa <= pb and pa <= pc
+                            else (c if pb <= pc else d)
+                        )
+                        line[k] = (line[k] + pred) & 0xFF
+                elif ftype != 0:
+                    return None
+                prev = line
+                y = y0 + r * ys
+                for ci, k in enumerate(range(0, stride, channels)):
+                    if color_type == 0 or color_type == 4:
+                        g = line[k]
+                    elif color_type == 3:
+                        pi = 3 * line[k]
+                        if pi + 3 > len(plte):
+                            return None
+                        g = _luma(plte[pi], plte[pi + 1], plte[pi + 2])
+                    else:
+                        g = _luma(line[k], line[k + 1], line[k + 2])
+                    grid[y * width + x0 + ci * xs] = g
+        return width, height, grid
 
     if b[:2] == b"BM" and len(b) >= 54:
         import struct as _s

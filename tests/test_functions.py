@@ -3317,3 +3317,49 @@ def test_gif_lzw_roundtrip_including_dict_freeze():
         ]
         assert (gw, gh) == (w, h)
         assert gray == want, (w, h)
+
+
+def test_decode_pixels_png_adam7_interlace_hand_derived():
+    """Adam7 interlaced PNG (round 9 — previously refused): a 4x4
+    grayscale image with gray[y][x] = 16*y + x, split by hand into the
+    5 non-empty passes (p1 -> (0,0); p4 -> (2,0); p5 -> (0,2),(2,2);
+    p6 -> (1,0),(3,0),(1,2),(3,2); p7 -> rows 1 and 3 whole), each
+    pass its own filtered sub-image. Pass 7 uses the Up filter to pin
+    that the 'previous row' RESETS per pass (row 3 predicts from row 1
+    within the pass, never from a pass-6 line)."""
+    import struct
+    import zlib
+
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    def chunk(typ, data):
+        body = typ + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    target = [[16 * y + x for x in range(4)] for y in range(4)]
+    # per-pass scanlines, pass raster order
+    raw = bytearray()
+    raw += bytes([0, target[0][0]])                       # p1: (0,0)
+    raw += bytes([0, target[0][2]])                       # p4: (2,0)
+    raw += bytes([0, target[2][0], target[2][2]])         # p5
+    raw += bytes([0, target[0][1], target[0][3]])         # p6 row y=0
+    raw += bytes([0, target[2][1], target[2][3]])         # p6 row y=2
+    # p7: rows 1 and 3, filter Up (row 1 predicts from zeros, row 3
+    # from row 1 — both inside the pass)
+    raw += bytes([2] + target[1])
+    raw += bytes([2] + [(target[3][x] - target[1][x]) & 0xFF
+                        for x in range(4)])
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)  # interlace=1
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    got = decode_pixels(payload)
+    assert got == (4, 4, [v for row in target for v in row])
+    # robustness: truncations/mutations never raise
+    for cut in range(len(payload)):
+        r = decode_pixels(payload[:cut])
+        if r is not None:
+            w, h, g = r
+            assert len(g) == w * h
