@@ -20,6 +20,7 @@ __all__ = [
     "vocabulary_overlap",
     "normalize_text",
     "nfc_normalize",
+    "unicode_normalize",
     "NORMALIZE_RULES",
     "tokens",
     "token_count",
@@ -515,6 +516,33 @@ def normalize_text(col: Column | str) -> Column:
     return out
 
 
+def unicode_normalize(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization to any of the four standard forms
+    (round 9). NFC is the dedup canonicalization
+    (:func:`nfc_normalize`); NFKC is what tokenizer preprocessing
+    pipelines apply (SentencePiece's default normalizer family):
+    compatibility characters fold to their plain equivalents —
+    ligatures split, fullwidth forms narrow, superscripts digitize —
+    so the vocabulary never spends merges on presentation variants.
+    Arrow-batched pandas UDF (composition/compatibility mappings are
+    table-driven, inexpressible in regex); NULL propagates."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(
+            f"unicode_normalize: form must be NFC/NFD/NFKC/NFKD, got {form!r}"
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    return _norm(c(col))
+
+
 def nfc_normalize(col: Column | str) -> Column:
     """Unicode canonical composition (NFC) — the codepoint-level twin
     of :func:`normalize_text` (round 9): ``e`` + COMBINING ACUTE and
@@ -522,20 +550,8 @@ def nfc_normalize(col: Column | str) -> Column:
     identically, so exact/MinHash dedup, URL keys and n-gram hashes all
     spuriously miss across the composed/decomposed boundary until the
     corpus is NFC'd (crawls mix both: mac filesystems emit NFD, most
-    web content NFC). Regex cannot express composition, so this is one
-    of the package's few Pandas UDFs (Arrow-batched ``unicodedata``,
-    never row-at-a-time Python in the JVM loop); NULL propagates.
-    DuckDB replays it via ``nfc_normalize`` — the oracle twin for
-    `nfc_docs`."""
-    import pandas as pd  # noqa: F401 (signature typing)
-    import unicodedata
-
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def _nfc(s):
-        return s.map(
-            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
-        )
-
-    return _nfc(c(col))
+    web content NFC). Delegates to :func:`unicode_normalize` (the
+    Arrow pandas_udf — composition is table-driven, inexpressible in
+    regex); DuckDB replays it via ``nfc_normalize`` — the oracle twin
+    for `nfc_docs`."""
+    return unicode_normalize(col, "NFC")

@@ -1065,6 +1065,52 @@ def nfc_docs(spark, sf_dir):
     )
 
 
+@q(
+    "nfkc_fixture_exact",
+    """
+    SELECT * FROM (VALUES
+      (1, 'ligature',  'fire',  3, 4),
+      (2, 'superscript', 'x2',  2, 2),
+      (3, 'fullwidth', 'Hello', 5, 5),
+      (4, 'trademark', 'TM',    1, 2),
+      (5, 'roman',     'XII',   1, 3),
+      (6, 'nfd-accent', 'caf' || chr(233), 5, 4),
+      (7, 'ascii',     'plain', 5, 5)
+    ) AS t(fixture_id, cls, out, len_in, len_out)
+    ORDER BY fixture_id
+    """,
+)
+def nfkc_fixture_exact(spark, sf_dir):
+    """NFKC compatibility-normalization truth pin (round 9): the form
+    tokenizer preprocessing applies (SentencePiece's normalizer
+    family). Inputs plant one compatibility class each — the fi
+    ligature U+FB01, superscript two U+00B2, fullwidth letters, the
+    trademark sign, a roman-numeral compatibility char, a DECOMPOSED
+    accent (NFKC includes canonical composition), and plain ASCII —
+    and text.unicode_normalize(col, "NFKC") must fold every one to the
+    HAND-DERIVED literal (DuckDB has no NFKC function, so the oracle
+    is pure literals; the NFC subset is independently cross-checked
+    against DuckDB's own nfc_normalize in `nfc_docs`)."""
+    from hobbes_spark.functions.text import unicode_normalize
+
+    rows = [
+        (1, "ligature", "\ufb01re"),
+        (2, "superscript", "x\u00b2"),
+        (3, "fullwidth", "\uff28\uff45\uff4c\uff4c\uff4f"),
+        (4, "trademark", "\u2122"),
+        (5, "roman", "\u216b"),
+        (6, "nfd-accent", "cafe\u0301"),
+        (7, "ascii", "plain"),
+    ]
+    df = spark.createDataFrame(rows, "fixture_id int, cls string, raw string")
+    return df.select(
+        "fixture_id", "cls",
+        unicode_normalize("raw", "NFKC").alias("out"),
+        F.length("raw").cast("int").alias("len_in"),
+        F.length(unicode_normalize("raw", "NFKC")).cast("int").alias("len_out"),
+    ).orderBy("fixture_id")
+
+
 @q("text_stats", None, bench=True)  # oracle attached below after generation
 def text_stats(spark, sf_dir):
     from hobbes_spark.functions import text as TX
@@ -9685,7 +9731,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "auto_salted_join_revenue", "domain_mix_stats",
     "audio_wav_features", "auto_salted_group_sum", "gif_fixture_exact",
     "jpeg_noninterleaved_fixture_exact", "jpeg_progressive_fixture_exact",
-    "nfc_docs",
+    "nfc_docs", "nfkc_fixture_exact",
     # --- changed since their last r6 signature: functions/similarity.py
     #     r7 IVF-PQ/ADC additions and r8 pre-collect bound guards
     #     (similarity.py:255,765) post-date these four; functions/bpe.py
@@ -9711,7 +9757,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "hb_commit_frequency", "hb_cycle_time", "hb_gandalf_state",
     "hb_localdata_top", "hb_logic_state", "hb_mttr", "join_on_field",
     "kmv_quantiles_prices", "merge_datasets", "minhash_pairs_fast",
-    "moving_mean",
 ]
 
 

@@ -1152,3 +1152,26 @@ def test_nfc_normalize_composes_and_propagates_null(spark):
     ).collect()
     once = {r["id"]: out[r["id"]][0] for r in twice}
     assert all(r["n2"] == once[r["id"]] for r in twice)
+
+
+def test_unicode_normalize_forms_and_validation(spark):
+    """unicode_normalize (round 9): NFKC folds compatibility
+    characters (hand-derived: ligature, superscript, fullwidth), NFD
+    decomposes what NFC composes, and bad forms raise."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from hobbes_spark.functions.text import unicode_normalize
+
+    rows = [(1, "ﬁre"), (2, "x²"), (3, "café")]
+    df = spark.createDataFrame(rows, "id int, t string")
+    nfkc = {r["id"]: r["n"] for r in
+            df.select("id", unicode_normalize("t", "NFKC").alias("n")).collect()}
+    assert nfkc == {1: "fire", 2: "x2", 3: "café"}
+    nfd = df.filter(F.col("id") == 3).select(
+        unicode_normalize("t", "NFD").alias("n"),
+        F.length(unicode_normalize("t", "NFD")).alias("l"),
+    ).first()
+    assert (nfd["n"], nfd["l"]) == ("café", 5)
+    with _pt.raises(ValueError, match="form must be"):
+        unicode_normalize("t", "NFKX")

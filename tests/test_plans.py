@@ -84,10 +84,11 @@ ARROW_MATMUL_QUERIES = {
     "ann_lsh_fixture_exact",  # same Arrow sign matmul, injected planes
     "bpe_encode_words",
     "unigram_encode_fixture",
-    # round 9: Unicode NFC composition — regex cannot express
-    # codepoint composition, so this is a sanctioned Arrow pandas_udf
-    # (unicodedata), map-only, no shuffle
+    # round 9: Unicode normalization — regex cannot express
+    # codepoint composition/compatibility folding, so these are
+    # sanctioned Arrow pandas_udfs (unicodedata), map-only, no shuffle
     "nfc_docs",
+    "nfkc_fixture_exact",
 }
 
 # The only sanctioned BroadcastNestedLoopJoins: a broadcast side that
