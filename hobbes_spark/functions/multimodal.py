@@ -954,9 +954,11 @@ def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
     interlace supported (round 9), each pass an independent filtered
     sub-image.  GIF (round
     9): first-frame LZW decode incl. 4-pass interlace — see
-    :func:`_decode_gif_gray`.  PNG: 8-bit
-    depth, color types gray/RGB/palette/gray+alpha/RGBA, all five
-    scanline filters, zlib IDAT reassembly.  BMP: BITMAPINFOHEADER+,
+    :func:`_decode_gif_gray`.  PNG: color types
+    gray/RGB/palette/gray+alpha/RGBA at 8-bit depth, 1/2/4-bit gray
+    and palette (MSB-first packed, scaled — round 9), 16-bit gray/RGB
+    (high-byte downconversion), all five scanline filters, zlib IDAT
+    reassembly.  BMP: BITMAPINFOHEADER+,
     uncompressed, 8-bit paletted and 24/32-bit, bottom-up and top-down
     (negative height) row orders, 4-byte row padding.  JPEG: Huffman
     sequential SOF0/SOF1 (round 7; interleaved and per-component
@@ -994,10 +996,18 @@ def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
                 elif typ == b"IEND":
                     break
                 i += 12 + ln
+            # depth coverage (round 9): 8-bit for all color types,
+            # sub-byte 1/2/4 for gray + palette (the favicon-era web
+            # graphics), 16-bit for gray + RGB (downconverted by high
+            # byte, the standard 8-bit reduction)
+            depth_ok = (
+                (bit_depth == 8 and color_type in (0, 2, 3, 4, 6))
+                or (bit_depth in (1, 2, 4) and color_type in (0, 3))
+                or (bit_depth == 16 and color_type in (0, 2))
+            )
             if (
-                not width or not height or bit_depth != 8
+                not width or not height or not depth_ok
                 or interlace not in (0, 1)
-                or color_type not in (0, 2, 3, 4, 6)
                 or (color_type == 3 and plte is None)
                 # allocation guard: a crafted IHDR can declare 2^31
                 # pixels — refusing beats OOMing an executor on one row.
@@ -1008,6 +1018,9 @@ def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
             ):
                 return None
             channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+            # filter byte-distance: whole pixels for depth >= 8, one
+            # byte for packed sub-byte rows (PNG spec 4.5.2)
+            bpp = max(1, channels * bit_depth // 8)
             # interlace 0 = one full-image pass; interlace 1 = Adam7
             # (round 9): each pass is an INDEPENDENT filtered sub-image
             # (its own filter bytes, its own "previous row" starting at
@@ -1025,7 +1038,7 @@ def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
                 ph = max(0, (height - y0 + ys - 1) // ys)
                 dims.append((pw, ph))
                 if pw and ph:
-                    need += ph * (pw * channels + 1)
+                    need += ph * ((pw * channels * bit_depth + 7) // 8 + 1)
             # cap decompression at exactly the pixel bytes needed — a
             # zip-bomb IDAT cannot expand past the declared geometry
             raw = zlib.decompressobj().decompress(bytes(idat), need)
@@ -1038,27 +1051,27 @@ def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
         for (x0, y0, xs, ys), (pw, ph) in zip(passes, dims):
             if not pw or not ph:
                 continue
-            stride = pw * channels
+            stride = (pw * channels * bit_depth + 7) // 8
             prev = bytearray(stride)
             for r in range(ph):
                 ftype = raw[off]
                 line = bytearray(raw[off + 1 : off + 1 + stride])
                 off += stride + 1
                 if ftype == 1:  # Sub
-                    for k in range(channels, stride):
-                        line[k] = (line[k] + line[k - channels]) & 0xFF
+                    for k in range(bpp, stride):
+                        line[k] = (line[k] + line[k - bpp]) & 0xFF
                 elif ftype == 2:  # Up
                     for k in range(stride):
                         line[k] = (line[k] + prev[k]) & 0xFF
                 elif ftype == 3:  # Average
                     for k in range(stride):
-                        left = line[k - channels] if k >= channels else 0
+                        left = line[k - bpp] if k >= bpp else 0
                         line[k] = (line[k] + (left + prev[k]) // 2) & 0xFF
                 elif ftype == 4:  # Paeth
                     for k in range(stride):
-                        a = line[k - channels] if k >= channels else 0
+                        a = line[k - bpp] if k >= bpp else 0
                         c = prev[k]
-                        d = prev[k - channels] if k >= channels else 0
+                        d = prev[k - bpp] if k >= bpp else 0
                         p = a + c - d
                         pa, pb, pc = abs(p - a), abs(p - c), abs(p - d)
                         pred = (
@@ -1069,17 +1082,36 @@ def decode_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
                 elif ftype != 0:
                     return None
                 prev = line
+                # per-row sample extraction: 8-bit rows are the bytes;
+                # 16-bit takes the HIGH byte per sample (standard 8-bit
+                # downconversion); sub-byte rows unpack MSB-first with
+                # row-padding bits stripped (PNG spec 7.2)
+                if bit_depth == 8:
+                    samples = line
+                elif bit_depth == 16:
+                    samples = line[0::2]
+                else:
+                    mask = (1 << bit_depth) - 1
+                    samples = []
+                    for byte in line:
+                        for sh in range(8 - bit_depth, -1, -bit_depth):
+                            samples.append((byte >> sh) & mask)
+                    samples = samples[: pw]
                 y = y0 + r * ys
-                for ci, k in enumerate(range(0, stride, channels)):
+                for ci in range(pw):
+                    base = ci * channels
                     if color_type == 0 or color_type == 4:
-                        g = line[k]
+                        g = samples[base]
+                        if bit_depth in (1, 2, 4):  # scale to 0..255
+                            g = g * 255 // ((1 << bit_depth) - 1)
                     elif color_type == 3:
-                        pi = 3 * line[k]
+                        pi = 3 * samples[base]
                         if pi + 3 > len(plte):
                             return None
                         g = _luma(plte[pi], plte[pi + 1], plte[pi + 2])
                     else:
-                        g = _luma(line[k], line[k + 1], line[k + 2])
+                        g = _luma(samples[base], samples[base + 1],
+                                  samples[base + 2])
                     grid[y * width + x0 + ci * xs] = g
         return width, height, grid
 

@@ -3363,3 +3363,50 @@ def test_decode_pixels_png_adam7_interlace_hand_derived():
         if r is not None:
             w, h, g = r
             assert len(g) == w * h
+
+
+def test_decode_pixels_png_depths_hand_derived():
+    """PNG bit depths beyond 8 (round 9): 1/2/4-bit gray and palette
+    (favicon-era web graphics; MSB-first packing, row-padding bits
+    stripped, values scaled by 255/(2^d-1)) and 16-bit gray/RGB
+    (high-byte downconversion; filter distance bpp=2 pinned via a Sub
+    row). All literals hand-packed."""
+    import struct
+    import zlib
+
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    def chunk(typ, data):
+        body = typ + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    def png(w, h, depth, ctype, raw, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # 1-bit gray 10x2: rows 0xAA 0x80 / 0x55 0x40 (6 padding bits)
+    got = decode_pixels(png(10, 2, 1, 0, bytes([0, 0xAA, 0x80,
+                                                0, 0x55, 0x40])))
+    assert got == (10, 2, [255, 0] * 5 + [0, 255] * 5)
+    # 2-bit gray 5x1: 00 01 10 11 00 -> 0, 85, 170, 255, 0
+    got = decode_pixels(png(5, 1, 2, 0, bytes([0, 0b00011011, 0])))
+    assert got == (5, 1, [0, 85, 170, 255, 0])
+    # 4-bit palette 3x1: nibble indices 0,1,2 over black/white/red
+    plte = bytes([0, 0, 0, 255, 255, 255, 255, 0, 0])
+    got = decode_pixels(png(3, 1, 4, 3, bytes([0, 0x01, 0x20]), plte))
+    assert got == (3, 1, [0, 255, 76])  # luma(red) = 299*255//1000
+    # 16-bit gray 2x1, Sub filter: second sample = 0x1000 + 0x4000,
+    # proving the filter distance is 2 bytes (bpp), not 1
+    got = decode_pixels(png(2, 1, 16, 0, bytes([1, 0x40, 0, 0x10, 0])))
+    assert got == (2, 1, [0x40, 0x50])
+    # 16-bit RGB 1x1: high bytes (16,32,48) -> luma 28
+    raw16 = bytes([0, 16, 0, 32, 0, 48, 0])
+    got = decode_pixels(png(1, 1, 16, 2, raw16))
+    assert got == (1, 1, [(299 * 16 + 587 * 32 + 114 * 48) // 1000])
+    # still-unsupported combos refuse: 16-bit palette, 4-bit RGB
+    assert decode_pixels(png(1, 1, 16, 3, bytes(3), plte)) is None
+    assert decode_pixels(png(1, 1, 4, 2, bytes(2))) is None
