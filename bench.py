@@ -80,6 +80,44 @@ def _flaky_from_last_round(prev: dict) -> set[str]:
     return {n for n, s in spreads.items() if isinstance(s, (int, float)) and s > 0.01}
 
 
+def _host_calibration(spark) -> dict:
+    """Fixed-work probes timed on THIS run's host, emitted in the
+    artifact so cross-round wall-clock deltas can be normalized by
+    measured host speed (round 9: a contended driver host drifted every
+    untouched query a near-uniform 1.1-1.4x; without a same-run speed
+    anchor, load noise and real regression are indistinguishable).
+
+    Two probes: a pure-CPU single-thread Python loop (interpreter +
+    effective core clock under current load) and a tiny constant Spark
+    job (JVM scheduler + codegen + noop-sink path, 8 tasks).  Both are
+    best-of-3 after one untimed warm run, same discipline as the
+    queries.  The work is FROZEN — changing either probe invalidates
+    cross-round normalization, so don't."""
+
+    def cpu_probe() -> int:
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        return acc
+
+    def spark_probe() -> None:
+        # id % 1009 keeps the sum far under int64 even with ANSI mode on
+        spark.range(0, 5_000_000, 1, 8).selectExpr(
+            "sum(id % 1009) as s"
+        ).write.format("noop").mode("overwrite").save()
+
+    out: dict[str, float] = {}
+    for key, fn in (("cpu_loop_sec", cpu_probe), ("spark_job_sec", spark_probe)):
+        fn()  # warm: first-call interpreter/codegen cost is not host speed
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        out[key] = round(min(samples), 4)
+    return out
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,7 +141,21 @@ def main() -> None:
 
     materialize(names[0])  # JVM + parquet-footer warmup
 
+    calibration = _host_calibration(spark)
     prev = _last_round_record()
+    # Host-speed normalization: if the previous record carries the same
+    # calibration probes, scale its per-query times by the measured
+    # CPU-speed ratio before computing spread-unit deltas.  Ratio > 1
+    # means THIS host/run is slower, so previous times are scaled UP —
+    # a uniform contended-host drift then lands near 0 units instead of
+    # flagging every query.  First round with a calibrated prev record
+    # activates this; against older records the ratio is 1 (raw compare).
+    prev_cal = prev.get("host_calibration", {})
+    host_speed_vs_prev = None
+    if isinstance(prev_cal, dict):
+        pc = prev_cal.get("cpu_loop_sec")
+        if isinstance(pc, (int, float)) and pc > 0:
+            host_speed_vs_prev = round(calibration["cpu_loop_sec"] / pc, 3)
     flaky = _flaky_from_last_round(prev)
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -159,6 +211,8 @@ def main() -> None:
         p = prev_q.get(name)
         if not isinstance(p, (int, float)) or p <= 0:
             continue
+        if host_speed_vs_prev:
+            p = p * host_speed_vs_prev
         unit = max(
             prev_s.get(name, 0) if isinstance(prev_s.get(name, 0), (int, float)) else 0,
             spreads[name],
@@ -179,6 +233,8 @@ def main() -> None:
                 "worst_spread": worst,
                 "delta_vs_prev_spread_units": delta_units,
                 "regression_flags": regression_flags,
+                "host_calibration": calibration,
+                "host_speed_vs_prev": host_speed_vs_prev,
                 "runs_per_query": runs,
                 "flaky_reruns": sorted(n for n in flaky if n in timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -359,12 +359,16 @@ def _decode_jpeg_gray(b: bytes) -> tuple[int, int, list[int]] | None:
                     if ss == 0:  # DC scan (first or refinement)
                         if se != 0:
                             return None  # illegal band
-                        if luma_id in scan_ids or ns > 1:
+                        if luma_id in scan_ids:
                             _jpeg_progressive_dc_scan(
                                 b, pos, frame, scomps, ah, al,
                                 huff, restart, prog, np,
                             )
-                        # chroma-only single DC scan: nothing to decode
+                        # chroma-only DC scan (single OR interleaved
+                        # ns>1 without luma): gray output never reads
+                        # chroma coefficients, so entropy-skip it — a
+                        # missing chroma DC table must not abort the
+                        # whole decode (ADVICE r9)
                     elif ns != 1:
                         return None  # AC scans are never interleaved
                     elif scan_ids[0] == luma_id:

@@ -296,6 +296,13 @@ def filter_blocked_hosts_df(
             f"filter_blocked_hosts_df: blocklist has no column "
             f"{domain_col!r} (columns: {blocked.columns})"
         )
+    if "__host" in df.columns:
+        # the scratch column is dropped on return — silently shadowing a
+        # pre-existing '__host' would destroy user data
+        raise ValueError(
+            "filter_blocked_hosts_df: input already has a '__host' column, "
+            "which this function uses as scratch space; rename it first"
+        )
     with_host = df.withColumn("__host", url_host(c(url_col)))
     parts = F.split(F.col("__host"), r"\.")
     suffixes = F.transform(

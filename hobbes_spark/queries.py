@@ -9718,45 +9718,39 @@ def chart_gauge_lineitem(spark, sf_dir):
 # of r6-r8 is designed out.  Rotation-due enforcement (a newer record
 # exists, rotate me) lives in tools/gate_check.py, which refuses to run
 # until this stamp matches the newest record on disk.
-WINDOW_FROZEN_AT = "CORRECTNESS_r08"
+WINDOW_FROZEN_AT = "CORRECTNESS_r09"
 
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # Round-9 rotation, CHANGE-AWARE (tools/window_cohort.py --as-of 8):
+    # Round-10 rotation, CHANGE-AWARE (tools/window_cohort.py --as-of 9):
     # rank = (never-signed-or-changed-since-signature DESC, last-signed
     # round ASC, name ASC), frozen at the commit that recorded
-    # CORRECTNESS_r08.json.  Queries ADDED this round are never-signed
-    # as of r8 and therefore lead automatically — keep this list in
+    # CORRECTNESS_r09.json.  Queries ADDED this round are never-signed
+    # as of r9 and therefore lead automatically — keep this list in
     # sync when adding catalog entries (the contract test enforces it).
-    # --- never signed as of r8 (new in r9) ---
-    "auto_salted_join_revenue", "domain_mix_stats",
-    "audio_wav_features", "auto_salted_group_sum", "gif_fixture_exact",
-    "jpeg_noninterleaved_fixture_exact", "jpeg_progressive_fixture_exact",
-    "nfc_docs", "nfkc_fixture_exact",
-    # --- changed since their last r6 signature: functions/similarity.py
-    #     r7 IVF-PQ/ADC additions and r8 pre-collect bound guards
-    #     (similarity.py:255,765) post-date these four; functions/bpe.py
-    #     r8 bounded_vocab_rows guard post-dates bpe_encode_words ---
-    "ann_lsh_topk", "bpe_encode_words", "pq_adc_search",
-    "pq_rerank_topk",
-    # --- changed since their last r7 signature: the same r8 guard
-    #     commits (bpe.py:97 bound, classify.py NULL-feature hardening
-    #     b4dd2f0, similarity.py collect bounds) post-date these ---
-    "bpe_merges", "pq_adc_fixture_exact", "ridge_fixture_exact",
-    "ridge_gram_docs",
-    # --- last signed in r4: longest-unsigned (the six that rolled out
-    #     of the r8 window as alphabetically-last r4 entries) ---
-    "tpch_q4_priority", "tpch_q6_forecast", "tpch_q8_mktshare",
-    "unpivot_charges", "user_streaks", "validate_orders",
-    # --- last signed in r5, alphabetical (36 of the r5 group; the
-    #     remainder rolls to the r10 rotation) ---
-    "bm25_topk", "buckets_mean", "chart_gauge_lineitem", "cms_top_terms",
-    "create_revenue", "csv_sniff_locale", "csv_sniff_roundtrip",
-    "curate_corpus", "daily_counts", "decontaminate_docs",
-    "dedup_components_star", "dedup_exact", "expanding_sum", "flowerpot",
-    "git_commit_frequency", "group_all_sum", "group_maxby",
-    "hb_commit_frequency", "hb_cycle_time", "hb_gandalf_state",
-    "hb_localdata_top", "hb_logic_state", "hb_mttr", "join_on_field",
-    "kmv_quantiles_prices", "merge_datasets", "minhash_pairs_fast",
+    # --- changed since their last r8 signature: the round-9
+    #     functions/web.py + curation/sampling edits post-date these ---
+    "canonical_url_docs", "kappa_labels", "leakage_split_docs",
+    "salted_join_revenue",
+    # --- last signed in r5, alphabetical (the 15-entry remainder of
+    #     the r5 group; with these signed, every r5 signature has been
+    #     refreshed) ---
+    "moving_mean", "moving_sum_minmax", "odata_serve_orders",
+    "only_filter", "pagerank_centrality", "pivot_count",
+    "quantize_error_stats", "semantic_dedup_keep", "sketch_user_rollup",
+    "sort_keys_ordinals", "temperature_sample_docs", "text_stats",
+    "tpch_q3_topk", "tpch_q9_profit", "winsorize_values",
+    # --- last signed in r6, alphabetical (31 of the r6 group; the
+    #     remainder rolls to the r11 rotation) ---
+    "ann_ivf_topk", "asof_attribution", "blocklist_filter",
+    "bloom_decontaminate", "c4_quality", "churned_customers",
+    "corpus_datasheet", "date_parts", "dedup_components", "dense_ops",
+    "each_max", "each_mean", "gopher_quality", "group_all_mean",
+    "group_minby", "group_reductions", "hard_negatives_topk",
+    "hash_sample_docs", "hb_order_frequency", "ivf_pq_topk",
+    "join_broadcast_dims", "kmeans_fixture_exact", "lang_id_counts",
+    "linear_extrapolation", "linear_regression", "minhash_pairs",
+    "missing_filter", "moving_partitioned", "ngram_jaccard_pairs",
+    "normalize_text_docs", "normalized_dedup",
 ]
 
 

@@ -2733,6 +2733,11 @@ class TestCanonicalUrl:
         with _pt.raises(ValueError, match="no column"):
             filter_blocked_hosts_df(df, "url", bl.withColumnRenamed(
                 "domain", "d"))
+        # ADVICE r9: a pre-existing '__host' column must fail loudly,
+        # not be silently overwritten then dropped
+        with _pt.raises(ValueError, match="__host"):
+            filter_blocked_hosts_df(
+                df.withColumn("__host", F.lit("keepme")), "url", bl)
         # join strategy: hash join on the suffix, never NestedLoop
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan and "Cartesian" not in plan
@@ -2892,7 +2897,10 @@ def _jpeg_prog(w, h, components, scans, quant=None, dri=0):
     for ids, ss, se, ah, al, entropy in scans:
         sos = bytes([len(ids)])
         for cid in ids:
-            sos += bytes((cid, 0x00))
+            # an (cid, tables_byte) tuple selects non-default Huffman
+            # tables — used to point a scan at an ABSENT table
+            cid, tsel = cid if isinstance(cid, tuple) else (cid, 0x00)
+            sos += bytes((cid, tsel))
         sos += bytes((ss, se, (ah << 4) | al))
         out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
         out += entropy
@@ -3000,6 +3008,42 @@ def test_decode_pixels_jpeg_progressive_interleaved_dc_420():
     comps = [(1, 0x22), (2, 0x11), (3, 0x11)]
     payload = _jpeg_prog(16, 16, comps, [
         ([1, 2, 3], 0, 0, 0, 0, s1.tobytes()),
+        ([1], 1, 63, 0, 0, s2.tobytes()),
+        ([2], 1, 63, 0, 0, eob),
+        ([3], 1, 63, 0, 0, eob),
+    ])
+    got = decode_pixels(payload)
+    assert got is not None
+    w, h, gray = got
+    assert (w, h) == (16, 16)
+    levels = {(0, 0): 134, (0, 1): 130, (1, 0): 126, (1, 1): 122}
+    for y in range(16):
+        for x in range(16):
+            assert gray[y * 16 + x] == levels[(y // 8, x // 8)], (x, y)
+
+
+def test_decode_pixels_jpeg_progressive_chroma_only_dc_scan_skipped():
+    """ADVICE r9: a chroma-only INTERLEAVED DC scan (ns>1, no luma)
+    whose DC table is absent must be entropy-skipped, not decoded —
+    gray output never reads chroma coefficients, so a missing chroma
+    table must not abort the whole decode. The fixture's {Cb,Cr} DC
+    scan selects DC table 1 (never defined) and carries garbage bits;
+    the luma-only DC + AC scans are the hand-derived 134/130/126/122
+    quadrant image."""
+    from hobbes_spark.functions.multimodal import decode_pixels
+
+    s1 = _JBits().put(0b0, 1).put(48, 6)
+    for _ in range(3):
+        s1.put(0b0, 1).put(-32 + 63, 6)
+    s2 = _JBits().put(0b110, 3).put(1, 1)  # Y b0: EOB1+1 -> covers b1,b2
+    s2.put(0b0, 1)                         # Y b3: EOB0
+    eob = _JBits().put(0b0, 1).tobytes()
+
+    comps = [(1, 0x22), (2, 0x11), (3, 0x11)]
+    payload = _jpeg_prog(16, 16, comps, [
+        ([1], 0, 0, 0, 0, s1.tobytes()),
+        # {Cb,Cr} DC scan, table selector 0x10 -> DC table 1 (absent)
+        ([(2, 0x10), (3, 0x10)], 0, 0, 0, 0, b"\x55\x55"),
         ([1], 1, 63, 0, 0, s2.tobytes()),
         ([2], 1, 63, 0, 0, eob),
         ([3], 1, 63, 0, 0, eob),
