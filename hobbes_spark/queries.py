@@ -4371,6 +4371,133 @@ def media_frame_plan(spark, sf_dir):
     )
 
 
+# Hand-assembled ISO BMFF (MP4) streams (round 10, video modality) —
+# header-only fixtures, no codec bitstream (mdat is zero padding):
+# V0 = isom brand, all-v0 boxes, one video track: mvhd timescale 1000 /
+# duration 2500 -> 2_500_000 us; tkhd 320x240 (16.16 fixed); stts
+# entries (50,1001)+(25,1001) -> 75 frames (the classic NTSC 29.97
+# pattern).  V1 = mp42 brand, moov as a size==1 LARGESIZE box, mvhd v1
+# (64-bit duration: 1200/600 -> 2_000_000 us), a SOUND track first
+# (must be skipped), then a v1-tkhd video track 64.5x48.0 -> floored
+# 64x48, stts (10,100) -> 10 frames.
+_MP4_V0_HEX = (
+    "000000186674797069736F6D0000020069736F6D6D7034320000015D6D6F6F76"
+    "0000006C6D766864000000000000000000000000000003E8000009C400010000"
+    "0100000000000000000000000001000000000000000000000000000000010000"
+    "0000000000000000000000004000000000000000000000000000000000000000"
+    "000000000000000000000003000000E97472616B0000005C746B686400000007"
+    "00000000000000000000000100000000000009C4000000000000000000000000"
+    "0000000000010000000000000000000000000000000100000000000000000000"
+    "00000000400000000140000000F00000000000856D646961000000206D646864"
+    "000000000000000000000000000075300001254355C400000000002D68646C72"
+    "000000000000000076696465000000000000000000000000566964656F48616E"
+    "646C657200000000306D696E66000000287374626C0000002073747473000000"
+    "000000000200000032000003E900000019000003E9000000186D646174000000"
+    "00000000000000000000000000"
+)
+_MP4_V1_HEX = (
+    "00000014667479706D703432000000016D703432000000016D6F6F7600000000"
+    "00000256000000786D7668640100000000000000000000000000000000000000"
+    "0000025800000000000004B00001000001000000000000000000000000010000"
+    "0000000000000000000000000001000000000000000000000000000040000000"
+    "00000000000000000000000000000000000000000000000000000003000000E1"
+    "7472616B0000005C746B68640000000700000000000000000000000100000000"
+    "000004B000000000000000000000000000000000000100000000000000000000"
+    "0000000000010000000000000000000000000000400000000000000000000000"
+    "0000007D6D646961000000206D6468640000000000000000000000000000BB80"
+    "0001770055C400000000002D68646C720000000000000000736F756E00000000"
+    "0000000000000000536F756E6448616E646C657200000000286D696E66000000"
+    "207374626C000000187374747300000000000000010001770000000001000000"
+    "ED7472616B00000068746B686401000007000000000000000000000000000000"
+    "00000000020000000000000000000004B0000000000000000000000000000000"
+    "0000010000000000000000000000000000000100000000000000000000000000"
+    "004000000000408000003000000000007D6D646961000000206D646864000000"
+    "00000000000000000000000258000004B055C400000000002D68646C72000000"
+    "000000000076696465000000000000000000000000566964656F48616E646C65"
+    "7200000000286D696E66000000207374626C0000001873747473000000000000"
+    "00010000000A00000064000000106D6461740000000000000000"
+)
+
+
+def _mp4_fixture_media(spark):
+    rows = [
+        (1, bytearray.fromhex(_MP4_V0_HEX)),
+        (2, bytearray.fromhex(_MP4_V1_HEX)),
+        (3, bytearray(b"\x00\x00\x00\x08free" + b"\x00" * 36)),  # no ftyp
+    ]
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+@q(
+    "video_meta",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'isom', CAST(2500000 AS BIGINT),
+       CAST(1 AS INTEGER), CAST(320 AS INTEGER), CAST(240 AS INTEGER),
+       CAST(75 AS INTEGER)),
+      (CAST(2 AS BIGINT), 'mp42', CAST(2000000 AS BIGINT),
+       CAST(2 AS INTEGER), CAST(64 AS INTEGER), CAST(48 AS INTEGER),
+       CAST(10 AS INTEGER))
+    ) AS t(media_id, major_brand, duration_us, n_tracks, width, height,
+           n_frames)
+    ORDER BY media_id
+    """,
+)
+def video_meta(spark, sf_dir):
+    """VIDEO modality metadata truth pin (round 10): the two hand-built
+    ISO BMFF streams above cross the Arrow mapInPandas boundary into
+    multimodal.video_meta — box-tree walking (32-bit and size==1
+    64-bit LARGESIZE boxes), mvhd v0 AND v1 duration (exact integer
+    us), per-track tkhd 16.16 fixed-point dims (64.5 floors to 64),
+    hdlr-based video-track selection past a leading sound track, and
+    the stts total-sample frame count — against a pure-literal oracle.
+    A third payload with no leading ftyp box must be dropped (the
+    2-row count pins it).  Header-only, same posture as the image
+    family's header_dims: the codec bitstream is never decoded."""
+    from hobbes_spark.functions.multimodal import video_meta as vmeta
+
+    return vmeta(_mp4_fixture_media(spark)).orderBy("media_id")
+
+
+@q(
+    "video_frame_plan_real",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 0, 0),
+      (CAST(1 AS BIGINT), 1, 30),
+      (CAST(1 AS BIGINT), 2, 60),
+      (CAST(2 AS BIGINT), 0, 0),
+      (CAST(3 AS BIGINT), 0, 0)
+    ) AS t(media_id, frame_pos, frame_index)
+    ORDER BY media_id, frame_pos
+    """,
+)
+def video_frame_plan_real(spark, sf_dir):
+    """frame_sample_plan wired to REAL container frame counts (round
+    10): video_meta's stts counts join back onto the media table and
+    feed the plan via frames_col — fixture 1 (75 frames) samples
+    0/30/60, fixture 2 (10 frames) samples 0, and the non-MP4 row 3
+    (NULL n_frames after the left join) falls back to the documented
+    size-derived fake (44 bytes -> 1 frame -> index 0).  The join is a
+    broadcast-able equi-join on media_id; the expansion stays JVM-side
+    sequence/posexplode."""
+    from hobbes_spark.functions.multimodal import (
+        frame_sample_plan,
+        video_meta as vmeta,
+    )
+
+    media = _mp4_fixture_media(spark)
+    counts = vmeta(media).select("media_id", "n_frames")
+    joined = media.join(F.broadcast(counts), "media_id", "left")
+    out = frame_sample_plan(joined, every_n=30, max_frames=8,
+                            frames_col="n_frames")
+    return out.select(
+        "media_id",
+        F.col("frame_pos").cast("int").alias("frame_pos"),
+        F.col("frame_index").cast("int").alias("frame_index"),
+    ).orderBy("media_id", "frame_pos")
+
+
 # --------------------------------------------------------------------- #
 # Calibrated per-group quality filtering + incremental dedup — the two
 # operational shapes a growing corpus needs: thresholds as per-language
@@ -9727,6 +9854,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # CORRECTNESS_r09.json.  Queries ADDED this round are never-signed
     # as of r9 and therefore lead automatically — keep this list in
     # sync when adding catalog entries (the contract test enforces it).
+    # --- never signed as of r9 (new in r10) ---
+    "video_frame_plan_real", "video_meta",
     # --- changed since their last r8 signature: the round-9
     #     functions/web.py + curation/sampling edits post-date these ---
     "canonical_url_docs", "kappa_labels", "leakage_split_docs",
@@ -9750,7 +9879,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "join_broadcast_dims", "kmeans_fixture_exact", "lang_id_counts",
     "linear_extrapolation", "linear_regression", "minhash_pairs",
     "missing_filter", "moving_partitioned", "ngram_jaccard_pairs",
-    "normalize_text_docs", "normalized_dedup",
 ]
 
 

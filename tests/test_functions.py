@@ -3170,6 +3170,170 @@ class TestWavDecode:
                 r["peak"], r["rms"]) == (1, 8000, 1, 16, 4, 500, 1000, 1000)
 
 
+def _mp4_box(t, payload, large=False):
+    if large:
+        return ((1).to_bytes(4, "big") + t
+                + (len(payload) + 16).to_bytes(8, "big") + payload)
+    return (len(payload) + 8).to_bytes(4, "big") + t + payload
+
+
+def _mp4_full(ver, payload):
+    return bytes([ver]) + b"\x00\x00\x00" + payload
+
+
+_MP4_MATRIX = (
+    (0x00010000).to_bytes(4, "big") + bytes(8) + bytes(4)
+    + (0x00010000).to_bytes(4, "big") + bytes(12)
+    + (0x40000000).to_bytes(4, "big")
+)
+
+
+def _mp4(brand, mvhd_ver, timescale, duration, tracks, large_moov=False):
+    """Hand-assemble an ISO BMFF stream: ftyp + moov{mvhd, trak...} +
+    mdat padding. ``tracks`` = [(handler, tkhd_ver, w16, h16, stts)]."""
+    def I(v, n=4):
+        return v.to_bytes(n, "big")
+
+    if mvhd_ver == 1:
+        mvhd = _mp4_full(1, I(0, 8) * 2 + I(timescale) + I(duration, 8)
+                         + I(0x00010000) + I(0, 2) * 2 + I(0, 8)
+                         + _MP4_MATRIX + I(0) * 6 + I(3))
+    else:
+        mvhd = _mp4_full(0, I(0) * 2 + I(timescale) + I(duration)
+                         + I(0x00010000) + I(0, 2) * 2 + I(0, 8)
+                         + _MP4_MATRIX + I(0) * 6 + I(3))
+    moov = _mp4_box(b"mvhd", mvhd)
+    for tid, (handler, tv, w16, h16, entries) in enumerate(tracks, 1):
+        if tv == 1:
+            tkhd = _mp4_full(1, I(0, 8) * 2 + I(tid) + I(0) + I(duration, 8)
+                             + I(0, 8) + I(0, 2) * 4 + _MP4_MATRIX
+                             + I(w16) + I(h16))
+        else:
+            tkhd = _mp4_full(0, I(0) * 2 + I(tid) + I(0) + I(duration)
+                             + I(0, 8) + I(0, 2) * 4 + _MP4_MATRIX
+                             + I(w16) + I(h16))
+        stts = _mp4_full(0, I(len(entries))
+                         + b"".join(I(c) + I(d) for c, d in entries))
+        mdia = (_mp4_box(b"mdhd", _mp4_full(0, I(0) * 2 + I(600)
+                                            + I(duration) + I(0x55C4, 2)
+                                            + I(0, 2)))
+                + _mp4_box(b"hdlr", _mp4_full(0, I(0) + handler + I(0) * 3
+                                              + b"H\x00"))
+                + _mp4_box(b"minf", _mp4_box(b"stbl",
+                                             _mp4_box(b"stts", stts))))
+        moov += _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd)
+                         + _mp4_box(b"mdia", mdia))
+    return (_mp4_box(b"ftyp", brand + (0).to_bytes(4, "big") + brand)
+            + _mp4_box(b"moov", moov, large=large_moov)
+            + _mp4_box(b"mdat", bytes(16)))
+
+
+class TestMp4Meta:
+    """ISO BMFF header metadata (round 10): the video modality's
+    container parse — hand-derived literals per box-tree feature, same
+    posture as header_dims (no codec, mdat untouched)."""
+
+    def test_v0_single_video_track(self):
+        from hobbes_spark.functions.multimodal import parse_mp4_meta
+
+        b = _mp4(b"isom", 0, 1000, 2500,
+                 [(b"vide", 0, 320 << 16, 240 << 16, [(50, 1001), (25, 1001)])])
+        assert parse_mp4_meta(b) == {
+            "major_brand": "isom", "duration_us": 2_500_000,
+            "n_tracks": 1, "width": 320, "height": 240, "n_frames": 75,
+        }
+
+    def test_v1_largesize_and_track_selection(self):
+        """mvhd v1 (64-bit duration), moov as a size==1 largesize box,
+        a sound track FIRST (skipped), fractional 16.16 dims floored."""
+        from hobbes_spark.functions.multimodal import parse_mp4_meta
+
+        b = _mp4(b"mp42", 1, 600, 1200,
+                 [(b"soun", 0, 0, 0, [(96000, 1)]),
+                  (b"vide", 1, 0x00408000, 48 << 16, [(10, 100)])],
+                 large_moov=True)
+        got = parse_mp4_meta(b)
+        assert got == {
+            "major_brand": "mp42", "duration_us": 2_000_000,
+            "n_tracks": 2, "width": 64, "height": 48, "n_frames": 10,
+        }
+
+    def test_refusals(self):
+        from hobbes_spark.functions.multimodal import parse_mp4_meta
+
+        assert parse_mp4_meta(b"") is None
+        assert parse_mp4_meta(b"\x00" * 40) is None
+        # ftyp not first (spec requires it first)
+        assert parse_mp4_meta(b"\x00\x00\x00\x08free" + bytes(36)) is None
+        # ftyp but no moov
+        assert parse_mp4_meta(
+            _mp4_box(b"ftyp", b"isom" + bytes(4) + b"isom")
+            + _mp4_box(b"mdat", bytes(8))) is None
+        # zero timescale -> no duration, but parse survives
+        b = _mp4(b"isom", 0, 0, 2500, [(b"vide", 0, 1 << 16, 1 << 16, [(1, 1)])])
+        assert parse_mp4_meta(b)["duration_us"] is None
+
+    def test_audio_only_container_has_null_video_fields(self):
+        from hobbes_spark.functions.multimodal import parse_mp4_meta
+
+        b = _mp4(b"M4A ", 0, 44100, 44100, [(b"soun", 0, 0, 0, [(100, 441)])])
+        got = parse_mp4_meta(b)
+        assert got["n_tracks"] == 1 and got["duration_us"] == 1_000_000
+        assert got["width"] is None and got["n_frames"] is None
+
+    def test_never_raises_on_garbage(self):
+        from hobbes_spark.functions.multimodal import parse_mp4_meta
+
+        valid = _mp4(b"mp42", 1, 600, 1200,
+                     [(b"vide", 1, 64 << 16, 48 << 16, [(10, 100)])],
+                     large_moov=True)
+        for cut in range(len(valid)):
+            got = parse_mp4_meta(valid[:cut])
+            assert got is None or isinstance(got, dict)
+        for off in range(len(valid)):
+            for m in (0x00, 0xFF, valid[off] ^ 0x55):
+                got = parse_mp4_meta(valid[:off] + bytes([m]) + valid[off + 1:])
+                assert got is None or isinstance(got, dict)
+
+    def test_video_meta_and_frame_plan_through_spark(self, spark):
+        """The mapInPandas boundary + the frames_col wiring: real stts
+        counts drive the sampling plan; non-MP4 rows fall back to the
+        size fake; audio-only containers yield typed NULL dims."""
+        from pyspark.sql import functions as F
+
+        from hobbes_spark.functions.multimodal import (
+            frame_sample_plan,
+            video_meta,
+        )
+
+        rows = [
+            (1, bytearray(_mp4(b"isom", 0, 1000, 2500,
+                               [(b"vide", 0, 320 << 16, 240 << 16,
+                                 [(50, 1001), (25, 1001)])]))),
+            (2, bytearray(_mp4(b"M4A ", 0, 44100, 44100,
+                               [(b"soun", 0, 0, 0, [(100, 441)])]))),
+            (3, bytearray(b"not video" + bytes(4087))),  # 4096 B of junk
+            (4, None),
+        ]
+        media = spark.createDataFrame(rows, "media_id long, content binary")
+        meta = {r["media_id"]: r for r in video_meta(media).collect()}
+        assert set(meta) == {1, 2}  # junk + NULL payloads dropped
+        assert meta[1]["n_frames"] == 75 and meta[1]["width"] == 320
+        assert meta[2]["width"] is None and meta[2]["n_frames"] is None
+        counts = video_meta(media).select("media_id", "n_frames")
+        plan = frame_sample_plan(
+            media.join(F.broadcast(counts), "media_id", "left"),
+            every_n=30, max_frames=8, frames_col="n_frames",
+        )
+        got = sorted((r["media_id"], r["frame_index"]) for r in plan.collect())
+        # row 1: real 75 frames -> 0/30/60; rows 2-4 fall back to the
+        # size fake: 4096 junk bytes -> est 65 -> 0/30/60; NULL payload
+        # -> est 1 -> just 0
+        assert [i for m, i in got if m == 1] == [0, 30, 60]
+        assert [i for m, i in got if m == 3] == [0, 30, 60]
+        assert [i for m, i in got if m == 4] == [0]
+
+
 class TestGifDecode:
     """GIF LZW pixel decode (round 9): hand-derived fixtures per
     feature — variable-width codes, KwKwK self-reference, width bump,
