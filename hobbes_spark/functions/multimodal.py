@@ -38,6 +38,9 @@ __all__ = [
     "phash_near_pairs",
     "decode_wav",
     "audio_wav_features",
+    "parse_mp3_meta",
+    "parse_flac_meta",
+    "audio_meta",
     "parse_mp4_meta",
     "video_meta",
 ]
@@ -1675,6 +1678,190 @@ def audio_wav_features(media: DataFrame) -> DataFrame:
 
     schema = ("media_id long, sample_rate int, n_channels int, bits int, "
               "n_frames int, duration_us bigint, peak int, rms int")
+    return media.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------- #
+# AUDIO metadata for COMPRESSED containers (round 10): MP3 frame-header
+# walking and the FLAC STREAMINFO block — header-only (public ISO 11172-3
+# / xiph FLAC format specs), no codec anywhere; payload decode keeps
+# refusing for compressed audio (decode_wav stays the only real PCM
+# decode).  audio_meta() unifies WAV/MP3/FLAC into one typed surface.
+# --------------------------------------------------------------------- #
+
+#: bitrate tables in kbps, index 1..14 (0 = free, 15 = invalid):
+#: (mpeg1?, layer) -> table
+_MP3_BITRATES = {
+    (True, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (True, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (True, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (False, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (False, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (False, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+#: sample rates by (version bits, sr index); version 1 is reserved
+_MP3_RATES = {
+    3: (44100, 48000, 32000),  # MPEG1
+    2: (22050, 24000, 16000),  # MPEG2
+    0: (11025, 12000, 8000),   # MPEG2.5
+}
+
+
+def _mp3_frame(b: bytes, i: int):
+    """Parse one MP3 frame header at ``b[i:]``.  Returns ``(frame_len,
+    sample_rate, n_channels, bitrate_kbps, samples_per_frame)`` or None
+    for anything that is not a valid header (bad sync, reserved
+    version/layer/rate, free-format or invalid bitrate)."""
+    if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+        return None
+    ver = (b[i + 1] >> 3) & 3
+    layer_bits = (b[i + 1] >> 1) & 3
+    if ver == 1 or layer_bits == 0:
+        return None  # reserved
+    layer = 4 - layer_bits  # bits 3/2/1 -> Layer I/II/III
+    br_idx = (b[i + 2] >> 4) & 0xF
+    sr_idx = (b[i + 2] >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format / invalid
+    mpeg1 = ver == 3
+    rate = _MP3_RATES[ver][sr_idx]
+    kbps = _MP3_BITRATES[(mpeg1, layer)][br_idx]
+    padding = (b[i + 2] >> 1) & 1
+    nch = 1 if ((b[i + 3] >> 6) & 3) == 3 else 2
+    if layer == 1:
+        spf = 384
+        flen = (12 * kbps * 1000 // rate + padding) * 4
+    else:
+        spf = 1152 if (layer == 2 or mpeg1) else 576  # L3 halves in MPEG2/2.5
+        flen = spf // 8 * kbps * 1000 // rate + padding
+    if flen < 4:
+        return None
+    return flen, rate, nch, kbps, spf
+
+
+def parse_mp3_meta(b: bytes) -> dict | None:
+    """Header-only MP3 metadata: skip a leading ID3v2 tag (syncsafe
+    size, footer flag honored), then walk consecutive frame headers —
+    sample rate / channel mode / bitrate from the FIRST frame (the
+    standard CBR estimate; VBR streams get the first-frame rate, a
+    documented approximation), frame count and exact total samples from
+    the walk.  ``duration_us = total_samples * 1e6 // rate``.  None
+    unless at least one valid frame follows the tag; never raises."""
+    i = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = 0
+        for k in range(6, 10):
+            if b[k] & 0x80:
+                return None  # syncsafe bytes have the top bit clear
+            size = (size << 7) | b[k]
+        i = 10 + size + (10 if b[5] & 0x10 else 0)  # footer flag
+    first = _mp3_frame(b, i)
+    if first is None:
+        return None
+    _, rate, nch, kbps, _ = first
+    n_frames = 0
+    n_samples = 0
+    while True:
+        got = _mp3_frame(b, i)
+        if got is None or i + got[0] > len(b):
+            break
+        n_frames += 1
+        n_samples += got[4]
+        i += got[0]
+        if n_frames > (1 << 22):  # ~4M frames ≈ a day of audio: crafted
+            return None
+    if n_frames == 0:
+        return None  # a header with no complete frame body is not audio
+    return {
+        "sample_rate": rate,
+        "n_channels": nch,
+        "bitrate_kbps": kbps,
+        "n_frames": n_frames,
+        "n_samples": n_samples,
+        "duration_us": n_samples * 1_000_000 // rate,
+    }
+
+
+def parse_flac_meta(b: bytes) -> dict | None:
+    """Header-only FLAC metadata from the mandatory STREAMINFO block
+    (always first after the ``fLaC`` magic): exact sample rate,
+    channels, bits per sample, and the 36-bit total-sample count —
+    so ``duration_us`` is EXACT, unlike the MP3 estimate.  None for
+    anything else; never raises."""
+    if len(b) < 4 + 4 + 34 or b[:4] != b"fLaC":
+        return None
+    # METADATA_BLOCK_HEADER: last(1) | type(7), 24-bit length
+    if b[4] & 0x7F != 0 or int.from_bytes(b[5:8], "big") < 34:
+        return None  # first block must be STREAMINFO, >= 34 bytes
+    body = b[8:42]
+    packed = int.from_bytes(body[10:18], "big")  # 20+3+5+36 bits
+    rate = packed >> 44
+    nch = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if rate == 0:
+        return None  # 0 is invalid per spec
+    return {
+        "sample_rate": rate,
+        "n_channels": nch,
+        "bits": bits,
+        "n_samples": total,
+        "duration_us": total * 1_000_000 // rate,
+    }
+
+
+def audio_meta(media: DataFrame) -> DataFrame:
+    """Unified audio container metadata over a binary column through the
+    Arrow ``mapInPandas`` boundary: WAV (via the real PCM decode), FLAC
+    (exact STREAMINFO) and MP3 (frame-header walk) each yield one typed
+    row — ``container`` names the format, fields a format cannot know
+    are typed NULLs (MP3 has no bits-per-sample; FLAC/WAV bitrate is
+    derivable so WAV fills it, FLAC leaves it NULL as framesize
+    varies).  Undecodable payloads are DROPPED, same posture as
+    audio_wav_features.  Map-only; header parsing is O(bytes-scanned),
+    bounded per row."""
+
+    def one(blob):
+        if blob is None:
+            return None
+        b = bytes(blob)
+        wav = decode_wav(b)
+        if wav is not None:
+            rate, nch, bits, n, _ = wav
+            return ("wav", rate, nch, bits, n,
+                    n * 1_000_000 // rate, rate * nch * bits // 1000)
+        flac = parse_flac_meta(b)
+        if flac is not None:
+            return ("flac", flac["sample_rate"], flac["n_channels"],
+                    flac["bits"], flac["n_samples"], flac["duration_us"],
+                    None)
+        mp3 = parse_mp3_meta(b)
+        if mp3 is not None:
+            return ("mp3", mp3["sample_rate"], mp3["n_channels"], None,
+                    mp3["n_samples"], mp3["duration_us"],
+                    mp3["bitrate_kbps"])
+        return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                got = one(blob)
+                if got is not None:
+                    rows.append((int(mid),) + got)
+            cols = ["media_id", "container", "sample_rate", "n_channels",
+                    "bits", "n_samples", "duration_us", "bitrate_kbps"]
+            out = pd.DataFrame(rows, columns=cols)
+            for c_, dt in (("sample_rate", "Int32"), ("n_channels", "Int32"),
+                           ("bits", "Int32"), ("n_samples", "Int64"),
+                           ("duration_us", "Int64"),
+                           ("bitrate_kbps", "Int32")):
+                out[c_] = pd.array(out[c_], dtype=dt)
+            yield out
+
+    schema = ("media_id long, container string, sample_rate int, "
+              "n_channels int, bits int, n_samples bigint, "
+              "duration_us bigint, bitrate_kbps int")
     return media.mapInPandas(run, schema=schema)
 
 

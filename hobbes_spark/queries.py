@@ -4371,6 +4371,71 @@ def media_frame_plan(spark, sf_dir):
     )
 
 
+# Hand-assembled compressed-audio headers (round 10): MP3 = ID3v2 tag
+# (syncsafe size) + 3 CBR frames MPEG1 Layer III 128 kbps 44100 Hz
+# stereo (frame len 144*128000//44100 = 417, zero-padded bodies — only
+# headers are parsed); MP3_V25 = MPEG2.5 Layer III mono 16 kbps 8000 Hz,
+# 2 frames with the padding bit set on the second (144/145 bytes),
+# trailing ID3v1-ish junk that must stop the walk; FLAC = fLaC magic +
+# STREAMINFO (rate 22050, 2ch, 16-bit, 44100 total samples -> EXACT
+# 2_000_000 us).  Literals derived by hand from the public header specs.
+_MP3_CBR = (b"ID3" + bytes([3, 0, 0, 0, 0, 0, 6]) + bytes(6)
+            + (bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(413)) * 3)
+_MP3_V25 = (bytes([0xFF, 0xE3, 0x28, 0xC0]) + bytes(140)
+            + bytes([0xFF, 0xE3, 0x2A, 0xC0]) + bytes(141)
+            + b"TAG" + bytes(10))
+_FLAC_SI = (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+            + (576).to_bytes(2, "big") * 2 + bytes(6)
+            + ((22050 << 44) | (1 << 41) | (15 << 36) | 44100).to_bytes(8, "big")
+            + bytes(16))
+
+
+@q(
+    "audio_meta",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'wav', CAST(8000 AS INTEGER),
+       CAST(1 AS INTEGER), CAST(16 AS INTEGER), CAST(4 AS BIGINT),
+       CAST(500 AS BIGINT), CAST(128 AS INTEGER)),
+      (CAST(2 AS BIGINT), 'flac', CAST(22050 AS INTEGER),
+       CAST(2 AS INTEGER), CAST(16 AS INTEGER), CAST(44100 AS BIGINT),
+       CAST(2000000 AS BIGINT), CAST(NULL AS INTEGER)),
+      (CAST(3 AS BIGINT), 'mp3', CAST(44100 AS INTEGER),
+       CAST(2 AS INTEGER), CAST(NULL AS INTEGER), CAST(3456 AS BIGINT),
+       CAST(78367 AS BIGINT), CAST(128 AS INTEGER)),
+      (CAST(4 AS BIGINT), 'mp3', CAST(8000 AS INTEGER),
+       CAST(1 AS INTEGER), CAST(NULL AS INTEGER), CAST(1152 AS BIGINT),
+       CAST(144000 AS BIGINT), CAST(16 AS INTEGER))
+    ) AS t(media_id, container, sample_rate, n_channels, bits,
+           n_samples, duration_us, bitrate_kbps)
+    ORDER BY media_id
+    """,
+)
+def audio_meta(spark, sf_dir):
+    """COMPRESSED-audio metadata truth pin (round 10): WAV (real PCM
+    decode), FLAC (exact STREAMINFO bit-unpack: 20-bit rate, 3-bit
+    channels, 5-bit depth, 36-bit total samples) and MP3 (ID3v2
+    syncsafe skip, frame-header walk across MPEG1 L3 CBR AND MPEG2.5 L3
+    mono with a padding-bit frame, trailing junk stopping the walk)
+    unify through one Arrow mapInPandas surface — against a
+    pure-literal oracle including the typed NULLs each format cannot
+    know (MP3 bits, FLAC bitrate).  A fifth OggS payload must be
+    dropped (4-row count pins it).  Payload decode for compressed audio
+    still refuses — this is the header-only posture of the whole
+    multimodal family."""
+    from hobbes_spark.functions.multimodal import audio_meta as ameta
+
+    rows = [
+        (1, bytearray.fromhex(_WAV_MONO16_HEX)),
+        (2, bytearray(_FLAC_SI)),
+        (3, bytearray(_MP3_CBR)),
+        (4, bytearray(_MP3_V25)),
+        (5, bytearray(b"OggS" + bytes(40))),  # undecodable: dropped
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    return ameta(media).orderBy("media_id")
+
+
 # Hand-assembled ISO BMFF (MP4) streams (round 10, video modality) —
 # header-only fixtures, no codec bitstream (mdat is zero padding):
 # V0 = isom brand, all-v0 boxes, one video track: mvhd timescale 1000 /
@@ -9855,7 +9920,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # as of r9 and therefore lead automatically — keep this list in
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r9 (new in r10) ---
-    "video_frame_plan_real", "video_meta",
+    "audio_meta", "video_frame_plan_real", "video_meta",
     # --- changed since their last r8 signature: the round-9
     #     functions/web.py + curation/sampling edits post-date these ---
     "canonical_url_docs", "kappa_labels", "leakage_split_docs",
@@ -9878,7 +9943,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "hash_sample_docs", "hb_order_frequency", "ivf_pq_topk",
     "join_broadcast_dims", "kmeans_fixture_exact", "lang_id_counts",
     "linear_extrapolation", "linear_regression", "minhash_pairs",
-    "missing_filter", "moving_partitioned", "ngram_jaccard_pairs",
+    "missing_filter", "moving_partitioned",
 ]
 
 

@@ -3170,6 +3170,138 @@ class TestWavDecode:
                 r["peak"], r["rms"]) == (1, 8000, 1, 16, 4, 500, 1000, 1000)
 
 
+def _mp3_frames(hdr: bytes, flen: int, n: int) -> bytes:
+    return (hdr + bytes(flen - 4)) * n
+
+
+class TestCompressedAudioMeta:
+    """MP3/FLAC header metadata (round 10): compressed audio stays
+    refuse-to-decode; the CONTAINER headers are public specs and parse
+    with pure byte math — hand-derived literals per feature."""
+
+    # MPEG1 Layer III 128 kbps 44100 Hz stereo: flen 417
+    _MP3_HDR = bytes([0xFF, 0xFB, 0x90, 0x00])
+
+    def test_mp3_cbr_with_id3v2(self):
+        from hobbes_spark.functions.multimodal import parse_mp3_meta
+
+        id3 = b"ID3" + bytes([3, 0, 0, 0, 0, 0, 6]) + bytes(6)
+        got = parse_mp3_meta(id3 + _mp3_frames(self._MP3_HDR, 417, 3))
+        assert got == {
+            "sample_rate": 44100, "n_channels": 2, "bitrate_kbps": 128,
+            "n_frames": 3, "n_samples": 3456,
+            "duration_us": 3456 * 1_000_000 // 44100,
+        }
+
+    def test_mp3_v25_mono_padding_and_trailing_junk(self):
+        """MPEG2.5 Layer III halves samples-per-frame to 576; the
+        padding bit adds one byte to frame 2; trailing ID3v1-ish bytes
+        stop the walk without invalidating the parse."""
+        from hobbes_spark.functions.multimodal import parse_mp3_meta
+
+        b = (bytes([0xFF, 0xE3, 0x28, 0xC0]) + bytes(140)
+             + bytes([0xFF, 0xE3, 0x2A, 0xC0]) + bytes(141)
+             + b"TAG" + bytes(10))
+        got = parse_mp3_meta(b)
+        assert got == {
+            "sample_rate": 8000, "n_channels": 1, "bitrate_kbps": 16,
+            "n_frames": 2, "n_samples": 1152, "duration_us": 144000,
+        }
+
+    def test_mp3_layer1_slot_size(self):
+        """Layer I frames are 4-byte slots: MPEG1 L1 at 32 kbps /
+        32000 Hz -> (12*32000//32000 + 0) * 4 = 48 bytes, 384 samples
+        per frame."""
+        from hobbes_spark.functions.multimodal import parse_mp3_meta
+
+        hdr = bytes([0xFF, 0xFF, 0x18, 0xC0])  # L1, br idx 1, sr idx 2
+        got = parse_mp3_meta(_mp3_frames(hdr, 48, 2))
+        assert got["n_samples"] == 768 and got["sample_rate"] == 32000
+        assert got["n_channels"] == 1 and got["bitrate_kbps"] == 32
+
+    def test_mp3_refusals(self):
+        from hobbes_spark.functions.multimodal import parse_mp3_meta
+
+        assert parse_mp3_meta(b"") is None
+        assert parse_mp3_meta(b"\x00" * 40) is None
+        # valid header, truncated body: no complete frame
+        assert parse_mp3_meta(self._MP3_HDR + bytes(10)) is None
+        # free-format (bitrate idx 0) and invalid (15) refuse
+        assert parse_mp3_meta(_mp3_frames(bytes([0xFF, 0xFB, 0x00, 0]), 417, 1)) is None
+        assert parse_mp3_meta(_mp3_frames(bytes([0xFF, 0xFB, 0xF0, 0]), 417, 1)) is None
+        # reserved version (bits 01) and reserved layer (bits 00)
+        assert parse_mp3_meta(_mp3_frames(bytes([0xFF, 0xEB, 0x90, 0]), 417, 1)) is None
+        assert parse_mp3_meta(_mp3_frames(bytes([0xFF, 0xF9, 0x90, 0]), 417, 1)) is None
+        # non-syncsafe ID3 size byte refuses
+        assert parse_mp3_meta(b"ID3" + bytes([3, 0, 0, 0, 0, 0, 0x80])) is None
+
+    def test_flac_streaminfo_exact(self):
+        from hobbes_spark.functions.multimodal import parse_flac_meta
+
+        packed = (22050 << 44) | (1 << 41) | (15 << 36) | 44100
+        b = (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+             + (576).to_bytes(2, "big") * 2 + bytes(6)
+             + packed.to_bytes(8, "big") + bytes(16))
+        assert parse_flac_meta(b) == {
+            "sample_rate": 22050, "n_channels": 2, "bits": 16,
+            "n_samples": 44100, "duration_us": 2_000_000,
+        }
+        # zero rate refuses; wrong first-block type refuses
+        z = (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(34))
+        assert parse_flac_meta(z) is None
+        w = (b"fLaC" + bytes([0x84]) + (34).to_bytes(3, "big") + bytes(34))
+        assert parse_flac_meta(w) is None
+        assert parse_flac_meta(b"fLaC") is None
+        assert parse_flac_meta(b"OggS" + bytes(40)) is None
+
+    def test_never_raises_on_garbage(self):
+        from hobbes_spark.functions.multimodal import (
+            parse_flac_meta,
+            parse_mp3_meta,
+        )
+
+        id3 = b"ID3" + bytes([3, 0, 0, 0, 0, 0, 6]) + bytes(6)
+        mp3 = id3 + _mp3_frames(self._MP3_HDR, 417, 2)
+        packed = (22050 << 44) | (1 << 41) | (15 << 36) | 44100
+        flac = (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+                + (576).to_bytes(2, "big") * 2 + bytes(6)
+                + packed.to_bytes(8, "big") + bytes(16))
+        for payload, fn in ((mp3, parse_mp3_meta), (flac, parse_flac_meta)):
+            for cut in range(len(payload)):
+                r = fn(payload[:cut])
+                assert r is None or isinstance(r, dict)
+            for off in range(len(payload)):
+                for m in (0x00, 0xFF, payload[off] ^ 0x55):
+                    r = fn(payload[:off] + bytes([m]) + payload[off + 1:])
+                    assert r is None or isinstance(r, dict)
+
+    def test_audio_meta_through_spark(self, spark):
+        """The unified surface: WAV/FLAC/MP3 rows with per-format typed
+        NULLs; undecodable dropped."""
+        from hobbes_spark.functions.multimodal import audio_meta
+
+        packed = (22050 << 44) | (1 << 41) | (15 << 36) | 44100
+        flac = (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+                + (576).to_bytes(2, "big") * 2 + bytes(6)
+                + packed.to_bytes(8, "big") + bytes(16))
+        rows = [
+            (1, bytearray(_wav(1, 1, 8000, 16, [(1000,), (-1000,)]))),
+            (2, bytearray(flac)),
+            (3, bytearray(_mp3_frames(self._MP3_HDR, 417, 3))),
+            (4, bytearray(b"OggS" + bytes(40))),
+            (5, None),
+        ]
+        media = spark.createDataFrame(rows, "media_id long, content binary")
+        got = {r["media_id"]: r for r in audio_meta(media).collect()}
+        assert set(got) == {1, 2, 3}
+        assert (got[1]["container"], got[1]["bits"],
+                got[1]["bitrate_kbps"]) == ("wav", 16, 128)
+        assert (got[2]["container"], got[2]["duration_us"],
+                got[2]["bitrate_kbps"]) == ("flac", 2_000_000, None)
+        assert (got[3]["container"], got[3]["bits"],
+                got[3]["n_samples"]) == ("mp3", None, 3456)
+
+
 def _mp4_box(t, payload, large=False):
     if large:
         return ((1).to_bytes(4, "big") + t
