@@ -98,54 +98,20 @@ def canonical_url(col: Column | str) -> Column:
     return F.when(has_scheme & (F.length(host) > 0), out)
 
 
-# Embedded PUBLIC SUFFIX LIST subset (publicsuffix.org, ICANN section —
-# public knowledge; snapshot: the stable core rules as of 2025). A
-# SUBSET by design: the full PSL is ~10k rules and churns monthly; a
-# production deployment swaps these three literals for a generated
-# module from its pinned PSL snapshot — the matching algorithm below is
-# the full PSL algorithm (exception beats wildcard beats longest exact
-# beats the implicit '*' default), so only the data grows.
-_PSL_EXACT: dict[int, tuple[str, ...]] = {
-    1: (
-        "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
-        "io", "ai", "co", "me", "tv", "cc", "app", "dev", "xyz", "site",
-        "online", "de", "fr", "nl", "it", "es", "pt", "pl", "ru", "cn",
-        "jp", "kr", "in", "ca", "ch", "at", "be", "se", "no", "fi",
-        "dk", "cz", "ie", "eu", "us", "ar", "cl", "eg", "id", "th",
-        "vn", "tr", "gr", "ro", "hu", "sk", "il", "sa", "ae", "sg",
-        "hk", "tw", "my", "ph",
-    ),
-    2: (
-        "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-        "ltd.uk", "plc.uk", "sch.uk",
-        "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
-        "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
-        "com.br", "net.br", "org.br", "gov.br",
-        "co.in", "net.in", "org.in", "gov.in", "ac.in",
-        "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
-        "com.mx", "org.mx", "gob.mx",
-        "co.nz", "net.nz", "org.nz", "govt.nz",
-        "co.za", "org.za", "web.za",
-        "co.kr", "or.kr", "go.kr", "ac.kr",
-        "com.tr", "org.tr", "gov.tr",
-        "com.sg", "com.hk", "com.tw", "com.my", "com.ph", "com.ar",
-        "com.eg", "co.il", "co.th", "co.id",
-        "ak.us", "al.us", "ca.us", "ny.us", "tx.us",
-    ),
-    3: (
-        # state-school hierarchies under .us — the standard 3-label
-        # ICANN rules; present so longest-match is exercised for real
-        "k12.ak.us", "cc.ak.us", "lib.ak.us",
-        "k12.ny.us", "cc.ny.us", "lib.ny.us",
-        "k12.ca.us", "cc.ca.us", "lib.ca.us",
-    ),
-}
-#: ``*.<base>`` wildcard rules: EVERY label directly under the base is
-#: itself a public suffix (PSL: ``*.ck``, ``*.bd``, ``*.kw`` …)
-_PSL_WILDCARD_BASES: tuple[str, ...] = ("ck", "bd", "kw", "mm", "np")
-#: ``!<rule>`` exception rules: carve-outs from a wildcard — the rule
-#: itself IS registrable (PSL: ``!www.ck``)
-_PSL_EXCEPTIONS: tuple[str, ...] = ("www.ck",)
+# PUBLIC SUFFIX LIST data (publicsuffix.org, ICANN section — public
+# knowledge), compiled by tools/gen_psl.py from the pinned snapshot
+# tools/data/public_suffix_list.dat into the generated module below
+# (round 10 — the r9 hand-embedded ~120-rule subset became a ~380-rule
+# generated snapshot; to move to the full ~10k-rule upstream list,
+# replace the .dat with the upstream download and re-run the
+# generator).  The matching algorithm below is the complete PSL
+# algorithm (exception beats wildcard beats longest exact beats the
+# implicit '*' default), so growing the data never touches the code.
+from hobbes_spark.functions.psl_snapshot import (  # noqa: F401
+    _PSL_EXACT,
+    _PSL_EXCEPTIONS,
+    _PSL_WILDCARD_BASES,
+)
 
 
 def registrable_domain(col: Column | str) -> Column:

@@ -2,6 +2,7 @@
 (the oracle parity suite covers cross-engine value equality)."""
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -2798,6 +2799,37 @@ class TestRegistrableDomain:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+    def test_expanded_snapshot_rules(self, spark):
+        """Round-10 generated snapshot: rules the r9 hand-embedded
+        subset lacked now assign correctly instead of falling to the
+        implicit '*' (com.pl would have over-merged every .com.pl
+        site), and the retired *.kw wildcard gives way to exact
+        second-level rules."""
+        cases = {
+            "www.sklep.com.pl": "sklep.com.pl",   # com.pl rule (new)
+            "a.shop.pl": "shop.pl",               # pl flat, unchanged
+            "www.city.nagoya.jp": "nagoya.jp",    # jp flat in this snapshot
+            "x.gouv.fr": "x.gouv.fr",             # gouv.fr rule (new)
+            "foo.com.kw": "foo.com.kw",           # exact com.kw (was *.kw)
+            "bar.kw": "bar.kw",                   # plain label under kw
+            "sub.act.au": "sub.act.au",           # AU state registry (new)
+            "www.parliament.nz": "www.parliament.nz",  # long 2-label rule
+        }
+        assert self._dom(spark, list(cases)) == list(cases.values())
+
+    def test_generated_module_not_stale(self):
+        """tools/gen_psl.py --check: the generated psl_snapshot module
+        must match a fresh compile of the vendored .dat snapshot."""
+        import subprocess
+        import sys as _sys
+
+        r = subprocess.run(
+            [_sys.executable, "tools/gen_psl.py", "--check"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
 
 
 def test_lsh_stats_fixture_literals_rederive():
