@@ -9666,6 +9666,89 @@ def stream_dedup_counts(spark, sf_dir):
 
 
 @q(
+    "stream_restart_dedup",
+    """
+    SELECT source,
+           CAST(COUNT(DISTINCT md5(coalesce(text, ''))) AS BIGINT)
+             AS unique_docs
+    FROM documents GROUP BY source
+    """,
+)
+def stream_restart_dedup(spark, sf_dir):
+    """KILL-AND-RESTART exactly-once, driver-signed (round 10 — the r9
+    restart-replay pytest gates promoted into the catalog): the query
+    body itself stages the documents table as four landing-zone
+    deliveries WITH re-deliveries (evens; evens%4 again; evens%4==2
+    again AFTER the crash — state must survive the restart to drop
+    them; odds), drains a stateful dedup stream into the idempotent
+    batch-keyed parquet sink, deletes the newest checkpoint commit
+    (``uncommit_last_batch`` — a crash after the sink write, before the
+    offset commit), appends the post-crash deliveries and RESTARTS.
+
+    The returned per-source survivor counts equal the batch
+    COUNT(DISTINCT fingerprint) oracle only if the whole
+    exactly-once chain held: the replayed trigger overwrote its own
+    batch partition (no duplicates), the recovered state dropped the
+    post-restart re-delivery (no resurrections), and no delivery was
+    lost.  The body additionally raises if the killed trigger's commit
+    did not reappear — a silent no-op drill cannot sign."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from hobbes_spark.streaming import stream_parquet
+    from hobbes_spark.streaming.run import uncommit_last_batch
+    from hobbes_spark.streaming.sinks import idempotent_parquet_writer
+
+    work = _tempfile.mkdtemp(prefix="hb_restart_dedup_")
+    data = _os.path.join(work, "in")
+    ckpt = _os.path.join(work, "ckpt")
+    out = _os.path.join(work, "sink")
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "source", "text")
+
+    def deliver(cond):
+        docs.filter(cond).coalesce(1).write.mode("append").parquet(data)
+
+    def drain():
+        s = stream_parquet(spark, data, max_files_per_trigger=1)
+        d = s.withColumn(
+            "__fp", F.md5(F.coalesce(F.col("text"), F.lit("")))
+        ).dropDuplicates(["source", "__fp"])
+        q_ = (
+            d.writeStream.foreachBatch(idempotent_parquet_writer(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(600)
+
+    try:
+        deliver(F.col("doc_id") % 2 == 0)       # delivery 1: evens
+        deliver(F.col("doc_id") % 4 == 0)       # delivery 2: re-delivery
+        drain()
+        replayed = uncommit_last_batch(ckpt)    # crash before commit
+        deliver(F.col("doc_id") % 4 == 2)       # re-delivery ACROSS restart
+        deliver(F.col("doc_id") % 2 == 1)       # delivery 4: the odd half
+        drain()                                  # restart: replay + continue
+        if str(replayed) not in _os.listdir(_os.path.join(ckpt, "commits")):
+            raise ValueError(
+                "stream_restart_dedup: killed trigger never re-committed "
+                "— the restart drill did not run"
+            )
+        rows = sorted(
+            (r["source"], r["unique_docs"])
+            for r in spark.read.parquet(out)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("unique_docs"))
+            .collect()
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "source string, unique_docs bigint")
+
+
+@q(
     "corpus_datasheet",
     f"""
     WITH per AS (
@@ -9920,7 +10003,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # as of r9 and therefore lead automatically — keep this list in
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r9 (new in r10) ---
-    "audio_meta", "video_frame_plan_real", "video_meta",
+    "audio_meta", "stream_restart_dedup", "video_frame_plan_real",
+    "video_meta",
     # --- changed since their last r8 signature: the round-9
     #     functions/web.py + curation/sampling edits post-date these ---
     "canonical_url_docs", "kappa_labels", "leakage_split_docs",
@@ -9943,7 +10027,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "hash_sample_docs", "hb_order_frequency", "ivf_pq_topk",
     "join_broadcast_dims", "kmeans_fixture_exact", "lang_id_counts",
     "linear_extrapolation", "linear_regression", "minhash_pairs",
-    "missing_filter", "moving_partitioned",
+    "missing_filter",
 ]
 
 

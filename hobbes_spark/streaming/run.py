@@ -10,6 +10,7 @@ plan, bounded trigger.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,3 +40,26 @@ def replay_to_df(
             "partial results discarded (raise timeout_s for big backlogs)"
         )
     return spark.table(name)
+
+
+def uncommit_last_batch(checkpoint_dir: str) -> int:
+    """Simulate a crash AFTER a trigger's sink write but BEFORE its
+    offset commit: delete the newest commit file from a streaming
+    checkpoint (plus the local filesystem's hidden ``.crc`` sidecar,
+    which a real crash also loses — keeping it fails the re-commit
+    rename).  On the next start Spark re-runs that batch with the same
+    offsets and the same ``batch_id`` — exactly the replay an
+    exactly-once sink must absorb.  Returns the replayed batch id.
+
+    Recovery-drill utility: the restart-replay tests and the
+    ``stream_restart_*`` catalog rows both kill-and-restart through
+    this one spelling."""
+    commits = os.path.join(checkpoint_dir, "commits")
+    ids = sorted(int(f) for f in os.listdir(commits) if f.isdigit())
+    if not ids:
+        raise ValueError(f"uncommit_last_batch: no commits in {commits}")
+    os.remove(os.path.join(commits, str(ids[-1])))
+    crc = os.path.join(commits, f".{ids[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return ids[-1]

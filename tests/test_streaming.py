@@ -929,16 +929,12 @@ def _simulate_crash_before_commit(ckpt: str) -> int:
     """Delete the newest commits/<N> file: the restart will re-run
     batch N with the same offsets and the same batch_id — exactly what
     a crash after the foreachBatch write but before the offset commit
-    produces. Returns N."""
-    commits = os.path.join(ckpt, "commits")
-    ids = sorted(int(f) for f in os.listdir(commits) if f.isdigit())
-    os.remove(os.path.join(commits, str(ids[-1])))
-    # the local ChecksumFileSystem leaves a hidden .N.crc sidecar; a
-    # real crash loses both, and keeping it fails the re-commit rename
-    crc = os.path.join(commits, f".{ids[-1]}.crc")
-    if os.path.exists(crc):
-        os.remove(crc)
-    return ids[-1]
+    produces. Returns N.  (Round 10: the mechanics moved into the
+    library as streaming.run.uncommit_last_batch so the
+    stream_restart_* catalog rows can run the same drill.)"""
+    from hobbes_spark.streaming.run import uncommit_last_batch
+
+    return uncommit_last_batch(ckpt)
 
 
 def test_restart_replay_dedup_sink_exactly_once(spark, tmp_path):

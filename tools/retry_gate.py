@@ -1,4 +1,5 @@
-"""Task-retry determinism gate (r8 verdict item 2).
+"""Task-retry + speculation determinism gate (r8 verdict item 2;
+speculation mode added by r9 verdict item 7).
 
 Spark re-executes failed (and speculated) tasks; a recomputed attempt
 that produces DIFFERENT rows than the first attempt silently corrupts
@@ -7,7 +8,8 @@ results at cluster scale — the classic victims are arbitrary tie-breaks
 (k-means), and anything that leans on partition-internal row order
 (systematic samplers, keep-best canonical picks).
 
-This gate runs the flagship tie-sensitive catalog queries twice:
+RETRY mode (default) runs the flagship tie-sensitive catalog queries
+twice:
 
 * CLEAN:  unmodified, on a fresh ``local[8, 3]`` session
   (``maxFailures=3`` — plain ``local[8]`` never retries, which is why
@@ -23,10 +25,25 @@ This gate runs the flagship tie-sensitive catalog queries twice:
   interleaving on a real cluster), so any query whose values depend on
   that order diverges here.
 
-The gate asserts the CHAOS snapshot (sorted stringified rows, same
-normalization as tools/gate_check.py) is byte-identical to CLEAN.
+SPECULATION mode (``--speculation``) covers the OTHER task-level
+nondeterminism: ``spark.speculation=true`` launches duplicate attempts
+of straggler tasks and commits whichever finishes first.  Local
+masters never speculate (the scheduler only starts its checker off
+``local``), so this mode runs on ``local-cluster[2,4,2048]`` — real
+executor JVMs, real speculation.  The scan wrap here SLEEPS on attempt
+0 of every third partition (making those tasks stragglers the
+speculation checker clones) and yields rows REVERSED on any attempt
+> 0, so whenever a speculative clone wins the race its row order
+differs — the same sharp edge as retry mode, now arriving through the
+speculation scheduler path.
 
-Usage: python tools/retry_gate.py [sf_dir] [query ...]
+Both modes assert the perturbed snapshot (sorted stringified rows,
+same normalization as tools/gate_check.py) is byte-identical to CLEAN,
+and both carry a NEGATIVE CONTROL (an order-sensitive ``first()``
+probe) that must diverge — proving the injected perturbation actually
+fired.
+
+Usage: python tools/retry_gate.py [--speculation] [sf_dir] [query ...]
 Exit 0 = all identical; prints one "RETRYGATE <name> PASS|FAIL" line
 per query (leading newline so Spark's \r progress fragments can't glue
 to it).
@@ -71,6 +88,144 @@ def _chaos_wrap(df):
     return df.mapInPandas(fn, schema=schema)
 
 
+#: seconds an attempt-0 straggler sleeps in speculation mode — long
+#: enough that the speculation checker (100 ms interval) clones it and
+#: the clone finishes first, short enough to keep the gate quick
+SPEC_SLEEP_SEC = float(os.environ.get("HOBBES_SPEC_SLEEP", "4"))
+
+
+def _spec_wrap(df):
+    """Speculation-mode scan wrap: repartition to 8 tasks (the wrapped
+    stage needs enough FAST tasks to clear the speculation quantile,
+    and a 1-file sf0.001 scan would otherwise be a single task), then
+    sleep on attempt 0 of every third partition — those tasks become
+    stragglers the speculation checker clones — and yield rows REVERSED
+    on any attempt > 0, so a winning clone delivers a different row
+    order (the same sharp edge as retry mode)."""
+    schema = df.schema
+
+    def fn(batches):
+        import time as _time
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if tc is not None and tc.attemptNumber() == 0 and tc.partitionId() % 3 == 0:
+            _time.sleep(SPEC_SLEEP_SEC)
+        if tc is not None and tc.attemptNumber() > 0:
+            for pdf in reversed(list(batches)):
+                yield pdf.iloc[::-1]
+        else:
+            yield from batches
+
+    return df.repartition(8).mapInPandas(fn, schema=schema)
+
+
+def _start_speculation_cluster():
+    """Standalone cluster on TWO loopback "hosts" + a session with
+    speculation ON.  Returns ``(spark, stop)``.
+
+    Why this shape and not ``local-cluster``: the scheduler refuses to
+    launch a speculative attempt on the same HOST as the running copy
+    (``TaskSetManager.hasAttemptOnHost``), and every local/local-cluster
+    executor reports one host — speculation silently never fires (the
+    control probe proved it).  Binding one worker to 127.0.0.1 and one
+    to 127.0.0.2 (distinct loopback addresses, both routable on Linux)
+    gives the scheduler two host strings, so clones really launch and
+    really race.  Semantic configs mirror
+    ``hobbes_spark.session.get_spark`` — the gate must run the queries
+    under the engine's own dialect."""
+    import socket
+    import subprocess
+    import time as _time
+
+    import pyspark
+    from pyspark.sql import SparkSession
+
+    spark_pkg = os.path.dirname(pyspark.__file__)
+    spark_class = os.path.join(spark_pkg, "bin", "spark-class")
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    master_url = f"spark://127.0.0.1:{port}"
+    procs = []
+
+    def launch(*cls_args, host):
+        env = dict(
+            os.environ,
+            SPARK_HOME=spark_pkg,
+            PYSPARK_PYTHON=sys.executable,
+            SPARK_NO_DAEMONIZE="1",
+            SPARK_LOCAL_IP=host,
+            SPARK_LOCAL_HOSTNAME=host,
+        )
+        procs.append(subprocess.Popen(
+            ["bash", spark_class, *cls_args],
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        ))
+
+    launch("org.apache.spark.deploy.master.Master",
+           "--host", "127.0.0.1", "--port", str(port), "--webui-port", "0",
+           host="127.0.0.1")
+    _time.sleep(3)  # master must be up before workers register
+    for h in ("127.0.0.1", "127.0.0.2"):
+        launch("org.apache.spark.deploy.worker.Worker", master_url,
+               "--host", h, "--cores", "4", "--memory", "2g",
+               "--webui-port", "0", host=h)
+
+    spark = (
+        SparkSession.builder.master(master_url)
+        .appName("retry_gate_speculation")
+        .config("spark.sql.shuffle.partitions", "8")
+        # executor JVMs spawn their own Python workers: the package
+        # must be importable there (same rationale as cluster_bench)
+        .config("spark.executorEnv.PYTHONPATH", ROOT)
+        .config("spark.executor.memory", "1g")
+        .config("spark.cores.max", "8")
+        .config("spark.speculation", "true")
+        .config("spark.speculation.interval", "100ms")
+        .config("spark.speculation.multiplier", "1.2")
+        .config("spark.speculation.quantile", "0.25")
+        # 3.4+ gates clones on per-task process-rate metrics that
+        # python stages don't report usefully; classic duration-based
+        # speculation is the behavior under test
+        .config("spark.speculation.efficiency.enabled", "false")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+    def stop():
+        try:
+            spark.stop()
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                try:
+                    p.wait(timeout=10)
+                except Exception:
+                    p.kill()
+
+    # wait until BOTH workers' executors registered — speculative
+    # clones need the second host to exist before the first stage runs
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+    for _ in range(60):
+        hosts = {e.host() for e in tracker.getExecutorInfos()}
+        if {"127.0.0.1", "127.0.0.2"} <= hosts:
+            return spark, stop
+        _time.sleep(1)
+    stop()
+    raise SystemExit(
+        "RETRYGATE [speculation]: executors on both loopback hosts "
+        "never registered"
+    )
+
+
 def _cell(v):
     if v is None:
         return "NULL"
@@ -89,7 +244,10 @@ def _snapshot(pdf):
 
 def main():
     args = sys.argv[1:]
-    if args and not args[0].startswith("--") and os.path.isdir(args[0]):
+    speculation = "--speculation" in args
+    no_control = "--no-control" in args
+    args = [a for a in args if not a.startswith("--")]
+    if args and os.path.isdir(args[0]):
         sf_dir, args = args[0], args[1:]
     else:
         sf_dir = os.environ.get(
@@ -100,9 +258,23 @@ def main():
     from hobbes_spark.pipeline import Pipeline
     from hobbes_spark.session import get_spark
 
-    # local[8, 3]: 8 threads, tasks retried up to 3 attempts — the ONLY
-    # local master that exercises the retry scheduler path.
-    spark = get_spark("retry_gate", master="local[8, 3]", shuffle_partitions=8)
+    stop_cluster = None
+    if speculation:
+        spark, stop_cluster = _start_speculation_cluster()
+        wrap = _spec_wrap
+        mode = "speculation"
+    else:
+        # local[8, 3]: 8 threads, tasks retried up to 3 attempts — the
+        # ONLY local master that exercises the retry scheduler path.
+        spark = get_spark(
+            "retry_gate", master="local[8, 3]", shuffle_partitions=8
+        )
+        wrap = _chaos_wrap
+        mode = "retry"
+    if stop_cluster is not None:
+        import atexit
+
+        atexit.register(stop_cluster)  # runs on every sys.exit path
     spark.sparkContext.setLogLevel("ERROR")
 
     from hobbes_spark.queries import QUERIES
@@ -116,7 +288,7 @@ def main():
     def chaotic_from_parquet(cls, spark_, path):
         p = orig_from_parquet(cls, spark_, path)
         return cls(
-            _chaos_wrap(p.df),
+            wrap(p.df),
             key_cols=p.key_cols,
             order=p.order,
             lineage=p.lineage,
@@ -124,35 +296,59 @@ def main():
 
     # Negative control: PROVE the harness detects order-sensitivity.
     # ``F.first`` with no ordering is exactly the bug class this gate
-    # hunts (its value is whatever row arrives first); under the chaos
-    # wrapper the retried attempt streams rows reversed, so the control
-    # MUST diverge from its clean run — if it matches, the injection
-    # never fired and every PASS above would be vacuous.
-    if "--no-control" not in args:
+    # hunts (its value is whatever row arrives first); under either
+    # wrapper the perturbed attempt streams rows reversed, so the
+    # control MUST diverge from its clean run — if it matches, the
+    # injection never fired (retry mode) or no speculative clone ever
+    # won a race (speculation mode) and every PASS above would be
+    # vacuous.
+    if not no_control:
         from pyspark.sql import functions as F
 
-        # coalesce(1) first so "first" is the deterministic global
-        # stream order (clean: file order; chaos: reversed) rather than
-        # a per-shuffle-partition race that could flap run-to-run.
         base = orig_from_parquet(Pipeline, spark, f"{sf_dir}/orders.parquet").df
-        clean_ctl = _snapshot(
-            base.coalesce(1)
-            .groupBy("o_custkey")
-            .agg(F.expr("first(o_orderkey)").alias("first_key"))
-            .toPandas()
-        )
-        chaos_ctl = _snapshot(
-            _chaos_wrap(base)
-            .coalesce(1)
-            .groupBy("o_custkey")
-            .agg(F.expr("first(o_orderkey)").alias("first_key"))
-            .toPandas()
-        )
+        if speculation:
+            # per-partition firsts: coalesce(1) would collapse the
+            # wrapped stage to ONE task, and speculation needs the
+            # quantile's worth of FINISHED sibling tasks before it
+            # clones a straggler — so the probe aggregates first()
+            # map-side inside each of the 8 wrapped tasks instead.
+            def probe(df):
+                return _snapshot(
+                    df.groupBy(F.spark_partition_id().alias("pid"))
+                    .agg(F.expr("first(o_orderkey)").alias("first_key"))
+                    .toPandas()
+                )
+
+            def ident(df):
+                # same plan shape as _spec_wrap minus sleep/reverse
+                return df.repartition(8).mapInPandas(
+                    lambda it: it, schema=df.schema
+                )
+
+            clean_ctl = probe(ident(base))
+            chaos_ctl = probe(_spec_wrap(base))
+        else:
+            # coalesce(1) first so "first" is the deterministic global
+            # stream order (clean: file order; chaos: reversed) rather
+            # than a per-shuffle-partition race that could flap
+            # run-to-run.
+            def probe(df):
+                return _snapshot(
+                    df.coalesce(1)
+                    .groupBy("o_custkey")
+                    .agg(F.expr("first(o_orderkey)").alias("first_key"))
+                    .toPandas()
+                )
+
+            clean_ctl = probe(base)
+            chaos_ctl = probe(_chaos_wrap(base))
         if clean_ctl == chaos_ctl:
-            print("\nRETRYGATE control FAIL: order-sensitive probe did not "
-                  "diverge — injection never fired, gate is vacuous")
+            print(f"\nRETRYGATE [{mode}] control FAIL: order-sensitive "
+                  "probe did not diverge — perturbation never fired, "
+                  "gate is vacuous")
             sys.exit(1)
-        print("\nRETRYGATE control PASS (order-sensitive probe diverged as designed)")
+        print(f"\nRETRYGATE [{mode}] control PASS "
+              "(order-sensitive probe diverged as designed)")
 
     failures = []
     for name in targets:
@@ -180,11 +376,11 @@ def main():
                     if a != b
                 )
             )
-            print(f"\nRETRYGATE {name} FAIL: {detail}")
+            print(f"\nRETRYGATE [{mode}] {name} FAIL: {detail}")
         else:
-            print(f"\nRETRYGATE {name} PASS ({len(clean[1])} rows)")
+            print(f"\nRETRYGATE [{mode}] {name} PASS ({len(clean[1])} rows)")
 
-    print(f"\nRETRYGATE: {len(failures)} failures of {len(targets)}")
+    print(f"\nRETRYGATE [{mode}]: {len(failures)} failures of {len(targets)}")
     sys.exit(1 if failures else 0)
 
 
