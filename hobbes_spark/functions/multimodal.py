@@ -43,6 +43,7 @@ __all__ = [
     "audio_meta",
     "parse_mp4_meta",
     "video_meta",
+    "video_frame_times",
 ]
 
 #: the uniform multimodal column contract: payload + typed metadata
@@ -124,6 +125,26 @@ def header_dims(b: bytes) -> tuple[int, int] | None:
         # garbage often passes the range check
         w, h = struct.unpack("<ii", b[18:26])
         return ok(w, abs(h))  # negative height = top-down DIB
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 30:
+        # WebP (round 10): all three header layouts. VP8X extended
+        # carries the 24-bit LE canvas dims; VP8 lossy puts 14-bit dims
+        # after the 0x9D012A start code; VP8L lossless packs 14+14 bits
+        # after the 0x2F signature.
+        kind = b[12:16]
+        if kind == b"VP8X" and len(b) >= 30:
+            w = 1 + int.from_bytes(b[24:27], "little")
+            h = 1 + int.from_bytes(b[27:30], "little")
+            return ok(w, h)
+        if kind == b"VP8 " and len(b) >= 30 and b[23:26] == b"\x9d\x01\x2a":
+            w = int.from_bytes(b[26:28], "little") & 0x3FFF
+            h = int.from_bytes(b[28:30], "little") & 0x3FFF
+            return ok(w, h)
+        if kind == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+            bits = int.from_bytes(b[21:25], "little")
+            w = 1 + (bits & 0x3FFF)
+            h = 1 + ((bits >> 14) & 0x3FFF)
+            return ok(w, h)
+        return None
     if b[:2] == b"\xff\xd8":
         i = 2
         while i + 9 <= len(b):
@@ -1907,8 +1928,11 @@ def _bmff_boxes(b: bytes, i: int, end: int):
 
 def _bmff_track(b: bytes, s: int, e: int) -> dict:
     """Walk one ``trak`` box: tkhd dims (16.16 fixed-point, floored to
-    int), hdlr handler type, stts total sample count."""
-    out = {"width": None, "height": None, "handler": None, "n_frames": None}
+    int), hdlr handler type, stts total sample count + the raw
+    (count, delta) run-length entries, and the mdhd media timescale
+    (the unit the stts deltas tick in)."""
+    out = {"width": None, "height": None, "handler": None,
+           "n_frames": None, "stts": None, "media_timescale": None}
     for t, ps, pe in _bmff_boxes(b, s, e):
         if t == b"tkhd" and pe - ps >= 4:
             ver = b[ps]
@@ -1925,6 +1949,13 @@ def _bmff_track(b: bytes, s: int, e: int) -> dict:
             for t2, s2, e2 in _bmff_boxes(b, ps, pe):
                 if t2 == b"hdlr" and e2 - s2 >= 12:
                     out["handler"] = b[s2 + 8 : s2 + 12]
+                elif t2 == b"mdhd" and e2 - s2 >= 20:
+                    ver = b[s2]
+                    off = s2 + (20 if ver == 1 else 12)
+                    if off + 4 <= e2:
+                        out["media_timescale"] = int.from_bytes(
+                            b[off : off + 4], "big"
+                        )
                 elif t2 == b"minf":
                     for t3, s3, e3 in _bmff_boxes(b, s2, e2):
                         if t3 != b"stbl":
@@ -1938,13 +1969,36 @@ def _bmff_track(b: bytes, s: int, e: int) -> dict:
                             # by the actual box size
                             if n > (1 << 20) or s4 + 8 + 8 * n > e4:
                                 continue
-                            out["n_frames"] = sum(
-                                int.from_bytes(
-                                    b[s4 + 8 + 8 * k : s4 + 12 + 8 * k], "big"
+                            entries = [
+                                (
+                                    int.from_bytes(
+                                        b[s4 + 8 + 8 * k : s4 + 12 + 8 * k],
+                                        "big",
+                                    ),
+                                    int.from_bytes(
+                                        b[s4 + 12 + 8 * k : s4 + 16 + 8 * k],
+                                        "big",
+                                    ),
                                 )
                                 for k in range(n)
-                            )
+                            ]
+                            out["stts"] = entries
+                            out["n_frames"] = sum(c for c, _ in entries)
     return out
+
+
+def _stts_pts_units(entries: list[tuple[int, int]], index: int) -> int | None:
+    """Presentation time of frame ``index`` in media-timescale units:
+    the cumulative sum of the stts run-length deltas before it.  None
+    when the index is past the last sample."""
+    units = 0
+    k = index
+    for count, delta in entries:
+        if k < count:
+            return units + k * delta
+        units += count * delta
+        k -= count
+    return None
 
 
 def parse_mp4_meta(b: bytes) -> dict | None:
@@ -1998,6 +2052,86 @@ def parse_mp4_meta(b: bytes) -> dict | None:
     except (IndexError, OverflowError, UnicodeDecodeError):
         return None
     return out
+
+
+def _mp4_video_track(b: bytes) -> dict | None:
+    """First video track's parsed dict (dims/handler/stts/timescale)
+    from an ISO BMFF stream, or None — the shared walk behind
+    :func:`video_meta` and :func:`video_frame_times`."""
+    if len(b) < 16 or b[4:8] != b"ftyp":
+        return None
+    try:
+        moov = next(
+            ((s, e) for t, s, e in _bmff_boxes(b, 0, len(b)) if t == b"moov"),
+            None,
+        )
+        if moov is None:
+            return None
+        for t, s, e in _bmff_boxes(b, *moov):
+            if t == b"trak":
+                info = _bmff_track(b, s, e)
+                if info["handler"] == b"vide":
+                    return info
+    except (IndexError, OverflowError):
+        return None
+    return None
+
+
+def video_frame_times(
+    media: DataFrame, every_n: int = 30, max_frames: int = 8
+) -> DataFrame:
+    """Frame sampling with EXACT presentation times (round 10 — the
+    time-domain twin of :func:`frame_sample_plan`): for each MP4 row
+    with a video track, emit every ``every_n``-th frame index (capped
+    at ``max_frames``) together with its pts in integer microseconds,
+    computed from the stts run-length deltas over the mdhd media
+    timescale — real pipelines seek decoders by TIME, not index, and
+    stts is where variable frame rate lives.  Rows without a parsable
+    video track are DROPPED (compose with :func:`frame_sample_plan`
+    for the index-only fallback).  Map-only over Arrow batches; the
+    stts walk is O(runs), never O(frames)."""
+    if every_n < 1:
+        raise ValueError(f"video_frame_times: every_n must be >= 1, got {every_n}")
+    if max_frames < 1:
+        raise ValueError(
+            f"video_frame_times: max_frames must be >= 1, got {max_frames}"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    continue
+                info = _mp4_video_track(bytes(blob))
+                if (
+                    not info
+                    or not info["stts"]
+                    or not info["media_timescale"]
+                ):
+                    continue
+                ts = info["media_timescale"]
+                pos = 0
+                for idx in range(0, info["n_frames"] or 0, every_n):
+                    if pos >= max_frames:
+                        break
+                    units = _stts_pts_units(info["stts"], idx)
+                    if units is None:
+                        break
+                    rows.append(
+                        (int(mid), pos, idx, units * 1_000_000 // ts)
+                    )
+                    pos += 1
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_pos", "frame_index", "pts_us"],
+            )
+
+    return media.mapInPandas(
+        run,
+        schema=("media_id long, frame_pos int, frame_index int, "
+                "pts_us bigint"),
+    )
 
 
 def video_meta(media: DataFrame) -> DataFrame:

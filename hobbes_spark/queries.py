@@ -4563,6 +4563,35 @@ def video_frame_plan_real(spark, sf_dir):
     ).orderBy("media_id", "frame_pos")
 
 
+@q(
+    "video_frame_pts",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 0, 0, CAST(0 AS BIGINT)),
+      (CAST(1 AS BIGINT), 1, 30, CAST(1001000 AS BIGINT)),
+      (CAST(1 AS BIGINT), 2, 60, CAST(2002000 AS BIGINT)),
+      (CAST(2 AS BIGINT), 0, 0, CAST(0 AS BIGINT))
+    ) AS t(media_id, frame_pos, frame_index, pts_us)
+    ORDER BY media_id, frame_pos
+    """,
+)
+def video_frame_pts(spark, sf_dir):
+    """Frame sampling in the TIME domain (round 10): video_frame_times
+    computes each sampled frame's exact presentation time from the
+    stts run-length deltas over the mdhd media timescale — fixture 1
+    ticks 1001/30000 (NTSC 29.97: frame 30 -> 30*1001 units ->
+    1_001_000 us exactly, the integer arithmetic both engines must
+    agree on), fixture 2's video track ticks 100/600 with only 10
+    frames (one sample), and the non-MP4 row 3 is dropped.  Real
+    pipelines seek decoders by time, not index — stts is where
+    variable frame rate lives, and the walk is O(runs) per row."""
+    from hobbes_spark.functions.multimodal import video_frame_times
+
+    out = video_frame_times(_mp4_fixture_media(spark), every_n=30,
+                            max_frames=8)
+    return out.orderBy("media_id", "frame_pos")
+
+
 # --------------------------------------------------------------------- #
 # Calibrated per-group quality filtering + incremental dedup — the two
 # operational shapes a growing corpus needs: thresholds as per-language
@@ -10004,7 +10033,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r9 (new in r10) ---
     "audio_meta", "stream_restart_dedup", "video_frame_plan_real",
-    "video_meta",
+    "video_frame_pts", "video_meta",
     # --- changed since their last r8 signature: the round-9
     #     functions/web.py + curation/sampling edits post-date these ---
     "canonical_url_docs", "kappa_labels", "leakage_split_docs",
@@ -10027,7 +10056,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "hash_sample_docs", "hb_order_frequency", "ivf_pq_topk",
     "join_broadcast_dims", "kmeans_fixture_exact", "lang_id_counts",
     "linear_extrapolation", "linear_regression", "minhash_pairs",
-    "missing_filter",
 ]
 
 

@@ -768,6 +768,40 @@ def test_header_dims_real_formats(spark):
     assert out[5]["decoder"] == "fake-stub"
 
 
+def test_header_dims_webp_all_three_layouts():
+    """WebP header dims (round 10): lossy VP8 (dims after the 0x9D012A
+    start code), lossless VP8L (14+14 packed bits), extended VP8X
+    (24-bit LE canvas dims) — all hand-packed; corrupt start codes and
+    truncations refuse."""
+    import struct
+
+    from hobbes_spark.functions.multimodal import header_dims
+
+    def riff(fourcc, payload):
+        chunk = fourcc + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a"
+               + struct.pack("<HH", 550, 368) + bytes(8))
+    assert header_dims(vp8) == (550, 368)
+    # VP8L: w-1=31, h-1=15 packed LSB-first into 14+14 bits
+    bits = 31 | (15 << 14)
+    vp8l = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits) + bytes(8))
+    assert header_dims(vp8l) == (32, 16)
+    vp8x = riff(b"VP8X", bytes(4)
+                + (1919).to_bytes(3, "little") + (1079).to_bytes(3, "little")
+                + bytes(4))
+    assert header_dims(vp8x) == (1920, 1080)
+    # corrupt VP8 start code / VP8L signature / truncation refuse
+    bad = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2b"
+               + struct.pack("<HH", 5, 5) + bytes(8))
+    assert header_dims(bad) is None
+    badl = riff(b"VP8L", b"\x2e" + struct.pack("<I", bits) + bytes(8))
+    assert header_dims(badl) is None
+    assert header_dims(vp8[:20]) is None
+    assert header_dims(b"RIFF\x00\x00\x00\x00WAVE" + bytes(20)) is None
+
+
 def test_header_dims_adversarial_payloads():
     """Crafted headers must never violate the int32 schema or crash."""
     import struct
@@ -3458,6 +3492,45 @@ class TestMp4Meta:
             for m in (0x00, 0xFF, valid[off] ^ 0x55):
                 got = parse_mp4_meta(valid[:off] + bytes([m]) + valid[off + 1:])
                 assert got is None or isinstance(got, dict)
+
+    def test_frame_times_from_stts(self):
+        """Exact pts from stts run-length deltas: distinct-delta runs
+        [(2,100),(3,200)] at timescale 1000 give frame 3 the cumulative
+        2*100 + 1*200 = 400 units -> 400_000 us; sampling every 2nd
+        frame reads 0/200_000/600_000."""
+        from hobbes_spark.functions.multimodal import (
+            _mp4_video_track,
+            _stts_pts_units,
+        )
+
+        b = _mp4(b"isom", 0, 1000, 1000,
+                 [(b"vide", 0, 8 << 16, 8 << 16, [(2, 100), (3, 200)])])
+        info = _mp4_video_track(b)
+        assert info["stts"] == [(2, 100), (3, 200)]
+        assert [_stts_pts_units(info["stts"], k) for k in range(6)] == [
+            0, 100, 200, 400, 600, None,  # index 5 past the last sample
+        ]
+
+    def test_video_frame_times_through_spark(self, spark):
+        from hobbes_spark.functions.multimodal import video_frame_times
+
+        rows = [
+            (1, bytearray(_mp4(b"isom", 0, 1000, 1000,
+                               [(b"vide", 0, 8 << 16, 8 << 16,
+                                 [(2, 100), (3, 200)])]))),
+            (2, bytearray(b"not video" + bytes(64))),
+        ]
+        media = spark.createDataFrame(rows, "media_id long, content binary")
+        # mdhd timescale in the _mp4 builder is 600
+        got = sorted(
+            (r["media_id"], r["frame_pos"], r["frame_index"], r["pts_us"])
+            for r in video_frame_times(media, every_n=2, max_frames=8).collect()
+        )
+        assert got == [
+            (1, 0, 0, 0),
+            (1, 1, 2, 200 * 1_000_000 // 600),
+            (1, 2, 4, 600 * 1_000_000 // 600),
+        ]
 
     def test_video_meta_and_frame_plan_through_spark(self, spark):
         """The mapInPandas boundary + the frames_col wiring: real stts
