@@ -10046,7 +10046,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "quantize_error_stats", "semantic_dedup_keep", "sketch_user_rollup",
     "sort_keys_ordinals", "temperature_sample_docs", "text_stats",
     "tpch_q3_topk", "tpch_q9_profit", "winsorize_values",
-    # --- last signed in r6, alphabetical (31 of the r6 group; the
+    # --- last signed in r6, alphabetical (26 of the r6 group; the
     #     remainder rolls to the r11 rotation) ---
     "ann_ivf_topk", "asof_attribution", "blocklist_filter",
     "bloom_decontaminate", "c4_quality", "churned_customers",

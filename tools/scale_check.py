@@ -887,6 +887,24 @@ def main():
             (F.col("vec_id") < 10) & F.col("embedding").isNotNull()
         )
 
+        def _pq_rerank(emb_, rq_, enc_, books_, shortlist=40, k=10):
+            from hobbes_spark.functions.similarity import _topk, cosine
+
+            short = pq_adc_topk(enc_, rq_, books_, k=shortlist).select(
+                "query_id", "neighbor_id"
+            )
+            qv = rq_.select(F.col("vec_id").alias("query_id"),
+                            F.col("embedding").alias("__qv"))
+            cv = emb_.select(F.col("vec_id").alias("neighbor_id"),
+                             F.col("embedding").alias("__cv"))
+            scored = (
+                short.join(F.broadcast(qv), "query_id")
+                .join(cv, "neighbor_id")
+                .select("query_id", "neighbor_id",
+                        cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+            )
+            return _topk(scored, k)
+
         def pairset(df):
             return {
                 (r["query_id"], r["neighbor_id"])
@@ -898,13 +916,15 @@ def main():
                 em1.filter(F.col("embedding").isNotNull()),
                 {"lsh_p8_r2": 0.10, "ivf_16_np4": 0.35,
                  "ivf_16_np8": 0.60, "ivf_16_np12": 0.80,
-                 "ivf_pq_16_np8": 0.40, "pq_adc_m8": 0.40},
+                 "ivf_pq_16_np8": 0.40, "pq_adc_m8": 0.40,
+                 "pq_adc_rerank40": 0.60},
             ),
             f"dup_routing_{n}x": (
                 bigN("embeddings").filter(F.col("embedding").isNotNull()),
                 {"lsh_p8_r2": 0.80, "ivf_16_np4": 0.80,
                  "ivf_16_np8": 0.80, "ivf_16_np12": 0.80,
-                 "ivf_pq_16_np8": 0.70, "pq_adc_m8": 0.70},
+                 "ivf_pq_16_np8": 0.70, "pq_adc_m8": 0.70,
+                 "pq_adc_rerank40": 0.70},
             ),
         }
         recall_out = {}
@@ -930,6 +950,11 @@ def main():
                 "ivf_pq_16_np8": lambda: ivf_pq_topk(
                     emb, rq, k=10, nlist=16, nprobe=8),
                 "pq_adc_m8": lambda: pq_adc_topk(enc, rq, books, k=10),
+                # the rerank tail: ADC shortlists 40, ONLY those rows'
+                # raw floats are fetched for the exact top-10 — lifts
+                # ADC recall 0.68 -> 0.90 at sf0.1 for 40 float
+                # fetches/query (the pq_rerank_topk catalog shape)
+                "pq_adc_rerank40": lambda: _pq_rerank(emb, rq, enc, books),
             }
             rung_out = {}
             for rname, thunk in ladder.items():
