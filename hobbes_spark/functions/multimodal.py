@@ -29,6 +29,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "as_media",
     "decode_image_meta",
+    "exif_orientation",
     "decode_pixels",
     "encode_bmp_gray",
     "frame_sample_plan",
@@ -164,6 +165,64 @@ def header_dims(b: bytes) -> tuple[int, int] | None:
             if seglen < 2:
                 return None
             i += 2 + seglen
+    return None
+
+
+def exif_orientation(b: bytes) -> int | None:
+    """EXIF orientation (1-8) from a JPEG's APP1 segment — header-only
+    TIFF IFD0 walk (byte order II/MM honored, tag 0x0112 SHORT), no
+    image library.  Real crawls are full of camera uploads whose pixels
+    are stored rotated; a resize pipeline that ignores this trains on
+    sideways images.  None when there is no APP1/Exif segment, no
+    orientation tag, or the value is out of range; never raises on
+    garbage."""
+    import struct
+
+    if b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    try:
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xDA:  # entropy data: no EXIF past this point
+                return None
+            (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if seglen < 2:
+                return None
+            if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+                t = i + 10  # TIFF header origin (offsets are relative)
+                order = b[t : t + 2]
+                if order == b"II":
+                    u16, u32 = "<H", "<I"
+                elif order == b"MM":
+                    u16, u32 = ">H", ">I"
+                else:
+                    return None
+                if struct.unpack(u16, b[t + 2 : t + 4])[0] != 42:
+                    return None
+                (ifd0,) = struct.unpack(u32, b[t + 4 : t + 8])
+                p = t + ifd0
+                (n,) = struct.unpack(u16, b[p : p + 2])
+                if n > 512:  # a real IFD0 has dozens of entries at most
+                    return None
+                for k in range(n):
+                    e = p + 2 + 12 * k
+                    tag, typ = struct.unpack(u16 + "H", b[e : e + 4])
+                    if tag == 0x0112 and typ == 3:  # Orientation, SHORT
+                        (v,) = struct.unpack(u16, b[e + 8 : e + 10])
+                        return v if 1 <= v <= 8 else None
+                return None
+            i += 2 + seglen
+    except (struct.error, IndexError):
+        return None
     return None
 
 

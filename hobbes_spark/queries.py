@@ -4563,6 +4563,71 @@ def video_frame_plan_real(spark, sf_dir):
     ).orderBy("media_id", "frame_pos")
 
 
+def _exif_jpeg(little: bool, orient: int) -> bytes:
+    """Hand-assemble SOI + APP1(Exif/TIFF, IFD0 with one Orientation
+    SHORT entry) + EOI, in either byte order."""
+    bo = "little" if little else "big"
+    tiff = (
+        (b"II" if little else b"MM")
+        + (42).to_bytes(2, bo) + (8).to_bytes(4, bo)       # IFD0 at +8
+        + (1).to_bytes(2, bo)                               # one entry
+        + (0x0112).to_bytes(2, bo) + (3).to_bytes(2, bo)    # Orientation, SHORT
+        + (1).to_bytes(4, bo)
+        + orient.to_bytes(2, bo) + b"\x00\x00"
+        + (0).to_bytes(4, bo)                               # next IFD: none
+    )
+    payload = b"Exif\x00\x00" + tiff
+    return (b"\xff\xd8" + b"\xff\xe1"
+            + (len(payload) + 2).to_bytes(2, "big") + payload + b"\xff\xd9")
+
+
+@q(
+    "image_exif_orientation",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(6 AS INTEGER)),
+      (CAST(2 AS BIGINT), CAST(3 AS INTEGER)),
+      (CAST(3 AS BIGINT), CAST(NULL AS INTEGER))
+    ) AS t(media_id, orientation)
+    ORDER BY media_id
+    """,
+)
+def image_exif_orientation(spark, sf_dir):
+    """EXIF orientation truth pin (round 10): camera uploads store
+    pixels rotated with the true rotation in APP1/TIFF — a resize
+    pipeline that ignores tag 0x0112 trains on sideways images.  Both
+    TIFF byte orders cross the Arrow boundary (II orientation 6 =
+    rotate-90-CW, MM orientation 3 = rotate-180); a no-EXIF JPEG
+    yields a typed NULL rather than being dropped (the downstream
+    resize wants the row, with orientation defaulted to 1)."""
+    import pandas as pd
+
+    from hobbes_spark.functions.multimodal import exif_orientation
+
+    rows = [
+        (1, bytearray(_exif_jpeg(True, 6))),
+        (2, bytearray(_exif_jpeg(False, 3))),
+        (3, bytearray(b"\xff\xd8\xff\xd9")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+
+    def run(batches):
+        for pdf in batches:
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "orientation": pd.array(
+                    [exif_orientation(bytes(b)) if b is not None else None
+                     for b in pdf["content"]],
+                    dtype="Int32",
+                ),
+            })
+            yield out
+
+    return media.mapInPandas(
+        run, schema="media_id long, orientation int"
+    ).orderBy("media_id")
+
+
 @q(
     "video_frame_pts",
     """
@@ -10032,8 +10097,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # as of r9 and therefore lead automatically — keep this list in
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r9 (new in r10) ---
-    "audio_meta", "stream_restart_dedup", "video_frame_plan_real",
-    "video_frame_pts", "video_meta",
+    "audio_meta", "image_exif_orientation", "stream_restart_dedup",
+    "video_frame_plan_real", "video_frame_pts", "video_meta",
     # --- changed since their last r8 signature: the round-9
     #     functions/web.py + curation/sampling edits post-date these ---
     "canonical_url_docs", "kappa_labels", "leakage_split_docs",
@@ -10055,7 +10120,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "group_minby", "group_reductions", "hard_negatives_topk",
     "hash_sample_docs", "hb_order_frequency", "ivf_pq_topk",
     "join_broadcast_dims", "kmeans_fixture_exact", "lang_id_counts",
-    "linear_extrapolation", "linear_regression", "minhash_pairs",
+    "linear_extrapolation", "linear_regression",
 ]
 
 

@@ -802,6 +802,41 @@ def test_header_dims_webp_all_three_layouts():
     assert header_dims(b"RIFF\x00\x00\x00\x00WAVE" + bytes(20)) is None
 
 
+def test_exif_orientation_both_byte_orders():
+    """EXIF orientation (round 10): APP1/TIFF IFD0 walk in both byte
+    orders; missing segment/tag, bad magic, out-of-range values and
+    arbitrary corruption all yield None, never an exception."""
+    from hobbes_spark.functions.multimodal import exif_orientation
+
+    def exif(order, orient, tag=0x0112, typ=3):
+        bo = "little" if order == b"II" else "big"
+        tiff = (order + (42).to_bytes(2, bo) + (8).to_bytes(4, bo)
+                + (1).to_bytes(2, bo)
+                + tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+                + (1).to_bytes(4, bo)
+                + orient.to_bytes(2, bo) + b"\x00\x00"
+                + (0).to_bytes(4, bo))
+        p = b"Exif\x00\x00" + tiff
+        return (b"\xff\xd8\xff\xe1" + (len(p) + 2).to_bytes(2, "big")
+                + p + b"\xff\xd9")
+
+    assert exif_orientation(exif(b"II", 6)) == 6
+    assert exif_orientation(exif(b"MM", 3)) == 3
+    assert exif_orientation(exif(b"II", 9)) is None   # out of range
+    assert exif_orientation(exif(b"II", 6, tag=0x0110)) is None  # no tag
+    assert exif_orientation(exif(b"II", 6, typ=4)) is None  # wrong type
+    assert exif_orientation(b"\xff\xd8\xff\xd9") is None  # no APP1
+    assert exif_orientation(b"") is None
+    valid = exif(b"MM", 5)
+    for cut in range(len(valid)):
+        r = exif_orientation(valid[:cut])
+        assert r is None or 1 <= r <= 8
+    for off in range(len(valid)):
+        for m in (0x00, 0xFF, valid[off] ^ 0x55):
+            r = exif_orientation(valid[:off] + bytes([m]) + valid[off + 1:])
+            assert r is None or 1 <= r <= 8
+
+
 def test_header_dims_adversarial_payloads():
     """Crafted headers must never violate the int32 schema or crash."""
     import struct

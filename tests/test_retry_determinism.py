@@ -56,10 +56,10 @@ def test_retry_gate_negative_control_fired(gate_output):
     """The order-sensitive probe MUST diverge under chaos — otherwise
     the injection never fired and every PASS is vacuous."""
     _, out, err = gate_output
-    assert "RETRYGATE control PASS" in out, f"{out}\n{err}"
+    assert "RETRYGATE [retry] control PASS" in out, f"{out}\n{err}"
 
 
 @pytest.mark.parametrize("name", TARGETS)
 def test_retry_identical(gate_output, name):
     _, out, err = gate_output
-    assert f"RETRYGATE {name} PASS" in out, f"{out}\n{err}"
+    assert f"RETRYGATE [retry] {name} PASS" in out, f"{out}\n{err}"
