@@ -42,6 +42,8 @@ __all__ = [
     "parse_mp3_meta",
     "parse_flac_meta",
     "audio_meta",
+    "sniff_decompress",
+    "decompress_text",
     "parse_mp4_meta",
     "video_meta",
     "video_frame_times",
@@ -1759,6 +1761,81 @@ def audio_wav_features(media: DataFrame) -> DataFrame:
     schema = ("media_id long, sample_rate int, n_channels int, bits int, "
               "n_frames int, duration_us bigint, peak int, rms int")
     return media.mapInPandas(run, schema=schema)
+
+
+#: decompressed-size cap per payload (bytes): a crafted bomb (a few KB
+#: inflating to GBs) must not OOM an executor batch
+_DECOMPRESS_CAP = 64 * 1024 * 1024
+
+
+def sniff_decompress(b: bytes, cap: int = _DECOMPRESS_CAP):
+    """Sniff-and-decompress one payload with the stdlib codecs a
+    landing zone actually sees (WARC/WET shards, log drops): gzip,
+    zlib, bzip2, xz/LZMA.  Returns ``(codec, data)`` or None for
+    unrecognized magic.  Bomb-guarded: incremental decompressors with
+    ``max_length`` caps — a payload inflating past ``cap`` returns
+    None (refuse, don't truncate silently).  Never raises on garbage."""
+    import bz2
+    import lzma
+    import zlib
+
+    try:
+        if b[:2] == b"\x1f\x8b":
+            d = zlib.decompressobj(wbits=31)  # gzip wrapper
+            out = d.decompress(b, cap + 1)
+            return ("gzip", out) if len(out) <= cap and d.eof else None
+        if len(b) >= 2 and (b[0] & 0x0F) == 8 and (b[0] << 8 | b[1]) % 31 == 0:
+            d = zlib.decompressobj(wbits=15)
+            out = d.decompress(b, cap + 1)
+            return ("zlib", out) if len(out) <= cap and d.eof else None
+        if b[:3] == b"BZh":
+            d = bz2.BZ2Decompressor()
+            out = d.decompress(b, cap + 1)
+            return ("bzip2", out) if len(out) <= cap and d.eof else None
+        if b[:6] == b"\xfd7zXZ\x00":
+            d = lzma.LZMADecompressor()
+            out = d.decompress(b, cap + 1)
+            return ("xz", out) if len(out) <= cap and d.eof else None
+    except (OSError, EOFError, zlib.error, lzma.LZMAError, ValueError):
+        return None
+    return None
+
+
+def decompress_text(media: DataFrame, encoding: str = "utf-8") -> DataFrame:
+    """Compressed-text ingestion over a binary column through the
+    Arrow ``mapInPandas`` boundary: per payload, sniff the codec
+    (gzip/zlib/bzip2/xz), inflate under the bomb cap, decode to text
+    (``errors='replace'`` — one mojibake document must not kill the
+    batch).  Unrecognized payloads are DROPPED (plain text is not
+    "compressed"; route it around this operator).  Map-only,
+    embarrassingly parallel — the 100 TB shape is CPU-bound inflate
+    per row, zero shuffle, so size by cores like the decode stages."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    continue
+                got = sniff_decompress(bytes(blob))
+                if got is None:
+                    continue
+                codec, data = got
+                rows.append((
+                    int(mid), codec, len(blob), len(data),
+                    data.decode(encoding, errors="replace"),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "codec", "n_bytes_compressed",
+                         "n_bytes_raw", "text"],
+            )
+
+    return media.mapInPandas(
+        run,
+        schema=("media_id long, codec string, n_bytes_compressed long, "
+                "n_bytes_raw long, text string"),
+    )
 
 
 # --------------------------------------------------------------------- #

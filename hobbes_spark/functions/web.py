@@ -42,6 +42,8 @@ __all__ = [
     "registrable_domain",
     "filter_blocked_hosts",
     "filter_blocked_hosts_df",
+    "HTML_RULES",
+    "html_to_text",
 ]
 
 #: query parameters that never change page identity — RE2-safe
@@ -291,3 +293,65 @@ def filter_blocked_hosts_df(
     if not keep_non_urls:
         out = out.where(F.col("__host").isNotNull())
     return out.drop("__host")
+
+
+#: HTML -> text extraction rules, applied IN ORDER by both the Spark
+#: operator and the DuckDB oracle twin (the NORMALIZE_RULES sharing
+#: pattern — one table, zero drift). Patterns stick to syntax Java
+#: regex and RE2 interpret identically: inline (?is) flags, non-greedy
+#: quantifiers, character classes, \b on ASCII. Replacement strings
+#: contain no $ or \ (both engines' substitution metachars).
+#:
+#: Order is load-bearing:
+#: 1. script/style subtrees and comments drop WHOLE (their text is
+#:    code, not content);
+#: 2. block-level tags become newlines BEFORE the generic strip, so
+#:    paragraph structure survives as line structure;
+#: 3. every remaining tag becomes one space;
+#: 4. the named entities decode, &#39;/&#x27; before the generic
+#:    numeric rule (which degrades to a space — documented lossy:
+#:    full numeric decode is a table lookup regex cannot do), &amp;
+#:    LAST so double-escaped text ("&amp;lt;") stays text ("&lt;");
+#: 5. whitespace canonicalizes exactly like NORMALIZE_RULES' tail.
+HTML_RULES: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?is)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote|section"
+     r"|article|header|footer|form|pre)\b[^>]*>", "\n"),
+    (r"(?s)<[^>]*>", " "),
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&#x27;", "'"),
+    ("&apos;", "'"),
+    (r"&#x?[0-9a-fA-F]{1,7};", " "),
+    ("&amp;", "&"),
+    (r"[ \t]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{3,}", "\n\n"),
+    (r"^[ \t\n]+", ""),
+    (r"[ \t\n]+$", ""),
+)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Main-text extraction from raw HTML — the step between a crawl
+    and every text operator in this package (quality scoring, dedup
+    fingerprints, token counts are all garbage on markup). Script and
+    style subtrees drop whole, block tags become line breaks so
+    paragraph structure survives, remaining tags strip, the common
+    entities decode, whitespace canonicalizes.
+
+    Pure chained ``regexp_replace`` over :data:`HTML_RULES` — JVM-side
+    codegen, map-only, shuffle-free, replayed rule-for-rule by the
+    DuckDB oracle (``html_text_stats``). NULL propagates. This is a
+    tag-structure extractor, not a readability model: boilerplate
+    REMOVAL (nav/footer link-density heuristics) is the downstream
+    ``curation.boilerplate`` family's job."""
+    out = c(col)
+    for pat, rep in HTML_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return out

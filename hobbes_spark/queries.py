@@ -4563,6 +4563,66 @@ def video_frame_plan_real(spark, sf_dir):
     ).orderBy("media_id", "frame_pos")
 
 
+# Frozen compressed payloads for the ingestion truth pin — EMBEDDED
+# bytes, not runtime compression: codec output can vary across library
+# versions, but decompression of fixed bytes cannot. Plain-text sizes:
+# gzip 21 raw bytes (20 chars — one 2-byte é exercises the utf-8
+# decode), zlib 12, bzip2 15, xz 17.
+_GZIP_HEX = (
+    "1F8B0800000000000203F348CDC9C9D75148AFCA2C5028CF2FCA49515438BC12"
+    "00D1820A9E15000000"
+)
+_ZLIB_HEX = "789CABCAC94C522848ACCCC94F4C01001ECA04BC"
+_BZIP2_HEX = (
+    "425A6839314159265359478CD39A0000021980400010001620C470200022000C"
+    "840D03435F60751C0709AF177245385090478CD39A"
+)
+_XZ_HEX = (
+    "FD377A585A000004E6D6B4460200210116000000742FE5A3010010787A20636F"
+    "6D7072657373656420646F630000000025380D2E97AA221900012911320A700E"
+    "1FB6F37D010000000004595A"
+)
+
+
+@q(
+    "compressed_text_ingest",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'gzip', CAST(41 AS BIGINT), CAST(21 AS BIGINT),
+       'Hello, gzip world! é'),
+      (CAST(2 AS BIGINT), 'zlib', CAST(20 AS BIGINT), CAST(12 AS BIGINT),
+       'zlib payload'),
+      (CAST(3 AS BIGINT), 'bzip2', CAST(53 AS BIGINT), CAST(15 AS BIGINT),
+       'bzip2 text body'),
+      (CAST(4 AS BIGINT), 'xz', CAST(76 AS BIGINT), CAST(17 AS BIGINT),
+       'xz compressed doc')
+    ) AS t(media_id, codec, n_bytes_compressed, n_bytes_raw, text)
+    ORDER BY media_id
+    """,
+)
+def compressed_text_ingest(spark, sf_dir):
+    """Compressed-text ingestion truth pin (round 10): the four frozen
+    payloads above sniff to their codec by magic bytes, inflate under
+    the 64 MiB bomb cap through stdlib incremental decompressors, and
+    decode utf-8 (the gzip payload carries a 2-byte é) — against a
+    pure-literal oracle.  A fifth plain-text payload and a TRUNCATED
+    gzip stream must both be dropped (the 4-row count pins refusal on
+    missing trailers, the at-scale posture: a half-uploaded shard
+    surfaces as absent, never as silently-truncated text)."""
+    from hobbes_spark.functions.multimodal import decompress_text
+
+    rows = [
+        (1, bytearray.fromhex(_GZIP_HEX)),
+        (2, bytearray.fromhex(_ZLIB_HEX)),
+        (3, bytearray.fromhex(_BZIP2_HEX)),
+        (4, bytearray.fromhex(_XZ_HEX)),
+        (5, bytearray(b"plain text, not compressed")),
+        (6, bytearray.fromhex(_GZIP_HEX)[:-3]),  # truncated: dropped
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    return decompress_text(media).orderBy("media_id")
+
+
 def _exif_jpeg(little: bool, orient: int) -> bytes:
     """Hand-assemble SOI + APP1(Exif/TIFF, IFD0 with one Orientation
     SHORT entry) + EOI, in either byte order."""
@@ -9671,6 +9731,67 @@ def normalize_text_docs(spark, sf_dir):
     )
 
 
+# deterministic HTML envelope wrapped around every document so each
+# HTML_RULES rule is genuinely exercised: script with a '<' and '&'
+# inside (must not end the subtree early), style, a comment, block
+# tags, named + double-escaped + numeric entities
+_HTML_PRE = (
+    '<!DOCTYPE html><html><head><title>T</title>'
+    '<style type="text/css">p { color: red; }</style>'
+    '<script>if (1 < 2) { alert("x & y"); }</script>'
+    '</head><body><!-- hidden comment --><h1>Head&nbsp;Line</h1>'
+    '<p class="a">'
+)
+_HTML_POST = (
+    '</p><ul><li>&amp;lt;kept</li><li>two &lt;tag&gt; &#8212; '
+    "it&#39;s</li></ul><div>tail</div></body></html>"
+)
+
+
+def _html_sql(expr: str) -> str:
+    from hobbes_spark.functions.web import HTML_RULES
+
+    out = expr
+    for pat, rep in HTML_RULES:
+        out = f"regexp_replace({out}, {_esql(pat)}, {_esql(rep)}, 'g')"
+    return out
+
+
+@q(
+    "html_text_stats",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             ({_esql(_HTML_PRE)} || text || {_esql(_HTML_POST)}) AS raw
+      FROM documents
+    ),
+    x AS (SELECT doc_id, {_html_sql("raw")} AS txt FROM h)
+    SELECT doc_id, CAST(len(txt) AS BIGINT) AS n_chars, md5(txt) AS fp
+    FROM x ORDER BY doc_id
+    """,
+)
+def html_text_stats(spark, sf_dir):
+    """HTML -> text extraction (round 10, the step between a crawl and
+    every text operator): script/style subtrees drop whole (the
+    fixture script contains a '<' and an '&' that must not terminate
+    it early), a comment drops, block tags become line breaks, the
+    rest strip to spaces, named + double-escaped ("&amp;lt;" stays
+    literal "&lt;") + numeric entities resolve, whitespace
+    canonicalizes. Pure chained regexp_replace (map-only, codegen,
+    shuffle-free) generated from the ONE shared HTML_RULES table in
+    both engines — the md5 of the extracted text must agree
+    byte-for-byte across Java regex and RE2."""
+    from hobbes_spark.functions.web import html_to_text
+
+    docs = _t(spark, sf_dir, "documents").df
+    raw = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    return docs.select(
+        "doc_id",
+        F.length(html_to_text(raw)).cast("bigint").alias("n_chars"),
+        F.md5(html_to_text(raw)).alias("fp"),
+    ).orderBy("doc_id")
+
+
 @q(
     "stream_curation_stats",
     f"""
@@ -10097,7 +10218,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # as of r9 and therefore lead automatically — keep this list in
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r9 (new in r10) ---
-    "audio_meta", "image_exif_orientation", "stream_restart_dedup",
+    "audio_meta", "compressed_text_ingest", "html_text_stats",
+    "image_exif_orientation", "stream_restart_dedup",
     "video_frame_plan_real", "video_frame_pts", "video_meta",
     # --- changed since their last r8 signature: the round-9
     #     functions/web.py + curation/sampling edits post-date these ---
@@ -10111,7 +10233,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "quantize_error_stats", "semantic_dedup_keep", "sketch_user_rollup",
     "sort_keys_ordinals", "temperature_sample_docs", "text_stats",
     "tpch_q3_topk", "tpch_q9_profit", "winsorize_values",
-    # --- last signed in r6, alphabetical (26 of the r6 group; the
+    # --- last signed in r6, alphabetical (24 of the r6 group; the
     #     remainder rolls to the r11 rotation) ---
     "ann_ivf_topk", "asof_attribution", "blocklist_filter",
     "bloom_decontaminate", "c4_quality", "churned_customers",
@@ -10120,7 +10242,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "group_minby", "group_reductions", "hard_negatives_topk",
     "hash_sample_docs", "hb_order_frequency", "ivf_pq_topk",
     "join_broadcast_dims", "kmeans_fixture_exact", "lang_id_counts",
-    "linear_extrapolation", "linear_regression",
 ]
 
 

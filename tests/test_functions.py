@@ -2813,6 +2813,106 @@ class TestCanonicalUrl:
         assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+class TestHtmlToText:
+    """HTML -> text extraction (round 10): tag-structure semantics,
+    entity ordering, and the no-shuffle/no-UDF plan posture."""
+
+    def _x(self, spark, html):
+        from hobbes_spark.functions.web import html_to_text
+
+        df = spark.createDataFrame([(html,)], "raw string")
+        return df.select(html_to_text("raw").alias("t")).first()["t"]
+
+    def test_structure_and_entities(self, spark):
+        html = ('<html><head><script>if (1 < 2) { x("</div>"); }</script>'
+                '<style>p{}</style></head><body><!-- c -->'
+                '<h1>A&nbsp;B</h1><p>one</p><p>two &lt;i&gt; '
+                '&amp;lt;raw &#8212; it&#39;s</p>ta<span>i</span>l'
+                '</body></html>')
+        # script's quoted "</div>" must NOT produce a break: only the
+        # real </script> ends the subtree; &amp;lt; stays literal &lt;
+        # abutting block tags (</h1><p>) leave a blank line — the
+        # paragraph-break convention downstream chunkers expect
+        assert self._x(spark, html) == (
+            "A B\n\none\n\ntwo <i> &lt;raw it's\nta i l"
+        )
+
+    def test_null_and_plain_text_passthrough(self, spark):
+        from pyspark.sql import functions as F
+
+        from hobbes_spark.functions.web import html_to_text
+
+        df = spark.createDataFrame([(None,), ("no markup here",)],
+                                   "raw string")
+        got = [r["t"] for r in
+               df.select(html_to_text("raw").alias("t")).collect()]
+        assert got == [None, "no markup here"]
+        plan = (
+            df.select(html_to_text("raw").alias("t"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
+        assert isinstance(F.lit(1), object)  # keep F import used
+
+    def test_idempotent_on_own_output(self, spark):
+        html = "<p>one &amp; two</p><div>three</div>"
+        once = self._x(spark, html)
+        # extracted text contains no tags; a second pass only re-runs
+        # entity/whitespace rules, so text without '&'-escapes is fixed
+        assert self._x(spark, once.replace("&", "and")) == \
+            once.replace("&", "and")
+
+
+class TestDecompressText:
+    """Compressed-text ingestion (round 10): codec sniffing, bomb cap,
+    truncation refusal, utf-8 replace decoding."""
+
+    def test_all_codecs_and_refusals(self, spark):
+        import bz2
+        import gzip
+        import lzma
+        import zlib
+
+        from hobbes_spark.functions.multimodal import decompress_text
+
+        rows = [
+            (1, bytearray(gzip.compress("gz tëxt".encode(), mtime=0))),
+            (2, bytearray(zlib.compress(b"zlib text"))),
+            (3, bytearray(bz2.compress(b"bz2 text"))),
+            (4, bytearray(lzma.compress(b"xz text"))),
+            (5, bytearray(b"plain, not compressed")),
+            (6, bytearray(gzip.compress(b"cut", mtime=0))[:-3]),
+            (7, None),
+        ]
+        media = spark.createDataFrame(rows, "media_id long, content binary")
+        got = {r["media_id"]: r for r in decompress_text(media).collect()}
+        assert set(got) == {1, 2, 3, 4}
+        assert (got[1]["codec"], got[1]["text"]) == ("gzip", "gz tëxt")
+        assert (got[2]["codec"], got[3]["codec"], got[4]["codec"]) == (
+            "zlib", "bzip2", "xz")
+        assert got[2]["n_bytes_raw"] == 9
+
+    def test_bomb_cap_refuses(self):
+        import zlib
+
+        from hobbes_spark.functions.multimodal import sniff_decompress
+
+        bomb = zlib.compress(b"\x00" * (1 << 20))  # 1 MiB of zeros
+        assert sniff_decompress(bomb)[0] == "zlib"
+        assert sniff_decompress(bomb, cap=1 << 10) is None  # over cap
+
+    def test_invalid_bytes_replace_not_raise(self):
+        import gzip
+
+        from hobbes_spark.functions.multimodal import sniff_decompress
+
+        blob = gzip.compress(b"\xff\xfe invalid utf8", mtime=0)
+        codec, data = sniff_decompress(blob)
+        assert codec == "gzip"
+        # the DataFrame op decodes with errors='replace'
+        assert "�" in data.decode("utf-8", errors="replace")
+
+
 class TestRegistrableDomain:
     """eTLD+1 extraction over the embedded PSL subset: one literal pin
     per rule class, matching the PSL spec's own examples."""
