@@ -55,7 +55,26 @@ def _last_round_record() -> dict:
         blob = rec.get("tail", "")
         # the driver wraps bench stdout; the JSON line is the last {...}
         line = blob[blob.rfind('{"metric"'):] if '{"metric"' in blob else ""
-        data = json.loads(line) if line else rec
+        if line:
+            data = json.loads(line)
+        elif blob:
+            # the driver records only the LAST N bytes of stdout, so a
+            # long JSON line arrives FRONT-truncated (r9's record cut
+            # mid-"queries" and every cross-round delta silently
+            # vanished). Salvage what survives: the per-query pairs
+            # after the innermost '{' before "spread_pct" (a possibly
+            # partial queries dict — fewer deltas, never wrong ones),
+            # plus any complete trailing dict sections.
+            data = _salvage_truncated(blob)
+            if data:
+                print(
+                    f"bench: {os.path.basename(benches[-1])} JSON was "
+                    f"front-truncated; salvaged {len(data.get('queries', {}))} "
+                    "query timings for the cross-round comparison",
+                    file=sys.stderr,
+                )
+        else:
+            data = rec
         return data if isinstance(data, dict) else {}
     except (ValueError, OSError) as e:
         print(
@@ -64,6 +83,34 @@ def _last_round_record() -> dict:
             file=sys.stderr,
         )
         return {}
+
+
+def _salvage_truncated(blob: str) -> dict:
+    """Best-effort parse of a FRONT-truncated bench JSON line (see
+    caller). Returns {} when nothing recognizable survives."""
+    import re
+
+    out: dict = {}
+    for key in ("spread_pct", "host_calibration"):
+        m = re.search(rf'"{key}": (\{{[^{{}}]*\}})', blob)
+        if m:
+            try:
+                out[key] = json.loads(m.group(1))
+            except ValueError:
+                pass
+    m = re.search(r'"queries": (\{[^{}]*\})', blob)
+    if m:
+        try:
+            out["queries"] = json.loads(m.group(1))
+            return out
+        except ValueError:
+            pass
+    head = blob.split('"spread_pct"')[0]
+    frag = head[head.rfind("{") + 1:]
+    pairs = re.findall(r'"([a-z0-9_]+)": ([0-9][0-9.eE+-]*)', frag)
+    if pairs:
+        out["queries"] = {k: float(v) for k, v in pairs}
+    return out
 
 
 def _flaky_from_last_round(prev: dict) -> set[str]:
