@@ -416,3 +416,56 @@ def test_registrable_domain_matches_python_reference(spark, hosts):
     assert got == want, next(
         (h, g, w) for h, g, w in zip(hosts, got, want) if g != w
     )
+
+
+# --------------------------------------------------------------------- #
+# html_to_text vs a PURE-PYTHON replay of HTML_RULES (round 10, the
+# canonical_url/PSL fuzz rigor for the HTML extractor): Python `re`
+# interprets this pattern subset — inline (?is), non-greedy, character
+# classes — identically to Java regex and RE2, so a third engine
+# replaying the SAME rule table pins both the rules and the Spark
+# compilation. Fragments include broken markup on purpose (bare '<',
+# unterminated tags, unknown entities, a quoted '</div>' inside
+# script) — the extractor must be total over crawl garbage.
+# --------------------------------------------------------------------- #
+
+
+def _ref_html_to_text(s: str | None) -> str | None:
+    import re as _re
+
+    from hobbes_spark.functions.web import HTML_RULES
+
+    if s is None:
+        return None
+    for pat, rep in HTML_RULES:
+        s = _re.sub(pat, rep, s)
+    return s
+
+
+_html_frag = st.sampled_from([
+    "plain words", "a < b", "5 &gt; 3", "&amp;lt;", "&unknown;",
+    "&#65;", "&#x41;", "&nbsp;", "<p>", "</p>", "<P CLASS='x'>",
+    "<div>", "</div>", "<br/>", "<span>", "</span>", "<notatag",
+    "<h2>t</h2>", "<li>item</li>", "<script>if(1<2){x('</div>');}"
+    "</script>", "<SCRIPT>y</script>", "<style>p{}</style>",
+    "<!-- c -->", "<!--", "<img src='x.png'>", "\n\n\n", "\t tab",
+    "it&#39;s", "", " ", "<pre>a  b</pre>", "<table><tr><td>c",
+])
+_fuzz_html = st.lists(_html_frag, min_size=0, max_size=12).map("".join)
+
+
+@pytest.mark.usefixtures("spark")
+@given(pages=st.lists(_fuzz_html, min_size=1, max_size=40))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_html_to_text_matches_python_reference(spark, pages):
+    """~400 assembled pages per run, batched one Spark job each:
+    html_to_text == the pure-Python rule replay, byte for byte."""
+    from hobbes_spark.functions.web import html_to_text
+
+    df = spark.createDataFrame([(p,) for p in pages], "raw string")
+    got = [r["t"] for r in df.select(html_to_text("raw").alias("t")).collect()]
+    want = [_ref_html_to_text(p) for p in pages]
+    assert got == want, next(
+        (p, g, w) for p, g, w in zip(pages, got, want) if g != w
+    )
