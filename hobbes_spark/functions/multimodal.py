@@ -41,6 +41,7 @@ __all__ = [
     "audio_wav_features",
     "parse_mp3_meta",
     "parse_flac_meta",
+    "parse_id3_tags",
     "audio_meta",
     "sniff_decompress",
     "decompress_text",
@@ -1937,6 +1938,78 @@ def parse_mp3_meta(b: bytes) -> dict | None:
         "n_samples": n_samples,
         "duration_us": n_samples * 1_000_000 // rate,
     }
+
+
+def _syncsafe(b: bytes) -> int | None:
+    """28-bit ID3 syncsafe integer; None if any byte has the high bit
+    set (which a real syncsafe field never does)."""
+    n = 0
+    for v in b:
+        if v & 0x80:
+            return None
+        n = (n << 7) | v
+    return n
+
+
+#: the text frames worth surfacing for a corpus: title/artist/album/
+#: genre + both spellings of the year (v2.3 TYER, v2.4 TDRC)
+_ID3_TEXT_FRAMES = frozenset(
+    (b"TIT2", b"TPE1", b"TALB", b"TCON", b"TYER", b"TDRC")
+)
+
+
+def parse_id3_tags(b: bytes) -> dict | None:
+    """Text metadata from an ID3v2.3/2.4 tag (the tag most MP3s in a
+    crawl carry): title (TIT2), artist (TPE1), album (TALB), genre
+    (TCON), year (TYER/TDRC) — all four text encodings the spec allows
+    (latin-1, utf-16 with BOM, utf-16-be, utf-8) decoded, values cut at
+    the first NUL terminator.  Header-only: frame walk stops at
+    padding, a malformed frame id, or a size past the tag.  None when
+    there is no ID3v2.3/2.4 tag at all; ``{}`` when the tag carries
+    none of the surfaced frames.  Never raises on garbage."""
+    if b[:3] != b"ID3" or len(b) < 10:
+        return None
+    ver, flags = b[3], b[5]
+    if ver not in (3, 4):
+        return None
+    size = _syncsafe(b[6:10])
+    if size is None:
+        return None
+    end = min(10 + size, len(b))
+    i = 10
+    if flags & 0x40 and i + 4 <= end:  # extended header
+        ext = _syncsafe(b[i : i + 4]) if ver == 4 else (
+            int.from_bytes(b[i : i + 4], "big") + 4
+        )
+        if ext is None or ext < 4:
+            return None
+        i += ext
+    out: dict[str, str] = {}
+    while i + 10 <= end:
+        fid = b[i : i + 4]
+        if not all(0x41 <= c <= 0x5A or 0x30 <= c <= 0x39 for c in fid):
+            break  # padding or corruption
+        fsz = (
+            _syncsafe(b[i + 4 : i + 8])
+            if ver == 4
+            else int.from_bytes(b[i + 4 : i + 8], "big")
+        )
+        if fsz is None or i + 10 + fsz > end:
+            break
+        payload = b[i + 10 : i + 10 + fsz]
+        if fid in _ID3_TEXT_FRAMES and len(payload) >= 1:
+            enc, raw = payload[0], payload[1:]
+            codec = {0: "latin-1", 1: "utf-16", 2: "utf-16-be",
+                     3: "utf-8"}.get(enc)
+            if codec is not None:
+                try:
+                    txt = raw.decode(codec).split("\x00")[0]
+                except UnicodeDecodeError:
+                    txt = None
+                if txt:
+                    out[fid.decode("ascii")] = txt
+        i += 10 + fsz
+    return out
 
 
 def parse_flac_meta(b: bytes) -> dict | None:

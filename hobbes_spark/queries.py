@@ -4623,6 +4623,78 @@ def compressed_text_ingest(spark, sf_dir):
     return decompress_text(media).orderBy("media_id")
 
 
+# Hand-assembled ID3v2 tags (round 10): v2.3 with a latin-1 title and
+# a BOM'd utf-16 artist (plain 4-byte frame sizes), v2.4 with utf-8
+# title/album/date (SYNCSAFE frame sizes). Both prepend a valid MPEG1
+# Layer III frame so the same payloads also parse as MP3 audio.
+_ID3_V23_HEX = (
+    "4944330300000000003A544954320000000D0000004E696768742054726169"
+    "6E005450453100000011000001FFFE440076006F005901E1006B000000000000"
+    "0000000000"
+)
+_ID3_V24_HEX = (
+    "49443304000000000043544954320000000E000003436166C3A920E59B9BE69C"
+    "880054414C42000000090000034172636869766500544452430000000600000"
+    "331393937000000000000000000"
+)
+_MP3_FRAME_HEX = "FFFB9000" + "00" * 413
+
+
+@q(
+    "audio_id3_tags",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'Night Train', 'Dvořák',
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      (CAST(2 AS BIGINT), 'Café 四月', CAST(NULL AS VARCHAR),
+       'Archive', '1997'),
+      (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+    ) AS t(media_id, title, artist, album, year)
+    ORDER BY media_id
+    """,
+)
+def audio_id3_tags(spark, sf_dir):
+    """ID3v2 text-frame extraction truth pin (round 10): the v2.3 tag
+    (latin-1 title, BOM'd utf-16 artist, plain frame sizes) and the
+    v2.4 tag (utf-8 title with non-ASCII, SYNCSAFE frame sizes,
+    TDRC year) decode through the Arrow boundary against a
+    pure-literal oracle with per-frame typed NULLs; a tag-less MP3
+    yields an all-NULL metadata row rather than being dropped (the
+    audio row exists, its tags don't).  The corpus shape: one header
+    walk per payload, map-only."""
+    import pandas as pd
+
+    from hobbes_spark.functions.multimodal import parse_id3_tags
+
+    rows = [
+        (1, bytearray.fromhex(_ID3_V23_HEX + _MP3_FRAME_HEX)),
+        (2, bytearray.fromhex(_ID3_V24_HEX + _MP3_FRAME_HEX)),
+        (3, bytearray.fromhex(_MP3_FRAME_HEX)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                tags = parse_id3_tags(bytes(blob)) if blob is not None else None
+                tags = tags or {}
+                out.append((
+                    int(mid), tags.get("TIT2"), tags.get("TPE1"),
+                    tags.get("TALB"), tags.get("TDRC") or tags.get("TYER"),
+                ))
+            yield pd.DataFrame(
+                out, columns=["media_id", "title", "artist", "album", "year"]
+            )
+
+    return media.mapInPandas(
+        run,
+        schema=("media_id long, title string, artist string, "
+                "album string, year string"),
+    ).orderBy("media_id")
+
+
 def _exif_jpeg(little: bool, orient: int) -> bytes:
     """Hand-assemble SOI + APP1(Exif/TIFF, IFD0 with one Orientation
     SHORT entry) + EOI, in either byte order."""
@@ -10218,7 +10290,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # as of r9 and therefore lead automatically — keep this list in
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r9 (new in r10) ---
-    "audio_meta", "compressed_text_ingest", "html_text_stats",
+    "audio_id3_tags", "audio_meta", "compressed_text_ingest",
+    "html_text_stats",
     "image_exif_orientation", "stream_restart_dedup",
     "video_frame_plan_real", "video_frame_pts", "video_meta",
     # --- changed since their last r8 signature: the round-9
@@ -10233,7 +10306,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "quantize_error_stats", "semantic_dedup_keep", "sketch_user_rollup",
     "sort_keys_ordinals", "temperature_sample_docs", "text_stats",
     "tpch_q3_topk", "tpch_q9_profit", "winsorize_values",
-    # --- last signed in r6, alphabetical (24 of the r6 group; the
+    # --- last signed in r6, alphabetical (23 of the r6 group; the
     #     remainder rolls to the r11 rotation) ---
     "ann_ivf_topk", "asof_attribution", "blocklist_filter",
     "bloom_decontaminate", "c4_quality", "churned_customers",
@@ -10241,7 +10314,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "each_max", "each_mean", "gopher_quality", "group_all_mean",
     "group_minby", "group_reductions", "hard_negatives_topk",
     "hash_sample_docs", "hb_order_frequency", "ivf_pq_topk",
-    "join_broadcast_dims", "kmeans_fixture_exact", "lang_id_counts",
+    "join_broadcast_dims", "kmeans_fixture_exact",
 ]
 
 

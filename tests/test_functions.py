@@ -3436,6 +3436,59 @@ class TestCompressedAudioMeta:
         # non-syncsafe ID3 size byte refuses
         assert parse_mp3_meta(b"ID3" + bytes([3, 0, 0, 0, 0, 0, 0x80])) is None
 
+    @staticmethod
+    def _id3_frame(fid, enc, text, v4=False):
+        enc_name = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}[enc]
+        raw = text.encode(enc_name)
+        payload = bytes([enc]) + raw + (b"\x00\x00" if enc in (1, 2) else b"\x00")
+        if v4:
+            n = len(payload)
+            sz = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                        (n >> 7) & 0x7F, n & 0x7F])
+        else:
+            sz = len(payload).to_bytes(4, "big")
+        return fid + sz + b"\x00\x00" + payload
+
+    @classmethod
+    def _id3(cls, ver, frames, pad=8):
+        body = b"".join(frames) + b"\x00" * pad
+        n = len(body)
+        ss = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                    (n >> 7) & 0x7F, n & 0x7F])
+        return b"ID3" + bytes([ver, 0, 0]) + ss + body
+
+    def test_id3_tags_both_versions_all_encodings(self):
+        from hobbes_spark.functions.multimodal import parse_id3_tags
+
+        t23 = self._id3(3, [self._id3_frame(b"TIT2", 0, "Night Train"),
+                            self._id3_frame(b"TPE1", 1, "Dvořák")])
+        assert parse_id3_tags(t23) == {"TIT2": "Night Train",
+                                       "TPE1": "Dvořák"}
+        t24 = self._id3(4, [self._id3_frame(b"TIT2", 3, "Café 四月", v4=True),
+                            self._id3_frame(b"TCON", 2, "Jazz", v4=True),
+                            self._id3_frame(b"TDRC", 3, "1997", v4=True)])
+        assert parse_id3_tags(t24) == {"TIT2": "Café 四月",
+                                       "TCON": "Jazz", "TDRC": "1997"}
+        # unsurfaced frames skipped but walked over (frame after one)
+        t = self._id3(3, [self._id3_frame(b"WXXX", 0, "http://x"),
+                          self._id3_frame(b"TALB", 0, "B-Sides")])
+        assert parse_id3_tags(t) == {"TALB": "B-Sides"}
+        assert parse_id3_tags(self._id3(3, [])) == {}  # tag, no frames
+        assert parse_id3_tags(b"\xff\xfb\x90\x00" + bytes(413)) is None
+        assert parse_id3_tags(self._id3(2, [])) is None  # v2.2 refused
+
+    def test_id3_never_raises_on_garbage(self):
+        from hobbes_spark.functions.multimodal import parse_id3_tags
+
+        valid = self._id3(4, [self._id3_frame(b"TIT2", 3, "t", v4=True)])
+        for cut in range(len(valid)):
+            r = parse_id3_tags(valid[:cut])
+            assert r is None or isinstance(r, dict)
+        for off in range(len(valid)):
+            for m in (0x00, 0xFF, valid[off] ^ 0x55):
+                r = parse_id3_tags(valid[:off] + bytes([m]) + valid[off + 1:])
+                assert r is None or isinstance(r, dict)
+
     def test_flac_streaminfo_exact(self):
         from hobbes_spark.functions.multimodal import parse_flac_meta
 
