@@ -149,6 +149,58 @@ def header_dims(b: bytes) -> tuple[int, int] | None:
             h = 1 + ((bits >> 14) & 0x3FFF)
             return ok(w, h)
         return None
+    if b[:4] in (b"II*\x00", b"MM\x00*") and len(b) >= 8:
+        # TIFF (round 10): IFD0 walk for ImageWidth/ImageLength
+        # (tags 0x0100/0x0101, SHORT or LONG, value inline) — the same
+        # byte-order/IFD mechanics as exif_orientation
+        bo = "little" if b[:2] == b"II" else "big"
+        ifd0 = int.from_bytes(b[4:8], bo)
+        if ifd0 + 2 > len(b):
+            return None
+        n = int.from_bytes(b[ifd0 : ifd0 + 2], bo)
+        if n > 512:
+            return None
+        w = h = None
+        for k in range(n):
+            e = ifd0 + 2 + 12 * k
+            if e + 12 > len(b):
+                return None
+            tag = int.from_bytes(b[e : e + 2], bo)
+            typ = int.from_bytes(b[e + 2 : e + 4], bo)
+            if tag in (0x0100, 0x0101) and typ in (3, 4):
+                v = int.from_bytes(
+                    b[e + 8 : e + 10] if typ == 3 else b[e + 8 : e + 12], bo
+                )
+                if tag == 0x0100:
+                    w = v
+                else:
+                    h = v
+        return ok(w, h) if w is not None and h is not None else None
+    if b[4:8] == b"ftyp" and b[8:12] in (
+        b"avif", b"avis", b"heic", b"heix", b"mif1", b"msf1"
+    ):
+        # AVIF/HEIC (round 10): ISO BMFF image — dims live in the ispe
+        # property (meta/iprp/ipco/ispe; meta is a FullBox, so its
+        # children start 4 bytes in). Rides the same box walker as the
+        # MP4 metadata family.
+        try:
+            for t, s, e in _bmff_boxes(b, 0, len(b)):
+                if t != b"meta":
+                    continue
+                for t2, s2, e2 in _bmff_boxes(b, s + 4, e):
+                    if t2 != b"iprp":
+                        continue
+                    for t3, s3, e3 in _bmff_boxes(b, s2, e2):
+                        if t3 != b"ipco":
+                            continue
+                        for t4, s4, e4 in _bmff_boxes(b, s3, e3):
+                            if t4 == b"ispe" and e4 - s4 >= 12:
+                                w = int.from_bytes(b[s4 + 4 : s4 + 8], "big")
+                                h = int.from_bytes(b[s4 + 8 : s4 + 12], "big")
+                                return ok(w, h)
+        except (IndexError, OverflowError):
+            return None
+        return None
     if b[:2] == b"\xff\xd8":
         i = 2
         while i + 9 <= len(b):

@@ -837,6 +837,51 @@ def test_exif_orientation_both_byte_orders():
             assert r is None or 1 <= r <= 8
 
 
+def test_header_dims_tiff_and_avif():
+    """TIFF IFD0 dims in both byte orders; AVIF/HEIC dims from the
+    meta/iprp/ipco/ispe box chain (round 10 — header_dims now covers
+    every image container a web crawl serves)."""
+    from hobbes_spark.functions.multimodal import header_dims
+
+    def tiff(order, w, h):
+        bo = "little" if order == b"II" else "big"
+        entries = [
+            (0x0100, 3, w),  # ImageWidth, SHORT
+            (0x0101, 4, h),  # ImageLength, LONG
+        ]
+        ifd = len(entries).to_bytes(2, bo)
+        for tag, typ, v in entries:
+            val = (v.to_bytes(2, bo) + b"\x00\x00") if typ == 3 else v.to_bytes(4, bo)
+            ifd += tag.to_bytes(2, bo) + typ.to_bytes(2, bo) + (1).to_bytes(4, bo) + val
+        ifd += (0).to_bytes(4, bo)
+        hdr = (b"II*\x00" if order == b"II" else b"MM\x00*") + (8).to_bytes(4, bo)
+        return hdr + ifd
+
+    assert header_dims(tiff(b"II", 800, 600)) == (800, 600)
+    assert header_dims(tiff(b"MM", 123, 45)) == (123, 45)
+    assert header_dims(b"II*\x00\x08\x00\x00") is None  # truncated
+
+    def box(t, payload):
+        return (len(payload) + 8).to_bytes(4, "big") + t + payload
+
+    ispe = box(b"ispe", bytes(4) + (1280).to_bytes(4, "big")
+               + (720).to_bytes(4, "big"))
+    avif = (box(b"ftyp", b"avif" + bytes(4) + b"avifmif1")
+            + box(b"meta", bytes(4)
+                  + box(b"iprp", box(b"ipco", ispe)))
+            + box(b"mdat", bytes(8)))
+    assert header_dims(avif) == (1280, 720)
+    heic = avif.replace(b"avif", b"heic", 1)
+    assert header_dims(heic) == (1280, 720)
+    # video MP4 brand is NOT an image: falls through to None here
+    mp4ish = (box(b"ftyp", b"isom" + bytes(4) + b"isom")
+              + box(b"mdat", bytes(8)))
+    assert header_dims(mp4ish) is None
+    for cut in range(len(avif)):
+        r = header_dims(avif[:cut])
+        assert r is None or isinstance(r, tuple)
+
+
 def test_header_dims_adversarial_payloads():
     """Crafted headers must never violate the int32 schema or crash."""
     import struct
