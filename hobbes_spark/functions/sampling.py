@@ -39,6 +39,7 @@ __all__ = [
     "group_sample",
     "systematic_weighted_sample",
     "leakage_safe_split",
+    "fim_transform",
 ]
 
 _SCALE = 1 << 32
@@ -586,3 +587,57 @@ def systematic_weighted_sample(
         .otherwise(copies),
     )
     return out.filter(F.col(copies_col) >= 1).drop("__h", "__w", "__cum", "__tot")
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rate: float = 0.5,
+    salt: str = "fim",
+    pre_token: str = "<PRE>",
+    suf_token: str = "<SUF>",
+    mid_token: str = "<MID>",
+) -> DataFrame:
+    """Fill-in-the-middle training transform (round 10 — the code-model
+    data-prep op): a deterministic ~``rate`` fraction of documents is
+    rewritten in PSM order —
+    ``<PRE> prefix <SUF> suffix <MID> middle`` — teaching the model to
+    infill; the rest pass through unchanged.
+
+    Everything is hash-derived from the DOCUMENT KEY (the
+    :func:`hash_bucket` md5 machinery, salts ``{salt}``/``{salt}/c1``/
+    ``{salt}/c2``), so the gate AND both character cut points are
+    reproducible across engines, runs, retries and epochs — an external
+    SQL oracle replays the exact same splits, and re-running the
+    pipeline cannot leak a second variant of the same document into
+    training.  Cut points are uniform over [0, L] character positions
+    (min->lo, max->hi; middle = (lo, hi]), matching the public FIM
+    recipe's uniform two-point split.  NULL text passes through NULL
+    with ``is_fim`` false.  Pure Column expressions: map-only,
+    codegen, zero shuffle at any scale."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"fim_transform: rate must be in [0, 1], got {rate}")
+    text = c(text_col)
+    length = F.length(text)
+    gate = (
+        (hash_bucket(id_col, salt) < int(rate * _SCALE))
+        & text.isNotNull()
+    )
+    u1 = hash_bucket(id_col, f"{salt}/c1")
+    u2 = hash_bucket(id_col, f"{salt}/c2")
+    # floor(u * (L+1) / 2^32): uniform over the L+1 cut positions 0..L
+    c1 = (u1 * (length + 1) / _SCALE).cast("long")
+    c2 = (u2 * (length + 1) / _SCALE).cast("long")
+    lo = F.least(c1, c2)
+    hi = F.greatest(c1, c2)
+    prefix = F.substring(text, F.lit(1), lo)
+    middle = F.substring(text, lo + 1, hi - lo)
+    suffix = F.substring(text, hi + 1, length - hi)
+    fim = F.concat(
+        F.lit(pre_token), prefix, F.lit(suf_token), suffix,
+        F.lit(mid_token), middle,
+    )
+    return df.withColumn("is_fim", gate).withColumn(
+        "fim_text", F.when(gate, fim).otherwise(text)
+    )

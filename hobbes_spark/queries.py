@@ -2191,6 +2191,61 @@ def _hash_bucket_sql(key_expr: str, salt: str = "") -> str:
     )
 
 
+def _fim_cut_sql(salt: str) -> str:
+    # floor(u * (L+1) / 2^32) — FLOOR, not CAST: DuckDB's double->int
+    # cast rounds half-even while Spark's truncates
+    return (f"CAST(FLOOR(({_hash_bucket_sql('doc_id', salt)}) * "
+            f"(length(text) + 1) / 4294967296.0) AS BIGINT)")
+
+
+@q(
+    "fim_docs",
+    f"""
+    WITH cuts AS (
+      SELECT doc_id, text,
+             ({_hash_bucket_sql('doc_id', 'fim')})
+               < {int(0.5 * (1 << 32))} AND text IS NOT NULL AS is_fim,
+             {_fim_cut_sql('fim/c1')} AS c1,
+             {_fim_cut_sql('fim/c2')} AS c2
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id, is_fim,
+             CASE WHEN is_fim THEN
+               '<PRE>' || substr(text, 1, least(c1, c2))
+               || '<SUF>' || substr(text, greatest(c1, c2) + 1,
+                                    length(text) - greatest(c1, c2))
+               || '<MID>' || substr(text, least(c1, c2) + 1,
+                                    greatest(c1, c2) - least(c1, c2))
+             ELSE text END AS fim_text
+      FROM cuts
+    )
+    SELECT doc_id, is_fim,
+           CAST(length(fim_text) AS BIGINT) AS n_chars_fim,
+           md5(fim_text) AS fp
+    FROM x ORDER BY doc_id
+    """,
+)
+def fim_docs(spark, sf_dir):
+    """Fill-in-the-middle transform truth pin (round 10): ~half the
+    corpus (md5-gated on doc_id) rewrites to PSM order with BOTH
+    character cut points hash-derived from the document key — the gate,
+    the cuts, and the reassembly replay exactly in the oracle (FLOOR in
+    SQL vs Spark's truncating cast is the one pinned difference), so a
+    retry or a second epoch can never emit a different variant of the
+    same document.  Map-only Column expressions; at 100 TB this rides
+    the training-export scan for free."""
+    from hobbes_spark.functions.sampling import fim_transform
+
+    docs = _t(spark, sf_dir, "documents").df
+    out = fim_transform(docs, "doc_id", "text", rate=0.5)
+    return out.select(
+        "doc_id", "is_fim",
+        F.length("fim_text").cast("bigint").alias("n_chars_fim"),
+        F.md5("fim_text").alias("fp"),
+    ).orderBy("doc_id")
+
+
 @q(
     "hash_sample_docs",
     f"""
@@ -10291,7 +10346,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r9 (new in r10) ---
     "audio_id3_tags", "audio_meta", "compressed_text_ingest",
-    "html_text_stats",
+    "fim_docs", "html_text_stats",
     "image_exif_orientation", "stream_restart_dedup",
     "video_frame_plan_real", "video_frame_pts", "video_meta",
     # --- changed since their last r8 signature: the round-9
@@ -10306,7 +10361,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "quantize_error_stats", "semantic_dedup_keep", "sketch_user_rollup",
     "sort_keys_ordinals", "temperature_sample_docs", "text_stats",
     "tpch_q3_topk", "tpch_q9_profit", "winsorize_values",
-    # --- last signed in r6, alphabetical (23 of the r6 group; the
+    # --- last signed in r6, alphabetical (22 of the r6 group; the
     #     remainder rolls to the r11 rotation) ---
     "ann_ivf_topk", "asof_attribution", "blocklist_filter",
     "bloom_decontaminate", "c4_quality", "churned_customers",
@@ -10314,7 +10369,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "each_max", "each_mean", "gopher_quality", "group_all_mean",
     "group_minby", "group_reductions", "hard_negatives_topk",
     "hash_sample_docs", "hb_order_frequency", "ivf_pq_topk",
-    "join_broadcast_dims", "kmeans_fixture_exact",
+    "join_broadcast_dims",
 ]
 
 

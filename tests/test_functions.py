@@ -2858,6 +2858,52 @@ class TestCanonicalUrl:
         assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+class TestFimTransform:
+    """Fill-in-the-middle transform: lossless reordering, deterministic
+    gate/cuts, NULL passthrough, plan posture."""
+
+    def test_reconstruction_and_determinism(self, spark):
+        from hobbes_spark.functions.sampling import fim_transform
+
+        rows = [(i, f"document body number {i} with some length") for i in range(40)]
+        rows += [(100, ""), (101, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = fim_transform(df, "doc_id", "text", rate=0.5).collect()
+        n_fim = 0
+        for r in out:
+            if r["text"] is None:
+                assert not r["is_fim"] and r["fim_text"] is None
+                continue
+            if not r["is_fim"]:
+                assert r["fim_text"] == r["text"]
+                continue
+            n_fim += 1
+            t = r["fim_text"]
+            assert t.startswith("<PRE>")
+            pre, rest = t[5:].split("<SUF>", 1)
+            suf, mid = rest.split("<MID>", 1)
+            # PSM reassembles losslessly to the original document
+            assert pre + mid + suf == r["text"]
+        assert 0 < n_fim < 41  # the gate really splits the corpus
+        # same inputs -> byte-identical outputs (retry/epoch safety)
+        again = fim_transform(df, "doc_id", "text", rate=0.5).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_rate_bounds_and_plan(self, spark):
+        import pytest as _pt
+
+        from hobbes_spark.functions.sampling import fim_transform
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pt.raises(ValueError, match="rate"):
+            fim_transform(df, "doc_id", "text", rate=1.5)
+        plan = (
+            fim_transform(df, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
 class TestHtmlToText:
     """HTML -> text extraction (round 10): tag-structure semantics,
     entity ordering, and the no-shuffle/no-UDF plan posture."""
