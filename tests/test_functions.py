@@ -3078,6 +3078,34 @@ class TestRegistrableDomain:
         }
         assert self._dom(spark, list(cases)) == list(cases.values())
 
+    def test_generator_parses_upstream_syntax(self):
+        """tools/gen_psl.py must digest the REAL upstream file's syntax
+        unchanged: unicode rules punycode to A-labels, exceptions and
+        wildcards classify, comments/sections/inline-whitespace skip —
+        so swapping in the full publicsuffix.org download needs no code
+        change."""
+        import importlib.util
+        import os as _os
+
+        spec = importlib.util.spec_from_file_location(
+            "gen_psl",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), "tools", "gen_psl.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        text = "\n".join([
+            "// ===BEGIN ICANN DOMAINS===",
+            "com", "co.uk  // trailing comment text",
+            "中国",           # -> xn--fiqs8s (IDNA)
+            "!city.kobe.jp", "*.kobe.jp",
+            "", "// comment", "// ===END ICANN DOMAINS===",
+        ])
+        exact, wild, exc = mod.parse(text)
+        assert exact[1] == ("com", "xn--fiqs8s")
+        assert exact[2] == ("co.uk",)
+        assert wild == ("kobe.jp",) and exc == ("city.kobe.jp",)
+
     def test_generated_module_not_stale(self):
         """tools/gen_psl.py --check: the generated psl_snapshot module
         must match a fresh compile of the vendored .dat snapshot."""
