@@ -40,6 +40,7 @@ __all__ = [
     "systematic_weighted_sample",
     "leakage_safe_split",
     "fim_transform",
+    "span_corrupt",
 ]
 
 _SCALE = 1 << 32
@@ -640,4 +641,58 @@ def fim_transform(
     )
     return df.withColumn("is_fim", gate).withColumn(
         "fim_text", F.when(gate, fim).otherwise(text)
+    )
+
+
+def span_corrupt(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_spans: int = 2,
+    salt: str = "span",
+    sentinel_fmt: str = "<extra_id_{i}>",
+) -> DataFrame:
+    """T5/UL2-style span-corruption prep (round 10, the denoising twin
+    of :func:`fim_transform`): ``n_spans`` character spans per document
+    are cut out and replaced by sentinels —
+
+    * ``corrupt_input``:  kept text with ``<extra_id_k>`` where span k
+      was;
+    * ``corrupt_target``: ``<extra_id_k>`` + span k for every k, closed
+      by the final sentinel ``<extra_id_n>``
+
+    — the exact encoder/decoder pair the objective trains on.  All
+    ``2 * n_spans`` cut points are hash-derived from the DOCUMENT KEY
+    (:func:`hash_bucket`, salts ``{salt}/c0..``) and sorted in-plan
+    (``array_sort``), so spans are reproducible across engines, runs
+    and retries; spans may legitimately be empty or adjacent (two equal
+    cuts), exactly as a uniform cut model allows.  NULL text yields
+    NULL outputs.  Pure Column expressions — map-only, codegen, zero
+    shuffle; at 100 TB this rides the training-export scan."""
+    if n_spans < 1:
+        raise ValueError(f"span_corrupt: n_spans must be >= 1, got {n_spans}")
+    text = c(text_col)
+    length = F.length(text)
+    cuts = F.array_sort(F.array(*[
+        (hash_bucket(id_col, f"{salt}/c{j}") * (length + 1) / _SCALE)
+        .cast("long")
+        for j in range(2 * n_spans)
+    ]))
+
+    def cut(k: int):  # 1-based into the sorted array
+        return F.element_at(cuts, k)
+
+    inp_parts = []
+    tgt_parts = []
+    prev_end = F.lit(0).cast("long")
+    for k in range(n_spans):
+        s, e2 = cut(2 * k + 1), cut(2 * k + 2)
+        sent = F.lit(sentinel_fmt.format(i=k))
+        inp_parts += [F.substring(text, prev_end + 1, s - prev_end), sent]
+        tgt_parts += [sent, F.substring(text, s + 1, e2 - s)]
+        prev_end = e2
+    inp_parts.append(F.substring(text, prev_end + 1, length - prev_end))
+    tgt_parts.append(F.lit(sentinel_fmt.format(i=n_spans)))
+    return df.withColumn("corrupt_input", F.concat(*inp_parts)).withColumn(
+        "corrupt_target", F.concat(*tgt_parts)
     )

@@ -2247,6 +2247,56 @@ def fim_docs(spark, sf_dir):
 
 
 @q(
+    "span_corrupt_docs",
+    f"""
+    WITH cuts AS (
+      SELECT doc_id, text,
+             list_sort([{_fim_cut_sql('span/c0')}, {_fim_cut_sql('span/c1')},
+                        {_fim_cut_sql('span/c2')}, {_fim_cut_sql('span/c3')}])
+               AS cs
+      FROM documents WHERE text IS NOT NULL
+    ),
+    x AS (
+      SELECT doc_id,
+             substr(text, 1, cs[1])
+               || '<extra_id_0>'
+               || substr(text, cs[2] + 1, cs[3] - cs[2])
+               || '<extra_id_1>'
+               || substr(text, cs[4] + 1, length(text) - cs[4])
+               AS corrupt_input,
+             '<extra_id_0>' || substr(text, cs[1] + 1, cs[2] - cs[1])
+               || '<extra_id_1>' || substr(text, cs[3] + 1, cs[4] - cs[3])
+               || '<extra_id_2>' AS corrupt_target
+      FROM cuts
+    )
+    SELECT doc_id,
+           CAST(length(corrupt_input) AS BIGINT) AS n_in,
+           md5(corrupt_input) AS fp_in,
+           md5(corrupt_target) AS fp_tgt
+    FROM x ORDER BY doc_id
+    """,
+)
+def span_corrupt_docs(spark, sf_dir):
+    """Span-corruption (T5 denoising) truth pin (round 10): two spans
+    per document, all four cut points md5-derived from doc_id and
+    sorted IN-PLAN — the oracle replays hash -> cuts -> list_sort ->
+    substring reassembly for both the encoder input and the decoder
+    target (md5 byte-agreement).  With fim_docs this pins the
+    training-objective prep family end-to-end: same machinery, two
+    objectives."""
+    from hobbes_spark.functions.sampling import span_corrupt
+
+    docs = _t(spark, sf_dir, "documents").df.filter(F.col("text").isNotNull())
+    out = span_corrupt(docs, "doc_id", "text", n_spans=2)
+    return out.select(
+        "doc_id",
+        F.length("corrupt_input").cast("bigint").alias("n_in"),
+        F.md5("corrupt_input").alias("fp_in"),
+        F.md5("corrupt_target").alias("fp_tgt"),
+    ).orderBy("doc_id")
+
+
+@q(
     "hash_sample_docs",
     f"""
     SELECT doc_id, source, n_chars FROM documents
@@ -10346,7 +10396,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r9 (new in r10) ---
     "audio_id3_tags", "audio_meta", "compressed_text_ingest",
-    "fim_docs", "html_text_stats",
+    "fim_docs", "html_text_stats", "span_corrupt_docs",
     "image_exif_orientation", "stream_restart_dedup",
     "video_frame_plan_real", "video_frame_pts", "video_meta",
     # --- changed since their last r8 signature: the round-9
@@ -10361,7 +10411,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "quantize_error_stats", "semantic_dedup_keep", "sketch_user_rollup",
     "sort_keys_ordinals", "temperature_sample_docs", "text_stats",
     "tpch_q3_topk", "tpch_q9_profit", "winsorize_values",
-    # --- last signed in r6, alphabetical (22 of the r6 group; the
+    # --- last signed in r6, alphabetical (21 of the r6 group; the
     #     remainder rolls to the r11 rotation) ---
     "ann_ivf_topk", "asof_attribution", "blocklist_filter",
     "bloom_decontaminate", "c4_quality", "churned_customers",
@@ -10369,7 +10419,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "each_max", "each_mean", "gopher_quality", "group_all_mean",
     "group_minby", "group_reductions", "hard_negatives_topk",
     "hash_sample_docs", "hb_order_frequency", "ivf_pq_topk",
-    "join_broadcast_dims",
 ]
 
 

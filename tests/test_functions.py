@@ -2903,6 +2903,41 @@ class TestFimTransform:
         )
         assert "Exchange" not in plan and "BatchEvalPython" not in plan
 
+    def test_span_corrupt_reconstruction(self, spark):
+        """Span corruption: input + target splice back to the original
+        document — sentinel k in the input is replaced by the text
+        between sentinel k and k+1 in the target."""
+        import re
+
+        import pytest as _pt
+
+        from hobbes_spark.functions.sampling import span_corrupt
+
+        rows = [(i, f"span corruption document {i} body with length") for i in range(25)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = span_corrupt(df, "doc_id", "text", n_spans=2).collect()
+        n_nonempty = 0
+        for r in out:
+            tgt = r["corrupt_target"]
+            spans = re.split(r"<extra_id_\d>", tgt)[1:-1]
+            assert len(spans) == 2
+            n_nonempty += sum(1 for s_ in spans if s_)
+            rebuilt = r["corrupt_input"]
+            for k, s_ in enumerate(spans):
+                rebuilt = rebuilt.replace(f"<extra_id_{k}>", s_, 1)
+            assert rebuilt == r["text"]
+        assert n_nonempty > 0  # cuts genuinely carve spans somewhere
+        # deterministic across runs
+        again = span_corrupt(df, "doc_id", "text", n_spans=2).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+        with _pt.raises(ValueError, match="n_spans"):
+            span_corrupt(df, "doc_id", "text", n_spans=0)
+        plan = (
+            span_corrupt(df, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
 
 class TestHtmlToText:
     """HTML -> text extraction (round 10): tag-structure semantics,
