@@ -469,3 +469,69 @@ def test_html_to_text_matches_python_reference(spark, pages):
     assert got == want, next(
         (p, g, w) for p, g, w in zip(pages, got, want) if g != w
     )
+
+
+# --------------------------------------------------------------------- #
+# fim_transform / span_corrupt vs a PURE-PYTHON replay of the md5 cut
+# arithmetic (round 10): hashlib recomputes the gate and every cut
+# point, Python slicing reassembles — a third engine beside Spark and
+# the DuckDB oracle. Any divergence in the hash framing, the
+# floor(u*(L+1)/2^32) arithmetic, or the substring boundaries shows up
+# here on arbitrary unicode text (multi-byte chars exercise CHARACTER
+# vs byte positions).
+# --------------------------------------------------------------------- #
+
+
+def _py_bucket(key, salt):
+    import hashlib as _h
+
+    s = f"{salt}\x1f{key}".encode()
+    return int(_h.md5(s).hexdigest()[:8], 16)
+
+
+def _py_cut(key, salt, n_chars):
+    return _py_bucket(key, salt) * (n_chars + 1) // (1 << 32)
+
+
+_fim_text = st.one_of(
+    st.text(max_size=60),
+    st.text(alphabet="aé四\n .", max_size=40),
+    st.none(),
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(rows=st.lists(st.tuples(st.integers(0, 10**6), _fim_text),
+                     min_size=1, max_size=40, unique_by=lambda t: t[0]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fim_and_span_match_python_replay(spark, rows):
+    from hobbes_spark.functions.sampling import fim_transform, span_corrupt
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fim = {r["doc_id"]: (r["is_fim"], r["fim_text"])
+           for r in fim_transform(df, "doc_id", "text", rate=0.5).collect()}
+    spn = {r["doc_id"]: (r["corrupt_input"], r["corrupt_target"])
+           for r in span_corrupt(df, "doc_id", "text", n_spans=2).collect()}
+    for did, text in rows:
+        gate = _py_bucket(did, "fim") < (1 << 31) and text is not None
+        if text is None:
+            assert fim[did] == (False, None)
+            assert spn[did] == (None, None)
+            continue
+        L = len(text)
+        if gate:
+            a = _py_cut(did, "fim/c1", L)
+            b = _py_cut(did, "fim/c2", L)
+            lo, hi = min(a, b), max(a, b)
+            want = ("<PRE>" + text[:lo] + "<SUF>" + text[hi:]
+                    + "<MID>" + text[lo:hi])
+        else:
+            want = text
+        assert fim[did] == (gate, want), (did, text)
+        cs = sorted(_py_cut(did, f"span/c{j}", L) for j in range(4))
+        want_in = (text[:cs[0]] + "<extra_id_0>" + text[cs[1]:cs[2]]
+                   + "<extra_id_1>" + text[cs[3]:])
+        want_tgt = ("<extra_id_0>" + text[cs[0]:cs[1]]
+                    + "<extra_id_1>" + text[cs[2]:cs[3]] + "<extra_id_2>")
+        assert spn[did] == (want_in, want_tgt), (did, text, cs)
