@@ -10396,8 +10396,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r9 (new in r10) ---
     "audio_id3_tags", "audio_meta", "compressed_text_ingest",
-    "fim_docs", "html_text_stats", "span_corrupt_docs",
-    "image_exif_orientation", "stream_restart_dedup",
+    "fim_docs", "html_text_stats", "image_exif_orientation",
+    "span_corrupt_docs", "stream_restart_dedup",
     "video_frame_plan_real", "video_frame_pts", "video_meta",
     # --- changed since their last r8 signature: the round-9
     #     functions/web.py + curation/sampling edits post-date these ---
