@@ -1832,23 +1832,41 @@ def sniff_decompress(b: bytes, cap: int = _DECOMPRESS_CAP):
     import lzma
     import zlib
 
+    def _members(codec, make, data):
+        # gzip/bzip2/xz are MULTI-MEMBER formats: a WARC/WET shard is
+        # many independently-compressed members back to back, and a
+        # single decompressor stops at the first member boundary
+        # (d.eof is true, the rest sits in d.unused_data).  Loop:
+        # re-feed unused_data into a fresh decompressor, keeping ONE
+        # cumulative cap across members (r10 advisor note — the old
+        # single-pass silently truncated to member 1).
+        parts, remaining = [], cap + 1
+        while data:
+            d = make()
+            out = d.decompress(data, remaining)
+            if not d.eof:  # truncated / bomb-capped mid-member: refuse
+                return None
+            parts.append(out)
+            remaining -= len(out)
+            if remaining <= 0:
+                return None
+            data = d.unused_data
+        return (codec, b"".join(parts))
+
     try:
         if b[:2] == b"\x1f\x8b":
-            d = zlib.decompressobj(wbits=31)  # gzip wrapper
-            out = d.decompress(b, cap + 1)
-            return ("gzip", out) if len(out) <= cap and d.eof else None
+            return _members("gzip", lambda: zlib.decompressobj(wbits=31), b)
         if len(b) >= 2 and (b[0] & 0x0F) == 8 and (b[0] << 8 | b[1]) % 31 == 0:
+            # zlib has no member concept: trailing bytes after eof are
+            # garbage, not a second stream — refuse rather than drop.
             d = zlib.decompressobj(wbits=15)
             out = d.decompress(b, cap + 1)
-            return ("zlib", out) if len(out) <= cap and d.eof else None
+            ok = len(out) <= cap and d.eof and not d.unused_data
+            return ("zlib", out) if ok else None
         if b[:3] == b"BZh":
-            d = bz2.BZ2Decompressor()
-            out = d.decompress(b, cap + 1)
-            return ("bzip2", out) if len(out) <= cap and d.eof else None
+            return _members("bzip2", bz2.BZ2Decompressor, b)
         if b[:6] == b"\xfd7zXZ\x00":
-            d = lzma.LZMADecompressor()
-            out = d.decompress(b, cap + 1)
-            return ("xz", out) if len(out) <= cap and d.eof else None
+            return _members("xz", lzma.LZMADecompressor, b)
     except (OSError, EOFError, zlib.error, lzma.LZMAError, ValueError):
         return None
     return None
@@ -2009,57 +2027,121 @@ _ID3_TEXT_FRAMES = frozenset(
     (b"TIT2", b"TPE1", b"TALB", b"TCON", b"TYER", b"TDRC")
 )
 
+#: ID3v2.2 3-char frame ids -> the v2.3/2.4 names the surface exposes
+#: (id3v2-00 spec appendix A: old MP3s in crawls still carry these)
+_ID3_V22_FRAMES = {
+    b"TT2": "TIT2", b"TP1": "TPE1", b"TAL": "TALB",
+    b"TCO": "TCON", b"TYE": "TYER",
+}
+
+
+def _deunsync(b: bytes) -> bytes:
+    """Reverse ID3v2 unsynchronisation: every 0xFF 0x00 pair is a
+    byte-stuffed 0xFF (id3v2.4.0-structure §6.1)."""
+    return b.replace(b"\xff\x00", b"\xff")
+
+
+def _id3_text(payload: bytes) -> str | None:
+    """Decode one text-frame payload: encoding byte + body, cut at the
+    first NUL terminator.  None for invalid encodings / mojibake."""
+    if len(payload) < 1:
+        return None
+    codec = {0: "latin-1", 1: "utf-16", 2: "utf-16-be",
+             3: "utf-8"}.get(payload[0])
+    if codec is None:
+        return None
+    try:
+        txt = payload[1:].decode(codec).split("\x00")[0]
+    except UnicodeDecodeError:
+        return None
+    return txt or None
+
 
 def parse_id3_tags(b: bytes) -> dict | None:
-    """Text metadata from an ID3v2.3/2.4 tag (the tag most MP3s in a
-    crawl carry): title (TIT2), artist (TPE1), album (TALB), genre
+    """Text metadata from an ID3v2.2/2.3/2.4 tag (the tag most MP3s in
+    a crawl carry): title (TIT2), artist (TPE1), album (TALB), genre
     (TCON), year (TYER/TDRC) — all four text encodings the spec allows
     (latin-1, utf-16 with BOM, utf-16-be, utf-8) decoded, values cut at
-    the first NUL terminator.  Header-only: frame walk stops at
-    padding, a malformed frame id, or a size past the tag.  None when
-    there is no ID3v2.3/2.4 tag at all; ``{}`` when the tag carries
-    none of the surfaced frames.  Never raises on garbage."""
+    the first NUL terminator.  v2.2's 3-char ids / 3-byte sizes map to
+    the v2.3 names.  Unsynchronised tags (header flag 0x80; per-frame
+    flag 0x02 in v2.4) are de-unsynchronised before decode, and frames
+    whose v2.3/2.4 compression/encryption flag bits are set are SKIPPED
+    rather than decoded as text (r10 advisor note — byte-stuffed or
+    deflated payloads must not surface as mojibake metadata).
+    Header-only: frame walk stops at padding, a malformed frame id, or
+    a size past the tag.  None when there is no ID3v2 tag at all; ``{}``
+    when the tag carries none of the surfaced frames.  Never raises on
+    garbage."""
     if b[:3] != b"ID3" or len(b) < 10:
         return None
     ver, flags = b[3], b[5]
-    if ver not in (3, 4):
+    if ver not in (2, 3, 4):
         return None
     size = _syncsafe(b[6:10])
     if size is None:
         return None
-    end = min(10 + size, len(b))
-    i = 10
-    if flags & 0x40 and i + 4 <= end:  # extended header
-        ext = _syncsafe(b[i : i + 4]) if ver == 4 else (
-            int.from_bytes(b[i : i + 4], "big") + 4
+    body = bytes(b[10 : min(10 + size, len(b))])
+    if ver == 2 and flags & 0x40:
+        return None  # v2.2 'compression' bit: spec says ignore the tag
+    if flags & 0x80 and ver in (2, 3):
+        # v2.2/v2.3 unsync is applied over the WHOLE tag body; frame
+        # sizes inside refer to the de-unsynchronised data.  (v2.4
+        # moved unsync per-frame — handled in the walk below.)
+        body = _deunsync(body)
+    end = len(body)
+    i = 0
+    out: dict[str, str] = {}
+    if ver == 2:
+        while i + 6 <= end:
+            fid = body[i : i + 3]
+            if not all(0x41 <= c <= 0x5A or 0x30 <= c <= 0x39 for c in fid):
+                break  # padding or corruption
+            fsz = int.from_bytes(body[i + 3 : i + 6], "big")
+            if i + 6 + fsz > end:
+                break
+            name = _ID3_V22_FRAMES.get(fid)
+            if name is not None:
+                txt = _id3_text(body[i + 6 : i + 6 + fsz])
+                if txt:
+                    out[name] = txt
+            i += 6 + fsz
+        return out
+    if flags & 0x40 and i + 4 <= end:  # extended header (v2.3/v2.4)
+        ext = _syncsafe(body[i : i + 4]) if ver == 4 else (
+            int.from_bytes(body[i : i + 4], "big") + 4
         )
         if ext is None or ext < 4:
             return None
         i += ext
-    out: dict[str, str] = {}
     while i + 10 <= end:
-        fid = b[i : i + 4]
+        fid = body[i : i + 4]
         if not all(0x41 <= c <= 0x5A or 0x30 <= c <= 0x39 for c in fid):
             break  # padding or corruption
         fsz = (
-            _syncsafe(b[i + 4 : i + 8])
+            _syncsafe(body[i + 4 : i + 8])
             if ver == 4
-            else int.from_bytes(b[i + 4 : i + 8], "big")
+            else int.from_bytes(body[i + 4 : i + 8], "big")
         )
         if fsz is None or i + 10 + fsz > end:
             break
-        payload = b[i + 10 : i + 10 + fsz]
-        if fid in _ID3_TEXT_FRAMES and len(payload) >= 1:
-            enc, raw = payload[0], payload[1:]
-            codec = {0: "latin-1", 1: "utf-16", 2: "utf-16-be",
-                     3: "utf-8"}.get(enc)
-            if codec is not None:
-                try:
-                    txt = raw.decode(codec).split("\x00")[0]
-                except UnicodeDecodeError:
-                    txt = None
-                if txt:
-                    out[fid.decode("ascii")] = txt
+        fmt = body[i + 9]  # format-flags byte
+        compressed_or_encrypted = (
+            fmt & 0xC0 if ver == 3 else fmt & 0x0C
+        )
+        payload = body[i + 10 : i + 10 + fsz]
+        if (
+            fid in _ID3_TEXT_FRAMES
+            and not compressed_or_encrypted
+            and len(payload) >= 1
+        ):
+            if ver == 4:
+                if fmt & 0x01 and len(payload) >= 4:
+                    payload = payload[4:]  # data-length indicator
+                if fmt & 0x02:
+                    payload = _deunsync(payload)  # per-frame unsync
+            txt = _id3_text(payload)
+            if txt:
+                out[fid.decode("ascii")] = txt
         i += 10 + fsz
     return out
 
@@ -2161,6 +2243,17 @@ def audio_meta(media: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------- #
 
 
+#: declared-schema bounds for ISO BMFF parses (r10 advisor note): the
+#: box-size checks bound ENTRY COUNTS, not the 32/64-bit VALUES inside
+#: the entries — a single stts run with count 0xFFFFFF00 walks fine but
+#: sums to ~4.3e9 frames, and an mvhd v1 duration near 2^64 with
+#: timescale 1 overflows the bigint column.  Values past the declared
+#: Spark type map to None (same posture as header_dims' ok()), never to
+#: an executor-killing Arrow cast error.
+_BMFF_I32MAX = (1 << 31) - 1
+_BMFF_I64MAX = (1 << 63) - 1
+
+
 def _bmff_boxes(b: bytes, i: int, end: int):
     """Yield ``(type, payload_start, payload_end)`` for the box sequence
     in ``b[i:end]``.  Handles 32-bit sizes, size==1 (64-bit largesize
@@ -2243,8 +2336,13 @@ def _bmff_track(b: bytes, s: int, e: int) -> dict:
                                 )
                                 for k in range(n)
                             ]
+                            nf = sum(c for c, _ in entries)
+                            if nf > _BMFF_I32MAX:
+                                # crafted counts: the whole stts is
+                                # untrustworthy, not just the total
+                                continue
                             out["stts"] = entries
-                            out["n_frames"] = sum(c for c, _ in entries)
+                            out["n_frames"] = nf
     return out
 
 
@@ -2302,7 +2400,8 @@ def parse_mp4_meta(b: bytes) -> dict | None:
                 else:
                     continue
                 if ts:
-                    out["duration_us"] = dur * 1_000_000 // ts
+                    us = dur * 1_000_000 // ts
+                    out["duration_us"] = us if us <= _BMFF_I64MAX else None
             elif t == b"trak":
                 out["n_tracks"] += 1
                 info = _bmff_track(b, s, e)
@@ -2379,9 +2478,11 @@ def video_frame_times(
                     units = _stts_pts_units(info["stts"], idx)
                     if units is None:
                         break
-                    rows.append(
-                        (int(mid), pos, idx, units * 1_000_000 // ts)
-                    )
+                    pts = units * 1_000_000 // ts
+                    if pts > _BMFF_I64MAX:
+                        # crafted deltas: later frames only grow — stop
+                        break
+                    rows.append((int(mid), pos, idx, pts))
                     pos += 1
             yield pd.DataFrame(
                 rows,

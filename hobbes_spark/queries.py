@@ -10385,40 +10385,41 @@ def chart_gauge_lineitem(spark, sf_dir):
 # of r6-r8 is designed out.  Rotation-due enforcement (a newer record
 # exists, rotate me) lives in tools/gate_check.py, which refuses to run
 # until this stamp matches the newest record on disk.
-WINDOW_FROZEN_AT = "CORRECTNESS_r09"
+WINDOW_FROZEN_AT = "CORRECTNESS_r10"
 
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # Round-10 rotation, CHANGE-AWARE (tools/window_cohort.py --as-of 9):
+    # Round-11 rotation, CHANGE-AWARE (tools/window_cohort.py --as-of 10):
     # rank = (never-signed-or-changed-since-signature DESC, last-signed
     # round ASC, name ASC), frozen at the commit that recorded
-    # CORRECTNESS_r09.json.  Queries ADDED this round are never-signed
-    # as of r9 and therefore lead automatically — keep this list in
+    # CORRECTNESS_r10.json.  Queries ADDED this round are never-signed
+    # as of r10 and therefore lead automatically — keep this list in
     # sync when adding catalog entries (the contract test enforces it).
-    # --- never signed as of r9 (new in r10) ---
-    "audio_id3_tags", "audio_meta", "compressed_text_ingest",
-    "fim_docs", "html_text_stats", "image_exif_orientation",
-    "span_corrupt_docs", "stream_restart_dedup",
-    "video_frame_plan_real", "video_frame_pts", "video_meta",
-    # --- changed since their last r8 signature: the round-9
-    #     functions/web.py + curation/sampling edits post-date these ---
-    "canonical_url_docs", "kappa_labels", "leakage_split_docs",
-    "salted_join_revenue",
-    # --- last signed in r5, alphabetical (the 15-entry remainder of
-    #     the r5 group; with these signed, every r5 signature has been
-    #     refreshed) ---
-    "moving_mean", "moving_sum_minmax", "odata_serve_orders",
-    "only_filter", "pagerank_centrality", "pivot_count",
-    "quantize_error_stats", "semantic_dedup_keep", "sketch_user_rollup",
-    "sort_keys_ordinals", "temperature_sample_docs", "text_stats",
-    "tpch_q3_topk", "tpch_q9_profit", "winsorize_values",
-    # --- last signed in r6, alphabetical (21 of the r6 group; the
-    #     remainder rolls to the r11 rotation) ---
-    "ann_ivf_topk", "asof_attribution", "blocklist_filter",
-    "bloom_decontaminate", "c4_quality", "churned_customers",
-    "corpus_datasheet", "date_parts", "dedup_components", "dense_ops",
-    "each_max", "each_mean", "gopher_quality", "group_all_mean",
-    "group_minby", "group_reductions", "hard_negatives_topk",
-    "hash_sample_docs", "hb_order_frequency", "ivf_pq_topk",
+    # --- changed since last signature: the r10 frame_sample_plan wiring
+    #     (video_frame_plan_real) post-dates media_frame_plan's r6 row ---
+    "media_frame_plan",
+    # --- last signed in r6, alphabetical (the 23-entry remainder of the
+    #     r6 group; with these signed, every r6 signature is refreshed) ---
+    "join_broadcast_dims", "kmeans_fixture_exact",
+    "lang_id_counts", "linear_extrapolation", "linear_regression",
+    "minhash_pairs", "missing_filter", "moving_partitioned",
+    "ngram_jaccard_pairs", "normalize_text_docs", "normalized_dedup",
+    "numeric_columns", "pagerank_fixture_exact", "pivot_sum",
+    "rename_recreate", "repeat_customers", "rollup_revenue",
+    "simhash_fingerprints", "stratified_sample_counts",
+    "stream_curation_stats", "stream_tumbling_counts", "token_frequencies",
+    "weekday_counts",
+    # --- last signed in r7, alphabetical (26 of the r7 group; the
+    #     remainder rolls to the r12 rotation) ---
+    "azdo_commit_authors", "chunk_docs",
+    "classifier_scores", "cohort_retention", "contamination_report",
+    "daily_value_delta", "dedup_paragraphs", "dedup_spans", "dsir_weights",
+    "dup_cluster_histogram", "duplicate_ngram_frac",
+    "embedding_neardup_exact", "embedding_neardup_lsh",
+    "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
+    "hb_velocity_pivot", "ivf_pq_fixture_exact", "jaccard_prefix_pairs",
+    "join_skew_stats", "kmeans_clusters", "label_centroids",
+    "lsh_candidate_stats", "media_decode_meta", "minhash_incremental",
+    "minhash_star_edges",
 ]
 
 

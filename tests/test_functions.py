@@ -3038,6 +3038,43 @@ class TestDecompressText:
         # the DataFrame op decodes with errors='replace'
         assert "�" in data.decode("utf-8", errors="replace")
 
+    def test_multi_member_streams(self):
+        """r10 advisor note: gzip/bzip2/xz are multi-member formats —
+        a WARC/WET shard is many independently-compressed members back
+        to back, and stopping at the first member's eof silently
+        truncates the shard to its first record."""
+        import bz2
+        import gzip
+        import lzma
+
+        from hobbes_spark.functions.multimodal import sniff_decompress
+
+        b = gzip.compress(b"record one ", mtime=0) + gzip.compress(
+            b"record two", mtime=0)
+        assert sniff_decompress(b) == ("gzip", b"record one record two")
+        assert sniff_decompress(
+            bz2.compress(b"a ") + bz2.compress(b"b")) == ("bzip2", b"a b")
+        assert sniff_decompress(
+            lzma.compress(b"a ") + lzma.compress(b"b")) == ("xz", b"a b")
+        # the cap is CUMULATIVE across members (a per-member cap would
+        # re-open the bomb door member by member)
+        member = gzip.compress(b"\x00" * 600, mtime=0)
+        assert sniff_decompress(member * 3, cap=1000) is None
+        # a truncated trailing member refuses the whole payload
+        whole = gzip.compress(b"one", mtime=0) + gzip.compress(b"two", mtime=0)
+        assert sniff_decompress(whole[:-4]) is None
+
+    def test_zlib_trailing_garbage_refused(self):
+        """zlib has no member concept: bytes after the checksum are
+        corruption, not a second stream — refuse, don't drop."""
+        import zlib
+
+        from hobbes_spark.functions.multimodal import sniff_decompress
+
+        ok = zlib.compress(b"payload")
+        assert sniff_decompress(ok) == ("zlib", b"payload")
+        assert sniff_decompress(ok + b"garbage") is None
+
 
 class TestRegistrableDomain:
     """eTLD+1 extraction over the embedded PSL subset: one literal pin
@@ -3629,7 +3666,86 @@ class TestCompressedAudioMeta:
         assert parse_id3_tags(t) == {"TALB": "B-Sides"}
         assert parse_id3_tags(self._id3(3, [])) == {}  # tag, no frames
         assert parse_id3_tags(b"\xff\xfb\x90\x00" + bytes(413)) is None
-        assert parse_id3_tags(self._id3(2, [])) is None  # v2.2 refused
+        assert parse_id3_tags(self._id3(2, [])) == {}  # v2.2 tag, no frames
+
+    @staticmethod
+    def _id3_v22_frame(fid, enc, text):
+        enc_name = {0: "latin-1", 1: "utf-16"}[enc]
+        payload = bytes([enc]) + text.encode(enc_name) + (
+            b"\x00\x00" if enc == 1 else b"\x00"
+        )
+        return fid + len(payload).to_bytes(3, "big") + payload
+
+    def test_id3_v22_frames(self):
+        """ID3v2.2 (r10 verdict item 7): 3-char ids, 3-byte plain
+        sizes, mapped onto the v2.3 names the surface exposes; the
+        v2.2 header 'compression' bit refuses the whole tag per
+        id3v2-00 §3.1."""
+        from hobbes_spark.functions.multimodal import parse_id3_tags
+
+        frames = [self._id3_v22_frame(b"TT2", 0, "Old Song"),
+                  self._id3_v22_frame(b"TP1", 1, "Señor"),
+                  self._id3_v22_frame(b"PIC", 0, "x"),  # unsurfaced, walked
+                  self._id3_v22_frame(b"TYE", 0, "1988")]
+        assert parse_id3_tags(self._id3(2, frames)) == {
+            "TIT2": "Old Song", "TPE1": "Señor", "TYER": "1988"}
+        body = b"".join(frames)
+        ss = bytes([(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+                    (len(body) >> 7) & 0x7F, len(body) & 0x7F])
+        compressed = b"ID3" + bytes([2, 0, 0x40]) + ss + body
+        assert parse_id3_tags(compressed) is None
+
+    def test_id3_unsynchronisation(self):
+        """r10 advisor note: unsynchronised tags must be de-stuffed,
+        not decoded with the 0xFF 0x00 stuffing left in.  v2.2/v2.3:
+        header flag 0x80 covers the whole tag body (frame sizes refer
+        to the de-unsynchronised data); v2.4: per-frame format flag
+        0x02, sizes refer to the stored (stuffed) payload."""
+        from hobbes_spark.functions.multimodal import parse_id3_tags
+
+        # v2.3 whole-tag: utf-16 BOM FF FE contains 0xFF -> stuffed
+        frame = self._id3_frame(b"TIT2", 1, "Zoë")
+        assert b"\xff" in frame
+        stuffed = frame.replace(b"\xff", b"\xff\x00")
+        n = len(stuffed)
+        ss = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                    (n >> 7) & 0x7F, n & 0x7F])
+        t = b"ID3" + bytes([3, 0, 0x80]) + ss + stuffed
+        assert parse_id3_tags(t) == {"TIT2": "Zoë"}
+        # v2.4 per-frame: stored size is the stuffed length
+        payload = b"\x01\xff\xfe" + "Ana".encode("utf-16-le") + b"\x00\x00"
+        sp = payload.replace(b"\xff", b"\xff\x00")
+        m = len(sp)
+        fsz = bytes([(m >> 21) & 0x7F, (m >> 14) & 0x7F,
+                     (m >> 7) & 0x7F, m & 0x7F])
+        t = self._id3(4, [b"TIT2" + fsz + bytes([0, 0x02]) + sp])
+        assert parse_id3_tags(t) == {"TIT2": "Ana"}
+
+    def test_id3_compressed_encrypted_frames_skipped(self):
+        """r10 advisor note: frames with the v2.3 (0x80/0x40) or v2.4
+        (0x08/0x04) compression/encryption format bits set are skipped
+        — their deflated/crypted payloads must not surface as text —
+        while later clean frames in the same tag still decode."""
+        from hobbes_spark.functions.multimodal import parse_id3_tags
+
+        def flagged(fid, flag2, v4=False):
+            payload = b"\x00garbage"
+            if v4:
+                n = len(payload)
+                sz = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                            (n >> 7) & 0x7F, n & 0x7F])
+            else:
+                sz = len(payload).to_bytes(4, "big")
+            return fid + sz + bytes([0, flag2]) + payload
+
+        for flag in (0x80, 0x40):  # v2.3 compression, encryption
+            t = self._id3(3, [flagged(b"TIT2", flag),
+                              self._id3_frame(b"TALB", 0, "Clean")])
+            assert parse_id3_tags(t) == {"TALB": "Clean"}
+        for flag in (0x08, 0x04):  # v2.4 compression, encryption
+            t = self._id3(4, [flagged(b"TIT2", flag, v4=True),
+                              self._id3_frame(b"TALB", 0, "Clean", v4=True)])
+            assert parse_id3_tags(t) == {"TALB": "Clean"}
 
     def test_id3_never_raises_on_garbage(self):
         from hobbes_spark.functions.multimodal import parse_id3_tags
@@ -3820,6 +3936,42 @@ class TestMp4Meta:
         got = parse_mp4_meta(b)
         assert got["n_tracks"] == 1 and got["duration_us"] == 1_000_000
         assert got["width"] is None and got["n_frames"] is None
+
+    def test_crafted_values_clamp_to_null_not_raise(self):
+        """r10 advisor note: the box-size checks bound entry COUNTS,
+        not the values inside — a single stts run with count 0xFFFFFF00
+        walks fine but sums past int32 (Arrow Int32 cast raises in the
+        executor), and an mvhd v1 duration near 2^64 at timescale 1
+        overflows the bigint column.  Both clamp to typed NULL now."""
+        from hobbes_spark.functions.multimodal import (
+            _mp4_video_track,
+            parse_mp4_meta,
+        )
+
+        b = _mp4(b"isom", 0, 1000, 2500,
+                 [(b"vide", 0, 320 << 16, 240 << 16, [(0xFFFFFF00, 100)])])
+        got = parse_mp4_meta(b)
+        assert got["n_frames"] is None and got["width"] == 320
+        info = _mp4_video_track(b)
+        assert info["n_frames"] is None and info["stts"] is None
+
+        # mvhd v1 with duration near 2^64 at timescale 1 (the fixture
+        # builder can't express it — mdhd packs 4 bytes — so assemble
+        # the mvhd-only moov by hand)
+        mvhd = _mp4_box(b"mvhd", _mp4_full(
+            1, (0).to_bytes(8, "big") * 2 + (1).to_bytes(4, "big")
+            + ((1 << 64) - 2).to_bytes(8, "big")
+            + (0x00010000).to_bytes(4, "big") + bytes(4) + bytes(8)
+            + _MP4_MATRIX + bytes(24) + (3).to_bytes(4, "big")))
+        b = (_mp4_box(b"ftyp", b"isom" + bytes(4) + b"isom")
+             + _mp4_box(b"moov", mvhd))
+        got = parse_mp4_meta(b)
+        assert got is not None and got["duration_us"] is None
+
+        # boundary sanity: a legit max-int32 total still surfaces
+        b = _mp4(b"isom", 0, 1000, 2500,
+                 [(b"vide", 0, 1 << 16, 1 << 16, [((1 << 31) - 1, 1)])])
+        assert parse_mp4_meta(b)["n_frames"] == (1 << 31) - 1
 
     def test_never_raises_on_garbage(self):
         from hobbes_spark.functions.multimodal import parse_mp4_meta
