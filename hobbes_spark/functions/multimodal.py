@@ -1821,13 +1821,196 @@ def audio_wav_features(media: DataFrame) -> DataFrame:
 _DECOMPRESS_CAP = 64 * 1024 * 1024
 
 
+#: zstd frame magic (RFC 8878 §3.1.1), little-endian 0xFD2FB528
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def _zstd_is_skippable(magic: bytes) -> bool:
+    """Skippable-frame magic 0x184D2A50-5F (RFC 8878 §3.1.2)."""
+    return len(magic) == 4 and magic[1:4] == b"\x2a\x4d\x18" and (
+        0x50 <= magic[0] <= 0x5F
+    )
+
+
+#: lazily-loaded libzstd handle: False = not probed yet, None = absent
+_ZSTD_LIB = False
+
+
+class _ZstdBuf:  # ZSTD_inBuffer / ZSTD_outBuffer share one layout
+    pass  # replaced at load time (needs ctypes.Structure)
+
+
+def _load_zstd():
+    """Resolve the system libzstd once (ctypes — no wheel needed; the
+    library ships with the OS nearly everywhere Spark runs).  Returns
+    the configured CDLL or None."""
+    global _ZSTD_LIB, _ZstdBuf
+    if _ZSTD_LIB is not False:
+        return _ZSTD_LIB
+    import ctypes
+    import ctypes.util
+
+    lib = None
+    name = ctypes.util.find_library("zstd")
+    if name:
+        try:
+            lib = ctypes.CDLL(name)
+            lib.ZSTD_createDCtx.restype = ctypes.c_void_p
+            lib.ZSTD_freeDCtx.argtypes = [ctypes.c_void_p]
+            lib.ZSTD_decompressStream.restype = ctypes.c_size_t
+            lib.ZSTD_decompressStream.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            lib.ZSTD_isError.restype = ctypes.c_uint
+            lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+
+            class _Buf(ctypes.Structure):
+                _fields_ = [("ptr", ctypes.c_void_p),
+                            ("size", ctypes.c_size_t),
+                            ("pos", ctypes.c_size_t)]
+
+            _ZstdBuf = _Buf
+        except (OSError, AttributeError):
+            lib = None
+    _ZSTD_LIB = lib
+    return lib
+
+
+def _zstd_lib_decompress(lib, b: bytes, cap: int) -> bytes | None:
+    """Streaming decode through libzstd's ZSTD_decompressStream:
+    multi-frame, skippable frames, xxh64 checksum verification — all
+    native.  Output is drained in 128 KiB chunks under the cumulative
+    cap; input exhausted mid-frame (ret != 0 with nothing left to
+    flush) refuses as truncated."""
+    import ctypes
+
+    dctx = lib.ZSTD_createDCtx()
+    if not dctx:
+        return None
+    try:
+        src = ctypes.create_string_buffer(b, len(b))
+        inbuf = _ZstdBuf(ctypes.cast(src, ctypes.c_void_p), len(b), 0)
+        chunk = 1 << 17
+        dst = ctypes.create_string_buffer(chunk)
+        parts, total, ret = [], 0, 0
+        while True:
+            outbuf = _ZstdBuf(ctypes.cast(dst, ctypes.c_void_p), chunk, 0)
+            ret = lib.ZSTD_decompressStream(
+                dctx, ctypes.byref(outbuf), ctypes.byref(inbuf))
+            if lib.ZSTD_isError(ret):
+                return None
+            total += outbuf.pos
+            if total > cap:
+                return None
+            parts.append(dst.raw[: outbuf.pos])
+            if inbuf.pos >= inbuf.size:
+                if ret == 0:
+                    break  # clean frame end at end of input
+                if outbuf.pos < chunk:
+                    return None  # flushed everything, wants more input
+                # output-bound: loop once more to drain internal buffer
+        return b"".join(parts)
+    finally:
+        lib.ZSTD_freeDCtx(ctypes.c_void_p(dctx))
+
+
+def _zstd_frames_pure(b: bytes, cap: int) -> bytes | None:
+    """Pure-Python zstd frame walk (RFC 8878) for environments without
+    libzstd: frame header, raw/RLE block reassembly, skippable frames,
+    declared frame-content-size cross-check.  Fully covers store-mode
+    ``.zst`` (raw/RLE blocks — what an encoder emits for incompressible
+    data) and every framing feature; entropy-coded blocks (FSE+Huffman)
+    refuse with None rather than guessing.  Bomb-capped cumulatively,
+    truncated input refuses, never raises."""
+    i, n, parts, total = 0, len(b), [], 0
+    while i < n:
+        magic = b[i : i + 4]
+        if _zstd_is_skippable(magic):
+            if i + 8 > n:
+                return None
+            i += 8 + int.from_bytes(b[i + 4 : i + 8], "little")
+            if i > n:
+                return None  # skippable length past the payload
+            continue
+        if magic != _ZSTD_MAGIC:
+            return None
+        i += 4
+        if i >= n:
+            return None
+        fhd = b[i]
+        i += 1
+        if fhd & 0x08:  # reserved bit must be 0
+            return None
+        single = (fhd >> 5) & 1
+        has_checksum = (fhd >> 2) & 1
+        fcs_flag = fhd >> 6
+        if not single:
+            if i >= n:
+                return None
+            i += 1  # window descriptor (bounds memory, not content)
+        i += (0, 1, 2, 4)[fhd & 3]  # dictionary id
+        fcs = None
+        fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
+        if fcs_len:
+            if i + fcs_len > n:
+                return None
+            fcs = int.from_bytes(b[i : i + fcs_len], "little")
+            if fcs_flag == 1:
+                fcs += 256
+            i += fcs_len
+        frame_out = 0
+        while True:
+            if i + 3 > n:
+                return None
+            hdr = int.from_bytes(b[i : i + 3], "little")
+            i += 3
+            last, btype, bsize = hdr & 1, (hdr >> 1) & 3, hdr >> 3
+            if total + bsize > cap:
+                return None  # cumulative bomb cap, before materializing
+            if btype == 0:  # raw
+                if i + bsize > n:
+                    return None
+                parts.append(b[i : i + bsize])
+                i += bsize
+            elif btype == 1:  # RLE: one byte repeated bsize times
+                if i + 1 > n:
+                    return None
+                parts.append(b[i : i + 1] * bsize)
+                i += 1
+            else:  # compressed (needs FSE/Huffman) or reserved
+                return None
+            total += bsize
+            frame_out += bsize
+            if last:
+                break
+        if fcs is not None and frame_out != fcs:
+            return None  # declared size disagrees: corrupt frame
+        if has_checksum:
+            if i + 4 > n:
+                return None  # truncated: the xxh64 trailer is missing
+            i += 4  # consumed, not verified (no xxh64 in the stdlib)
+    return b"".join(parts)
+
+
+def _zstd_decompress(b: bytes, cap: int) -> bytes | None:
+    """Decode a zstd payload: the system libzstd via ctypes when
+    loadable (full codec, checksum-verified), else the pure-Python
+    store-mode frame walk.  Same contract either way: bomb-capped,
+    truncated refuses, never raises."""
+    lib = _load_zstd()
+    if lib is not None:
+        return _zstd_lib_decompress(lib, b, cap)
+    return _zstd_frames_pure(b, cap)
+
+
 def sniff_decompress(b: bytes, cap: int = _DECOMPRESS_CAP):
-    """Sniff-and-decompress one payload with the stdlib codecs a
-    landing zone actually sees (WARC/WET shards, log drops): gzip,
-    zlib, bzip2, xz/LZMA.  Returns ``(codec, data)`` or None for
-    unrecognized magic.  Bomb-guarded: incremental decompressors with
-    ``max_length`` caps — a payload inflating past ``cap`` returns
-    None (refuse, don't truncate silently).  Never raises on garbage."""
+    """Sniff-and-decompress one payload with the codecs a landing zone
+    actually sees (WARC/WET shards, log drops): gzip, zlib, bzip2,
+    xz/LZMA, and zstd (the dominant modern corpus codec — see
+    :func:`_zstd_decompress` for the coverage split).  Returns
+    ``(codec, data)`` or None for unrecognized magic.  Bomb-guarded:
+    incremental decompressors with ``max_length`` caps — a payload
+    inflating past ``cap`` returns None (refuse, don't truncate
+    silently).  Never raises on garbage."""
     import bz2
     import lzma
     import zlib
@@ -1867,6 +2050,9 @@ def sniff_decompress(b: bytes, cap: int = _DECOMPRESS_CAP):
             return _members("bzip2", bz2.BZ2Decompressor, b)
         if b[:6] == b"\xfd7zXZ\x00":
             return _members("xz", lzma.LZMADecompressor, b)
+        if b[:4] == _ZSTD_MAGIC or _zstd_is_skippable(b[:4]):
+            out = _zstd_decompress(b, cap)
+            return ("zstd", out) if out is not None else None
     except (OSError, EOFError, zlib.error, lzma.LZMAError, ValueError):
         return None
     return None

@@ -1,0 +1,197 @@
+"""WARC (Web ARChive, ISO 28500) record framing — the missing layer
+between the compressed-shard codecs (``multimodal.sniff_decompress``)
+and the HTML/text stack (``web.html_to_text``, quality scoring, dedup).
+
+A 100 TB web corpus lands as WARC: Common-Crawl-style shards where each
+record is its own gzip member (so readers can seek), or whole-shard
+zstd/gzip, or plain concatenated records.  A record is:
+
+    WARC/1.0\\r\\n
+    WARC-Type: response\\r\\n
+    WARC-Target-URI: http://example.com/\\r\\n
+    Content-Length: 123\\r\\n
+    \\r\\n
+    <block: exactly Content-Length bytes>\\r\\n\\r\\n
+
+For ``application/http`` response records the block itself is an HTTP
+message (status line, headers, blank line, body) and the body is what
+feeds the text pipeline.
+
+Reference parity note: the reference engine has no crawl-ingest layer
+(its sources are OData/REST/git — hobbes.core submodule, SURVEY §2.1);
+this module is part of the beyond-reference LLM-training-data surface
+the build plan calls for, alongside dedup/quality/tokenizers.
+
+Scale posture: :func:`warc_records` is map-only over Arrow batches —
+one shard in, its records out, zero shuffle.  At 100 TB the work is
+CPU-bound inflate+parse per shard and embarrassingly parallel; fan-out
+is bounded by records-per-shard (CC shards hold ~50k records over
+~1 GB, well inside an Arrow batch after projection).  The bomb cap in
+``sniff_decompress`` bounds per-row memory; a half-uploaded shard
+refuses whole rather than surfacing silently-truncated records.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .multimodal import _DECOMPRESS_CAP, sniff_decompress
+
+__all__ = ["parse_warc_records", "split_http_response", "warc_records"]
+
+#: headers surfaced as typed columns (canonical lower-case keys)
+_CRLF = b"\r\n"
+
+
+def _parse_headers(block: bytes) -> dict[str, str] | None:
+    """``Name: value`` lines to a lower-cased dict; None on any line
+    without a colon (malformed header block).  Values are latin-1
+    decoded — WARC headers are ASCII per spec, and latin-1 never
+    raises on the bytes a crawler actually wrote."""
+    out: dict[str, str] = {}
+    for line in block.split(_CRLF):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and out:  # obs-fold continuation
+            out[last] = out[last] + " " + line.strip().decode("latin-1")
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            return None
+        last = name.strip().decode("latin-1").lower()
+        out[last] = value.strip().decode("latin-1")
+    return out
+
+
+def parse_warc_records(data: bytes, max_records: int = 1 << 20) -> list[dict]:
+    """Walk the WARC records in ``data`` (already decompressed).
+
+    Returns a list of dicts with ``version``, the lower-cased header
+    map, and ``block`` (the raw Content-Length bytes).  Tolerant in the
+    same way the media parsers are: a malformed version line, header
+    block, or Content-Length TERMINATES the walk, returning the records
+    parsed so far — never raises.  ``max_records`` is a runaway guard
+    for crafted input (a real CC shard holds ~5e4)."""
+    out: list[dict] = []
+    i, n = 0, len(data)
+    while i < n and len(out) < max_records:
+        # tolerate stray CRLFs between records (some writers pad)
+        while data[i : i + 2] == _CRLF:
+            i += 2
+        if i >= n:
+            break
+        if data[i : i + 5] != b"WARC/":
+            break
+        head_end = data.find(_CRLF + _CRLF, i)
+        if head_end < 0:
+            break
+        ver_end = data.find(_CRLF, i)
+        version = data[i + 5 : ver_end].decode("latin-1")
+        headers = _parse_headers(data[ver_end + 2 : head_end])
+        if headers is None:
+            break
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        if length < 0 or head_end + 4 + length > n:
+            break  # truncated block: refuse the tail, keep the parsed
+        block = data[head_end + 4 : head_end + 4 + length]
+        out.append({"version": version, "headers": headers, "block": block})
+        i = head_end + 4 + length
+    return out
+
+
+def split_http_response(block: bytes):
+    """Split an ``application/http; msgtype=response`` block into
+    ``(status:int|None, headers:dict, body:bytes)``.  A block that does
+    not start with an HTTP status line returns ``(None, {}, block)`` —
+    the caller still gets the payload."""
+    if not block.startswith(b"HTTP/"):
+        return None, {}, block
+    head_end = block.find(_CRLF + _CRLF)
+    if head_end < 0:
+        return None, {}, block
+    lines = block[:head_end].split(_CRLF)
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, {}, block
+    headers = _parse_headers(_CRLF.join(lines[1:])) or {}
+    return status, headers, block[head_end + 4 :]
+
+
+def warc_records(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    encoding: str = "utf-8",
+    cap: int = _DECOMPRESS_CAP,
+) -> DataFrame:
+    """WARC shard ingestion over a binary column through the Arrow
+    ``mapInPandas`` boundary: per shard, sniff-and-inflate the codec
+    (gzip with per-record members — the Common Crawl layout — zstd,
+    bzip2, xz, or already-plain ``WARC/`` text), walk the record
+    framing, and emit one row per record with the headers a corpus
+    pipeline routes on (``WARC-Type``, ``WARC-Target-URI``,
+    ``WARC-Date``) plus, for HTTP response records, the parsed status
+    / Content-Type and the HTTP body decoded as text (``errors=
+    'replace'``) ready for :func:`~hobbes_spark.functions.web.
+    html_to_text`.  Non-HTTP records surface their block as the body.
+    Shards that neither inflate nor start with ``WARC/`` are DROPPED
+    (same posture as ``decompress_text``: a half-uploaded shard is
+    absent, never silently truncated)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    continue
+                raw = bytes(blob)
+                if raw[:5] == b"WARC/":
+                    codec, data = "none", raw
+                else:
+                    got = sniff_decompress(raw, cap)
+                    if got is None:
+                        continue
+                    codec, data = got
+                for k, rec in enumerate(parse_warc_records(data)):
+                    h = rec["headers"]
+                    ctype = h.get("content-type", "")
+                    if ctype.replace(" ", "").startswith("application/http"):
+                        status, hh, body = split_http_response(rec["block"])
+                        http_ct = hh.get("content-type")
+                    else:
+                        status, http_ct, body = None, None, rec["block"]
+                    rows.append((
+                        int(mid), k, codec, rec["version"],
+                        h.get("warc-type"), h.get("warc-target-uri"),
+                        h.get("warc-date"), len(rec["block"]),
+                        status, http_ct,
+                        body.decode(encoding, errors="replace"),
+                    ))
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=["media_id", "record_index", "codec", "warc_version",
+                         "warc_type", "target_uri", "warc_date",
+                         "content_length", "http_status", "http_content_type",
+                         "body"],
+            )
+            # typed NULLs across Arrow for the nullable int column
+            pdf_out["http_status"] = pd.array(
+                pdf_out["http_status"], dtype="Int32")
+            yield pdf_out
+
+    return media.mapInPandas(
+        run,
+        schema=("media_id long, record_index int, codec string, "
+                "warc_version string, warc_type string, target_uri string, "
+                "warc_date string, content_length long, http_status int, "
+                "http_content_type string, body string"),
+    )

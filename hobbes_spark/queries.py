@@ -9969,6 +9969,170 @@ def html_text_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# Hand-assembled WARC shards (round 11): the ingest layer one step
+# above the codecs — Common-Crawl-layout gzip (one member per record,
+# exercising the multi-member inflate), a store-mode zstd frame
+# (hand-built per RFC 8878, round-tripped through the system unzstd),
+# and a plain uncompressed shard.  Frozen bytes, not runtime
+# compression (codec output varies across lib versions; decompression
+# of fixed bytes cannot).
+_WARC_GZ_HEX = (
+    "1f8b08000000000002030b770c72d637d433e0e50a07b274432a0b52ad14ca13"
+    "8b9233f3d2f2a1822e89254041230323335d03435d43d310030b2b63032b0383"
+    "285e2ee7fcbc92d4bc12a8c6c482829ccce4c492ccfc3c7d9021ba6999a93929"
+    "c508653ea979e92519560a86e6bc5cbc5cc5f969254065408d69991525a545a9"
+    "20410013022a53920000001f8b08000000000002036590d14bc33010c6df0bfd"
+    "1f8e3d8ceda14d32dd186d1690894c14945919f816bbac0db469486fd021feef"
+    "a6dd86a06fb9efbbfbdd77d9dd6dd784c5340c76fe156527ab1270aab58d69d5"
+    "5594ae5018bd6f1f1328116d4288ea646d2b15e74d4d2e5df712fde88cce1611"
+    "65119b677499dcd084d28f3058370695c10b5e5a5be95ca26e0ce97929d46d81"
+    "de5afd2ebe4e3c2b5360e9b9b7f33008834d96bdfab8ccefa1f0f2f4978caa43"
+    "8facab14f252ba56e1ea888768f99fc716038ff7cd82974aee05478d95120fba"
+    "c3a3539c9c4bdee64e5b14fa0013061c6653f8826e321a8fa6297c7372b13939"
+    "333e9bfdc9f398d8f8529bc2eb4c70eba9ae45b0d24918fbaf4bc187d1788a39"
+    "b1bdfda6f2c6ec077f50c89933dc22faa03fc38c5819a80100001f8b08000000"
+    "000002033d4edd0a823014be1fec1df6027367f6432cba088b0aba085904dd0d"
+    "39a8a073e909eaed9ba0dd7d7cff8f7d9e299d00678f88a4fd0634a2c7d71b07"
+    "9a39d79748f29e5f8ca88882510a3fae0d0d2645d7aac97570149329a46b095a"
+    "ea95858d598001787296759ed0d3d4ee4268eac251dd7935f66d453b9414a5dd"
+    "7f770e5cd1975419a1979c71763a5aa1c4d9da5b7cac47e60731aacb6abe0000"
+    "00"
+)
+_WARC_ZSTD_HEX = (
+    "28b52ffd600601180800574152432f312e300d0a574152432d547970653a2072"
+    "6573706f6e73650d0a574152432d5461726765742d5552493a2068747470733a"
+    "2f2f7a7374642e6578616d706c652f610d0a574152432d446174653a20323032"
+    "362d30312d31355430383a33303a30305a0d0a436f6e74656e742d547970653a"
+    "206170706c69636174696f6e2f687474703b6d7367747970653d726573706f6e"
+    "73650d0a436f6e74656e742d4c656e6774683a203135320d0a0d0a485454502f"
+    "312e3120323030204f4b0d0a436f6e74656e742d547970653a20746578742f68"
+    "746d6c3b20636861727365743d7574662d380d0a436f6e74656e742d4c656e67"
+    "74683a2037330d0a0d0a3c68741908006d6c3e3c626f64793e3c212d2d206320"
+    "2d2d3e3c703e5a73746420636166c3a920706167653c2f703e3c6469763e7461"
+    "696c3c2f6469763e3c2f626f64793e3c2f68746d6c3e0d0a0d0a574152432f31"
+    "2e300d0a574152432d547970653a206d657461646174610d0a574152432d5461"
+    "726765742d5552493a2068747470733a2f2f7a7374642e6578616d706c652f61"
+    "0d0a574152432d446174653a20323032362d30312d31355430383a33303a3030"
+    "5a0d0a436f6e74656e742d547970653a206170706c69636174696f6e2f776172"
+    "632d6669656c64730d0a436f6e74656e742d4c656e6774683a2031350d0a0d0a"
+    "666574636854696d654d733a2037370d0a0d0a"
+)
+_WARC_PLAIN_HEX = (
+    "574152432f312e300d0a574152432d547970653a206d657461646174610d0a57"
+    "4152432d5461726765742d5552493a20687474703a2f2f706c61696e2e657861"
+    "6d706c652f0d0a574152432d446174653a20323032362d30312d31355430383a"
+    "33303a30305a0d0a436f6e74656e742d547970653a206170706c69636174696f"
+    "6e2f776172632d6669656c64730d0a436f6e74656e742d4c656e6774683a2031"
+    "300d0a0d0a7669613a20706c61696e0d0a0d0a"
+)
+
+#: the HTML bodies embedded in the response records above — the
+#: literals the oracle replays (the Spark side must RECOVER these
+#: byte-for-byte from the WARC/HTTP framing for the hashes to agree)
+_WARC_HTML1 = '<html><head><title>Fixture</title><script>if (1 < 2) { x("&"); }</script></head><body><h1>Heading</h1><p>First para &amp; entity.</p><p>Second para</p></body></html>'
+_WARC_HTML2 = '<html><body><!-- c --><p>Zstd café page</p><div>tail</div></body></html>'
+
+
+def _warc_fixture_df(spark):
+    rows = [
+        (1, bytearray.fromhex(_WARC_GZ_HEX)),
+        (2, bytearray.fromhex(_WARC_ZSTD_HEX)),
+        (3, bytearray.fromhex(_WARC_PLAIN_HEX)),
+        (4, bytearray(b"not a warc shard, not compressed")),
+        (5, bytearray.fromhex(_WARC_GZ_HEX)[:-6]),  # truncated member
+    ]
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+@q(
+    "warc_records",
+    f"""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(0 AS INTEGER), 'gzip', 'warcinfo',
+       CAST(NULL AS VARCHAR), '2026-01-15T08:30:00Z', CAST(17 AS BIGINT),
+       CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), 'software: fixture'),
+      (CAST(1 AS BIGINT), CAST(1 AS INTEGER), 'gzip', 'response',
+       'http://example.com/', '2026-01-15T08:30:00Z', CAST(245 AS BIGINT),
+       CAST(200 AS INTEGER), 'text/html; charset=utf-8', {_esql(_WARC_HTML1)}),
+      (CAST(1 AS BIGINT), CAST(2 AS INTEGER), 'gzip', 'request',
+       'http://example.com/', '2026-01-15T08:30:00Z', CAST(14 AS BIGINT),
+       CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), 'GET / HTTP/1.1'),
+      (CAST(2 AS BIGINT), CAST(0 AS INTEGER), 'zstd', 'response',
+       'https://zstd.example/a', '2026-01-15T08:30:00Z', CAST(152 AS BIGINT),
+       CAST(200 AS INTEGER), 'text/html; charset=utf-8', {_esql(_WARC_HTML2)}),
+      (CAST(2 AS BIGINT), CAST(1 AS INTEGER), 'zstd', 'metadata',
+       'https://zstd.example/a', '2026-01-15T08:30:00Z', CAST(15 AS BIGINT),
+       CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), 'fetchTimeMs: 77'),
+      (CAST(3 AS BIGINT), CAST(0 AS INTEGER), 'none', 'metadata',
+       'http://plain.example/', '2026-01-15T08:30:00Z', CAST(10 AS BIGINT),
+       CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), 'via: plain')
+    ) AS t(media_id, record_index, codec, warc_type, target_uri, warc_date,
+           content_length, http_status, http_content_type, body)
+    ORDER BY media_id, record_index
+    """,
+)
+def warc_records_q(spark, sf_dir):
+    """WARC record framing truth pin (round 11, the single most common
+    100 TB input): three shard layouts — per-record gzip members (the
+    Common Crawl seekable layout, riding the r11 multi-member inflate
+    fix), a hand-built store-mode zstd frame (validated against the
+    system unzstd), and plain uncompressed text — walk to six records
+    with typed headers, and the HTTP response blocks split into
+    status / Content-Type / body (the exact HTML the oracle embeds as
+    a literal).  A non-WARC payload and a TRUNCATED gzip member are
+    both dropped whole (rows 4/5 -> absent): a half-uploaded shard
+    surfaces as missing, never as silently-truncated records.
+    Map-only over Arrow batches, zero shuffle."""
+    from hobbes_spark.functions.warc import warc_records
+
+    return warc_records(_warc_fixture_df(spark)).select(
+        "media_id", "record_index", "codec", "warc_type", "target_uri",
+        "warc_date", "content_length", "http_status", "http_content_type",
+        "body",
+    ).orderBy("media_id", "record_index")
+
+
+@q(
+    "warc_html_pipeline",
+    f"""
+    WITH pages AS (
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'http://example.com/', {_esql(_WARC_HTML1)}),
+        (CAST(2 AS BIGINT), 'https://zstd.example/a', {_esql(_WARC_HTML2)})
+      ) AS t(media_id, target_uri, raw)
+    ),
+    x AS (SELECT media_id, target_uri, {_html_sql("raw")} AS txt FROM pages)
+    SELECT media_id, target_uri,
+           CAST(len(txt) AS BIGINT) AS n_chars, md5(txt) AS fp
+    FROM x ORDER BY media_id
+    """,
+)
+def warc_html_pipeline(spark, sf_dir):
+    """End-to-end crawl ingest (round 11 verdict item 2): WARC shard ->
+    codec sniff -> record walk -> HTTP response split -> html_to_text,
+    the full path a web corpus takes before any text operator.  The
+    Spark side recovers each HTML body from the compressed WARC/HTTP
+    framing and extracts text through the shared HTML_RULES; the
+    oracle starts from the embedded HTML literals and replays the SAME
+    rule table in DuckDB — the md5 agrees only if BOTH the framing
+    recovery and the extraction are byte-exact.  Map-only, shuffle-free
+    (the orderBy is presentation-only at fixture scale)."""
+    from hobbes_spark.functions.warc import warc_records
+    from hobbes_spark.functions.web import html_to_text
+
+    recs = warc_records(_warc_fixture_df(spark))
+    pages = recs.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    )
+    txt = html_to_text(F.col("body"))
+    return pages.select(
+        "media_id", "target_uri",
+        F.length(txt).cast("bigint").alias("n_chars"),
+        F.md5(txt).alias("fp"),
+    ).orderBy("media_id")
+
+
+
 @q(
     "stream_curation_stats",
     f"""
@@ -10394,6 +10558,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # CORRECTNESS_r10.json.  Queries ADDED this round are never-signed
     # as of r10 and therefore lead automatically — keep this list in
     # sync when adding catalog entries (the contract test enforces it).
+    # --- never signed as of r10 (new in r11) ---
+    "warc_html_pipeline", "warc_records",
     # --- changed since last signature: the r10 frame_sample_plan wiring
     #     (video_frame_plan_real) post-dates media_frame_plan's r6 row ---
     "media_frame_plan",
@@ -10408,7 +10574,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_curation_stats", "stream_tumbling_counts", "token_frequencies",
     "weekday_counts",
-    # --- last signed in r7, alphabetical (26 of the r7 group; the
+    # --- last signed in r7, alphabetical (24 of the r7 group; the
     #     remainder rolls to the r12 rotation) ---
     "azdo_commit_authors", "chunk_docs",
     "classifier_scores", "cohort_retention", "contamination_report",
@@ -10418,8 +10584,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
     "hb_velocity_pivot", "ivf_pq_fixture_exact", "jaccard_prefix_pairs",
     "join_skew_stats", "kmeans_clusters", "label_centroids",
-    "lsh_candidate_stats", "media_decode_meta", "minhash_incremental",
-    "minhash_star_edges",
+    "lsh_candidate_stats", "media_decode_meta",
 ]
 
 

@@ -1,0 +1,142 @@
+"""WARC record framing (round 11): ISO 28500 record walk, HTTP
+response split, and the Spark ``warc_records`` boundary over all three
+shard layouts a crawl lands in (per-record gzip members, zstd, plain).
+"""
+
+import gzip
+
+from hobbes_spark.functions.warc import (
+    parse_warc_records,
+    split_http_response,
+    warc_records,
+)
+
+
+def _rec(rtype, uri, block, ctype=None, version=b"1.0"):
+    h = [b"WARC/" + version, b"WARC-Type: " + rtype.encode()]
+    if uri:
+        h.append(b"WARC-Target-URI: " + uri.encode())
+    h.append(b"WARC-Date: 2026-01-15T08:30:00Z")
+    if ctype:
+        h.append(b"Content-Type: " + ctype.encode())
+    h.append(b"Content-Length: " + str(len(block)).encode())
+    return b"\r\n".join(h) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def _http(body, ct=b"text/html"):
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: " + ct
+            + b"\r\nContent-Length: " + str(len(body)).encode()
+            + b"\r\n\r\n" + body)
+
+
+class TestParseWarcRecords:
+    def test_multi_record_walk(self):
+        shard = (_rec("warcinfo", None, b"software: t",
+                      "application/warc-fields")
+                 + _rec("response", "http://a/", _http(b"<p>x</p>"),
+                        "application/http; msgtype=response")
+                 + _rec("request", "http://a/", b"GET / HTTP/1.1",
+                        "application/http; msgtype=request"))
+        recs = parse_warc_records(shard)
+        assert [r["headers"]["warc-type"] for r in recs] == [
+            "warcinfo", "response", "request"]
+        assert recs[1]["headers"]["warc-target-uri"] == "http://a/"
+        assert recs[0]["version"] == "1.0"
+        # the block is EXACTLY Content-Length bytes, CRLFs excluded
+        assert recs[0]["block"] == b"software: t"
+
+    def test_warc_11_and_binary_block(self):
+        # a WARC/1.1 record whose block is binary (contains \r\n\r\n —
+        # the walk must use Content-Length, not delimiter scanning)
+        block = b"\x00\x01\r\n\r\n\xff tail"
+        recs = parse_warc_records(
+            _rec("resource", "http://b/", block, version=b"1.1")
+            + _rec("metadata", "http://b/", b"k: v"))
+        assert len(recs) == 2 and recs[0]["block"] == block
+        assert recs[0]["version"] == "1.1"
+
+    def test_truncated_tail_keeps_head(self):
+        shard = (_rec("metadata", "http://a/", b"one: 1")
+                 + _rec("metadata", "http://a/", b"two: 2"))
+        # cut into the second record's block
+        recs = parse_warc_records(shard[:-10])
+        assert len(recs) == 1 and recs[0]["block"] == b"one: 1"
+
+    def test_never_raises_on_garbage(self):
+        valid = _rec("response", "http://a/", _http(b"x"),
+                     "application/http;msgtype=response")
+        for cut in range(len(valid)):
+            assert isinstance(parse_warc_records(valid[:cut]), list)
+        for off in range(0, len(valid), 7):
+            for m in (0x00, 0xFF, valid[off] ^ 0x55):
+                mut = valid[:off] + bytes([m]) + valid[off + 1:]
+                assert isinstance(parse_warc_records(mut), list)
+        assert parse_warc_records(b"") == []
+        assert parse_warc_records(b"HTTP/1.1 200 OK\r\n\r\n") == []
+
+    def test_missing_or_bad_content_length_stops(self):
+        no_len = (b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\nbody\r\n\r\n")
+        assert parse_warc_records(no_len) == []
+        bad = (b"WARC/1.0\r\nWARC-Type: m\r\nContent-Length: ten\r\n\r\n")
+        assert parse_warc_records(bad) == []
+
+    def test_max_records_guard(self):
+        one = _rec("metadata", None, b"")
+        assert len(parse_warc_records(one * 10, max_records=3)) == 3
+
+    def test_header_obs_fold_continuation(self):
+        rec = (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+               b"WARC-Target-URI: http://long.example/\r\n\tpath\r\n"
+               b"Content-Length: 0\r\n\r\n\r\n\r\n")
+        recs = parse_warc_records(rec)
+        assert recs[0]["headers"]["warc-target-uri"] == (
+            "http://long.example/ path")
+
+
+class TestSplitHttpResponse:
+    def test_response_split(self):
+        st, hh, body = split_http_response(_http(b"<html>hi</html>"))
+        assert st == 200 and hh["content-type"] == "text/html"
+        assert body == b"<html>hi</html>"
+
+    def test_non_http_block_passthrough(self):
+        st, hh, body = split_http_response(b"GET / HTTP/1.1")
+        assert st is None and hh == {} and body == b"GET / HTTP/1.1"
+
+    def test_malformed_status_line(self):
+        st, _, body = split_http_response(b"HTTP/1.1 OK\r\n\r\nx")
+        assert st is None and body == b"HTTP/1.1 OK\r\n\r\nx"
+
+
+class TestWarcRecordsDataFrame:
+    def test_three_layouts_and_refusals(self, spark):
+        html = b"<html><body><p>Page</p></body></html>"
+        resp = _rec("response", "http://a/", _http(html),
+                    "application/http; msgtype=response")
+        meta = _rec("metadata", "http://a/", b"k: v",
+                    "application/warc-fields")
+        gz = b"".join(gzip.compress(r, mtime=0) for r in (resp, meta))
+        rows = [
+            (1, bytearray(gz)),                       # CC layout
+            (2, bytearray(resp + meta)),              # plain
+            (3, bytearray(b"neither warc nor codec")),  # dropped
+            (4, bytearray(gzip.compress(resp, mtime=0)[:-4])),  # truncated
+        ]
+        media = spark.createDataFrame(rows, "media_id long, content binary")
+        got = warc_records(media).orderBy("media_id", "record_index")
+        out = [r.asDict() for r in got.collect()]
+        assert [(r["media_id"], r["record_index"], r["codec"],
+                 r["warc_type"]) for r in out] == [
+            (1, 0, "gzip", "response"), (1, 1, "gzip", "metadata"),
+            (2, 0, "none", "response"), (2, 1, "none", "metadata"),
+        ]
+        assert out[0]["http_status"] == 200
+        assert out[0]["body"] == html.decode()
+        assert out[1]["http_status"] is None  # typed NULL across Arrow
+        assert out[0]["target_uri"] == "http://a/"
+
+    def test_plan_is_map_only(self, spark):
+        media = spark.createDataFrame(
+            [(1, bytearray(b"x"))], "media_id long, content binary")
+        plan = warc_records(media)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # zero shuffle: pure mapInPandas
