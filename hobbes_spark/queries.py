@@ -4493,6 +4493,16 @@ _FLAC_SI = (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
             + (576).to_bytes(2, "big") * 2 + bytes(6)
             + ((22050 << 44) | (1 << 41) | (15 << 36) | 44100).to_bytes(8, "big")
             + bytes(16))
+# MP3_VBR (round 11): MPEG2.5 L3 mono 11025 Hz with a Xing header in
+# the first frame (after the 9-byte mono side info): flags=3, 600
+# total frames, 62400 total bytes — but only TWO frames on disk (the
+# head-fetch shape).  Encoder-declared duration 600*576 samples ->
+# 31_346_938 us and average bitrate 15 kbps; the walk-only estimate
+# would say 104_489 us / 16 kbps (first-frame header), ~300x short.
+_MP3_VBR = (bytes([0xFF, 0xE3, 0x20, 0xC0]) + bytes(9)
+            + b"Xing" + (3).to_bytes(4, "big") + (600).to_bytes(4, "big")
+            + (62400).to_bytes(4, "big") + bytes(104 - 29)
+            + bytes([0xFF, 0xE3, 0x20, 0xC0]) + bytes(100))
 
 
 @q(
@@ -4510,7 +4520,10 @@ _FLAC_SI = (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
        CAST(78367 AS BIGINT), CAST(128 AS INTEGER)),
       (CAST(4 AS BIGINT), 'mp3', CAST(8000 AS INTEGER),
        CAST(1 AS INTEGER), CAST(NULL AS INTEGER), CAST(1152 AS BIGINT),
-       CAST(144000 AS BIGINT), CAST(16 AS INTEGER))
+       CAST(144000 AS BIGINT), CAST(16 AS INTEGER)),
+      (CAST(6 AS BIGINT), 'mp3', CAST(11025 AS INTEGER),
+       CAST(1 AS INTEGER), CAST(NULL AS INTEGER), CAST(345600 AS BIGINT),
+       CAST(31346938 AS BIGINT), CAST(15 AS INTEGER))
     ) AS t(media_id, container, sample_rate, n_channels, bits,
            n_samples, duration_us, bitrate_kbps)
     ORDER BY media_id
@@ -4521,11 +4534,14 @@ def audio_meta(spark, sf_dir):
     decode), FLAC (exact STREAMINFO bit-unpack: 20-bit rate, 3-bit
     channels, 5-bit depth, 36-bit total samples) and MP3 (ID3v2
     syncsafe skip, frame-header walk across MPEG1 L3 CBR AND MPEG2.5 L3
-    mono with a padding-bit frame, trailing junk stopping the walk)
+    mono with a padding-bit frame, trailing junk stopping the walk;
+    round 11: a Xing-headed VBR file fetched HEAD-ONLY whose
+    encoder-declared 600-frame duration differs ~300x from the
+    walk-of-what's-present estimate, with the true average bitrate)
     unify through one Arrow mapInPandas surface — against a
     pure-literal oracle including the typed NULLs each format cannot
     know (MP3 bits, FLAC bitrate).  A fifth OggS payload must be
-    dropped (4-row count pins it).  Payload decode for compressed audio
+    dropped (5-row count pins it).  Payload decode for compressed audio
     still refuses — this is the header-only posture of the whole
     multimodal family."""
     from hobbes_spark.functions.multimodal import audio_meta as ameta
@@ -4536,6 +4552,7 @@ def audio_meta(spark, sf_dir):
         (3, bytearray(_MP3_CBR)),
         (4, bytearray(_MP3_V25)),
         (5, bytearray(b"OggS" + bytes(40))),  # undecodable: dropped
+        (6, bytearray(_MP3_VBR)),  # Xing VBR, head-only fetch (r11)
     ]
     media = spark.createDataFrame(rows, "media_id long, content binary")
     return ameta(media).orderBy("media_id")
@@ -4589,11 +4606,42 @@ _MP4_V1_HEX = (
 )
 
 
+# FRAG (round 11, verdict item 4): fragmented MP4 (DASH/CMAF layout) —
+# dash brand, mvhd duration 0 at timescale 1000 with the true movie
+# duration 4000 in mvex/mehd -> 4_000_000 us, video track id 7 with an
+# EMPTY stts (samples live in fragments), three moof fragments: trun
+# runs 30 then 20+5 for track 7 (-> 55 frames) and 99 for an OTHER
+# track id 8 that must not count.
+_MP4_FRAG_HEX = (
+    "0000001866747970646173680000000069736F366D7034310000017A6D6F6F76"
+    "0000006C6D766864000000000000000000000000000003E80000000000010000"
+    "0000000000000000000000000001000000000000000000000000000000010000"
+    "0000000000000000000000004000000000000000000000000000000000000000"
+    "0000000000000000FFFFFFFF000000386D766578000000106D65686400000000"
+    "00000FA000000020747265780000000000000007000000010000000000000000"
+    "00000000000000CE7472616B0000005C746B6864000000000000000000000000"
+    "0000000700000000000000000000000000000000000000000000000000010000"
+    "0000000000000000000000000001000000000000000000000000000040000000"
+    "0500000002D000000000006A6D646961000000206D6468640000000000000000"
+    "00000000000075300000000055C400000000002268646C720000000000000000"
+    "766964650000000000000000000000004800000000206D696E66000000187374"
+    "626C00000010737474730000000000000000000000406D6F6F66000000106D66"
+    "6864000000000000000100000028747261660000001074666864000000000000"
+    "0007000000107472756E000000000000001E000000106D646174000000000000"
+    "0000000000506D6F6F66000000106D6668640000000000000002000000387472"
+    "616600000010746668640000000000000007000000107472756E000000000000"
+    "0014000000107472756E00000000000000050000000C6D646174000000000000"
+    "00406D6F6F66000000106D666864000000000000000300000028747261660000"
+    "0010746668640000000000000008000000107472756E0000000000000063"
+)
+
+
 def _mp4_fixture_media(spark):
     rows = [
         (1, bytearray.fromhex(_MP4_V0_HEX)),
         (2, bytearray.fromhex(_MP4_V1_HEX)),
         (3, bytearray(b"\x00\x00\x00\x08free" + b"\x00" * 36)),  # no ftyp
+        (4, bytearray.fromhex(_MP4_FRAG_HEX)),  # fragmented (r11)
     ]
     return spark.createDataFrame(rows, "media_id long, content binary")
 
@@ -4607,7 +4655,10 @@ def _mp4_fixture_media(spark):
        CAST(75 AS INTEGER)),
       (CAST(2 AS BIGINT), 'mp42', CAST(2000000 AS BIGINT),
        CAST(2 AS INTEGER), CAST(64 AS INTEGER), CAST(48 AS INTEGER),
-       CAST(10 AS INTEGER))
+       CAST(10 AS INTEGER)),
+      (CAST(4 AS BIGINT), 'dash', CAST(4000000 AS BIGINT),
+       CAST(1 AS INTEGER), CAST(1280 AS INTEGER), CAST(720 AS INTEGER),
+       CAST(55 AS INTEGER))
     ) AS t(media_id, major_brand, duration_us, n_tracks, width, height,
            n_frames)
     ORDER BY media_id
@@ -4623,7 +4674,11 @@ def video_meta(spark, sf_dir):
     the stts total-sample frame count — against a pure-literal oracle.
     A third payload with no leading ftyp box must be dropped (the
     2-row count pins it).  Header-only, same posture as the image
-    family's header_dims: the codec bitstream is never decoded."""
+    family's header_dims: the codec bitstream is never decoded.
+    Round 11 (verdict item 4): a FRAGMENTED MP4 — empty moov stts,
+    mvhd duration 0 — recovers its 55-frame count from moof/traf/trun
+    runs (track-id filtered past a foreign track's 99) and its exact
+    duration from mvex/mehd."""
     from hobbes_spark.functions.multimodal import video_meta as vmeta
 
     return vmeta(_mp4_fixture_media(spark)).orderBy("media_id")
@@ -4637,7 +4692,9 @@ def video_meta(spark, sf_dir):
       (CAST(1 AS BIGINT), 1, 30),
       (CAST(1 AS BIGINT), 2, 60),
       (CAST(2 AS BIGINT), 0, 0),
-      (CAST(3 AS BIGINT), 0, 0)
+      (CAST(3 AS BIGINT), 0, 0),
+      (CAST(4 AS BIGINT), 0, 0),
+      (CAST(4 AS BIGINT), 1, 30)
     ) AS t(media_id, frame_pos, frame_index)
     ORDER BY media_id, frame_pos
     """,

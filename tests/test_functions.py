@@ -3747,6 +3747,51 @@ class TestCompressedAudioMeta:
         # non-syncsafe ID3 size byte refuses
         assert parse_mp3_meta(b"ID3" + bytes([3, 0, 0, 0, 0, 0, 0x80])) is None
 
+    def test_xing_vbr_header(self):
+        """Xing/Info/VBRI (round 11, verdict item 3): the encoder's
+        total-frame count beats the walk — exact duration from a
+        HEAD-ONLY fetch of a VBR file, average bitrate from the byte
+        count; 'Info' (CBR marker) keeps the header bitrate; a crafted
+        frame count past the 4M bound falls back to the walk."""
+        from hobbes_spark.functions.multimodal import parse_mp3_meta
+
+        # MPEG1 L3 stereo 128 kbps 44100: side info 32, frame 417
+        hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+
+        def with_tag(tag_bytes, extra_frames=1):
+            f = bytearray(hdr + bytes(417 - 4))
+            f[36 : 36 + len(tag_bytes)] = tag_bytes
+            return bytes(f) + (hdr + bytes(417 - 4)) * extra_frames
+
+        xing = (b"Xing" + (3).to_bytes(4, "big")
+                + (5000).to_bytes(4, "big") + (2_000_000).to_bytes(4, "big"))
+        got = parse_mp3_meta(with_tag(xing))
+        assert got["n_frames"] == 5000
+        assert got["n_samples"] == 5000 * 1152
+        assert got["duration_us"] == 5000 * 1152 * 1_000_000 // 44100
+        assert got["bitrate_kbps"] == 122  # 2e6 B over 130.6 s, not 128
+
+        info = b"Info" + (1).to_bytes(4, "big") + (100).to_bytes(4, "big")
+        got = parse_mp3_meta(with_tag(info))
+        assert got["n_frames"] == 100 and got["bitrate_kbps"] == 128
+
+        vbri = (b"VBRI" + bytes(6)
+                + (999_000).to_bytes(4, "big") + (2500).to_bytes(4, "big"))
+        got = parse_mp3_meta(with_tag(vbri))
+        assert got["n_frames"] == 2500
+
+        crafted = b"Xing" + (1).to_bytes(4, "big") + (1 << 30).to_bytes(4, "big")
+        got = parse_mp3_meta(with_tag(crafted))
+        assert got["n_frames"] == 2  # walk of what's present
+
+        # MPEG2.5 mono: side info is 9 bytes, spf 576
+        h25 = bytes([0xFF, 0xE3, 0x20, 0xC0])
+        f = bytearray(h25 + bytes(104 - 4))
+        x = b"Xing" + (1).to_bytes(4, "big") + (42).to_bytes(4, "big")
+        f[13 : 13 + len(x)] = x
+        got = parse_mp3_meta(bytes(f))
+        assert got["n_frames"] == 42 and got["n_samples"] == 42 * 576
+
     @staticmethod
     def _id3_frame(fid, enc, text, v4=False):
         enc_name = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}[enc]
@@ -4092,6 +4137,83 @@ class TestMp4Meta:
         b = _mp4(b"isom", 0, 1000, 2500,
                  [(b"vide", 0, 1 << 16, 1 << 16, [((1 << 31) - 1, 1)])])
         assert parse_mp4_meta(b)["n_frames"] == (1 << 31) - 1
+
+    @staticmethod
+    def _fmp4(track_id=7, frag_runs=((7, (30,)), (7, (20, 5)), (8, (99,))),
+              mehd_dur=4000, mehd_ver=0):
+        """Hand-assemble a fragmented MP4: dash brand, mvhd duration 0,
+        mvex/mehd movie duration, video track with an EMPTY stts, and
+        moof/traf/trun fragments per ``frag_runs``."""
+        import struct
+
+        def bx(t, p):
+            return struct.pack(">I", 8 + len(p)) + t + p
+
+        def full(ver, p):
+            return bytes([ver]) + b"\x00\x00\x00" + p
+
+        def I(v, n=4):
+            return v.to_bytes(n, "big")
+
+        ftyp = bx(b"ftyp", b"dash" + I(0) + b"iso6mp41")
+        mvhd = bx(b"mvhd", full(0, I(0) * 2 + I(1000) + I(0)
+                                 + I(0x00010000) + I(0, 2) * 2 + I(0, 8)
+                                 + _MP4_MATRIX + I(0) * 6 + I(0xFFFFFFFF)))
+        if mehd_ver == 1:
+            mehd = bx(b"mehd", full(1, I(mehd_dur, 8)))
+        else:
+            mehd = bx(b"mehd", full(0, I(mehd_dur)))
+        mvex = bx(b"mvex", mehd + bx(b"trex", full(0, I(track_id) + I(1)
+                                                   + I(0) * 3)))
+        tkhd = bx(b"tkhd", full(0, I(0) * 2 + I(track_id) + I(0) + I(0)
+                                 + I(0, 8) + I(0, 2) * 4 + _MP4_MATRIX
+                                 + I(1280 << 16) + I(720 << 16)))
+        mdia = bx(b"mdia", bx(b"mdhd", full(0, I(0) * 2 + I(30000) + I(0)
+                                            + I(0x55C4, 2) + I(0, 2)))
+                  + bx(b"hdlr", full(0, I(0) + b"vide" + I(0) * 3 + b"H\x00"))
+                  + bx(b"minf", bx(b"stbl", bx(b"stts", full(0, I(0))))))
+        out = ftyp + bx(b"moov", mvhd + mvex + bx(b"trak", tkhd + mdia))
+        for k, (tid, counts) in enumerate(frag_runs, 1):
+            tfhd = bx(b"tfhd", full(0, I(tid)))
+            truns = b"".join(bx(b"trun", full(0, I(c))) for c in counts)
+            out += bx(b"moof", bx(b"mfhd", full(0, I(k)))
+                      + bx(b"traf", tfhd + truns))
+            out += bx(b"mdat", bytes(4))
+        return out
+
+    def test_fragmented_mp4(self):
+        """fMP4 (round 11, verdict item 4): an empty moov stts routes
+        the frame count to the moof/traf/trun walk (track-id filtered),
+        and an mvhd duration of 0 routes the duration to mvex/mehd —
+        the DASH/CMAF layout crawled video ships in."""
+        from hobbes_spark.functions.multimodal import parse_mp4_meta
+
+        got = parse_mp4_meta(self._fmp4())
+        assert got == {"major_brand": "dash", "duration_us": 4_000_000,
+                       "n_tracks": 1, "width": 1280, "height": 720,
+                       "n_frames": 55}  # 30 + 20 + 5; track 8's 99 excluded
+        # mehd v1 (64-bit duration)
+        got = parse_mp4_meta(self._fmp4(mehd_dur=2000, mehd_ver=1))
+        assert got["duration_us"] == 2_000_000
+        # no fragment carries the video track: n_frames stays NULL
+        got = parse_mp4_meta(self._fmp4(frag_runs=((8, (99,)),)))
+        assert got["n_frames"] is None
+        # crafted trun totals past int32 clamp to NULL, never raise
+        got = parse_mp4_meta(self._fmp4(
+            frag_runs=((7, (0xFFFFFF00,)), (7, (0xFFFFFF00,)))))
+        assert got["n_frames"] is None
+
+    def test_fmp4_never_raises_on_garbage(self):
+        from hobbes_spark.functions.multimodal import parse_mp4_meta
+
+        valid = self._fmp4()
+        for cut in range(0, len(valid), 5):
+            got = parse_mp4_meta(valid[:cut])
+            assert got is None or isinstance(got, dict)
+        for off in range(0, len(valid), 7):
+            for m in (0x00, 0xFF, valid[off] ^ 0x55):
+                got = parse_mp4_meta(valid[:off] + bytes([m]) + valid[off + 1:])
+                assert got is None or isinstance(got, dict)
 
     def test_never_raises_on_garbage(self):
         from hobbes_spark.functions.multimodal import parse_mp4_meta
