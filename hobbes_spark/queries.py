@@ -10026,6 +10026,64 @@ def html_text_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# Subtitle fixtures (round 11, verdict item 6): an SRT payload (CRLF
+# line ends, comma milliseconds, a multi-line cue, an <i>-tagged cue
+# with a latin-1-in-utf-8 é) and a WebVTT payload (signature + kind
+# header, NOTE and STYLE blocks that must be skipped, a cue id, cue
+# settings after the end stamp, <v>/<b> voice tags, an hour-less AND
+# an hour-carrying timestamp).
+_SRT_FIXTURE = ("1\r\n00:00:01,000 --> 00:00:03,500\r\nHello there.\r\n\r\n"
+                "2\r\n00:00:04,000 --> 00:00:06,250\r\nSecond cue,\r\n"
+                "two lines.\r\n\r\n"
+                "3\r\n00:01:00,000 --> 00:01:02,000\r\n"
+                "<i>Tagged</i> caf\u00e9 text\r\n")
+_VTT_FIXTURE = ("WEBVTT - Kind: captions\n\nNOTE a note block\n"
+                "that spans lines\n\nSTYLE\n::cue { color: red }\n\n"
+                "intro\n00:01.000 --> 00:03.000 position:10%\n"
+                "<v Roger>Hi <b>there</b></v>\n\n"
+                "01:00:00.500 --> 01:00:02.000\nHour-long mark\n")
+
+
+@q(
+    "subtitle_cues",
+    f"""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(0 AS INTEGER), 'srt', CAST(1000 AS BIGINT),
+       CAST(3500 AS BIGINT), CAST(2500 AS BIGINT), 'Hello there.'),
+      (CAST(1 AS BIGINT), CAST(1 AS INTEGER), 'srt', CAST(4000 AS BIGINT),
+       CAST(6250 AS BIGINT), CAST(2250 AS BIGINT),
+       {_esql("Second cue,")} || chr(10) || {_esql("two lines.")}),
+      (CAST(1 AS BIGINT), CAST(2 AS INTEGER), 'srt', CAST(60000 AS BIGINT),
+       CAST(62000 AS BIGINT), CAST(2000 AS BIGINT), 'Tagged café text'),
+      (CAST(2 AS BIGINT), CAST(0 AS INTEGER), 'vtt', CAST(1000 AS BIGINT),
+       CAST(3000 AS BIGINT), CAST(2000 AS BIGINT), 'Hi there'),
+      (CAST(2 AS BIGINT), CAST(1 AS INTEGER), 'vtt', CAST(3600500 AS BIGINT),
+       CAST(3602000 AS BIGINT), CAST(1500 AS BIGINT), 'Hour-long mark')
+    ) AS t(media_id, cue_index, format, start_ms, end_ms, duration_ms, text)
+    ORDER BY media_id, cue_index
+    """,
+)
+def subtitle_cues_q(spark, sf_dir):
+    """Caption parsing truth pin (round 11, verdict item 6): the text a
+    video corpus trains on.  The SRT payload exercises CRLF line ends,
+    comma milliseconds, a MULTI-LINE cue (the oracle concatenates via
+    chr(10)) and inline tag stripping with a non-ASCII char; the WebVTT
+    payload exercises the signature header, NOTE/STYLE block skipping,
+    cue ids, post-stamp cue settings, voice tags, and both hour-less
+    and hour-carrying timestamps (exact integer milliseconds, no float
+    seconds anywhere).  A third non-caption payload is dropped (the
+    5-row count pins it).  Map-only over Arrow batches, zero shuffle."""
+    from hobbes_spark.functions.subtitles import subtitle_cues
+
+    rows = [
+        (1, bytearray(_SRT_FIXTURE.encode())),
+        (2, bytearray(_VTT_FIXTURE.encode())),
+        (3, bytearray(b"not captions: no arrow, no signature")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    return subtitle_cues(media).orderBy("media_id", "cue_index")
+
+
 # Hand-assembled WARC shards (round 11): the ingest layer one step
 # above the codecs — Common-Crawl-layout gzip (one member per record,
 # exercising the multi-member inflate), a store-mode zstd frame
@@ -10616,7 +10674,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # as of r10 and therefore lead automatically — keep this list in
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r10 (new in r11) ---
-    "warc_html_pipeline", "warc_records",
+    "subtitle_cues", "warc_html_pipeline", "warc_records",
     # --- changed since last signature: the r10 frame_sample_plan wiring
     #     (video_frame_plan_real) post-dates media_frame_plan's r6 row ---
     "media_frame_plan",
@@ -10631,7 +10689,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_curation_stats", "stream_tumbling_counts", "token_frequencies",
     "weekday_counts",
-    # --- last signed in r7, alphabetical (24 of the r7 group; the
+    # --- last signed in r7, alphabetical (23 of the r7 group; the
     #     remainder rolls to the r12 rotation) ---
     "azdo_commit_authors", "chunk_docs",
     "classifier_scores", "cohort_retention", "contamination_report",
@@ -10641,7 +10699,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
     "hb_velocity_pivot", "ivf_pq_fixture_exact", "jaccard_prefix_pairs",
     "join_skew_stats", "kmeans_clusters", "label_centroids",
-    "lsh_candidate_stats", "media_decode_meta",
+    "lsh_candidate_stats",
 ]
 
 
