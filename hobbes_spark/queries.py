@@ -10026,6 +10026,97 @@ def html_text_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@q(
+    "ann_recall_fixture",
+    """
+    SELECT * FROM (VALUES
+      (CAST(100 AS BIGINT), 'pq_adc', CAST(0.0 AS DOUBLE)),
+      (CAST(100 AS BIGINT), 'pq_adc_rerank25', CAST(0.5 AS DOUBLE)),
+      (CAST(100 AS BIGINT), 'pq_adc_rerank40', CAST(1.0 AS DOUBLE)),
+      (CAST(101 AS BIGINT), 'pq_adc', CAST(0.0 AS DOUBLE)),
+      (CAST(101 AS BIGINT), 'pq_adc_rerank25', CAST(0.5 AS DOUBLE)),
+      (CAST(101 AS BIGINT), 'pq_adc_rerank40', CAST(1.0 AS DOUBLE))
+    ) AS t(query_id, method, recall_at_10)
+    ORDER BY query_id, method
+    """,
+)
+def ann_recall_fixture(spark, sf_dir):
+    """Retrieval-QUALITY truth pin (round 11, verdict item 8): the
+    recall@10 meter itself, driver-signed — not result equality but
+    the measured fraction of the exact top-10 an approximate method
+    recovers, on a fixture where every value is hand-derivable.
+
+    Fixture (D=2): cluster A = ids 1..30 at (100, i), cluster B = ids
+    31..60 at (i, 100); queries 100 = (100, 31), 101 = (31, 100).
+    Exact top-10 by cosine for query 100 is ids 21..30 (cos rises
+    with i toward the query's 31).  pq_codebooks(levels=2) yields the
+    (0.25, 0.75) interpolated percentiles of each dimension's 60
+    values [1..30, 100 x 30]: index 0.25*59 = 14.75 -> 15.75 and
+    0.75*59 = 44.25 -> 100, so both codebooks are [15.75, 100] and
+    EVERY cluster-A point encodes to the same (1, 0) code — raw ADC
+    distance is one tie class per cluster, the id tie-break picks ids
+    1..10, and recall@10 reads 0.0 (quantization is blind WITHIN a
+    cluster; the meter must say so).  An exact rerank of the ADC
+    shortlist recovers it: shortlist 25 = ids 1..25 -> exact top-10 of
+    those = 25..16, overlap {21..25} -> 0.5; shortlist 40 covers all
+    of cluster A -> 1.0.  The monotone 0.0 / 0.5 / 1.0 ladder pins
+    both the meter and the documented rerank lift (SCALE.md's
+    pq_adc_rerank40 rung).  The recall arithmetic is DataFrame joins
+    (pair-match counts over a per-query group), not driver loops."""
+    from hobbes_spark.functions.similarity import (
+        _topk, cosine, cosine_topk, pq_adc_topk, pq_codebooks, pq_encode,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [100.0, float(i)]) for i in range(1, 31)]
+        + [(30 + i, [float(i), 100.0]) for i in range(1, 31)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [100.0, 31.0]), (101, [31.0, 100.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    books = pq_codebooks(corpus, levels=2)
+    enc = pq_encode(corpus, books)
+    exact = cosine_topk(corpus, queries, k=10).select(
+        "query_id", "neighbor_id")
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+
+    def rerank(shortlist):
+        short = pq_adc_topk(enc, queries, books, k=shortlist).select(
+            "query_id", "neighbor_id")
+        qv = queries.select(F.col("vec_id").alias("query_id"),
+                            F.col("embedding").alias("__qv"))
+        cv = corpus.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("embedding").alias("__cv"))
+        scored = (
+            short.join(F.broadcast(qv), "query_id")
+            .join(cv, "neighbor_id")
+            .select("query_id", "neighbor_id",
+                    cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+        )
+        return _topk(scored, 10).select("query_id", "neighbor_id")
+
+    methods = {
+        "pq_adc": pq_adc_topk(enc, queries, books, k=10).select(
+            "query_id", "neighbor_id"),
+        "pq_adc_rerank25": rerank(25),
+        "pq_adc_rerank40": rerank(40),
+    }
+    out = None
+    for name, approx in methods.items():
+        hits = (exact.join(approx, ["query_id", "neighbor_id"])
+                .groupBy("query_id").agg(F.count("*").alias("__h")))
+        r = qids.join(hits, "query_id", "left").select(
+            "query_id",
+            F.lit(name).alias("method"),
+            (F.coalesce(F.col("__h"), F.lit(0)) / F.lit(10.0))
+            .cast("double").alias("recall_at_10"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("query_id", "method")
+
+
 # Subtitle fixtures (round 11, verdict item 6): an SRT payload (CRLF
 # line ends, comma milliseconds, a multi-line cue, an <i>-tagged cue
 # with a latin-1-in-utf-8 é) and a WebVTT payload (signature + kind
@@ -10674,7 +10765,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # as of r10 and therefore lead automatically — keep this list in
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r10 (new in r11) ---
-    "subtitle_cues", "warc_html_pipeline", "warc_records",
+    "ann_recall_fixture", "subtitle_cues", "warc_html_pipeline",
+    "warc_records",
     # --- changed since last signature: the r10 frame_sample_plan wiring
     #     (video_frame_plan_real) post-dates media_frame_plan's r6 row ---
     "media_frame_plan",
@@ -10689,7 +10781,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_curation_stats", "stream_tumbling_counts", "token_frequencies",
     "weekday_counts",
-    # --- last signed in r7, alphabetical (23 of the r7 group; the
+    # --- last signed in r7, alphabetical (22 of the r7 group; the
     #     remainder rolls to the r12 rotation) ---
     "azdo_commit_authors", "chunk_docs",
     "classifier_scores", "cohort_retention", "contamination_report",
@@ -10699,7 +10791,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
     "hb_velocity_pivot", "ivf_pq_fixture_exact", "jaccard_prefix_pairs",
     "join_skew_stats", "kmeans_clusters", "label_centroids",
-    "lsh_candidate_stats",
 ]
 
 
