@@ -44,6 +44,8 @@ __all__ = [
     "filter_blocked_hosts_df",
     "HTML_RULES",
     "html_to_text",
+    "HTML_META_RULES",
+    "html_meta",
 ]
 
 #: query parameters that never change page identity — RE2-safe
@@ -354,4 +356,71 @@ def html_to_text(col: Column | str) -> Column:
     out = c(col)
     for pat, rep in HTML_RULES:
         out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+# --------------------------------------------------------------------- #
+# HTML METADATA extraction (round 11): the head-section signals a crawl
+# pipeline routes on BEFORE reading body text — <title> for display and
+# quality heuristics, <meta name="description"> for snippets and
+# quality, og:title/og:image for social-card dedup, <link
+# rel="canonical"> for mirror collapse (the canonical_url twin at the
+# DOCUMENT level: one page served under many URLs declares its own
+# canonical spelling), and the <html lang> attribute as a cheap
+# language prior ahead of the n-gram lang-id.
+#
+# Same design as HTML_RULES: ONE rule table of RE2-compatible patterns
+# (no lookaround, no backrefs) compiled into BOTH engines — the Spark
+# side chains regexp_extract over it, the DuckDB oracle replays the
+# SAME patterns — so cross-engine agreement is structural.  Attribute
+# ORDER varies in the wild (content before property and vice versa),
+# so the og:/name= rules carry both spellings as alternations with a
+# shared capture-group position.
+# --------------------------------------------------------------------- #
+
+#: (field, pattern) — group 1 is ALWAYS the captured value
+HTML_META_RULES: tuple[tuple[str, str], ...] = (
+    ("title", r"(?is)<title[^>]*>\s*(.*?)\s*</title>"),
+    ("meta_description",
+     r"""(?is)<meta\s[^>]*name\s*=\s*["']description["'][^>]*"""
+     r"""content\s*=\s*["']([^"']*)["']|"""
+     r"""(?is)<meta\s[^>]*content\s*=\s*["']([^"']*)["'][^>]*"""
+     r"""name\s*=\s*["']description["']"""),
+    ("og_title",
+     r"""(?is)<meta\s[^>]*property\s*=\s*["']og:title["'][^>]*"""
+     r"""content\s*=\s*["']([^"']*)["']|"""
+     r"""(?is)<meta\s[^>]*content\s*=\s*["']([^"']*)["'][^>]*"""
+     r"""property\s*=\s*["']og:title["']"""),
+    ("og_image",
+     r"""(?is)<meta\s[^>]*property\s*=\s*["']og:image["'][^>]*"""
+     r"""content\s*=\s*["']([^"']*)["']|"""
+     r"""(?is)<meta\s[^>]*content\s*=\s*["']([^"']*)["'][^>]*"""
+     r"""property\s*=\s*["']og:image["']"""),
+    ("canonical",
+     r"""(?is)<link\s[^>]*rel\s*=\s*["']canonical["'][^>]*"""
+     r"""href\s*=\s*["']([^"']*)["']|"""
+     r"""(?is)<link\s[^>]*href\s*=\s*["']([^"']*)["'][^>]*"""
+     r"""rel\s*=\s*["']canonical["']"""),
+    ("lang", r"""(?is)<html\s[^>]*lang\s*=\s*["']([A-Za-z-]{2,12})["']"""),
+)
+
+
+def html_meta(col: Column | str) -> dict[str, Column]:
+    """field name -> extracted Column for every :data:`HTML_META_RULES`
+    entry; absent fields are NULL (regexp_extract's empty-string miss
+    is NULLIF'd, so "present but empty" and "absent" both read NULL —
+    the corpus-stat convention).  For the two-alternation rules the
+    value lands in group 1 OR group 2 depending on attribute order;
+    the expression coalesces both.  Pure Column regex — map-only,
+    JVM-side, zero shuffle, replayed pattern-for-pattern by the DuckDB
+    oracle (``html_meta_docs``)."""
+    raw = c(col)
+    out: dict[str, Column] = {}
+    for field, pat in HTML_META_RULES:
+        groups = pat.count("(") - pat.count("(?")
+        val = F.nullif(F.regexp_extract(raw, pat, 1), F.lit(""))
+        if groups >= 2:
+            val = F.coalesce(
+                val, F.nullif(F.regexp_extract(raw, pat, 2), F.lit("")))
+        out[field] = val
     return out

@@ -10026,6 +10026,95 @@ def html_text_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _meta_sql(field: str, raw_expr: str) -> str:
+    """DuckDB replay of ONE HTML_META_RULES extraction over raw_expr —
+    same pattern, same group-1/group-2 coalesce as functions/web.html_meta."""
+    from hobbes_spark.functions.web import HTML_META_RULES
+
+    pat = dict(HTML_META_RULES)[field]
+    groups = pat.count("(") - pat.count("(?")
+    one = f"nullif(regexp_extract({raw_expr}, {_esql(pat)}, 1), '')"
+    if groups >= 2:
+        return (f"coalesce({one}, "
+                f"nullif(regexp_extract({raw_expr}, {_esql(pat)}, 2), ''))")
+    return one
+
+
+# deterministic head-section envelope: title/description carry text
+# prefixes, og:image and canonical carry doc_id-derived URLs, og:title
+# uses the REVERSED attribute order (content before property) so the
+# group-2 alternation is exercised on every row
+_META_PRE = '<html lang="en-US"><head><title>'
+_META_SQL_RAW = (
+    f"({_esql(_META_PRE)} || substr(text, 1, 40)"
+    ' || \'</title><meta name="description" content="\''
+    " || substr(text, 1, 25)"
+    ' || \'"><meta content="og-\' || CAST(doc_id AS VARCHAR)'
+    ' || \'" property="og:title">\''
+    ' || \'<link rel="canonical" href="https://c.example/\''
+    " || CAST(doc_id AS VARCHAR)"
+    ' || \'">\''
+    ' || \'<meta content="https://img.example/\''
+    " || CAST(doc_id AS VARCHAR)"
+    ' || \'.png" property="og:image"></head><body>\''
+    " || text || '</body></html>')"
+)
+
+
+@q(
+    "html_meta_docs",
+    f"""
+    WITH h AS (SELECT doc_id, {_META_SQL_RAW} AS raw FROM documents)
+    SELECT doc_id,
+           {_meta_sql("title", "raw")} AS title,
+           {_meta_sql("meta_description", "raw")} AS meta_description,
+           {_meta_sql("og_title", "raw")} AS og_title,
+           {_meta_sql("og_image", "raw")} AS og_image,
+           {_meta_sql("canonical", "raw")} AS canonical,
+           {_meta_sql("lang", "raw")} AS lang
+    FROM h ORDER BY doc_id
+    """,
+)
+def html_meta_docs(spark, sf_dir):
+    """HTML head-metadata extraction (round 11): the signals a crawl
+    pipeline routes on before reading body text — <title>, meta
+    description, og:title/og:image (social-card identity), <link
+    rel=canonical> (document-declared mirror collapse, the
+    canonical_url twin at the page level) and the <html lang> prior.
+    Both engines wrap every document in the SAME deterministic head
+    envelope (og:title deliberately attribute-REVERSED so the
+    alternation's second capture group fires on every row) and extract
+    with the ONE shared HTML_META_RULES table — pattern-for-pattern
+    cross-engine replay, the HTML_RULES design.  Pure Column regex:
+    map-only, JVM-side codegen, zero shuffle at 100 TB."""
+    from hobbes_spark.functions.web import html_meta
+
+    docs = _t(spark, sf_dir, "documents").df
+    did = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.lit(_META_PRE), F.substring("text", 1, 40),
+        F.lit('</title><meta name="description" content="'),
+        F.substring("text", 1, 25),
+        F.lit('"><meta content="og-'), did,
+        F.lit('" property="og:title">'),
+        F.lit('<link rel="canonical" href="https://c.example/'), did,
+        F.lit('">'),
+        F.lit('<meta content="https://img.example/'), did,
+        F.lit('.png" property="og:image"></head><body>'),
+        F.col("text"), F.lit("</body></html>"),
+    )
+    cols = html_meta(raw)
+    return docs.select(
+        "doc_id",
+        cols["title"].alias("title"),
+        cols["meta_description"].alias("meta_description"),
+        cols["og_title"].alias("og_title"),
+        cols["og_image"].alias("og_image"),
+        cols["canonical"].alias("canonical"),
+        cols["lang"].alias("lang"),
+    ).orderBy("doc_id")
+
+
 @q(
     "ann_recall_fixture",
     """
@@ -10765,8 +10854,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # as of r10 and therefore lead automatically — keep this list in
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r10 (new in r11) ---
-    "ann_recall_fixture", "subtitle_cues", "warc_html_pipeline",
-    "warc_records",
+    "ann_recall_fixture", "html_meta_docs", "subtitle_cues",
+    "warc_html_pipeline", "warc_records",
     # --- changed since last signature: the r10 frame_sample_plan wiring
     #     (video_frame_plan_real) post-dates media_frame_plan's r6 row ---
     "media_frame_plan",
@@ -10781,7 +10870,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_curation_stats", "stream_tumbling_counts", "token_frequencies",
     "weekday_counts",
-    # --- last signed in r7, alphabetical (22 of the r7 group; the
+    # --- last signed in r7, alphabetical (21 of the r7 group; the
     #     remainder rolls to the r12 rotation) ---
     "azdo_commit_authors", "chunk_docs",
     "classifier_scores", "cohort_retention", "contamination_report",
@@ -10790,7 +10879,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "embedding_neardup_exact", "embedding_neardup_lsh",
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
     "hb_velocity_pivot", "ivf_pq_fixture_exact", "jaccard_prefix_pairs",
-    "join_skew_stats", "kmeans_clusters", "label_centroids",
+    "join_skew_stats", "kmeans_clusters",
 ]
 
 

@@ -3196,6 +3196,48 @@ class TestZstd:
         assert out == b"store mode agreement"
 
 
+class TestHtmlMeta:
+    """HTML head-metadata extraction (round 11): one literal pin per
+    rule class; the at-scale cross-engine agreement is the
+    html_meta_docs oracle twin."""
+
+    def _extract(self, spark, raw):
+        from hobbes_spark.functions.web import html_meta
+
+        df = spark.createDataFrame([(raw,)], "raw string")
+        cols = html_meta("raw")
+        return df.select(*[v.alias(k) for k, v in cols.items()]).first().asDict()
+
+    def test_all_fields_both_attribute_orders(self, spark):
+        got = self._extract(spark, (
+            '<html lang="en-GB"><head><title> My  Page </title>'
+            '<meta name="description" content="A test page">'
+            '<meta content="OG Rev" property="og:title">'
+            '<meta property="og:image" content="https://i.example/x.png">'
+            '<link href="https://example.com/p" rel="canonical">'
+            '</head><body>x</body></html>'))
+        assert got == {
+            "title": "My  Page", "meta_description": "A test page",
+            "og_title": "OG Rev", "og_image": "https://i.example/x.png",
+            "canonical": "https://example.com/p", "lang": "en-GB"}
+
+    def test_case_insensitive_and_single_quotes(self, spark):
+        got = self._extract(spark, (
+            "<HTML LANG='fr'><HEAD><TITLE>Majuscules</TITLE>"
+            "<META CONTENT='Desc' NAME='description'></HEAD></HTML>"))
+        assert got["title"] == "Majuscules"
+        assert got["meta_description"] == "Desc"
+        assert got["lang"] == "fr"
+        assert got["og_title"] is None
+
+    def test_absent_and_empty_read_null(self, spark):
+        got = self._extract(spark, "<html><body>no head</body></html>")
+        assert all(v is None for v in got.values())
+        got = self._extract(
+            spark, '<html lang=""><head><title></title></head></html>')
+        assert got["title"] is None and got["lang"] is None
+
+
 class TestRegistrableDomain:
     """eTLD+1 extraction over the embedded PSL subset: one literal pin
     per rule class, matching the PSL spec's own examples."""
