@@ -10340,6 +10340,57 @@ def _warc_fixture_df(spark):
 
 
 @q(
+    "stream_warc_ingest",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(0 AS INTEGER), 'gzip', 'warcinfo',
+       CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER)),
+      (CAST(1 AS BIGINT), CAST(1 AS INTEGER), 'gzip', 'response',
+       'http://example.com/', CAST(200 AS INTEGER)),
+      (CAST(1 AS BIGINT), CAST(2 AS INTEGER), 'gzip', 'request',
+       'http://example.com/', CAST(NULL AS INTEGER)),
+      (CAST(2 AS BIGINT), CAST(0 AS INTEGER), 'zstd', 'response',
+       'https://zstd.example/a', CAST(200 AS INTEGER)),
+      (CAST(2 AS BIGINT), CAST(1 AS INTEGER), 'zstd', 'metadata',
+       'https://zstd.example/a', CAST(NULL AS INTEGER)),
+      (CAST(3 AS BIGINT), CAST(0 AS INTEGER), 'none', 'metadata',
+       'http://plain.example/', CAST(NULL AS INTEGER))
+    ) AS t(media_id, record_index, codec, warc_type, target_uri,
+           http_status)
+    ORDER BY media_id, record_index
+    """,
+)
+def stream_warc_ingest(spark, sf_dir):
+    """STREAMING crawl ingest (round 11): the WARC record walk — an
+    Arrow ``mapInPandas`` operator — runs UNCHANGED on a landing-zone
+    stream of shard files, the design property the stream_* family
+    pins for Column operators extended to the mapInPandas boundary.
+    The five fixture shards land as TWO parquet files consumed at
+    ``maxFilesPerTrigger=1`` (two micro-batches), the parsed record
+    APPEND stream replays through the memory sink, and the result must
+    equal the batch ``warc_records`` truth rows — micro-batched ingest
+    and a batch backfill agree record-for-record, the exactly-once
+    landing-zone contract at 100 TB (the refusal rows 4/5 stay absent
+    in BOTH regimes)."""
+    import tempfile
+
+    from hobbes_spark.functions.warc import warc_records
+    from hobbes_spark.streaming import stream_parquet
+    from hobbes_spark.streaming.run import replay_to_df
+
+    land = tempfile.mkdtemp(prefix="warc_land_")
+    _warc_fixture_df(spark).repartition(2, "media_id").write.mode(
+        "overwrite").parquet(land)
+    stream = stream_parquet(spark, land, max_files_per_trigger=1)
+    recs = warc_records(stream)
+    out = replay_to_df(recs, spark, mode="append")
+    return out.select(
+        "media_id", "record_index", "codec", "warc_type", "target_uri",
+        "http_status",
+    ).orderBy("media_id", "record_index")
+
+
+@q(
     "warc_records",
     f"""
     SELECT * FROM (VALUES
@@ -10854,8 +10905,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # as of r10 and therefore lead automatically — keep this list in
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r10 (new in r11) ---
-    "ann_recall_fixture", "html_meta_docs", "subtitle_cues",
-    "warc_html_pipeline", "warc_records",
+    "ann_recall_fixture", "html_meta_docs", "stream_warc_ingest",
+    "subtitle_cues", "warc_html_pipeline", "warc_records",
     # --- changed since last signature: the r10 frame_sample_plan wiring
     #     (video_frame_plan_real) post-dates media_frame_plan's r6 row ---
     "media_frame_plan",
@@ -10870,7 +10921,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_curation_stats", "stream_tumbling_counts", "token_frequencies",
     "weekday_counts",
-    # --- last signed in r7, alphabetical (21 of the r7 group; the
+    # --- last signed in r7, alphabetical (20 of the r7 group; the
     #     remainder rolls to the r12 rotation) ---
     "azdo_commit_authors", "chunk_docs",
     "classifier_scores", "cohort_retention", "contamination_report",
@@ -10879,7 +10930,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "embedding_neardup_exact", "embedding_neardup_lsh",
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
     "hb_velocity_pivot", "ivf_pq_fixture_exact", "jaccard_prefix_pairs",
-    "join_skew_stats", "kmeans_clusters",
+    "join_skew_stats",
 ]
 
 
