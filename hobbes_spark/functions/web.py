@@ -46,6 +46,10 @@ __all__ = [
     "html_to_text",
     "HTML_META_RULES",
     "html_meta",
+    "OUTLINK_RE",
+    "outlinks",
+    "parse_robots",
+    "robots_allowed",
 ]
 
 #: query parameters that never change page identity — RE2-safe
@@ -424,3 +428,117 @@ def html_meta(col: Column | str) -> dict[str, Column]:
                 val, F.nullif(F.regexp_extract(raw, pat, 2), F.lit("")))
         out[field] = val
     return out
+
+
+#: <a href="..."> / <a href='...'> values, group 1; fragment-only
+#: links (href="#top") excluded at the pattern level.  RE2-compatible
+#: (shared verbatim with the DuckDB oracle) and <a>-specific — <link>
+#: stylesheets and <script src> are NOT outlinks.
+OUTLINK_RE = r"""(?is)<a\s[^>]*href\s*=\s*["']([^"'#][^"']*)["']"""
+
+
+def outlinks(col: Column | str) -> Column:
+    """All anchor hrefs of an HTML column as an ``array<string>`` — the
+    edge-list feed for crawl graphs: explode, then
+    ``registrable_domain(url_host(...))`` per link and the result is
+    the domain edge list PageRank and host-reputation scoring consume.
+    Pure ``regexp_extract_all`` — map-only, JVM-side, zero shuffle; the
+    downstream explode fans out ~O(100) links per page, bounded by
+    document size."""
+    return F.regexp_extract_all(c(col), F.lit(OUTLINK_RE), 1)
+
+
+# --------------------------------------------------------------------- #
+# robots.txt (RFC 9309) — the crawl-politeness filter: a corpus built
+# from a crawl is expected to EXCLUDE content the origin disallowed,
+# and audits ask exactly that question ("was this URL fetchable under
+# the site's robots?").  parse_robots runs driver-side on one robots
+# payload (they are KBs); robots_allowed compiles the selected rule
+# group into ONE chained-CASE Column over the URL path — longest-match
+# wins, Allow beats Disallow on ties, '*' wildcards and the '$' end
+# anchor per the RFC.  No UDF, no shuffle: the rules ride the plan as
+# literals, the standard broadcast-small-side shape.
+# --------------------------------------------------------------------- #
+
+
+def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """Rules ``[(allow, path_pattern), ...]`` for ``agent`` from one
+    robots.txt payload: consecutive ``User-agent`` lines open a group,
+    ``Allow``/``Disallow`` lines fill it; the group with the LONGEST
+    user-agent token that is a case-insensitive substring match of
+    ``agent`` applies, falling back to the ``*`` group (RFC 9309 §2.2.1
+    product-token matching, simplified to substring as major crawlers
+    do).  Empty Disallow values (allow-all) are dropped.  Never raises
+    on garbage — unparsable lines are skipped."""
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    in_agents = True
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not in_agents:  # a new group starts
+                groups.append((agents, rules))
+                agents, rules = [], []
+            agents.append(val.lower())
+            in_agents = True
+        elif key in ("allow", "disallow"):
+            in_agents = False
+            if val:
+                rules.append((key == "allow", val))
+            elif key == "disallow":
+                pass  # "Disallow:" (empty) = no restriction
+    if agents or rules:
+        groups.append((agents, rules))
+    a = agent.lower()
+    best: tuple[int, list[tuple[bool, str]]] | None = None
+    star: list[tuple[bool, str]] = []
+    for ags, rls in groups:
+        for ua in ags:
+            if ua == "*":
+                star = star + rls
+            elif ua in a or a in ua:
+                if best is None or len(ua) > best[0]:
+                    best = (len(ua), rls)
+    return best[1] if best is not None else star
+
+
+def _robots_regex(pattern: str) -> str:
+    """One RFC 9309 path pattern -> an anchored Java/RE2 regex:
+    ``*`` is any run, a TRAILING ``$`` anchors the end, everything
+    else is literal."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    out = "".join(".*" if ch == "*" else _re.escape(ch) for ch in body)
+    return "^" + out + ("$" if anchored else "")
+
+
+def robots_allowed(
+    col: Column | str, rules: Sequence[tuple[bool, str]]
+) -> Column:
+    """True iff the URL column's path?query is fetchable under
+    ``rules`` (from :func:`parse_robots`): the longest matching
+    pattern decides, Allow wins length ties, no match means allowed
+    (RFC 9309 §2.2.2).  NULL propagates for non-URLs.  One chained
+    CASE ordered by (pattern length DESC, allow DESC) so the FIRST
+    match IS the decision — rule counts are robots-file sized
+    (tens), far under any codegen limit."""
+    u = F.trim(c(col))
+    has_scheme = u.rlike(_SCHEME_RE)
+    rest = F.regexp_replace(F.regexp_replace(u, r"#.*$", ""), _SCHEME_RE, "")
+    path = F.regexp_extract(rest, r"^[^/?]*(.*)$", 1)
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
+    decision = F.lit(True)  # default: allowed
+    for allow, pat in sorted(rules, key=lambda r: (len(r[1]), r[0])):
+        # ascending build + later .when shadowing is wrong for CASE
+        # chains built with when(); build DESCENDING via otherwise
+        # nesting instead: iterate ascending, wrap outward
+        decision = F.when(path.rlike(_robots_regex(pat)), F.lit(allow)) \
+            .otherwise(decision)
+    return F.when(has_scheme, decision)

@@ -10116,6 +10116,138 @@ def html_meta_docs(spark, sf_dir):
 
 
 @q(
+    "outlink_domains",
+    """
+    WITH l AS (
+      SELECT doc_id, 'example.com' AS domain FROM documents
+      UNION ALL SELECT doc_id, 'bbc.co.uk' FROM documents
+      UNION ALL SELECT doc_id,
+        'host' || CAST(doc_id % 3 AS VARCHAR) || '.unknowntld'
+        FROM documents
+    )
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM l GROUP BY domain ORDER BY domain
+    """,
+)
+def outlink_domains(spark, sf_dir):
+    """Outlink domain mix (round 11): the crawl-graph edge feed —
+    anchor hrefs extracted from HTML (regexp_extract_all over the
+    shared OUTLINK_RE), exploded, then url_host -> registrable_domain
+    per link and grouped to the per-domain link/doc counts a
+    host-reputation or PageRank stage consumes.  Each document's
+    envelope plants one link per rule class: an absolute https link
+    with a varying subdomain (all collapse to example.com — the eTLD+1
+    point), an http co.uk link with a tracking param, a RELATIVE link
+    (no host -> dropped), a fragment-only link and a <link> stylesheet
+    (neither is an <a> outlink -> never extracted), and an
+    unknown-TLD link varying with doc_id % 3.  The oracle maps each
+    class straight to its hand-derived domain literal — never
+    replaying the extraction — so a regex or PSL regression shows as a
+    mix shift.  Map-only extract + one bounded-fanout explode + one
+    agg shuffle; at 100 TB the explode is ~O(100) links/page and the
+    groupBy key space is domains, not links."""
+    from hobbes_spark.functions.web import outlinks, registrable_domain, url_host
+
+    docs = _t(spark, sf_dir, "documents").df
+    raw = F.concat(
+        F.lit('<html><body><p>'), F.substring("text", 1, 20),
+        F.lit('</p><a href="https://s'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('.sub.example.com/a">one</a>'),
+        F.lit("<a class='x' href='http://news.bbc.co.uk/x?utm_source=z'>"
+              "two</a>"),
+        F.lit('<a href="/relative/path">rel</a>'
+              '<a href="#frag">skip</a>'
+              '<link rel="stylesheet" href="https://cdn.example.net/s.css">'
+              '<a href="https://host'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('.unknowntld/y#f">three</a></body></html>'),
+    )
+    links = docs.select("doc_id", F.explode(outlinks(raw)).alias("link"))
+    dom = registrable_domain(url_host(F.col("link")))
+    return (
+        links.select("doc_id", dom.alias("domain"))
+        .filter(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_links"),
+             F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+        .orderBy("domain")
+    )
+
+
+#: robots.txt fixture shared by the Spark side and the oracle's
+#: hand-derived class map (round 11): prefix rule, longer Allow
+#: carve-out, '*'+'$' wildcard rule, bare-prefix rule
+_ROBOTS_FIXTURE = """User-agent: indexbot
+Disallow: /
+
+User-agent: *
+Disallow: /private/
+Allow: /private/ok/
+Disallow: /*.pdf$
+Disallow: /tmp
+"""
+
+
+@q(
+    "robots_filter",
+    """
+    WITH u AS (
+      SELECT doc_id % 6 AS path_class,
+             CASE doc_id % 6
+               WHEN 0 THEN TRUE   -- /public/...: no rule matches
+               WHEN 1 THEN FALSE  -- /private/x: Disallow /private/
+               WHEN 2 THEN TRUE   -- /private/ok/y: longer Allow wins
+               WHEN 3 THEN FALSE  -- /docs/f.pdf: /*.pdf$ matches
+               WHEN 4 THEN TRUE   -- /docs/f.pdf?v=1: '$' anchor broken
+               ELSE FALSE         -- /tmpfile: bare prefix /tmp
+             END AS allowed
+      FROM documents
+    )
+    SELECT path_class, allowed, CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM u GROUP BY path_class, allowed
+    ORDER BY path_class
+    """,
+)
+def robots_filter(spark, sf_dir):
+    """robots.txt fetchability filter (round 11, RFC 9309): a corpus
+    audit's "was this URL allowed?" — URLs synthesized from doc_id
+    exercise every decision class of functions/web.robots_allowed
+    against the fixture's '*' group (the indexbot group must NOT
+    apply): no-match default-allow, a Disallow prefix, the LONGER
+    Allow carve-out beating it, the '*...$' wildcard rule, the anchor
+    broken by a query string, and a bare prefix.  The oracle maps each
+    class straight to its hand-derived verdict — never replaying the
+    matcher.  The rules ride the plan as a chained CASE (longest
+    pattern outermost, Allow wins ties): map-only, no UDF, no join —
+    at 100 TB the per-HOST generalization is a broadcast join of
+    compiled rule structs, same shape as the host blocklist."""
+    from hobbes_spark.functions.web import parse_robots, robots_allowed
+
+    rules = parse_robots(_ROBOTS_FIXTURE, agent="corpusbot/1.0")
+    docs = _t(spark, sf_dir, "documents").df
+    cls = (F.col("doc_id") % 6).cast("int")
+    url = F.concat(
+        F.lit("https://site.example"),
+        F.when(cls == 0, F.concat(F.lit("/public/p"),
+                                  F.col("doc_id").cast("string")))
+        .when(cls == 1, F.lit("/private/x"))
+        .when(cls == 2, F.lit("/private/ok/y"))
+        .when(cls == 3, F.lit("/docs/f.pdf"))
+        .when(cls == 4, F.lit("/docs/f.pdf?v=1"))
+        .otherwise(F.lit("/tmpfile")),
+    )
+    return (
+        docs.select(cls.alias("path_class"),
+                    robots_allowed(url, rules).alias("allowed"))
+        .groupBy("path_class", "allowed")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"))
+        .orderBy("path_class")
+    )
+
+
+@q(
     "ann_recall_fixture",
     """
     SELECT * FROM (VALUES
@@ -10905,8 +11037,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # as of r10 and therefore lead automatically — keep this list in
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r10 (new in r11) ---
-    "ann_recall_fixture", "html_meta_docs", "stream_warc_ingest",
-    "subtitle_cues", "warc_html_pipeline", "warc_records",
+    "ann_recall_fixture", "html_meta_docs", "outlink_domains",
+    "robots_filter", "stream_warc_ingest", "subtitle_cues",
+    "warc_html_pipeline", "warc_records",
     # --- changed since last signature: the r10 frame_sample_plan wiring
     #     (video_frame_plan_real) post-dates media_frame_plan's r6 row ---
     "media_frame_plan",
@@ -10921,7 +11054,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_curation_stats", "stream_tumbling_counts", "token_frequencies",
     "weekday_counts",
-    # --- last signed in r7, alphabetical (20 of the r7 group; the
+    # --- last signed in r7, alphabetical (17 of the r7 group; the
     #     remainder rolls to the r12 rotation) ---
     "azdo_commit_authors", "chunk_docs",
     "classifier_scores", "cohort_retention", "contamination_report",
@@ -10929,8 +11062,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "dup_cluster_histogram", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
-    "hb_velocity_pivot", "ivf_pq_fixture_exact", "jaccard_prefix_pairs",
-    "join_skew_stats",
+    "hb_velocity_pivot", "ivf_pq_fixture_exact",
 ]
 
 

@@ -3238,6 +3238,69 @@ class TestHtmlMeta:
         assert got["title"] is None and got["lang"] is None
 
 
+class TestOutlinks:
+    def test_anchor_extraction(self, spark):
+        from hobbes_spark.functions.web import outlinks
+
+        html = ('<a href="https://a.example.com/x">1</a>'
+                "<a class='c' href='http://b.co.uk/y?q=1'>2</a>"
+                '<a href="/rel">3</a><a href="#frag">no</a>'
+                '<link rel="stylesheet" href="https://cdn.example.net/a.css">'
+                '<script src="https://cdn.example.net/a.js"></script>'
+                '<A HREF="HTTPS://UPPER.COM/Z">4</A>')
+        df = spark.createDataFrame([(html,)], "raw string")
+        got = df.select(outlinks("raw").alias("l")).first()["l"]
+        # fragment-only excluded; <link>/<script> are not outlinks
+        assert got == ["https://a.example.com/x", "http://b.co.uk/y?q=1",
+                       "/rel", "HTTPS://UPPER.COM/Z"]
+
+
+class TestRobots:
+    _ROBOTS = ("User-agent: indexbot\nDisallow: /\n\n"
+               "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+               "Disallow: /*.pdf$\nDisallow: /tmp\nDisallow:\n")
+
+    def test_parse_group_selection(self):
+        from hobbes_spark.functions.web import parse_robots
+
+        star = parse_robots(self._ROBOTS)
+        assert (False, "/private/") in star and (True, "/private/ok/") in star
+        assert len(star) == 4  # the empty Disallow: is dropped
+        # the longest matching UA token's group wins
+        assert parse_robots(self._ROBOTS, "IndexBot/2.0") == [(False, "/")]
+        # garbage never raises
+        assert parse_robots("<<<not robots>>>") == []
+        assert parse_robots("") == []
+
+    def test_rfc_decision_classes(self, spark):
+        from hobbes_spark.functions.web import parse_robots, robots_allowed
+
+        rules = parse_robots(self._ROBOTS, agent="corpusbot")
+        cases = {
+            "https://e.com/public/p": True,    # no match -> allowed
+            "https://e.com/private/x": False,  # prefix Disallow
+            "https://e.com/private/ok/y": True,  # longer Allow wins
+            "https://e.com/docs/f.pdf": False,   # '*...$' wildcard
+            "https://e.com/docs/f.pdf?v=1": True,  # '$' anchor broken
+            "https://e.com/tmpfile": False,    # bare prefix
+            "https://e.com": True,             # empty path reads '/'
+            "no scheme here": None,            # non-URL -> NULL
+        }
+        df = spark.createDataFrame([(u,) for u in cases], "url string")
+        got = dict(
+            df.select("url", robots_allowed("url", rules).alias("a")).collect()
+        )
+        assert got == cases
+
+    def test_allow_wins_length_ties(self, spark):
+        from hobbes_spark.functions.web import robots_allowed
+
+        df = spark.createDataFrame([("https://e.com/p/x",)], "url string")
+        rules = [(False, "/p/"), (True, "/p/")]
+        assert df.select(
+            robots_allowed("url", rules).alias("a")).first()["a"] is True
+
+
 class TestRegistrableDomain:
     """eTLD+1 extraction over the embedded PSL subset: one literal pin
     per rule class, matching the PSL spec's own examples."""
