@@ -40,7 +40,13 @@ from pyspark.sql import DataFrame
 
 from .multimodal import _DECOMPRESS_CAP, sniff_decompress
 
-__all__ = ["parse_warc_records", "split_http_response", "warc_records"]
+__all__ = [
+    "parse_warc_records",
+    "split_http_response",
+    "warc_records",
+    "sniff_charset",
+    "decode_payload",
+]
 
 #: headers surfaced as typed columns (canonical lower-case keys)
 _CRLF = b"\r\n"
@@ -140,9 +146,12 @@ def warc_records(
     framing, and emit one row per record with the headers a corpus
     pipeline routes on (``WARC-Type``, ``WARC-Target-URI``,
     ``WARC-Date``) plus, for HTTP response records, the parsed status
-    / Content-Type and the HTTP body decoded as text (``errors=
-    'replace'``) ready for :func:`~hobbes_spark.functions.web.
-    html_to_text`.  Non-HTTP records surface their block as the body.
+    / Content-Type and the HTTP body decoded as text through the
+    :func:`sniff_charset` ladder (BOM > Content-Type charset > <meta>
+    prescan > ``encoding`` default, always ``errors='replace'``) ready
+    for :func:`~hobbes_spark.functions.web.html_to_text` — legacy
+    windows-1252/shift_jis pages decode correctly instead of
+    mojibaking.  Non-HTTP records surface their block as the body.
     Shards that neither inflate nor start with ``WARC/`` are DROPPED
     (same posture as ``decompress_text``: a half-uploaded shard is
     absent, never silently truncated)."""
@@ -169,12 +178,12 @@ def warc_records(
                         http_ct = hh.get("content-type")
                     else:
                         status, http_ct, body = None, None, rec["block"]
+                    _, text = decode_payload(body, http_ct, default=encoding)
                     rows.append((
                         int(mid), k, codec, rec["version"],
                         h.get("warc-type"), h.get("warc-target-uri"),
                         h.get("warc-date"), len(rec["block"]),
-                        status, http_ct,
-                        body.decode(encoding, errors="replace"),
+                        status, http_ct, text,
                     ))
             pdf_out = pd.DataFrame(
                 rows,
@@ -195,3 +204,64 @@ def warc_records(
                 "warc_date string, content_length long, http_status int, "
                 "http_content_type string, body string"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Charset detection (round 11): real crawls are NOT all utf-8 — legacy
+# pages declare windows-1252/iso-8859-1/shift_jis via the HTTP
+# Content-Type charset parameter or a <meta charset> tag, and decoding
+# them as utf-8 mojibakes exactly the long-tail text a multilingual
+# corpus wants.  Detection order per the WHATWG encoding sniff: BOM
+# beats HTTP header beats in-document <meta>, else the caller default.
+# --------------------------------------------------------------------- #
+
+_BOMS: tuple[tuple[bytes, str], ...] = (
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+
+import re as _re
+
+_META_CHARSET = _re.compile(
+    rb"""(?is)<meta\s[^>]*charset\s*=\s*["']?\s*([a-z0-9_.:-]+)"""
+)
+_CT_CHARSET = _re.compile(r"(?i)charset\s*=\s*\"?([A-Za-z0-9_.:-]+)")
+
+
+def sniff_charset(body: bytes, content_type: str | None = None) -> str | None:
+    """Declared charset of an HTML/text payload, or None: BOM first
+    (authoritative), then the Content-Type header's charset parameter,
+    then a ``<meta charset>`` / ``http-equiv`` declaration in the first
+    1024 bytes (the WHATWG prescan window).  Returns the name as
+    declared (lowercased) — validity is the decoder's problem."""
+    for bom, name in _BOMS:
+        if body[: len(bom)] == bom:
+            return name
+    if content_type:
+        m = _CT_CHARSET.search(content_type)
+        if m:
+            return m.group(1).lower()
+    m = _META_CHARSET.search(body[:1024])
+    if m:
+        return m.group(1).decode("ascii", errors="replace").lower()
+    return None
+
+
+def decode_payload(
+    body: bytes, content_type: str | None = None, default: str = "utf-8"
+) -> tuple[str, str]:
+    """``(charset_used, text)``: decode with the sniffed charset,
+    falling back to ``default`` when nothing is declared or the
+    declared name is not a known codec; ``errors='replace'`` always —
+    one mojibake page must not kill an executor batch."""
+    cs = sniff_charset(body, content_type) or default
+    try:
+        text = body.decode(cs, errors="replace")
+    except LookupError:  # declared garbage like charset=unicode
+        cs, text = default, body.decode(default, errors="replace")
+    # utf-8-sig strips its BOM; the utf-16/32 -le/-be codecs do not —
+    # a leading U+FEFF is framing, not content, either way
+    return cs, text.lstrip("﻿")

@@ -10247,6 +10247,74 @@ def robots_filter(spark, sf_dir):
     )
 
 
+# Charset-decode WARC shard (round 11): three gzip-member response
+# records whose bodies are NOT utf-8 — windows-1252 declared in the
+# HTTP Content-Type (curly quotes 0x93/0x94 and 0xE9), shift_jis
+# declared ONLY by an in-body <meta charset> (the WHATWG prescan), and
+# a utf-16-le payload whose BOM must BEAT a wrong iso-8859-1 header.
+_WARC_CHARSET_HEX = (
+    "1f8b0800000000000203658e4b0ac2301086f785de2117887988a21117a20b45"
+    "41d18ae06ea8635b68d3d00ca8e7d04b7a0b535004ddcdebffbe394cb653a13a"
+    "328e0ea1e2c9cda1610d7a575b8f9f21341912df6f1786e544ce08516206e9ad"
+    "8357a85c8902de9733a010d752f7b9545cf51239305d69a43cc6d1b4b68496de"
+    "0a70ae2c52a0a2b6a2658e58e5330aabf157fe49acd066941b361cc4511ccd93"
+    "64133e564123d97af90b26bc522056e588a539341e697c29eca9be78ae744fff"
+    "53956ea9f75d050d3d580ae767dbbf00854ff2c2180100001f8b080000000000"
+    "0203658f414b03311085ef0bfb1f42efdb24555b896940ea415150caca821e24"
+    "6dc7cdca6e366ce6d0c593f4eaadd01fe94ff064b6b614dadbf0e6bdefcd64d7"
+    "d309e57d1647599892b475204803ded5d6c35ed44d0e983c4fef0431884e50ea"
+    "3f0adf87a5ae5c0974b6f3dd680ce1011b0c13c6137e91b24b71c604632f7134"
+    "a92d82c55d8176ae2ce61a8bdad28e78452a9f63588d0fd5fbc403d81c8d20fc"
+    "9cc7511cdda6e9533898871e461eef8fc9084b0cc8aa3c058c465d5e764b250d"
+    "e8859215a02673a31b0f38ee7953bce35bf8aca724fd37ccea45abd6bf9bcfef"
+    "9f55fbf5baca24dd4a72dba13ae01fbff84dfc420100001f8b08000000000002"
+    "03658ec14ac3401086e71cc83bec0b6c7737da12b7f4a0f5a0a8544aa4e06d1b"
+    "872490ec2ed901ebbb8b3a9116a19ee69f997fbe7f76d7dbb532339d673b56b2"
+    "fa8868c58829069ff034746383245fb6f756b444d12ab50fc30c0f6e883daafa"
+    "68bb75c4b7852e16521b69e6952eed85b65abfe6d93a78424f47be8bb1ef6a47"
+    "5df06a022ec5901ae2d5ea2ff974f188bea1d60a532cf22ccfeeaaea99ff359c"
+    "a3c5e6e19c4c7820460efd52d4ad1b13d2aa4b4196e5fc4a9affd0cb62627e7f"
+    "ddc0069e40c03b74e021b1fa843d208cac5aae0ede7ebbc9fd039c030b1c3201"
+    "0000"
+)
+
+
+@q(
+    "warc_charset_decode",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(0 AS INTEGER), 'http://legacy.example/a',
+       '\u201cSmart\u201d caf\u00e9'),
+      (CAST(1 AS BIGINT), CAST(1 AS INTEGER), 'http://sjis.example/b',
+       '<html><head><meta charset="shift_jis"></head><body>\u65e5\u672c\u8a9e\u30da\u30fc\u30b8</body></html>'),
+      (CAST(1 AS BIGINT), CAST(2 AS INTEGER), 'http://bom.example/c',
+       'BOM wins \u00fcber header')
+    ) AS t(media_id, record_index, target_uri, body)
+    ORDER BY record_index
+    """,
+)
+def warc_charset_decode(spark, sf_dir):
+    """Legacy-charset decode truth pin (round 11): the long-tail pages
+    a multilingual corpus mojibakes if everything is read as utf-8.
+    One WARC shard, three responses: windows-1252 via the HTTP header
+    charset parameter (curly quotes and an e-acute decode to their
+    true code points), shift_jis declared ONLY by the in-body <meta>
+    prescan, and a utf-16-le body whose BOM must override a WRONG
+    iso-8859-1 header (the WHATWG precedence: BOM > header > meta >
+    default) with the BOM itself stripped as framing.  The oracle is
+    the decoded literals as unicode escapes — byte-exact decode or
+    hash mismatch."""
+    from hobbes_spark.functions.warc import warc_records
+
+    media = spark.createDataFrame(
+        [(1, bytearray.fromhex(_WARC_CHARSET_HEX))],
+        "media_id long, content binary",
+    )
+    return warc_records(media).select(
+        "media_id", "record_index", "target_uri", "body"
+    ).orderBy("record_index")
+
+
 @q(
     "ann_recall_fixture",
     """
@@ -11039,7 +11107,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # --- never signed as of r10 (new in r11) ---
     "ann_recall_fixture", "html_meta_docs", "outlink_domains",
     "robots_filter", "stream_warc_ingest", "subtitle_cues",
-    "warc_html_pipeline", "warc_records",
+    "warc_charset_decode", "warc_html_pipeline", "warc_records",
     # --- changed since last signature: the r10 frame_sample_plan wiring
     #     (video_frame_plan_real) post-dates media_frame_plan's r6 row ---
     "media_frame_plan",
@@ -11054,7 +11122,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_curation_stats", "stream_tumbling_counts", "token_frequencies",
     "weekday_counts",
-    # --- last signed in r7, alphabetical (17 of the r7 group; the
+    # --- last signed in r7, alphabetical (16 of the r7 group; the
     #     remainder rolls to the r12 rotation) ---
     "azdo_commit_authors", "chunk_docs",
     "classifier_scores", "cohort_retention", "contamination_report",
@@ -11062,7 +11130,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "dup_cluster_histogram", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
-    "hb_velocity_pivot", "ivf_pq_fixture_exact",
+    "hb_velocity_pivot",
 ]
 
 

@@ -108,6 +108,48 @@ class TestSplitHttpResponse:
         assert st is None and body == b"HTTP/1.1 OK\r\n\r\nx"
 
 
+class TestCharsetSniff:
+    def test_whatwg_precedence(self):
+        from hobbes_spark.functions.warc import sniff_charset
+
+        # BOM beats header beats meta
+        assert sniff_charset(b"\xef\xbb\xbfx", "text/html; charset=latin-1") \
+            == "utf-8-sig"
+        assert sniff_charset(b"\xff\xfeh\x00") == "utf-16-le"
+        assert sniff_charset(b"\xfe\xffh") == "utf-16-be"
+        assert sniff_charset(
+            b"<meta charset='x'>", "text/html; charset=Shift_JIS"
+        ) == "shift_jis"
+        assert sniff_charset(
+            b"<html><head><meta charset=\"ISO-8859-1\"></head>") == "iso-8859-1"
+        assert sniff_charset(
+            b"<META HTTP-EQUIV='Content-Type' "
+            b"CONTENT='text/html; charset=windows-1252'>") == "windows-1252"
+        assert sniff_charset(b"plain ascii") is None
+        # the meta prescan window is 1024 bytes: a late meta is ignored
+        assert sniff_charset(b" " * 1100 + b"<meta charset='utf-8'>") is None
+
+    def test_decode_payload(self):
+        from hobbes_spark.functions.warc import decode_payload
+
+        assert decode_payload(
+            "“Smart” café".encode("windows-1252"),
+            "text/html; charset=windows-1252",
+        ) == ("windows-1252", "“Smart” café")
+        assert decode_payload(
+            "日本".encode("shift_jis"), "text/html; charset=shift_jis"
+        ) == ("shift_jis", "日本")
+        # unknown codec name falls back to the default
+        cs, text = decode_payload(b"x", "text/html; charset=notacodec")
+        assert (cs, text) == ("utf-8", "x")
+        # a BOM is framing, not content — stripped after decode
+        cs, text = decode_payload("﻿hi".encode("utf-16-le"))
+        assert cs == "utf-16-le" and text == "hi"
+        # mojibake never raises
+        cs, text = decode_payload(b"\xff\xfe\xfa garbage", None)
+        assert isinstance(text, str)
+
+
 class TestWarcRecordsDataFrame:
     def test_three_layouts_and_refusals(self, spark):
         html = b"<html><body><p>Page</p></body></html>"
