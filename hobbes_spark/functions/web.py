@@ -50,6 +50,7 @@ __all__ = [
     "outlinks",
     "parse_robots",
     "robots_allowed",
+    "sitemap_entries",
 ]
 
 #: query parameters that never change page identity — RE2-safe
@@ -542,3 +543,33 @@ def robots_allowed(
         decision = F.when(path.rlike(_robots_regex(pat)), F.lit(allow)) \
             .otherwise(decision)
     return F.when(has_scheme, decision)
+
+
+#: <url>...</url> blocks and their children — RE2-compatible, shared
+#: with the oracle.  Sitemaps are machine-written XML (the protocol at
+#: sitemaps.org), so regex extraction is reliable in a way generic
+#: HTML scraping is not.
+SITEMAP_URL_BLOCK_RE = r"(?is)<url>(.*?)</url>"
+SITEMAP_LOC_RE = r"(?is)<loc>\s*(.*?)\s*</loc>"
+SITEMAP_LASTMOD_RE = r"(?is)<lastmod>\s*(.*?)\s*</lastmod>"
+
+
+def sitemap_entries(col: Column | str) -> Column:
+    """``array<struct<loc,lastmod>>`` from a sitemap.xml column — the
+    crawl-frontier feed (sitemaps.org protocol): per ``<url>`` block,
+    the ``<loc>`` target (whitespace-trimmed per spec) and its optional
+    ``<lastmod>`` stamp (NULL when absent), ready to explode into a
+    fetch queue and join against the already-crawled set.  Pure
+    higher-order Column ops (``regexp_extract_all`` + ``transform``) —
+    map-only, JVM-side, zero shuffle; a sitemap is capped at 50k URLs
+    by the protocol, so the explode fan-out is bounded."""
+    blocks = F.regexp_extract_all(c(col), F.lit(SITEMAP_URL_BLOCK_RE), 1)
+    return F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.nullif(F.regexp_extract(b, SITEMAP_LOC_RE, 1), F.lit(""))
+            .alias("loc"),
+            F.nullif(F.regexp_extract(b, SITEMAP_LASTMOD_RE, 1), F.lit(""))
+            .alias("lastmod"),
+        ),
+    )

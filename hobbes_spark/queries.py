@@ -10316,6 +10316,54 @@ def warc_charset_decode(spark, sf_dir):
 
 
 @q(
+    "sitemap_frontier",
+    """
+    SELECT doc_id,
+           'https://s.example/p' || CAST(doc_id AS VARCHAR) AS loc,
+           '2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS lastmod
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           'https://s.example/q' || CAST(doc_id AS VARCHAR) AS loc,
+           CAST(NULL AS VARCHAR) AS lastmod
+    FROM documents
+    ORDER BY doc_id, loc
+    """,
+)
+def sitemap_frontier(spark, sf_dir):
+    """Sitemap parsing -> crawl frontier (round 11, sitemaps.org
+    protocol): per document a synthesized sitemap.xml carries two
+    <url> blocks — one with whitespace-padded <loc> (the spec demands
+    trimming) and a <lastmod> varying with doc_id, one with <loc> only
+    (lastmod NULL) — extracted by the shared RE2-safe block/loc/
+    lastmod patterns through higher-order Column ops and exploded to
+    the (loc, lastmod) fetch queue.  The oracle synthesizes the SAME
+    expected frontier directly (never replaying the extraction).
+    Map-only extract + bounded explode (the protocol caps a sitemap at
+    50k URLs); at 100 TB the frontier join against the crawled set is
+    the downstream shuffle, not this."""
+    from hobbes_spark.functions.web import sitemap_entries
+
+    docs = _t(spark, sf_dir, "documents").df
+    did = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.lit('<?xml version="1.0"?><urlset '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<url><loc>  https://s.example/p"), did,
+        F.lit("  </loc><lastmod>2026-01-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("</lastmod></url><url><loc>https://s.example/q"), did,
+        F.lit("</loc></url></urlset>"),
+    )
+    return (
+        docs.select("doc_id", F.explode(sitemap_entries(raw)).alias("e"))
+        .select("doc_id", F.col("e.loc").alias("loc"),
+                F.col("e.lastmod").alias("lastmod"))
+        .orderBy("doc_id", "loc")
+    )
+
+
+@q(
     "ann_recall_fixture",
     """
     SELECT * FROM (VALUES
@@ -11106,8 +11154,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r10 (new in r11) ---
     "ann_recall_fixture", "html_meta_docs", "outlink_domains",
-    "robots_filter", "stream_warc_ingest", "subtitle_cues",
-    "warc_charset_decode", "warc_html_pipeline", "warc_records",
+    "robots_filter", "sitemap_frontier", "stream_warc_ingest",
+    "subtitle_cues", "warc_charset_decode", "warc_html_pipeline",
+    "warc_records",
     # --- changed since last signature: the r10 frame_sample_plan wiring
     #     (video_frame_plan_real) post-dates media_frame_plan's r6 row ---
     "media_frame_plan",
@@ -11122,7 +11171,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_curation_stats", "stream_tumbling_counts", "token_frequencies",
     "weekday_counts",
-    # --- last signed in r7, alphabetical (16 of the r7 group; the
+    # --- last signed in r7, alphabetical (15 of the r7 group; the
     #     remainder rolls to the r12 rotation) ---
     "azdo_commit_authors", "chunk_docs",
     "classifier_scores", "cohort_retention", "contamination_report",
@@ -11130,7 +11179,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "dup_cluster_histogram", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
-    "hb_velocity_pivot",
 ]
 
 
