@@ -796,6 +796,88 @@ def main():
         }
     )
 
+    # round-11 crawl-layer shapes: all map-only Column regex (+ one
+    # bounded explode + small-key agg) — expected ratio ~1-2
+    def _wrap_html(do):
+        did = F.col("doc_id").cast("string")
+        return do.withColumn(
+            "raw",
+            F.concat(
+                F.lit('<html lang="en"><head><title>'),
+                F.substring("text", 1, 40),
+                F.lit('</title><link rel="canonical" '
+                      'href="https://c.example/'), did,
+                F.lit('"></head><body><a href="https://s'),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit('.example.com/a">x</a><a href="https://h'),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit('.unknowntld/y">z</a>'),
+                F.col("text"), F.lit("</body></html>"),
+            ),
+        )
+
+    def html_meta_shape(do):
+        from hobbes_spark.functions.web import html_meta
+
+        cols = html_meta(F.col("raw"))
+        return _wrap_html(do).select(
+            "doc_id", *[v.alias(k) for k, v in cols.items()])
+
+    def outlink_domains_shape(do):
+        from hobbes_spark.functions.web import (
+            outlinks, registrable_domain, url_host)
+
+        links = _wrap_html(do).select(
+            "doc_id", F.explode(outlinks(F.col("raw"))).alias("link"))
+        dom = registrable_domain(url_host(F.col("link")))
+        return (links.select(dom.alias("domain"))
+                .filter(F.col("domain").isNotNull())
+                .groupBy("domain").count())
+
+    def robots_shape(do):
+        from hobbes_spark.functions.web import robots_allowed
+
+        rules = [(False, "/private/"), (True, "/private/ok/"),
+                 (False, "/*.pdf$"), (False, "/tmp")]
+        url = F.concat(F.lit("https://e.example/p/"),
+                       F.col("doc_id").cast("string"),
+                       F.when(F.col("doc_id") % 4 == 0, F.lit(".pdf"))
+                       .otherwise(F.lit("")))
+        return do.select("doc_id", robots_allowed(url, rules).alias("ok"))
+
+    def warc_parse_shape(do):
+        # shard-per-row WARC walk through the Arrow boundary: the text
+        # column becomes a one-record PLAIN shard (codec sniff + record
+        # walk + HTTP split per row, no decompress — the CPU shape is
+        # the parse, matching a pre-inflated landing zone)
+        from hobbes_spark.functions.warc import warc_records
+
+        payload = F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+                  "WARC-Target-URI: https://w.example/"),
+            F.col("doc_id").cast("string"),
+            F.lit("\r\nContent-Type: application/http; msgtype=response"
+                  "\r\nContent-Length: "),
+            (F.octet_length(F.col("text")) + 44).cast("string"),
+            F.lit("\r\n\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html"
+                  "\r\n\r\n"),
+            F.col("text"), F.lit("\r\n\r\n"),
+        ).cast("binary")
+        media = do.select(F.col("doc_id").alias("media_id"),
+                          payload.alias("content"))
+        return warc_records(media).select(
+            "media_id", "record_index", "http_status",
+            F.length("body").alias("n"))
+
+    cases.update(
+        {
+            "html_meta_extract": (html_meta_shape, do1, "documents"),
+            "outlink_domain_mix": (outlink_domains_shape, do1, "documents"),
+            "robots_decision": (robots_shape, do1, "documents"),
+            "warc_record_parse": (warc_parse_shape, do1, "documents"),
+        }
+    )
+
     def run(df):
         df.write.format("noop").mode("overwrite").save()
 
