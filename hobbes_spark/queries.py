@@ -10074,6 +10074,7 @@ _META_SQL_RAW = (
            {_meta_sql("lang", "raw")} AS lang
     FROM h ORDER BY doc_id
     """,
+    bench=True,
 )
 def html_meta_docs(spark, sf_dir):
     """HTML head-metadata extraction (round 11): the signals a crawl
@@ -10129,6 +10130,7 @@ def html_meta_docs(spark, sf_dir):
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
     FROM l GROUP BY domain ORDER BY domain
     """,
+    bench=True,
 )
 def outlink_domains(spark, sf_dir):
     """Outlink domain mix (round 11): the crawl-graph edge feed —

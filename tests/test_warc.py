@@ -108,6 +108,28 @@ class TestSplitHttpResponse:
         assert st is None and body == b"HTTP/1.1 OK\r\n\r\nx"
 
 
+class TestWetConversionRecords:
+    def test_wet_layout(self, spark):
+        """WET shards (the pre-extracted-text sibling of WARC) are
+        ordinary WARC files whose records are ``WARC-Type: conversion``
+        with ``text/plain`` blocks — the generic record walk must
+        surface the text body unchanged, no HTTP split."""
+        recs = (_rec("warcinfo", None, b"software: wet-extractor",
+                     "application/warc-fields")
+                + _rec("conversion", "http://a/page",
+                       "extracted plain text café".encode(),
+                       "text/plain"))
+        media = spark.createDataFrame(
+            [(1, bytearray(gzip.compress(recs, mtime=0)))],
+            "media_id long, content binary")
+        got = [r.asDict() for r in
+               warc_records(media).orderBy("record_index").collect()]
+        assert got[1]["warc_type"] == "conversion"
+        assert got[1]["http_status"] is None
+        assert got[1]["body"] == "extracted plain text café"
+        assert got[1]["target_uri"] == "http://a/page"
+
+
 class TestCharsetSniff:
     def test_whatwg_precedence(self):
         from hobbes_spark.functions.warc import sniff_charset
