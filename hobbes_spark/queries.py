@@ -10366,6 +10366,69 @@ def sitemap_frontier(spark, sf_dir):
 
 
 @q(
+    "robots_filter_hosts",
+    """
+    WITH u AS (
+      SELECT doc_id % 5 AS path_class,
+             'h' || CAST(doc_id % 3 AS VARCHAR) AS host_class,
+             CASE
+               WHEN doc_id % 3 = 2 THEN TRUE       -- no robots row
+               WHEN doc_id % 3 = 0 THEN             -- h0: Disallow /private/
+                 CASE WHEN doc_id % 5 IN (1, 2) THEN FALSE ELSE TRUE END
+               ELSE                                  -- h1: Disallow / Allow /ok/
+                 CASE WHEN doc_id % 5 = 3 THEN TRUE ELSE FALSE END
+             END AS allowed
+      FROM documents
+    )
+    SELECT host_class, path_class, allowed,
+           CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM u GROUP BY host_class, path_class, allowed
+    ORDER BY host_class, path_class
+    """,
+)
+def robots_filter_hosts(spark, sf_dir):
+    """PER-HOST robots fetchability (round 11, the 100 TB shape): a
+    crawl has millions of robots.txt files, so the rules join as DATA
+    — urls equi-join their host's payload and an Arrow mapInPandas
+    pass parses + matches, caching parsed rules per distinct payload
+    within each batch.  Three host classes (h0 with a /private/
+    Disallow, h1 with Disallow-/ + an /ok/ Allow carve-out, h2 with NO
+    robots row -> the RFC 9309 absent-file default-allow) cross five
+    path classes; the oracle maps each (host, path) class straight to
+    its hand-derived verdict.  The join is broadcast-able (robots side
+    is hosts-sized, not URLs-sized); the matcher is batch-cached
+    Python at the Arrow boundary, never per-row UDF."""
+    from hobbes_spark.functions.web import robots_filter_df
+
+    docs = _t(spark, sf_dir, "documents").df
+    hostc = F.concat(F.lit("h"), (F.col("doc_id") % 3).cast("string"))
+    pathc = (F.col("doc_id") % 5).cast("int")
+    url = F.concat(
+        F.lit("https://"), hostc, F.lit(".example"),
+        F.when(pathc == 0, F.lit("/index"))
+        .when(pathc == 1, F.lit("/private/a"))
+        .when(pathc == 2, F.lit("/private/deep/b"))
+        .when(pathc == 3, F.lit("/ok/page"))
+        .otherwise(F.lit("/misc")),
+    )
+    urls = docs.select(
+        hostc.alias("host_class"), pathc.alias("path_class"),
+        url.alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [("h0.example", "User-agent: *\nDisallow: /private/\n"),
+         ("h1.example", "User-agent: *\nDisallow: /\nAllow: /ok/\n")],
+        "host string, robots_txt string",
+    )
+    return (
+        robots_filter_df(urls, robots)
+        .groupBy("host_class", "path_class", "allowed")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"))
+        .orderBy("host_class", "path_class")
+    )
+
+
+@q(
     "ann_recall_fixture",
     """
     SELECT * FROM (VALUES
@@ -11156,7 +11219,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # sync when adding catalog entries (the contract test enforces it).
     # --- never signed as of r10 (new in r11) ---
     "ann_recall_fixture", "html_meta_docs", "outlink_domains",
-    "robots_filter", "sitemap_frontier", "stream_warc_ingest",
+    "robots_filter", "robots_filter_hosts", "sitemap_frontier",
+    "stream_warc_ingest",
     "subtitle_cues", "warc_charset_decode", "warc_html_pipeline",
     "warc_records",
     # --- changed since last signature: the r10 frame_sample_plan wiring
@@ -11173,14 +11237,14 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_curation_stats", "stream_tumbling_counts", "token_frequencies",
     "weekday_counts",
-    # --- last signed in r7, alphabetical (15 of the r7 group; the
+    # --- last signed in r7, alphabetical (14 of the r7 group; the
     #     remainder rolls to the r12 rotation) ---
     "azdo_commit_authors", "chunk_docs",
     "classifier_scores", "cohort_retention", "contamination_report",
     "daily_value_delta", "dedup_paragraphs", "dedup_spans", "dsir_weights",
     "dup_cluster_histogram", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
-    "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
+    "epoch_shuffle_order", "group_percentiles",
 ]
 
 

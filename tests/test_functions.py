@@ -3300,6 +3300,50 @@ class TestRobots:
         assert df.select(
             robots_allowed("url", rules).alias("a")).first()["a"] is True
 
+    def test_column_matches_python_twin(self, spark):
+        """The Column CASE and the executor-side pure-Python matcher
+        must agree on every (rules, path) pair — they are two engines
+        of one spec, the PSL-replay discipline."""
+        from hobbes_spark.functions.web import robots_allowed, robots_match
+
+        rules = [(False, "/a"), (True, "/a/b"), (False, "/a/b/c"),
+                 (False, "/*x$"), (True, "/p"), (False, "/p/q*r")]
+        paths = ["/", "/a", "/a/", "/a/b", "/a/b/", "/a/b/c", "/a/b/cd",
+                 "/zx", "/z/yx", "/xx?x", "/p", "/p/qzzr", "/p/q-r/s",
+                 "/other", "/a/bx"]
+        urls = [f"https://h.example{p}" for p in paths]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = [r["ok"] for r in
+               df.select(robots_allowed("url", rules).alias("ok")).collect()]
+        want = [robots_match(rules, p.split("#")[0]) for p in paths]
+        assert got == want, list(zip(paths, got, want))
+
+    def test_per_host_dataframe_variant(self, spark):
+        from hobbes_spark.functions.web import robots_filter_df
+
+        urls = spark.createDataFrame(
+            [(1, "https://h0.example/private/x"),
+             (2, "https://h0.example/ok"),
+             (3, "https://h1.example/anything"),
+             (4, "https://h1.example/ok/page"),
+             (5, "https://norobots.example/a"),
+             (6, "not a url"),
+             (7, None)],
+            "id long, url string")
+        robots = spark.createDataFrame(
+            [("h0.example", "User-agent: *\nDisallow: /private/\n"),
+             ("h1.example", "User-agent: *\nDisallow: /\nAllow: /ok/\n")],
+            "host string, robots_txt string")
+        got = {r["id"]: r["allowed"]
+               for r in robots_filter_df(urls, robots).collect()}
+        assert got == {1: False, 2: True, 3: False, 4: True,
+                       5: True, 6: None, 7: None}
+        # never silently destroy caller columns (r10 blocklist lesson)
+        import pytest
+
+        with pytest.raises(ValueError):
+            robots_filter_df(urls.withColumn("__rf_host", urls.url), robots)
+
 
 class TestRegistrableDomain:
     """eTLD+1 extraction over the embedded PSL subset: one literal pin
