@@ -109,6 +109,10 @@ BNLJ_ALLOWED = {
     "tpch_q20_promotion", "tpch_q22_opportunity",
     # bounded-small broadcast sides (see comment above)
     "cosine_topk", "embedding_neardup_exact", "ann_ivf_topk",
+    # ann_recall_fixture: the recall METER — its ground truth IS the
+    # documented cosine_topk exact-scan baseline (60-vector fixture
+    # corpus, broadcast queries), so the BNLJ is the thing measured
+    "ann_recall_fixture",
     # hard_negatives_topk: the same broadcast-query exact-scan baseline
     # as cosine_topk, with the different-label predicate inside
     "hard_negatives_topk",
