@@ -449,11 +449,16 @@ def _outcome(build):
     """('ok', frame) or ('err', message) — a program that raises on
     BOTH sides with the same underlying message is parity too (e.g.
     `each` after a filter emptied the table and the data-dependent
-    `numeric columns` dropped every column)."""
+    `numeric columns` dropped every column).  Spark 4 appends a
+    '== DataFrame ==' context trailer naming the PYTHON CALLSITE that
+    built the offending Column — necessarily different between the hb
+    compiler and the direct-API lambda — so the trailer is stripped
+    before comparison (the error class + message above it is the
+    parity contract, the callsite is test plumbing)."""
     try:
         return ("ok", _frame(build()))
     except Exception as e:  # noqa: BLE001 - compared, not swallowed
-        return ("err", str(e))
+        return ("err", str(e).split("\n== DataFrame ==")[0])
 
 
 @given(prog=programs())
