@@ -555,3 +555,64 @@ def nfc_normalize(col: Column | str) -> Column:
     regex); DuckDB replays it via ``nfc_normalize`` — the oracle twin
     for `nfc_docs`."""
     return unicode_normalize(col, "NFC")
+
+
+# --------------------------------------------------------------------- #
+# Code-likeness router (round 11): a mixed crawl interleaves prose and
+# source code, and the two families take DIFFERENT curation paths
+# (prose -> quality batteries + near-dup; code -> line-dedup +
+# license/PII scans).  This is the cheap structural router — four
+# surface features over one pass of pure Column regex, a linear score,
+# a threshold — NOT a learned classifier (classify.py holds those).
+# Every feature is replayable in the DuckDB oracle with the same
+# shared patterns.
+# --------------------------------------------------------------------- #
+
+#: patterns shared verbatim with the oracle (RE2-safe)
+CODE_SYMBOL_RE = r"[{}()\[\];=<>]"
+CODE_KEYWORD_RE = (
+    r"(?m)(^|[^A-Za-z0-9_])(def |class |import |return |function |"
+    r"const |let |void |#include|public |printf|println|lambda )"
+)
+CODE_INDENT_LINE_RE = r"(?m)^(    |\t)"
+CODE_EOL_RE = r"(?m)[;{}]$"
+
+#: score weights + threshold (hand-set on the structural features —
+#: symbols and code keywords dominate; indentation and ;/{ line ends
+#: confirm).  Deliberately simple integers so the oracle's double math
+#: reproduces bit-for-bit.
+CODE_SCORE_THRESHOLD = 0.5
+
+
+def code_likeness(col: Column | str) -> dict[str, Column]:
+    """Structural code-likeness features + routing verdict for a text
+    column: ``symbol_frac`` (code symbols per char), ``keyword_hits``
+    (code-keyword occurrences per line), ``indent_frac`` (4-space/tab
+    lines), ``eol_frac`` (lines ending ``;``/``{``/``}``), ``score``
+    (the weighted sum, 4-dp half-up) and ``is_code`` (score past the
+    threshold).  One map-only pass of JVM regex; fractions divide by
+    max(chars,1)/max(lines,1) so empty text scores 0, not NULL."""
+    t = c(col)
+    n_chars = F.greatest(F.length(t), F.lit(1)).cast("double")
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    symbol_frac = F.size(F.regexp_extract_all(t, F.lit(CODE_SYMBOL_RE), 0)) / n_chars
+    keyword_hits = F.size(F.regexp_extract_all(t, F.lit(CODE_KEYWORD_RE), 0)) / n_lines
+    indent_frac = F.size(F.regexp_extract_all(t, F.lit(CODE_INDENT_LINE_RE), 0)) / n_lines
+    eol_frac = F.size(F.regexp_extract_all(t, F.lit(CODE_EOL_RE), 0)) / n_lines
+
+    def r4(x):
+        return F.floor(x * F.lit(10_000.0) + F.lit(0.5)) / F.lit(10_000.0)
+
+    score = r4(
+        symbol_frac * F.lit(4.0) + keyword_hits * F.lit(1.0)
+        + indent_frac * F.lit(1.0) + eol_frac * F.lit(1.0)
+    )
+    return {
+        "symbol_frac": r4(symbol_frac),
+        "keyword_hits": r4(keyword_hits),
+        "indent_frac": r4(indent_frac),
+        "eol_frac": r4(eol_frac),
+        "score": score,
+        "is_code": score > F.lit(CODE_SCORE_THRESHOLD),
+    }

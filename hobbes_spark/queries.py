@@ -10428,6 +10428,211 @@ def robots_filter_hosts(spark, sf_dir):
     )
 
 
+def _md_sql(expr: str) -> str:
+    """DuckDB replay of the ONE shared MD_RULES table over ``expr`` —
+    the _html_sql pattern with the one engine split handled centrally:
+    Spark capture refs are ``$n``, RE2/DuckDB's are ``\\n``."""
+    import re as _re
+
+    from hobbes_spark.functions.markdown import MD_RULES
+
+    out = expr
+    for pat, rep in MD_RULES:
+        drep = _re.sub(r"\$(\d)", r"\\\1", rep)
+        out = f"regexp_replace({out}, {_esql(pat)}, {_esql(drep)}, 'g')"
+    return out
+
+
+# deterministic markdown envelope exercising every MD_RULES class:
+# ATX header, bold/em/strike, inline code, links + images (both
+# inline and reference style), a fenced code block, a blockquote,
+# bullets/ordered items, a table, a setext underline, a thematic break
+_MD_PRE = (
+    "# Doc Title\n\nSome **bold** and *em* with `code` and ~~gone~~, "
+    "a [link](https://e.x/p) and ![alt](i.png), ref [txt][1].\n\n"
+    "```python\ndef f(x):\n    return x * 2\n```\n\n> quoted\n\n"
+    "- item\n2) ordered\n\ncol a | col b\n------|------\n1 | 2\n\n"
+    "Setext\n=====\n\n---\n\n[1]: https://ref.example\n\n"
+)
+_MD_POST = "\n\ntail **ends** here"
+
+
+@q(
+    "markdown_text_stats",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             ({_esql(_MD_PRE)} || text || {_esql(_MD_POST)}) AS raw
+      FROM documents
+    ),
+    x AS (SELECT doc_id, {_md_sql("raw")} AS txt FROM m)
+    SELECT doc_id, CAST(len(txt) AS BIGINT) AS n_chars, md5(txt) AS fp
+    FROM x ORDER BY doc_id
+    """,
+)
+def markdown_text_stats(spark, sf_dir):
+    """Markdown -> text extraction (round 11, the code-corpus sibling
+    of html_text_stats): READMEs and docs corpora ship as markdown.
+    Both engines wrap every document in the SAME envelope exercising
+    every MD_RULES class — fence lines drop while the CODE BODY
+    survives, links/images resolve to their text/alt (inline AND
+    reference style), headers/emphasis/quotes/bullets/tables strip to
+    their words, reference definitions drop whole — and extract with
+    the ONE shared rule table (the only engine split, $n vs \\n
+    capture refs, handled centrally in _md_sql).  md5 agreement is
+    byte-exact across Java regex and RE2.  Pure chained
+    regexp_replace: map-only, codegen, shuffle-free."""
+    from hobbes_spark.functions.markdown import markdown_to_text
+
+    docs = _t(spark, sf_dir, "documents").df
+    raw = F.concat(F.lit(_MD_PRE), F.col("text"), F.lit(_MD_POST))
+    return docs.select(
+        "doc_id",
+        F.length(markdown_to_text(raw)).cast("bigint").alias("n_chars"),
+        F.md5(markdown_to_text(raw)).alias("fp"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "notebook_cells",
+    """
+    SELECT doc_id, CAST(0 AS INTEGER) AS cell_index,
+           'markdown' AS cell_type, 'python' AS language,
+           text AS source, CAST(1 AS INTEGER) AS n_lines
+    FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INTEGER), 'code', 'python',
+           'x = ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || 'print(x)',
+           CAST(2 AS INTEGER)
+    FROM documents
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(0 AS INTEGER), 'code', 'julia',
+           'a = 2' || chr(10) || 'b = 3', CAST(2 AS INTEGER)
+    ORDER BY doc_id, cell_index
+    """,
+)
+def notebook_cells_q(spark, sf_dir):
+    """Jupyter notebook (.ipynb) cell extraction (round 11, the
+    code-corpus ingest): per document a REAL nbformat-4 JSON envelope
+    is built with to_json (so arbitrary document text is escaped the
+    way a real notebook stores it) carrying a markdown cell (the doc
+    text as one source line) and a code cell (two array lines whose
+    join must preserve the embedded newline); a separate literal
+    notebook exercises the spec's OTHER legal source shape — a single
+    STRING — plus a non-python kernelspec.  A non-JSON payload and a
+    JSON-but-not-a-notebook payload yield no rows (the 2N+1 count pins
+    both drops).  Pure from_json with explicit schemas + zip_with
+    source reconciliation + posexplode: map-only, bounded fan-out,
+    zero shuffle."""
+    from hobbes_spark.functions.notebooks import notebook_cells
+
+    docs = _t(spark, sf_dir, "documents").df
+    code_line = F.concat(F.lit("x = "), (F.col("doc_id") % 7).cast("string"),
+                         F.lit("\n"))
+    nb = F.to_json(F.struct(
+        F.lit(4).alias("nbformat"),
+        F.struct(F.struct(F.lit("python").alias("language"))
+                 .alias("kernelspec")).alias("metadata"),
+        F.array(
+            F.struct(F.lit("markdown").alias("cell_type"),
+                     F.array(F.col("text")).alias("source")),
+            F.struct(F.lit("code").alias("cell_type"),
+                     F.array(code_line, F.lit("print(x)")).alias("source")),
+        ).alias("cells"),
+    ))
+    main = docs.select("doc_id", nb.alias("raw"))
+    extra = spark.createDataFrame(
+        [(-1, '{"nbformat": 4, "metadata": {"kernelspec": '
+              '{"language": "julia"}}, "cells": [{"cell_type": "code", '
+              '"source": "a = 2\\nb = 3"}]}'),
+         (-2, "not json at all"),
+         (-3, '{"other": 1}')],
+        "doc_id long, raw string",
+    )
+    return notebook_cells(main.unionByName(extra)).orderBy(
+        "doc_id", "cell_index")
+
+
+#: code snippet prepended to even-doc_id documents so both routing
+#: outcomes occur (shared verbatim by both engines)
+_CODE_SNIPPET = (
+    "def handler(req):\n    data = req.json()\n    items = [x * 2 "
+    "for x in data];\n    return {\"n\": len(items)};\n"
+)
+
+
+def _code_sql(raw: str) -> dict:
+    """DuckDB replay of the code_likeness features over ``raw`` —
+    same shared patterns, same max(.,1) guards, same 4-dp half-up."""
+    from hobbes_spark.functions.text import (
+        CODE_EOL_RE, CODE_INDENT_LINE_RE, CODE_KEYWORD_RE, CODE_SYMBOL_RE,
+    )
+
+    n_chars = f"CAST(GREATEST(len({raw}), 1) AS DOUBLE)"
+    n_lines = f"CAST(GREATEST(len(string_split({raw}, chr(10))), 1) AS DOUBLE)"
+
+    def frac(pat, denom):
+        return (f"len(regexp_extract_all({raw}, {_esql(pat)})) / {denom}")
+
+    def r4(x):
+        return f"FLOOR(({x}) * 10000.0 + 0.5) / 10000.0"
+
+    sym = frac(CODE_SYMBOL_RE, n_chars)
+    kw = frac(CODE_KEYWORD_RE, n_lines)
+    ind = frac(CODE_INDENT_LINE_RE, n_lines)
+    eol = frac(CODE_EOL_RE, n_lines)
+    score = r4(f"({sym}) * 4.0 + ({kw}) + ({ind}) + ({eol})")
+    return {"symbol_frac": r4(sym), "keyword_hits": r4(kw),
+            "indent_frac": r4(ind), "eol_frac": r4(eol),
+            "score": score, "is_code": f"({score}) > 0.5"}
+
+
+_CODE_RAW_SQL = (
+    f"(CASE WHEN doc_id % 2 = 0 THEN {_esql(_CODE_SNIPPET)} ELSE '' END "
+    "|| coalesce(text, ''))"
+)
+_CODE_COLS = _code_sql("raw")
+
+
+@q(
+    "code_likeness_docs",
+    f"""
+    WITH m AS (SELECT doc_id, {_CODE_RAW_SQL} AS raw FROM documents)
+    SELECT doc_id,
+           {_CODE_COLS["symbol_frac"]} AS symbol_frac,
+           {_CODE_COLS["keyword_hits"]} AS keyword_hits,
+           {_CODE_COLS["indent_frac"]} AS indent_frac,
+           {_CODE_COLS["eol_frac"]} AS eol_frac,
+           {_CODE_COLS["score"]} AS score,
+           {_CODE_COLS["is_code"]} AS is_code
+    FROM m ORDER BY doc_id
+    """,
+)
+def code_likeness_docs(spark, sf_dir):
+    """Code-vs-prose routing (round 11): a mixed crawl sends code and
+    prose down DIFFERENT curation paths, and this is the cheap
+    structural router — four regex features (code-symbol density,
+    keyword hits per line, indented-line and ;/{-line fractions), a
+    weighted score, a threshold verdict.  Even doc_ids get a real code
+    snippet prepended (both routing outcomes occur and the boundary is
+    data-dependent); the oracle replays the SAME shared patterns,
+    max(.,1) guards and 4-dp half-up rounding — feature-for-feature
+    double agreement, not just the boolean.  One map-only regex pass,
+    zero shuffle."""
+    from hobbes_spark.functions.text import code_likeness
+
+    docs = _t(spark, sf_dir, "documents").df
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit(_CODE_SNIPPET))
+        .otherwise(F.lit("")),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    cols = code_likeness(raw)
+    return docs.select(
+        "doc_id", *[v.alias(k) for k, v in cols.items()]
+    ).orderBy("doc_id")
+
+
 @q(
     "ann_recall_fixture",
     """
@@ -11211,40 +11416,32 @@ def chart_gauge_lineitem(spark, sf_dir):
 WINDOW_FROZEN_AT = "CORRECTNESS_r10"
 
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # Round-11 rotation, CHANGE-AWARE (tools/window_cohort.py --as-of 10):
-    # rank = (never-signed-or-changed-since-signature DESC, last-signed
-    # round ASC, name ASC), frozen at the commit that recorded
-    # CORRECTNESS_r10.json.  Queries ADDED this round are never-signed
-    # as of r10 and therefore lead automatically — keep this list in
-    # sync when adding catalog entries (the contract test enforces it).
-    # --- never signed as of r10 (new in r11) ---
-    "ann_recall_fixture", "html_meta_docs", "outlink_domains",
+    # Round-11 rotation, CHANGE-AWARE (tools/window_cohort.py --as-of
+    # 10): rank = (never-signed-or-changed-since-signature DESC,
+    # last-signed round ASC, name ASC), frozen at the commit that
+    # recorded CORRECTNESS_r10.json.  Queries ADDED this round are
+    # never-signed as of r10 and lead automatically — the leading 14
+    # alphabetical entries are the 14 new r11 rows, then the changed
+    # media_frame_plan, then the r6 remainder and the oldest r7 rows
+    # (the rest of the r7 group rolls to the r12 rotation).
+    "ann_recall_fixture", "code_likeness_docs", "html_meta_docs",
+    "markdown_text_stats", "notebook_cells", "outlink_domains",
     "robots_filter", "robots_filter_hosts", "sitemap_frontier",
-    "stream_warc_ingest",
-    "subtitle_cues", "warc_charset_decode", "warc_html_pipeline",
-    "warc_records",
-    # --- changed since last signature: the r10 frame_sample_plan wiring
-    #     (video_frame_plan_real) post-dates media_frame_plan's r6 row ---
-    "media_frame_plan",
-    # --- last signed in r6, alphabetical (the 23-entry remainder of the
-    #     r6 group; with these signed, every r6 signature is refreshed) ---
-    "join_broadcast_dims", "kmeans_fixture_exact",
-    "lang_id_counts", "linear_extrapolation", "linear_regression",
-    "minhash_pairs", "missing_filter", "moving_partitioned",
-    "ngram_jaccard_pairs", "normalize_text_docs", "normalized_dedup",
-    "numeric_columns", "pagerank_fixture_exact", "pivot_sum",
-    "rename_recreate", "repeat_customers", "rollup_revenue",
-    "simhash_fingerprints", "stratified_sample_counts",
-    "stream_curation_stats", "stream_tumbling_counts", "token_frequencies",
-    "weekday_counts",
-    # --- last signed in r7, alphabetical (14 of the r7 group; the
-    #     remainder rolls to the r12 rotation) ---
-    "azdo_commit_authors", "chunk_docs",
-    "classifier_scores", "cohort_retention", "contamination_report",
-    "daily_value_delta", "dedup_paragraphs", "dedup_spans", "dsir_weights",
+    "stream_warc_ingest", "subtitle_cues", "warc_charset_decode",
+    "warc_html_pipeline", "warc_records", "media_frame_plan",
+    "join_broadcast_dims", "kmeans_fixture_exact", "lang_id_counts",
+    "linear_extrapolation", "linear_regression", "minhash_pairs",
+    "missing_filter", "moving_partitioned", "ngram_jaccard_pairs",
+    "normalize_text_docs", "normalized_dedup", "numeric_columns",
+    "pagerank_fixture_exact", "pivot_sum", "rename_recreate",
+    "repeat_customers", "rollup_revenue", "simhash_fingerprints",
+    "stratified_sample_counts", "stream_curation_stats",
+    "stream_tumbling_counts", "token_frequencies", "weekday_counts",
+    "azdo_commit_authors", "chunk_docs", "classifier_scores",
+    "cohort_retention", "contamination_report", "daily_value_delta",
+    "dedup_paragraphs", "dedup_spans", "dsir_weights",
     "dup_cluster_histogram", "duplicate_ngram_frac",
-    "embedding_neardup_exact", "embedding_neardup_lsh",
-    "epoch_shuffle_order", "group_percentiles",
+    "embedding_neardup_exact",
 ]
 
 
