@@ -53,6 +53,8 @@ __all__ = [
     "sitemap_entries",
     "robots_match",
     "robots_filter_df",
+    "ACCESS_LOG_RE",
+    "parse_access_log",
 ]
 
 #: query parameters that never change page identity — RE2-safe
@@ -661,3 +663,49 @@ def robots_filter_df(
         f"`{f.name}` {f.dataType.simpleString()}" for f in urls.schema.fields
     ) + ", allowed boolean"
     return joined.mapInPandas(run, schema=schema)
+
+
+#: Apache/nginx COMBINED log format — the shape CDN/origin logs land
+#: in (and a crawl-ops telemetry staple).  One RE2-safe pattern shared
+#: verbatim with the oracle; group numbers are the contract.  The
+#: identd field is non-capturing (always '-' in practice) to stay
+#: within DuckDB's 9-group regexp_extract limit.
+ACCESS_LOG_RE = (
+    r'^(\S+) \S+ (\S+) \[([^\]]+)\] "(\S+) (\S+)[^"]*" '
+    r"(\d{3}) (\d+|-)"
+    r'(?: "([^"]*)" "([^"]*)")?'
+)
+
+#: (field, group, cast) — the typed projection of the match
+_ACCESS_LOG_FIELDS: tuple[tuple[str, int, str | None], ...] = (
+    ("client", 1, None),
+    ("authuser", 2, None),
+    ("ts_raw", 3, None),
+    ("method", 4, None),
+    ("path", 5, None),
+    ("status", 6, "int"),
+    ("n_bytes", 7, "bigint"),
+    ("referer", 8, None),
+    ("user_agent", 9, None),
+)
+
+
+def parse_access_log(col: Column | str) -> dict[str, Column]:
+    """field -> typed Column for one combined-log-format line: client,
+    authuser, the raw timestamp text, method, path, status (int),
+    bytes (bigint; the CLF ``-`` placeholder reads NULL), referer and
+    user-agent (NULL when the line is plain CLF without the combined
+    tail).  Lines that do not match at all yield all-NULL fields —
+    filter on ``status IS NULL`` to quarantine garbage.  Pure Column
+    regex over ONE shared pattern: map-only, JVM-side, zero shuffle,
+    replayed group-for-group by the DuckDB oracle."""
+    raw = c(col)
+    out: dict[str, Column] = {}
+    for field, g, cast in _ACCESS_LOG_FIELDS:
+        v = F.nullif(F.regexp_extract(raw, ACCESS_LOG_RE, g), F.lit(""))
+        if field == "n_bytes":
+            v = F.nullif(v, F.lit("-"))
+        if cast:
+            v = v.cast(cast)
+        out[field] = v
+    return out

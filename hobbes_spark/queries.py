@@ -10633,6 +10633,98 @@ def code_likeness_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _alog_sql(raw: str) -> dict:
+    """DuckDB replay of parse_access_log over ``raw`` — the shared
+    ACCESS_LOG_RE, group-for-group, same NULL/cast discipline."""
+    from hobbes_spark.functions.web import _ACCESS_LOG_FIELDS, ACCESS_LOG_RE
+
+    out = {}
+    for field, g, cast in _ACCESS_LOG_FIELDS:
+        v = f"nullif(regexp_extract({raw}, {_esql(ACCESS_LOG_RE)}, {g}), '')"
+        if field == "n_bytes":
+            v = f"nullif({v}, '-')"
+        if cast:
+            v = f"CAST({v} AS {'INTEGER' if cast == 'int' else 'BIGINT'})"
+        out[field] = v
+    return out
+
+
+_ALOG_RAW_SQL = (
+    "('192.0.2.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || ' - ' || CASE WHEN doc_id % 5 = 0 THEN 'alice' ELSE '-' END"
+    " || ' [15/Aug/2026:08:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')"
+    " || ':00 +0000] \"' || CASE WHEN doc_id % 3 = 0 THEN 'POST' ELSE 'GET' END"
+    " || ' /p/' || CAST(doc_id AS VARCHAR) || ' HTTP/1.1\" '"
+    " || CASE WHEN doc_id % 7 = 0 THEN '404' ELSE '200' END"
+    " || ' ' || CASE WHEN doc_id % 4 = 0 THEN '-' "
+    "ELSE CAST(doc_id * 17 AS VARCHAR) END"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' \"https://ref.example/\" "
+    "\"Mozilla/5.0\"' ELSE '' END)"
+)
+_ALOG_COLS = _alog_sql("raw")
+
+
+@q(
+    "access_log_parse",
+    f"""
+    WITH m AS (SELECT doc_id, {_ALOG_RAW_SQL} AS raw FROM documents)
+    SELECT doc_id,
+           {_ALOG_COLS["client"]} AS client,
+           {_ALOG_COLS["authuser"]} AS authuser,
+           {_ALOG_COLS["method"]} AS method,
+           {_ALOG_COLS["path"]} AS path,
+           {_ALOG_COLS["status"]} AS status,
+           {_ALOG_COLS["n_bytes"]} AS n_bytes,
+           {_ALOG_COLS["referer"]} AS referer,
+           {_ALOG_COLS["user_agent"]} AS user_agent
+    FROM m ORDER BY doc_id
+    """,
+)
+def access_log_parse(spark, sf_dir):
+    """Combined-log-format parsing (round 11): CDN/origin access logs
+    are the telemetry side of a crawl corpus (fetch status, bytes,
+    user agents).  Log lines synthesized from doc_id cover every
+    field class — CLF-only lines WITHOUT the combined referer/UA tail
+    (NULL columns), the ``-`` bytes placeholder (NULL bigint, never a
+    cast error under ANSI mode), status as a typed int, authuser both
+    set and literal ``-``.  Both engines extract with the ONE shared
+    ACCESS_LOG_RE, group numbers as the contract.  Map-only Column
+    regex, zero shuffle."""
+    from hobbes_spark.functions.web import parse_access_log
+
+    docs = _t(spark, sf_dir, "documents").df
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.lit("192.0.2."), (did % 200).cast("string"),
+        F.lit(" - "),
+        F.when(did % 5 == 0, F.lit("alice")).otherwise(F.lit("-")),
+        F.lit(" [15/Aug/2026:08:"),
+        F.lpad((did % 60).cast("string"), 2, "0"),
+        F.lit(':00 +0000] "'),
+        F.when(did % 3 == 0, F.lit("POST")).otherwise(F.lit("GET")),
+        F.lit(" /p/"), did.cast("string"), F.lit(' HTTP/1.1" '),
+        F.when(did % 7 == 0, F.lit("404")).otherwise(F.lit("200")),
+        F.lit(" "),
+        F.when(did % 4 == 0, F.lit("-"))
+        .otherwise((did * 17).cast("string")),
+        F.when(did % 2 == 0,
+               F.lit(' "https://ref.example/" "Mozilla/5.0"'))
+        .otherwise(F.lit("")),
+    )
+    cols = parse_access_log(raw)
+    return docs.select(
+        "doc_id",
+        cols["client"].alias("client"),
+        cols["authuser"].alias("authuser"),
+        cols["method"].alias("method"),
+        cols["path"].alias("path"),
+        cols["status"].alias("status"),
+        cols["n_bytes"].alias("n_bytes"),
+        cols["referer"].alias("referer"),
+        cols["user_agent"].alias("user_agent"),
+    ).orderBy("doc_id")
+
+
 @q(
     "ann_recall_fixture",
     """
@@ -11420,29 +11512,29 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # 10): rank = (never-signed-or-changed-since-signature DESC,
     # last-signed round ASC, name ASC), frozen at the commit that
     # recorded CORRECTNESS_r10.json.  Queries ADDED this round are
-    # never-signed as of r10 and lead automatically — the leading 14
-    # alphabetical entries are the 14 new r11 rows, then the changed
+    # never-signed as of r10 and lead automatically — the leading 15
+    # alphabetical entries are the 15 new r11 rows, then the changed
     # media_frame_plan, then the r6 remainder and the oldest r7 rows
     # (the rest of the r7 group rolls to the r12 rotation).
-    "ann_recall_fixture", "code_likeness_docs", "html_meta_docs",
-    "markdown_text_stats", "notebook_cells", "outlink_domains",
-    "robots_filter", "robots_filter_hosts", "sitemap_frontier",
-    "stream_warc_ingest", "subtitle_cues", "warc_charset_decode",
-    "warc_html_pipeline", "warc_records", "media_frame_plan",
-    "join_broadcast_dims", "kmeans_fixture_exact", "lang_id_counts",
-    "linear_extrapolation", "linear_regression", "minhash_pairs",
-    "missing_filter", "moving_partitioned", "ngram_jaccard_pairs",
-    "normalize_text_docs", "normalized_dedup", "numeric_columns",
-    "pagerank_fixture_exact", "pivot_sum", "rename_recreate",
-    "repeat_customers", "rollup_revenue", "simhash_fingerprints",
-    "stratified_sample_counts", "stream_curation_stats",
-    "stream_tumbling_counts", "token_frequencies", "weekday_counts",
-    "azdo_commit_authors", "chunk_docs", "classifier_scores",
-    "cohort_retention", "contamination_report", "daily_value_delta",
-    "dedup_paragraphs", "dedup_spans", "dsir_weights",
+    "access_log_parse", "ann_recall_fixture", "code_likeness_docs",
+    "html_meta_docs", "markdown_text_stats", "notebook_cells",
+    "outlink_domains", "robots_filter", "robots_filter_hosts",
+    "sitemap_frontier", "stream_warc_ingest", "subtitle_cues",
+    "warc_charset_decode", "warc_html_pipeline", "warc_records",
+    "media_frame_plan", "join_broadcast_dims", "kmeans_fixture_exact",
+    "lang_id_counts", "linear_extrapolation", "linear_regression",
+    "minhash_pairs", "missing_filter", "moving_partitioned",
+    "ngram_jaccard_pairs", "normalize_text_docs", "normalized_dedup",
+    "numeric_columns", "pagerank_fixture_exact", "pivot_sum",
+    "rename_recreate", "repeat_customers", "rollup_revenue",
+    "simhash_fingerprints", "stratified_sample_counts",
+    "stream_curation_stats", "stream_tumbling_counts", "token_frequencies",
+    "weekday_counts", "azdo_commit_authors", "chunk_docs",
+    "classifier_scores", "cohort_retention", "contamination_report",
+    "daily_value_delta", "dedup_paragraphs", "dedup_spans", "dsir_weights",
     "dup_cluster_histogram", "duplicate_ngram_frac",
-    "embedding_neardup_exact",
 ]
+
 
 
 def _reorder_for_driver_window() -> None:
