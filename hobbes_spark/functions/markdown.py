@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 
 from hobbes_spark.expressions import c
 
-__all__ = ["MD_RULES", "markdown_to_text"]
+__all__ = ["MD_RULES", "markdown_to_text", "SPDX_TAG_RE",
+           "LICENSE_HEADER_RULES", "detect_license"]
 
 #: ordered (pattern, replacement) — order is load-bearing: images
 #: before links (the syntaxes nest), fences before inline code
@@ -90,3 +91,47 @@ def markdown_to_text(col: Column | str) -> Column:
     for pat, rep in MD_RULES:
         out = F.regexp_replace(out, pat, rep)
     return out
+
+
+# --------------------------------------------------------------------- #
+# License detection (round 11): code-corpus governance — The-Stack-
+# style pipelines route files by license BEFORE training (permissive
+# in, copyleft flagged, unknown quarantined).  Two signal tiers, both
+# shared verbatim with the oracle:
+#   1. an SPDX-License-Identifier tag (the machine-readable contract,
+#      spdx.dev) — authoritative when present;
+#   2. header phrases of the common license families — a heuristic
+#      fallback for the pre-SPDX long tail.
+# --------------------------------------------------------------------- #
+
+#: SPDX tag: group 1 is the license expression up to end-of-line
+SPDX_TAG_RE = r"(?im)SPDX-License-Identifier:[ \t]*([A-Za-z0-9 .()+-]+)"
+
+#: (family, RE2-safe header-phrase pattern) — first match wins, so
+#: more specific families come first
+LICENSE_HEADER_RULES: tuple[tuple[str, str], ...] = (
+    ("Apache-2.0", r"(?is)Licensed under the Apache License,? Version 2\.0"),
+    ("GPL", r"(?is)GNU (Lesser |Affero )?General Public License"),
+    ("MPL-2.0", r"(?is)Mozilla Public License,? (v\.? ?2\.0|Version 2\.0)"),
+    ("MIT", r"(?is)Permission is hereby granted, free of charge"),
+    ("BSD", r"(?is)Redistribution and use in source and binary forms"),
+    ("Unlicense", r"(?is)This is free and unencumbered software"),
+)
+
+
+def detect_license(col: Column | str) -> dict[str, Column]:
+    """``spdx`` (the tag's license expression, trimmed; NULL when
+    absent), ``family`` (SPDX tag verbatim when present, else the
+    first matching header phrase, else NULL) and ``licensed`` — for a
+    text/code column.  Pure Column regex over the two shared rule
+    tiers: map-only, JVM-side, zero shuffle.  This is an indexing
+    heuristic, not legal advice: route-and-review, never
+    route-and-forget."""
+    raw = c(col)
+    spdx = F.nullif(
+        F.trim(F.regexp_extract(raw, SPDX_TAG_RE, 1)), F.lit(""))
+    fam = spdx
+    for family, pat in LICENSE_HEADER_RULES:
+        fam = F.coalesce(
+            fam, F.when(raw.rlike(pat), F.lit(family)))
+    return {"spdx": spdx, "family": fam, "licensed": fam.isNotNull()}

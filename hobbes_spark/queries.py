@@ -10726,6 +10726,70 @@ def access_log_parse(spark, sf_dir):
 
 
 @q(
+    "license_scan",
+    """
+    WITH d AS (
+      SELECT doc_id % 6 AS hdr_class,
+             CASE doc_id % 6
+               WHEN 0 THEN 'MIT' WHEN 5 THEN 'Apache-2.0 OR MIT'
+               ELSE NULL END AS spdx,
+             CASE doc_id % 6
+               WHEN 0 THEN 'MIT'
+               WHEN 1 THEN 'Apache-2.0'
+               WHEN 2 THEN 'GPL'
+               WHEN 3 THEN 'MIT'
+               WHEN 5 THEN 'Apache-2.0 OR MIT'
+               ELSE NULL END AS family
+      FROM documents
+    )
+    SELECT hdr_class, spdx, family, family IS NOT NULL AS licensed,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM d GROUP BY hdr_class, spdx, family
+    ORDER BY hdr_class
+    """,
+)
+def license_scan(spark, sf_dir):
+    """License detection (round 11, code-corpus governance): The-Stack-
+    style pipelines route files by license BEFORE training.  Headers
+    synthesized from doc_id cover both signal tiers and their
+    precedence — a machine-readable SPDX tag (class 0), the Apache /
+    GPL / MIT header phrases (1-3), no license at all (4), and a
+    compound SPDX expression ALONGSIDE an MIT phrase (5: the SPDX tag
+    must win verbatim).  The oracle maps each class straight to its
+    hand-derived (spdx, family) pair.  Pure Column regex over the two
+    shared rule tables; map-only + one domain-sized agg shuffle."""
+    from hobbes_spark.functions.markdown import detect_license
+
+    docs = _t(spark, sf_dir, "documents").df
+    cls = (F.col("doc_id") % 6).cast("int")
+    header = (
+        F.when(cls == 0, F.lit("// SPDX-License-Identifier: MIT\n"))
+        .when(cls == 1, F.lit(
+            "/* Licensed under the Apache License, Version 2.0 */\n"))
+        .when(cls == 2, F.lit(
+            "# This file is part of Foo.\n# GNU General Public "
+            "License as published by the FSF.\n"))
+        .when(cls == 3, F.lit(
+            "// Permission is hereby granted, free of charge, to any "
+            "person obtaining a copy\n"))
+        .when(cls == 5, F.lit(
+            "// SPDX-License-Identifier: Apache-2.0 OR MIT\n"
+            "// Permission is hereby granted, free of charge\n"))
+        .otherwise(F.lit(""))
+    )
+    cols = detect_license(F.concat(header, F.col("text")))
+    return (
+        docs.select(cls.alias("hdr_class"),
+                    cols["spdx"].alias("spdx"),
+                    cols["family"].alias("family"),
+                    cols["licensed"].alias("licensed"))
+        .groupBy("hdr_class", "spdx", "family", "licensed")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("hdr_class")
+    )
+
+
+@q(
     "ann_recall_fixture",
     """
     SELECT * FROM (VALUES
@@ -11512,28 +11576,29 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # 10): rank = (never-signed-or-changed-since-signature DESC,
     # last-signed round ASC, name ASC), frozen at the commit that
     # recorded CORRECTNESS_r10.json.  Queries ADDED this round are
-    # never-signed as of r10 and lead automatically — the leading 15
-    # alphabetical entries are the 15 new r11 rows, then the changed
+    # never-signed as of r10 and lead automatically — the leading 16
+    # alphabetical entries are the 16 new r11 rows, then the changed
     # media_frame_plan, then the r6 remainder and the oldest r7 rows
     # (the rest of the r7 group rolls to the r12 rotation).
     "access_log_parse", "ann_recall_fixture", "code_likeness_docs",
-    "html_meta_docs", "markdown_text_stats", "notebook_cells",
-    "outlink_domains", "robots_filter", "robots_filter_hosts",
-    "sitemap_frontier", "stream_warc_ingest", "subtitle_cues",
-    "warc_charset_decode", "warc_html_pipeline", "warc_records",
-    "media_frame_plan", "join_broadcast_dims", "kmeans_fixture_exact",
-    "lang_id_counts", "linear_extrapolation", "linear_regression",
-    "minhash_pairs", "missing_filter", "moving_partitioned",
-    "ngram_jaccard_pairs", "normalize_text_docs", "normalized_dedup",
-    "numeric_columns", "pagerank_fixture_exact", "pivot_sum",
-    "rename_recreate", "repeat_customers", "rollup_revenue",
+    "html_meta_docs", "license_scan", "markdown_text_stats",
+    "notebook_cells", "outlink_domains", "robots_filter",
+    "robots_filter_hosts", "sitemap_frontier", "stream_warc_ingest",
+    "subtitle_cues", "warc_charset_decode", "warc_html_pipeline",
+    "warc_records", "media_frame_plan", "join_broadcast_dims",
+    "kmeans_fixture_exact", "lang_id_counts", "linear_extrapolation",
+    "linear_regression", "minhash_pairs", "missing_filter",
+    "moving_partitioned", "ngram_jaccard_pairs", "normalize_text_docs",
+    "normalized_dedup", "numeric_columns", "pagerank_fixture_exact",
+    "pivot_sum", "rename_recreate", "repeat_customers", "rollup_revenue",
     "simhash_fingerprints", "stratified_sample_counts",
     "stream_curation_stats", "stream_tumbling_counts", "token_frequencies",
     "weekday_counts", "azdo_commit_authors", "chunk_docs",
     "classifier_scores", "cohort_retention", "contamination_report",
     "daily_value_delta", "dedup_paragraphs", "dedup_spans", "dsir_weights",
-    "dup_cluster_histogram", "duplicate_ngram_frac",
+    "dup_cluster_histogram",
 ]
+
 
 
 

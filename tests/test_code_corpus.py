@@ -79,6 +79,39 @@ class TestNotebookCells:
         assert "Exchange" not in plan
 
 
+class TestDetectLicense:
+    def _d(self, spark, text):
+        from hobbes_spark.functions.markdown import detect_license
+
+        df = spark.createDataFrame([(text,)], "text string")
+        cols = detect_license("text")
+        return df.select(*[v.alias(k) for k, v in cols.items()]).first().asDict()
+
+    def test_spdx_tag_wins_over_phrases(self, spark):
+        got = self._d(spark, (
+            "// SPDX-License-Identifier: Apache-2.0 OR MIT\n"
+            "// Permission is hereby granted, free of charge\ncode()"))
+        assert got == {"spdx": "Apache-2.0 OR MIT",
+                       "family": "Apache-2.0 OR MIT", "licensed": True}
+
+    def test_header_phrase_families(self, spark):
+        cases = {
+            "Licensed under the Apache License, Version 2.0": "Apache-2.0",
+            "under the GNU General Public License as published": "GPL",
+            "GNU Lesser Public License text": None,  # not a family phrase
+            "GNU Lesser General Public License": "GPL",
+            "Permission is hereby granted, free of charge": "MIT",
+            "Redistribution and use in source and binary forms": "BSD",
+            "This is free and unencumbered software": "Unlicense",
+            "no license text at all": None,
+        }
+        for text, want in cases.items():
+            got = self._d(spark, text)
+            assert got["family"] == want, (text, got)
+            assert got["spdx"] is None
+            assert got["licensed"] is (want is not None)
+
+
 class TestCodeLikeness:
     def _score(self, spark, text):
         from hobbes_spark.functions.text import code_likeness
