@@ -11569,34 +11569,35 @@ def chart_gauge_lineitem(spark, sf_dir):
 # of r6-r8 is designed out.  Rotation-due enforcement (a newer record
 # exists, rotate me) lives in tools/gate_check.py, which refuses to run
 # until this stamp matches the newest record on disk.
-WINDOW_FROZEN_AT = "CORRECTNESS_r10"
+WINDOW_FROZEN_AT = "CORRECTNESS_r11"
 
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # Round-11 rotation, CHANGE-AWARE (tools/window_cohort.py --as-of
-    # 10): rank = (never-signed-or-changed-since-signature DESC,
+    # Round-12 rotation, CHANGE-AWARE (tools/window_cohort.py --as-of
+    # 11): rank = (never-signed-or-changed-since-signature DESC,
     # last-signed round ASC, name ASC), frozen at the commit that
-    # recorded CORRECTNESS_r10.json.  Queries ADDED this round are
-    # never-signed as of r10 and lead automatically — the leading 16
-    # alphabetical entries are the 16 new r11 rows, then the changed
-    # media_frame_plan, then the r6 remainder and the oldest r7 rows
-    # (the rest of the r7 group rolls to the r12 rotation).
-    "access_log_parse", "ann_recall_fixture", "code_likeness_docs",
-    "html_meta_docs", "license_scan", "markdown_text_stats",
-    "notebook_cells", "outlink_domains", "robots_filter",
-    "robots_filter_hosts", "sitemap_frontier", "stream_warc_ingest",
-    "subtitle_cues", "warc_charset_decode", "warc_html_pipeline",
-    "warc_records", "media_frame_plan", "join_broadcast_dims",
-    "kmeans_fixture_exact", "lang_id_counts", "linear_extrapolation",
-    "linear_regression", "minhash_pairs", "missing_filter",
-    "moving_partitioned", "ngram_jaccard_pairs", "normalize_text_docs",
-    "normalized_dedup", "numeric_columns", "pagerank_fixture_exact",
-    "pivot_sum", "rename_recreate", "repeat_customers", "rollup_revenue",
-    "simhash_fingerprints", "stratified_sample_counts",
-    "stream_curation_stats", "stream_tumbling_counts", "token_frequencies",
-    "weekday_counts", "azdo_commit_authors", "chunk_docs",
-    "classifier_scores", "cohort_retention", "contamination_report",
-    "daily_value_delta", "dedup_paragraphs", "dedup_spans", "dsir_weights",
-    "dup_cluster_histogram",
+    # recorded CORRECTNESS_r11.json.  No catalog function changed since
+    # its last signature at freeze time, so the cohort is the pure
+    # staleness tail: the r7 remainder (rolled over from the r11
+    # window), then the oldest r8 rows.  Queries ADDED in round 12 are
+    # never-signed and are PREPENDED above this block as they land
+    # (displacing the tail back to the r13 rotation).
+    "audio_id3_tags", "video_frame_pts", "duplicate_ngram_frac",
+    "embedding_neardup_exact", "embedding_neardup_lsh",
+    "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
+    "hb_velocity_pivot", "ivf_pq_fixture_exact", "jaccard_prefix_pairs",
+    "join_skew_stats", "kmeans_clusters", "label_centroids",
+    "lsh_candidate_stats", "media_decode_meta", "minhash_incremental",
+    "minhash_star_edges", "quality_top_fraction", "range_band_sums",
+    "redact_docs", "repetition_filter", "salted_group_sum",
+    "slice_rows_window", "stream_dedup_counts", "stream_interval_join",
+    "stream_session_counts", "stream_static_enrich", "tfidf_top_terms",
+    "topk_per_group", "tpch_q10_returns", "tpch_q14_promo",
+    "tpch_q5_region", "tpch_q7_volume", "unigram_scores",
+    "weighted_sample_docs", "winnow_fingerprints", "ann_lsh_fixture_exact",
+    "batch_sessions", "bigram_scores", "boilerplate_lines",
+    "ccnet_buckets", "concurrency_peak", "corr_matrix", "cosine_topk",
+    "cube_orders", "dedup_keep_best", "funnel_conversion",
+    "fuzzy_name_pairs", "gap_fill_ffill",
 ]
 
 
