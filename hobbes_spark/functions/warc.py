@@ -131,6 +131,38 @@ def split_http_response(block: bytes):
     return status, headers, block[head_end + 4 :]
 
 
+#: non-``text/*`` media types whose payloads are still text — decoded
+#: rather than NULLed by :func:`warc_records`'s text gate
+_TEXTY_EXACT = {
+    "application/warc-fields", "application/json",
+    "application/javascript", "application/x-javascript",
+    "application/xml", "application/xhtml+xml",
+    "application/rss+xml", "application/atom+xml",
+    "application/x-www-form-urlencoded",
+}
+
+
+def _texty_content_type(ct) -> bool:
+    """True when a Content-Type names a text-like payload worth
+    decoding to a string.  A MISSING content type reads True (legacy
+    HTML frequently ships without one; the charset ladder copes), but
+    a declared binary type (image/*, application/pdf, octet-stream)
+    reads False so :func:`warc_records` NULLs the body instead of
+    surfacing replacement-character noise — at real-crawl scale most
+    resource-record bytes are binary, and ``content_length`` stays as
+    the size signal."""
+    if not ct:
+        return True
+    t = str(ct).split(";", 1)[0].strip().lower()
+    return (
+        t.startswith("text/")
+        or t in _TEXTY_EXACT
+        or t.endswith("+json")
+        or t.endswith("+xml")
+        or t.startswith("application/http")
+    )
+
+
 def warc_records(
     media: DataFrame,
     *,
@@ -152,6 +184,10 @@ def warc_records(
     for :func:`~hobbes_spark.functions.web.html_to_text` — legacy
     windows-1252/shift_jis pages decode correctly instead of
     mojibaking.  Non-HTTP records surface their block as the body.
+    Payloads whose DECLARED content type is binary (image responses,
+    application/pdf resource records) get a NULL body instead of
+    replacement-character noise (:func:`_texty_content_type`);
+    ``content_length`` remains the size signal.
     Shards that neither inflate nor start with ``WARC/`` are DROPPED
     (same posture as ``decompress_text``: a half-uploaded shard is
     absent, never silently truncated)."""
@@ -176,9 +212,16 @@ def warc_records(
                     if ctype.replace(" ", "").startswith("application/http"):
                         status, hh, body = split_http_response(rec["block"])
                         http_ct = hh.get("content-type")
+                        texty = _texty_content_type(http_ct)
                     else:
                         status, http_ct, body = None, None, rec["block"]
-                    _, text = decode_payload(body, http_ct, default=encoding)
+                        texty = _texty_content_type(ctype)
+                    if texty:
+                        _, text = decode_payload(body, http_ct, default=encoding)
+                    else:
+                        # declared-binary payload (image response, raw
+                        # resource record): body NULL, size signal stays
+                        text = None
                     rows.append((
                         int(mid), k, codec, rec["version"],
                         h.get("warc-type"), h.get("warc-target-uri"),

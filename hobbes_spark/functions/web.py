@@ -423,10 +423,18 @@ def html_meta(col: Column | str) -> dict[str, Column]:
     the expression coalesces both.  Pure Column regex — map-only,
     JVM-side, zero shuffle, replayed pattern-for-pattern by the DuckDB
     oracle (``html_meta_docs``)."""
+    import re as _re
+
     raw = c(col)
     out: dict[str, Column] = {}
     for field, pat in HTML_META_RULES:
-        groups = pat.count("(") - pat.count("(?")
+        # the compiled group count, not a '('-minus-'(?' census: an
+        # escaped \( or a '(' in a character class would silently
+        # miscount and skip (or mis-fire) the group-2 coalesce.  The
+        # rules carry Java-style mid-pattern (?is) on each alternation
+        # branch, which Python re rejects as a global flag — strip the
+        # flag groups first (they contribute no capture groups).
+        groups = _re.compile(_re.sub(r"\(\?[aiLmsux]+\)", "", pat)).groups
         val = F.nullif(F.regexp_extract(raw, pat, 1), F.lit(""))
         if groups >= 2:
             val = F.coalesce(
@@ -506,7 +514,12 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
         for ua in ags:
             if ua == "*":
                 star = star + rls
-            elif ua in a or a in ua:
+            elif ua in a:
+                # one direction only: the GROUP token must be contained
+                # in the agent string (RFC 9309 §2.2.1 / major-crawler
+                # practice).  The reverse ('corpusbot-news' group
+                # capturing agent 'corpusbot') would over-apply rules
+                # declared for a more specific product.
                 if best is None or len(ua) > best[0]:
                     best = (len(ua), rls)
     return best[1] if best is not None else star
@@ -634,6 +647,8 @@ def robots_filter_df(
     out_cols = urls.columns + ["allowed"]
 
     def run(batches: "_Iterator") -> "_Iterator":
+        import re as _re
+
         import pandas as pd
 
         cache: dict[str, list] = {}
@@ -648,7 +663,10 @@ def robots_filter_df(
                     rules = parse_robots(txt, agent)
                     cache[txt] = rules
                 rest = str(u).split("://", 1)[1]
-                path = rest[rest.find("/"):] if "/" in rest else "/"
+                # same rule as the Column twin's ^[^/?]*(.*)$ — the
+                # path starts at the first '/' OR '?' (a query can
+                # precede any slash: https://h.example?a=/b), default /
+                path = _re.search(r"^[^/?]*(.*)$", rest).group(1) or "/"
                 path = path.split("#", 1)[0]
                 return robots_match(rules, path)
 

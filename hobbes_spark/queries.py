@@ -10034,10 +10034,14 @@ def html_text_stats(spark, sf_dir):
 def _meta_sql(field: str, raw_expr: str) -> str:
     """DuckDB replay of ONE HTML_META_RULES extraction over raw_expr —
     same pattern, same group-1/group-2 coalesce as functions/web.html_meta."""
+    import re as _re
+
     from hobbes_spark.functions.web import HTML_META_RULES
 
     pat = dict(HTML_META_RULES)[field]
-    groups = pat.count("(") - pat.count("(?")
+    # same rule as web.html_meta: strip Java-style mid-pattern (?is)
+    # flag groups (no capture groups lost), then use the compiled count
+    groups = _re.compile(_re.sub(r"\(\?[aiLmsux]+\)", "", pat)).groups
     one = f"nullif(regexp_extract({raw_expr}, {_esql(pat)}, 1), '')"
     if groups >= 2:
         return (f"coalesce({one}, "

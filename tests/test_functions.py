@@ -3237,6 +3237,27 @@ class TestHtmlMeta:
             spark, '<html lang=""><head><title></title></head></html>')
         assert got["title"] is None and got["lang"] is None
 
+    def test_group_count_uses_compiled_groups(self, spark, monkeypatch):
+        """The group-2 coalesce must key off the COMPILED capture-group
+        count, not a '('-census (r11 advisor): a rule with an escaped
+        \\( and a '(' inside a character class still counts 2 groups
+        and coalesces correctly."""
+        import re
+
+        from hobbes_spark.functions import web
+
+        tricky = (r"""(?is)<meta\s[^>]*name\s*=\s*["']x\(y["'][^>]*"""
+                  r"""content\s*=\s*["']([^"'()]*)["']|"""
+                  r"""(?is)<meta\s[^>]*content\s*=\s*["']([^"'()]*)["']"""
+                  r"""[^>]*name\s*=\s*["']x\(y["']""")
+        assert re.compile(re.sub(r"\(\?[aiLmsux]+\)", "", tricky)).groups == 2
+        monkeypatch.setattr(web, "HTML_META_RULES", (("xy", tricky),))
+        df = spark.createDataFrame(
+            [('<meta content="rev" name="x(y">',)], "raw string")
+        got = df.select(
+            web.html_meta("raw")["xy"].alias("xy")).first()["xy"]
+        assert got == "rev"  # group-2 branch (reversed attribute order)
+
 
 class TestOutlinks:
     def test_anchor_extraction(self, spark):
@@ -3338,11 +3359,51 @@ class TestRobots:
                for r in robots_filter_df(urls, robots).collect()}
         assert got == {1: False, 2: True, 3: False, 4: True,
                        5: True, 6: None, 7: None}
+        # '?' before any '/': both surfaces must read the path as
+        # starting at the query (not chop at the first '/' INSIDE the
+        # query — the old Python twin's rest.find('/') gave '/b' for
+        # url 2, verdict False, diverging from the Column twin's True)
+        from hobbes_spark.functions.web import parse_robots, robots_allowed
+
+        qurls = spark.createDataFrame(
+            [(1, "https://h1.example?a=/ok/x"),
+             (2, "https://h1.example?a=/b"),
+             (3, "https://h0.example?x=/private/p")],
+            "id long, url string")
+        qgot = {r["id"]: r["allowed"]
+                for r in robots_filter_df(qurls, robots).collect()}
+        h1 = parse_robots("User-agent: *\nDisallow: /\nAllow: /ok/\n")
+        h0 = parse_robots("User-agent: *\nDisallow: /private/\n")
+        col = {
+            1: qurls.filter("id=1").select(
+                robots_allowed("url", h1).alias("a")).first()["a"],
+            2: qurls.filter("id=2").select(
+                robots_allowed("url", h1).alias("a")).first()["a"],
+            3: qurls.filter("id=3").select(
+                robots_allowed("url", h0).alias("a")).first()["a"],
+        }
+        # '?a=…' paths match no '/'-anchored rule -> default allowed,
+        # and the two surfaces AGREE on every row
+        assert qgot == col == {1: True, 2: True, 3: True}
         # never silently destroy caller columns (r10 blocklist lesson)
         import pytest
 
         with pytest.raises(ValueError):
             robots_filter_df(urls.withColumn("__rf_host", urls.url), robots)
+
+    def test_group_token_matching_is_one_directional(self):
+        """RFC 9309 product-token matching: the GROUP token must be a
+        substring of the agent — a group declared for a LONGER token
+        ('corpusbot-news') must not capture agent 'corpusbot'."""
+        from hobbes_spark.functions.web import parse_robots
+
+        txt = ("User-agent: corpusbot-news\nDisallow: /\n\n"
+               "User-agent: *\nDisallow: /tmp/\n")
+        # the specific group does NOT apply to the shorter agent
+        assert parse_robots(txt, "corpusbot") == [(False, "/tmp/")]
+        # but DOES apply to agents carrying the full token
+        assert parse_robots(txt, "corpusbot-news/2.1") == [(False, "/")]
+        assert parse_robots(txt, "CorpusBot-News") == [(False, "/")]
 
 
 class TestRegistrableDomain:

@@ -199,6 +199,35 @@ class TestWarcRecordsDataFrame:
         assert out[1]["http_status"] is None  # typed NULL across Arrow
         assert out[0]["target_uri"] == "http://a/"
 
+    def test_binary_payloads_null_body(self, spark):
+        """Declared-binary payloads surface a NULL body, not
+        replacement-character noise (r11 advisor): an image/png HTTP
+        response and an application/pdf resource record both read
+        body=NULL with content_length intact; text-like and
+        UNDECLARED content types still decode."""
+        png = b"\x89PNG\r\n\x1a\n" + bytes(range(32))
+        rows = [
+            (1, bytearray(
+                _rec("response", "http://a/i.png", _http(png, b"image/png"),
+                     "application/http; msgtype=response")
+                + _rec("resource", "http://a/d.pdf", b"%PDF-1.4\x00\xff",
+                       "application/pdf")
+                + _rec("response", "http://a/p", _http(b"<p>hi</p>"),
+                       "application/http; msgtype=response")
+                # no HTTP Content-Type header: benefit of the doubt
+                + _rec("response", "http://a/naked",
+                       b"HTTP/1.1 200 OK\r\n\r\nplain text",
+                       "application/http; msgtype=response"))),
+        ]
+        media = spark.createDataFrame(rows, "media_id long, content binary")
+        out = [r.asDict() for r in
+               warc_records(media).orderBy("record_index").collect()]
+        assert [r["body"] for r in out] == [
+            None, None, "<p>hi</p>", "plain text"]
+        assert out[0]["http_status"] == 200
+        assert out[0]["content_length"] == len(_http(png, b"image/png"))
+        assert out[1]["content_length"] == len(b"%PDF-1.4\x00\xff")
+
     def test_plan_is_map_only(self, spark):
         media = spark.createDataFrame(
             [(1, bytearray(b"x"))], "media_id long, content binary")
