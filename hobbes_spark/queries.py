@@ -11162,6 +11162,125 @@ def warc_html_pipeline(spark, sf_dir):
 
 
 
+# --------------------------------------------------------------------- #
+# PDF text extraction (round 12 verdict item 3): the dominant non-HTML
+# document modality.  Fixture PDFs are hand-assembled byte-for-byte, so
+# the expected texts are HAND-COMPUTED literal pins (the kmeans/PQ
+# fixture discipline applied to a parser).
+# --------------------------------------------------------------------- #
+
+_PDF_CS1 = (b"BT /F1 12 Tf 72 720 Td (Hello) Tj 0 -14 Td (World) Tj ET\n"
+            b"BT 72 600 Td [(Sp) -50 (lit) -400 (words)] TJ ET")
+_PDF_CS2 = b"BT 72 720 Td (Page two: 50% \\(escaped\\) \\\\ \\110i) Tj ET"
+_PDF_TXT1 = "Hello\nWorld\nSplit words"
+_PDF_TXT2 = "Page two: 50% (escaped) \\ Hi"
+
+
+def _pdf_obj(num: int, body: bytes) -> bytes:
+    return b"%d 0 obj\n" % num + body + b"\nendobj\n"
+
+
+def _pdf_assemble(content_streams, *, compress=False, cascade=False,
+                  title=None) -> bytes:
+    """Minimal classic-trailer PDF around the given per-page content
+    streams (uncompressed, FlateDecode, or an ASCIIHex+Flate cascade).
+    Offsets are deliberately NOT xref-accurate: functions/pdf.py walks
+    objects directly, and this fixture pins that the walk never needs
+    the xref."""
+    import zlib as _z
+
+    n = len(content_streams)
+    kids = b" ".join(b"%d 0 R" % (3 + 2 * k) for k in range(n))
+    out = [b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n",
+           _pdf_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+           _pdf_obj(2, b"<< /Type /Pages /Kids [%s] /Count %d >>"
+                    % (kids, n))]
+    for k, cs in enumerate(content_streams):
+        page, cont = 3 + 2 * k, 4 + 2 * k
+        out.append(_pdf_obj(
+            page, b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R "
+                  b"/MediaBox [0 0 612 792] >>" % cont))
+        if cascade:
+            payload = _z.compress(cs).hex().encode("ascii") + b">"
+            extra = b"/Filter [/ASCIIHexDecode /FlateDecode] "
+        elif compress:
+            payload = _z.compress(cs)
+            extra = b"/Filter /FlateDecode "
+        else:
+            payload, extra = cs, b""
+        out.append(_pdf_obj(
+            cont, b"<< /Length %d %s>>\nstream\n" % (len(payload), extra)
+                  + payload + b"\nendstream"))
+    info = b""
+    if title is not None:
+        out.append(_pdf_obj(
+            90, b"<< /Title (%s) /Producer (hobbes-fixture) >>" % title))
+        info = b" /Info 90 0 R"
+    out.append(b"trailer\n<< /Size 99 /Root 1 0 R%s >>\nstartxref\n0\n"
+               b"%%%%EOF\n" % info)
+    return b"".join(out)
+
+
+def _pdf_fixture_df(spark):
+    doc1 = _pdf_assemble([_PDF_CS1, _PDF_CS2], title=b"Doc One")
+    doc2 = _pdf_assemble([_PDF_CS2], compress=True)
+    doc3 = _pdf_assemble([_PDF_CS1], cascade=True)
+    # truncated mid-document, BEFORE page 2's object, the /Info object
+    # and the trailer: the walk keeps page 1's text, /Pages still says 2
+    doc5 = doc1[: doc1.find(b"5 0 obj")]
+    rows = [
+        (1, bytearray(doc1)),
+        (2, bytearray(doc2)),
+        (3, bytearray(doc3)),
+        (4, bytearray(b"plain text, certainly not a pdf")),  # refusal
+        (5, bytearray(doc5)),
+        (6, bytearray(b"%PDF-1.6\nheader only, zero objects")),  # refusal
+    ]
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+@q(
+    "pdf_text_stats",
+    f"""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), '1.4', CAST(2 AS INTEGER), 'Doc One',
+       'hobbes-fixture',
+       CAST({len(_PDF_TXT1) + 1 + len(_PDF_TXT2)} AS INTEGER),
+       md5({_esql(_PDF_TXT1 + chr(10) + _PDF_TXT2)})),
+      (CAST(2 AS BIGINT), '1.4', CAST(1 AS INTEGER),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST({len(_PDF_TXT2)} AS INTEGER), md5({_esql(_PDF_TXT2)})),
+      (CAST(3 AS BIGINT), '1.4', CAST(1 AS INTEGER),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST({len(_PDF_TXT1)} AS INTEGER), md5({_esql(_PDF_TXT1)})),
+      (CAST(5 AS BIGINT), '1.4', CAST(2 AS INTEGER),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST({len(_PDF_TXT1)} AS INTEGER), md5({_esql(_PDF_TXT1)}))
+    ) AS t(media_id, pdf_version, n_pages, title, producer, n_chars, fp)
+    ORDER BY media_id
+    """,
+)
+def pdf_text_stats(spark, sf_dir):
+    """PDF text extraction truth pin (round 12 verdict item 3): four
+    hand-assembled documents — uncompressed, FlateDecode, an
+    ASCIIHex→Flate filter CASCADE, and a mid-document truncation —
+    through the pure-Python object walk + BT/ET text operators
+    (functions/pdf.py), with version, page count, /Info metadata, and
+    the md5 of the extracted text all pinned to hand-computed
+    literals.  A non-PDF payload and a headers-only shard are DROPPED
+    (rows 4/6 absent — the warc_records refusal posture); the
+    truncated document keeps its parseable head (row 5: page 1's text,
+    no /Info).  Map-only over Arrow batches, zero shuffle — the same
+    100 TB posture as the image/audio decoders."""
+    from hobbes_spark.functions.pdf import pdf_features
+
+    feats = pdf_features(_pdf_fixture_df(spark))
+    return feats.select(
+        "media_id", "pdf_version", "n_pages", "title", "producer",
+        "n_chars", F.md5("text").alias("fp"),
+    ).orderBy("media_id")
+
+
 @q(
     "stream_curation_stats",
     f"""
@@ -11590,6 +11709,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # window), then the oldest r8 rows.  Queries ADDED in round 12 are
     # never-signed and are PREPENDED above this block as they land
     # (displacing the tail back to the r13 rotation).
+    "pdf_text_stats",
     "audio_id3_tags", "video_frame_pts", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",

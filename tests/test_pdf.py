@@ -1,0 +1,259 @@
+"""PDF text extraction (round 12): pure-Python object walk, filter
+cascades, and BT/ET text operators over hand-assembled fixtures, plus
+the Spark ``pdf_features`` boundary with the refusal posture."""
+
+import zlib
+
+from hobbes_spark.functions.pdf import (
+    decode_stream,
+    extract_text_ops,
+    pdf_features,
+    pdf_info,
+    pdf_objects,
+    pdf_page_count,
+    pdf_text,
+    pdf_version,
+)
+
+
+def _obj(num, body: bytes) -> bytes:
+    return b"%d 0 obj\n" % num + body + b"\nendobj\n"
+
+
+def _stream_obj(num, payload: bytes, extra: bytes = b"") -> bytes:
+    return _obj(
+        num,
+        b"<< /Length %d %s>>\nstream\n" % (len(payload), extra)
+        + payload
+        + b"\nendstream",
+    )
+
+
+def make_pdf(content_streams, compress=False, title=None) -> bytes:
+    """Minimal N-page PDF: one content stream per page, classic
+    trailer, correct page tree.  Offsets are not xref-accurate — the
+    parser walks objects directly, which is the point."""
+    n = len(content_streams)
+    kids = b" ".join(b"%d 0 R" % (3 + 2 * k) for k in range(n))
+    out = [b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"]
+    out.append(_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    out.append(_obj(2, b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n)))
+    for k, cs in enumerate(content_streams):
+        page, cont = 3 + 2 * k, 4 + 2 * k
+        out.append(_obj(page, b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R "
+                              b"/MediaBox [0 0 612 792] >>" % cont))
+        if compress:
+            out.append(_stream_obj(cont, zlib.compress(cs),
+                                   b"/Filter /FlateDecode "))
+        else:
+            out.append(_stream_obj(cont, cs))
+    info = b""
+    if title is not None:
+        out.append(_obj(90, b"<< /Title (%s) /Producer (hobbes-fixture) >>"
+                        % title))
+        info = b" /Info 90 0 R"
+    out.append(b"trailer\n<< /Size 99 /Root 1 0 R%s >>\nstartxref\n0\n%%%%EOF\n"
+               % info)
+    return b"".join(out)
+
+
+CS1 = (b"BT /F1 12 Tf 72 720 Td (Hello) Tj 0 -14 Td (World) Tj ET\n"
+       b"BT 72 600 Td [(Sp) -50 (lit) -400 (words)] TJ ET")
+CS2 = b"BT 72 720 Td (Page two: 50% \\(escaped\\) \\\\ \\110i) Tj ET"
+
+
+class TestContentOps:
+    def test_tj_lines_and_kerns(self):
+        assert extract_text_ops(CS1) == "Hello\nWorld\nSplit words"
+
+    def test_literal_escapes_and_octal(self):
+        # \110 octal = 'H'; % inside a string is NOT a comment
+        assert extract_text_ops(CS2) == "Page two: 50% (escaped) \\ Hi"
+
+    def test_quote_ops_and_tstar(self):
+        got = extract_text_ops(
+            b"BT (a) Tj T* (b) ' 1 2 (c) \" ET")
+        assert got == "a\nb\nc"
+
+    def test_hex_and_utf16_strings(self):
+        got = extract_text_ops(b"BT <48656c6c6f> Tj ET")
+        assert got == "Hello"
+        # UTF-16BE with BOM in a hex string
+        got = extract_text_ops(b"BT <FEFF004800690021> Tj ET")
+        assert got == "Hi!"
+        # bare NUL-striped two-byte string (CID-ish) sniffs UTF-16BE
+        got = extract_text_ops(b"BT <004f006b> Tj ET")
+        assert got == "Ok"
+
+    def test_show_outside_bt_ignored(self):
+        assert extract_text_ops(b"(lost) Tj BT (kept) Tj ET") == "kept"
+
+    def test_td_x_only_is_a_space(self):
+        got = extract_text_ops(b"BT (a) Tj 10 0 Td (b) Tj ET")
+        assert got == "a b"
+
+
+class TestFilters:
+    def test_flate_tolerates_truncation(self):
+        z = zlib.compress(b"x" * 1000)
+        assert decode_stream(z, "FlateDecode", None) == b"x" * 1000
+        got = decode_stream(z[:-8], "FlateDecode", None)
+        assert got is not None and got.startswith(b"xxx")
+
+    def test_ascii_hex_and_85(self):
+        assert decode_stream(b"48 65 6C 6C 6F>", "ASCIIHexDecode", None) == b"Hello"
+        import base64
+
+        enc = base64.a85encode(b"Hello world") + b"~>"
+        assert decode_stream(enc, "ASCII85Decode", None) == b"Hello world"
+
+    def test_runlength(self):
+        # 2 literal bytes "ab", then 257-254=3 copies of "c", EOD
+        assert decode_stream(b"\x01ab\xfec\x80", "RunLengthDecode", None) == b"abccc"
+
+    def test_lzw_msb_early_change(self):
+        # TIFF/PDF LZW of b"-----A---B" produced by a tiny reference
+        # encoder: 256(clear) 45 258 258 65 259 66 257(EOD), 9-bit MSB
+        import io
+
+        def lzw_encode(data):
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = 258, 9
+            out, acc, nbits = bytearray(), 0, 0
+
+            def emit(code):
+                nonlocal acc, nbits
+                acc = (acc << width) | code
+                nbits += width
+                while nbits >= 8:
+                    out.append((acc >> (nbits - 8)) & 0xFF)
+                    nbits -= 8
+
+            emit(256)
+            w = b""
+            for ch in data:
+                wc = w + bytes([ch])
+                if wc in table:
+                    w = wc
+                else:
+                    emit(table[w])
+                    table[wc] = nxt
+                    nxt += 1
+                    if nxt + 1 >= (1 << width) and width < 12:
+                        width += 1
+                    w = bytes([ch])
+            if w:
+                emit(table[w])
+            emit(257)
+            if nbits:
+                out.append((acc << (8 - nbits)) & 0xFF)
+            return bytes(out)
+
+        payload = b"-----A---B-----A---B"
+        assert decode_stream(lzw_encode(payload), "LZWDecode", None) == payload
+
+    def test_cascade_hex_then_flate(self):
+        z = zlib.compress(b"cascade")
+        hx = z.hex().encode() + b">"
+        got = decode_stream(hx, ["ASCIIHexDecode", "FlateDecode"], None)
+        assert got == b"cascade"
+
+    def test_image_codecs_refuse(self):
+        assert decode_stream(b"\xff\xd8\xff", "DCTDecode", None) is None
+
+    def test_png_predictor_up(self):
+        # /Predictor 12 (PNG Up), 1 color, 8 bpc, 4 columns, 2 rows
+        rows = b"\x02\x01\x02\x03\x04" + b"\x02\x01\x01\x01\x01"
+        z = zlib.compress(rows)
+        got = decode_stream(z, "FlateDecode",
+                            {"Predictor": 12, "Columns": 4})
+        assert got == b"\x01\x02\x03\x04\x02\x03\x04\x05"
+
+
+class TestDocumentWalk:
+    def test_version_pages_text_info(self):
+        doc = make_pdf([CS1, CS2], title=b"Fixture Doc")
+        assert pdf_version(doc) == "1.4"
+        assert pdf_page_count(doc) == 2
+        assert pdf_text(doc) == ("Hello\nWorld\nSplit words\n"
+                                 "Page two: 50% (escaped) \\ Hi")
+        info = pdf_info(doc)
+        assert info == {"title": "Fixture Doc", "producer": "hobbes-fixture"}
+
+    def test_flate_compressed_document(self):
+        doc = make_pdf([CS1], compress=True)
+        assert pdf_text(doc) == "Hello\nWorld\nSplit words"
+        assert pdf_page_count(doc) == 1
+
+    def test_page_census_fallback(self):
+        # no /Pages root: count /Type /Page dicts directly
+        doc = (b"%PDF-1.3\n"
+               + _obj(1, b"<< /Type /Page /Contents 2 0 R >>")
+               + _stream_obj(2, CS2))
+        assert pdf_page_count(doc) == 1
+
+    def test_objstm_page_count(self):
+        inner = b"<< /Type /Page >> << /Type /Page >> << /Type /Page >>"
+        header = b"5 0 6 18 7 36 "
+        payload = header + inner
+        doc = (b"%PDF-1.5\n"
+               + _obj(3, b"<< /Type /ObjStm /N 3 /First %d /Length %d >>"
+                      % (len(header), len(zlib.compress(payload))))
+               .replace(b"endobj", b"")
+               )
+        # build the ObjStm with a stream body properly
+        z = zlib.compress(payload)
+        doc = (b"%PDF-1.5\n" + _obj(
+            3,
+            b"<< /Type /ObjStm /N 3 /First %d /Length %d /Filter /FlateDecode >>"
+            b"\nstream\n" % (len(header), len(z)) + z + b"\nendstream"))
+        assert pdf_page_count(doc) == 3
+
+    def test_truncated_keeps_head(self):
+        doc = make_pdf([CS1, CS2])
+        cut = doc[: doc.find(b"Page two") - 40]  # into page 2's object
+        got = pdf_text(cut)
+        assert got is not None and got.startswith("Hello")
+
+    def test_refusals(self):
+        assert pdf_text(b"not a pdf at all") is None
+        assert pdf_text(b"%PDF-1.4\ngarbage with no objects") is None
+        assert pdf_version(b"x" * 2048 + b"%PDF-1.4") is None  # header cap
+
+    def test_never_raises_on_mutations(self):
+        doc = make_pdf([CS1], compress=True, title=b"T")
+        for off in range(0, len(doc), 11):
+            for m in (0x00, 0xFF, doc[off] ^ 0x55):
+                mut = doc[:off] + bytes([m]) + doc[off + 1:]
+                pdf_text(mut)
+                pdf_page_count(mut)
+                pdf_info(mut)
+        for cut in range(0, len(doc), 17):
+            pdf_text(doc[:cut])
+
+
+class TestPdfFeaturesDataFrame:
+    def test_rows_and_refusals(self, spark):
+        docs = [
+            (1, bytearray(make_pdf([CS1, CS2], title=b"Doc One"))),
+            (2, bytearray(make_pdf([CS2], compress=True))),
+            (3, bytearray(b"plain text, not a pdf")),
+            (4, bytearray(b"%PDF-1.6\nheader only, zero objects")),
+            (5, None),
+        ]
+        media = spark.createDataFrame(docs, "media_id long, content binary")
+        out = {r["media_id"]: r.asDict()
+               for r in pdf_features(media).collect()}
+        assert sorted(out) == [1, 2]  # refusal rows absent
+        assert out[1]["n_pages"] == 2 and out[1]["title"] == "Doc One"
+        assert out[1]["text"].startswith("Hello\nWorld")
+        assert out[1]["n_chars"] == len(out[1]["text"])
+        assert out[2]["pdf_version"] == "1.4"
+        assert out[2]["text"] == "Page two: 50% (escaped) \\ Hi"
+        assert out[2]["title"] is None
+
+    def test_plan_is_map_only(self, spark):
+        media = spark.createDataFrame(
+            [(1, bytearray(b"x"))], "media_id long, content binary")
+        plan = pdf_features(media)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
