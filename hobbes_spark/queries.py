@@ -9816,6 +9816,56 @@ def bpe_encode_words(spark, sf_dir):
     ).orderBy("word")
 
 
+# Byte-level BPE (round 12 verdict item 4): hand-computed literal pins,
+# the UTF-8 multi-byte split/re-merge cases a GPT-2-family tokenizer
+# must get right.  The space join is unambiguous because the
+# byte-unicode alphabet maps the raw space byte to Ġ (U+0120) — no
+# token can ever contain ' '.
+_BYTE_BPE_MERGES = [("Ã", "©"), ("h", "Ã©"), ("l", "l"), ("hÃ©", "ll")]
+_BYTE_BPE_FIXTURE = [
+    (1, "héllo héllo"),   # é = C3 A9 rebuilt by rank 0, word by 1+3
+    (2, "Héllo!"),        # capital H blocks rank 1: é and ll separate
+    (3, "emoji 🎉"),      # 4-byte astral emoji -> Ġ ð Ł İ ī
+    (4, "Ünïcödé_mix 42"),  # only the é-context (Ã,©) merges
+    (5, None),
+]
+
+
+@q(
+    "byte_bpe_encode",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(5 AS INTEGER), 'hÃ©ll o Ġ hÃ©ll o'),
+      (CAST(2 AS BIGINT), CAST(5 AS INTEGER), 'H Ã© ll o !'),
+      (CAST(3 AS BIGINT), CAST(10 AS INTEGER), 'e m o j i Ġ ð Ł İ ī'),
+      (CAST(4 AS BIGINT), CAST(17 AS INTEGER),
+       'Ã ľ n Ã ¯ c Ã ¶ d Ã© _ m i x Ġ 4 2'),
+      (CAST(5 AS BIGINT), CAST(0 AS INTEGER), '')
+    ) AS t(doc_id, n_tokens, subwords)
+    ORDER BY doc_id
+    """,
+)
+def byte_bpe_encode_q(spark, sf_dir):
+    """Byte-level (GPT-2-family) BPE encoding truth pin (round 12
+    verdict item 4, `functions/bpe.byte_bpe_encode`): bytes_to_unicode
+    mapping + GPT-2 pre-tokenizer + ranked merges over the byte
+    alphabet.  Every expected string is HAND-COMPUTED (é = C3 A9 →
+    'Ã©'; ' 🎉' = 20 F0 9F 8E 89 → 'ĠðŁİī'), pinning exactly the
+    multi-byte split-and-re-merge behavior word-level BPE cannot
+    express; the encode∘decode == identity property on arbitrary text
+    is pinned in tests/test_property_tokenizers.py.  One Arrow-batched
+    pandas_udf, map-only, zero shuffle."""
+    from hobbes_spark.functions.bpe import byte_bpe_encode
+
+    df = spark.createDataFrame(_BYTE_BPE_FIXTURE, "doc_id long, text string")
+    enc = byte_bpe_encode(df, "text", _BYTE_BPE_MERGES, out_col="toks")
+    return enc.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.concat_ws(" ", "toks").alias("subwords"),
+    ).orderBy("doc_id")
+
+
 _BLOCK_TERMS = (
     "lorem ipsum", "click here", "buy now", "limited time offer",
     "subscribe", "winner",
@@ -11709,7 +11759,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # window), then the oldest r8 rows.  Queries ADDED in round 12 are
     # never-signed and are PREPENDED above this block as they land
     # (displacing the tail back to the r13 rotation).
-    "pdf_text_stats",
+    "byte_bpe_encode", "pdf_text_stats",
     "audio_id3_tags", "video_frame_pts", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",

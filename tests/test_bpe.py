@@ -103,3 +103,91 @@ def test_learn_bpe_runs_one_spark_job(spark):
     assert len(out.collect()) > 0  # materialize outside the group
     ids = sc.statusTracker().getJobIdsForGroup("bpe-learn")
     assert len(ids) == 1, f"learn_bpe ran {len(ids)} jobs; must be exactly 1"
+
+
+# --------------------------------------------------------------------- #
+# byte-level BPE (GPT-2 family)
+# --------------------------------------------------------------------- #
+
+
+def test_bytes_to_unicode_is_a_bijection():
+    from hobbes_spark.functions.bpe import bytes_to_unicode
+
+    table = bytes_to_unicode()
+    assert len(table) == 256 and len(set(table.values())) == 256
+    # printable bytes map to themselves; space is the canonical Ġ
+    assert table[ord("!")] == "!" and table[ord("~")] == "~"
+    assert table[0x20] == "Ġ" and table[0x0A] == "Ċ"
+
+
+def test_pretokenize_partitions_and_gpt2_shapes():
+    from hobbes_spark.functions.bpe import pretokenize
+
+    for t in ("héllo wörld", "  a_b--c 12x", "日本語 test", "", "don't",
+              "tab\tthen  2  spaces ", "trailing   "):
+        assert "".join(pretokenize(t)) == t
+    assert pretokenize("don't stop") == ["don", "'t", " stop"]
+    assert pretokenize("x  y") == ["x", " ", " y"]  # \s+(?!\S) keeps one
+
+
+def test_byte_bpe_hand_computed_pin(spark):
+    """UTF-8 multi-byte split and re-merge: 'é' is two bytes (Ã ©);
+    the hand-ordered merges rebuild it, then the word, then attach the
+    leading-space Ġ — case/space-preserving, no END_TOKEN."""
+    from hobbes_spark.functions.bpe import byte_bpe_decode, byte_bpe_encode
+
+    merges = [("Ã", "©"), ("h", "Ã©"), ("l", "l"), ("hÃ©", "ll")]
+    df = spark.createDataFrame(
+        [(1, "héllo héllo"), (2, "Héllo!"), (3, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["bpe_tokens"]
+           for r in byte_bpe_encode(df, "text", merges).collect()}
+    assert got[1] == ["hÃ©ll", "o", "Ġ", "hÃ©ll", "o"]
+    # capital H blocks (h,Ã©), so rank-1 never fires and there is no
+    # (Ã©,ll) merge in the table: é and ll merge separately
+    assert got[2] == ["H", "Ã©", "ll", "o", "!"]
+    assert got[3] == []
+    assert byte_bpe_decode(got[1]) == "héllo héllo"
+    assert byte_bpe_decode(got[2]) == "Héllo!"
+
+
+def test_learn_byte_bpe_matches_hand_loop(spark):
+    """Freq table {Ġlow:5, Ġlower:2}: pair counts are (Ġ,l)=7 (l,o)=7
+    (o,w)=7 (w,e)=2 (e,r)=2 — ties break lexicographically ascending,
+    so rank 0 is (l,o) ['l'<'o'<'Ġ' in code-point order... 'Ġ'=U+0120
+    sorts AFTER ascii], then merges cascade."""
+    from hobbes_spark.functions.bpe import learn_byte_bpe
+
+    wf = spark.createDataFrame(
+        [("Ġlow", 5), ("Ġlower", 2)], "word string, freq bigint")
+    merges = learn_byte_bpe(wf, num_merges=3).collect()
+    got = [(r["rank"], r["lhs"], r["rhs"], r["pair_count"]) for r in merges]
+    assert got[0] == (0, "l", "o", 7)
+    assert got[1] == (1, "lo", "w", 7)
+    assert got[2] == (2, "Ġ", "low", 7)
+
+
+def test_byte_word_frequencies_preserves_case_and_space(spark):
+    from hobbes_spark.functions.bpe import byte_word_frequencies
+
+    docs = spark.createDataFrame(
+        [(1, "Ab ab"), (2, "ab"), (3, None)], "doc_id long, text string")
+    wf = {r["word"]: r["freq"]
+          for r in byte_word_frequencies(docs, "text").collect()}
+    # 'Ab' stays capitalized; ' ab' carries the Ġ prefix; bare 'ab' once
+    assert wf == {"Ab": 1, "Ġab": 1, "ab": 1}
+
+
+def test_byte_bpe_round_trips_arbitrary_text(spark):
+    from hobbes_spark.functions.bpe import byte_bpe_decode, byte_bpe_encode
+
+    texts = [
+        "mixed CASE text", "emoji 🎉🎈 and 中文",
+        "control\tchars\nnewlines\r\n", "  leading and trailing  ",
+        "naïve café — em—dash", "null-ish \x01\x02 bytes",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = byte_bpe_encode(df, "text", [("Ã", "©"), ("e", "x")]).collect()
+    for r in got:
+        assert byte_bpe_decode(r["bpe_tokens"]) == texts[r["doc_id"]]

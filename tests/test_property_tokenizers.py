@@ -172,3 +172,38 @@ def test_mixture_plan_invariants(spark, recipe, sizes, budget):
             assert r["rate"] == 0.0 and r["epochs"] == 0.0
     # every recipe stratum and every corpus stratum is visible
     assert set(plan) == set(recipe) | {s for _, _, s in rows}
+
+
+# ---------------------------------------------------------------- #
+# byte-level BPE: exact round trip on arbitrary unicode (the property
+# word-level BPE cannot give — r11 verdict item 2)
+# ---------------------------------------------------------------- #
+
+
+@given(
+    text=st.text(min_size=0, max_size=200),
+    merge_seed=st.lists(
+        st.tuples(st.sampled_from("abcdeÃ©ĠtĊ"), st.sampled_from("abcdeÃ©Ġt")),
+        max_size=8,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_byte_bpe_round_trip_pure(text, merge_seed):
+    """encode∘decode == identity for ANY text and ANY merge list —
+    driver-side through the same _apply_ranked_merges/_to_byte_units
+    kernels the pandas_udf captures (no Spark job per example)."""
+    from hobbes_spark.functions.bpe import (
+        _apply_ranked_merges,
+        _to_byte_units,
+        byte_bpe_decode,
+        pretokenize,
+    )
+
+    merges = list(dict.fromkeys(merge_seed))  # dedup, keep order
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = []
+    for p in pretokenize(text):
+        toks.extend(_apply_ranked_merges(list(_to_byte_units(p)), merges, ranks))
+    assert byte_bpe_decode(toks) == text
+    # pre-tokenization partitions the input exactly
+    assert "".join(pretokenize(text)) == text
