@@ -9,6 +9,7 @@ correctness oracles (see ``hobbes_spark.queries``).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -35,6 +36,10 @@ __all__ = [
     "lang_scores_t",
     "lang_id",
     "lang_id_t",
+    "lang_id_ngram",
+    "lang_ngram_profiles",
+    "LANG_SEEDS",
+    "LANG_NGRAM_PREFIX",
     "fingerprint",
     "winnow_fingerprints",
     "STOPWORDS",
@@ -192,6 +197,181 @@ def lang_id(col: Column | str) -> Column:
     A pure-expression heuristic (no model), the standard first-pass
     filter shape for pretraining corpora; exactly reproducible in SQL."""
     return lang_id_t(col, tokens(F.lower(c(col))))
+
+
+# --------------------------------------------------------------------- #
+# char-n-gram language ID (round 12 verdict item 5): Cavnar & Trenkle
+# 1994, "N-Gram-Based Text Categorization" — per-language character
+# trigram profiles derived from embedded function-word seeds, scored by
+# profile-hit count.  ~29 languages vs the 5 of the stopword argmax
+# above, which stays as the zero-score FALLBACK.
+# --------------------------------------------------------------------- #
+
+#: per-language seeds: the highest-frequency function words (for CJK /
+#: Thai, the highest-frequency characters/particles), lowercase, space-
+#: joined.  Profiles derive from these at call time — the seed IS the
+#: model, so the DuckDB oracle replays classification from the same
+#: constants.
+LANG_SEEDS: dict[str, str] = {
+    "en": ("the and of to in is you that it he was for on are as with his"
+           " they at be this have from or one had by word but not what all"
+           " were we when your can said there use an each which she do how"
+           " their if will up other about out many then them these so some"),
+    "de": ("der die und in den von zu das mit sich des auf für ist im dem"
+           " nicht ein eine als auch es an werden aus er hat dass sie nach"
+           " wird bei einer um am sind noch wie einem über einen so zum war"
+           " haben nur oder aber vor zur bis mehr durch man sein wurde"),
+    "fr": ("le de un être et à il avoir ne je son que se qui ce dans elle"
+           " en du au pour pas sur faire plus dire me on mon lui nous comme"
+           " mais pouvoir avec tout y aller voir bien où sans tu ou leur"
+           " homme si deux mari moi vouloir te femme venir quand grand"),
+    "es": ("el la de que y a en un ser se no haber por con su para como"
+           " estar tener le lo todo pero más hacer o poder decir este ir"
+           " otro ese si me ya ver porque dar cuando él muy sin vez mucho"
+           " saber qué sobre mi alguno mismo yo también hasta año dos"),
+    "pt": ("o a de que e do da em um para é com não uma os no se na por"
+           " mais as dos como mas foi ao ele das tem à seu sua ou ser"
+           " quando muito há nos já está eu também só pelo pela até isso"
+           " ela entre era depois sem mesmo aos ter seus quem nas me esse"),
+    "it": ("di e il la che è un a per in una sono mi si lo ma ha le con"
+           " non io come più o questo qui hanno tutto della suo anche chi"
+           " essere sei cosa ci molto bene sia stato fatto ho perché quando"
+           " nel alla lei sua due anni tempo vita sempre fare ogni"),
+    "nl": ("de het een van ik te dat die in en zij is niet op aan met als"
+           " voor had er maar om hem dan zou of wat mijn men dit zo door"
+           " over ze zich bij ook tot je mij uit der daar haar naar heb"
+           " hoe heeft hebben deze nog wel moet worden hier andere"),
+    "sv": ("och i att det som en på är av för med till den har de inte om"
+           " ett han men var jag sig från vi så kan när år skulle honom"
+           " hade där eller vad ska nu över än dig mig denna sedan under"),
+    "da": ("og i at det en den til er som på de med han af for ikke der"
+           " var mig sig men et har om vi min havde ham hun nu over da fra"
+           " du ud sin dem os op man hans hvor eller hvad skal selv her"),
+    "nb": ("og i det på som en til er at av for med han de ikke den har"
+           " jeg om et men seg hun så var meg vi å kan hadde ble ut etter"
+           " skal ved også nå dette noen bare kunne andre enn hva"),
+    "fi": ("on ja ei se että hän oli mutta niin kuin kun hänen myös jos"
+           " nyt mitä sitä tämä kanssa vain minä olla sen mukaan vielä"
+           " joka sitten yli tai ovat paljon kaikki voi mikä siitä jo"),
+    "pl": ("w i z na do to że się nie jest jak po co tak o ma być ale od"
+           " przez już tym czy tylko przy jego bardzo ich dla było jej"
+           " może przed które mnie kiedy nawet czy jestem był ten"),
+    "cs": ("a v na se je že s z do o k i by ale jako za po od pro tak"
+           " bylo jsem jeho která být této však již pak podle mezi dva"
+           " před nebo své tím jsou byla může při ještě až kde"),
+    "ro": ("de a în și la cu pe un o este nu care mai din sau dacă pentru"
+           " sunt fost lui după fi când două fie spre către acest cea"
+           " prin asupra între fără unde cum atât ceva fiecare"),
+    "hu": ("a az és hogy nem is egy ez van de meg volt ha már csak mint"
+           " el még azt vagy ki mert így lesz nagy ő mikor ezt kell"
+           " lehet minden más most itt való olyan azonban"),
+    "tr": ("bir ve bu da ne için o ben de çok ama gibi daha var mi ki ile"
+           " sen onun kadar sonra en bana beni diye şey yok her iki"
+           " kendi onu bunu ona biz siz mı ise değil"),
+    "id": ("yang dan di itu dengan ini untuk dari dalam tidak akan pada"
+           " juga ke karena ada mereka saya kita anda bisa sudah atau"
+           " telah oleh saat harus seperti lebih banyak hanya tahun"),
+    "vi": ("của và các có trong được là cho không những với người này để"
+           " đã trên tại một khi đến từ ra như về sau nhiều hơn thì"
+           " cũng sẽ đó bị làm theo nếu vào còn"),
+    "ru": ("и в не на я быть он с что а по это она этот к но они мы как"
+           " из у который то за свой весь год от так о для ты же все"
+           " тот мочь вы человек такой его сказать только или еще"),
+    "uk": ("і в не на я що він з до як а це по але його вона так від за"
+           " був для ми або коли вже є ще тільки може бути цей під"
+           " після між більш немає дуже них було"),
+    "el": ("και το να του η της με τον την που δεν από στο για είναι τα"
+           " ο οι σε αυτό θα ως αν μου κι στη είχε ήταν όπως αλλά"
+           " μας πιο ένα μια κατά μετά χωρίς"),
+    "ar": ("في من على أن إلى عن التي هذا مع كان لا ما هو أو كل بعد قد"
+           " الذي وقد كما لم بين ذلك هذه عند غير حتى إذا ثم منذ حيث"),
+    "he": ("של את על לא הוא זה אני עם כל אם היא גם אבל יש מה או כי אחד"
+           " הם כמו רק היה אל מי עוד כבר שלו אין לו בין אחרי"),
+    "hi": ("के है में की एक को से पर यह और हैं था कि नहीं भी लिए गया कर"
+           " वह ने अपने हो इस किया तो ही कुछ साथ बाद करने वाले"),
+    "th": ("ที่ การ และ ใน ของ มี ให้ ได้ ไป มา จะ ไม่ ว่า เป็น กับ คน แต่ นี้"
+           " เขา อยู่ ก็ แล้ว ต้อง เมื่อ ความ จาก ถึง หรือ"),
+    # unsegmented scripts: seeds are RUNNING text (no artificial spaces),
+    # so profile trigrams match real running prose
+    "ja": ("これは日本語のテキストです。彼は本を読んでいます。私たちは学校に"
+           "行きました。それについて話しているということです。そのときには"
+           "なっていましたが、このようにしてできるのです。をしていたのである。"),
+    "ko": ("이 있 하 것 들 그 되 수 보 않 없 나 사람 주 아니 등 같 우리 때"
+           " 한 지 대하 오 말 일 그렇 위하 때문 그것 두 어떤"),
+    "zh": ("这是一个中文测试文本。我们的人民在这里生活和工作。他说他不知道这个"
+           "问题的答案。因为这样的情况已经发生了很多次。可以说是非常重要的一个"
+           "部分。他们都有自己的想法和要求。"),
+}
+
+
+def lang_ngram_profiles(n: int = 3, top: int = 100) -> dict[str, tuple[str, ...]]:
+    """Per-language top-``top`` character ``n``-grams of the padded
+    seed text, ranked (count DESC, gram ASC) — the deterministic
+    profile both engines classify against."""
+    out: dict[str, tuple[str, ...]] = {}
+    for lang, seed in LANG_SEEDS.items():
+        s = " " + " ".join(seed.split()) + " "
+        counts: dict[str, int] = {}
+        for i in range(len(s) - n + 1):
+            g = s[i : i + n]
+            counts[g] = counts.get(g, 0) + 1
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+        out[lang] = tuple(g for g, _ in ranked)
+    return out
+
+
+#: classification reads at most this many leading characters — language
+#: is a whole-document property; scoring 400 chars instead of 400 KB
+#: keeps the per-row cost flat regardless of document size (CLD-family
+#: practice)
+LANG_NGRAM_PREFIX = 400
+
+
+def lang_id_ngram(col: Column | str, prefix_chars: int = LANG_NGRAM_PREFIX) -> Column:
+    """Char-trigram profile language ID over ~29 languages with the
+    5-language stopword argmax (:func:`lang_id`) as the zero-score
+    fallback.
+
+    Mechanics (mirrored verbatim by the DuckDB oracle of
+    ``lang_id_counts``): lowercase the first ``prefix_chars`` chars,
+    collapse ASCII whitespace runs to one space, trim; score each
+    language by the number of trigram POSITIONS whose gram is in its
+    profile; winner by (score DESC, lang ASC); no hits at all → fall
+    back.  One Arrow-batched pandas_udf — a per-row map with a
+    broadcast-size profile dict, zero shuffle, the shape that survives
+    100 TB (a profile-table JOIN would shuffle the corpus; a literal
+    CASE would blow the Janino 64 KB codegen limit like the PSL
+    expression did).  Caveat: Python ``str.lower`` and SQL ``lower``
+    can disagree on exotic one-to-many case maps (İ); the corpus
+    convention is already-NFC text where both agree."""
+    import re as _re
+
+    prof = lang_ngram_profiles()
+    gram_langs: dict[str, tuple[str, ...]] = {}
+    for lang in sorted(prof):
+        for g in prof[lang]:
+            gram_langs[g] = gram_langs.get(g, ()) + (lang,)
+    ws = _re.compile(r"[ \t\n\r\x0b\x0c]+")
+
+    @F.pandas_udf("string")
+    def guess(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            s = ws.sub(" ", str(t)[:prefix_chars].lower()).strip(" ")
+            scores: dict[str, int] = {}
+            for i in range(len(s) - 2):
+                for lang in gram_langs.get(s[i : i + 3], ()):
+                    scores[lang] = scores.get(lang, 0) + 1
+            if not scores:
+                out.append(None)
+                continue
+            out.append(min(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0])
+        return pd.Series(out)
+
+    return F.coalesce(guess(c(col)), lang_id(col))
 
 
 def winnow_fingerprints(

@@ -974,6 +974,23 @@ def pagerank_fixture_exact(spark, sf_dir):
 # oracles are generated programmatically where the SQL is repetitive.
 # --------------------------------------------------------------------- #
 
+def _esql(s: str) -> str:
+    """DuckDB E'...' escape-string literal for text that may contain
+    control bytes (which must never be embedded raw in SQL text).
+    Generic: EVERY byte < 0x20 and 0x7f is hex-escaped, not a per-byte
+    special case that decays as the constants evolve. NUL raises —
+    DuckDB VARCHAR cannot hold it even escaped, so silently embedding
+    one would corrupt the oracle rather than flag the design error."""
+    if "\x00" in s:
+        raise ValueError("_esql: NUL is not representable in a DuckDB VARCHAR")
+    esc = s.replace("\\", "\\\\").replace("'", "''")
+    esc = "".join(
+        f"\\x{ord(ch):02x}" if (ord(ch) < 0x20 or ord(ch) == 0x7F) else ch
+        for ch in esc
+    )
+    return f"E'{esc}'"
+
+
 _DDB_TOKENS = (
     "CASE WHEN {t} IS NULL OR length(trim({t})) = 0 THEN [] "
     "ELSE regexp_split_to_array(trim({t}), '\\s+') END"
@@ -1129,42 +1146,133 @@ QUERIES["text_stats"] = QuerySpec(
 )
 
 
-def _lang_id_sql() -> str:
+def _lang_fallback_case(texpr: str) -> str:
+    """The ORIGINAL 5-language stopword-argmax heuristic as a DuckDB
+    CASE over ``texpr`` — now the zero-score FALLBACK of the n-gram
+    classifier (text.lang_id stays the Spark-side twin)."""
     from hobbes_spark.functions.text import LANG_MARKERS
 
-    toks_l = _DDB_TOKENS.format(t="lower(text)")
+    toks_l = _DDB_TOKENS.format(t=f"lower({texpr})")
     hits = {
         lang: f"len(list_filter({toks_l}, x -> x IN ({', '.join(repr(w) for w in m)})))"
         for lang, m in LANG_MARKERS.items()
     }
     best = f"GREATEST({hits['en']}, {hits['de']}, {hits['fr']}, {hits['es']})"
-    zh = "regexp_matches(text, '[一-鿿]')"
+    zh = f"regexp_matches({texpr}, '[一-鿿]')"
+    return (f"CASE WHEN {zh} THEN 'zh' WHEN {best} = 0 THEN 'und' "
+            f"WHEN {hits['en']} = {best} THEN 'en' "
+            f"WHEN {hits['de']} = {best} THEN 'de' "
+            f"WHEN {hits['fr']} = {best} THEN 'fr' ELSE 'es' END")
+
+
+#: ~29-language fixture for the n-gram classifier (round 12 verdict
+#: item 5) — one sentence per language, unioned with the documents
+#: table so the oracle replays the classifier over BOTH fixture
+#: literals and real parquet text.  The expected label is what both
+#: engines derive, and tests/test_functions.py pins each sentence to
+#: its true language.
+_LANG_FIXTURE_TEXTS = [
+    "the quick brown fox jumps over the lazy dog and they were all happy with it",
+    "der schnelle braune fuchs springt über den faulen hund und sie waren alle zufrieden mit dem ergebnis",
+    "le renard brun rapide saute par dessus le chien paresseux et ils étaient tous contents dans la maison",
+    "el zorro marrón rápido salta sobre el perro perezoso y todos estaban muy contentos con el resultado",
+    "a raposa marrom rápida pula sobre o cachorro preguiçoso e todos ficaram muito felizes com o resultado",
+    "la volpe marrone veloce salta sopra il cane pigro e sono tutti molto contenti di questo risultato",
+    "de snelle bruine vos springt over de luie hond en zij waren allemaal blij met het resultaat van dit",
+    "den snabba bruna räven hoppar över den lata hunden och de var alla nöjda med resultatet av detta",
+    "den hurtige brune ræv springer over den dovne hund og de var alle glade for resultatet af dette her",
+    "den raske brune reven hopper over den late hunden og de var ikke glade for dette etter at jeg hadde",
+    "nopea ruskea kettu hyppää laiskan koiran yli ja he olivat kaikki tyytyväisiä tähän tulokseen kun se",
+    "szybki brązowy lis przeskakuje nad leniwym psem i wszyscy byli bardzo zadowoleni z tego wyniku przez to",
+    "rychlá hnědá liška skáče přes líného psa a všichni byli velmi spokojeni s tímto výsledkem podle nich",
+    "vulpea maro rapidă sare peste câinele leneș și toți au fost foarte mulțumiți de acest rezultat pentru",
+    "a gyors barna róka átugrik a lusta kutya felett és mindenki nagyon elégedett volt ezzel az eredménnyel",
+    "hızlı kahverengi tilki tembel köpeğin üzerinden atlar ve herkes bu sonuçtan çok memnun kaldı onun için",
+    "rubah coklat yang cepat melompati anjing yang malas dan mereka semua sangat senang dengan hasil ini",
+    "con cáo nâu nhanh nhẹn nhảy qua con chó lười biếng và mọi người đều rất hài lòng với kết quả này",
+    "быстрая коричневая лиса прыгает через ленивую собаку и все были очень довольны этим результатом",
+    "швидка коричнева лисиця стрибає через ледачого пса і всі були дуже задоволені цим результатом",
+    "η γρήγορη καφέ αλεπού πηδάει πάνω από τον τεμπέλη σκύλο και όλοι ήταν πολύ ευχαριστημένοι με αυτό",
+    "القفز الثعلب البني السريع فوق الكلب الكسول وكان الجميع سعداء جدا بهذه النتيجة في هذا اليوم",
+    "השועל החום המהיר קופץ מעל הכלב העצלן וכולם היו מאוד מרוצים עם התוצאה הזאת של זה",
+    "तेज भूरी लोमड़ी आलसी कुत्ते के ऊपर कूदती है और सभी लोग इस परिणाम से बहुत खुश थे कि यह",
+    "สุนัขจิ้งจอกสีน้ำตาลที่รวดเร็ว กระโดดข้ามสุนัขขี้เกียจ และทุกคนก็พอใจกับผลลัพธ์นี้มาก",
+    "素早い茶色の狐は怠け者の犬を飛び越えて、みんなはこの結果をとても喜んでいました。これはテストです。",
+    "敏捷的棕色狐狸跳过了那只懒惰的狗，大家都对这个结果感到非常满意。这是一个测试。",
+    "빠른 갈색 여우가 게으른 개를 뛰어넘었고 모두가 이 결과에 매우 만족했습니다 우리 사람",
+    "zzz qqq xxx 12345 @@@",   # zero-score -> stopword fallback -> und
+    None,                      # NULL text -> fallback -> und
+]
+
+
+def _lang_ngram_sql() -> str:
+    """DuckDB replay of text.lang_id_ngram over documents ∪ fixture:
+    the SAME profile grams (derived from LANG_SEEDS by the same Python
+    ranking), trigram positions of the normalized 400-char prefix,
+    profile-hit counts, (score DESC, lang ASC) argmax, stopword-CASE
+    fallback for zero-score rows.  Distinct texts classify once and
+    re-weight by their count."""
+    from hobbes_spark.functions.text import LANG_NGRAM_PREFIX, lang_ngram_profiles
+
+    prof = lang_ngram_profiles()
+    rows = ", ".join(
+        f"({_esql(lang)}, {_esql(g)})"
+        for lang in sorted(prof)
+        for g in prof[lang]
+    )
+    fix = " UNION ALL ".join(
+        f"SELECT {_esql(t)} AS text" if t is not None
+        else "SELECT CAST(NULL AS VARCHAR) AS text"
+        for t in _LANG_FIXTURE_TEXTS
+    )
     return f"""
-    SELECT CASE WHEN {zh} THEN 'zh'
-                WHEN {best} = 0 THEN 'und'
-                WHEN {hits['en']} = {best} THEN 'en'
-                WHEN {hits['de']} = {best} THEN 'de'
-                WHEN {hits['fr']} = {best} THEN 'fr'
-                ELSE 'es' END AS lang_guess,
-           COUNT(*) AS n
-    FROM documents GROUP BY 1
+    WITH prof(lang, gram) AS (VALUES {rows}),
+    src AS (SELECT text FROM documents UNION ALL {fix}),
+    d AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS cnt FROM src GROUP BY text),
+    b AS (SELECT text, cnt,
+                 trim(regexp_replace(lower(substr(text, 1, {LANG_NGRAM_PREFIX})),
+                                     '[ \t\n\r\x0b\x0c]+', ' ', 'g'), ' ') AS s
+          FROM d),
+    g AS (SELECT text,
+                 unnest(list_transform(range(1, greatest(len(s) - 1, 1)),
+                                       i -> substr(s, i, 3))) AS gram
+          FROM b WHERE s IS NOT NULL),
+    h AS (SELECT g.text, p.lang, COUNT(*) AS c
+          FROM g JOIN prof p USING (gram) GROUP BY 1, 2),
+    w AS (SELECT text, lang FROM h
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY text
+                                     ORDER BY c DESC, lang ASC) = 1)
+    SELECT coalesce(w.lang, {_lang_fallback_case("b.text")}) AS lang_guess,
+           CAST(SUM(b.cnt) AS BIGINT) AS n
+    FROM b LEFT JOIN w ON b.text IS NOT DISTINCT FROM w.text
+    GROUP BY 1
     """
 
 
 @q("lang_id_counts", None)
 def lang_id_counts(spark, sf_dir):
+    """Language-ID census (round 12 verdict item 5): the char-trigram
+    profile classifier (`text.lang_id_ngram`, Cavnar & Trenkle 1994,
+    ~29 languages, stopword-argmax fallback) over the documents table
+    UNIONed with a 29-language fixture — one Arrow-batched pandas_udf
+    against a broadcast-size profile dict, zero shuffle before the
+    final keyed count.  The oracle re-derives the SAME profiles from
+    LANG_SEEDS and replays trigram scoring + argmax + fallback in SQL."""
     from hobbes_spark.functions import text as TX
 
-    docs = _t(spark, sf_dir, "documents").df
+    docs = _t(spark, sf_dir, "documents").df.select("text")
+    fix = spark.createDataFrame(
+        [(t,) for t in _LANG_FIXTURE_TEXTS], "text string")
     return (
-        docs.select(TX.lang_id("text").alias("lang_guess"))
+        docs.unionByName(fix)
+        .select(TX.lang_id_ngram("text").alias("lang_guess"))
         .groupBy("lang_guess")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
 QUERIES["lang_id_counts"] = QuerySpec(
-    spark=QUERIES["lang_id_counts"].spark, oracle=_lang_id_sql()
+    spark=QUERIES["lang_id_counts"].spark, oracle=_lang_ngram_sql()
 )
 
 
@@ -9943,21 +10051,7 @@ def blocklist_filter(spark, sf_dir):
     )
 
 
-def _esql(s: str) -> str:
-    """DuckDB E'...' escape-string literal for text that may contain
-    control bytes (which must never be embedded raw in SQL text).
-    Generic: EVERY byte < 0x20 and 0x7f is hex-escaped, not a per-byte
-    special case that decays as the constants evolve. NUL raises —
-    DuckDB VARCHAR cannot hold it even escaped, so silently embedding
-    one would corrupt the oracle rather than flag the design error."""
-    if "\x00" in s:
-        raise ValueError("_esql: NUL is not representable in a DuckDB VARCHAR")
-    esc = s.replace("\\", "\\\\").replace("'", "''")
-    esc = "".join(
-        f"\\x{ord(ch):02x}" if (ord(ch) < 0x20 or ord(ch) == 0x7F) else ch
-        for ch in esc
-    )
-    return f"E'{esc}'"
+# (moved above: _esql lives with _rsql near the top of the file)
 
 
 # deterministic "dirty" decoration wrapped around every document so the

@@ -27,6 +27,52 @@ def test_lang_id_on_real_sentences(spark):
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und"}
 
 
+def test_lang_id_ngram_29_languages(spark):
+    """The char-trigram profile classifier (round 12) labels every
+    sentence of the oracle fixture with its TRUE language — the
+    quality pin the engine-vs-engine gate cannot give (both engines
+    agreeing on a wrong label would still MATCH)."""
+    from hobbes_spark.queries import _LANG_FIXTURE_TEXTS
+
+    want = ["en", "de", "fr", "es", "pt", "it", "nl", "sv", "da", "nb",
+            "fi", "pl", "cs", "ro", "hu", "tr", "id", "vi", "ru", "uk",
+            "el", "ar", "he", "hi", "th", "ja", "zh",
+            "ko", "und", "und"]
+    assert len(want) == len(_LANG_FIXTURE_TEXTS)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_LANG_FIXTURE_TEXTS)],
+        "id long, t string")
+    got = [r["lang"] for r in
+           df.select("id", TX.lang_id_ngram("t").alias("lang"))
+             .orderBy("id").collect()]
+    assert got == want, list(zip(got, want))
+    # ≥15 distinct languages is the verdict's floor; we pin 28
+    assert len(set(want) - {"und"}) >= 15
+
+
+def test_lang_id_ngram_fallback_agrees_with_stopword_argmax(spark):
+    """Zero-profile-score inputs fall back to the OLD heuristic —
+    byte-for-byte (including 'und' for NULL and gibberish)."""
+    rows = [(1, "zzz qqq xxx"), (2, None), (3, "12345 67890"), (4, "")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = df.select(
+        TX.lang_id_ngram("t").alias("a"), TX.lang_id("t").alias("b")
+    ).collect()
+    for r in got:
+        assert r["a"] == r["b"]
+
+
+def test_lang_ngram_profiles_shape():
+    from hobbes_spark.functions.text import LANG_SEEDS, lang_ngram_profiles
+
+    prof = lang_ngram_profiles()
+    assert set(prof) == set(LANG_SEEDS) and len(prof) >= 20
+    for lang, grams in prof.items():
+        assert 0 < len(grams) <= 100
+        assert all(len(g) == 3 for g in grams)
+        assert len(set(grams)) == len(grams)
+
+
 def test_token_counts_and_quality(spark):
     df = spark.createDataFrame([(1, "Hello, world! 42"), (2, ""), (3, "   ")], "id long, t string")
     out = {
