@@ -37,6 +37,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .multimodal import _DECOMPRESS_CAP, sniff_decompress
 
@@ -227,13 +228,18 @@ def warc_records(
                         h.get("warc-type"), h.get("warc-target-uri"),
                         h.get("warc-date"), len(rec["block"]),
                         status, http_ct, text,
+                        h.get("warc-record-id"),
+                        h.get("warc-refers-to"),
+                        h.get("warc-refers-to-target-uri"),
+                        h.get("warc-payload-digest"),
                     ))
             pdf_out = pd.DataFrame(
                 rows,
                 columns=["media_id", "record_index", "codec", "warc_version",
                          "warc_type", "target_uri", "warc_date",
                          "content_length", "http_status", "http_content_type",
-                         "body"],
+                         "body", "warc_record_id", "warc_refers_to",
+                         "warc_refers_to_target_uri", "warc_payload_digest"],
             )
             # typed NULLs across Arrow for the nullable int column
             pdf_out["http_status"] = pd.array(
@@ -245,7 +251,56 @@ def warc_records(
         schema=("media_id long, record_index int, codec string, "
                 "warc_version string, warc_type string, target_uri string, "
                 "warc_date string, content_length long, http_status int, "
-                "http_content_type string, body string"),
+                "http_content_type string, body string, "
+                "warc_record_id string, warc_refers_to string, "
+                "warc_refers_to_target_uri string, "
+                "warc_payload_digest string"),
+    )
+
+
+def revisit_edges(records: DataFrame) -> DataFrame:
+    """URL-level duplicate edges from crawler-side ``revisit`` records
+    (ISO 28500 §6.7.2 / Common Crawl practice): when a crawler re-fetches
+    a URL and the payload digest matches something already stored, it
+    writes a ``WARC-Type: revisit`` record carrying ``WARC-Refers-To``
+    (the original record's ID) and/or ``WARC-Refers-To-Target-URI`` —
+    dedup the crawler ALREADY computed, which a corpus pipeline should
+    consume instead of re-hashing text (r11 verdict item 4: without
+    this, a real CC run re-discovers work the crawler did).
+
+    Input is :func:`warc_records` output.  One broadcast-or-shuffle
+    equi-join keyed on the record ID (the revisit side of a crawl is a
+    small fraction of records; Catalyst/AQE picks the strategy):
+    revisit rows LEFT-join original ``response`` rows on
+    ``warc_refers_to = warc_record_id``, and the original URI falls
+    back to ``WARC-Refers-To-Target-URI`` when the referred record is
+    not in this corpus slice (cross-segment references are normal in
+    CC).  Output: one edge per revisit record —
+    ``(dup_uri, orig_uri, resolved, media_id, record_index,
+    warc_payload_digest)`` with ``resolved`` true iff the original
+    record was found.  No text column is ever read."""
+    rev = records.filter(F.col("warc_type") == "revisit").select(
+        F.col("media_id"),
+        F.col("record_index"),
+        F.col("target_uri").alias("dup_uri"),
+        F.col("warc_refers_to").alias("__rv_ref"),
+        F.col("warc_refers_to_target_uri").alias("__rv_ref_uri"),
+        F.col("warc_payload_digest"),
+    )
+    orig = records.filter(
+        (F.col("warc_type") == "response") & F.col("warc_record_id").isNotNull()
+    ).select(
+        F.col("warc_record_id").alias("__rv_ref"),
+        F.col("target_uri").alias("__rv_orig_uri"),
+    )
+    joined = rev.join(orig, "__rv_ref", "left")
+    return joined.select(
+        "media_id",
+        "record_index",
+        "dup_uri",
+        F.coalesce("__rv_orig_uri", "__rv_ref_uri").alias("orig_uri"),
+        F.col("__rv_orig_uri").isNotNull().alias("resolved"),
+        "warc_payload_digest",
     )
 
 

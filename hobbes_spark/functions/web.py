@@ -40,6 +40,7 @@ __all__ = [
     "canonical_url",
     "url_host",
     "registrable_domain",
+    "registrable_domain_df",
     "filter_blocked_hosts",
     "filter_blocked_hosts_df",
     "HTML_RULES",
@@ -189,6 +190,104 @@ def registrable_domain(col: Column | str) -> Column:
         & ~F.element_at(parts, -1).rlike(r"^\d+$")  # IPv4: no eTLD+1
     )
     return F.when(valid & (n > ps), dom)
+
+
+def registrable_domain_df(
+    df: DataFrame, host_col: str, out_col: str = "domain"
+) -> DataFrame:
+    """:func:`registrable_domain` as BROADCAST suffix-table joins — the
+    documented escape (r11 verdict item 3) from the literal-CASE
+    Column variant, whose ~380-rule chained CASE exceeds Janino's
+    64 KB method limit and silently drops the stage to interpreted
+    eval (a measured ~66× cliff when the expression lands inside a
+    filter).
+
+    Shape: one LEFT BroadcastHashJoin per distinct rule length (4 for
+    the embedded snapshot, still ~6 for the full upstream PSL), keyed
+    on the host's last-k-labels string — each join is map-side against
+    a kilobyte hash relation, zero shuffle, tiny codegen'd key
+    expressions, so whole-stage codegen SURVIVES and the cost no
+    longer grows with rule count.  Rule semantics are identical to the
+    Column twin (exception ≻ longest rule ≻ implicit ``*`` default;
+    wildcard needs one extra label; bare public suffix / invalid host
+    → NULL) and the two variants are property-tested equal on every
+    host shape (tests/test_psl_scale.py).  Prefer THIS variant on
+    100 TB-hot paths (outlink/domain-mix); the Column variant remains
+    for single-expression contexts (oracle replays, small dims)."""
+    for col_name in df.columns:
+        if col_name.startswith("__rd_"):
+            raise ValueError(
+                f"registrable_domain_df: df already has a {col_name!r} column"
+            )
+    spark = df.sparkSession
+
+    # rule rows per join level k (labels compared):
+    #   exact rule r (k labels)            -> ps_exact = k
+    #   wildcard base b (k labels)         -> ps_wild  = k+1, iff n >= k+1
+    #   exception e (k labels)             -> ps_exc   = k-1 (prevails)
+    levels: dict[int, dict[str, list]] = {}
+
+    def row(k: int, sfx: str):
+        lvl = levels.setdefault(k, {})
+        return lvl.setdefault(sfx, [None, None, None])  # exact, wild, exc
+
+    for k, rules in _PSL_EXACT.items():
+        for r in rules:
+            row(k, r)[0] = k
+    for b in _PSL_WILDCARD_BASES:
+        k = b.count(".") + 1
+        row(k, b)[1] = k + 1
+    for e in _PSL_EXCEPTIONS:
+        k = e.count(".") + 1
+        row(k, e)[2] = k - 1
+
+    host = F.lower(F.trim(c(host_col)))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    out = df.withColumn("__rd_parts", parts).withColumn("__rd_n", n)
+    parts, n = F.col("__rd_parts"), F.col("__rd_n")
+
+    joined_cols: dict[int, tuple[str, str, str]] = {}
+    for k in sorted(levels):
+        names = (f"__rd_exact_{k}", f"__rd_wild_{k}", f"__rd_exc_{k}")
+        rel = spark.createDataFrame(
+            [(sfx, v[0], v[1], v[2]) for sfx, v in sorted(levels[k].items())],
+            f"__rd_sfx_{k} string, {names[0]} int, {names[1]} int, {names[2]} int",
+        )
+        key = F.array_join(F.slice(parts, -k, k), ".")
+        out = out.withColumn(f"__rd_sfx_{k}", F.when(n >= k, key)).join(
+            F.broadcast(rel), f"__rd_sfx_{k}", "left"
+        )
+        joined_cols[k] = names
+
+    # exceptions prevail (longest first), else the longest matching
+    # rule, else the implicit '*' default (unknown TLD = 1-label suffix)
+    exc = F.coalesce(
+        *[F.col(joined_cols[k][2]) for k in sorted(joined_cols, reverse=True)],
+        F.lit(None).cast("int"),
+    )
+    cands = [F.lit(1)]
+    for k in sorted(joined_cols):
+        cands.append(F.col(joined_cols[k][0]))
+        w = F.col(joined_cols[k][1])
+        cands.append(F.when(n >= w, w))
+    ps = F.coalesce(exc, F.greatest(*cands))
+
+    take = ps + F.lit(1)
+    dom = F.array_join(F.slice(parts, -take, take), ".")
+    hstr = F.array_join(parts, ".")
+    valid = (
+        (F.length(hstr) > 0)
+        & host.isNotNull()
+        & ~hstr.rlike(r"[^a-z0-9.-]")
+        & ~host.rlike(r"(^\.)|(\.\.)|(\.$)")
+        & ~F.element_at(parts, -1).rlike(r"^\d+$")
+    )
+    result = out.withColumn(out_col, F.when(valid & (n > ps), dom))
+    drop = ["__rd_parts", "__rd_n"]
+    for k, names in joined_cols.items():
+        drop += [f"__rd_sfx_{k}", *names]
+    return result.drop(*drop)
 
 
 def filter_blocked_hosts(

@@ -10301,8 +10301,20 @@ def outlink_domains(spark, sf_dir):
     replaying the extraction — so a regex or PSL regression shows as a
     mix shift.  Map-only extract + one bounded-fanout explode + one
     agg shuffle; at 100 TB the explode is ~O(100) links/page and the
-    groupBy key space is domains, not links."""
-    from hobbes_spark.functions.web import outlinks, registrable_domain, url_host
+    groupBy key space is domains, not links.
+
+    Round 12 (verdict item 6): the eTLD+1 step is the BROADCAST
+    suffix-table join (`registrable_domain_df`) instead of the literal
+    CASE — the CASE exceeds Janino's 64 KB method limit on this path
+    (whole-stage codegen falls back to interpreted eval); the join
+    variant keeps codegen and measured faster on this exact shape
+    (A/B at 768k links: join 3.72 s vs CASE 4.34 s best-of-3,
+    SCALE.md)."""
+    from hobbes_spark.functions.web import (
+        outlinks,
+        registrable_domain_df,
+        url_host,
+    )
 
     docs = _t(spark, sf_dir, "documents").df
     raw = F.concat(
@@ -10320,9 +10332,10 @@ def outlink_domains(spark, sf_dir):
         F.lit('.unknowntld/y#f">three</a></body></html>'),
     )
     links = docs.select("doc_id", F.explode(outlinks(raw)).alias("link"))
-    dom = registrable_domain(url_host(F.col("link")))
+    hosts = links.select("doc_id", url_host(F.col("link")).alias("host"))
     return (
-        links.select("doc_id", dom.alias("domain"))
+        registrable_domain_df(hosts, "host")
+        .select("doc_id", "domain")
         .filter(F.col("domain").isNotNull())
         .groupBy("domain")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_links"),
@@ -11306,6 +11319,87 @@ def warc_html_pipeline(spark, sf_dir):
 
 
 
+def _warc_rec(rtype: str, uri: str, block: bytes, extra: dict) -> bytes:
+    h = [b"WARC/1.0", b"WARC-Type: " + rtype.encode(),
+         b"WARC-Target-URI: " + uri.encode(),
+         b"WARC-Date: 2026-02-01T10:00:00Z"]
+    for k, v in extra.items():
+        h.append(k.encode() + b": " + v.encode())
+    h.append(b"Content-Length: " + str(len(block)).encode())
+    return b"\r\n".join(h) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def _revisit_fixture_df(spark):
+    """One plain shard: two stored responses and three revisit records
+    exercising every linkage class (by-record-ID resolved, cross-slice
+    URI fallback, digest-only)."""
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<html><body>original page</body></html>")
+    shard = b"".join([
+        _warc_rec("response", "http://a.example/page", http, {
+            "WARC-Record-ID": "<urn:uuid:aaa-111>",
+            "Content-Type": "application/http; msgtype=response",
+            "WARC-Payload-Digest": "sha1:DIGESTA",
+        }),
+        _warc_rec("response", "http://c.example/other", http, {
+            "WARC-Record-ID": "<urn:uuid:ccc-333>",
+            "Content-Type": "application/http; msgtype=response",
+            "WARC-Payload-Digest": "sha1:DIGESTC",
+        }),
+        # same payload re-fetched at a mirror URL: refers to aaa-111
+        _warc_rec("revisit", "http://mirror.example/page", b"", {
+            "WARC-Record-ID": "<urn:uuid:rrr-444>",
+            "WARC-Refers-To": "<urn:uuid:aaa-111>",
+            "WARC-Refers-To-Target-URI": "http://a.example/page",
+            "WARC-Payload-Digest": "sha1:DIGESTA",
+        }),
+        # referred record lives in ANOTHER crawl segment: URI fallback
+        _warc_rec("revisit", "http://b.example/copy", b"", {
+            "WARC-Record-ID": "<urn:uuid:rrr-555>",
+            "WARC-Refers-To": "<urn:uuid:zzz-999>",
+            "WARC-Refers-To-Target-URI": "http://original.example/src",
+            "WARC-Payload-Digest": "sha1:DIGESTB",
+        }),
+        # digest-only revisit (no refers-to headers at all)
+        _warc_rec("revisit", "http://d.example/dup", b"", {
+            "WARC-Record-ID": "<urn:uuid:rrr-666>",
+            "WARC-Payload-Digest": "sha1:DIGESTC",
+        }),
+    ])
+    return spark.createDataFrame(
+        [(1, bytearray(shard))], "media_id long, content binary")
+
+
+@q(
+    "warc_revisit_dedup",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(2 AS INTEGER), 'http://mirror.example/page',
+       'http://a.example/page', TRUE, 'sha1:DIGESTA'),
+      (CAST(1 AS BIGINT), CAST(3 AS INTEGER), 'http://b.example/copy',
+       'http://original.example/src', FALSE, 'sha1:DIGESTB'),
+      (CAST(1 AS BIGINT), CAST(4 AS INTEGER), 'http://d.example/dup',
+       CAST(NULL AS VARCHAR), FALSE, 'sha1:DIGESTC')
+    ) AS t(media_id, record_index, dup_uri, orig_uri, resolved,
+           warc_payload_digest)
+    ORDER BY record_index
+    """,
+)
+def warc_revisit_dedup(spark, sf_dir):
+    """Crawler-side URL dedup via WARC ``revisit`` records (round 12
+    verdict item 7, `functions/warc.revisit_edges`): the crawler
+    already marked these URLs as duplicates — consume its
+    WARC-Refers-To linkage as dedup edges instead of re-hashing text.
+    Three linkage classes pinned: record-ID join RESOLVED in-slice,
+    cross-segment fallback to WARC-Refers-To-Target-URI, and a
+    digest-only revisit (orig NULL).  One small-side equi-join on the
+    record ID; no text column is read anywhere on the path."""
+    from hobbes_spark.functions.warc import revisit_edges, warc_records
+
+    recs = warc_records(_revisit_fixture_df(spark))
+    return revisit_edges(recs).orderBy("record_index")
+
+
 # --------------------------------------------------------------------- #
 # PDF text extraction (round 12 verdict item 3): the dominant non-HTML
 # document modality.  Fixture PDFs are hand-assembled byte-for-byte, so
@@ -11853,7 +11947,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # window), then the oldest r8 rows.  Queries ADDED in round 12 are
     # never-signed and are PREPENDED above this block as they land
     # (displacing the tail back to the r13 rotation).
-    "byte_bpe_encode", "pdf_text_stats",
+    "byte_bpe_encode", "pdf_text_stats", "warc_revisit_dedup",
     "audio_id3_tags", "video_frame_pts", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",

@@ -3526,6 +3526,55 @@ class TestRegistrableDomain:
         }
         assert self._dom(spark, list(cases)) == list(cases.values())
 
+    def test_df_variant_matches_column_twin_on_every_shape(self, spark):
+        """The broadcast-join variant (registrable_domain_df, r12) and
+        the Column CASE are two engines of one spec — equal on every
+        rule class, every refusal shape, and NULL (the robots twin
+        discipline)."""
+        from hobbes_spark.functions.web import (
+            registrable_domain,
+            registrable_domain_df,
+        )
+
+        hosts = [
+            "www.example.com", "news.bbc.co.uk", "a.co.uk", "co.uk",
+            "com", "deep.sub.k12.ak.us", "host.ak.us", "foo.www.ck",
+            "www.ck", "bar.baz.ck", "baz.ck", "x.host.unknowntld",
+            "unknowntld", "EXAMPLE.Com", "www.sklep.com.pl", "a.shop.pl",
+            "x.gouv.fr", "foo.com.kw", "sub.act.au", "www.parliament.nz",
+            "", "  ", "1.2.3.4", "bad..dots", ".lead", "trail.",
+            "no spaces.com", "[::1]", None,
+        ]
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(hosts)], "id long, host string")
+        via_col = {r["id"]: r["d"] for r in df.select(
+            "id", registrable_domain("host").alias("d")).collect()}
+        via_join = {r["id"]: r["d"] for r in registrable_domain_df(
+            df, "host", out_col="d").select("id", "d").collect()}
+        assert via_col == via_join
+        # temp-column hygiene: caller columns survive, __rd_* do not
+        out = registrable_domain_df(df, "host")
+        assert set(out.columns) == {"id", "host", "domain"}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            registrable_domain_df(
+                df.withColumn("__rd_parts", df.host), "host")
+
+    def test_df_variant_plan_is_broadcast_joins_no_shuffle(self, spark):
+        from hobbes_spark.functions.web import registrable_domain_df
+
+        df = spark.createDataFrame(
+            [("www.example.com",)], "host string")
+        plan = (registrable_domain_df(df, "host")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan
+        # no shuffle Exchange: broadcast exchanges are fine
+        import re as _re
+
+        assert not _re.search(r"Exchange (hash|range)partitioning", plan)
+        assert "BatchEvalPython" not in plan
+
     def test_generator_parses_upstream_syntax(self):
         """tools/gen_psl.py must digest the REAL upstream file's syntax
         unchanged: unicode rules punycode to A-labels, exceptions and

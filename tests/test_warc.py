@@ -228,6 +228,51 @@ class TestWarcRecordsDataFrame:
         assert out[0]["content_length"] == len(_http(png, b"image/png"))
         assert out[1]["content_length"] == len(b"%PDF-1.4\x00\xff")
 
+    def test_revisit_headers_and_edges(self, spark):
+        """WARC revisit linkage (r12): the walk surfaces
+        WARC-Record-ID / WARC-Refers-To[-Target-URI] / payload digest,
+        and revisit_edges turns them into dedup edges — resolved by
+        record-ID join, URI fallback for cross-segment refs, NULL for
+        digest-only revisits — without touching any text column."""
+        from hobbes_spark.functions.warc import revisit_edges
+
+        def rec(rtype, uri, block, extra):
+            h = [b"WARC/1.0", b"WARC-Type: " + rtype.encode(),
+                 b"WARC-Target-URI: " + uri.encode(),
+                 b"WARC-Date: 2026-02-01T10:00:00Z"]
+            for k, v in extra.items():
+                h.append(k.encode() + b": " + v.encode())
+            h.append(b"Content-Length: " + str(len(block)).encode())
+            return b"\r\n".join(h) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+        shard = b"".join([
+            rec("response", "http://a/1", _http(b"<p>x</p>"), {
+                "WARC-Record-ID": "<urn:uuid:one>",
+                "Content-Type": "application/http; msgtype=response"}),
+            rec("revisit", "http://m/1", b"", {
+                "WARC-Refers-To": "<urn:uuid:one>",
+                "WARC-Refers-To-Target-URI": "http://a/1",
+                "WARC-Payload-Digest": "sha1:AAA"}),
+            rec("revisit", "http://m/2", b"", {
+                "WARC-Refers-To": "<urn:uuid:absent>",
+                "WARC-Refers-To-Target-URI": "http://elsewhere/2"}),
+            rec("revisit", "http://m/3", b"", {
+                "WARC-Payload-Digest": "sha1:BBB"}),
+        ])
+        media = spark.createDataFrame(
+            [(7, bytearray(shard))], "media_id long, content binary")
+        recs = warc_records(media)
+        hdr = recs.filter(recs.warc_type == "response").first()
+        assert hdr["warc_record_id"] == "<urn:uuid:one>"
+        got = [r.asDict() for r in
+               revisit_edges(recs).orderBy("record_index").collect()]
+        assert [(g["dup_uri"], g["orig_uri"], g["resolved"]) for g in got] == [
+            ("http://m/1", "http://a/1", True),
+            ("http://m/2", "http://elsewhere/2", False),
+            ("http://m/3", None, False),
+        ]
+        assert got[2]["warc_payload_digest"] == "sha1:BBB"
+
     def test_plan_is_map_only(self, spark):
         media = spark.createDataFrame(
             [(1, bytearray(b"x"))], "media_id long, content binary")

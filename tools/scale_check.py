@@ -824,6 +824,22 @@ def main():
             "doc_id", *[v.alias(k) for k, v in cols.items()])
 
     def outlink_domains_shape(do):
+        # the PRODUCTION path since round 12: broadcast suffix-table
+        # joins (registrable_domain_df) — whole-stage codegen survives;
+        # the literal-CASE twin below records the A/B counterpart
+        from hobbes_spark.functions.web import (
+            outlinks, registrable_domain_df, url_host)
+
+        links = _wrap_html(do).select(
+            "doc_id", F.explode(outlinks(F.col("raw"))).alias("link"))
+        hosts = links.select(url_host(F.col("link")).alias("host"))
+        return (registrable_domain_df(hosts, "host")
+                .filter(F.col("domain").isNotNull())
+                .groupBy("domain").count())
+
+    def outlink_domains_case_shape(do):
+        # A/B twin: the literal-CASE Column variant (Janino 64 KB
+        # fallback path) on the identical workload
         from hobbes_spark.functions.web import (
             outlinks, registrable_domain, url_host)
 
@@ -873,6 +889,8 @@ def main():
         {
             "html_meta_extract": (html_meta_shape, do1, "documents"),
             "outlink_domain_mix": (outlink_domains_shape, do1, "documents"),
+            "outlink_domain_mix_case": (
+                outlink_domains_case_shape, do1, "documents"),
             "robots_decision": (robots_shape, do1, "documents"),
             "warc_record_parse": (warc_parse_shape, do1, "documents"),
         }

@@ -39,6 +39,12 @@ GATED = [
     "tpch_q21_grouped_exists",
     "minhash_candidate_stats",          # compute-only twin of minhash_dedup
     "dedup_components_star_linear",     # compute-only twin of the star shape
+    # round-12 promotion (r11 verdict item 8): the r11 crawl layer was
+    # 16x-swept only — the three hottest 100 TB crawl shapes are now
+    # regression-bounded like the older ones
+    "warc_record_parse",
+    "outlink_domain_mix",
+    "robots_decision",
 ]
 RECORD_ONLY = [
     "dedup_components_star",            # output-bound: ratio reported, not gated
