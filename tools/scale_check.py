@@ -850,6 +850,38 @@ def main():
                 .filter(F.col("domain").isNotNull())
                 .groupBy("domain").count())
 
+    def pdf_parse_shape(do):
+        # per-row minimal PDF (uncompressed content stream built from
+        # the text column) through the full object walk + BT/ET text
+        # extraction — the r12 document-modality CPU shape
+        from hobbes_spark.functions.pdf import pdf_features
+
+        payload = F.concat(
+            F.lit("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>"
+                  "\nendobj\n2 0 obj\n<< /Type /Pages /Kids [3 0 R] "
+                  "/Count 1 >>\nendobj\n3 0 obj\n<< /Type /Page /Parent "
+                  "2 0 R /Contents 4 0 R >>\nendobj\n4 0 obj\n<< /Length "),
+            (F.octet_length(F.col("text")) + 26).cast("string"),
+            F.lit(" >>\nstream\nBT 72 720 Td ("),
+            F.regexp_replace(F.col("text"), r"([\\()])", r"\\$1"),
+            F.lit(") Tj ET\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>"),
+        ).cast("binary")
+        media = do.select(F.col("doc_id").alias("media_id"),
+                          payload.alias("content"))
+        return pdf_features(media).select(
+            "media_id", "n_pages", "n_chars")
+
+    def byte_bpe_shape(do):
+        # byte-level BPE encode (GPT-2 pre-tokenizer + byte mapping +
+        # ranked merges) over the Arrow boundary — per-row sequential
+        # CPU, the token-budget shape of a trainer-facing pipeline
+        from hobbes_spark.functions.bpe import byte_bpe_encode
+
+        merges = [("Ã", "©"), ("t", "h"), ("th", "e"), ("Ġ", "the"),
+                  ("i", "n"), ("a", "n"), ("an", "d"), ("Ġ", "and")]
+        return byte_bpe_encode(do, "text", merges).select(
+            "doc_id", F.size("bpe_tokens").alias("n_tokens"))
+
     def robots_shape(do):
         from hobbes_spark.functions.web import robots_allowed
 
@@ -893,6 +925,8 @@ def main():
                 outlink_domains_case_shape, do1, "documents"),
             "robots_decision": (robots_shape, do1, "documents"),
             "warc_record_parse": (warc_parse_shape, do1, "documents"),
+            "pdf_text_parse": (pdf_parse_shape, do1, "documents"),
+            "byte_bpe_encode": (byte_bpe_shape, do1, "documents"),
         }
     )
 
