@@ -643,9 +643,65 @@ def extract_text_ops(stream: bytes) -> str:
     return "".join(out).rstrip("\n")
 
 
+def _page_content_streams(objs: dict) -> tuple[list[bytes], set[int]]:
+    """Decoded content streams in PAGE-TREE order (catalog → /Pages →
+    /Kids depth-first → per-page /Contents ref-or-array), plus the set
+    of object numbers consumed.  A page's /Contents ARRAY concatenates
+    with a space separator per ISO 32000 §7.8.2 — operators may
+    straddle the stream boundary, so pieces must be joined BEFORE
+    tokenizing, never tokenized separately.  Broken/absent trees
+    return ([], set()) and the caller falls back to document order."""
+    catalog = None
+    for entry in objs.values():
+        d = entry.get("dict")
+        if isinstance(d, dict) and d.get("Type") == "Catalog":
+            catalog = d
+    if catalog is None:
+        return [], set()
+    out: list[bytes] = []
+    used: set[int] = set()
+    seen: set[int] = set()
+
+    def walk(ref, depth: int = 0):
+        if not isinstance(ref, _Ref) or depth > 64 or ref[0] in seen:
+            return
+        seen.add(ref[0])
+        node = _resolve(objs, ref)
+        if not isinstance(node, dict):
+            return
+        if node.get("Type") == "Pages":
+            kids = node.get("Kids")
+            if isinstance(kids, list):
+                for kid in kids:
+                    walk(kid, depth + 1)
+        elif node.get("Type") == "Page":
+            contents = node.get("Contents")
+            refs = contents if isinstance(contents, list) else [contents]
+            pieces: list[bytes] = []
+            for r in refs:
+                if not isinstance(r, _Ref):
+                    continue
+                entry = objs.get(r[0])
+                if entry is None:
+                    continue
+                payload = _decoded_stream(objs, entry)
+                if payload is not None:
+                    pieces.append(payload)
+                    used.add(r[0])
+            if pieces:
+                out.append(b" ".join(pieces))
+
+    walk(catalog.get("Pages"))
+    return out, used
+
+
 def pdf_text(data: bytes) -> str | None:
-    """Whole-document best-effort text, pages/streams in document
-    order separated by newlines; ``None`` when ``data`` is not a PDF
+    """Whole-document best-effort text: pages in PAGE-TREE order when
+    the tree parses (objects stored out of document order — common
+    after incremental updates — still read page 1 first, and split
+    /Contents arrays concatenate before tokenizing), then any
+    UNREFERENCED text-bearing streams (Form XObjects, broken-tree
+    leftovers) in document order.  ``None`` when ``data`` is not a PDF
     (no ``%PDF-`` header in the first 1 KiB) or no text stream
     parses."""
     if pdf_version(data) is None:
@@ -654,7 +710,16 @@ def pdf_text(data: bytes) -> str | None:
     if not objs:
         return None
     pieces: list[str] = []
-    for entry in objs.values():
+    page_streams, used = _page_content_streams(objs)
+    for payload in page_streams:
+        if b"BT" not in payload:
+            continue
+        txt = extract_text_ops(payload).strip("\n")
+        if txt:
+            pieces.append(txt)
+    for num, entry in objs.items():
+        if num in used:
+            continue
         d = entry.get("dict")
         if isinstance(d, dict) and d.get("Type") in ("ObjStm", "XRef", "Metadata"):
             continue

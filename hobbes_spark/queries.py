@@ -11466,6 +11466,18 @@ def _pdf_fixture_df(spark):
     # truncated mid-document, BEFORE page 2's object, the /Info object
     # and the trailer: the walk keeps page 1's text, /Pages still says 2
     doc5 = doc1[: doc1.find(b"5 0 obj")]
+    # objects stored OUT of document order (incremental-update layout):
+    # page 2's content stream first on disk, but the page TREE orders
+    # extraction — page 1's text must still come first (r12 page-walk)
+    doc7 = (b"%PDF-1.4\n"
+            + _pdf_obj(6, b"<< /Length %d >>\nstream\n" % len(_PDF_CS2)
+                       + _PDF_CS2 + b"\nendstream")
+            + _pdf_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+            + _pdf_obj(5, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>")
+            + _pdf_obj(2, b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>")
+            + _pdf_obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+            + _pdf_obj(4, b"<< /Length %d >>\nstream\n" % len(_PDF_CS1)
+                       + _PDF_CS1 + b"\nendstream"))
     rows = [
         (1, bytearray(doc1)),
         (2, bytearray(doc2)),
@@ -11473,6 +11485,7 @@ def _pdf_fixture_df(spark):
         (4, bytearray(b"plain text, certainly not a pdf")),  # refusal
         (5, bytearray(doc5)),
         (6, bytearray(b"%PDF-1.6\nheader only, zero objects")),  # refusal
+        (7, bytearray(doc7)),
     ]
     return spark.createDataFrame(rows, "media_id long, content binary")
 
@@ -11493,7 +11506,11 @@ def _pdf_fixture_df(spark):
        CAST({len(_PDF_TXT1)} AS INTEGER), md5({_esql(_PDF_TXT1)})),
       (CAST(5 AS BIGINT), '1.4', CAST(2 AS INTEGER),
        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-       CAST({len(_PDF_TXT1)} AS INTEGER), md5({_esql(_PDF_TXT1)}))
+       CAST({len(_PDF_TXT1)} AS INTEGER), md5({_esql(_PDF_TXT1)})),
+      (CAST(7 AS BIGINT), '1.4', CAST(2 AS INTEGER),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST({len(_PDF_TXT1) + 1 + len(_PDF_TXT2)} AS INTEGER),
+       md5({_esql(_PDF_TXT1 + chr(10) + _PDF_TXT2)}))
     ) AS t(media_id, pdf_version, n_pages, title, producer, n_chars, fp)
     ORDER BY media_id
     """,
@@ -11508,8 +11525,10 @@ def pdf_text_stats(spark, sf_dir):
     literals.  A non-PDF payload and a headers-only shard are DROPPED
     (rows 4/6 absent — the warc_records refusal posture); the
     truncated document keeps its parseable head (row 5: page 1's text,
-    no /Info).  Map-only over Arrow batches, zero shuffle — the same
-    100 TB posture as the image/audio decoders."""
+    no /Info); row 7 stores its objects OUT of document order and the
+    page-tree walk still extracts page 1 first.  Map-only over Arrow
+    batches, zero shuffle — the same 100 TB posture as the image/audio
+    decoders."""
     from hobbes_spark.functions.pdf import pdf_features
 
     feats = pdf_features(_pdf_fixture_df(spark))

@@ -209,6 +209,42 @@ class TestDocumentWalk:
             b"\nstream\n" % (len(header), len(z)) + z + b"\nendstream"))
         assert pdf_page_count(doc) == 3
 
+    def test_out_of_order_objects_extract_in_page_order(self):
+        """Objects stored out of document order (incremental-update
+        layout): the page TREE decides extraction order, so page 1's
+        text still comes first."""
+        doc = (b"%PDF-1.4\n"
+               + _stream_obj(6, CS2)                      # page 2 content FIRST
+               + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+               + _obj(5, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>")
+               + _obj(2, b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>")
+               + _obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+               + _stream_obj(4, CS1))
+        assert pdf_text(doc) == ("Hello\nWorld\nSplit words\n"
+                                 "Page two: 50% (escaped) \\ Hi")
+
+    def test_split_contents_array_concatenates_before_tokenizing(self):
+        """A /Contents ARRAY split at a token boundary (the spec-valid
+        split, ISO 32000 §7.8.2): the string operand lands in stream
+        one, its Tj operator in stream two — extracting per-piece
+        yields nothing; pieces must join BEFORE tokenizing."""
+        doc = (b"%PDF-1.4\n"
+               + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+               + _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+               + _obj(3, b"<< /Type /Page /Parent 2 0 R "
+                         b"/Contents [4 0 R 5 0 R] >>")
+               + _stream_obj(4, b"BT (straddle)")
+               + _stream_obj(5, b"Tj ET"))
+        assert pdf_text(doc) == "straddle"
+
+    def test_unreferenced_text_streams_still_extract(self):
+        # a BT-bearing stream outside the page tree (Form XObject
+        # shape) appends after the page-ordered text
+        doc = (make_pdf([CS1])
+               + _stream_obj(40, b"BT (xobject text) Tj ET"))
+        got = pdf_text(doc)
+        assert got.startswith("Hello") and got.endswith("xobject text")
+
     def test_truncated_keeps_head(self):
         doc = make_pdf([CS1, CS2])
         cut = doc[: doc.find(b"Page two") - 40]  # into page 2's object
