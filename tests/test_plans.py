@@ -89,6 +89,13 @@ ARROW_MATMUL_QUERIES = {
     # sanctioned Arrow pandas_udfs (unicodedata), map-only, no shuffle
     "nfc_docs",
     "nfkc_fixture_exact",
+    # round 12: byte-level BPE encode (per-pretoken sequential ranked
+    # merges — the same sanction as bpe_encode_words) and the
+    # char-trigram language-ID kernel (broadcast-size profile dict in
+    # the closure; a literal CASE would trip the 64 KB codegen limit,
+    # a profile-table join would shuffle the corpus for a per-row map)
+    "byte_bpe_encode",
+    "lang_id_counts",
 }
 
 # The only sanctioned BroadcastNestedLoopJoins: a broadcast side that
