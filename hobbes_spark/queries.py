@@ -11400,6 +11400,93 @@ def warc_revisit_dedup(spark, sf_dir):
     return revisit_edges(recs).orderBy("record_index")
 
 
+# Office Open XML (round 12): docx/pptx/xlsx ZIP+XML containers.
+_DOCX_XML = (
+    '<?xml version="1.0"?><w:document><w:body>'
+    '<w:p><w:r><w:t>Hello docx</w:t></w:r>'
+    '<w:r><w:t xml:space="preserve"> world &amp; more</w:t></w:r></w:p>'
+    '<w:p><w:r><w:t>Second</w:t></w:r><w:tab/><w:r><w:t>col</w:t></w:r></w:p>'
+    "<w:p/></w:body></w:document>"
+)
+_DOCX_TEXT = "Hello docx world & more\nSecond\tcol"
+_PPTX_SLIDE = ('<p:sld><p:txBody><a:p><a:r><a:t>{}</a:t></a:r></a:p>'
+               "</p:txBody></p:sld>")
+_XLSX_SST = ('<sst><si><t>cell one</t></si>'
+             '<si><t xml:space="preserve">two &lt;3</t></si></sst>')
+_XLSX_TEXT = "cell one\ntwo <3"
+
+
+def _office_fixture_df(spark):
+    import io
+    import zipfile
+
+    def make_zip(members):
+        bio = io.BytesIO()
+        with zipfile.ZipFile(bio, "w", zipfile.ZIP_DEFLATED) as z:
+            for name, payload in members.items():
+                zi = zipfile.ZipInfo(name, date_time=(2026, 1, 1, 0, 0, 0))
+                z.writestr(zi, payload,
+                           compress_type=zipfile.ZIP_DEFLATED)
+        return bio.getvalue()
+
+    docx = make_zip({"[Content_Types].xml": "<Types/>",
+                     "word/document.xml": _DOCX_XML})
+    pptx = make_zip({
+        # slide10 vs slide2: order must be NUMERIC, not lexicographic
+        "ppt/slides/slide10.xml": _PPTX_SLIDE.format("ten"),
+        "ppt/slides/slide2.xml": _PPTX_SLIDE.format("two"),
+    })
+    xlsx = make_zip({"xl/sharedStrings.xml": _XLSX_SST,
+                     "xl/workbook.xml": "<wb/>"})
+    rows = [
+        (1, bytearray(docx)),
+        (2, bytearray(pptx)),
+        (3, bytearray(xlsx)),
+        # truncated mid-archive (central directory gone): the
+        # local-header fallback walk keeps the members that made it
+        (4, bytearray(docx[: docx.find(b"PK\x01\x02")])),
+        (5, bytearray(b"plain text, not a zip")),          # refusal
+        (6, bytearray(make_zip({"data.bin": "no prose"}))),  # refusal
+    ]
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+@q(
+    "office_text_stats",
+    f"""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'docx', CAST(2 AS INTEGER),
+       CAST({len(_DOCX_TEXT)} AS INTEGER), md5({_esql(_DOCX_TEXT)})),
+      (CAST(2 AS BIGINT), 'pptx', CAST(2 AS INTEGER),
+       CAST(8 AS INTEGER), md5({_esql("two" + chr(10) + chr(10) + "ten")})),
+      (CAST(3 AS BIGINT), 'xlsx', CAST(2 AS INTEGER),
+       CAST({len(_XLSX_TEXT)} AS INTEGER), md5({_esql(_XLSX_TEXT)})),
+      (CAST(4 AS BIGINT), 'docx', CAST(2 AS INTEGER),
+       CAST({len(_DOCX_TEXT)} AS INTEGER), md5({_esql(_DOCX_TEXT)}))
+    ) AS t(media_id, kind, n_members, n_chars, fp)
+    ORDER BY media_id
+    """,
+)
+def office_text_stats(spark, sf_dir):
+    """Office Open XML text extraction truth pin (round 12,
+    `functions/office.office_features`): a docx body with run
+    concatenation / tab expansion / entity decode, a pptx deck whose
+    slides order NUMERICALLY (slide2 before slide10), an xlsx
+    shared-strings table, and a TRUNCATED docx whose central directory
+    is gone — the sequential local-header fallback recovers both
+    members (rows 1 and 4 pin identical text).  Non-ZIP payloads and
+    prose-free archives are DROPPED (rows 5/6 absent).  All expected
+    texts are hand-computed literals; map-only over Arrow batches,
+    zero shuffle, per-member inflate capped."""
+    from hobbes_spark.functions.office import office_features
+
+    feats = office_features(_office_fixture_df(spark))
+    return feats.select(
+        "media_id", "kind", "n_members", "n_chars",
+        F.md5("text").alias("fp"),
+    ).orderBy("media_id")
+
+
 # --------------------------------------------------------------------- #
 # PDF text extraction (round 12 verdict item 3): the dominant non-HTML
 # document modality.  Fixture PDFs are hand-assembled byte-for-byte, so
@@ -11966,7 +12053,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # window), then the oldest r8 rows.  Queries ADDED in round 12 are
     # never-signed and are PREPENDED above this block as they land
     # (displacing the tail back to the r13 rotation).
-    "byte_bpe_encode", "pdf_text_stats", "warc_revisit_dedup",
+    "byte_bpe_encode", "office_text_stats", "pdf_text_stats",
+    "warc_revisit_dedup",
     "audio_id3_tags", "video_frame_pts", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
