@@ -1,0 +1,157 @@
+"""Unified document-extraction front-end: sniff the container type of
+an opaque binary column and route to the right decoder — the single
+entry point a 100 TB ingest actually wants, composing the per-format
+layers this package already has (``pdf.py``, ``office.py``,
+``web.HTML_RULES``, ``warc.sniff_charset``, ``multimodal.header_dims``)
+behind ONE Arrow ``mapInPandas`` boundary.
+
+Routing is magic-byte sniffing (never trust a filename/mime column at
+crawl scale):
+
+* ``%PDF-`` (first 1 KiB)      → ``pdf``   → :func:`pdf.pdf_text`
+* ``PK\\x03\\x04``             → ``docx``/``pptx``/``xlsx`` via the
+  prose part (:func:`office.office_text`); prose-free archives →
+  ``zip`` with NULL text
+* ``WARC/``                    → ``warc`` with NULL text — shards are
+  record CONTAINERS, they belong in the ``warc_records`` path, not a
+  per-document extractor
+* image/audio/video magics     → ``image``/``audio``/``video`` with
+  NULL text (metadata/features live in ``multimodal.py``)
+* markup (``<!doctype``/``<html``/leading ``<``) → ``html`` →
+  charset-ladder decode + the SAME ``HTML_RULES`` table the Column
+  extractor and the DuckDB oracle replay (:func:`html_to_text_py` is
+  the third engine of that one spec)
+* anything that decodes as text → ``text`` (charset ladder)
+* undecodable binary           → dropped (refusal = absent)
+
+Python's ``re`` accepts the RE2-compatible ``HTML_RULES`` patterns
+verbatim (each carries its flags at pattern START — the mid-pattern
+flag restriction that forced stripping in ``html_meta`` does not apply
+here), so the Python replay is rule-for-rule identical.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from hobbes_spark.functions.web import HTML_RULES
+
+_HTML_RULES_C = tuple((re.compile(p), r) for p, r in HTML_RULES)
+
+
+def html_to_text_py(s: str) -> str:
+    """Pure-Python replay of ``web.html_to_text`` — the same
+    ``HTML_RULES`` table, rule for rule (tested equal to the Column
+    variant; the DuckDB oracle replays the same table, so all THREE
+    engines pin one spec)."""
+    for pat, rep in _HTML_RULES_C:
+        s = pat.sub(rep, s)
+    return s
+
+
+_IMAGE_BRANDS = (b"avif", b"avis", b"heic", b"heix", b"mif1", b"msf1")
+_AUDIO_BRANDS = (b"M4A ", b"M4B ")
+
+
+def sniff_kind(data: bytes) -> str | None:
+    """Container kind by magic bytes; None when nothing matches (the
+    caller then tries a text decode)."""
+    if b"%PDF-" in data[:1024]:
+        return "pdf"
+    if data[:4] == b"PK\x03\x04":
+        return "zip"  # refined to docx/pptx/xlsx by office_text
+    if data[:5] == b"WARC/":
+        return "warc"
+    if (data[:8] == b"\x89PNG\r\n\x1a\n" or data[:3] == b"\xff\xd8\xff"
+            or data[:4] in (b"GIF8",) or data[:2] == b"BM"):
+        return "image"
+    if data[:4] == b"RIFF":
+        if data[8:12] == b"WEBP":
+            return "image"
+        if data[8:12] == b"WAVE":
+            return "audio"
+        return None
+    if data[:3] == b"ID3" or data[:2] in (b"\xff\xfb", b"\xff\xf3"):
+        return "audio"
+    if data[:4] == b"fLaC":
+        return "audio"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        brand = data[8:12]
+        if brand in _IMAGE_BRANDS:
+            return "image"
+        return "audio" if brand in _AUDIO_BRANDS else "video"
+    head = data[:256].lstrip(b" \t\r\n\x00")
+    low = head[:64].lower()
+    if (low.startswith(b"<!doctype") or b"<html" in data[:256].lower()
+            or low.startswith(b"<")):
+        return "html"
+    return None
+
+
+def extract_any(data: bytes) -> tuple[str | None, str | None]:
+    """``(kind, text)`` for one payload; ``(None, None)`` = refusal."""
+    from hobbes_spark.functions.office import office_text
+    from hobbes_spark.functions.pdf import pdf_objects, pdf_text, pdf_version
+    from hobbes_spark.functions.warc import decode_payload
+
+    kind = sniff_kind(data)
+    if kind == "pdf":
+        if pdf_version(data) is None or not pdf_objects(data):
+            return None, None  # headed but nothing parses
+        return "pdf", pdf_text(data)
+    if kind == "zip":
+        okind, text, _n = office_text(data)
+        return (okind, text) if okind is not None else ("zip", None)
+    if kind in ("warc", "image", "audio", "video"):
+        return kind, None
+    if kind == "html":
+        _, raw = decode_payload(data, None, default="utf-8")
+        return "html", html_to_text_py(raw)
+    # no magic matched: accept CLEAN text, refuse binary — a strict
+    # decode (not the replace-mode ladder) is the binary/text gate
+    try:
+        txt = bytes(data).decode("utf-8")
+    except UnicodeDecodeError:
+        return None, None
+    if "\x00" in txt:
+        return None, None
+    return "text", txt
+
+
+_EXTRACT_OUT = "media_id long, kind string, n_bytes long, n_chars int, text string"
+
+
+def extract_text_any(
+    media: DataFrame, *, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """The extraction front-end over Arrow batches: one row per payload
+    that routes (media_id, kind, n_bytes, n_chars, text); text is NULL
+    for non-document kinds (image/audio/video/warc/zip) and refusals
+    are ABSENT (undecodable binary, corrupt PDFs — the warc/pdf
+    posture).  Map-only, zero shuffle; each per-format decoder keeps
+    its own caps, so one adversarial payload cannot OOM an executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for mid, blob in zip(pdf_batch[id_col], pdf_batch[content_col]):
+                if blob is None:
+                    continue
+                data = bytes(blob)
+                kind, text = extract_any(data)
+                if kind is None:
+                    continue
+                rows.append((int(mid), kind, len(data),
+                             len(text) if text is not None else None, text))
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "n_bytes", "n_chars", "text"],
+            )
+            out["n_chars"] = pd.array(out["n_chars"], dtype="Int32")
+            yield out
+
+    return media.mapInPandas(run, schema=_EXTRACT_OUT)

@@ -11625,6 +11625,78 @@ def pdf_text_stats(spark, sf_dir):
     ).orderBy("media_id")
 
 
+
+# Unified extraction front-end (round 12): one fixture payload per
+# container kind through sniff -> route -> decode.  The HTML row's
+# expected text is NOT a literal: the oracle replays the shared
+# HTML_RULES table in DuckDB while the Spark side replays it in Python
+# (html_to_text_py) — a genuine three-engine pin of one rule table.
+_XANY_HTML = ('<html><head><title>Router</title><script>if(1<2){x("&")}'
+              "</script></head><body><p>First para &amp; entity.</p>"
+              "<p>Second para</p></body></html>")
+_XANY_TEXT = "plain utf-8 text payload\nwith two lines"
+
+
+def _extract_any_fixture_df(spark):
+    import io
+    import zipfile
+
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", zipfile.ZIP_DEFLATED) as z:
+        zi = zipfile.ZipInfo("word/document.xml",
+                             date_time=(2026, 1, 1, 0, 0, 0))
+        z.writestr(zi, _DOCX_XML, compress_type=zipfile.ZIP_DEFLATED)
+    docx = bio.getvalue()
+    rows = [
+        (1, bytearray(_pdf_assemble([_PDF_CS1]))),
+        (2, bytearray(docx)),
+        (3, bytearray(_XANY_HTML.encode())),
+        (4, bytearray(_XANY_TEXT.encode())),
+        (5, bytearray(b"\x89PNG\r\n\x1a\x0a0123456789abcdef")),  # image
+        (6, bytearray(b"\x00\x01\x02\xfe\xff binary junk")),     # refusal
+        (7, None),                                               # refusal
+    ]
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+@q(
+    "extract_any_stats",
+    f"""
+    WITH h AS (SELECT {_html_sql(_esql(_XANY_HTML))} AS txt)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS media_id, 'pdf' AS kind,
+             CAST({len(_PDF_TXT1)} AS INTEGER) AS n_chars,
+             md5({_esql(_PDF_TXT1)}) AS fp
+      UNION ALL SELECT CAST(2 AS BIGINT), 'docx',
+             CAST({len(_DOCX_TEXT)} AS INTEGER), md5({_esql(_DOCX_TEXT)})
+      UNION ALL SELECT CAST(3 AS BIGINT), 'html',
+             CAST(len(txt) AS INTEGER), md5(txt) FROM h
+      UNION ALL SELECT CAST(4 AS BIGINT), 'text',
+             CAST({len(_XANY_TEXT)} AS INTEGER), md5({_esql(_XANY_TEXT)})
+      UNION ALL SELECT CAST(5 AS BIGINT), 'image',
+             CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR)
+    ) ORDER BY media_id
+    """,
+)
+def extract_any_stats(spark, sf_dir):
+    """The unified extraction front-end (round 12,
+    `functions/extract.extract_text_any`): magic-byte sniff routes one
+    payload per container kind — PDF through the object walk, docx
+    through the ZIP walk, HTML through the shared HTML_RULES (the
+    DuckDB oracle replays the SAME rules on the same literal — Python,
+    JVM, and DuckDB pin one table), a plain-text decode, an image
+    (kind surfaced, text NULL), and two refusals (undecodable binary,
+    NULL payload) that stay absent.  One mapInPandas pass, map-only,
+    zero shuffle."""
+    from hobbes_spark.functions.extract import extract_text_any
+
+    feats = extract_text_any(_extract_any_fixture_df(spark))
+    return feats.select(
+        "media_id", "kind", "n_chars", F.md5("text").alias("fp"),
+    ).orderBy("media_id")
+
+
+
 @q(
     "stream_curation_stats",
     f"""
@@ -12053,8 +12125,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # window), then the oldest r8 rows.  Queries ADDED in round 12 are
     # never-signed and are PREPENDED above this block as they land
     # (displacing the tail back to the r13 rotation).
-    "byte_bpe_encode", "office_text_stats", "pdf_text_stats",
-    "warc_revisit_dedup",
+    "byte_bpe_encode", "extract_any_stats", "office_text_stats",
+    "pdf_text_stats", "warc_revisit_dedup",
     "audio_id3_tags", "video_frame_pts", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
