@@ -194,10 +194,61 @@ def docx_paragraphs(xml: str) -> list[str]:
     return out
 
 
+_OPF_ROOTFILE = re.compile(r'<rootfile[^>]*full-path\s*=\s*["\']([^"\']+)["\']')
+_OPF_ITEM = re.compile(
+    r'<item\s[^>]*/?>', re.S)
+_ATTR = {
+    "id": re.compile(r'\bid\s*=\s*["\']([^"\']+)["\']'),
+    "href": re.compile(r'\bhref\s*=\s*["\']([^"\']+)["\']'),
+}
+_OPF_ITEMREF = re.compile(r'<itemref\s[^>]*\bidref\s*=\s*["\']([^"\']+)["\']')
+
+
+def epub_text(entries: dict[str, bytes]) -> str | None:
+    """EPUB (OCF/OPF) reading-order text: container.xml → the OPF
+    package → manifest id→href → spine itemref order; each XHTML
+    member extracts through the SAME html_to_text rule table
+    (``extract.html_to_text_py``), chapters separated by blank lines.
+    A broken OPF falls back to every .xhtml/.html member in name
+    order — truncated books keep the chapters that made it."""
+    from hobbes_spark.functions.extract import html_to_text_py
+
+    container = entries.get("META-INF/container.xml")
+    docs: list[str] = []
+    if container is not None:
+        m = _OPF_ROOTFILE.search(container.decode("utf-8", "replace"))
+        if m:
+            opf_path = m.group(1)
+            opf = entries.get(opf_path)
+            if opf is not None:
+                xml = opf.decode("utf-8", "replace")
+                base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+                hrefs = {}
+                for im in _OPF_ITEM.finditer(xml):
+                    tag = im.group(0)
+                    mid = _ATTR["id"].search(tag)
+                    mhref = _ATTR["href"].search(tag)
+                    if mid and mhref:
+                        hrefs[mid.group(1)] = base + mhref.group(1)
+                for ref in _OPF_ITEMREF.finditer(xml):
+                    name = hrefs.get(ref.group(1))
+                    if name and name in entries:
+                        docs.append(name)
+    if not docs:  # fallback: name-ordered markup members
+        docs = sorted(n for n in entries
+                      if n.endswith((".xhtml", ".html", ".htm")))
+    chapters = []
+    for name in docs:
+        txt = html_to_text_py(entries[name].decode("utf-8", "replace"))
+        if txt:
+            chapters.append(txt)
+    return "\n\n".join(chapters) if chapters else None
+
+
 def office_text(data: bytes) -> tuple[str | None, str | None, int]:
     """``(kind, text, n_members)`` for one payload.  kind ∈
-    {docx, pptx, xlsx} by which prose part is present; (None, None, n)
-    when the payload is not a ZIP or carries none of them."""
+    {docx, pptx, xlsx, epub} by which prose part is present;
+    (None, None, n) when the payload is not a ZIP or carries none."""
     if data[:4] != _LOCAL_SIG:
         return None, None, 0
     entries = zip_entries(bytes(data))
@@ -226,6 +277,11 @@ def office_text(data: bytes) -> tuple[str | None, str | None, int]:
         xml = entries["xl/sharedStrings.xml"].decode("utf-8", "replace")
         vals = [_unescape(m.group(1)) for m in _SST_T.finditer(xml)]
         return "xlsx", "\n".join(vals).strip("\n"), len(entries)
+    if (entries.get("mimetype", b"").strip() == b"application/epub+zip"
+            or "META-INF/container.xml" in entries):
+        text = epub_text(entries)
+        if text is not None:
+            return "epub", text, len(entries)
     return None, None, len(entries)
 
 

@@ -11438,6 +11438,23 @@ def _office_fixture_df(spark):
     })
     xlsx = make_zip({"xl/sharedStrings.xml": _XLSX_SST,
                      "xl/workbook.xml": "<wb/>"})
+    epub = make_zip({
+        "mimetype": "application/epub+zip",
+        "META-INF/container.xml": (
+            '<?xml version="1.0"?><container><rootfiles>'
+            '<rootfile full-path="OEBPS/content.opf" '
+            'media-type="application/oebps-package+xml"/>'
+            "</rootfiles></container>"),
+        "OEBPS/content.opf": (
+            '<package><manifest>'
+            '<item id="c1" href="b.xhtml" media-type="application/xhtml+xml"/>'
+            '<item id="c2" href="a.xhtml" media-type="application/xhtml+xml"/>'
+            "</manifest><spine>"
+            '<itemref idref="c1"/><itemref idref="c2"/></spine></package>'),
+        # spine order (b before a) must beat name order
+        "OEBPS/a.xhtml": "<html><body><p>second chapter</p></body></html>",
+        "OEBPS/b.xhtml": "<html><body><p>first chapter</p></body></html>",
+    })
     rows = [
         (1, bytearray(docx)),
         (2, bytearray(pptx)),
@@ -11447,6 +11464,7 @@ def _office_fixture_df(spark):
         (4, bytearray(docx[: docx.find(b"PK\x01\x02")])),
         (5, bytearray(b"plain text, not a zip")),          # refusal
         (6, bytearray(make_zip({"data.bin": "no prose"}))),  # refusal
+        (7, bytearray(epub)),
     ]
     return spark.createDataFrame(rows, "media_id long, content binary")
 
@@ -11462,7 +11480,10 @@ def _office_fixture_df(spark):
       (CAST(3 AS BIGINT), 'xlsx', CAST(2 AS INTEGER),
        CAST({len(_XLSX_TEXT)} AS INTEGER), md5({_esql(_XLSX_TEXT)})),
       (CAST(4 AS BIGINT), 'docx', CAST(2 AS INTEGER),
-       CAST({len(_DOCX_TEXT)} AS INTEGER), md5({_esql(_DOCX_TEXT)}))
+       CAST({len(_DOCX_TEXT)} AS INTEGER), md5({_esql(_DOCX_TEXT)})),
+      (CAST(7 AS BIGINT), 'epub', CAST(5 AS INTEGER),
+       CAST(29 AS INTEGER),
+       md5({_esql("first chapter" + chr(10) + chr(10) + "second chapter")}))
     ) AS t(media_id, kind, n_members, n_chars, fp)
     ORDER BY media_id
     """,

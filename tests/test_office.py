@@ -91,6 +91,38 @@ class TestProseParts:
         z = make_zip({"data.bin": "no prose part"})
         assert office_text(z) == (None, None, 1)
 
+    def test_epub_spine_order(self):
+        """EPUB reading order comes from the OPF spine, not member
+        names: chapter b.xhtml is spine-FIRST despite sorting last."""
+        container = ('<?xml version="1.0"?><container><rootfiles>'
+                     '<rootfile full-path="OEBPS/content.opf" '
+                     'media-type="application/oebps-package+xml"/>'
+                     "</rootfiles></container>")
+        opf = ('<package><manifest>'
+               '<item id="c1" href="b.xhtml" media-type="application/xhtml+xml"/>'
+               '<item id="c2" href="a.xhtml" media-type="application/xhtml+xml"/>'
+               '</manifest><spine>'
+               '<itemref idref="c1"/><itemref idref="c2"/>'
+               "</spine></package>")
+        z = make_zip({
+            "mimetype": "application/epub+zip",
+            "META-INF/container.xml": container,
+            "OEBPS/content.opf": opf,
+            "OEBPS/a.xhtml": "<html><body><p>second chapter</p></body></html>",
+            "OEBPS/b.xhtml": "<html><body><p>first chapter</p></body></html>",
+        })
+        kind, text, n = office_text(z)
+        assert kind == "epub" and n == 5
+        assert text == "first chapter\n\nsecond chapter"
+
+    def test_epub_broken_opf_falls_back_to_name_order(self):
+        z = make_zip({
+            "META-INF/container.xml": "<container>broken, no rootfile",
+            "x/2.xhtml": "<p>two</p>",
+            "x/1.xhtml": "<p>one</p>",
+        })
+        assert office_text(z) == ("epub", "one\n\ntwo", 3)
+
 
 class TestOfficeFeaturesDataFrame:
     def test_rows_and_refusals(self, spark):
