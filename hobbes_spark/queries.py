@@ -11717,6 +11717,50 @@ def extract_any_stats(spark, sf_dir):
     ).orderBy("media_id")
 
 
+@q(
+    "stream_extract_ingest",
+    f"""
+    WITH h AS (SELECT {_html_sql(_esql(_XANY_HTML))} AS txt)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS media_id, 'pdf' AS kind,
+             CAST({len(_PDF_TXT1)} AS INTEGER) AS n_chars
+      UNION ALL SELECT CAST(2 AS BIGINT), 'docx',
+             CAST({len(_DOCX_TEXT)} AS INTEGER)
+      UNION ALL SELECT CAST(3 AS BIGINT), 'html',
+             CAST(len(txt) AS INTEGER) FROM h
+      UNION ALL SELECT CAST(4 AS BIGINT), 'text',
+             CAST({len(_XANY_TEXT)} AS INTEGER)
+      UNION ALL SELECT CAST(5 AS BIGINT), 'image', CAST(NULL AS INTEGER)
+    ) ORDER BY media_id
+    """,
+)
+def stream_extract_ingest(spark, sf_dir):
+    """STREAMING document intake (round 12): the unified extraction
+    router — an Arrow ``mapInPandas`` operator — runs UNCHANGED on a
+    landing-zone stream of opaque payload files, the same design
+    property ``stream_warc_ingest`` pins for the WARC walk.  The
+    seven fixture payloads land as TWO parquet files consumed at
+    ``maxFilesPerTrigger=1``, the routed APPEND stream replays through
+    the memory sink, and the result must equal the batch
+    ``extract_any_stats`` truth rows (refusal rows 6/7 stay absent in
+    BOTH regimes) — micro-batched intake and a batch backfill agree
+    payload-for-payload."""
+    import tempfile
+
+    from hobbes_spark.functions.extract import extract_text_any
+    from hobbes_spark.streaming import stream_parquet
+    from hobbes_spark.streaming.run import replay_to_df
+
+    land = tempfile.mkdtemp(prefix="extract_land_")
+    _extract_any_fixture_df(spark).repartition(2, "media_id").write.mode(
+        "overwrite").parquet(land)
+    stream = stream_parquet(spark, land, max_files_per_trigger=1)
+    routed = extract_text_any(stream)
+    out = replay_to_df(routed, spark, mode="append")
+    return out.select("media_id", "kind", "n_chars").orderBy("media_id")
+
+
+
 
 @q(
     "stream_curation_stats",
@@ -12147,7 +12191,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # never-signed and are PREPENDED above this block as they land
     # (displacing the tail back to the r13 rotation).
     "byte_bpe_encode", "extract_any_stats", "office_text_stats",
-    "pdf_text_stats", "warc_revisit_dedup",
+    "pdf_text_stats", "stream_extract_ingest", "warc_revisit_dedup",
     "audio_id3_tags", "video_frame_pts", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
