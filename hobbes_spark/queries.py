@@ -11400,6 +11400,76 @@ def warc_revisit_dedup(spark, sf_dir):
     return revisit_edges(recs).orderBy("record_index")
 
 
+def _archive_fixture_df(spark):
+    import gzip
+    import io
+    import tarfile
+
+    def make_tar(members):
+        bio = io.BytesIO()
+        with tarfile.open(fileobj=bio, mode="w",
+                          format=tarfile.USTAR_FORMAT) as t:
+            for name, payload in members.items():
+                ti = tarfile.TarInfo(name)
+                ti.size = len(payload)
+                ti.mtime = 0
+                t.addfile(ti, io.BytesIO(payload))
+        return bio.getvalue()
+
+    tar = make_tar({
+        "src/a.py": b"print('hi')\n",
+        "doc/readme.html": b"<html><body><p>Read me</p></body></html>",
+        "bin/blob.dat": b"\x00\x01\x02\xfe",
+    })
+    rows = [
+        (1, bytearray(gzip.compress(tar, mtime=0))),   # .tar.gz
+        (2, bytearray(tar)),                           # plain .tar
+        (3, bytearray(b"not an archive, dropped")),    # refusal
+        (4, None),                                     # refusal
+    ]
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+@q(
+    "archive_extract_stats",
+    """
+    WITH m AS (
+      SELECT * FROM (VALUES
+        (CAST(0 AS INTEGER), 'src/a.py', 'text',
+         CAST(12 AS INTEGER), md5(E'print(''hi'')\\n')),
+        (CAST(1 AS INTEGER), 'doc/readme.html', 'html',
+         CAST(7 AS INTEGER), md5('Read me')),
+        (CAST(2 AS INTEGER), 'bin/blob.dat', CAST(NULL AS VARCHAR),
+         CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR))
+      ) AS t(member_index, name, kind, n_chars, fp)
+    )
+    SELECT a.media_id, m.member_index, m.name, m.kind, m.n_chars, m.fp
+    FROM (SELECT CAST(1 AS BIGINT) AS media_id
+          UNION ALL SELECT CAST(2 AS BIGINT)) a
+    CROSS JOIN m
+    ORDER BY media_id, member_index
+    """,
+)
+def archive_extract_stats(spark, sf_dir):
+    """Tar/tgz corpus-bundle ingestion (round 12,
+    `functions/archive.archive_documents`): one .tar.gz and one plain
+    .tar of the SAME three members — a Python source file (routes
+    'text'), an HTML page (routes through the shared HTML_RULES to
+    'Read me'), and a binary blob that stays in the inventory with
+    kind NULL — explode into per-member document rows via the
+    extraction front-end; codec sniffing reuses the WARC
+    gzip/zstd/bzip2/xz ladder.  Non-archive payloads are DROPPED
+    (rows 3/4 absent).  Map-only over Arrow batches, zero shuffle;
+    member count and decompression capped."""
+    from hobbes_spark.functions.archive import archive_documents
+
+    feats = archive_documents(_archive_fixture_df(spark))
+    return feats.select(
+        "media_id", "member_index", "name", "kind", "n_chars",
+        F.md5("text").alias("fp"),
+    ).orderBy("media_id", "member_index")
+
+
 # Office Open XML (round 12): docx/pptx/xlsx ZIP+XML containers.
 _DOCX_XML = (
     '<?xml version="1.0"?><w:document><w:body>'
@@ -12190,8 +12260,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # window), then the oldest r8 rows.  Queries ADDED in round 12 are
     # never-signed and are PREPENDED above this block as they land
     # (displacing the tail back to the r13 rotation).
-    "byte_bpe_encode", "extract_any_stats", "office_text_stats",
-    "pdf_text_stats", "stream_extract_ingest", "warc_revisit_dedup",
+    "archive_extract_stats", "byte_bpe_encode", "extract_any_stats",
+    "office_text_stats", "pdf_text_stats", "stream_extract_ingest",
+    "warc_revisit_dedup",
     "audio_id3_tags", "video_frame_pts", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
