@@ -56,12 +56,107 @@ def html_to_text_py(s: str) -> str:
 _IMAGE_BRANDS = (b"avif", b"avis", b"heic", b"heix", b"mif1", b"msf1")
 _AUDIO_BRANDS = (b"M4A ", b"M4B ")
 
+#: RTF destination groups whose text is data, not prose (font tables,
+#: style sheets, embedded pictures, metadata) — their content drops
+_RTF_SKIP_DESTS = {
+    "fonttbl", "colortbl", "stylesheet", "info", "pict", "object",
+    "header", "footer", "headerl", "headerr", "footerl", "footerr",
+    "ftnsep", "ftnsepc", "xe", "tc", "field", "fldinst", "themedata",
+    "colorschememapping", "datastore", "latentstyles", "listtable",
+    "listoverridetable", "generator",
+}
+
+_RTF_CW = re.compile(rb"\\([a-zA-Z]+)(-?\d+)? ?|\\'([0-9a-fA-F]{2})|\\(.)")
+
+
+def rtf_to_text(data: bytes) -> str:
+    """RTF 1.x prose extraction (Word RTF spec — public): group-aware
+    scan dropping data destinations (:data:`_RTF_SKIP_DESTS` and
+    ``{\\*`` ignorable groups), expanding ``\\par``/``\\line`` to
+    newlines, ``\\tab`` to TAB, ``\\'hh`` cp1252-ish bytes and
+    ``\\uN`` unicode (with the ``\\ucN`` fallback-skip convention).
+    Never raises; unknown control words are ignored."""
+    out: list[str] = []
+    # stack entries: [skipping, uc_skip_count]
+    stack: list[list] = [[False, 1]]
+    pending_uc_skip = 0
+    i, n = 0, len(data)
+    while i < n:
+        ch = data[i : i + 1]
+        if ch == b"{":
+            stack.append(list(stack[-1]))
+            i += 1
+            # ignorable destination {\* ...}
+            if data[i : i + 2] == b"\\*":
+                stack[-1][0] = True
+                i += 2
+            continue
+        if ch == b"}":
+            if len(stack) > 1:
+                stack.pop()
+            i += 1
+            continue
+        if ch == b"\\":
+            m = _RTF_CW.match(data, i)
+            if not m:
+                i += 1
+                continue
+            i = m.end()
+            word, param, hexb, esc = m.groups()
+            skipping = stack[-1][0]
+            if hexb is not None:
+                if pending_uc_skip > 0:
+                    pending_uc_skip -= 1
+                elif not skipping:
+                    out.append(bytes([int(hexb, 16)]).decode("latin-1"))
+                continue
+            if esc is not None:
+                if esc in (b"{", b"}", b"\\") and not skipping:
+                    out.append(esc.decode("latin-1"))
+                elif esc == b"~" and not skipping:
+                    out.append("\u00a0")
+                continue
+            w = word.decode("ascii")
+            if w in _RTF_SKIP_DESTS:
+                stack[-1][0] = True
+            elif w == "uc" and param is not None:
+                stack[-1][1] = int(param)
+            elif w == "u" and param is not None:
+                if not skipping:
+                    cp = int(param)
+                    out.append(chr(cp + 65536 if cp < 0 else cp))
+                pending_uc_skip = stack[-1][1]
+            elif not skipping:
+                if w in ("par", "line", "sect", "page"):
+                    out.append("\n")
+                elif w == "tab":
+                    out.append("\t")
+                elif w == "cell":
+                    out.append("\t")
+                elif w == "row":
+                    out.append("\n")
+            continue
+        if ch in (b"\r", b"\n"):
+            i += 1
+            continue
+        if not stack[-1][0]:
+            if pending_uc_skip > 0:
+                pending_uc_skip -= 1
+            else:
+                out.append(ch.decode("latin-1"))
+        i += 1
+    text = "".join(out)
+    text = re.sub(r"[ \t]+\n", "\n", text)
+    return text.strip("\n ").rstrip()
+
 
 def sniff_kind(data: bytes) -> str | None:
     """Container kind by magic bytes; None when nothing matches (the
     caller then tries a text decode)."""
     if b"%PDF-" in data[:1024]:
         return "pdf"
+    if data[:5] == b"{\\rtf":
+        return "rtf"
     if data[:4] == b"PK\x03\x04":
         return "zip"  # refined to docx/pptx/xlsx by office_text
     if data[:5] == b"WARC/":
@@ -106,6 +201,8 @@ def extract_any(data: bytes) -> tuple[str | None, str | None]:
     if kind == "zip":
         okind, text, _n = office_text(data)
         return (okind, text) if okind is not None else ("zip", None)
+    if kind == "rtf":
+        return "rtf", rtf_to_text(bytes(data))
     if kind in ("warc", "image", "audio", "video"):
         return kind, None
     if kind == "html":

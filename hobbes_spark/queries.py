@@ -11726,6 +11726,9 @@ _XANY_HTML = ('<html><head><title>Router</title><script>if(1<2){x("&")}'
               "</script></head><body><p>First para &amp; entity.</p>"
               "<p>Second para</p></body></html>")
 _XANY_TEXT = "plain utf-8 text payload\nwith two lines"
+_XANY_RTF = (rb"{\rtf1\ansi{\fonttbl{\f0 F;}}{\info{\title Hidden}}"
+             rb"Router \'e9 test.\par Second line\par}")
+_XANY_RTF_TEXT = "Router é test.\nSecond line"
 
 
 def _extract_any_fixture_df(spark):
@@ -11746,6 +11749,7 @@ def _extract_any_fixture_df(spark):
         (5, bytearray(b"\x89PNG\r\n\x1a\x0a0123456789abcdef")),  # image
         (6, bytearray(b"\x00\x01\x02\xfe\xff binary junk")),     # refusal
         (7, None),                                               # refusal
+        (8, bytearray(_XANY_RTF)),
     ]
     return spark.createDataFrame(rows, "media_id long, content binary")
 
@@ -11766,6 +11770,9 @@ def _extract_any_fixture_df(spark):
              CAST({len(_XANY_TEXT)} AS INTEGER), md5({_esql(_XANY_TEXT)})
       UNION ALL SELECT CAST(5 AS BIGINT), 'image',
              CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR)
+      UNION ALL SELECT CAST(8 AS BIGINT), 'rtf',
+             CAST({len(_XANY_RTF_TEXT)} AS INTEGER),
+             md5({_esql(_XANY_RTF_TEXT)})
     ) ORDER BY media_id
     """,
 )
@@ -11801,6 +11808,8 @@ def extract_any_stats(spark, sf_dir):
       UNION ALL SELECT CAST(4 AS BIGINT), 'text',
              CAST({len(_XANY_TEXT)} AS INTEGER)
       UNION ALL SELECT CAST(5 AS BIGINT), 'image', CAST(NULL AS INTEGER)
+      UNION ALL SELECT CAST(8 AS BIGINT), 'rtf',
+             CAST({len(_XANY_RTF_TEXT)} AS INTEGER)
     ) ORDER BY media_id
     """,
 )

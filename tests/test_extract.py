@@ -123,3 +123,41 @@ class TestExtractAnyDataFrame:
         plan = extract_text_any(media)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestRtf:
+    def test_prose_extraction(self):
+        from hobbes_spark.functions.extract import extract_any, rtf_to_text
+
+        emdash = b"\\" + b"u8212"  # keep the source ASCII-only
+        rtf = (rb"{\rtf1\ansi\deff0{\fonttbl{\f0 Times New Roman;}}"
+               rb"{\info{\title Secret}}"
+               rb"{\*\generator Riched20}"
+               rb"\uc1 First paragraph with \'e9 accent and "
+               + emdash + rb"?dash.\par Second\tab column\line third\par}")
+        got = rtf_to_text(rtf)
+        assert got == ("First paragraph with é accent and "
+                       "—dash.\nSecond\tcolumn\nthird")
+        # data destinations drop: no font names, no \info title
+        assert "Times" not in got and "Secret" not in got
+        assert extract_any(rtf)[0] == "rtf"
+
+    def test_escapes_and_signed_unicode(self):
+        from hobbes_spark.functions.extract import rtf_to_text
+
+        assert rtf_to_text(rb"{\rtf1 braces \{x\} and back\\slash\par}") \
+            == "braces {x} and back\\slash"
+        # \uN is a SIGNED 16-bit value: -3841 -> U+F0FF; the \uc1
+        # fallback '?' after it is skipped
+        got = rtf_to_text(rb"{\rtf1\uc1 neg \u-3841" + b"?ok}")
+        assert got == "neg ok"
+
+    def test_never_raises_on_garbage(self):
+        from hobbes_spark.functions.extract import rtf_to_text
+
+        rtf = rb"{\rtf1{\fonttbl{\f0 F;}}body \'e9 \par text}"
+        for off in range(len(rtf)):
+            for m in (0x00, 0x7B, 0x7D, 0x5C, rtf[off] ^ 0x55):
+                rtf_to_text(rtf[:off] + bytes([m]) + rtf[off + 1:])
+        for cut in range(len(rtf)):
+            rtf_to_text(rtf[:cut])
