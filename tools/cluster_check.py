@@ -33,6 +33,14 @@ DEFAULT = [
     "dedup_components_star",
     "pagerank_centrality",
     "bpe_merges",
+    # round-12 document layer: Arrow mapInPandas kernels whose closures
+    # (profile dicts, merge tables, regex tables) must cross a real
+    # wire to executor-side Python workers
+    "pdf_text_stats",
+    "extract_any_stats",
+    "archive_extract_stats",
+    "byte_bpe_encode",
+    "lang_id_counts",
     # round-7 additions with multi-executor-sensitive machinery: the
     # sharded two-pass prefix scan (percentile boundaries broadcast,
     # offsets joined back), bucket-star edge generation, the state-store
