@@ -52,6 +52,8 @@ __all__ = [
     "parse_robots",
     "robots_allowed",
     "sitemap_entries",
+    "robots_sitemaps",
+    "ROBOTS_SITEMAP_RE",
     "robots_match",
     "robots_filter_df",
     "ACCESS_LOG_RE",
@@ -668,6 +670,25 @@ def robots_allowed(
 SITEMAP_URL_BLOCK_RE = r"(?is)<url>(.*?)</url>"
 SITEMAP_LOC_RE = r"(?is)<loc>\s*(.*?)\s*</loc>"
 SITEMAP_LASTMOD_RE = r"(?is)<lastmod>\s*(.*?)\s*</lastmod>"
+
+
+#: ``Sitemap:`` directive lines of a robots.txt payload — per RFC 9309
+#: §2.3 / sitemaps.org, these live OUTSIDE user-agent groups and apply
+#: globally; the value is an absolute URL.  Case-insensitive key,
+#: whitespace-trimmed value, shared verbatim with the DuckDB oracle.
+ROBOTS_SITEMAP_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)[ \t]*$"
+
+
+def robots_sitemaps(col: Column | str) -> Column:
+    """``array<string>`` of the Sitemap: URLs declared in a robots.txt
+    column — the standard crawl-frontier SEED (discover sitemaps from
+    robots, then :func:`sitemap_entries` explodes each into the fetch
+    queue).  Pure ``regexp_extract_all`` — map-only, JVM-side, zero
+    shuffle; NULL text gives an empty array (total function, the
+    ``tokens`` convention)."""
+    src = c(col)
+    got = F.regexp_extract_all(src, F.lit(ROBOTS_SITEMAP_RE), 1)
+    return F.coalesce(got, F.array().cast("array<string>"))
 
 
 def sitemap_entries(col: Column | str) -> Column:

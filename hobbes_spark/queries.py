@@ -10484,6 +10484,49 @@ def warc_charset_decode(spark, sf_dir):
 
 
 @q(
+    "robots_sitemap_discovery",
+    """
+    SELECT doc_id,
+           'https://h' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example/sitemap.xml' AS sitemap_url
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           'https://h' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example/news-sitemap.xml' AS sitemap_url
+    FROM documents
+    ORDER BY doc_id, sitemap_url
+    """,
+)
+def robots_sitemap_discovery(spark, sf_dir):
+    """Sitemap DISCOVERY from robots.txt (round 12, RFC 9309 §2.3 /
+    sitemaps.org: ``Sitemap:`` lines live outside user-agent groups
+    and seed the crawl frontier): per document a synthesized robots
+    payload carries one canonical line, one MiXeD-case indented line,
+    a rule section that must not interfere, and a lookalike inside a
+    comment that must NOT extract.  `web.robots_sitemaps` pulls the
+    URL array with one regexp_extract_all — map-only, zero shuffle —
+    and the oracle synthesizes the expected frontier directly.
+    Downstream each URL feeds `sitemap_entries` (the sibling row)."""
+    from hobbes_spark.functions.web import robots_sitemaps
+
+    docs = _t(spark, sf_dir, "documents").df
+    host = F.concat(F.lit("https://h"),
+                    (F.col("doc_id") % 7).cast("string"), F.lit(".example"))
+    raw = F.concat(
+        F.lit("User-agent: *\nDisallow: /private/\n"
+              "# Sitemap: https://comment.example/ignored.xml\n"
+              "Sitemap: "), host, F.lit("/sitemap.xml\n"
+              "Allow: /public/\n"
+              "  sItEmAp :  "), host, F.lit("/news-sitemap.xml  \n"),
+    )
+    return (
+        docs.select("doc_id", F.explode(robots_sitemaps(raw)).alias("sitemap_url"))
+        .orderBy("doc_id", "sitemap_url")
+    )
+
+
+@q(
     "sitemap_frontier",
     """
     SELECT doc_id,
@@ -12270,8 +12313,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # never-signed and are PREPENDED above this block as they land
     # (displacing the tail back to the r13 rotation).
     "archive_extract_stats", "byte_bpe_encode", "extract_any_stats",
-    "office_text_stats", "pdf_text_stats", "stream_extract_ingest",
-    "warc_revisit_dedup",
+    "office_text_stats", "pdf_text_stats", "robots_sitemap_discovery",
+    "stream_extract_ingest", "warc_revisit_dedup",
     "audio_id3_tags", "video_frame_pts", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",

@@ -3437,6 +3437,22 @@ class TestRobots:
         with pytest.raises(ValueError):
             robots_filter_df(urls.withColumn("__rf_host", urls.url), robots)
 
+    def test_robots_sitemaps_discovery(self, spark):
+        from hobbes_spark.functions.web import robots_sitemaps
+
+        txt = ("User-agent: *\nDisallow: /x\n"
+               "Sitemap: https://a.example/s.xml\n"
+               "  sitemap:https://a.example/t.xml  \n"
+               "# Sitemap: https://comment.example/no.xml\n"
+               "notasitemap: https://a.example/u.xml\n")
+        df = spark.createDataFrame([(1, txt), (2, None), (3, "no lines")],
+                                   "id long, t string")
+        got = {r["id"]: r["s"] for r in
+               df.select("id", robots_sitemaps("t").alias("s")).collect()}
+        assert got[1] == ["https://a.example/s.xml",
+                          "https://a.example/t.xml"]
+        assert got[2] == [] and got[3] == []
+
     def test_group_token_matching_is_one_directional(self):
         """RFC 9309 product-token matching: the GROUP token must be a
         substring of the agent — a group declared for a LONGER token
