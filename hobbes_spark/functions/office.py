@@ -79,6 +79,16 @@ def zip_entries(data: bytes) -> dict[str, bytes]:
             _cd_size, cd_off = struct.unpack("<II", data[base + 12 : base + 20])
         except struct.error:
             n_entries, cd_off = 0, -1
+        # self-extracting / prefixed archives: every stored offset is
+        # shifted by the prefix length — re-anchor on the actual
+        # central-directory signature and apply the same shift to the
+        # per-entry local-header offsets
+        shift = 0
+        if 0 <= cd_off and data[cd_off : cd_off + 4] != _CDIR_SIG:
+            hit = data.find(_CDIR_SIG)
+            if hit >= 0:
+                shift = hit - cd_off
+                cd_off = hit
         pos = cd_off
         for _ in range(min(n_entries, _MAX_MEMBERS)):
             if data[pos : pos + 4] != _CDIR_SIG or pos + 46 > len(data):
@@ -94,7 +104,7 @@ def zip_entries(data: bytes) -> dict[str, bytes]:
                 break
             name = data[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
             pos += 46 + nlen + elen + clen
-            got = _read_local(data, lho, method, csize)
+            got = _read_local(data, lho + shift, method, csize)
             if got is not None:
                 out[name] = got
         if out:
@@ -249,7 +259,9 @@ def office_text(data: bytes) -> tuple[str | None, str | None, int]:
     """``(kind, text, n_members)`` for one payload.  kind ∈
     {docx, pptx, xlsx, epub} by which prose part is present;
     (None, None, n) when the payload is not a ZIP or carries none."""
-    if data[:4] != _LOCAL_SIG:
+    # accept a bounded self-extracting prefix: the walk re-anchors on
+    # the real signatures (router sniffing stays strict offset-0)
+    if data[:4] != _LOCAL_SIG and _LOCAL_SIG not in bytes(data[:65536]):
         return None, None, 0
     entries = zip_entries(bytes(data))
     if not entries:

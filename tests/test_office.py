@@ -55,6 +55,16 @@ class TestZipWalk:
         got = zip_entries(cut)
         assert "word/document.xml" in got
 
+    def test_prefixed_archive_offsets_reanchor(self):
+        """A self-extracting-style prefix shifts every stored offset;
+        the walk re-anchors on the central-directory signature and
+        applies the shift to local headers."""
+        z = _docx()
+        prefixed = b"#!/bin/sh\necho self-extracting stub\n" + z
+        got = zip_entries(prefixed)
+        assert "word/document.xml" in got
+        assert office_text(prefixed)[0] == "docx"
+
     def test_never_raises_on_garbage(self):
         z = _docx()
         for off in range(0, len(z), 13):
