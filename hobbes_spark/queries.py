@@ -9864,6 +9864,86 @@ def _bpe_encode_sql(
     return "".join(sql)
 
 
+def _byte_bpe_sql(num_merges: int = 6, min_count: int = 2) -> str:
+    """Unrolled BYTE-level BPE learning (same CTE trio per merge as
+    _bpe_sql, two deliberate differences): symbols are the byte-unicode
+    units of the checkpointed pre-token table — no '</w>' append, the
+    leading-space unit Ġ carries the word boundary — and the (word,
+    freq) input is REPLAYED from the parquet dump the Spark side
+    staged (stage_parquet_once), the minhash_pairs_fast twin split:
+    the pre-tokenize/byte-map kernel itself is pinned by the
+    byte_bpe_encode literal row + round-trip property tests, and
+    everything downstream of the frequency table — pair counts,
+    (cnt DESC, lhs, rhs) argmax, greedy rewrite — is value-checked
+    end-to-end here."""
+    sql = [f"""
+    WITH top AS MATERIALIZED (
+      SELECT word, freq
+      FROM read_parquet('{_ORACLE_DUMP}/byte_bpe_wf/*.parquet')
+      WHERE NOT contains(word, chr(31))
+    ),
+    s0 AS MATERIALIZED (
+      SELECT freq,
+             list_transform(range(1, length(word)+1), i -> word[i:i]) AS syms
+      FROM top
+    )"""]
+    for k in range(num_merges):
+        sql.append(f""",
+    p{k} AS (
+      SELECT syms[i] AS lhs, syms[i+1] AS rhs, SUM(freq) AS cnt
+      FROM s{k}, UNNEST(range(1, len(syms))) AS t(i)
+      GROUP BY 1, 2 HAVING SUM(freq) >= {min_count}
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT lhs, rhs, cnt FROM p{k} ORDER BY cnt DESC, lhs, rhs LIMIT 1
+    )""")
+        if k + 1 < num_merges:
+            sql.append(f""",
+    s{k + 1} AS MATERIALIZED (
+      SELECT freq,
+        string_split(
+          list_reduce(syms, (acc, x) -> CASE
+            WHEN (acc = m{k}.lhs OR ends_with(acc, chr(31) || m{k}.lhs))
+                 AND x = m{k}.rhs
+              THEN acc[1:length(acc)-length(m{k}.lhs)] || m{k}.lhs || m{k}.rhs
+            ELSE acc || chr(31) || x END),
+          chr(31)) AS syms
+      FROM s{k} CROSS JOIN m{k}
+    )""")
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS rank, lhs, rhs, lhs || rhs AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(num_merges)
+    )
+    sql.append(f"\n    {rows}\n    ORDER BY rank")
+    return "".join(sql)
+
+
+@q("byte_bpe_merges", _byte_bpe_sql())
+def byte_bpe_merges(spark, sf_dir):
+    """BYTE-level BPE vocabulary learning driver-signed end-to-end
+    (round 12): one corpus pass of GPT-2 pre-tokens mapped to the
+    byte-unicode alphabet (byte_word_frequencies), pruned to 800
+    entries, checkpointed for the oracle, then all 6 merges learned
+    driver-local by the SAME _learn_merges loop the word-level trainer
+    uses — no END_TOKEN, Ġ carries the boundary.  The oracle replays
+    pair counting, the (cnt DESC, lhs, rhs) argmax and the greedy
+    left-to-right rewrite from the identical frequency bytes.  One
+    Spark job for frequencies + one bounded collect."""
+    from hobbes_spark.functions.bpe import byte_word_frequencies, learn_byte_bpe
+    from hobbes_spark.sources.sinks import stage_parquet_once
+
+    docs = _t(spark, sf_dir, "documents").df
+    wf = (
+        byte_word_frequencies(docs, "text")
+        .filter(~F.col("word").contains("\x1f"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(800)
+    )
+    wf = stage_parquet_once(wf, f"{_ORACLE_DUMP}/byte_bpe_wf", key=sf_dir)
+    return learn_byte_bpe(wf, num_merges=6)
+
+
 @q("bpe_merges", _bpe_sql())
 def bpe_merges(spark, sf_dir):
     """BPE vocabulary learning (Sennrich et al. 2016) — the tokenizer-
@@ -12312,7 +12392,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # window), then the oldest r8 rows.  Queries ADDED in round 12 are
     # never-signed and are PREPENDED above this block as they land
     # (displacing the tail back to the r13 rotation).
-    "archive_extract_stats", "byte_bpe_encode", "extract_any_stats",
+    "archive_extract_stats", "byte_bpe_encode", "byte_bpe_merges",
+    "extract_any_stats",
     "office_text_stats", "pdf_text_stats", "robots_sitemap_discovery",
     "stream_extract_ingest", "warc_revisit_dedup",
     "audio_id3_tags", "video_frame_pts", "duplicate_ngram_frac",
