@@ -9944,6 +9944,61 @@ def byte_bpe_merges(spark, sf_dir):
     return learn_byte_bpe(wf, num_merges=6)
 
 
+@q(
+    "byte_token_pack",
+    f"""
+    WITH c AS (
+      SELECT doc_id, source, n_tokens
+      FROM read_parquet('{_ORACLE_DUMP}/byte_token_counts/*.parquet')
+    ),
+    r AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS run
+      FROM c
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR((run - n_tokens) / 256.0) AS BIGINT) AS pack_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY source, FLOOR((run - n_tokens) / 256.0)
+             ORDER BY doc_id) AS INTEGER) AS pack_pos
+    FROM r ORDER BY source NULLS FIRST, doc_id
+    """,
+)
+def byte_token_pack(spark, sf_dir):
+    """Sequence packing by BYTE-level-BPE token budgets (round 12):
+    the token-budget number a real trainer sees — byte_bpe_encode
+    counts (case/whitespace-exact, round-trip-true) feed
+    curation.pack_documents' distributed two-pass prefix scan with a
+    256-token budget per source.  The (doc_id, source, n_tokens) table
+    checkpoints once (stage_parquet_once) and the oracle replays the
+    ENTIRE packing arithmetic — running totals, floor pack ids,
+    in-pack positions — from the identical bytes; the count kernel
+    itself is pinned by the byte_bpe_encode literal row.  Word-level
+    counts drift from trainer truth on case/punctuation-heavy text,
+    which is exactly why this row exists (r11 verdict item 2)."""
+    from hobbes_spark.functions.bpe import byte_bpe_encode
+    from hobbes_spark.functions.curation import pack_documents
+    from hobbes_spark.sources.sinks import stage_parquet_once
+
+    docs = _t(spark, sf_dir, "documents").df
+    enc = byte_bpe_encode(docs, "text", _BYTE_BPE_MERGES, out_col="toks")
+    counts = stage_parquet_once(
+        enc.select("doc_id", "source",
+                   F.size("toks").cast("bigint").alias("n_tokens")),
+        f"{_ORACLE_DUMP}/byte_token_counts",
+        key=sf_dir,
+    )
+    packed = pack_documents(
+        counts, budget=256, token_count_col="n_tokens",
+        by=("source",), order=("doc_id",),
+    )
+    return packed.select(
+        "doc_id", "source", "n_tokens", "pack_id",
+        F.col("pack_pos").cast("int").alias("pack_pos"),
+    ).orderBy(F.col("source").asc_nulls_first(), "doc_id")
+
+
 @q("bpe_merges", _bpe_sql())
 def bpe_merges(spark, sf_dir):
     """BPE vocabulary learning (Sennrich et al. 2016) — the tokenizer-
@@ -12393,7 +12448,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # never-signed and are PREPENDED above this block as they land
     # (displacing the tail back to the r13 rotation).
     "archive_extract_stats", "byte_bpe_encode", "byte_bpe_merges",
-    "extract_any_stats",
+    "byte_token_pack", "extract_any_stats",
     "office_text_stats", "pdf_text_stats", "robots_sitemap_discovery",
     "stream_extract_ingest", "warc_revisit_dedup",
     "audio_id3_tags", "video_frame_pts", "duplicate_ngram_frac",
