@@ -52,6 +52,7 @@ __all__ = [
     "parse_robots",
     "robots_allowed",
     "sitemap_entries",
+    "sitemap_index_entries",
     "robots_sitemaps",
     "ROBOTS_SITEMAP_RE",
     "robots_match",
@@ -701,6 +702,31 @@ def sitemap_entries(col: Column | str) -> Column:
     map-only, JVM-side, zero shuffle; a sitemap is capped at 50k URLs
     by the protocol, so the explode fan-out is bounded."""
     blocks = F.regexp_extract_all(c(col), F.lit(SITEMAP_URL_BLOCK_RE), 1)
+    return F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.nullif(F.regexp_extract(b, SITEMAP_LOC_RE, 1), F.lit(""))
+            .alias("loc"),
+            F.nullif(F.regexp_extract(b, SITEMAP_LASTMOD_RE, 1), F.lit(""))
+            .alias("lastmod"),
+        ),
+    )
+
+
+#: <sitemapindex> child blocks — a LARGE site's robots points at an
+#: index of sitemaps, not a sitemap (sitemaps.org caps one file at 50k
+#: URLs, so indexes are the norm at crawl scale)
+SITEMAP_INDEX_BLOCK_RE = r"(?is)<sitemap>(.*?)</sitemap>"
+
+
+def sitemap_index_entries(col: Column | str) -> Column:
+    """``array<struct<loc,lastmod>>`` from a sitemap INDEX file —
+    completing the two-level frontier: robots.txt → Sitemap: URLs
+    (:func:`robots_sitemaps`) → index files → child sitemaps (this) →
+    per-page entries (:func:`sitemap_entries`).  Same pure
+    higher-order Column shape; the protocol caps an index at 50k
+    child sitemaps, so the fan-out is bounded."""
+    blocks = F.regexp_extract_all(c(col), F.lit(SITEMAP_INDEX_BLOCK_RE), 1)
     return F.transform(
         blocks,
         lambda b: F.struct(

@@ -10619,6 +10619,54 @@ def warc_charset_decode(spark, sf_dir):
 
 
 @q(
+    "sitemap_index_frontier",
+    """
+    SELECT doc_id,
+           'https://s.example/maps/part' || CAST(doc_id % 4 AS VARCHAR)
+             || '.xml.gz' AS loc,
+           '2026-02-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS lastmod
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           'https://s.example/maps/news.xml' AS loc,
+           CAST(NULL AS VARCHAR) AS lastmod
+    FROM documents
+    ORDER BY doc_id, loc
+    """,
+)
+def sitemap_index_frontier(spark, sf_dir):
+    """Sitemap INDEX expansion (round 12): the two-level frontier's
+    middle hop — <sitemapindex> files list child sitemaps (the 50k-URL
+    protocol cap makes indexes the norm at crawl scale).  Per document
+    a synthesized index carries one child with whitespace-padded <loc>
+    + <lastmod> and one bare child; `web.sitemap_index_entries`
+    extracts and explodes them, the oracle synthesizes the expected
+    children directly.  Map-only + bounded explode, same shape as the
+    sibling sitemap_frontier."""
+    from hobbes_spark.functions.web import sitemap_index_entries
+
+    docs = _t(spark, sf_dir, "documents").df
+    raw = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<sitemap><loc>  https://s.example/maps/part"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(".xml.gz  </loc><lastmod>2026-02-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("</lastmod></sitemap><sitemap>"
+              "<loc>https://s.example/maps/news.xml</loc>"
+              "</sitemap></sitemapindex>"),
+    )
+    return (
+        docs.select("doc_id",
+                    F.explode(sitemap_index_entries(raw)).alias("e"))
+        .select("doc_id", F.col("e.loc").alias("loc"),
+                F.col("e.lastmod").alias("lastmod"))
+        .orderBy("doc_id", "loc")
+    )
+
+
+@q(
     "robots_sitemap_discovery",
     """
     SELECT doc_id,
@@ -12450,7 +12498,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "archive_extract_stats", "byte_bpe_encode", "byte_bpe_merges",
     "byte_token_pack", "extract_any_stats",
     "office_text_stats", "pdf_text_stats", "robots_sitemap_discovery",
-    "stream_extract_ingest", "warc_revisit_dedup",
+    "sitemap_index_frontier", "stream_extract_ingest",
+    "warc_revisit_dedup",
     "audio_id3_tags", "video_frame_pts", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
