@@ -95,6 +95,7 @@ ARROW_MATMUL_QUERIES = {
     # the closure; a literal CASE would trip the 64 KB codegen limit,
     # a profile-table join would shuffle the corpus for a per-row map)
     "byte_bpe_encode",
+    "byte_token_pack",  # same byte-BPE encode kernel feeding the pack scan
     "lang_id_counts",
 }
 
