@@ -12500,6 +12500,11 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "office_text_stats", "pdf_text_stats", "robots_sitemap_discovery",
     "sitemap_index_frontier", "stream_extract_ingest",
     "warc_revisit_dedup",
+    # NOTE (r13 rotation): lang_id_counts, outlink_domains and
+    # minhash_pairs_fast changed AFTER the r11 record this round; the
+    # change-aware rank will surface them when the r12 record lands
+    # (the tool freezes mid-round diffs into the NEXT cohort by
+    # design).  All three are locally gate-checked green at HEAD.
     "audio_id3_tags", "video_frame_pts", "duplicate_ngram_frac",
     "embedding_neardup_exact", "embedding_neardup_lsh",
     "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
