@@ -281,6 +281,120 @@ def exif_orientation(b: bytes) -> int | None:
     return None
 
 
+#: JPEG application/comment segments that carry METADATA, not pixels:
+#: APP1 (EXIF/XMP — GPS coordinates, device serials, timestamps),
+#: APP2 (ICC is kept — see strip_jpeg_metadata), APP13 (IPTC/Photoshop
+#: captions), COM (free text).  Privacy-relevant for training corpora.
+_JPEG_META_MARKERS = frozenset({0xE1, 0xED, 0xFE})
+
+
+def strip_jpeg_metadata(b: bytes) -> bytes | None:
+    """Re-emit a JPEG byte stream with its metadata segments removed —
+    the privacy scrub a training-image corpus runs before anything
+    else: APP1 (EXIF incl. GPS position and device serial numbers,
+    XMP), APP13 (IPTC captions) and COM segments drop; APP0 (JFIF),
+    APP2 (ICC color profile — needed to render colors correctly),
+    tables and all entropy-coded pixel data pass through BYTE-EXACT.
+    Pure segment walk, no re-encode, no pixel loss.  ``None`` when the
+    payload is not a JPEG or its segment structure is broken BEFORE
+    the scan start (refusal, never silent passthrough of unscrubbed
+    bytes)."""
+    import struct
+
+    if b[:2] != b"\xff\xd8":
+        return None
+    out = bytearray(b"\xff\xd8")
+    i = 2
+    try:
+        while i + 2 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                out += b[i : i + 2]
+                i += 2
+                continue
+            if marker == 0xDA:
+                # start of scan: everything from here is entropy data +
+                # EOI — metadata cannot follow; copy verbatim
+                out += b[i:]
+                return bytes(out)
+            if marker == 0xD9:  # EOI before any scan
+                out += b[i : i + 2]
+                return bytes(out)
+            if i + 4 > len(b):
+                return None
+            (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if seglen < 2 or i + 2 + seglen > len(b):
+                return None
+            if marker not in _JPEG_META_MARKERS:
+                out += b[i : i + 2 + seglen]
+            i += 2 + seglen
+    except (struct.error, IndexError):
+        return None
+    return None  # ran off the end without SOS/EOI: broken structure
+
+
+def strip_image_metadata(media: DataFrame) -> DataFrame:
+    """Privacy scrub over an image binary column: JPEG payloads re-emit
+    without EXIF/IPTC/COM segments (``strip_jpeg_metadata``); PNG
+    payloads drop ancillary text/time chunks (tEXt/zTXt/iTXt/tIME/eXIf
+    — critical chunks and pixels byte-exact); other payloads pass
+    through UNCHANGED with ``scrubbed=false`` (explicitly visible, so
+    a corpus audit can count what was NOT covered rather than assume).
+    Map-only over Arrow batches, zero shuffle."""
+
+    def scrub_png(b: bytes) -> bytes | None:
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        drop = {b"tEXt", b"zTXt", b"iTXt", b"tIME", b"eXIf"}
+        out = bytearray(b[:8])
+        i = 8
+        while i + 8 <= len(b):
+            (ln,) = __import__("struct").unpack(">I", b[i : i + 4])
+            ctype = b[i + 4 : i + 8]
+            end = i + 12 + ln
+            if end > len(b):
+                return None
+            if ctype not in drop:
+                out += b[i:end]
+            if ctype == b"IEND":
+                return bytes(out)
+            i = end
+        return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, scrubbed = [], []
+            for blob in pdf["content"]:
+                if blob is None:
+                    contents.append(None)
+                    scrubbed.append(None)
+                    continue
+                raw = bytes(blob)
+                got = strip_jpeg_metadata(raw)
+                if got is None:
+                    got = scrub_png(raw)
+                if got is None:
+                    contents.append(raw)
+                    scrubbed.append(False)
+                else:
+                    contents.append(got)
+                    scrubbed.append(True)
+            out = pdf.copy()
+            out["content"] = contents
+            out["scrubbed"] = pd.array(scrubbed, dtype="boolean")
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in media.schema.fields
+    ) + ", scrubbed boolean"
+    return media.mapInPandas(run, schema=schema)
+
+
 def _luma(r: int, g: int, b: int) -> int:
     # ITU-R 601 integer luma (PIL's convert("L") coefficients)
     return (299 * r + 587 * g + 114 * b) // 1000

@@ -10666,6 +10666,91 @@ def sitemap_index_frontier(spark, sf_dir):
     )
 
 
+# Image-metadata scrub (round 12): input and EXPECTED bytes are both
+# assembled segment-by-segment here — the oracle never calls the
+# stripper, it compares against the independent reconstruction.
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    import struct as _s
+
+    return bytes([0xFF, marker]) + _s.pack(">H", len(payload) + 2) + payload
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import struct as _s
+    import zlib as _z
+
+    return (_s.pack(">I", len(payload)) + ctype + payload
+            + _s.pack(">I", _z.crc32(ctype + payload) & 0xFFFFFFFF))
+
+
+def _scrub_fixtures():
+    import struct as _s
+
+    exif = (b"Exif\x00\x00" + b"II" + _s.pack("<H", 42) + _s.pack("<I", 8)
+            + _s.pack("<H", 1)
+            + _s.pack("<HHI", 0x0112, 3, 1) + _s.pack("<H", 6) + b"\x00\x00"
+            + _s.pack("<I", 0))
+    keep_j = [(0xE0, b"JFIF\x00\x01\x02"), (0xDB, b"\x00" + bytes(64))]
+    tail_j = _jpeg_seg(0xDA, b"\x01\x00\x00") + b"\x12\x34\x56" + b"\xff\xd9"
+    jpeg_in = (b"\xff\xd8" + _jpeg_seg(*keep_j[0]) + _jpeg_seg(0xE1, exif)
+               + _jpeg_seg(0xFE, b"gps and serials live here")
+               + _jpeg_seg(*keep_j[1]) + tail_j)
+    jpeg_want = b"\xff\xd8" + _jpeg_seg(*keep_j[0]) + _jpeg_seg(*keep_j[1]) + tail_j
+
+    png_sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+    idat = _png_chunk(b"IDAT", b"\x08\x1d\x01\x02\x00\xfd\xff\x00\x00"
+                               b"\x00\x02\x00\x01")
+    iend = _png_chunk(b"IEND", b"")
+    png_in = (png_sig + ihdr
+              + _png_chunk(b"tEXt", b"Author\x00a real name")
+              + _png_chunk(b"tIME", bytes(7)) + idat + iend)
+    png_want = png_sig + ihdr + idat + iend
+
+    gif = b"GIF89a" + bytes(20)  # no scrubber: passes through verbatim
+    return (jpeg_in, jpeg_want, png_in, png_want, gif)
+
+
+def _scrub_fixture_df(spark):
+    jpeg_in, _jw, png_in, _pw, gif = _scrub_fixtures()
+    rows = [(1, bytearray(jpeg_in)), (2, bytearray(png_in)),
+            (3, bytearray(gif)), (4, None)]
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+def _scrub_sql() -> str:
+    jpeg_in, jpeg_want, png_in, png_want, gif = _scrub_fixtures()
+    return f"""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), TRUE, '{jpeg_want.hex()}'),
+      (CAST(2 AS BIGINT), TRUE, '{png_want.hex()}'),
+      (CAST(3 AS BIGINT), FALSE, '{gif.hex()}'),
+      (CAST(4 AS BIGINT), CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR))
+    ) AS t(media_id, scrubbed, payload_hex)
+    ORDER BY media_id
+    """
+
+
+@q("image_metadata_scrub", _scrub_sql())
+def image_metadata_scrub(spark, sf_dir):
+    """Image privacy scrub (round 12,
+    `multimodal.strip_image_metadata`): JPEG APP1/APP13/COM segments
+    (EXIF GPS positions, device serials, IPTC captions, comments) and
+    PNG ancillary text/time chunks drop; JFIF/ICC/tables/pixels pass
+    BYTE-EXACT — the oracle compares against an independent
+    segment-by-segment reconstruction of the expected bytes, never a
+    replay of the stripper.  Non-scrubbable kinds (GIF row) pass
+    through verbatim with scrubbed=false so an audit can COUNT the
+    uncovered rather than assume; NULL payloads stay NULL.  Map-only
+    over Arrow batches, zero shuffle, no re-encode (no pixel loss)."""
+    from hobbes_spark.functions.multimodal import strip_image_metadata
+
+    out = strip_image_metadata(_scrub_fixture_df(spark))
+    return out.select(
+        "media_id", "scrubbed", F.lower(F.hex("content")).alias("payload_hex"),
+    ).orderBy("media_id")
+
+
 @q(
     "robots_sitemap_discovery",
     """
@@ -12496,7 +12581,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # never-signed and are PREPENDED above this block as they land
     # (displacing the tail back to the r13 rotation).
     "archive_extract_stats", "byte_bpe_encode", "byte_bpe_merges",
-    "byte_token_pack", "extract_any_stats",
+    "byte_token_pack", "extract_any_stats", "image_metadata_scrub",
     "office_text_stats", "pdf_text_stats", "robots_sitemap_discovery",
     "sitemap_index_frontier", "stream_extract_ingest",
     "warc_revisit_dedup",

@@ -848,6 +848,66 @@ def test_header_dims_webp_all_three_layouts():
     assert header_dims(b"RIFF\x00\x00\x00\x00WAVE" + bytes(20)) is None
 
 
+def test_strip_jpeg_metadata_byte_exact(spark):
+    """The privacy scrub (r12): metadata segments drop, everything
+    else — JFIF, ICC APP2, tables, restart markers, entropy data —
+    passes through byte-exact; the expected output is reconstructed
+    INDEPENDENTLY segment-by-segment."""
+    import struct
+
+    from hobbes_spark.functions.multimodal import (
+        exif_orientation,
+        strip_image_metadata,
+        strip_jpeg_metadata,
+    )
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + struct.pack(">H", len(p) + 2) + p
+
+    exif = (b"Exif\x00\x00II" + struct.pack("<HI H HHI H 2s I",
+            42, 8, 1, 0x0112, 3, 1, 6, b"\x00\x00", 0))
+    keep = (seg(0xE0, b"JFIF\x00") + seg(0xE2, b"ICC_PROFILE\x00rest")
+            + seg(0xDB, b"\x00" + bytes(64)))
+    tail = seg(0xDA, b"\x01\x00\x00") + b"\x12\xff\xd0\x34" + b"\xff\xd9"
+    src = (b"\xff\xd8" + seg(0xE1, exif) + keep
+           + seg(0xED, b"Photoshop 3.0\x00caption") + seg(0xFE, b"note")
+           + tail)
+    want = b"\xff\xd8" + keep + tail
+    got = strip_jpeg_metadata(src)
+    assert got == want
+    assert exif_orientation(src) == 6 and exif_orientation(got) is None
+    # refusals: non-JPEG and broken pre-scan structure
+    assert strip_jpeg_metadata(b"plain") is None
+    assert strip_jpeg_metadata(src[:7]) is None
+    for off in range(2, len(src) - len(tail)):
+        out = strip_jpeg_metadata(src[:off])  # truncations never raise
+        assert out is None or out[:2] == b"\xff\xd8"
+    # DataFrame surface: JPEG scrubbed, PNG text chunks dropped,
+    # unknown kinds pass through visibly unscrubbed, NULLs stay NULL
+    import zlib
+
+    def chunk(t, p):
+        return (struct.pack(">I", len(p)) + t + p
+                + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF))
+
+    png_core = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)))
+    png = (png_core + chunk(b"tEXt", b"Author\x00name")
+           + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
+    png_want = png_core + chunk(b"IDAT", b"x") + chunk(b"IEND", b"")
+    media = spark.createDataFrame(
+        [(1, bytearray(src)), (2, bytearray(png)),
+         (3, bytearray(b"GIF89a" + bytes(8))), (4, None)],
+        "media_id long, content binary")
+    out = {r["media_id"]: r.asDict()
+           for r in strip_image_metadata(media).collect()}
+    assert bytes(out[1]["content"]) == want and out[1]["scrubbed"] is True
+    assert bytes(out[2]["content"]) == png_want and out[2]["scrubbed"] is True
+    assert out[3]["scrubbed"] is False
+    assert bytes(out[3]["content"]) == b"GIF89a" + bytes(8)
+    assert out[4]["content"] is None and out[4]["scrubbed"] is None
+
+
 def test_exif_orientation_both_byte_orders():
     """EXIF orientation (round 10): APP1/TIFF IFD0 walk in both byte
     orders; missing segment/tag, bad magic, out-of-range values and
