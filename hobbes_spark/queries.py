@@ -10752,6 +10752,55 @@ def image_metadata_scrub(spark, sf_dir):
 
 
 @q(
+    "frontier_schedule",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://h' || CAST(doc_id % 3 AS VARCHAR)
+               || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+             'h' || CAST(doc_id % 3 AS VARCHAR) || '.example' AS host
+      FROM documents
+    ),
+    d(host, delay) AS (VALUES ('h0.example', 2.0), ('h1.example', 0.5)),
+    j AS (
+      SELECT u.doc_id, u.url, u.host,
+             CAST(coalesce(d.delay, 1.0) AS DOUBLE) AS hd
+      FROM u LEFT JOIN d ON d.host = u.host
+    )
+    SELECT doc_id, hd AS host_delay_s,
+           CAST((ROW_NUMBER() OVER (PARTITION BY host
+                                    ORDER BY md5(url), url) - 1) AS DOUBLE)
+             * hd AS fetch_offset_s
+    FROM j ORDER BY doc_id
+    """,
+)
+def frontier_schedule(spark, sf_dir):
+    """Politeness scheduling (round 12, `web.schedule_frontier`): per
+    host, URLs order deterministically by md5 and space out at the
+    host's Crawl-delay (h0 2 s, h1 0.5 s, h2 the 1 s default — the
+    delays table is what `robots_crawl_delay` yields per robots
+    payload).  One equi-join + one per-host window; offsets are exact
+    binary doubles (delay × integer rank), so the oracle replays the
+    arithmetic bit-for-bit.  Host skew equals per-host frontier size —
+    the quantity the delay itself serializes at any scale."""
+    from hobbes_spark.functions.web import schedule_frontier
+
+    docs = _t(spark, sf_dir, "documents").df
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 3).cast("string"),
+                 F.lit(".example/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+    )
+    delays = spark.createDataFrame(
+        [("h0.example", 2.0), ("h1.example", 0.5)],
+        "host string, crawl_delay double")
+    out = schedule_frontier(urls, delays)
+    return out.select(
+        "doc_id", "host_delay_s", "fetch_offset_s").orderBy("doc_id")
+
+
+@q(
     "robots_sitemap_discovery",
     """
     SELECT doc_id,
@@ -12581,7 +12630,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # never-signed and are PREPENDED above this block as they land
     # (displacing the tail back to the r13 rotation).
     "archive_extract_stats", "byte_bpe_encode", "byte_bpe_merges",
-    "byte_token_pack", "extract_any_stats", "image_metadata_scrub",
+    "byte_token_pack", "extract_any_stats", "frontier_schedule",
+    "image_metadata_scrub",
     "office_text_stats", "pdf_text_stats", "robots_sitemap_discovery",
     "sitemap_index_frontier", "stream_extract_ingest",
     "warc_revisit_dedup",

@@ -3497,6 +3497,48 @@ class TestRobots:
         with pytest.raises(ValueError):
             robots_filter_df(urls.withColumn("__rf_host", urls.url), robots)
 
+    def test_crawl_delay_group_selection(self):
+        from hobbes_spark.functions.web import robots_crawl_delay
+
+        txt = ("User-agent: corpusbot\nCrawl-delay: 3.5\nDisallow: /x\n\n"
+               "User-agent: *\nCrawl-delay: 1\n")
+        assert robots_crawl_delay(txt, "corpusbot/2.0") == 3.5
+        assert robots_crawl_delay(txt, "otherbot") == 1.0
+        # specific group WITHOUT a delay falls back to '*'
+        txt2 = ("User-agent: corpusbot\nDisallow: /x\n\n"
+                "User-agent: *\nCrawl-delay: 2\n")
+        assert robots_crawl_delay(txt2, "corpusbot") == 2.0
+        assert robots_crawl_delay("User-agent: *\nDisallow: /\n") is None
+        assert robots_crawl_delay("", "bot") is None
+        assert robots_crawl_delay(
+            "User-agent: *\nCrawl-delay: nonsense\n") is None
+        assert robots_crawl_delay(
+            "User-agent: *\nCrawl-delay: -5\n") is None
+
+    def test_schedule_frontier_spacing(self, spark):
+        from hobbes_spark.functions.web import schedule_frontier
+
+        urls = spark.createDataFrame(
+            [(i, f"https://h{i % 2}.example/p{i}") for i in range(6)],
+            "id long, url string")
+        delays = spark.createDataFrame(
+            [("h0.example", 2.0)], "host string, crawl_delay double")
+        got = schedule_frontier(urls, delays).collect()
+        by_host = {}
+        for r in got:
+            host = r["url"].split("/")[2]
+            by_host.setdefault(host, []).append(
+                (r["fetch_offset_s"], r["host_delay_s"]))
+        for host, rows in by_host.items():
+            rows.sort()
+            d = 2.0 if host == "h0.example" else 1.0  # default fills h1
+            assert [o for o, _ in rows] == [k * d for k in range(len(rows))]
+            assert all(hd == d for _, hd in rows)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            schedule_frontier(urls.withColumn("__sf_host", urls.url), delays)
+
     def test_robots_sitemaps_discovery(self, spark):
         from hobbes_spark.functions.web import robots_sitemaps
 
