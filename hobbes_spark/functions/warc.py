@@ -213,9 +213,11 @@ def warc_records(
                     if ctype.replace(" ", "").startswith("application/http"):
                         status, hh, body = split_http_response(rec["block"])
                         http_ct = hh.get("content-type")
+                        location = hh.get("location")
                         texty = _texty_content_type(http_ct)
                     else:
                         status, http_ct, body = None, None, rec["block"]
+                        location = None
                         texty = _texty_content_type(ctype)
                     if texty:
                         _, text = decode_payload(body, http_ct, default=encoding)
@@ -232,6 +234,7 @@ def warc_records(
                         h.get("warc-refers-to"),
                         h.get("warc-refers-to-target-uri"),
                         h.get("warc-payload-digest"),
+                        location,
                     ))
             pdf_out = pd.DataFrame(
                 rows,
@@ -239,7 +242,8 @@ def warc_records(
                          "warc_type", "target_uri", "warc_date",
                          "content_length", "http_status", "http_content_type",
                          "body", "warc_record_id", "warc_refers_to",
-                         "warc_refers_to_target_uri", "warc_payload_digest"],
+                         "warc_refers_to_target_uri", "warc_payload_digest",
+                         "http_location"],
             )
             # typed NULLs across Arrow for the nullable int column
             pdf_out["http_status"] = pd.array(
@@ -254,7 +258,43 @@ def warc_records(
                 "http_content_type string, body string, "
                 "warc_record_id string, warc_refers_to string, "
                 "warc_refers_to_target_uri string, "
-                "warc_payload_digest string"),
+                "warc_payload_digest string, http_location string"),
+    )
+
+
+def redirect_edges(records: DataFrame) -> DataFrame:
+    """URL alias edges from 3xx responses: a crawl's redirect graph —
+    (from_uri → to_uri, status, permanent) — feeds canonical-URL
+    collapse exactly like ``rel=canonical`` and revisit linkage do.
+    Relative ``Location`` values resolve against the request URI's
+    scheme+host (absolute-path form; the common case), protocol-
+    relative ``//host/path`` against its scheme.  Input is
+    :func:`warc_records` output; one map-only projection + filter,
+    zero shuffle."""
+    from hobbes_spark.functions.web import url_host
+
+    rec = records.filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(300, 399)
+        & F.col("http_location").isNotNull()
+        & F.col("target_uri").isNotNull()
+    )
+    loc = F.trim(F.col("http_location"))
+    scheme = F.regexp_extract(F.col("target_uri"), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    origin = F.concat(scheme, F.lit("://"), url_host(F.col("target_uri")))
+    resolved = (
+        F.when(loc.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), loc)
+        .when(loc.startswith("//"), F.concat(scheme, F.lit(":"), loc))
+        .when(loc.startswith("/"), F.concat(origin, loc))
+        .otherwise(F.concat(origin, F.lit("/"), loc))
+    )
+    return rec.select(
+        "media_id",
+        "record_index",
+        F.col("target_uri").alias("from_uri"),
+        resolved.alias("to_uri"),
+        F.col("http_status").alias("status"),
+        F.col("http_status").isin(301, 308).alias("permanent"),
     )
 
 

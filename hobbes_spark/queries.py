@@ -11938,6 +11938,59 @@ def office_text_stats(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def _redirect_fixture_df(spark):
+    """One plain shard of four responses: 301 absolute Location, 302
+    path-relative, 307 protocol-relative, and a 200 that must NOT
+    produce an edge."""
+    def http(status, reason, extra=b""):
+        return (b"HTTP/1.1 " + status + b" " + reason + b"\r\n"
+                + extra + b"Content-Type: text/html\r\n\r\n<p>x</p>")
+
+    shard = b"".join([
+        _warc_rec("response", "http://old.example/a", http(
+            b"301", b"Moved", b"Location: https://new.example/a\r\n"),
+            {"Content-Type": "application/http; msgtype=response"}),
+        _warc_rec("response", "https://site.example/b", http(
+            b"302", b"Found", b"Location: /b-new\r\n"),
+            {"Content-Type": "application/http; msgtype=response"}),
+        _warc_rec("response", "https://site.example/c", http(
+            b"307", b"Temporary", b"Location: //cdn.example/c\r\n"),
+            {"Content-Type": "application/http; msgtype=response"}),
+        _warc_rec("response", "https://site.example/ok", http(b"200", b"OK"),
+            {"Content-Type": "application/http; msgtype=response"}),
+    ])
+    return spark.createDataFrame(
+        [(1, bytearray(shard))], "media_id long, content binary")
+
+
+@q(
+    "redirect_edge_graph",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(0 AS INTEGER), 'http://old.example/a',
+       'https://new.example/a', CAST(301 AS INTEGER), TRUE),
+      (CAST(1 AS BIGINT), CAST(1 AS INTEGER), 'https://site.example/b',
+       'https://site.example/b-new', CAST(302 AS INTEGER), FALSE),
+      (CAST(1 AS BIGINT), CAST(2 AS INTEGER), 'https://site.example/c',
+       'https://cdn.example/c', CAST(307 AS INTEGER), FALSE)
+    ) AS t(media_id, record_index, from_uri, to_uri, status, permanent)
+    ORDER BY record_index
+    """,
+)
+def redirect_edge_graph(spark, sf_dir):
+    """Redirect alias edges (round 12, `warc.redirect_edges`): the
+    crawl's 3xx graph — absolute, path-relative (resolved against the
+    request origin) and protocol-relative Location values all pinned,
+    permanence by status (301/308), and the 200 row produces NO edge.
+    Feeds canonical-URL collapse alongside rel=canonical and revisit
+    linkage.  Map-only projection over the record walk, zero
+    shuffle."""
+    from hobbes_spark.functions.warc import redirect_edges, warc_records
+
+    recs = warc_records(_redirect_fixture_df(spark))
+    return redirect_edges(recs).orderBy("record_index")
+
+
 # --------------------------------------------------------------------- #
 # PDF text extraction (round 12 verdict item 3): the dominant non-HTML
 # document modality.  Fixture PDFs are hand-assembled byte-for-byte, so
@@ -12632,9 +12685,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "archive_extract_stats", "byte_bpe_encode", "byte_bpe_merges",
     "byte_token_pack", "extract_any_stats", "frontier_schedule",
     "image_metadata_scrub",
-    "office_text_stats", "pdf_text_stats", "robots_sitemap_discovery",
-    "sitemap_index_frontier", "stream_extract_ingest",
-    "warc_revisit_dedup",
+    "office_text_stats", "pdf_text_stats", "redirect_edge_graph",
+    "robots_sitemap_discovery", "sitemap_index_frontier",
+    "stream_extract_ingest", "warc_revisit_dedup",
     # NOTE (r13 rotation): lang_id_counts, outlink_domains and
     # minhash_pairs_fast changed AFTER the r11 record this round; the
     # change-aware rank will surface them when the r12 record lands
