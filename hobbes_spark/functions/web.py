@@ -59,6 +59,8 @@ __all__ = [
     "robots_filter_df",
     "robots_crawl_delay",
     "schedule_frontier",
+    "meta_robots",
+    "outlinks_follow",
     "ACCESS_LOG_RE",
     "parse_access_log",
 ]
@@ -712,6 +714,54 @@ def sitemap_entries(col: Column | str) -> Column:
             F.nullif(F.regexp_extract(b, SITEMAP_LASTMOD_RE, 1), F.lit(""))
             .alias("lastmod"),
         ),
+    )
+
+
+#: <meta name="robots" content="..."> — both attribute orders, same
+#: two-alternation convention as HTML_META_RULES
+META_ROBOTS_RE = (
+    r"""(?is)<meta\s[^>]*name\s*=\s*["']robots["'][^>]*"""
+    r"""content\s*=\s*["']([^"']*)["']|"""
+    r"""(?is)<meta\s[^>]*content\s*=\s*["']([^"']*)["'][^>]*"""
+    r"""name\s*=\s*["']robots["']"""
+)
+
+#: anchor TAGS (full tag text, group 1) — the nofollow filter needs the
+#: whole tag to inspect rel=..., then re-extracts href per surviving tag
+ANCHOR_TAG_RE = r"(?is)(<a\s[^>]*href\s*=\s*[\"'][^\"'#][^\"']*[\"'][^>]*>)"
+_HREF_IN_TAG_RE = r"""(?is)href\s*=\s*["']([^"']*)["']"""
+_REL_NOFOLLOW_RE = r"""(?is)rel\s*=\s*["'][^"']*\bnofollow\b[^"']*["']"""
+
+
+def meta_robots(col: Column | str) -> dict[str, Column]:
+    """Page-level indexing policy from ``<meta name="robots">``:
+    ``{"noindex": bool, "nofollow": bool}`` — False when the tag is
+    absent (the HTML default is index,follow).  A noindex page must
+    not enter the corpus index; a nofollow page's links must not seed
+    the frontier.  Pure Column regex, both attribute orders."""
+    raw = c(col)
+    content = F.lower(F.coalesce(
+        F.nullif(F.regexp_extract(raw, META_ROBOTS_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(raw, META_ROBOTS_RE, 2), F.lit("")),
+        F.lit(""),
+    ))
+    return {
+        "noindex": content.rlike(r"\b(noindex|none)\b"),
+        "nofollow": content.rlike(r"\b(nofollow|none)\b"),
+    }
+
+
+def outlinks_follow(col: Column | str) -> Column:
+    """Anchor hrefs EXCLUDING ``rel=nofollow`` links (and pages are
+    expected to be pre-filtered on :func:`meta_robots`'s page-level
+    nofollow) — the frontier-seeding variant of :func:`outlinks`,
+    which keeps every link for graph analytics.  Full anchor tags
+    extract, nofollow tags filter out, hrefs re-extract — pure
+    higher-order Column ops, map-only, zero shuffle."""
+    tags = F.regexp_extract_all(c(col), F.lit(ANCHOR_TAG_RE), 1)
+    followed = F.filter(tags, lambda t: ~t.rlike(_REL_NOFOLLOW_RE))
+    return F.transform(
+        followed, lambda t: F.regexp_extract(t, _HREF_IN_TAG_RE, 1)
     )
 
 

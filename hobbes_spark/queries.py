@@ -10801,6 +10801,61 @@ def frontier_schedule(spark, sf_dir):
 
 
 @q(
+    "page_index_policy",
+    """
+    SELECT doc_id,
+           (doc_id % 3 = 0) AS noindex,
+           (doc_id % 4 = 0) AS nofollow,
+           CAST(2 AS INTEGER) AS n_links_all,
+           CAST(1 AS INTEGER) AS n_links_follow
+    FROM documents ORDER BY doc_id
+    """,
+)
+def page_index_policy(spark, sf_dir):
+    """Page indexing policy + nofollow-aware frontier links (round 12,
+    `web.meta_robots` / `web.outlinks_follow`): per document a
+    synthesized page carries a <meta name=robots> whose content varies
+    (noindex on doc_id%3, nofollow on doc_id%4 — REVERSED attribute
+    order on odd ids so both alternation branches sign) and two
+    anchors, one rel=nofollow.  The graph variant (`outlinks`) sees
+    both links; the frontier variant sees one — the split every real
+    crawler honors.  Pure Column regex + higher-order filters, zero
+    shuffle; the oracle synthesizes the expected policy directly."""
+    from hobbes_spark.functions.web import meta_robots, outlinks, outlinks_follow
+
+    docs = _t(spark, sf_dir, "documents").df
+    content = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("noindex"))
+        .otherwise(F.lit("index")),
+        F.lit(","),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("nofollow"))
+        .otherwise(F.lit("follow")),
+    )
+    meta = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<meta name="robots" content="'), content,
+                 F.lit('">')),
+    ).otherwise(
+        F.concat(F.lit('<meta content="'), content,
+                 F.lit('" name="robots">')),
+    )
+    raw = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body>"
+              '<a href="https://a.example/x">one</a>'
+              '<a rel="ugc nofollow" href="https://b.example/y">two</a>'
+              "</body></html>"),
+    )
+    mr = meta_robots(raw)
+    return docs.select(
+        "doc_id",
+        mr["noindex"].alias("noindex"),
+        mr["nofollow"].alias("nofollow"),
+        F.size(outlinks(raw)).cast("int").alias("n_links_all"),
+        F.size(outlinks_follow(raw)).cast("int").alias("n_links_follow"),
+    ).orderBy("doc_id")
+
+
+@q(
     "robots_sitemap_discovery",
     """
     SELECT doc_id,
@@ -12685,7 +12740,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "archive_extract_stats", "byte_bpe_encode", "byte_bpe_merges",
     "byte_token_pack", "extract_any_stats", "frontier_schedule",
     "image_metadata_scrub",
-    "office_text_stats", "pdf_text_stats", "redirect_edge_graph",
+    "office_text_stats", "page_index_policy", "pdf_text_stats",
+    "redirect_edge_graph",
     "robots_sitemap_discovery", "sitemap_index_frontier",
     "stream_extract_ingest", "warc_revisit_dedup",
     # NOTE (r13 rotation): lang_id_counts, outlink_domains and

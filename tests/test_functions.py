@@ -3497,6 +3497,40 @@ class TestRobots:
         with pytest.raises(ValueError):
             robots_filter_df(urls.withColumn("__rf_host", urls.url), robots)
 
+    def test_meta_robots_and_nofollow_outlinks(self, spark):
+        from hobbes_spark.functions.web import (
+            meta_robots,
+            outlinks,
+            outlinks_follow,
+        )
+
+        html = ('<html><head><meta name="robots" content="NOINDEX, nofollow">'
+                "</head><body>"
+                '<a href="https://a.example/1">k</a>'
+                '<a rel="nofollow" href="https://b.example/2">n</a>'
+                '<a rel="ugc nofollow sponsored" href="https://c.example/3">n</a>'
+                '<a rel="author" href="https://d.example/4">k</a>'
+                '<a href="#frag">skip</a></body></html>')
+        plain = "<html><body><a href='https://e.example/5'>x</a></body></html>"
+        none_page = ('<head><meta content="none" name="robots"></head>'
+                     '<a href="https://f.example/6">x</a>')
+        df = spark.createDataFrame(
+            [(1, html), (2, plain), (3, none_page)], "id long, raw string")
+        mr = meta_robots("raw")
+        got = {r["id"]: r.asDict() for r in df.select(
+            "id", mr["noindex"].alias("ni"), mr["nofollow"].alias("nf"),
+            outlinks("raw").alias("all"),
+            outlinks_follow("raw").alias("follow")).collect()}
+        assert (got[1]["ni"], got[1]["nf"]) == (True, True)  # case-folded
+        assert got[1]["all"] == ["https://a.example/1", "https://b.example/2",
+                                 "https://c.example/3", "https://d.example/4"]
+        assert got[1]["follow"] == ["https://a.example/1",
+                                    "https://d.example/4"]
+        assert (got[2]["ni"], got[2]["nf"]) == (False, False)  # absent = open
+        assert got[2]["follow"] == ["https://e.example/5"]
+        # 'none' = noindex,nofollow; reversed attribute order
+        assert (got[3]["ni"], got[3]["nf"]) == (True, True)
+
     def test_crawl_delay_group_selection(self):
         from hobbes_spark.functions.web import robots_crawl_delay
 
