@@ -12046,6 +12046,76 @@ def redirect_edge_graph(spark, sf_dir):
     return redirect_edges(recs).orderBy("record_index")
 
 
+_ALIAS_EDGES = [
+    # redirect graph (pinned by redirect_edge_graph)
+    ("http://old.example/a", "https://new.example/a"),
+    ("https://site.example/b", "https://site.example/b-new"),
+    ("https://site.example/c", "https://cdn.example/c"),
+    # revisit linkage (pinned by warc_revisit_dedup)
+    ("http://mirror.example/page", "http://a.example/page"),
+    ("http://b.example/copy", "http://original.example/src"),
+    # rel=canonical (pinned by html_meta_docs): tracking-param variant
+    ("https://site.example/b-new?utm_source=x", "https://site.example/b-new"),
+]
+
+
+def _alias_sql() -> str:
+    rows = ", ".join(f"({_esql(a)}, {_esql(b)})" for a, b in _ALIAS_EDGES)
+    return f"""
+    WITH RECURSIVE raw(a, b) AS (VALUES {rows}),
+    edges AS (
+      SELECT a AS s, b AS d FROM raw UNION SELECT b, a FROM raw
+    ),
+    nodes AS (SELECT DISTINCT s AS url FROM edges),
+    reach(url, m) AS (
+      SELECT url, url FROM nodes
+      UNION
+      SELECT r.url, e.d FROM reach r JOIN edges e ON e.s = r.m
+    )
+    SELECT url, MIN(m) AS canonical_url
+    FROM reach GROUP BY url ORDER BY url
+    """
+
+
+@q("url_alias_components", _alias_sql())
+def url_alias_components(spark, sf_dir):
+    """Canonical-URL collapse (round 12 capstone composition): the
+    three alias mechanisms a crawl yields — 3xx redirects
+    (`warc.redirect_edges`), crawler revisit linkage
+    (`warc.revisit_edges`) and rel=canonical declarations
+    (`web.html_meta`) — union into one undirected edge list; connected
+    components (hash-to-min over DENSE-RANK node ids, so the
+    representative is the lexicographically smallest URL and the
+    label-sum convergence stays integer) assign every URL its
+    canonical representative.  The oracle computes full reachability
+    independently via a recursive CTE over the same edges; the edge
+    EXTRACTION paths are each pinned by their own driver rows.
+    Per-round cost: one equi-join + one agg over edges — the dedup
+    components machinery reused verbatim on the URL graph.  The
+    global-window dense_rank is fixture-shaped; at corpus scale assign
+    node ids with xxhash64(url) (collision-checked) or a sharded rank
+    (functions/prefix.py) instead of one-partition ordering."""
+    from hobbes_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(_ALIAS_EDGES, "a string, b string")
+    nodes = (edges.select(F.col("a").alias("url"))
+             .unionByName(edges.select(F.col("b").alias("url")))
+             .distinct())
+    w = Window.orderBy("url")
+    ids = nodes.withColumn("nid", F.dense_rank().over(w).cast("bigint"))
+    e = (edges
+         .join(ids.withColumnRenamed("url", "a")
+                   .withColumnRenamed("nid", "id_a"), "a")
+         .join(ids.withColumnRenamed("url", "b")
+                   .withColumnRenamed("nid", "id_b"), "b"))
+    comp = connected_components(e.select("id_a", "id_b"))
+    rep = (comp.join(ids, F.col("comp") == F.col("nid"))
+           .select(F.col("id").alias("nid2"),
+                   F.col("url").alias("canonical_url")))
+    return (ids.join(rep, F.col("nid") == F.col("nid2"))
+            .select("url", "canonical_url").orderBy("url"))
+
+
 # --------------------------------------------------------------------- #
 # PDF text extraction (round 12 verdict item 3): the dominant non-HTML
 # document modality.  Fixture PDFs are hand-assembled byte-for-byte, so
@@ -12743,7 +12813,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "office_text_stats", "page_index_policy", "pdf_text_stats",
     "redirect_edge_graph",
     "robots_sitemap_discovery", "sitemap_index_frontier",
-    "stream_extract_ingest", "warc_revisit_dedup",
+    "stream_extract_ingest", "url_alias_components",
+    "warc_revisit_dedup",
     # NOTE (r13 rotation): lang_id_counts, outlink_domains and
     # minhash_pairs_fast changed AFTER the r11 record this round; the
     # change-aware rank will surface them when the r12 record lands
