@@ -143,6 +143,34 @@ _TEXTY_EXACT = {
 }
 
 
+def _inflate_http_body(body: bytes, coding: str) -> bytes | None:
+    """Undo an HTTP ``Content-Encoding``: gzip (tolerant of truncated
+    tails), zlib-wrapped AND raw deflate (both spellings exist in the
+    wild), x-gzip alias.  ``None`` for unsupported codings (br,
+    zstd-without-dictionary, compress) — the caller NULLs the body
+    instead of surfacing binary noise as text."""
+    import zlib as _z
+
+    last = coding.split(",")[-1].strip()  # outermost coding applied last
+    if last in ("gzip", "x-gzip"):
+        d = _z.decompressobj(31)
+        try:
+            return d.decompress(body, _DECOMPRESS_CAP)
+        except _z.error:
+            return None
+    if last == "deflate":
+        for wbits in (15, -15):  # zlib-wrapped first, then raw
+            d = _z.decompressobj(wbits)
+            try:
+                out = d.decompress(body, _DECOMPRESS_CAP)
+            except _z.error:
+                continue
+            if out:
+                return out
+        return None
+    return None
+
+
 def _texty_content_type(ct) -> bool:
     """True when a Content-Type names a text-like payload worth
     decoding to a string.  A MISSING content type reads True (legacy
@@ -215,6 +243,19 @@ def warc_records(
                         http_ct = hh.get("content-type")
                         location = hh.get("location")
                         texty = _texty_content_type(http_ct)
+                        # HTTP Content-Encoding: served-compressed
+                        # bodies (gzip/deflate are common on real
+                        # crawls) inflate BEFORE charset decode —
+                        # without this the text column is binary noise.
+                        # Unsupported codings (br/zstd without stored
+                        # context) NULL the body rather than mojibake.
+                        cenc = (hh.get("content-encoding") or "").strip().lower()
+                        if texty and cenc and cenc != "identity":
+                            inflated = _inflate_http_body(body, cenc)
+                            if inflated is None:
+                                texty = False
+                            else:
+                                body = inflated
                     else:
                         status, http_ct, body = None, None, rec["block"]
                         location = None

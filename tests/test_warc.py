@@ -228,6 +228,48 @@ class TestWarcRecordsDataFrame:
         assert out[0]["content_length"] == len(_http(png, b"image/png"))
         assert out[1]["content_length"] == len(b"%PDF-1.4\x00\xff")
 
+    def test_content_encoding_inflates_before_decode(self, spark):
+        """Served-compressed bodies (Content-Encoding: gzip/deflate)
+        inflate before the charset ladder; unsupported codings (br)
+        NULL the body instead of decoding binary noise."""
+        import zlib
+
+        html = "<p>café body</p>".encode("utf-8")
+
+        def http(extra, payload):
+            return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                    b"charset=utf-8\r\n" + extra + b"\r\n" + payload)
+
+        shard = b"".join([
+            _rec("response", "http://a/gz",
+                 http(b"Content-Encoding: gzip\r\n",
+                      gzip.compress(html, mtime=0)),
+                 "application/http; msgtype=response"),
+            _rec("response", "http://a/fl",
+                 http(b"Content-Encoding: deflate\r\n",
+                      zlib.compress(html)),
+                 "application/http; msgtype=response"),
+            _rec("response", "http://a/raw",
+                 http(b"Content-Encoding: deflate\r\n",
+                      zlib.compress(html)[2:-4]),  # raw-deflate spelling
+                 "application/http; msgtype=response"),
+            _rec("response", "http://a/br",
+                 http(b"Content-Encoding: br\r\n", b"\x0b\x01\x80junk"),
+                 "application/http; msgtype=response"),
+            _rec("response", "http://a/plain", http(b"", html),
+                 "application/http; msgtype=response"),
+        ])
+        media = spark.createDataFrame(
+            [(1, bytearray(shard))], "media_id long, content binary")
+        got = {r["target_uri"]: r["body"]
+               for r in warc_records(media).collect()}
+        want = "<p>café body</p>"
+        assert got["http://a/gz"] == want
+        assert got["http://a/fl"] == want
+        assert got["http://a/raw"] == want
+        assert got["http://a/br"] is None  # unsupported: refuse, no noise
+        assert got["http://a/plain"] == want
+
     def test_revisit_headers_and_edges(self, spark):
         """WARC revisit linkage (r12): the walk surfaces
         WARC-Record-ID / WARC-Refers-To[-Target-URI] / payload digest,
