@@ -143,6 +143,39 @@ _TEXTY_EXACT = {
 }
 
 
+def _dechunk_http_body(body: bytes) -> bytes | None:
+    """Undo HTTP/1.1 chunked transfer framing (hex size line, CRLF,
+    chunk bytes, CRLF, …, 0-size terminator; chunk extensions after
+    ';' ignored).  Raw captures keep the wire framing — without this
+    the text column interleaves hex lengths into the prose.  Truncated
+    streams keep the chunks that parsed (the shard posture); a payload
+    that doesn't start with a valid size line returns None (caller
+    falls back to the body as-is — many writers strip the framing but
+    forget to drop the header)."""
+    out = bytearray()
+    i = 0
+    n = len(body)
+    first = True
+    while i < n:
+        eol = body.find(b"\r\n", i)
+        if eol < 0:
+            break
+        size_tok = body[i:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None if first else bytes(out)
+        first = False
+        if size == 0:
+            return bytes(out)
+        chunk = body[eol + 2 : eol + 2 + size]
+        out += chunk
+        if len(chunk) < size:
+            return bytes(out)  # truncated: keep what arrived
+        i = eol + 2 + size + 2  # skip trailing CRLF
+    return bytes(out) if not first else None
+
+
 def _inflate_http_body(body: bytes, coding: str) -> bytes | None:
     """Undo an HTTP ``Content-Encoding``: gzip (tolerant of truncated
     tails), zlib-wrapped AND raw deflate (both spellings exist in the
@@ -249,6 +282,11 @@ def warc_records(
                         # without this the text column is binary noise.
                         # Unsupported codings (br/zstd without stored
                         # context) NULL the body rather than mojibake.
+                        tenc = (hh.get("transfer-encoding") or "").strip().lower()
+                        if texty and "chunked" in tenc:
+                            dechunked = _dechunk_http_body(body)
+                            if dechunked is not None:
+                                body = dechunked
                         cenc = (hh.get("content-encoding") or "").strip().lower()
                         if texty and cenc and cenc != "identity":
                             inflated = _inflate_http_body(body, cenc)

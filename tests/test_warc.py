@@ -270,6 +270,47 @@ class TestWarcRecordsDataFrame:
         assert got["http://a/br"] is None  # unsupported: refuse, no noise
         assert got["http://a/plain"] == want
 
+    def test_chunked_transfer_encoding_deframes(self, spark):
+        """Raw captures keep HTTP/1.1 chunked framing: hex size lines
+        strip, chunk bytes concatenate, extensions ignored; a chunked
+        header with an ALREADY-deframed body falls back unharmed."""
+        import zlib
+
+        payload = (b"7\r\n<p>chun\r\n"
+                   b"B;ext=1\r\nked body</p\r\n"
+                   b"1\r\n>\r\n"
+                   b"0\r\n\r\n")
+
+        def http(extra, body):
+            return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    + extra + b"\r\n" + body)
+
+        shard = b"".join([
+            _rec("response", "http://a/chunk",
+                 http(b"Transfer-Encoding: chunked\r\n", payload),
+                 "application/http; msgtype=response"),
+            # chunked + gzip: de-frame, THEN inflate
+            _rec("response", "http://a/both",
+                 http(b"Transfer-Encoding: chunked\r\n"
+                      b"Content-Encoding: gzip\r\n",
+                      b"%x\r\n" % len(gzip.compress(b"<p>deep</p>", mtime=0))
+                      + gzip.compress(b"<p>deep</p>", mtime=0)
+                      + b"\r\n0\r\n\r\n"),
+                 "application/http; msgtype=response"),
+            # header present but body already plain: fall back verbatim
+            _rec("response", "http://a/lies",
+                 http(b"Transfer-Encoding: chunked\r\n", b"<p>plain</p>"),
+                 "application/http; msgtype=response"),
+        ])
+        media = spark.createDataFrame(
+            [(1, bytearray(shard))], "media_id long, content binary")
+        got = {r["target_uri"]: r["body"]
+               for r in warc_records(media).collect()}
+        assert got["http://a/chunk"] == "<p>chunked body</p>"
+        assert got["http://a/both"] == "<p>deep</p>"
+        assert got["http://a/lies"] == "<p>plain</p>"
+        del zlib
+
     def test_revisit_headers_and_edges(self, spark):
         """WARC revisit linkage (r12): the walk surfaces
         WARC-Record-ID / WARC-Refers-To[-Target-URI] / payload digest,
