@@ -11993,6 +11993,72 @@ def office_text_stats(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def _encoded_fixture_df(spark):
+    """One plain shard: gzip, deflate, chunked, chunked+gzip, and an
+    (unsupported) brotli response body."""
+    import gzip as _gz
+    import zlib as _z
+
+    html = "<p>caf\u00e9 body</p>".encode("utf-8")
+
+    def http(extra, payload):
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                b"charset=utf-8\r\n" + extra + b"\r\n" + payload)
+
+    gz = _gz.compress(html, mtime=0)
+    shard = b"".join([
+        _warc_rec("response", "http://e.example/gz",
+                  http(b"Content-Encoding: gzip\r\n", gz),
+                  {"Content-Type": "application/http; msgtype=response"}),
+        _warc_rec("response", "http://e.example/fl",
+                  http(b"Content-Encoding: deflate\r\n", _z.compress(html)),
+                  {"Content-Type": "application/http; msgtype=response"}),
+        _warc_rec("response", "http://e.example/ch",
+                  http(b"Transfer-Encoding: chunked\r\n",
+                       b"%x\r\n" % len(html) + html + b"\r\n0\r\n\r\n"),
+                  {"Content-Type": "application/http; msgtype=response"}),
+        _warc_rec("response", "http://e.example/chgz",
+                  http(b"Transfer-Encoding: chunked\r\n"
+                       b"Content-Encoding: gzip\r\n",
+                       b"%x\r\n" % len(gz) + gz + b"\r\n0\r\n\r\n"),
+                  {"Content-Type": "application/http; msgtype=response"}),
+        _warc_rec("response", "http://e.example/br",
+                  http(b"Content-Encoding: br\r\n", b"\x0b\x01\x80junk"),
+                  {"Content-Type": "application/http; msgtype=response"}),
+    ])
+    return spark.createDataFrame(
+        [(1, bytearray(shard))], "media_id long, content binary")
+
+
+@q(
+    "warc_encoded_bodies",
+    """
+    SELECT * FROM (VALUES
+      (CAST(0 AS INTEGER), 'http://e.example/gz',
+       CAST('<p>caf\u00e9 body</p>' AS VARCHAR)),
+      (CAST(1 AS INTEGER), 'http://e.example/fl', '<p>caf\u00e9 body</p>'),
+      (CAST(2 AS INTEGER), 'http://e.example/ch', '<p>caf\u00e9 body</p>'),
+      (CAST(3 AS INTEGER), 'http://e.example/chgz', '<p>caf\u00e9 body</p>'),
+      (CAST(4 AS INTEGER), 'http://e.example/br', CAST(NULL AS VARCHAR))
+    ) AS t(record_index, target_uri, body)
+    ORDER BY record_index
+    """,
+)
+def warc_encoded_bodies(spark, sf_dir):
+    """HTTP body ENCODING ladder driver-signed (round 12): served-
+    compressed and wire-framed response bodies — Content-Encoding gzip
+    and deflate inflate before the charset decode, chunked
+    Transfer-Encoding de-frames first (and composes with gzip), and an
+    unsupported brotli body reads NULL instead of binary noise.  The
+    multi-byte \u00e9 pins that inflation happens BEFORE decoding.
+    Map-only over Arrow batches, zero shuffle."""
+    from hobbes_spark.functions.warc import warc_records
+
+    return warc_records(_encoded_fixture_df(spark)).select(
+        "record_index", "target_uri", "body",
+    ).orderBy("record_index")
+
+
 def _redirect_fixture_df(spark):
     """One plain shard of four responses: 301 absolute Location, 302
     path-relative, 307 protocol-relative, and a 200 that must NOT
@@ -12814,7 +12880,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "redirect_edge_graph",
     "robots_sitemap_discovery", "sitemap_index_frontier",
     "stream_extract_ingest", "url_alias_components",
-    "warc_revisit_dedup",
+    "warc_encoded_bodies", "warc_revisit_dedup",
     # NOTE (r13 rotation): lang_id_counts, outlink_domains and
     # minhash_pairs_fast changed AFTER the r11 record this round; the
     # change-aware rank will surface them when the r12 record lands
