@@ -29,7 +29,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 _MAX_MEMBERS = 100_000
+#: per-member payload clip: one giant member must not dominate an
+#: executor batch — the member still APPEARS (true size reported), its
+#: payload is just clipped (ADVICE r12: silent skip contradicted the
+#: complete-inventory contract)
 _MEMBER_CAP = 64 << 20
+#: whole-archive decompression cap (sniff_decompress in untar_any) —
+#: distinct from the per-member clip: a tar of many member-cap-sized
+#: files is legitimate
+_ARCHIVE_CAP = 512 << 20
 
 
 def _tar_num(field: bytes) -> int | None:
@@ -51,9 +59,13 @@ def _tar_num(field: bytes) -> int | None:
 
 
 def tar_members(data: bytes):
-    """Yield ``(name, payload)`` for every regular-file member of a
-    (already decompressed) tar stream.  Never raises; stops at the
-    first unparseable header or end-of-archive marker."""
+    """Yield ``(name, payload, size)`` for every regular-file member of
+    a (already decompressed) tar stream.  ``payload`` may be SHORTER
+    than ``size``: a truncated archive tail (keep-your-head) or an
+    over-:data:`_MEMBER_CAP` member whose payload is clipped — either
+    way the inventory row survives with the member's TRUE size.  Never
+    raises; stops at the first unparseable header or end-of-archive
+    marker."""
     pos = 0
     n = len(data)
     pending_longname: str | None = None
@@ -101,12 +113,9 @@ def tar_members(data: bytes):
             name = pax_path
             pax_path = None
         if typeflag in (b"0", b"\x00", b""):  # regular file
-            if len(body) == size and size <= _MEMBER_CAP:
-                yield name, body
-            elif len(body) < size:
-                # truncated tail: surface the partial last member
-                yield name, body
-                break
+            yield name, body[:_MEMBER_CAP], size
+            if len(body) < size:
+                break  # truncated tail: partial last member surfaced
 
 
 def untar_any(data: bytes):
@@ -118,7 +127,7 @@ def untar_any(data: bytes):
     raw = bytes(data)
     if _looks_tar(raw):
         return list(tar_members(raw))
-    got = sniff_decompress(raw, _MEMBER_CAP)
+    got = sniff_decompress(raw, _ARCHIVE_CAP)
     if got is None:
         return None
     _codec, inflated = got
@@ -168,10 +177,12 @@ def archive_documents(
                 members = untar_any(blob)
                 if members is None:
                     continue
-                for k, (name, body) in enumerate(members):
+                for k, (name, body, size) in enumerate(members):
                     kind, text = extract_any(body)
+                    # n_bytes is the member's TRUE size even when the
+                    # payload was clipped/truncated — the size signal
                     rows.append((
-                        int(mid), k, name, len(body), kind,
+                        int(mid), k, name, size, kind,
                         len(text) if text is not None else None, text,
                     ))
             out = pd.DataFrame(

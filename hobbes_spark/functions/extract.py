@@ -153,7 +153,12 @@ def rtf_to_text(data: bytes) -> str:
 def sniff_kind(data: bytes) -> str | None:
     """Container kind by magic bytes; None when nothing matches (the
     caller then tries a text decode)."""
-    if b"%PDF-" in data[:1024]:
+    # ANCHORED to payload start (modulo leading pad bytes): a `%PDF-`
+    # substring anywhere in the head is not a PDF — an HTML/text doc
+    # that mentions '%PDF-1.4' must keep routing to its own branch
+    # (ADVICE r12).  The ISO 32000 "header within the first 1024 bytes"
+    # leniency is handled downstream by pdf_version on sniffed PDFs.
+    if data[:1024].lstrip(b" \t\r\n\x00").startswith(b"%PDF-"):
         return "pdf"
     if data[:5] == b"{\\rtf":
         return "rtf"
@@ -195,9 +200,13 @@ def extract_any(data: bytes) -> tuple[str | None, str | None]:
 
     kind = sniff_kind(data)
     if kind == "pdf":
-        if pdf_version(data) is None or not pdf_objects(data):
-            return None, None  # headed but nothing parses
-        return "pdf", pdf_text(data)
+        if pdf_version(data) is not None and pdf_objects(data):
+            return "pdf", pdf_text(data)
+        # %PDF- header at payload start but the object walk found
+        # nothing: fall through to the plain-text gate instead of
+        # silently refusing a decodable document (ADVICE r12) — true
+        # corrupt binary PDFs still refuse at the strict-decode gate
+        kind = None
     if kind == "zip":
         okind, text, _n = office_text(data)
         return (okind, text) if okind is not None else ("zip", None)

@@ -176,32 +176,135 @@ def _dechunk_http_body(body: bytes) -> bytes | None:
     return bytes(out) if not first else None
 
 
+#: lazily-loaded libbrotlidec handle: False = not probed yet, None =
+#: absent (the zstd precedent, multimodal._load_zstd — ctypes against
+#: the OS library, no wheel; refusal fallback when it is missing)
+_BROTLI_LIB = False
+
+
+def _load_brotli():
+    """Resolve the system libbrotlidec once via ctypes; None if absent
+    or its symbols don't bind (then ``br`` bodies refuse to NULL,
+    exactly the pre-r13 posture)."""
+    global _BROTLI_LIB
+    if _BROTLI_LIB is not False:
+        return _BROTLI_LIB
+    import ctypes
+    import ctypes.util
+
+    lib = None
+    name = ctypes.util.find_library("brotlidec")
+    if name:
+        try:
+            lib = ctypes.CDLL(name)
+            lib.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
+            lib.BrotliDecoderCreateInstance.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            lib.BrotliDecoderDestroyInstance.argtypes = [ctypes.c_void_p]
+            lib.BrotliDecoderDecompressStream.restype = ctypes.c_int
+            lib.BrotliDecoderDecompressStream.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_size_t),
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_size_t),
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_size_t)]
+        except (OSError, AttributeError):
+            lib = None
+    _BROTLI_LIB = lib
+    return lib
+
+
+def _brotli_decompress(b: bytes, cap: int = _DECOMPRESS_CAP) -> bytes | None:
+    """Streaming brotli decode through BrotliDecoderDecompressStream
+    (RFC 7932 wire format; the C API is the reference brotli library's
+    public surface).  Output drains in 128 KiB chunks under ``cap``;
+    truncated input (NEEDS_MORE_INPUT at end of data), decoder error,
+    or an absent library all return None — refusal, never noise."""
+    import ctypes
+
+    lib = _load_brotli()
+    if lib is None:
+        return None
+    state = lib.BrotliDecoderCreateInstance(None, None, None)
+    if not state:
+        return None
+    try:
+        src = ctypes.create_string_buffer(b, len(b))
+        avail_in = ctypes.c_size_t(len(b))
+        next_in = ctypes.c_void_p(ctypes.addressof(src))
+        chunk = 1 << 17
+        dst = ctypes.create_string_buffer(chunk)
+        parts: list[bytes] = []
+        total = 0
+        while True:
+            avail_out = ctypes.c_size_t(chunk)
+            next_out = ctypes.c_void_p(ctypes.addressof(dst))
+            total_out = ctypes.c_size_t(0)
+            res = lib.BrotliDecoderDecompressStream(
+                ctypes.c_void_p(state),
+                ctypes.byref(avail_in), ctypes.byref(next_in),
+                ctypes.byref(avail_out), ctypes.byref(next_out),
+                ctypes.byref(total_out))
+            produced = chunk - avail_out.value
+            total += produced
+            if total > cap:
+                return None
+            parts.append(dst.raw[:produced])
+            if res == 1:  # BROTLI_DECODER_RESULT_SUCCESS
+                return b"".join(parts)
+            if res == 3:  # NEEDS_MORE_OUTPUT: drain and continue
+                continue
+            return None  # ERROR (0) or NEEDS_MORE_INPUT (2): truncated
+    finally:
+        lib.BrotliDecoderDestroyInstance(ctypes.c_void_p(state))
+
+
 def _inflate_http_body(body: bytes, coding: str) -> bytes | None:
-    """Undo an HTTP ``Content-Encoding``: gzip (tolerant of truncated
-    tails), zlib-wrapped AND raw deflate (both spellings exist in the
-    wild), x-gzip alias.  ``None`` for unsupported codings (br,
-    zstd-without-dictionary, compress) — the caller NULLs the body
-    instead of surfacing binary noise as text."""
+    """Undo an HTTP ``Content-Encoding`` chain: gzip (tolerant of
+    truncated tails), zlib-wrapped AND raw deflate (both spellings
+    exist in the wild), x-gzip alias, br via the system libbrotlidec
+    (refusal fallback when absent).  A comma-separated list is undone
+    in REVERSE order (RFC 9110 §8.4: codings are listed in application
+    order, so the last is the outermost), skipping ``identity`` tokens
+    — 'deflate, gzip' un-gzips then un-deflates, 'gzip, identity'
+    un-gzips (both mis-handled before r13, ADVICE r12).  ``None`` as
+    soon as any non-identity layer is unsupported (zstd-without-
+    dictionary, compress) or fails — the caller NULLs the body instead
+    of surfacing binary noise as text."""
     import zlib as _z
 
-    last = coding.split(",")[-1].strip()  # outermost coding applied last
-    if last in ("gzip", "x-gzip"):
-        d = _z.decompressobj(31)
-        try:
-            return d.decompress(body, _DECOMPRESS_CAP)
-        except _z.error:
-            return None
-    if last == "deflate":
-        for wbits in (15, -15):  # zlib-wrapped first, then raw
-            d = _z.decompressobj(wbits)
+    data: bytes | None = body
+    for tok in reversed([t.strip().lower() for t in coding.split(",")]):
+        if tok in ("", "identity"):
+            continue
+        if tok in ("gzip", "x-gzip"):
+            d = _z.decompressobj(31)
             try:
-                out = d.decompress(body, _DECOMPRESS_CAP)
+                data = d.decompress(data, _DECOMPRESS_CAP)
             except _z.error:
-                continue
-            if out:
-                return out
-        return None
-    return None
+                return None
+        elif tok == "deflate":
+            inner = None
+            for wbits in (15, -15):  # zlib-wrapped first, then raw
+                d = _z.decompressobj(wbits)
+                try:
+                    out = d.decompress(data, _DECOMPRESS_CAP)
+                except _z.error:
+                    continue
+                if out:
+                    inner = out
+                    break
+            if inner is None:
+                return None
+            data = inner
+        elif tok == "br":
+            data = _brotli_decompress(data)
+            if data is None:
+                return None
+        else:
+            return None
+    return data
 
 
 def _texty_content_type(ct) -> bool:
@@ -345,13 +448,16 @@ def redirect_edges(records: DataFrame) -> DataFrame:
     """URL alias edges from 3xx responses: a crawl's redirect graph —
     (from_uri → to_uri, status, permanent) — feeds canonical-URL
     collapse exactly like ``rel=canonical`` and revisit linkage do.
-    Relative ``Location`` values resolve against the request URI's
-    scheme+host (absolute-path form; the common case), protocol-
-    relative ``//host/path`` against its scheme.  Input is
-    :func:`warc_records` output; one map-only projection + filter,
-    zero shuffle."""
-    from hobbes_spark.functions.web import url_host
-
+    Relative ``Location`` values resolve per RFC 3986 §5.3: absolute-
+    path ``/p`` against the request's ORIGIN (scheme + full authority,
+    port preserved — ``http://site:8080/x`` → ``http://site:8080/p``,
+    not the default port; ADVICE r12), protocol-relative ``//host/p``
+    against its lowercased scheme, and bare-relative ``p`` against the
+    request path's DIRECTORY (merge step; dot-segment normalization of
+    ``../`` is deliberately not applied — crawl 3xx Locations are
+    overwhelmingly absolute or root-relative and the alias graph only
+    needs byte-stable keys).  Input is :func:`warc_records` output;
+    one map-only projection + filter, zero shuffle."""
     rec = records.filter(
         (F.col("warc_type") == "response")
         & F.col("http_status").between(300, 399)
@@ -359,13 +465,25 @@ def redirect_edges(records: DataFrame) -> DataFrame:
         & F.col("target_uri").isNotNull()
     )
     loc = F.trim(F.col("http_location"))
-    scheme = F.regexp_extract(F.col("target_uri"), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
-    origin = F.concat(scheme, F.lit("://"), url_host(F.col("target_uri")))
+    scheme = F.lower(
+        F.regexp_extract(F.col("target_uri"), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    # full authority (host[:port], userinfo if any) — url_host would
+    # strip the port and change the origin
+    authority = F.regexp_extract(
+        F.col("target_uri"), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+    )
+    origin = F.concat(scheme, F.lit("://"), authority)
+    path = F.regexp_extract(
+        F.col("target_uri"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    dirpath = F.regexp_replace(path, r"[^/]*$", "")
+    dirpath = F.when(dirpath == "", F.lit("/")).otherwise(dirpath)
     resolved = (
         F.when(loc.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), loc)
         .when(loc.startswith("//"), F.concat(scheme, F.lit(":"), loc))
         .when(loc.startswith("/"), F.concat(origin, loc))
-        .otherwise(F.concat(origin, F.lit("/"), loc))
+        .otherwise(F.concat(origin, dirpath, loc))
     )
     return rec.select(
         "media_id",

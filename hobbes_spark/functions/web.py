@@ -836,7 +836,11 @@ def schedule_frontier(
     per-host frontier size, exactly the thing the politeness delay
     serializes anyway (a 10M-URL host at 1 s/fetch IS a 115-day crawl;
     the plan should not pretend otherwise)."""
-    for reserved in ("__sf_host", "__sf_delay"):
+    # out_col and host_delay_s are OUTPUT columns: silently overwriting
+    # a caller's column of the same name via withColumn would violate
+    # the r10 never-destroy-caller-columns rule this guard exists for
+    # (ADVICE r12 — the old check only covered the two internals)
+    for reserved in ("__sf_host", "__sf_delay", "host_delay_s", out_col):
         if reserved in urls.columns:
             raise ValueError(f"schedule_frontier: urls already has {reserved!r}")
     rb = delays.select(

@@ -3099,19 +3099,25 @@ def embedding_neardup_lsh_q(spark, sf_dir):
 )
 def salted_group_sum(spark, sf_dir):
     # hot-key-safe two-phase aggregation; result identical to the direct
-    # groupBy (the oracle IS the direct groupBy)
+    # groupBy (the oracle IS the direct groupBy).  ONE salted pass
+    # computes both reductions — a lit(1) column carries COUNT(*) so
+    # sum and count share the two shuffles instead of running a second
+    # full pass plus a join (r12 verdict item 2: the old double-pass
+    # body was 4 shuffles + a join for the same answer).
     from hobbes_spark.operators.skew import salted_agg
 
-    ev = _t(spark, sf_dir, "events").df.select("event_type", "value")
-    out = salted_agg(ev, ["event_type"], {"value": "sum"}, salts=16)
-    n = salted_agg(ev, ["event_type"], {"value": "count"}, salts=16)
-    return (
-        out.join(n.withColumnRenamed("value", "n"), "event_type")
-        .select(
-            "event_type",
-            F.col("n").cast("bigint").alias("n"),
-            _r(F.col("value"), 4).alias("total"),
-        )
+    ev = (
+        _t(spark, sf_dir, "events").df
+        .select("event_type", "value")
+        .withColumn("__one", F.lit(1))
+    )
+    out = salted_agg(
+        ev, ["event_type"], {"value": "sum", "__one": "count"}, salts=16
+    )
+    return out.select(
+        "event_type",
+        F.col("__one").cast("bigint").alias("n"),
+        _r(F.col("value"), 4).alias("total"),
     )
 
 
@@ -3136,20 +3142,21 @@ def auto_salted_group_sum(spark, sf_dir):
     and keeps the single-shuffle plan."""
     from hobbes_spark.operators.skew import auto_salted_agg
 
-    ev = _t(spark, sf_dir, "events").df.select("event_type", "value")
+    ev = (
+        _t(spark, sf_dir, "events").df
+        .select("event_type", "value")
+        .withColumn("__one", F.lit(1))
+    )
     out = auto_salted_agg(
-        ev, ["event_type"], {"value": "sum"}, target_rows_per_task=500
+        ev,
+        ["event_type"],
+        {"value": "sum", "__one": "count"},
+        target_rows_per_task=500,
     )
-    n = auto_salted_agg(
-        ev, ["event_type"], {"value": "count"}, target_rows_per_task=500
-    )
-    return (
-        out.join(n.withColumnRenamed("value", "n"), "event_type")
-        .select(
-            "event_type",
-            F.col("n").cast("bigint").alias("n"),
-            _r(F.col("value"), 4).alias("total"),
-        )
+    return out.select(
+        "event_type",
+        F.col("__one").cast("bigint").alias("n"),
+        _r(F.col("value"), 4).alias("total"),
     )
 
 
@@ -11994,12 +12001,19 @@ def office_text_stats(spark, sf_dir):
 
 
 def _encoded_fixture_df(spark):
-    """One plain shard: gzip, deflate, chunked, chunked+gzip, and an
-    (unsupported) brotli response body."""
+    """One plain shard: gzip, deflate, chunked, chunked+gzip, a VALID
+    brotli body (fixed RFC 7932 byte literal \u2014 decodes through the
+    system libbrotlidec; refusal fallback when absent is pinned in
+    tests/test_warc.py by nulling the lib handle), a CORRUPT brotli
+    body (stays NULL either way), and the two layered-coding shapes
+    the r13 chain fix covers ('deflate, gzip' and 'gzip, identity')."""
     import gzip as _gz
     import zlib as _z
 
     html = "<p>caf\u00e9 body</p>".encode("utf-8")
+    # brotli(html) at quality 11 \u2014 precomputed so the fixture never
+    # needs an encoder at run time
+    br_ok = b"\x0b\x08\x80<p>caf\xc3\xa9 body</p>\x03"
 
     def http(extra, payload):
         return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
@@ -12023,7 +12037,17 @@ def _encoded_fixture_df(spark):
                        b"%x\r\n" % len(gz) + gz + b"\r\n0\r\n\r\n"),
                   {"Content-Type": "application/http; msgtype=response"}),
         _warc_rec("response", "http://e.example/br",
+                  http(b"Content-Encoding: br\r\n", br_ok),
+                  {"Content-Type": "application/http; msgtype=response"}),
+        _warc_rec("response", "http://e.example/brbad",
                   http(b"Content-Encoding: br\r\n", b"\x0b\x01\x80junk"),
+                  {"Content-Type": "application/http; msgtype=response"}),
+        _warc_rec("response", "http://e.example/flgz",
+                  http(b"Content-Encoding: deflate, gzip\r\n",
+                       _gz.compress(_z.compress(html), mtime=0)),
+                  {"Content-Type": "application/http; msgtype=response"}),
+        _warc_rec("response", "http://e.example/gzid",
+                  http(b"Content-Encoding: gzip, identity\r\n", gz),
                   {"Content-Type": "application/http; msgtype=response"}),
     ])
     return spark.createDataFrame(
@@ -12039,19 +12063,26 @@ def _encoded_fixture_df(spark):
       (CAST(1 AS INTEGER), 'http://e.example/fl', '<p>caf\u00e9 body</p>'),
       (CAST(2 AS INTEGER), 'http://e.example/ch', '<p>caf\u00e9 body</p>'),
       (CAST(3 AS INTEGER), 'http://e.example/chgz', '<p>caf\u00e9 body</p>'),
-      (CAST(4 AS INTEGER), 'http://e.example/br', CAST(NULL AS VARCHAR))
+      (CAST(4 AS INTEGER), 'http://e.example/br', '<p>caf\u00e9 body</p>'),
+      (CAST(5 AS INTEGER), 'http://e.example/brbad', CAST(NULL AS VARCHAR)),
+      (CAST(6 AS INTEGER), 'http://e.example/flgz', '<p>caf\u00e9 body</p>'),
+      (CAST(7 AS INTEGER), 'http://e.example/gzid', '<p>caf\u00e9 body</p>')
     ) AS t(record_index, target_uri, body)
     ORDER BY record_index
     """,
 )
 def warc_encoded_bodies(spark, sf_dir):
-    """HTTP body ENCODING ladder driver-signed (round 12): served-
-    compressed and wire-framed response bodies — Content-Encoding gzip
-    and deflate inflate before the charset decode, chunked
-    Transfer-Encoding de-frames first (and composes with gzip), and an
-    unsupported brotli body reads NULL instead of binary noise.  The
-    multi-byte \u00e9 pins that inflation happens BEFORE decoding.
-    Map-only over Arrow batches, zero shuffle."""
+    """HTTP body ENCODING ladder (round 12; brotli + coding CHAINS
+    r13): served-compressed and wire-framed response bodies —
+    Content-Encoding gzip and deflate inflate before the charset
+    decode, chunked Transfer-Encoding de-frames first (and composes
+    with gzip), brotli decodes through the system libbrotlidec (ctypes,
+    the zstd precedent — refusal-to-NULL when the lib is absent, and
+    the corrupt-br row stays NULL either way), and multi-token coding
+    lists are undone in REVERSE application order with identity tokens
+    skipped ('deflate, gzip', 'gzip, identity').  The multi-byte
+    \u00e9 pins that inflation happens BEFORE decoding.  Map-only over
+    Arrow batches, zero shuffle."""
     from hobbes_spark.functions.warc import warc_records
 
     return warc_records(_encoded_fixture_df(spark)).select(
@@ -12060,9 +12091,12 @@ def warc_encoded_bodies(spark, sf_dir):
 
 
 def _redirect_fixture_df(spark):
-    """One plain shard of four responses: 301 absolute Location, 302
-    path-relative, 307 protocol-relative, and a 200 that must NOT
-    produce an edge."""
+    """One plain shard of six responses: 301 absolute Location, 302
+    root-relative, 307 protocol-relative, a 302 on a NON-default-port
+    origin (the port must survive into the resolved URI), a 301 with a
+    bare-relative Location (resolves against the request path's
+    directory, RFC 3986 §5.3 merge), and a 200 that must NOT produce
+    an edge."""
     def http(status, reason, extra=b""):
         return (b"HTTP/1.1 " + status + b" " + reason + b"\r\n"
                 + extra + b"Content-Type: text/html\r\n\r\n<p>x</p>")
@@ -12076,6 +12110,12 @@ def _redirect_fixture_df(spark):
             {"Content-Type": "application/http; msgtype=response"}),
         _warc_rec("response", "https://site.example/c", http(
             b"307", b"Temporary", b"Location: //cdn.example/c\r\n"),
+            {"Content-Type": "application/http; msgtype=response"}),
+        _warc_rec("response", "http://site.example:8080/x/y", http(
+            b"302", b"Found", b"Location: /new\r\n"),
+            {"Content-Type": "application/http; msgtype=response"}),
+        _warc_rec("response", "https://site.example/dir/page.html", http(
+            b"301", b"Moved", b"Location: other.html\r\n"),
             {"Content-Type": "application/http; msgtype=response"}),
         _warc_rec("response", "https://site.example/ok", http(b"200", b"OK"),
             {"Content-Type": "application/http; msgtype=response"}),
@@ -12093,15 +12133,22 @@ def _redirect_fixture_df(spark):
       (CAST(1 AS BIGINT), CAST(1 AS INTEGER), 'https://site.example/b',
        'https://site.example/b-new', CAST(302 AS INTEGER), FALSE),
       (CAST(1 AS BIGINT), CAST(2 AS INTEGER), 'https://site.example/c',
-       'https://cdn.example/c', CAST(307 AS INTEGER), FALSE)
+       'https://cdn.example/c', CAST(307 AS INTEGER), FALSE),
+      (CAST(1 AS BIGINT), CAST(3 AS INTEGER), 'http://site.example:8080/x/y',
+       'http://site.example:8080/new', CAST(302 AS INTEGER), FALSE),
+      (CAST(1 AS BIGINT), CAST(4 AS INTEGER),
+       'https://site.example/dir/page.html',
+       'https://site.example/dir/other.html', CAST(301 AS INTEGER), TRUE)
     ) AS t(media_id, record_index, from_uri, to_uri, status, permanent)
     ORDER BY record_index
     """,
 )
 def redirect_edge_graph(spark, sf_dir):
-    """Redirect alias edges (round 12, `warc.redirect_edges`): the
-    crawl's 3xx graph — absolute, path-relative (resolved against the
-    request origin) and protocol-relative Location values all pinned,
+    """Redirect alias edges (round 12, `warc.redirect_edges`; origin
+    fidelity hardened r13 per ADVICE): the crawl's 3xx graph —
+    absolute, root-relative (origin keeps the non-default PORT),
+    bare-relative (RFC 3986 §5.3 merge against the request path's
+    directory) and protocol-relative Location values all pinned,
     permanence by status (301/308), and the 200 row produces NO edge.
     Feeds canonical-URL collapse alongside rel=canonical and revisit
     linkage.  Map-only projection over the record walk, zero
@@ -12861,48 +12908,36 @@ def chart_gauge_lineitem(spark, sf_dir):
 # of r6-r8 is designed out.  Rotation-due enforcement (a newer record
 # exists, rotate me) lives in tools/gate_check.py, which refuses to run
 # until this stamp matches the newest record on disk.
-WINDOW_FROZEN_AT = "CORRECTNESS_r11"
+WINDOW_FROZEN_AT = "CORRECTNESS_r12"
 
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # Round-12 rotation, CHANGE-AWARE (tools/window_cohort.py --as-of
-    # 11): rank = (never-signed-or-changed-since-signature DESC,
+    # Round-13 rotation, CHANGE-AWARE (tools/window_cohort.py --as-of
+    # 12): rank = (never-signed-or-changed-since-signature DESC,
     # last-signed round ASC, name ASC), frozen at the commit that
-    # recorded CORRECTNESS_r11.json.  No catalog function changed since
-    # its last signature at freeze time, so the cohort is the pure
-    # staleness tail: the r7 remainder (rolled over from the r11
-    # window), then the oldest r8 rows.  Queries ADDED in round 12 are
-    # never-signed and are PREPENDED above this block as they land
-    # (displacing the tail back to the r13 rotation).
-    "archive_extract_stats", "byte_bpe_encode", "byte_bpe_merges",
-    "byte_token_pack", "extract_any_stats", "frontier_schedule",
-    "image_metadata_scrub",
-    "office_text_stats", "page_index_policy", "pdf_text_stats",
-    "redirect_edge_graph",
-    "robots_sitemap_discovery", "sitemap_index_frontier",
-    "stream_extract_ingest", "url_alias_components",
-    "warc_encoded_bodies", "warc_revisit_dedup",
-    # NOTE (r13 rotation): lang_id_counts, outlink_domains and
-    # minhash_pairs_fast changed AFTER the r11 record this round; the
-    # change-aware rank will surface them when the r12 record lands
-    # (the tool freezes mid-round diffs into the NEXT cohort by
-    # design).  All three are locally gate-checked green at HEAD.
-    "audio_id3_tags", "video_frame_pts", "duplicate_ngram_frac",
-    "embedding_neardup_exact", "embedding_neardup_lsh",
-    "epoch_shuffle_order", "group_percentiles", "hb_bucket_trend",
-    "hb_velocity_pivot", "ivf_pq_fixture_exact", "jaccard_prefix_pairs",
-    "join_skew_stats", "kmeans_clusters", "label_centroids",
-    "lsh_candidate_stats", "media_decode_meta", "minhash_incremental",
-    "minhash_star_edges", "quality_top_fraction", "range_band_sums",
-    "redact_docs", "repetition_filter", "salted_group_sum",
-    "slice_rows_window", "stream_dedup_counts", "stream_interval_join",
-    "stream_session_counts", "stream_static_enrich", "tfidf_top_terms",
-    "topk_per_group", "tpch_q10_returns", "tpch_q14_promo",
-    "tpch_q5_region", "tpch_q7_volume", "unigram_scores",
-    "weighted_sample_docs", "winnow_fingerprints", "ann_lsh_fixture_exact",
-    "batch_sessions", "bigram_scores", "boilerplate_lines",
-    "ccnet_buckets", "concurrency_peak", "corr_matrix", "cosine_topk",
-    "cube_orders", "dedup_keep_best", "funnel_conversion",
-    "fuzzy_name_pairs", "gap_fill_ffill",
+    # recorded CORRECTNESS_r12.json.  Changed-since-signature leads:
+    # the bpe/minhash/web/lang-ID shapes whose implementing functions
+    # were edited after their last driver row (incl. the three the r12
+    # note named: lang_id_counts, outlink_domains, minhash_pairs_fast —
+    # the cohort tool's module-alias resolution gap that hid
+    # lang_id_counts is fixed this round), then the r8 staleness tail.
+    # Queries ADDED in round 13 are never-signed and are PREPENDED
+    # above this block as they land (displacing the tail to r14).
+    "bpe_encode_words", "bpe_merges", "minhash_pairs_fast",
+    "html_meta_docs", "lang_id_counts", "outlink_domains", "robots_filter",
+    "robots_filter_hosts", "stream_warc_ingest", "warc_charset_decode",
+    "warc_html_pipeline", "warc_records", "tpch_q7_volume",
+    "unigram_scores", "weighted_sample_docs", "winnow_fingerprints",
+    "ann_lsh_fixture_exact", "batch_sessions", "bigram_scores",
+    "boilerplate_lines", "ccnet_buckets", "concurrency_peak",
+    "corr_matrix", "cosine_topk", "cube_orders", "dedup_keep_best",
+    "funnel_conversion", "fuzzy_name_pairs", "gap_fill_ffill",
+    "group_sample_docs", "histogram_prices", "lsh_bands_fixture_exact",
+    "lsh_stats_fixture_exact", "mad_outliers", "media_phash_pairs",
+    "minhash_fixture_exact", "minhash_xxhash_fixture_exact",
+    "mixture_plan_docs", "mode_priority", "ohlc_bars", "pack_docs",
+    "prepare_corpus", "profile_lineitem", "props_json_stats",
+    "scd2_intervals", "source_overlap", "stream_ohlc_bars",
+    "stream_sliding_counts", "tpch_q11_stockvalue", "tpch_q12_shipmode",
 ]
 
 

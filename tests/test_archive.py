@@ -34,20 +34,47 @@ MEMBERS = {
 class TestTarWalk:
     def test_plain_gzip_and_names(self):
         tar = make_tar(MEMBERS)
-        assert [n for n, _ in tar_members(tar)] == list(MEMBERS)
-        assert [n for n, _ in untar_any(gzip.compress(tar, mtime=0))] \
+        assert [m[0] for m in tar_members(tar)] == list(MEMBERS)
+        assert [m[0] for m in untar_any(gzip.compress(tar, mtime=0))] \
             == list(MEMBERS)
 
     def test_pax_and_gnu_long_names(self):
         deep = {"d/" + "x" * 120 + "/file.txt": b"deep"}
         for fmt in (tarfile.PAX_FORMAT, tarfile.GNU_FORMAT):
             got = untar_any(make_tar(deep, fmt))
-            assert [n for n, _ in got] == list(deep)
+            assert [m[0] for m in got] == list(deep)
 
     def test_truncated_keeps_head(self):
         tar = make_tar(MEMBERS)
         got = list(tar_members(tar[:700]))
         assert got and got[0][0] == "src/a.py"
+
+    def test_oversized_member_survives_clipped(self, monkeypatch):
+        """ADVICE r12: a fully-present member larger than the per-member
+        cap must still APPEAR in the inventory (true size, clipped
+        payload) instead of being silently skipped."""
+        import hobbes_spark.functions.archive as A
+
+        monkeypatch.setattr(A, "_MEMBER_CAP", 12)
+        big = {"big.bin": b"0123456789abcdef", "after.txt": b"still here"}
+        got = list(A.tar_members(make_tar(big)))
+        assert [(n, p, s) for n, p, s in got] == [
+            ("big.bin", b"0123456789ab", 16),
+            ("after.txt", b"still here", 10),
+        ]
+
+    def test_archive_cap_distinct_from_member_cap(self, monkeypatch):
+        """The whole-archive decompression cap is its own (larger)
+        constant: clamping the member cap must not refuse inflation of
+        the archive itself."""
+        import gzip as _gz
+
+        import hobbes_spark.functions.archive as A
+
+        monkeypatch.setattr(A, "_MEMBER_CAP", 8)
+        tar = make_tar(MEMBERS)
+        got = A.untar_any(_gz.compress(tar, mtime=0))
+        assert [m[0] for m in got] == list(MEMBERS)
 
     def test_refusals_and_never_raises(self):
         assert untar_any(b"not an archive at all, but long " * 20) is None

@@ -52,6 +52,24 @@ class TestSniff:
         assert extract_any(b"\x00embedded nul") == (None, None)
         assert extract_any(b"\xfe\xff\x00b\x00a\x00d") == (None, None)
 
+    def test_pdf_sniff_anchored_to_start(self):
+        """ADVICE r12: a document that merely MENTIONS '%PDF-1.4' is
+        not a PDF — the magic must sit at payload start (leading pad
+        bytes allowed)."""
+        html = b"<html><body>see the %PDF-1.4 spec</body></html>"
+        assert sniff_kind(html) == "html"
+        kind, text = extract_any(html)
+        assert kind == "html" and "spec" in text
+        assert sniff_kind(b"  \r\n%PDF-1.7 stuff") == "pdf"
+
+    def test_pdf_header_without_objects_falls_through(self):
+        """A %PDF- header whose object walk finds nothing is treated as
+        the no-magic case: decodable text survives as kind 'text',
+        binary still refuses."""
+        kind, text = extract_any(b"%PDF-1.4 but actually a plain note")
+        assert kind == "text" and "plain note" in text
+        assert extract_any(b"%PDF-1.4\x00\xff\xfebinary junk") == (None, None)
+
 
 class TestHtmlTwin:
     def test_python_replay_equals_column(self, spark):

@@ -3572,6 +3572,14 @@ class TestRobots:
 
         with _pytest.raises(ValueError):
             schedule_frontier(urls.withColumn("__sf_host", urls.url), delays)
+        # r13 (ADVICE r12): OUTPUT columns are reserved too — never
+        # silently overwrite a caller's host_delay_s / out_col
+        with _pytest.raises(ValueError):
+            schedule_frontier(
+                urls.withColumn("host_delay_s", F.lit(0.0)), delays)
+        with _pytest.raises(ValueError):
+            schedule_frontier(
+                urls.withColumn("fetch_offset_s", F.lit(0.0)), delays)
 
     def test_robots_sitemaps_discovery(self, spark):
         from hobbes_spark.functions.web import robots_sitemaps

@@ -130,6 +130,39 @@ class TestWetConversionRecords:
         assert got[1]["target_uri"] == "http://a/page"
 
 
+class TestInflateHttpBody:
+    """Content-Encoding chains + brotli (r13, ADVICE r12): codings are
+    undone in reverse application order, identity tokens skip, brotli
+    goes through the system libbrotlidec with refusal fallback."""
+
+    RAW = "chain body café ".encode("utf-8") * 40
+
+    def test_reverse_chain_and_identity(self):
+        import zlib
+
+        from hobbes_spark.functions.warc import _inflate_http_body
+
+        gz = gzip.compress(zlib.compress(self.RAW), mtime=0)
+        assert _inflate_http_body(gz, "deflate, gzip") == self.RAW
+        plain_gz = gzip.compress(self.RAW, mtime=0)
+        assert _inflate_http_body(plain_gz, "gzip, identity") == self.RAW
+        assert _inflate_http_body(plain_gz, "identity, gzip") == self.RAW
+        assert _inflate_http_body(plain_gz, "compress, gzip") is None
+
+    def test_brotli_decode_and_refusal(self, monkeypatch):
+        import hobbes_spark.functions.warc as W
+
+        # fixed quality-11 brotli of b"hi br" (RFC 7932 byte literal)
+        br = b"\x0b\x02\x80hi br\x03"
+        if W._load_brotli() is not None:
+            assert W._inflate_http_body(br, "br") == b"hi br"
+            assert W._inflate_http_body(br[:3], "br") is None  # truncated
+            assert W._inflate_http_body(b"\x0b\x01\x80junk", "br") is None
+        # absent-library path: refusal to NULL, never an exception
+        monkeypatch.setattr(W, "_BROTLI_LIB", None)
+        assert W._inflate_http_body(br, "br") is None
+
+
 class TestCharsetSniff:
     def test_whatwg_precedence(self):
         from hobbes_spark.functions.warc import sniff_charset

@@ -157,6 +157,20 @@ def _referenced_functions(fn, _seen=None) -> set:
                     getattr(obj, "__module__", "") or ""
                 ).startswith("hobbes_spark"):
                     out.add(obj)
+                elif isinstance(obj, types.ModuleType) and (
+                    obj.__name__ or ""
+                ).startswith("hobbes_spark"):
+                    # ``from hobbes_spark.functions import text as TX``
+                    # binds a MODULE local; resolve co_names attribute
+                    # accesses on it just like module globals (the r12
+                    # lang_id_counts miss: TX.lang_id_ngram was never
+                    # reached because the alias is not callable).
+                    for name in names:
+                        attr = getattr(obj, name, None)
+                        if callable(attr) and (
+                            getattr(attr, "__module__", "") or ""
+                        ).startswith("hobbes_spark"):
+                            out.add(attr)
     return out
 
 
