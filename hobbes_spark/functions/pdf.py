@@ -541,20 +541,279 @@ def pdf_page_count(data: bytes, objs: dict | None = None) -> int | None:
 
 
 # --------------------------------------------------------------------- #
+# ToUnicode CMaps (ISO 32000-1 §9.10.3; Adobe CMap syntax)
+# --------------------------------------------------------------------- #
+
+_HEX_TOK = re.compile(rb"<([0-9A-Fa-f\s]*)>|\[|\]")
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CMAP_MAX_SINGLES = 100_000
+
+
+def _utf16be_hex(hx: bytes) -> str | None:
+    """Hex token body → text (UTF-16BE code units, surrogate pairs
+    combine into astral codepoints); None on malformed hex."""
+    hx = b"".join(hx.split())
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        raw = bytes.fromhex(hx.decode("ascii"))
+    except ValueError:
+        return None
+    return raw.decode("utf-16-be", "replace")
+
+
+class ToUnicodeCMap:
+    """Parsed ``/ToUnicode`` character map: code → Unicode text.
+
+    ``single`` holds bfchar (and array-form bfrange) entries keyed by
+    ``(code_byte_length, code)``; ``ranges`` holds bfrange triples as
+    ``(length, lo, hi, prefix, last_cp)`` — the spec increments the
+    LAST character of the destination, and doing the arithmetic on the
+    decoded CODEPOINT (not the raw UTF-16 unit) makes a range whose
+    destination is an astral-plane pair (e.g. mathematical alphanumerics
+    at U+1D400) step correctly across surrogate boundaries.  Codespace
+    ranges drive how many bytes each code consumes (multi-byte CIDs)."""
+
+    __slots__ = ("single", "ranges", "codespaces", "lengths")
+
+    def __init__(self):
+        self.single: dict[tuple[int, int], str] = {}
+        self.ranges: list[tuple[int, int, int, str, int]] = []
+        self.codespaces: list[tuple[int, int, int]] = []
+        self.lengths: list[int] = []
+
+    def _finish(self):
+        lens = {L for L, _, _ in self.codespaces}
+        lens |= {L for (L, _c) in self.single}
+        lens |= {L for L, *_ in self.ranges}
+        self.lengths = sorted(lens)
+        return self
+
+    def lookup(self, k: int, code: int) -> str | None:
+        v = self.single.get((k, code))
+        if v is not None:
+            return v
+        for L, lo, hi, prefix, last_cp in self.ranges:
+            if L == k and lo <= code <= hi:
+                cp = last_cp + (code - lo)
+                return prefix + (chr(cp) if cp <= 0x10FFFF else "�")
+        return None
+
+    def decode(self, raw: bytes) -> str:
+        """String-object bytes → text through the map.  Byte length per
+        code comes from the codespace ranges; codes outside every
+        declared codespace consume the shortest declared length.
+        Unmapped 1-byte codes fall back to the identity path (latin-1,
+        the pre-CMap behavior); unmapped multi-byte codes contribute
+        nothing (glyph indices without a mapping are garbage, the exact
+        failure mode this class exists to remove)."""
+        out: list[str] = []
+        i, n = 0, len(raw)
+        lengths = self.lengths or [1]
+        shortest = lengths[0]
+        while i < n:
+            k_used = None
+            code = None
+            for k in lengths:
+                if i + k > n:
+                    continue
+                c = int.from_bytes(raw[i : i + k], "big")
+                if any(
+                    L == k and lo <= c <= hi for L, lo, hi in self.codespaces
+                ):
+                    k_used, code = k, c
+                    break
+            if k_used is None:
+                k_used = min(shortest, n - i)
+                code = int.from_bytes(raw[i : i + k_used], "big")
+            s = self.lookup(k_used, code)
+            if s is None and k_used == 1:
+                s = bytes([code]).decode("latin-1")
+            if s:
+                out.append(s)
+            i += k_used
+        return "".join(out)
+
+
+def parse_tounicode(data: bytes) -> ToUnicodeCMap | None:
+    """Parse a decoded ``/ToUnicode`` CMap stream; ``None`` when no
+    usable mapping parses (corrupt CMap → caller falls back to the
+    identity path — refusal, never garbage amplification)."""
+    cmap = ToUnicodeCMap()
+    for m in _CODESPACE_RE.finditer(data):
+        toks = [t for t in _HEX_TOK.findall(m.group(1)) if t not in (b"", None)]
+        hexes = [t for t in toks if isinstance(t, bytes) and t not in (b"[", b"]")]
+        for j in range(0, len(hexes) - 1, 2):
+            lo_h = b"".join(hexes[j].split())
+            hi_h = b"".join(hexes[j + 1].split())
+            if not lo_h or len(lo_h) != len(hi_h) or len(lo_h) % 2:
+                continue
+            try:
+                lo = int(lo_h, 16)
+                hi = int(hi_h, 16)
+            except ValueError:
+                continue
+            cmap.codespaces.append((len(lo_h) // 2, lo, hi))
+    for m in _BFCHAR_RE.finditer(data):
+        hexes = re.findall(rb"<([0-9A-Fa-f\s]*)>", m.group(1))
+        for j in range(0, len(hexes) - 1, 2):
+            src_h = b"".join(hexes[j].split())
+            if not src_h or len(src_h) % 2:
+                continue
+            dst = _utf16be_hex(hexes[j + 1])
+            if dst is None:
+                continue
+            try:
+                code = int(src_h, 16)
+            except ValueError:
+                continue
+            if len(cmap.single) < _CMAP_MAX_SINGLES:
+                cmap.single[(len(src_h) // 2, code)] = dst
+    for m in _BFRANGE_RE.finditer(data):
+        body = m.group(1)
+        toks: list = []
+        for t in _HEX_TOK.finditer(body):
+            toks.append(t.group(1) if t.group(1) is not None else t.group(0))
+        j = 0
+        while j + 2 < len(toks):
+            lo_t, hi_t = toks[j], toks[j + 1]
+            if lo_t in (b"[", b"]") or hi_t in (b"[", b"]"):
+                j += 1
+                continue
+            lo_h = b"".join(lo_t.split())
+            hi_h = b"".join(hi_t.split())
+            if not lo_h or len(lo_h) != len(hi_h) or len(lo_h) % 2:
+                j += 2
+                continue
+            try:
+                lo = int(lo_h, 16)
+                hi = int(hi_h, 16)
+            except ValueError:
+                j += 2
+                continue
+            L = len(lo_h) // 2
+            if j + 2 < len(toks) and toks[j + 2] == b"[":
+                # array form: <lo> <hi> [<d0> <d1> ...]
+                k = j + 3
+                off = 0
+                while k < len(toks) and toks[k] != b"]":
+                    dst = _utf16be_hex(toks[k])
+                    if dst is not None and lo + off <= hi and (
+                        len(cmap.single) < _CMAP_MAX_SINGLES
+                    ):
+                        cmap.single[(L, lo + off)] = dst
+                    off += 1
+                    k += 1
+                j = k + 1
+                continue
+            if j + 2 >= len(toks):
+                break
+            dst = _utf16be_hex(toks[j + 2])
+            j += 3
+            if dst is None or hi < lo or not dst:
+                continue
+            cmap.ranges.append((L, lo, hi, dst[:-1], ord(dst[-1])))
+    cmap._finish()
+    if not cmap.single and not cmap.ranges:
+        return None
+    return cmap
+
+
+def _font_cmaps(objs: dict, resources) -> dict[str, ToUnicodeCMap]:
+    """Font-name → parsed ToUnicode CMap for one /Resources dict (ref
+    or inline); fonts without a usable /ToUnicode are simply absent
+    (identity fallback)."""
+    res = _resolve(objs, resources)
+    if not isinstance(res, dict):
+        return {}
+    fonts = _resolve(objs, res.get("Font"))
+    if not isinstance(fonts, dict):
+        return {}
+    out: dict[str, ToUnicodeCMap] = {}
+    for name, ref in fonts.items():
+        fd = _resolve(objs, ref)
+        if not isinstance(fd, dict):
+            continue
+        tu = fd.get("ToUnicode")
+        if not isinstance(tu, _Ref):
+            continue
+        entry = objs.get(tu[0])
+        if entry is None:
+            continue
+        payload = _decoded_stream(objs, entry)
+        if payload is None:
+            continue
+        cmap = parse_tounicode(payload)
+        if cmap is not None:
+            out[name] = cmap
+    return out
+
+
+# --------------------------------------------------------------------- #
 # content-stream text
 # --------------------------------------------------------------------- #
 
 _OP_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
 
 
-def extract_text_ops(stream: bytes) -> str:
+class _RawStr(bytes):
+    """A string object captured RAW from a content stream — decoding
+    waits until show time, when the current font's CMap is known."""
+
+
+def _parse_show_array(b: bytes, i: int):
+    """``[ ... ]`` operand of TJ with strings kept raw; i at '['."""
+    arr: list = []
+    i += 1
+    n = len(b)
+    while i < n:
+        i = _skip_ws(b, i)
+        if i >= n or b[i : i + 1] == b"]":
+            return arr, i + 1
+        ch = b[i : i + 1]
+        if ch == b"(":
+            raw, i = _parse_literal_string(b, i)
+            arr.append(_RawStr(raw))
+        elif ch == b"<":
+            j = b.find(b">", i + 1)
+            if j < 0:
+                return arr, n
+            hx = b"".join(b[i + 1 : j].split())
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                arr.append(_RawStr(bytes.fromhex(hx.decode("ascii"))))
+            except ValueError:
+                pass
+            i = j + 1
+        else:
+            m = _NUM_RE.match(b, i)
+            if m:
+                tok = m.group()
+                arr.append(float(tok) if b"." in tok else int(tok))
+                i = m.end()
+            else:
+                i += 1
+    return arr, i
+
+
+def extract_text_ops(
+    stream: bytes, fonts: dict[str, ToUnicodeCMap] | None = None
+) -> str:
     """Run the text operators of ONE decoded content stream →
-    best-effort text (see module docstring for the operator set and
-    the no-CMap identity-encoding caveat)."""
+    best-effort text.  String operands stay RAW until a show operator
+    fires, then decode through the CURRENT font's ``/ToUnicode`` CMap
+    (tracked via ``Tf``; r13 — subset-embedded CID fonts now extract
+    real text); fonts without a usable CMap keep the r12 identity path
+    (``_string_to_text``, PDFDocEncoding ≈ latin-1)."""
+    fonts = fonts or {}
     out: list[str] = []
     stack: list = []
     in_bt = False
     line_has_text = False
+    cur_cmap: ToUnicodeCMap | None = None
     i = 0
     n = len(stream)
 
@@ -564,8 +823,10 @@ def extract_text_ops(stream: bytes) -> str:
             out.append("\n")
             line_has_text = False
 
-    def show(s: str):
+    def show(s):
         nonlocal line_has_text
+        if isinstance(s, _RawStr):
+            s = cur_cmap.decode(bytes(s)) if cur_cmap else _string_to_text(s)
         if s:
             out.append(s)
             line_has_text = True
@@ -577,15 +838,24 @@ def extract_text_ops(stream: bytes) -> str:
         ch = stream[i : i + 1]
         if ch == b"(":
             raw, i = _parse_literal_string(stream, i)
-            stack.append(_string_to_text(raw))
+            stack.append(_RawStr(raw))
         elif stream[i : i + 2] == b"<<":
             d, i = _parse_value(stream, i)
             stack.append(d)
         elif ch == b"<":
-            v, i = _parse_value(stream, i)
-            stack.append(v)
+            j = stream.find(b">", i + 1)
+            if j < 0:
+                break
+            hx = b"".join(stream[i + 1 : j].split())
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                stack.append(_RawStr(bytes.fromhex(hx.decode("ascii"))))
+            except ValueError:
+                pass
+            i = j + 1
         elif ch == b"[":
-            v, i = _parse_value(stream, i)
+            v, i = _parse_show_array(stream, i)
             stack.append(v)
         elif ch == b"/":
             v, i = _parse_name(stream, i)
@@ -607,21 +877,26 @@ def extract_text_ops(stream: bytes) -> str:
             elif op == b"ET":
                 newline()
                 in_bt = False
+            elif op == b"Tf":
+                # [/FontName size] Tf — switch the active CMap (works
+                # outside BT too; viewers allow it)
+                name = stack[-2] if len(stack) >= 2 else None
+                cur_cmap = fonts.get(name) if isinstance(name, str) else None
             elif in_bt and op == b"Tj":
-                if stack and isinstance(stack[-1], str):
+                if stack and isinstance(stack[-1], _RawStr):
                     show(stack[-1])
             elif in_bt and op == b"'":
                 newline()
-                if stack and isinstance(stack[-1], str):
+                if stack and isinstance(stack[-1], _RawStr):
                     show(stack[-1])
             elif in_bt and op == b'"':
                 newline()
-                if stack and isinstance(stack[-1], str):
+                if stack and isinstance(stack[-1], _RawStr):
                     show(stack[-1])
             elif in_bt and op == b"TJ":
                 if stack and isinstance(stack[-1], list):
                     for el in stack[-1]:
-                        if isinstance(el, str):
+                        if isinstance(el, _RawStr):
                             show(el)
                         elif isinstance(el, (int, float)) and el < -180:
                             # big negative kern = inter-word space
@@ -643,14 +918,18 @@ def extract_text_ops(stream: bytes) -> str:
     return "".join(out).rstrip("\n")
 
 
-def _page_content_streams(objs: dict) -> tuple[list[bytes], set[int]]:
-    """Decoded content streams in PAGE-TREE order (catalog → /Pages →
-    /Kids depth-first → per-page /Contents ref-or-array), plus the set
-    of object numbers consumed.  A page's /Contents ARRAY concatenates
-    with a space separator per ISO 32000 §7.8.2 — operators may
-    straddle the stream boundary, so pieces must be joined BEFORE
-    tokenizing, never tokenized separately.  Broken/absent trees
-    return ([], set()) and the caller falls back to document order."""
+def _page_content_streams(
+    objs: dict,
+) -> tuple[list[tuple[bytes, dict]], set[int]]:
+    """Decoded ``(content, fonts)`` pairs in PAGE-TREE order (catalog →
+    /Pages → /Kids depth-first → per-page /Contents ref-or-array) —
+    ``fonts`` is the page's font-name → ToUnicode CMap map, inherited
+    /Resources resolved down the tree — plus the set of object numbers
+    consumed.  A page's /Contents ARRAY concatenates with a space
+    separator per ISO 32000 §7.8.2 — operators may straddle the stream
+    boundary, so pieces must be joined BEFORE tokenizing, never
+    tokenized separately.  Broken/absent trees return ([], set()) and
+    the caller falls back to document order."""
     catalog = None
     for entry in objs.values():
         d = entry.get("dict")
@@ -658,22 +937,23 @@ def _page_content_streams(objs: dict) -> tuple[list[bytes], set[int]]:
             catalog = d
     if catalog is None:
         return [], set()
-    out: list[bytes] = []
+    out: list[tuple[bytes, dict]] = []
     used: set[int] = set()
     seen: set[int] = set()
 
-    def walk(ref, depth: int = 0):
+    def walk(ref, depth: int = 0, inherited_res=None):
         if not isinstance(ref, _Ref) or depth > 64 or ref[0] in seen:
             return
         seen.add(ref[0])
         node = _resolve(objs, ref)
         if not isinstance(node, dict):
             return
+        res = node.get("Resources", inherited_res)
         if node.get("Type") == "Pages":
             kids = node.get("Kids")
             if isinstance(kids, list):
                 for kid in kids:
-                    walk(kid, depth + 1)
+                    walk(kid, depth + 1, res)
         elif node.get("Type") == "Page":
             contents = node.get("Contents")
             refs = contents if isinstance(contents, list) else [contents]
@@ -689,7 +969,7 @@ def _page_content_streams(objs: dict) -> tuple[list[bytes], set[int]]:
                     pieces.append(payload)
                     used.add(r[0])
             if pieces:
-                out.append(b" ".join(pieces))
+                out.append((b" ".join(pieces), _font_cmaps(objs, res)))
 
     walk(catalog.get("Pages"))
     return out, used
@@ -711,10 +991,12 @@ def pdf_text(data: bytes) -> str | None:
         return None
     pieces: list[str] = []
     page_streams, used = _page_content_streams(objs)
-    for payload in page_streams:
+    doc_fonts: dict = {}
+    for payload, fonts in page_streams:
+        doc_fonts.update(fonts)
         if b"BT" not in payload:
             continue
-        txt = extract_text_ops(payload).strip("\n")
+        txt = extract_text_ops(payload, fonts).strip("\n")
         if txt:
             pieces.append(txt)
     for num, entry in objs.items():
@@ -726,7 +1008,9 @@ def pdf_text(data: bytes) -> str | None:
         payload = _decoded_stream(objs, entry)
         if payload is None or b"BT" not in payload:
             continue
-        txt = extract_text_ops(payload).strip("\n")
+        # orphan streams (Form XObjects, broken trees): best-effort
+        # decode with the union of every page's fonts
+        txt = extract_text_ops(payload, doc_fonts).strip("\n")
         if txt:
             pieces.append(txt)
     return "\n".join(pieces) if pieces else None

@@ -12368,6 +12368,133 @@ def pdf_text_stats(spark, sf_dir):
 
 
 
+# ToUnicode CMap pins (round 13 verdict item 3): expected extraction
+# results for the subset-font fixture.  The astral run steps a bfrange
+# ACROSS a UTF-16 surrogate boundary (U+1D7FE, U+1D7FF, U+1D800) —
+# codepoint arithmetic, not code-unit arithmetic.
+_CMAP_TXT_A = "Hello abc \U0001D7FE\U0001D7FF\U0001D800"
+_CMAP_TXT_B = "Plain latin"
+_CMAP_TXT_C = "H simple"
+
+_CMAP_STREAM = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+5 beginbfchar
+<0001> <0048>
+<0002> <0065>
+<0003> <006C>
+<0004> <006F>
+<0005> <0020>
+endbfchar
+2 beginbfrange
+<0010> <0015> <0061>
+<0100> <0102> <D835DFFE>
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+
+
+def _pdf_cid_assemble(fonts: dict, content: bytes) -> bytes:
+    """One-page PDF whose /Resources carries Type0 fonts with (possibly
+    corrupt) /ToUnicode streams — the subset-embedded-CID layout the
+    r12 identity caveat (pdf.py) named as the real-corpus yield
+    decider.  ``fonts`` maps name -> ToUnicode stream payload (Flate-
+    compressed here, pinning CMap-stream filter decode) or None for a
+    font with NO /ToUnicode."""
+    import zlib as _z
+
+    ids = {name: (10 + 2 * k, 11 + 2 * k) for k, name in enumerate(fonts)}
+    fdict = b" ".join(b"/%s %d 0 R" % (n.encode(), ids[n][0]) for n in fonts)
+    out = [b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n",
+           _pdf_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+           _pdf_obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+           _pdf_obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+                       b"/Resources << /Font << %s >> >> "
+                       b"/MediaBox [0 0 612 792] >>" % fdict),
+           _pdf_obj(4, b"<< /Length %d >>\nstream\n" % len(content)
+                       + content + b"\nendstream")]
+    for name, payload in fonts.items():
+        fid, sid = ids[name]
+        if payload is None:
+            out.append(_pdf_obj(
+                fid, b"<< /Type /Font /Subtype /Type1 "
+                     b"/BaseFont /Helvetica >>"))
+            continue
+        comp = _z.compress(payload)
+        out.append(_pdf_obj(
+            fid, b"<< /Type /Font /Subtype /Type0 /BaseFont /Sub-CID "
+                 b"/ToUnicode %d 0 R >>" % sid))
+        out.append(_pdf_obj(
+            sid, b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+                 + comp + b"\nendstream"))
+    out.append(b"trailer\n<< /Size 99 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+    return b"".join(out)
+
+
+def _cmap_fixture_df(spark):
+    # A: 2-byte CIDs through bfchar + bfrange incl. the surrogate-
+    #    boundary-spanning astral range; TJ kern word space
+    doc_a = _pdf_cid_assemble(
+        {"F1": _CMAP_STREAM},
+        b"BT /F1 12 Tf <000100020003000300040005> Tj "
+        b"[<001000110012> -300 <010001010102>] TJ ET")
+    # B: CORRUPT CMap -> parse refusal -> identity fallback (the r12
+    #    path), text still extracts
+    doc_b = _pdf_cid_assemble(
+        {"F2": b"this is not a CMap at all { ] <zz>"},
+        b"BT /F2 12 Tf (Plain latin) Tj ET")
+    # C: font SWITCH mid-line — CMap font then a no-ToUnicode simple
+    #    font; each string decodes under the font active at show time
+    doc_c = _pdf_cid_assemble(
+        {"F1": _CMAP_STREAM, "F3": None},
+        b"BT /F1 12 Tf <0001> Tj /F3 12 Tf ( simple) Tj ET")
+    rows = [(1, bytearray(doc_a)), (2, bytearray(doc_b)),
+            (3, bytearray(doc_c))]
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+@q(
+    "pdf_cmap_text",
+    f"""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(1 AS INTEGER),
+       CAST({len(_CMAP_TXT_A)} AS INTEGER), {_esql(_CMAP_TXT_A)}),
+      (CAST(2 AS BIGINT), CAST(1 AS INTEGER),
+       CAST({len(_CMAP_TXT_B)} AS INTEGER), {_esql(_CMAP_TXT_B)}),
+      (CAST(3 AS BIGINT), CAST(1 AS INTEGER),
+       CAST({len(_CMAP_TXT_C)} AS INTEGER), {_esql(_CMAP_TXT_C)})
+    ) AS t(media_id, n_pages, n_chars, text)
+    ORDER BY media_id
+    """,
+)
+def pdf_cmap_text(spark, sf_dir):
+    """/ToUnicode CMap text extraction (round 13 verdict item 3 —
+    closes pdf.py's r12 identity-encoding caveat, the majority-of-
+    modern-PDFs yield decider): three hand-assembled subset-font
+    documents — (1) a Type0 font whose Flate-compressed CMap maps
+    2-byte CIDs through bfchar AND bfrange including an astral range
+    stepping ACROSS a UTF-16 surrogate boundary (U+1D7FF -> U+1D800:
+    destination arithmetic is on CODEPOINTS, so the rollover is
+    exact); (2) a corrupt CMap whose parse REFUSES and falls back to
+    the identity path (text still extracts — refusal never destroys
+    yield); (3) a mid-line font switch where each show decodes under
+    the font set by the latest Tf.  LENGTH() counts codepoints in both
+    engines, so n_chars pins the astral run as 3 chars, not 6 UTF-16
+    units.  Map-only over Arrow batches, zero shuffle."""
+    from hobbes_spark.functions.pdf import pdf_features
+
+    feats = pdf_features(_cmap_fixture_df(spark))
+    return feats.select(
+        "media_id", "n_pages", "n_chars", "text",
+    ).orderBy("media_id")
+
+
+
 # Unified extraction front-end (round 12): one fixture payload per
 # container kind through sniff -> route -> decode.  The HTML row's
 # expected text is NOT a literal: the oracle replays the shared
@@ -12922,6 +13049,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # lang_id_counts is fixed this round), then the r8 staleness tail.
     # Queries ADDED in round 13 are never-signed and are PREPENDED
     # above this block as they land (displacing the tail to r14).
+    "pdf_cmap_text",
     "bpe_encode_words", "bpe_merges", "minhash_pairs_fast",
     "html_meta_docs", "lang_id_counts", "outlink_domains", "robots_filter",
     "robots_filter_hosts", "stream_warc_ingest", "warc_charset_decode",

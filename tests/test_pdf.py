@@ -293,3 +293,75 @@ class TestPdfFeaturesDataFrame:
             [(1, bytearray(b"x"))], "media_id long, content binary")
         plan = pdf_features(media)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestToUnicodeCMap:
+    """r13: /ToUnicode CMap parsing + show-time decode (closes the r12
+    identity-encoding caveat for subset-embedded CID fonts)."""
+
+    CMAP = b"""
+    1 begincodespacerange
+    <0000> <FFFF>
+    endcodespacerange
+    2 beginbfchar
+    <0001> <0048>
+    <0003> <00480065006C006C006F>
+    endbfchar
+    2 beginbfrange
+    <0010> <0015> <0061>
+    <0100> <0102> <D835DFFE>
+    endbfrange
+    1 beginbfrange
+    <0200> <0202> [<0058> <0059> <005A>]
+    endbfrange
+    """
+
+    def test_bfchar_and_multichar_dst(self):
+        from hobbes_spark.functions.pdf import parse_tounicode
+
+        cm = parse_tounicode(self.CMAP)
+        assert cm.decode(b"\x00\x01") == "H"
+        assert cm.decode(b"\x00\x03") == "Hello"
+
+    def test_bfrange_surrogate_boundary(self):
+        from hobbes_spark.functions.pdf import parse_tounicode
+
+        cm = parse_tounicode(self.CMAP)
+        got = cm.decode(b"\x01\x00\x01\x01\x01\x02")
+        # U+1D7FE, U+1D7FF, then the rollover ACROSS the low-surrogate
+        # boundary to U+1D800 — codepoint arithmetic, not unit
+        assert [ord(c) for c in got] == [0x1D7FE, 0x1D7FF, 0x1D800]
+
+    def test_bfrange_array_form_and_ranges(self):
+        from hobbes_spark.functions.pdf import parse_tounicode
+
+        cm = parse_tounicode(self.CMAP)
+        assert cm.decode(b"\x00\x10\x00\x15") == "af"
+        assert cm.decode(b"\x02\x00\x02\x02") == "XZ"
+
+    def test_corrupt_cmap_refuses(self):
+        from hobbes_spark.functions.pdf import parse_tounicode
+
+        assert parse_tounicode(b"not a cmap { ] <zz>") is None
+        assert parse_tounicode(b"") is None
+        # half-valid garbage: bfchar with malformed hex refuses cleanly
+        assert parse_tounicode(
+            b"beginbfchar <zz> <0041> endbfchar") is None
+
+    def test_tf_switches_decode_at_show_time(self):
+        from hobbes_spark.functions.pdf import (
+            extract_text_ops,
+            parse_tounicode,
+        )
+
+        fonts = {"F1": parse_tounicode(self.CMAP)}
+        got = extract_text_ops(
+            b"BT /F1 12 Tf <0001> Tj /F9 12 Tf ( simple) Tj ET", fonts)
+        assert got == "H simple"
+
+    def test_unmapped_codes(self):
+        from hobbes_spark.functions.pdf import parse_tounicode
+
+        cm = parse_tounicode(self.CMAP)
+        # unmapped 2-byte code contributes nothing (glyph-index noise)
+        assert cm.decode(b"\x99\x99\x00\x01") == "H"
