@@ -26,6 +26,7 @@ __all__ = [
     "exact_dedup",
     "exploded_window_hashes",
     "chained_window_hashes",
+    "duplicate_substring_spans",
     "word_shingles",
     "char_ngrams",
     "minhash_signature",
@@ -161,6 +162,84 @@ def chained_window_hashes(token_hashes: Column, n: int) -> Column:
     for nxt in offs[1:]:
         shh = F.zip_with(shh, nxt, lambda a, b: F.xxhash64(a, b))
     return shh
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """MAXIMAL corpus-duplicated substrings of ≥ ``k`` tokens — the
+    exact-substring dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", §3: remove every substring of
+    ≥ 50 tokens that appears verbatim more than once in the corpus),
+    re-expressed without the suffix array.  Returns one row per
+    maximal span: ``(id_col, span_start, span_end, span_tokens,
+    n_windows)`` with token indices 0-based and ``span_end``
+    inclusive.
+
+    The suffix-array-free reconstruction: a duplicated substring of
+    length L ≥ k contains exactly L−k+1 duplicated k-windows at
+    CONSECUTIVE start positions, so
+
+    1. ``(id, pos, g)`` for every word-k-window via the shared numeric
+       window-hash stream (no k-word strings built);
+    2. one count window over ``g`` flags corpus-wide duplicated
+       windows (occurrence count ≥ ``min_count`` — within-doc repeats
+       count, the paper's corpus-wide semantics);
+    3. ADJACENT-RUN MERGE: per doc, ``pos − row_number()`` is constant
+       exactly within an island of consecutive flagged starts, so one
+       per-doc window + one keyed aggregation yields the maximal spans
+       ``[min(pos), max(pos)+k−1]``.  Overlapping and nested
+       duplicated substrings merge into one span (the union is what
+       span-subtraction needs), and — unlike the k-window removal path
+       (``curation.remove_duplicate_spans``) — the k× covered-token
+       explode never happens, so k=50 costs the same shuffle volume as
+       k=8.
+
+    Three shuffles (gram count window, island window, island agg), all
+    keyed by data-proportional keys; the gram key is a 64-bit chained
+    xxhash64 (uniform, no salting needed).  Collisions can only extend
+    or merge a span — the conservative direction.  Span subtraction
+    composes through the existing plumbing: explode
+    ``sequence(span_start, span_end)`` and anti-join token indices
+    (the spans are disjoint per doc by construction, so the explode is
+    O(doc length), not O(windows × k))."""
+    if k < 1:
+        raise ValueError(f"duplicate_substring_spans: k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(
+            f"duplicate_substring_spans: min_count must be >= 2, got {min_count}"
+        )
+    s1 = df.select(c(id_col).alias(id_col), tokens(F.lower(c(text_col))).alias("__tk"))
+    s2 = s1.select(id_col, F.transform("__tk", lambda t: F.xxhash64(t)).alias("__th"))
+    s3 = s2.select(id_col, chained_window_hashes(F.col("__th"), k).alias("__sh"))
+    occ = s3.select(
+        id_col, F.posexplode_outer("__sh").alias("pos", "g")
+    ).filter(F.col("g").isNotNull())
+    dup = occ.withColumn(
+        "__c", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    ).filter(F.col("__c") >= min_count)
+    isl = dup.withColumn(
+        "__isl",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy(id_col).orderBy("pos")),
+    )
+    return (
+        isl.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("int").alias("span_end"),
+            F.count(F.lit(1)).cast("int").alias("n_windows"),
+        )
+        .withColumn(
+            "span_tokens",
+            (F.col("span_end") - F.col("span_start") + 1).cast("int"),
+        )
+        .select(id_col, "span_start", "span_end", "span_tokens", "n_windows")
+    )
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:

@@ -1175,3 +1175,76 @@ def test_unicode_normalize_forms_and_validation(spark):
     assert (nfd["n"], nfd["l"]) == ("café", 5)
     with _pt.raises(ValueError, match="form must be"):
         unicode_normalize("t", "NFKX")
+
+
+class TestDuplicateSubstringSpans:
+    """r13: Lee et al. 2022 exact-substring spans — gram fingerprints +
+    adjacent-run merge into maximal spans, no suffix array, no k-times
+    covered-token explode."""
+
+    def _spans(self, spark, rows, k=6):
+        from hobbes_spark.functions.dedup import duplicate_substring_spans
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = duplicate_substring_spans(df, "text", k=k).collect()
+        out = {}
+        for r in got:
+            out.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"], r["span_tokens"],
+                 r["n_windows"]))
+        return {d: sorted(v) for d, v in out.items()}
+
+    def test_maximal_spans_overlap_and_nesting(self, spark):
+        run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+        rows = [
+            (1, "x1 x2 " + run + " y1 y2"),
+            (2, "z1 r1 r2 r3 r4 r5 r6 r7 r8 w1 w2 w3"),
+            # two islands in one doc; the 2nd repeats the full run
+            (3, "r3 r4 r5 r6 r7 r8 r9 r10 q1 " + run),
+            (4, "totally unrelated words that appear once only here"),
+        ]
+        got = self._spans(spark, rows, k=6)
+        assert got[1] == [(2, 11, 10, 5)]
+        assert got[2] == [(1, 8, 8, 3)]
+        assert got[3] == [(0, 7, 8, 3), (9, 18, 10, 5)]
+        assert 4 not in got  # no duplicated window -> no row
+
+    def test_min_length_k_enforced(self, spark):
+        # a 5-token shared run yields NO span at k=6
+        rows = [(1, "a b c d e zz1"), (2, "a b c d e zz2")]
+        assert self._spans(spark, rows, k=6) == {}
+        # but at k=5 it is exactly one 5-token span in each doc
+        got = self._spans(spark, rows, k=5)
+        assert got == {1: [(0, 4, 5, 1)], 2: [(0, 4, 5, 1)]}
+
+    def test_within_doc_repeat_counts(self, spark):
+        # corpus-wide occurrence count: the repeat lives in ONE doc
+        rows = [(1, "m1 m2 m3 m4 m5 m6 gap1 gap2 m1 m2 m3 m4 m5 m6")]
+        got = self._spans(spark, rows, k=6)
+        assert got == {1: [(0, 5, 6, 1), (8, 13, 6, 1)]}
+
+    def test_validation_and_empty(self, spark):
+        import pytest as _p
+
+        from hobbes_spark.functions.dedup import duplicate_substring_spans
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "")], "doc_id long, text string")
+        assert duplicate_substring_spans(df, "text", k=6).count() == 0
+        with _p.raises(ValueError):
+            duplicate_substring_spans(df, "text", k=0)
+        with _p.raises(ValueError):
+            duplicate_substring_spans(df, "text", k=6, min_count=1)
+
+    def test_plan_no_covered_token_explode(self, spark):
+        # the span path must not contain a sequence()-explode of
+        # covered indices — that is the k-times blowup it avoids
+        from hobbes_spark.functions.dedup import duplicate_substring_spans
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g")], "doc_id long, text string")
+        plan = (
+            duplicate_substring_spans(df, "text", k=6)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "sequence(" not in plan

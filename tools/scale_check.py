@@ -917,6 +917,14 @@ def main():
             "media_id", "record_index", "http_status",
             F.length("body").alias("n"))
 
+    def substring_spans_shape(do):
+        # r13: Lee-et-al exact substring dedup — gram fingerprints +
+        # adjacent-run merge; k=50 (the paper's setting) to pin that
+        # span reconstruction does NOT pay a k x explode
+        from hobbes_spark.functions.dedup import duplicate_substring_spans
+
+        return duplicate_substring_spans(do, "text", k=50, id_col="doc_id")
+
     cases.update(
         {
             "html_meta_extract": (html_meta_shape, do1, "documents"),
@@ -927,6 +935,7 @@ def main():
             "warc_record_parse": (warc_parse_shape, do1, "documents"),
             "pdf_text_parse": (pdf_parse_shape, do1, "documents"),
             "byte_bpe_encode": (byte_bpe_shape, do1, "documents"),
+            "substring_dup_spans": (substring_spans_shape, do1, "documents"),
         }
     )
 
