@@ -45,6 +45,10 @@ __all__ = [
     "filter_blocked_hosts_df",
     "HTML_RULES",
     "html_to_text",
+    "BLOCK_SPLIT_RE",
+    "ANCHOR_TEXT_RE",
+    "main_content_blocks",
+    "main_content",
     "HTML_META_RULES",
     "html_meta",
     "OUTLINK_RE",
@@ -472,6 +476,156 @@ def html_to_text(col: Column | str) -> Column:
     for pat, rep in HTML_RULES:
         out = F.regexp_replace(out, pat, rep)
     return out
+
+
+# --------------------------------------------------------------------- #
+# DOM-BLOCK main-content extraction (round 13 verdict item 5): the
+# jusText/trafilatura-class first pass real web corpora run BEFORE
+# quality scoring — segment the page into BLOCK-level units, score each
+# by link density / length / stopword density, keep the prose.  The
+# boilerplate-LINE family (curation.remove_boilerplate_lines) removes
+# text repeated across a corpus; this removes nav/footer/sidebar link
+# furniture WITHIN one page, which line-dedup misses when the furniture
+# is page-unique (per-site menus, tag clouds, related-article boxes).
+#
+# One RE2-compatible spec shared by three engines (the HTML_RULES
+# pattern): the Spark Column path, the DuckDB oracle, and any Python
+# replay split on BLOCK_SPLIT_RE, measure anchor text via
+# ANCHOR_TEXT_RE, and strip residual inline markup with the HTML_RULES
+# tail (everything after the block-tag rule — one spec, not a fork).
+# Classification (simplified jusText, Pomikálek 2011, deterministic):
+#   bad   if link_density > MAX_LINK_DENSITY or n_words < MIN_WORDS
+#   good  if also stop_ratio >= MIN_STOP_RATIO
+#   near  otherwise (long, low-link, but stopword-poor — headings,
+#         code, non-English prose under the English stopword list);
+#         a near block PROMOTES to good when an adjacent block is good
+#         (one-step context smoothing, the jusText idea without the
+#         full fixed-point iteration).
+# --------------------------------------------------------------------- #
+
+#: block-level boundaries (the HTML_RULES newline rule's tag set plus
+#: the furniture containers nav/aside and table cells)
+BLOCK_SPLIT_RE = (
+    r"(?is)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote"
+    r"|section|article|header|footer|form|pre|nav|aside|main)\b[^>]*>"
+)
+
+#: group 1 = one anchor's inner markup (inline tags still inside)
+ANCHOR_TEXT_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+#: rules that turn ONE block's residual markup into text: exactly the
+#: HTML_RULES tail after the block-tag rule (index 4 onward), so the
+#: two extractors can never drift apart on tag stripping or entities
+_BLOCK_TEXT_RULES = HTML_RULES[4:]
+
+MIN_WORDS = 10
+MAX_LINK_DENSITY = 0.35
+MIN_STOP_RATIO = 0.05
+
+
+def _block_text(x: Column) -> Column:
+    for pat, rep in _BLOCK_TEXT_RULES:
+        x = F.regexp_replace(x, pat, rep)
+    return x
+
+
+def main_content_blocks(col: Column | str) -> Column:
+    """``array<struct<text,n_words,link_density,stop_ratio,cls>>`` —
+    every non-empty DOM block of the page, scored and classified
+    (``cls`` ∈ good/near/bad AFTER the one-step neighbor promotion).
+    Pure higher-order Column expressions over the shared spec above:
+    map-only, shuffle-free, codegen'd; NULL html gives an empty
+    array."""
+    from hobbes_spark.functions.text import STOPWORDS
+
+    cleaned = c(col)
+    for pat, rep in HTML_RULES[:3]:  # script/style subtrees, comments
+        cleaned = F.regexp_replace(cleaned, pat, rep)
+    blocks = F.split(cleaned, BLOCK_SPLIT_RE)
+
+    def feats(b: Column) -> Column:
+        text = F.trim(_block_text(b))
+        toks = F.when(
+            F.length(text) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(F.lower(text), r"\s+"))
+        n_words = F.size(toks)
+        stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+        anchor_raw = F.array_join(
+            F.regexp_extract_all(b, F.lit(ANCHOR_TEXT_RE), F.lit(1)), " "
+        )
+        link_chars = F.length(F.trim(_block_text(anchor_raw)))
+        link_density = link_chars.cast("double") / F.greatest(
+            F.length(text), F.lit(1)
+        ).cast("double")
+        stop_ratio = stop_hits.cast("double") / F.greatest(
+            n_words, F.lit(1)
+        ).cast("double")
+        iso = (
+            F.when(
+                (link_density > MAX_LINK_DENSITY) | (n_words < MIN_WORDS),
+                F.lit("bad"),
+            )
+            .when(stop_ratio >= MIN_STOP_RATIO, F.lit("good"))
+            .otherwise(F.lit("near"))
+        )
+        return F.struct(
+            text.alias("text"),
+            n_words.alias("n_words"),
+            link_density.alias("link_density"),
+            stop_ratio.alias("stop_ratio"),
+            iso.alias("cls"),
+        )
+
+    scored = F.filter(
+        F.transform(blocks, feats), lambda s: F.length(s["text"]) > 0
+    )
+
+    # one-step context smoothing: near -> good next to a good neighbor.
+    # F.get, NOT element_at: get is 0-based and NULL on out-of-range,
+    # while ANSI element_at THROWS on index 0 / past-the-end — a first
+    # or last 'near' block would crash the job (caught in tests; the
+    # And short-circuit hides it whenever edge blocks are bad/good)
+    def smooth(s: Column, i: Column) -> Column:
+        prev_good = F.coalesce(
+            F.get(scored, i - 1)["cls"] == "good", F.lit(False)
+        )
+        nxt_good = F.coalesce(
+            F.get(scored, i + 1)["cls"] == "good", F.lit(False)
+        )
+        promoted = F.when(
+            (s["cls"] == "near") & (prev_good | nxt_good), F.lit("good")
+        ).otherwise(s["cls"])
+        return F.struct(
+            s["text"].alias("text"),
+            s["n_words"].alias("n_words"),
+            s["link_density"].alias("link_density"),
+            s["stop_ratio"].alias("stop_ratio"),
+            promoted.alias("cls"),
+        )
+
+    smoothed = F.transform(scored, smooth)
+    return F.coalesce(
+        smoothed,
+        F.array().cast(
+            "array<struct<text:string,n_words:int,link_density:double,"
+            "stop_ratio:double,cls:string>>"
+        ),
+    )
+
+
+def main_content(col: Column | str) -> Column:
+    """The page's main prose: good blocks of
+    :func:`main_content_blocks` joined with newlines.  NULL html →
+    NULL (match html_to_text's propagation)."""
+    blocks = main_content_blocks(col)
+    joined = F.array_join(
+        F.transform(
+            F.filter(blocks, lambda s: s["cls"] == "good"),
+            lambda s: s["text"],
+        ),
+        "\n",
+    )
+    return F.when(c(col).isNull(), F.lit(None).cast("string")).otherwise(joined)
 
 
 # --------------------------------------------------------------------- #

@@ -10390,6 +10390,177 @@ def html_text_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# DOM-block main-content fixture (round 13): real nav/aside/footer
+# link furniture around the documents text, plus a stopword-poor
+# "near" block between two prose paragraphs pinning the one-step
+# neighbor promotion.
+_MC_PRE = (
+    '<html><head><script>menu()</script></head><body>'
+    '<nav><a href="/">Home</a> <a href="/archive">Archive</a> '
+    '<a href="/tags">Tags</a> <a href="/about">About</a></nav>'
+    '<h1>Entry</h1><p>'
+)
+_MC_POST = (
+    '</p><p>alpha beta gamma delta epsilon zeta eta theta iota kappa '
+    'lambda mu</p>'
+    '<p>A closing paragraph of the article with enough ordinary words '
+    'in it to stay classified as prose by the extractor.</p>'
+    '<aside><a>Rel one</a> <a>Rel two</a> <a>Rel three</a></aside>'
+    '<footer><a>Terms</a> | <a>Privacy</a> | <a>Imprint</a> | '
+    '<a>Jobs</a></footer></body></html>'
+)
+
+
+def _mc_tail_sql(expr: str) -> str:
+    """DuckDB replay of the per-block text rules (HTML_RULES tail after
+    the block-tag rule — the `_BLOCK_TEXT_RULES` slice, same table)."""
+    from hobbes_spark.functions.web import HTML_RULES
+
+    out = expr
+    for pat, rep in HTML_RULES[4:]:
+        out = f"regexp_replace({out}, {_esql(pat)}, {_esql(rep)}, 'g')"
+    return out
+
+
+def _mc_clean_sql(expr: str) -> str:
+    from hobbes_spark.functions.web import HTML_RULES
+
+    out = expr
+    for pat, rep in HTML_RULES[:3]:
+        out = f"regexp_replace({out}, {_esql(pat)}, {_esql(rep)}, 'g')"
+    return out
+
+
+def _mc_sql() -> str:
+    from hobbes_spark.functions.text import STOPWORDS
+    from hobbes_spark.functions.web import (
+        ANCHOR_TEXT_RE,
+        BLOCK_SPLIT_RE,
+        MAX_LINK_DENSITY,
+        MIN_STOP_RATIO,
+        MIN_WORDS,
+    )
+
+    stop_list = ", ".join(_esql(w) for w in STOPWORDS)
+    atext_src = (
+        f"array_to_string(regexp_extract_all(b, {_esql(ANCHOR_TEXT_RE)}, 1), ' ')"
+    )
+    return rf"""
+    WITH base AS (
+      SELECT doc_id, ({_esql(_MC_PRE)} || text || {_esql(_MC_POST)}) AS html
+      FROM documents
+    ),
+    cleaned AS (SELECT doc_id, {_mc_clean_sql("html")} AS h FROM base),
+    bl AS (
+      SELECT doc_id,
+             regexp_split_to_array(h, {_esql(BLOCK_SPLIT_RE)}) AS arr
+      FROM cleaned
+    ),
+    rawb AS (
+      SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i,
+             unnest(arr) AS b
+      FROM bl
+    ),
+    feat AS (
+      SELECT doc_id, i,
+             trim({_mc_tail_sql("b")}) AS text,
+             trim({_mc_tail_sql(atext_src)}) AS atext
+      FROM rawb
+    ),
+    sc AS (
+      SELECT doc_id, i, text,
+             CASE WHEN text = '' THEN []
+                  ELSE string_split_regex(lower(text), '\s+') END AS toks,
+             CAST(length(atext) AS DOUBLE)
+               / greatest(length(text), 1) AS link_density
+      FROM feat WHERE length(text) > 0
+    ),
+    cl AS (
+      SELECT doc_id, i, text,
+             CASE WHEN link_density > {MAX_LINK_DENSITY!r}
+                       OR len(toks) < {MIN_WORDS} THEN 'bad'
+                  WHEN CAST(len(list_filter(toks,
+                            t -> t IN ({stop_list}))) AS DOUBLE)
+                       / greatest(len(toks), 1) >= {MIN_STOP_RATIO!r}
+                       THEN 'good'
+                  ELSE 'near' END AS iso
+      FROM sc
+    ),
+    sm AS (
+      SELECT doc_id, i, text,
+             CASE WHEN iso = 'near' AND (
+                    COALESCE(LAG(iso) OVER w, '') = 'good'
+                    OR COALESCE(LEAD(iso) OVER w, '') = 'good')
+                  THEN 'good' ELSE iso END AS cls
+      FROM cl WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS INTEGER) AS n_blocks,
+             CAST(SUM(CASE WHEN cls = 'good' THEN 1 ELSE 0 END)
+                  AS INTEGER) AS n_good,
+             COALESCE(string_agg(CASE WHEN cls = 'good' THEN text END,
+                                 chr(10) ORDER BY i), '') AS main
+      FROM sm GROUP BY doc_id
+    ),
+    ht AS (SELECT doc_id, {_html_sql("html")} AS txt FROM base)
+    SELECT b.doc_id,
+           COALESCE(a.n_blocks, 0) AS n_blocks,
+           COALESCE(a.n_good, 0) AS n_good,
+           CAST(length(COALESCE(a.main, '')) AS BIGINT) AS main_chars,
+           CAST(length(ht.txt) AS BIGINT) AS html_chars,
+           md5(COALESCE(a.main, '')) AS fp
+    FROM base b LEFT JOIN agg a USING (doc_id) JOIN ht USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@q("main_content_stats", None)
+def main_content_stats(spark, sf_dir):
+    """DOM-block main-content extraction (round 13 verdict item 5, the
+    jusText-class first pass): pages built from the documents text
+    wrapped in REAL link furniture (nav, aside, footer, a stopword-poor
+    near block between two prose paragraphs).  Blocks split on the
+    shared BLOCK_SPLIT_RE, score by link density / length / stopword
+    density, classify bad/near/good, and the one-step neighbor
+    promotion lifts the planted near block.  html_chars (the plain
+    HTML_RULES whole-page text) sits beside main_chars as the A/B —
+    the delta IS the nav/footer noise the line-dedup family cannot see
+    on page-unique furniture.  Pure higher-order Columns, map-only,
+    zero shuffle; the DuckDB oracle replays the SAME rule tables
+    (block split, anchor regex, HTML_RULES tail, stopword list,
+    thresholds) with window-function smoothing."""
+    from hobbes_spark.functions.web import (
+        html_to_text,
+        main_content_blocks,
+    )
+
+    docs = _t(spark, sf_dir, "documents").df
+    raw = F.concat(F.lit(_MC_PRE), F.col("text"), F.lit(_MC_POST))
+    blocks = main_content_blocks(raw)
+    mc = F.array_join(
+        F.transform(
+            F.filter(blocks, lambda s: s["cls"] == "good"),
+            lambda s: s["text"],
+        ),
+        "\n",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(blocks).cast("int").alias("n_blocks"),
+        F.size(F.filter(blocks, lambda s: s["cls"] == "good"))
+        .cast("int").alias("n_good"),
+        F.length(mc).cast("bigint").alias("main_chars"),
+        F.length(html_to_text(raw)).cast("bigint").alias("html_chars"),
+        F.md5(mc).alias("fp"),
+    ).orderBy("doc_id")
+
+
+QUERIES["main_content_stats"] = QuerySpec(
+    spark=QUERIES["main_content_stats"].spark, oracle=_mc_sql()
+)
+
+
 def _meta_sql(field: str, raw_expr: str) -> str:
     """DuckDB replay of ONE HTML_META_RULES extraction over raw_expr —
     same pattern, same group-1/group-2 coalesce as functions/web.html_meta."""
@@ -13122,7 +13293,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # lang_id_counts is fixed this round), then the r8 staleness tail.
     # Queries ADDED in round 13 are never-signed and are PREPENDED
     # above this block as they land (displacing the tail to r14).
-    "pdf_cmap_text", "substring_dup_spans",
+    "pdf_cmap_text", "substring_dup_spans", "main_content_stats",
     "bpe_encode_words", "bpe_merges", "minhash_pairs_fast",
     "html_meta_docs", "lang_id_counts", "outlink_domains", "robots_filter",
     "robots_filter_hosts", "stream_warc_ingest", "warc_charset_decode",

@@ -5056,3 +5056,68 @@ def test_decode_pixels_png_depths_hand_derived():
     # still-unsupported combos refuse: 16-bit palette, 4-bit RGB
     assert decode_pixels(png(1, 1, 16, 3, bytes(3), plte)) is None
     assert decode_pixels(png(1, 1, 4, 2, bytes(2))) is None
+
+
+class TestMainContent:
+    """r13: DOM-block main-content extraction (jusText-class) — block
+    split, link-density/length/stopword classification, one-step
+    neighbor promotion."""
+
+    PAGE = (
+        '<html><head><script>var x=1;</script></head><body>'
+        '<nav><a href="/">Home</a> <a href="/a">About</a> '
+        '<a href="/c">Contact</a></nav>'
+        '<h1>The Article Title</h1>'
+        '<p>This is the first paragraph of the article and it contains '
+        'quite a few words of real prose that a reader would keep.</p>'
+        '<p>alpha beta gamma delta epsilon zeta eta theta iota kappa '
+        'lambda mu</p>'
+        '<p>A second paragraph follows with more of the same content '
+        'and it is also long enough to count as prose for the test.</p>'
+        '<aside><a>Rel one</a> <a>Rel two</a> <a>Rel three</a></aside>'
+        '<footer><a>Terms</a> | <a>Privacy</a></footer></body></html>'
+    )
+
+    def _run(self, spark, html):
+        from hobbes_spark.functions.web import main_content, main_content_blocks
+
+        df = spark.createDataFrame([(1, html)], "id long, html string")
+        r = df.select(
+            main_content_blocks("html").alias("b"),
+            main_content("html").alias("mc"),
+        ).head()
+        return r["b"], r["mc"]
+
+    def test_furniture_drops_prose_survives(self, spark):
+        blocks, mc = self._run(spark, self.PAGE)
+        cls = [b["cls"] for b in blocks]
+        texts = [b["text"] for b in blocks]
+        assert cls[texts.index("Home About Contact")] == "bad"
+        assert cls[texts.index("Terms | Privacy")] == "bad"
+        assert mc.startswith("This is the first paragraph")
+        assert "Home" not in mc and "Terms" not in mc
+        assert "second paragraph" in mc
+
+    def test_near_block_promotes_next_to_good(self, spark):
+        blocks, mc = self._run(spark, self.PAGE)
+        greek = next(b for b in blocks if b["text"].startswith("alpha beta"))
+        # stopword-poor but long and linkless: promoted by its good
+        # neighbors, so the content keeps contiguous prose runs
+        assert greek["cls"] == "good" and greek["stop_ratio"] == 0.0
+        assert "alpha beta" in mc
+
+    def test_isolated_near_block_stays_out(self, spark):
+        html = ('<p>alpha beta gamma delta epsilon zeta eta theta iota '
+                'kappa lambda mu</p><div><a>x</a> <a>y</a> <a>z</a></div>')
+        blocks, mc = self._run(spark, html)
+        assert [b["cls"] for b in blocks] == ["near", "bad"]
+        assert mc == ""
+
+    def test_null_propagates_and_plan_map_only(self, spark):
+        from hobbes_spark.functions.web import main_content
+
+        df = spark.createDataFrame([(1, None)], "id long, html string")
+        assert df.select(main_content("html").alias("m")).head()["m"] is None
+        plan = (df.select(main_content("html"))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
