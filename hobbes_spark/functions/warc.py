@@ -47,6 +47,9 @@ __all__ = [
     "warc_records",
     "sniff_charset",
     "decode_payload",
+    "gzip_member_spans",
+    "cdx_index",
+    "cdx_fetch",
 ]
 
 #: headers surfaced as typed columns (canonical lower-case keys)
@@ -107,9 +110,49 @@ def parse_warc_records(data: bytes, max_records: int = 1 << 20) -> list[dict]:
         if length < 0 or head_end + 4 + length > n:
             break  # truncated block: refuse the tail, keep the parsed
         block = data[head_end + 4 : head_end + 4 + length]
-        out.append({"version": version, "headers": headers, "block": block})
+        out.append({
+            "version": version, "headers": headers, "block": block,
+            # byte addressing within THIS stream (r13, CDX index build):
+            # record start (version line) and total record bytes
+            # (headers + separator + block; the inter-record CRLFs are
+            # the next record's padding)
+            "offset": i, "nbytes": head_end + 4 + length - i,
+        })
         i = head_end + 4 + length
     return out
+
+
+def gzip_member_spans(data: bytes) -> list[tuple[int, int]] | None:
+    """``(offset, compressed_length)`` of every gzip MEMBER in a
+    multi-member gzip stream — the Common Crawl WARC layout writes one
+    member per record precisely so a CDX index can address records in
+    the COMPRESSED file and a consumer can range-read one record
+    without inflating the shard.  Walks members with
+    ``zlib.decompressobj(31)`` + ``unused_data`` (each member's end is
+    where the decoder hands back the remainder).  ``None`` when
+    ``data`` is not gzip; a trailing corrupt/truncated member ends the
+    walk (keep-your-head)."""
+    import zlib as _z
+
+    if data[:2] != b"\x1f\x8b":
+        return None
+    spans: list[tuple[int, int]] = []
+    pos = 0
+    n = len(data)
+    while pos < n and data[pos : pos + 2] == b"\x1f\x8b":
+        d = _z.decompressobj(31)
+        try:
+            d.decompress(data[pos:], _DECOMPRESS_CAP)
+        except _z.error:
+            break
+        if not d.eof:
+            break  # truncated member
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:
+            break
+        spans.append((pos, consumed))
+        pos += consumed
+    return spans if spans else None
 
 
 def split_http_response(block: bytes):
@@ -600,3 +643,230 @@ def decode_payload(
     # utf-8-sig strips its BOM; the utf-16/32 -le/-be codecs do not —
     # a leading U+FEFF is framing, not content, either way
     return cs, text.lstrip("﻿")
+
+
+# --------------------------------------------------------------------- #
+# CDX(J) capture index + selective fetch (round 13 verdict item 7).
+# Real Common Crawl consumers never scan WARC bytes to find pages: they
+# query the CDX index (SURT key -> shard/offset/length) and range-read
+# ONLY the matching records.  cdx_index builds that index from shard
+# columns; cdx_fetch is the consumer half — it touches O(matches)
+# bytes, not O(records), whenever the shard layout is addressable
+# (plain, or the CC one-gzip-member-per-record layout).
+# --------------------------------------------------------------------- #
+
+_CDX_OUT = (
+    "media_id long, record_index int, surt string, ts string, url string, "
+    "status int, mime string, digest string, offset long, length long, "
+    "addressing string"
+)
+
+
+def _bare_mime(ct) -> str | None:
+    if not ct:
+        return None
+    return str(ct).split(";", 1)[0].strip().lower() or None
+
+
+def _cdx_rows_for_stream(mid, base_offset, comp_len, raw, addressing):
+    """Index rows for the records of ONE addressable stream (a whole
+    plain shard, or one inflated gzip member)."""
+    import hashlib
+    import re
+
+    rows = []
+    for rec in parse_warc_records(raw):
+        h = rec["headers"]
+        status, hh, _body = (
+            split_http_response(rec["block"])
+            if h.get("warc-type") == "response"
+            else (None, {}, rec["block"])
+        )
+        ts = re.sub(r"\D", "", h.get("warc-date") or "")[:14] or None
+        digest = h.get("warc-payload-digest") or (
+            "md5:" + hashlib.md5(rec["block"]).hexdigest()
+        )
+        mime = _bare_mime(hh.get("content-type")) or _bare_mime(
+            h.get("content-type")
+        )
+        if addressing == "gzip-member":
+            off, ln = base_offset, comp_len
+        else:
+            off, ln = base_offset + rec["offset"], rec["nbytes"]
+        rows.append((
+            int(mid), h.get("warc-target-uri"), ts, status, mime, digest,
+            off, ln, addressing,
+        ))
+    return rows
+
+
+def cdx_index(
+    media: DataFrame, *, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """CDXJ-style capture index over a WARC-shard binary column: one
+    row per record with the fields a crawl consumer prunes on — SURT
+    key (``web.surt_key``, range-prunable by host/domain), 14-digit
+    timestamp, URL, HTTP status, bare mime, payload digest
+    (``WARC-Payload-Digest`` when the writer recorded one, else
+    ``md5:`` over the block), and the byte ADDRESS of the record:
+
+    * ``gzip-member`` — the CC layout: offset/length of the record's
+      own gzip member in the COMPRESSED shard (range-read + inflate
+      one member);
+    * ``raw`` — plain shards: offset/length of the record bytes;
+    * ``decompressed`` — whole-stream codecs (zstd/bzip2/xz): offsets
+      into the inflated stream; selective access still prunes which
+      RECORDS parse, but the stream must inflate once per shard (the
+      documented cost of non-member layouts — re-shard to member gzip
+      for true range reads).
+
+    Map-only over Arrow batches, zero shuffle; write sorted by
+    ``surt, ts`` for a range-prunable on-disk index."""
+    from hobbes_spark.functions.web import surt_key
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    continue
+                data = bytes(blob)
+                shard_rows = []
+                spans = gzip_member_spans(data)
+                if spans is not None:
+                    import zlib as _z
+
+                    for off, ln in spans:
+                        d = _z.decompressobj(31)
+                        try:
+                            raw = d.decompress(
+                                data[off : off + ln], _DECOMPRESS_CAP)
+                        except _z.error:
+                            continue
+                        shard_rows += _cdx_rows_for_stream(
+                            mid, off, ln, raw, "gzip-member")
+                elif data[:5] == b"WARC/":
+                    shard_rows = _cdx_rows_for_stream(
+                        mid, 0, len(data), data, "raw")
+                else:
+                    got = sniff_decompress(data, _DECOMPRESS_CAP)
+                    if got is None or not got[1].startswith(b"WARC/"):
+                        continue
+                    shard_rows = _cdx_rows_for_stream(
+                        mid, 0, len(data), got[1], "decompressed")
+                rows += [
+                    (r[0], k) + r[1:] for k, r in enumerate(shard_rows)
+                ]
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "record_index", "url", "ts", "status",
+                         "mime", "digest", "offset", "length", "addressing"],
+            )
+            out["record_index"] = pd.array(out["record_index"], dtype="Int32")
+            out["status"] = pd.array(out["status"], dtype="Int32")
+            yield out
+
+    flat = media.mapInPandas(
+        run,
+        schema=("media_id long, record_index int, url string, ts string, "
+                "status int, mime string, digest string, offset long, "
+                "length long, addressing string"),
+    )
+    return flat.select(
+        "media_id", "record_index", surt_key("url").alias("surt"), "ts",
+        "url", "status", "mime", "digest", "offset", "length", "addressing",
+    )
+
+
+def cdx_fetch(
+    media: DataFrame,
+    matches: DataFrame,
+    *,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    encoding: str = "utf-8",
+) -> DataFrame:
+    """Selective record fetch — the consumer half of the CDX plan:
+    ``matches`` is a pruned slice of :func:`cdx_index` output
+    (``media_id, record_index, offset, length, addressing``), and only
+    THOSE byte ranges are read and parsed.  One keyed equi-join
+    co-locates each shard with its match list (shards with no matches
+    never ship), then a map-only slice+parse per match: O(matches)
+    record parses and — on ``raw``/``gzip-member`` layouts —
+    O(matches) bytes touched.  Body decodes through the same
+    charset/texty gate as :func:`warc_records`."""
+    sel = matches.groupBy(F.col(id_col).alias("__cid")).agg(
+        F.collect_list(
+            F.struct("record_index", "offset", "length", "addressing")
+        ).alias("__spans")
+    )
+    joined = media.join(
+        sel, F.col(id_col) == F.col("__cid"), "inner"
+    ).select(id_col, content_col, "__spans")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib as _z
+
+        for pdf in batches:
+            rows = []
+            for mid, blob, spans in zip(
+                pdf[id_col], pdf[content_col], pdf["__spans"]
+            ):
+                if blob is None:
+                    continue
+                data = bytes(blob)
+                inflated = None  # lazy, once per shard, decompressed only
+                for sp in spans:
+                    ridx, off, ln, addressing = (
+                        int(sp["record_index"]), int(sp["offset"]),
+                        int(sp["length"]), sp["addressing"],
+                    )
+                    if addressing == "gzip-member":
+                        d = _z.decompressobj(31)
+                        try:
+                            raw = d.decompress(data[off : off + ln],
+                                               _DECOMPRESS_CAP)
+                        except _z.error:
+                            continue
+                    elif addressing == "raw":
+                        raw = data[off : off + ln]
+                    else:  # decompressed addressing: inflate once
+                        if inflated is None:
+                            got = sniff_decompress(data, _DECOMPRESS_CAP)
+                            inflated = got[1] if got else b""
+                        raw = inflated[off : off + ln]
+                    recs = parse_warc_records(raw)
+                    if not recs:
+                        continue
+                    rec = recs[0]
+                    h = rec["headers"]
+                    if h.get("warc-type") == "response":
+                        status, hh, body = split_http_response(rec["block"])
+                        ct = hh.get("content-type")
+                        coding = hh.get("content-encoding")
+                        if coding:
+                            body = _inflate_http_body(body, coding)
+                        if body is not None and _texty_content_type(ct):
+                            _, text = decode_payload(body, ct, default=encoding)
+                        else:
+                            text = None
+                    else:
+                        status, text = None, None
+                    rows.append((
+                        int(mid), ridx, h.get("warc-target-uri"),
+                        status, text,
+                    ))
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "record_index", "target_uri",
+                         "http_status", "body"],
+            )
+            out["record_index"] = pd.array(out["record_index"], dtype="Int32")
+            out["http_status"] = pd.array(out["http_status"], dtype="Int32")
+            yield out
+
+    return joined.mapInPandas(
+        run,
+        schema=("media_id long, record_index int, target_uri string, "
+                "http_status int, body string"),
+    )

@@ -38,6 +38,7 @@ from hobbes_spark.expressions import c
 
 __all__ = [
     "canonical_url",
+    "surt_key",
     "url_host",
     "registrable_domain",
     "registrable_domain_df",
@@ -86,6 +87,28 @@ def url_host(col: Column | str) -> Column:
     nouser = F.regexp_replace(hostport, r"^[^@]*@", "")
     host = F.lower(F.regexp_replace(nouser, r":\d*$", ""))
     return F.when(has_scheme & (F.length(host) > 0), host)
+
+
+def surt_key(col: Column | str) -> Column:
+    """SURT-ordered URL key (Sort-friendly URI Reordering Transform,
+    the CDX(J) index key): lowercased host components REVERSED and
+    comma-joined, ``)`` separator, then the lowercased path+query —
+    ``https://News.Example.com:443/A/b?q=1`` →
+    ``com,example,news)/a/b?q=1``.  Scheme, default-and-explicit
+    ports, userinfo and fragment drop (records for one page sort
+    adjacently regardless of spelling); NULL for non-URLs.  One
+    codegen expression — no UDF, no shuffle — so a 100 TB index build
+    stays scan-shaped and the sorted layout gives range-prunable
+    host/domain scans (every ``com,example,``-prefixed key is one
+    contiguous run)."""
+    u = F.trim(c(col))
+    host = url_host(u)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    rest = F.regexp_replace(nofrag, _SCHEME_RE, "")
+    path = F.lower(F.regexp_extract(rest, r"^[^/?#]*(.*)$", 1))
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
+    return F.when(host.isNotNull(), F.concat(rev, F.lit(")"), path))
 
 
 def canonical_url(col: Column | str) -> Column:

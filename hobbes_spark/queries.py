@@ -11995,6 +11995,156 @@ def _warc_rec(rtype: str, uri: str, block: bytes, extra: dict) -> bytes:
     return b"\r\n".join(h) + b"\r\n\r\n" + block + b"\r\n\r\n"
 
 
+# --------------------------------------------------------------------- #
+# CDX(J) capture index + selective fetch (round 13 verdict item 7):
+# the index a real Common Crawl consumer queries BEFORE touching WARC
+# bytes.  The fixture carries the SAME three records in BOTH shard
+# layouts — plain (raw byte addressing) and one-gzip-member-per-record
+# (the CC layout, compressed-offset addressing) — and the oracle's
+# offsets/lengths/digests are CONSTRUCTION arithmetic (piece lengths
+# summed while building the shard, md5 computed over the assembled
+# block), fully independent of the parser under test.
+# --------------------------------------------------------------------- #
+
+_CDX_RECS = [
+    # (uri, body) — SURT pins: host case folds, default port drops,
+    # non-default port also drops (key groups captures of one page),
+    # query survives lowercased
+    ("https://News.Example.com:443/A/b?q=1", b"<p>one</p>"),
+    ("http://other.example:8080/Page", b"<p>two</p>"),
+    ("https://news.example.com/c", b"<p>three</p>"),
+]
+
+_CDX_SURTS = [
+    "com,example,news)/a/b?q=1",
+    "example,other)/page",
+    "com,example,news)/c",
+]
+
+
+def _cdx_raw_rec(uri: str, body: bytes) -> bytes:
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    return _warc_rec("response", uri, http,
+                     {"Content-Type": "application/http; msgtype=response"})
+
+
+def _cdx_fixture():
+    """(plain_shard, member_gz_shard, oracle_rows) — oracle rows are
+    built from construction arithmetic only."""
+    import gzip as _gz
+    import hashlib as _hl
+
+    raws = [_cdx_raw_rec(u, b) for u, b in _CDX_RECS]
+    comps = [_gz.compress(r, mtime=0) for r in raws]
+    plain = b"".join(raws)
+    member = b"".join(comps)
+    rows = []
+    off_raw = 0
+    off_gz = 0
+    for k, ((uri, body), raw, comp, surt) in enumerate(
+        zip(_CDX_RECS, raws, comps, _CDX_SURTS)
+    ):
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body)
+        digest = "md5:" + _hl.md5(http).hexdigest()
+        # the stored record is raw minus its trailing record separator
+        rows.append((1, k, surt, "20260201100000", uri, 200, "text/html",
+                     digest, off_raw, len(raw) - 4, "raw"))
+        rows.append((2, k, surt, "20260201100000", uri, 200, "text/html",
+                     digest, off_gz, len(comp), "gzip-member"))
+        off_raw += len(raw)
+        off_gz += len(comp)
+    return plain, member, rows
+
+
+def _cdx_fixture_df(spark):
+    plain, member, _ = _cdx_fixture()
+    return spark.createDataFrame(
+        [(1, bytearray(plain)), (2, bytearray(member))],
+        "media_id long, content binary")
+
+
+def _cdx_oracle_sql() -> str:
+    _, _, rows = _cdx_fixture()
+    vals = ", ".join(
+        f"(CAST({m} AS BIGINT), CAST({k} AS INTEGER), {_esql(surt)}, "
+        f"{_esql(ts)}, {_esql(uri)}, CAST({st} AS INTEGER), {_esql(mime)}, "
+        f"{_esql(dg)}, CAST({off} AS BIGINT), CAST({ln} AS BIGINT), "
+        f"{_esql(ad)})"
+        for m, k, surt, ts, uri, st, mime, dg, off, ln, ad in rows
+    )
+    return f"""
+    SELECT * FROM (VALUES {vals})
+      AS t(media_id, record_index, surt, ts, url, status, mime, digest,
+           "offset", "length", addressing)
+    ORDER BY media_id, record_index
+    """
+
+
+@q("cdx_index_build", None)
+def cdx_index_build(spark, sf_dir):
+    """CDX(J) capture index over WARC shards (`warc.cdx_index` +
+    `web.surt_key`): SURT key (host-reversed, case/port-folded,
+    range-prunable by domain prefix), 14-digit timestamp, status, bare
+    mime, payload digest, and the byte ADDRESS of every record in BOTH
+    real layouts — raw offsets in a plain shard and compressed member
+    offsets in the one-gzip-member-per-record Common Crawl layout
+    (gzip_member_spans walks member boundaries via decompressobj
+    unused_data).  The oracle's offsets/lengths/digests come from
+    CONSTRUCTION arithmetic over the fixture pieces — independent of
+    the parser.  Map-only over Arrow batches; sort by (surt, ts) on
+    write for a prunable on-disk index."""
+    from hobbes_spark.functions.warc import cdx_index
+
+    return cdx_index(_cdx_fixture_df(spark)).orderBy(
+        "media_id", "record_index")
+
+
+QUERIES["cdx_index_build"] = QuerySpec(
+    spark=QUERIES["cdx_index_build"].spark, oracle=_cdx_oracle_sql())
+
+
+def _cdx_fetch_oracle_sql() -> str:
+    _, _, rows = _cdx_fixture()
+    vals = ", ".join(
+        f"(CAST({m} AS BIGINT), CAST({k} AS INTEGER), {_esql(uri)}, "
+        f"CAST(200 AS INTEGER), {_esql(_CDX_RECS[k][1].decode())})"
+        for m, k, surt, ts, uri, st, mime, dg, off, ln, ad in rows
+        if surt.startswith("com,example,news)")
+    )
+    return f"""
+    SELECT * FROM (VALUES {vals})
+      AS t(media_id, record_index, target_uri, http_status, body)
+    ORDER BY media_id, record_index
+    """
+
+
+@q("cdx_selective_fetch", None)
+def cdx_selective_fetch(spark, sf_dir):
+    """The consumer half of the CDX plan (`warc.cdx_fetch`): prune the
+    index by SURT domain prefix (one contiguous key range at corpus
+    scale), then read ONLY the matching byte ranges — a range-read +
+    single-member inflate per match on the CC layout, a raw slice on
+    plain shards; the other.example record's bytes are never parsed.
+    O(matches) work, not O(records): the property that makes 100 TB
+    selective access affordable.  One keyed equi-join (shards without
+    matches never ship) + map-only slice/parse."""
+    from hobbes_spark.functions.warc import cdx_fetch, cdx_index
+
+    media = _cdx_fixture_df(spark)
+    idx = cdx_index(media)
+    sel = idx.filter(
+        F.col("surt").startswith("com,example,news)")
+        & (F.col("status") == 200)
+    ).select("media_id", "record_index", "offset", "length", "addressing")
+    return cdx_fetch(media, sel).orderBy("media_id", "record_index")
+
+
+QUERIES["cdx_selective_fetch"] = QuerySpec(
+    spark=QUERIES["cdx_selective_fetch"].spark,
+    oracle=_cdx_fetch_oracle_sql())
+
+
 def _revisit_fixture_df(spark):
     """One plain shard: two stored responses and three revisit records
     exercising every linkage class (by-record-ID resolved, cross-slice
@@ -13294,6 +13444,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # Queries ADDED in round 13 are never-signed and are PREPENDED
     # above this block as they land (displacing the tail to r14).
     "pdf_cmap_text", "substring_dup_spans", "main_content_stats",
+    "cdx_index_build", "cdx_selective_fetch",
     "bpe_encode_words", "bpe_merges", "minhash_pairs_fast",
     "html_meta_docs", "lang_id_counts", "outlink_domains", "robots_filter",
     "robots_filter_hosts", "stream_warc_ingest", "warc_charset_decode",

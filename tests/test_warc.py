@@ -394,3 +394,77 @@ class TestWarcRecordsDataFrame:
             [(1, bytearray(b"x"))], "media_id long, content binary")
         plan = warc_records(media)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # zero shuffle: pure mapInPandas
+
+
+class TestCdxIndexAndFetch:
+    """r13: CDX(J) capture index + selective fetch."""
+
+    @staticmethod
+    def _rec(uri, body, status=b"200 OK"):
+        http = (b"HTTP/1.1 " + status +
+                b"\r\nContent-Type: text/html\r\n\r\n" + body)
+        return (b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+                + uri + b"\r\nWARC-Date: 2024-03-05T12:30:45Z\r\n"
+                b"Content-Type: application/http; msgtype=response\r\n"
+                b"Content-Length: %d\r\n\r\n" % len(http)
+                + http + b"\r\n\r\n")
+
+    def test_gzip_member_spans(self):
+        from hobbes_spark.functions.warc import gzip_member_spans
+
+        r1, r2 = self._rec(b"http://a/1", b"x"), self._rec(b"http://a/2", b"yy")
+        g1, g2 = gzip.compress(r1, mtime=0), gzip.compress(r2, mtime=0)
+        spans = gzip_member_spans(g1 + g2)
+        assert spans == [(0, len(g1)), (len(g1), len(g2))]
+        assert gzip_member_spans(b"not gzip") is None
+        # truncated second member keeps the first (keep-your-head)
+        assert gzip_member_spans(g1 + g2[:10]) == [(0, len(g1))]
+
+    def test_surt_key(self, spark):
+        from hobbes_spark.functions.web import surt_key
+
+        cases = [
+            ("https://News.Example.com:443/A/b?q=1",
+             "com,example,news)/a/b?q=1"),
+            ("http://other.example:8080/Page", "example,other)/page"),
+            ("https://site.example/x#frag", "example,site)/x"),
+            ("https://host.example", "example,host)/"),
+            ("not a url", None),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+        got = [r["s"] for r in df.select(surt_key("u").alias("s")).collect()]
+        assert got == [w for _, w in cases]
+
+    def test_selective_fetch_touches_only_matches(self, spark):
+        from hobbes_spark.functions.warc import cdx_fetch, cdx_index
+        from pyspark.sql import functions as F
+
+        # a CORRUPT record between two good ones: selective fetch of the
+        # good records must succeed without ever parsing the bad bytes
+        r1 = self._rec(b"https://keep.example/a", b"<p>a</p>")
+        bad = b"WARC/1.0\r\nbroken header no colon\r\n\r\n"
+        r3 = self._rec(b"https://keep.example/b", b"<p>b</p>")
+        shard_gz = b"".join(gzip.compress(r, mtime=0) for r in (r1, bad, r3))
+        media = spark.createDataFrame(
+            [(7, bytearray(shard_gz))], "media_id long, content binary")
+        idx = cdx_index(media)
+        # the corrupt member indexes no record; the good two do
+        assert idx.count() == 2
+        sel = idx.filter(F.col("surt").startswith("example,keep)")) \
+                 .select("media_id", "record_index", "offset", "length",
+                         "addressing")
+        got = {r["target_uri"]: r["body"]
+               for r in cdx_fetch(media, sel).collect()}
+        assert got == {"https://keep.example/a": "<p>a</p>",
+                       "https://keep.example/b": "<p>b</p>"}
+
+    def test_no_match_shards_never_ship(self, spark):
+        from hobbes_spark.functions.warc import cdx_fetch
+
+        media = spark.createDataFrame(
+            [(1, bytearray(self._rec(b"http://x/1", b"z")))],
+            "media_id long, content binary")
+        empty = spark.createDataFrame(
+            [], "media_id long, record_index int, offset long, "
+                "length long, addressing string")
+        assert cdx_fetch(media, empty).count() == 0

@@ -917,6 +917,38 @@ def main():
             "media_id", "record_index", "http_status",
             F.length("body").alias("n"))
 
+    def cdx_selective_shape(do):
+        # r13: CDX index build (corpus-linear) + selective fetch of the
+        # ~1%-of-records host — fetch work is bounded by MATCHES, so
+        # the end-to-end shape stays comfortably linear even though the
+        # corpus grows 16x
+        from hobbes_spark.functions.warc import cdx_fetch, cdx_index
+
+        body = F.col("text")
+        http = F.concat(
+            F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+            body)
+        rec = F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+                  "https://h"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(".example/p"), F.col("doc_id").cast("string"),
+            F.lit("\r\nWARC-Date: 2026-02-01T10:00:00Z\r\nContent-Type: "
+                  "application/http; msgtype=response\r\nContent-Length: "),
+            F.octet_length(http).cast("string"),
+            F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"))
+        shards = (
+            do.select((F.col("doc_id") % 64).alias("media_id"),
+                      rec.alias("rec"))
+            .groupBy("media_id")
+            .agg(F.concat_ws("", F.collect_list("rec"))
+                 .cast("binary").alias("content"))
+        )
+        idx = cdx_index(shards)
+        sel = idx.filter(F.col("surt").startswith("example,h7)")).select(
+            "media_id", "record_index", "offset", "length", "addressing")
+        return cdx_fetch(shards, sel)
+
     def substring_spans_shape(do):
         # r13: Lee-et-al exact substring dedup — gram fingerprints +
         # adjacent-run merge; k=50 (the paper's setting) to pin that
@@ -936,6 +968,7 @@ def main():
             "pdf_text_parse": (pdf_parse_shape, do1, "documents"),
             "byte_bpe_encode": (byte_bpe_shape, do1, "documents"),
             "substring_dup_spans": (substring_spans_shape, do1, "documents"),
+            "cdx_selective_access": (cdx_selective_shape, do1, "documents"),
         }
     )
 
