@@ -27,6 +27,7 @@ __all__ = [
     "exploded_window_hashes",
     "chained_window_hashes",
     "duplicate_substring_spans",
+    "remove_substring_spans",
     "word_shingles",
     "char_ngrams",
     "minhash_signature",
@@ -239,6 +240,65 @@ def duplicate_substring_spans(
             (F.col("span_end") - F.col("span_start") + 1).cast("int"),
         )
         .select(id_col, "span_start", "span_end", "span_tokens", "n_windows")
+    )
+
+
+def remove_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Apply :func:`duplicate_substring_spans`: rebuild every document
+    with each maximal ≥k-token corpus-duplicated substring cut out —
+    the Lee et al. 2022 treatment ("dedup the substrings, keep the
+    rest") at the paper's span semantics, where
+    ``curation.remove_duplicate_spans`` removes per-WINDOW.  Same
+    output contract as that operator: adds ``clean_text`` (surviving
+    casefolded tokens re-joined single-spaced), ``n_tokens``,
+    ``kept_tokens``; ``id_col`` must be unique non-NULL.
+
+    Cost shape: the covered-token explode here is
+    ``sequence(span_start, span_end)`` over MAXIMAL DISJOINT spans —
+    O(covered tokens) total, never the k-per-window amplification —
+    so k=50 subtraction costs the same shuffle volume as k=8.  Five
+    keyed shuffles end to end (three from the span reconstruction,
+    anti-join, re-assembly + join back)."""
+    spans = duplicate_substring_spans(df, text_col, k, id_col, min_count)
+    removed = spans.select(
+        c(id_col).alias(id_col),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("__tidx"),
+    )
+    tok = df.select(
+        c(id_col).alias(id_col), tokens(F.lower(c(text_col))).alias("__tk")
+    )
+    tokix = tok.select(
+        id_col, F.posexplode_outer("__tk").alias("__tidx", "__tok")
+    ).filter(F.col("__tidx").isNotNull())
+    kept = tokix.join(removed, [id_col, "__tidx"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__tidx", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+        ).alias("__clean"),
+        F.count(F.lit(1)).cast("bigint").alias("__kept"),
+    )
+    return (
+        df.withColumn(
+            "n_tokens", F.size(tokens(F.lower(c(text_col)))).cast("bigint")
+        )
+        .join(clean, id_col, "left")
+        .withColumn("clean_text", F.coalesce(F.col("__clean"), F.lit("")))
+        .withColumn(
+            "kept_tokens", F.coalesce(F.col("__kept"), F.lit(0).cast("bigint"))
+        )
+        .drop("__clean", "__kept")
     )
 
 

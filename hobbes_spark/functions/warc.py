@@ -50,6 +50,8 @@ __all__ = [
     "gzip_member_spans",
     "cdx_index",
     "cdx_fetch",
+    "cdx_to_cdxj",
+    "cdxj_records",
 ]
 
 #: headers surfaced as typed columns (canonical lower-case keys)
@@ -869,4 +871,60 @@ def cdx_fetch(
         run,
         schema=("media_id long, record_index int, target_uri string, "
                 "http_status int, body string"),
+    )
+
+
+def cdx_to_cdxj(idx: DataFrame) -> DataFrame:
+    """Serialize :func:`cdx_index` output to CDXJ text lines — the
+    interchange format real crawl indexes ship in (OpenWayback/pywb):
+    ``<SURT key> <14-digit ts> <JSON>`` with the JSON fields
+    stringified per convention and the shard named in ``filename``.
+    One string column ``line``, ORDERED BY (surt, ts) — the sort IS
+    the format's contract (binary-searchable / range-prunable on
+    disk).  Pure Column ``to_json`` — map-side, the only exchange is
+    the final sort.  NULL fields (non-response records) are omitted
+    from the JSON, as writers do."""
+    js = F.to_json(F.struct(
+        F.col("url").alias("url"),
+        F.col("digest").alias("digest"),
+        F.col("mime").alias("mime"),
+        F.col("status").cast("string").alias("status"),
+        F.col("offset").cast("string").alias("offset"),
+        F.col("length").cast("string").alias("length"),
+        F.concat(F.lit("shard-"), F.col("media_id").cast("string"))
+            .alias("filename"),
+    ))
+    return (
+        idx.select(
+            F.concat_ws(
+                " ", F.col("surt"), F.coalesce(F.col("ts"), F.lit("-")), js
+            ).alias("line"),
+            F.col("surt"), F.col("ts"),
+        )
+        .orderBy("surt", "ts")
+        .select("line")
+    )
+
+
+def cdxj_records(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse CDXJ lines back to typed capture columns — the consumer
+    side of the interchange: ``surt, ts, url, status, mime, digest,
+    offset, length, media_id``.  SURT keys never contain spaces, so a
+    3-way split is exact; JSON fields come out via get_json_object
+    with absent fields reading NULL (writers omit NULLs).  Map-only,
+    zero shuffle."""
+    parts = F.split(F.col(line_col), " ", 3)
+    js = parts[2]
+    return df.select(
+        parts[0].alias("surt"),
+        F.nullif(parts[1], F.lit("-")).alias("ts"),
+        F.get_json_object(js, "$.url").alias("url"),
+        F.get_json_object(js, "$.status").cast("int").alias("status"),
+        F.get_json_object(js, "$.mime").alias("mime"),
+        F.get_json_object(js, "$.digest").alias("digest"),
+        F.get_json_object(js, "$.offset").cast("long").alias("offset"),
+        F.get_json_object(js, "$.length").cast("long").alias("length"),
+        F.regexp_extract(
+            F.get_json_object(js, "$.filename"), r"^shard-(\d+)$", 1
+        ).cast("long").alias("media_id"),
     )

@@ -4216,6 +4216,82 @@ def substring_dup_spans(spark, sf_dir):
     return out.orderBy("doc_id", "span_start")
 
 
+@q(
+    "substring_dedup_clean",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES {_SUBSTR_FIX_SQL}) AS f(doc_id, text)
+    ),
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM base),
+    grams AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(t) - 4, 1))) AS pos,
+             unnest(list_transform(range(1, greatest(len(t) - 4, 1)),
+                                   i -> array_to_string(t[i:i+5], ' '))) AS g
+      FROM toks
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS cnt FROM grams
+      ) WHERE cnt >= 2
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dup
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS lo, MAX(pos) + 5 AS hi
+      FROM isl GROUP BY doc_id, grp
+    ),
+    removed AS (
+      SELECT doc_id, unnest(range(lo, hi + 1)) AS idx FROM spans
+    ),
+    tokix AS (
+      SELECT doc_id, unnest(range(1, len(t) + 1)) AS idx, unnest(t) AS tok
+      FROM toks
+    ),
+    kept AS (
+      SELECT doc_id, idx, tok FROM tokix
+      ANTI JOIN removed USING (doc_id, idx)
+    ),
+    clean AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS kept_tokens
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(cl.clean_text, '') AS clean_text,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cl.kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM base b JOIN toks t USING (doc_id) LEFT JOIN clean cl USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def substring_dedup_clean(spark, sf_dir):
+    """Span SUBTRACTION at the Lee et al. 2022 semantics
+    (`dedup.remove_substring_spans`): every maximal >=k-token
+    corpus-duplicated substring cut out, the rest of each doc kept —
+    composing the r13 span reconstruction through the existing
+    anti-join/re-assembly plumbing.  The covered-token explode runs
+    over maximal DISJOINT spans (O(covered tokens), never the
+    per-window k x amplification), so the paper's k=50 costs what k=8
+    does.  Same planted overlapping/nested-run fixture as
+    `substring_dup_spans`; the oracle replays span discovery on string
+    grams then subtracts with an ANTI JOIN and re-assembles with an
+    ordered string_agg."""
+    from hobbes_spark.functions.dedup import remove_substring_spans
+
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "text")
+    fix = spark.createDataFrame(_SUBSTR_FIX, "doc_id long, text string")
+    out = remove_substring_spans(
+        docs.unionByName(fix), "text", k=6, id_col="doc_id")
+    return out.select(
+        "doc_id", "clean_text", "n_tokens", "kept_tokens").orderBy("doc_id")
+
+
 # --------------------------------------------------------------------- #
 # Multimodal: binary media columns through the Arrow mapInPandas decode
 # path (functions/multimodal.py). The corpus is synthesized in-plan so
@@ -12145,6 +12221,46 @@ QUERIES["cdx_selective_fetch"] = QuerySpec(
     oracle=_cdx_fetch_oracle_sql())
 
 
+def _cdxj_oracle_sql() -> str:
+    _, _, rows = _cdx_fixture()
+    vals = ", ".join(
+        f"({_esql(surt)}, {_esql(ts)}, {_esql(uri)}, CAST({st} AS INTEGER), "
+        f"{_esql(mime)}, {_esql(dg)}, CAST({off} AS BIGINT), "
+        f"CAST({ln} AS BIGINT), CAST({m} AS BIGINT))"
+        for m, k, surt, ts, uri, st, mime, dg, off, ln, ad in rows
+    )
+    return f"""
+    SELECT * FROM (VALUES {vals})
+      AS t(surt, ts, url, status, mime, digest, "offset", "length",
+           media_id)
+    ORDER BY surt, ts, media_id, "offset"
+    """
+
+
+@q("cdxj_roundtrip", None)
+def cdxj_roundtrip(spark, sf_dir):
+    """CDXJ interchange round-trip (`warc.cdx_to_cdxj` →
+    `warc.cdxj_records`): the index serializes to sorted
+    ``<surt> <ts> <json>`` text lines — the format crawl indexes
+    actually ship in — and parses back to the SAME typed capture rows
+    the construction-arithmetic oracle pins.  The emit side's sort is
+    the format's range-prunability contract; the parse side reads
+    every field back through get_json_object.  Emit is map +
+    one sort; parse is map-only."""
+    from hobbes_spark.functions.warc import (
+        cdx_index,
+        cdx_to_cdxj,
+        cdxj_records,
+    )
+
+    lines = cdx_to_cdxj(cdx_index(_cdx_fixture_df(spark)))
+    return cdxj_records(lines).orderBy("surt", "ts", "media_id", "offset")
+
+
+QUERIES["cdxj_roundtrip"] = QuerySpec(
+    spark=QUERIES["cdxj_roundtrip"].spark, oracle=_cdxj_oracle_sql())
+
+
 def _revisit_fixture_df(spark):
     """One plain shard: two stored responses and three revisit records
     exercising every linkage class (by-record-ID resolved, cross-slice
@@ -13444,7 +13560,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # Queries ADDED in round 13 are never-signed and are PREPENDED
     # above this block as they land (displacing the tail to r14).
     "pdf_cmap_text", "substring_dup_spans", "main_content_stats",
-    "cdx_index_build", "cdx_selective_fetch",
+    "cdx_index_build", "cdx_selective_fetch", "substring_dedup_clean",
+    "cdxj_roundtrip",
     "bpe_encode_words", "bpe_merges", "minhash_pairs_fast",
     "html_meta_docs", "lang_id_counts", "outlink_domains", "robots_filter",
     "robots_filter_hosts", "stream_warc_ingest", "warc_charset_decode",

@@ -1248,3 +1248,39 @@ class TestDuplicateSubstringSpans:
             ._jdf.queryExecution().optimizedPlan().toString()
         )
         assert "sequence(" not in plan
+
+
+class TestRemoveSubstringSpans:
+    """r13: span SUBTRACTION at Lee et al. 2022 semantics — maximal
+    >=k-token duplicated runs cut, remainder kept."""
+
+    def test_subtraction_and_remainder(self, spark):
+        from hobbes_spark.functions.dedup import remove_substring_spans
+
+        run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+        rows = [
+            (1, "x1 x2 " + run + " y1 y2"),
+            (2, "z1 " + run + " w1"),
+            (3, "all unique words in this one nothing shared here at all"),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               remove_substring_spans(df, "text", k=6).collect()}
+        assert out[1]["clean_text"] == "x1 x2 y1 y2"
+        assert out[1]["n_tokens"] == 14 and out[1]["kept_tokens"] == 4
+        assert out[2]["clean_text"] == "z1 w1"
+        # a doc with no duplicated span comes back complete (normalized)
+        assert out[3]["kept_tokens"] == out[3]["n_tokens"] == 11
+        assert out[4]["clean_text"] == "" and out[4]["n_tokens"] == 0
+
+    def test_short_shared_run_survives(self, spark):
+        from hobbes_spark.functions.dedup import remove_substring_spans
+
+        # a 5-token shared run is BELOW k=6: nothing is cut (the
+        # window-removal operator at n=5 would have cut it)
+        rows = [(1, "a b c d e tail1"), (2, "a b c d e tail2")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               remove_substring_spans(df, "text", k=6).collect()}
+        assert out[1]["kept_tokens"] == 6 and out[2]["kept_tokens"] == 6

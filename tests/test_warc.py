@@ -468,3 +468,32 @@ class TestCdxIndexAndFetch:
             [], "media_id long, record_index int, offset long, "
                 "length long, addressing string")
         assert cdx_fetch(media, empty).count() == 0
+
+
+class TestCdxjLines:
+    """r13: CDXJ interchange — sorted text lines out, typed rows back."""
+
+    def test_roundtrip_and_sort(self, spark):
+        from hobbes_spark.functions.warc import (
+            cdx_index, cdx_to_cdxj, cdxj_records,
+        )
+
+        r1 = TestCdxIndexAndFetch._rec(b"https://b.example/z", b"<p>z</p>")
+        r2 = TestCdxIndexAndFetch._rec(b"https://a.example/y", b"<p>y</p>")
+        media = spark.createDataFrame(
+            [(3, bytearray(r1 + r2))], "media_id long, content binary")
+        idx = cdx_index(media)
+        lines = [r["line"] for r in cdx_to_cdxj(idx).collect()]
+        # sorted by SURT key, not capture order
+        assert lines[0].startswith("example,a)/y 20240305123045 {")
+        assert lines[1].startswith("example,b)/z 20240305123045 {")
+        back = cdxj_records(
+            spark.createDataFrame([(l,) for l in lines], "line string")
+        ).collect()
+        by_surt = {r["surt"]: r for r in back}
+        a = by_surt["example,a)/y"]
+        assert a["url"] == "https://a.example/y" and a["status"] == 200
+        assert a["media_id"] == 3 and a["mime"] == "text/html"
+        orig = {r["surt"]: r for r in idx.collect()}
+        assert (a["offset"], a["length"]) == (
+            orig["example,a)/y"]["offset"], orig["example,a)/y"]["length"])
