@@ -466,6 +466,16 @@ def pdf_objects(data: bytes) -> dict[int, dict]:
             if end >= 0:
                 stream = data[k:end]
         out[num] = {"dict": val, "stream": stream}
+    # r13: merge ObjStm-EMBEDDED objects into the number space so
+    # _resolve reaches font dicts / page-tree nodes / /Resources that
+    # modern compressed-xref files keep inside object streams (their
+    # /ToUnicode CMap STREAMS are necessarily top-level — streams
+    # cannot nest in an ObjStm — so the CMap path composes).  A
+    # top-level (re)definition wins: incremental updates append
+    # top-level objects that override ObjStm-stored ones.
+    for onum, val in _objstm_objects(out):
+        if onum not in out and len(out) < _MAX_OBJECTS:
+            out[onum] = {"dict": val, "stream": None}
     return out
 
 
@@ -487,10 +497,11 @@ def _decoded_stream(objs: dict, entry: dict) -> bytes | None:
     )
 
 
-def _objstm_dicts(objs: dict) -> list[dict]:
-    """Parse /Type /ObjStm payloads → the embedded objects' dict values
-    (page counting in 1.5+ compressed-xref files)."""
-    found = []
+def _objstm_objects(objs: dict) -> list[tuple[int, object]]:
+    """``(objnum, value)`` pairs embedded in /Type /ObjStm payloads —
+    1.5+ compressed-xref files store most non-stream objects (font
+    dicts, page-tree nodes, /Resources) there."""
+    found: list[tuple[int, object]] = []
     for entry in objs.values():
         d = entry.get("dict")
         if not (isinstance(d, dict) and d.get("Type") == "ObjStm"):
@@ -506,12 +517,13 @@ def _objstm_dicts(objs: dict) -> list[dict]:
         head = payload[:first].split()
         for k in range(min(n, len(head) // 2)):
             try:
+                onum = int(head[2 * k])
                 off = int(head[2 * k + 1])
             except ValueError:
                 continue
             val, _ = _parse_value(payload, first + off)
-            if isinstance(val, dict):
-                found.append(val)
+            if val is not None:
+                found.append((onum, val))
     return found
 
 
@@ -526,17 +538,19 @@ def pdf_page_count(data: bytes, objs: dict | None = None) -> int | None:
     (top-level and ObjStm-embedded)."""
     if objs is None:
         objs = pdf_objects(data)
-    embedded = _objstm_dicts(objs)
+    # objs already includes ObjStm-embedded objects (merged in
+    # pdf_objects since r13) — no separate embedded pass, which would
+    # double-count
     dicts = [e["dict"] for e in objs.values() if isinstance(e["dict"], dict)]
     best = None
-    for d in dicts + embedded:
+    for d in dicts:
         if d.get("Type") == "Pages" and "Parent" not in d:
             cnt = d.get("Count")
             if isinstance(cnt, int) and cnt >= 0:
                 best = max(best or 0, cnt)
     if best is not None:
         return best
-    pages = sum(1 for d in dicts + embedded if d.get("Type") == "Page")
+    pages = sum(1 for d in dicts if d.get("Type") == "Page")
     return pages if pages else None
 
 

@@ -12885,6 +12885,7 @@ def pdf_text_stats(spark, sf_dir):
 _CMAP_TXT_A = "Hello abc \U0001D7FE\U0001D7FF\U0001D800"
 _CMAP_TXT_B = "Plain latin"
 _CMAP_TXT_C = "H simple"
+_CMAP_TXT_D = "Hello ab"
 
 _CMAP_STREAM = b"""/CIDInit /ProcSet findresource begin
 12 dict begin
@@ -12963,8 +12964,45 @@ def _cmap_fixture_df(spark):
     doc_c = _pdf_cid_assemble(
         {"F1": _CMAP_STREAM, "F3": None},
         b"BT /F1 12 Tf <0001> Tj /F3 12 Tf ( simple) Tj ET")
+    # D: the MODERN (1.5+) layout — page tree, /Resources and the FONT
+    #    DICT all live inside a compressed /ObjStm; only the content
+    #    and CMap streams are top-level (streams cannot nest).  The
+    #    r13 ObjStm merge is what makes resolution reach the font.
+    import zlib as _z
+
+    def _objstm_obj(num, pairs):
+        offs, chunks, cur = [], [], 0
+        for n, body in pairs:
+            offs.append((n, cur))
+            chunks.append(body + b" ")
+            cur += len(body) + 1
+        header = " ".join(f"{n} {o}" for n, o in offs).encode() + b"\n"
+        payload = header + b"".join(chunks)
+        comp = _z.compress(payload)
+        return _pdf_obj(
+            num,
+            b"<< /Type /ObjStm /N %d /First %d /Length %d "
+            b"/Filter /FlateDecode >>\nstream\n"
+            % (len(pairs), len(header), len(comp)) + comp + b"\nendstream")
+
+    d_content = b"BT /F1 12 Tf <00010002000300030004000500100011> Tj ET"
+    cm_comp = _z.compress(_CMAP_STREAM)
+    doc_d = (
+        b"%PDF-1.6\n"
+        + _pdf_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + _objstm_obj(5, [
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+                b"/Resources << /Font << /F1 10 0 R >> >> >>"),
+            (10, b"<< /Type /Font /Subtype /Type0 /ToUnicode 11 0 R >>"),
+        ])
+        + _pdf_obj(4, b"<< /Length %d >>\nstream\n" % len(d_content)
+                   + d_content + b"\nendstream")
+        + _pdf_obj(11, b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                   % len(cm_comp) + cm_comp + b"\nendstream")
+        + b"trailer\n<< /Size 99 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
     rows = [(1, bytearray(doc_a)), (2, bytearray(doc_b)),
-            (3, bytearray(doc_c))]
+            (3, bytearray(doc_c)), (4, bytearray(doc_d))]
     return spark.createDataFrame(rows, "media_id long, content binary")
 
 
@@ -12977,7 +13015,9 @@ def _cmap_fixture_df(spark):
       (CAST(2 AS BIGINT), CAST(1 AS INTEGER),
        CAST({len(_CMAP_TXT_B)} AS INTEGER), {_esql(_CMAP_TXT_B)}),
       (CAST(3 AS BIGINT), CAST(1 AS INTEGER),
-       CAST({len(_CMAP_TXT_C)} AS INTEGER), {_esql(_CMAP_TXT_C)})
+       CAST({len(_CMAP_TXT_C)} AS INTEGER), {_esql(_CMAP_TXT_C)}),
+      (CAST(4 AS BIGINT), CAST(1 AS INTEGER),
+       CAST({len(_CMAP_TXT_D)} AS INTEGER), {_esql(_CMAP_TXT_D)})
     ) AS t(media_id, n_pages, n_chars, text)
     ORDER BY media_id
     """,
@@ -12993,7 +13033,11 @@ def pdf_cmap_text(spark, sf_dir):
     exact); (2) a corrupt CMap whose parse REFUSES and falls back to
     the identity path (text still extracts — refusal never destroys
     yield); (3) a mid-line font switch where each show decodes under
-    the font set by the latest Tf.  LENGTH() counts codepoints in both
+    the font set by the latest Tf; (4) the MODERN compressed-xref
+    layout — page tree, /Resources and the font dict all inside a
+    Flate /ObjStm, only the content and CMap streams top-level —
+    pinning the r13 object-stream merge into the resolution number
+    space.  LENGTH() counts codepoints in both
     engines, so n_chars pins the astral run as 3 chars, not 6 UTF-16
     units.  Map-only over Arrow batches, zero shuffle."""
     from hobbes_spark.functions.pdf import pdf_features

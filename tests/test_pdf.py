@@ -365,3 +365,50 @@ class TestToUnicodeCMap:
         cm = parse_tounicode(self.CMAP)
         # unmapped 2-byte code contributes nothing (glyph-index noise)
         assert cm.decode(b"\x99\x99\x00\x01") == "H"
+
+    def test_objstm_stored_font_resolves(self):
+        """r13: page tree, /Resources and the font dict inside a Flate
+        /ObjStm (the 1.5+ compressed-xref layout) — the object-stream
+        merge must let resolution reach the font so the CMap applies."""
+        import zlib as _z
+
+        from hobbes_spark.functions.pdf import pdf_page_count, pdf_text
+
+        def objstm(num, pairs):
+            offs, chunks, cur = [], [], 0
+            for n, body in pairs:
+                offs.append((n, cur))
+                chunks.append(body + b" ")
+                cur += len(body) + 1
+            header = " ".join(f"{n} {o}" for n, o in offs).encode() + b"\n"
+            payload = header + b"".join(chunks)
+            comp = _z.compress(payload)
+            return _obj(num, b"<< /Type /ObjStm /N %d /First %d /Length %d "
+                             b"/Filter /FlateDecode >>\nstream\n"
+                             % (len(pairs), len(header), len(comp))
+                             + comp + b"\nendstream")
+
+        cmap = (b"1 begincodespacerange\n<0000> <FFFF>\n"
+                b"endcodespacerange\n1 beginbfchar\n"
+                b"<0003> <00480065006C006C006F>\nendbfchar\n")
+        cm_comp = _z.compress(cmap)
+        content = b"BT /F1 12 Tf <0003> Tj ET"
+        doc = (b"%PDF-1.6\n"
+               + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+               + objstm(5, [
+                   (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+                   (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+                       b"/Resources << /Font << /F1 10 0 R >> >> >>"),
+                   (10, b"<< /Type /Font /Subtype /Type0 "
+                        b"/ToUnicode 11 0 R >>"),
+               ])
+               + _obj(4, b"<< /Length %d >>\nstream\n" % len(content)
+                      + content + b"\nendstream")
+               + _obj(11, b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                      % len(cm_comp) + cm_comp + b"\nendstream")
+               + b"trailer\n<< /Size 99 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+        assert pdf_text(doc) == "Hello"
+        assert pdf_page_count(doc) == 1
+        # a TOP-LEVEL redefinition outranks the ObjStm copy
+        doc2 = doc + _obj(3, b"<< /Type /Page /Parent 2 0 R >>")
+        assert pdf_text(doc2) is None or "Hello" not in (pdf_text(doc2) or "")
