@@ -52,6 +52,7 @@ __all__ = [
     "cdx_fetch",
     "cdx_to_cdxj",
     "cdxj_records",
+    "cdx_merge",
 ]
 
 #: headers surfaced as typed columns (canonical lower-case keys)
@@ -927,4 +928,35 @@ def cdxj_records(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.regexp_extract(
             F.get_json_object(js, "$.filename"), r"^shard-(\d+)$", 1
         ).cast("long").alias("media_id"),
+    )
+
+
+def cdx_merge(
+    old: DataFrame, new: DataFrame, keep: str = "earliest"
+) -> DataFrame:
+    """Layer two capture indexes (e.g. consecutive monthly crawls) into
+    one consumer view: duplicate captures of the SAME content at the
+    SAME url key — ``(surt, digest)`` — collapse to a single row,
+    keeping the ``earliest`` (default; the canonical original, matching
+    revisit-record semantics) or ``latest`` capture by timestamp.  A
+    changed page (new digest under the same surt) keeps one row per
+    version.  One union + one keyed window — the shuffle key
+    (surt, digest) is the index's own sort key, so at 100 TB the merge
+    rides the layout the index is already written in."""
+    if keep not in ("earliest", "latest"):
+        raise ValueError(f"cdx_merge: keep must be earliest|latest, not {keep!r}")
+    u = old.unionByName(new)
+    order = [
+        F.col("ts").asc_nulls_last() if keep == "earliest"
+        else F.col("ts").desc_nulls_last(),
+        # deterministic tie-break so equal-ts captures pick stably
+        F.col("media_id").asc(), F.col("offset").asc(),
+    ]
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("surt", "digest").orderBy(*order)
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )

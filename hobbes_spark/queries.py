@@ -12261,6 +12261,122 @@ QUERIES["cdxj_roundtrip"] = QuerySpec(
     spark=QUERIES["cdxj_roundtrip"].spark, oracle=_cdxj_oracle_sql())
 
 
+def _cdx_crawl_b_df(spark):
+    """A second 'monthly crawl' over the same sites: re-captures the
+    /c page UNCHANGED (same digest — must collapse) and /a CHANGED
+    (new digest — both versions must survive)."""
+    import gzip as _gz
+
+    recs = [
+        # unchanged re-capture of /c (same body => same digest)
+        ("https://news.example.com/c", b"<p>three</p>"),
+        # changed /a (body differs => new digest)
+        ("https://News.Example.com:443/A/b?q=1", b"<p>one v2</p>"),
+    ]
+    raws = [_cdx_raw_rec(u, b) for u, b in recs]
+    member = b"".join(_gz.compress(r, mtime=0) for r in raws)
+    return spark.createDataFrame(
+        [(9, bytearray(member))], "media_id long, content binary")
+
+
+def _cdx_merge_oracle_sql() -> str:
+    import gzip as _gz
+    import hashlib as _hl
+
+    _, _, rows_a = _cdx_fixture()
+    # crawl A contributes only the member-gz shard (media 2) — one
+    # layer per crawl, as a consumer would store them
+    a_rows = [r for r in rows_a if r[0] == 2]
+    b_recs = [
+        ("https://news.example.com/c", b"<p>three</p>",
+         "com,example,news)/c"),
+        ("https://News.Example.com:443/A/b?q=1", b"<p>one v2</p>",
+         "com,example,news)/a/b?q=1"),
+    ]
+    b_rows = []
+    off = 0
+    for k, (uri, body, surt) in enumerate(b_recs):
+        raw = _cdx_raw_rec(uri, body)
+        comp = _gz.compress(raw, mtime=0)
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body)
+        b_rows.append((9, k, surt, "20260201100000", uri, 200, "text/html",
+                       "md5:" + _hl.md5(http).hexdigest(), off, len(comp),
+                       "gzip-member"))
+        off += len(comp)
+    # merge truth: (surt, digest) collapse keeping earliest ts, media
+    # then offset as the tie-break — crawl A's media_id 2 wins every
+    # unchanged capture; B's changed /a digest is a NEW row
+    merged = {}
+    for r in a_rows + b_rows:
+        key = (r[2], r[7])
+        cur = merged.get(key)
+        if cur is None or (r[3], r[0], r[8]) < (cur[3], cur[0], cur[8]):
+            merged[key] = r
+    vals = ", ".join(
+        f"(CAST({m} AS BIGINT), CAST({k} AS INTEGER), {_esql(surt)}, "
+        f"{_esql(ts)}, {_esql(uri)}, CAST({st} AS INTEGER), {_esql(mime)}, "
+        f"{_esql(dg)}, CAST({off} AS BIGINT), CAST({ln} AS BIGINT), "
+        f"{_esql(ad)})"
+        for m, k, surt, ts, uri, st, mime, dg, off, ln, ad
+        in sorted(merged.values())
+    )
+    return f"""
+    SELECT * FROM (VALUES {vals})
+      AS t(media_id, record_index, surt, ts, url, status, mime, digest,
+           "offset", "length", addressing)
+    ORDER BY surt, digest, media_id
+    """
+
+
+@q("cdx_merge_layers", None)
+def cdx_merge_layers(spark, sf_dir):
+    """Crawl-layer index merge (`warc.cdx_merge`): month B re-captures
+    one page UNCHANGED (same (surt, digest) — collapses to crawl A's
+    earlier capture, revisit semantics) and one page CHANGED (new
+    digest — both versions survive as separate rows).  One union + one
+    keyed window on the index's own sort key.  The oracle replays the
+    collapse rule over the construction-arithmetic rows of both
+    layers."""
+    from hobbes_spark.functions.warc import cdx_index, cdx_merge
+
+    _, member, _ = _cdx_fixture()
+    crawl_a = cdx_index(spark.createDataFrame(
+        [(2, bytearray(member))], "media_id long, content binary"))
+    crawl_b = cdx_index(_cdx_crawl_b_df(spark))
+    return cdx_merge(crawl_a, crawl_b).orderBy("surt", "digest", "media_id")
+
+
+QUERIES["cdx_merge_layers"] = QuerySpec(
+    spark=QUERIES["cdx_merge_layers"].spark, oracle=_cdx_merge_oracle_sql())
+
+
+@q("stream_cdx_index", None)
+def stream_cdx_index(spark, sf_dir):
+    """STREAMING index build: `warc.cdx_index` (mapInPandas + the surt
+    Column) runs UNCHANGED on a landing-zone stream of WARC shards —
+    the same operator-reuse property the other stream twins pin.  Both
+    fixture shards land as separate parquet files consumed at
+    maxFilesPerTrigger=1; the APPEND stream must replay to exactly the
+    batch `cdx_index_build` truth rows."""
+    import tempfile
+
+    from hobbes_spark.functions.warc import cdx_index
+    from hobbes_spark.streaming import stream_parquet
+    from hobbes_spark.streaming.run import replay_to_df
+
+    land = tempfile.mkdtemp(prefix="cdx_land_")
+    _cdx_fixture_df(spark).repartition(2, "media_id").write.mode(
+        "overwrite").parquet(land)
+    stream = stream_parquet(spark, land, max_files_per_trigger=1)
+    out = replay_to_df(cdx_index(stream), spark, mode="append")
+    return out.orderBy("media_id", "record_index")
+
+
+QUERIES["stream_cdx_index"] = QuerySpec(
+    spark=QUERIES["stream_cdx_index"].spark, oracle=_cdx_oracle_sql())
+
+
 def _revisit_fixture_df(spark):
     """One plain shard: two stored responses and three revisit records
     exercising every linkage class (by-record-ID resolved, cross-slice
@@ -13605,7 +13721,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # above this block as they land (displacing the tail to r14).
     "pdf_cmap_text", "substring_dup_spans", "main_content_stats",
     "cdx_index_build", "cdx_selective_fetch", "substring_dedup_clean",
-    "cdxj_roundtrip",
+    "cdxj_roundtrip", "cdx_merge_layers", "stream_cdx_index",
     "bpe_encode_words", "bpe_merges", "minhash_pairs_fast",
     "html_meta_docs", "lang_id_counts", "outlink_domains", "robots_filter",
     "robots_filter_hosts", "stream_warc_ingest", "warc_charset_decode",

@@ -497,3 +497,35 @@ class TestCdxjLines:
         orig = {r["surt"]: r for r in idx.collect()}
         assert (a["offset"], a["length"]) == (
             orig["example,a)/y"]["offset"], orig["example,a)/y"]["length"])
+
+
+class TestCdxMerge:
+    def test_collapse_and_versions(self, spark):
+        from hobbes_spark.functions.warc import cdx_merge
+
+        cols = ("media_id long, record_index int, surt string, ts string, "
+                "url string, status int, mime string, digest string, "
+                "offset long, length long, addressing string")
+        a = spark.createDataFrame([
+            (1, 0, "com,x)/p", "20240101000000", "http://x/p", 200,
+             "text/html", "md5:aaa", 0, 10, "raw"),
+        ], cols)
+        b = spark.createDataFrame([
+            # unchanged re-capture: same (surt, digest), later ts
+            (2, 0, "com,x)/p", "20240201000000", "http://x/p", 200,
+             "text/html", "md5:aaa", 0, 10, "raw"),
+            # changed page: new digest
+            (2, 1, "com,x)/p", "20240201000000", "http://x/p", 200,
+             "text/html", "md5:bbb", 10, 12, "raw"),
+        ], cols)
+        got = sorted((r["digest"], r["media_id"], r["ts"])
+                     for r in cdx_merge(a, b).collect())
+        assert got == [("md5:aaa", 1, "20240101000000"),
+                       ("md5:bbb", 2, "20240201000000")]
+        latest = sorted((r["digest"], r["media_id"])
+                        for r in cdx_merge(a, b, keep="latest").collect())
+        assert latest == [("md5:aaa", 2), ("md5:bbb", 2)]
+        import pytest as _p
+
+        with _p.raises(ValueError):
+            cdx_merge(a, b, keep="newest")
