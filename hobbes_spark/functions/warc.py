@@ -48,6 +48,7 @@ __all__ = [
     "sniff_charset",
     "decode_payload",
     "gzip_member_spans",
+    "zstd_frame_spans",
     "cdx_index",
     "cdx_fetch",
     "cdx_to_cdxj",
@@ -155,6 +156,84 @@ def gzip_member_spans(data: bytes) -> list[tuple[int, int]] | None:
             break
         spans.append((pos, consumed))
         pos += consumed
+    return spans if spans else None
+
+
+def zstd_frame_spans(data: bytes) -> list[tuple[int, int]] | None:
+    """``(offset, compressed_length)`` of every standard zstd frame in
+    a multi-frame stream — the ``.warc.zst`` layout (one frame per
+    record, the zstd twin of per-record gzip members).  SIZES ONLY, no
+    entropy decode: RFC 8878 frame headers + the block-header chain
+    (a compressed block's header carries its on-wire size) walk to
+    each frame end exactly.  Skippable frames are skipped (warcio puts
+    a dictionary there — and a stream whose frames declare a
+    dictionary id returns None: such frames cannot decode standalone,
+    so per-frame addressing would lie; the caller falls back to
+    whole-stream addressing).  ``None`` when not zstd / truncated."""
+    from hobbes_spark.functions.multimodal import (
+        _ZSTD_MAGIC,
+        _zstd_is_skippable,
+    )
+
+    n = len(data)
+    if n < 4 or (data[:4] != _ZSTD_MAGIC and not _zstd_is_skippable(data[:4])):
+        return None
+    spans: list[tuple[int, int]] = []
+    i = 0
+    while i < n:
+        magic = data[i : i + 4]
+        if _zstd_is_skippable(magic):
+            if i + 8 > n:
+                break
+            i += 8 + int.from_bytes(data[i + 4 : i + 8], "little")
+            if i > n:
+                break
+            continue
+        if magic != _ZSTD_MAGIC:
+            break
+        start = i
+        j = i + 4
+        if j >= n:
+            break
+        fhd = data[j]
+        j += 1
+        if fhd & 0x08:  # reserved bit
+            break
+        single = (fhd >> 5) & 1
+        has_checksum = (fhd >> 2) & 1
+        did_len = (0, 1, 2, 4)[fhd & 3]
+        if did_len:
+            return None  # dictionary frames are not standalone
+        if not single:
+            j += 1  # window descriptor
+        fcs_len = (1 if single else 0, 2, 4, 8)[fhd >> 6]
+        j += fcs_len
+        ok = True
+        while True:
+            if j + 3 > n:
+                ok = False
+                break
+            hdr = int.from_bytes(data[j : j + 3], "little")
+            j += 3
+            last, btype, bsize = hdr & 1, (hdr >> 1) & 3, hdr >> 3
+            if btype == 3:  # reserved
+                ok = False
+                break
+            size = 1 if btype == 1 else bsize  # RLE stores one byte
+            if j + size > n:
+                ok = False
+                break
+            j += size
+            if last:
+                break
+        if not ok:
+            break
+        if has_checksum:
+            j += 4
+            if j > n:
+                break
+        spans.append((start, j - start))
+        i = j
     return spans if spans else None
 
 
@@ -692,7 +771,9 @@ def _cdx_rows_for_stream(mid, base_offset, comp_len, raw, addressing):
         mime = _bare_mime(hh.get("content-type")) or _bare_mime(
             h.get("content-type")
         )
-        if addressing == "gzip-member":
+        if addressing in ("gzip-member", "zstd-frame"):
+            # frame-addressed layouts: the record's address IS its
+            # compressed frame/member
             off, ln = base_offset, comp_len
         else:
             off, ln = base_offset + rec["offset"], rec["nbytes"]
@@ -736,6 +817,7 @@ def cdx_index(
                 data = bytes(blob)
                 shard_rows = []
                 spans = gzip_member_spans(data)
+                zspans = None if spans else zstd_frame_spans(data)
                 if spans is not None:
                     import zlib as _z
 
@@ -748,6 +830,16 @@ def cdx_index(
                             continue
                         shard_rows += _cdx_rows_for_stream(
                             mid, off, ln, raw, "gzip-member")
+                elif zspans is not None:
+                    # .warc.zst: one standard frame per record — the
+                    # zstd twin of the CC member layout
+                    for off, ln in zspans:
+                        got = sniff_decompress(
+                            data[off : off + ln], _DECOMPRESS_CAP)
+                        if got is None:
+                            continue
+                        shard_rows += _cdx_rows_for_stream(
+                            mid, off, ln, got[1], "zstd-frame")
                 elif data[:5] == b"WARC/":
                     shard_rows = _cdx_rows_for_stream(
                         mid, 0, len(data), data, "raw")
@@ -831,6 +923,12 @@ def cdx_fetch(
                                                _DECOMPRESS_CAP)
                         except _z.error:
                             continue
+                    elif addressing == "zstd-frame":
+                        got = sniff_decompress(
+                            data[off : off + ln], _DECOMPRESS_CAP)
+                        if got is None:
+                            continue
+                        raw = got[1]
                     elif addressing == "raw":
                         raw = data[off : off + ln]
                     else:  # decompressed addressing: inflate once

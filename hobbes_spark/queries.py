@@ -12104,21 +12104,45 @@ def _cdx_raw_rec(uri: str, body: bytes) -> bytes:
                      {"Content-Type": "application/http; msgtype=response"})
 
 
+def _zstd_store_frame_q(data: bytes) -> bytes:
+    """Deterministic store-mode zstd frame (RFC 8878, raw blocks, no
+    encoder needed): single-segment header + two raw blocks — decodes
+    through libzstd AND the pure fallback."""
+    out = bytearray(b"\x28\xb5\x2f\xfd")
+    n = len(data)
+    if n <= 255:
+        out.append(0x20)
+        out += bytes([n])
+    else:
+        out.append((1 << 6) | 0x20)
+        out += (n - 256).to_bytes(2, "little")
+    half = n // 2
+    out += ((half << 3) | 0).to_bytes(3, "little") + data[:half]
+    rest = n - half
+    out += ((rest << 3) | 1).to_bytes(3, "little") + data[half:]
+    return bytes(out)
+
+
 def _cdx_fixture():
-    """(plain_shard, member_gz_shard, oracle_rows) — oracle rows are
-    built from construction arithmetic only."""
+    """(plain_shard, member_gz_shard, zst_shard, oracle_rows) — oracle
+    rows are built from construction arithmetic only.  The third shard
+    is the ``.warc.zst`` layout: one hand-built store-mode zstd frame
+    per record (the zstd twin of per-record gzip members)."""
     import gzip as _gz
     import hashlib as _hl
 
     raws = [_cdx_raw_rec(u, b) for u, b in _CDX_RECS]
     comps = [_gz.compress(r, mtime=0) for r in raws]
+    zframes = [_zstd_store_frame_q(r) for r in raws]
     plain = b"".join(raws)
     member = b"".join(comps)
+    zst = b"".join(zframes)
     rows = []
     off_raw = 0
     off_gz = 0
-    for k, ((uri, body), raw, comp, surt) in enumerate(
-        zip(_CDX_RECS, raws, comps, _CDX_SURTS)
+    off_zst = 0
+    for k, ((uri, body), raw, comp, zf, surt) in enumerate(
+        zip(_CDX_RECS, raws, comps, zframes, _CDX_SURTS)
     ):
         http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
                 + body)
@@ -12128,20 +12152,24 @@ def _cdx_fixture():
                      digest, off_raw, len(raw) - 4, "raw"))
         rows.append((2, k, surt, "20260201100000", uri, 200, "text/html",
                      digest, off_gz, len(comp), "gzip-member"))
+        rows.append((3, k, surt, "20260201100000", uri, 200, "text/html",
+                     digest, off_zst, len(zf), "zstd-frame"))
         off_raw += len(raw)
         off_gz += len(comp)
-    return plain, member, rows
+        off_zst += len(zf)
+    return plain, member, zst, rows
 
 
 def _cdx_fixture_df(spark):
-    plain, member, _ = _cdx_fixture()
+    plain, member, zst, _ = _cdx_fixture()
     return spark.createDataFrame(
-        [(1, bytearray(plain)), (2, bytearray(member))],
+        [(1, bytearray(plain)), (2, bytearray(member)),
+         (3, bytearray(zst))],
         "media_id long, content binary")
 
 
 def _cdx_oracle_sql() -> str:
-    _, _, rows = _cdx_fixture()
+    _, _, _, rows = _cdx_fixture()
     vals = ", ".join(
         f"(CAST({m} AS BIGINT), CAST({k} AS INTEGER), {_esql(surt)}, "
         f"{_esql(ts)}, {_esql(uri)}, CAST({st} AS INTEGER), {_esql(mime)}, "
@@ -12181,7 +12209,7 @@ QUERIES["cdx_index_build"] = QuerySpec(
 
 
 def _cdx_fetch_oracle_sql() -> str:
-    _, _, rows = _cdx_fixture()
+    _, _, _, rows = _cdx_fixture()
     vals = ", ".join(
         f"(CAST({m} AS BIGINT), CAST({k} AS INTEGER), {_esql(uri)}, "
         f"CAST(200 AS INTEGER), {_esql(_CDX_RECS[k][1].decode())})"
@@ -12222,7 +12250,7 @@ QUERIES["cdx_selective_fetch"] = QuerySpec(
 
 
 def _cdxj_oracle_sql() -> str:
-    _, _, rows = _cdx_fixture()
+    _, _, _, rows = _cdx_fixture()
     vals = ", ".join(
         f"({_esql(surt)}, {_esql(ts)}, {_esql(uri)}, CAST({st} AS INTEGER), "
         f"{_esql(mime)}, {_esql(dg)}, CAST({off} AS BIGINT), "
@@ -12283,7 +12311,7 @@ def _cdx_merge_oracle_sql() -> str:
     import gzip as _gz
     import hashlib as _hl
 
-    _, _, rows_a = _cdx_fixture()
+    _, _, _, rows_a = _cdx_fixture()
     # crawl A contributes only the member-gz shard (media 2) — one
     # layer per crawl, as a consumer would store them
     a_rows = [r for r in rows_a if r[0] == 2]
@@ -12340,7 +12368,7 @@ def cdx_merge_layers(spark, sf_dir):
     layers."""
     from hobbes_spark.functions.warc import cdx_index, cdx_merge
 
-    _, member, _ = _cdx_fixture()
+    _, member, _, _ = _cdx_fixture()
     crawl_a = cdx_index(spark.createDataFrame(
         [(2, bytearray(member))], "media_id long, content binary"))
     crawl_b = cdx_index(_cdx_crawl_b_df(spark))

@@ -529,3 +529,32 @@ class TestCdxMerge:
 
         with _p.raises(ValueError):
             cdx_merge(a, b, keep="newest")
+
+
+class TestZstdFrameSpans:
+    def test_multi_frame_walk_and_skippable(self):
+        from hobbes_spark.functions.warc import zstd_frame_spans
+        from tests.test_functions import _zstd_store_frame
+
+        f1 = _zstd_store_frame(b"frame one payload " * 4)
+        f2 = _zstd_store_frame(b"frame two " * 9)
+        assert zstd_frame_spans(f1 + f2) == [(0, len(f1)),
+                                             (len(f1), len(f2))]
+        skip = (b"\x50\x2a\x4d\x18" + (4).to_bytes(4, "little") + b"dict")
+        assert zstd_frame_spans(skip + f1) == [(len(skip), len(f1))]
+        fc = _zstd_store_frame(b"with checksum", checksum=True)
+        assert zstd_frame_spans(fc) == [(0, len(fc))]
+
+    def test_refusals(self):
+        from hobbes_spark.functions.warc import zstd_frame_spans
+        from tests.test_functions import _zstd_store_frame
+
+        assert zstd_frame_spans(b"not zstd at all") is None
+        f1 = _zstd_store_frame(b"truncated tail keeps head " * 3)
+        # truncated second frame: keep the first span
+        assert zstd_frame_spans(f1 + f1[: len(f1) // 2]) == [(0, len(f1))]
+        # dictionary-id frames refuse per-frame addressing outright
+        dict_frame = bytearray(f1)
+        dict_frame[4] |= 0x01  # did_field_size = 1
+        dict_frame.insert(5, 0x07)  # dictionary id byte
+        assert zstd_frame_spans(bytes(dict_frame)) is None
