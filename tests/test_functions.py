@@ -3722,18 +3722,26 @@ class TestRegistrableDomain:
                 df.withColumn("__rd_parts", df.host), "host")
 
     def test_df_variant_plan_is_broadcast_joins_no_shuffle(self, spark):
+        """r13 optimization: every probe level joins ONE shared suffix
+        relation that is a parsed VALUES LocalRelation — the broadcast
+        builds driver-direct (no Python->RDD collect job, the r12 shape
+        that cost ~1.4 s fixed per execution at any input size)."""
         from hobbes_spark.functions.web import registrable_domain_df
 
         df = spark.createDataFrame(
             [("www.example.com",)], "host string")
-        plan = (registrable_domain_df(df, "host")
-                ._jdf.queryExecution().executedPlan().toString())
+        qe = registrable_domain_df(df, "host")._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         # no shuffle Exchange: broadcast exchanges are fine
         import re as _re
 
         assert not _re.search(r"Exchange (hash|range)partitioning", plan)
         assert "BatchEvalPython" not in plan
+        # the suffix table is a LocalRelation, not a pickled Python RDD
+        opt = qe.optimizedPlan().toString()
+        assert "LocalRelation" in opt
+        assert opt.count("applySchemaToPythonRDD") <= 1  # only the input df
 
     def test_generator_parses_upstream_syntax(self):
         """tools/gen_psl.py must digest the REAL upstream file's syntax
