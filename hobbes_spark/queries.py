@@ -3757,38 +3757,64 @@ def prepare_corpus(spark, sf_dir):
     """End-to-end training-batch prep, composed from the curation
     family: repetition quality gate -> 8-gram decontamination against
     the held-out eval slice -> 256-token sequence packing -> per-pack
-    stats. One tokenization feeds the repetition gate; the decontaminate
-    and pack stages re-tokenize internally (staged columns each, still
-    zero Python in the row path)."""
+    stats.
+
+    Round-13 restructure (optimization guide §2.3/§8 — decide on small
+    rows, move heavy bytes never): contamination is INTRINSIC to a
+    document (a doc shares grams with the eval suite or it doesn't,
+    independent of the repetition gate — the DuckDB oracle has always
+    computed ``dirty`` from the RAW non-eval slice), so the gram stream
+    now runs directly on the raw (doc_id, text) projection and the
+    gated slice is anti-joined against the broadcast dirty-id set.
+    That makes the gated slice SINGLE-consumer, so the r9-r12 full-text
+    localCheckpoint of the whole filtered corpus is gone (at 100 TB
+    that was a corpus-sized materialization); the only checkpoint left
+    is the 3-column (doc_id, source, token_count) decontaminated slice
+    pack's two-pass prefix scan re-reads — metadata, not payload.
+    Results are bit-identical: same dirty set, same gated set, same
+    packs (pack_documents consumes exactly these three columns)."""
     from hobbes_spark.functions.curation import (
-        decontaminate,
+        contamination_report,
         pack_documents,
         repetition_stats,
     )
 
     docs = _t(spark, sf_dir, "documents").df
-    kept = repetition_stats(docs, "text").filter(F.col("keep_repetition")).select(
-        "doc_id", "text", "source", "token_count"
-    )
-    # Materialize the gated slice: decontaminate scans its train side
-    # TWICE (gram stream + final anti-join), so without this the whole
-    # repetition plan compiles and runs in both consumers (measured
-    # 4.8 s -> 3.3 s warm, 13 s -> 4 s cold at sf0.1). Same
-    # multi-consumer rationale as minhash_pairs' checkpoint; at cluster
-    # scale this is the cache-the-filtered-corpus step any two-pass
-    # pipeline would take.
-    kept = kept.localCheckpoint()
     # eval suite = raw slice (a benchmark isn't quality-filtered);
-    # training side = repetition-kept remainder
-    ev = docs.filter(F.col("doc_id") % 20 == 0)
-    tr = kept.filter(F.col("doc_id") % 20 != 0)
-    # Materialize the decontaminated slice too: pack's round-4 two-pass
-    # prefix scan reads its input an extra time (percentile boundary
-    # pass + block offsets), and without truncation each pass would
-    # re-run the decontamination joins. Same cache-the-filtered-corpus
-    # rationale as the `kept` checkpoint above; the sharded pack buys
-    # shards× parallelism per source at scale (SCALE.md pack row).
-    clean = decontaminate(tr, ev, "text", n=8).localCheckpoint()
+    # training side = raw non-eval remainder for the gram stream
+    ev = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    tr_raw = docs.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text")
+    # the dirty-id set is tiny by construction (docs sharing an 8-gram
+    # with the eval suite) — broadcast it into a null-safe anti join,
+    # the same join decontaminate() itself uses
+    dirty = contamination_report(tr_raw, ev, "text", n=8).select(
+        F.col("doc_id").alias("__dirty_id")
+    )
+    kept = (
+        repetition_stats(docs, "text")
+        .filter(F.col("keep_repetition") & (F.col("doc_id") % 20 != 0))
+        .select("doc_id", "source", "token_count")
+    )
+    # Materialize the two independent upstreams CONCURRENTLY (guide
+    # §2.6 — the scheduler happily overlaps jobs; serially, the dirty
+    # gram stream would otherwise run inside the anti-join's broadcast
+    # build while the cluster idles). Both checkpoints are metadata-
+    # sized: dirty is ids-only, kept is three fixed-width columns —
+    # the r9-r12 full-text corpus checkpoint is gone. The anti join
+    # itself stays lazy: pack's two-pass prefix scan re-reads it, but a
+    # broadcast anti join of two cached narrow frames is cheaper than a
+    # third materialization.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_dirty = pool.submit(dirty.localCheckpoint)
+        f_kept = pool.submit(kept.localCheckpoint)
+        dirty, kept = f_dirty.result(), f_kept.result()
+    clean = kept.join(
+        F.broadcast(dirty),
+        F.col("doc_id").eqNullSafe(F.col("__dirty_id")),
+        "left_anti",
+    )
     packed = pack_documents(clean, budget=256, token_count_col="token_count")
     return (
         packed.groupBy("source", "pack_id")
