@@ -532,23 +532,27 @@ def bm25_topk(
     tie-break. ``idf = ln((N - df + 0.5) / (df + 0.5) + 1)`` (the
     standard non-negative Robertson-Spärck Jones form).
 
-    Plan shape at 100 TB: the explode is immediately filtered to the
-    query terms (a literal IN list, evaluated inside the generator
-    stage), so only matching postings ever shuffle — candidate volume
-    is bounded by documents containing query terms, not corpus size.
-    Per-term document frequencies aggregate to ≤|Q| rows and broadcast
-    back; corpus size and average doc length are a 1-row broadcast
-    cross join; the final top-k is a TakeOrdered (per-partition heads,
-    no global sort)."""
+    Plan shape at 100 TB: ONE tokenization pass over the corpus
+    projects each document down to ``(id, doc length, its query-term
+    tokens)`` — the query-term filter runs inside that projection, so
+    everything downstream is bounded by query-term hits, not corpus
+    size. That narrow base is materialized (localCheckpoint — this
+    function EXECUTES it eagerly on call) because it has three
+    consumers: the postings aggregation, the per-term document
+    frequencies (≤|Q| rows, broadcast back), and the corpus stats
+    (1-row broadcast cross join); without the materialization each
+    consumer re-ran the full corpus scan + tokenization (the r13
+    measurement: three scans per execution). The final top-k is a
+    TakeOrdered (per-partition heads, no global sort)."""
     terms = [t.lower() for t in query_terms]
     toks = tokens(F.lower(c(text_col)))
+    base = df.select(
+        c(id_col).alias("__id"),
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: t.isin(terms)).alias("__qt"),
+    ).localCheckpoint()
     postings = (
-        df.select(
-            c(id_col).alias("__id"),
-            F.size(toks).alias("dl"),
-            F.explode(toks).alias("term"),
-        )
-        .filter(F.col("term").isin(terms))
+        base.select("__id", "dl", F.explode("__qt").alias("term"))
         .groupBy("__id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
@@ -558,9 +562,9 @@ def bm25_topk(
         )
     )
     stats = F.broadcast(
-        df.agg(
+        base.agg(
             F.count(F.lit(1)).cast("bigint").alias("__n"),
-            F.avg(F.size(toks)).alias("__avgdl"),
+            F.avg("dl").alias("__avgdl"),
         )
     )
     idf = F.log(

@@ -1648,6 +1648,14 @@ def minhash_pairs_fast(spark, sf_dir):
         f"{_ORACLE_DUMP}/minhash_sigs_fast",
         key=sf_dir,
     )
+    # r13: materialize the signature table before banding — the band
+    # self-join plus the two estimate re-attaches give the signature
+    # subtree FOUR consumers, and without truncation the full
+    # scan->tokenize->gram->minhash aggregation compiled and ran four
+    # times per execution (the function's own docstring asks for a
+    # materialized input). The checkpoint is narrow (id + 32 longs) and
+    # the timed body still includes one full signature computation.
+    sigs = sigs.localCheckpoint()
     return minhash_pairs_from_signatures(sigs, num_hashes=32, bands=16, threshold=0.5)
 
 
