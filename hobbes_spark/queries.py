@@ -965,7 +965,7 @@ def pagerank_fixture_exact(spark, sf_dir):
     pr = pagerank(edges, iterations=3, damping=0.5)
     return pr.select(
         "node", F.round(F.col("pr") * 1e6).cast("bigint").alias("pr_micro")
-    ).orderBy("node")
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -1125,7 +1125,7 @@ def nfkc_fixture_exact(spark, sf_dir):
         unicode_normalize("raw", "NFKC").alias("out"),
         F.length("raw").cast("int").alias("len_in"),
         F.length(unicode_normalize("raw", "NFKC")).cast("int").alias("len_out"),
-    ).orderBy("fixture_id")
+    )
 
 
 @q("text_stats", None, bench=True)  # oracle attached below after generation
@@ -1482,7 +1482,7 @@ def minhash_xxhash_fixture_exact(spark, sf_dir):
     sigs = minhash_signatures_df(docs, "id", "text", num_hashes=4)
     return sigs.select(
         "id", *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(4)]
-    ).orderBy("id")
+    )
 
 
 @q(
@@ -1524,7 +1524,7 @@ def lsh_stats_fixture_exact(spark, sf_dir):
         "id bigint, text string",
     )
     sigs = minhash_signatures_df(docs, "id", "text", num_hashes=4)
-    return lsh_candidate_stats(sigs, num_hashes=4, bands=2).orderBy("band")
+    return lsh_candidate_stats(sigs, num_hashes=4, bands=2)
 
 
 @q("minhash_fixture_exact", _minhash_fixture_sql())
@@ -1538,7 +1538,7 @@ def minhash_fixture_exact(spark, sf_dir):
     sigs = minhash_signatures_df(docs, "id", "text", num_hashes=4, hash_fn="md5")
     return sigs.select(
         "id", *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(4)]
-    ).orderBy("id")
+    )
 
 
 @q(
@@ -1586,7 +1586,7 @@ def lsh_bands_fixture_exact(spark, sf_dir):
         F.lit("edge").alias("kind"), "id_a", "id_b",
         F.lit(None).cast("bigint").alias("agree_slots"),
     )
-    return edges.unionByName(pairs).orderBy("kind", "id_a", "id_b")
+    return edges.unionByName(pairs)
 
 
 _ORACLE_DUMP = "/tmp/hobbes_spark_oracle"
@@ -2015,7 +2015,7 @@ def ann_lsh_fixture_exact(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", _r(F.col("cos"), 6).alias("cos"),
         F.col("rank").cast("int").alias("rank"),
-    ).orderBy("query_id", "rank")
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -2364,7 +2364,7 @@ def fim_docs(spark, sf_dir):
         "doc_id", "is_fim",
         F.length("fim_text").cast("bigint").alias("n_chars_fim"),
         F.md5("fim_text").alias("fp"),
-    ).orderBy("doc_id")
+    )
 
 
 @q(
@@ -2414,7 +2414,7 @@ def span_corrupt_docs(spark, sf_dir):
         F.length("corrupt_input").cast("bigint").alias("n_in"),
         F.md5("corrupt_input").alias("fp_in"),
         F.md5("corrupt_target").alias("fp_tgt"),
-    ).orderBy("doc_id")
+    )
 
 
 @q(
@@ -2530,7 +2530,7 @@ def canonical_url_docs(spark, sf_dir):
         "doc_id",
         url_host("url").alias("host"),
         canonical_url("url").alias("url_canon"),
-    ).orderBy("doc_id")
+    )
 
 
 @q(
@@ -2692,7 +2692,7 @@ def leakage_split_docs(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
         )
-        .orderBy("split")
+        
     )
 
 
@@ -4042,7 +4042,7 @@ def ridge_fixture_exact(spark, sf_dir):
     w = ridge_fit(pts, ["x0", "x1"], "y", l2=1.0)
     return spark.createDataFrame(
         [("x0", w[0]), ("x1", w[1])], "feature string, weight double"
-    ).orderBy("feature")
+    )
 
 
 @q(
@@ -4247,7 +4247,7 @@ def substring_dup_spans(spark, sf_dir):
     fix = spark.createDataFrame(_SUBSTR_FIX, "doc_id long, text string")
     out = duplicate_substring_spans(
         docs.unionByName(fix), "text", k=6, id_col="doc_id")
-    return out.orderBy("doc_id", "span_start")
+    return out
 
 
 @q(
@@ -4323,7 +4323,7 @@ def substring_dedup_clean(spark, sf_dir):
     out = remove_substring_spans(
         docs.unionByName(fix), "text", k=6, id_col="doc_id")
     return out.select(
-        "doc_id", "clean_text", "n_tokens", "kept_tokens").orderBy("doc_id")
+        "doc_id", "clean_text", "n_tokens", "kept_tokens")
 
 
 # --------------------------------------------------------------------- #
@@ -4506,7 +4506,7 @@ def jpeg_noninterleaved_fixture_exact(spark, sf_dir):
 
     schema = ("media_id int, layout string, width int, height int, "
               "q_tl int, q_tr int, q_bl int, q_br int")
-    return media.mapInPandas(decode, schema=schema).orderBy("media_id")
+    return media.mapInPandas(decode, schema=schema)
 
 
 # Hand-assembled PROGRESSIVE (SOF2) streams (round 9): LADDER is a
@@ -4608,7 +4608,7 @@ def jpeg_progressive_fixture_exact(spark, sf_dir):
     schema = ("media_id int, layout string, width int, height int, "
               "q_tl int, q_tr int, q_bl int, q_br int, "
               "px_r0c0 int, px_r0c7 int, px_r8c0 int, px_r8c7 int")
-    return media.mapInPandas(decode, schema=schema).orderBy("media_id")
+    return media.mapInPandas(decode, schema=schema)
 
 
 # Hand-assembled GIF streams (round 9): CHECKER is the 2x2 black/white
@@ -4681,7 +4681,7 @@ def gif_fixture_exact(spark, sf_dir):
 
     schema = ("media_id long, layout string, width int, height int, "
               "pixels string")
-    return media.mapInPandas(decode, schema=schema).orderBy("media_id")
+    return media.mapInPandas(decode, schema=schema)
 
 
 # Hand-assembled RIFF/WAVE PCM streams (round 9, audio modality):
@@ -4737,7 +4737,7 @@ def audio_wav_features(spark, sf_dir):
         (3, bytearray(b"ID3\x03" + b"\x00" * 40)),  # undecodable: dropped
     ]
     media = spark.createDataFrame(rows, "media_id long, content binary")
-    return wav_features(media).orderBy("media_id")
+    return wav_features(media)
 
 
 @q(
@@ -4858,7 +4858,7 @@ def audio_meta(spark, sf_dir):
         (6, bytearray(_MP3_VBR)),  # Xing VBR, head-only fetch (r11)
     ]
     media = spark.createDataFrame(rows, "media_id long, content binary")
-    return ameta(media).orderBy("media_id")
+    return ameta(media)
 
 
 # Hand-assembled ISO BMFF (MP4) streams (round 10, video modality) —
@@ -4984,7 +4984,7 @@ def video_meta(spark, sf_dir):
     duration from mvex/mehd."""
     from hobbes_spark.functions.multimodal import video_meta as vmeta
 
-    return vmeta(_mp4_fixture_media(spark)).orderBy("media_id")
+    return vmeta(_mp4_fixture_media(spark))
 
 
 @q(
@@ -5025,7 +5025,7 @@ def video_frame_plan_real(spark, sf_dir):
         "media_id",
         F.col("frame_pos").cast("int").alias("frame_pos"),
         F.col("frame_index").cast("int").alias("frame_index"),
-    ).orderBy("media_id", "frame_pos")
+    )
 
 
 # Frozen compressed payloads for the ingestion truth pin — EMBEDDED
@@ -5085,7 +5085,7 @@ def compressed_text_ingest(spark, sf_dir):
         (6, bytearray.fromhex(_GZIP_HEX)[:-3]),  # truncated: dropped
     ]
     media = spark.createDataFrame(rows, "media_id long, content binary")
-    return decompress_text(media).orderBy("media_id")
+    return decompress_text(media)
 
 
 # Hand-assembled ID3v2 tags (round 10): v2.3 with a latin-1 title and
@@ -5157,7 +5157,7 @@ def audio_id3_tags(spark, sf_dir):
         run,
         schema=("media_id long, title string, artist string, "
                 "album string, year string"),
-    ).orderBy("media_id")
+    )
 
 
 def _exif_jpeg(little: bool, orient: int) -> bytes:
@@ -5222,7 +5222,7 @@ def image_exif_orientation(spark, sf_dir):
 
     return media.mapInPandas(
         run, schema="media_id long, orientation int"
-    ).orderBy("media_id")
+    )
 
 
 @q(
@@ -5251,7 +5251,7 @@ def video_frame_pts(spark, sf_dir):
 
     out = video_frame_times(_mp4_fixture_media(spark), every_n=30,
                             max_frames=8)
-    return out.orderBy("media_id", "frame_pos")
+    return out
 
 
 # --------------------------------------------------------------------- #
@@ -6328,7 +6328,7 @@ def ivf_pq_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 3)
     return ivf_pq_search(
         encoded, centroids, queries, books, k=10, nprobe=8
-    ).orderBy("query_id", "rank")
+    )
 
 
 @q("pq_adc_search", _pq_sql())
@@ -6353,7 +6353,7 @@ def pq_adc_search(spark, sf_dir):
     books = pq_codebooks(emb, levels=16)
     enc = pq_encode(emb, books)
     queries = emb.filter(F.col("vec_id") < 3)
-    return pq_adc_topk(enc, queries, books, k=10).orderBy("query_id", "rank")
+    return pq_adc_topk(enc, queries, books, k=10)
 
 
 @q("pq_rerank_topk", _pq_rerank_sql())
@@ -6399,7 +6399,7 @@ def pq_rerank_topk(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "dist", "rank")
-        .orderBy("query_id", "rank")
+        
     )
 
 
@@ -6448,7 +6448,7 @@ def pq_adc_fixture_exact(spark, sf_dir):
         [(100, [0.0, 0.0]), (101, [10.0, 10.0])],
         "vec_id bigint, embedding array<double>",
     )
-    return pq_adc_topk(enc, queries, books, k=3).orderBy("query_id", "rank")
+    return pq_adc_topk(enc, queries, books, k=3)
 
 
 @q(
@@ -6500,7 +6500,7 @@ def ivf_pq_fixture_exact(spark, sf_dir):
     )
     return ivf_pq_search(
         encoded, centroids, queries, books, k=3, nprobe=1
-    ).orderBy("query_id", "rank")
+    )
 
 
 @q(
@@ -10186,7 +10186,7 @@ def byte_token_pack(spark, sf_dir):
     return packed.select(
         "doc_id", "source", "n_tokens", "pack_id",
         F.col("pack_pos").cast("int").alias("pack_pos"),
-    ).orderBy(F.col("source").asc_nulls_first(), "doc_id")
+    )
 
 
 @q("bpe_merges", _bpe_sql())
@@ -10246,7 +10246,7 @@ def bpe_encode_words(spark, sf_dir):
         "word",
         F.size("toks").cast("int").alias("n_subwords"),
         F.concat_ws(" ", "toks").alias("subwords"),
-    ).orderBy("word")
+    )
 
 
 # Byte-level BPE (round 12 verdict item 4): hand-computed literal pins,
@@ -10296,7 +10296,7 @@ def byte_bpe_encode_q(spark, sf_dir):
         "doc_id",
         F.size("toks").cast("int").alias("n_tokens"),
         F.concat_ws(" ", "toks").alias("subwords"),
-    ).orderBy("doc_id")
+    )
 
 
 _BLOCK_TERMS = (
@@ -10497,7 +10497,7 @@ def html_text_stats(spark, sf_dir):
         "doc_id",
         F.length(html_to_text(raw)).cast("bigint").alias("n_chars"),
         F.md5(html_to_text(raw)).alias("fp"),
-    ).orderBy("doc_id")
+    )
 
 
 # DOM-block main-content fixture (round 13): real nav/aside/footer
@@ -10663,7 +10663,7 @@ def main_content_stats(spark, sf_dir):
         F.length(mc).cast("bigint").alias("main_chars"),
         F.length(html_to_text(raw)).cast("bigint").alias("html_chars"),
         F.md5(mc).alias("fp"),
-    ).orderBy("doc_id")
+    )
 
 
 QUERIES["main_content_stats"] = QuerySpec(
@@ -10913,7 +10913,7 @@ def robots_filter(spark, sf_dir):
                     robots_allowed(url, rules).alias("allowed"))
         .groupBy("path_class", "allowed")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"))
-        .orderBy("path_class")
+        
     )
 
 
@@ -10982,7 +10982,7 @@ def warc_charset_decode(spark, sf_dir):
     )
     return warc_records(media).select(
         "media_id", "record_index", "target_uri", "body"
-    ).orderBy("record_index")
+    )
 
 
 @q(
@@ -11029,7 +11029,7 @@ def sitemap_index_frontier(spark, sf_dir):
                     F.explode(sitemap_index_entries(raw)).alias("e"))
         .select("doc_id", F.col("e.loc").alias("loc"),
                 F.col("e.lastmod").alias("lastmod"))
-        .orderBy("doc_id", "loc")
+        
     )
 
 
@@ -11115,7 +11115,7 @@ def image_metadata_scrub(spark, sf_dir):
     out = strip_image_metadata(_scrub_fixture_df(spark))
     return out.select(
         "media_id", "scrubbed", F.lower(F.hex("content")).alias("payload_hex"),
-    ).orderBy("media_id")
+    )
 
 
 @q(
@@ -11164,7 +11164,7 @@ def frontier_schedule(spark, sf_dir):
         "host string, crawl_delay double")
     out = schedule_frontier(urls, delays)
     return out.select(
-        "doc_id", "host_delay_s", "fetch_offset_s").orderBy("doc_id")
+        "doc_id", "host_delay_s", "fetch_offset_s")
 
 
 @q(
@@ -11219,7 +11219,7 @@ def page_index_policy(spark, sf_dir):
         mr["nofollow"].alias("nofollow"),
         F.size(outlinks(raw)).cast("int").alias("n_links_all"),
         F.size(outlinks_follow(raw)).cast("int").alias("n_links_follow"),
-    ).orderBy("doc_id")
+    )
 
 
 @q(
@@ -11261,7 +11261,7 @@ def robots_sitemap_discovery(spark, sf_dir):
     )
     return (
         docs.select("doc_id", F.explode(robots_sitemaps(raw)).alias("sitemap_url"))
-        .orderBy("doc_id", "sitemap_url")
+        
     )
 
 
@@ -11309,7 +11309,7 @@ def sitemap_frontier(spark, sf_dir):
         docs.select("doc_id", F.explode(sitemap_entries(raw)).alias("e"))
         .select("doc_id", F.col("e.loc").alias("loc"),
                 F.col("e.lastmod").alias("lastmod"))
-        .orderBy("doc_id", "loc")
+        
     )
 
 
@@ -11372,7 +11372,7 @@ def robots_filter_hosts(spark, sf_dir):
         robots_filter_df(urls, robots)
         .groupBy("host_class", "path_class", "allowed")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"))
-        .orderBy("host_class", "path_class")
+        
     )
 
 
@@ -11438,7 +11438,7 @@ def markdown_text_stats(spark, sf_dir):
         "doc_id",
         F.length(markdown_to_text(raw)).cast("bigint").alias("n_chars"),
         F.md5(markdown_to_text(raw)).alias("fp"),
-    ).orderBy("doc_id")
+    )
 
 
 @q(
@@ -11497,8 +11497,7 @@ def notebook_cells_q(spark, sf_dir):
          (-3, '{"other": 1}')],
         "doc_id long, raw string",
     )
-    return notebook_cells(main.unionByName(extra)).orderBy(
-        "doc_id", "cell_index")
+    return notebook_cells(main.unionByName(extra))
 
 
 #: code snippet prepended to even-doc_id documents so both routing
@@ -11578,7 +11577,7 @@ def code_likeness_docs(spark, sf_dir):
     cols = code_likeness(raw)
     return docs.select(
         "doc_id", *[v.alias(k) for k, v in cols.items()]
-    ).orderBy("doc_id")
+    )
 
 
 def _alog_sql(raw: str) -> dict:
@@ -11670,7 +11669,7 @@ def access_log_parse(spark, sf_dir):
         cols["n_bytes"].alias("n_bytes"),
         cols["referer"].alias("referer"),
         cols["user_agent"].alias("user_agent"),
-    ).orderBy("doc_id")
+    )
 
 
 @q(
@@ -11733,7 +11732,7 @@ def license_scan(spark, sf_dir):
                     cols["licensed"].alias("licensed"))
         .groupBy("hdr_class", "spdx", "family", "licensed")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        .orderBy("hdr_class")
+        
     )
 
 
@@ -11825,7 +11824,7 @@ def ann_recall_fixture(spark, sf_dir):
             .cast("double").alias("recall_at_10"),
         )
         out = r if out is None else out.unionByName(r)
-    return out.orderBy("query_id", "method")
+    return out
 
 
 # Subtitle fixtures (round 11, verdict item 6): an SRT payload (CRLF
@@ -11883,7 +11882,7 @@ def subtitle_cues_q(spark, sf_dir):
         (3, bytearray(b"not captions: no arrow, no signature")),
     ]
     media = spark.createDataFrame(rows, "media_id long, content binary")
-    return subtitle_cues(media).orderBy("media_id", "cue_index")
+    return subtitle_cues(media)
 
 
 # Hand-assembled WARC shards (round 11): the ingest layer one step
@@ -12009,7 +12008,7 @@ def stream_warc_ingest(spark, sf_dir):
     return out.select(
         "media_id", "record_index", "codec", "warc_type", "target_uri",
         "http_status",
-    ).orderBy("media_id", "record_index")
+    )
 
 
 @q(
@@ -12057,7 +12056,7 @@ def warc_records_q(spark, sf_dir):
         "media_id", "record_index", "codec", "warc_type", "target_uri",
         "warc_date", "content_length", "http_status", "http_content_type",
         "body",
-    ).orderBy("media_id", "record_index")
+    )
 
 
 @q(
@@ -12097,7 +12096,7 @@ def warc_html_pipeline(spark, sf_dir):
         "media_id", "target_uri",
         F.length(txt).cast("bigint").alias("n_chars"),
         F.md5(txt).alias("fp"),
-    ).orderBy("media_id")
+    )
 
 
 
@@ -12281,7 +12280,7 @@ def cdx_selective_fetch(spark, sf_dir):
         F.col("surt").startswith("com,example,news)")
         & (F.col("status") == 200)
     ).select("media_id", "record_index", "offset", "length", "addressing")
-    return cdx_fetch(media, sel).orderBy("media_id", "record_index")
+    return cdx_fetch(media, sel)
 
 
 QUERIES["cdx_selective_fetch"] = QuerySpec(
@@ -12513,7 +12512,7 @@ def warc_revisit_dedup(spark, sf_dir):
     from hobbes_spark.functions.warc import revisit_edges, warc_records
 
     recs = warc_records(_revisit_fixture_df(spark))
-    return revisit_edges(recs).orderBy("record_index")
+    return revisit_edges(recs)
 
 
 def _archive_fixture_df(spark):
@@ -12583,7 +12582,7 @@ def archive_extract_stats(spark, sf_dir):
     return feats.select(
         "media_id", "member_index", "name", "kind", "n_chars",
         F.md5("text").alias("fp"),
-    ).orderBy("media_id", "member_index")
+    )
 
 
 # Office Open XML (round 12): docx/pptx/xlsx ZIP+XML containers.
@@ -12691,7 +12690,7 @@ def office_text_stats(spark, sf_dir):
     return feats.select(
         "media_id", "kind", "n_members", "n_chars",
         F.md5("text").alias("fp"),
-    ).orderBy("media_id")
+    )
 
 
 def _encoded_fixture_df(spark):
@@ -12781,7 +12780,7 @@ def warc_encoded_bodies(spark, sf_dir):
 
     return warc_records(_encoded_fixture_df(spark)).select(
         "record_index", "target_uri", "body",
-    ).orderBy("record_index")
+    )
 
 
 def _redirect_fixture_df(spark):
@@ -12850,7 +12849,7 @@ def redirect_edge_graph(spark, sf_dir):
     from hobbes_spark.functions.warc import redirect_edges, warc_records
 
     recs = warc_records(_redirect_fixture_df(spark))
-    return redirect_edges(recs).orderBy("record_index")
+    return redirect_edges(recs)
 
 
 _ALIAS_EDGES = [
@@ -12920,7 +12919,7 @@ def url_alias_components(spark, sf_dir):
            .select(F.col("id").alias("nid2"),
                    F.col("url").alias("canonical_url")))
     return (ids.join(rep, F.col("nid") == F.col("nid2"))
-            .select("url", "canonical_url").orderBy("url"))
+            .select("url", "canonical_url"))
 
 
 # --------------------------------------------------------------------- #
@@ -13058,7 +13057,7 @@ def pdf_text_stats(spark, sf_dir):
     return feats.select(
         "media_id", "pdf_version", "n_pages", "title", "producer",
         "n_chars", F.md5("text").alias("fp"),
-    ).orderBy("media_id")
+    )
 
 
 
@@ -13229,7 +13228,7 @@ def pdf_cmap_text(spark, sf_dir):
     feats = pdf_features(_cmap_fixture_df(spark))
     return feats.select(
         "media_id", "n_pages", "n_chars", "text",
-    ).orderBy("media_id")
+    )
 
 
 
@@ -13307,7 +13306,7 @@ def extract_any_stats(spark, sf_dir):
     feats = extract_text_any(_extract_any_fixture_df(spark))
     return feats.select(
         "media_id", "kind", "n_chars", F.md5("text").alias("fp"),
-    ).orderBy("media_id")
+    )
 
 
 @q(
@@ -13352,7 +13351,7 @@ def stream_extract_ingest(spark, sf_dir):
     stream = stream_parquet(spark, land, max_files_per_trigger=1)
     routed = extract_text_any(stream)
     out = replay_to_df(routed, spark, mode="append")
-    return out.select("media_id", "kind", "n_chars").orderBy("media_id")
+    return out.select("media_id", "kind", "n_chars")
 
 
 
@@ -13705,7 +13704,7 @@ def unigram_encode_fixture(spark, sf_dir):
         "word",
         F.size("toks").cast("int").alias("n_pieces"),
         F.concat_ws(" ", "toks").alias("subwords"),
-    ).orderBy("word")
+    )
 
 
 @q(
