@@ -194,4 +194,6 @@ def archive_documents(
             out["n_chars"] = pd.array(out["n_chars"], dtype="Int32")
             yield out
 
+    # mapInPandas ships every input column to Python — project to what's read
+    media = media.select(id_col, content_col)
     return media.mapInPandas(run, schema=_ARCHIVE_OUT)

@@ -1519,6 +1519,8 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
     # time — mutating it here would silently retarget every concurrent
     # plan and leak to unrelated Arrow operations, so it is left to the
     # session configuration.
+    # mapInPandas ships every input column to Python — project to what's read
+    media = media.select("media_id", "mime", "content")
     return media.mapInPandas(decode, schema=_DECODE_OUT)
 
 
@@ -1588,6 +1590,8 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                 }
             )
 
+    # mapInPandas ships every input column to Python — project to what's read
+    media = media.select("media_id", "content")
     return media.mapInPandas(do_resize, schema=_RESIZE_OUT)
 
 
@@ -1625,6 +1629,8 @@ def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
                 }
             )
 
+    # mapInPandas ships every input column to Python — project to what's read
+    media = media.select("media_id", "content")
     return media.mapInPandas(
         featurize, schema="media_id long, embedding array<float>, extractor string"
     )
@@ -1729,6 +1735,8 @@ def ahash_images(media: DataFrame, n_pixels: int = 64) -> DataFrame:
                 }
             )
 
+    # mapInPandas ships every input column to Python — project to what's read
+    media = media.select("media_id", "content")
     return media.mapInPandas(hash_batch, schema="media_id long, phash long, n_bytes long")
 
 
@@ -1927,6 +1935,8 @@ def audio_wav_features(media: DataFrame) -> DataFrame:
 
     schema = ("media_id long, sample_rate int, n_channels int, bits int, "
               "n_frames int, duration_us bigint, peak int, rms int")
+    # mapInPandas ships every input column to Python — project to what's read
+    media = media.select("media_id", "content")
     return media.mapInPandas(run, schema=schema)
 
 
@@ -2202,6 +2212,8 @@ def decompress_text(media: DataFrame, encoding: str = "utf-8") -> DataFrame:
                          "n_bytes_raw", "text"],
             )
 
+    # mapInPandas ships every input column to Python — project to what's read
+    media = media.select("media_id", "content")
     return media.mapInPandas(
         run,
         schema=("media_id long, codec string, n_bytes_compressed long, "
@@ -2594,6 +2606,8 @@ def audio_meta(media: DataFrame) -> DataFrame:
     schema = ("media_id long, container string, sample_rate int, "
               "n_channels int, bits int, n_samples bigint, "
               "duration_us bigint, bitrate_kbps int")
+    # mapInPandas ships every input column to Python — project to what's read
+    media = media.select("media_id", "content")
     return media.mapInPandas(run, schema=schema)
 
 
@@ -2921,6 +2935,8 @@ def video_frame_times(
                 columns=["media_id", "frame_pos", "frame_index", "pts_us"],
             )
 
+    # mapInPandas ships every input column to Python — project to what's read
+    media = media.select("media_id", "content")
     return media.mapInPandas(
         run,
         schema=("media_id long, frame_pos int, frame_index int, "
@@ -2963,4 +2979,6 @@ def video_meta(media: DataFrame) -> DataFrame:
 
     schema = ("media_id long, major_brand string, duration_us bigint, "
               "n_tracks int, width int, height int, n_frames int")
+    # mapInPandas ships every input column to Python — project to what's read
+    media = media.select("media_id", "content")
     return media.mapInPandas(run, schema=schema)

@@ -1122,4 +1122,6 @@ def pdf_features(
             out["n_chars"] = pd.array(out["n_chars"], dtype="Int32")
             yield out
 
+    # mapInPandas ships every input column to Python — project to what's read
+    media = media.select(id_col, content_col)
     return media.mapInPandas(run, schema=_PDF_OUT)

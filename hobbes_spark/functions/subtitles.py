@@ -189,6 +189,8 @@ def subtitle_cues(
                          "end_ms", "duration_ms", "text"],
             )
 
+    # mapInPandas ships every input column to Python — project to what's read
+    media = media.select(id_col, content_col)
     return media.mapInPandas(
         run,
         schema=("media_id long, cue_index int, format string, "

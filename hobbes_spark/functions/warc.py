@@ -557,6 +557,8 @@ def warc_records(
                 pdf_out["http_status"], dtype="Int32")
             yield pdf_out
 
+    # mapInPandas ships every input column to Python — project to what's read
+    media = media.select(id_col, content_col)
     return media.mapInPandas(
         run,
         schema=("media_id long, record_index int, codec string, "
@@ -861,6 +863,8 @@ def cdx_index(
             out["status"] = pd.array(out["status"], dtype="Int32")
             yield out
 
+    # mapInPandas ships every input column to Python — project to what's read
+    media = media.select(id_col, content_col)
     flat = media.mapInPandas(
         run,
         schema=("media_id long, record_index int, url string, ts string, "

@@ -598,3 +598,44 @@ def test_minhash_star_edges_single_equi_join(spark, sf_dir):
         "BroadcastHashJoin"
     )
     assert joins == 1, f"expected exactly one equi-join, saw {joins}"
+
+
+def test_python_boundary_ships_only_consumed_columns(spark):
+    """r13: mapInPandas ships EVERY input column to the Python worker
+    (column pruning cannot see into the function body), so each decoder
+    projects to the columns it reads before crossing.  A wide caller
+    frame must not widen the Arrow boundary — pin the MapInPandas input
+    list for one of each flavor: hardcoded (media_id, content), the
+    mime-consuming image decoder, and a param-named (id_col,
+    content_col) parser."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hobbes_spark.functions.extract import extract_text_any
+    from hobbes_spark.functions.multimodal import (
+        audio_wav_features,
+        decode_image_meta,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(b"RIFF")), (2, "image/png", None)],
+        "media_id long, mime string, content binary",
+    )
+    wide = media.withColumn("url", F.lit("u")).withColumn(
+        "huge_payload_twin", F.lit("x")
+    )
+
+    def boundary_cols(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        line = next(l for l in plan.splitlines() if "MapInPandas" in l)
+        return re.findall(r"(\w+)#\d+", line.split("]", 1)[0].split("(", 1)[1])
+
+    assert boundary_cols(audio_wav_features(wide))[:2] == ["media_id", "content"]
+    assert "huge_payload_twin" not in boundary_cols(audio_wav_features(wide))
+    assert boundary_cols(decode_image_meta(wide))[:3] == [
+        "media_id", "mime", "content",
+    ]
+    assert "url" not in boundary_cols(decode_image_meta(wide))
+    got = boundary_cols(extract_text_any(wide))
+    assert "huge_payload_twin" not in got and "url" not in got
