@@ -603,21 +603,49 @@ def main_content_blocks(col: Column | str) -> Column:
         cleaned = F.regexp_replace(cleaned, pat, rep)
     blocks = F.split(cleaned, BLOCK_SPLIT_RE)
 
-    def feats(b: Column) -> Column:
-        text = F.trim(_block_text(b))
-        toks = F.when(
-            F.length(text) == 0, F.array().cast("array<string>")
-        ).otherwise(F.split(F.lower(text), r"\s+"))
-        n_words = F.size(toks)
-        stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-        anchor_raw = F.array_join(
-            F.regexp_extract_all(b, F.lit(ANCHOR_TEXT_RE), F.lit(1)), " "
+    # Scoring runs as a PIPELINE of transforms so every expensive
+    # sub-expression is computed once and consumed as a BOUND struct
+    # field: a named Column inlines at every reference, and the single
+    # big `feats` lambda evaluated the 15-rule _block_text regex chain
+    # 5x per block (text 3x, anchor 2x) and the tokenizing split 2x —
+    # HOF lambdas run interpreted, so the duplication was all real
+    # wall-clock (r13; the query-level staging note in
+    # main_content_stats has the measurements).
+    def stage_text(b: Column) -> Column:
+        return F.struct(
+            F.trim(_block_text(b)).alias("text"),
+            F.array_join(
+                F.regexp_extract_all(b, F.lit(ANCHOR_TEXT_RE), F.lit(1)), " "
+            ).alias("anchor_raw"),
         )
-        link_chars = F.length(F.trim(_block_text(anchor_raw)))
-        link_density = link_chars.cast("double") / F.greatest(
-            F.length(text), F.lit(1)
+
+    def stage_toks(st: Column) -> Column:
+        text = st["text"]
+        return F.struct(
+            text.alias("text"),
+            F.when(
+                F.length(text) == 0, F.array().cast("array<string>")
+            ).otherwise(F.split(F.lower(text), r"\s+")).alias("toks"),
+            F.length(F.trim(_block_text(st["anchor_raw"]))).alias("link_chars"),
+        )
+
+    def stage_counts(st: Column) -> Column:
+        toks = st["toks"]
+        return F.struct(
+            st["text"].alias("text"),
+            F.size(toks).alias("n_words"),
+            F.size(
+                F.filter(toks, lambda t: t.isin(*STOPWORDS))
+            ).alias("stop_hits"),
+            st["link_chars"].alias("link_chars"),
+        )
+
+    def feats(st: Column) -> Column:
+        n_words = st["n_words"]
+        link_density = st["link_chars"].cast("double") / F.greatest(
+            F.length(st["text"]), F.lit(1)
         ).cast("double")
-        stop_ratio = stop_hits.cast("double") / F.greatest(
+        stop_ratio = st["stop_hits"].cast("double") / F.greatest(
             n_words, F.lit(1)
         ).cast("double")
         iso = (
@@ -629,7 +657,7 @@ def main_content_blocks(col: Column | str) -> Column:
             .otherwise(F.lit("near"))
         )
         return F.struct(
-            text.alias("text"),
+            st["text"].alias("text"),
             n_words.alias("n_words"),
             link_density.alias("link_density"),
             stop_ratio.alias("stop_ratio"),
@@ -637,33 +665,52 @@ def main_content_blocks(col: Column | str) -> Column:
         )
 
     scored = F.filter(
-        F.transform(blocks, feats), lambda s: F.length(s["text"]) > 0
+        F.transform(
+            F.transform(F.transform(blocks, stage_text), stage_toks),
+            stage_counts,
+        ),
+        lambda s: F.length(s["text"]) > 0,
     )
+    scored = F.transform(scored, feats)
 
     # one-step context smoothing: near -> good next to a good neighbor.
     # F.get, NOT element_at: get is 0-based and NULL on out-of-range,
     # while ANSI element_at THROWS on index 0 / past-the-end — a first
     # or last 'near' block would crash the job (caught in tests; the
     # And short-circuit hides it whenever edge blocks are bad/good)
-    def smooth(s: Column, i: Column) -> Column:
-        prev_good = F.coalesce(
-            F.get(scored, i - 1)["cls"] == "good", F.lit(False)
-        )
-        nxt_good = F.coalesce(
-            F.get(scored, i + 1)["cls"] == "good", F.lit(False)
-        )
-        promoted = F.when(
-            (s["cls"] == "near") & (prev_good | nxt_good), F.lit("good")
-        ).otherwise(s["cls"])
-        return F.struct(
-            s["text"].alias("text"),
-            s["n_words"].alias("n_words"),
-            s["link_density"].alias("link_density"),
-            s["stop_ratio"].alias("stop_ratio"),
-            promoted.alias("cls"),
-        )
+    #
+    # `scored` must be BOUND, not referenced: the neighbor lookups need
+    # the whole array per element, and Catalyst inlines a named Column
+    # at every reference — transform(scored, ...) with two F.get(scored)
+    # inside the lambda re-evaluated the full regex-scoring expression
+    # per element per reference, O(blocks²) heavy regex work per row
+    # (main_content_stats at sf0.1: 70.8 s before this fix + the staged
+    # scoring pipeline above + query-level staging, 2.4 s after).
+    # Catalyst has no let-expression; transform over a one-element
+    # array is the standard spelling: the lambda variable holds the
+    # scored array evaluated exactly once.
+    def smooth(sc: Column):
+        def one(s: Column, i: Column) -> Column:
+            prev_good = F.coalesce(
+                F.get(sc, i - 1)["cls"] == "good", F.lit(False)
+            )
+            nxt_good = F.coalesce(
+                F.get(sc, i + 1)["cls"] == "good", F.lit(False)
+            )
+            promoted = F.when(
+                (s["cls"] == "near") & (prev_good | nxt_good), F.lit("good")
+            ).otherwise(s["cls"])
+            return F.struct(
+                s["text"].alias("text"),
+                s["n_words"].alias("n_words"),
+                s["link_density"].alias("link_density"),
+                s["stop_ratio"].alias("stop_ratio"),
+                promoted.alias("cls"),
+            )
 
-    smoothed = F.transform(scored, smooth)
+        return F.transform(sc, one)
+
+    smoothed = F.get(F.transform(F.array(scored), smooth), 0)
     return F.coalesce(
         smoothed,
         F.array().cast(

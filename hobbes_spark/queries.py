@@ -10647,22 +10647,35 @@ def main_content_stats(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").df
     raw = F.concat(F.lit(_MC_PRE), F.col("text"), F.lit(_MC_POST))
-    blocks = main_content_blocks(raw)
-    mc = F.array_join(
-        F.transform(
-            F.filter(blocks, lambda s: s["cls"] == "good"),
-            lambda s: s["text"],
-        ),
-        "\n",
-    )
-    return docs.select(
+    # STAGE the block array and the joined main text as real columns:
+    # a named Column inlines at every reference, so computing the five
+    # outputs straight off main_content_blocks(raw) evaluated the whole
+    # scoring expression four times per row (r13; same staging rule as
+    # dedup.exploded_window_hashes)
+    staged = docs.select(
         "doc_id",
-        F.size(blocks).cast("int").alias("n_blocks"),
-        F.size(F.filter(blocks, lambda s: s["cls"] == "good"))
-        .cast("int").alias("n_good"),
-        F.length(mc).cast("bigint").alias("main_chars"),
+        main_content_blocks(raw).alias("__blocks"),
         F.length(html_to_text(raw)).cast("bigint").alias("html_chars"),
-        F.md5(mc).alias("fp"),
+    ).select(
+        "doc_id",
+        "__blocks",
+        F.array_join(
+            F.transform(
+                F.filter(F.col("__blocks"), lambda s: s["cls"] == "good"),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("__mc"),
+        "html_chars",
+    )
+    return staged.select(
+        "doc_id",
+        F.size("__blocks").cast("int").alias("n_blocks"),
+        F.size(F.filter(F.col("__blocks"), lambda s: s["cls"] == "good"))
+        .cast("int").alias("n_good"),
+        F.length("__mc").cast("bigint").alias("main_chars"),
+        "html_chars",
+        F.md5("__mc").alias("fp"),
     )
 
 
