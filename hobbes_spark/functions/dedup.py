@@ -592,6 +592,44 @@ def banded_signatures(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame
     ).select("id", "bk.band", "bk.band_key")
 
 
+def _keep_scored_pairs(
+    df: DataFrame,
+    id_a: Column,
+    id_b: Column,
+    score: Column,
+    name: str,
+    threshold: float,
+) -> DataFrame:
+    """``(id_a, id_b, <name>)`` rows of ``df`` whose ``score`` clears
+    ``threshold`` — with the score expression evaluated ONCE per pair.
+
+    The obvious ``select(score).filter(col >= t)`` spelling lets
+    predicate pushdown substitute the scoring expression into the
+    filter below the projection, so every candidate pays the score
+    twice — and pair scores here are interpreted higher-order
+    expressions (zip_with folds, array intersections), the costliest
+    per-row work in the dedup family (measured 2.0x on
+    embedding_neardup_exact: 24.5 → 15.5 s at sf0.1). Building the
+    score once into a one-element struct array and filtering on the
+    BOUND field inside the HOF makes the threshold test a field read,
+    and the explode (Generate) barrier keeps the optimizer from
+    re-inlining the expression. NULL scores are dropped, exactly like
+    the plain ``>=`` filter."""
+    packed = F.filter(
+        F.array(
+            F.struct(
+                id_a.alias("id_a"), id_b.alias("id_b"), score.alias(name)
+            )
+        ),
+        lambda s: s[name] >= F.lit(float(threshold)),
+    )
+    return df.select(F.explode(packed).alias("__kept")).select(
+        F.col("__kept.id_a").alias("id_a"),
+        F.col("__kept.id_b").alias("id_b"),
+        F.col(f"__kept.{name}").alias(name),
+    )
+
+
 def _estimate_pairs(
     cand: DataFrame, sigs: DataFrame, num_hashes: int, threshold: float
 ) -> DataFrame:
@@ -606,12 +644,9 @@ def _estimate_pairs(
         )
     )
     est = matches / F.lit(float(num_hashes))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+    return _keep_scored_pairs(
+        cand.join(sa, "id_a").join(sb, "id_b"),
+        F.col("id_a"), F.col("id_b"), est, "est_jaccard", threshold,
     )
 
 
@@ -695,13 +730,26 @@ def simhash60(col: Column | str, bits: int = 60) -> Column:
             + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
 
+    # the token-hash array must be BOUND, not referenced: all `bits`
+    # vote folds read it, and Catalyst inlines a named Column at every
+    # reference — the tokenize+md5 transform re-evaluated 60x per row
+    # (simhash_fingerprints at sf0.1: 24.8 s before, see the same let
+    # spelling in web.main_content_blocks). transform over a
+    # one-element array binds it evaluated once; size(hs) == size(toks)
+    # (transform is length- and NULL-preserving), so the empty-token
+    # guard reads the bound array too.
     toks = tokens(F.lower(c(col)))
     hashes = F.transform(toks, _md5_60bit)
-    votes = [vote_for_bit(hashes, b) for b in range(bits)]
-    out = F.lit(0).cast("bigint")
-    for b, v in enumerate(votes):
-        out = out + F.when(v > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
-    return F.when(F.size(toks) > 0, out)
+
+    def fold(hs: Column) -> Column:
+        out = F.lit(0).cast("bigint")
+        for b in range(bits):
+            out = out + F.when(
+                vote_for_bit(hs, b) > 0, F.lit(2**b).cast("bigint")
+            ).otherwise(F.lit(0))
+        return F.when(F.size(hs) > 0, out)
+
+    return F.get(F.transform(F.array(hashes), fold), 0)
 
 
 def connected_components(
@@ -981,14 +1029,9 @@ def embedding_neardup_exact(
     cos = _dotd(F.col("a.v"), F.col("b.v")) / F.nullif(
         F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
     )
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cos.alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
+    return _keep_scored_pairs(
+        a.join(b, F.col("a.id") < F.col("b.id")),
+        F.col("a.id"), F.col("b.id"), cos, "cos", threshold,
     )
 
 
@@ -1092,12 +1135,9 @@ def embedding_neardup_lsh(
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     cos = _dotd(F.col("va"), F.col("vb")) / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+    return _keep_scored_pairs(
+        cand.join(va, "id_a").join(vb, "id_b"),
+        F.col("id_a"), F.col("id_b"), cos, "cos", threshold,
     )
 
 
@@ -1145,6 +1185,15 @@ def jaccard_join_prefix(
             ).alias("toks")
         )
         .withColumn("n", F.size("toks"))
+        # EAGER materialization (the minhash_pairs precedent, same
+        # reasoning documented there): the ranked-array table has FOUR
+        # consumers (both prefix join sides + both verify rejoins), and
+        # without truncation the explode→freq-join→collect_list subtree
+        # compiles and runs once per consumer (r13: 1.09 s/subtree at
+        # sf0.1, and the un-truncated plan also denied the planner real
+        # sizes for the candidate join). id + one token array per doc —
+        # metadata-sized relative to the corpus.
+        .localCheckpoint()
     )
     # round before ceil: IEEE products like 100*0.55 = 55.000000000000004
     # would otherwise ceil to 56 and shorten the prefix by one token,
@@ -1153,12 +1202,26 @@ def jaccard_join_prefix(
         F.col("n") - F.ceil(F.round(F.col("n") * F.lit(threshold), 9)) + 1
     ).cast("int")
     pref = docs.select(
-        "id", F.explode(F.slice(F.col("toks"), 1, pref_len)).alias("tok")
+        "id", "n", F.explode(F.slice(F.col("toks"), 1, pref_len)).alias("tok")
     )
+    # PPJoin length filter (Xiao et al. 2008 §3.1), applied INSIDE the
+    # candidate join so non-qualifying pairs die before the distinct
+    # exchange: jaccard ≥ θ implies θ·max(na,nb) ≤ min(na,nb) (the
+    # estimate can't beat min/max), so the band predicate only removes
+    # pairs the exact verify would reject anyway — results unchanged,
+    # the brute-force oracle pins it. Same round-before-compare
+    # convention as pref_len (a boundary pair like n=9 vs n=10 at
+    # θ=0.9 must survive 0.9*10 = 9.000000000000002). r13 measured
+    # 11.3 M → 3.69 M candidates on the sf0.1 corpus.
     cand = (
         pref.alias("a")
-        .join(pref.alias("b"),
-              (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .join(
+            pref.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.round(F.col("b.n") * F.lit(threshold), 9) <= F.col("a.n"))
+            & (F.round(F.col("a.n") * F.lit(threshold), 9) <= F.col("b.n")),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -1170,12 +1233,9 @@ def jaccard_join_prefix(
     jac = inter / F.nullif(
         (F.col("na") + F.col("nb") - inter).cast("double"), F.lit(0.0)
     )
-    return (
-        cand.join(da, "id_a")
-        .join(db, "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return _keep_scored_pairs(
+        cand.join(da, "id_a").join(db, "id_b"),
+        F.col("id_a"), F.col("id_b"), jac, "jaccard", threshold,
     )
 
 
@@ -1234,12 +1294,7 @@ def jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
     union = F.size(F.col("a.g")) + F.size(F.col("b.g")) - inter
     jac = inter / F.nullif(union.cast("double"), F.lit(0.0))
-    return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    return _keep_scored_pairs(
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))),
+        F.col("a.id"), F.col("b.id"), jac, "jaccard", threshold,
     )
