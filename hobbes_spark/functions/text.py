@@ -177,17 +177,31 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 def lang_id_t(col: Column | str, toks_l: Column) -> Column:
     """:func:`lang_id` given pre-lowercased tokens (see
-    :func:`stopword_ratio_t` for why the ``_t`` variants exist)."""
+    :func:`stopword_ratio_t` for why the ``_t`` variants exist).
+
+    The five scores are BOUND once (transform over a one-element array
+    — the let spelling of web.main_content_blocks): spelled directly,
+    the argmax CASE references each marker count ~5x (once per
+    ``greatest`` inlining plus its own comparison) and Catalyst
+    re-inlines a named Column at every reference, so each row paid ~19
+    interpreted marker-filter passes over the token array instead of
+    4 (r13)."""
     s = lang_scores_t(col, toks_l)
-    best = F.greatest(s["en"], s["de"], s["fr"], s["es"])
-    return (
-        F.when(s["zh"] > 0, F.lit("zh"))
-        .when(best == 0, F.lit("und"))
-        .when(s["en"] == best, F.lit("en"))
-        .when(s["de"] == best, F.lit("de"))
-        .when(s["fr"] == best, F.lit("fr"))
-        .otherwise(F.lit("es"))
-    )
+    packed = F.array(s["zh"], s["en"], s["de"], s["fr"], s["es"])
+
+    def decide(a: Column) -> Column:
+        zh, en, de, fr, es = (F.get(a, i) for i in range(5))
+        best = F.greatest(en, de, fr, es)
+        return (
+            F.when(zh > 0, F.lit("zh"))
+            .when(best == 0, F.lit("und"))
+            .when(en == best, F.lit("en"))
+            .when(de == best, F.lit("de"))
+            .when(fr == best, F.lit("fr"))
+            .otherwise(F.lit("es"))
+        )
+
+    return F.get(F.transform(F.array(packed), decide), 0)
 
 
 def lang_id(col: Column | str) -> Column:
