@@ -267,27 +267,50 @@ def main() -> None:
         )
         delta_units[name] = round((t - p) / p / unit, 1)
     regression_flags = sorted(n for n, u in delta_units.items() if u > 2)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "value_core_r1": core,
-                "value_core_r1_ratio": round(core / _R1_CORE_RECORDED, 3),
-                "queries": timings,
-                "spread_pct": spreads,
-                "worst_spread": worst,
-                "delta_vs_prev_spread_units": delta_units,
-                "regression_flags": regression_flags,
-                "host_calibration": calibration,
-                "host_speed_vs_prev": host_speed_vs_prev,
-                "runs_per_query": runs,
-                "flaky_reruns": sorted(n for n in flaky if n in timings),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "value_core_r1": core,
+        "value_core_r1_ratio": round(core / _R1_CORE_RECORDED, 3),
+        "queries": timings,
+        "spread_pct": spreads,
+        "worst_spread": worst,
+        "delta_vs_prev_spread_units": delta_units,
+        "regression_flags": regression_flags,
+        "host_calibration": calibration,
+        "host_speed_vs_prev": host_speed_vs_prev,
+        "runs_per_query": runs,
+        "flaky_reruns": sorted(n for n in flaky if n in timings),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(record))
+    # Truncation-proofing (r13 verdict item 2 — two rounds of cross-round
+    # comparison died to the recorder keeping only the LAST N bytes of
+    # stdout, front-truncating the line above).  Additions only:
+    # (a) a COMPACT second line carrying the same contract keys minus the
+    #     per-query observability extras — short enough to survive the
+    #     tail window intact, and being the LAST '{"metric"' occurrence
+    #     it is what tail parsers (this file's _last_round_record
+    #     included) pick up;
+    # (b) the full record dumped to BENCH_LAST.json beside this script
+    #     (timings only — never query results; every run overwrites it).
+    compact = {
+        k: record[k]
+        for k in (
+            "metric", "value", "unit", "value_core_r1",
+            "value_core_r1_ratio", "queries", "spread_pct",
+            "regression_flags", "host_calibration", "host_speed_vs_prev",
+            "sf",
         )
-    )
+    }
+    print(json.dumps(compact, separators=(",", ":")))
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LAST.json"), "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout lines above are the record
     spark.stop()
 
 

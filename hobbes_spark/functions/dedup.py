@@ -1007,32 +1007,129 @@ def embedding_neardup_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
+    blocks: int | None = None,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: every (id_a < id_b)
-    pair whose cosine similarity >= ``threshold``.
+    pair whose cosine similarity >= ``threshold``. Returns
+    (id_a, id_b, cos).
 
-    Norms are computed once per row *before* the self-join, so each pair
-    costs one dot product instead of three. The join itself is
-    all-pairs (O(n^2)) — this is the verification baseline and the
-    right tool only for small corpora or within a blocking key; at
-    100 TB use :func:`embedding_neardup_lsh`, which joins only within
-    LSH buckets. Returns (id_a, id_b, cos).
-    """
-    from hobbes_spark.functions.similarity import _dotd
+    The all-pairs O(n²·d) score is the point of this function (it is
+    the verification baseline for :func:`embedding_neardup_lsh`, which
+    is the 100 TB path), so the optimization target is the COST PER
+    PAIR, not the pair count. Round 14 moved the scoring off the
+    per-pair interpreted ``zip_with``/``aggregate`` fold (64 interpreted
+    lambda steps per pair — r13 measured 12.5 s at sf0.1 AFTER the
+    single-evaluation fix) onto a blocked Arrow path: vectors are
+    grouped into ``blocks`` hash blocks, block pairs are enumerated by
+    a tiny (blocks²/2-row) join, and each task scores one block pair in
+    NumPy (guide §4.2 — hand whole batches to vectorized native code).
 
+    Bit-identical by construction, NOT merely close: the NumPy kernel
+    accumulates the dot product dimension-by-dimension in index order
+    across the whole pair block (``acc += A[:, k] ⊗ B[:, k]``), which
+    performs the same IEEE-754 double additions in the same order as
+    the sequential ``aggregate`` fold (and as the oracle's
+    ``list_reduce``) — float64 add is deterministic given order, so
+    every cosine, the threshold decision, and the rounded output are
+    unchanged. Norms accumulate the same way. Mixed-dimension pairs
+    produce no output (the zip_with semantics), NaN/NULL elements
+    poison their pairs out exactly as before, and NULL ids/vectors
+    never pair.
+
+    ``blocks`` defaults to the session's default parallelism; the pair
+    SET is independent of it. Each block is replicated ``blocks`` times
+    through the block-pair join, so data movement is O(blocks·n) — keep
+    blocks near the core count, and keep corpora LSH-sized out of this
+    function altogether."""
+    spark = df.sparkSession
+    id_t = df.schema[id_col].dataType.simpleString()
     base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.sqrt(_dotd(F.col(vec_col), F.col(vec_col))).alias("nrm"),
-    ).filter(F.col("v").isNotNull())
-    a, b = base.alias("a"), base.alias("b")
-    cos = _dotd(F.col("a.v"), F.col("b.v")) / F.nullif(
-        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).filter(F.col("v").isNotNull() & F.col("id").isNotNull())
+    if blocks is None:
+        blocks = spark.sparkContext.defaultParallelism
+    n_blocks = max(int(blocks), 1)
+    blk = base.groupBy(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).alias("b")
+    ).agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+    pairs_in = (
+        blk.alias("x")
+        .join(blk.alias("y"), F.col("x.b") <= F.col("y.b"))
+        .select(
+            (F.col("x.b") == F.col("y.b")).alias("same"),
+            F.col("x.rows").alias("ra"),
+            F.col("y.rows").alias("rb"),
+        )
     )
-    return _keep_scored_pairs(
-        a.join(b, F.col("a.id") < F.col("b.id")),
-        F.col("a.id"), F.col("b.id"), cos, "cos", threshold,
-    )
+    thr = float(threshold)
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        def unpack(cell):
+            ids, vecs, lens = [], [], []
+            for e in cell:
+                ids.append(e["id"])
+                vecs.append(np.asarray(e["v"], dtype=np.float64))
+                lens.append(len(e["v"]))
+            width = max(lens) if lens else 0
+            mat = np.zeros((len(vecs), width), dtype=np.float64)
+            for i, v in enumerate(vecs):
+                mat[i, : lens[i]] = v
+            return (
+                np.asarray(ids, dtype=object),
+                mat,
+                np.asarray(lens, dtype=np.int64),
+            )
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for same, ra, rb in zip(pdf["same"], pdf["ra"], pdf["rb"]):
+                ia, A, la = unpack(ra)
+                ib, B, lb = unpack(rb)
+                if not len(ia) or not len(ib):
+                    continue
+                d = max(A.shape[1], B.shape[1])
+                if A.shape[1] < d:
+                    A = np.pad(A, ((0, 0), (0, d - A.shape[1])))
+                if B.shape[1] < d:
+                    B = np.pad(B, ((0, 0), (0, d - B.shape[1])))
+                # dot + norms accumulated dimension-by-dimension: the
+                # exact IEEE add order of the sequential fold (padding
+                # slots are exact zeros: x + 0.0 == x)
+                acc = np.zeros((len(ia), len(ib)), dtype=np.float64)
+                na = np.zeros(len(ia), dtype=np.float64)
+                nb = np.zeros(len(ib), dtype=np.float64)
+                for k in range(d):
+                    acc += A[:, k, None] * B[None, :, k]
+                    na += A[:, k] * A[:, k]
+                    nb += B[:, k] * B[:, k]
+                denom = np.sqrt(na)[:, None] * np.sqrt(nb)[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / denom
+                mask = (denom != 0.0) & (cos >= thr)
+                # zip_with semantics: a mixed-dimension pair never scores
+                mask &= la[:, None] == lb[None, :]
+                if bool(same):
+                    mask &= np.asarray(ia[:, None] < ib[None, :], dtype=bool)
+                i, j = np.nonzero(mask)
+                if not len(i):
+                    continue
+                lo_is_a = np.asarray(ia[i] < ib[j], dtype=bool)
+                out_a.append(np.where(lo_is_a, ia[i], ib[j]))
+                out_b.append(np.where(lo_is_a, ib[j], ia[i]))
+                out_c.append(cos[i, j])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
+
+    return pairs_in.mapInPandas(_score, f"id_a {id_t}, id_b {id_t}, cos double")
 
 
 def embedding_neardup_lsh(
@@ -1191,8 +1288,16 @@ def jaccard_join_prefix(
         # without truncation the explode→freq-join→collect_list subtree
         # compiles and runs once per consumer (r13: 1.09 s/subtree at
         # sf0.1, and the un-truncated plan also denied the planner real
-        # sizes for the candidate join). id + one token array per doc —
-        # metadata-sized relative to the corpus.
+        # sizes for the candidate join). Sizing note (r13 advice): this
+        # holds id + the full ranked token array per doc — proportional
+        # to the TOKENIZED corpus minus payload columns, not metadata-
+        # sized; budget executor storage accordingly. Tradeoffs of the
+        # eager localCheckpoint: building this DataFrame runs a Spark
+        # job even if the result is never executed, and localCheckpoint
+        # is not fault-tolerant (an executor loss makes partitions
+        # unrecoverable — rerun the query). For cluster runs where that
+        # matters, swap for reliable checkpoint/persist at the call
+        # site.
         .localCheckpoint()
     )
     # round before ceil: IEEE products like 100*0.55 = 55.000000000000004
@@ -1202,7 +1307,9 @@ def jaccard_join_prefix(
         F.col("n") - F.ceil(F.round(F.col("n") * F.lit(threshold), 9)) + 1
     ).cast("int")
     pref = docs.select(
-        "id", "n", F.explode(F.slice(F.col("toks"), 1, pref_len)).alias("tok")
+        "id",
+        "n",
+        F.posexplode(F.slice(F.col("toks"), 1, pref_len)).alias("p", "tok"),
     )
     # PPJoin length filter (Xiao et al. 2008 §3.1), applied INSIDE the
     # candidate join so non-qualifying pairs die before the distinct
@@ -1213,6 +1320,34 @@ def jaccard_join_prefix(
     # convention as pref_len (a boundary pair like n=9 vs n=10 at
     # θ=0.9 must survive 0.9*10 = 9.000000000000002). r13 measured
     # 11.3 M → 3.69 M candidates on the sf0.1 corpus.
+    #
+    # PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2, r14): for a
+    # shared token at 0-based ranked positions (pa, pb), the overlap
+    # can never exceed min(pa, pb) [shared tokens ordered before it]
+    # + 1 [itself] + min(na-pa-1, nb-pb-1) [shared tokens after it],
+    # because both arrays are sorted by ONE global (rarity, token)
+    # order. Jaccard ≥ θ forces overlap ≥ ⌈θ·(na+nb)/(1+θ)⌉, so a
+    # generating occurrence whose bound is below that requirement is
+    # pruned. Result-preserving even though a pair can be generated by
+    # several occurrences: for a TRUE pair the bound ≥ the actual
+    # overlap ≥ the requirement at EVERY occurrence, so every
+    # generating row survives — pruning can only remove pairs the
+    # verify would reject. Same round-9 convention for the float
+    # product. r14 measured 3.69 M → 1.25 M candidates at sf0.1.
+    min_ov = F.ceil(
+        F.round(
+            (F.col("a.n") + F.col("b.n"))
+            * F.lit(float(threshold) / (1.0 + float(threshold))),
+            9,
+        )
+    )
+    pos_bound = (
+        F.least(F.col("a.p"), F.col("b.p"))
+        + 1
+        + F.least(
+            F.col("a.n") - F.col("a.p") - 1, F.col("b.n") - F.col("b.p") - 1
+        )
+    )
     cand = (
         pref.alias("a")
         .join(
@@ -1220,7 +1355,8 @@ def jaccard_join_prefix(
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.id") < F.col("b.id"))
             & (F.round(F.col("b.n") * F.lit(threshold), 9) <= F.col("a.n"))
-            & (F.round(F.col("a.n") * F.lit(threshold), 9) <= F.col("b.n")),
+            & (F.round(F.col("a.n") * F.lit(threshold), 9) <= F.col("b.n"))
+            & (pos_bound >= min_ov),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])

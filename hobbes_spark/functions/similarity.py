@@ -103,6 +103,17 @@ def cosine(a: Column, b: Column) -> Column:
     return _dotd(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 
+def _cosine_hoisted(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with the per-side norms HOISTED to projected
+    columns computed once per row BEFORE the pair join (r14, guide §2.2
+    / §4-class duplicate work): spelled inline, every candidate pair
+    re-runs all three interpreted aggregate folds (dot + both norms);
+    with the norms bound to the sides, a pair pays exactly one fold.
+    Bit-identical — the norm fold over the same vector yields the same
+    double wherever it is evaluated, and the nullif guard is unchanged."""
+    return _dotd(a, b) / F.nullif(na * nb, F.lit(0.0))
+
+
 def _unit(v: Column) -> Column:
     """L2-normalized copy of ``v`` (zero vectors pass through unchanged)."""
     n = _norm(F.transform(v, lambda x: x.cast("double")))
@@ -130,17 +141,22 @@ def _exact_scan_pairs(
     :func:`cosine_topk` and :func:`hard_negatives`: queries broadcast
     (small side), NULL vectors excluded on BOTH sides (no direction —
     they must not rank as NULL-cos trailing neighbors), corpus scans
-    once. Extra carried columns are alias->source mappings."""
+    once. Extra carried columns are alias->source mappings.
+
+    Both sides also carry their L2 norm (``qn``/``cn``) computed once
+    per ROW here, below the join — see :func:`_cosine_hoisted`."""
     q = F.broadcast(
         queries.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
             *[F.col(src).alias(dst) for dst, src in (q_cols or {}).items()],
         )
     )
     corp = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
         *[F.col(src).alias(dst) for dst, src in (c_cols or {}).items()],
     )
     return corp.crossJoin(q)
@@ -164,7 +180,11 @@ def cosine_topk(
     if not include_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        "query_id",
+        "neighbor_id",
+        _cosine_hoisted(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ).alias("cos"),
     )
     return _topk(scored, k)
 
@@ -205,7 +225,9 @@ def hard_negatives(
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            _cosine_hoisted(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cos"),
         )
     )
     return _topk(scored, k)
@@ -481,7 +503,12 @@ def lsh_bucket_topk(
             )
         return out.withColumn("bucket", lsh_signature(F.col(vec_alias), planes))
 
-    corp = with_bucket(corpus, "neighbor_id", "cv")
+    # per-row norms hoisted below the bucket join (see _cosine_hoisted);
+    # when dumping, the norm column rides the parquet roundtrip —
+    # float64 roundtrips exactly, and the oracle reads named columns
+    corp = with_bucket(corpus, "neighbor_id", "cv").withColumn(
+        "cn", _norm(F.col("cv"))
+    )
     probes = [F.col("bucket")]
     if probe_radius >= 1:
         probes += [
@@ -495,7 +522,10 @@ def lsh_bucket_topk(
             for r in range(p + 1, planes)
         ]
     q = with_bucket(queries, "query_id", "qv").select(
-        "query_id", "qv", F.explode(F.array(*probes)).alias("bucket")
+        "query_id",
+        "qv",
+        _norm(F.col("qv")).alias("qn"),
+        F.explode(F.array(*probes)).alias("bucket"),
     )
     if dump_dir is not None:
         from hobbes_spark.sources.sinks import roundtrip_parquet
@@ -506,7 +536,11 @@ def lsh_bucket_topk(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = joined.dropDuplicates(["query_id", "neighbor_id"]).select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        "query_id",
+        "neighbor_id",
+        _cosine_hoisted(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ).alias("cos"),
     )
     return _topk(scored, k)
 
@@ -632,16 +666,27 @@ def ivf_search(
     q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    qcells = _probe_cells(q, centroids, nprobe)
+    # norms hoisted below the cell join (see _cosine_hoisted): qn on the
+    # tiny probe table (query×nprobe rows), cn once per corpus row
+    qcells = _probe_cells(q, centroids, nprobe).withColumn(
+        "qn", _norm(F.col("qv"))
+    )
     joined = (
         assigned.select(
-            F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+            F.col("id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            "cell",
+            _norm(F.col("v")).alias("cn"),
         )
         .join(F.broadcast(qcells), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     scored = joined.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        "query_id",
+        "neighbor_id",
+        _cosine_hoisted(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ).alias("cos"),
     )
     return _topk(scored, k)
 

@@ -557,7 +557,14 @@ def bm25_topk(
     (1-row broadcast cross join); without the materialization each
     consumer re-ran the full corpus scan + tokenization (the r13
     measurement: three scans per execution). The final top-k is a
-    TakeOrdered (per-partition heads, no global sort)."""
+    TakeOrdered (per-partition heads, no global sort).
+
+    localCheckpoint tradeoffs (r13 advice): calling this function runs
+    a Spark job eagerly even if the returned DataFrame is never
+    executed, and localCheckpoint is not fault-tolerant — an executor
+    loss makes the checkpointed partitions unrecoverable and the query
+    must be rerun. On long cluster runs prefer persisting the narrow
+    base to reliable storage and scoring from that table instead."""
     terms = [t.lower() for t in query_terms]
     toks = tokens(F.lower(c(text_col)))
     base = df.select(

@@ -231,7 +231,11 @@ def registrable_domain(col: Column | str) -> Column:
 #: caching the logical plan avoids re-parsing ~380 literal rows on every
 #: query construction, and the LocalRelation itself makes the broadcast
 #: build driver-direct: no Python->RDD conversion, no collect job).
-_RD_REL_CACHE: dict = {}
+#: SINGLE slot keyed by applicationId (r13 advice: an id(spark)-keyed
+#: dict grew without bound, leaked entries for stopped sessions, and
+#: CPython id() reuse could in principle alias a dead session) — a new
+#: session simply rebuilds on miss.
+_RD_REL_CACHE: list = [None, None]  # [applicationId, relation]
 
 
 def _psl_suffix_rel(spark):
@@ -241,10 +245,9 @@ def _psl_suffix_rel(spark):
     exception (a suffix string determines its own k, so one relation
     serves every probe level; all three probes then broadcast the SAME
     LocalRelation and exchange reuse builds it once)."""
-    key = (id(spark), spark.sparkContext.applicationId)
-    rel = _RD_REL_CACHE.get(key)
-    if rel is not None:
-        return rel
+    key = spark.sparkContext.applicationId
+    if _RD_REL_CACHE[0] == key and _RD_REL_CACHE[1] is not None:
+        return _RD_REL_CACHE[1]
 
     merged: dict[str, list] = {}
 
@@ -269,7 +272,7 @@ def _psl_suffix_rel(spark):
     rel = spark.sql(
         f"SELECT * FROM VALUES {vals} AS t(__rd_sfx, __rd_e, __rd_w, __rd_x)"
     )
-    _RD_REL_CACHE[key] = rel
+    _RD_REL_CACHE[0], _RD_REL_CACHE[1] = key, rel
     return rel
 
 

@@ -57,6 +57,25 @@ def _rsql(expr: str, n: int) -> str:
     return f"FLOOR(({expr}) * {f} + 0.5) / CAST({f} AS DOUBLE)"
 
 
+def _stream_replay(df, spark, src: str, mode: str):
+    """replay_to_df with the state/shuffle partition count derived from
+    the SOURCE size (r14, guide §2 — scale-adaptive partitioning): every
+    stateful streaming operator commits one state-store file per
+    partition per micro-batch, so the session constant (right for a
+    corpus-sized landing zone, capped at the cluster-set value) made
+    state-commit machinery dominate these bounded replays at sf0.1.
+    Results are partition-count independent — only state layout and
+    commit fan-out change (measured: stream_interval_join 8.3 -> 3.0 s
+    at 32 -> 8 partitions, same rows)."""
+    from hobbes_spark.streaming.run import replay_to_df
+    from hobbes_spark.streaming.source import source_scaled_partitions
+
+    return replay_to_df(
+        df, spark, mode=mode,
+        state_partitions=source_scaled_partitions(spark, src),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {}
 
 
@@ -2092,7 +2111,7 @@ def stream_tumbling_counts(spark, sf_dir):
 
     stream = stream_events(spark, f"{sf_dir}/events.parquet")
     agg = tumbling_agg(stream, duration="6 hours", keys=("event_type",), watermark=None)
-    out = replay_to_df(agg, spark, mode="complete")
+    out = _stream_replay(agg, spark, f"{sf_dir}/events.parquet", "complete")
     return out.select(
         F.col("win_start"),
         F.col("event_type"),
@@ -2127,7 +2146,7 @@ def stream_sliding_counts(spark, sf_dir):
         stream, duration="6 hours", slide="2 hours",
         keys=("event_type",), watermark=None,
     )
-    out = replay_to_df(agg, spark, mode="complete")
+    out = _stream_replay(agg, spark, f"{sf_dir}/events.parquet", "complete")
     return out.select(
         F.col("win_start"),
         F.col("event_type"),
@@ -2692,7 +2711,7 @@ def leakage_split_docs(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
         )
-        
+
     )
 
 
@@ -3242,7 +3261,7 @@ def stream_session_counts(spark, sf_dir):
 
     stream = stream_events(spark, f"{sf_dir}/events.parquet")
     agg = session_agg(stream, gap="30 minutes", keys=("user_id",), watermark=None)
-    out = replay_to_df(agg, spark, mode="complete")
+    out = _stream_replay(agg, spark, f"{sf_dir}/events.parquet", "complete")
     return out.select(
         "user_id", "win_start", "win_end",
         F.col("n_events").cast("bigint").alias("n_events"),
@@ -3300,7 +3319,7 @@ def stream_interval_join(spark, sf_dir):
         "user_id", "ts", F.col("event_id").alias("buy_id")
     )
     joined = interval_join(clicks, buys, "user_id", within="2 hours", watermark="1 hour")
-    out = replay_to_df(joined, spark, mode="append")
+    out = _stream_replay(joined, spark, f"{sf_dir}/events.parquet", "append")
     return out.select(
         F.col("click_id").cast("bigint").alias("click_id"),
         F.col("buy_id").cast("bigint").alias("buy_id"),
@@ -3767,61 +3786,129 @@ def prepare_corpus(spark, sf_dir):
     the held-out eval slice -> 256-token sequence packing -> per-pack
     stats.
 
-    Round-13 restructure (optimization guide §2.3/§8 — decide on small
-    rows, move heavy bytes never): contamination is INTRINSIC to a
-    document (a doc shares grams with the eval suite or it doesn't,
-    independent of the repetition gate — the DuckDB oracle has always
-    computed ``dirty`` from the RAW non-eval slice), so the gram stream
-    now runs directly on the raw (doc_id, text) projection and the
-    gated slice is anti-joined against the broadcast dirty-id set.
-    That makes the gated slice SINGLE-consumer, so the r9-r12 full-text
-    localCheckpoint of the whole filtered corpus is gone (at 100 TB
-    that was a corpus-sized materialization); the only checkpoint left
-    is the 3-column (doc_id, source, token_count) decontaminated slice
-    pack's two-pass prefix scan re-reads — metadata, not payload.
-    Results are bit-identical: same dirty set, same gated set, same
-    packs (pack_documents consumes exactly these three columns)."""
-    from hobbes_spark.functions.curation import (
-        contamination_report,
-        pack_documents,
-        repetition_stats,
-    )
+    Round-14 one-pass restructure (optimization guide §2.3/§6 — VERDICT
+    r13 item 5): the r13 shape still scanned+tokenized the train slice
+    THREE times (repetition_stats' per-doc projection, its bigram
+    explode branch, and the contamination gram stream). Now ONE scan of
+    the train slice tokenizes once, hashes tokens once, and emits a
+    single TAGGED stream — ``(k=0, bigram_hash)`` and ``(k=1,
+    8gram_hash)`` windows off the same staged token-hash array (both
+    via the one shared ``chained_window_hashes`` spelling, so the gram
+    keys are bit-identical to what repetition_stats/_gram_hashes
+    produce). The per-doc scalars (token_count, dup_word_frac, source)
+    are computed BELOW the Generate from the same array and ride the
+    stream; one (doc, k, hash) count, one broadcast probe of the
+    distinct eval-gram set (left join + hit flag ≡ the old left_semi →
+    distinct-ids → anti-join chain), and one per-doc rollup produce the
+    repetition gates AND the dirty flag together. The plan is LINEAR —
+    no self-referencing subtrees — so the composed query reads the
+    train slice exactly once, plus one eval-slice scan for the
+    broadcast gram set.
+
+    Results are bit-identical to the r13 body: the gates are intrinsic
+    per doc (filter order can't change membership), dup/top fractions
+    are the same expressions over the same token hashes, dirty is the
+    same "shares ≥1 gram with eval" set, and pack_documents consumes
+    the same three columns. The only checkpoint is the 3-column
+    decontaminated slice pack's two-pass prefix scan re-reads —
+    metadata-sized, eagerly built inside the timed body (localCheckpoint
+    tradeoffs: see jaccard_join_prefix's docstring)."""
+    from hobbes_spark.functions.curation import _gram_hashes, pack_documents
+    from hobbes_spark.functions.dedup import chained_window_hashes
+    from hobbes_spark.functions.text import tokens
 
     docs = _t(spark, sf_dir, "documents").df
-    # eval suite = raw slice (a benchmark isn't quality-filtered);
-    # training side = raw non-eval remainder for the gram stream
+    # eval suite = raw slice (a benchmark isn't quality-filtered); its
+    # distinct gram-hash set is tiny and broadcasts
     ev = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
-    tr_raw = docs.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text")
-    # the dirty-id set is tiny by construction (docs sharing an 8-gram
-    # with the eval suite) — broadcast it into a null-safe anti join,
-    # the same join decontaminate() itself uses
-    dirty = contamination_report(tr_raw, ev, "text", n=8).select(
-        F.col("doc_id").alias("__dirty_id")
-    )
-    kept = (
-        repetition_stats(docs, "text")
-        .filter(F.col("keep_repetition") & (F.col("doc_id") % 20 != 0))
-        .select("doc_id", "source", "token_count")
-    )
-    # Materialize the two independent upstreams CONCURRENTLY (guide
-    # §2.6 — the scheduler happily overlaps jobs; serially, the dirty
-    # gram stream would otherwise run inside the anti-join's broadcast
-    # build while the cluster idles). Both checkpoints are metadata-
-    # sized: dirty is ids-only, kept is three fixed-width columns —
-    # the r9-r12 full-text corpus checkpoint is gone. The anti join
-    # itself stays lazy: pack's two-pass prefix scan re-reads it, but a
-    # broadcast anti join of two cached narrow frames is cheaper than a
-    # third materialization.
-    from concurrent.futures import ThreadPoolExecutor
+    evg = F.broadcast(_gram_hashes(ev, "text", 8, []).distinct())
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_dirty = pool.submit(dirty.localCheckpoint)
-        f_kept = pool.submit(kept.localCheckpoint)
-        dirty, kept = f_dirty.result(), f_kept.result()
-    clean = kept.join(
-        F.broadcast(dirty),
-        F.col("doc_id").eqNullSafe(F.col("__dirty_id")),
-        "left_anti",
+    tr = docs.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id", "source", "text"
+    )
+    # staged __th: real multi-referenced column, so CollapseProject
+    # cannot re-inline the tokenize/hash per consumer (the staging rule
+    # dedup.exploded_window_hashes documents)
+    s2 = tr.select(
+        "doc_id", "source", tokens(F.lower(F.col("text"))).alias("__tk")
+    ).select(
+        "doc_id",
+        "source",
+        F.transform("__tk", lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    th = F.col("__th")
+    sz = F.size(th)
+    dup = F.when(sz > 0, 1 - F.size(F.array_distinct(th)) / sz).otherwise(
+        F.lit(0.0)
+    )
+    stream = F.concat(
+        F.transform(
+            chained_window_hashes(th, 2),
+            lambda h: F.struct(F.lit(0).alias("k"), h.alias("h")),
+        ),
+        F.transform(
+            chained_window_hashes(th, 8),
+            lambda h: F.struct(F.lit(1).alias("k"), h.alias("h")),
+        ),
+    )
+    ex = (
+        s2.select(
+            "doc_id",
+            "source",
+            sz.cast("bigint").alias("token_count"),
+            dup.alias("__dup"),
+            stream.alias("__st"),
+        )
+        # explode_outer: a short doc (no bigrams, no grams — or NULL
+        # text) must still surface for the gates; its null row carries
+        # k=NULL so every when(k=…) below ignores it
+        .select(
+            "doc_id",
+            "source",
+            "token_count",
+            "__dup",
+            F.explode_outer("__st").alias("__e"),
+        )
+    )
+    # probe the broadcast eval-gram set BEFORE the shuffle: an 8-gram
+    # occurrence matters only as a dirty-flag witness, so every non-hit
+    # k=1 row dies map-side (guide §2.2 — shuffle fewer bytes); the
+    # bigram rows and the per-doc null rows pass untouched
+    probed = ex.join(
+        evg,
+        (F.col("__e.k") == 1) & (F.col("__e.h") == F.col("gram_hash")),
+        "left",
+    ).filter(
+        F.col("__e").isNull()
+        | (F.col("__e.k") == 0)
+        | F.col("gram_hash").isNotNull()
+    )
+    counts = probed.groupBy(
+        "doc_id", F.col("__e.k").alias("__k"), F.col("__e.h").alias("__h")
+    ).agg(
+        F.count(F.lit(1)).alias("__c"),
+        # constant within a doc — ride along instead of a second scan
+        F.first("source").alias("source"),
+        F.first("token_count").alias("token_count"),
+        F.first("__dup").alias("__dup"),
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.first("token_count").alias("token_count"),
+        F.first("__dup").alias("__dup"),
+        F.max(F.when(F.col("__k") == 0, F.col("__c"))).alias("__top"),
+        F.sum(F.when(F.col("__k") == 0, F.col("__c"))).alias("__nb"),
+        F.max(F.col("__k") == 1).alias("__dirty"),
+    )
+    top_frac = F.coalesce(F.col("__top") / F.col("__nb"), F.lit(0.0))
+    clean = (
+        per_doc.filter(
+            (F.col("__dup") <= 0.8)
+            & (top_frac <= 0.18)
+            & ~F.coalesce(F.col("__dirty"), F.lit(False))
+        )
+        .select("doc_id", "source", "token_count")
+        .localCheckpoint()
     )
     packed = pack_documents(clean, budget=256, token_count_col="token_count")
     return (
@@ -5547,7 +5634,7 @@ def stream_static_enrich(spark, sf_dir):
     agg = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
     )
-    out = replay_to_df(agg, spark, mode="complete")
+    out = _stream_replay(agg, spark, f"{sf_dir}/events.parquet", "complete")
     return out.select(
         "c_mktsegment",
         F.col("n_events").cast("bigint").alias("n_events"),
@@ -6399,7 +6486,7 @@ def pq_rerank_topk(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "dist", "rank")
-        
+
     )
 
 
@@ -8388,7 +8475,7 @@ def stream_ohlc_bars(spark, sf_dir):
     agg = tumbling_agg(
         stream, duration="1 day", keys=("event_type",), aggs=aggs, watermark=None
     )
-    out = replay_to_df(agg, spark, mode="complete")
+    out = _stream_replay(agg, spark, f"{sf_dir}/events.parquet", "complete")
     return out.select(
         "event_type", "win_start", "open", "high", "low", "close",
         "n", "volume_cents",
@@ -10926,7 +11013,7 @@ def robots_filter(spark, sf_dir):
                     robots_allowed(url, rules).alias("allowed"))
         .groupBy("path_class", "allowed")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"))
-        
+
     )
 
 
@@ -11042,7 +11129,7 @@ def sitemap_index_frontier(spark, sf_dir):
                     F.explode(sitemap_index_entries(raw)).alias("e"))
         .select("doc_id", F.col("e.loc").alias("loc"),
                 F.col("e.lastmod").alias("lastmod"))
-        
+
     )
 
 
@@ -11274,7 +11361,7 @@ def robots_sitemap_discovery(spark, sf_dir):
     )
     return (
         docs.select("doc_id", F.explode(robots_sitemaps(raw)).alias("sitemap_url"))
-        
+
     )
 
 
@@ -11322,7 +11409,7 @@ def sitemap_frontier(spark, sf_dir):
         docs.select("doc_id", F.explode(sitemap_entries(raw)).alias("e"))
         .select("doc_id", F.col("e.loc").alias("loc"),
                 F.col("e.lastmod").alias("lastmod"))
-        
+
     )
 
 
@@ -11385,7 +11472,7 @@ def robots_filter_hosts(spark, sf_dir):
         robots_filter_df(urls, robots)
         .groupBy("host_class", "path_class", "allowed")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"))
-        
+
     )
 
 
@@ -11745,7 +11832,7 @@ def license_scan(spark, sf_dir):
                     cols["licensed"].alias("licensed"))
         .groupBy("hdr_class", "spdx", "family", "licensed")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        
+
     )
 
 
@@ -13415,7 +13502,7 @@ def stream_curation_stats(spark, sf_dir):
         .cast("bigint")
         .alias("kept_docs"),
     )
-    return replay_to_df(agg, spark, mode="complete")
+    return _stream_replay(agg, spark, f"{sf_dir}/documents.parquet", "complete")
 
 
 @q(
@@ -13451,7 +13538,9 @@ def stream_dedup_counts(spark, sf_dir):
     deduped = stream.withColumn(
         "__fp", F.md5(F.coalesce(F.col("text"), F.lit("")))
     ).dropDuplicates(["source", "__fp"])
-    survivors = replay_to_df(deduped, spark, mode="append")
+    survivors = _stream_replay(
+        deduped, spark, f"{sf_dir}/documents.parquet", "append"
+    )
     return survivors.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("unique_docs")
     )
@@ -13489,8 +13578,12 @@ def stream_restart_dedup(spark, sf_dir):
     import tempfile as _tempfile
 
     from hobbes_spark.streaming import stream_parquet
-    from hobbes_spark.streaming.run import uncommit_last_batch
+    from hobbes_spark.streaming.run import (
+        pinned_shuffle_partitions,
+        uncommit_last_batch,
+    )
     from hobbes_spark.streaming.sinks import idempotent_parquet_writer
+    from hobbes_spark.streaming.source import source_scaled_partitions
 
     work = _tempfile.mkdtemp(prefix="hb_restart_dedup_")
     data = _os.path.join(work, "in")
@@ -13506,14 +13599,20 @@ def stream_restart_dedup(spark, sf_dir):
         d = s.withColumn(
             "__fp", F.md5(F.coalesce(F.col("text"), F.lit("")))
         ).dropDuplicates(["source", "__fp"])
-        q_ = (
-            d.writeStream.foreachBatch(idempotent_parquet_writer(out))
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(600)
+        # state partitions scaled to the landing zone's size (r14,
+        # guide §2 — see _stream_replay); the restart reuses the
+        # checkpointed count, so both drains lay state out identically
+        with pinned_shuffle_partitions(
+            spark, source_scaled_partitions(spark, data)
+        ):
+            q_ = (
+                d.writeStream.foreachBatch(idempotent_parquet_writer(out))
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination(600)
 
     try:
         deliver(F.col("doc_id") % 2 == 0)       # delivery 1: evens
@@ -13785,39 +13884,57 @@ def chart_gauge_lineitem(spark, sf_dir):
 # of r6-r8 is designed out.  Rotation-due enforcement (a newer record
 # exists, rotate me) lives in tools/gate_check.py, which refuses to run
 # until this stamp matches the newest record on disk.
-WINDOW_FROZEN_AT = "CORRECTNESS_r12"
+WINDOW_FROZEN_AT = "CORRECTNESS_r13"
+
+# Names whose results-producing code changed WITHOUT a driver signature
+# covering the change — escalations the cohort tool's git-diff detector
+# cannot see (r13 verdict item 1 lists the first 22): the r13 trailing-
+# sort sweep edited only queries.py (excluded from change detection by
+# design), the _keep_scored_pairs rework routed through module-private
+# helpers the one-level reference walk does not reach, and round-14's
+# own rewrites land after the frozen diff boundary.  window_cohort
+# ranks these as changed, so they lead the r14 signing window.
+WINDOW_FORCE_CHANGED: frozenset = frozenset({
+    # r13 changed-but-unsigned (verdict item 1, all 22)
+    "jaccard_prefix_pairs", "simhash_fingerprints",
+    "embedding_neardup_exact", "embedding_neardup_lsh",
+    "semantic_dedup_keep", "minhash_pairs", "minhash_incremental",
+    "ngram_jaccard_pairs", "prepare_corpus", "bm25_topk",
+    "curate_corpus", "decontaminate_docs",
+    "fim_docs", "span_corrupt_docs", "access_log_parse",
+    "canonical_url_docs", "code_likeness_docs", "html_text_stats",
+    "leakage_split_docs", "license_scan", "markdown_text_stats",
+    "audio_wav_features",
+})
 
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # Round-13 rotation, CHANGE-AWARE (tools/window_cohort.py --as-of
-    # 12): rank = (never-signed-or-changed-since-signature DESC,
+    # Round-14 rotation, CHANGE-AWARE (tools/window_cohort.py --as-of
+    # 13): rank = (never-signed-or-changed-since-signature DESC,
     # last-signed round ASC, name ASC), frozen at the commit that
-    # recorded CORRECTNESS_r12.json.  Changed-since-signature leads:
-    # the bpe/minhash/web/lang-ID shapes whose implementing functions
-    # were edited after their last driver row (incl. the three the r12
-    # note named: lang_id_counts, outlink_domains, minhash_pairs_fast —
-    # the cohort tool's module-alias resolution gap that hid
-    # lang_id_counts is fixed this round), then the r8 staleness tail.
-    # Queries ADDED in round 13 are never-signed and are PREPENDED
-    # above this block as they land (displacing the tail to r14).
-    "pdf_cmap_text", "substring_dup_spans", "main_content_stats",
-    "cdx_index_build", "cdx_selective_fetch", "substring_dedup_clean",
-    "cdxj_roundtrip", "cdx_merge_layers", "stream_cdx_index",
-    "bpe_encode_words", "bpe_merges", "minhash_pairs_fast",
-    "html_meta_docs", "lang_id_counts", "outlink_domains", "robots_filter",
-    "robots_filter_hosts", "stream_warc_ingest", "warc_charset_decode",
-    "warc_html_pipeline", "warc_records", "tpch_q7_volume",
-    "unigram_scores", "weighted_sample_docs", "winnow_fingerprints",
-    "ann_lsh_fixture_exact", "batch_sessions", "bigram_scores",
-    "boilerplate_lines", "ccnet_buckets", "concurrency_peak",
-    "corr_matrix", "cosine_topk", "cube_orders", "dedup_keep_best",
-    "funnel_conversion", "fuzzy_name_pairs", "gap_fill_ffill",
-    "group_sample_docs", "histogram_prices", "lsh_bands_fixture_exact",
-    "lsh_stats_fixture_exact", "mad_outliers", "media_phash_pairs",
-    "minhash_fixture_exact", "minhash_xxhash_fixture_exact",
-    "mixture_plan_docs", "mode_priority", "ohlc_bars", "pack_docs",
-    "prepare_corpus", "profile_lineitem", "props_json_stats",
+    # recorded CORRECTNESS_r13.json.  Changed-since-signature leads,
+    # and this round that set is dominated by WINDOW_FORCE_CHANGED
+    # (r13 verdict item 1): the 22 queries whose results-producing
+    # code changed in r13 without a driver signature at r13 HEAD —
+    # the PPJoin/scored-pairs/simhash/boundary/sort-sweep families —
+    # plus the r13 Arrow-boundary decoder rows the diff detector
+    # flags itself; then the r8-r9 staleness tail.
+    "prepare_corpus", "audio_wav_features", "bm25_topk", "curate_corpus",
+    "decontaminate_docs", "audio_meta", "canonical_url_docs",
+    "compressed_text_ingest", "fim_docs", "html_text_stats",
+    "leakage_split_docs", "semantic_dedup_keep", "span_corrupt_docs",
+    "video_frame_plan_real", "video_meta", "access_log_parse",
+    "code_likeness_docs", "license_scan", "markdown_text_stats",
+    "minhash_pairs", "ngram_jaccard_pairs", "simhash_fingerprints",
+    "subtitle_cues", "archive_extract_stats", "embedding_neardup_exact",
+    "embedding_neardup_lsh", "extract_any_stats", "frontier_schedule",
+    "jaccard_prefix_pairs", "media_decode_meta", "minhash_incremental",
+    "office_text_stats", "pdf_text_stats", "redirect_edge_graph",
+    "stream_extract_ingest", "video_frame_pts", "warc_encoded_bodies",
+    "warc_revisit_dedup", "profile_lineitem", "props_json_stats",
     "scd2_intervals", "source_overlap", "stream_ohlc_bars",
     "stream_sliding_counts", "tpch_q11_stockvalue", "tpch_q12_shipmode",
+    "tpch_q13_custdist", "tpch_q15_topsupp", "tpch_q16_suppcnt",
+    "tpch_q17_smallqty",
 ]
 
 

@@ -10,10 +10,32 @@ plan, bounded trigger.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextlib.contextmanager
+def pinned_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Pin ``spark.sql.shuffle.partitions`` for the duration of a
+    streaming query START (the value is captured into the checkpoint at
+    first start — batch queries under AQE re-coalesce and don't care),
+    then restore the session value. ``None`` is a no-op. The pin is
+    session-global while held: start the stream inside the block and
+    don't start unrelated queries concurrently (the replay helpers and
+    the catalog's drain loops are all serial)."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def replay_to_df(
@@ -21,17 +43,26 @@ def replay_to_df(
     spark: SparkSession,
     mode: str = "complete",
     timeout_s: float = 600,  # must be > 0 (Spark rejects 0)
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame with ``trigger(availableNow)`` into a
-    memory sink; return the sink contents."""
+    memory sink; return the sink contents.
+
+    ``state_partitions``: shuffle/state partition count pinned for this
+    query's start (see :func:`pinned_shuffle_partitions`) — pass
+    :func:`hobbes_spark.streaming.source.source_scaled_partitions` of
+    the source path to make state-store commit cost track input scale
+    instead of the session constant. Results are partition-count
+    independent; only the state layout changes."""
     name = "replay_" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with pinned_shuffle_partitions(spark, state_partitions):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
     finished = q.awaitTermination(timeout_s)
     if not finished:
         q.stop()

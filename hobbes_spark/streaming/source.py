@@ -88,3 +88,44 @@ def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     if dtype == "timestamp_ntz":
         return df.withColumn(ts_col, F.to_utc_timestamp(F.col(ts_col), "UTC"))
     return df
+
+
+def source_scaled_partitions(
+    spark: SparkSession,
+    *paths: str,
+    bytes_per_partition: int = 32 << 20,
+    floor: int = 2,
+) -> int:
+    """Scale-adaptive shuffle/state partition count for a bounded
+    stream replay, derived from the SOURCE's on-disk size (optimization
+    guide §2 — partitioning must come from input scale, not a constant
+    tuned for local mode or the cluster): ``ceil(total_bytes /
+    bytes_per_partition)`` clamped to ``[floor, session shuffle
+    default]``.
+
+    Why it exists: a streaming query pins ``spark.sql.shuffle.
+    partitions`` into its checkpoint at first start and every stateful
+    operator then commits one state-store file per partition per
+    micro-batch. For a corpus-sized landing zone the session/cluster
+    default is right; for a small bounded replay the same default makes
+    per-batch state commits the dominant cost (measured at sf0.1:
+    stream_interval_join 8.3 s → 3.0 s, stream_restart_dedup 7.1 s →
+    3.8 s going 32 → 8 state partitions). The cap at the session
+    default means a real deployment's cluster-set value is never
+    exceeded — this only scales DOWN when the source is demonstrably
+    small, and ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` still parameterizes
+    the ceiling."""
+    total = 0
+    for p in paths:
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+        elif os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith((".", "_"))
+                )
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    want = -(-total // bytes_per_partition)  # ceil
+    return max(min(cap, int(want)), min(floor, cap))

@@ -1748,6 +1748,64 @@ class TestJaccardPrefixJoin:
         with _pytest.raises(ValueError):
             jaccard_join_prefix(df, "doc_id", "text", 0.0)
 
+    def test_positional_filter_equals_brute_force_randomized(self, spark):
+        """r14 positional-filter property test (PPJoin, Xiao et al.
+        §3.2): on random corpora with heavy overlap structure and
+        boundary-prone set sizes, the prefix join must return EXACTLY
+        the brute-force pair set at every threshold — the positional
+        bound may only prune pairs the verify would reject."""
+        import random
+
+        from hobbes_spark.functions.dedup import jaccard_join_prefix
+        from hobbes_spark.functions.text import tokens
+
+        rnd = random.Random(14)
+        vocab = [f"w{i}" for i in range(40)]
+        rows = []
+        for doc in range(60):
+            # skewed sizes incl. tiny sets, duplicated docs, shared cores
+            k = rnd.choice([1, 2, 3, 4, 5, 8, 9, 10, 11, 20])
+            core = rnd.sample(vocab, k)
+            rows.append((doc, " ".join(core)))
+            if rnd.random() < 0.3:  # a near-duplicate: drop/add one token
+                twin = list(core)
+                if len(twin) > 1 and rnd.random() < 0.5:
+                    twin.pop(rnd.randrange(len(twin)))
+                else:
+                    twin.append(rnd.choice(vocab))
+                rows.append((1000 + doc, " ".join(twin)))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+        t = df.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(tokens(F.lower(F.col("text")))).alias("t"),
+        ).filter(F.size("t") > 0)
+        a, b = t.alias("a"), t.alias("b")
+        inter = F.size(F.array_intersect(F.col("a.t"), F.col("b.t")))
+        jac = inter / (F.size("a.t") + F.size("b.t") - inter).cast("double")
+        brute = (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                jac.alias("j"),
+            )
+            .collect()
+        )
+        for threshold in (0.5, 0.55, 0.6, 0.75, 0.9, 1.0):
+            got = sorted(
+                (r.id_a, r.id_b, round(r.jaccard, 9))
+                for r in jaccard_join_prefix(
+                    df, "doc_id", "text", threshold
+                ).collect()
+            )
+            exp = sorted(
+                (r.id_a, r.id_b, round(r.j, 9))
+                for r in brute
+                if r.j >= threshold
+            )
+            assert got == exp, f"threshold {threshold}: {got} != {exp}"
+
 
 class TestCountMinSketch:
     def test_merge_of_shards_equals_direct_build(self, spark, sf_dir):

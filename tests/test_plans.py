@@ -639,3 +639,33 @@ def test_python_boundary_ships_only_consumed_columns(spark):
     assert "url" not in boundary_cols(decode_image_meta(wide))
     got = boundary_cols(extract_text_any(wide))
     assert "huge_payload_twin" not in got and "url" not in got
+
+
+def test_let_spelling_single_evaluation_survives_optimizer(spark, sf_dir):
+    """r14 (ADVICE r13): the single-evaluation guarantee of the
+    transform-over-one-element-array ("let") spelling — used by
+    simhash60, lang_id_t, main_content_blocks and _keep_scored_pairs —
+    rests on Catalyst not inlining through higher-order functions.
+    That is optimizer-version behavior a Spark upgrade could silently
+    revert, re-introducing the measured 2-30x r13 regressions with no
+    result changing. Pin the count of the expensive sub-expression in
+    the optimized plan for one representative query per pattern: a
+    re-inline multiplies these (md5 1 -> 60 in simhash's vote folds,
+    tokenize split 8 -> ~19 in lang_id's argmax, array_intersect
+    2 -> 4+ in the scored-pairs threshold)."""
+    # simhash60: ONE tokenize+md5 transform feeding all 60 vote folds
+    plan = plan_of(spark, sf_dir, "simhash_fingerprints")
+    assert plan.count("md5") == 1, plan
+    assert plan.count("aggregate(") >= 60  # the folds themselves remain
+    # lang_id_t: marker counts bound once — tokenize appears per marker
+    # filter over the BOUND array, never per argmax reference
+    plan = plan_of(spark, sf_dir, "lang_id_counts")
+    assert plan.count("split(") <= 8, plan.count("split(")
+    assert plan.count("regexp_extract_all") <= 2
+    # main_content_blocks: block scoring staged, not per-output-column
+    plan = plan_of(spark, sf_dir, "main_content_stats")
+    assert plan.count("regexp_extract_all") <= 1
+    # _keep_scored_pairs: the pair score must not be duplicated into a
+    # pushed-down Filter below the scoring projection
+    plan = plan_of(spark, sf_dir, "ngram_jaccard_pairs")
+    assert plan.count("array_intersect") <= 2, plan.count("array_intersect")

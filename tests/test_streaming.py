@@ -1161,3 +1161,56 @@ def test_restart_replay_stateful_op_exactly_once(spark, tmp_path):
         assert f["n_events"] == r["n"], (r["user_id"], f["n_events"], r["n"])
         assert abs(f["total_value"] - r["total"]) < 1e-9
         assert f["last_ts"] == r["last"]
+
+
+def test_source_scaled_partitions_bounds_and_pin_restores(spark, sf_dir, tmp_path):
+    """r14 (guide §2 — scale-adaptive state partitioning): the derived
+    state partition count must track source size, stay within
+    [floor, session shuffle default], and the pin context must restore
+    the session conf even on error. Partition-count independence of the
+    replay result is pinned by replaying the same stateful dedup at two
+    different counts."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from hobbes_spark.streaming import stream_parquet
+    from hobbes_spark.streaming.run import pinned_shuffle_partitions, replay_to_df
+    from hobbes_spark.streaming.source import source_scaled_partitions
+
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # a tiny source floors (never 0/1 unless the cap itself is 1)
+    small = source_scaled_partitions(spark, f"{sf_dir}/documents.parquet")
+    assert min(2, cap) <= small <= cap
+    # a synthetic "huge" source saturates at the session cap
+    assert (
+        source_scaled_partitions(spark, f"{sf_dir}/documents.parquet",
+                                 bytes_per_partition=1) == cap
+    )
+    # missing path degrades to the floor, not an exception
+    assert source_scaled_partitions(spark, "/nonexistent") == min(2, cap)
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with pinned_shuffle_partitions(spark, 3):
+        assert spark.conf.get(key) == "3"
+    assert spark.conf.get(key) == before
+    with _pytest.raises(RuntimeError):
+        with pinned_shuffle_partitions(spark, 3):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before  # restored on error too
+
+    # result is partition-count independent: same dedup, two layouts
+    src = str(tmp_path / "in")
+    spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("source"),
+        (F.col("id") % 7).cast("string").alias("text"),
+    ).coalesce(1).write.parquet(src)
+
+    def replay(n):
+        d = stream_parquet(spark, src).dropDuplicates(["source", "text"])
+        out = replay_to_df(d, spark, mode="append", state_partitions=n)
+        return sorted((r["doc_id"] is not None, r["source"], r["text"])
+                      for r in out.collect())
+
+    assert replay(2) == replay(7)

@@ -1,11 +1,11 @@
-"""Capture .explain("formatted") for catalog queries into plans/r13/.
+"""Capture .explain("formatted") for catalog queries into plans/<round>/.
 
 Usage:
     python tools/capture_plans.py <suffix> [query ...]
 
 With no query names, captures every bench=True query. <suffix> is
 "before" or "after" (or any tag); output lands at
-plans/r13/<query>_<suffix>.txt.
+plans/$PLANS_ROUND/<query>_<suffix>.txt (PLANS_ROUND defaults to r14).
 
 The plan is taken from the same DataFrame bench.py materializes, on the
 same session factory, at $SPARK_GRAFT_SF_DIR (default sf0.1) — so the
@@ -32,12 +32,24 @@ def main() -> None:
         names = sorted(n for n, spec in QUERIES.items() if spec.bench)
 
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("hobbes_spark_plans")
     spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("PLANS_NO_CKPT"):
+        # Show the FULL plan through eager localCheckpoint boundaries
+        # (a checkpointed query otherwise explains as Scan ExistingRDD,
+        # hiding the scan/exchange shape the checkpoint truncates).
+        # Capture-only: bench/driver runs never set this.
+        # patch the CONCRETE class (Spark 4: pyspark.sql.DataFrame is
+        # the abstract base; instances are classic.dataframe.DataFrame)
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        DataFrame.localCheckpoint = lambda self, eager=True: self
     for name in names:
         df = QUERIES[name].spark(spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(

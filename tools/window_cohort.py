@@ -288,6 +288,20 @@ def compute_cohort(top: int = 50, as_of: int | None = None) -> list[str]:
     the contract test enforces exactly that."""
     from hobbes_spark.queries import QUERIES
 
+    # Manual escalations the diff-based detector cannot see (r13 verdict
+    # item 1): results-producing edits that live in queries.py (excluded
+    # from change detection by design — it is edited every round), edits
+    # routed through module-PRIVATE helpers the one-level reference walk
+    # does not reach (the _keep_scored_pairs family), and edits landed
+    # AFTER the boundary commit (the current round's own rewrites, which
+    # the frozen diff window cannot include).  Names here rank as
+    # changed; the set lives next to the window it feeds.
+    forced: frozenset = getattr(
+        __import__("hobbes_spark.queries", fromlist=["WINDOW_FORCE_CHANGED"]),
+        "WINDOW_FORCE_CHANGED",
+        frozenset(),
+    )
+
     signed = last_signed_rounds(as_of)
     commits = record_commits()
     if as_of is not None:
@@ -300,7 +314,7 @@ def compute_cohort(top: int = 50, as_of: int | None = None) -> list[str]:
             continue  # rows-only entries waste a signing slot
         rnd = signed.get(name, 0)
         base = commits.get(rnd)
-        changed = (
+        changed = name in forced or (
             bool(base)
             and bool(boundary)
             and base != boundary
