@@ -1307,9 +1307,7 @@ def jaccard_join_prefix(
         F.col("n") - F.ceil(F.round(F.col("n") * F.lit(threshold), 9)) + 1
     ).cast("int")
     pref = docs.select(
-        "id",
-        "n",
-        F.posexplode(F.slice(F.col("toks"), 1, pref_len)).alias("p", "tok"),
+        "id", "n", F.explode(F.slice(F.col("toks"), 1, pref_len)).alias("tok")
     )
     # PPJoin length filter (Xiao et al. 2008 §3.1), applied INSIDE the
     # candidate join so non-qualifying pairs die before the distinct
@@ -1321,33 +1319,16 @@ def jaccard_join_prefix(
     # θ=0.9 must survive 0.9*10 = 9.000000000000002). r13 measured
     # 11.3 M → 3.69 M candidates on the sf0.1 corpus.
     #
-    # PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2, r14): for a
-    # shared token at 0-based ranked positions (pa, pb), the overlap
-    # can never exceed min(pa, pb) [shared tokens ordered before it]
-    # + 1 [itself] + min(na-pa-1, nb-pb-1) [shared tokens after it],
-    # because both arrays are sorted by ONE global (rarity, token)
-    # order. Jaccard ≥ θ forces overlap ≥ ⌈θ·(na+nb)/(1+θ)⌉, so a
-    # generating occurrence whose bound is below that requirement is
-    # pruned. Result-preserving even though a pair can be generated by
-    # several occurrences: for a TRUE pair the bound ≥ the actual
-    # overlap ≥ the requirement at EVERY occurrence, so every
-    # generating row survives — pruning can only remove pairs the
-    # verify would reject. Same round-9 convention for the float
-    # product. r14 measured 3.69 M → 1.25 M candidates at sf0.1.
-    min_ov = F.ceil(
-        F.round(
-            (F.col("a.n") + F.col("b.n"))
-            * F.lit(float(threshold) / (1.0 + float(threshold))),
-            9,
-        )
-    )
-    pos_bound = (
-        F.least(F.col("a.p"), F.col("b.p"))
-        + 1
-        + F.least(
-            F.col("a.n") - F.col("a.p") - 1, F.col("b.n") - F.col("b.p") - 1
-        )
-    )
+    # The PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2) was
+    # implemented, property-tested and REJECTED in r14 on measurement:
+    # with prefixes made of the globally rarest tokens, a generating
+    # occurrence at position 0 on either side (the common case) has a
+    # positional bound of min(na, nb), which the length filter already
+    # enforces — it pruned 3.69 M → 3.42 M distinct candidates at
+    # θ=0.9 (7%) and 0.04% at θ=0.5 on the sf0.1 corpus while adding a
+    # posexplode column and a per-join-row bound check (+0.5-1 s at
+    # θ=0.9, +50% at θ=0.5). The randomized brute-force property test
+    # in tests/test_functions.py stays as the exactness pin.
     cand = (
         pref.alias("a")
         .join(
@@ -1355,8 +1336,7 @@ def jaccard_join_prefix(
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.id") < F.col("b.id"))
             & (F.round(F.col("b.n") * F.lit(threshold), 9) <= F.col("a.n"))
-            & (F.round(F.col("a.n") * F.lit(threshold), 9) <= F.col("b.n"))
-            & (pos_bound >= min_ov),
+            & (F.round(F.col("a.n") * F.lit(threshold), 9) <= F.col("b.n")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])

@@ -2107,7 +2107,6 @@ def hb_order_frequency(spark, sf_dir):
 )
 def stream_tumbling_counts(spark, sf_dir):
     from hobbes_spark.streaming import stream_events, tumbling_agg
-    from hobbes_spark.streaming.run import replay_to_df
 
     stream = stream_events(spark, f"{sf_dir}/events.parquet")
     agg = tumbling_agg(stream, duration="6 hours", keys=("event_type",), watermark=None)
@@ -2138,7 +2137,6 @@ def stream_sliding_counts(spark, sf_dir):
     directly. Streaming form of the reference's ``moving`` reduction
     keyed by event time (SURVEY §2.8 / §2.11)."""
     from hobbes_spark.streaming import stream_events
-    from hobbes_spark.streaming.run import replay_to_df
     from hobbes_spark.streaming.windows import sliding_agg
 
     stream = stream_events(spark, f"{sf_dir}/events.parquet")
@@ -3257,7 +3255,6 @@ def stream_session_counts(spark, sf_dir):
     sum (break at diff >= gap — session windows are half-open
     [first, last+gap))."""
     from hobbes_spark.streaming import session_agg, stream_events
-    from hobbes_spark.streaming.run import replay_to_df
 
     stream = stream_events(spark, f"{sf_dir}/events.parquet")
     agg = session_agg(stream, gap="30 minutes", keys=("user_id",), watermark=None)
@@ -3309,7 +3306,6 @@ def stream_interval_join(spark, sf_dir):
     """Stream-stream attribution join (click -> purchase within 2h),
     replayed and checked against the plain SQL interval join."""
     from hobbes_spark.streaming import interval_join, stream_events
-    from hobbes_spark.streaming.run import replay_to_df
 
     s = stream_events(spark, f"{sf_dir}/events.parquet")
     clicks = s.filter(F.col("event_type") == "click").select(
@@ -5626,7 +5622,6 @@ def stream_static_enrich(spark, sf_dir):
     streaming-ETL enrich step; replayed bounded and checked against the
     batch SQL join."""
     from hobbes_spark.streaming import stream_events
-    from hobbes_spark.streaming.run import replay_to_df
 
     s = stream_events(spark, f"{sf_dir}/events.parquet")
     dim = _t(spark, sf_dir, "customer").df.select("c_custkey", "c_mktsegment")
@@ -8458,7 +8453,6 @@ def stream_ohlc_bars(spark, sf_dir):
     operator. Replayed via availableNow and compared to the batch SQL
     twin (the batch/stream parity family: tumbling/sliding/session)."""
     from hobbes_spark.streaming import stream_events, tumbling_agg
-    from hobbes_spark.streaming.run import replay_to_df
 
     stream = stream_events(spark, f"{sf_dir}/events.parquet").withColumn(
         "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
@@ -13488,7 +13482,6 @@ def stream_curation_stats(spark, sf_dir):
     from hobbes_spark.functions.curation import blocklist_stats
     from hobbes_spark.functions.text import token_count
     from hobbes_spark.streaming import stream_parquet
-    from hobbes_spark.streaming.run import replay_to_df
 
     stream = stream_parquet(spark, f"{sf_dir}/documents.parquet")
     scored = blocklist_stats(stream, "text", _BLOCK_TERMS).withColumn(
@@ -13532,7 +13525,6 @@ def stream_dedup_counts(spark, sf_dir):
     horizon; the bounded replay here keeps full state by design so the
     equality is exact."""
     from hobbes_spark.streaming import stream_parquet
-    from hobbes_spark.streaming.run import replay_to_df
 
     stream = stream_parquet(spark, f"{sf_dir}/documents.parquet")
     deduped = stream.withColumn(

@@ -1748,12 +1748,13 @@ class TestJaccardPrefixJoin:
         with _pytest.raises(ValueError):
             jaccard_join_prefix(df, "doc_id", "text", 0.0)
 
-    def test_positional_filter_equals_brute_force_randomized(self, spark):
-        """r14 positional-filter property test (PPJoin, Xiao et al.
-        §3.2): on random corpora with heavy overlap structure and
-        boundary-prone set sizes, the prefix join must return EXACTLY
-        the brute-force pair set at every threshold — the positional
-        bound may only prune pairs the verify would reject."""
+    def test_prefix_join_equals_brute_force_randomized(self, spark):
+        """r14 randomized exactness pin: on random corpora with heavy
+        overlap structure and boundary-prone set sizes, the prefix join
+        must return EXACTLY the brute-force pair set at every threshold
+        — any unsound candidate pruning (the length filter, or a future
+        positional/suffix filter) fails here before it reaches the
+        driver gate."""
         import random
 
         from hobbes_spark.functions.dedup import jaccard_join_prefix

@@ -957,6 +957,131 @@ def main():
 
         return duplicate_substring_spans(do, "text", k=50, id_col="doc_id")
 
+    # --------------------------------------------------------------- #
+    # r14 dedup-family sweep (VERDICT r13 item 8): the r13/r14 rewrites
+    # carry the same 16x evidence as the rest of the catalog.
+    # --------------------------------------------------------------- #
+
+    _span1x = {"documents": None}
+
+    def _replica_tagged(do):
+        # id-offset scaling repeats every TEXT verbatim, so a
+        # similarity join would pay candidate buckets N^2-fold on
+        # degenerate data (the media_phash_pairs precedent). Prefix
+        # every token with its replica index: replica vocabularies are
+        # disjoint, so within-replica near-dup structure (the planted
+        # duplicates) is preserved per replica and TRUE pairs scale
+        # linearly — the regime the prefix filter is designed for.
+        if _span1x["documents"] is None:
+            _span1x["documents"] = int(
+                do1.agg(F.max("doc_id")).first()[0]
+            ) + 1
+        rep = F.floor(F.col("doc_id") / F.lit(_span1x["documents"]))
+        tag = F.concat(F.lit("r"), rep.cast("string"), F.lit("_"))
+        tagged = F.when(
+            F.col("text").isNotNull(),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.concat(tag, t),
+                ),
+            ),
+        )
+        return do.select("doc_id", tagged.alias("text"))
+
+    def jaccard_prefix_shape(do):
+        from hobbes_spark.functions.dedup import jaccard_join_prefix
+
+        return jaccard_join_prefix(_replica_tagged(do), "doc_id", "text", 0.9)
+
+    def simhash_shape(do):
+        from hobbes_spark.functions.dedup import simhash60
+
+        return do.select("doc_id", simhash60(F.col("text")).alias("fp"))
+
+    def neardup_exact_shape(emb):
+        # the exact twin is O(n^2) BY CONTRACT (the verification
+        # baseline) — the sweep entry pins the Arrow kernel's CONSTANT,
+        # not linearity: expect ratio ~ N^2/parallelism, and read it
+        # together with pairs-scored/sec (flat = the kernel scales)
+        from hobbes_spark.functions.dedup import embedding_neardup_exact
+
+        return embedding_neardup_exact(emb, threshold=0.35)
+
+    def curation_one_pass_shape(do):
+        # the r14 prepare_corpus one-pass gate+decontamination stream
+        # (repetition gates + dirty flag from ONE scan), minus pack —
+        # pack_documents has its own sweep row
+        from hobbes_spark.functions.curation import _gram_hashes
+        from hobbes_spark.functions.dedup import chained_window_hashes
+        from hobbes_spark.functions.text import tokens
+
+        ev = do.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+        evg = F.broadcast(_gram_hashes(ev, "text", 8, []).distinct())
+        tr = do.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text")
+        s2 = tr.select(
+            "doc_id", tokens(F.lower(F.col("text"))).alias("__tk")
+        ).select(
+            "doc_id", F.transform("__tk", lambda t: F.xxhash64(t)).alias("__th")
+        )
+        th = F.col("__th")
+        sz = F.size(th)
+        dup = F.when(sz > 0, 1 - F.size(F.array_distinct(th)) / sz).otherwise(
+            F.lit(0.0)
+        )
+        stream = F.concat(
+            F.transform(
+                chained_window_hashes(th, 2),
+                lambda h: F.struct(F.lit(0).alias("k"), h.alias("h")),
+            ),
+            F.transform(
+                chained_window_hashes(th, 8),
+                lambda h: F.struct(F.lit(1).alias("k"), h.alias("h")),
+            ),
+        )
+        ex = s2.select(
+            "doc_id", sz.cast("bigint").alias("tc"), dup.alias("__dup"),
+            F.explode_outer(stream).alias("__e"),
+        )
+        probed = ex.join(
+            evg,
+            (F.col("__e.k") == 1) & (F.col("__e.h") == F.col("gram_hash")),
+            "left",
+        ).filter(
+            F.col("__e").isNull()
+            | (F.col("__e.k") == 0)
+            | F.col("gram_hash").isNotNull()
+        )
+        counts = probed.groupBy(
+            "doc_id", F.col("__e.k").alias("__k"), F.col("__e.h").alias("__h")
+        ).agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.first("tc").alias("tc"),
+            F.first("__dup").alias("__dup"),
+        )
+        per_doc = counts.groupBy("doc_id").agg(
+            F.first("tc").alias("tc"),
+            F.first("__dup").alias("__dup"),
+            F.max(F.when(F.col("__k") == 0, F.col("__c"))).alias("__top"),
+            F.sum(F.when(F.col("__k") == 0, F.col("__c"))).alias("__nb"),
+            F.max(F.col("__k") == 1).alias("__dirty"),
+        )
+        top = F.coalesce(F.col("__top") / F.col("__nb"), F.lit(0.0))
+        return per_doc.filter(
+            (F.col("__dup") <= 0.8) & (top <= 0.18)
+            & ~F.coalesce(F.col("__dirty"), F.lit(False))
+        ).select("doc_id", "tc")
+
+    cases.update(
+        {
+            "jaccard_prefix_join": (jaccard_prefix_shape, do1, "documents"),
+            "simhash_fingerprint": (simhash_shape, do1, "documents"),
+            "neardup_exact_arrow": (neardup_exact_shape, em1, "embeddings"),
+            "curation_one_pass": (curation_one_pass_shape, do1, "documents"),
+        }
+    )
+
     cases.update(
         {
             "html_meta_extract": (html_meta_shape, do1, "documents"),
