@@ -320,7 +320,13 @@ def compute_cohort(top: int = 50, as_of: int | None = None) -> list[str]:
             and base != boundary
             and changed_since_signature(spec.spark, base, boundary, cache)
         )
-        keyed.append((0 if (changed or rnd == 0) else 1, rnd, name))
+        # Manual escalations outrank auto-detected changes (r14): when
+        # more queries changed than a window holds, the FORCED names are
+        # the round's actual results-producing rewrites — they must not
+        # be displaced by detector-flagged rows whose own forced slots
+        # already came and went in an earlier window.
+        tier = 0 if name in forced else (1 if (changed or rnd == 0) else 2)
+        keyed.append((tier, rnd, name))
     keyed.sort()
     return [name for _, _, name in keyed[:top]]
 
